@@ -1,0 +1,71 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis scalar kernels for training-data pipelines: language ID,
+  * quality scoring, token counting, fingerprinting. All are compositions of
+  * codegen'd built-ins (no UDFs), so they vectorize inside whole-stage
+  * codegen and push through the parquet scan unimpeded.
+  */
+object TextFunctions {
+
+  /** Occurrences of literal `tok` in `c` via the length-delta trick —
+    * engine-portable (identical semantics in DuckDB for the oracle). */
+  def occurrences(c: Column, tok: String): Column =
+    ((length(c) - length(regexp_replace(c, java.util.regex.Pattern.quote(tok), ""))) / tok.length).cast("long")
+
+  /** Non-empty whitespace tokens. */
+  def tokens(c: Column): Column = filter(split(c, " "), x => x =!= "")
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** Stopword-marker hit counts per language (n-gram heuristic language ID:
+    * the padded function words are near-unambiguous markers). */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq(" the ", " and ", " of "),
+    "es" -> Seq(" el ", " la ", " que "),
+    "fr" -> Seq(" le ", " les ", " et "),
+    "de" -> Seq(" der ", " und ", " die "))
+
+  def langHits(c: Column, lang: String): Column =
+    langMarkers(lang).map(occurrences(c, _)).reduce(_ + _)
+
+  /** Predicted language = argmax of marker hits, fixed tie-break order,
+    * "und" (undetermined) when no marker fires. */
+  def langId(c: Column): Column = {
+    val scored = langMarkers.keys.toSeq.sorted.map(l => (l, langHits(c, l)))
+    val best = scored.map(_._2).reduce(greatest(_, _))
+    scored.foldRight(lit("und"): Column) { case ((l, hits), els) =>
+      when(hits > 0 && hits === best, lit(l)).otherwise(els)
+    }
+  }
+
+  def punctCount(c: Column): Column =
+    Seq(".", ",", "!", "?", ";", ":").map(occurrences(c, _)).reduce(_ + _)
+
+  /** Quality heuristics: word stats + punctuation density + stopword ratio.
+    * Returns (n_chars, n_words, avg_word_len, punct_ratio, stop_ratio). */
+  def qualityMetrics(c: Column): Seq[(String, Column)] = {
+    val nChars = length(c).cast("long")
+    val nWords = tokenCount(c).cast("long")
+    Seq(
+      "n_chars" -> nChars,
+      "n_words" -> nWords,
+      "avg_word_len" -> round(length(regexp_replace(c, " ", "")).cast("double") / nWords, 4),
+      "punct_ratio" -> round(punctCount(c).cast("double") / nChars, 4),
+      "stop_ratio" -> round(langHits(c, "en").cast("double") / nWords, 4))
+  }
+
+  /** Composite quality score in [0,1]: length band + word-length band. */
+  def qualityScore(c: Column): Column = {
+    val m = qualityMetrics(c).toMap
+    val lenOk = when(m("n_chars").between(100, 10000), 0.5).otherwise(0.0)
+    val wordOk = when(m("avg_word_len").between(3.0, 12.0), 0.5).otherwise(0.0)
+    lenOk + wordOk
+  }
+
+  /** Rolling document fingerprint: md5 over the alphanumeric skeleton. */
+  def fingerprint(c: Column): Column =
+    md5(regexp_replace(lower(c), "[^a-z0-9]", ""))
+}

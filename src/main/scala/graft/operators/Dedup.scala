@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for large-scale training-data pipelines.
+  *
+  * All kernels are built from codegen'd built-in expressions (no Scala UDFs)
+  * so they stay inside whole-stage codegen; every hash is md5 over UTF-8,
+  * chosen because it is bit-identical across engines (differential-testable
+  * against DuckDB) and deterministic across the cluster. The shapes are
+  * shuffle-minimal: shingling/token expansion is map-side (explode), the only
+  * shuffles are the per-(id,seed) signature aggregation and the band-bucket
+  * self-join, each partitioned by a high-cardinality key.
+  */
+object Dedup {
+
+  /** Exact dedup: representative (min id) + multiplicity per identical text.
+    * One hash-shuffle on the text hash — never on the full text at scale
+    * (group key is md5(text), 32 bytes, not the document body). */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Canonical fingerprint: md5 of lowercased text with all non-alphanumerics
+    * stripped (catches whitespace/punctuation-only edits). */
+  def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      md5(regexp_replace(lower(col(textCol)), "[^a-z0-9]", "")).as("fp"))
+
+  /** Character k-shingles, exploded: (id, sh). Documents shorter than k drop
+    * out (they have no shingle). Map-side only. */
+  def charShingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    df.filter(length(col(textCol)) >= k)
+      .select(col(idCol),
+        explode(expr(s"transform(sequence(1, length($textCol) - ${k - 1}), i -> substring($textCol, i, $k))")).as("sh"))
+
+  /** MinHash signatures: for each of `numHashes` seeded hash functions,
+    * sig(id, seed) = min over shingles of md5(seed || '|' || shingle).
+    * The min is over the hex string (lexicographic = byte order), which every
+    * engine agrees on. One shuffle keyed by (id, seed). */
+  def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        shingleLen: Int, numHashes: Int): DataFrame =
+    charShingles(df, idCol, textCol, shingleLen)
+      .select(col(idCol), explode(expr(s"sequence(0, ${numHashes - 1})")).as("seed"), col("sh"))
+      .groupBy(col(idCol), col("seed"))
+      .agg(min(md5(concat(col("seed").cast("string"), lit("|"), col("sh")))).as("sig"))
+
+  /** LSH banding: hash `bandSize` consecutive signature components per band;
+    * docs sharing a (band, band_key) bucket are near-duplicate candidates.
+    * The self-join shuffles on the band key — buckets are tiny for
+    * non-duplicate data, so the join explodes only where true near-dups
+    * cluster (the LSH guarantee). */
+  def minHashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+                            shingleLen: Int = 5, numHashes: Int = 8,
+                            bandSize: Int = 2): DataFrame = {
+    val sigs = minHashSignatures(df, idCol, textCol, shingleLen, numHashes)
+    val bands = sigs
+      .withColumn("band", expr(s"seed div $bandSize"))
+      .groupBy(col(idCol), col("band"))
+      .agg(md5(expr("array_join(array_sort(collect_list(concat(lpad(cast(seed AS string), 2, '0'), sig))), '')")).as("band_key"))
+    val a = bands.select(col(idCol).as("id_a"), col("band"), col("band_key"))
+    val b = bands.select(col(idCol).as("id_b"), col("band"), col("band_key"))
+    a.join(b, Seq("band", "band_key")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** 32-bit SimHash over whitespace tokens. Bit i of md5(token) is nibble
+    * i/4, bit i%4; the fingerprint sets bit i where the signed vote across
+    * tokens is positive. Expansion is map-side (tokens × 32); the vote and
+    * recombine are two aggregations keyed by (id, bit) then id. */
+  def simHash32(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(expr(s"filter(split($textCol, ' '), x -> x != '')")).as("tok"))
+    val bits = toks
+      .select(col(idCol), col("tok"), explode(expr("sequence(0, 31)")).as("i"))
+      .withColumn("bit",
+        expr("shiftright(instr('0123456789abcdef', substring(md5(tok), (i div 4) + 1, 1)) - 1, i % 4) & 1"))
+    bits.groupBy(col(idCol), col("i"))
+      .agg(sum(col("bit") * 2 - 1).as("w"))
+      .groupBy(col(idCol))
+      .agg(sum(expr("CASE WHEN w > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(i AS INT)) ELSE CAST(0 AS BIGINT) END")).as("simhash"))
+  }
+
+  /** n-gram Jaccard similarity over candidate pairs. Candidates are bounded
+    * by an equality `groupCol` (shuffle key) and an id-distance window so the
+    * self-join never goes quadratic in the table size. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        groupCol: String, n: Int = 3, idWindow: Long = 20,
+                        minJaccard: Double = 0.0): DataFrame = {
+    val grams = df.filter(length(col(textCol)) >= n)
+      .select(col(idCol), col(groupCol),
+        explode(expr(s"transform(sequence(1, length($textCol) - ${n - 1}), i -> substring($textCol, i, $n))")).as("g"))
+      .distinct()
+    val counts = grams.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
+    val a = grams.select(col(idCol).as("id_a"), col(groupCol).as("grp"), col("g"))
+    val b = grams.select(col(idCol).as("id_b"), col(groupCol).as("grp"), col("g"))
+    val inter = a.join(b, Seq("grp", "g"))
+      .filter(col("id_a") < col("id_b") && col("id_b") - col("id_a") <= idWindow)
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(counts.withColumnRenamed(idCol, "id_a").withColumnRenamed("n_grams", "na"), "id_a")
+      .join(counts.withColumnRenamed(idCol, "id_b").withColumnRenamed("n_grams", "nb"), "id_b")
+      .withColumn("jaccard",
+        round(col("n_inter").cast("double") / (col("na") + col("nb") - col("n_inter")), 4))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+  }
+}

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Semantic snapshot diff (SURVEY.md §2.9).
+  *
+  * The reference computes node-level diffs between two revisions with
+  * hash-pruned tree walks (bundles/sirix-query/src/main/java/io/sirix/query/
+  * function/jn/diff/Diff.java:71, bundles/sirix-core/src/main/java/io/sirix/
+  * service/json/BasicJsonDiff.java). On Spark the same semantics are a
+  * full-outer shuffle join on the stable key plus a column-compare —
+  * partitioned by key, so it scales to arbitrarily large snapshots, and
+  * cheap row comparison goes through a single xxhash64 over the compared
+  * columns (the analog of the reference's stored subtree hashes,
+  * diff/DiffFactory.java:47-159).
+  */
+object Diff {
+
+  /** Change records between two snapshots of the same logical table.
+    *
+    * @param left     old snapshot
+    * @param right    new snapshot
+    * @param keys     stable identity columns (the reference's nodeKey)
+    * @param compare  columns whose change constitutes an "update"; defaults
+    *                 to all shared non-key columns
+    * @param includeSame keep unchanged rows (change_type = "same")
+    * @return keys..., change_type ∈ insert|delete|update|same, and
+    *         old_/new_ prefixed compared columns
+    */
+  def diff(left: DataFrame, right: DataFrame, keys: Seq[String],
+           compare: Seq[String] = Seq.empty,
+           includeSame: Boolean = false): DataFrame = {
+    val cmp =
+      if (compare.nonEmpty) compare
+      else left.columns.toSeq.intersect(right.columns.toSeq).filterNot(keys.contains)
+
+    val l = left.select((keys ++ cmp).map(col): _*)
+      .withColumn("__lhash", xxhash64(cmp.map(col): _*))
+      .withColumn("__lpresent", lit(true))
+    val r = right.select((keys ++ cmp).map(col): _*)
+      .withColumn("__rhash", xxhash64(cmp.map(col): _*))
+      .withColumn("__rpresent", lit(true))
+
+    val joined = l.as("l").join(r.as("r"),
+      keys.map(k => l(k) === r(k)).reduce(_ && _), "full_outer")
+
+    val changeType = when(col("l.__lpresent").isNull, "insert")
+      .when(col("r.__rpresent").isNull, "delete")
+      .when(col("l.__lhash") =!= col("r.__rhash"), "update")
+      .otherwise("same")
+
+    val keyCols = keys.map(k => coalesce(col(s"l.$k"), col(s"r.$k")).as(k))
+    val valCols = cmp.flatMap(c =>
+      Seq(col(s"l.$c").as(s"old_$c"), col(s"r.$c").as(s"new_$c")))
+
+    val out = joined.select(keyCols ++ Seq(changeType.as("change_type")) ++ valCols: _*)
+    if (includeSame) out else out.filter(col("change_type") =!= "same")
+  }
+}

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search (SURVEY.md §2.10 vector-index row).
+  *
+  * The reference ships a per-path HNSW vector index with SIMD distance
+  * kernels (bundles/sirix-core/src/main/java/io/sirix/index/vector/
+  * VectorIndex.java:79, hnsw/HnswGraph.java:24). On Spark the baseline is a
+  * brute-force scan — embarrassingly parallel, no shuffle until the final
+  * top-k (TakeOrderedAndProject keeps only k rows per partition, so the
+  * driver sees #partitions × k rows, not the table). The scale path is
+  * LSH bucketing: random-hyperplane signatures (seeded, deterministic)
+  * restrict the candidate join to same-bucket rows.
+  *
+  * Distances are computed with codegen'd higher-order functions
+  * (`zip_with` + `aggregate`) in double precision — a sequential left fold,
+  * which keeps results deterministic and differential-testable.
+  */
+object Similarity {
+
+  /** dot(a,b) as a sequential double fold over the zipped arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k against one query vector (given as a 1-row
+    * DataFrame with column `qvec`, e.g. a looked-up row — broadcast, so the
+    * scan side never shuffles). */
+  def cosineTopK(df: DataFrame, idCol: String, vecCol: String,
+                 query: DataFrame, k: Int): DataFrame =
+    df.crossJoin(broadcast(query))
+      .withColumn("sim", round(cosine(col(vecCol), col("qvec")), 4))
+      .select(col(idCol), col("sim"))
+      .orderBy(desc("sim"), col(idCol))
+      .limit(k)
+
+  /** Near-duplicate pairs by cosine within an equality-bounded candidate set
+    * (`groupCol` keys the shuffle; use an LSH bucket column at scale). */
+  def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                   groupCol: String, threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(groupCol).as("grp"), col(vecCol).as("va"))
+    val b = df.select(col(idCol).as("id_b"), col(groupCol).as("grp"), col(vecCol).as("vb"))
+    a.join(b, "grp").filter(col("id_a") < col("id_b"))
+      .withColumn("sim", round(cosine(col("va"), col("vb")), 4))
+      .filter(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim")
+  }
+
+  /** Deterministic random-hyperplane LSH bucket id: `nBits` sign bits of
+    * projections onto md5-seeded pseudo-random hyperplanes. Rows in the same
+    * bucket are ANN candidates; the candidate join shuffles on the bucket id
+    * only. Hyperplane component h(seed, dim) derives from md5 — reproducible
+    * on any executor with no broadcast state. */
+  def lshBucket(vecCol: Column, dim: Int, nBits: Int): Column = {
+    val bits = (0 until nBits).map { bit =>
+      // component c_i ∈ [-0.5, 0.5) from md5(bit|i)
+      val proj = aggregate(
+        zip_with(vecCol, expr(s"transform(sequence(0, ${dim - 1}), i -> " +
+          s"(conv(substring(md5(concat('$bit', '|', i)), 1, 6), 16, 10) / 16777215.0) - 0.5)"),
+          (x, c) => x.cast("double") * c),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0, shiftleft(lit(1L), bit)).otherwise(0L)
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** ANN top-k via LSH buckets: probe only the query's bucket. Falls back to
+    * brute force within the bucket; recall is tuned by `nBits`. */
+  def annTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+              query: DataFrame, k: Int, nBits: Int = 8): DataFrame = {
+    val bucketed = df.withColumn("bucket", lshBucket(col(vecCol), dim, nBits))
+    val q = query.withColumn("qbucket", lshBucket(col("qvec"), dim, nBits))
+    bucketed.join(broadcast(q), col("bucket") === col("qbucket"))
+      .withColumn("sim", round(cosine(col(vecCol), col("qvec")), 4))
+      .select(col(idCol), col("sim"))
+      .orderBy(desc("sim"), col(idCol))
+      .limit(k)
+  }
+}

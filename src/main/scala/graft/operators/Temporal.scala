@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Transaction-time / valid-time operators over "history frames".
+  *
+  * A history frame is any DataFrame carrying a stable record identity column
+  * (the reference's `nodeKey` — docs/ARCHITECTURE.md:527-529) plus a
+  * monotonically increasing ordering column per key (revision number or
+  * commit/event timestamp). All operators are single-shuffle window or
+  * aggregate plans partitioned by the key column, so they scale linearly with
+  * executor count — no driver-side iteration, no broadcast of the fact side.
+  *
+  * Reference surface covered (SURVEY.md §2.8):
+  * `jn:all-times` (axis/temporal/AllTimeAxis.java:20), `jn:past`/`jn:future`
+  * (PastAxis.java:22/FutureAxis.java:22), `jn:previous`/`jn:next`
+  * (PreviousAxis.java:17/NextAxis.java:17), `jn:first`/`jn:last`
+  * (FirstAxis.java:17/LastAxis.java:17), `jn:first-existing`/`jn:last-existing`
+  * (function/jn/temporal/FirstExisting.java), `jn:valid-at`
+  * (function/jn/temporal/ValidAt.java:45), `jn:open-bitemporal`
+  * (function/jn/temporal/OpenBitemporal.java:53).
+  */
+object Temporal {
+
+  /** Turn a changelog (one row per mutation) into a history frame by
+    * assigning dense per-key revision numbers in `orderCols` order.
+    * One shuffle on `keyCol`; the window is computed within partitions.
+    */
+  def asHistory(changelog: DataFrame, keyCol: String, orderCols: Seq[String],
+                revCol: String = "revision"): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(orderCols.map(col): _*)
+    changelog.withColumn(revCol, row_number().over(w))
+  }
+
+  /** `jn:all-times`: every version of every key (identity on a history
+    * frame; provided for API symmetry and for revision-range restriction). */
+  def allTimes(hist: DataFrame): DataFrame = hist
+
+  /** `jn:past`/`jn:future` relative to a revision bound. */
+  def past(hist: DataFrame, revCol: String, rev: Int, orSelf: Boolean = false): DataFrame =
+    hist.filter(if (orSelf) col(revCol) <= rev else col(revCol) < rev)
+
+  def future(hist: DataFrame, revCol: String, rev: Int, orSelf: Boolean = false): DataFrame =
+    hist.filter(if (orSelf) col(revCol) >= rev else col(revCol) > rev)
+
+  /** `jn:previous`/`jn:next`: adjacent-revision values per key via lag/lead
+    * (SURVEY.md §2.5 — the reference walks PreviousAxis/NextAxis cursors; on
+    * Spark this is one window over the key partition). */
+  def withPreviousNext(hist: DataFrame, keyCol: String, orderCols: Seq[String],
+                       valueCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(orderCols.map(col): _*)
+    valueCols.foldLeft(hist) { (df, c) =>
+      df.withColumn(s"prev_$c", lag(c, 1).over(w))
+        .withColumn(s"next_$c", lead(c, 1).over(w))
+    }
+  }
+
+  /** `jn:first`/`jn:last`: earliest and latest version of each value per key. */
+  def firstLast(hist: DataFrame, keyCol: String, orderCols: Seq[String],
+                valueCol: String): DataFrame = {
+    val base = Window.partitionBy(keyCol).orderBy(orderCols.map(col): _*)
+    val wAll = base.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    hist.withColumn("first_" + valueCol, first(valueCol).over(wAll))
+      .withColumn("last_" + valueCol, last(valueCol).over(wAll))
+      .select(col(keyCol), col("first_" + valueCol), col("last_" + valueCol))
+      .distinct()
+  }
+
+  /** `jn:first-existing`/`jn:last-existing`: the revision bounds per key. */
+  def existenceBounds(hist: DataFrame, keyCol: String, revCol: String): DataFrame =
+    hist.groupBy(keyCol).agg(
+      min(revCol).as("first_existing"),
+      max(revCol).as("last_existing"),
+      count(lit(1)).as("n_revisions"))
+
+  /** As-of snapshot of a changelog: for each key, the latest row with
+    * `tsCol <= ts`. Single shuffle on the key; the per-key top-1 is a
+    * window inside the partition (no global sort, no collect). */
+  def asOf(changelog: DataFrame, keyCol: String, tsCol: String, tieBreak: String,
+           ts: Column): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol).desc, col(tieBreak).desc)
+    changelog.filter(col(tsCol) <= ts)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Derive `[valid_from, valid_to)` intervals from a changelog where each
+    * new row supersedes the previous one for the same key (`valid_to` is
+    * null for the open interval). */
+  def asValidIntervals(changelog: DataFrame, keyCol: String, tsCol: String,
+                       tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tieBreak))
+    changelog
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(tsCol, 1).over(w))
+  }
+
+  /** `jn:valid-at`: interval stab — rows whose [valid_from, valid_to)
+    * contains `ts`. A plain range predicate: Parquet min/max skipping prunes
+    * files at scale (SURVEY.md §2.10 valid-time index row). */
+  def validAt(intervals: DataFrame, ts: Column): DataFrame =
+    intervals.filter(col("valid_from") <= ts &&
+      (col("valid_to").isNull || col("valid_to") > ts))
+
+  /** `jn:open-bitemporal`: restrict on the transaction axis first, recompute
+    * valid intervals within that snapshot, then stab on the valid axis. */
+  def openBitemporal(changelog: DataFrame, keyCol: String, tsCol: String,
+                     tieBreak: String, txFilter: Column, validTs: Column): DataFrame =
+    validAt(asValidIntervals(changelog.filter(txFilter), keyCol, tsCol, tieBreak), validTs)
+}

@@ -1,0 +1,227 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Similarity}
+
+/** Training-data pipeline operators (builder brief: dedup, similarity
+  * search, text analysis) over the `documents` and `embeddings` tables.
+  * Every query routes through the library operators in
+  * [[graft.operators.Dedup]] / [[graft.operators.Similarity]] /
+  * [[graft.functions.TextFunctions]]; the oracles re-derive the identical
+  * md5-based kernels in DuckDB SQL.
+  */
+object PipelineQueries {
+
+  private def docs(s: SparkSession, d: String): DataFrame = Tables.df(s, d, "documents")
+  private def emb(s: SparkSession, d: String): DataFrame = Tables.df(s, d, "embeddings")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact dedup by full-text hash
+    "d_exact_dedup" -> { (s, d) =>
+      Dedup.exactDedup(docs(s, d), "doc_id", "text").orderBy("text_hash")
+    },
+    // canonical-form fingerprint dedup
+    "d_fingerprint" -> { (s, d) =>
+      Dedup.fingerprint(docs(s, d), "doc_id", "text").orderBy("doc_id")
+    },
+    // MinHash signatures (8 seeded hashes over 5-char shingles)
+    "d_minhash_sig" -> { (s, d) =>
+      Dedup.minHashSignatures(docs(s, d), "doc_id", "text", 5, 8)
+        .orderBy("doc_id", "seed")
+    },
+    // MinHash + LSH banding candidate pairs
+    "d_minhash_pairs" -> { (s, d) =>
+      Dedup.minHashCandidatePairs(docs(s, d), "doc_id", "text", 5, 8, 2)
+        .orderBy("id_a", "id_b")
+    },
+    // 32-bit SimHash fingerprints
+    "d_simhash" -> { (s, d) =>
+      Dedup.simHash32(docs(s, d), "doc_id", "text").orderBy("doc_id")
+    },
+    // n-gram Jaccard similarity over bounded candidate pairs
+    "d_ngram_jaccard" -> { (s, d) =>
+      Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text", "lang", 3, 20, 0.05)
+        .orderBy("id_a", "id_b")
+    },
+    // brute-force cosine top-20 against the vec_id=0 embedding
+    "s_knn" -> { (s, d) =>
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+      Similarity.cosineTopK(e, "vec_id", "embedding", q, 20)
+    },
+    // embedding near-duplicate pairs within a label
+    "s_neardup_embed" -> { (s, d) =>
+      Similarity.nearDupPairs(emb(s, d), "vec_id", "embedding", "label", 0.8)
+        .orderBy("id_a", "id_b")
+    },
+    // language-ID heuristic vs the labeled lang column
+    "x_lang_id" -> { (s, d) =>
+      docs(s, d).select(col("doc_id"), col("lang"),
+          TextFunctions.langId(col("text")).as("pred_lang"))
+        .orderBy("doc_id")
+    },
+    // quality metrics + composite score
+    "x_quality" -> { (s, d) =>
+      val m = TextFunctions.qualityMetrics(col("text"))
+      docs(s, d).select(
+          col("doc_id") +: m.map { case (n, c) => c.as(n) } :+
+            TextFunctions.qualityScore(col("text")).as("quality"): _*)
+        .orderBy("doc_id")
+    },
+    // token counting
+    "x_token_count" -> { (s, d) =>
+      docs(s, d).select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"))
+        .orderBy("doc_id")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "d_exact_dedup" ->
+      """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+        |FROM documents GROUP BY md5(text) ORDER BY text_hash""".stripMargin,
+    "d_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "d_minhash_sig" ->
+      """WITH shingles AS (
+        |  SELECT doc_id, substr(text, CAST(i AS INTEGER), 5) AS sh
+        |  FROM documents, UNNEST(range(1, length(text) - 3)) AS t(i)
+        |  WHERE length(text) >= 5)
+        |SELECT doc_id, CAST(seed AS INTEGER) AS seed,
+        |  MIN(md5(seed::VARCHAR || '|' || sh)) AS sig
+        |FROM shingles, UNNEST(range(0, 8)) AS s(seed)
+        |GROUP BY doc_id, seed ORDER BY doc_id, seed""".stripMargin,
+    "d_minhash_pairs" ->
+      """WITH shingles AS (
+        |  SELECT doc_id, substr(text, CAST(i AS INTEGER), 5) AS sh
+        |  FROM documents, UNNEST(range(1, length(text) - 3)) AS t(i)
+        |  WHERE length(text) >= 5),
+        |sigs AS (
+        |  SELECT doc_id, CAST(seed AS INTEGER) AS seed,
+        |    MIN(md5(seed::VARCHAR || '|' || sh)) AS sig
+        |  FROM shingles, UNNEST(range(0, 8)) AS s(seed)
+        |  GROUP BY doc_id, seed),
+        |bands AS (
+        |  SELECT doc_id, seed // 2 AS band,
+        |    md5(string_agg(lpad(seed::VARCHAR, 2, '0') || sig, '' ORDER BY seed)) AS band_key
+        |  FROM sigs GROUP BY doc_id, seed // 2)
+        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+        |WHERE a.doc_id < b.doc_id ORDER BY id_a, id_b""".stripMargin,
+    "d_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS tok
+        |  FROM documents),
+        |bits AS (
+        |  SELECT doc_id, CAST(i AS INTEGER) AS i,
+        |    ((strpos('0123456789abcdef', substr(md5(tok), CAST(i // 4 AS INTEGER) + 1, 1)) - 1)
+        |      >> CAST(i % 4 AS INTEGER)) & 1 AS bit
+        |  FROM toks, UNNEST(range(0, 32)) AS t(i)),
+        |votes AS (
+        |  SELECT doc_id, i, SUM(bit * 2 - 1) AS w FROM bits GROUP BY doc_id, i)
+        |SELECT doc_id,
+        |  SUM(CASE WHEN w > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS simhash
+        |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "d_ngram_jaccard" ->
+      """WITH grams AS (
+        |  SELECT DISTINCT doc_id, lang, substr(text, CAST(i AS INTEGER), 3) AS g
+        |  FROM documents, UNNEST(range(1, length(text) - 1)) AS t(i)
+        |  WHERE length(text) >= 3),
+        |counts AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+        |  FROM grams a JOIN grams b ON a.lang = b.lang AND a.g = b.g
+        |  WHERE a.doc_id < b.doc_id AND b.doc_id - a.doc_id <= 20
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT id_a, id_b,
+        |  ROUND(CAST(n_inter AS DOUBLE) / (ca.n_grams + cb.n_grams - n_inter), 4) AS jaccard
+        |FROM inter
+        |JOIN counts ca ON ca.doc_id = id_a
+        |JOIN counts cb ON cb.doc_id = id_b
+        |WHERE CAST(n_inter AS DOUBLE) / (ca.n_grams + cb.n_grams - n_inter) >= 0.05
+        |ORDER BY id_a, id_b""".stripMargin,
+    "s_knn" ->
+      """WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+        |scored AS (
+        |  SELECT vec_id,
+        |    ROUND(
+        |      list_cosine_similarity(
+        |        list_transform(embedding, x -> CAST(x AS DOUBLE)),
+        |        list_transform(qvec, x -> CAST(x AS DOUBLE))), 4) AS sim
+        |  FROM embeddings, q)
+        |SELECT vec_id, sim FROM scored ORDER BY sim DESC, vec_id LIMIT 20""".stripMargin,
+    "s_neardup_embed" ->
+      """WITH scored AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    ROUND(
+        |      list_cosine_similarity(
+        |        list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+        |        list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 4) AS sim
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, sim FROM scored WHERE sim >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+    "x_lang_id" -> PipelineOracleSql.langIdSql,
+    "x_quality" -> PipelineOracleSql.qualitySql,
+    "x_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS INTEGER) AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}
+
+/** The longer text-analysis oracles, kept separate for readability. The SQL
+  * mirrors [[graft.functions.TextFunctions]] construct by construct. */
+object PipelineOracleSql {
+
+  /** occurrences(tok) = (len(text) - len(replace(text, tok, ''))) / len(tok) */
+  private def occ(tok: String): String = {
+    val esc = tok.replace("'", "''")
+    s"CAST((length(text) - length(replace(text, '$esc', ''))) / ${tok.length} AS BIGINT)"
+  }
+
+  private def hits(toks: Seq[String]): String = toks.map(occ).mkString(" + ")
+
+  // must match TextFunctions.langMarkers
+  private val en = hits(Seq(" the ", " and ", " of "))
+  private val es = hits(Seq(" el ", " la ", " que "))
+  private val fr = hits(Seq(" le ", " les ", " et "))
+  private val de = hits(Seq(" der ", " und ", " die "))
+
+  val langIdSql: String =
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang, $en AS h_en, $es AS h_es, $fr AS h_fr, $de AS h_de
+       |  FROM documents)
+       |SELECT doc_id, lang,
+       |  CASE
+       |    WHEN h_de > 0 AND h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+       |    WHEN h_en > 0 AND h_en >= h_de AND h_en >= h_es AND h_en >= h_fr THEN 'en'
+       |    WHEN h_es > 0 AND h_es >= h_de AND h_es >= h_en AND h_es >= h_fr THEN 'es'
+       |    WHEN h_fr > 0 AND h_fr >= h_de AND h_fr >= h_en AND h_fr >= h_es THEN 'fr'
+       |    ELSE 'und' END AS pred_lang
+       |FROM scored ORDER BY doc_id""".stripMargin
+
+  private val punct = hits(Seq(".", ",", "!", "?", ";", ":"))
+
+  val qualitySql: String =
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    CAST(length(text) AS BIGINT) AS n_chars,
+       |    CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS n_words,
+       |    CAST(length(replace(text, ' ', '')) AS DOUBLE) AS n_nonspace,
+       |    CAST($punct AS DOUBLE) AS n_punct,
+       |    CAST($en AS DOUBLE) AS n_stop
+       |  FROM documents)
+       |SELECT doc_id, n_chars, n_words,
+       |  ROUND(n_nonspace / n_words, 4) AS avg_word_len,
+       |  ROUND(n_punct / n_chars, 4) AS punct_ratio,
+       |  ROUND(n_stop / n_words, 4) AS stop_ratio,
+       |  (CASE WHEN n_chars BETWEEN 100 AND 10000 THEN 0.5 ELSE 0.0 END +
+       |   CASE WHEN ROUND(n_nonspace / n_words, 4) BETWEEN 3.0 AND 12.0 THEN 0.5 ELSE 0.0 END)
+       |    AS quality
+       |FROM m ORDER BY doc_id""".stripMargin
+}

@@ -1,0 +1,347 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Relational operator coverage (SURVEY.md §2.2-§2.7): filters, projections,
+  * joins (equi / semi / anti / theta), aggregation shapes mirroring the
+  * reference's vectorized kernels
+  * (bundles/sirix-query/src/main/java/io/sirix/query/scan/SirixVectorizedExecutor.java),
+  * window functions, sorts/limits, set ops, rollup/cube.
+  *
+  * Determinism conventions for the DuckDB-oracle hash compare:
+  *  - money aggregates go through DECIMAL(18,2) so the fold is exact, then a
+  *    single cast to DOUBLE (identical nearest-double in both engines);
+  *  - every result carries a total ORDER BY on its key columns;
+  *  - output column names are aliased identically in Spark and SQL.
+  */
+object RelationalQueries {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.df(s, d, n)
+
+  // exact-decimal sum of a 2dp money column, emitted as double
+  private def dsum(c: String, alias: String) =
+    expr(s"CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE)").as(alias)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- TPC-H Q1 shape: filter + multi-aggregate group-by ----
+    "q1_agg" -> { (s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum("l_quantity", "sum_qty"),
+          dsum("l_extendedprice", "sum_base_price"),
+          expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)").as("sum_disc_price"),
+          expr("CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)").as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // ---- the nine duck_bench shapes (BASELINE.md) on lineitem ----
+    "b_filter_count" -> { (s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_quantity") > 40 && col("l_discount") > 0.02)
+        .agg(count(lit(1)).as("cnt"))
+    },
+    "b_groupby" -> { (s, d) =>
+      t(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(count(lit(1)).as("cnt")).orderBy("l_returnflag")
+    },
+    "b_sum" -> { (s, d) =>
+      t(s, d, "lineitem").agg(dsum("l_quantity", "sum_qty"))
+    },
+    "b_avg" -> { (s, d) =>
+      t(s, d, "lineitem")
+        .agg(expr("CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)").as("avg_qty"))
+    },
+    "b_minmax" -> { (s, d) =>
+      t(s, d, "lineitem").agg(min("l_quantity").as("min_qty"), max("l_quantity").as("max_qty"))
+    },
+    "b_groupby_multi" -> { (s, d) =>
+      t(s, d, "lineitem").groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt")).orderBy("l_returnflag", "l_linestatus")
+    },
+    "b_filter_groupby" -> { (s, d) =>
+      t(s, d, "lineitem").filter(col("l_discount") > 0.05)
+        .groupBy("l_returnflag").agg(count(lit(1)).as("cnt")).orderBy("l_returnflag")
+    },
+    "b_count_distinct" -> { (s, d) =>
+      t(s, d, "lineitem").agg(countDistinct(col("l_partkey")).as("cnt_d"))
+    },
+    "b_compound_and" -> { (s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_quantity") > 30 && col("l_quantity") < 50 && col("l_discount") > 0.02)
+        .agg(count(lit(1)).as("cnt"))
+    },
+
+    // ---- joins ----
+    // TPC-H Q3 shape: 3-way join, computed-aggregate group-by, top-k.
+    // customer is small → broadcast; lineitem⋈orders shuffles on orderkey.
+    "q3_topk" -> { (s, d) =>
+      val cust = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val ord = t(s, d, "orders").filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+      val li = t(s, d, "lineitem").filter(col("l_shipdate") > lit("1996-01-01").cast("timestamp"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate").cast("date").as("o_date"))
+        .agg(expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)").as("revenue"))
+        .orderBy(desc("revenue"), col("o_orderkey"))
+        .limit(10)
+    },
+    // TPC-H Q5 shape: 6-way join with dims broadcast, revenue per nation.
+    "q5_join" -> { (s, d) =>
+      val region = t(s, d, "region").filter(col("r_name") === "ASIA")
+      val nation = t(s, d, "nation")
+      val cust = t(s, d, "customer")
+      val ord = t(s, d, "orders")
+      val li = t(s, d, "lineitem")
+      val supp = t(s, d, "supplier")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)").as("revenue"))
+        .orderBy("n_name")
+    },
+    "q_semi_join" -> { (s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    },
+    "q_anti_join" -> { (s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    },
+    // theta (inequality) join: account balances within 1.0 of each other
+    "q_theta_join" -> { (s, d) =>
+      val c = t(s, d, "customer")
+      val sup = t(s, d, "supplier")
+      c.join(broadcast(sup),
+          col("s_acctbal") > col("c_acctbal") - 1.0 && col("s_acctbal") < col("c_acctbal") + 1.0)
+        .select("c_custkey", "s_suppkey").orderBy("c_custkey", "s_suppkey")
+    },
+
+    // ---- window functions ----
+    "q_window_rank" -> { (s, d) =>
+      val w = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), col("o_orderkey"))
+      t(s, d, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .select("o_custkey", "o_orderkey", "rn")
+        .orderBy("o_custkey", "rn")
+    },
+    "q_window_running" -> { (s, d) =>
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "orders")
+        .withColumn("running_total",
+          sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double"))
+        .select("o_custkey", "o_orderkey", "running_total")
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    "q_window_lag" -> { (s, d) =>
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      t(s, d, "orders")
+        .withColumn("prev_price", lag("o_totalprice", 1).over(w))
+        .select("o_custkey", "o_orderkey", "prev_price")
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // ---- sorts / paging ----
+    "q_order_limit_offset" -> { (s, d) =>
+      t(s, d, "orders").orderBy(desc("o_totalprice"), col("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .offset(5).limit(20)
+    },
+
+    // ---- set operations (SURVEY.md §2.7, ConcurrentUnion/Intersect/ExceptAxis) ----
+    "q_set_union" -> { (s, d) =>
+      t(s, d, "orders").select(col("o_custkey").as("k"))
+        .union(t(s, d, "customer").filter(col("c_acctbal") < 0).select(col("c_custkey").as("k")))
+        .distinct().orderBy("k")
+    },
+    "q_set_intersect" -> { (s, d) =>
+      t(s, d, "customer").filter(col("c_acctbal") > 5000).select(col("c_custkey").as("k"))
+        .intersect(t(s, d, "orders").select(col("o_custkey").as("k")))
+        .orderBy("k")
+    },
+    "q_set_except" -> { (s, d) =>
+      t(s, d, "customer").select(col("c_custkey").as("k"))
+        .except(t(s, d, "orders").select(col("o_custkey").as("k")))
+        .orderBy("k")
+    },
+
+    // ---- rollup / cube / grouping sets (parity-plus, SURVEY.md §2.4) ----
+    "q_rollup" -> { (s, d) =>
+      t(s, d, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"), grouping_id().as("gid"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("cnt"), col("gid"))
+        .orderBy("gid", "flag", "status")
+    },
+    "q_cube" -> { (s, d) =>
+      t(s, d, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"), grouping_id().as("gid"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("cnt"), col("gid"))
+        .orderBy("gid", "flag", "status")
+    },
+
+    // ---- nested data: JSON field extraction, array ops (SURVEY.md §2.2) ----
+    "q_json_extract" -> { (s, d) =>
+      t(s, d, "events")
+        .select(col("event_id"),
+          regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("long").as("k"))
+        .orderBy("event_id")
+    },
+    "q_array_elem" -> { (s, d) =>
+      t(s, d, "embeddings")
+        .select(col("vec_id"),
+          element_at(col("embedding"), 1).cast("double").as("e1"),
+          size(col("embedding")).as("dim"))
+        .orderBy("vec_id")
+    },
+    "q_array_slice" -> { (s, d) =>
+      t(s, d, "embeddings")
+        .select(col("vec_id"),
+          expr("transform(slice(embedding, 1, 4), x -> CAST(x AS DOUBLE))").as("head4"))
+        .orderBy("vec_id")
+    },
+    "q_explode" -> { (s, d) =>
+      t(s, d, "embeddings").filter(col("vec_id") < 50)
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("vec_id"), col("pos"), col("col").cast("double").as("val"))
+        .orderBy("vec_id", "pos")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "b_filter_count" ->
+      "SELECT COUNT(*) AS cnt FROM lineitem WHERE l_quantity > 40 AND l_discount > 0.02",
+    "b_groupby" ->
+      "SELECT l_returnflag, COUNT(*) AS cnt FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+    "b_sum" ->
+      "SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty FROM lineitem",
+    "b_avg" ->
+      "SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty FROM lineitem",
+    "b_minmax" ->
+      "SELECT MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty FROM lineitem",
+    "b_groupby_multi" ->
+      "SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
+    "b_filter_groupby" ->
+      "SELECT l_returnflag, COUNT(*) AS cnt FROM lineitem WHERE l_discount > 0.05 GROUP BY l_returnflag ORDER BY l_returnflag",
+    "b_count_distinct" ->
+      "SELECT COUNT(DISTINCT l_partkey) AS cnt_d FROM lineitem",
+    "b_compound_and" ->
+      "SELECT COUNT(*) AS cnt FROM lineitem WHERE l_quantity > 30 AND l_quantity < 50 AND l_discount > 0.02",
+    "q3_topk" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1999-01-01'
+        |  AND l_shipdate > TIMESTAMP '1996-01-01'
+        |GROUP BY o_orderkey, CAST(o_orderdate AS DATE)
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q5_join" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_theta_join" ->
+      """SELECT c_custkey, s_suppkey FROM customer, supplier
+        |WHERE s_acctbal > c_acctbal - 1.0 AND s_acctbal < c_acctbal + 1.0
+        |ORDER BY c_custkey, s_suppkey""".stripMargin,
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey, rn FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 2 ORDER BY o_custkey, rn""".stripMargin,
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_window_lag" ->
+      """SELECT o_custkey, o_orderkey,
+        |  LAG(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_order_limit_offset" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20 OFFSET 5""".stripMargin,
+    "q_set_union" ->
+      """SELECT o_custkey AS k FROM orders
+        |UNION
+        |SELECT c_custkey AS k FROM customer WHERE c_acctbal < 0
+        |ORDER BY k""".stripMargin,
+    "q_set_intersect" ->
+      """SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000
+        |INTERSECT
+        |SELECT o_custkey AS k FROM orders
+        |ORDER BY k""".stripMargin,
+    "q_set_except" ->
+      """SELECT c_custkey AS k FROM customer
+        |EXCEPT
+        |SELECT o_custkey AS k FROM orders
+        |ORDER BY k""".stripMargin,
+    "q_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS flag, COALESCE(l_linestatus, 'ALL') AS status,
+        |  COUNT(*) AS cnt, GROUPING(l_returnflag, l_linestatus) AS gid
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY gid, flag, status""".stripMargin,
+    "q_cube" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS flag, COALESCE(l_linestatus, 'ALL') AS status,
+        |  COUNT(*) AS cnt, GROUPING(l_returnflag, l_linestatus) AS gid
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY gid, flag, status""".stripMargin,
+    "q_json_extract" ->
+      """SELECT event_id, TRY_CAST(NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_array_elem" ->
+      """SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS e1, CAST(len(embedding) AS INTEGER) AS dim
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q_array_slice" ->
+      """SELECT vec_id, list_transform(embedding[1:4], x -> CAST(x AS DOUBLE)) AS head4
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q_explode" ->
+      """SELECT vec_id, CAST(i - 1 AS INTEGER) AS pos, CAST(embedding[i] AS DOUBLE) AS val
+        |FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+        |WHERE vec_id < 50 ORDER BY vec_id, pos""".stripMargin
+  )
+}

@@ -1,0 +1,216 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Diff, Temporal}
+
+/** Transaction-time / valid-time operator coverage (SURVEY.md §2.8-2.9) over
+  * the driver's `events` changelog: `user_id` plays the stable node key,
+  * event order per user plays the revision axis, `ts` (epoch-nanosecond
+  * long, see [[graft.Tables.df]]) plays both commit and valid time.
+  *
+  * Every query routes through the [[graft.operators.Temporal]] /
+  * [[graft.operators.Diff]] library operators — the oracle SQL re-derives
+  * the same semantics relationally in DuckDB (`ts` compares identically as
+  * TIMESTAMP_NS there; epoch_ns() reproduces our long axis).
+  */
+object TemporalQueries {
+
+  /** 2024-01-15T00:00Z / 2024-01-23T00:00Z on the ns axis. */
+  private val T1 = 1705276800000000000L
+  private val T2 = 1705968000000000000L
+
+  private def ev(s: SparkSession, d: String): DataFrame = Tables.df(s, d, "events")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // jn:all-times / sdb:item-history — the full history frame
+    "t_history" -> { (s, d) =>
+      Temporal.asHistory(ev(s, d), "user_id", Seq("ts", "event_id"))
+        .select("user_id", "revision", "event_id", "value")
+        .orderBy("user_id", "revision")
+    },
+    // jn:past (or-self) below a revision bound
+    "t_past" -> { (s, d) =>
+      Temporal.past(
+        Temporal.asHistory(ev(s, d), "user_id", Seq("ts", "event_id")),
+        "revision", 3, orSelf = false)
+        .select("user_id", "revision", "event_id")
+        .orderBy("user_id", "revision")
+    },
+    // jn:previous / jn:next via lag/lead over the revision axis
+    "t_prev_next" -> { (s, d) =>
+      Temporal.withPreviousNext(ev(s, d), "user_id", Seq("ts", "event_id"), Seq("value"))
+        .select("user_id", "event_id", "prev_value", "next_value")
+        .orderBy("user_id", "event_id")
+    },
+    // jn:first / jn:last per key
+    "t_first_last" -> { (s, d) =>
+      Temporal.firstLast(ev(s, d), "user_id", Seq("ts", "event_id"), "value")
+        .orderBy("user_id")
+    },
+    // jn:first-existing / jn:last-existing / revision count
+    "t_existence" -> { (s, d) =>
+      Temporal.asHistory(ev(s, d), "user_id", Seq("ts", "event_id"))
+        .groupBy("user_id")
+        .agg(min("revision").as("first_existing"),
+          max("revision").as("last_existing"),
+          count(lit(1)).as("n_revisions"),
+          min("event_id").as("first_event"),
+          max("event_id").as("last_event"))
+        .orderBy("user_id")
+    },
+    // jn:open(db, res, ts): as-of snapshot at T1
+    "t_asof" -> { (s, d) =>
+      Temporal.asOf(ev(s, d), "user_id", "ts", "event_id", lit(T1))
+        .select("user_id", "event_id", "value")
+        .orderBy("user_id")
+    },
+    // jn:open-revisions(t1, t2): the change window
+    "t_open_revisions" -> { (s, d) =>
+      ev(s, d).filter(col("ts") >= T1 && col("ts") < T2)
+        .select("user_id", "event_id", "value")
+        .orderBy("event_id")
+    },
+    // jn:diff — the flagship temporal cross-revision join
+    // (docs/ARCHITECTURE.md:469-486): snapshots at T1 and T2 on node_key
+    "t_diff_snapshots" -> { (s, d) =>
+      val e = ev(s, d)
+      val snapA = Temporal.asOf(e, "user_id", "ts", "event_id", lit(T1))
+      val snapB = Temporal.asOf(e, "user_id", "ts", "event_id", lit(T2))
+      Diff.diff(snapA, snapB, Seq("user_id"), Seq("event_id", "value"))
+        .select("user_id", "change_type", "old_event_id", "new_event_id",
+          "old_value", "new_value")
+        .orderBy("user_id")
+    },
+    // valid-time intervals derived from the changelog (RI-tree analog)
+    "t_valid_intervals" -> { (s, d) =>
+      Temporal.asValidIntervals(ev(s, d), "user_id", "ts", "event_id")
+        .select(col("user_id"), col("event_id"),
+          expr("valid_from div 1000").as("valid_from_us"),
+          expr("valid_to div 1000").as("valid_to_us"))
+        .orderBy("user_id", "valid_from_us", "event_id")
+    },
+    // jn:valid-at — interval stab at T1
+    "t_valid_at" -> { (s, d) =>
+      Temporal.validAt(
+        Temporal.asValidIntervals(ev(s, d), "user_id", "ts", "event_id"), lit(T1))
+        .select(col("user_id"), col("event_id"),
+          expr("valid_from div 1000").as("valid_from_us"))
+        .orderBy("user_id")
+    },
+    // jn:open-bitemporal — transaction-axis restriction + valid-time stab
+    "t_bitemporal" -> { (s, d) =>
+      Temporal.openBitemporal(ev(s, d), "user_id", "ts", "event_id",
+        col("event_id") <= 8000, lit(T1))
+        .select(col("user_id"), col("event_id"),
+          expr("valid_from div 1000").as("valid_from_us"))
+        .orderBy("user_id")
+    },
+    // tumbling-window aggregation on the event-time axis (streaming parity,
+    // SURVEY.md §2.12, exercised as a batch query)
+    "t_window_tumbling" -> { (s, d) =>
+      ev(s, d)
+        .withColumn("hour_bucket", expr("ts div 3600000000000"))
+        .groupBy("event_type", "hour_bucket")
+        .agg(count(lit(1)).as("cnt"),
+          expr("CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)").as("sum_value"))
+        .orderBy("event_type", "hour_bucket")
+    }
+  )
+
+  private val tsT1 = "TIMESTAMP '2024-01-15 00:00:00'"
+  private val tsT2 = "TIMESTAMP '2024-01-23 00:00:00'"
+
+  val oracles: Map[String, String] = Map(
+    "t_history" ->
+      """SELECT user_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INTEGER) AS revision,
+        |  event_id, value
+        |FROM events ORDER BY user_id, revision""".stripMargin,
+    "t_past" ->
+      """SELECT user_id, revision, event_id FROM (
+        |  SELECT user_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INTEGER) AS revision,
+        |    event_id
+        |  FROM events) WHERE revision < 3 ORDER BY user_id, revision""".stripMargin,
+    "t_prev_next" ->
+      """SELECT user_id, event_id,
+        |  LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+        |  LEAD(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "t_first_last" ->
+      """SELECT DISTINCT user_id,
+        |  FIRST_VALUE(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_value,
+        |  LAST_VALUE(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_value
+        |FROM events ORDER BY user_id""".stripMargin,
+    "t_existence" ->
+      """SELECT user_id, MIN(revision) AS first_existing, MAX(revision) AS last_existing,
+        |  COUNT(*) AS n_revisions, MIN(event_id) AS first_event, MAX(event_id) AS last_event
+        |FROM (SELECT user_id, event_id,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INTEGER) AS revision
+        |      FROM events)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "t_asof" ->
+      s"""SELECT user_id, event_id, value FROM (
+         |  SELECT user_id, event_id, value,
+         |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+         |  FROM events WHERE ts <= $tsT1)
+         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "t_open_revisions" ->
+      s"""SELECT user_id, event_id, value FROM events
+         |WHERE ts >= $tsT1 AND ts < $tsT2 ORDER BY event_id""".stripMargin,
+    "t_diff_snapshots" ->
+      s"""WITH snap_a AS (
+         |  SELECT user_id, event_id, value FROM (
+         |    SELECT user_id, event_id, value,
+         |      ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+         |    FROM events WHERE ts <= $tsT1) WHERE rn = 1),
+         |snap_b AS (
+         |  SELECT user_id, event_id, value FROM (
+         |    SELECT user_id, event_id, value,
+         |      ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+         |    FROM events WHERE ts <= $tsT2) WHERE rn = 1)
+         |SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+         |  CASE WHEN a.user_id IS NULL THEN 'insert'
+         |       WHEN b.user_id IS NULL THEN 'delete'
+         |       WHEN a.event_id IS DISTINCT FROM b.event_id
+         |         OR a.value IS DISTINCT FROM b.value THEN 'update'
+         |       ELSE 'same' END AS change_type,
+         |  a.event_id AS old_event_id, b.event_id AS new_event_id,
+         |  a.value AS old_value, b.value AS new_value
+         |FROM snap_a a FULL OUTER JOIN snap_b b ON a.user_id = b.user_id
+         |WHERE NOT (a.user_id IS NOT NULL AND b.user_id IS NOT NULL
+         |           AND a.event_id IS NOT DISTINCT FROM b.event_id
+         |           AND a.value IS NOT DISTINCT FROM b.value)
+         |ORDER BY user_id""".stripMargin,
+    "t_valid_intervals" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS valid_from_us,
+        |  LEAD(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to_us
+        |FROM events ORDER BY user_id, valid_from_us, event_id""".stripMargin,
+    "t_valid_at" ->
+      s"""SELECT user_id, event_id, valid_from_us FROM (
+         |  SELECT user_id, event_id, epoch_us(ts) AS valid_from_us,
+         |    LEAD(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to_us
+         |  FROM events)
+         |WHERE valid_from_us <= epoch_us($tsT1)
+         |  AND (valid_to_us IS NULL OR valid_to_us > epoch_us($tsT1))
+         |ORDER BY user_id""".stripMargin,
+    "t_bitemporal" ->
+      s"""SELECT user_id, event_id, valid_from_us FROM (
+         |  SELECT user_id, event_id, epoch_us(ts) AS valid_from_us,
+         |    LEAD(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to_us
+         |  FROM events WHERE event_id <= 8000)
+         |WHERE valid_from_us <= epoch_us($tsT1)
+         |  AND (valid_to_us IS NULL OR valid_to_us > epoch_us($tsT1))
+         |ORDER BY user_id""".stripMargin,
+    "t_window_tumbling" ->
+      """SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour_bucket,
+        |  COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type, hour_bucket
+        |ORDER BY event_type, hour_bucket""".stripMargin
+  )
+}

@@ -1,0 +1,112 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import scala.jdk.CollectionConverters._
+
+/** Versioned temporal table storage (SURVEY.md §1.5-1.6, M1).
+  *
+  * Re-expresses the reference's append-only, copy-on-write revision store
+  * (bundles/sirix-core/src/main/java/io/sirix/settings/VersioningType.java,
+  * README.md:33-40) as a Spark-native snapshot layout:
+  *
+  * {{{
+  * table/
+  *   _commits/00000001.json   // {"revision":1,"commitTsMs":...,"author":...}
+  *   rev=1/part-*.parquet     // full snapshot at revision 1
+  *   rev=2/part-*.parquet
+  * }}}
+  *
+  * One JSON file per commit keeps the log append-only without read-modify-
+  * write races (single writer per resource, like the reference's
+  * one-writer/N-readers model, README.md:118-121). Reading revision r touches
+  * only `rev=r/` — revision pruning is directory selection, the Spark analog
+  * of the reference's per-revision uber-page lookup, and at 100 TB it means a
+  * time-travel read never lists or scans other revisions' files.
+  *
+  * Every snapshot row must carry a stable identity column (`node_key` by
+  * convention — docs/ARCHITECTURE.md:527-529) for cross-revision operators
+  * (diff, allTimes) to join on.
+  */
+object TemporalTable {
+
+  final case class Commit(revision: Int, commitTsMs: Long, author: String, message: String)
+
+  private def commitsDir(path: String) = Paths.get(path, "_commits")
+
+  /** Read the commit log (small driver-side metadata, like Delta's log). */
+  def commits(path: String): Seq[Commit] = {
+    val dir = commitsDir(path)
+    if (!Files.exists(dir)) return Seq.empty
+    Files.list(dir).iterator().asScala
+      .filter(_.toString.endsWith(".json"))
+      .map { p =>
+        val s = new String(Files.readAllBytes(p), "UTF-8")
+        def field(name: String): String =
+          s"""\"$name\"\\s*:\\s*(\"([^\"]*)\"|[-0-9]+)""".r.findFirstMatchIn(s)
+            .map(m => Option(m.group(2)).getOrElse(m.group(1))).getOrElse("")
+        Commit(field("revision").toInt, field("commitTsMs").toLong,
+          field("author"), field("message"))
+      }.toSeq.sortBy(_.revision)
+  }
+
+  def mostRecentRevision(path: String): Option[Int] = commits(path).lastOption.map(_.revision)
+
+  /** Append a new revision: full snapshot write + commit-log entry. */
+  def write(df: DataFrame, path: String, author: String = "graft",
+            message: String = ""): Int = {
+    val rev = mostRecentRevision(path).getOrElse(0) + 1
+    df.write.mode("overwrite").parquet(s"$path/rev=$rev")
+    Files.createDirectories(commitsDir(path))
+    val ts = System.currentTimeMillis()
+    val json =
+      s"""{"revision":$rev,"commitTsMs":$ts,"author":"$author","message":"$message"}"""
+    Files.write(commitsDir(path).resolve(f"$rev%08d.json"),
+      json.getBytes("UTF-8"), StandardOpenOption.CREATE_NEW)
+    rev
+  }
+
+  /** Time-travel read. Default = latest revision; `revision` pins an exact
+    * revision (`jn:doc(db,res,rev)`); `asOfTsMs` resolves the revision
+    * current at a wall-clock instant (`jn:open`, DocByPointInTime.java:32)
+    * via binary-search-equivalent scan of the (tiny) commit log. */
+  def read(spark: SparkSession, path: String, revision: Option[Int] = None,
+           asOfTsMs: Option[Long] = None): DataFrame = {
+    val log = commits(path)
+    require(log.nonEmpty, s"no commits at $path")
+    val rev = revision.orElse(asOfTsMs.map { ts =>
+      val eligible = log.filter(_.commitTsMs <= ts)
+      require(eligible.nonEmpty, s"no revision at or before ts=$ts")
+      eligible.last.revision
+    }).getOrElse(log.last.revision)
+    val meta = log.find(_.revision == rev)
+      .getOrElse(throw new IllegalArgumentException(s"unknown revision $rev"))
+    spark.read.parquet(s"$path/rev=$rev")
+      .withColumn("revision", lit(rev))
+      .withColumn("commit_ts", timestamp_millis(lit(meta.commitTsMs)))
+      .withColumn("author", lit(meta.author))
+  }
+
+  /** `jn:open-revisions(t1,t2)`: union of all snapshots committed in the
+    * window — one history frame with revision metadata columns. */
+  def readRevisions(spark: SparkSession, path: String,
+                    fromTsMs: Long = Long.MinValue,
+                    toTsMs: Long = Long.MaxValue): DataFrame =
+    commits(path)
+      .filter(c => c.commitTsMs >= fromTsMs && c.commitTsMs <= toTsMs)
+      .map(c => read(spark, path, Some(c.revision)))
+      .reduce(_ unionByName _)
+
+  /** All revisions = the full transaction-time history frame. */
+  def readAllRevisions(spark: SparkSession, path: String): DataFrame =
+    readRevisions(spark, path)
+
+  /** Semantic diff of two revisions (`jn:diff`, SURVEY.md §2.9). */
+  def diff(spark: SparkSession, path: String, rev1: Int, rev2: Int,
+           keys: Seq[String] = Seq("node_key")): DataFrame =
+    graft.operators.Diff.diff(
+      read(spark, path, Some(rev1)).drop("revision", "commit_ts", "author"),
+      read(spark, path, Some(rev2)).drop("revision", "commit_ts", "author"),
+      keys)
+}
