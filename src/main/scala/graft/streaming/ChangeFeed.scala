@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.TemporalTable
+
+/** Streaming / incremental layer (SURVEY.md §2.12).
+  *
+  * The reference has no streaming engine — its incremental machinery is
+  * commit hooks + per-commit index maintenance (api/PostCommitHook.java,
+  * index/ChangeListener.java). Here the commit log of
+  * [[graft.sources.TemporalTable]] doubles as a change feed, and windowed
+  * event-time aggregation is Structured Streaming built-ins (watermarks,
+  * tumbling/sliding/session windows) — parity-plus over the reference.
+  *
+  * All helpers take any DataFrame (batch or streaming) with an event-time
+  * timestamp column, so the same plan runs in both modes (the Spark
+  * batch/streaming unification) — specs drive them with MemoryStream.
+  */
+object ChangeFeed {
+
+  /** Per-revision change records committed after `fromRevision` — the
+    * batch-incremental change feed (each micro-batch = diffs of adjacent
+    * revisions, the reference's revision-stream semantics §2.9). */
+  def revisionFeed(spark: SparkSession, tablePath: String, fromRevision: Int = 0,
+                   keys: Seq[String] = Seq("node_key")): DataFrame = {
+    val revs = TemporalTable.commits(tablePath).map(_.revision).filter(_ > fromRevision)
+    require(revs.nonEmpty, s"no revisions after $fromRevision at $tablePath")
+    revs.map { r =>
+      val d =
+        if (r == 1) TemporalTable.read(spark, tablePath, Some(1))
+          .drop("revision", "commit_ts", "author")
+          .withColumn("change_type", lit("insert"))
+          .select(keys.map(col) :+ col("change_type"): _*)
+        else TemporalTable.diff(spark, tablePath, r - 1, r, keys)
+          .select(keys.map(col) :+ col("change_type"): _*)
+      d.withColumn("revision", lit(r))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Tumbling event-time window aggregation with a watermark (late data
+    * beyond `lateness` is dropped in streaming mode). */
+  def tumblingCounts(df: DataFrame, tsCol: String, duration: String,
+                     lateness: String, keys: Seq[String]): DataFrame =
+    df.withWatermark(tsCol, lateness)
+      .groupBy((window(col(tsCol), duration) +: keys.map(col)): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("win_start") +: col("window.end").as("win_end")
+        +: keys.map(col) :+ col("cnt"): _*)
+
+  /** Sliding window aggregation. */
+  def slidingAgg(df: DataFrame, tsCol: String, duration: String, slide: String,
+                 lateness: String, keys: Seq[String], aggCol: String): DataFrame =
+    df.withWatermark(tsCol, lateness)
+      .groupBy((window(col(tsCol), duration, slide) +: keys.map(col)): _*)
+      .agg(count(lit(1)).as("cnt"), sum(col(aggCol)).as("sum_val"))
+      .select(col("window.start").as("win_start") +: keys.map(col)
+        :+ col("cnt") :+ col("sum_val"): _*)
+
+  /** Session windows: rows within `gap` of each other merge into one
+    * session per key (Structured Streaming's session_window). */
+  def sessionAgg(df: DataFrame, tsCol: String, gap: String, lateness: String,
+                 keys: Seq[String]): DataFrame =
+    df.withWatermark(tsCol, lateness)
+      .groupBy((session_window(col(tsCol), gap) +: keys.map(col)): _*)
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start")
+        +: col("session_window.end").as("session_end")
+        +: keys.map(col) :+ col("n_events"): _*)
+}

@@ -1,0 +1,52 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the cat and the dog of the house"),
+    (1L, "el gato es el animal que vive en la casa"),
+    (2L, "le chat et les chiens et le jardin"),
+    (3L, "der hund und die katze und der vogel"),
+    (4L, "xxxx yyyy zzzz")
+  ).toDF("doc_id", "text")
+
+  test("tokenCount counts non-empty whitespace tokens") {
+    val n = Seq((0L, "a  b   c"), (1L, ""), (2L, "one")).toDF("doc_id", "text")
+      .select($"doc_id", TextFunctions.tokenCount($"text").as("n"))
+      .as[(Long, Int)].collect().toMap
+    assert(n == Map(0L -> 3, 1L -> 0, 2L -> 1))
+  }
+
+  test("occurrences counts literal substrings") {
+    val c = Seq((0L, "a.b.c.d")).toDF("id", "t")
+      .select(TextFunctions.occurrences($"t", ".").as("n")).as[Long].head()
+    assert(c == 3L)
+  }
+
+  test("langId picks the marker-dominant language, und when none fire") {
+    val pred = docs.select($"doc_id", TextFunctions.langId($"text").as("l"))
+      .as[(Long, String)].collect().toMap
+    assert(pred(0L) == "en" && pred(1L) == "es" && pred(2L) == "fr" && pred(3L) == "de")
+    assert(pred(4L) == "und")
+  }
+
+  test("qualityMetrics and score are consistent") {
+    val m = docs.filter($"doc_id" === 0L)
+      .select(TextFunctions.qualityMetrics($"text").map { case (n, c) => c.as(n) }: _*)
+      .collect().head
+    assert(m.getAs[Long]("n_chars") == 32L)
+    assert(m.getAs[Long]("n_words") == 8L)
+    val score = docs.select(TextFunctions.qualityScore($"text").as("q")).as[Double].collect()
+    assert(score.forall(s => s >= 0.0 && s <= 1.0))
+  }
+
+  test("fingerprint strips case and punctuation") {
+    val fp = Seq((0L, "The CAT!"), (1L, "the cat")).toDF("id", "t")
+      .select(TextFunctions.fingerprint($"t").as("fp")).distinct()
+    assert(fp.count() == 1)
+  }
+}

@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog", "en"),
+    (1L, "the quick brown fox jumps over the lazy dog", "en"),   // exact dup of 0
+    (2L, "the quick brown fox jumped over the lazy dog!", "en"), // near dup
+    (3L, "completely different content about databases and query engines", "en"),
+    (4L, "el rapido zorro marron salta sobre el perro", "es")
+  ).toDF("doc_id", "text", "lang")
+
+  test("exactDedup groups identical texts under one representative") {
+    val d = Dedup.exactDedup(docs, "doc_id", "text")
+    assert(d.count() == 4) // 5 docs, one exact pair
+    val dup = d.filter($"n_dups" === 2).select("keep_id").as[Long].head()
+    assert(dup == 0L)
+  }
+
+  test("fingerprint is invariant to case/punctuation/whitespace") {
+    val variants = Seq((0L, "Hello, World!"), (1L, "hello world"), (2L, "HELLO   WORLD??")).toDF("doc_id", "text")
+    val fps = Dedup.fingerprint(variants, "doc_id", "text").select("fp").distinct()
+    assert(fps.count() == 1)
+  }
+
+  test("minhash signatures are deterministic and equal for identical docs") {
+    val sigs = Dedup.minHashSignatures(docs, "doc_id", "text", 5, 8)
+    assert(sigs.filter($"doc_id" === 0L).count() == 8)
+    val s0 = sigs.filter($"doc_id" === 0L).orderBy("seed").select("sig").as[String].collect()
+    val s1 = sigs.filter($"doc_id" === 1L).orderBy("seed").select("sig").as[String].collect()
+    assert(s0.toSeq == s1.toSeq)
+  }
+
+  test("minhash LSH surfaces exact and near duplicates as candidate pairs") {
+    val pairs = Dedup.minHashCandidatePairs(docs, "doc_id", "text", 5, 8, 2)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))        // exact dup always collides
+    assert(!pairs.contains((0L, 4L)))       // cross-language unrelated
+  }
+
+  test("simhash: identical docs equal, unrelated docs differ") {
+    val sh = Dedup.simHash32(docs, "doc_id", "text").as[(Long, Long)].collect().toMap
+    assert(sh(0L) == sh(1L))
+    assert(sh(0L) != sh(3L))
+    // near-dup has small hamming distance
+    val ham = java.lang.Long.bitCount(sh(0L) ^ sh(2L))
+    assert(ham <= 10, s"hamming $ham too large for near-dup")
+  }
+
+  test("ngram jaccard: dup pair ~1.0, near-dup high, unrelated low") {
+    val j = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "lang", 3, 20, 0.0)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(j((0L, 1L)) == 1.0)
+    assert(j((0L, 2L)) > 0.6)
+    assert(j.getOrElse((0L, 3L), 0.0) < 0.2)
+  }
+
+  private lazy val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+    (1L, Array(0.9f, 0.1f, 0.0f, 0.0f), 0),
+    (2L, Array(0.0f, 1.0f, 0.0f, 0.0f), 0),
+    (3L, Array(0.0f, 0.0f, 1.0f, 0.0f), 1)
+  ).toDF("vec_id", "embedding", "label")
+
+  test("cosineTopK ranks by similarity with deterministic tie-break") {
+    val q = vecs.filter($"vec_id" === 0L).select($"embedding".as("qvec"))
+    val top = Similarity.cosineTopK(vecs, "vec_id", "embedding", q, 3)
+      .as[(Long, Double)].collect()
+    assert(top.head._1 == 0L && top.head._2 == 1.0)
+    assert(top(1)._1 == 1L)
+  }
+
+  test("nearDupPairs respects the group bound and threshold") {
+    val pairs = Similarity.nearDupPairs(vecs, "vec_id", "embedding", "label", 0.9)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((0L, 1L)))
+  }
+
+  test("lshBucket is deterministic; annTopK finds the query's bucket-mates") {
+    val b1 = vecs.withColumn("b", Similarity.lshBucket(col("embedding"), 4, 8))
+      .select("vec_id", "b").as[(Long, Long)].collect().toMap
+    val b2 = vecs.withColumn("b", Similarity.lshBucket(col("embedding"), 4, 8))
+      .select("vec_id", "b").as[(Long, Long)].collect().toMap
+    assert(b1 == b2)
+    val q = vecs.filter($"vec_id" === 0L).select($"embedding".as("qvec"))
+    val ann = Similarity.annTopK(vecs, "vec_id", "embedding", 4, q, 3, nBits = 4)
+      .as[(Long, Double)].collect()
+    assert(ann.nonEmpty && ann.head._1 == 0L) // query vector is its own nearest
+  }
+}

@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class DiffSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val r1 = Seq(
+    (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)
+  ).toDF("node_key", "name", "price")
+  private lazy val r2 = Seq(
+    (1L, "a", 10.0),   // same
+    (2L, "b", 25.0),   // update
+    (4L, "d", 40.0)    // insert; 3 deleted
+  ).toDF("node_key", "name", "price")
+
+  test("diff classifies insert/delete/update and drops same by default") {
+    val d = Diff.diff(r1, r2, Seq("node_key"))
+      .select("node_key", "change_type").as[(Long, String)].collect().toMap
+    assert(d == Map(2L -> "update", 3L -> "delete", 4L -> "insert"))
+  }
+
+  test("includeSame keeps unchanged rows") {
+    val d = Diff.diff(r1, r2, Seq("node_key"), includeSame = true)
+    assert(d.count() == 4)
+    assert(d.filter($"change_type" === "same").select("node_key").as[Long].head() == 1L)
+  }
+
+  test("old/new values carried per compared column") {
+    val u = Diff.diff(r1, r2, Seq("node_key"))
+      .filter($"change_type" === "update")
+      .select("old_price", "new_price").as[(Double, Double)].head()
+    assert(u == (20.0, 25.0))
+  }
+
+  test("diff applied to r1 reproduces r2 (FIXTURES.md §3 invariant)") {
+    val d = Diff.diff(r1, r2, Seq("node_key"), includeSame = true)
+    // reconstruct r2: keep same+update+insert with new values
+    val rebuilt = d.filter($"change_type" =!= "delete")
+      .select($"node_key", $"new_name".as("name"), $"new_price".as("price"))
+    assert(rebuilt.except(r2).count() == 0 && r2.except(rebuilt).count() == 0)
+  }
+
+  test("restricting compare columns narrows update detection") {
+    val d = Diff.diff(r1, r2, Seq("node_key"), compare = Seq("name"))
+      .select("node_key", "change_type").as[(Long, String)].collect().toMap
+    assert(d == Map(3L -> "delete", 4L -> "insert")) // price-only change invisible
+  }
+}

@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TemporalSpec extends SparkSpec {
+  import spark.implicits._
+
+  // changelog: (node_key, ts, value)
+  private lazy val log = Seq(
+    (1L, 10L, "a1"), (1L, 20L, "a2"), (1L, 30L, "a3"),
+    (2L, 15L, "b1"), (2L, 25L, "b2"),
+    (3L, 40L, "c1")
+  ).toDF("node_key", "ts", "value")
+
+  test("asHistory assigns dense per-key revisions in ts order") {
+    val h = Temporal.asHistory(log, "node_key", Seq("ts"))
+    val revs = h.filter($"node_key" === 1L).orderBy("revision")
+      .select("revision", "value").as[(Int, String)].collect()
+    assert(revs.toSeq == Seq((1, "a1"), (2, "a2"), (3, "a3")))
+  }
+
+  test("withPreviousNext = lag/lead along the revision axis") {
+    val pn = Temporal.withPreviousNext(log, "node_key", Seq("ts"), Seq("value"))
+    val row = pn.filter($"node_key" === 1L && $"ts" === 20L)
+      .select("prev_value", "next_value").as[(String, String)].head()
+    assert(row == ("a1", "a3"))
+    val edge = pn.filter($"node_key" === 3L)
+      .select("prev_value", "next_value").as[(Option[String], Option[String])].head()
+    assert(edge == (None, None))
+  }
+
+  test("firstLast per key") {
+    val fl = Temporal.firstLast(log, "node_key", Seq("ts"), "value")
+    val m = fl.as[(Long, String, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(m(1L) == ("a1", "a3") && m(2L) == ("b1", "b2") && m(3L) == ("c1", "c1"))
+  }
+
+  test("existenceBounds = first/last revision + count") {
+    val h = Temporal.asHistory(log, "node_key", Seq("ts"))
+    val b = Temporal.existenceBounds(h, "node_key", "revision")
+      .as[(Long, Int, Int, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(b(1L) == (1, 3, 3L) && b(3L) == (1, 1, 1L))
+  }
+
+  test("asOf returns the latest row per key at or before ts") {
+    val snap = Temporal.asOf(log, "node_key", "ts", "value", lit(22L))
+      .select("node_key", "value").as[(Long, String)].collect().toMap
+    assert(snap == Map(1L -> "a2", 2L -> "b1")) // key 3 doesn't exist yet
+  }
+
+  test("validAt stab == asOf snapshot (interval formulation equivalence)") {
+    val stab = Temporal.validAt(
+      Temporal.asValidIntervals(log, "node_key", "ts", "value"), lit(22L))
+      .select("node_key", "value").as[(Long, String)].collect().toMap
+    assert(stab == Map(1L -> "a2", 2L -> "b1"))
+  }
+
+  test("openBitemporal: tx restriction then valid stab") {
+    // tx axis: only rows with ts <= 20 are "committed"
+    val bt = Temporal.openBitemporal(log, "node_key", "ts", "value",
+      col("ts") <= 20L, lit(100L))
+      .select("node_key", "value").as[(Long, String)].collect().toMap
+    assert(bt == Map(1L -> "a2", 2L -> "b1")) // a3/b2/c1 not committed on tx axis
+  }
+
+  test("past/future filter the revision axis") {
+    val h = Temporal.asHistory(log, "node_key", Seq("ts"))
+    assert(Temporal.past(h, "revision", 2).filter($"node_key" === 1L).count() == 1)
+    assert(Temporal.past(h, "revision", 2, orSelf = true).filter($"node_key" === 1L).count() == 2)
+    assert(Temporal.future(h, "revision", 1).filter($"node_key" === 1L).count() == 2)
+  }
+}

@@ -1,0 +1,77 @@
+package graft.sources
+
+import graft.SparkSpec
+import java.nio.file.Files
+
+class TemporalTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshPath(): String =
+    Files.createTempDirectory("graft-tt").resolve("tbl").toString
+
+  private def rev1 = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("node_key", "name", "price")
+  private def rev2 = Seq((1L, "a", 11.0), (2L, "b", 20.0), (3L, "c", 30.0)).toDF("node_key", "name", "price")
+  private def rev3 = Seq((1L, "a", 12.0), (3L, "c", 30.0)).toDF("node_key", "name", "price")
+
+  test("write assigns monotonically increasing revisions; read defaults to latest") {
+    val p = freshPath()
+    assert(TemporalTable.write(rev1, p) == 1)
+    assert(TemporalTable.write(rev2, p) == 2)
+    assert(TemporalTable.write(rev3, p) == 3)
+    assert(TemporalTable.mostRecentRevision(p).contains(3))
+    val latest = TemporalTable.read(spark, p)
+    assert(latest.count() == 2)
+    assert(latest.select("revision").distinct().as[Int].head() == 3)
+  }
+
+  test("time travel by revision and revision metadata columns") {
+    val p = freshPath()
+    TemporalTable.write(rev1, p, author = "alice", message = "init")
+    TemporalTable.write(rev2, p, author = "bob")
+    val r1 = TemporalTable.read(spark, p, revision = Some(1))
+    assert(r1.count() == 2)
+    assert(r1.select("author").distinct().as[String].head() == "alice")
+    assert(r1.columns.toSet.contains("commit_ts"))
+  }
+
+  test("asOf timestamp resolves the revision current at that instant") {
+    val p = freshPath()
+    TemporalTable.write(rev1, p)
+    val afterR1 = System.currentTimeMillis()
+    Thread.sleep(5)
+    TemporalTable.write(rev2, p)
+    val snap = TemporalTable.read(spark, p, asOfTsMs = Some(afterR1))
+    assert(snap.select("revision").distinct().as[Int].head() == 1)
+    intercept[IllegalArgumentException] {
+      TemporalTable.read(spark, p, asOfTsMs = Some(0L))
+    }
+  }
+
+  test("readAllRevisions = full history frame across commits") {
+    val p = freshPath()
+    TemporalTable.write(rev1, p); TemporalTable.write(rev2, p); TemporalTable.write(rev3, p)
+    val all = TemporalTable.readAllRevisions(spark, p)
+    assert(all.count() == 2 + 3 + 2)
+    // node 1 exists in all three revisions
+    assert(all.filter($"node_key" === 1L).select("revision").as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
+  }
+
+  test("diff between revisions classifies changes") {
+    val p = freshPath()
+    TemporalTable.write(rev1, p); TemporalTable.write(rev2, p); TemporalTable.write(rev3, p)
+    val d12 = TemporalTable.diff(spark, p, 1, 2)
+      .select("node_key", "change_type").as[(Long, String)].collect().toMap
+    assert(d12 == Map(1L -> "update", 3L -> "insert"))
+    val d23 = TemporalTable.diff(spark, p, 2, 3)
+      .select("node_key", "change_type").as[(Long, String)].collect().toMap
+    assert(d23 == Map(1L -> "update", 2L -> "delete"))
+  }
+
+  test("unknown revision raises") {
+    val p = freshPath()
+    TemporalTable.write(rev1, p)
+    intercept[IllegalArgumentException] {
+      TemporalTable.read(spark, p, revision = Some(9))
+    }
+  }
+}
