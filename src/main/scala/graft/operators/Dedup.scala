@@ -28,23 +28,50 @@ object Dedup {
     df.select(col(idCol),
       md5(regexp_replace(lower(col(textCol)), "[^a-z0-9]", "")).as("fp"))
 
+  /** Spread a narrow input across the cluster before a heavy map-side
+    * expansion (explode × hash). Small document tables often arrive as one
+    * or two parquet splits — without this every downstream shingle/hash
+    * runs on a single task. At scale inputs already have many splits and
+    * this is a no-op. */
+  private def fanOut(df: DataFrame, idCol: String): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target, col(idCol)) else df
+  }
+
   /** Character k-shingles, exploded: (id, sh). Documents shorter than k drop
-    * out (they have no shingle). Map-side only. */
+    * out (they have no shingle). Map-side only after the fan-out. */
   def charShingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
-    df.filter(length(col(textCol)) >= k)
+    fanOut(df.filter(length(col(textCol)) >= k), idCol)
       .select(col(idCol),
         explode(expr(s"transform(sequence(1, length($textCol) - ${k - 1}), i -> substring($textCol, i, $k))")).as("sh"))
 
-  /** MinHash signatures: for each of `numHashes` seeded hash functions,
-    * sig(id, seed) = min over shingles of md5(seed || '|' || shingle).
-    * The min is over the hex string (lexicographic = byte order), which every
-    * engine agrees on. One shuffle keyed by (id, seed). */
+  /** MinHash signatures via the one-hash trick: md5 runs ONCE per shingle;
+    * hash function `seed` is the digest rotated by 4·seed hex chars (md5
+    * bits are independent, so rotations act as distinct hash functions —
+    * max 8 seeds at rotation step 4). The min is over the hex string
+    * (lexicographic = byte order), identical in every engine.
+    *
+    * Plan shape: all `numHashes` mins aggregate in ONE wide groupBy(id) —
+    * map-side partial aggregation collapses the exploded shingles before
+    * the (narrow, one-row-per-doc) shuffle — then an unpivot to
+    * (id, seed, sig). ~8× less hashing and ~3000× less shuffle volume than
+    * the naive (id, seed)-keyed shape. */
   def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        shingleLen: Int, numHashes: Int): DataFrame =
-    charShingles(df, idCol, textCol, shingleLen)
-      .select(col(idCol), explode(expr(s"sequence(0, ${numHashes - 1})")).as("seed"), col("sh"))
-      .groupBy(col(idCol), col("seed"))
-      .agg(min(md5(concat(col("seed").cast("string"), lit("|"), col("sh")))).as("sig"))
+                        shingleLen: Int, numHashes: Int): DataFrame = {
+    require(numHashes >= 1 && numHashes <= 8, "numHashes must be in 1..8")
+    val hashed = charShingles(df, idCol, textCol, shingleLen)
+      .withColumn("h", md5(col("sh")))
+    def rot(i: Int) =
+      if (i == 0) col("h")
+      else concat(expr(s"substring(h, ${4 * i + 1}, ${32 - 4 * i})"),
+        expr(s"substring(h, 1, ${4 * i})"))
+    val wide = hashed.groupBy(col(idCol))
+      .agg(min(rot(0)).as("sig_0"),
+        (1 until numHashes).map(i => min(rot(i)).as(s"sig_$i")): _*)
+    val stackArgs = (0 until numHashes).map(i => s"$i, sig_$i").mkString(", ")
+    wide.select(col(idCol),
+      expr(s"stack($numHashes, $stackArgs)").as(Seq("seed", "sig")))
+  }
 
   /** LSH banding: hash `bandSize` consecutive signature components per band;
     * docs sharing a (band, band_key) bucket are near-duplicate candidates.
@@ -70,7 +97,7 @@ object Dedup {
     * tokens is positive. Expansion is map-side (tokens × 32); the vote and
     * recombine are two aggregations keyed by (id, bit) then id. */
   def simHash32(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.select(col(idCol),
+    val toks = fanOut(df, idCol).select(col(idCol),
       explode(expr(s"filter(split($textCol, ' '), x -> x != '')")).as("tok"))
     val bits = toks
       .select(col(idCol), col("tok"), explode(expr("sequence(0, 31)")).as("i"))

@@ -92,7 +92,8 @@ object PipelineQueries {
         |  FROM documents, UNNEST(range(1, length(text) - 3)) AS t(i)
         |  WHERE length(text) >= 5)
         |SELECT doc_id, CAST(seed AS INTEGER) AS seed,
-        |  MIN(md5(seed::VARCHAR || '|' || sh)) AS sig
+        |  MIN(substr(md5(sh), CAST(4 * seed + 1 AS INTEGER))
+        |      || substr(md5(sh), 1, CAST(4 * seed AS INTEGER))) AS sig
         |FROM shingles, UNNEST(range(0, 8)) AS s(seed)
         |GROUP BY doc_id, seed ORDER BY doc_id, seed""".stripMargin,
     "d_minhash_pairs" ->
@@ -102,7 +103,8 @@ object PipelineQueries {
         |  WHERE length(text) >= 5),
         |sigs AS (
         |  SELECT doc_id, CAST(seed AS INTEGER) AS seed,
-        |    MIN(md5(seed::VARCHAR || '|' || sh)) AS sig
+        |    MIN(substr(md5(sh), CAST(4 * seed + 1 AS INTEGER))
+        |        || substr(md5(sh), 1, CAST(4 * seed AS INTEGER))) AS sig
         |  FROM shingles, UNNEST(range(0, 8)) AS s(seed)
         |  GROUP BY doc_id, seed),
         |bands AS (
