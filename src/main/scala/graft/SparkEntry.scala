@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{PipelineQueries, RelationalQueries, TemporalQueries}
+import graft.queries.{FunctionQueries, PipelineQueries, RelationalQueries, TemporalQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -18,7 +18,8 @@ object SparkEntry {
     Seq(
       (RelationalQueries.queries, RelationalQueries.oracles),
       (TemporalQueries.queries, TemporalQueries.oracles),
-      (PipelineQueries.queries, PipelineQueries.oracles)
+      (PipelineQueries.queries, PipelineQueries.oracles),
+      (FunctionQueries.queries, FunctionQueries.oracles)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

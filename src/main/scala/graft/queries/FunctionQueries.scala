@@ -1,0 +1,185 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Scalar-function surface (SURVEY.md §2.11): the JSONiq/XQuery F&O library
+  * the reference inherits from brackit, re-expressed as Spark built-ins —
+  * strings, math, dates, struct/array navigation, quantified aggregates,
+  * grouping sets, serialization. Constants avoid cross-engine FP libm
+  * differences (sqrt/abs/floor are IEEE-exact; exp/ln are not relied on).
+  */
+object FunctionQueries {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.df(s, d, n)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_string_funcs" -> { (s, d) =>
+      t(s, d, "part").select(
+          col("p_partkey"),
+          upper(col("p_name")).as("u"),
+          lower(col("p_brand")).as("l"),
+          substring(col("p_name"), 1, 5).as("sub"),
+          concat(col("p_brand"), lit("-"), col("p_type")).as("cat"),
+          length(col("p_name")).as("len"),
+          lpad(col("p_brand"), 12, "_").as("pad"),
+          instr(col("p_type"), "a").cast("long").as("pos"),
+          expr("left(p_name, 3)").as("l3"),
+          regexp_extract(col("p_type"), "([a-z]+)", 1).as("firstword"),
+          trim(col("p_name")).as("trimmed"))
+        .orderBy("p_partkey")
+    },
+    "q_math_funcs" -> { (s, d) =>
+      t(s, d, "part").select(
+          col("p_partkey"),
+          abs(col("p_size") - 25).as("a"),
+          floor(col("p_size") / 7.0).cast("long").as("fl"),
+          ceil(col("p_size") / 7.0).cast("long").as("ce"),
+          sqrt(col("p_size").cast("double")).as("sq"),
+          (col("p_size") % 5).as("md"),
+          (col("p_size") * col("p_size")).as("p2"),
+          greatest(col("p_size"), lit(10)).as("gr"),
+          least(col("p_size"), lit(40)).as("le"))
+        .orderBy("p_partkey")
+    },
+    "q_date_funcs" -> { (s, d) =>
+      t(s, d, "orders").select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          date_add(col("o_orderdate").cast("date"), 30).as("plus30"),
+          datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date")).cast("long").as("since_epoch"),
+          date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+          quarter(col("o_orderdate")).as("q"))
+        .orderBy("o_orderkey")
+    },
+    // union all preserves duplicates (vs q_set_union's dedup)
+    "q_union_all" -> { (s, d) =>
+      val o = t(s, d, "orders").filter(col("o_totalprice") > 100000).select(col("o_custkey").as("k"))
+      o.unionAll(o).groupBy("k").agg(count(lit(1)).as("cnt")).orderBy("k")
+    },
+    // explicit grouping sets (parity-plus over rollup/cube)
+    "q_grouping_sets" -> { (s, d) =>
+      Tables.registerAll(s, d)
+      s.sql(
+        """SELECT COALESCE(l_returnflag, 'ALL') AS flag, COALESCE(l_linestatus, 'ALL') AS status,
+          |  COUNT(*) AS cnt
+          |FROM lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+          |ORDER BY flag, status""".stripMargin)
+    },
+    // struct construction + field deref (object deref $o.field, §2.2)
+    "q_struct_nav" -> { (s, d) =>
+      t(s, d, "customer")
+        .select(col("c_custkey"),
+          struct(col("c_name").as("name"), col("c_acctbal").as("bal"),
+            struct(col("c_mktsegment").as("seg")).as("meta")).as("obj"))
+        .select(col("c_custkey"),
+          col("obj.name").as("nm"),
+          col("obj.bal").as("bal"),
+          col("obj.meta.seg").as("seg"))   // nested deref = descendant path
+        .orderBy("c_custkey")
+    },
+    // parent/ancestor axis re-expressed relationally (§2.2 structural axes):
+    // supplier → nation (parent) → region (ancestor)
+    "q_nav_parent" -> { (s, d) =>
+      t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("n_name").as("parent_name"), col("r_name").as("ancestor_name"))
+        .orderBy("s_suppkey")
+    },
+    // quantified some/every (§2.3 semi/anti row): bool_and / bool_or
+    "q_quantified" -> { (s, d) =>
+      t(s, d, "orders").groupBy("o_custkey")
+        .agg(expr("bool_and(o_totalprice > 50000)").as("every_big"),
+          expr("bool_or(o_orderstatus = 'F')").as("some_finished"),
+          count(lit(1)).as("n"))
+        .orderBy("o_custkey")
+    },
+    // approximate count-distinct (HLL) — implementations differ across
+    // engines, so no oracle (driver records rows-only)
+    "q_approx_distinct" -> { (s, d) =>
+      t(s, d, "lineitem")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+    },
+    // JSON serialization of a constructed object (jn:serialize analog)
+    "q_serialize" -> { (s, d) =>
+      t(s, d, "nation")
+        .select(col("n_nationkey"),
+          to_json(struct(col("n_name").as("name"), col("n_regionkey").as("region")))
+            .as("js"))
+        .orderBy("n_nationkey")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_string_funcs" ->
+      """SELECT p_partkey, upper(p_name) AS u, lower(p_brand) AS l,
+        |  substr(p_name, 1, 5) AS sub,
+        |  p_brand || '-' || p_type AS cat,
+        |  CAST(length(p_name) AS INTEGER) AS len,
+        |  lpad(p_brand, 12, '_') AS pad,
+        |  CAST(strpos(p_type, 'a') AS BIGINT) AS pos,
+        |  left(p_name, 3) AS l3,
+        |  regexp_extract(p_type, '([a-z]+)', 1) AS firstword,
+        |  trim(p_name) AS trimmed
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_math_funcs" ->
+      """SELECT p_partkey,
+        |  abs(p_size - 25) AS a,
+        |  CAST(floor(p_size / 7.0) AS BIGINT) AS fl,
+        |  CAST(ceil(p_size / 7.0) AS BIGINT) AS ce,
+        |  sqrt(CAST(p_size AS DOUBLE)) AS sq,
+        |  p_size % 5 AS md,
+        |  p_size * p_size AS p2,
+        |  greatest(p_size, 10) AS gr,
+        |  least(p_size, 40) AS le
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_date_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INTEGER) AS y,
+        |  CAST(month(o_orderdate) AS INTEGER) AS m,
+        |  CAST(day(o_orderdate) AS INTEGER) AS dom,
+        |  CAST(o_orderdate AS DATE) + 30 AS plus30,
+        |  date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS since_epoch,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        |  CAST(quarter(o_orderdate) AS INTEGER) AS q
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_union_all" ->
+      """SELECT k, COUNT(*) AS cnt FROM (
+        |  SELECT o_custkey AS k FROM orders WHERE o_totalprice > 100000
+        |  UNION ALL
+        |  SELECT o_custkey AS k FROM orders WHERE o_totalprice > 100000)
+        |GROUP BY k ORDER BY k""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS flag, COALESCE(l_linestatus, 'ALL') AS status,
+        |  COUNT(*) AS cnt
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY flag, status""".stripMargin,
+    "q_struct_nav" ->
+      """SELECT c_custkey, obj.name AS nm, obj.bal AS bal, obj.meta.seg AS seg
+        |FROM (SELECT c_custkey,
+        |        struct_pack(name := c_name, bal := c_acctbal,
+        |          meta := struct_pack(seg := c_mktsegment)) AS obj
+        |      FROM customer)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_nav_parent" ->
+      """SELECT s_suppkey, n_name AS parent_name, r_name AS ancestor_name
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY s_suppkey""".stripMargin,
+    "q_quantified" ->
+      """SELECT o_custkey, bool_and(o_totalprice > 50000) AS every_big,
+        |  bool_or(o_orderstatus = 'F') AS some_finished, COUNT(*) AS n
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "q_serialize" ->
+      """SELECT n_nationkey,
+        |  '{"name":"' || n_name || '","region":' || n_regionkey || '}' AS js
+        |FROM nation ORDER BY n_nationkey""".stripMargin
+  )
+}
