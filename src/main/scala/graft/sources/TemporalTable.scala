@@ -88,15 +88,25 @@ object TemporalTable {
       .withColumn("author", lit(meta.author))
   }
 
-  /** `jn:open-revisions(t1,t2)`: union of all snapshots committed in the
-    * window — one history frame with revision metadata columns. */
+  /** `jn:open-revisions(t1,t2)`: all snapshots committed in the window as
+    * one history frame with revision metadata columns. A single scan over
+    * the hive-partitioned layout (`rev=N/`) — the revision restriction is a
+    * partition-pruning filter, and commit metadata joins in from the (tiny,
+    * broadcast) commit log instead of per-revision literals. */
   def readRevisions(spark: SparkSession, path: String,
                     fromTsMs: Long = Long.MinValue,
-                    toTsMs: Long = Long.MaxValue): DataFrame =
-    commits(path)
+                    toTsMs: Long = Long.MaxValue): DataFrame = {
+    val eligible = commits(path)
       .filter(c => c.commitTsMs >= fromTsMs && c.commitTsMs <= toTsMs)
-      .map(c => read(spark, path, Some(c.revision)))
-      .reduce(_ unionByName _)
+    require(eligible.nonEmpty, s"no commits in window at $path")
+    val meta = spark.createDataFrame(eligible)
+      .select(col("revision"), timestamp_millis(col("commitTsMs")).as("commit_ts"),
+        col("author"))
+    spark.read.parquet(path)
+      .withColumnRenamed("rev", "revision")
+      .filter(col("revision").isin(eligible.map(_.revision): _*))
+      .join(broadcast(meta), "revision")
+  }
 
   /** All revisions = the full transaction-time history frame. */
   def readAllRevisions(spark: SparkSession, path: String): DataFrame =

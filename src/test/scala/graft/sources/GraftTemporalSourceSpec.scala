@@ -1,0 +1,68 @@
+package graft.sources
+
+import graft.SparkSpec
+import java.nio.file.Files
+
+class GraftTemporalSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkTable(): String = {
+    val p = Files.createTempDirectory("graft-v2").resolve("tbl").toString
+    TemporalTable.write(Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("node_key", "name", "price"), p)
+    TemporalTable.write(Seq((1L, "a", 11.0), (2L, "b", 20.0), (3L, "c", 30.0)).toDF("node_key", "name", "price"), p)
+    TemporalTable.write(Seq((1L, "a", 12.0), (3L, "c", 30.0)).toDF("node_key", "name", "price"), p)
+    p
+  }
+
+  test("format default reads the latest revision") {
+    val p = mkTable()
+    val df = spark.read.format("graft-temporal").load(p)
+    assert(df.count() == 2)
+    assert(df.select("rev").distinct().as[Int].head() == 3)
+  }
+
+  test("option revision pins a snapshot; asOfTimestampMs resolves via the log") {
+    val p = mkTable()
+    val r1 = spark.read.format("graft-temporal").option("revision", 1).load(p)
+    assert(r1.count() == 2 && r1.select("rev").distinct().as[Int].head() == 1)
+    val ts = TemporalTable.commits(p).find(_.revision == 2).get.commitTsMs
+    val asOf = spark.read.format("graft-temporal").option("asOfTimestampMs", ts).load(p)
+    assert(asOf.select("rev").distinct().as[Int].head() == 2)
+  }
+
+  test("allRevisions exposes the rev partition column across history") {
+    val p = mkTable()
+    val all = spark.read.format("graft-temporal").option("allRevisions", "true").load(p)
+    assert(all.count() == 2 + 3 + 2)
+    assert(all.select("rev").distinct().as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
+  }
+
+  test("filters push down to the parquet scan; rev filter prunes partitions") {
+    val p = mkTable()
+    val df = spark.read.format("graft-temporal").option("allRevisions", "true").load(p)
+      .filter($"price" > 15.0 && $"rev" === 2)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(price,15.0)"),
+      s"expected pushed data filter in:\n$plan")
+    // partition filter on rev must NOT appear as a data filter — it prunes dirs
+    assert(df.count() == 2) // rev=2 rows with price>15: (2,b,20),(3,c,30)
+  }
+
+  test("column pruning reaches the scan") {
+    val p = mkTable()
+    val df = spark.read.format("graft-temporal").load(p).select("node_key")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<node_key:bigint>"),
+      s"expected pruned read schema in:\n$plan")
+  }
+
+  test("readRevisions single-scan history frame carries commit metadata") {
+    val p = mkTable()
+    val hist = TemporalTable.readRevisions(spark, p)
+    assert(hist.count() == 7)
+    assert(hist.columns.toSet == Set("node_key", "name", "price", "revision", "commit_ts", "author"))
+    // one scan, no union: plan contains a single parquet source relation
+    val scans = "FileScan|BatchScan".r.findAllIn(hist.queryExecution.executedPlan.toString).size
+    assert(scans == 1, s"expected single scan, got $scans")
+  }
+}
