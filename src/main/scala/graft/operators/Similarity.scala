@@ -20,14 +20,22 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** dot(a,b) as a sequential double fold over the zipped arrays. */
-  def dot(a: Column, b: Column): Column =
+  /** dot(a,b): native codegen'd Catalyst kernel (primitive loop inside
+    * whole-stage codegen — [[graft.functions.VectorExpressions]]). */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorExpressions.dot(a, b)
+
+  /** Reference implementation as a sequential higher-order-function fold —
+    * bit-identical to the native kernel (same accumulation order); kept for
+    * differential testing of the codegen path. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
-  def norm(a: Column): Column = sqrt(dot(a, a))
+  def norm(a: Column): Column = sqrt(dotHof(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosine(a: Column, b: Column): Column = graft.functions.VectorExpressions.cosine(a, b)
+
+  def cosineHof(a: Column, b: Column): Column = dotHof(a, b) / (norm(a) * norm(b))
 
   /** Brute-force cosine top-k against one query vector (given as a 1-row
     * DataFrame with column `qvec`, e.g. a looked-up row — broadcast, so the
