@@ -105,6 +105,14 @@ object FunctionQueries {
       t(s, d, "lineitem")
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
     },
+    // custom TypedImperativeAggregate (§2.13): exact BigDecimal fold,
+    // differential against the engine-native decimal-cast sum
+    "q_custom_agg" -> { (s, d) =>
+      t(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(graft.functions.AggregateExpressions
+          .exactDecimalSum(col("l_extendedprice")).cast("double").as("sum_price"))
+        .orderBy("l_returnflag")
+    },
     // JSON serialization of a constructed object (jn:serialize analog)
     "q_serialize" -> { (s, d) =>
       t(s, d, "nation")
@@ -177,6 +185,10 @@ object FunctionQueries {
       """SELECT o_custkey, bool_and(o_totalprice > 50000) AS every_big,
         |  bool_or(o_orderstatus = 'F') AS some_finished, COUNT(*) AS n
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "q_custom_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_serialize" ->
       """SELECT n_nationkey,
         |  '{"name":"' || n_name || '","region":' || n_regionkey || '}' AS js

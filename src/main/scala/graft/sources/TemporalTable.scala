@@ -112,6 +112,29 @@ object TemporalTable {
   def readAllRevisions(spark: SparkSession, path: String): DataFrame =
     readRevisions(spark, path)
 
+  /** MERGE-style bulk update (SURVEY.md §2.14): the JSONiq update surface
+    * (insert/replace/delete json — JsonNodeTrx.java:62-228 in the
+    * reference) re-expressed as one declarative transform: the next
+    * revision = prior snapshot minus deleted keys, minus replaced keys,
+    * plus upserts. Two left-anti joins + a union, all partitioned on the
+    * key — no driver-side row handling, so a 100 TB snapshot merges with
+    * ordinary join scale-out.
+    *
+    * @return the new revision number
+    */
+  def merge(spark: SparkSession, path: String, upserts: DataFrame,
+            deleteKeys: Option[DataFrame] = None,
+            keys: Seq[String] = Seq("node_key"),
+            author: String = "graft", message: String = "merge"): Int = {
+    val prior = read(spark, path).drop("revision", "commit_ts", "author")
+    val afterDelete = deleteKeys match {
+      case Some(dk) => prior.join(dk.select(keys.map(col): _*), keys, "left_anti")
+      case None => prior
+    }
+    val kept = afterDelete.join(upserts.select(keys.map(col): _*), keys, "left_anti")
+    write(kept.unionByName(upserts), path, author, message)
+  }
+
   /** Semantic diff of two revisions (`jn:diff`, SURVEY.md §2.9). */
   def diff(spark: SparkSession, path: String, rev1: Int, rev2: Int,
            keys: Seq[String] = Seq("node_key")): DataFrame =

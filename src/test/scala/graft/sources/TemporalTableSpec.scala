@@ -67,6 +67,21 @@ class TemporalTableSpec extends SparkSpec {
     assert(d23 == Map(1L -> "update", 2L -> "delete"))
   }
 
+  test("merge = JSONiq-style bulk update: upsert + delete in one new revision") {
+    val p = freshPath()
+    TemporalTable.write(rev1, p) // keys 1, 2
+    val upserts = Seq((2L, "b", 99.0), (5L, "e", 50.0)).toDF("node_key", "name", "price")
+    val deletes = Seq(Tuple1(1L)).toDF("node_key")
+    val newRev = TemporalTable.merge(spark, p, upserts, Some(deletes))
+    assert(newRev == 2)
+    val snap = TemporalTable.read(spark, p).select("node_key", "price")
+      .as[(Long, Double)].collect().toMap
+    assert(snap == Map(2L -> 99.0, 5L -> 50.0)) // 1 deleted, 2 replaced, 5 inserted
+    val d = TemporalTable.diff(spark, p, 1, 2)
+      .select("node_key", "change_type").as[(Long, String)].collect().toMap
+    assert(d == Map(1L -> "delete", 2L -> "update", 5L -> "insert"))
+  }
+
   test("unknown revision raises") {
     val p = freshPath()
     TemporalTable.write(rev1, p)
