@@ -105,6 +105,28 @@ object FunctionQueries {
       t(s, d, "lineitem")
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
     },
+    // descendant deref $o=>>field (§2.2): schema-driven any-depth search
+    "q_deref_descendant" -> { (s, d) =>
+      val base = t(s, d, "customer")
+        .select(col("c_custkey"),
+          struct(
+            struct(col("c_acctbal").as("bal")).as("inner"),
+            col("c_name").as("name")).as("doc"))
+      base.select(col("c_custkey"),
+          graft.operators.Nested.derefDescendant(base, "bal").as("bal"),
+          graft.operators.Nested.derefDescendant(base, "name").as("nm"))
+        .orderBy("c_custkey")
+    },
+    // depth-limited serialization (sdb:serialize maxLevel, §2.6)
+    "q_serialize_limited" -> { (s, d) =>
+      val base = t(s, d, "nation")
+        .select(col("n_nationkey"),
+          struct(col("n_name").as("name"),
+            struct(col("n_regionkey").as("rk")).as("meta")).as("doc"))
+      base.select(col("n_nationkey"),
+          graft.operators.Nested.toJsonLimited(base, "doc", 1).as("js"))
+        .orderBy("n_nationkey")
+    },
     // custom TypedImperativeAggregate (§2.13): exact BigDecimal fold,
     // differential against the engine-native decimal-cast sum
     "q_custom_agg" -> { (s, d) =>
@@ -185,6 +207,12 @@ object FunctionQueries {
       """SELECT o_custkey, bool_and(o_totalprice > 50000) AS every_big,
         |  bool_or(o_orderstatus = 'F') AS some_finished, COUNT(*) AS n
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "q_deref_descendant" ->
+      """SELECT c_custkey, c_acctbal AS bal, c_name AS nm
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_serialize_limited" ->
+      """SELECT n_nationkey, '{"name":"' || n_name || '"}' AS js
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
     "q_custom_agg" ->
       """SELECT l_returnflag,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price

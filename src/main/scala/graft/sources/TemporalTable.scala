@@ -112,6 +112,16 @@ object TemporalTable {
   def readAllRevisions(spark: SparkSession, path: String): DataFrame =
     readRevisions(spark, path)
 
+  /** RECORD_TO_REVISIONS lookup (reference: index/IndexType.java:24-27,
+    * axis/temporal/RecordRevisionsLookup.java): which revisions contain
+    * record `key`. The node_key filter pushes into every revision's scan. */
+  def recordRevisions(spark: SparkSession, path: String, key: Long,
+                      keyCol: String = "node_key"): DataFrame =
+    readAllRevisions(spark, path)
+      .filter(col(keyCol) === key)
+      .select(col("revision"), col("commit_ts"))
+      .orderBy("revision")
+
   /** MERGE-style bulk update (SURVEY.md §2.14): the JSONiq update surface
     * (insert/replace/delete json — JsonNodeTrx.java:62-228 in the
     * reference) re-expressed as one declarative transform: the next

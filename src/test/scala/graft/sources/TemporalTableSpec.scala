@@ -54,6 +54,9 @@ class TemporalTableSpec extends SparkSpec {
     assert(all.count() == 2 + 3 + 2)
     // node 1 exists in all three revisions
     assert(all.filter($"node_key" === 1L).select("revision").as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
+    // RECORD_TO_REVISIONS lookup: node 2 was deleted in rev 3
+    assert(TemporalTable.recordRevisions(spark, p, 2L)
+      .select("revision").as[Int].collect().toSeq == Seq(1, 2))
   }
 
   test("diff between revisions classifies changes") {
