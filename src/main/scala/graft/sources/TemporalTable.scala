@@ -53,6 +53,18 @@ object TemporalTable {
 
   def mostRecentRevision(path: String): Option[Int] = commits(path).lastOption.map(_.revision)
 
+  /** Catalog ops (`jn:exists-resource` / `jn:drop-resource`). */
+  def exists(path: String): Boolean = commits(path).nonEmpty
+
+  def drop(path: String): Unit = {
+    def rm(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p))
+        Files.list(p).iterator().asScala.toSeq.foreach(rm)
+      Files.deleteIfExists(p)
+    }
+    rm(Paths.get(path))
+  }
+
   /** Append a new revision: full snapshot write + commit-log entry. */
   def write(df: DataFrame, path: String, author: String = "graft",
             message: String = ""): Int = {

@@ -38,6 +38,22 @@ object ChangeFeed {
     }.reduce(_ unionByName _)
   }
 
+  /** Structured Streaming source over a temporal table: each committed
+    * revision's files are discovered incrementally by the file-stream
+    * source (`readStream.parquet` over the hive-partitioned `rev=N/`
+    * layout), so `writeStream` consumers see every new revision as
+    * micro-batch input with its `rev` column — the reference's
+    * revision-stream semantics (§2.12) with zero custom source code and
+    * exactly-once file tracking from Spark's checkpoint log. */
+  def streamTable(spark: SparkSession, tablePath: String): DataFrame = {
+    val schema = TemporalTable.read(spark, tablePath)
+      .drop("revision", "commit_ts", "author").schema
+    spark.readStream
+      .schema(schema)
+      .option("basePath", tablePath)
+      .parquet(s"$tablePath/rev=*")
+  }
+
   /** Tumbling event-time window aggregation with a watermark (late data
     * beyond `lateness` is dropped in streaming mode). */
   def tumblingCounts(df: DataFrame, tsCol: String, duration: String,

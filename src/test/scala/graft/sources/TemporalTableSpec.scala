@@ -92,4 +92,14 @@ class TemporalTableSpec extends SparkSpec {
       TemporalTable.read(spark, p, revision = Some(9))
     }
   }
+
+  test("catalog ops: exists and drop") {
+    val p = freshPath()
+    assert(!TemporalTable.exists(p))
+    TemporalTable.write(rev1, p)
+    assert(TemporalTable.exists(p))
+    TemporalTable.drop(p)
+    assert(!TemporalTable.exists(p))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+  }
 }

@@ -21,6 +21,23 @@ class ChangeFeedSpec extends SparkSpec {
     assert(tail.select("revision").distinct().as[Int].collect().toSeq == Seq(2))
   }
 
+  test("streamTable picks up new revisions incrementally") {
+    val p = Files.createTempDirectory("graft-stream").resolve("tbl").toString
+    TemporalTable.write(Seq((1L, 10.0), (2L, 20.0)).toDF("node_key", "price"), p)
+    val q = ChangeFeed.streamTable(spark, p)
+      .writeStream.format("memory").queryName("revstream_test")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("revstream_test").count() == 2)
+      TemporalTable.write(Seq((1L, 11.0), (3L, 30.0)).toDF("node_key", "price"), p)
+      q.processAllAvailable()
+      val rows = spark.table("revstream_test")
+        .select("rev", "node_key").as[(Int, Long)].collect().toSet
+      assert(rows == Set((1, 1L), (1, 2L), (2, 1L), (2, 3L)))
+    } finally q.stop()
+  }
+
   private def ts(minute: Int, sec: Int = 0): Timestamp =
     Timestamp.valueOf(f"2024-01-01 10:$minute%02d:$sec%02d")
 
