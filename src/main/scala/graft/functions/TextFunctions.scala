@@ -11,9 +11,11 @@ import org.apache.spark.sql.functions._
 object TextFunctions {
 
   /** Occurrences of literal `tok` in `c` via the length-delta trick —
-    * engine-portable (identical semantics in DuckDB for the oracle). */
+    * engine-portable (identical semantics in DuckDB for the oracle).
+    * Literal `replace`, not regexp: ~4x cheaper per pass and the kernels
+    * below run many passes over every document. */
   def occurrences(c: Column, tok: String): Column =
-    ((length(c) - length(regexp_replace(c, java.util.regex.Pattern.quote(tok), ""))) / tok.length).cast("long")
+    ((length(c) - length(call_function("replace", c, lit(tok), lit("")))) / tok.length).cast("long")
 
   /** Non-empty whitespace tokens. */
   def tokens(c: Column): Column = filter(split(c, " "), x => x =!= "")

@@ -107,6 +107,36 @@ object TemporalQueries {
           expr("valid_from div 1000").as("valid_from_us"))
         .orderBy("user_id")
     },
+    // interval-overlap range join (RI-tree analog, §2.3/§2.10): user valid
+    // intervals × 5 fixed query windows, bucketized to stay an equi-join
+    "t_interval_overlap" -> { (s, d) =>
+      import org.apache.spark.sql.types.LongType
+      val dayUs = 86400000000L
+      val jan1Us = 1704067200000000L // 2024-01-01T00:00Z
+      val iv = Temporal.asValidIntervals(
+          ev(s, d).filter(col("user_id") < 10), "user_id", "ts", "event_id")
+        .filter(col("valid_to").isNotNull)
+        .select(col("user_id"), col("event_id"),
+          expr("valid_from div 1000").as("vf"), expr("valid_to div 1000").as("vt"))
+      val win = s.range(5)
+        .select(col("id").cast("int").as("win_id"),
+          (lit(jan1Us) + (col("id") * 5 + 4) * dayUs).cast(LongType).as("vf"),
+          (lit(jan1Us) + (col("id") * 5 + 4) * dayUs + 2 * dayUs).cast(LongType).as("vt"))
+      graft.operators.Intervals.overlapJoin(iv, win, "vf", "vt", dayUs)
+        .select(col("l_user_id").as("user_id"), col("l_event_id").as("event_id"),
+          col("r_win_id").as("win_id"))
+        .orderBy("user_id", "event_id", "win_id")
+    },
+    // event-time tumbling window via the built-in window() operator
+    "t_window_fn" -> { (s, d) =>
+      ev(s, d)
+        .withColumn("ets", expr("timestamp_micros(ts div 1000)"))
+        .groupBy(window(col("ets"), "6 hours"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(unix_timestamp(col("window.start")).as("win_start"),
+          col("event_type"), col("cnt"))
+        .orderBy("win_start", "event_type")
+    },
     // tumbling-window aggregation on the event-time axis (streaming parity,
     // SURVEY.md §2.12, exercised as a batch query)
     "t_window_tumbling" -> { (s, d) =>
@@ -206,6 +236,26 @@ object TemporalQueries {
          |WHERE valid_from_us <= epoch_us($tsT1)
          |  AND (valid_to_us IS NULL OR valid_to_us > epoch_us($tsT1))
          |ORDER BY user_id""".stripMargin,
+    "t_interval_overlap" ->
+      """WITH iv AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS vf,
+        |    LEAD(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vt
+        |  FROM events WHERE user_id < 10),
+        |win AS (
+        |  SELECT CAST(i AS INTEGER) AS win_id,
+        |    1704067200000000 + (i * 5 + 4) * 86400000000 AS wf,
+        |    1704067200000000 + (i * 5 + 4) * 86400000000 + 2 * 86400000000 AS wt
+        |  FROM UNNEST(range(0, 5)) AS t(i))
+        |SELECT user_id, event_id, win_id FROM iv JOIN win
+        |  ON iv.vf < win.wt AND win.wf < iv.vt
+        |WHERE iv.vt IS NOT NULL
+        |ORDER BY user_id, event_id, win_id""".stripMargin,
+    "t_window_fn" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT)
+        |    - (CAST(epoch(date_trunc('hour', ts)) AS BIGINT) % 21600) AS win_start,
+        |  event_type, COUNT(*) AS cnt
+        |FROM events
+        |GROUP BY 1, event_type ORDER BY win_start, event_type""".stripMargin,
     "t_window_tumbling" ->
       """SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour_bucket,
         |  COUNT(*) AS cnt,

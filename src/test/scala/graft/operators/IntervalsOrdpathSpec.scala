@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class IntervalsOrdpathSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val a = Seq((1L, 0L, 10L), (2L, 20L, 30L), (3L, 5L, 25L))
+    .toDF("id", "vfrom", "vto")
+  private lazy val b = Seq((10L, 8L, 12L), (11L, 28L, 40L), (12L, 100L, 110L))
+    .toDF("id", "vfrom", "vto")
+
+  test("overlapJoin equals the naive non-equi join, at several bucket widths") {
+    val naive = a.as("a").join(b.as("b"),
+        col("a.vfrom") < col("b.vto") && col("b.vfrom") < col("a.vto"))
+      .select(col("a.id").as("l_id"), col("b.id").as("r_id"))
+    for (w <- Seq(1L, 7L, 64L)) {
+      val fast = Intervals.overlapJoin(a, b, "vfrom", "vto", w)
+        .select("l_id", "r_id")
+      assert(fast.except(naive).count() == 0 && naive.except(fast).count() == 0,
+        s"bucketWidth=$w diverged")
+    }
+    // expected pairs: 1⋈10 (8<10), 3⋈10, 2⋈11, 3⋈11(28<25? no) → check classic
+    val pairs = Intervals.overlapJoin(a, b, "vfrom", "vto", 8L)
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 10L), (3L, 10L), (2L, 11L)))
+  }
+
+  test("stab returns intervals containing the instant, open intervals included") {
+    val withOpen = a.unionByName(Seq((4L, 15L, -1L)).toDF("id", "vfrom", "vto")
+      .withColumn("vto", lit(null).cast("long")))
+    val hit = Intervals.stab(withOpen, "vfrom", "vto", lit(22L))
+      .select("id").as[Long].collect().toSet
+    assert(hit == Set(2L, 3L, 4L))
+  }
+
+  test("relation classifies Allen-style cases") {
+    val r = Seq(
+      (0L, 5L, 5L, 9L),    // before
+      (5L, 9L, 0L, 5L),    // after
+      (0L, 9L, 0L, 9L),    // equals
+      (2L, 4L, 0L, 9L),    // during
+      (0L, 9L, 2L, 4L),    // contains
+      (0L, 6L, 4L, 9L)     // overlaps
+    ).toDF("af", "at", "bf", "bt")
+      .select(Intervals.relation($"af", $"at", $"bf", $"bt").as("rel"))
+      .as[String].collect().toSeq
+    assert(r == Seq("before", "after", "equals", "during", "contains", "overlaps"))
+  }
+
+  private lazy val nodes = Seq(
+    (1L, Seq(1)), (2L, Seq(1, 1)), (3L, Seq(1, 1, 3)), (4L, Seq(1, 2)), (5L, Seq(2))
+  ).toDF("id", "pos")
+
+  test("ordpath ancestry = array prefix containment") {
+    val pairs = nodes.as("a").join(nodes.as("b"),
+        Ordpath.isAncestor(col("a.pos"), col("b.pos")))
+      .select(col("a.id").as("anc"), col("b.id").as("desc"))
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L)))
+  }
+
+  test("parent and level") {
+    val r = nodes.select($"id", Ordpath.parent($"pos").as("par"), Ordpath.level($"pos").as("lvl"))
+      .as[(Long, Seq[Int], Int)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(r(3L) == (Seq(1, 1), 3) && r(1L) == (Seq.empty[Int], 1))
+  }
+
+  test("docOrderCmp sorts in pre-order (ancestors first)") {
+    val sorted = nodes.as("a").crossJoin(nodes.as("b"))
+      .select(col("a.id").as("x"), col("b.id").as("y"),
+        Ordpath.docOrderCmp(col("a.pos"), col("b.pos")).as("cmp"))
+      .filter($"cmp" < 0).as[(Long, Long, Int)].collect()
+      .map(t => (t._1, t._2)).toSet
+    // expected strict order: 1 < 2 < 3 < 4 < 5
+    val expected = (for (x <- 1L to 5L; y <- 1L to 5L if x < y) yield (x, y)).toSet
+    assert(sorted == expected)
+  }
+}
