@@ -29,6 +29,14 @@ object Ordpath {
 
   def level(a: Column): Column = size(a)
 
+  /** Sibling axes: same parent, position strictly after/before. */
+  def isFollowingSibling(a: Column, b: Column): Column =
+    size(a) === size(b) && parent(a) === parent(b) &&
+      element_at(b, size(b)) > element_at(a, size(a))
+
+  def isPrecedingSibling(a: Column, b: Column): Column =
+    isFollowingSibling(b, a)
+
   /** Document-order comparator: negative/zero/positive like compareTo.
     * Lexicographic with shorter-prefix-first (ancestors precede
     * descendants, matching the reference's pre-order). */

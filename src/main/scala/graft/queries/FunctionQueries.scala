@@ -127,6 +127,14 @@ object FunctionQueries {
           graft.operators.Nested.toJsonLimited(base, "doc", 1).as("js"))
         .orderBy("n_nationkey")
     },
+    // path summary (§1.3): inferred schema + per-path non-null statistics
+    "q_path_summary" -> { (s, d) =>
+      val base = t(s, d, "customer")
+        .select(col("c_custkey"),
+          struct(col("c_acctbal").as("bal"),
+            struct(col("c_mktsegment").as("seg")).as("meta")).as("doc"))
+      graft.operators.PathSummary.of(base).orderBy("path")
+    },
     // custom TypedImperativeAggregate (§2.13): exact BigDecimal fold,
     // differential against the engine-native decimal-cast sum
     "q_custom_agg" -> { (s, d) =>
@@ -213,6 +221,14 @@ object FunctionQueries {
     "q_serialize_limited" ->
       """SELECT n_nationkey, '{"name":"' || n_name || '"}' AS js
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "q_path_summary" ->
+      """SELECT * FROM (
+        |  SELECT 'c_custkey' AS path, 'bigint' AS data_type, COUNT(c_custkey) AS n_nonnull FROM customer
+        |  UNION ALL
+        |  SELECT 'doc.bal' AS path, 'double' AS data_type, COUNT(c_acctbal) AS n_nonnull FROM customer
+        |  UNION ALL
+        |  SELECT 'doc.meta.seg' AS path, 'string' AS data_type, COUNT(c_mktsegment) AS n_nonnull FROM customer)
+        |ORDER BY path""".stripMargin,
     "q_custom_agg" ->
       """SELECT l_returnflag,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price

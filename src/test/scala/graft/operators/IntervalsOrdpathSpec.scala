@@ -67,6 +67,27 @@ class IntervalsOrdpathSpec extends SparkSpec {
     assert(r(3L) == (Seq(1, 1), 3) && r(1L) == (Seq.empty[Int], 1))
   }
 
+  test("sibling axes: same parent, ordered by last component") {
+    val pairs = nodes.as("a").join(nodes.as("b"),
+        Ordpath.isFollowingSibling(col("a.pos"), col("b.pos")))
+      .select(col("a.id").as("x"), col("b.id").as("y"))
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((2L, 4L), (1L, 5L))) // [1,1]→[1,2]; [1]→[2]
+  }
+
+  test("path summary: one-pass per-path non-null counts") {
+    val df = Seq((1L, Some(1.0), "x"), (2L, None, "y"), (3L, Some(3.0), "z"))
+      .toDF("id", "price", "tag")
+      .select($"id", struct($"price", struct($"tag").as("meta")).as("doc"))
+    val s = PathSummary.of(df).as[(String, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(s("id") == ("bigint", 3L))
+    assert(s("doc.price") == ("double", 2L)) // one null
+    assert(s("doc.meta.tag") == ("string", 3L))
+    assert(PathSummary.leafPaths(df.schema).map(_._1) ==
+      Seq("id", "doc.price", "doc.meta.tag"))
+  }
+
   test("docOrderCmp sorts in pre-order (ancestors first)") {
     val sorted = nodes.as("a").crossJoin(nodes.as("b"))
       .select(col("a.id").as("x"), col("b.id").as("y"),
