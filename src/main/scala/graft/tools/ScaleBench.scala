@@ -1,0 +1,61 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** The reference's duck_bench at the reference's own scale: generate the
+  * 100M-record dataset shape from docs/COMPARISON_DUCKDB.md:14
+  * ({id, age: 18..65, dept: 8, city: 8, active: bool}, uniform) and run
+  * the nine analytical shapes. Pass the row count as arg (default 100M).
+  * Data lands in /tmp/graftbench/d<n>; a DuckDB twin run over the same
+  * parquet gives the local 2x-gate comparison (BENCH_NOTES.md).
+  */
+object ScaleBench {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toLong else 100000000L
+    val dir = s"/tmp/graftbench/d$n"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+      spark.range(n).repartition(32)
+        .select(col("id"),
+          (pmod(hash(col("id")), lit(48)) + 18).as("age"),
+          concat(lit("dept_"), pmod(hash(col("id") * 7), lit(8))).as("dept"),
+          concat(lit("city_"), pmod(hash(col("id") * 13), lit(8))).as("city"),
+          (pmod(hash(col("id") * 31), lit(2)) === 0).as("active"))
+        .write.mode("overwrite").parquet(dir)
+      println(s"generated $n rows at $dir")
+    }
+
+    val df = spark.read.parquet(dir)
+    val shapes: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+      "filterCount" -> (() => df.filter(col("age") > 40 && col("active")).agg(count(lit(1)))),
+      "groupByDept" -> (() => df.groupBy("dept").agg(count(lit(1)))),
+      "sumAge" -> (() => df.agg(sum("age"))),
+      "avgAge" -> (() => df.agg(avg("age"))),
+      "minMaxAge" -> (() => df.agg(min("age"), max("age"))),
+      "groupByDeptCity" -> (() => df.groupBy("dept", "city").agg(count(lit(1)))),
+      "filterGroupBy" -> (() => df.filter(col("active")).groupBy("dept").agg(count(lit(1)))),
+      "countDistinctDept" -> (() => df.agg(countDistinct(col("dept")))),
+      "compoundAnd" -> (() => df.filter(col("age") > 30 && col("age") < 50 && col("active")).agg(count(lit(1)))))
+
+    val results = shapes.map { case (name, q) =>
+      q().write.format("noop").mode("overwrite").save() // warm
+      val runs = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        q().write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e6
+      }
+      println(f"$name%-20s ${runs.min}%8.1f ms")
+      name -> runs.min
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale_bench_ms","rows":$n,"queries":$qs}""")
+    spark.stop()
+  }
+}
