@@ -3,8 +3,10 @@ package graft.sources
 import java.util.{Map => JMap}
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.connector.catalog.{Table, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{BatchWrite, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.sources.DataSourceRegister
@@ -20,25 +22,32 @@ import scala.jdk.CollectionConverters._
   * spark.read.format("graft-temporal").option("revision", 2).load(path)
   * spark.read.format("graft-temporal").option("asOfTimestampMs", ts).load(path)
   * spark.read.format("graft-temporal").option("allRevisions", true).load(path)
+  * df.write.format("graft-temporal").mode("append").save(path)       // new revision
   * }}}
   *
-  * Mirrors `jn:doc(db,res[,rev])` / `jn:open(db,res,ts)` (reference:
-  * bundles/sirix-query/src/main/java/io/sirix/query/function/jn/io/Doc.java:31,
-  * DocByPointInTime.java:32). Revision resolution happens in the provider
-  * against the (tiny, driver-side) commit log; the scan itself delegates to
-  * Spark's native parquet V2 table, so predicate pushdown, column pruning,
-  * vectorized decode and row-group skipping all apply unchanged — the
-  * physical layer the reference implements by hand (PAX regions, zone maps)
-  * is inherited from Parquet+Catalyst.
+  * Mirrors `jn:doc(db,res[,rev])` / `jn:open(db,res,ts)` / `jn:store`
+  * (reference: bundles/sirix-query/src/main/java/io/sirix/query/function/
+  * jn/io/Doc.java:31, DocByPointInTime.java:32, Store.java:49). Revision
+  * resolution happens in the provider against the (tiny, driver-side)
+  * commit log; scans and writes delegate to Spark's native parquet V2
+  * table, so predicate pushdown, column pruning, vectorized decode and
+  * row-group skipping apply unchanged — the physical layer the reference
+  * implements by hand (PAX regions, zone maps) is inherited from
+  * Parquet+Catalyst.
   *
   * Snapshot directories are hive-style (`rev=N/`), so the revision number
   * surfaces as a partition column `rev`: an `allRevisions` read over the
   * whole table prunes revisions via ordinary partition pruning — a filter
-  * `rev = 7` never lists or reads any other revision's files, which is what
-  * keeps time travel O(snapshot) at 100 TB history.
+  * `rev = 7` never lists or reads any other revision's files, which is
+  * what keeps time travel O(snapshot) at 100 TB history.
   *
-  * Writes go through [[TemporalTable.write]] (the commit protocol needs the
-  * log append); the V2 path is read-only by design in this version.
+  * A V2 batch write appends a NEW revision (append-only storage — every
+  * write is a snapshot commit): data lands in `rev=latest+1/` and the
+  * commit-log entry is written on the driver in `BatchWrite.commit`, i.e.
+  * only after every task committed — failed jobs leave no commit-log
+  * entry, preserving snapshot isolation under the single-writer contract
+  * (README.md:118-121 in the reference). Bootstrap an empty table with
+  * [[TemporalTable.write]] (V2 needs an existing schema to plan against).
   */
 class GraftTemporalSource extends TableProvider with DataSourceRegister {
 
@@ -46,10 +55,13 @@ class GraftTemporalSource extends TableProvider with DataSourceRegister {
 
   override def supportsExternalMetadata(): Boolean = false
 
-  private def delegate(options: CaseInsensitiveStringMap): ParquetTable = {
-    val spark = SparkSession.active
-    val tablePath = Option(options.get("path")).getOrElse(
+  private def tablePathOf(options: CaseInsensitiveStringMap): String =
+    Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException("graft-temporal requires a path"))
+
+  private def readDelegate(options: CaseInsensitiveStringMap): ParquetTable = {
+    val spark = SparkSession.active
+    val tablePath = tablePathOf(options)
     val all = options.getBoolean("allRevisions", false)
     val dataPaths =
       if (all) Seq(tablePath)
@@ -72,9 +84,55 @@ class GraftTemporalSource extends TableProvider with DataSourceRegister {
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    delegate(options).schema
+    readDelegate(options).schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: JMap[String, String]): Table =
-    delegate(new CaseInsensitiveStringMap(properties))
+    new GraftTable(new CaseInsensitiveStringMap(properties))
+
+  private class GraftTable(options: CaseInsensitiveStringMap)
+      extends Table with SupportsRead with SupportsWrite {
+
+    private val tablePath = tablePathOf(options)
+    private lazy val reader = readDelegate(options)
+
+    override def name(): String = s"graft-temporal $tablePath"
+    override def schema(): StructType = reader.schema
+    override def capabilities(): java.util.Set[TableCapability] =
+      Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE).asJava
+
+    override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+      reader.newScanBuilder(o)
+
+    override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+      val spark = SparkSession.active
+      val nextRev = TemporalTable.mostRecentRevision(tablePath).getOrElse(0) + 1
+      val author = Option(options.get("author")).getOrElse("graft")
+      val message = Option(options.get("message")).getOrElse("")
+      val writeTable = ParquetTable(s"graft-temporal $tablePath rev=$nextRev",
+        spark, options, Seq(s"$tablePath/rev=$nextRev"),
+        Some(info.schema()), classOf[ParquetFileFormat])
+      val inner = writeTable.newWriteBuilder(info)
+      new WriteBuilder {
+        override def build(): Write = new Write {
+        private lazy val innerBatch = inner.build().toBatch
+        override def description(): String = s"graft-temporal commit rev=$nextRev"
+        override def toBatch: BatchWrite = new BatchWrite {
+          override def createBatchWriterFactory(p: PhysicalWriteInfo) =
+            innerBatch.createBatchWriterFactory(p)
+          override def useCommitCoordinator(): Boolean = innerBatch.useCommitCoordinator()
+          override def onDataWriterCommit(m: WriterCommitMessage): Unit =
+            innerBatch.onDataWriterCommit(m)
+          override def commit(msgs: Array[WriterCommitMessage]): Unit = {
+            innerBatch.commit(msgs)
+            // log AFTER data commit: a failed job never becomes a revision
+            TemporalTable.logCommit(tablePath, nextRev, author, message)
+          }
+          override def abort(msgs: Array[WriterCommitMessage]): Unit =
+            innerBatch.abort(msgs)
+        }
+        }
+      }
+    }
+  }
 }

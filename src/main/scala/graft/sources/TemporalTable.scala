@@ -65,17 +65,25 @@ object TemporalTable {
     rm(Paths.get(path))
   }
 
-  /** Append a new revision: full snapshot write + commit-log entry. */
-  def write(df: DataFrame, path: String, author: String = "graft",
-            message: String = ""): Int = {
-    val rev = mostRecentRevision(path).getOrElse(0) + 1
-    df.write.mode("overwrite").parquet(s"$path/rev=$rev")
+  /** Append the commit-log entry for a just-written revision (the last
+    * step of the commit protocol — also invoked by the DataSource V2 write
+    * path on successful job commit). */
+  private[graft] def logCommit(path: String, rev: Int, author: String,
+                               message: String): Unit = {
     Files.createDirectories(commitsDir(path))
     val ts = System.currentTimeMillis()
     val json =
       s"""{"revision":$rev,"commitTsMs":$ts,"author":"$author","message":"$message"}"""
     Files.write(commitsDir(path).resolve(f"$rev%08d.json"),
       json.getBytes("UTF-8"), StandardOpenOption.CREATE_NEW)
+  }
+
+  /** Append a new revision: full snapshot write + commit-log entry. */
+  def write(df: DataFrame, path: String, author: String = "graft",
+            message: String = ""): Int = {
+    val rev = mostRecentRevision(path).getOrElse(0) + 1
+    df.write.mode("overwrite").parquet(s"$path/rev=$rev")
+    logCommit(path, rev, author, message)
     rev
   }
 

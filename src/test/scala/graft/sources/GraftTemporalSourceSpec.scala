@@ -56,6 +56,20 @@ class GraftTemporalSourceSpec extends SparkSpec {
       s"expected pruned read schema in:\n$plan")
   }
 
+  test("V2 write appends a new revision with commit-log entry") {
+    val p = mkTable() // revisions 1..3
+    Seq((7L, "g", 70.0), (8L, "h", 80.0)).toDF("node_key", "name", "price")
+      .write.format("graft-temporal").option("author", "writer2")
+      .mode("append").save(p)
+    assert(TemporalTable.mostRecentRevision(p).contains(4))
+    assert(TemporalTable.commits(p).last.author == "writer2")
+    val latest = spark.read.format("graft-temporal").load(p)
+    assert(latest.select("node_key").as[Long].collect().sorted.toSeq == Seq(7L, 8L))
+    // history includes the V2-written revision via partition discovery
+    val all = spark.read.format("graft-temporal").option("allRevisions", "true").load(p)
+    assert(all.filter($"rev" === 4).count() == 2)
+  }
+
   test("readRevisions single-scan history frame carries commit metadata") {
     val p = mkTable()
     val hist = TemporalTable.readRevisions(spark, p)
