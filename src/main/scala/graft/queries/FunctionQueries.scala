@@ -55,6 +55,15 @@ object FunctionQueries {
           quarter(col("o_orderdate")).as("q"))
         .orderBy("o_orderkey")
     },
+    // regex predicates + extraction (fn:matches / fn:replace)
+    "q_regex_funcs" -> { (s, d) =>
+      t(s, d, "part").select(
+          col("p_partkey"),
+          col("p_type").rlike("^[a-m]").as("m1"),
+          regexp_replace(col("p_name"), "[aeiou]", "_").as("devowel"),
+          regexp_extract(col("p_name"), "(\\w+)$", 1).as("lastword"))
+        .orderBy("p_partkey")
+    },
     // union all preserves duplicates (vs q_set_union's dedup)
     "q_union_all" -> { (s, d) =>
       val o = t(s, d, "orders").filter(col("o_totalprice") > 100000).select(col("o_custkey").as("k"))
@@ -186,6 +195,12 @@ object FunctionQueries {
         |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
         |  CAST(quarter(o_orderdate) AS INTEGER) AS q
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_regex_funcs" ->
+      """SELECT p_partkey,
+        |  regexp_matches(p_type, '^[a-m]') AS m1,
+        |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS devowel,
+        |  regexp_extract(p_name, '(\w+)$', 1) AS lastword
+        |FROM part ORDER BY p_partkey""".stripMargin,
     "q_union_all" ->
       """SELECT k, COUNT(*) AS cnt FROM (
         |  SELECT o_custkey AS k FROM orders WHERE o_totalprice > 100000
