@@ -160,5 +160,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo("graft.functions.VectorExpressions", "graft_dot"),
       (args: Seq[Expression]) => VectorExpressions.DotProduct(args(0), args(1))))
+    ext.injectOptimizerRule(graft.plans.CountFromMetadataRule(_))
   }
 }

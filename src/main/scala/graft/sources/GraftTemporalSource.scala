@@ -55,66 +55,78 @@ class GraftTemporalSource extends TableProvider with DataSourceRegister {
 
   override def supportsExternalMetadata(): Boolean = false
 
-  private def tablePathOf(options: CaseInsensitiveStringMap): String =
-    Option(options.get("path")).getOrElse(
-      throw new IllegalArgumentException("graft-temporal requires a path"))
-
-  private def readDelegate(options: CaseInsensitiveStringMap): ParquetTable = {
-    val spark = SparkSession.active
-    val tablePath = tablePathOf(options)
-    val all = options.getBoolean("allRevisions", false)
-    val dataPaths =
-      if (all) Seq(tablePath)
-      else {
-        val rev =
-          if (options.containsKey("revision")) options.getInt("revision", -1)
-          else if (options.containsKey("asOfTimestampMs")) {
-            val ts = options.getLong("asOfTimestampMs", Long.MaxValue)
-            val eligible = TemporalTable.commits(tablePath).filter(_.commitTsMs <= ts)
-            require(eligible.nonEmpty, s"no revision at or before ts=$ts")
-            eligible.last.revision
-          } else TemporalTable.mostRecentRevision(tablePath).getOrElse(
-            throw new IllegalArgumentException(s"no commits at $tablePath"))
-        Seq(s"$tablePath/rev=$rev")
-      }
-    val opts = new CaseInsensitiveStringMap(
-      (options.asCaseSensitiveMap().asScala.toMap ++ Map("basePath" -> tablePath)).asJava)
-    ParquetTable(s"graft-temporal $tablePath", spark, opts, dataPaths,
-      None, classOf[ParquetFileFormat])
-  }
-
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    readDelegate(options).schema
+    GraftTemporalSource.readDelegate(options).schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: JMap[String, String]): Table =
     new GraftTable(new CaseInsensitiveStringMap(properties))
+}
 
-  private class GraftTable(options: CaseInsensitiveStringMap)
-      extends Table with SupportsRead with SupportsWrite {
+private[graft] object GraftTemporalSource {
 
-    private val tablePath = tablePathOf(options)
-    private lazy val reader = readDelegate(options)
+  def tablePathOf(options: CaseInsensitiveStringMap): String =
+    Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("graft-temporal requires a path"))
 
-    override def name(): String = s"graft-temporal $tablePath"
-    override def schema(): StructType = reader.schema
-    override def capabilities(): java.util.Set[TableCapability] =
-      Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE).asJava
+  /** Resolve the revision selection to concrete data directories. */
+  def resolveDataPaths(options: CaseInsensitiveStringMap): Seq[String] = {
+    val tablePath = tablePathOf(options)
+    if (options.getBoolean("allRevisions", false)) Seq(tablePath)
+    else {
+      val rev =
+        if (options.containsKey("revision")) options.getInt("revision", -1)
+        else if (options.containsKey("asOfTimestampMs")) {
+          val ts = options.getLong("asOfTimestampMs", Long.MaxValue)
+          val eligible = TemporalTable.commits(tablePath).filter(_.commitTsMs <= ts)
+          require(eligible.nonEmpty, s"no revision at or before ts=$ts")
+          eligible.last.revision
+        } else TemporalTable.mostRecentRevision(tablePath).getOrElse(
+          throw new IllegalArgumentException(s"no commits at $tablePath"))
+      Seq(s"$tablePath/rev=$rev")
+    }
+  }
 
-    override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
-      reader.newScanBuilder(o)
+  def readDelegate(options: CaseInsensitiveStringMap): ParquetTable = {
+    val tablePath = tablePathOf(options)
+    val opts = new CaseInsensitiveStringMap(
+      (options.asCaseSensitiveMap().asScala.toMap ++ Map("basePath" -> tablePath)).asJava)
+    ParquetTable(s"graft-temporal $tablePath", SparkSession.active, opts,
+      resolveDataPaths(options), None, classOf[ParquetFileFormat])
+  }
+}
 
-    override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
-      val spark = SparkSession.active
-      val nextRev = TemporalTable.mostRecentRevision(tablePath).getOrElse(0) + 1
-      val author = Option(options.get("author")).getOrElse("graft")
-      val message = Option(options.get("message")).getOrElse("")
-      val writeTable = ParquetTable(s"graft-temporal $tablePath rev=$nextRev",
-        spark, options, Seq(s"$tablePath/rev=$nextRev"),
-        Some(info.schema()), classOf[ParquetFileFormat])
-      val inner = writeTable.newWriteBuilder(info)
-      new WriteBuilder {
-        override def build(): Write = new Write {
+/** The V2 Table: reads delegate to the parquet table over the resolved
+  * revision; writes append the next revision with commit-on-success. */
+private[graft] class GraftTable(options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead with SupportsWrite {
+
+  private[graft] val tablePath = GraftTemporalSource.tablePathOf(options)
+  private lazy val reader = GraftTemporalSource.readDelegate(options)
+
+  /** Data directories this table reads (for metadata-only rewrites). */
+  private[graft] def resolvedDataPaths: Seq[String] =
+    GraftTemporalSource.resolveDataPaths(options)
+
+  override def name(): String = s"graft-temporal $tablePath"
+  override def schema(): StructType = reader.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE).asJava
+
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+    reader.newScanBuilder(o)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val spark = SparkSession.active
+    val nextRev = TemporalTable.mostRecentRevision(tablePath).getOrElse(0) + 1
+    val author = Option(options.get("author")).getOrElse("graft")
+    val message = Option(options.get("message")).getOrElse("")
+    val writeTable = ParquetTable(s"graft-temporal $tablePath rev=$nextRev",
+      spark, options, Seq(s"$tablePath/rev=$nextRev"),
+      Some(info.schema()), classOf[ParquetFileFormat])
+    val inner = writeTable.newWriteBuilder(info)
+    new WriteBuilder {
+      override def build(): Write = new Write {
         private lazy val innerBatch = inner.build().toBatch
         override def description(): String = s"graft-temporal commit rev=$nextRev"
         override def toBatch: BatchWrite = new BatchWrite {
@@ -130,7 +142,6 @@ class GraftTemporalSource extends TableProvider with DataSourceRegister {
           }
           override def abort(msgs: Array[WriterCommitMessage]): Unit =
             innerBatch.abort(msgs)
-        }
         }
       }
     }
