@@ -57,4 +57,13 @@ object Diff {
     val out = joined.select(keyCols ++ Seq(changeType.as("change_type")) ++ valCols: _*)
     if (includeSame) out else out.filter(col("change_type") =!= "same")
   }
+
+  /** Change records in delta-storage shape (DeltaTemporalTable): keys
+    * first, then `__change_type`, then the NEW values under their original
+    * names (null for deletes). */
+  def diffFrames(left: DataFrame, right: DataFrame, keys: Seq[String],
+                 values: Seq[String]): DataFrame =
+    diff(left, right, keys, values)
+      .select(keys.map(col) ++ Seq(col("change_type").as("__change_type")) ++
+        values.map(v => col(s"new_$v").as(v)): _*)
 }

@@ -1,0 +1,114 @@
+package graft.sources
+
+import graft.operators.Diff
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import scala.jdk.CollectionConverters._
+
+/** Delta-encoded revision storage — the reference's per-page versioning
+  * strategies re-expressed at snapshot granularity (SURVEY.md §1.5;
+  * bundles/sirix-core/src/main/java/io/sirix/settings/VersioningType.java:
+  * FULL / DIFFERENTIAL / SLIDING_SNAPSHOT with window N).
+  *
+  * Layout: like [[TemporalTable]], but a revision directory holds EITHER a
+  * full snapshot (`kind=full`) or only the change records against the
+  * previous revision (`kind=delta`: data columns carry new values plus a
+  * `__change_type` marker; deletes carry keys with null values). A full
+  * snapshot is forced every `snapshotEvery` revisions — the
+  * SLIDING_SNAPSHOT guarantee that any revision reconstructs from at most
+  * `snapshotEvery` fragments, which bounds both read fan-in and the
+  * logical-plan depth of reconstruction joins at scale.
+  *
+  * Trade-off vs [[TemporalTable]] (always-full): deltas store only what
+  * changed (tiny for hot-key workloads — the reference's storage-size
+  * motivation), while time travel pays ≤ `snapshotEvery − 1` key-partitioned
+  * anti-join applications instead of zero.
+  */
+object DeltaTemporalTable {
+
+  final case class Commit(revision: Int, commitTsMs: Long, author: String,
+                          message: String, kind: String)
+
+  private def commitsDir(path: String) = Paths.get(path, "_commits")
+
+  def commits(path: String): Seq[Commit] = {
+    val dir = commitsDir(path)
+    if (!Files.exists(dir)) return Seq.empty
+    Files.list(dir).iterator().asScala
+      .filter(_.toString.endsWith(".json"))
+      .map { p =>
+        val s = new String(Files.readAllBytes(p), "UTF-8")
+        def field(name: String): String =
+          s"""\"$name\"\\s*:\\s*(\"([^\"]*)\"|[-0-9]+)""".r.findFirstMatchIn(s)
+            .map(m => Option(m.group(2)).getOrElse(m.group(1))).getOrElse("")
+        Commit(field("revision").toInt, field("commitTsMs").toLong,
+          field("author"), field("message"), field("kind"))
+      }.toSeq.sortBy(_.revision)
+  }
+
+  def mostRecentRevision(path: String): Option[Int] = commits(path).lastOption.map(_.revision)
+
+  private def logCommit(path: String, rev: Int, author: String, message: String,
+                        kind: String): Unit = {
+    Files.createDirectories(commitsDir(path))
+    val ts = System.currentTimeMillis()
+    val json = s"""{"revision":$rev,"commitTsMs":$ts,"author":"$author",""" +
+      s""""message":"$message","kind":"$kind"}"""
+    Files.write(commitsDir(path).resolve(f"$rev%08d.json"),
+      json.getBytes("UTF-8"), StandardOpenOption.CREATE_NEW)
+  }
+
+  /** Commit `df` as the next revision. Writes a full snapshot on the
+    * first revision and every `snapshotEvery`-th one; otherwise only the
+    * change records vs the previous revision (computed as a key-partitioned
+    * full-outer diff — one shuffle). */
+  def write(spark: SparkSession, df: DataFrame, path: String,
+            keys: Seq[String] = Seq("node_key"), snapshotEvery: Int = 4,
+            author: String = "graft", message: String = ""): Int = {
+    require(snapshotEvery >= 2, "snapshotEvery must be >= 2")
+    val log = commits(path)
+    val rev = log.lastOption.map(_.revision).getOrElse(0) + 1
+    val sinceFull = log.reverse.takeWhile(_.kind != "full").size
+    val full = log.isEmpty || sinceFull >= snapshotEvery - 1
+    if (full) {
+      df.write.mode("overwrite").parquet(s"$path/rev=$rev")
+      logCommit(path, rev, author, message, "full")
+    } else {
+      val prior = read(spark, path, Some(rev - 1))
+      val valueCols = df.columns.toSeq.filterNot(keys.contains)
+      val d = Diff.diffFrames(prior, df, keys, valueCols)
+      d.write.mode("overwrite").parquet(s"$path/rev=$rev")
+      logCommit(path, rev, author, message, "delta")
+    }
+    rev
+  }
+
+  /** Reconstruct revision `revision` (default latest): start from the
+    * nearest full snapshot at or below it and apply the (≤ snapshotEvery−1)
+    * deltas in order. Each application is `base ⟕̸ deltaKeys ∪ upserts` —
+    * two key-partitioned operators, no driver-side data movement. */
+  def read(spark: SparkSession, path: String, revision: Option[Int] = None): DataFrame = {
+    val log = commits(path)
+    require(log.nonEmpty, s"no commits at $path")
+    val rev = revision.getOrElse(log.last.revision)
+    require(log.exists(_.revision == rev), s"unknown revision $rev")
+    val upTo = log.filter(_.revision <= rev)
+    val baseRev = upTo.reverse.find(_.kind == "full")
+      .getOrElse(throw new IllegalStateException("no full snapshot at or below " + rev))
+      .revision
+    val base = spark.read.parquet(s"$path/rev=$baseRev")
+    upTo.filter(c => c.revision > baseRev).foldLeft(base) { (snap, c) =>
+      val delta = spark.read.parquet(s"$path/rev=${c.revision}")
+      val keys = delta.columns.toSeq.takeWhile(_ != "__change_type") // keys stored first
+      applyDelta(snap, delta, keys)
+    }
+  }
+
+  private[sources] def applyDelta(snap: DataFrame, delta: DataFrame,
+                                  keys: Seq[String]): DataFrame = {
+    val untouched = snap.join(delta.select(keys.map(col): _*), keys, "left_anti")
+    val upserts = delta.filter(col("__change_type") =!= "delete").drop("__change_type")
+    untouched.unionByName(upserts)
+  }
+}

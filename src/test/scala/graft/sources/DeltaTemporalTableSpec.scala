@@ -1,0 +1,57 @@
+package graft.sources
+
+import graft.SparkSpec
+import java.nio.file.Files
+
+class DeltaTemporalTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def snap(pairs: (Long, Double)*) =
+    pairs.toSeq.toDF("node_key", "price")
+
+  test("full/delta cadence follows snapshotEvery; every revision reconstructs exactly") {
+    val p = Files.createTempDirectory("graft-delta").resolve("tbl").toString
+    // six logical snapshots with inserts/updates/deletes between them
+    val snaps = Seq(
+      snap(1L -> 10.0, 2L -> 20.0),
+      snap(1L -> 11.0, 2L -> 20.0, 3L -> 30.0),          // upd 1, ins 3
+      snap(1L -> 11.0, 3L -> 31.0),                      // del 2, upd 3
+      snap(1L -> 11.0, 3L -> 31.0, 4L -> 40.0),          // ins 4
+      snap(4L -> 41.0),                                  // del 1,3; upd 4
+      snap(4L -> 41.0, 5L -> 50.0))                      // ins 5
+    snaps.foreach(s => DeltaTemporalTable.write(spark, s, p, snapshotEvery = 3))
+
+    val kinds = DeltaTemporalTable.commits(p).map(c => c.revision -> c.kind)
+    assert(kinds == Seq(1 -> "full", 2 -> "delta", 3 -> "delta",
+      4 -> "full", 5 -> "delta", 6 -> "delta"))
+
+    snaps.zipWithIndex.foreach { case (expected, i) =>
+      val got = DeltaTemporalTable.read(spark, p, Some(i + 1))
+      assert(got.except(expected).count() == 0 && expected.except(got).count() == 0,
+        s"revision ${i + 1} did not reconstruct")
+    }
+    // default read = latest
+    assert(DeltaTemporalTable.read(spark, p).count() == 2)
+  }
+
+  test("delta revisions store only change records") {
+    val p = Files.createTempDirectory("graft-delta2").resolve("tbl").toString
+    val big = (1L to 1000L).map(i => i -> i.toDouble)
+    DeltaTemporalTable.write(spark, snap(big: _*), p, snapshotEvery = 4)
+    // one update + one insert against 1000 rows
+    val next = big.toMap ++ Map(5L -> 99.0, 2000L -> 1.0)
+    DeltaTemporalTable.write(spark, snap(next.toSeq: _*), p, snapshotEvery = 4)
+    val deltaRows = spark.read.parquet(s"$p/rev=2").count()
+    assert(deltaRows == 2, s"delta stored $deltaRows rows, expected 2")
+    assert(DeltaTemporalTable.read(spark, p, Some(2)).count() == 1001)
+  }
+
+  test("unknown revision and empty table raise") {
+    val p = Files.createTempDirectory("graft-delta3").resolve("tbl").toString
+    intercept[IllegalArgumentException] { DeltaTemporalTable.read(spark, p) }
+    DeltaTemporalTable.write(spark, snap(1L -> 1.0), p)
+    intercept[IllegalArgumentException] {
+      DeltaTemporalTable.read(spark, p, Some(7))
+    }
+  }
+}
