@@ -58,6 +58,46 @@ object Diff {
     if (includeSame) out else out.filter(col("change_type") =!= "same")
   }
 
+  /** Hash-pruned diff (the reference's DiffOptimized.HASHED — skip
+    * unchanged subtrees via stored hashes, diff/DiffFactory.java:47-159 —
+    * re-expressed as bucket-manifest pruning).
+    *
+    * Both snapshots first reduce to a per-bucket manifest: bucket =
+    * hash(keys) mod `numBuckets`, digest = xor of full row hashes (order-
+    * insensitive, so it partial-aggregates map-side; the manifest shuffle
+    * is `numBuckets` rows, not the table). Buckets whose digest+count
+    * match on both sides provably contain no changes and are dropped
+    * BEFORE the expensive full-outer join — for the
+    * mostly-unchanged-snapshot case (the common one between adjacent
+    * revisions) the join touches only the changed slice. Falls back to
+    * identical results as [[diff]] (spec-verified).
+    */
+  def prunedDiff(left: DataFrame, right: DataFrame, keys: Seq[String],
+                 compare: Seq[String] = Seq.empty,
+                 numBuckets: Int = 1024): DataFrame = {
+    val cmp =
+      if (compare.nonEmpty) compare
+      else left.columns.toSeq.intersect(right.columns.toSeq).filterNot(keys.contains)
+    def withBucket(df: DataFrame) = df
+      .withColumn("__bucket", pmod(xxhash64(keys.map(col): _*), lit(numBuckets)))
+      .withColumn("__rowhash", xxhash64((keys ++ cmp).map(col): _*))
+    def manifest(df: DataFrame, digest: String, cnt: String) = df
+      .groupBy("__bucket")
+      .agg(expr("bit_xor(__rowhash)").as(digest), count(lit(1)).as(cnt))
+    val l = withBucket(left)
+    val r = withBucket(right)
+    val changedBuckets = manifest(l, "ld", "lc")
+      .join(manifest(r, "rd", "rc"), Seq("__bucket"), "full_outer")
+      .filter(col("ld").isNull || col("rd").isNull ||
+        col("ld") =!= col("rd") || col("lc") =!= col("rc"))
+      .select("__bucket")
+    val lChanged = l.join(broadcast(changedBuckets), Seq("__bucket"), "left_semi")
+      .drop("__bucket", "__rowhash")
+    val rChanged = r.join(broadcast(changedBuckets), Seq("__bucket"), "left_semi")
+      .drop("__bucket", "__rowhash")
+    diff(lChanged, rChanged, keys, cmp)
+  }
+
   /** Change records in delta-storage shape (DeltaTemporalTable): keys
     * first, then `__change_type`, then the NEW values under their original
     * names (null for deletes). */

@@ -74,6 +74,13 @@ object RelationalQueries {
     "b_count_distinct" -> { (s, d) =>
       t(s, d, "lineitem").agg(countDistinct(col("l_partkey")).as("cnt_d"))
     },
+    // exact median / quantiles (sort-based percentile with linear interp)
+    "q_percentile" -> { (s, d) =>
+      t(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(expr("percentile(l_quantity, 0.5)").as("median_qty"),
+          expr("percentile(l_quantity, 0.9)").as("p90_qty"))
+        .orderBy("l_returnflag")
+    },
     "b_compound_and" -> { (s, d) =>
       t(s, d, "lineitem")
         .filter(col("l_quantity") > 30 && col("l_quantity") < 50 && col("l_discount") > 0.02)
@@ -256,6 +263,11 @@ object RelationalQueries {
       "SELECT l_returnflag, COUNT(*) AS cnt FROM lineitem WHERE l_discount > 0.05 GROUP BY l_returnflag ORDER BY l_returnflag",
     "b_count_distinct" ->
       "SELECT COUNT(DISTINCT l_partkey) AS cnt_d FROM lineitem",
+    "q_percentile" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS median_qty,
+        |  quantile_cont(l_quantity, 0.9) AS p90_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "b_compound_and" ->
       "SELECT COUNT(*) AS cnt FROM lineitem WHERE l_quantity > 30 AND l_quantity < 50 AND l_discount > 0.02",
     "q3_topk" ->

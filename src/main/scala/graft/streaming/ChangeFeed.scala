@@ -73,6 +73,14 @@ object ChangeFeed {
       .select(col("window.start").as("win_start") +: keys.map(col)
         :+ col("cnt") :+ col("sum_val"): _*)
 
+  /** Streaming exact dedup: drop rows whose `keys` were already seen,
+    * with state bounded by the watermark (the streaming counterpart of
+    * [[graft.operators.Dedup.exactDedup]] — arriving duplicates are
+    * discarded across micro-batches). */
+  def streamingDedup(df: DataFrame, tsCol: String, lateness: String,
+                     keys: Seq[String]): DataFrame =
+    df.withWatermark(tsCol, lateness).dropDuplicates(keys)
+
   /** Session windows: rows within `gap` of each other merge into one
     * session per key (Structured Streaming's session_window). */
   def sessionAgg(df: DataFrame, tsCol: String, gap: String, lateness: String,

@@ -41,6 +41,28 @@ class DiffSpec extends SparkSpec {
     assert(rebuilt.except(r2).count() == 0 && r2.except(rebuilt).count() == 0)
   }
 
+  test("prunedDiff equals plain diff and prunes unchanged buckets") {
+    // 5000 rows, 3 changes — the adjacent-revision shape
+    val base = (1L to 5000L).map(i => (i, s"n$i", i * 1.0))
+    val newSnap = base
+      .filterNot(_._1 == 17L)                               // delete 17
+      .map(r => if (r._1 == 42L) (42L, "n42", 99.0) else r) // update 42
+      .:+((9999L, "new", 1.0))                              // insert 9999
+    val r1 = base.toDF("node_key", "name", "price")
+    val r2 = newSnap.toDF("node_key", "name", "price")
+    val plain = Diff.diff(r1, r2, Seq("node_key"))
+      .select("node_key", "change_type").as[(Long, String)].collect().toMap
+    val pruned = Diff.prunedDiff(r1, r2, Seq("node_key"), numBuckets = 64)
+      .select("node_key", "change_type").as[(Long, String)].collect().toMap
+    assert(pruned == plain)
+    assert(pruned == Map(17L -> "delete", 42L -> "update", 9999L -> "insert"))
+  }
+
+  test("prunedDiff on identical snapshots is empty (all buckets pruned)") {
+    val d = Diff.prunedDiff(r1, r1, Seq("node_key"))
+    assert(d.count() == 0)
+  }
+
   test("restricting compare columns narrows update detection") {
     val d = Diff.diff(r1, r2, Seq("node_key"), compare = Seq("name"))
       .select("node_key", "change_type").as[(Long, String)].collect().toMap

@@ -76,6 +76,23 @@ class ChangeFeedSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingDedup drops cross-batch duplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val out = ChangeFeed.streamingDedup(
+      in.toDF().toDF("ts", "doc_id", "text"), "ts", "10 minutes", Seq("doc_id"))
+    val q = out.writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+    try {
+      in.addData((ts(0), 1L, "a"), (ts(1), 2L, "b"), (ts(1), 1L, "a-dup"))
+      q.processAllAvailable()
+      in.addData((ts(2), 1L, "a-again"), (ts(3), 3L, "c"))
+      q.processAllAvailable()
+      val rows = spark.table("dedup_test").select("doc_id").as[Long].collect().sorted
+      assert(rows.toSeq == Seq(1L, 2L, 3L)) // each key exactly once
+    } finally q.stop()
+  }
+
   test("slidingAgg runs in batch mode too (unified plan)") {
     val batch = Seq((ts(0), "a", 1.0), (ts(4), "a", 2.0), (ts(9), "a", 3.0))
       .toDF("ts", "user", "v")
