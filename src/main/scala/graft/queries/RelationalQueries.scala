@@ -74,6 +74,13 @@ object RelationalQueries {
     "b_count_distinct" -> { (s, d) =>
       t(s, d, "lineitem").agg(countDistinct(col("l_partkey")).as("cnt_d"))
     },
+    // point lookup by stable identity (jn:select-json-item analog) —
+    // the predicate pushes into the parquet scan
+    "q_select_item" -> { (s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_orderkey") === 42 && col("l_linenumber") === 1)
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+    },
     // exact median / quantiles (sort-based percentile with linear interp)
     "q_percentile" -> { (s, d) =>
       t(s, d, "lineitem").groupBy("l_returnflag")
@@ -263,6 +270,9 @@ object RelationalQueries {
       "SELECT l_returnflag, COUNT(*) AS cnt FROM lineitem WHERE l_discount > 0.05 GROUP BY l_returnflag ORDER BY l_returnflag",
     "b_count_distinct" ->
       "SELECT COUNT(DISTINCT l_partkey) AS cnt_d FROM lineitem",
+    "q_select_item" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM lineitem
+        |WHERE l_orderkey = 42 AND l_linenumber = 1""".stripMargin,
     "q_percentile" ->
       """SELECT l_returnflag,
         |  quantile_cont(l_quantity, 0.5) AS median_qty,

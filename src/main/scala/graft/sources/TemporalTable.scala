@@ -165,11 +165,16 @@ object TemporalTable {
     write(kept.unionByName(upserts), path, author, message)
   }
 
-  /** Semantic diff of two revisions (`jn:diff`, SURVEY.md §2.9). */
+  /** Semantic diff of two revisions (`jn:diff`, SURVEY.md §2.9) — hash-
+    * pruned by default (adjacent revisions are mostly identical, so the
+    * bucket-manifest pass drops the unchanged bulk before the join; the
+    * reference's DiffOptimized.HASHED motivation). */
   def diff(spark: SparkSession, path: String, rev1: Int, rev2: Int,
-           keys: Seq[String] = Seq("node_key")): DataFrame =
-    graft.operators.Diff.diff(
-      read(spark, path, Some(rev1)).drop("revision", "commit_ts", "author"),
-      read(spark, path, Some(rev2)).drop("revision", "commit_ts", "author"),
-      keys)
+           keys: Seq[String] = Seq("node_key"),
+           hashPruned: Boolean = true): DataFrame = {
+    val a = read(spark, path, Some(rev1)).drop("revision", "commit_ts", "author")
+    val b = read(spark, path, Some(rev2)).drop("revision", "commit_ts", "author")
+    if (hashPruned) graft.operators.Diff.prunedDiff(a, b, keys)
+    else graft.operators.Diff.diff(a, b, keys)
+  }
 }
