@@ -110,8 +110,12 @@ object Dedup {
   }
 
   /** n-gram Jaccard similarity over candidate pairs. Candidates are bounded
-    * by an equality `groupCol` (shuffle key) and an id-distance window so the
-    * self-join never goes quadratic in the table size. */
+    * by an equality `groupCol` (shuffle key) and an id-distance window. The
+    * window is enforced IN the join key, not post-hoc: side A joins on its
+    * id-band `id div W`, side B is emitted under both its own band and the
+    * previous one (any pair with 0 < id_b − id_a ≤ W spans at most adjacent
+    * bands), so match enumeration — not just output — is bounded by the
+    * window and the join never goes quadratic in a gram's frequency. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         groupCol: String, n: Int = 3, idWindow: Long = 20,
                         minJaccard: Double = 0.0): DataFrame = {
@@ -121,8 +125,11 @@ object Dedup {
       .distinct()
     val counts = grams.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
     val a = grams.select(col(idCol).as("id_a"), col(groupCol).as("grp"), col("g"))
+      .withColumn("band", expr(s"id_a div $idWindow"))
     val b = grams.select(col(idCol).as("id_b"), col(groupCol).as("grp"), col("g"))
-    val inter = a.join(b, Seq("grp", "g"))
+      .withColumn("band", explode(array(
+        expr(s"id_b div $idWindow"), expr(s"id_b div $idWindow - 1"))))
+    val inter = a.join(b, Seq("grp", "g", "band"))
       .filter(col("id_a") < col("id_b") && col("id_b") - col("id_a") <= idWindow)
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
     inter
