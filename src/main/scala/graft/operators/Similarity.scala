@@ -78,6 +78,15 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** Near-duplicate pairs across the WHOLE table without a label column:
+    * candidates are same-LSH-bucket rows (deterministic hyperplanes), so
+    * the self-join shuffles on the bucket id and never goes quadratic. */
+  def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                      threshold: Double, nBits: Int = 8): DataFrame =
+    nearDupPairs(
+      df.withColumn("__bucket", lshBucket(col(vecCol), dim, nBits)),
+      idCol, vecCol, "__bucket", threshold)
+
   /** ANN top-k via LSH buckets: probe only the query's bucket. Falls back to
     * brute force within the bucket; recall is tuned by `nBits`. */
   def annTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int,

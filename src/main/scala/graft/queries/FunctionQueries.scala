@@ -55,6 +55,14 @@ object FunctionQueries {
           quarter(col("o_orderdate")).as("q"))
         .orderBy("o_orderkey")
     },
+    // schema-drifting JSON via Spark 4 VariantType (SURVEY "hard parts"):
+    // parse once, navigate with variant_get — no static schema needed
+    "q_variant_json" -> { (s, d) =>
+      t(s, d, "events")
+        .select(col("event_id"),
+          expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k"))
+        .orderBy("event_id")
+    },
     // regex predicates + extraction (fn:matches / fn:replace)
     "q_regex_funcs" -> { (s, d) =>
       t(s, d, "part").select(
@@ -195,6 +203,9 @@ object FunctionQueries {
         |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
         |  CAST(quarter(o_orderdate) AS INTEGER) AS q
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_variant_json" ->
+      """SELECT event_id, TRY_CAST(NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
     "q_regex_funcs" ->
       """SELECT p_partkey,
         |  regexp_matches(p_type, '^[a-m]') AS m1,

@@ -80,6 +80,12 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs.map(p => (p._1, p._2)).toSet == Set((0L, 1L)))
   }
 
+  test("lshNearDupPairs finds close vectors without a label column") {
+    val pairs = Similarity.lshNearDupPairs(vecs, "vec_id", "embedding", 4, 0.9, nBits = 2)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.map(p => (p._1, p._2)).contains((0L, 1L)))
+  }
+
   test("lshBucket is deterministic; annTopK finds the query's bucket-mates") {
     val b1 = vecs.withColumn("b", Similarity.lshBucket(col("embedding"), 4, 8))
       .select("vec_id", "b").as[(Long, Long)].collect().toMap
