@@ -64,6 +64,22 @@ class TemporalSpec extends SparkSpec {
     assert(bt == Map(1L -> "a2", 2L -> "b1")) // a3/b2/c1 not committed on tx axis
   }
 
+  test("canonical bitemporal price correction (reference README.md:50-66)") {
+    // price recorded $100 valid-from Jan 1 (committed Jan 15), corrected
+    // to $95 (committed Jan 20); both valid from the same instant
+    val jan1 = 100L; val jan15 = 115L; val jan20 = 120L // day-number axis
+    val log = Seq(
+      (1L, jan15, jan1, 100.0),
+      (1L, jan20, jan1, 95.0)
+    ).toDF("node_key", "tx_ts", "valid_from_ts", "price")
+    def ask(txUpper: Long): Map[Long, Double] =
+      Temporal.openBitemporal(log, "node_key", "valid_from_ts", "tx_ts",
+          col("tx_ts") <= txUpper, lit(116L))
+        .select("node_key", "price").as[(Long, Double)].collect().toMap
+    assert(ask(116L) == Map(1L -> 100.0)) // as known on Jan 16: $100
+    assert(ask(121L) == Map(1L -> 95.0))  // as known after correction: $95
+  }
+
   test("past/future filter the revision axis") {
     val h = Temporal.asHistory(log, "node_key", Seq("ts"))
     assert(Temporal.past(h, "revision", 2).filter($"node_key" === 1L).count() == 1)
