@@ -1,0 +1,50 @@
+package graft.sources
+
+import graft.SparkSpec
+import java.nio.file.Files
+
+class ProjectionIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkTable(): String = {
+    val p = Files.createTempDirectory("graft-proj").resolve("tbl").toString
+    TemporalTable.write(
+      Seq((1L, "a", 10.0, "x"), (2L, "b", 20.0, "y")).toDF("node_key", "name", "price", "tag"), p)
+    TemporalTable.write(
+      Seq((1L, "a", 11.0, "x"), (3L, "c", 30.0, "z")).toDF("node_key", "name", "price", "tag"), p)
+    p
+  }
+
+  test("create builds the projection for all revisions; read serves it") {
+    val p = mkTable()
+    ProjectionIndex.create(spark, p, "kp", Seq("node_key", "price"))
+    assert(ProjectionIndex.list(p) == Seq(ProjectionIndex.Projection("kp", Seq("node_key", "price"))))
+    val r1 = ProjectionIndex.read(spark, p, "kp", Some(1))
+    assert(r1.columns.toSeq == Seq("node_key", "price") && r1.count() == 2)
+    assert(ProjectionIndex.read(spark, p, "kp").count() == 2) // latest = rev2
+  }
+
+  test("maintain is incremental: only new revisions are projected") {
+    val p = mkTable()
+    ProjectionIndex.create(spark, p, "kp", Seq("node_key", "price"))
+    assert(ProjectionIndex.maintain(spark, p, "kp").isEmpty) // up to date
+    TemporalTable.write(
+      Seq((4L, "d", 40.0, "w")).toDF("node_key", "name", "price", "tag"), p)
+    assert(ProjectionIndex.maintain(spark, p, "kp") == Seq(3)) // just the new one
+    assert(ProjectionIndex.read(spark, p, "kp", Some(3))
+      .as[(Long, Double)].collect().toSeq == Seq((4L, 40.0)))
+  }
+
+  test("readAuto serves from a covering projection, falls back otherwise") {
+    val p = mkTable()
+    ProjectionIndex.create(spark, p, "kp", Seq("node_key", "price"))
+    val served = ProjectionIndex.readAuto(spark, p, Seq("price"))
+    // scan must touch only projection files, not the base snapshot
+    assert(served.inputFiles.forall(_.contains("/_proj/kp/")),
+      s"expected projection-served scan, got ${served.inputFiles.toSeq}")
+    assert(served.as[Double].collect().sorted.toSeq == Seq(11.0, 30.0))
+    val fallback = ProjectionIndex.readAuto(spark, p, Seq("node_key", "tag"))
+    assert(fallback.inputFiles.forall(_.contains("/rev=")), "fallback reads base")
+    assert(fallback.count() == 2)
+  }
+}
