@@ -26,7 +26,7 @@ object Dedup {
     * stripped (catches whitespace/punctuation-only edits). */
   def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol),
-      md5(regexp_replace(lower(col(textCol)), "[^a-z0-9]", "")).as("fp"))
+      graft.functions.TextFunctions.fingerprint(col(textCol)).as("fp"))
 
   /** Spread a narrow input across the cluster before a heavy map-side
     * expansion (explode × hash). Small document tables often arrive as one

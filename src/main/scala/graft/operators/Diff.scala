@@ -17,6 +17,16 @@ import org.apache.spark.sql.functions._
   */
 object Diff {
 
+  /** Null-aware row digest. Spark's hash functions SKIP null children, so
+    * xxhash64(X, null) == xxhash64(null, X) — a null "shifting" between
+    * columns would read as unchanged. Interleaving each column with its
+    * isNull flag (always non-null) makes the folded input sequence differ
+    * whenever the null pattern differs. Zero columns digest to a constant
+    * (pure existence diff). */
+  private def rowDigest(cols: Seq[String]): org.apache.spark.sql.Column =
+    if (cols.isEmpty) lit(0L)
+    else xxhash64(cols.flatMap(c => Seq(col(c), col(c).isNull)): _*)
+
   /** Change records between two snapshots of the same logical table.
     *
     * @param left     old snapshot
@@ -36,10 +46,10 @@ object Diff {
       else left.columns.toSeq.intersect(right.columns.toSeq).filterNot(keys.contains)
 
     val l = left.select((keys ++ cmp).map(col): _*)
-      .withColumn("__lhash", xxhash64(cmp.map(col): _*))
+      .withColumn("__lhash", rowDigest(cmp))
       .withColumn("__lpresent", lit(true))
     val r = right.select((keys ++ cmp).map(col): _*)
-      .withColumn("__rhash", xxhash64(cmp.map(col): _*))
+      .withColumn("__rhash", rowDigest(cmp))
       .withColumn("__rpresent", lit(true))
 
     val joined = l.as("l").join(r.as("r"),
@@ -80,16 +90,22 @@ object Diff {
       else left.columns.toSeq.intersect(right.columns.toSeq).filterNot(keys.contains)
     def withBucket(df: DataFrame) = df
       .withColumn("__bucket", pmod(xxhash64(keys.map(col): _*), lit(numBuckets)))
-      .withColumn("__rowhash", xxhash64((keys ++ cmp).map(col): _*))
-    def manifest(df: DataFrame, digest: String, cnt: String) = df
+      .withColumn("__rowhash", rowDigest(keys ++ cmp))
+    // xor alone cancels PAIRS of identical rows ({A,A,C} vs {B,B,C} would
+    // collide); a modular sum as a second digest breaks that cancellation
+    // (reduced mod a prime so the long sum can't overflow under ANSI).
+    // Both partial-aggregate map-side.
+    def manifest(df: DataFrame, digest: String, sumD: String, cnt: String) = df
       .groupBy("__bucket")
-      .agg(expr("bit_xor(__rowhash)").as(digest), count(lit(1)).as(cnt))
+      .agg(expr("bit_xor(__rowhash)").as(digest),
+        sum(pmod(col("__rowhash"), lit(1000003L))).as(sumD),
+        count(lit(1)).as(cnt))
     val l = withBucket(left)
     val r = withBucket(right)
-    val changedBuckets = manifest(l, "ld", "lc")
-      .join(manifest(r, "rd", "rc"), Seq("__bucket"), "full_outer")
+    val changedBuckets = manifest(l, "ld", "ls", "lc")
+      .join(manifest(r, "rd", "rs", "rc"), Seq("__bucket"), "full_outer")
       .filter(col("ld").isNull || col("rd").isNull ||
-        col("ld") =!= col("rd") || col("lc") =!= col("rc"))
+        col("ld") =!= col("rd") || col("ls") =!= col("rs") || col("lc") =!= col("rc"))
       .select("__bucket")
     val lChanged = l.join(broadcast(changedBuckets), Seq("__bucket"), "left_semi")
       .drop("__bucket", "__rowhash")

@@ -39,11 +39,18 @@ object Intervals {
     }
     val l = bucketize(left, "l_")
     val r = bucketize(right, "r_")
+    // An overlapping pair meets in every bucket both intervals span; keep
+    // only the canonical match — the bucket containing max(l_from, r_from),
+    // which overlap guarantees both spans contain. Exactly-once semantics
+    // with NO distinct: duplicate input rows keep their multiplicity and
+    // the extra dedup shuffle disappears.
+    val canonicalBucket =
+      (greatest(col(s"l_$fromCol"), col(s"r_$fromCol")) / bucketWidth).cast("long")
     l.join(r, Seq("__bucket"))
       .filter(overlaps(col(s"l_$fromCol"), col(s"l_$toCol"),
         col(s"r_$fromCol"), col(s"r_$toCol")))
+      .filter(col("__bucket") === canonicalBucket)
       .drop("__bucket")
-      .distinct() // intervals spanning k buckets matched k times
   }
 
   /** Stab query: intervals containing instant `ts` — a plain range

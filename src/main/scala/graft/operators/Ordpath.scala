@@ -29,10 +29,15 @@ object Ordpath {
 
   def level(a: Column): Column = size(a)
 
-  /** Sibling axes: same parent, position strictly after/before. */
+  /** Sibling axes: same parent, position strictly after/before. The last-
+    * component compare is guarded behind `when` — empty (root) labels have
+    * no last element, and Spark's And does not short-circuit nulls away. */
   def isFollowingSibling(a: Column, b: Column): Column =
-    size(a) === size(b) && parent(a) === parent(b) &&
-      element_at(b, size(b)) > element_at(a, size(a))
+    coalesce(
+      size(a) === size(b) && size(a) > 0 && parent(a) === parent(b) &&
+        when(size(a) > 0 && size(b) > 0,
+          element_at(b, size(b)) > element_at(a, size(a))),
+      lit(false))
 
   def isPrecedingSibling(a: Column, b: Column): Column =
     isFollowingSibling(b, a)

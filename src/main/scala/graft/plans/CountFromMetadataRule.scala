@@ -36,7 +36,9 @@ import scala.jdk.CollectionConverters._
 case class CountFromMetadataRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def isCountLiteral(e: NamedExpression): Boolean = e match {
-    case Alias(AggregateExpression(Count(Seq(Literal(_, _))), Complete, false, None, _), _) => true
+    // count(NULL) is always 0, not the row count — require a non-null literal
+    case Alias(AggregateExpression(Count(Seq(Literal(v, _))), Complete, false, None, _), _) =>
+      v != null
     case _ => false
   }
 
@@ -70,9 +72,20 @@ case class CountFromMetadataRule(spark: SparkSession) extends Rule[LogicalPlan] 
       dirs.foreach { dir =>
         val root = Paths.get(dir)
         if (!Files.exists(root)) return None
-        val files = Files.walk(root).iterator().asScala
-          .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
-          .toSeq
+        val stream = Files.walk(root)
+        val files =
+          try stream.iterator().asScala
+            .filter { p =>
+              // mirror Spark's file listing: skip hidden (_/.-prefixed)
+              // path segments — _commits, _proj projections, .crc files
+              val rel = root.relativize(p)
+              p.toString.endsWith(".parquet") && Files.isRegularFile(p) &&
+                !(0 until rel.getNameCount).exists { i =>
+                  val seg = rel.getName(i).toString
+                  seg.startsWith("_") || seg.startsWith(".")
+                }
+            }.toList
+          finally stream.close()
         files.foreach { f =>
           val in = HadoopInputFile.fromPath(new Path(f.toUri), conf)
           val reader = ParquetFileReader.open(in)

@@ -33,9 +33,7 @@ object DeltaTemporalTable {
   private def commitsDir(path: String) = Paths.get(path, "_commits")
 
   def commits(path: String): Seq[Commit] = {
-    val dir = commitsDir(path)
-    if (!Files.exists(dir)) return Seq.empty
-    Files.list(dir).iterator().asScala
+    TemporalTable.listDir(commitsDir(path))
       .filter(_.toString.endsWith(".json"))
       .map { p =>
         val s = new String(Files.readAllBytes(p), "UTF-8")
@@ -44,7 +42,7 @@ object DeltaTemporalTable {
             .map(m => Option(m.group(2)).getOrElse(m.group(1))).getOrElse("")
         Commit(field("revision").toInt, field("commitTsMs").toLong,
           field("author"), field("message"), field("kind"))
-      }.toSeq.sortBy(_.revision)
+      }.sortBy(_.revision)
   }
 
   def mostRecentRevision(path: String): Option[Int] = commits(path).lastOption.map(_.revision)
@@ -53,8 +51,9 @@ object DeltaTemporalTable {
                         kind: String): Unit = {
     Files.createDirectories(commitsDir(path))
     val ts = System.currentTimeMillis()
-    val json = s"""{"revision":$rev,"commitTsMs":$ts,"author":"$author",""" +
-      s""""message":"$message","kind":"$kind"}"""
+    val json = s"""{"revision":$rev,"commitTsMs":$ts,""" +
+      s""""author":"${TemporalTable.escapeJson(author)}",""" +
+      s""""message":"${TemporalTable.escapeJson(message)}","kind":"$kind"}"""
     Files.write(commitsDir(path).resolve(f"$rev%08d.json"),
       json.getBytes("UTF-8"), StandardOpenOption.CREATE_NEW)
   }

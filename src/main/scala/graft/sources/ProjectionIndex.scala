@@ -38,9 +38,7 @@ object ProjectionIndex {
   private def dataDir(tablePath: String, name: String) = s"$tablePath/_proj/$name"
 
   def list(tablePath: String): Seq[Projection] = {
-    val dir = catalogDir(tablePath)
-    if (!Files.exists(dir)) return Seq.empty
-    Files.list(dir).iterator().asScala
+    TemporalTable.listDir(catalogDir(tablePath))
       .filter(_.toString.endsWith(".json"))
       .map { p =>
         val s = new String(Files.readAllBytes(p), "UTF-8")
@@ -49,7 +47,7 @@ object ProjectionIndex {
           .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq
           .filter(_.nonEmpty)
         Projection(name, cols)
-      }.toSeq.sortBy(_.name)
+      }.sortBy(_.name)
   }
 
   /** Declare a projection and build it for every existing revision. */
@@ -70,8 +68,7 @@ object ProjectionIndex {
       .getOrElse(throw new IllegalArgumentException(s"unknown projection $name"))
     val have = {
       val d = Paths.get(dataDir(tablePath, name))
-      if (!Files.exists(d)) Set.empty[Int]
-      else Files.list(d).iterator().asScala
+      TemporalTable.listDir(d)
         .map(_.getFileName.toString).filter(_.startsWith("rev="))
         .map(_.stripPrefix("rev=").toInt).toSet
     }

@@ -35,11 +35,27 @@ object TemporalTable {
 
   private def commitsDir(path: String) = Paths.get(path, "_commits")
 
+  /** List a directory, closing the stream (Files.list leaks an fd per call
+    * otherwise — commits() runs on every read/write). */
+  private[graft] def listDir(dir: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    if (!Files.exists(dir)) return Seq.empty
+    val s = Files.list(dir)
+    try s.iterator().asScala.toList finally s.close()
+  }
+
+  private[graft] def escapeJson(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
   /** Read the commit log (small driver-side metadata, like Delta's log). */
   def commits(path: String): Seq[Commit] = {
-    val dir = commitsDir(path)
-    if (!Files.exists(dir)) return Seq.empty
-    Files.list(dir).iterator().asScala
+    listDir(commitsDir(path))
       .filter(_.toString.endsWith(".json"))
       .map { p =>
         val s = new String(Files.readAllBytes(p), "UTF-8")
@@ -48,7 +64,7 @@ object TemporalTable {
             .map(m => Option(m.group(2)).getOrElse(m.group(1))).getOrElse("")
         Commit(field("revision").toInt, field("commitTsMs").toLong,
           field("author"), field("message"))
-      }.toSeq.sortBy(_.revision)
+      }.sortBy(_.revision)
   }
 
   def mostRecentRevision(path: String): Option[Int] = commits(path).lastOption.map(_.revision)
@@ -58,8 +74,7 @@ object TemporalTable {
 
   def drop(path: String): Unit = {
     def rm(p: java.nio.file.Path): Unit = {
-      if (Files.isDirectory(p))
-        Files.list(p).iterator().asScala.toSeq.foreach(rm)
+      if (Files.isDirectory(p)) listDir(p).foreach(rm)
       Files.deleteIfExists(p)
     }
     rm(Paths.get(path))
@@ -72,8 +87,8 @@ object TemporalTable {
                                message: String): Unit = {
     Files.createDirectories(commitsDir(path))
     val ts = System.currentTimeMillis()
-    val json =
-      s"""{"revision":$rev,"commitTsMs":$ts,"author":"$author","message":"$message"}"""
+    val json = s"""{"revision":$rev,"commitTsMs":$ts,""" +
+      s""""author":"${escapeJson(author)}","message":"${escapeJson(message)}"}"""
     Files.write(commitsDir(path).resolve(f"$rev%08d.json"),
       json.getBytes("UTF-8"), StandardOpenOption.CREATE_NEW)
   }

@@ -58,6 +58,33 @@ class DiffSpec extends SparkSpec {
     assert(pruned == Map(17L -> "delete", 42L -> "update", 9999L -> "insert"))
   }
 
+  test("a null shifting between compared columns is detected as update") {
+    // xxhash64 skips null children, so (x, null) and (null, x) would hash
+    // identically without the interleaved null flags
+    val a = Seq((1L, Option("x"), Option.empty[String])).toDF("node_key", "email", "phone")
+    val b = Seq((1L, Option.empty[String], Option("x"))).toDF("node_key", "email", "phone")
+    val d = Diff.diff(a, b, Seq("node_key"))
+      .select("node_key", "change_type").as[(Long, String)].collect().toMap
+    assert(d == Map(1L -> "update"))
+  }
+
+  test("key-only snapshots diff as pure existence changes") {
+    val a = Seq(1L, 2L).toDF("node_key")
+    val b = Seq(2L, 3L).toDF("node_key")
+    val d = Diff.diff(a, b, Seq("node_key"))
+      .select("node_key", "change_type").as[(Long, String)].collect().toMap
+    assert(d == Map(1L -> "delete", 3L -> "insert"))
+  }
+
+  test("prunedDiff catches changes in buckets with duplicated rows (xor cancellation)") {
+    // {A, A, C} vs {B, B, C} in one bucket: xor digests collide, the
+    // modular-sum digest must still flag the bucket
+    val a = Seq((1L, "A"), (1L, "A"), (2L, "C")).toDF("node_key", "v")
+    val b = Seq((1L, "B"), (1L, "B"), (2L, "C")).toDF("node_key", "v")
+    val d = Diff.prunedDiff(a, b, Seq("node_key"), numBuckets = 1)
+    assert(d.filter($"change_type" === "update").count() > 0)
+  }
+
   test("prunedDiff on identical snapshots is empty (all buckets pruned)") {
     val d = Diff.prunedDiff(r1, r1, Seq("node_key"))
     assert(d.count() == 0)

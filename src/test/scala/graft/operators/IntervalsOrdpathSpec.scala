@@ -27,6 +27,20 @@ class IntervalsOrdpathSpec extends SparkSpec {
     assert(pairs == Set((1L, 10L), (3L, 10L), (2L, 11L)))
   }
 
+  test("overlapJoin preserves duplicate input rows' multiplicity (no distinct)") {
+    val dupA = a.unionByName(a.filter($"id" === 1L)) // row 1 twice
+    val res = Intervals.overlapJoin(dupA, b, "vfrom", "vto", 7L)
+      .filter($"l_id" === 1L && $"r_id" === 10L)
+    assert(res.count() == 2, "duplicate left rows must yield two matches")
+  }
+
+  test("isFollowingSibling on empty (root) labels is false, not an error") {
+    val roots = Seq((1L, Seq.empty[Int]), (2L, Seq.empty[Int])).toDF("id", "pos")
+    val n = roots.as("a").join(roots.as("b"),
+      Ordpath.isFollowingSibling(col("a.pos"), col("b.pos"))).count()
+    assert(n == 0)
+  }
+
   test("stab returns intervals containing the instant, open intervals included") {
     val withOpen = a.unionByName(Seq((4L, 15L, -1L)).toDF("id", "vfrom", "vto")
       .withColumn("vto", lit(null).cast("long")))

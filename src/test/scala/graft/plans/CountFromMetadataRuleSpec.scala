@@ -1,7 +1,7 @@
 package graft.plans
 
 import graft.SparkSpec
-import graft.sources.TemporalTable
+import graft.sources.{ProjectionIndex, TemporalTable}
 import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
 import java.nio.file.Files
 
@@ -29,6 +29,23 @@ class CountFromMetadataRuleSpec extends SparkSpec {
     assert(all.as[Long].head() == 250L)
     assert(all.queryExecution.optimizedPlan.collectLeaves()
       .forall(_.isInstanceOf[LocalRelation]))
+  }
+
+  test("projection copies under _proj do not inflate the metadata count") {
+    CountFromMetadataRule.install(spark)
+    val p = mkTable()
+    ProjectionIndex.create(spark, p, "k", Seq("node_key"))
+    val all = spark.read.format("graft-temporal").option("allRevisions", "true")
+      .load(p).groupBy().count()
+    assert(all.as[Long].head() == 250L) // not doubled by _proj copies
+  }
+
+  test("count(NULL) is not rewritten to the row count") {
+    CountFromMetadataRule.install(spark)
+    val p = mkTable()
+    val n = spark.read.format("graft-temporal").load(p)
+      .selectExpr("count(null) AS c").as[Long].head()
+    assert(n == 0L)
   }
 
   test("filtered and grouped counts are NOT rewritten (scan still answers)") {
