@@ -87,6 +87,45 @@ object Temporal {
       .drop("__rn")
   }
 
+  /** Row-level as-of join (SURVEY.md §2.3 as-of row): for every left row,
+    * attach the latest right row whose `rightTs <= leftTs` for the same
+    * key. Spark has no native as-of join; the scalable formulation is the
+    * union-window technique — tag both sides, sort right-before-left at
+    * equal timestamps, and carry the last right payload forward with an
+    * ignoreNulls window. ONE shuffle on the key, no range join, no
+    * per-left-row probe; the right payload travels as a single struct so
+    * all its columns come from the SAME right row even when right values
+    * are legitimately null.
+    *
+    * @return all left columns plus right value columns prefixed `asof_`
+    *         (null when no right row precedes the left row)
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, keyCol: String,
+               leftTsCol: String, rightTsCol: String,
+               rightValueCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val tagged =
+      left.withColumn("__ts", col(leftTsCol)).withColumn("__src", lit(1))
+        .withColumn("__payload", lit(null).cast(
+          org.apache.spark.sql.types.StructType(
+            rightValueCols.map(c => org.apache.spark.sql.types.StructField(
+              c, right.schema(c).dataType)))))
+        .select(Seq(col(keyCol).as("__key"), col("__ts"), col("__src"), col("__payload")) ++
+          leftCols.map(col): _*)
+      .unionByName(
+        right.withColumn("__ts", col(rightTsCol)).withColumn("__src", lit(0))
+          .withColumn("__payload", struct(rightValueCols.map(col): _*))
+          .select(col(keyCol).as("__key"), col("__ts"), col("__src"), col("__payload")),
+        allowMissingColumns = true)
+    val w = Window.partitionBy("__key").orderBy(col("__ts"), col("__src"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("__carried", last(col("__payload"), ignoreNulls = true).over(w))
+      .filter(col("__src") === 1)
+      .select(leftCols.map(col) ++
+        rightValueCols.map(c => col(s"__carried.$c").as(s"asof_$c")): _*)
+  }
+
   /** Derive `[valid_from, valid_to)` intervals from a changelog where each
     * new row supersedes the previous one for the same key (`valid_to` is
     * null for the open interval). */

@@ -107,6 +107,18 @@ object TemporalQueries {
           expr("valid_from div 1000").as("valid_from_us"))
         .orderBy("user_id")
     },
+    // row-level as-of join (§2.3): each purchase gets the latest preceding
+    // view's value for the same user — single-shuffle union-window plan
+    "t_asof_join" -> { (s, d) =>
+      val e = ev(s, d)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "event_id", "value")
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("value"))
+      Temporal.asOfJoin(purchases, views, "user_id", "ts", "ts", Seq("value"))
+        .select("event_id", "user_id", "value", "asof_value")
+        .orderBy("event_id")
+    },
     // interval-overlap range join (RI-tree analog, §2.3/§2.10): user valid
     // intervals × 5 fixed query windows, bucketized to stay an equi-join
     "t_interval_overlap" -> { (s, d) =>
@@ -236,6 +248,12 @@ object TemporalQueries {
          |WHERE valid_from_us <= epoch_us($tsT1)
          |  AND (valid_to_us IS NULL OR valid_to_us > epoch_us($tsT1))
          |ORDER BY user_id""".stripMargin,
+    "t_asof_join" ->
+      """SELECT p.event_id, p.user_id, p.value, v.value AS asof_value
+        |FROM (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id AND p.ts >= v.ts
+        |ORDER BY p.event_id""".stripMargin,
     "t_interval_overlap" ->
       """WITH iv AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS vf,

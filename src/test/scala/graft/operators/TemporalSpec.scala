@@ -64,6 +64,28 @@ class TemporalSpec extends SparkSpec {
     assert(bt == Map(1L -> "a2", 2L -> "b1")) // a3/b2/c1 not committed on tx axis
   }
 
+  test("asOfJoin attaches the latest preceding right row per key") {
+    val trades = Seq((1L, 10L, "t1"), (1L, 25L, "t2"), (2L, 5L, "t3"))
+      .toDF("sym", "trade_ts", "trade_id")
+    val quotes = Seq((1L, 5L, 100.0), (1L, 20L, 105.0), (1L, 30L, 110.0), (2L, 7L, 50.0))
+      .toDF("sym", "quote_ts", "px")
+    val joined = Temporal.asOfJoin(trades, quotes, "sym", "trade_ts", "quote_ts", Seq("px"))
+      .select("trade_id", "asof_px").as[(String, Option[Double])].collect().toMap
+    assert(joined == Map(
+      "t1" -> Some(100.0),  // quote@5 is latest <= 10
+      "t2" -> Some(105.0),  // quote@20 latest <= 25 (not 30)
+      "t3" -> None))        // no quote at or before 5 for sym 2
+  }
+
+  test("asOfJoin: equal timestamps match (right sorts before left); null right values survive") {
+    val l = Seq((1L, 10L, "e")).toDF("k", "lts", "tag")
+    val r = Seq((1L, 10L, Option.empty[String], 7.0)).toDF("k", "rts", "note", "v")
+    val out = Temporal.asOfJoin(l, r, "k", "lts", "rts", Seq("note", "v"))
+      .select("tag", "asof_note", "asof_v")
+      .as[(String, Option[String], Option[Double])].head()
+    assert(out == ("e", None, Some(7.0))) // same right ROW: null note, v=7
+  }
+
   test("canonical bitemporal price correction (reference README.md:50-66)") {
     // price recorded $100 valid-from Jan 1 (committed Jan 15), corrected
     // to $95 (committed Jan 20); both valid from the same instant
