@@ -92,6 +92,25 @@ object Dedup {
       .select("id_a", "id_b").distinct()
   }
 
+  /** Winnowing document fingerprints (the MOSS scheme): hash every
+    * k-gram, then keep the minimum hash of each sliding window of `w`
+    * consecutive k-grams — guarantees any match of length ≥ w+k−1 shares a
+    * fingerprint, with ~2/(w+1) selection density. Shingle expansion and
+    * hashing are map-side; the sliding min is one window over the
+    * (id, position) order; distinct folds the selected prints. */
+  def winnowingFingerprints(df: DataFrame, idCol: String, textCol: String,
+                            k: Int = 5, w: Int = 4): DataFrame = {
+    val hashed = fanOut(df.filter(length(col(textCol)) >= k), idCol)
+      .select(col(idCol),
+        posexplode(expr(s"transform(sequence(1, length($textCol) - ${k - 1}), i -> substring($textCol, i, $k))")))
+      .select(col(idCol), col("pos"), md5(col("col")).as("h"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("pos").rowsBetween(0, w - 1)
+    hashed
+      .withColumn("fp", min(col("h")).over(win))
+      .select(col(idCol), col("fp")).distinct()
+  }
+
   /** 32-bit SimHash over whitespace tokens. Bit i of md5(token) is nibble
     * i/4, bit i%4; the fingerprint sets bit i where the signed vote across
     * tokens is positive. Expansion is map-side (tokens × 32); the vote and

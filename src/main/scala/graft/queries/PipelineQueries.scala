@@ -37,6 +37,20 @@ object PipelineQueries {
       Dedup.minHashCandidatePairs(docs(s, d), "doc_id", "text", 5, 8, 2)
         .orderBy("id_a", "id_b")
     },
+    // winnowing (rolling-hash window-min) fingerprints
+    "d_winnowing" -> { (s, d) =>
+      Dedup.winnowingFingerprints(docs(s, d), "doc_id", "text", 5, 4)
+        .orderBy("doc_id", "fp")
+    },
+    // BPE-ish regex token counting (contractions, letter runs, digit runs,
+    // punctuation runs — the GPT-2 pre-tokenizer shape)
+    "x_bpe_tokens" -> { (s, d) =>
+      docs(s, d).select(col("doc_id"),
+          size(expr(
+            """regexp_extract_all(text, "'(?:ll|ve|re|[sdmt])| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s']+", 0)"""))
+            .as("n_bpe_tokens"))
+        .orderBy("doc_id")
+    },
     // 32-bit SimHash fingerprints
     "d_simhash" -> { (s, d) =>
       Dedup.simHash32(docs(s, d), "doc_id", "text").orderBy("doc_id")
@@ -114,6 +128,19 @@ object PipelineQueries {
         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         |FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
         |WHERE a.doc_id < b.doc_id ORDER BY id_a, id_b""".stripMargin,
+    "d_winnowing" ->
+      """WITH hashed AS (
+        |  SELECT doc_id, CAST(i AS INTEGER) AS pos, md5(substr(text, CAST(i AS INTEGER), 5)) AS h
+        |  FROM documents, UNNEST(range(1, length(text) - 3)) AS t(i)
+        |  WHERE length(text) >= 5)
+        |SELECT DISTINCT doc_id,
+        |  MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        |FROM hashed ORDER BY doc_id, fp""".stripMargin,
+    "x_bpe_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '''(?:ll|ve|re|[sdmt])| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+')) AS INTEGER) AS n_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "d_simhash" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS tok

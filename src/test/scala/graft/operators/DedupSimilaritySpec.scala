@@ -51,6 +51,17 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(ham <= 10, s"hamming $ham too large for near-dup")
   }
 
+  test("winnowing: shared substring of length >= w+k-1 shares a fingerprint") {
+    val a = (0L, "aaaa THE QUICK BROWN FOX bbbb")
+    val b = (1L, "cccc THE QUICK BROWN FOX dddd") // 20-char shared run > w+k-1=8
+    val c = (2L, "totally unrelated content here")
+    val fps = Dedup.winnowingFingerprints(
+        Seq(a, b, c).toDF("doc_id", "text"), "doc_id", "text", 5, 4)
+      .as[(Long, String)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((fps(0L) intersect fps(1L)).nonEmpty, "shared run must share a print")
+    assert((fps(0L) intersect fps(2L)).isEmpty)
+  }
+
   test("ngram jaccard: dup pair ~1.0, near-dup high, unrelated low") {
     val j = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "lang", 3, 20, 0.0)
       .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
