@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbour — the scale path the
+  * builder brief names alongside LSH, and the Spark analog of the
+  * reference's per-path vector index (SURVEY.md §2.10 vector row).
+  *
+  * Build: k-means over the embedding column partitions the space into
+  * `nLists` Voronoi cells; every row gets its cell id (one ML pipeline
+  * pass, deterministic under a fixed seed). Search: compute the query's
+  * `nProbe` closest centroids driver-side (centroids are tiny), push
+  * `cell IN (probes)` into the scan — partition/row-group pruning does the
+  * skipping when the table is written clustered by cell — and brute-force
+  * only the probed cells with the codegen'd cosine kernel. Recall is tuned
+  * by `nProbe`; scanned volume is ~nProbe/nLists of the table.
+  */
+object IvfIndex {
+
+  final case class Model(centroids: Array[Array[Double]]) {
+    def nearestCentroids(query: Array[Double], nProbe: Int): Seq[Int] =
+      centroids.zipWithIndex
+        .map { case (c, i) =>
+          var d = 0.0; var j = 0
+          while (j < c.length && j < query.length) {
+            val t = c(j) - query(j); d += t * t; j += 1
+          }
+          (i, d)
+        }
+        .sortBy(_._2).take(nProbe).map(_._1).toSeq
+  }
+
+  /** Fit the coarse quantizer and assign every row its cell:
+    * returns (model, df + `ivf_cell` column). */
+  def fit(df: DataFrame, vecCol: String, nLists: Int,
+          seed: Long = 42L): (Model, DataFrame) = {
+    val withVec = df.withColumn("__vec", array_to_vector(
+      expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))")))
+    val km = new KMeans().setK(nLists).setSeed(seed)
+      .setFeaturesCol("__vec").setPredictionCol("ivf_cell")
+    val model = km.fit(withVec)
+    val assigned = model.transform(withVec).drop("__vec")
+    (Model(model.clusterCenters.map(_.toArray)), assigned)
+  }
+
+  /** ANN top-k: probe the query's `nProbe` cells only. `assigned` is the
+    * output of [[fit]] (persist it clustered by `ivf_cell` so the IN
+    * filter prunes storage, not just rows). */
+  def search(assigned: DataFrame, model: Model, idCol: String, vecCol: String,
+             query: Array[Double], k: Int, nProbe: Int): DataFrame = {
+    val spark = assigned.sparkSession
+    val probes = model.nearestCentroids(query, nProbe)
+    val qLit = array(query.map(lit): _*)
+    assigned
+      .filter(col("ivf_cell").isin(probes: _*))
+      .withColumn("sim", round(Similarity.cosine(
+        expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))"), qLit), 4))
+      .select(col(idCol), col("sim"))
+      .orderBy(desc("sim"), col(idCol))
+      .limit(k)
+  }
+}

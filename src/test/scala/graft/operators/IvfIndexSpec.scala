@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.Tables
+
+class IvfIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = Tables.df(spark, "/root/testdata/sf0.001", "embeddings").cache()
+
+  test("fit assigns every row a cell; cells partition the table") {
+    val (model, assigned) = IvfIndex.fit(emb, "embedding", nLists = 8)
+    assert(model.centroids.length == 8)
+    assert(assigned.count() == emb.count())
+    val cells = assigned.select("ivf_cell").distinct().as[Int].collect().sorted
+    assert(cells.nonEmpty && cells.forall(c => c >= 0 && c < 8))
+  }
+
+  test("search probes a subset of cells and still finds the true nearest") {
+    val (model, assigned) = IvfIndex.fit(emb, "embedding", nLists = 8)
+    val cached = assigned.cache()
+    val query = emb.filter($"vec_id" === 7L)
+      .selectExpr("transform(embedding, x -> CAST(x AS DOUBLE)) AS q")
+      .as[Seq[Double]].head().toArray
+    val ann = IvfIndex.search(cached, model, "vec_id", "embedding", query, 5, nProbe = 2)
+      .as[(Long, Double)].collect()
+    // the query vector itself lives in a probed cell → must rank first
+    assert(ann.head._1 == 7L && ann.head._2 == 1.0)
+    // probing 2 of 8 cells scans a strict subset
+    val probed = model.nearestCentroids(query, 2)
+    val scanned = cached.filter($"ivf_cell".isin(probed: _*)).count()
+    assert(scanned < emb.count(), s"probe scanned all $scanned rows")
+  }
+
+  test("recall@10 vs brute force is high at nProbe=4 of 8") {
+    val (model, assigned) = IvfIndex.fit(emb, "embedding", nLists = 8)
+    val cached = assigned.cache()
+    val queries = emb.filter($"vec_id" < 5L)
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS q")
+      .as[(Long, Seq[Double])].collect()
+    val recalls = queries.map { case (_, q) =>
+      val truth = IvfIndex.search(cached, model, "vec_id", "embedding",
+        q.toArray, 10, nProbe = 8).as[(Long, Double)].collect().map(_._1).toSet
+      val approx = IvfIndex.search(cached, model, "vec_id", "embedding",
+        q.toArray, 10, nProbe = 4).as[(Long, Double)].collect().map(_._1).toSet
+      (approx intersect truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.length
+    assert(mean >= 0.6, s"mean recall@10 too low: $mean")
+  }
+}
