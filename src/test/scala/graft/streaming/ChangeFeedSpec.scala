@@ -76,6 +76,30 @@ class ChangeFeedSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermark drops late data past the lateness bound (append mode)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val agg = ChangeFeed.tumblingCounts(
+      in.toDF().toDF("ts", "user"), "ts", "10 minutes", "5 minutes", Seq("user"))
+    val q = agg.writeStream.format("memory").queryName("late_test")
+      .outputMode("append").start()
+    try {
+      in.addData((ts(1), "a"), (ts(29), "a")) // watermark → 10:24
+      q.processAllAvailable()
+      // 10:02 is later than watermark-closed window [10:00,10:10) → dropped;
+      // 10:35 advances the watermark to 10:30, finalizing both windows
+      in.addData((ts(2), "a"), (ts(35), "a"))
+      q.processAllAvailable()
+      in.addData((ts(50), "a")) // push watermark past [10:30,10:40)
+      q.processAllAvailable()
+      val counts = spark.table("late_test")
+        .select("win_start", "cnt").as[(Timestamp, Long)].collect().toMap
+      assert(counts(Timestamp.valueOf("2024-01-01 10:00:00")) == 1L,
+        s"late row must be dropped, got $counts") // not 2
+      assert(counts(Timestamp.valueOf("2024-01-01 10:20:00")) == 1L)
+    } finally q.stop()
+  }
+
   test("streamingDedup drops cross-batch duplicates") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, Long, String)]
