@@ -56,8 +56,34 @@ object Bench {
       name -> t
     }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    // storage-layer headline numbers (BASELINE.md ingest/diff rows):
+    // versioned snapshot write of lineitem + hash-pruned adjacent diff
+    val storage: Seq[(String, Double)] =
+      try {
+        val dir = java.nio.file.Files.createTempDirectory("graft-bench").resolve("tbl").toString
+        val li = graft.Tables.df(spark, sfDir, "lineitem")
+          .withColumn("node_key",
+            org.apache.spark.sql.functions.expr("l_orderkey * 10 + l_linenumber"))
+        val t0 = System.nanoTime()
+        graft.sources.TemporalTable.write(li, dir)
+        val wSec = (System.nanoTime() - t0) / 1e9
+        graft.sources.TemporalTable.write(
+          li.withColumn("l_quantity",
+            org.apache.spark.sql.functions.expr(
+              "CASE WHEN l_orderkey % 100 = 0 THEN l_quantity + 1 ELSE l_quantity END")), dir)
+        val t1 = System.nanoTime()
+        val n = graft.sources.TemporalTable.diff(spark, dir, 1, 2).count()
+        val dSec = (System.nanoTime() - t1) / 1e9
+        require(n > 0)
+        Seq("w_write_snapshot" -> wSec, "w_diff_adjacent" -> dSec)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] storage timing failed: ${e.getMessage}")
+        Seq.empty
+      }
+
+    val all = results ++ storage
+    val qs = all.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = all.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

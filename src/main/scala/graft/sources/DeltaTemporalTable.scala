@@ -104,6 +104,18 @@ object DeltaTemporalTable {
     }
   }
 
+  /** Compaction: materialize the current delta chain as a fresh FULL
+    * snapshot commit, so subsequent reads start from it (the reference's
+    * page-fragment merge — VersioningType.java:1216-1226 — at snapshot
+    * granularity). Append-only: prior revisions stay readable. */
+  def compact(spark: SparkSession, path: String, author: String = "graft"): Int = {
+    val current = read(spark, path)
+    val rev = mostRecentRevision(path).get + 1
+    current.write.mode("overwrite").parquet(s"$path/rev=$rev")
+    logCommit(path, rev, author, "compact", "full")
+    rev
+  }
+
   private[sources] def applyDelta(snap: DataFrame, delta: DataFrame,
                                   keys: Seq[String]): DataFrame = {
     val untouched = snap.join(delta.select(keys.map(col): _*), keys, "left_anti")

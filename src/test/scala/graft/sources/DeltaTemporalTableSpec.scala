@@ -46,6 +46,18 @@ class DeltaTemporalTableSpec extends SparkSpec {
     assert(DeltaTemporalTable.read(spark, p, Some(2)).count() == 1001)
   }
 
+  test("compact materializes the delta chain as a new full snapshot") {
+    val p = Files.createTempDirectory("graft-delta4").resolve("tbl").toString
+    DeltaTemporalTable.write(spark, snap(1L -> 1.0, 2L -> 2.0), p, snapshotEvery = 9)
+    DeltaTemporalTable.write(spark, snap(1L -> 1.5, 3L -> 3.0), p, snapshotEvery = 9)
+    val rev = DeltaTemporalTable.compact(spark, p)
+    assert(DeltaTemporalTable.commits(p).find(_.revision == rev).get.kind == "full")
+    val after = DeltaTemporalTable.read(spark, p)
+    assert(after.as[(Long, Double)].collect().toMap == Map(1L -> 1.5, 3L -> 3.0))
+    // old revisions remain readable
+    assert(DeltaTemporalTable.read(spark, p, Some(1)).count() == 2)
+  }
+
   test("unknown revision and empty table raise") {
     val p = Files.createTempDirectory("graft-delta3").resolve("tbl").toString
     intercept[IllegalArgumentException] { DeltaTemporalTable.read(spark, p) }
