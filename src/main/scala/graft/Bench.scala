@@ -61,9 +61,13 @@ object Bench {
     val storage: Seq[(String, Double)] =
       try {
         val dir = java.nio.file.Files.createTempDirectory("graft-bench").resolve("tbl").toString
+        // (l_orderkey, l_linenumber) is NOT unique in the synthetic data;
+        // assign a stable surrogate key and pin it with cache
         val li = graft.Tables.df(spark, sfDir, "lineitem")
           .withColumn("node_key",
-            org.apache.spark.sql.functions.expr("l_orderkey * 10 + l_linenumber"))
+            org.apache.spark.sql.functions.monotonically_increasing_id())
+          .cache()
+        li.count()
         val t0 = System.nanoTime()
         graft.sources.TemporalTable.write(li, dir)
         val wSec = (System.nanoTime() - t0) / 1e9

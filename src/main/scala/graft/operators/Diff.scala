@@ -45,24 +45,31 @@ object Diff {
       if (compare.nonEmpty) compare
       else left.columns.toSeq.intersect(right.columns.toSeq).filterNot(keys.contains)
 
-    val l = left.select((keys ++ cmp).map(col): _*)
-      .withColumn("__lhash", rowDigest(cmp))
-      .withColumn("__lpresent", lit(true))
-    val r = right.select((keys ++ cmp).map(col): _*)
-      .withColumn("__rhash", rowDigest(cmp))
-      .withColumn("__rpresent", lit(true))
+    // Prefix-rename BOTH sides before joining: when left and right derive
+    // from the same DataFrame (adjacent snapshots of one changelog — the
+    // common case), dataset-apply conditions like l(k) === r(k) hit
+    // Spark's ambiguous-self-join resolution and can silently degenerate.
+    // Unique names make the condition unambiguous by construction.
+    def prep(df: DataFrame, p: String): DataFrame = {
+      val base = df.select((keys ++ cmp).map(col): _*)
+        .withColumn("__hash", rowDigest(cmp))
+        .withColumn("__present", lit(true))
+      base.toDF(base.columns.map(p + _): _*)
+    }
+    val l = prep(left, "__l_")
+    val r = prep(right, "__r_")
 
-    val joined = l.as("l").join(r.as("r"),
-      keys.map(k => l(k) === r(k)).reduce(_ && _), "full_outer")
+    val joined = l.join(r,
+      keys.map(k => col(s"__l_$k") === col(s"__r_$k")).reduce(_ && _), "full_outer")
 
-    val changeType = when(col("l.__lpresent").isNull, "insert")
-      .when(col("r.__rpresent").isNull, "delete")
-      .when(col("l.__lhash") =!= col("r.__rhash"), "update")
+    val changeType = when(col("__l___present").isNull, "insert")
+      .when(col("__r___present").isNull, "delete")
+      .when(col("__l___hash") =!= col("__r___hash"), "update")
       .otherwise("same")
 
-    val keyCols = keys.map(k => coalesce(col(s"l.$k"), col(s"r.$k")).as(k))
+    val keyCols = keys.map(k => coalesce(col(s"__l_$k"), col(s"__r_$k")).as(k))
     val valCols = cmp.flatMap(c =>
-      Seq(col(s"l.$c").as(s"old_$c"), col(s"r.$c").as(s"new_$c")))
+      Seq(col(s"__l_$c").as(s"old_$c"), col(s"__r_$c").as(s"new_$c")))
 
     val out = joined.select(keyCols ++ Seq(changeType.as("change_type")) ++ valCols: _*)
     if (includeSame) out else out.filter(col("change_type") =!= "same")
