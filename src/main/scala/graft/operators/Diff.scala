@@ -29,6 +29,10 @@ object Diff {
 
   /** Change records between two snapshots of the same logical table.
     *
+    * PRECONDITION: `keys` must uniquely identify a row within each
+    * snapshot (the reference's nodeKey contract) — duplicate keys make
+    * the full-outer join multiply matches and classification meaningless.
+    *
     * @param left     old snapshot
     * @param right    new snapshot
     * @param keys     stable identity columns (the reference's nodeKey)

@@ -61,17 +61,19 @@ object Similarity {
   }
 
   /** Deterministic random-hyperplane LSH bucket id: `nBits` sign bits of
-    * projections onto md5-seeded pseudo-random hyperplanes. Rows in the same
-    * bucket are ANN candidates; the candidate join shuffles on the bucket id
-    * only. Hyperplane component h(seed, dim) derives from md5 — reproducible
-    * on any executor with no broadcast state. */
+    * projections onto seeded pseudo-random hyperplanes. Rows in the same
+    * bucket are ANN candidates; the candidate join shuffles on the bucket
+    * id only. Hyperplane components are generated driver-side from a fixed
+    * seed and embedded as plan literals — constant-folded, so the per-row
+    * work is just `nBits` dot products in codegen (an earlier version
+    * derived components from md5 INSIDE the expression, recomputing
+    * dim × nBits hashes per row). */
   def lshBucket(vecCol: Column, dim: Int, nBits: Int): Column = {
     val bits = (0 until nBits).map { bit =>
-      // component c_i ∈ [-0.5, 0.5) from md5(bit|i)
+      val rnd = new scala.util.Random(1000003L * bit + 17)
+      val plane = array(Array.fill(dim)(lit(rnd.nextDouble() - 0.5)): _*)
       val proj = aggregate(
-        zip_with(vecCol, expr(s"transform(sequence(0, ${dim - 1}), i -> " +
-          s"(conv(substring(md5(concat('$bit', '|', i)), 1, 6), 16, 10) / 16777215.0) - 0.5)"),
-          (x, c) => x.cast("double") * c),
+        zip_with(vecCol, plane, (x, c) => x.cast("double") * c),
         lit(0.0), (acc, v) => acc + v)
       when(proj > 0, shiftleft(lit(1L), bit)).otherwise(0L)
     }
