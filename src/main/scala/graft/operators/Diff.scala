@@ -95,7 +95,7 @@ object Diff {
     */
   def prunedDiff(left: DataFrame, right: DataFrame, keys: Seq[String],
                  compare: Seq[String] = Seq.empty,
-                 numBuckets: Int = 1024): DataFrame = {
+                 numBuckets: Int = 65536): DataFrame = {
     val cmp =
       if (compare.nonEmpty) compare
       else left.columns.toSeq.intersect(right.columns.toSeq).filterNot(keys.contains)
