@@ -51,7 +51,6 @@ object IvfIndex {
     * filter prunes storage, not just rows). */
   def search(assigned: DataFrame, model: Model, idCol: String, vecCol: String,
              query: Array[Double], k: Int, nProbe: Int): DataFrame = {
-    val spark = assigned.sparkSession
     val probes = model.nearestCentroids(query, nProbe)
     val qLit = array(query.map(lit): _*)
     assigned

@@ -113,7 +113,10 @@ object Temporal {
         .select(Seq(col(keyCol).as("__key"), col("__ts"), col("__src"), col("__payload")) ++
           leftCols.map(col): _*)
       .unionByName(
-        right.withColumn("__ts", col(rightTsCol)).withColumn("__src", lit(0))
+        // null right timestamps would sort first (asc nulls-first) and be
+        // carried onto EVERY left row — the as-of contract is null-rejecting
+        right.filter(col(rightTsCol).isNotNull)
+          .withColumn("__ts", col(rightTsCol)).withColumn("__src", lit(0))
           .withColumn("__payload", struct(rightValueCols.map(col): _*))
           .select(col(keyCol).as("__key"), col("__ts"), col("__src"), col("__payload")),
         allowMissingColumns = true)

@@ -37,11 +37,9 @@ object DeltaTemporalTable {
       .filter(_.toString.endsWith(".json"))
       .map { p =>
         val s = new String(Files.readAllBytes(p), "UTF-8")
-        def field(name: String): String =
-          s"""\"$name\"\\s*:\\s*(\"([^\"]*)\"|[-0-9]+)""".r.findFirstMatchIn(s)
-            .map(m => Option(m.group(2)).getOrElse(m.group(1))).getOrElse("")
-        Commit(field("revision").toInt, field("commitTsMs").toLong,
-          field("author"), field("message"), field("kind"))
+        import TemporalTable.{parseField => f}
+        Commit(f(s, "revision").toInt, f(s, "commitTsMs").toLong,
+          f(s, "author"), f(s, "message"), f(s, "kind"))
       }.sortBy(_.revision)
   }
 

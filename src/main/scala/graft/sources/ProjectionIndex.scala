@@ -94,8 +94,13 @@ object ProjectionIndex {
     * reference's projection-serving gate. */
   def readAuto(spark: SparkSession, tablePath: String, columns: Seq[String],
                revision: Option[Int] = None): DataFrame = {
+    val rev = revision.orElse(TemporalTable.mostRecentRevision(tablePath))
+      .getOrElse(throw new IllegalArgumentException(s"no commits at $tablePath"))
     val covering = list(tablePath)
       .filter(p => columns.forall(p.columns.contains))
+      // the projection must actually be maintained for this revision —
+      // a stale projection falls back to the base table, never errors
+      .filter(p => Files.exists(Paths.get(s"${dataDir(tablePath, p.name)}/rev=$rev")))
       .sortBy(_.columns.size)
       .headOption
     covering match {

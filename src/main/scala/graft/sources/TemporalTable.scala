@@ -53,17 +53,42 @@ object TemporalTable {
     case c => c.toString
   }
 
+  private def unescapeJson(s: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n' => out += '\n'; i += 2
+          case 'r' => out += '\r'; i += 2
+          case 't' => out += '\t'; i += 2
+          case 'u' if i + 5 < s.length =>
+            out += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar; i += 6
+          case other => out += other; i += 2
+        }
+      } else { out += c; i += 1 }
+    }
+    out.toString
+  }
+
+  /** Parse one field out of a single-object commit-log JSON line; string
+    * values tolerate escaped quotes/backslashes and round-trip through
+    * [[escapeJson]]. Shared by TemporalTable and DeltaTemporalTable. */
+  private[graft] def parseField(json: String, name: String): String =
+    s"""\"$name\"\\s*:\\s*(\"((?:\\\\.|[^\"\\\\])*)\"|[-0-9]+)""".r
+      .findFirstMatchIn(json)
+      .map(m => Option(m.group(2)).map(unescapeJson).getOrElse(m.group(1)))
+      .getOrElse("")
+
   /** Read the commit log (small driver-side metadata, like Delta's log). */
   def commits(path: String): Seq[Commit] = {
     listDir(commitsDir(path))
       .filter(_.toString.endsWith(".json"))
       .map { p =>
         val s = new String(Files.readAllBytes(p), "UTF-8")
-        def field(name: String): String =
-          s"""\"$name\"\\s*:\\s*(\"([^\"]*)\"|[-0-9]+)""".r.findFirstMatchIn(s)
-            .map(m => Option(m.group(2)).getOrElse(m.group(1))).getOrElse("")
-        Commit(field("revision").toInt, field("commitTsMs").toLong,
-          field("author"), field("message"))
+        Commit(parseField(s, "revision").toInt, parseField(s, "commitTsMs").toLong,
+          parseField(s, "author"), parseField(s, "message"))
       }.sortBy(_.revision)
   }
 

@@ -77,6 +77,14 @@ class TemporalSpec extends SparkSpec {
       "t3" -> None))        // no quote at or before 5 for sym 2
   }
 
+  test("asOfJoin rejects null right timestamps (no phantom matches)") {
+    val l = Seq((1L, 5L, "p")).toDF("k", "lts", "tag")
+    val r = Seq((1L, Option.empty[Long], 9.0), (1L, Some(99L), 1.0)).toDF("k", "rts", "v")
+    val out = Temporal.asOfJoin(l, r, "k", "lts", "rts", Seq("v"))
+      .select("tag", "asof_v").as[(String, Option[Double])].head()
+    assert(out == ("p", None)) // null-ts row must not attach; 99 > 5 must not either
+  }
+
   test("asOfJoin: equal timestamps match (right sorts before left); null right values survive") {
     val l = Seq((1L, 10L, "e")).toDF("k", "lts", "tag")
     val r = Seq((1L, 10L, Option.empty[String], 7.0)).toDF("k", "rts", "note", "v")

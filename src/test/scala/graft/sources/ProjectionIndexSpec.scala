@@ -35,6 +35,20 @@ class ProjectionIndexSpec extends SparkSpec {
       .as[(Long, Double)].collect().toSeq == Seq((4L, 40.0)))
   }
 
+  test("readAuto falls back to base when the projection is stale for the revision") {
+    val p = mkTable()
+    ProjectionIndex.create(spark, p, "kp", Seq("node_key", "price"))
+    // new revision WITHOUT maintain: projection is stale
+    TemporalTable.write(
+      Seq((9L, "z", 90.0, "q")).toDF("node_key", "name", "price", "tag"), p)
+    val served = ProjectionIndex.readAuto(spark, p, Seq("price"))
+    assert(served.inputFiles.forall(_.contains("/rev=")), "stale projection must fall back")
+    assert(served.as[Double].collect().sorted.toSeq == Seq(90.0))
+    ProjectionIndex.maintain(spark, p, "kp")
+    val again = ProjectionIndex.readAuto(spark, p, Seq("price"))
+    assert(again.inputFiles.forall(_.contains("/_proj/kp/")), "maintained → served again")
+  }
+
   test("readAuto serves from a covering projection, falls back otherwise") {
     val p = mkTable()
     ProjectionIndex.create(spark, p, "kp", Seq("node_key", "price"))

@@ -93,6 +93,14 @@ class TemporalTableSpec extends SparkSpec {
     }
   }
 
+  test("commit messages with quotes/backslashes/newlines round-trip") {
+    val p = freshPath()
+    val msg = "fix \"price\" col in C:\\tmp\nsecond line"
+    TemporalTable.write(rev1, p, author = "a\"b", message = msg)
+    val c = TemporalTable.commits(p).head
+    assert(c.author == "a\"b" && c.message == msg)
+  }
+
   test("catalog ops: exists and drop") {
     val p = freshPath()
     assert(!TemporalTable.exists(p))
