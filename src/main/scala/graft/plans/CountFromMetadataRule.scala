@@ -1,9 +1,5 @@
 package graft.plans
 
-import java.nio.file.{Files, Paths}
-
-import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.Path
 import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.spark.sql.SparkSession
@@ -66,28 +62,15 @@ case class CountFromMetadataRule(spark: SparkSession) extends Rule[LogicalPlan] 
     }
 
   private def rowCountFromFooters(dirs: Seq[String]): Option[Long] = {
-    val conf = new Configuration()
+    val conf = spark.sparkContext.hadoopConfiguration
     try {
       var total = 0L
       dirs.foreach { dir =>
-        val root = Paths.get(dir)
-        if (!Files.exists(root)) return None
-        val stream = Files.walk(root)
-        val files =
-          try stream.iterator().asScala
-            .filter { p =>
-              // mirror Spark's file listing: skip hidden (_/.-prefixed)
-              // path segments — _commits, _proj projections, .crc files
-              val rel = root.relativize(p)
-              p.toString.endsWith(".parquet") && Files.isRegularFile(p) &&
-                !(0 until rel.getNameCount).exists { i =>
-                  val seg = rel.getName(i).toString
-                  seg.startsWith("_") || seg.startsWith(".")
-                }
-            }.toList
-          finally stream.close()
-        files.foreach { f =>
-          val in = HadoopInputFile.fromPath(new Path(f.toUri), conf)
+        if (!graft.sources.MetaIO.exists(dir)) return None
+        // MetaIO mirrors Spark's file listing: hidden (_/.-prefixed) path
+        // segments — _commits, _proj projections, .crc files — are skipped
+        graft.sources.MetaIO.listDataFiles(dir, ".parquet").foreach { f =>
+          val in = HadoopInputFile.fromPath(f, conf)
           val reader = ParquetFileReader.open(in)
           try total += reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
           finally reader.close()

@@ -153,7 +153,7 @@ object PipelineQueries {
         |votes AS (
         |  SELECT doc_id, i, SUM(bit * 2 - 1) AS w FROM bits GROUP BY doc_id, i)
         |SELECT doc_id,
-        |  SUM(CASE WHEN w > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS simhash
+        |  CAST(SUM(CASE WHEN w > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
         |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "d_ngram_jaccard" ->
       """WITH grams AS (

@@ -230,10 +230,16 @@ object RelationalQueries {
           size(col("embedding")).as("dim"))
         .orderBy("vec_id")
     },
+    // The slice itself is `slice(embedding, 1, 4)`; the result is serialized
+    // to one canonical string (decimal-rendered, comma-joined) because the
+    // driver's pandas hash-compare cannot factorize raw array cells. The
+    // decimal cast renders identically in Spark and DuckDB.
     "q_array_slice" -> { (s, d) =>
       t(s, d, "embeddings")
         .select(col("vec_id"),
-          expr("transform(slice(embedding, 1, 4), x -> CAST(x AS DOUBLE))").as("head4"))
+          concat_ws(",", expr(
+            "transform(slice(embedding, 1, 4), x -> CAST(CAST(x AS DECIMAL(14,4)) AS STRING))"))
+            .as("head4"))
         .orderBy("vec_id")
     },
     "q_explode" -> { (s, d) =>
@@ -362,7 +368,9 @@ object RelationalQueries {
       """SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS e1, CAST(len(embedding) AS INTEGER) AS dim
         |FROM embeddings ORDER BY vec_id""".stripMargin,
     "q_array_slice" ->
-      """SELECT vec_id, list_transform(embedding[1:4], x -> CAST(x AS DOUBLE)) AS head4
+      """SELECT vec_id,
+        |  array_to_string(list_transform(embedding[1:4],
+        |    x -> CAST(CAST(x AS DECIMAL(14,4)) AS VARCHAR)), ',') AS head4
         |FROM embeddings ORDER BY vec_id""".stripMargin,
     "q_explode" ->
       """SELECT vec_id, CAST(i - 1 AS INTEGER) AS pos, CAST(embedding[i] AS DOUBLE) AS val

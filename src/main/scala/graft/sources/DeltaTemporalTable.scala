@@ -3,8 +3,6 @@ package graft.sources
 import graft.operators.Diff
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import java.nio.file.{Files, Paths, StandardOpenOption}
-import scala.jdk.CollectionConverters._
 
 /** Delta-encoded revision storage — the reference's per-page versioning
   * strategies re-expressed at snapshot granularity (SURVEY.md §1.5;
@@ -30,13 +28,13 @@ object DeltaTemporalTable {
   final case class Commit(revision: Int, commitTsMs: Long, author: String,
                           message: String, kind: String)
 
-  private def commitsDir(path: String) = Paths.get(path, "_commits")
+  private def commitsDir(path: String) = TemporalTable.commitsDir(path)
 
   def commits(path: String): Seq[Commit] = {
-    TemporalTable.listDir(commitsDir(path))
-      .filter(_.toString.endsWith(".json"))
-      .map { p =>
-        val s = new String(Files.readAllBytes(p), "UTF-8")
+    MetaIO.list(commitsDir(path))
+      .filter(_.endsWith(".json"))
+      .map { name =>
+        val s = MetaIO.readString(s"${commitsDir(path)}/$name")
         import TemporalTable.{parseField => f}
         Commit(f(s, "revision").toInt, f(s, "commitTsMs").toLong,
           f(s, "author"), f(s, "message"), f(s, "kind"))
@@ -47,13 +45,14 @@ object DeltaTemporalTable {
 
   private def logCommit(path: String, rev: Int, author: String, message: String,
                         kind: String): Unit = {
-    Files.createDirectories(commitsDir(path))
     val ts = System.currentTimeMillis()
     val json = s"""{"revision":$rev,"commitTsMs":$ts,""" +
       s""""author":"${TemporalTable.escapeJson(author)}",""" +
       s""""message":"${TemporalTable.escapeJson(message)}","kind":"$kind"}"""
-    Files.write(commitsDir(path).resolve(f"$rev%08d.json"),
-      json.getBytes("UTF-8"), StandardOpenOption.CREATE_NEW)
+    MetaIO.mkdirs(commitsDir(path))
+    MetaIO.createNew(s"${commitsDir(path)}/${"%08d".format(rev)}.json", json)
+    MetaIO.delete(s"${commitsDir(path)}/${"%08d".format(rev)}.reserve")
+    ()
   }
 
   /** Commit `df` as the next revision. Writes a full snapshot on the
@@ -65,20 +64,24 @@ object DeltaTemporalTable {
             author: String = "graft", message: String = ""): Int = {
     require(snapshotEvery >= 2, "snapshotEvery must be >= 2")
     val log = commits(path)
-    val rev = log.lastOption.map(_.revision).getOrElse(0) + 1
-    val sinceFull = log.reverse.takeWhile(_.kind != "full").size
-    val full = log.isEmpty || sinceFull >= snapshotEvery - 1
-    if (full) {
-      df.write.mode("overwrite").parquet(s"$path/rev=$rev")
-      logCommit(path, rev, author, message, "full")
-    } else {
-      val prior = read(spark, path, Some(rev - 1))
-      val valueCols = df.columns.toSeq.filterNot(keys.contains)
-      val d = Diff.diffFrames(prior, df, keys, valueCols)
-      d.write.mode("overwrite").parquet(s"$path/rev=$rev")
-      logCommit(path, rev, author, message, "delta")
+    val rev = TemporalTable.reserveRevision(path)
+    try {
+      val sinceFull = log.reverse.takeWhile(_.kind != "full").size
+      val full = log.isEmpty || sinceFull >= snapshotEvery - 1
+      if (full) {
+        df.write.mode("overwrite").parquet(s"$path/rev=$rev")
+        logCommit(path, rev, author, message, "full")
+      } else {
+        val prior = read(spark, path, Some(log.last.revision))
+        val valueCols = df.columns.toSeq.filterNot(keys.contains)
+        val d = Diff.diffFrames(prior, df, keys, valueCols)
+        d.write.mode("overwrite").parquet(s"$path/rev=$rev")
+        logCommit(path, rev, author, message, "delta")
+      }
+      rev
+    } catch {
+      case e: Throwable => TemporalTable.abortReservation(path, rev); throw e
     }
-    rev
   }
 
   /** Reconstruct revision `revision` (default latest): start from the
@@ -108,10 +111,14 @@ object DeltaTemporalTable {
     * granularity). Append-only: prior revisions stay readable. */
   def compact(spark: SparkSession, path: String, author: String = "graft"): Int = {
     val current = read(spark, path)
-    val rev = mostRecentRevision(path).get + 1
-    current.write.mode("overwrite").parquet(s"$path/rev=$rev")
-    logCommit(path, rev, author, "compact", "full")
-    rev
+    val rev = TemporalTable.reserveRevision(path)
+    try {
+      current.write.mode("overwrite").parquet(s"$path/rev=$rev")
+      logCommit(path, rev, author, "compact", "full")
+      rev
+    } catch {
+      case e: Throwable => TemporalTable.abortReservation(path, rev); throw e
+    }
   }
 
   private[sources] def applyDelta(snap: DataFrame, delta: DataFrame,

@@ -118,7 +118,11 @@ private[graft] class GraftTable(options: CaseInsensitiveStringMap)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val spark = SparkSession.active
-    val nextRev = TemporalTable.mostRecentRevision(tablePath).getOrElse(0) + 1
+    // Reserve the revision number up front (create-new marker): two racing
+    // writers get distinct rev=N directories instead of clobbering each
+    // other's files. A job that aborts releases the reservation; a driver
+    // crash merely skips one revision number.
+    val nextRev = TemporalTable.reserveRevision(tablePath)
     val author = Option(options.get("author")).getOrElse("graft")
     val message = Option(options.get("message")).getOrElse("")
     val writeTable = ParquetTable(s"graft-temporal $tablePath rev=$nextRev",
@@ -140,8 +144,10 @@ private[graft] class GraftTable(options: CaseInsensitiveStringMap)
             // log AFTER data commit: a failed job never becomes a revision
             TemporalTable.logCommit(tablePath, nextRev, author, message)
           }
-          override def abort(msgs: Array[WriterCommitMessage]): Unit =
+          override def abort(msgs: Array[WriterCommitMessage]): Unit = {
             innerBatch.abort(msgs)
+            TemporalTable.abortReservation(tablePath, nextRev)
+          }
         }
       }
     }

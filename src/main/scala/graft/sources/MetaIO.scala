@@ -1,0 +1,96 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileAlreadyExistsException, FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+import java.io.FileNotFoundException
+import java.nio.charset.StandardCharsets
+
+/** Driver-side metadata I/O for table-layout files (commit log, projection
+  * catalog, reservation markers), routed through the Hadoop `FileSystem`
+  * API so a graft table works on any Spark-reachable filesystem — local,
+  * HDFS, S3A, ABFS — not just the driver's local disk. The reference pins
+  * everything to its own file/memory-mapped backends
+  * (bundles/sirix-core/src/main/java/io/sirix/io/StorageType.java); here the
+  * storage contract is "whatever `Path.getFileSystem` resolves", which is
+  * the 100 TB posture: the same metadata protocol runs against object
+  * storage from every executor-side driver.
+  *
+  * All operations are tiny (a commit-log entry is one short JSON line), so
+  * driver-side synchronous I/O is the right cost model — identical to how
+  * Delta Lake treats its `_delta_log`.
+  */
+private[graft] object MetaIO {
+
+  /** Hadoop conf: the active session's (so `fs.*` settings apply), else
+    * default — metadata helpers are also called before any session exists
+    * in some specs. */
+  private def conf: Configuration =
+    SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
+
+  def fs(path: String): FileSystem = new Path(path).getFileSystem(conf)
+
+  def exists(path: String): Boolean = fs(path).exists(new Path(path))
+
+  def mkdirs(path: String): Unit = fs(path).mkdirs(new Path(path))
+
+  /** Child entry names of a directory (not full paths); empty if absent. */
+  def list(dir: String): Seq[String] = {
+    val p = new Path(dir)
+    val f = fs(dir)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq.map(_.getPath.getName)
+  }
+
+  def readString(path: String): String = {
+    val f = fs(path)
+    val in = f.open(new Path(path))
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      new String(out.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+
+  /** Create-new write: fails with [[FileAlreadyExistsException]] if the
+    * file exists (atomic on HDFS; the commit-log/reservation primitive). */
+  def createNew(path: String, content: String): Unit = {
+    val f = fs(path)
+    val p = new Path(path)
+    // LocalFileSystem's create(overwrite=false) is not atomic; approximate
+    // CREATE_NEW with an up-front existence check (single-driver-per-
+    // filesystem tests; HDFS/S3A honor the flag atomically server-side).
+    if (f.exists(p)) throw new FileAlreadyExistsException(path)
+    val out = f.create(p, false)
+    try out.write(content.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  def delete(path: String, recursive: Boolean = false): Boolean =
+    try fs(path).delete(new Path(path), recursive)
+    catch { case _: FileNotFoundException => false }
+
+  /** Recursively list data files under `dir`, skipping hidden
+    * (`_`/`.`-prefixed) path segments — Spark's file-listing convention
+    * (`_commits`, `_proj`, `.crc` never count as data). */
+  def listDataFiles(dir: String, suffix: String): Seq[Path] = {
+    val root = new Path(dir)
+    val f = fs(dir)
+    if (!f.exists(root)) return Seq.empty
+    val out = Seq.newBuilder[Path]
+    def walk(p: Path): Unit = f.listStatus(p).foreach { st =>
+      val name = st.getPath.getName
+      if (!name.startsWith("_") && !name.startsWith(".")) {
+        if (st.isDirectory) walk(st.getPath)
+        else if (name.endsWith(suffix)) out += st.getPath
+      }
+    }
+    walk(root)
+    out.result()
+  }
+}

@@ -1,8 +1,6 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import java.nio.file.{Files, Paths, StandardOpenOption}
-import scala.jdk.CollectionConverters._
 
 /** Declared covering columnar projections over a temporal table
   * (SURVEY.md §2.10; reference: bundles/sirix-core/src/main/java/io/sirix/
@@ -34,30 +32,43 @@ object ProjectionIndex {
 
   final case class Projection(name: String, columns: Seq[String])
 
-  private def catalogDir(tablePath: String) = Paths.get(tablePath, "_projections")
+  private def catalogDir(tablePath: String) = s"$tablePath/_projections"
   private def dataDir(tablePath: String, name: String) = s"$tablePath/_proj/$name"
 
+  /** Tokenize a JSON string-literal array body — handles escaped quotes,
+    * commas and brackets inside column names (the catalog round-trips any
+    * name [[TemporalTable.escapeJson]] can encode). */
+  private val stringLit = """"((?:\\.|[^"\\])*)"""".r
+
   def list(tablePath: String): Seq[Projection] = {
-    TemporalTable.listDir(catalogDir(tablePath))
-      .filter(_.toString.endsWith(".json"))
-      .map { p =>
-        val s = new String(Files.readAllBytes(p), "UTF-8")
-        val name = """"name"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(s).get.group(1)
-        val cols = """"columns"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(s).get.group(1)
-          .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq
-          .filter(_.nonEmpty)
+    MetaIO.list(catalogDir(tablePath))
+      .filter(_.endsWith(".json"))
+      .map { f =>
+        val s = MetaIO.readString(s"${catalogDir(tablePath)}/$f")
+        val name = TemporalTable.parseField(s, "name")
+        val body = """"columns"\s*:\s*\[""".r.findFirstMatchIn(s)
+          .map(m => s.substring(m.end, s.lastIndexOf(']')))
+          .getOrElse(throw new IllegalStateException(s"bad projection catalog entry $f"))
+        val cols = stringLit.findAllMatchIn(body)
+          .map(m => TemporalTable.unescapeJson(m.group(1))).toSeq
         Projection(name, cols)
       }.sortBy(_.name)
   }
 
-  /** Declare a projection and build it for every existing revision. */
+  /** Declare a projection and build it for every existing revision. The
+    * name is a path segment of the projection's data directory, so it must
+    * be a plain identifier; column names may be arbitrary (escaped into
+    * the catalog JSON and parsed back with full fidelity). */
   def create(spark: SparkSession, tablePath: String, name: String,
              columns: Seq[String]): Unit = {
     require(columns.nonEmpty, "projection needs at least one column")
-    Files.createDirectories(catalogDir(tablePath))
-    val json = s"""{"name":"$name","columns":[${columns.map("\"" + _ + "\"").mkString(",")}]}"""
-    Files.write(catalogDir(tablePath).resolve(s"$name.json"),
-      json.getBytes("UTF-8"), StandardOpenOption.CREATE_NEW)
+    require(name.matches("[A-Za-z0-9_.-]+"),
+      s"projection name must be a plain identifier (path segment), got '$name'")
+    MetaIO.mkdirs(catalogDir(tablePath))
+    import TemporalTable.escapeJson
+    val json = s"""{"name":"${escapeJson(name)}","columns":[""" +
+      columns.map(c => "\"" + escapeJson(c) + "\"").mkString(",") + "]}"
+    MetaIO.createNew(s"${catalogDir(tablePath)}/$name.json", json)
     maintain(spark, tablePath, name)
   }
 
@@ -66,12 +77,9 @@ object ProjectionIndex {
   def maintain(spark: SparkSession, tablePath: String, name: String): Seq[Int] = {
     val proj = list(tablePath).find(_.name == name)
       .getOrElse(throw new IllegalArgumentException(s"unknown projection $name"))
-    val have = {
-      val d = Paths.get(dataDir(tablePath, name))
-      TemporalTable.listDir(d)
-        .map(_.getFileName.toString).filter(_.startsWith("rev="))
-        .map(_.stripPrefix("rev=").toInt).toSet
-    }
+    val have = MetaIO.list(dataDir(tablePath, name))
+      .filter(_.startsWith("rev="))
+      .map(_.stripPrefix("rev=").toInt).toSet
     val missing = TemporalTable.commits(tablePath).map(_.revision).filterNot(have)
     missing.foreach { rev =>
       spark.read.parquet(s"$tablePath/rev=$rev")
@@ -100,7 +108,7 @@ object ProjectionIndex {
       .filter(p => columns.forall(p.columns.contains))
       // the projection must actually be maintained for this revision —
       // a stale projection falls back to the base table, never errors
-      .filter(p => Files.exists(Paths.get(s"${dataDir(tablePath, p.name)}/rev=$rev")))
+      .filter(p => MetaIO.exists(s"${dataDir(tablePath, p.name)}/rev=$rev"))
       .sortBy(_.columns.size)
       .headOption
     covering match {

@@ -1,9 +1,8 @@
 package graft.sources
 
+import org.apache.hadoop.fs.FileAlreadyExistsException
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import java.nio.file.{Files, Paths, StandardOpenOption}
-import scala.jdk.CollectionConverters._
 
 /** Versioned temporal table storage (SURVEY.md §1.5-1.6, M1).
   *
@@ -33,15 +32,7 @@ object TemporalTable {
 
   final case class Commit(revision: Int, commitTsMs: Long, author: String, message: String)
 
-  private def commitsDir(path: String) = Paths.get(path, "_commits")
-
-  /** List a directory, closing the stream (Files.list leaks an fd per call
-    * otherwise — commits() runs on every read/write). */
-  private[graft] def listDir(dir: java.nio.file.Path): Seq[java.nio.file.Path] = {
-    if (!Files.exists(dir)) return Seq.empty
-    val s = Files.list(dir)
-    try s.iterator().asScala.toList finally s.close()
-  }
+  private[graft] def commitsDir(path: String) = s"$path/_commits"
 
   private[graft] def escapeJson(s: String): String = s.flatMap {
     case '"' => "\\\""
@@ -53,7 +44,7 @@ object TemporalTable {
     case c => c.toString
   }
 
-  private def unescapeJson(s: String): String = {
+  private[graft] def unescapeJson(s: String): String = {
     val out = new StringBuilder
     var i = 0
     while (i < s.length) {
@@ -81,12 +72,14 @@ object TemporalTable {
       .map(m => Option(m.group(2)).map(unescapeJson).getOrElse(m.group(1)))
       .getOrElse("")
 
-  /** Read the commit log (small driver-side metadata, like Delta's log). */
+  /** Read the commit log (small driver-side metadata, like Delta's log).
+    * Goes through the Hadoop FileSystem resolved from the path, so the
+    * table opens on HDFS/S3A exactly like on local disk. */
   def commits(path: String): Seq[Commit] = {
-    listDir(commitsDir(path))
-      .filter(_.toString.endsWith(".json"))
-      .map { p =>
-        val s = new String(Files.readAllBytes(p), "UTF-8")
+    MetaIO.list(commitsDir(path))
+      .filter(_.endsWith(".json"))
+      .map { name =>
+        val s = MetaIO.readString(s"${commitsDir(path)}/$name")
         Commit(parseField(s, "revision").toInt, parseField(s, "commitTsMs").toLong,
           parseField(s, "author"), parseField(s, "message"))
       }.sortBy(_.revision)
@@ -98,33 +91,73 @@ object TemporalTable {
   def exists(path: String): Boolean = commits(path).nonEmpty
 
   def drop(path: String): Unit = {
-    def rm(p: java.nio.file.Path): Unit = {
-      if (Files.isDirectory(p)) listDir(p).foreach(rm)
-      Files.deleteIfExists(p)
+    MetaIO.delete(path, recursive = true)
+    ()
+  }
+
+  /** Reserve the next revision number with a create-new marker file in the
+    * commit-log directory, so two racing writers can never both claim the
+    * same `rev=N` data directory (the pre-fix protocol wrote data first and
+    * resolved N from the log alone — a loser's overwrite could destroy the
+    * winner's already-committed files). A writer that crashes between
+    * reservation and commit leaves an orphan marker, which merely skips one
+    * revision number — readers only ever see the `.json` entries. */
+  private[graft] def reserveRevision(path: String): Int = {
+    MetaIO.mkdirs(commitsDir(path))
+    var attempts = 0
+    while (attempts < 1000) {
+      val taken = MetaIO.list(commitsDir(path)).flatMap { n =>
+        val base =
+          if (n.endsWith(".json")) Some(n.stripSuffix(".json"))
+          else if (n.endsWith(".reserve")) Some(n.stripSuffix(".reserve"))
+          else None
+        base.flatMap(b => scala.util.Try(b.toInt).toOption)
+      }
+      val next = (taken :+ 0).max + 1
+      try {
+        MetaIO.createNew(s"${commitsDir(path)}/${"%08d".format(next)}.reserve", "")
+        return next
+      } catch { case _: FileAlreadyExistsException => attempts += 1 }
     }
-    rm(Paths.get(path))
+    throw new IllegalStateException(s"could not reserve a revision at $path")
+  }
+
+  /** Discard a reservation (failed write): remove any partial data files,
+    * then the marker. */
+  private[graft] def abortReservation(path: String, rev: Int): Unit = {
+    MetaIO.delete(s"$path/rev=$rev", recursive = true)
+    MetaIO.delete(s"${commitsDir(path)}/${"%08d".format(rev)}.reserve")
+    ()
   }
 
   /** Append the commit-log entry for a just-written revision (the last
     * step of the commit protocol — also invoked by the DataSource V2 write
-    * path on successful job commit). */
+    * path on successful job commit). Clears the revision's reservation
+    * marker once the entry is durable. */
   private[graft] def logCommit(path: String, rev: Int, author: String,
                                message: String): Unit = {
-    Files.createDirectories(commitsDir(path))
+    MetaIO.mkdirs(commitsDir(path))
     val ts = System.currentTimeMillis()
     val json = s"""{"revision":$rev,"commitTsMs":$ts,""" +
       s""""author":"${escapeJson(author)}","message":"${escapeJson(message)}"}"""
-    Files.write(commitsDir(path).resolve(f"$rev%08d.json"),
-      json.getBytes("UTF-8"), StandardOpenOption.CREATE_NEW)
+    MetaIO.createNew(s"${commitsDir(path)}/${"%08d".format(rev)}.json", json)
+    MetaIO.delete(s"${commitsDir(path)}/${"%08d".format(rev)}.reserve")
+    ()
   }
 
-  /** Append a new revision: full snapshot write + commit-log entry. */
+  /** Append a new revision: reserve the revision number, write the full
+    * snapshot, then append the commit-log entry (commit point — a failed
+    * write never becomes a revision). */
   def write(df: DataFrame, path: String, author: String = "graft",
             message: String = ""): Int = {
-    val rev = mostRecentRevision(path).getOrElse(0) + 1
-    df.write.mode("overwrite").parquet(s"$path/rev=$rev")
-    logCommit(path, rev, author, message)
-    rev
+    val rev = reserveRevision(path)
+    try {
+      df.write.mode("overwrite").parquet(s"$path/rev=$rev")
+      logCommit(path, rev, author, message)
+      rev
+    } catch {
+      case e: Throwable => abortReservation(path, rev); throw e
+    }
   }
 
   /** Time-travel read. Default = latest revision; `revision` pins an exact

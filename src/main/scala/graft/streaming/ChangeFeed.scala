@@ -76,10 +76,23 @@ object ChangeFeed {
   /** Streaming exact dedup: drop rows whose `keys` were already seen,
     * with state bounded by the watermark (the streaming counterpart of
     * [[graft.operators.Dedup.exactDedup]] — arriving duplicates are
-    * discarded across micro-batches). */
+    * discarded across micro-batches).
+    *
+    * Uses `dropDuplicatesWithinWatermark`: plain `dropDuplicates(keys)`
+    * only evicts state when the event-time column is part of the key set,
+    * so on a long-running stream it would accumulate one state row per
+    * distinct key forever. The within-watermark variant expires each key
+    * once the watermark passes its first-seen event time — bounded state
+    * at 100 TB/day stream volumes, at the cost of re-admitting a
+    * duplicate that arrives later than `lateness` after the original
+    * (exactly the watermark contract). In batch mode (specs run both) it
+    * degrades to plain dropDuplicates semantics. */
   def streamingDedup(df: DataFrame, tsCol: String, lateness: String,
-                     keys: Seq[String]): DataFrame =
-    df.withWatermark(tsCol, lateness).dropDuplicates(keys)
+                     keys: Seq[String]): DataFrame = {
+    val wm = df.withWatermark(tsCol, lateness)
+    if (df.isStreaming) wm.dropDuplicatesWithinWatermark(keys)
+    else wm.dropDuplicates(keys)
+  }
 
   /** Session windows: rows within `gap` of each other merge into one
     * session per key (Structured Streaming's session_window). */

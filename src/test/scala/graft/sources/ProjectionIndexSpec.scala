@@ -61,4 +61,20 @@ class ProjectionIndexSpec extends SparkSpec {
     assert(fallback.inputFiles.forall(_.contains("/rev=")), "fallback reads base")
     assert(fallback.count() == 2)
   }
+
+  test("catalog round-trips hostile column names; rejects hostile projection names") {
+    val p = Files.createTempDirectory("graft-proj").resolve("tbl").toString
+    val hostile = Seq("""k"ey]""", "a,b\\c", "line\nbreak")
+    TemporalTable.write(
+      Seq((1L, 1.0, 2.0)).toDF(hostile: _*), p)
+    ProjectionIndex.create(spark, p, "h1", hostile.take(2))
+    val listed = ProjectionIndex.list(p)
+    assert(listed.map(_.name) == Seq("h1"))
+    assert(listed.head.columns == hostile.take(2),
+      s"columns must round-trip exactly, got ${listed.head.columns}")
+    // name becomes a data-directory path segment → plain identifiers only
+    intercept[IllegalArgumentException] {
+      ProjectionIndex.create(spark, p, "../escape", Seq(hostile.head))
+    }
+  }
 }

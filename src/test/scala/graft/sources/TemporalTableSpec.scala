@@ -110,4 +110,53 @@ class TemporalTableSpec extends SparkSpec {
     assert(!TemporalTable.exists(p))
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
   }
+
+  test("metadata I/O works against an explicit Hadoop file: scheme URI") {
+    // the commit log / catalog must go through the Hadoop FileSystem
+    // resolved from the table path (HDFS/S3A-ready), not the local JDK fs
+    val p = "file://" + freshPath()
+    assert(TemporalTable.write(rev1, p) == 1)
+    assert(TemporalTable.write(rev2, p) == 2)
+    assert(TemporalTable.commits(p).map(_.revision) == Seq(1, 2))
+    assert(TemporalTable.read(spark, p, Some(1)).count() == 2)
+    assert(TemporalTable.read(spark, p).count() == 3)
+    assert(TemporalTable.diff(spark, p, 1, 2).count() == 2) // update + insert
+    TemporalTable.drop(p)
+    assert(!TemporalTable.exists(p))
+  }
+
+  test("racing writers get distinct revisions (reservation protocol)") {
+    val p = freshPath()
+    TemporalTable.write(rev1, p)
+    // interleave: both writers resolve "next revision" before either
+    // commits — the reservation marker forces them onto distinct numbers
+    val r2 = TemporalTable.reserveRevision(p)
+    val r3 = TemporalTable.reserveRevision(p)
+    assert(r2 == 2 && r3 == 3)
+    // writer B (holding the later reservation) lands first; writer A second
+    rev3.write.mode("overwrite").parquet(s"$p/rev=$r3")
+    rev2.write.mode("overwrite").parquet(s"$p/rev=$r2")
+    TemporalTable.logCommit(p, r3, "b", "")
+    TemporalTable.logCommit(p, r2, "a", "")
+    // both revisions intact — no clobbered files, no shared directory
+    assert(TemporalTable.read(spark, p, Some(2)).count() == 3)
+    assert(TemporalTable.read(spark, p, Some(3)).count() == 2)
+    assert(TemporalTable.commits(p).map(_.revision) == Seq(1, 2, 3))
+    // reservations cleared after commit
+    assert(MetaIO.list(TemporalTable.commitsDir(p)).forall(_.endsWith(".json")))
+  }
+
+  test("aborted write leaves no revision and frees nothing visible") {
+    val p = freshPath()
+    TemporalTable.write(rev1, p)
+    val r = TemporalTable.reserveRevision(p)
+    rev2.write.mode("overwrite").parquet(s"$p/rev=$r") // partial data lands
+    TemporalTable.abortReservation(p, r)
+    assert(TemporalTable.commits(p).map(_.revision) == Seq(1))
+    assert(!MetaIO.exists(s"$p/rev=$r"))
+    // the next successful write claims a fresh number and commits cleanly
+    val next = TemporalTable.write(rev2, p)
+    assert(next == 2)
+    assert(TemporalTable.read(spark, p).count() == 3)
+  }
 }

@@ -114,6 +114,18 @@ class ChangeFeedSpec extends SparkSpec {
       q.processAllAvailable()
       val rows = spark.table("dedup_test").select("doc_id").as[Long].collect().sorted
       assert(rows.toSeq == Seq(1L, 2L, 3L)) // each key exactly once
+      // State is BOUNDED: key 1 was first seen at 10:00 with 10 min lateness,
+      // so once the watermark passes 10:10 its state row is evicted and the
+      // key is re-admitted — the dropDuplicatesWithinWatermark contract.
+      // (The old dropDuplicates(keys) kept every key forever and would
+      // suppress this row.)
+      in.addData((ts(30), 4L, "d")) // advances watermark to 10:20
+      q.processAllAvailable()
+      in.addData((ts(35), 1L, "a-reborn"))
+      q.processAllAvailable()
+      val after = spark.table("dedup_test").select("doc_id").as[Long].collect().sorted
+      assert(after.toSeq == Seq(1L, 1L, 2L, 3L, 4L),
+        s"expired key must be re-admitted after watermark passes, got ${after.toSeq}")
     } finally q.stop()
   }
 
