@@ -23,10 +23,11 @@ import org.apache.spark.sql.types._
   */
 object Nested {
 
-  /** All dotted paths in `schema` whose leaf field equals `field`,
-    * depth-first in declaration order (document order). Struct branches are
-    * searched; a matching name terminates its branch (first-match-per-
-    * branch, like the reference). */
+  /** Dotted struct-only paths whose leaf field equals `field`, depth-first
+    * in declaration order. A matching name terminates its branch
+    * (first-match-per-branch, like the reference). Paths that cross an
+    * array have no dotted-string form and are excluded here — the deref
+    * builders below search them too. */
   def descendantPaths(schema: StructType, field: String): Seq[String] = {
     def walk(st: StructType, prefix: String): Seq[String] =
       st.fields.toSeq.flatMap { f =>
@@ -40,20 +41,69 @@ object Nested {
     walk(schema, "")
   }
 
-  /** `$o=>>field` returning the FIRST match in document order (null when
-    * the document has no such field — JSONiq missing-field semantics). */
-  def derefDescendant(df: DataFrame, field: String): Column = {
-    val paths = descendantPaths(df.schema, field)
-    if (paths.isEmpty) lit(null)
-    else coalesce(paths.map(col): _*)
+  /** Does any match of `field` sit under an array in this subtree? */
+  private def hasArrayMatch(dt: DataType, field: String, inArray: Boolean = false): Boolean =
+    dt match {
+      case s: StructType => s.fields.exists { f =>
+        (f.name == field && inArray) || hasArrayMatch(f.dataType, field, inArray)
+      }
+      case ArrayType(e, _) => hasArrayMatch(e, field, inArray = true)
+      case _ => false
+    }
+
+  private def containsMatch(dt: DataType, field: String): Boolean = dt match {
+    case s: StructType =>
+      s.fields.exists(f => f.name == field || containsMatch(f.dataType, field))
+    case ArrayType(e, _) => containsMatch(e, field)
+    case _ => false
   }
 
-  /** All matches of `field` at any depth, as an array in document order. */
-  def derefDescendantAll(df: DataFrame, field: String): Column = {
-    val paths = descendantPaths(df.schema, field)
-    if (paths.isEmpty) array()
-    else array(paths.map(col): _*)
+  /** ALL matches of `field` under a struct accessed via `get`, as one flat
+    * array in TRUE document order — element 0's whole subtree precedes
+    * element 1's (array branches become `transform`/`flatten` chains,
+    * all codegen'd built-ins; the schema recursion happens at plan time
+    * only). `None` when the subtree statically contains no match. */
+  private def matchesIn(st: StructType, get: String => Column,
+                        field: String): Option[Column] = {
+    val segs = st.fields.toSeq.flatMap { f =>
+      val fc = get(f.name)
+      if (f.name == field) Some(array(fc))
+      else matchesOf(f.dataType, fc, field)
+    }
+    if (segs.isEmpty) None
+    else if (segs.size == 1) Some(segs.head)
+    else Some(concat(segs: _*))
   }
+
+  private def matchesOf(dt: DataType, c: Column, field: String): Option[Column] =
+    dt match {
+      case s: StructType => matchesIn(s, c.getField, field)
+      case ArrayType(e, _) if containsMatch(e, field) =>
+        Some(flatten(transform(c, x => matchesOf(e, x, field).get)))
+      case _ => None
+    }
+
+  /** `$o=>>field` returning the FIRST match in document order (null when
+    * the document has no such field — JSONiq missing-field semantics).
+    * Searches struct AND array branches — a field under `array<struct>`
+    * (order line-items, message lists) is found like the reference's
+    * DerefDescendantExpr finds it. */
+  def derefDescendant(df: DataFrame, field: String): Column = {
+    if (!hasArrayMatch(df.schema, field)) {
+      // struct-only schema: plain nested-field coalesce (narrowest plan)
+      val paths = descendantPaths(df.schema, field)
+      if (paths.isEmpty) lit(null) else coalesce(paths.map(col): _*)
+    } else {
+      val all = matchesIn(df.schema, col, field).get
+      // `get` (not element_at) — returns null on empty under ANSI mode
+      get(filter(all, _.isNotNull), lit(0))
+    }
+  }
+
+  /** All matches of `field` at any depth, as one flat array in document
+    * order (array-borne matches contribute one entry per element). */
+  def derefDescendantAll(df: DataFrame, field: String): Column =
+    matchesIn(df.schema, col, field).getOrElse(array())
 
   /** Truncate a struct column to `maxLevel` nesting levels (level 1 = the
     * struct's own fields; deeper struct fields are dropped). */

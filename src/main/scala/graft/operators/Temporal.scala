@@ -97,12 +97,19 @@ object Temporal {
     * all its columns come from the SAME right row even when right values
     * are legitimately null.
     *
+    * Duplicate right timestamps for a key are resolved DETERMINISTICALLY:
+    * ties order by `rightTieBreak` (a right value column) when given, else
+    * by the whole payload struct (lexicographic over its fields) — the
+    * carried row is the tie-group maximum either way, never
+    * partition-order-dependent (the repo's hash-determinism convention).
+    *
     * @return all left columns plus right value columns prefixed `asof_`
     *         (null when no right row precedes the left row)
     */
   def asOfJoin(left: DataFrame, right: DataFrame, keyCol: String,
                leftTsCol: String, rightTsCol: String,
-               rightValueCols: Seq[String]): DataFrame = {
+               rightValueCols: Seq[String],
+               rightTieBreak: Option[String] = None): DataFrame = {
     val leftCols = left.columns.toSeq
     val tagged =
       left.withColumn("__ts", col(leftTsCol)).withColumn("__src", lit(1))
@@ -120,7 +127,8 @@ object Temporal {
           .withColumn("__payload", struct(rightValueCols.map(col): _*))
           .select(col(keyCol).as("__key"), col("__ts"), col("__src"), col("__payload")),
         allowMissingColumns = true)
-    val w = Window.partitionBy("__key").orderBy(col("__ts"), col("__src"))
+    val tie = rightTieBreak.map(c => col(s"__payload.$c")).getOrElse(col("__payload"))
+    val w = Window.partitionBy("__key").orderBy(col("__ts"), col("__src"), tie)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     tagged
       .withColumn("__carried", last(col("__payload"), ignoreNulls = true).over(w))

@@ -134,6 +134,27 @@ object FunctionQueries {
           graft.operators.Nested.derefDescendant(base, "name").as("nm"))
         .orderBy("c_custkey")
     },
+    // descendant deref through ARRAYS (§2.2 — the reference's
+    // DerefDescendantExpr searches array members too): doc carries
+    // array<struct<array<struct>>> branches plus a struct branch; `v`
+    // matches once per element, flattened in document order
+    "q_deref_descendant_array" -> { (s, d) =>
+      val nested = graft.operators.Nested
+      val base = t(s, d, "customer")
+        .select(col("c_custkey"),
+          struct(
+            array(
+              struct(array(struct(col("c_acctbal").as("v")),
+                struct((col("c_acctbal") * 2).as("v"))).as("lines")),
+              struct(array(struct((col("c_acctbal") * 3).as("v"))).as("lines"))
+            ).as("blocks"),
+            struct(lit(0.0).as("v")).as("foot")).as("doc"))
+      base.select(col("c_custkey"),
+          nested.derefDescendant(base, "v").as("first_v"),
+          concat_ws(",", transform(nested.derefDescendantAll(base, "v"),
+            x => x.cast("decimal(18,2)").cast("string"))).as("all_v"))
+        .orderBy("c_custkey")
+    },
     // depth-limited serialization (sdb:serialize maxLevel, §2.6)
     "q_serialize_limited" -> { (s, d) =>
       val base = t(s, d, "nation")
@@ -243,6 +264,14 @@ object FunctionQueries {
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "q_deref_descendant" ->
       """SELECT c_custkey, c_acctbal AS bal, c_name AS nm
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_deref_descendant_array" ->
+      """SELECT c_custkey, c_acctbal AS first_v,
+        |  array_to_string([
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR),
+        |    CAST(CAST(c_acctbal * 2 AS DECIMAL(18,2)) AS VARCHAR),
+        |    CAST(CAST(c_acctbal * 3 AS DECIMAL(18,2)) AS VARCHAR),
+        |    '0.00'], ',') AS all_v
         |FROM customer ORDER BY c_custkey""".stripMargin,
     "q_serialize_limited" ->
       """SELECT n_nationkey, '{"name":"' || n_name || '"}' AS js

@@ -20,22 +20,64 @@ import graft.sources.TemporalTable
 object ChangeFeed {
 
   /** Per-revision change records committed after `fromRevision` — the
-    * batch-incremental change feed (each micro-batch = diffs of adjacent
-    * revisions, the reference's revision-stream semantics §2.9). */
+    * batch-incremental change feed (the reference's revision-stream
+    * semantics §2.9).
+    *
+    * ONE plan for the whole history: a per-key window over revision order
+    * classifies every transition (insert = no row in the adjacent
+    * predecessor revision; update = predecessor row with different values;
+    * delete = no row in the adjacent successor), with the adjacent-
+    * revision mapping broadcast from the (tiny) commit log. A 10,000-
+    * revision history is one scan + one key shuffle — not 10,000 driver-
+    * side diff jobs in a 10,000-way union (the pre-fix shape, pathological
+    * at the reference's revision-benchmark scale). Revisions at or before
+    * the baseline prune away via the hive `rev=` partition column: only
+    * the predecessor of the first wanted revision onward is read. */
   def revisionFeed(spark: SparkSession, tablePath: String, fromRevision: Int = 0,
                    keys: Seq[String] = Seq("node_key")): DataFrame = {
-    val revs = TemporalTable.commits(tablePath).map(_.revision).filter(_ > fromRevision)
-    require(revs.nonEmpty, s"no revisions after $fromRevision at $tablePath")
-    revs.map { r =>
-      val d =
-        if (r == 1) TemporalTable.read(spark, tablePath, Some(1))
-          .drop("revision", "commit_ts", "author")
-          .withColumn("change_type", lit("insert"))
-          .select(keys.map(col) :+ col("change_type"): _*)
-        else TemporalTable.diff(spark, tablePath, r - 1, r, keys)
-          .select(keys.map(col) :+ col("change_type"): _*)
-      d.withColumn("revision", lit(r))
-    }.reduce(_ unionByName _)
+    import org.apache.spark.sql.expressions.Window
+    val allRevs = TemporalTable.commits(tablePath).map(_.revision)
+    val wanted = allRevs.filter(_ > fromRevision)
+    require(wanted.nonEmpty, s"no revisions after $fromRevision at $tablePath")
+    // adjacent-revision mapping from the commit log (revision numbers may
+    // have gaps — aborted reservations skip numbers)
+    val adj = allRevs.zipAll(allRevs.drop(1).map(Option(_)), 0, None).map {
+      case (r, next) => (r, next.getOrElse(-1))
+    }
+    // partition-prune: the baseline for the first wanted revision is its
+    // immediate predecessor; nothing older contributes
+    val firstIdx = allRevs.indexOf(wanted.head)
+    val minRev = if (firstIdx == 0) wanted.head else allRevs(firstIdx - 1)
+    val adjDf = spark.createDataFrame(adj).toDF("revision", "__next_rev")
+    val h = TemporalTable.readAllRevisions(spark, tablePath)
+      .filter(col("revision") >= minRev)
+      .drop("commit_ts", "author")
+    val valueCols = h.columns.toSeq.filterNot(c => keys.contains(c) || c == "revision")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("revision"))
+    val prevAdjDf = spark.createDataFrame(
+      allRevs.zip(allRevs.drop(1)).map { case (r, n) => (n, r) })
+      .toDF("revision", "__adj_prev")
+    val base = h
+      .withColumn("__vals", struct(valueCols.map(col): _*))
+      .withColumn("__prev_rev", lag(col("revision"), 1).over(w))
+      .withColumn("__prev_vals", lag(col("__vals"), 1).over(w))
+      .withColumn("__next_seen", lead(col("revision"), 1).over(w))
+      .join(broadcast(adjDf), "revision") // adds __next_rev (-1 = last revision)
+      .join(broadcast(prevAdjDf), Seq("revision"), "left") // __adj_prev (null = first)
+    val upserts = base
+      .withColumn("change_type",
+        when(col("__adj_prev").isNull || col("__prev_rev").isNull ||
+          col("__prev_rev") =!= col("__adj_prev"), lit("insert"))
+          .when(!(col("__vals") <=> col("__prev_vals")), lit("update")))
+      .filter(col("change_type").isNotNull && col("revision") > fromRevision)
+      .select(keys.map(col) :+ col("change_type") :+ col("revision"): _*)
+    val deletes = base
+      .filter(col("__next_rev") =!= -1 && // a successor revision exists
+        (col("__next_seen").isNull || col("__next_seen") =!= col("__next_rev")) &&
+        col("__next_rev") > fromRevision)
+      .select(keys.map(col) :+ lit("delete").as("change_type")
+        :+ col("__next_rev").as("revision"): _*)
+    upserts.unionByName(deletes)
   }
 
   /** Structured Streaming source over a temporal table: each committed

@@ -37,6 +37,34 @@ class NestedSpec extends SparkSpec {
     assert(r == Map(1L -> Seq(10.0, 11.0, 12.0), 2L -> Seq(20.0, 21.0, 22.0)))
   }
 
+  // array shape: { id, items: array<struct{v, sub: array<struct{v}>}>, tail: struct{v} }
+  private lazy val arrDocs = Seq(
+    (1L, Seq((1.0, Seq(2.0, 3.0)), (4.0, Seq.empty[Double])), 9.0),
+    (2L, Seq.empty[(Double, Seq[Double])], 8.0))
+    .toDF("id", "raw", "tv")
+    .select($"id",
+      transform($"raw", r => struct(r.getField("_1").as("v"),
+        transform(r.getField("_2"), s => struct(s.as("v"))).as("sub"))).as("items"),
+      struct($"tv".as("v")).as("tail"))
+
+  test("derefDescendant searches inside arrays (first match, doc order)") {
+    val r = arrDocs.select($"id", Nested.derefDescendant(arrDocs, "v").as("v"))
+      .as[(Long, Double)].collect().toMap
+    // id=1: items[0].v = 1.0 precedes everything; id=2: items empty → tail.v
+    assert(r == Map(1L -> 1.0, 2L -> 8.0))
+  }
+
+  test("derefDescendantAll flattens array-borne matches in document order") {
+    val r = arrDocs.select($"id", Nested.derefDescendantAll(arrDocs, "v").as("v"))
+      .as[(Long, Seq[Double])].collect().toMap
+    // TRUE document order: items[0].v, items[0].sub[*].v, items[1].v, tail.v
+    assert(r == Map(1L -> Seq(1.0, 2.0, 3.0, 4.0, 9.0), 2L -> Seq(8.0)))
+  }
+
+  test("struct-only dotted paths exclude array-crossing branches") {
+    assert(Nested.descendantPaths(arrDocs.schema, "v") == Seq("tail.v"))
+  }
+
   test("toJsonLimited truncates nesting at maxLevel") {
     val l1 = docs.filter($"id" === 1L)
       .select(Nested.toJsonLimited(docs, "a", 1).as("js")).as[String].head()

@@ -94,6 +94,26 @@ class TemporalSpec extends SparkSpec {
     assert(out == ("e", None, Some(7.0))) // same right ROW: null note, v=7
   }
 
+  test("asOfJoin resolves right-timestamp ties deterministically") {
+    val l = Seq((1L, 10L, "e")).toDF("k", "lts", "tag")
+    // three right rows share ts=10 — spread across partitions to provoke
+    // arbitrary arrival order; the tie-group MAX payload must win every time
+    val r = Seq((1L, 10L, 3.0), (1L, 10L, 9.0), (1L, 10L, 5.0))
+      .toDF("k", "rts", "v").repartition(8)
+    (1 to 5).foreach { _ =>
+      val out = Temporal.asOfJoin(l, r, "k", "lts", "rts", Seq("v"))
+        .select("asof_v").as[Double].head()
+      assert(out == 9.0, s"tie must resolve to max payload, got $out")
+    }
+    // explicit tie-break column override
+    val r2 = Seq((1L, 10L, "b", 3.0), (1L, 10L, "c", 9.0), (1L, 10L, "a", 5.0))
+      .toDF("k", "rts", "pick", "v").repartition(8)
+    val out2 = Temporal.asOfJoin(l, r2, "k", "lts", "rts", Seq("pick", "v"),
+      rightTieBreak = Some("pick"))
+      .select("asof_pick", "asof_v").as[(String, Double)].head()
+    assert(out2 == ("c", 9.0)) // max of tie-break column 'pick'
+  }
+
   test("canonical bitemporal price correction (reference README.md:50-66)") {
     // price recorded $100 valid-from Jan 1 (committed Jan 15), corrected
     // to $95 (committed Jan 20); both valid from the same instant

@@ -9,16 +9,47 @@ import java.sql.Timestamp
 class ChangeFeedSpec extends SparkSpec {
   import spark.implicits._
 
-  test("revisionFeed emits per-revision change records") {
+  test("revisionFeed emits per-revision change records incl. deletes and re-inserts") {
     val p = Files.createTempDirectory("graft-feed").resolve("tbl").toString
     TemporalTable.write(Seq((1L, 10.0), (2L, 20.0)).toDF("node_key", "price"), p)
     TemporalTable.write(Seq((1L, 11.0), (2L, 20.0), (3L, 30.0)).toDF("node_key", "price"), p)
+    TemporalTable.write(Seq((1L, 11.0), (3L, 31.0)).toDF("node_key", "price"), p) // 2 deleted
+    TemporalTable.write(Seq((1L, 11.0), (2L, 99.0), (3L, 31.0)).toDF("node_key", "price"), p) // 2 back
     val feed = ChangeFeed.revisionFeed(spark, p)
       .select("revision", "node_key", "change_type").as[(Int, Long, String)].collect().toSet
-    assert(feed == Set((1, 1L, "insert"), (1, 2L, "insert"), (2, 1L, "update"), (2, 3L, "insert")))
+    assert(feed == Set(
+      (1, 1L, "insert"), (1, 2L, "insert"),
+      (2, 1L, "update"), (2, 3L, "insert"),
+      (3, 2L, "delete"), (3, 3L, "update"),
+      (4, 2L, "insert")))
     // incremental consumption from a checkpointed revision
-    val tail = ChangeFeed.revisionFeed(spark, p, fromRevision = 1)
-    assert(tail.select("revision").distinct().as[Int].collect().toSeq == Seq(2))
+    val tail = ChangeFeed.revisionFeed(spark, p, fromRevision = 2)
+      .select("revision", "node_key", "change_type").as[(Int, Long, String)].collect().toSet
+    assert(tail == Set((3, 2L, "delete"), (3, 3L, "update"), (4, 2L, "insert")))
+  }
+
+  test("revisionFeed plan stays flat over a long history (no N-way union)") {
+    val p = Files.createTempDirectory("graft-feed-long").resolve("tbl").toString
+    // 100 single-row revisions: key 1 updated every revision, key r inserted at r
+    (1 to 100).foreach { r =>
+      TemporalTable.write(Seq((1L, r.toDouble), (r.toLong + 100, 0.0))
+        .toDF("node_key", "price"), p)
+    }
+    val feed = ChangeFeed.revisionFeed(spark, p)
+    // one union (upserts + deletes), never one branch per revision
+    val unions = feed.queryExecution.optimizedPlan.collect {
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union => u.children.size
+    }
+    assert(unions.forall(_ <= 4), s"expected a flat plan, union widths: $unions")
+    val rows = feed.select("revision", "node_key", "change_type")
+      .as[(Int, Long, String)].collect()
+    assert(rows.count(_._3 == "insert") == 100 + 1) // key r+100 per rev, key 1 once
+    assert(rows.count(_._3 == "update") == 99) // key 1 every later revision
+    assert(rows.count(_._3 == "delete") == 99) // key r+100 vanishes next revision
+    // spot checks
+    assert(rows.toSet.contains((1, 101L, "insert")))
+    assert(rows.toSet.contains((2, 101L, "delete")))
+    assert(rows.toSet.contains((100, 1L, "update")))
   }
 
   test("streamTable picks up new revisions incrementally") {
