@@ -161,5 +161,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo("graft.functions.VectorExpressions", "graft_dot"),
       (args: Seq[Expression]) => VectorExpressions.DotProduct(args(0), args(1))))
     ext.injectOptimizerRule(graft.plans.CountFromMetadataRule(_))
+    ext.injectOptimizerRule(graft.plans.ValidTimeStabRule(_))
   }
 }

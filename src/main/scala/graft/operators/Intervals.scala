@@ -66,4 +66,79 @@ object Intervals {
       .when(aFrom >= bFrom && aTo <= bTo, "during")
       .when(bFrom >= aFrom && bTo <= aTo, "contains")
       .otherwise("overlaps")
+
+  // ---- RI-tree fork nodes (valid-time index, SURVEY §2.10 / §4.3 item 2;
+  // reference: index/interval/RelationalIntervalTree.java — each interval
+  // registers at the highest virtual binary-tree node it contains, and a
+  // stab query visits only the ≤64 tree nodes on the root path of the
+  // queried instant) ----
+
+  /** The RI-tree fork node of the half-open interval `[from, to)` on the
+    * coarsened axis (`value div granularity`): the common bit-prefix of
+    * the endpoints with the first differing bit forced to 1 — pure integer
+    * bit arithmetic (codegen'd; the bit-smear replaces a loop), no UDF.
+    * Every instant the interval contains has this node on its root path. */
+  def forkNode(from: Column, to: Column, granularity: Long): Column = {
+    require(granularity > 0)
+    val f = (from / granularity).cast("long")
+    val t = ((to - 1) / granularity).cast("long") // inclusive coarse end
+    val d = f.bitwiseXOR(t)
+    // smear the msb of d downward: m = 2^(p+1)-1 where p = msb position
+    val m = Seq(1, 2, 4, 8, 16, 32).foldLeft(d)((acc, s) =>
+      acc.bitwiseOR(shiftright(acc, s)))
+    // clear t's bits below p (bit p of t is 1 — t > f and first diff at p)
+    when(d === 0, f).otherwise(t.bitwiseAND(bitwise_not(shiftright(m, 1))))
+  }
+
+  /** Driver-side: the ≤64 tree nodes on the root path of instant `ts` —
+    * the complete set of fork values any interval containing `ts` can
+    * carry. This is the stab query's IN-list (partition pruning does the
+    * rest). */
+  def stabNodes(ts: Long, granularity: Long): Seq[Long] = {
+    require(granularity > 0 && ts >= 0)
+    val g = ts / granularity
+    (g +: (0 to 62).map(p => ((g >> (p + 1)) << (p + 1)) | (1L << p))).distinct
+  }
+
+  /** Metadata keys stamped on the `__fork` column so the optimizer rule
+    * ([[graft.plans.ValidTimeStabRule]]) can recognize an interval-indexed
+    * table and recover its axis columns without any side catalog. */
+  val ForkCol = "__fork"
+  val ForkPartCol = "__fork_part"
+  val MetaFrom = "graft.interval.from"
+  val MetaTo = "graft.interval.to"
+  val MetaGranularity = "graft.interval.granularity"
+  val MetaAxisMax = "graft.interval.axismax"
+
+  /** Write `df` as a fork-partitioned interval table: `__fork` is a data
+    * column carrying the index metadata (survives the parquet round-trip);
+    * `__fork_part` duplicates it as a hive partition column so a stab
+    * query's fork IN-list prunes the FILE LISTING, not just row groups —
+    * at 100 TB the directory selection is what keeps a stab query from
+    * listing the world. Intervals must be non-null half-open `[from, to)`
+    * on a non-negative long axis. */
+  def writeIndexed(df: DataFrame, path: String, fromCol: String, toCol: String,
+                   granularity: Long): Unit = {
+    // axis cap: no interval registers a fork above its own coarse end, so
+    // a stab IN-list never needs nodes beyond the axis max — recording it
+    // keeps the list ~log2(axis) long and inside the partition column's
+    // inferred integral type
+    val maxCoarse = df.agg(max(((col(toCol) - 1) / granularity).cast("long")))
+      .head().getLong(0)
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putString(MetaFrom, fromCol)
+      .putString(MetaTo, toCol)
+      .putLong(MetaGranularity, granularity)
+      .putLong(MetaAxisMax, maxCoarse)
+      .build()
+    df.withColumn(ForkCol,
+        forkNode(col(fromCol), col(toCol), granularity).as(ForkCol, meta))
+      .withColumn(ForkPartCol, col(ForkCol))
+      .write.mode("overwrite").partitionBy(ForkPartCol).parquet(path)
+  }
+
+  /** Read an interval-indexed table (restores the `__fork` metadata, which
+    * hive-partition discovery strips from `__fork_part`). */
+  def readIndexed(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
 }

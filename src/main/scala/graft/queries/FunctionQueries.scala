@@ -155,6 +155,20 @@ object FunctionQueries {
             x => x.cast("decimal(18,2)").cast("string"))).as("all_v"))
         .orderBy("c_custkey")
     },
+    // XML shredder (§2.1): per-row XML documents → node table with
+    // document-order keys and DeweyID ordpaths
+    "q_xml_shred" -> { (s, d) =>
+      val xml = t(s, d, "nation").select(
+        col("n_nationkey").cast("long").as("doc_id"),
+        concat(lit("<nation key=\""), col("n_nationkey"), lit("\"><name>"),
+          col("n_name"), lit("</name></nation>")).as("xml"))
+      graft.sources.XmlShredder.shred(xml, "doc_id", "xml")
+        .select(col("doc_id"), col("node_seq"), col("kind"),
+          coalesce(col("name"), lit("")).as("name"),
+          coalesce(col("value"), lit("")).as("value"),
+          concat_ws(".", col("ordpath")).as("path"))
+        .orderBy("doc_id", "node_seq")
+    },
     // depth-limited serialization (sdb:serialize maxLevel, §2.6)
     "q_serialize_limited" -> { (s, d) =>
       val base = t(s, d, "nation")
@@ -273,6 +287,17 @@ object FunctionQueries {
         |    CAST(CAST(c_acctbal * 3 AS DECIMAL(18,2)) AS VARCHAR),
         |    '0.00'], ',') AS all_v
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_xml_shred" ->
+      """SELECT doc_id, node_seq, kind, name, value, path FROM (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS doc_id, 1 AS node_seq,
+        |    'element' AS kind, 'nation' AS name, '' AS value, '1' AS path FROM nation
+        |  UNION ALL SELECT CAST(n_nationkey AS BIGINT), 2, 'attribute', 'key',
+        |    CAST(n_nationkey AS VARCHAR), '1.1' FROM nation
+        |  UNION ALL SELECT CAST(n_nationkey AS BIGINT), 3, 'element', 'name',
+        |    '', '1.2' FROM nation
+        |  UNION ALL SELECT CAST(n_nationkey AS BIGINT), 4, 'text', '',
+        |    n_name, '1.2.1' FROM nation)
+        |ORDER BY doc_id, node_seq""".stripMargin,
     "q_serialize_limited" ->
       """SELECT n_nationkey, '{"name":"' || n_name || '"}' AS js
         |FROM nation ORDER BY n_nationkey""".stripMargin,

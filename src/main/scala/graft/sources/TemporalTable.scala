@@ -160,6 +160,37 @@ object TemporalTable {
     }
   }
 
+  /** `jn:load` (reference: bundles/sirix-query/src/main/java/io/sirix/query/
+    * function/jn/io/Load.java): ingest JSON document file(s) into a
+    * resource — here one shredded DataFrame committed as the next revision.
+    * Shredding is `spark.read.json` (distributed, schema-inferring); a
+    * stable `node_key` is derived as a deterministic hash of the document's
+    * canonical serialization so re-loads and cross-revision operators
+    * (diff, history) line up without a driver-side id assignment step. */
+  def load(spark: SparkSession, jsonPath: String, tablePath: String,
+           author: String = "graft", message: String = "load"): Int = {
+    val docs = spark.read.json(jsonPath)
+    val keyed =
+      if (docs.columns.contains("node_key")) docs
+      else docs.withColumn("node_key",
+        xxhash64(to_json(struct(docs.columns.map(col): _*))))
+    write(keyed, tablePath, author, message)
+  }
+
+  /** Resource copy / backup (reference: databases' resource copy — a CTAS
+    * per revision): replays every committed revision of `src` into `dst`
+    * in order, preserving author/message (commit timestamps are new — the
+    * copy is itself a sequence of commits, like the reference's
+    * import-into-new-resource path). */
+  def copy(spark: SparkSession, src: String, dst: String): Seq[Int] = {
+    require(!exists(dst), s"destination already exists: $dst")
+    commits(src).map { c =>
+      val snap = read(spark, src, Some(c.revision))
+        .drop("revision", "commit_ts", "author")
+      write(snap, dst, c.author, c.message)
+    }
+  }
+
   /** Time-travel read. Default = latest revision; `revision` pins an exact
     * revision (`jn:doc(db,res,rev)`); `asOfTsMs` resolves the revision
     * current at a wall-clock instant (`jn:open`, DocByPointInTime.java:32)

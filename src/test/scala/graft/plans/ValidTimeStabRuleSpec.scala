@@ -1,0 +1,87 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.operators.Intervals
+import org.apache.spark.sql.catalyst.expressions.In
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class ValidTimeStabRuleSpec extends SparkSpec {
+  import spark.implicits._
+
+  // deterministic interval set: mixed widths across a 0..20000 axis
+  private def intervals = (0 until 400).map { i =>
+    val f = (i * 53L) % 19000
+    val w = 1L + (i * 7L) % 400
+    (i.toLong, f, f + w)
+  }.toDF("id", "vf", "vt")
+
+  test("fork node is on the root path of every contained instant") {
+    val gran = 16L
+    val rows = intervals
+      .withColumn("fork", Intervals.forkNode(col("vf"), col("vt"), gran))
+      .select("vf", "vt", "fork").as[(Long, Long, Long)].collect()
+    // sample stabs: endpoints and interior points of each interval
+    rows.foreach { case (vf, vt, fork) =>
+      Seq(vf, vt - 1, (vf + vt) / 2).foreach { ts =>
+        assert(Intervals.stabNodes(ts, gran).contains(fork),
+          s"fork $fork of [$vf,$vt) missing from stab nodes of $ts")
+      }
+    }
+  }
+
+  test("stab rewrite adds the fork IN-list and prunes the file listing") {
+    ValidTimeStabRule.install(spark)
+    val p = Files.createTempDirectory("graft-vtidx").resolve("tbl").toString
+    val gran = 16L
+    Intervals.writeIndexed(intervals, p, "vf", "vt", gran)
+    val t = Intervals.readIndexed(spark, p)
+    // metadata survives the parquet round-trip (the rule's recognition key)
+    assert(t.schema(Intervals.ForkCol).metadata.contains(Intervals.MetaFrom))
+
+    val ts = 9973L
+    val stab = t.filter(col("vf") <= ts && col("vt") > ts)
+    val optimized = stab.queryExecution.optimizedPlan
+    assert(optimized.expressions.exists(_.exists(_.isInstanceOf[In])),
+      s"expected fork IN-list in plan:\n$optimized")
+
+    // correctness: identical rows to the unindexed filter
+    val expected = intervals.filter(col("vf") <= ts && col("vt") > ts)
+      .select("id").as[Long].collect().sorted.toSeq
+    val got = stab.select("id").as[Long].collect().sorted.toSeq
+    assert(got == expected && got.nonEmpty)
+
+    // file pruning: the scan reads only the matched fork directories
+    stab.collect()
+    val scans = stab.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    val readFiles = scans.map(_.metrics("numFiles").value).sum
+    val totalFiles = t.inputFiles.length
+    assert(readFiles < totalFiles / 2,
+      s"stab should prune most fork partitions: read $readFiles of $totalFiles")
+    assert(scans.exists(_.partitionFilters.nonEmpty),
+      "fork IN-list must reach the partition filters")
+  }
+
+  test("rule leaves non-stab filters and already-constrained plans alone") {
+    ValidTimeStabRule.install(spark)
+    val p = Files.createTempDirectory("graft-vtidx2").resolve("tbl").toString
+    Intervals.writeIndexed(intervals, p, "vf", "vt", 16L)
+    val t = Intervals.readIndexed(spark, p)
+    // a range (non-stab) predicate: no literal stab instant → untouched
+    val range = t.filter(col("vf") <= 100L && col("vt") > 900L)
+    val expected = intervals.filter(col("vf") <= 100L && col("vt") > 900L).count()
+    assert(range.count() == expected)
+    // stab through the null-tolerant validAt shape still rewrites
+    val ts = 5000L
+    val stabNullable = t.filter(col("vf") <= ts && (col("vt").isNull || col("vt") > ts))
+    val exp2 = intervals.filter(col("vf") <= ts && col("vt") > ts)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(stabNullable.select("id").as[Long].collect().sorted.toSeq == exp2)
+    assert(stabNullable.queryExecution.optimizedPlan.expressions
+      .exists(_.exists(_.isInstanceOf[In])))
+  }
+}

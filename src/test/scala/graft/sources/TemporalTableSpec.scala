@@ -1,6 +1,7 @@
 package graft.sources
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
 class TemporalTableSpec extends SparkSpec {
@@ -109,6 +110,46 @@ class TemporalTableSpec extends SparkSpec {
     TemporalTable.drop(p)
     assert(!TemporalTable.exists(p))
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+  }
+
+  test("load shreds a JSON file into a committed revision (jn:load)") {
+    val dir = Files.createTempDirectory("graft-load")
+    val json = dir.resolve("docs.jsonl")
+    Files.write(json, java.util.List.of(
+      """{"name":"a","price":10.0,"tags":["x","y"]}""",
+      """{"name":"b","price":20.0,"tags":[]}"""))
+    val p = dir.resolve("tbl").toString
+    assert(TemporalTable.load(spark, json.toString, p) == 1)
+    val r = TemporalTable.read(spark, p)
+    assert(r.count() == 2)
+    assert(r.columns.contains("node_key"))
+    // deterministic keys: re-loading the same file yields the same keys
+    val p2 = dir.resolve("tbl2").toString
+    TemporalTable.load(spark, json.toString, p2)
+    val k1 = r.select("node_key").as[Long].collect().sorted.toSeq
+    val k2 = TemporalTable.read(spark, p2).select("node_key").as[Long].collect().sorted.toSeq
+    assert(k1 == k2)
+    // loaded table participates in temporal ops: next revision diffs cleanly
+    TemporalTable.merge(spark, p,
+      Seq(("a", 11.0)).toDF("name", "price")
+        .withColumn("tags", array(lit("x"), lit("y")))
+        .withColumn("node_key", xxhash64(to_json(struct(col("name"), col("price"), col("tags"))))),
+      keys = Seq("node_key"))
+    assert(TemporalTable.commits(p).size == 2)
+  }
+
+  test("copy replays all revisions into a new resource (backup)") {
+    val src = freshPath()
+    TemporalTable.write(rev1, src, author = "alice", message = "m1")
+    TemporalTable.write(rev2, src, author = "bob", message = "m2")
+    val dst = freshPath()
+    assert(TemporalTable.copy(spark, src, dst) == Seq(1, 2))
+    assert(TemporalTable.commits(dst).map(c => (c.author, c.message)) ==
+      Seq(("alice", "m1"), ("bob", "m2")))
+    assert(TemporalTable.read(spark, dst, Some(1)).count() == 2)
+    assert(TemporalTable.read(spark, dst, Some(2)).count() == 3)
+    // copying onto an existing resource is refused
+    intercept[IllegalArgumentException] { TemporalTable.copy(spark, src, dst) }
   }
 
   test("metadata I/O works against an explicit Hadoop file: scheme URI") {
