@@ -49,6 +49,33 @@ object ProfileStringAgg {
     }
   }
 
+  /** Pre-materialized integer key columns: isolates the string-SCAN cost
+    * (parquet dictionary decode to UTF8String) from the agg-map cost —
+    * the surrogate-hash variant above still reads the strings. */
+  private def runIntCols(spark: SparkSession): Seq[(String, Double)] = {
+    val intDir = s"$dir-intcols"
+    if (!new java.io.File(s"$intDir/_SUCCESS").exists()) {
+      spark.read.parquet(dir)
+        .withColumn("dept", xxhash64(col("dept")))
+        .withColumn("city", xxhash64(col("city")))
+        .write.mode("overwrite").parquet(intDir)
+    }
+    val df = spark.read.parquet(intDir)
+    val shapes: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+      "groupByDept" -> (() => df.groupBy("dept").agg(count(lit(1)))),
+      "groupByDeptCity" -> (() => df.groupBy("dept", "city").agg(count(lit(1)))),
+      "countDistinctDept" -> (() => df.agg(countDistinct(col("dept")))))
+    shapes.map { case (name, q) =>
+      q().write.format("noop").mode("overwrite").save()
+      val runs = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        q().write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e6
+      }
+      name -> runs.min
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val variants = Seq(
       ("default", Map.empty[String, String], false),
@@ -66,5 +93,11 @@ object ProfileStringAgg {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
     }
+    val spark = session(Map.empty)
+    spark.sparkContext.setLogLevel("WARN")
+    runIntCols(spark).foreach { case (n, ms) =>
+      println(f"intcols         $n%-20s $ms%8.1f ms")
+    }
+    spark.stop()
   }
 }
