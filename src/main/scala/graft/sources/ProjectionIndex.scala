@@ -89,6 +89,12 @@ object ProjectionIndex {
     missing
   }
 
+  /** Maintain every declared projection (the convenient commit-hook body:
+    * `TemporalTable.addCommitHook((p, _) => ProjectionIndex.maintainAll(spark, p))`
+    * — the reference's ProjectionIndexChangeListener wiring). */
+  def maintainAll(spark: SparkSession, tablePath: String): Unit =
+    list(tablePath).foreach(p => maintain(spark, tablePath, p.name))
+
   /** Read one revision of a projection (latest by default). */
   def read(spark: SparkSession, tablePath: String, name: String,
            revision: Option[Int] = None): DataFrame = {

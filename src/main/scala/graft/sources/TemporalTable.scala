@@ -32,6 +32,31 @@ object TemporalTable {
 
   final case class Commit(revision: Int, commitTsMs: Long, author: String, message: String)
 
+  /** Post-commit hooks (reference: api/PostCommitHook.java + the index
+    * ChangeListener wiring): invoked on the driver after every successful
+    * commit-log append, with the table path and the committed revision.
+    * Typical use: incremental index maintenance —
+    * `addCommitHook((p, c) => ProjectionIndex.maintainAll(spark, p))`.
+    * Hooks run synchronously in registration order; a throwing hook does
+    * NOT roll back the commit (the revision is already durable) — it
+    * propagates to the writer, like the reference's post-commit contract. */
+  type CommitHook = (String, Commit) => Unit
+
+  private val hooks = new java.util.concurrent.CopyOnWriteArrayList[CommitHook]()
+
+  def addCommitHook(hook: CommitHook): Unit = hooks.add(hook)
+  def removeCommitHook(hook: CommitHook): Unit = hooks.remove(hook)
+
+  private def firePostCommit(path: String, rev: Int, author: String,
+                             message: String): Unit = {
+    if (!hooks.isEmpty) {
+      val ts = commits(path).find(_.revision == rev).map(_.commitTsMs)
+        .getOrElse(System.currentTimeMillis())
+      val c = Commit(rev, ts, author, message)
+      hooks.forEach(h => h(path, c))
+    }
+  }
+
   private[graft] def commitsDir(path: String) = s"$path/_commits"
 
   private[graft] def escapeJson(s: String): String = s.flatMap {
@@ -142,7 +167,7 @@ object TemporalTable {
       s""""author":"${escapeJson(author)}","message":"${escapeJson(message)}"}"""
     MetaIO.createNew(s"${commitsDir(path)}/${"%08d".format(rev)}.json", json)
     MetaIO.delete(s"${commitsDir(path)}/${"%08d".format(rev)}.reserve")
-    ()
+    firePostCommit(path, rev, author, message)
   }
 
   /** Append a new revision: reserve the revision number, write the full

@@ -62,6 +62,24 @@ class ProjectionIndexSpec extends SparkSpec {
     assert(fallback.count() == 2)
   }
 
+  test("commit hook keeps projections maintained automatically (ChangeListener)") {
+    val p = mkTable()
+    ProjectionIndex.create(spark, p, "kp", Seq("node_key", "price"))
+    val hook: TemporalTable.CommitHook =
+      (path, _) => ProjectionIndex.maintainAll(spark, path)
+    TemporalTable.addCommitHook(hook)
+    try {
+      TemporalTable.write(
+        Seq((1L, "a", 12.0, "x"), (4L, "d", 40.0, "w"))
+          .toDF("node_key", "name", "price", "tag"), p)
+      // revision 3 was projected by the hook — readAuto serves it directly
+      val served = ProjectionIndex.readAuto(spark, p, Seq("price"))
+      assert(served.inputFiles.forall(_.contains("/_proj/kp/")),
+        "hook must have projected the new revision")
+      assert(served.as[Double].collect().sorted.toSeq == Seq(12.0, 40.0))
+    } finally TemporalTable.removeCommitHook(hook)
+  }
+
   test("catalog round-trips hostile column names; rejects hostile projection names") {
     val p = Files.createTempDirectory("graft-proj").resolve("tbl").toString
     val hostile = Seq("""k"ey]""", "a,b\\c", "line\nbreak")
