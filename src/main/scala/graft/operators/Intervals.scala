@@ -73,15 +73,30 @@ object Intervals {
   // stab query visits only the ≤64 tree nodes on the root path of the
   // queried instant) ----
 
+  /** Exact integral division (Catalyst IntegralDivide) — `Column./` is
+    * double division, which silently loses low bits past 2^53 and would
+    * desync the written forks from the driver-side [[stabNodes]] integer
+    * arithmetic on ns-epoch axes. */
+  private def idiv(c: Column, d: Long): Column = {
+    import org.apache.spark.sql.graftbridge.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.{IntegralDivide, Literal}
+    GraftBridge.column(IntegralDivide(
+      GraftBridge.expression(c.cast("long")), Literal(d)))
+  }
+
   /** The RI-tree fork node of the half-open interval `[from, to)` on the
     * coarsened axis (`value div granularity`): the common bit-prefix of
     * the endpoints with the first differing bit forced to 1 — pure integer
     * bit arithmetic (codegen'd; the bit-smear replaces a loop), no UDF.
-    * Every instant the interval contains has this node on its root path. */
-  def forkNode(from: Column, to: Column, granularity: Long): Column = {
+    * Every instant the interval contains has this node on its root path.
+    * A null `to` is an OPEN interval `[from, ∞)`: it registers at the fork
+    * of `[from, axisTop]`, which is on the root path of every instant ≥
+    * from up to the axis top. */
+  def forkNode(from: Column, to: Column, granularity: Long,
+               axisTopCoarse: Column): Column = {
     require(granularity > 0)
-    val f = (from / granularity).cast("long")
-    val t = ((to - 1) / granularity).cast("long") // inclusive coarse end
+    val f = idiv(from, granularity)
+    val t = coalesce(idiv(to - 1, granularity), axisTopCoarse) // inclusive coarse end
     val d = f.bitwiseXOR(t)
     // smear the msb of d downward: m = 2^(p+1)-1 where p = msb position
     val m = Seq(1, 2, 4, 8, 16, 32).foldLeft(d)((acc, s) =>
@@ -115,15 +130,19 @@ object Intervals {
     * `__fork_part` duplicates it as a hive partition column so a stab
     * query's fork IN-list prunes the FILE LISTING, not just row groups —
     * at 100 TB the directory selection is what keeps a stab query from
-    * listing the world. Intervals must be non-null half-open `[from, to)`
-    * on a non-negative long axis. */
+    * listing the world. `from` must be non-null on a non-negative long
+    * axis; a null `to` is an open (currently-valid) interval — it
+    * registers at the top of the axis tree and every in-axis stab finds
+    * it. */
   def writeIndexed(df: DataFrame, path: String, fromCol: String, toCol: String,
                    granularity: Long): Unit = {
     // axis cap: no interval registers a fork above its own coarse end, so
     // a stab IN-list never needs nodes beyond the axis max — recording it
     // keeps the list ~log2(axis) long and inside the partition column's
-    // inferred integral type
-    val maxCoarse = df.agg(max(((col(toCol) - 1) / granularity).cast("long")))
+    // inferred integral type. Open intervals (null to) bound it by their
+    // start instead.
+    val maxCoarse = df
+      .agg(max(coalesce(idiv(col(toCol) - 1, granularity), idiv(col(fromCol), granularity))))
       .head().getLong(0)
     val meta = new org.apache.spark.sql.types.MetadataBuilder()
       .putString(MetaFrom, fromCol)
@@ -132,7 +151,8 @@ object Intervals {
       .putLong(MetaAxisMax, maxCoarse)
       .build()
     df.withColumn(ForkCol,
-        forkNode(col(fromCol), col(toCol), granularity).as(ForkCol, meta))
+        forkNode(col(fromCol), col(toCol), granularity, lit(maxCoarse))
+          .as(ForkCol, meta))
       .withColumn(ForkPartCol, col(ForkCol))
       .write.mode("overwrite").partitionBy(ForkPartCol).parquet(path)
   }

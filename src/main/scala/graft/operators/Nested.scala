@@ -78,8 +78,11 @@ object Nested {
   private def matchesOf(dt: DataType, c: Column, field: String): Option[Column] =
     dt match {
       case s: StructType => matchesIn(s, c.getField, field)
-      case ArrayType(e, _) if containsMatch(e, field) =>
-        Some(flatten(transform(c, x => matchesOf(e, x, field).get)))
+      case at @ ArrayType(e, _) if containsMatch(e, field) =>
+        // a NULL array must contribute no matches, not null-propagate the
+        // whole result through concat/flatten
+        Some(flatten(transform(coalesce(c, array().cast(at)),
+          x => matchesOf(e, x, field).get)))
       case _ => None
     }
 

@@ -127,8 +127,24 @@ object Temporal {
           .withColumn("__payload", struct(rightValueCols.map(col): _*))
           .select(col(keyCol).as("__key"), col("__ts"), col("__src"), col("__payload")),
         allowMissingColumns = true)
-    val tie = rightTieBreak.map(c => col(s"__payload.$c")).getOrElse(col("__payload"))
-    val w = Window.partitionBy("__key").orderBy(col("__ts"), col("__src"), tie)
+    // ordering by the payload struct requires all fields orderable —
+    // maps are not; fall back to the pre-tie-break behavior for such
+    // schemas unless an explicit (orderable) tie-break column is given
+    def orderable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => orderable(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => orderable(a.elementType)
+      case _: org.apache.spark.sql.types.MapType => false
+      case _ => true
+    }
+    val tie: Seq[Column] = rightTieBreak match {
+      case Some(c) => Seq(col(s"__payload.$c"))
+      case None =>
+        if (rightValueCols.forall(c => orderable(right.schema(c).dataType)))
+          Seq(col("__payload"))
+        else Seq.empty // unorderable payload, no explicit tie-break
+    }
+    val w = Window.partitionBy("__key")
+      .orderBy(col("__ts") +: col("__src") +: tie: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     tagged
       .withColumn("__carried", last(col("__payload"), ignoreNulls = true).over(w))

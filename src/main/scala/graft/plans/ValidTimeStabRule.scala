@@ -76,7 +76,13 @@ case class ValidTimeStabRule(spark: SparkSession) extends Rule[LogicalPlan]
           val fromName = meta.getString(Intervals.MetaFrom)
           val toName = meta.getString(Intervals.MetaTo)
           val gran = meta.getLong(Intervals.MetaGranularity)
-          (child.output.find(_.name == fromName), child.output.find(_.name == toName)) match {
+          // resolve from/to ONLY from the relation that carries __fork —
+          // in a Filter above a join, another table's same-named columns
+          // must not license pruning the indexed side
+          val relOutput = child.collectLeaves()
+            .find(_.output.exists(_.exprId == fork.exprId))
+            .map(_.output).getOrElse(Seq.empty)
+          (relOutput.find(_.name == fromName), relOutput.find(_.name == toName)) match {
             case (Some(from), Some(to)) =>
               val conjuncts = splitConjunctivePredicates(cond)
               val lower = conjuncts.flatMap(stabLowerBound(_, from)).headOption

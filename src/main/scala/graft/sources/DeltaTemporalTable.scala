@@ -63,8 +63,24 @@ object DeltaTemporalTable {
             keys: Seq[String] = Seq("node_key"), snapshotEvery: Int = 4,
             author: String = "graft", message: String = ""): Int = {
     require(snapshotEvery >= 2, "snapshotEvery must be >= 2")
-    val log = commits(path)
     val rev = TemporalTable.reserveRevision(path)
+    // the delta-chain invariant (each delta diffs the immediately
+    // preceding COMMIT) breaks if another writer holds an earlier
+    // uncommitted reservation — both would diff the same prior revision.
+    // Read the log only after reserving, and fail fast on a concurrent
+    // lower reservation instead of silently merging two writers' states.
+    val outstanding = MetaIO.list(TemporalTable.commitsDir(path))
+      .filter(_.endsWith(".reserve"))
+      .flatMap(n => scala.util.Try(n.stripSuffix(".reserve").toInt).toOption)
+      .filter(_ < rev)
+    if (outstanding.nonEmpty) {
+      TemporalTable.abortReservation(path, rev)
+      throw new IllegalStateException(
+        s"concurrent delta writer holds reservation(s) ${outstanding.sorted.mkString(",")} " +
+          s"at $path — delta tables are single-writer (orphaned markers from a " +
+          "crashed writer can be deleted manually from _commits/)")
+    }
+    val log = commits(path)
     try {
       val sinceFull = log.reverse.takeWhile(_.kind != "full").size
       val full = log.isEmpty || sinceFull >= snapshotEvery - 1

@@ -58,13 +58,16 @@ private[graft] object MetaIO {
   }
 
   /** Create-new write: fails with [[FileAlreadyExistsException]] if the
-    * file exists (atomic on HDFS; the commit-log/reservation primitive). */
+    * file exists — the commit-log/reservation primitive. Atomic on HDFS
+    * (namenode-enforced). NOT atomic on S3A (a HEAD-then-PUT check) or
+    * the local FS: on those stores two drivers racing the same table can
+    * both pass — multi-writer safety holds on HDFS; on S3, run a single
+    * writer per table (Delta Lake has the same caveat without a
+    * coordination service) or enable S3 conditional writes at the store
+    * layer. */
   def createNew(path: String, content: String): Unit = {
     val f = fs(path)
     val p = new Path(path)
-    // LocalFileSystem's create(overwrite=false) is not atomic; approximate
-    // CREATE_NEW with an up-front existence check (single-driver-per-
-    // filesystem tests; HDFS/S3A honor the flag atomically server-side).
     if (f.exists(p)) throw new FileAlreadyExistsException(path)
     val out = f.create(p, false)
     try out.write(content.getBytes(StandardCharsets.UTF_8))

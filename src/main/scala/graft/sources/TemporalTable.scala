@@ -47,15 +47,8 @@ object TemporalTable {
   def addCommitHook(hook: CommitHook): Unit = hooks.add(hook)
   def removeCommitHook(hook: CommitHook): Unit = hooks.remove(hook)
 
-  private def firePostCommit(path: String, rev: Int, author: String,
-                             message: String): Unit = {
-    if (!hooks.isEmpty) {
-      val ts = commits(path).find(_.revision == rev).map(_.commitTsMs)
-        .getOrElse(System.currentTimeMillis())
-      val c = Commit(rev, ts, author, message)
-      hooks.forEach(h => h(path, c))
-    }
-  }
+  private def firePostCommit(path: String, commit: Commit): Unit =
+    if (!hooks.isEmpty) hooks.forEach(h => h(path, commit))
 
   private[graft] def commitsDir(path: String) = s"$path/_commits"
 
@@ -167,7 +160,7 @@ object TemporalTable {
       s""""author":"${escapeJson(author)}","message":"${escapeJson(message)}"}"""
     MetaIO.createNew(s"${commitsDir(path)}/${"%08d".format(rev)}.json", json)
     MetaIO.delete(s"${commitsDir(path)}/${"%08d".format(rev)}.reserve")
-    firePostCommit(path, rev, author, message)
+    firePostCommit(path, Commit(rev, ts, author, message))
   }
 
   /** Append a new revision: reserve the revision number, write the full

@@ -63,7 +63,14 @@ object XmlShredder {
         f.setProperty("javax.xml.stream.isSupportingExternalEntities", java.lang.Boolean.FALSE)
         it.flatMap { case (docId, xml) => parseOne(f, docId, xml) }
       }
-    nodes.toDF()
+    // key widening needs |doc_id| < 2^43 (node_key = doc_id·2^20 + seq
+    // must not wrap — hash-derived 64-bit ids would silently collide
+    // across documents); fail loudly instead
+    val guarded = nodes.toDF().withColumn("doc_id",
+      when(abs(col("doc_id")) < lit(1L << 43), col("doc_id"))
+        .otherwise(raise_error(concat(lit("doc_id out of key-widening range (|id| < 2^43): "),
+          col("doc_id")))))
+    guarded
       .withColumn("node_key", col("doc_id") * MaxNodesPerDoc + col("node_seq"))
       .withColumn("parent_key",
         when(col("parent_seq") === 0, lit(null).cast("long"))
@@ -135,9 +142,10 @@ object XmlShredder {
       .groupByKey(_._1)
       .mapGroups { (docId, it) =>
         val ns = it.toArray.sortBy(_._2) // document order = node_seq
+        val bySeq = ns.map(n => n._2 -> n).toMap // node_seq need not be contiguous
         val children = ns.groupBy(_._3)
         def render(seq: Int): String = {
-          val n = ns(seq - 1)
+          val n = bySeq(seq)
           val kids = children.getOrElse(seq, Array.empty)
           n._4 match {
             case "text" => escape(n._6)
@@ -150,7 +158,8 @@ object XmlShredder {
               else s"<${n._5}$attrs>$body</${n._5}>"
           }
         }
-        val roots = ns.filter(_._3 == 0)
+        // roots = parent 0 OR parent not present (filtered node subsets)
+        val roots = ns.filter(n => !bySeq.contains(n._3))
         (docId, roots.map(r => render(r._2)).mkString)
       }
       .toDF("doc_id", "xml")

@@ -65,6 +65,20 @@ class NestedSpec extends SparkSpec {
     assert(Nested.descendantPaths(arrDocs.schema, "v") == Seq("tail.v"))
   }
 
+  test("null arrays contribute no matches instead of nulling the result") {
+    // items is NULL (not empty) — tail.v must still surface
+    val withNull = Seq((9L, 7.5)).toDF("id", "tv")
+      .select($"id",
+        lit(null).cast(arrDocs.schema("items").dataType).as("items"),
+        struct($"tv".as("v")).as("tail"))
+    val all = withNull.select(Nested.derefDescendantAll(withNull, "v").as("v"))
+      .as[Seq[Double]].head()
+    assert(all == Seq(7.5), s"null array must be skipped, got $all")
+    val first = withNull.select(Nested.derefDescendant(withNull, "v").as("v"))
+      .as[Double].head()
+    assert(first == 7.5)
+  }
+
   test("toJsonLimited truncates nesting at maxLevel") {
     val l1 = docs.filter($"id" === 1L)
       .select(Nested.toJsonLimited(docs, "a", 1).as("js")).as[String].head()

@@ -114,6 +114,15 @@ class TemporalSpec extends SparkSpec {
     assert(out2 == ("c", 9.0)) // max of tie-break column 'pick'
   }
 
+  test("asOfJoin tolerates unorderable (map) payload columns") {
+    val l = Seq((1L, 10L, "e")).toDF("k", "lts", "tag")
+    val r = Seq((1L, 5L, Map("a" -> "1")))
+      .toDF("k", "rts", "attrs")
+    val out = Temporal.asOfJoin(l, r, "k", "lts", "rts", Seq("attrs"))
+      .select("asof_attrs").as[Map[String, String]].head()
+    assert(out == Map("a" -> "1")) // no AnalysisException, payload intact
+  }
+
   test("canonical bitemporal price correction (reference README.md:50-66)") {
     // price recorded $100 valid-from Jan 1 (committed Jan 15), corrected
     // to $95 (committed Jan 20); both valid from the same instant

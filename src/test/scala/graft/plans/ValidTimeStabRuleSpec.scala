@@ -20,7 +20,7 @@ class ValidTimeStabRuleSpec extends SparkSpec {
   test("fork node is on the root path of every contained instant") {
     val gran = 16L
     val rows = intervals
-      .withColumn("fork", Intervals.forkNode(col("vf"), col("vt"), gran))
+      .withColumn("fork", Intervals.forkNode(col("vf"), col("vt"), gran, lit(1L << 20)))
       .select("vf", "vt", "fork").as[(Long, Long, Long)].collect()
     // sample stabs: endpoints and interior points of each interval
     rows.foreach { case (vf, vt, fork) =>
@@ -64,6 +64,35 @@ class ValidTimeStabRuleSpec extends SparkSpec {
       s"stab should prune most fork partitions: read $readFiles of $totalFiles")
     assert(scans.exists(_.partitionFilters.nonEmpty),
       "fork IN-list must reach the partition filters")
+  }
+
+  test("open intervals (null valid_to) survive the stab rewrite") {
+    ValidTimeStabRule.install(spark)
+    val p = Files.createTempDirectory("graft-vtidx-open").resolve("tbl").toString
+    // mixed closed + open (currently-valid) intervals
+    val iv = Seq((1L, 100L, Some(200L)), (2L, 150L, None), (3L, 300L, Some(400L)),
+      (4L, 10L, None)).toDF("id", "vf", "vt")
+    Intervals.writeIndexed(iv, p, "vf", "vt", 16L)
+    val t = Intervals.readIndexed(spark, p)
+    val ts = 180L
+    val stab = t.filter(col("vf") <= ts && (col("vt").isNull || col("vt") > ts))
+    // id 1 (closed, contains), id 2 and 4 (open, started before ts)
+    assert(stab.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 4L))
+    assert(stab.queryExecution.optimizedPlan.expressions
+      .exists(_.exists(_.isInstanceOf[In])), "stab must still rewrite")
+  }
+
+  test("a join with same-named columns on the other side is not mis-pruned") {
+    ValidTimeStabRule.install(spark)
+    val p = Files.createTempDirectory("graft-vtidx-join").resolve("tbl").toString
+    Intervals.writeIndexed(intervals, p, "vf", "vt", 16L)
+    val t = Intervals.readIndexed(spark, p)
+    // plain side carries its own vf/vt; the stab predicate targets THOSE
+    val plain = Seq((10L, 5L, 9000000L)).toDF("pid", "vf", "vt")
+    val joined = plain.crossJoin(t.select(col("id"), col("__fork"), col("__fork_part")))
+      .filter(plain("vf") <= 9973L && plain("vt") > 9973L)
+    // the filter is on the un-indexed side: every indexed row must survive
+    assert(joined.count() == 400)
   }
 
   test("rule leaves non-stab filters and already-constrained plans alone") {
