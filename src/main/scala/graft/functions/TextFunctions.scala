@@ -70,4 +70,28 @@ object TextFunctions {
   /** Rolling document fingerprint: md5 over the alphanumeric skeleton. */
   def fingerprint(c: Column): Column =
     md5(regexp_replace(lower(c), "[^a-z0-9]", ""))
+
+  // ---- cleaning / PII scrubbing (training-data hygiene: models must not
+  // memorize contact details; every kernel is a codegen'd regexp_replace
+  // chain — map-side only, no shuffle, linear scan at any scale) ----
+
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\+?[0-9][0-9()\\-. ]{7,}[0-9]"
+  private val Ipv4Re = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  private val UrlRe = "https?://[^\\s]+"
+
+  /** Redact emails, URLs, IPv4 addresses and phone-like digit runs with
+    * stable placeholder tokens (order matters: URLs first so their host
+    * parts aren't half-eaten by the IP/phone rules). */
+  def scrubPii(c: Column): Column = {
+    val noUrl = regexp_replace(c, UrlRe, "<URL>")
+    val noMail = regexp_replace(noUrl, EmailRe, "<EMAIL>")
+    val noIp = regexp_replace(noMail, Ipv4Re, "<IP>")
+    regexp_replace(noIp, PhoneRe, "<PHONE>")
+  }
+
+  /** Collapse whitespace runs to single spaces and trim — the canonical
+    * pre-tokenization cleanup. */
+  def normalizeWhitespace(c: Column): Column =
+    trim(regexp_replace(c, "\\s+", " "))
 }

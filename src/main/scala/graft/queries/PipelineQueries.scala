@@ -90,6 +90,18 @@ object PipelineQueries {
       docs(s, d).select(col("doc_id"),
           TextFunctions.tokenCount(col("text")).as("n_tokens"))
         .orderBy("doc_id")
+    },
+    // PII scrubbing + whitespace normalization (training-data hygiene);
+    // deterministic synthetic PII is injected per doc so the kernels are
+    // exercised on every row
+    "x_scrub" -> { (s, d) =>
+      docs(s, d).select(col("doc_id"),
+          TextFunctions.scrubPii(concat(
+            lit("contact user"), col("doc_id"), lit("@example.com or http://ex.com/"),
+            col("doc_id"), lit(" ip 10.0.0.1 call +1 (555) 000-1234 :: "),
+            substring(col("text"), 1, 50))).as("scrubbed"),
+          TextFunctions.normalizeWhitespace(substring(col("text"), 1, 80)).as("norm"))
+        .orderBy("doc_id")
     }
   )
 
@@ -199,6 +211,17 @@ object PipelineQueries {
     "x_token_count" ->
       """SELECT doc_id,
         |  CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS INTEGER) AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_scrub" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    'contact user' || doc_id || '@example.com or http://ex.com/' || doc_id ||
+        |      ' ip 10.0.0.1 call +1 (555) 000-1234 :: ' || substr(text, 1, 50),
+        |    'https?://[^\s]+', '<URL>', 'g'),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+        |    '\+?[0-9][0-9()\-. ]{7,}[0-9]', '<PHONE>', 'g') AS scrubbed,
+        |  trim(regexp_replace(substr(text, 1, 80), '\s+', ' ', 'g')) AS norm
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

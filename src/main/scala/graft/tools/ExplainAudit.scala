@@ -18,6 +18,34 @@ object ExplainAudit {
       println(SparkEntry.queries(n)(spark, d).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
     }
+
+    // the two plan-rewrite demos: stab pruning + single-plan change feed
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.plans.ValidTimeStabRule.install(spark)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-audit")
+    val ivPath = tmp.resolve("iv").toString
+    graft.operators.Intervals.writeIndexed(
+      (0 until 400).map(i => (i.toLong, (i * 53L) % 19000, (i * 53L) % 19000 + 200))
+        .toDF("id", "vf", "vt"), ivPath, "vf", "vt", 16L)
+    val stab = graft.operators.Intervals.readIndexed(spark, ivPath)
+      .filter(col("vf") <= 9973L && col("vt") > 9973L)
+    println("\n========== valid-time stab (fork-pruned file listing) ==========")
+    println(stab.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode))
+    stab.collect()
+    val scan = stab.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s }.head
+    println(s"numFiles read: ${scan.metrics("numFiles").value} of ${stab.inputFiles.length} total")
+
+    val feedPath = tmp.resolve("feed").toString
+    (1 to 10).foreach { r =>
+      graft.sources.TemporalTable.write(
+        Seq((1L, r.toDouble), (r.toLong + 100, 0.0)).toDF("node_key", "price"), feedPath)
+    }
+    println("\n========== revisionFeed (single-plan change feed, 10 revisions) ==========")
+    println(graft.streaming.ChangeFeed.revisionFeed(spark, feedPath)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode))
     spark.stop()
   }
 }
