@@ -10,10 +10,13 @@ import org.apache.spark.sql.types._
   * metadata struct; decode / feature-extraction run as partition-local
   * batch kernels (`mapPartitions` over a typed Dataset — the Scala analog
   * of `mapInPandas` batching). The Spark-side plumbing (schema, typed
-  * encoders, batch shape, partition sizing) is real and tested; the actual
-  * media decode is STUBBED with a deterministic hash-derived fake because
-  * no codec libraries ship in this environment — swap `stubDecode` for a
-  * real decoder (e.g. javacv) without touching the pipeline shape.
+  * encoders, batch shape, partition sizing) is real and tested, and so is
+  * CONTAINER-HEADER decode ([[sniff]]: PNG/JPEG/GIF/BMP dimensions, WAV
+  * duration — fixed-layout byte parsing, no codec needed). Only the
+  * pixel/sample decode behind the headers is STUBBED with a deterministic
+  * hash-derived fake because no codec libraries ship in this environment —
+  * swap `stubDecode` for a real decoder (e.g. javacv) without touching the
+  * pipeline shape.
   */
 object Multimodal {
 
@@ -92,6 +95,74 @@ object Multimodal {
       lit(maxSide.toDouble) / greatest(col("width"), col("height")))
     df.withColumn("resized_width", ceil(col("width") * scale).cast("int"))
       .withColumn("resized_height", ceil(col("height") * scale).cast("int"))
+  }
+
+  // ---- REAL container-header decode (no codec libraries needed: the
+  // formats' dimensions/rates live in fixed-layout headers — this is the
+  // non-stub part of decode, the pixel/sample decode behind it remains
+  // stubbed) ----
+
+  final case class SniffedMeta(media_id: Long, format: String, width: Int,
+                               height: Int, duration_ms: Long)
+
+  private def be16(b: Array[Byte], i: Int) = ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+  private def be32(b: Array[Byte], i: Int) =
+    ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) | ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+  private def le16(b: Array[Byte], i: Int) = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], i: Int) =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) | ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+
+  /** Parse real container headers: PNG IHDR, JPEG SOF, GIF, BMP
+    * dimensions; WAV fmt/data chunks → duration. Unknown formats yield
+    * ("unknown", -1, -1, 0) rather than failing — scrubbing pipelines must
+    * tolerate hostile bytes. */
+  private[operators] def sniff(id: Long, b: Array[Byte]): SniffedMeta = {
+    def png = b.length >= 24 &&
+      b.take(8).sameElements(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    def jpeg = b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8
+    def gif = b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8'
+    def bmp = b.length >= 26 && b(0) == 'B' && b(1) == 'M'
+    def wav = b.length >= 44 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+    try {
+      if (png) SniffedMeta(id, "png", be32(b, 16), be32(b, 20), 0L)
+      else if (jpeg) {
+        // walk segment markers to the first SOFn (C0-CF minus C4/C8/CC)
+        var i = 2
+        var out: SniffedMeta = SniffedMeta(id, "jpeg", -1, -1, 0L)
+        var done = false
+        while (!done && i + 9 < b.length && (b(i) & 0xff) == 0xff) {
+          val marker = b(i + 1) & 0xff
+          if (marker >= 0xc0 && marker <= 0xcf &&
+            marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+            out = SniffedMeta(id, "jpeg", be16(b, i + 7), be16(b, i + 5), 0L)
+            done = true
+          } else i += 2 + be16(b, i + 2)
+        }
+        out
+      } else if (gif) SniffedMeta(id, "gif", le16(b, 6), le16(b, 8), 0L)
+      else if (bmp) SniffedMeta(id, "bmp", le32(b, 18), le32(b, 22), 0L)
+      else if (wav) {
+        val byteRate = le32(b, 28)
+        // scan RIFF chunks for the data chunk's size
+        var i = 12
+        var dataLen = -1L
+        while (dataLen < 0 && i + 8 <= b.length) {
+          val sz = le32(b, i + 4).toLong & 0xffffffffL
+          if (b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' && b(i + 3) == 'a') dataLen = sz
+          else i += 8 + sz.toInt + (sz.toInt & 1)
+        }
+        val dur = if (byteRate > 0 && dataLen >= 0) dataLen * 1000L / byteRate else 0L
+        SniffedMeta(id, "wav", -1, -1, dur)
+      } else SniffedMeta(id, "unknown", -1, -1, 0L)
+    } catch { case _: Exception => SniffedMeta(id, "corrupt", -1, -1, 0L) }
+  }
+
+  /** Header-sniff a media table: real format detection + dimensions from
+    * the payload bytes (partition-local, no shuffle). */
+  def sniffMetadata(media: Dataset[MediaRecord]): Dataset[SniffedMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(m => sniff(m.media_id, m.content)))
   }
 
   /** Deterministic synthetic media table for tests/demos (no codecs in the

@@ -48,4 +48,32 @@ class MultimodalSpec extends SparkSpec {
       assert(math.abs(w.toDouble / h - rw.toDouble / rh) < 0.05)
     }
   }
+
+  test("sniff parses real container headers: PNG, JPEG, GIF, WAV, hostile bytes") {
+    def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // PNG: signature + IHDR length/type + width=800, height=600
+    val png = bytes(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 13, 'I', 'H', 'D', 'R',
+      0, 0, 0x03, 0x20, 0, 0, 0x02, 0x58, 8, 6, 0, 0, 0)
+    assert(Multimodal.sniff(1, png) == Multimodal.SniffedMeta(1, "png", 800, 600, 0L))
+    // JPEG: SOI, APP0 (len 4, empty), SOF0 with height=240, width=320
+    val jpeg = bytes(0xff, 0xd8, 0xff, 0xe0, 0x00, 0x04, 0, 0,
+      0xff, 0xc0, 0x00, 0x0b, 8, 0x00, 0xf0, 0x01, 0x40, 3, 0, 0, 0)
+    assert(Multimodal.sniff(2, jpeg) == Multimodal.SniffedMeta(2, "jpeg", 320, 240, 0L))
+    // GIF89a 4x3
+    val gif = bytes('G', 'I', 'F', '8', '9', 'a', 4, 0, 3, 0, 0, 0)
+    assert(Multimodal.sniff(3, gif) == Multimodal.SniffedMeta(3, "gif", 4, 3, 0L))
+    // WAV: RIFF/WAVE, fmt chunk with byteRate=1000, data chunk of 2500 bytes → 2500 ms
+    val wav = bytes('R', 'I', 'F', 'F', 0, 0, 0, 0, 'W', 'A', 'V', 'E',
+      'f', 'm', 't', ' ', 16, 0, 0, 0,
+      1, 0, 1, 0, 0xe8, 0x03, 0, 0, 0xe8, 0x03, 0, 0, 1, 0, 8, 0,
+      'd', 'a', 't', 'a', 0xc4, 0x09, 0, 0)
+    assert(Multimodal.sniff(4, wav) == Multimodal.SniffedMeta(4, "wav", -1, -1, 2500L))
+    // hostile/unknown bytes never throw
+    assert(Multimodal.sniff(5, Array[Byte](1, 2, 3)).format == "unknown")
+    assert(Multimodal.sniff(6, bytes(0xff, 0xd8, 0xff, 0xc0, 0x00)).width == -1)
+    // distributed path
+    val sniffed = Multimodal.sniffMetadata(Multimodal.syntheticMedia(spark, 9))
+    assert(sniffed.count() == 9) // random payloads → mostly unknown, none crash
+  }
 }
