@@ -169,6 +169,23 @@ object FunctionQueries {
           concat_ws(".", col("ordpath")).as("path"))
         .orderBy("doc_id", "node_seq")
     },
+    // XPath axes over shredded XML (§2.2): parent via key equi-join,
+    // sibling position via ordpath — end-to-end over generated documents
+    "q_xml_axes" -> { (s, d) =>
+      val xml = t(s, d, "nation").select(
+        col("n_nationkey").cast("long").as("doc_id"),
+        concat(lit("<nation><name>"), col("n_name"), lit("</name><region>"),
+          col("n_regionkey"), lit("</region></nation>")).as("xml"))
+      val nodes = graft.sources.XmlShredder.shred(xml, "doc_id", "xml")
+      val elems = nodes.filter(col("kind") === "element" && col("parent_key").isNotNull)
+      val parents = nodes.select(col("node_key").as("parent_key"),
+        col("name").as("parent_name"))
+      elems.join(parents, "parent_key")
+        .select(col("doc_id"), col("name"), col("parent_name"),
+          // preceding-sibling count = last ordpath component - 1
+          (element_at(col("ordpath"), size(col("ordpath"))) - 1).as("n_preceding"))
+        .orderBy("doc_id", "name")
+    },
     // depth-limited serialization (sdb:serialize maxLevel, §2.6)
     "q_serialize_limited" -> { (s, d) =>
       val base = t(s, d, "nation")
@@ -298,6 +315,13 @@ object FunctionQueries {
         |  UNION ALL SELECT CAST(n_nationkey AS BIGINT), 4, 'text', '',
         |    n_name, '1.2.1' FROM nation)
         |ORDER BY doc_id, node_seq""".stripMargin,
+    "q_xml_axes" ->
+      """SELECT doc_id, name, parent_name, n_preceding FROM (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS doc_id, 'name' AS name,
+        |    'nation' AS parent_name, 0 AS n_preceding FROM nation
+        |  UNION ALL
+        |  SELECT CAST(n_nationkey AS BIGINT), 'region', 'nation', 1 FROM nation)
+        |ORDER BY doc_id, name""".stripMargin,
     "q_serialize_limited" ->
       """SELECT n_nationkey, '{"name":"' || n_name || '"}' AS js
         |FROM nation ORDER BY n_nationkey""".stripMargin,
