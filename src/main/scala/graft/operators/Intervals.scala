@@ -33,9 +33,9 @@ object Intervals {
       val renamed = df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, s"$prefix$c"))
       renamed.withColumn("__bucket",
         explode(sequence(
-          (col(s"$prefix$fromCol") / bucketWidth).cast("long"),
+          idiv(col(s"$prefix$fromCol"), bucketWidth),
           // inclusive end bucket of the last contained instant (to is exclusive)
-          ((col(s"$prefix$toCol") - 1) / bucketWidth).cast("long"))))
+          idiv(col(s"$prefix$toCol") - 1, bucketWidth))))
     }
     val l = bucketize(left, "l_")
     val r = bucketize(right, "r_")
@@ -45,7 +45,7 @@ object Intervals {
     // with NO distinct: duplicate input rows keep their multiplicity and
     // the extra dedup shuffle disappears.
     val canonicalBucket =
-      (greatest(col(s"l_$fromCol"), col(s"r_$fromCol")) / bucketWidth).cast("long")
+      idiv(greatest(col(s"l_$fromCol"), col(s"r_$fromCol")), bucketWidth)
     l.join(r, Seq("__bucket"))
       .filter(overlaps(col(s"l_$fromCol"), col(s"l_$toCol"),
         col(s"r_$fromCol"), col(s"r_$toCol")))

@@ -141,7 +141,10 @@ object Temporal {
       case None =>
         if (rightValueCols.forall(c => orderable(right.schema(c).dataType)))
           Seq(col("__payload"))
-        else Seq.empty // unorderable payload, no explicit tie-break
+        else
+          // still deterministic: order ties by a stable hash of the
+          // serialized payload (arbitrary but reproducible winner)
+          Seq(xxhash64(to_json(col("__payload"))))
     }
     val w = Window.partitionBy("__key")
       .orderBy(col("__ts") +: col("__src") +: tie: _*)

@@ -93,8 +93,14 @@ case class ValidTimeStabRule(spark: SparkSession) extends Rule[LogicalPlan]
                     if (meta.contains(Intervals.MetaAxisMax))
                       meta.getLong(Intervals.MetaAxisMax)
                     else Long.MaxValue
+                  // a stab past the axis max cannot be served by the fork
+                  // index: OPEN intervals registered at [from, axisMax]
+                  // still contain such instants but their forks are not on
+                  // the instant's root path — bail, keep the plain filter
+                  if (l / gran > axisMax) f
+                  else {
                   val nodes = Intervals.stabNodes(l, gran).filter(_ <= axisMax)
-                  if (nodes.isEmpty) f // stab beyond the axis: filter is already empty
+                  if (nodes.isEmpty) f
                   else {
                     val partIn = child.output.find(_.name == Intervals.ForkPartCol)
                       .flatMap(inList(_, nodes))
@@ -102,6 +108,7 @@ case class ValidTimeStabRule(spark: SparkSession) extends Rule[LogicalPlan]
                       val added = partIn.map(And(forkIn, _)).getOrElse(forkIn)
                       Filter(And(cond, added), child)
                     }.getOrElse(f)
+                  }
                   }
                 case _ => f
               }

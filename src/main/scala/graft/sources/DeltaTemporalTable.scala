@@ -55,6 +55,22 @@ object DeltaTemporalTable {
     ()
   }
 
+  /** Fail fast when another writer holds an earlier uncommitted
+    * reservation (delta tables are single-writer; orphaned markers from a
+    * crashed writer can be deleted manually from `_commits/`). */
+  private def requireNoLowerReservation(path: String, rev: Int): Unit = {
+    val outstanding = MetaIO.list(TemporalTable.commitsDir(path))
+      .filter(_.endsWith(".reserve"))
+      .flatMap(n => scala.util.Try(n.stripSuffix(".reserve").toInt).toOption)
+      .filter(_ < rev)
+    if (outstanding.nonEmpty) {
+      TemporalTable.abortReservation(path, rev)
+      throw new IllegalStateException(
+        s"concurrent delta writer holds reservation(s) ${outstanding.sorted.mkString(",")} " +
+          s"at $path — delta tables are single-writer")
+    }
+  }
+
   /** Commit `df` as the next revision. Writes a full snapshot on the
     * first revision and every `snapshotEvery`-th one; otherwise only the
     * change records vs the previous revision (computed as a key-partitioned
@@ -69,17 +85,7 @@ object DeltaTemporalTable {
     // uncommitted reservation — both would diff the same prior revision.
     // Read the log only after reserving, and fail fast on a concurrent
     // lower reservation instead of silently merging two writers' states.
-    val outstanding = MetaIO.list(TemporalTable.commitsDir(path))
-      .filter(_.endsWith(".reserve"))
-      .flatMap(n => scala.util.Try(n.stripSuffix(".reserve").toInt).toOption)
-      .filter(_ < rev)
-    if (outstanding.nonEmpty) {
-      TemporalTable.abortReservation(path, rev)
-      throw new IllegalStateException(
-        s"concurrent delta writer holds reservation(s) ${outstanding.sorted.mkString(",")} " +
-          s"at $path — delta tables are single-writer (orphaned markers from a " +
-          "crashed writer can be deleted manually from _commits/)")
-    }
+    requireNoLowerReservation(path, rev)
     val log = commits(path)
     try {
       val sinceFull = log.reverse.takeWhile(_.kind != "full").size
@@ -126,9 +132,14 @@ object DeltaTemporalTable {
     * page-fragment merge — VersioningType.java:1216-1226 — at snapshot
     * granularity). Append-only: prior revisions stay readable. */
   def compact(spark: SparkSession, path: String, author: String = "graft"): Int = {
-    val current = read(spark, path)
     val rev = TemporalTable.reserveRevision(path)
+    // same single-writer guard as write(): a compact racing a delta commit
+    // would snapshot stale state and silently drop the concurrent delta
+    requireNoLowerReservation(path, rev)
     try {
+      // read only after reserving, so the materialized chain is the one
+      // this compaction supersedes
+      val current = read(spark, path)
       current.write.mode("overwrite").parquet(s"$path/rev=$rev")
       logCommit(path, rev, author, "compact", "full")
       rev

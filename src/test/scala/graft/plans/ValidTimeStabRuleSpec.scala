@@ -80,6 +80,12 @@ class ValidTimeStabRuleSpec extends SparkSpec {
     assert(stab.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 4L))
     assert(stab.queryExecution.optimizedPlan.expressions
       .exists(_.exists(_.isInstanceOf[In])), "stab must still rewrite")
+    // a stab PAST the recorded axis max must NOT be fork-pruned: open
+    // intervals still contain it but their forks aren't on its root path
+    val far = 100000L
+    val stabFar = t.filter(col("vf") <= far && (col("vt").isNull || col("vt") > far))
+    assert(stabFar.select("id").as[Long].collect().sorted.toSeq == Seq(2L, 4L),
+      "open intervals must survive an out-of-axis stab")
   }
 
   test("a join with same-named columns on the other side is not mis-pruned") {
