@@ -1,0 +1,60 @@
+package graft.sources
+
+import graft.SparkSpec
+import java.nio.file.Files
+
+class GraftCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val warehouse = {
+    val w = Files.createTempDirectory("graft-wh").toString
+    spark.conf.set("spark.sql.catalog.gw", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gw.warehouse", w)
+    TemporalTable.write(Seq((1L, 10.0), (2L, 20.0)).toDF("node_key", "price"),
+      s"$w/db/res")
+    TemporalTable.write(Seq((1L, 11.0), (3L, 30.0)).toDF("node_key", "price"),
+      s"$w/db/res")
+    w
+  }
+
+  test("SQL reads the latest revision through the catalog") {
+    warehouse
+    val rows = spark.sql("SELECT node_key, price FROM gw.db.res ORDER BY node_key")
+      .as[(Long, Double)].collect().toSeq
+    assert(rows == Seq((1L, 11.0), (3L, 30.0)))
+  }
+
+  test("VERSION AS OF = jn:doc revision pin; TIMESTAMP AS OF = jn:open") {
+    warehouse
+    val v1 = spark.sql("SELECT node_key, price FROM gw.db.res VERSION AS OF 1 ORDER BY node_key")
+      .as[(Long, Double)].collect().toSeq
+    assert(v1 == Seq((1L, 10.0), (2L, 20.0)))
+    // timestamp after the last commit resolves to the latest revision
+    val ts = new java.sql.Timestamp(System.currentTimeMillis() + 60000)
+    val atNow = spark.sql(
+      s"SELECT node_key FROM gw.db.res TIMESTAMP AS OF '$ts' ORDER BY node_key")
+      .as[Long].collect().toSeq
+    assert(atNow == Seq(1L, 3L))
+  }
+
+  test("catalog DDL surface: SHOW, EXISTS, DROP") {
+    warehouse
+    val tables = spark.sql("SHOW TABLES IN gw.db").select("tableName")
+      .as[String].collect().toSeq
+    assert(tables == Seq("res"))
+    TemporalTable.write(Seq((9L, 1.0)).toDF("node_key", "v"), s"$warehouse/db/tmp")
+    assert(spark.sql("SHOW TABLES IN gw.db").count() == 2)
+    spark.sql("DROP TABLE gw.db.tmp")
+    assert(spark.sql("SHOW TABLES IN gw.db").count() == 1)
+    intercept[Exception] { spark.sql("SELECT * FROM gw.db.missing").collect() }
+  }
+
+  test("pushdown still reaches the scan through the catalog") {
+    warehouse
+    val q = spark.sql("SELECT price FROM gw.db.res WHERE node_key = 1")
+    assert(q.as[Double].head() == 11.0)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("node_key"),
+      s"filter must push into the parquet scan:\n$plan")
+  }
+}
