@@ -142,7 +142,9 @@ object Multimodal {
         out
       } else if (gif) SniffedMeta(id, "gif", le16(b, 6), le16(b, 8), 0L)
       // biHeight is signed: negative means top-down row order, same size
-      else if (bmp) SniffedMeta(id, "bmp", le32(b, 18), math.abs(le32(b, 22)), 0L)
+      // (abs in Long — math.abs(Int.MinValue) is still negative)
+      else if (bmp) SniffedMeta(id, "bmp", le32(b, 18),
+        math.abs(le32(b, 22).toLong).min(Int.MaxValue).toInt, 0L)
       else if (wav) {
         val byteRate = le32(b, 28)
         // scan RIFF chunks for the data chunk's size
@@ -152,12 +154,9 @@ object Multimodal {
           val sz = le32(b, i.toInt + 4).toLong & 0xffffffffL
           if (b(i.toInt) == 'd' && b(i.toInt + 1) == 'a' &&
             b(i.toInt + 2) == 't' && b(i.toInt + 3) == 'a') dataLen = sz
-          else {
-            // long arithmetic + monotone advance: a hostile size (e.g.
-            // 0xFFFFFFF8) must not loop the scan forever
-            val step = 8L + sz + (sz & 1)
-            i = if (step > 0) i + step else b.length.toLong
-          }
+          // long arithmetic: sz is in [0, 0xFFFFFFFF], so the step is
+          // always ≥ 8 and the scan terminates on hostile sizes
+          else i += 8L + sz + (sz & 1)
         }
         val dur = if (byteRate > 0 && dataLen >= 0) dataLen * 1000L / byteRate else 0L
         SniffedMeta(id, "wav", -1, -1, dur)

@@ -142,8 +142,10 @@ object Temporal {
         if (rightValueCols.forall(c => orderable(right.schema(c).dataType)))
           Seq(col("__payload"))
         else
-          // still deterministic: order ties by a stable hash of the
-          // serialized payload (arbitrary but reproducible winner)
+          // best-effort determinism: ties order by a hash of the
+          // serialized payload — stable given stable upstream row content
+          // (a map's PHYSICAL entry order feeds the hash, so plans that
+          // build maps shuffle-dependently should pass rightTieBreak)
           Seq(xxhash64(to_json(col("__payload"))))
     }
     val w = Window.partitionBy("__key")

@@ -80,14 +80,16 @@ object DeltaTemporalTable {
             author: String = "graft", message: String = ""): Int = {
     require(snapshotEvery >= 2, "snapshotEvery must be >= 2")
     val rev = TemporalTable.reserveRevision(path)
-    // the delta-chain invariant (each delta diffs the immediately
-    // preceding COMMIT) breaks if another writer holds an earlier
-    // uncommitted reservation — both would diff the same prior revision.
-    // Read the log only after reserving, and fail fast on a concurrent
-    // lower reservation instead of silently merging two writers' states.
-    requireNoLowerReservation(path, rev)
-    val log = commits(path)
     try {
+      // the delta-chain invariant (each delta diffs the immediately
+      // preceding COMMIT) breaks if another writer holds an earlier
+      // uncommitted reservation — both would diff the same prior revision.
+      // Read the log only after reserving, and fail fast on a concurrent
+      // lower reservation instead of silently merging two writers' states.
+      // (Inside the try: a log parse failure must release the marker, or
+      // every future writer would see a phantom "concurrent writer".)
+      requireNoLowerReservation(path, rev)
+      val log = commits(path)
       val sinceFull = log.reverse.takeWhile(_.kind != "full").size
       val full = log.isEmpty || sinceFull >= snapshotEvery - 1
       if (full) {

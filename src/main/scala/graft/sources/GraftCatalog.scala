@@ -42,8 +42,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def name(): String = catalogName
 
+  /** Identifier parts become filesystem path segments — reject anything
+    * that could escape the warehouse root (backquoted identifiers may
+    * contain `/` or `..`; `DROP NAMESPACE` deletes recursively). */
+  private def safeSegment(s: String): String = {
+    require(s.matches("[A-Za-z0-9_.-]+") && s != "." && s != "..",
+      s"identifier part '$s' is not a safe path segment")
+    s
+  }
+
   private def pathOf(ident: Identifier): String =
-    (ident.namespace() :+ ident.name()).mkString(s"$warehouse/", "/", "")
+    ((ident.namespace() :+ ident.name()).map(safeSegment))
+      .mkString(s"$warehouse/", "/", "")
+
+  private def nsPath(namespace: Array[String]): String =
+    (warehouse +: namespace.toSeq.map(safeSegment)).mkString("/")
 
   private def requireExists(ident: Identifier): String = {
     val p = pathOf(ident)
@@ -59,16 +72,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def loadTable(ident: Identifier): Table =
     table(requireExists(ident), Map.empty)
 
-  /** `VERSION AS OF <rev>` — revision pin. */
-  override def loadTable(ident: Identifier, version: String): Table =
-    table(requireExists(ident), Map("revision" -> version))
+  /** `VERSION AS OF <rev>` — revision pin, validated against the commit
+    * log (a reserved-but-uncommitted `rev=N/` directory must never serve
+    * reads — snapshot isolation). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val p = requireExists(ident)
+    val rev = scala.util.Try(version.toInt).getOrElse(
+      throw new IllegalArgumentException(s"revision must be an integer, got '$version'"))
+    if (!TemporalTable.commits(p).exists(_.revision == rev))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    table(p, Map("revision" -> version))
+  }
 
   /** `TIMESTAMP AS OF <ts>` — Spark hands micros since epoch. */
   override def loadTable(ident: Identifier, timestamp: Long): Table =
     table(requireExists(ident), Map("asOfTimestampMs" -> (timestamp / 1000L).toString))
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
-    val dir = (s"$warehouse" +: namespace.toSeq).mkString("/")
+    if (!namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(namespace)
+    val dir = nsPath(namespace)
     MetaIO.list(dir)
       .filter(n => TemporalTable.exists(s"$dir/$n"))
       .map(n => Identifier.of(namespace, n)).toArray
@@ -101,16 +124,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   // ---- namespaces = warehouse subdirectories ----
 
   override def listNamespaces(): Array[Array[String]] =
-    MetaIO.list(warehouse)
-      .filterNot(n => TemporalTable.exists(s"$warehouse/$n"))
-      .map(Array(_)).toArray
+    listNamespaces(Array.empty)
 
-  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
-    if (namespace.isEmpty) listNamespaces()
-    else Array.empty
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    val dir = nsPath(namespace)
+    MetaIO.listDirs(dir)
+      .filterNot(n => TemporalTable.exists(s"$dir/$n")) // tables aren't namespaces
+      .map(n => namespace :+ n).toArray
+  }
 
   override def namespaceExists(namespace: Array[String]): Boolean =
-    namespace.isEmpty || MetaIO.exists((warehouse +: namespace.toSeq).mkString("/"))
+    namespace.isEmpty || MetaIO.exists(nsPath(namespace))
 
   override def loadNamespaceMetadata(namespace: Array[String]): JMap[String, String] = {
     if (!namespaceExists(namespace))
@@ -120,18 +144,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def createNamespace(namespace: Array[String],
                                metadata: JMap[String, String]): Unit =
-    MetaIO.mkdirs((warehouse +: namespace.toSeq).mkString("/"))
+    MetaIO.mkdirs(nsPath(namespace))
 
   override def alterNamespace(namespace: Array[String],
                               changes: NamespaceChange*): Unit =
     throw new UnsupportedOperationException("graft namespaces carry no metadata")
 
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
-    val p = (warehouse +: namespace.toSeq).mkString("/")
+    val p = nsPath(namespace)
     val existed = MetaIO.exists(p)
     if (existed) {
       if (!cascade && MetaIO.list(p).nonEmpty)
-        throw new IllegalStateException(s"namespace ${namespace.mkString(".")} not empty")
+        throw new org.apache.spark.sql.catalyst.analysis.NonEmptyNamespaceException(
+          namespace)
       MetaIO.delete(p, recursive = true)
     }
     existed

@@ -45,6 +45,14 @@ private[graft] object MetaIO {
     else f.listStatus(p).toSeq.map(_.getPath.getName)
   }
 
+  /** Child DIRECTORY names only (stray files are not namespaces). */
+  def listDirs(dir: String): Seq[String] = {
+    val p = new Path(dir)
+    val f = fs(dir)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+  }
+
   def readString(path: String): String = {
     val f = fs(path)
     val in = f.open(new Path(path))

@@ -105,8 +105,12 @@ object TemporalTable {
 
   def mostRecentRevision(path: String): Option[Int] = commits(path).lastOption.map(_.revision)
 
-  /** Catalog ops (`jn:exists-resource` / `jn:drop-resource`). */
-  def exists(path: String): Boolean = commits(path).nonEmpty
+  /** Catalog ops (`jn:exists-resource` / `jn:drop-resource`). Existence is
+    * a directory LISTING check only — it must not read commit contents
+    * (SHOW TABLES over a large warehouse would otherwise cost one GET per
+    * commit file on object storage). */
+  def exists(path: String): Boolean =
+    MetaIO.list(commitsDir(path)).exists(_.endsWith(".json"))
 
   def drop(path: String): Unit = {
     MetaIO.delete(path, recursive = true)

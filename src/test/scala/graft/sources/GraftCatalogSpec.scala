@@ -49,6 +49,25 @@ class GraftCatalogSpec extends SparkSpec {
     intercept[Exception] { spark.sql("SELECT * FROM gw.db.missing").collect() }
   }
 
+  test("hostile identifiers and phantom revisions are rejected") {
+    warehouse
+    // path traversal: backquoted identifier parts must not escape the root
+    intercept[Exception] { spark.sql("SELECT * FROM gw.`..`.`etc`").collect() }
+    intercept[Exception] { spark.sql("DROP NAMESPACE gw.`..` CASCADE") }
+    // VERSION AS OF must validate against the commit log, not the dirs:
+    // stage an uncommitted rev directory and try to read it
+    Seq((99L, 0.0)).toDF("node_key", "price")
+      .write.parquet(s"$warehouse/db/res/rev=7")
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM gw.db.res VERSION AS OF 7").collect()
+    }
+    assert(!e.getMessage.contains("Path does not exist"),
+      "must be a version-not-found, not a raw parquet error")
+    intercept[Exception] {
+      spark.sql("SELECT * FROM gw.db.res VERSION AS OF 99").collect()
+    }
+  }
+
   test("pushdown still reaches the scan through the catalog") {
     warehouse
     val q = spark.sql("SELECT price FROM gw.db.res WHERE node_key = 1")
