@@ -59,8 +59,11 @@ class GraftTemporalSource extends TableProvider with DataSourceRegister {
     GraftTemporalSource.readDelegate(options).schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: JMap[String, String]): Table =
-    new GraftTable(new CaseInsensitiveStringMap(properties))
+                        properties: JMap[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    if (opts.getBoolean("commitStream", false)) new GraftStreamTable(opts)
+    else new GraftTable(opts)
+  }
 }
 
 private[graft] object GraftTemporalSource {
@@ -94,6 +97,37 @@ private[graft] object GraftTemporalSource {
     ParquetTable(s"graft-temporal $tablePath", SparkSession.active, opts,
       resolveDataPaths(options), None, classOf[ParquetFileFormat])
   }
+}
+
+/** Streaming variant (`option("commitStream", true)` + `readStream`): a
+  * table whose scan is the commit-log [[graft.streaming.GraftMicroBatchStream]]
+  * — micro-batches are REVISION-atomic (offset axis = committed revision),
+  * so consumers never observe a partially-committed revision. */
+private[graft] class GraftStreamTable(options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+
+  private val tablePath = GraftTemporalSource.tablePathOf(options)
+
+  private lazy val fullSchema = GraftTemporalSource.readDelegate(
+    new CaseInsensitiveStringMap(
+      (options.asCaseSensitiveMap().asScala.toMap + ("allRevisions" -> "true")).asJava))
+    .schema
+
+  override def name(): String = s"graft-commit-stream $tablePath"
+  override def schema(): StructType = fullSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.MICRO_BATCH_READ).asJava
+
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): org.apache.spark.sql.connector.read.Scan =
+        new org.apache.spark.sql.connector.read.Scan {
+          override def readSchema(): StructType = fullSchema
+          override def toMicroBatchStream(checkpointLocation: String) =
+            new graft.streaming.GraftMicroBatchStream(tablePath, fullSchema)
+          override def description(): String = name()
+        }
+    }
 }
 
 /** The V2 Table: reads delegate to the parquet table over the resolved

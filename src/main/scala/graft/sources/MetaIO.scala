@@ -77,9 +77,20 @@ private[graft] object MetaIO {
     val f = fs(path)
     val p = new Path(path)
     if (f.exists(p)) throw new FileAlreadyExistsException(path)
-    val out = f.create(p, false)
+    // write-to-hidden-tmp + rename: content becomes visible ATOMICALLY
+    // (create-then-write would let a concurrent commit-log reader observe
+    // an empty/partial entry — a real torn read caught by the commit-
+    // stream spec). Dot-prefixed tmp names are invisible to every
+    // suffix-filtered listing.
+    val tmp = new Path(p.getParent,
+      s".${p.getName}.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = f.create(tmp, true)
     try out.write(content.getBytes(StandardCharsets.UTF_8))
     finally out.close()
+    if (!f.rename(tmp, p)) {
+      f.delete(tmp, false)
+      throw new FileAlreadyExistsException(path)
+    }
   }
 
   def delete(path: String, recursive: Boolean = false): Boolean =

@@ -80,6 +80,16 @@ object ChangeFeed {
     upserts.unionByName(deletes)
   }
 
+  /** Commit-log micro-batch stream: offsets are committed REVISION numbers
+    * ([[GraftMicroBatchStream]]), so each micro-batch holds exactly the
+    * revisions committed since the last one — never a torn revision, and
+    * reserved-but-uncommitted directories are invisible (the file-stream
+    * variant below batches by file discovery instead). */
+  def streamCommits(spark: SparkSession, tablePath: String): DataFrame =
+    spark.readStream.format("graft-temporal")
+      .option("commitStream", "true")
+      .load(tablePath)
+
   /** Structured Streaming source over a temporal table: each committed
     * revision's files are discovered incrementally by the file-stream
     * source (`readStream.parquet` over the hive-partitioned `rev=N/`

@@ -1,0 +1,75 @@
+package graft.streaming
+
+import graft.sources.{GraftTemporalSource, TemporalTable}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import scala.jdk.CollectionConverters._
+
+/** Revision offset for the commit-log stream (serialized into the
+  * checkpoint log — exactly-once across restarts). */
+final case class RevisionOffset(revision: Int) extends Offset {
+  override def json(): String = s"""{"revision":$revision}"""
+}
+
+/** A real `MicroBatchStream` over a graft temporal table's COMMIT LOG
+  * (SURVEY §2.12 — replaces the file-stream approximation for consumers
+  * that need revision-atomic batches): the offset axis is the committed
+  * revision number, so each micro-batch contains exactly the rows of the
+  * revisions committed since the last batch — never a partial revision,
+  * even while a writer is mid-commit (reserved-but-uncommitted `rev=N/`
+  * directories are invisible because offsets advance on commit-log
+  * entries, not directory listings).
+  *
+  * Partition planning and row reading delegate wholesale to Spark's
+  * parquet batch scan over the batch's revision directories — vectorized
+  * decode, pushdown and AQE-sized splits for free; this class only decides
+  * WHICH directories constitute the batch.
+  *
+  * Use via [[ChangeFeed.streamCommits]].
+  */
+final class GraftMicroBatchStream(tablePath: String, schema: StructType)
+    extends MicroBatchStream {
+
+  private def committed: Seq[Int] = TemporalTable.commits(tablePath).map(_.revision)
+
+  override def initialOffset(): Offset = RevisionOffset(0)
+
+  override def latestOffset(): Offset =
+    RevisionOffset(committed.lastOption.getOrElse(0))
+
+  override def deserializeOffset(json: String): Offset =
+    RevisionOffset(TemporalTable.parseField(json, "revision").toInt)
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
+
+  /** The delegate batch scan over the given revision directories. */
+  private def delegate(label: String, paths: Seq[String]): Batch = {
+    val opts = new CaseInsensitiveStringMap(
+      Map("path" -> tablePath, "basePath" -> tablePath).asJava)
+    val table = ParquetTable(s"graft-stream $tablePath $label",
+      SparkSession.active, opts, paths, Some(schema), classOf[ParquetFileFormat])
+    table.newScanBuilder(opts).build().toBatch
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[RevisionOffset].revision
+    val e = end.asInstanceOf[RevisionOffset].revision
+    val revs = committed.filter(r => r > s && r <= e)
+    if (revs.isEmpty) Array.empty
+    else delegate(s"($s,$e]", revs.map(r => s"$tablePath/rev=$r")).planInputPartitions()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    // the parquet reader factory is partition-agnostic (schema-driven), so
+    // a whole-table delegate serves any batch's partitions — and stays
+    // valid for empty batches
+    delegate("factory", Seq(tablePath)).createReaderFactory()
+}

@@ -69,6 +69,33 @@ class ChangeFeedSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamCommits: revision-atomic micro-batches from the commit log") {
+    import org.apache.spark.sql.functions.col
+    val p = Files.createTempDirectory("graft-cstream").resolve("tbl").toString
+    TemporalTable.write(Seq((1L, 10.0), (2L, 20.0)).toDF("node_key", "price"), p)
+    val q = ChangeFeed.streamCommits(spark, p)
+      .writeStream.format("memory").queryName("cstream_test")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("cstream_test").count() == 2)
+      // a reserved-but-uncommitted revision is INVISIBLE: data in rev=N/
+      // without a commit entry must not stream (offsets advance on the log)
+      val r = TemporalTable.reserveRevision(p)
+      Seq((9L, 99.0)).toDF("node_key", "price")
+        .write.mode("overwrite").parquet(s"$p/rev=$r")
+      q.processAllAvailable()
+      assert(spark.table("cstream_test").count() == 2,
+        "uncommitted revision must not be streamed")
+      // committing makes it visible as one atomic batch
+      TemporalTable.logCommit(p, r, "t", "")
+      q.processAllAvailable()
+      val rows = spark.table("cstream_test")
+        .select(col("rev"), col("node_key")).as[(Int, Long)].collect().toSet
+      assert(rows == Set((1, 1L), (1, 2L), (r, 9L)))
+    } finally q.stop()
+  }
+
   private def ts(minute: Int, sec: Int = 0): Timestamp =
     Timestamp.valueOf(f"2024-01-01 10:$minute%02d:$sec%02d")
 
