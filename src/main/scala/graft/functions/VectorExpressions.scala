@@ -162,5 +162,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => VectorExpressions.DotProduct(args(0), args(1))))
     ext.injectOptimizerRule(graft.plans.CountFromMetadataRule(_))
     ext.injectOptimizerRule(graft.plans.ValidTimeStabRule(_))
+    ext.injectResolutionRule(graft.plans.DeltaReconstructRule(_))
   }
 }

@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-level training-data curation operators (builder brief: the
+  * operations a large-scale LLM data pipeline needs beyond the reference's
+  * own surface): repetition quality filters, cross-document span
+  * deduplication, benchmark-contamination detection, and deterministic
+  * stratified sampling.
+  *
+  * Shapes are the published pipeline designs re-expressed as Spark plans —
+  * repetition filters follow Gopher's repetition heuristics (Rae et al.
+  * 2021, §A1.1), span dedup follows C4's repeated-span removal (Raffel et
+  * al. 2020, §2.2), contamination is the n-gram-overlap test every eval
+  * pipeline runs. All kernels are codegen'd built-ins (split / explode /
+  * window / hash aggregates), no UDFs; every operator shuffles on a hash
+  * or doc key, never on text, so at 100 TB the exchanges carry fixed-width
+  * digests while the wide text column stays map-side.
+  */
+object Corpus {
+
+  /** Non-empty whitespace-split words of `textCol`. */
+  private def words(textCol: Column): Column =
+    filter(split(textCol, " "), w => w =!= "")
+
+  /** Word n-grams as an array column (empty when the doc is shorter than
+    * `n` words). */
+  private def wordNgrams(textCol: Column, n: Int): Column = {
+    val w = words(textCol)
+    when(size(w) >= n,
+      transform(sequence(lit(0), size(w) - n),
+        i => array_join(slice(w, i + 1, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Gopher-style repetition metrics, one row per doc:
+    *  - `top_word_frac`: share of the most frequent word (ties → the
+    *    lexicographically smallest word), high = degenerate repetition;
+    *  - `dup_2gram_frac`: 1 − distinct/total word-2-grams, high = looping
+    *    text;
+    *  - `rep_flagged`: either ratio beyond its Gopher-ish threshold.
+    * Two doc-keyed hash aggregates + one tiny window — no data-sized
+    * state, scales with splits. */
+  def repetitionMetrics(raw: DataFrame, idCol: String, textCol: String,
+                        topWordMax: Double = 0.2,
+                        dup2gramMax: Double = 0.2): DataFrame = {
+    val df = Dedup.fanOut(raw, idCol)
+    val id = col(idCol)
+    val tokens = df.select(id, explode(words(col(textCol))).as("w"))
+    val topWord = tokens.groupBy(id, col("w")).agg(count(lit(1)).as("cnt"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(id).orderBy(desc("cnt"), col("w"))))
+      .filter(col("__rn") === 1)
+      .select(id, col("w").as("top_word"), col("cnt").as("top_cnt"))
+    val grams = df.select(id, explode(wordNgrams(col(textCol), 2)).as("g"))
+      .groupBy(id).agg(count(lit(1)).as("n_2grams"),
+        count_distinct(col("g")).as("n_distinct_2grams"))
+    val nWords = df.select(id, size(words(col(textCol))).cast("long").as("n_words"))
+    nWords.join(topWord, idCol).join(grams, idCol)
+      .select(id, col("n_words"), col("top_word"),
+        round(col("top_cnt").cast("double") / col("n_words"), 4).as("top_word_frac"),
+        round(lit(1.0) - col("n_distinct_2grams").cast("double") / col("n_2grams"), 4)
+          .as("dup_2gram_frac"))
+      .withColumn("rep_flagged",
+        col("top_word_frac") > topWordMax || col("dup_2gram_frac") > dup2gramMax)
+  }
+
+  /** C4-style corpus-level span dedup: every `n`-word gram instance that
+    * also occurs at a lexicographically earlier (doc_id, position) —
+    * anywhere in the corpus — counts as a duplicate. Returns per-doc
+    * `n_spans` / `n_dup_spans` / `dup_span_frac`.
+    *
+    * Plan: map-side gram explode → ONE shuffle keyed on the 128-bit gram
+    * digest (never the text) → per-gram window marks every instance after
+    * the first → doc-keyed count. Gram-key partitioning is uniform by
+    * construction (md5), so no salting is needed even when one span
+    * repeats millions of times — the window per key is a sort of that
+    * key's instances only. */
+  def spanDedup(raw: DataFrame, idCol: String, textCol: String,
+                n: Int = 8): DataFrame = {
+    val df = Dedup.fanOut(raw, idCol)
+    val id = col(idCol)
+    val spans = df
+      .select(id, posexplode(wordNgrams(col(textCol), n)).as(Seq("pos", "g")))
+      .select(id, col("pos"), md5(col("g")).as("h"))
+    val marked = spans.withColumn("__rn", row_number().over(
+      Window.partitionBy(col("h")).orderBy(id, col("pos"))))
+    marked.groupBy(id)
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("__rn") > 1, 1L).otherwise(0L)).as("n_dup_spans"))
+      .withColumn("dup_span_frac",
+        round(col("n_dup_spans").cast("double") / col("n_spans"), 4))
+  }
+
+  /** Benchmark-contamination scan: for each candidate doc, how many of its
+    * DISTINCT word `n`-grams appear in the benchmark set's grams. The
+    * benchmark side is tiny by definition (eval suites are KBs against a
+    * 100 TB corpus), so its distinct-gram digest set is broadcast — the
+    * corpus side never shuffles. */
+  def contamination(rawCorpus: DataFrame, benchmark: DataFrame, idCol: String,
+                    textCol: String, n: Int = 3): DataFrame = {
+    val corpus = Dedup.fanOut(rawCorpus, idCol)
+    val id = col(idCol)
+    val benchGrams = benchmark
+      .select(explode(wordNgrams(col(textCol), n)).as("g"))
+      .select(md5(col("g")).as("h")).distinct()
+    val docGrams = corpus
+      .select(id, explode(wordNgrams(col(textCol), n)).as("g"))
+      .select(id, md5(col("g")).as("h")).distinct()
+    docGrams.join(broadcast(benchGrams), Seq("h"), "left_semi")
+      .groupBy(id).agg(count(lit(1)).as("n_overlap"))
+      .join(corpus.select(id), Seq(idCol), "right_outer")
+      .select(id, coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("contaminated", col("n_overlap") > 0)
+  }
+
+  /** Deterministic stratified sampling: keep a row iff the first three hex
+    * nibbles of `md5(key)` — a uniform 0..4095 bucket — fall under the
+    * stratum's rate. Pure map-side (no shuffle, no RNG state), so the
+    * sample is reproducible across runs, executors, and engines; the same
+    * arithmetic re-derives in SQL for the oracle. */
+  def hashBucket(keyCol: Column): Column =
+    (conv(substring(md5(keyCol.cast("string")), 1, 3), 16, 10)).cast("long")
+
+  def stratifiedSample(df: DataFrame, keyCol: String, stratumCol: String,
+                       rates: Map[String, Double],
+                       defaultRate: Double = 0.0): DataFrame = {
+    val thresholds = rates.foldLeft(lit(math.round(defaultRate * 4096).toLong)) {
+      case (acc, (stratum, rate)) =>
+        when(col(stratumCol) === stratum, math.round(rate * 4096).toLong).otherwise(acc)
+    }
+    df.filter(hashBucket(col(keyCol)) < thresholds)
+  }
+}

@@ -33,7 +33,7 @@ object Dedup {
     * or two parquet splits — without this every downstream shingle/hash
     * runs on a single task. At scale inputs already have many splits and
     * this is a no-op. */
-  private def fanOut(df: DataFrame, idCol: String): DataFrame = {
+  private[operators] def fanOut(df: DataFrame, idCol: String): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target, col(idCol)) else df
   }

@@ -141,9 +141,12 @@ object Intervals {
     // keeps the list ~log2(axis) long and inside the partition column's
     // inferred integral type. Open intervals (null to) bound it by their
     // start instead.
-    val maxCoarse = df
+    val maxCoarseRow = df
       .agg(max(coalesce(idiv(col(toCol) - 1, granularity), idiv(col(fromCol), granularity))))
-      .head().getLong(0)
+      .head()
+    require(!maxCoarseRow.isNullAt(0),
+      s"writeIndexed: input is empty (or every $fromCol is null) — nothing to index at $path")
+    val maxCoarse = maxCoarseRow.getLong(0)
     val meta = new org.apache.spark.sql.types.MetadataBuilder()
       .putString(MetaFrom, fromCol)
       .putString(MetaTo, toCol)

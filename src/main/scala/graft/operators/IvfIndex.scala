@@ -61,4 +61,35 @@ object IvfIndex {
       .orderBy(desc("sim"), col(idCol))
       .limit(k)
   }
+
+  // ---- persisted, write-clustered index ------------------------------
+
+  /** Persist a [[fit]] output CLUSTERED by cell: `ivf_cell` becomes a hive
+    * partition column, so a probe's `ivf_cell IN (...)` predicate prunes
+    * the FILE LISTING — at 100 TB a search lists/reads ~nProbe/nLists of
+    * the table's directories and nothing else (the same design as
+    * [[Intervals.writeIndexed]]'s fork partitions). Centroids are tiny
+    * (nLists × dim doubles) and ride along as driver-side metadata under
+    * `_ivf/` via [[graft.sources.MetaIO]], so the index opens on any
+    * Hadoop filesystem. */
+  def writeClustered(assigned: DataFrame, model: Model, path: String): Unit = {
+    assigned.write.mode("overwrite").partitionBy("ivf_cell").parquet(path)
+    // one centroid per line, comma-joined — no escaping concerns
+    val body = model.centroids.map(_.mkString(",")).mkString("\n")
+    graft.sources.MetaIO.mkdirs(s"$path/_ivf")
+    graft.sources.MetaIO.delete(s"$path/_ivf/centroids.txt")
+    graft.sources.MetaIO.createNew(s"$path/_ivf/centroids.txt", body)
+  }
+
+  def readModel(path: String): Model = Model(
+    graft.sources.MetaIO.readString(s"$path/_ivf/centroids.txt")
+      .split('\n').filter(_.nonEmpty).map(_.split(',').map(_.toDouble)))
+
+  /** ANN top-k over a [[writeClustered]] table: the cell IN-list reaches
+    * partition pruning, so only probed directories are listed and read. */
+  def searchClustered(spark: SparkSession, path: String, idCol: String,
+                      vecCol: String, query: Array[Double], k: Int,
+                      nProbe: Int): DataFrame =
+    search(spark.read.parquet(path), readModel(path), idCol, vecCol,
+      query, k, nProbe)
 }

@@ -140,9 +140,10 @@ object TreeMatch {
       .filter(col("parent_key").isNotNull)
       .groupBy(col("doc_id"), col("parent_key").as(as))
       .agg(count(lit(1)).as(s"__n$as"))
-    val maxLevel = a.select(size(col("ordpath")).as("l"))
+    val maxLevelRow = a.select(size(col("ordpath")).as("l"))
       .unionByName(b.select(size(col("ordpath")).as("l")))
-      .agg(max(col("l"))).head().getInt(0)
+      .agg(max(col("l"))).head()
+    val maxLevel = if (maxLevelRow.isNullAt(0)) 0 else maxLevelRow.getInt(0)
     val roots3 = unmatched(a.filter(col("parent_key").isNull), m12, "a_key")
       .select(col("doc_id"), col("node_key").as("a_key"), col("ordpath"))
       .withColumn("__rn", row_number().over(

@@ -42,7 +42,10 @@ case class CountFromMetadataRule(spark: SparkSession) extends Rule[LogicalPlan] 
     plan match {
       case r: DataSourceV2Relation =>
         r.table match {
-          case t: graft.sources.GraftTable => Some(t)
+          // a delta table's revision dirs hold change records, not rows —
+          // footer counts would overcount (DeltaReconstructRule normally
+          // rewrites these relations away before this rule can see them)
+          case t: graft.sources.GraftTable if !t.isDeltaLayout => Some(t)
           case _ => None
         }
       // post-pushdown shape: rewrite ONLY if nothing was pushed into the

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Corpus, Dedup, Similarity}
 
 /** Training-data pipeline operators (builder brief: dedup, similarity
   * search, text analysis) over the `documents` and `embeddings` tables.
@@ -90,6 +90,28 @@ object PipelineQueries {
       docs(s, d).select(col("doc_id"),
           TextFunctions.tokenCount(col("text")).as("n_tokens"))
         .orderBy("doc_id")
+    },
+    // Gopher-style repetition quality filters
+    "x_repetition" -> { (s, d) =>
+      Corpus.repetitionMetrics(docs(s, d), "doc_id", "text").orderBy("doc_id")
+    },
+    // C4-style corpus-level duplicate-span fractions (8-word grams)
+    "d_span_dedup" -> { (s, d) =>
+      Corpus.spanDedup(docs(s, d), "doc_id", "text", 8).orderBy("doc_id")
+    },
+    // benchmark-contamination 3-gram overlap (benchmark = doc_id % 50 == 0)
+    "x_contamination" -> { (s, d) =>
+      val all = docs(s, d)
+      Corpus.contamination(all.filter(col("doc_id") % 50 =!= 0),
+          all.filter(col("doc_id") % 50 === 0), "doc_id", "text", 3)
+        .orderBy("doc_id")
+    },
+    // deterministic hash-stratified sampling by language
+    "x_sample_stratified" -> { (s, d) =>
+      Corpus.stratifiedSample(docs(s, d), "doc_id", "lang",
+          Map("en" -> 0.5, "es" -> 0.25, "fr" -> 0.25, "de" -> 0.125),
+          defaultRate = 0.0625)
+        .select("doc_id", "lang").orderBy("doc_id")
     },
     // PII scrubbing + whitespace normalization (training-data hygiene);
     // deterministic synthetic PII is injected per doc so the kernels are
@@ -212,6 +234,79 @@ object PipelineQueries {
       """SELECT doc_id,
         |  CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS INTEGER) AS n_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_repetition" ->
+      """WITH wl AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
+        |  FROM documents),
+        |toks AS (SELECT doc_id, unnest(w) AS w FROM wl),
+        |counts AS (SELECT doc_id, w, COUNT(*) AS cnt FROM toks GROUP BY doc_id, w),
+        |top AS (
+        |  SELECT doc_id, w AS top_word, cnt AS top_cnt,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, w) AS rn
+        |  FROM counts),
+        |grams AS (
+        |  SELECT doc_id, w[CAST(i AS INTEGER)] || ' ' || w[CAST(i AS INTEGER) + 1] AS g
+        |  FROM wl, UNNEST(range(1, len(w))) AS r(i)),
+        |g2 AS (
+        |  SELECT doc_id, COUNT(*) AS n_2grams, COUNT(DISTINCT g) AS n_distinct
+        |  FROM grams GROUP BY doc_id),
+        |m AS (
+        |  SELECT wl.doc_id, CAST(len(wl.w) AS BIGINT) AS n_words, top.top_word,
+        |    ROUND(CAST(top.top_cnt AS DOUBLE) / len(wl.w), 4) AS top_word_frac,
+        |    ROUND(1.0 - CAST(g2.n_distinct AS DOUBLE) / g2.n_2grams, 4) AS dup_2gram_frac
+        |  FROM wl
+        |  JOIN top ON top.doc_id = wl.doc_id AND top.rn = 1
+        |  JOIN g2 ON g2.doc_id = wl.doc_id)
+        |SELECT doc_id, n_words, top_word, top_word_frac, dup_2gram_frac,
+        |  (top_word_frac > 0.2 OR dup_2gram_frac > 0.2) AS rep_flagged
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "d_span_dedup" ->
+      """WITH wl AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
+        |  FROM documents),
+        |spans AS (
+        |  SELECT doc_id, CAST(i AS INTEGER) AS pos,
+        |    md5(array_to_string(w[CAST(i AS INTEGER):CAST(i AS INTEGER) + 7], ' ')) AS h
+        |  FROM wl, UNNEST(range(1, len(w) - 6)) AS r(i)),
+        |marked AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+        |  FROM spans)
+        |SELECT doc_id, COUNT(*) AS n_spans,
+        |  SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS n_dup_spans,
+        |  ROUND(CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4)
+        |    AS dup_span_frac
+        |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "x_contamination" ->
+      """WITH wl AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id,
+        |    md5(array_to_string(w[CAST(i AS INTEGER):CAST(i AS INTEGER) + 2], ' ')) AS h
+        |  FROM wl, UNNEST(range(1, len(w) - 1)) AS r(i)),
+        |ov AS (
+        |  SELECT doc_id, COUNT(*) AS n_overlap FROM grams
+        |  WHERE doc_id % 50 != 0
+        |    AND h IN (SELECT h FROM grams WHERE doc_id % 50 = 0)
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(ov.n_overlap, 0) AS n_overlap,
+        |  COALESCE(ov.n_overlap, 0) > 0 AS contaminated
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 50 != 0) d
+        |LEFT JOIN ov ON ov.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    "x_sample_stratified" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang,
+        |    (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 256
+        |  + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 16
+        |  + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1)
+        |      AS bucket
+        |  FROM documents)
+        |SELECT doc_id, lang FROM b
+        |WHERE bucket < CASE lang WHEN 'en' THEN 2048 WHEN 'es' THEN 1024
+        |  WHEN 'fr' THEN 1024 WHEN 'de' THEN 512 ELSE 256 END
+        |ORDER BY doc_id""".stripMargin,
     "x_scrub" ->
       """SELECT doc_id,
         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(

@@ -43,6 +43,17 @@ object DeltaTemporalTable {
 
   def mostRecentRevision(path: String): Option[Int] = commits(path).lastOption.map(_.revision)
 
+  /** Whether the table at `path` uses delta-encoded storage — detected
+    * from the commit log alone (delta commits carry a `kind` field; plain
+    * [[TemporalTable]] commits don't). Reads ONE log entry: the first
+    * commit of a delta table is always `kind=full`. */
+  def isDeltaLayout(path: String): Boolean = {
+    val dir = commitsDir(path)
+    MetaIO.list(dir).filter(_.endsWith(".json")).sorted.headOption.exists { n =>
+      TemporalTable.parseField(MetaIO.readString(s"$dir/$n"), "kind").nonEmpty
+    }
+  }
+
   private def logCommit(path: String, rev: Int, author: String, message: String,
                         kind: String): Unit = {
     val ts = System.currentTimeMillis()
@@ -135,10 +146,11 @@ object DeltaTemporalTable {
     * granularity). Append-only: prior revisions stay readable. */
   def compact(spark: SparkSession, path: String, author: String = "graft"): Int = {
     val rev = TemporalTable.reserveRevision(path)
-    // same single-writer guard as write(): a compact racing a delta commit
-    // would snapshot stale state and silently drop the concurrent delta
-    requireNoLowerReservation(path, rev)
     try {
+      // same single-writer guard as write(): a compact racing a delta commit
+      // would snapshot stale state and silently drop the concurrent delta.
+      // Inside the try so a transient listing failure releases the marker.
+      requireNoLowerReservation(path, rev)
       // read only after reserving, so the materialized chain is the one
       // this compaction supersedes
       val current = read(spark, path)

@@ -127,6 +127,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     listNamespaces(Array.empty)
 
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    if (!namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(namespace)
     val dir = nsPath(namespace)
     MetaIO.listDirs(dir)
       .filterNot(n => TemporalTable.exists(s"$dir/$n")) // tables aren't namespaces

@@ -55,8 +55,11 @@ class GraftTemporalSource extends TableProvider with DataSourceRegister {
 
   override def supportsExternalMetadata(): Boolean = false
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    GraftTemporalSource.readDelegate(options).schema
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val path = GraftTemporalSource.tablePathOf(options)
+    if (DeltaTemporalTable.isDeltaLayout(path)) new GraftTable(options).schema()
+    else GraftTemporalSource.readDelegate(options).schema
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: JMap[String, String]): Table = {
@@ -142,15 +145,61 @@ private[graft] class GraftTable(options: CaseInsensitiveStringMap)
   private[graft] def resolvedDataPaths: Seq[String] =
     GraftTemporalSource.resolveDataPaths(options)
 
+  /** Delta-encoded layout ([[DeltaTemporalTable]] storage): revision dirs
+    * mix full snapshots and change records, so the scan cannot be a plain
+    * parquet listing — [[graft.plans.DeltaReconstructRule]] rewrites the
+    * relation into the reconstruction plan at analysis time. */
+  private[graft] lazy val isDeltaLayout: Boolean =
+    DeltaTemporalTable.isDeltaLayout(tablePath)
+
+  /** The revision the read options pin (delta tables), resolved against
+    * the commit log; None = latest. */
+  private[graft] def deltaRevision: Option[Int] =
+    if (options.containsKey("revision")) Some(options.getInt("revision", -1))
+    else if (options.containsKey("asOfTimestampMs")) {
+      val ts = options.getLong("asOfTimestampMs", Long.MaxValue)
+      val eligible = DeltaTemporalTable.commits(tablePath).filter(_.commitTsMs <= ts)
+      require(eligible.nonEmpty, s"no revision at or before ts=$ts")
+      Some(eligible.last.revision)
+    } else None
+
+  /** Reconstructed schema for a delta table = its base full snapshot's
+    * (deltas add only the `__change_type` marker, which reconstruction
+    * drops) — footer-only driver-side read, no job. */
+  private lazy val deltaSchema: StructType = {
+    require(!options.getBoolean("allRevisions", false),
+      "allRevisions is not supported on delta-encoded tables (revision dirs mix " +
+        "snapshot and change-record schemas); read revisions individually via " +
+        "DeltaTemporalTable.read")
+    val log = DeltaTemporalTable.commits(tablePath)
+    require(log.nonEmpty, s"no commits at $tablePath")
+    val rev = deltaRevision.getOrElse(log.last.revision)
+    require(log.exists(_.revision == rev), s"unknown revision $rev at $tablePath")
+    val baseRev = log.filter(_.revision <= rev).reverse.find(_.kind == "full")
+      .getOrElse(throw new IllegalStateException(s"no full snapshot at or below $rev"))
+      .revision
+    SparkSession.active.read.parquet(s"$tablePath/rev=$baseRev").schema
+  }
+
   override def name(): String = s"graft-temporal $tablePath"
-  override def schema(): StructType = reader.schema
+  override def schema(): StructType =
+    if (isDeltaLayout) deltaSchema else reader.schema
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE).asJava
 
-  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder = {
+    if (isDeltaLayout) throw new IllegalStateException(
+      s"$tablePath is delta-encoded: its scan is a reconstruction plan, which " +
+        "graft.plans.DeltaReconstructRule substitutes at analysis time — enable " +
+        "spark.sql.extensions=graft.functions.GraftExtensions, or read via " +
+        "DeltaTemporalTable.read")
     reader.newScanBuilder(o)
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    if (isDeltaLayout) throw new UnsupportedOperationException(
+      s"$tablePath is delta-encoded: commit new revisions via DeltaTemporalTable.write " +
+        "(a V2 append would log a kind-less full snapshot into a delta chain)")
     val spark = SparkSession.active
     // Reserve the revision number up front (create-new marker): two racing
     // writers get distinct rev=N directories instead of clobbering each

@@ -23,11 +23,13 @@ import java.nio.charset.StandardCharsets
   */
 private[graft] object MetaIO {
 
-  /** Hadoop conf: the active session's (so `fs.*` settings apply), else
-    * default — metadata helpers are also called before any session exists
-    * in some specs. */
+  /** Hadoop conf: the active session's (so `fs.*` settings apply), else the
+    * default session's (hooks and non-session threads still see S3A
+    * credentials etc.), else bare — metadata helpers are also called before
+    * any session exists in some specs. */
   private def conf: Configuration =
     SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
       .map(_.sparkContext.hadoopConfiguration)
       .getOrElse(new Configuration())
 
@@ -67,17 +69,18 @@ private[graft] object MetaIO {
 
   /** Create-new write: fails with [[FileAlreadyExistsException]] if the
     * file exists — the commit-log/reservation primitive. Atomic on HDFS
-    * (namenode-enforced). NOT atomic on S3A (a HEAD-then-PUT check) or
-    * the local FS: on those stores two drivers racing the same table can
-    * both pass — multi-writer safety holds on HDFS; on S3, run a single
-    * writer per table (Delta Lake has the same caveat without a
-    * coordination service) or enable S3 conditional writes at the store
-    * layer. */
+    * (rename refuses an existing destination, namenode-enforced) and on
+    * the local FS (hard-link of a fully-written tmp file — link(2) fails
+    * with EEXIST if the destination appears first, and the linked content
+    * is complete, so no torn reads). NOT atomic on S3A (a HEAD-then-PUT
+    * check): there, run a single writer per table (Delta Lake has the same
+    * caveat without a coordination service) or enable S3 conditional
+    * writes at the store layer. */
   def createNew(path: String, content: String): Unit = {
     val f = fs(path)
     val p = new Path(path)
     if (f.exists(p)) throw new FileAlreadyExistsException(path)
-    // write-to-hidden-tmp + rename: content becomes visible ATOMICALLY
+    // write-to-hidden-tmp first: content becomes visible ATOMICALLY
     // (create-then-write would let a concurrent commit-log reader observe
     // an empty/partial entry — a real torn read caught by the commit-
     // stream spec). Dot-prefixed tmp names are invisible to every
@@ -87,9 +90,38 @@ private[graft] object MetaIO {
     val out = f.create(tmp, true)
     try out.write(content.getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    if (!f.rename(tmp, p)) {
+    val local = localFile(f, p)
+    if (local.isDefined) {
+      // Local FS: Hadoop's rename OVERWRITES an existing destination, so
+      // two racing writers could both "reserve" the same revision. link(2)
+      // is the POSIX atomic create-new: it fails if dest exists and the
+      // linked inode already holds the full content.
+      val (destNio, dir) = local.get
+      val tmpNio = dir.resolve(tmp.getName)
+      try java.nio.file.Files.createLink(destNio, tmpNio)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          java.nio.file.Files.deleteIfExists(tmpNio)
+          throw new FileAlreadyExistsException(path)
+      }
+      java.nio.file.Files.deleteIfExists(tmpNio)
+    } else if (!f.rename(tmp, p)) {
       f.delete(tmp, false)
       throw new FileAlreadyExistsException(path)
+    }
+  }
+
+  /** For file:-scheme paths, the java.nio destination + parent dir; None
+    * for every remote scheme (HDFS/S3A/...), which keeps the Hadoop
+    * rename path. */
+  private def localFile(
+      f: FileSystem, p: Path): Option[(java.nio.file.Path, java.nio.file.Path)] = {
+    val scheme = Option(f.getUri.getScheme).getOrElse("file")
+    if (scheme != "file") None
+    else {
+      val qualified = p.makeQualified(f.getUri, f.getWorkingDirectory)
+      val dest = java.nio.file.Paths.get(qualified.toUri.getPath)
+      Some((dest, dest.getParent))
     }
   }
 

@@ -14,6 +14,9 @@ object SparkSpec {
       .master("local[4]")
       .appName("graft-test")
       .config("spark.ui.enabled", "false")
+      // the full extension surface is active in every spec (functions,
+      // count-from-metadata, stab rewrite, delta reconstruction)
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()

@@ -2,7 +2,7 @@ package graft.plans
 
 import graft.SparkSpec
 import graft.operators.Intervals
-import org.apache.spark.sql.catalyst.expressions.In
+import org.apache.spark.sql.catalyst.expressions.{In, InSet}
 import org.apache.spark.sql.execution.FileSourceScanExec
 import org.apache.spark.sql.functions._
 import java.nio.file.Files
@@ -43,7 +43,7 @@ class ValidTimeStabRuleSpec extends SparkSpec {
     val ts = 9973L
     val stab = t.filter(col("vf") <= ts && col("vt") > ts)
     val optimized = stab.queryExecution.optimizedPlan
-    assert(optimized.expressions.exists(_.exists(_.isInstanceOf[In])),
+    assert(optimized.expressions.exists(_.exists(e => e.isInstanceOf[In] || e.isInstanceOf[InSet])),
       s"expected fork IN-list in plan:\n$optimized")
 
     // correctness: identical rows to the unindexed filter
@@ -79,7 +79,7 @@ class ValidTimeStabRuleSpec extends SparkSpec {
     // id 1 (closed, contains), id 2 and 4 (open, started before ts)
     assert(stab.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 4L))
     assert(stab.queryExecution.optimizedPlan.expressions
-      .exists(_.exists(_.isInstanceOf[In])), "stab must still rewrite")
+      .exists(_.exists(e => e.isInstanceOf[In] || e.isInstanceOf[InSet])), "stab must still rewrite")
     // a stab PAST the recorded axis max must NOT be fork-pruned: open
     // intervals still contain it but their forks aren't on its root path
     val far = 100000L
@@ -117,6 +117,6 @@ class ValidTimeStabRuleSpec extends SparkSpec {
       .select("id").as[Long].collect().sorted.toSeq
     assert(stabNullable.select("id").as[Long].collect().sorted.toSeq == exp2)
     assert(stabNullable.queryExecution.optimizedPlan.expressions
-      .exists(_.exists(_.isInstanceOf[In])))
+      .exists(_.exists(e => e.isInstanceOf[In] || e.isInstanceOf[InSet])))
   }
 }

@@ -46,6 +46,48 @@ class DeltaTemporalTableSpec extends SparkSpec {
     assert(DeltaTemporalTable.read(spark, p, Some(2)).count() == 1001)
   }
 
+  test("V2 reads serve delta layouts via DeltaReconstructRule (latest/revision/asOf)") {
+    val p = Files.createTempDirectory("graft-delta-v2").resolve("tbl").toString
+    val snaps = Seq(
+      snap(1L -> 10.0, 2L -> 20.0),
+      snap(1L -> 11.0, 3L -> 30.0),          // upd 1, del 2, ins 3
+      snap(1L -> 11.0, 3L -> 31.0, 4L -> 40.0))
+    snaps.foreach(s => DeltaTemporalTable.write(spark, s, p, snapshotEvery = 4))
+    assert(DeltaTemporalTable.isDeltaLayout(p))
+
+    // latest via the format surface
+    val latest = spark.read.format("graft-temporal").load(p)
+    assert(latest.columns.toSeq == Seq("node_key", "price"))
+    assert(latest.as[(Long, Double)].collect().toMap ==
+      Map(1L -> 11.0, 3L -> 31.0, 4L -> 40.0))
+    // revision pin reconstructs mid-chain
+    val r2 = spark.read.format("graft-temporal").option("revision", 2).load(p)
+    assert(r2.as[(Long, Double)].collect().toMap == Map(1L -> 11.0, 3L -> 30.0))
+    // predicates and projection survive the rewrite (they reach the
+    // underlying parquet scans through the normal optimizer)
+    assert(latest.filter($"node_key" === 4L).select("price").as[Double].collect()
+      .toSeq == Seq(40.0))
+    // count(*) is NOT served from footers on a delta table (change records
+    // would overcount) — it must run the reconstruction
+    assert(latest.count() == 3)
+    // asOf: everything committed so far is before "now"
+    val asOf = spark.read.format("graft-temporal")
+      .option("asOfTimestampMs", System.currentTimeMillis() + 1000).load(p)
+    assert(asOf.count() == 3)
+  }
+
+  test("V2 write on a delta table is rejected with a pointer to the delta API") {
+    val p = Files.createTempDirectory("graft-delta-v2w").resolve("tbl").toString
+    DeltaTemporalTable.write(spark, snap(1L -> 1.0), p)
+    val e = intercept[Exception] {
+      snap(2L -> 2.0).write.format("graft-temporal").mode("append").save(p)
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(e).exists(_.getMessage != null) &&
+      causes(e).exists(c => Option(c.getMessage).exists(_.contains("DeltaTemporalTable.write"))))
+  }
+
   test("compact materializes the delta chain as a new full snapshot") {
     val p = Files.createTempDirectory("graft-delta4").resolve("tbl").toString
     DeltaTemporalTable.write(spark, snap(1L -> 1.0, 2L -> 2.0), p, snapshotEvery = 9)

@@ -37,6 +37,24 @@ class GraftCatalogSpec extends SparkSpec {
     assert(atNow == Seq(1L, 3L))
   }
 
+  test("SQL over a delta-encoded table reconstructs through the catalog") {
+    warehouse
+    // own namespace: the shared `db` namespace's SHOW TABLES counts are
+    // asserted elsewhere
+    val p = s"$warehouse/deltadb/dres"
+    DeltaTemporalTable.write(spark,
+      Seq((1L, 10.0), (2L, 20.0)).toDF("node_key", "price"), p, snapshotEvery = 4)
+    DeltaTemporalTable.write(spark,
+      Seq((1L, 11.0), (3L, 30.0)).toDF("node_key", "price"), p, snapshotEvery = 4)
+    val latest = spark.sql("SELECT node_key, price FROM gw.deltadb.dres ORDER BY node_key")
+      .as[(Long, Double)].collect().toSeq
+    assert(latest == Seq((1L, 11.0), (3L, 30.0)))
+    val v1 = spark.sql(
+      "SELECT node_key, price FROM gw.deltadb.dres VERSION AS OF 1 ORDER BY node_key")
+      .as[(Long, Double)].collect().toSeq
+    assert(v1 == Seq((1L, 10.0), (2L, 20.0)))
+  }
+
   test("catalog DDL surface: SHOW, EXISTS, DROP") {
     warehouse
     val tables = spark.sql("SHOW TABLES IN gw.db").select("tableName")

@@ -187,6 +187,38 @@ class TemporalTableSpec extends SparkSpec {
     assert(MetaIO.list(TemporalTable.commitsDir(p)).forall(_.endsWith(".json")))
   }
 
+  test("createNew is atomic create-new on the local FS (concurrent racers)") {
+    val dir = Files.createTempDirectory("graft-meta").toString
+    val target = s"$dir/00000001.json"
+    // N threads race the same create-new; exactly one must win and the
+    // winner's content must survive intact (the pre-fix rename path let a
+    // second racer overwrite the winner).
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val n = 8
+    val pool = Executors.newFixedThreadPool(n)
+    val start = new CountDownLatch(1)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Either[Throwable, Int]]()
+    (0 until n).foreach { i =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          start.await()
+          try { MetaIO.createNew(target, s"""{"writer":$i}"""); results.add(Right(i)) }
+          catch { case t: Throwable => results.add(Left(t)) }
+        }
+      })
+    }
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(30, TimeUnit.SECONDS))
+    import scala.jdk.CollectionConverters._
+    val (losers, winners) = results.asScala.toSeq.partitionMap(identity)
+    assert(winners.size == 1, s"expected exactly one winner, got $winners")
+    assert(losers.forall(_.isInstanceOf[org.apache.hadoop.fs.FileAlreadyExistsException]))
+    assert(MetaIO.readString(target) == s"""{"writer":${winners.head}}""")
+    // no tmp litter left behind
+    assert(MetaIO.list(dir) == Seq("00000001.json"))
+  }
+
   test("aborted write leaves no revision and frees nothing visible") {
     val p = freshPath()
     TemporalTable.write(rev1, p)
