@@ -49,7 +49,8 @@ object Corpus {
     val df = Dedup.fanOut(raw, idCol)
     val id = col(idCol)
     val tokens = df.select(id, explode(words(col(textCol))).as("w"))
-    val topWord = tokens.groupBy(id, col("w")).agg(count(lit(1)).as("cnt"))
+    val wordCounts = tokens.groupBy(id, col("w")).agg(count(lit(1)).as("cnt"))
+    val topWord = wordCounts
       .withColumn("__rn", row_number().over(
         Window.partitionBy(id).orderBy(desc("cnt"), col("w"))))
       .filter(col("__rn") === 1)
@@ -57,7 +58,9 @@ object Corpus {
     val grams = df.select(id, explode(wordNgrams(col(textCol), 2)).as("g"))
       .groupBy(id).agg(count(lit(1)).as("n_2grams"),
         count_distinct(col("g")).as("n_distinct_2grams"))
-    val nWords = df.select(id, size(words(col(textCol))).cast("long").as("n_words"))
+    // n_words folds out of the per-word counts — no third scan of the
+    // wide text column
+    val nWords = wordCounts.groupBy(id).agg(sum(col("cnt")).as("n_words"))
     nWords.join(topWord, idCol).join(grams, idCol)
       .select(id, col("n_words"), col("top_word"),
         round(col("top_cnt").cast("double") / col("n_words"), 4).as("top_word_frac"),
@@ -72,12 +75,15 @@ object Corpus {
     * anywhere in the corpus — counts as a duplicate. Returns per-doc
     * `n_spans` / `n_dup_spans` / `dup_span_frac`.
     *
-    * Plan: map-side gram explode → ONE shuffle keyed on the 128-bit gram
-    * digest (never the text) → per-gram window marks every instance after
-    * the first → doc-keyed count. Gram-key partitioning is uniform by
-    * construction (md5), so no salting is needed even when one span
-    * repeats millions of times — the window per key is a sort of that
-    * key's instances only. */
+    * Plan: map-side gram explode → per-gram `min(struct(doc, pos))`
+    * aggregate → join back → doc-keyed count. The min-aggregate (not a
+    * `row_number` window) is deliberate: it combines MAP-SIDE, so a
+    * boilerplate span repeated a billion times across a 100 TB corpus
+    * arrives at its reducer as one pre-folded row per map partition,
+    * where a per-gram sort window would buffer every instance on a single
+    * reducer. The join back is streaming on the instance side (no per-key
+    * buffering), and AQE's skew split covers the residue. All exchanges
+    * carry the 128-bit digest, never the text. */
   def spanDedup(raw: DataFrame, idCol: String, textCol: String,
                 n: Int = 8): DataFrame = {
     val df = Dedup.fanOut(raw, idCol)
@@ -85,11 +91,13 @@ object Corpus {
     val spans = df
       .select(id, posexplode(wordNgrams(col(textCol), n)).as(Seq("pos", "g")))
       .select(id, col("pos"), md5(col("g")).as("h"))
-    val marked = spans.withColumn("__rn", row_number().over(
-      Window.partitionBy(col("h")).orderBy(id, col("pos"))))
-    marked.groupBy(id)
+    val firsts = spans.groupBy(col("h"))
+      .agg(min(struct(id, col("pos"))).as("__first"))
+    spans.join(firsts, "h")
+      .groupBy(id)
       .agg(count(lit(1)).as("n_spans"),
-        sum(when(col("__rn") > 1, 1L).otherwise(0L)).as("n_dup_spans"))
+        sum(when(struct(id, col("pos")) =!= col("__first"), 1L).otherwise(0L))
+          .as("n_dup_spans"))
       .withColumn("dup_span_frac",
         round(col("n_dup_spans").cast("double") / col("n_spans"), 4))
   }
@@ -114,6 +122,30 @@ object Corpus {
       .join(corpus.select(id), Seq(idCol), "right_outer")
       .select(id, coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
       .withColumn("contaminated", col("n_overlap") > 0)
+  }
+
+  /** Sliding-window document chunking — the standard pretraining/RAG prep
+    * step: split each doc into `chunkWords`-word windows advancing by
+    * `chunkWords - overlap`, the tail chunk keeping whatever remains.
+    * Pure map-side (sequence + slice + posexplode, all codegen'd): no
+    * shuffle at any scale, output rows carry (doc, chunk ordinal, text,
+    * word count). */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+            chunkWords: Int, overlap: Int = 0): DataFrame = {
+    require(overlap >= 0 && overlap < chunkWords,
+      s"overlap ($overlap) must be in [0, chunkWords=$chunkWords)")
+    val stride = chunkWords - overlap
+    val id = col(idCol)
+    val w = words(col(textCol))
+    df.select(id, w.as("__w"))
+      .filter(size(col("__w")) > 0)
+      .select(id, posexplode(
+        transform(sequence(lit(0), size(col("__w")) - 1, lit(stride)),
+          start => slice(col("__w"), start + 1, lit(chunkWords))))
+        .as(Seq("chunk_id", "__c")))
+      .select(id, col("chunk_id"),
+        array_join(col("__c"), " ").as("chunk_text"),
+        size(col("__c")).cast("long").as("n_chunk_words"))
   }
 
   /** Deterministic stratified sampling: keep a row iff the first three hex

@@ -32,10 +32,11 @@ import scala.collection.mutable
   * plus the beam reaches the basin. Search is fully deterministic: ties
   * break on id everywhere.
   *
-  * Scale shape: search shuffles ONLY the probed cells (one repartition to
-  * co-locate each cell's graph in one task); each task holds one cell's
-  * vectors + adjacency in memory — size cells via `nLists` so a cell fits
-  * an executor (the same contract HNSW has with RAM).
+  * Scale shape: search shuffles ONLY the probed cells (one group-by-cell
+  * shuffle); each grouped iterator materializes ONE cell's vectors +
+  * adjacency at a time, even when several cells hash to the same task —
+  * size cells via `nLists` so a cell fits an executor (the same contract
+  * HNSW has with RAM).
   */
 object NswGraph {
 
@@ -67,20 +68,23 @@ object NswGraph {
                  m: Int): DataFrame = {
     val spark = assigned.sparkSession
     import spark.implicits._
+    // flatMapGroups (not repartition+mapPartitions): hash partitioning
+    // routinely co-locates several cells in one task, and materializing
+    // the whole partition would hold them ALL in memory at once — the
+    // grouped iterator materializes one cell at a time, which is the
+    // documented memory contract.
     toVecRows(assigned, idCol, vecCol)
-      .repartition(col("cell"))
-      .mapPartitions { iter =>
-        iter.toSeq.groupBy(_.cell).iterator.flatMap { case (_, rows) =>
-          val arr = rows.sortBy(_.id).toArray
-          arr.iterator.map { r =>
-            val nn = arr.iterator
-              .filter(_.id != r.id)
-              .map(o => (o.id, cosine(r.vec, o.vec)))
-              .toArray
-              .sortBy { case (id, s) => (-s, id) }
-              .take(m).map(_._1)
-            GraphRow(r.id, r.vec, r.cell, nn)
-          }
+      .groupByKey(_.cell)
+      .flatMapGroups { (_, rows) =>
+        val arr = rows.toArray.sortBy(_.id)
+        arr.iterator.map { r =>
+          val nn = arr.iterator
+            .filter(_.id != r.id)
+            .map(o => (o.id, cosine(r.vec, o.vec)))
+            .toArray
+            .sortBy { case (id, s) => (-s, id) }
+            .take(m).map(_._1)
+          GraphRow(r.id, r.vec, r.cell, nn)
         }
       }
       .toDF("id", "vec", "ivf_cell", "nsw_neighbors")
@@ -106,11 +110,10 @@ object NswGraph {
       .select(col("id").cast("long"), col("vec"),
         col("ivf_cell").cast("int"), col("nsw_neighbors"))
       .as[(Long, Array[Double], Int, Array[Long])]
-      .repartition(col("ivf_cell"))
-      .mapPartitions { iter =>
-        iter.toSeq.groupBy(_._3).iterator.flatMap { case (_, rows) =>
-          beamSearch(rows.map(r => (r._1, (r._2, r._4))).toMap, query, ef)
-        }
+      .groupByKey(_._3)
+      .flatMapGroups { (_, rows) =>
+        // one cell materialized per group (see buildGraph)
+        beamSearch(rows.map(r => (r._1, (r._2, r._4))).toMap, query, ef)
       }
     hits.toDF("id", "sim")
       .withColumn("sim", round(col("sim"), 4))

@@ -106,6 +106,11 @@ object PipelineQueries {
           all.filter(col("doc_id") % 50 === 0), "doc_id", "text", 3)
         .orderBy("doc_id")
     },
+    // sliding-window chunking (32-word windows, 8-word overlap)
+    "x_chunk" -> { (s, d) =>
+      Corpus.chunk(docs(s, d), "doc_id", "text", 32, 8)
+        .orderBy("doc_id", "chunk_id")
+    },
     // deterministic hash-stratified sampling by language
     "x_sample_stratified" -> { (s, d) =>
       Corpus.stratifiedSample(docs(s, d), "doc_id", "lang",
@@ -295,6 +300,19 @@ object PipelineQueries {
         |FROM (SELECT doc_id FROM documents WHERE doc_id % 50 != 0) d
         |LEFT JOIN ov ON ov.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    "x_chunk" ->
+      """WITH wl AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
+        |  FROM documents),
+        |starts AS (
+        |  SELECT doc_id, w, CAST(s AS INTEGER) AS start,
+        |    CAST(s AS INTEGER) // 24 AS chunk_id
+        |  FROM wl, UNNEST(range(0, len(w), 24)) AS r(s)
+        |  WHERE len(w) > 0)
+        |SELECT doc_id, chunk_id,
+        |  array_to_string(w[start + 1:start + 32], ' ') AS chunk_text,
+        |  CAST(least(32, len(w) - start) AS BIGINT) AS n_chunk_words
+        |FROM starts ORDER BY doc_id, chunk_id""".stripMargin,
     "x_sample_stratified" ->
       """WITH b AS (
         |  SELECT doc_id, lang,

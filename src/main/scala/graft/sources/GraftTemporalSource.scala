@@ -55,17 +55,35 @@ class GraftTemporalSource extends TableProvider with DataSourceRegister {
 
   override def supportsExternalMetadata(): Boolean = false
 
+  /** The table resolved by [[inferSchema]], reused by [[getTable]] when the
+    * options match — Spark calls the two back-to-back on one provider
+    * instance per read, and the table's lazy metadata (commit-log listing,
+    * layout detection, schema footers) would otherwise be re-fetched from
+    * the (possibly remote) filesystem twice per open. */
+  @volatile private var lastInferred: Option[(JMap[String, String], GraftTable)] = None
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val path = GraftTemporalSource.tablePathOf(options)
-    if (DeltaTemporalTable.isDeltaLayout(path)) new GraftTable(options).schema()
-    else GraftTemporalSource.readDelegate(options).schema
+    val t = new GraftTable(options)
+    lastInferred = Some((options.asCaseSensitiveMap(), t))
+    t.schema()
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: JMap[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
-    if (opts.getBoolean("commitStream", false)) new GraftStreamTable(opts)
-    else new GraftTable(opts)
+    if (opts.getBoolean("commitStream", false)) {
+      // the micro-batch stream serves rev=N directories raw; on a delta
+      // layout those are change records, not rows — refuse rather than
+      // silently stream deletes/markers as data
+      val path = GraftTemporalSource.tablePathOf(opts)
+      if (DeltaTemporalTable.isDeltaLayout(path)) throw new UnsupportedOperationException(
+        s"$path is delta-encoded: commitStream would emit raw change records; " +
+          "stream a full-snapshot table, or compact() and stream from the snapshot")
+      new GraftStreamTable(opts)
+    } else lastInferred match {
+      case Some((k, t)) if k == properties => t
+      case _ => new GraftTable(opts)
+    }
   }
 }
 

@@ -87,41 +87,45 @@ private[graft] object MetaIO {
     // suffix-filtered listing.
     val tmp = new Path(p.getParent,
       s".${p.getName}.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-    val out = f.create(tmp, true)
-    try out.write(content.getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    val local = localFile(f, p)
-    if (local.isDefined) {
-      // Local FS: Hadoop's rename OVERWRITES an existing destination, so
-      // two racing writers could both "reserve" the same revision. link(2)
-      // is the POSIX atomic create-new: it fails if dest exists and the
-      // linked inode already holds the full content.
-      val (destNio, dir) = local.get
-      val tmpNio = dir.resolve(tmp.getName)
-      try java.nio.file.Files.createLink(destNio, tmpNio)
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          java.nio.file.Files.deleteIfExists(tmpNio)
+    localFile(f, p) match {
+      case Some(destNio) =>
+        // Local FS: Hadoop's rename OVERWRITES an existing destination, so
+        // two racing writers could both "reserve" the same revision.
+        // link(2) is the POSIX atomic create-new: it fails if dest exists
+        // and the linked inode already holds the full content. The tmp is
+        // written with java.nio too — going through the Hadoop
+        // ChecksumFileSystem here would strand a `.crc` sidecar per call
+        // (link/delete below move only the data file).
+        val dir = destNio.getParent
+        java.nio.file.Files.createDirectories(dir)
+        val tmpNio = dir.resolve(tmp.getName)
+        java.nio.file.Files.write(tmpNio, content.getBytes(StandardCharsets.UTF_8))
+        try java.nio.file.Files.createLink(destNio, tmpNio)
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            java.nio.file.Files.deleteIfExists(tmpNio)
+            throw new FileAlreadyExistsException(path)
+        }
+        java.nio.file.Files.deleteIfExists(tmpNio)
+      case None =>
+        val out = f.create(tmp, true)
+        try out.write(content.getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+        if (!f.rename(tmp, p)) {
+          f.delete(tmp, false)
           throw new FileAlreadyExistsException(path)
-      }
-      java.nio.file.Files.deleteIfExists(tmpNio)
-    } else if (!f.rename(tmp, p)) {
-      f.delete(tmp, false)
-      throw new FileAlreadyExistsException(path)
+        }
     }
   }
 
-  /** For file:-scheme paths, the java.nio destination + parent dir; None
-    * for every remote scheme (HDFS/S3A/...), which keeps the Hadoop
-    * rename path. */
-  private def localFile(
-      f: FileSystem, p: Path): Option[(java.nio.file.Path, java.nio.file.Path)] = {
+  /** For file:-scheme paths, the java.nio destination; None for every
+    * remote scheme (HDFS/S3A/...), which keeps the Hadoop rename path. */
+  private def localFile(f: FileSystem, p: Path): Option[java.nio.file.Path] = {
     val scheme = Option(f.getUri.getScheme).getOrElse("file")
     if (scheme != "file") None
     else {
       val qualified = p.makeQualified(f.getUri, f.getWorkingDirectory)
-      val dest = java.nio.file.Paths.get(qualified.toUri.getPath)
-      Some((dest, dest.getParent))
+      Some(java.nio.file.Paths.get(qualified.toUri.getPath))
     }
   }
 

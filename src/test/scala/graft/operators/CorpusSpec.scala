@@ -1,0 +1,91 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("repetitionMetrics flags degenerate repetition, passes varied text") {
+    val df = Seq(
+      (1L, "spam spam spam spam spam spam spam spam spam ham"),     // top word 90%
+      (2L, "go stop go stop go stop go stop go stop"),              // looping 2-grams
+      (3L, "one two three four five six seven eight nine ten")      // clean
+    ).toDF("doc_id", "text")
+    val m = Corpus.repetitionMetrics(df, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "top_word", "top_word_frac", "dup_2gram_frac", "rep_flagged")
+      .as[(Long, String, Double, Double, Boolean)].collect()
+    assert(m(0) == ((1L, "spam", 0.9, 0.7778, true))) // 1 - 2/9, 4 dp
+    // doc 2: words alternate → every 2-gram repeats ("go stop"×5, "stop go"×4)
+    assert(m(1)._2 == "go" && m(1)._5, s"looping doc not flagged: ${m(1)}")
+    assert(m(2) == ((3L, "eight", 0.1, 0.0, false))) // ties → lexicographic min
+  }
+
+  test("spanDedup marks every later instance of a span, corpus-wide") {
+    val span = "a b c d e f g h" // exactly 8 words
+    val df = Seq(
+      (1L, s"$span tail one two three four five six seven"),
+      (2L, s"lead $span"),          // same span, later doc → dup
+      (3L, s"$span $span")          // twice in one doc: 9 grams, several dup
+    ).toDF("doc_id", "text")
+    val r = Corpus.spanDedup(df, "doc_id", "text", 8)
+      .orderBy("doc_id")
+      .select("doc_id", "n_spans", "n_dup_spans")
+      .as[(Long, Long, Long)].collect()
+    assert(r(0) == ((1L, 9L, 0L)), s"first doc owns its spans: ${r(0)}")
+    // doc 2 has 2 grams; the one equal to `span` is a dup of doc 1's pos 0
+    assert(r(1)._2 == 2L && r(1)._3 >= 1L, s"cross-doc dup missed: ${r(1)}")
+    // doc 3: gram 0 duplicates doc 1's span, gram 8 duplicates gram 0; the
+    // 7 interior rotations are novel (each occurs once corpus-wide)
+    assert(r(2) == ((3L, 9L, 2L)), s"in-doc repeat miscounted: ${r(2)}")
+  }
+
+  test("contamination counts distinct-gram overlap; clean docs report zero") {
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma nine ten"),   // contains bench 3-gram "alpha beta gamma"
+      (2L, "one two three four five")      // clean
+    ).toDF("doc_id", "text")
+    val r = Corpus.contamination(corpus, bench, "doc_id", "text", 3)
+      .orderBy("doc_id")
+      .select("doc_id", "n_overlap", "contaminated")
+      .as[(Long, Long, Boolean)].collect()
+    assert(r(0) == ((1L, 1L, true)))
+    assert(r(1) == ((2L, 0L, false)))
+  }
+
+  test("chunk slides a word window with overlap; tail keeps the remainder") {
+    val df = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" ")), (2L, "solo"))
+      .toDF("doc_id", "text")
+    val r = Corpus.chunk(df, "doc_id", "text", chunkWords = 4, overlap = 1)
+      .orderBy("doc_id", "chunk_id")
+      .select("doc_id", "chunk_id", "chunk_text", "n_chunk_words")
+      .as[(Long, Int, String, Long)].collect()
+    // stride 3: starts 0,3,6,9 over 10 words
+    assert(r.toSeq == Seq(
+      (1L, 0, "w1 w2 w3 w4", 4L),
+      (1L, 1, "w4 w5 w6 w7", 4L),
+      (1L, 2, "w7 w8 w9 w10", 4L),
+      (1L, 3, "w10", 1L),
+      (2L, 0, "solo", 1L)))
+    intercept[IllegalArgumentException] {
+      Corpus.chunk(df, "doc_id", "text", chunkWords = 4, overlap = 4)
+    }
+  }
+
+  test("stratifiedSample is deterministic and tracks the stratum rates") {
+    val df = (0L until 4000L).map(i => (i, if (i % 2 == 0) "en" else "zh"))
+      .toDF("doc_id", "lang")
+    val rates = Map("en" -> 0.5)
+    val s1 = Corpus.stratifiedSample(df, "doc_id", "lang", rates, defaultRate = 0.0625)
+    val s2 = Corpus.stratifiedSample(df, "doc_id", "lang", rates, defaultRate = 0.0625)
+    assert(s1.select("doc_id").as[Long].collect().sorted.toSeq ==
+      s2.select("doc_id").as[Long].collect().sorted.toSeq)
+    val byLang = s1.groupBy("lang").count().as[(String, Long)].collect().toMap
+    // md5 buckets are uniform: 2000 en rows at rate 0.5 → ~1000; zh at 1/16 → ~125
+    assert(math.abs(byLang("en") - 1000L) < 150, s"en kept ${byLang("en")}")
+    assert(math.abs(byLang.getOrElse("zh", 0L) - 125L) < 60, s"zh kept ${byLang.get("zh")}")
+    // a rate of zero keeps nothing
+    assert(Corpus.stratifiedSample(df, "doc_id", "lang", Map.empty, 0.0).count() == 0)
+  }
+}

@@ -215,8 +215,11 @@ class TemporalTableSpec extends SparkSpec {
     assert(winners.size == 1, s"expected exactly one winner, got $winners")
     assert(losers.forall(_.isInstanceOf[org.apache.hadoop.fs.FileAlreadyExistsException]))
     assert(MetaIO.readString(target) == s"""{"writer":${winners.head}}""")
-    // no tmp litter left behind
-    assert(MetaIO.list(dir) == Seq("00000001.json"))
+    // no tmp litter left behind — raw directory listing, so hidden
+    // sidecars (e.g. Hadoop .crc files) can't slip past a filtered view
+    val raw = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+    try assert(raw.iterator().asScala.map(_.getFileName.toString).toSeq == Seq("00000001.json"))
+    finally raw.close()
   }
 
   test("aborted write leaves no revision and frees nothing visible") {
