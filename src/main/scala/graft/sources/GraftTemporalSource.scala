@@ -72,13 +72,6 @@ class GraftTemporalSource extends TableProvider with DataSourceRegister {
                         properties: JMap[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
     if (opts.getBoolean("commitStream", false)) {
-      // the micro-batch stream serves rev=N directories raw; on a delta
-      // layout those are change records, not rows — refuse rather than
-      // silently stream deletes/markers as data
-      val path = GraftTemporalSource.tablePathOf(opts)
-      if (DeltaTemporalTable.isDeltaLayout(path)) throw new UnsupportedOperationException(
-        s"$path is delta-encoded: commitStream would emit raw change records; " +
-          "stream a full-snapshot table, or compact() and stream from the snapshot")
       new GraftStreamTable(opts)
     } else lastInferred match {
       case Some((k, t)) if k == properties => t
@@ -123,16 +116,38 @@ private[graft] object GraftTemporalSource {
 /** Streaming variant (`option("commitStream", true)` + `readStream`): a
   * table whose scan is the commit-log [[graft.streaming.GraftMicroBatchStream]]
   * — micro-batches are REVISION-atomic (offset axis = committed revision),
-  * so consumers never observe a partially-committed revision. */
+  * so consumers never observe a partially-committed revision.
+  *
+  * On a [[DeltaTemporalTable]] layout the stream is a CDC feed: delta
+  * revisions emit their change records (`__change_type` ∈
+  * insert/update/delete, deletes carrying keys with null values), and
+  * full-snapshot revisions (bootstrap, periodic snapshots, compactions)
+  * emit plain rows with `__change_type` NULL — `coalesce(__change_type,
+  * 'insert')` gives the uniform upsert view. The reference's
+  * changefeed-over-diffs (§2.12) with the storage layer's own change
+  * records as the payload — no diff recomputation on the read path. */
 private[graft] class GraftStreamTable(options: CaseInsensitiveStringMap)
     extends Table with SupportsRead {
 
   private val tablePath = GraftTemporalSource.tablePathOf(options)
 
-  private lazy val fullSchema = GraftTemporalSource.readDelegate(
-    new CaseInsensitiveStringMap(
-      (options.asCaseSensitiveMap().asScala.toMap + ("allRevisions" -> "true")).asJava))
-    .schema
+  private lazy val fullSchema: StructType =
+    if (DeltaTemporalTable.isDeltaLayout(tablePath)) {
+      val log = DeltaTemporalTable.commits(tablePath)
+      val baseRev = log.reverse.find(_.kind == "full")
+        .getOrElse(throw new IllegalStateException(s"no full snapshot at $tablePath"))
+        .revision
+      val data = SparkSession.active.read.parquet(s"$tablePath/rev=$baseRev").schema
+      // __change_type may already be absent from data schema (full snapshots
+      // never carry it); append it plus the rev partition column, mirroring
+      // the non-delta inferred layout (partition cols last)
+      data
+        .add("__change_type", org.apache.spark.sql.types.StringType, nullable = true)
+        .add("rev", org.apache.spark.sql.types.IntegerType, nullable = true)
+    } else GraftTemporalSource.readDelegate(
+      new CaseInsensitiveStringMap(
+        (options.asCaseSensitiveMap().asScala.toMap + ("allRevisions" -> "true")).asJava))
+      .schema
 
   override def name(): String = s"graft-commit-stream $tablePath"
   override def schema(): StructType = fullSchema

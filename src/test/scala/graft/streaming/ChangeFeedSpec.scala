@@ -96,6 +96,36 @@ class ChangeFeedSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamCommits over a delta table is a CDC feed of change records") {
+    import org.apache.spark.sql.functions.col
+    import graft.sources.DeltaTemporalTable
+    val p = Files.createTempDirectory("graft-cdc").resolve("tbl").toString
+    DeltaTemporalTable.write(spark,
+      Seq((1L, 10.0), (2L, 20.0)).toDF("node_key", "price"), p, snapshotEvery = 4)
+    val q = ChangeFeed.streamCommits(spark, p)
+      .writeStream.format("memory").queryName("cdc_test")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // bootstrap full snapshot: plain rows, no change marker
+      val boot = spark.table("cdc_test")
+        .select(col("rev"), col("node_key"), col("__change_type"))
+        .as[(Int, Long, Option[String])].collect().toSet
+      assert(boot == Set((1, 1L, None), (1, 2L, None)))
+      // delta commit: upd 1, del 2, ins 3 → three change records
+      DeltaTemporalTable.write(spark,
+        Seq((1L, 11.0), (3L, 30.0)).toDF("node_key", "price"), p, snapshotEvery = 4)
+      q.processAllAvailable()
+      val changes = spark.table("cdc_test").filter(col("rev") === 2)
+        .select(col("node_key"), col("__change_type"), col("price"))
+        .as[(Long, Option[String], Option[Double])].collect().toSet
+      assert(changes == Set(
+        (1L, Some("update"), Some(11.0)),
+        (2L, Some("delete"), None),
+        (3L, Some("insert"), Some(30.0))))
+    } finally q.stop()
+  }
+
   private def ts(minute: Int, sec: Int = 0): Timestamp =
     Timestamp.valueOf(f"2024-01-01 10:$minute%02d:$sec%02d")
 
