@@ -148,6 +148,52 @@ object Corpus {
         size(col("__c")).cast("long").as("n_chunk_words"))
   }
 
+  /** Corpus TF-IDF: the `k` most characteristic words per document.
+    * tf = in-doc occurrences; idf = ln(N / df) with df = number of docs
+    * containing the word; ranking is (rounded score desc, term asc) so it
+    * is deterministic and differential-testable. Plan: two hash aggregates
+    * — (doc, word) term frequencies, then word-keyed document frequencies
+    * folded FROM the tf table (no second text scan) — joined back on the
+    * word, then a doc-keyed top-k window. Every exchange is keyed by word
+    * or doc id; the corpus-size N is a 1-row aggregate. At 100 TB the
+    * df table is vocabulary-sized (Heaps' law, ≪ corpus) and the join back
+    * to tf shuffles on the word — the natural key, with AQE covering
+    * stopword skew. */
+  def tfidfTopTerms(raw: DataFrame, idCol: String, textCol: String,
+                    k: Int = 3): DataFrame = {
+    val n = raw.count()
+    val df0 = Dedup.fanOut(raw, idCol)
+    val id = col(idCol)
+    val tf = df0.select(id, explode(words(col(textCol))).as("term"))
+      .groupBy(id, col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, "term")
+      .select(id, col("term"),
+        round(col("tf").cast("double") *
+          log(lit(n.toDouble) / col("df").cast("double")), 4).as("tfidf"))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy(id).orderBy(desc("tfidf"), col("term"))))
+      .filter(col("rank") <= k)
+      .select(id, col("term"), col("tfidf"), col("rank"))
+  }
+
+  /** Corpus composition report: document/token/char volume and corpus share
+    * per stratum (e.g. source × lang) — the first dashboard every curation
+    * pipeline builds. One doc-keyed scan folds per-doc word counts
+    * map-side; the stratum rollup is a tiny second aggregate, and the
+    * share is a window over the handful of stratum rows (post-aggregate
+    * cardinality, not data-sized). */
+  def sourceMix(df: DataFrame, textCol: String, dims: Seq[String]): DataFrame = {
+    val d = dims.map(col)
+    val perDoc = df.select(d :+ size(words(col(textCol))).cast("long").as("__nw")
+      :+ length(col(textCol)).cast("long").as("__nc"): _*)
+    perDoc.groupBy(d: _*)
+      .agg(count(lit(1)).as("n_docs"), sum("__nw").as("n_words"),
+        round(avg("__nc"), 4).as("avg_chars"))
+      .withColumn("doc_share",
+        round(col("n_docs") / sum("n_docs").over(Window.partitionBy()), 4))
+  }
+
   /** Deterministic stratified sampling: keep a row iff the first three hex
     * nibbles of `md5(key)` — a uniform 0..4095 bucket — fall under the
     * stratum's rate. Pure map-side (no shuffle, no RNG state), so the

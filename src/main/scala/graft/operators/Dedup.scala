@@ -128,6 +128,23 @@ object Dedup {
       .agg(sum(expr("CASE WHEN w > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(i AS INT)) ELSE CAST(0 AS BIGINT) END")).as("simhash"))
   }
 
+  /** End-to-end near-duplicate GROUP assignment: MinHash→LSH candidate
+    * pairs ([[minHashCandidatePairs]]) fed through distributed connected
+    * components ([[Graphs.componentLabels]]); every document labels itself
+    * with the smallest doc id transitively reachable through the candidate
+    * graph (documents with no near-dup label themselves). Downstream dedup
+    * is then a single `filter(id = group_id)` — the representative-per-
+    * cluster selection every production pipeline needs after pair
+    * generation, computed without ever materializing a cluster in one
+    * task's memory. */
+  def dedupGroups(df: DataFrame, idCol: String, textCol: String,
+                  shingleLen: Int = 5, numHashes: Int = 8,
+                  bandSize: Int = 2): DataFrame = {
+    val pairs = minHashCandidatePairs(df, idCol, textCol, shingleLen, numHashes, bandSize)
+    Graphs.componentLabels(df.select(col(idCol)), idCol, pairs, "id_a", "id_b")
+      .withColumnRenamed("component", "group_id")
+  }
+
   /** n-gram Jaccard similarity over candidate pairs. Candidates are bounded
     * by an equality `groupCol` (shuffle key) and an id-distance window. The
     * window is enforced IN the join key, not post-hoc: side A joins on its

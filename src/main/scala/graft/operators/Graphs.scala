@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over an undirected edge list — the
+  * clustering step that turns near-duplicate candidate PAIRS
+  * ([[Dedup.minHashCandidatePairs]], [[Similarity.lshNearDupPairs]]) into
+  * dedup GROUPS: every document gets the minimum id reachable through the
+  * candidate graph, so "keep one per group" is a single filter
+  * (`id = group_id`) afterwards.
+  *
+  * Algorithm: alternating large-star / small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14). Both steps are
+  * pure relational transforms — a per-center min aggregation joined back to
+  * the neighbor list — so each round is two shuffles keyed by node id, with
+  * map-side partial aggregation collapsing high-degree centers before the
+  * exchange. No collect_list: a hot node (viral boilerplate duplicated
+  * across millions of docs) never materializes its neighborhood in one
+  * task's memory. Converges in O(log² n) rounds (≤ ~5 in practice for
+  * near-dup graphs, whose components are dense and shallow).
+  *
+  * Each round's output is persisted and its lineage truncated (reliable
+  * `checkpoint` when the session has a checkpoint dir — set one on a real
+  * cluster — else `localCheckpoint`), so the plan does not deepen with the
+  * iteration count.
+  */
+object Graphs {
+
+  /** One large-star round: every node attaches its LARGER neighbors to the
+    * minimum of its neighborhood (including itself). */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val nbrs = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    val mins = nbrs.groupBy("src").agg(min("dst").as("mn"))
+      .select(col("src"), least(col("src"), col("mn")).as("m"))
+    nbrs.join(mins, "src")
+      .filter(col("dst") > col("src"))
+      .select(col("dst").as("src"), col("m").as("dst"))
+      .distinct()
+  }
+
+  /** One small-star round: every node attaches its SMALLER neighbors (and
+    * itself) to the minimum of those. Edges are first directed large→small,
+    * so each undirected edge is counted at exactly one center. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val dir = e.select(greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val mins = dir.groupBy("src").agg(min("dst").as("m"))
+    dir.join(mins, "src")
+      .select(col("dst").as("src"), col("m").as("dst"))
+      .union(mins.select(col("src"), col("m").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** Truncate lineage between rounds so the iterative plan stays flat. */
+  private def pin(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint()
+
+  /** Cheap per-round fingerprint of the edge set: (count, xor of row
+    * hashes). Order-independent, overflow-free under ANSI mode, and one
+    * tiny job; a collision would only stop the loop one round early on a
+    * 64-bit-identical edge set — vanishingly unlikely and self-limiting
+    * (the result at that point is already a valid partial contraction). */
+  private def fingerprint(e: DataFrame): (Long, Long) = {
+    val r = e.agg(count(lit(1)), bit_xor(xxhash64(col("src"), col("dst")))).head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  /** Connected components of the undirected graph given as an edge list.
+    * Returns (`node`, `component`) for every node INCIDENT to an edge;
+    * `component` is the minimum node id in the component. Edge endpoints
+    * must be orderable (numeric or string). */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+                          maxIter: Int = 25): DataFrame = {
+    var e = pin(edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct())
+    var fp = fingerprint(e)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val next = pin(smallStar(largeStar(e)))
+      val nfp = fingerprint(next)
+      converged = nfp == fp
+      e = next
+      fp = nfp
+      it += 1
+    }
+    // at the fixpoint every edge points at its component root
+    e.select(col("src").as("node"), col("dst").as("component"))
+      .union(e.select(col("dst").as("node"), col("dst").as("component")))
+      .distinct()
+  }
+
+  /** Component labels for ALL nodes of `nodes` (isolated nodes label
+    * themselves): (idCol, `component`). */
+  def componentLabels(nodes: DataFrame, idCol: String, edges: DataFrame,
+                      srcCol: String, dstCol: String,
+                      maxIter: Int = 25): DataFrame = {
+    val cc = connectedComponents(edges, srcCol, dstCol, maxIter)
+    nodes.select(col(idCol))
+      .join(cc, col(idCol) === col("node"), "left")
+      .select(col(idCol), coalesce(col("component"), col(idCol)).as("component"))
+  }
+}

@@ -62,6 +62,37 @@ object IvfIndex {
       .limit(k)
   }
 
+  /** ANN kNN JOIN over a [[fit]] assignment: every row probes its `nProbe`
+    * nearest cells and compares only against rows assigned there —
+    * candidate volume is ~nProbe/nLists of the full n² nested loop.
+    * Per-row probe cells are computed inside codegen (centroids are plan
+    * literals: an array of (squared-L2, cell) structs, array_sort, take
+    * nProbe), then the probe-side explode joins the assignment on the cell
+    * id — an equi-join that shuffles on `ivf_cell`, never on vectors when
+    * the assignment is written clustered. Recall vs [[Similarity.knnJoin]]
+    * is tuned by `nProbe` (spec-checked). */
+  def knnJoin(assigned: DataFrame, model: Model, idCol: String, vecCol: String,
+              k: Int, nProbe: Int): DataFrame = {
+    val dvec = expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))")
+    val cells = model.centroids.zipWithIndex.map { case (c, i) =>
+      val cLit = array(c.map(lit): _*)
+      val d2 = aggregate(zip_with(dvec, cLit, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v)
+      struct(d2.as("d"), lit(i).as("cell"))
+    }
+    val probes = transform(slice(array_sort(array(cells: _*)), 1, nProbe),
+      s => s.getField("cell"))
+    val probeSide = assigned
+      .select(col(idCol).as("id_a"), col(vecCol).as("__va"),
+        explode(probes).as("ivf_cell"))
+    val candSide = assigned
+      .select(col(idCol).as("id_b"), col(vecCol).as("__vb"), col("ivf_cell"))
+    Similarity.topKPerProbe(
+      probeSide.join(candSide, "ivf_cell")
+        .filter(col("id_a") =!= col("id_b"))
+        .withColumn("sim", round(Similarity.cosine(col("__va"), col("__vb")), 4)), k)
+  }
+
   // ---- persisted, write-clustered index ------------------------------
 
   /** Persist a [[fit]] output CLUSTERED by cell: `ivf_cell` becomes a hive

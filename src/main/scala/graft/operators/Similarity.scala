@@ -89,6 +89,31 @@ object Similarity {
       df.withColumn("__bucket", lshBucket(col(vecCol), dim, nBits)),
       idCol, vecCol, "__bucket", threshold)
 
+  /** All-pairs kNN join: for every row, its `k` most-cosine-similar OTHER
+    * rows. This is the brute-force correctness baseline: a nested-loop
+    * self-join scored with the codegen'd cosine kernel, then a per-probe
+    * `row_number` window (each window group is one probe's candidate list;
+    * ordering is (rounded sim desc, id) so ranks are deterministic and
+    * differential-testable). O(n²) comparisons — use [[IvfIndex.knnJoin]]
+    * at scale, which restricts each probe to its nProbe nearest cells. */
+  def knnJoin(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    topKPerProbe(
+      a.join(b, col("id_a") =!= col("id_b"))
+        .withColumn("sim", round(cosine(col("__va"), col("__vb")), 4)), k)
+  }
+
+  /** Keep the k best-scored candidates per probe id: shared tail of the
+    * brute-force and IVF kNN joins. Expects (id_a, id_b, sim). */
+  private[operators] def topKPerProbe(scored: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id_a").orderBy(desc("sim"), col("id_b"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id_a"), col("id_b"), col("sim"), col("rank"))
+  }
+
   /** ANN top-k via LSH buckets: probe only the query's bucket. Falls back to
     * brute force within the bucket; recall is tuned by `nBits`. */
   def annTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Corpus, Dedup, Similarity}
+import graft.operators.{Corpus, Dedup, Quantize, Similarity}
 
 /** Training-data pipeline operators (builder brief: dedup, similarity
   * search, text analysis) over the `documents` and `embeddings` tables.
@@ -36,6 +36,10 @@ object PipelineQueries {
     "d_minhash_pairs" -> { (s, d) =>
       Dedup.minHashCandidatePairs(docs(s, d), "doc_id", "text", 5, 8, 2)
         .orderBy("id_a", "id_b")
+    },
+    // near-dup group labels: LSH candidate pairs -> connected components
+    "d_dedup_groups" -> { (s, d) =>
+      Dedup.dedupGroups(docs(s, d), "doc_id", "text", 5, 8, 2).orderBy("doc_id")
     },
     // winnowing (rolling-hash window-min) fingerprints
     "d_winnowing" -> { (s, d) =>
@@ -70,6 +74,30 @@ object PipelineQueries {
     "s_neardup_embed" -> { (s, d) =>
       Similarity.nearDupPairs(emb(s, d), "vec_id", "embedding", "label", 0.8)
         .orderBy("id_a", "id_b")
+    },
+    // all-pairs kNN join (brute-force baseline; IVF variant is spec-tested)
+    "s_knn_join" -> { (s, d) =>
+      Similarity.knnJoin(emb(s, d), "vec_id", "embedding", 3)
+        .orderBy("id_a", "rank")
+    },
+    // int8 scalar quantization codes (vector compression for ANN at scale)
+    "s_quantize" -> { (s, d) =>
+      val e = emb(s, d)
+      val bounds = Quantize.fitBounds(e, "embedding")
+      Quantize.encode(e, "vec_id", "embedding", bounds)
+        .select(col("vec_id"),
+          expr("concat_ws(',', transform(codes, c -> CAST(c AS STRING)))").as("codes"))
+        .orderBy("vec_id")
+    },
+    // corpus TF-IDF: top-3 most characteristic words per doc
+    "x_tfidf" -> { (s, d) =>
+      Corpus.tfidfTopTerms(docs(s, d), "doc_id", "text", 3)
+        .orderBy("doc_id", "rank")
+    },
+    // corpus composition report by source × lang
+    "x_source_mix" -> { (s, d) =>
+      Corpus.sourceMix(docs(s, d), "text", Seq("source", "lang"))
+        .orderBy("source", "lang")
     },
     // language-ID heuristic vs the labeled lang column
     "x_lang_id" -> { (s, d) =>
@@ -167,6 +195,34 @@ object PipelineQueries {
         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         |FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
         |WHERE a.doc_id < b.doc_id ORDER BY id_a, id_b""".stripMargin,
+    "d_dedup_groups" ->
+      """WITH RECURSIVE shingles AS (
+        |  SELECT doc_id, substr(text, CAST(i AS INTEGER), 5) AS sh
+        |  FROM documents, UNNEST(range(1, length(text) - 3)) AS t(i)
+        |  WHERE length(text) >= 5),
+        |sigs AS (
+        |  SELECT doc_id, CAST(seed AS INTEGER) AS seed,
+        |    MIN(substr(md5(sh), CAST(4 * seed + 1 AS INTEGER))
+        |        || substr(md5(sh), 1, CAST(4 * seed AS INTEGER))) AS sig
+        |  FROM shingles, UNNEST(range(0, 8)) AS s(seed)
+        |  GROUP BY doc_id, seed),
+        |bands AS (
+        |  SELECT doc_id, seed // 2 AS band,
+        |    md5(string_agg(lpad(seed::VARCHAR, 2, '0') || sig, '' ORDER BY seed)) AS band_key
+        |  FROM sigs GROUP BY doc_id, seed // 2),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+        |  WHERE a.doc_id < b.doc_id),
+        |edges AS (
+        |  SELECT id_a AS u, id_b AS v FROM pairs
+        |  UNION ALL SELECT id_b AS u, id_a AS v FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT reach.id, e.v FROM reach JOIN edges e ON e.u = reach.r)
+        |SELECT id AS doc_id, MIN(r) AS group_id
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     "d_winnowing" ->
       """WITH hashed AS (
         |  SELECT doc_id, CAST(i AS INTEGER) AS pos, md5(substr(text, CAST(i AS INTEGER), 5)) AS h
@@ -233,6 +289,59 @@ object PipelineQueries {
         |    ON a.label = b.label AND a.vec_id < b.vec_id)
         |SELECT id_a, id_b, sim FROM scored WHERE sim >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+    "s_knn_join" ->
+      """WITH s AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    ROUND(list_cosine_similarity(
+        |      list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+        |      list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 4) AS sim
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY id_a ORDER BY sim DESC, id_b) AS rn
+        |  FROM s)
+        |SELECT id_a, id_b, sim, CAST(rn AS INTEGER) AS rank
+        |FROM r WHERE rn <= 3 ORDER BY id_a, rank""".stripMargin,
+    "s_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(i AS INTEGER) AS i, CAST(embedding[i] AS DOUBLE) AS x
+        |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)),
+        |b AS (SELECT i, MIN(x) AS mn, MAX(x) AS mx FROM e GROUP BY i),
+        |c AS (
+        |  SELECT vec_id, e.i,
+        |    CASE WHEN mx = mn THEN 0
+        |         ELSE CAST(ROUND((x - mn) / (mx - mn) * 255) AS BIGINT) END AS code
+        |  FROM e JOIN b ON b.i = e.i)
+        |SELECT vec_id, string_agg(code::VARCHAR, ',' ORDER BY i) AS codes
+        |FROM c GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    "x_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    ROUND(tf.tf * ln(CAST(n.n AS DOUBLE) / dfreq.df), 4) AS tfidf
+        |  FROM tf JOIN dfreq ON dfreq.term = tf.term, n),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+        |  FROM scored)
+        |SELECT doc_id, term, tfidf, CAST(rn AS INTEGER) AS rank
+        |FROM r WHERE rn <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "x_source_mix" ->
+      """WITH per_doc AS (
+        |  SELECT source, lang,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS nw,
+        |    CAST(length(text) AS BIGINT) AS nc
+        |  FROM documents),
+        |agg AS (
+        |  SELECT source, lang, COUNT(*) AS n_docs, SUM(nw) AS n_words,
+        |    ROUND(AVG(nc), 4) AS avg_chars
+        |  FROM per_doc GROUP BY source, lang)
+        |SELECT source, lang, n_docs, n_words, avg_chars,
+        |  ROUND(CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER (), 4) AS doc_share
+        |FROM agg ORDER BY source, lang""".stripMargin,
     "x_lang_id" -> PipelineOracleSql.langIdSql,
     "x_quality" -> PipelineOracleSql.qualitySql,
     "x_token_count" ->

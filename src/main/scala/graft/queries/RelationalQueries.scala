@@ -247,6 +247,22 @@ object RelationalQueries {
         .select(col("vec_id"), posexplode(col("embedding")))
         .select(col("vec_id"), col("pos"), col("col").cast("double").as("val"))
         .orderBy("vec_id", "pos")
+    },
+    // ---- statistics layer (reference stats/Histogram.java analog) ----
+    "q_column_stats" -> { (s, d) =>
+      graft.operators.Stats.columnStats(t(s, d, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount"))
+        .orderBy("col_name")
+    },
+    "q_histogram" -> { (s, d) =>
+      graft.operators.Stats.equiWidthHistogram(t(s, d, "lineitem"),
+          "l_extendedprice", 16)
+        .orderBy("bucket")
+    },
+    "q_quantiles" -> { (s, d) =>
+      graft.operators.Stats.quantiles(t(s, d, "lineitem"), "l_extendedprice",
+          (1 to 9).map(_ / 10.0))
+        .orderBy("q")
     }
   )
 
@@ -375,6 +391,40 @@ object RelationalQueries {
     "q_explode" ->
       """SELECT vec_id, CAST(i - 1 AS INTEGER) AS pos, CAST(embedding[i] AS DOUBLE) AS val
         |FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
-        |WHERE vec_id < 50 ORDER BY vec_id, pos""".stripMargin
+        |WHERE vec_id < 50 ORDER BY vec_id, pos""".stripMargin,
+    "q_column_stats" ->
+      """SELECT col_name, n_rows, n_nonnull, ndv, min_d, max_d FROM (
+        |  SELECT 'l_quantity' AS col_name, COUNT(*) AS n_rows,
+        |    COUNT(l_quantity) AS n_nonnull, COUNT(DISTINCT l_quantity) AS ndv,
+        |    CAST(MIN(l_quantity) AS DOUBLE) AS min_d, CAST(MAX(l_quantity) AS DOUBLE) AS max_d
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', COUNT(*), COUNT(l_extendedprice),
+        |    COUNT(DISTINCT l_extendedprice),
+        |    CAST(MIN(l_extendedprice) AS DOUBLE), CAST(MAX(l_extendedprice) AS DOUBLE)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_discount', COUNT(*), COUNT(l_discount), COUNT(DISTINCT l_discount),
+        |    CAST(MIN(l_discount) AS DOUBLE), CAST(MAX(l_discount) AS DOUBLE)
+        |  FROM lineitem)
+        |ORDER BY col_name""".stripMargin,
+    "q_histogram" ->
+      """WITH mm AS (
+        |  SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi,
+        |    (MAX(l_extendedprice) - MIN(l_extendedprice)) / 16 AS w
+        |  FROM lineitem),
+        |b AS (
+        |  SELECT CAST(LEAST(FLOOR((l_extendedprice - mm.lo) / mm.w), 15) AS BIGINT) AS bucket
+        |  FROM lineitem, mm WHERE l_extendedprice IS NOT NULL)
+        |SELECT bucket, ROUND(mm.lo + bucket * mm.w, 4) AS lo,
+        |  ROUND(mm.lo + (bucket + 1) * mm.w, 4) AS hi, COUNT(*) AS cnt
+        |FROM b, mm GROUP BY bucket, mm.lo, mm.w ORDER BY bucket""".stripMargin,
+    "q_quantiles" ->
+      """SELECT UNNEST(CAST([0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9] AS DOUBLE[])) AS q,
+        |  UNNEST(list_transform(
+        |    quantile_cont(CAST(l_extendedprice AS DOUBLE),
+        |      [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+        |    x -> ROUND(x, 4))) AS value
+        |FROM lineitem ORDER BY q""".stripMargin
   )
 }

@@ -32,6 +32,24 @@ class IvfIndexSpec extends SparkSpec {
     assert(scanned < emb.count(), s"probe scanned all $scanned rows")
   }
 
+  test("knnJoin: IVF candidates reproduce brute-force neighbors with high recall") {
+    val (model, assigned) = IvfIndex.fit(emb, "embedding", nLists = 8)
+    val cached = assigned.cache()
+    val brute = Similarity.knnJoin(emb, "vec_id", "embedding", 5)
+      .as[(Long, Long, Double, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ivf = IvfIndex.knnJoin(cached, model, "vec_id", "embedding", 5, nProbe = 4)
+      .as[(Long, Long, Double, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // every probe row gets k neighbors from its probed cells
+    assert(ivf.keySet == brute.keySet)
+    assert(ivf.values.forall(_.size == 5))
+    val recall = brute.keys.toSeq.map { id =>
+      (ivf(id) intersect brute(id)).size.toDouble / brute(id).size
+    }.sum / brute.size
+    assert(recall >= 0.6, s"mean kNN-join recall too low: $recall")
+  }
+
   test("recall@10 vs brute force is high at nProbe=4 of 8") {
     val (model, assigned) = IvfIndex.fit(emb, "embedding", nLists = 8)
     val cached = assigned.cache()

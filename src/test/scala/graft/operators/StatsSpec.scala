@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val df = Seq(
+    (1L, 10.0, Some(1.0)), (2L, 20.0, Some(2.0)), (3L, 20.0, None),
+    (4L, 40.0, Some(4.0)), (5L, 50.0, Some(4.0))
+  ).toDF("id", "v", "opt")
+
+  test("columnStats profiles rows, nulls, ndv, min, max per column") {
+    val got = Stats.columnStats(df, Seq("v", "opt"))
+      .orderBy("col_name")
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+    assert(got(0) == ("opt", 5L, 4L, 3L, 1.0, 4.0))
+    assert(got(1) == ("v", 5L, 5L, 4L, 10.0, 50.0))
+  }
+
+  test("approxColumnStats agrees with exact on small-cardinality data") {
+    val exact = Stats.columnStats(df, Seq("v")).select("ndv").as[Long].head()
+    val approx = Stats.approxColumnStats(df, Seq("v")).select("ndv").as[Long].head()
+    assert(approx == exact)
+  }
+
+  test("equiWidthHistogram covers the domain; counts sum to non-null rows") {
+    val h = Stats.equiWidthHistogram(df, "v", 4)
+      .orderBy("bucket").as[(Long, Double, Double, Long)].collect()
+    assert(h.map(_._4).sum == 5L)
+    assert(h.head._2 == 10.0 && h.last._3 == 50.0)
+    // max value lands in the (closed) top bucket, not beyond it
+    assert(h.last._1 == 3L)
+  }
+
+  test("constant column collapses to a single bucket") {
+    val c = Seq(1.0, 1.0, 1.0).toDF("v")
+    val h = Stats.equiWidthHistogram(c, "v", 8)
+      .as[(Long, Double, Double, Long)].collect()
+    assert(h.length == 1 && h.head._1 == 0L && h.head._4 == 3L)
+  }
+
+  test("quantiles returns interpolated boundaries in order") {
+    val q = Stats.quantiles(df, "v", Seq(0.0, 0.5, 1.0))
+      .orderBy("q").as[(Double, Double)].collect()
+    assert(q.map(_._1).toSeq == Seq(0.0, 0.5, 1.0))
+    assert(q.head._2 == 10.0 && q(1)._2 == 20.0 && q.last._2 == 50.0)
+  }
+
+  test("equiDepthHistogram balances counts and labels bucket bounds") {
+    val big = (1 to 1000).map(_.toDouble).toDF("v")
+    val h = Stats.equiDepthHistogram(big, "v", 4)
+      .orderBy("bucket").as[(Long, Double, Double, Long)].collect()
+    assert(h.length == 4)
+    assert(h.map(_._4).sum == 1000L)
+    // each bucket holds ~250 rows (boundary rows tip one side)
+    assert(h.forall(b => b._4 >= 249 && b._4 <= 251), h.mkString(","))
+    assert(h.head._2 == 1.0 && h.last._3 == 1000.0)
+  }
+}
