@@ -161,16 +161,18 @@ object Corpus {
     * stopword skew. */
   def tfidfTopTerms(raw: DataFrame, idCol: String, textCol: String,
                     k: Int = 3): DataFrame = {
-    val n = raw.count()
+    // corpus size as a lazy 1-row aggregate broadcast into the plan (no
+    // eager driver-side count job at operator-construction time)
+    val nDf = raw.agg(count(lit(1)).cast("double").as("__n"))
     val df0 = Dedup.fanOut(raw, idCol)
     val id = col(idCol)
     val tf = df0.select(id, explode(words(col(textCol))).as("term"))
       .groupBy(id, col("term")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val scored = tf.join(dfreq, "term")
+    val scored = tf.join(dfreq, "term").crossJoin(broadcast(nDf))
       .select(id, col("term"),
         round(col("tf").cast("double") *
-          log(lit(n.toDouble) / col("df").cast("double")), 4).as("tfidf"))
+          log(col("__n") / col("df").cast("double")), 4).as("tfidf"))
     scored.withColumn("rank", row_number().over(
         Window.partitionBy(id).orderBy(desc("tfidf"), col("term"))))
       .filter(col("rank") <= k)

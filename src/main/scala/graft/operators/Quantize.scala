@@ -26,28 +26,34 @@ object Quantize {
       .groupBy("pos").agg(min("x").as("mn"), max("x").as("mx"))
 
   /** Quantize to integer codes 0..255: code = round((x−mn)/(mx−mn)·255),
-    * constant dimensions coding to 0. Output: (idCol, `codes` array<long>)
-    * in dimension order. */
+    * clamped into [0, 255] so values OUTSIDE the fitted bounds (encoding a
+    * new corpus against frozen bounds) still honor the int8 contract;
+    * constant dimensions code to 0. Output: (idCol, `codes` array<long>)
+    * in dimension order; rows with a null/empty vector keep a null `codes`
+    * (never silently dropped). */
   def encode(df: DataFrame, idCol: String, vecCol: String,
              bounds: DataFrame): DataFrame = {
     val id = col(idCol)
-    df.select(id, posexplode(col(vecCol)).as(Seq("pos", "__x")))
+    val encoded = df.select(id, posexplode(col(vecCol)).as(Seq("pos", "__x")))
       .join(broadcast(bounds), "pos")
       .select(id, col("pos"),
         when(col("mx") === col("mn"), 0L)
-          .otherwise(round((col("__x").cast("double") - col("mn"))
-            / (col("mx") - col("mn")) * 255).cast("long"))
+          .otherwise(least(greatest(
+            round((col("__x").cast("double") - col("mn"))
+              / (col("mx") - col("mn")) * 255).cast("long"), lit(0L)), lit(255L)))
           .as("code"))
       .groupBy(id)
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("code")))),
         s => s.getField("code")).as("codes"))
+    df.select(id).join(encoded, Seq(idCol), "left")
   }
 
-  /** Reconstruct doubles from codes: x̂ = mn + code·(mx−mn)/255. */
+  /** Reconstruct doubles from codes: x̂ = mn + code·(mx−mn)/255. Rows with
+    * null/empty codes keep a null `decoded`. */
   def decode(df: DataFrame, idCol: String, codesCol: String,
              bounds: DataFrame): DataFrame = {
     val id = col(idCol)
-    df.select(id, posexplode(col(codesCol)).as(Seq("pos", "code")))
+    val decoded = df.select(id, posexplode(col(codesCol)).as(Seq("pos", "code")))
       .join(broadcast(bounds), "pos")
       .select(id, col("pos"),
         (col("mn") + col("code").cast("double") * (col("mx") - col("mn")) / 255)
@@ -55,5 +61,6 @@ object Quantize {
       .groupBy(id)
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("xhat")))),
         s => s.getField("xhat")).as("decoded"))
+    df.select(id).join(decoded, Seq(idCol), "left")
   }
 }

@@ -78,14 +78,22 @@ object Stats {
     * for ANALYZE-time runs; at 100 TB swap `approx_percentile` in via
     * `exact = false` (t-digest-style sketch, single pass, mergeable). */
   def quantiles(df: DataFrame, c: String, qs: Seq[Double],
-                exact: Boolean = true): DataFrame = {
+                exact: Boolean = true): DataFrame =
+    rawQuantiles(df, c, qs, exact)
+      .select(col("q"), round(col("value"), 4).as("value"))
+
+  /** [[quantiles]] without display rounding — the form boundary CONSUMERS
+    * (equi-depth bucketing) must use, so bucket membership is decided
+    * against the true quantile, not a 4-decimal approximation. */
+  private def rawQuantiles(df: DataFrame, c: String, qs: Seq[Double],
+                           exact: Boolean): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 1), "qs must be in [0,1]")
     val fn = if (exact) "percentile" else "approx_percentile"
     val arr = df.agg(
       expr(s"$fn(CAST($c AS DOUBLE), array(${qs.mkString(", ")}))").as("__qs"))
     arr.select(explode(arrays_zip(
         array(qs.map(lit): _*).as("q"),
-        expr("transform(__qs, x -> round(CAST(x AS DOUBLE), 4))").as("value"))).as("s"))
+        expr("transform(__qs, x -> CAST(x AS DOUBLE))").as("value"))).as("s"))
       .select(col("s.q").as("q"), col("s.value").as("value"))
   }
 
@@ -97,19 +105,20 @@ object Stats {
                          exact: Boolean = true): DataFrame = {
     require(nBuckets >= 1, "nBuckets must be >= 1")
     val qs = (0 to nBuckets).map(_.toDouble / nBuckets)
-    val bounds = quantiles(df, c, qs, exact).orderBy("q")
+    val bounds = rawQuantiles(df, c, qs, exact).orderBy("q")
       .collect().map(_.getDouble(1))
     val v = col(c).cast("double")
     // bucket = number of INNER boundaries strictly below v (top bucket closed)
     val bucket = (1 until nBuckets)
       .map(i => when(v > lit(bounds(i)), 1L).otherwise(0L))
       .foldLeft(lit(0L))(_ + _)
-    df.filter(v.isNotNull)
+    val counts = df.filter(v.isNotNull)
       .groupBy(bucket.as("bucket")).agg(count(lit(1)).as("cnt"))
-      .join(broadcast(
-        df.sparkSession.createDataFrame(
-          (0 until nBuckets).map(i => (i.toLong, bounds(i), bounds(i + 1)))
-        ).toDF("bucket", "lo", "hi")), Seq("bucket"), "right_outer")
+    df.sparkSession.createDataFrame(
+        (0 until nBuckets).map(i => (i.toLong, bounds(i), bounds(i + 1))))
+      .toDF("bucket", "lo", "hi")
+      // counts is post-aggregate (≤ nBuckets rows): broadcastable build side
+      .join(broadcast(counts), Seq("bucket"), "left_outer")
       .select(col("bucket"), col("lo"), col("hi"),
         coalesce(col("cnt"), lit(0L)).as("cnt"))
   }

@@ -178,51 +178,19 @@ object PipelineQueries {
         |FROM shingles, UNNEST(range(0, 8)) AS s(seed)
         |GROUP BY doc_id, seed ORDER BY doc_id, seed""".stripMargin,
     "d_minhash_pairs" ->
-      """WITH shingles AS (
-        |  SELECT doc_id, substr(text, CAST(i AS INTEGER), 5) AS sh
-        |  FROM documents, UNNEST(range(1, length(text) - 3)) AS t(i)
-        |  WHERE length(text) >= 5),
-        |sigs AS (
-        |  SELECT doc_id, CAST(seed AS INTEGER) AS seed,
-        |    MIN(substr(md5(sh), CAST(4 * seed + 1 AS INTEGER))
-        |        || substr(md5(sh), 1, CAST(4 * seed AS INTEGER))) AS sig
-        |  FROM shingles, UNNEST(range(0, 8)) AS s(seed)
-        |  GROUP BY doc_id, seed),
-        |bands AS (
-        |  SELECT doc_id, seed // 2 AS band,
-        |    md5(string_agg(lpad(seed::VARCHAR, 2, '0') || sig, '' ORDER BY seed)) AS band_key
-        |  FROM sigs GROUP BY doc_id, seed // 2)
-        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
-        |WHERE a.doc_id < b.doc_id ORDER BY id_a, id_b""".stripMargin,
+      ("WITH " + PipelineOracleSql.minhashPairsCtes +
+        "\nSELECT id_a, id_b FROM pairs ORDER BY id_a, id_b"),
     "d_dedup_groups" ->
-      """WITH RECURSIVE shingles AS (
-        |  SELECT doc_id, substr(text, CAST(i AS INTEGER), 5) AS sh
-        |  FROM documents, UNNEST(range(1, length(text) - 3)) AS t(i)
-        |  WHERE length(text) >= 5),
-        |sigs AS (
-        |  SELECT doc_id, CAST(seed AS INTEGER) AS seed,
-        |    MIN(substr(md5(sh), CAST(4 * seed + 1 AS INTEGER))
-        |        || substr(md5(sh), 1, CAST(4 * seed AS INTEGER))) AS sig
-        |  FROM shingles, UNNEST(range(0, 8)) AS s(seed)
-        |  GROUP BY doc_id, seed),
-        |bands AS (
-        |  SELECT doc_id, seed // 2 AS band,
-        |    md5(string_agg(lpad(seed::VARCHAR, 2, '0') || sig, '' ORDER BY seed)) AS band_key
-        |  FROM sigs GROUP BY doc_id, seed // 2),
-        |pairs AS (
-        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
-        |  WHERE a.doc_id < b.doc_id),
-        |edges AS (
-        |  SELECT id_a AS u, id_b AS v FROM pairs
-        |  UNION ALL SELECT id_b AS u, id_a AS v FROM pairs),
-        |reach(id, r) AS (
-        |  SELECT doc_id, doc_id FROM documents
-        |  UNION
-        |  SELECT reach.id, e.v FROM reach JOIN edges e ON e.u = reach.r)
-        |SELECT id AS doc_id, MIN(r) AS group_id
-        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+      ("WITH RECURSIVE " + PipelineOracleSql.minhashPairsCtes + ",\n" +
+        """edges AS (
+          |  SELECT id_a AS u, id_b AS v FROM pairs
+          |  UNION ALL SELECT id_b AS u, id_a AS v FROM pairs),
+          |reach(id, r) AS (
+          |  SELECT doc_id, doc_id FROM documents
+          |  UNION
+          |  SELECT reach.id, e.v FROM reach JOIN edges e ON e.u = reach.r)
+          |SELECT id AS doc_id, MIN(r) AS group_id
+          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin),
     "d_winnowing" ->
       """WITH hashed AS (
         |  SELECT doc_id, CAST(i AS INTEGER) AS pos, md5(substr(text, CAST(i AS INTEGER), 5)) AS h
@@ -451,6 +419,30 @@ object PipelineQueries {
 /** The longer text-analysis oracles, kept separate for readability. The SQL
   * mirrors [[graft.functions.TextFunctions]] construct by construct. */
 object PipelineOracleSql {
+
+  /** Shared MinHash→LSH CTE chain (shingles → sigs → bands → pairs),
+    * mirroring [[graft.operators.Dedup.minHashCandidatePairs]] construct by
+    * construct; consumed by both the d_minhash_pairs and d_dedup_groups
+    * oracles so the two can never drift apart. */
+  val minhashPairsCtes: String =
+    """shingles AS (
+      |  SELECT doc_id, substr(text, CAST(i AS INTEGER), 5) AS sh
+      |  FROM documents, UNNEST(range(1, length(text) - 3)) AS t(i)
+      |  WHERE length(text) >= 5),
+      |sigs AS (
+      |  SELECT doc_id, CAST(seed AS INTEGER) AS seed,
+      |    MIN(substr(md5(sh), CAST(4 * seed + 1 AS INTEGER))
+      |        || substr(md5(sh), 1, CAST(4 * seed AS INTEGER))) AS sig
+      |  FROM shingles, UNNEST(range(0, 8)) AS s(seed)
+      |  GROUP BY doc_id, seed),
+      |bands AS (
+      |  SELECT doc_id, seed // 2 AS band,
+      |    md5(string_agg(lpad(seed::VARCHAR, 2, '0') || sig, '' ORDER BY seed)) AS band_key
+      |  FROM sigs GROUP BY doc_id, seed // 2),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+      |  WHERE a.doc_id < b.doc_id)""".stripMargin
 
   /** occurrences(tok) = (len(text) - len(replace(text, tok, ''))) / len(tok) */
   private def occ(tok: String): String = {
