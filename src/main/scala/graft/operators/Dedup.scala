@@ -78,14 +78,20 @@ object Dedup {
     * The self-join shuffles on the band key — buckets are tiny for
     * non-duplicate data, so the join explodes only where true near-dups
     * cluster (the LSH guarantee). */
-  def minHashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
-                            shingleLen: Int = 5, numHashes: Int = 8,
-                            bandSize: Int = 2): DataFrame = {
-    val sigs = minHashSignatures(df, idCol, textCol, shingleLen, numHashes)
-    val bands = sigs
+  /** LSH band buckets: (id, band, band_key) — docs sharing a (band,
+    * band_key) bucket are near-duplicate candidates. */
+  private[operators] def lshBands(df: DataFrame, idCol: String, textCol: String,
+                                  shingleLen: Int, numHashes: Int,
+                                  bandSize: Int): DataFrame =
+    minHashSignatures(df, idCol, textCol, shingleLen, numHashes)
       .withColumn("band", expr(s"seed div $bandSize"))
       .groupBy(col(idCol), col("band"))
       .agg(md5(expr("array_join(array_sort(collect_list(concat(lpad(cast(seed AS string), 2, '0'), sig))), '')")).as("band_key"))
+
+  def minHashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+                            shingleLen: Int = 5, numHashes: Int = 8,
+                            bandSize: Int = 2): DataFrame = {
+    val bands = lshBands(df, idCol, textCol, shingleLen, numHashes, bandSize)
     val a = bands.select(col(idCol).as("id_a"), col("band"), col("band_key"))
     val b = bands.select(col(idCol).as("id_b"), col("band"), col("band_key"))
     a.join(b, Seq("band", "band_key")).filter(col("id_a") < col("id_b"))
@@ -140,9 +146,31 @@ object Dedup {
   def dedupGroups(df: DataFrame, idCol: String, textCol: String,
                   shingleLen: Int = 5, numHashes: Int = 8,
                   bandSize: Int = 2): DataFrame = {
-    val pairs = minHashCandidatePairs(df, idCol, textCol, shingleLen, numHashes, bandSize)
-    Graphs.componentLabels(df.select(col(idCol)), idCol, pairs, "id_a", "id_b")
+    // bucket-STAR edges, not the pairwise clique: every bucket member
+    // connects to its bucket's min id. Connectivity is identical (a clique
+    // and its star have the same transitive closure) but a hot bucket of k
+    // boilerplate near-dups contributes k−1 edges instead of k(k−1)/2 —
+    // the candidate join that [[minHashCandidatePairs]] must do to ENUMERATE
+    // pairs is exactly what group assignment can skip.
+    val bands = lshBands(df, idCol, textCol, shingleLen, numHashes, bandSize)
+    val roots = bands.groupBy("band", "band_key").agg(min(col(idCol)).as("__root"))
+    val starEdges = bands.join(roots, Seq("band", "band_key"))
+      .filter(col(idCol) =!= col("__root"))
+      .select(col(idCol).as("id_a"), col("__root").as("id_b"))
+      .distinct()
+    Graphs.componentLabels(df.select(col(idCol)), idCol, starEdges, "id_a", "id_b")
       .withColumnRenamed("component", "group_id")
+  }
+
+  /** The deduplicated corpus: keep exactly one representative (the min-id
+    * member) per [[dedupGroups]] near-duplicate group, all columns
+    * preserved. */
+  def dedupCorpus(df: DataFrame, idCol: String, textCol: String,
+                  shingleLen: Int = 5, numHashes: Int = 8,
+                  bandSize: Int = 2): DataFrame = {
+    val groups = dedupGroups(df, idCol, textCol, shingleLen, numHashes, bandSize)
+    df.join(groups.filter(col(idCol) === col("group_id")).select(col(idCol)),
+      Seq(idCol), "left_semi")
   }
 
   /** n-gram Jaccard similarity over candidate pairs. Candidates are bounded

@@ -63,5 +63,9 @@ class GraphsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(groups(0L) == 0L && groups(1L) == 0L && groups(2L) == 0L)
     assert(groups(3L) == 3L && groups(4L) == 4L)
+    // dedupCorpus keeps exactly the min-id representative of each group
+    val kept = Dedup.dedupCorpus(docs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 3L, 4L))
   }
 }
