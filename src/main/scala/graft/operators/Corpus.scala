@@ -179,6 +179,43 @@ object Corpus {
       .select(id, col("term"), col("tfidf"), col("rank"))
   }
 
+  /** Language-model quality proxy (the CCNet/Wikipedia-LM filtering idea,
+    * self-trained): fit a character-bigram model ON the corpus itself and
+    * score every document by its mean log-probability under that model —
+    * degenerate text (keyboard mash, encoding garbage, repeated glyphs)
+    * scores far below natural prose. Returns (id, `lm_score`, `n_bigrams`);
+    * docs shorter than 2 chars drop out (no bigram).
+    *
+    * Plan: one map-side bigram explode feeds (a) the model — two
+    * alphabet²-bounded aggregates, so the model table is tiny at ANY corpus
+    * size and broadcasts — and (b) the scoring join, which is therefore
+    * map-side too; the only data-sized exchange is the final doc-keyed
+    * average. Per-bigram log-probs are rounded to 6dp and summed as exact
+    * decimals so the mean is accumulation-order-free (hash-compare safe
+    * across engines). */
+  def charBigramLmScore(raw: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val df0 = Dedup.fanOut(raw, idCol)
+    val id = col(idCol)
+    val grams = df0.filter(length(col(textCol)) >= 2)
+      .select(id, explode(expr(
+        s"transform(sequence(1, length($textCol) - 1), i -> substring($textCol, i, 2))")).as("g"))
+    val bi = grams.groupBy("g").agg(count(lit(1)).as("cnt2"))
+    // P(c2|c1): denominator = occurrences of c1 as a bigram START, derived
+    // from the same gram stream (no second text scan)
+    val uni = grams.groupBy(substring(col("g"), 1, 1).as("c1"))
+      .agg(count(lit(1)).as("cnt1"))
+    val probs = bi.withColumn("c1", substring(col("g"), 1, 1))
+      .join(uni, "c1")
+      .select(col("g"),
+        round(log(col("cnt2").cast("double") / col("cnt1").cast("double")), 6).as("lp"))
+    grams.join(broadcast(probs), "g")
+      .groupBy(id)
+      .agg(
+        round(sum(col("lp").cast("decimal(18,6)")).cast("double") / count(lit(1)), 4)
+          .as("lm_score"),
+        count(lit(1)).as("n_bigrams"))
+  }
+
   /** Corpus composition report: document/token/char volume and corpus share
     * per stratum (e.g. source × lang) — the first dashboard every curation
     * pipeline builds. One doc-keyed scan folds per-doc word counts

@@ -94,6 +94,10 @@ object PipelineQueries {
       Corpus.tfidfTopTerms(docs(s, d), "doc_id", "text", 3)
         .orderBy("doc_id", "rank")
     },
+    // corpus-self char-bigram LM quality score (CCNet-style filter proxy)
+    "x_lm_score" -> { (s, d) =>
+      Corpus.charBigramLmScore(docs(s, d), "doc_id", "text").orderBy("doc_id")
+    },
     // corpus composition report by source × lang
     "x_source_mix" -> { (s, d) =>
       Corpus.sourceMix(docs(s, d), "text", Seq("source", "lang"))
@@ -297,6 +301,23 @@ object PipelineQueries {
         |  FROM scored)
         |SELECT doc_id, term, tfidf, CAST(rn AS INTEGER) AS rank
         |FROM r WHERE rn <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "x_lm_score" ->
+      """WITH grams AS (
+        |  SELECT doc_id, substr(text, CAST(i AS INTEGER), 2) AS g
+        |  FROM documents, UNNEST(range(1, length(text))) AS t(i)
+        |  WHERE length(text) >= 2),
+        |bi AS (SELECT g, COUNT(*) AS cnt2 FROM grams GROUP BY g),
+        |uni AS (
+        |  SELECT substr(g, 1, 1) AS c1, COUNT(*) AS cnt1
+        |  FROM grams GROUP BY substr(g, 1, 1)),
+        |probs AS (
+        |  SELECT g, ROUND(ln(CAST(cnt2 AS DOUBLE) / cnt1), 6) AS lp
+        |  FROM bi JOIN uni ON uni.c1 = substr(bi.g, 1, 1)),
+        |scored AS (
+        |  SELECT doc_id, SUM(CAST(lp AS DECIMAL(18,6))) AS slp, COUNT(*) AS n
+        |  FROM grams JOIN probs USING (g) GROUP BY doc_id)
+        |SELECT doc_id, ROUND(CAST(slp AS DOUBLE) / n, 4) AS lm_score, n AS n_bigrams
+        |FROM scored ORDER BY doc_id""".stripMargin,
     "x_source_mix" ->
       """WITH per_doc AS (
         |  SELECT source, lang,

@@ -73,6 +73,19 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("charBigramLmScore ranks degenerate text below natural prose") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog and then the dog sleeps near the door"),
+      (1L, "the rain in spain stays mainly on the plain and the plain is green in the spring"),
+      (2L, "zq xj qz jx zzq qqx jjz xqz zjq qxz zzj xxq"), // keyboard mash
+      (3L, "a") // too short for a bigram: drops out
+    ).toDF("doc_id", "text")
+    val s = Corpus.charBigramLmScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(s.keySet == Set(0L, 1L, 2L))
+    assert(s(2L) < s(0L) && s(2L) < s(1L), s.toString)
+  }
+
   test("stratifiedSample is deterministic and tracks the stratum rates") {
     val df = (0L until 4000L).map(i => (i, if (i % 2 == 0) "en" else "zh"))
       .toDF("doc_id", "lang")
