@@ -49,6 +49,30 @@ object Stats {
     row.select(explode(array(entries: _*)).as("s")).select("s.*")
   }
 
+  /** Pearson correlation of two numeric columns, computed from EXACT
+    * decimal power sums (Σx, Σy, Σx², Σy², Σxy at 6dp input precision)
+    * with one final double-precision combine — unlike the streaming
+    * `corr` aggregate, the result is independent of partitioning and
+    * accumulation order, so it hash-compares across engines and cluster
+    * sizes. One map-side partial→final aggregate; inputs are quantized to
+    * 6 decimal places. */
+  def pearson(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val x = col(xCol).cast("decimal(18,6)")
+    val y = col(yCol).cast("decimal(18,6)")
+    val nD = col("n").cast("double")
+    df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * x).as("sxx"), sum(y * y).as("syy"), sum(x * y).as("sxy"))
+      // each exact sum casts to its nearest double ONCE; the combine is
+      // then a fixed scalar expression — identical in any engine
+      .select(col("n"),
+        round((nD * col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double"))
+          / sqrt(nD * col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double"))
+          / sqrt(nD * col("syy").cast("double") - col("sy").cast("double") * col("sy").cast("double")), 4)
+          .as("r"))
+  }
+
   /** Equi-width histogram of a numeric column: `nBuckets` fixed-width
     * buckets over [min, max], top bucket closed. Two jobs: a 1-row min/max
     * aggregate (the ANALYZE pass), then a map-side bucket assignment +

@@ -263,6 +263,9 @@ object RelationalQueries {
       graft.operators.Stats.quantiles(t(s, d, "lineitem"), "l_extendedprice",
           (1 to 9).map(_ / 10.0))
         .orderBy("q")
+    },
+    "q_corr" -> { (s, d) =>
+      graft.operators.Stats.pearson(t(s, d, "lineitem"), "l_quantity", "l_extendedprice")
     }
   )
 
@@ -425,6 +428,20 @@ object RelationalQueries {
         |    quantile_cont(CAST(l_extendedprice AS DOUBLE),
         |      [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
         |    x -> ROUND(x, 4))) AS value
-        |FROM lineitem ORDER BY q""".stripMargin
+        |FROM lineitem ORDER BY q""".stripMargin,
+    "q_corr" ->
+      """WITH s AS (
+        |  SELECT COUNT(*) AS n,
+        |    SUM(CAST(l_quantity AS DECIMAL(19,6))) AS sx,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(19,6))) AS sy,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,6)) * CAST(l_quantity AS DECIMAL(19,6))) AS sxx,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS syy,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS sxy
+        |  FROM lineitem WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL)
+        |SELECT n,
+        |  ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    / sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 4) AS r
+        |FROM s""".stripMargin
   )
 }

@@ -48,6 +48,17 @@ class StatsSpec extends SparkSpec {
     assert(q.head._2 == 10.0 && q(1)._2 == 20.0 && q.last._2 == 50.0)
   }
 
+  test("pearson matches known correlations and ignores null pairs") {
+    val perfect = Seq((1.0, 2.0), (2.0, 4.0), (3.0, 6.0), (4.0, 8.0)).toDF("x", "y")
+    assert(Stats.pearson(perfect, "x", "y").select("r").as[Double].head() == 1.0)
+    val anti = Seq((1.0, 4.0), (2.0, 3.0), (3.0, 2.0), (4.0, 1.0)).toDF("x", "y")
+    assert(Stats.pearson(anti, "x", "y").select("r").as[Double].head() == -1.0)
+    val withNulls = Seq((Some(1.0), Some(2.0)), (Some(2.0), None), (None, Some(5.0)),
+      (Some(3.0), Some(6.0))).toDF("x", "y")
+    val r = Stats.pearson(withNulls, "x", "y").as[(Long, Double)].head()
+    assert(r._1 == 2L && r._2 == 1.0)
+  }
+
   test("equiDepthHistogram balances counts and labels bucket bounds") {
     val big = (1 to 1000).map(_.toDouble).toDF("v")
     val h = Stats.equiDepthHistogram(big, "v", 4)
