@@ -41,6 +41,8 @@ object Corpus {
     *  - `dup_2gram_frac`: 1 − distinct/total word-2-grams, high = looping
     *    text;
     *  - `rep_flagged`: either ratio beyond its Gopher-ish threshold.
+    * One row per doc, including short ones: a metric whose denominator is
+    * empty (no words / no 2-grams) is null and never flags the doc.
     * Two doc-keyed hash aggregates + one tiny window — no data-sized
     * state, scales with splits. */
   def repetitionMetrics(raw: DataFrame, idCol: String, textCol: String,
@@ -61,13 +63,19 @@ object Corpus {
     // n_words folds out of the per-word counts — no third scan of the
     // wide text column
     val nWords = wordCounts.groupBy(id).agg(sum(col("cnt")).as("n_words"))
-    nWords.join(topWord, idCol).join(grams, idCol)
-      .select(id, col("n_words"), col("top_word"),
+    // left joins from the full doc list: docs too short to produce words or
+    // 2-grams keep their row (null metrics) instead of silently vanishing
+    df.select(id)
+      .join(nWords, Seq(idCol), "left")
+      .join(topWord, Seq(idCol), "left")
+      .join(grams, Seq(idCol), "left")
+      .select(id, coalesce(col("n_words"), lit(0L)).as("n_words"), col("top_word"),
         round(col("top_cnt").cast("double") / col("n_words"), 4).as("top_word_frac"),
         round(lit(1.0) - col("n_distinct_2grams").cast("double") / col("n_2grams"), 4)
           .as("dup_2gram_frac"))
       .withColumn("rep_flagged",
-        col("top_word_frac") > topWordMax || col("dup_2gram_frac") > dup2gramMax)
+        coalesce(col("top_word_frac") > topWordMax, lit(false)) ||
+          coalesce(col("dup_2gram_frac") > dup2gramMax, lit(false)))
   }
 
   /** C4-style corpus-level span dedup: every `n`-word gram instance that
@@ -187,10 +195,13 @@ object Corpus {
     * docs shorter than 2 chars drop out (no bigram).
     *
     * Plan: one map-side bigram explode feeds (a) the model — two
-    * alphabet²-bounded aggregates, so the model table is tiny at ANY corpus
-    * size and broadcasts — and (b) the scoring join, which is therefore
-    * map-side too; the only data-sized exchange is the final doc-keyed
-    * average. Per-bigram log-probs are rounded to 6dp and summed as exact
+    * aggregates bounded by the DISTINCT OBSERVED bigrams (alphabet² worst
+    * case: a few KB for alphabetic corpora, but millions of rows on CJK /
+    * multilingual text, so the join is left unhinted — the planner
+    * broadcasts when the model fits and falls back to a gram-keyed shuffle
+    * join when it doesn't) — and (b) the scoring join; the other data-sized
+    * exchange is the final doc-keyed average. Per-bigram log-probs are
+    * rounded to 6dp and summed as exact
     * decimals so the mean is accumulation-order-free (hash-compare safe
     * across engines). */
   def charBigramLmScore(raw: DataFrame, idCol: String, textCol: String): DataFrame = {
@@ -208,7 +219,7 @@ object Corpus {
       .join(uni, "c1")
       .select(col("g"),
         round(log(col("cnt2").cast("double") / col("cnt1").cast("double")), 6).as("lp"))
-    grams.join(broadcast(probs), "g")
+    grams.join(probs, "g")
       .groupBy(id)
       .agg(
         round(sum(col("lp").cast("decimal(18,6)")).cast("double") / count(lit(1)), 4)

@@ -59,6 +59,19 @@ object Graphs {
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
     else df.localCheckpoint()
 
+  /** Release a finished round's pinned storage: once the next round is
+    * materialized, the previous edge set is never referenced again, so its
+    * localCheckpoint blocks come out of executor storage immediately
+    * (instead of accumulating for up to `maxIter` rounds). Reliable
+    * checkpoint FILES are owned by the context cleaner
+    * (`spark.cleaner.referenceTracking.cleanCheckpoints`); unpersist is
+    * still correct there — it only drops cached blocks. */
+  private def unpin(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
+
   /** Cheap per-round fingerprint of the edge set: (count, xor of row
     * hashes). Order-independent, overflow-free under ANSI mode, and one
     * tiny job; a collision would only stop the loop one round early on a
@@ -84,8 +97,9 @@ object Graphs {
     var it = 0
     while (!converged && it < maxIter) {
       val next = pin(smallStar(largeStar(e)))
-      val nfp = fingerprint(next)
+      val nfp = fingerprint(next) // also forces next's materialization
       converged = nfp == fp
+      unpin(e)
       e = next
       fp = nfp
       it += 1

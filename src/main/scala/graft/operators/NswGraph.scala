@@ -63,7 +63,10 @@ object NswGraph {
   }
 
   /** Exact in-cell kNN adjacency: one shuffle on the cell id, quadratic
-    * only within a cell. */
+    * only within a cell. Output keeps the caller's `idCol`/`vecCol` names
+    * (id cast to long, vector to array<double>) + `ivf_cell` +
+    * `nsw_neighbors`, so the persisted graph table stays interchangeable
+    * with a plain [[IvfIndex.writeClustered]] layout. */
   def buildGraph(assigned: DataFrame, idCol: String, vecCol: String,
                  m: Int): DataFrame = {
     val spark = assigned.sparkSession
@@ -87,7 +90,7 @@ object NswGraph {
           GraphRow(r.id, r.vec, r.cell, nn)
         }
       }
-      .toDF("id", "vec", "ivf_cell", "nsw_neighbors")
+      .toDF(idCol, vecCol, "ivf_cell", "nsw_neighbors")
   }
 
   /** Build the graph over a [[IvfIndex.fit]] output and persist it
@@ -99,15 +102,18 @@ object NswGraph {
     IvfIndex.writeClustered(buildGraph(assigned, idCol, vecCol, m), model, path)
 
   /** ANN top-k: prune to the probed cells, co-locate each cell's graph,
-    * greedy beam search per cell, global top-k of the per-cell beams. */
-  def searchGraph(spark: SparkSession, path: String, query: Array[Double],
+    * greedy beam search per cell, global top-k of the per-cell beams.
+    * `idCol`/`vecCol` are the names the graph was BUILT with (the same
+    * names [[IvfIndex.searchClustered]] takes on the same table). */
+  def searchGraph(spark: SparkSession, path: String, idCol: String,
+                  vecCol: String, query: Array[Double],
                   k: Int, nProbe: Int, ef: Int = 32): DataFrame = {
     import spark.implicits._
     val model = IvfIndex.readModel(path)
     val probes = model.nearestCentroids(query, nProbe)
     val hits = spark.read.parquet(path)
       .filter(col("ivf_cell").isin(probes: _*))
-      .select(col("id").cast("long"), col("vec"),
+      .select(col(idCol).cast("long"), col(vecCol),
         col("ivf_cell").cast("int"), col("nsw_neighbors"))
       .as[(Long, Array[Double], Int, Array[Long])]
       .groupByKey(_._3)
@@ -115,9 +121,9 @@ object NswGraph {
         // one cell materialized per group (see buildGraph)
         beamSearch(rows.map(r => (r._1, (r._2, r._4))).toMap, query, ef)
       }
-    hits.toDF("id", "sim")
+    hits.toDF(idCol, "sim")
       .withColumn("sim", round(col("sim"), 4))
-      .orderBy(desc("sim"), col("id"))
+      .orderBy(desc("sim"), col(idCol))
       .limit(k)
   }
 

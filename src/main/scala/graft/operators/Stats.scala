@@ -131,6 +131,10 @@ object Stats {
     val qs = (0 to nBuckets).map(_.toDouble / nBuckets)
     val bounds = rawQuantiles(df, c, qs, exact).orderBy("q")
       .collect().map(_.getDouble(1))
+    // percentile over zero non-null rows returns null → the explode yields
+    // no boundary rows at all
+    require(bounds.length == nBuckets + 1,
+      s"equiDepthHistogram($c): no non-null rows")
     val v = col(c).cast("double")
     // bucket = number of INNER boundaries strictly below v (top bucket closed)
     val bucket = (1 until nBuckets)

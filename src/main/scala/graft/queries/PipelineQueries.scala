@@ -358,10 +358,11 @@ object PipelineQueries {
         |    ROUND(CAST(top.top_cnt AS DOUBLE) / len(wl.w), 4) AS top_word_frac,
         |    ROUND(1.0 - CAST(g2.n_distinct AS DOUBLE) / g2.n_2grams, 4) AS dup_2gram_frac
         |  FROM wl
-        |  JOIN top ON top.doc_id = wl.doc_id AND top.rn = 1
-        |  JOIN g2 ON g2.doc_id = wl.doc_id)
+        |  LEFT JOIN top ON top.doc_id = wl.doc_id AND top.rn = 1
+        |  LEFT JOIN g2 ON g2.doc_id = wl.doc_id)
         |SELECT doc_id, n_words, top_word, top_word_frac, dup_2gram_frac,
-        |  (top_word_frac > 0.2 OR dup_2gram_frac > 0.2) AS rep_flagged
+        |  (COALESCE(top_word_frac > 0.2, false)
+        |    OR COALESCE(dup_2gram_frac > 0.2, false)) AS rep_flagged
         |FROM m ORDER BY doc_id""".stripMargin,
     "d_span_dedup" ->
       """WITH wl AS (

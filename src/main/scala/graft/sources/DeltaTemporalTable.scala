@@ -43,6 +43,40 @@ object DeltaTemporalTable {
 
   def mostRecentRevision(path: String): Option[Int] = commits(path).lastOption.map(_.revision)
 
+  private def baseFullIn(log: Seq[Commit], rev: Int): Int =
+    log.filter(_.revision <= rev).reverse.find(_.kind == "full")
+      .getOrElse(throw new IllegalStateException(s"no full snapshot at or below $rev"))
+      .revision
+
+  /** The governing full-snapshot revision for `upTo` (default: the latest
+    * commit) — the base every reconstruction, schema read, and CDC stream
+    * bootstrap starts from. The single source of truth for "which snapshot
+    * governs revision N": [[read]], the V2 schema paths, and the commit
+    * stream all resolve through here. */
+  def baseFullRevision(path: String, upTo: Option[Int] = None): Int = {
+    val log = commits(path)
+    require(log.nonEmpty, s"no commits at $path")
+    val rev = upTo.getOrElse(log.last.revision)
+    require(log.exists(_.revision == rev), s"unknown revision $rev at $path")
+    baseFullIn(log, rev)
+  }
+
+  /** Schema of the reconstructed table at `upTo` = its governing full
+    * snapshot's (deltas add only the `__change_type` marker, which
+    * reconstruction drops) — footer-only driver-side read, no job. */
+  def baseSchema(path: String, upTo: Option[Int] = None): org.apache.spark.sql.types.StructType =
+    SparkSession.active.read.parquet(s"$path/rev=${baseFullRevision(path, upTo)}").schema
+
+  /** Resolve V2-option-style pinning (`revision` / `asOfTimestampMs`)
+    * against the delta commit log; None = latest. */
+  def resolveRevision(path: String, revision: Option[Int],
+                      asOfTimestampMs: Option[Long]): Option[Int] =
+    revision.orElse(asOfTimestampMs.map { ts =>
+      val eligible = commits(path).filter(_.commitTsMs <= ts)
+      require(eligible.nonEmpty, s"no revision at or before ts=$ts")
+      eligible.last.revision
+    })
+
   /** Whether the table at `path` uses delta-encoded storage — detected
     * from the commit log alone (delta commits carry a `kind` field; plain
     * [[TemporalTable]] commits don't). Reads ONE log entry: the first
@@ -129,9 +163,7 @@ object DeltaTemporalTable {
     val rev = revision.getOrElse(log.last.revision)
     require(log.exists(_.revision == rev), s"unknown revision $rev")
     val upTo = log.filter(_.revision <= rev)
-    val baseRev = upTo.reverse.find(_.kind == "full")
-      .getOrElse(throw new IllegalStateException("no full snapshot at or below " + rev))
-      .revision
+    val baseRev = baseFullIn(log, rev)
     val base = spark.read.parquet(s"$path/rev=$baseRev")
     upTo.filter(c => c.revision > baseRev).foldLeft(base) { (snap, c) =>
       val delta = spark.read.parquet(s"$path/rev=${c.revision}")

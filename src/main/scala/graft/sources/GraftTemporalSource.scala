@@ -133,15 +133,10 @@ private[graft] class GraftStreamTable(options: CaseInsensitiveStringMap)
 
   private lazy val fullSchema: StructType =
     if (DeltaTemporalTable.isDeltaLayout(tablePath)) {
-      val log = DeltaTemporalTable.commits(tablePath)
-      val baseRev = log.reverse.find(_.kind == "full")
-        .getOrElse(throw new IllegalStateException(s"no full snapshot at $tablePath"))
-        .revision
-      val data = SparkSession.active.read.parquet(s"$tablePath/rev=$baseRev").schema
-      // __change_type may already be absent from data schema (full snapshots
-      // never carry it); append it plus the rev partition column, mirroring
-      // the non-delta inferred layout (partition cols last)
-      data
+      // full snapshots never carry __change_type; append it plus the rev
+      // partition column, mirroring the non-delta inferred layout
+      // (partition cols last)
+      DeltaTemporalTable.baseSchema(tablePath)
         .add("__change_type", org.apache.spark.sql.types.StringType, nullable = true)
         .add("rev", org.apache.spark.sql.types.IntegerType, nullable = true)
     } else GraftTemporalSource.readDelegate(
@@ -188,13 +183,14 @@ private[graft] class GraftTable(options: CaseInsensitiveStringMap)
   /** The revision the read options pin (delta tables), resolved against
     * the commit log; None = latest. */
   private[graft] def deltaRevision: Option[Int] =
-    if (options.containsKey("revision")) Some(options.getInt("revision", -1))
-    else if (options.containsKey("asOfTimestampMs")) {
-      val ts = options.getLong("asOfTimestampMs", Long.MaxValue)
-      val eligible = DeltaTemporalTable.commits(tablePath).filter(_.commitTsMs <= ts)
-      require(eligible.nonEmpty, s"no revision at or before ts=$ts")
-      Some(eligible.last.revision)
-    } else None
+    DeltaTemporalTable.resolveRevision(tablePath,
+      revision =
+        if (options.containsKey("revision")) Some(options.getInt("revision", -1))
+        else None,
+      asOfTimestampMs =
+        if (options.containsKey("asOfTimestampMs"))
+          Some(options.getLong("asOfTimestampMs", Long.MaxValue))
+        else None)
 
   /** Reconstructed schema for a delta table = its base full snapshot's
     * (deltas add only the `__change_type` marker, which reconstruction
@@ -204,14 +200,7 @@ private[graft] class GraftTable(options: CaseInsensitiveStringMap)
       "allRevisions is not supported on delta-encoded tables (revision dirs mix " +
         "snapshot and change-record schemas); read revisions individually via " +
         "DeltaTemporalTable.read")
-    val log = DeltaTemporalTable.commits(tablePath)
-    require(log.nonEmpty, s"no commits at $tablePath")
-    val rev = deltaRevision.getOrElse(log.last.revision)
-    require(log.exists(_.revision == rev), s"unknown revision $rev at $tablePath")
-    val baseRev = log.filter(_.revision <= rev).reverse.find(_.kind == "full")
-      .getOrElse(throw new IllegalStateException(s"no full snapshot at or below $rev"))
-      .revision
-    SparkSession.active.read.parquet(s"$tablePath/rev=$baseRev").schema
+    DeltaTemporalTable.baseSchema(tablePath, deltaRevision)
   }
 
   override def name(): String = s"graft-temporal $tablePath"

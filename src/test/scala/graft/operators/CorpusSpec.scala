@@ -21,6 +21,22 @@ class CorpusSpec extends SparkSpec {
     assert(m(2) == ((3L, "eight", 0.1, 0.0, false))) // ties → lexicographic min
   }
 
+  test("repetitionMetrics keeps short docs: one row per doc, null metrics, unflagged") {
+    val df = Seq((1L, ""), (2L, "solo"), (3L, "two words")).toDF("doc_id", "text")
+    val m = Corpus.repetitionMetrics(df, "doc_id", "text").orderBy("doc_id")
+      .select("doc_id", "n_words", "top_word", "top_word_frac", "dup_2gram_frac", "rep_flagged")
+      .collect()
+    assert(m.length == 3, "short docs must not be dropped")
+    assert(m(0).getLong(1) == 0L && m(0).isNullAt(2) && m(0).isNullAt(3) &&
+      m(0).isNullAt(4) && !m(0).getBoolean(5))
+    // a 1-word doc has a top word (frac 1.0 → flagged) but no 2-grams
+    assert(m(1).getLong(1) == 1L && m(1).getString(2) == "solo" &&
+      m(1).getDouble(3) == 1.0 && m(1).isNullAt(4) && m(1).getBoolean(5))
+    // 2 words, 1 distinct 2-gram: dup frac 0.0; still flagged via top-word
+    // share (1/2 > 0.2), as the formula says it should be
+    assert(m(2).getLong(1) == 2L && m(2).getDouble(4) == 0.0 && m(2).getBoolean(5))
+  }
+
   test("spanDedup marks every later instance of a span, corpus-wide") {
     val span = "a b c d e f g h" // exactly 8 words
     val df = Seq(

@@ -47,8 +47,14 @@ class NswGraphSpec extends SparkSpec {
     val queries = emb.filter($"vec_id" < 5L)
       .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS q")
       .as[(Long, Seq[Double])].collect()
+    // the graph layout is writeClustered's + an adjacency column: plain IVF
+    // search over it must work with the caller's original column names
+    val ivfHits = IvfIndex.searchClustered(spark, p, "vec_id", "embedding",
+      queries.head._2.toArray, 5, nProbe = 4)
+    assert(ivfHits.count() == 5)
     val recalls = queries.map { case (qid, q) =>
-      val approx = NswGraph.searchGraph(spark, p, q.toArray, 10, nProbe = 4, ef = 48)
+      val approx = NswGraph.searchGraph(spark, p, "vec_id", "embedding",
+          q.toArray, 10, nProbe = 4, ef = 48)
         .as[(Long, Double)].collect()
       // all cells probed + the query's own vector present → it must rank first
       assert(approx.head._1 == qid && approx.head._2 == 1.0,
