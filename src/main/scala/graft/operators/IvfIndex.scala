@@ -116,6 +116,36 @@ object IvfIndex {
     graft.sources.MetaIO.readString(s"$path/_ivf/centroids.txt")
       .split('\n').filter(_.nonEmpty).map(_.split(',').map(_.toDouble)))
 
+  /** Persist a [[fit]] output BUCKETED by cell — the layout for the
+    * all-pairs [[knnJoin]] (where [[writeClustered]]'s hive partitioning is
+    * the layout for single-query probes): a metastore table whose files are
+    * hash-bucketed on `ivf_cell`, so the scan itself satisfies the join's
+    * clustering requirement. [[knnJoin]] over `spark.table(name)` then
+    * shuffles ONLY the exploded probe side; the stored vectors — the wide
+    * payload, nProbe× smaller than the probe stream but resident at 100 TB
+    * — never leave their executors. One bucket per cell by default, so
+    * bucket = cell = unit of co-location. Centroids ride along under
+    * `_ivf/` exactly as in [[writeClustered]]. */
+  def writeBucketed(assigned: DataFrame, model: Model, name: String,
+                    path: String, nBuckets: Int = 0): Unit = {
+    val buckets = if (nBuckets > 0) nBuckets else model.centroids.length
+    assigned.write.mode("overwrite")
+      .bucketBy(buckets, "ivf_cell").sortBy("ivf_cell")
+      .option("path", path).format("parquet").saveAsTable(name)
+    val body = model.centroids.map(_.mkString(",")).mkString("\n")
+    graft.sources.MetaIO.mkdirs(s"$path/_ivf")
+    graft.sources.MetaIO.delete(s"$path/_ivf/centroids.txt")
+    graft.sources.MetaIO.createNew(s"$path/_ivf/centroids.txt", body)
+  }
+
+  /** [[knnJoin]] over a [[writeBucketed]] table: candidate side arrives
+    * pre-partitioned from storage (no shuffle — spec-checked via the plan's
+    * exchange count). */
+  def knnJoinBucketed(spark: SparkSession, name: String, path: String,
+                      idCol: String, vecCol: String, k: Int,
+                      nProbe: Int): DataFrame =
+    knnJoin(spark.table(name), readModel(path), idCol, vecCol, k, nProbe)
+
   /** ANN top-k over a [[writeClustered]] table: the cell IN-list reaches
     * partition pruning, so only probed directories are listed and read. */
   def searchClustered(spark: SparkSession, path: String, idCol: String,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Column statistics and histograms — the Spark analog of the reference's
@@ -149,5 +149,34 @@ object Stats {
       .join(broadcast(counts), Seq("bucket"), "left_outer")
       .select(col("bucket"), col("lo"), col("hi"),
         coalesce(col("cnt"), lit(0L)).as("cnt"))
+  }
+
+  /** Feed the stats layer into Catalyst's cost-based optimizer, the way the
+    * reference's StatisticsCatalog feeds its CostBasedStage
+    * (bundles/sirix-query/.../optimizer/SirixOptimizer.java): run
+    * `ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS` with equi-depth
+    * histogram collection ON, so `spark.sql.cbo.enabled` (+
+    * `spark.sql.cbo.joinReorder.enabled`) estimates filter/join selectivity
+    * from per-column NDV, null count, min/max AND histogram buckets — the
+    * piece that matters at >12-relation join shapes where AQE's runtime
+    * re-plan alone can't fix a bad initial order. ANALYZE is one scan + one
+    * aggregate per call (the same shape as [[columnStats]] +
+    * [[equiDepthHistogram]]); stats persist in the session catalog until
+    * the table's data changes. */
+  def analyzeForCbo(spark: SparkSession, table: String, cols: Seq[String],
+                    nBuckets: Int = 64): Unit = {
+    require(cols.nonEmpty, "analyzeForCbo: no columns given")
+    val prevOn = spark.conf.get("spark.sql.statistics.histogram.enabled")
+    val prevBins = spark.conf.get("spark.sql.statistics.histogram.numBins")
+    spark.conf.set("spark.sql.statistics.histogram.enabled", "true")
+    spark.conf.set("spark.sql.statistics.histogram.numBins", nBuckets.toString)
+    try {
+      val quoted = cols.map(c => s"`$c`").mkString(", ")
+      spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS FOR COLUMNS $quoted")
+      ()
+    } finally {
+      spark.conf.set("spark.sql.statistics.histogram.enabled", prevOn)
+      spark.conf.set("spark.sql.statistics.histogram.numBins", prevBins)
+    }
   }
 }

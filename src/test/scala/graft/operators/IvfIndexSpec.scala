@@ -66,4 +66,35 @@ class IvfIndexSpec extends SparkSpec {
     val mean = recalls.sum / recalls.length
     assert(mean >= 0.6, s"mean recall@10 too low: $mean")
   }
+
+  test("writeBucketed co-locates the kNN join: candidate side reads pre-partitioned") {
+    val (model, assigned) = IvfIndex.fit(emb, "embedding", nLists = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-bkt").resolve("t").toString
+    spark.sql("DROP TABLE IF EXISTS ivf_bucketed_spec")
+    IvfIndex.writeBucketed(assigned, model, "ivf_bucketed_spec", dir)
+    assert(IvfIndex.readModel(dir).centroids.length == 8)
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = IvfIndex.knnJoinBucketed(spark, "ivf_bucketed_spec", dir,
+        "vec_id", "embedding", 5, nProbe = 4)
+      joined.collect() // finalize the adaptive plan before inspecting it
+      // AQE prints final + initial plans; judge only the final one
+      val plan = joined.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      // exactly ONE exchange clusters on the cell id — the exploded probe
+      // side; the stored candidate side satisfies the join from its buckets
+      val cellExchanges = "Exchange hashpartitioning\\(ivf_cell".r
+        .findAllIn(plan).size
+      assert(cellExchanges == 1,
+        s"expected 1 cell-keyed exchange (probe side only), got $cellExchanges:\n$plan")
+      assert(plan.contains("Bucketed: true"),
+        s"candidate side did not read bucketed:\n$plan")
+      // same answer as the in-memory variant
+      val fromTable = joined.as[(Long, Long, Double, Int)].collect().sorted.toSeq
+      val fromFrame = IvfIndex.knnJoin(assigned, model, "vec_id", "embedding", 5, nProbe = 4)
+        .as[(Long, Long, Double, Int)].collect().sorted.toSeq
+      assert(fromTable == fromFrame)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+  }
 }
