@@ -134,6 +134,41 @@ object Dedup {
       .agg(sum(expr("CASE WHEN w > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(i AS INT)) ELSE CAST(0 AS BIGINT) END")).as("simhash"))
   }
 
+  /** SimHash near-duplicate pairs — the fingerprint-side counterpart of
+    * [[minHashCandidatePairs]] (Manku et al., WWW'07, adapted from 64- to
+    * our 32-bit [[simHash32]]): two fingerprints within hamming distance
+    * `maxHamming` must agree on at least one of `maxHamming + 1` disjoint
+    * bit-bands (pigeonhole), so candidate generation is an equi-join on
+    * (band, band bits) — never all-pairs — and the exact `bit_count(xor)`
+    * check runs only inside buckets, making the result EXACT: every
+    * qualifying pair, no false positives. The explode is 4 rows/doc and
+    * all kernels are codegen'd built-ins; a degenerate band value shared
+    * by many fingerprints (e.g. all-zeros) is a skew key the same way an
+    * LSH bucket is — AQE's skew split covers it. */
+  def simHashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val nBands = maxHamming + 1
+    require(nBands >= 1 && 32 % nBands == 0,
+      s"maxHamming + 1 (= $nBands) must divide 32")
+    val width = 32 / nBands
+    val mask = (1L << width) - 1
+    val banded = simHash32(df, idCol, textCol)
+      .select(col(idCol), col("simhash"),
+        explode(expr(s"sequence(0, ${nBands - 1})")).as("band"))
+      .withColumn("band_bits",
+        expr(s"shiftright(simhash, CAST(band * $width AS INT)) & $mask"))
+    val a = banded.select(col(idCol).as("id_a"), col("simhash").as("__fa"),
+      col("band"), col("band_bits"))
+    val b = banded.select(col(idCol).as("id_b"), col("simhash").as("__fb"),
+      col("band"), col("band_bits"))
+    a.join(b, Seq("band", "band_bits"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("CAST(bit_count(__fa ^ __fb) AS INT)").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** End-to-end near-duplicate GROUP assignment: MinHash→LSH candidate
     * pairs ([[minHashCandidatePairs]]) fed through distributed connected
     * components ([[Graphs.componentLabels]]); every document labels itself

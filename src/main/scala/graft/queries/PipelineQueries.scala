@@ -18,6 +18,24 @@ object PipelineQueries {
   private def docs(s: SparkSession, d: String): DataFrame = Tables.df(s, d, "documents")
   private def emb(s: SparkSession, d: String): DataFrame = Tables.df(s, d, "embeddings")
 
+  /** Shared oracle WITH-prefix: per-doc 32-bit simhash as CTE `sh`
+    * (consumed by d_simhash and d_simhash_pairs). */
+  private val simhashCte =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS tok
+      |  FROM documents),
+      |bits AS (
+      |  SELECT doc_id, CAST(i AS INTEGER) AS i,
+      |    ((strpos('0123456789abcdef', substr(md5(tok), CAST(i // 4 AS INTEGER) + 1, 1)) - 1)
+      |      >> CAST(i % 4 AS INTEGER)) & 1 AS bit
+      |  FROM toks, UNNEST(range(0, 32)) AS t(i)),
+      |votes AS (
+      |  SELECT doc_id, i, SUM(bit * 2 - 1) AS w FROM bits GROUP BY doc_id, i),
+      |sh AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CASE WHEN w > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
+      |  FROM votes GROUP BY doc_id)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup by full-text hash
     "d_exact_dedup" -> { (s, d) =>
@@ -58,6 +76,11 @@ object PipelineQueries {
     // 32-bit SimHash fingerprints
     "d_simhash" -> { (s, d) =>
       Dedup.simHash32(docs(s, d), "doc_id", "text").orderBy("doc_id")
+    },
+    // SimHash banded near-dup pairs (exact within hamming <= 3)
+    "d_simhash_pairs" -> { (s, d) =>
+      Dedup.simHashPairs(docs(s, d), "doc_id", "text", 3)
+        .orderBy("id_a", "id_b")
     },
     // n-gram Jaccard similarity over bounded candidate pairs
     "d_ngram_jaccard" -> { (s, d) =>
@@ -209,19 +232,14 @@ object PipelineQueries {
         |  CAST(len(regexp_extract_all(text, '''(?:ll|ve|re|[sdmt])| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+')) AS INTEGER) AS n_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
     "d_simhash" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS tok
-        |  FROM documents),
-        |bits AS (
-        |  SELECT doc_id, CAST(i AS INTEGER) AS i,
-        |    ((strpos('0123456789abcdef', substr(md5(tok), CAST(i // 4 AS INTEGER) + 1, 1)) - 1)
-        |      >> CAST(i % 4 AS INTEGER)) & 1 AS bit
-        |  FROM toks, UNNEST(range(0, 32)) AS t(i)),
-        |votes AS (
-        |  SELECT doc_id, i, SUM(bit * 2 - 1) AS w FROM bits GROUP BY doc_id, i)
-        |SELECT doc_id,
-        |  CAST(SUM(CASE WHEN w > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
-        |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      (simhashCte + "\nSELECT doc_id, simhash FROM sh ORDER BY doc_id"),
+    "d_simhash_pairs" ->
+      (simhashCte + "\n" +
+        """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+          |ORDER BY id_a, id_b""".stripMargin),
     "d_ngram_jaccard" ->
       """WITH grams AS (
         |  SELECT DISTINCT doc_id, lang, substr(text, CAST(i AS INTEGER), 3) AS g

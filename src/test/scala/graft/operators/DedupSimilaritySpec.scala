@@ -51,6 +51,19 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(ham <= 10, s"hamming $ham too large for near-dup")
   }
 
+  test("simHashPairs banding is exact: equals the brute-force hamming join") {
+    val sh = Dedup.simHash32(docs, "doc_id", "text").as[(Long, Long)].collect()
+    val brute = (for {
+      (ia, fa) <- sh; (ib, fb) <- sh if ia < ib
+      h = java.lang.Long.bitCount(fa ^ fb) if h <= 3
+    } yield (ia, ib, h)).toSet
+    val banded = Dedup.simHashPairs(docs, "doc_id", "text", 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(banded == brute, s"banded=$banded brute=$brute")
+    assert(banded.exists { case (a, b, h) => a == 0L && b == 1L && h == 0 },
+      "exact dup pair must survive at hamming 0")
+  }
+
   test("winnowing: shared substring of length >= w+k-1 shares a fingerprint") {
     val a = (0L, "aaaa THE QUICK BROWN FOX bbbb")
     val b = (1L, "cccc THE QUICK BROWN FOX dddd") // 20-char shared run > w+k-1=8
