@@ -105,7 +105,12 @@ object IvfIndex {
     * Hadoop filesystem. */
   def writeClustered(assigned: DataFrame, model: Model, path: String): Unit = {
     assigned.write.mode("overwrite").partitionBy("ivf_cell").parquet(path)
-    // one centroid per line, comma-joined — no escaping concerns
+    writeCentroids(model, path)
+  }
+
+  /** Centroid sidecar under `_ivf/`: one centroid per line, comma-joined —
+    * no escaping concerns. Shared by both persisted layouts. */
+  private def writeCentroids(model: Model, path: String): Unit = {
     val body = model.centroids.map(_.mkString(",")).mkString("\n")
     graft.sources.MetaIO.mkdirs(s"$path/_ivf")
     graft.sources.MetaIO.delete(s"$path/_ivf/centroids.txt")
@@ -132,10 +137,7 @@ object IvfIndex {
     assigned.write.mode("overwrite")
       .bucketBy(buckets, "ivf_cell").sortBy("ivf_cell")
       .option("path", path).format("parquet").saveAsTable(name)
-    val body = model.centroids.map(_.mkString(",")).mkString("\n")
-    graft.sources.MetaIO.mkdirs(s"$path/_ivf")
-    graft.sources.MetaIO.delete(s"$path/_ivf/centroids.txt")
-    graft.sources.MetaIO.createNew(s"$path/_ivf/centroids.txt", body)
+    writeCentroids(model, path)
   }
 
   /** [[knnJoin]] over a [[writeBucketed]] table: candidate side arrives

@@ -43,6 +43,18 @@ class LayoutSpec extends SparkSpec {
     assert(spark.read.parquet(zDir).count() == 100000L)
   }
 
+  test("guards: all-null column and reserved-name collision fail clearly") {
+    import spark.implicits._
+    val bad = Seq((Some(1.0), Option.empty[Double]), (Some(2.0), None)).toDF("x", "y")
+    val e = intercept[IllegalArgumentException](
+      Layout.writeZOrdered(bad, Seq("x", "y"), freshPath(), 2))
+    assert(e.getMessage.contains("no non-null rows"))
+    val clash = Seq((1.0, 2.0, 3L)).toDF("x", "y", "__z")
+    val e2 = intercept[IllegalArgumentException](
+      Layout.writeZOrdered(clash, Seq("x", "y"), freshPath(), 2))
+    assert(e2.getMessage.contains("__z"))
+  }
+
   test("zOrderValue interleaves equi-depth codes deterministically") {
     val df = spark.range(1024).select(
       col("id").cast("double").as("x"),
