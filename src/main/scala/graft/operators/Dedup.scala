@@ -88,15 +88,29 @@ object Dedup {
       .groupBy(col(idCol), col("band"))
       .agg(md5(expr("array_join(array_sort(collect_list(concat(lpad(cast(seed AS string), 2, '0'), sig))), '')")).as("band_key"))
 
-  def minHashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
-                            shingleLen: Int = 5, numHashes: Int = 8,
-                            bandSize: Int = 2): DataFrame = {
-    val bands = lshBands(df, idCol, textCol, shingleLen, numHashes, bandSize)
+  /** [[lshBands]] as a public surface: the (id, band, band_key) bucket
+    * table. At 100 TB compute this ONCE and persist it (a self-join over a
+    * lazy plan evaluates the whole shingle→signature pipeline twice —
+    * once per side); [[candidatePairsFromBands]] then joins from storage. */
+  def bandBuckets(df: DataFrame, idCol: String, textCol: String,
+                  shingleLen: Int = 5, numHashes: Int = 8,
+                  bandSize: Int = 2): DataFrame =
+    lshBands(df, idCol, textCol, shingleLen, numHashes, bandSize)
+
+  /** Candidate pairs from a precomputed [[bandBuckets]] table (read it
+    * back from parquet to avoid the double signature computation). */
+  def candidatePairsFromBands(bands: DataFrame, idCol: String): DataFrame = {
     val a = bands.select(col(idCol).as("id_a"), col("band"), col("band_key"))
     val b = bands.select(col(idCol).as("id_b"), col("band"), col("band_key"))
     a.join(b, Seq("band", "band_key")).filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
   }
+
+  def minHashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+                            shingleLen: Int = 5, numHashes: Int = 8,
+                            bandSize: Int = 2): DataFrame =
+    candidatePairsFromBands(
+      lshBands(df, idCol, textCol, shingleLen, numHashes, bandSize), idCol)
 
   /** Winnowing document fingerprints (the MOSS scheme): hash every
     * k-gram, then keep the minimum hash of each sliding window of `w`
@@ -146,13 +160,20 @@ object Dedup {
     * by many fingerprints (e.g. all-zeros) is a skew key the same way an
     * LSH bucket is — AQE's skew split covers it. */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3): DataFrame =
+    simHashPairsFrom(simHash32(df, idCol, textCol), idCol, maxHamming)
+
+  /** [[simHashPairs]] over a precomputed (id, simhash) fingerprint table —
+    * at 100 TB persist [[simHash32]]'s output once and pair from storage,
+    * instead of re-tokenizing the corpus on both sides of the self-join. */
+  def simHashPairsFrom(fingerprints: DataFrame, idCol: String,
+                       maxHamming: Int = 3): DataFrame = {
     val nBands = maxHamming + 1
     require(nBands >= 1 && 32 % nBands == 0,
       s"maxHamming + 1 (= $nBands) must divide 32")
     val width = 32 / nBands
     val mask = (1L << width) - 1
-    val banded = simHash32(df, idCol, textCol)
+    val banded = fingerprints
       .select(col(idCol), col("simhash"),
         explode(expr(s"sequence(0, ${nBands - 1})")).as("band"))
       .withColumn("band_bits",

@@ -64,6 +64,26 @@ class DedupSimilaritySpec extends SparkSpec {
       "exact dup pair must survive at hamming 0")
   }
 
+  test("pair generation from persisted signatures matches end-to-end") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sig").toString
+    Dedup.bandBuckets(docs, "doc_id", "text", 5, 8, 2)
+      .write.mode("overwrite").parquet(s"$dir/bands")
+    val fromDisk = Dedup.candidatePairsFromBands(
+        spark.read.parquet(s"$dir/bands"), "doc_id")
+      .as[(Long, Long)].collect().toSet
+    val endToEnd = Dedup.minHashCandidatePairs(docs, "doc_id", "text", 5, 8, 2)
+      .as[(Long, Long)].collect().toSet
+    assert(fromDisk == endToEnd)
+    Dedup.simHash32(docs, "doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/fp")
+    val shFromDisk = Dedup.simHashPairsFrom(
+        spark.read.parquet(s"$dir/fp"), "doc_id", 3)
+      .as[(Long, Long, Int)].collect().toSet
+    val shEndToEnd = Dedup.simHashPairs(docs, "doc_id", "text", 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(shFromDisk == shEndToEnd)
+  }
+
   test("winnowing: shared substring of length >= w+k-1 shares a fingerprint") {
     val a = (0L, "aaaa THE QUICK BROWN FOX bbbb")
     val b = (1L, "cccc THE QUICK BROWN FOX dddd") // 20-char shared run > w+k-1=8
