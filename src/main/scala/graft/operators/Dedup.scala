@@ -208,14 +208,23 @@ object Dedup {
     // boilerplate near-dups contributes k−1 edges instead of k(k−1)/2 —
     // the candidate join that [[minHashCandidatePairs]] must do to ENUMERATE
     // pairs is exactly what group assignment can skip.
-    val bands = lshBands(df, idCol, textCol, shingleLen, numHashes, bandSize)
+    //
+    // The band table feeds two consumers (the per-bucket roots aggregate
+    // and the member join); pin it so the shingle→signature pipeline — the
+    // dominant cost — is evaluated once, not once per consumer.
+    val bands = Graphs.pin(
+      lshBands(df, idCol, textCol, shingleLen, numHashes, bandSize))
     val roots = bands.groupBy("band", "band_key").agg(min(col(idCol)).as("__root"))
     val starEdges = bands.join(roots, Seq("band", "band_key"))
       .filter(col(idCol) =!= col("__root"))
       .select(col(idCol).as("id_a"), col("__root").as("id_b"))
       .distinct()
-    Graphs.componentLabels(df.select(col(idCol)), idCol, starEdges, "id_a", "id_b")
-      .withColumnRenamed("component", "group_id")
+    val labels = Graphs.componentLabels(df.select(col(idCol)), idCol,
+      starEdges, "id_a", "id_b")
+    // componentLabels eagerly materializes the edge set (its first pin), so
+    // the band blocks are consumed by the time it returns — release them
+    Graphs.unpin(bands)
+    labels.withColumnRenamed("component", "group_id")
   }
 
   /** The deduplicated corpus: keep exactly one representative (the min-id

@@ -54,8 +54,10 @@ object Graphs {
       .distinct()
   }
 
-  /** Truncate lineage between rounds so the iterative plan stays flat. */
-  private def pin(df: DataFrame): DataFrame =
+  /** Truncate lineage between rounds so the iterative plan stays flat.
+    * Also used by multi-consumer plans ([[Dedup.dedupGroups]]) to evaluate
+    * an expensive shared subframe once. */
+  private[operators] def pin(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
     else df.localCheckpoint()
 
@@ -66,7 +68,7 @@ object Graphs {
     * checkpoint FILES are owned by the context cleaner
     * (`spark.cleaner.referenceTracking.cleanCheckpoints`); unpersist is
     * still correct there — it only drops cached blocks. */
-  private def unpin(df: DataFrame): Unit =
+  private[operators] def unpin(df: DataFrame): Unit =
     df.queryExecution.analyzed.foreach {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
       case _ => ()
