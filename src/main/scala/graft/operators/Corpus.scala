@@ -174,8 +174,12 @@ object Corpus {
     val nDf = raw.agg(count(lit(1)).cast("double").as("__n"))
     val df0 = Dedup.fanOut(raw, idCol)
     val id = col(idCol)
-    val tf = df0.select(id, explode(words(col(textCol))).as("term"))
-      .groupBy(id, col("term")).agg(count(lit(1)).as("tf"))
+    // tf feeds two consumers (document frequencies + the score join); pin
+    // it so the text explode + (doc, term) aggregate — the expensive stage
+    // — runs once, not once per consumer (batch operator: tf-idf is not
+    // streamable anyway, it aggregates twice)
+    val tf = Graphs.pin(df0.select(id, explode(words(col(textCol))).as("term"))
+      .groupBy(id, col("term")).agg(count(lit(1)).as("tf")))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val scored = tf.join(dfreq, "term").crossJoin(broadcast(nDf))
       .select(id, col("term"),
