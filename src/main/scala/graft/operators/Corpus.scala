@@ -51,7 +51,10 @@ object Corpus {
     val df = Dedup.fanOut(raw, idCol)
     val id = col(idCol)
     val tokens = df.select(id, explode(words(col(textCol))).as("w"))
-    val wordCounts = tokens.groupBy(id, col("w")).agg(count(lit(1)).as("cnt"))
+    // word counts feed the top-word window AND the n_words rollup; pin so
+    // the token explode + (doc, word) aggregate evaluates once
+    val wordCounts = Graphs.pin(
+      tokens.groupBy(id, col("w")).agg(count(lit(1)).as("cnt")))
     val topWord = wordCounts
       .withColumn("__rn", row_number().over(
         Window.partitionBy(id).orderBy(desc("cnt"), col("w"))))
@@ -96,9 +99,11 @@ object Corpus {
                 n: Int = 8): DataFrame = {
     val df = Dedup.fanOut(raw, idCol)
     val id = col(idCol)
-    val spans = df
+    // spans feeds the first-instance aggregate AND the join back; pin so
+    // the gram explode + hash — the expensive stage — evaluates once
+    val spans = Graphs.pin(df
       .select(id, posexplode(wordNgrams(col(textCol), n)).as(Seq("pos", "g")))
-      .select(id, col("pos"), md5(col("g")).as("h"))
+      .select(id, col("pos"), md5(col("g")).as("h")))
     val firsts = spans.groupBy(col("h"))
       .agg(min(struct(id, col("pos"))).as("__first"))
     spans.join(firsts, "h")
@@ -211,9 +216,11 @@ object Corpus {
   def charBigramLmScore(raw: DataFrame, idCol: String, textCol: String): DataFrame = {
     val df0 = Dedup.fanOut(raw, idCol)
     val id = col(idCol)
-    val grams = df0.filter(length(col(textCol)) >= 2)
+    // grams feeds three consumers (bigram counts, start-char counts, the
+    // scoring join); pin so the character explode evaluates once
+    val grams = Graphs.pin(df0.filter(length(col(textCol)) >= 2)
       .select(id, explode(expr(
-        s"transform(sequence(1, length($textCol) - 1), i -> substring($textCol, i, 2))")).as("g"))
+        s"transform(sequence(1, length($textCol) - 1), i -> substring($textCol, i, 2))")).as("g")))
     val bi = grams.groupBy("g").agg(count(lit(1)).as("cnt2"))
     // P(c2|c1): denominator = occurrences of c1 as a bigram START, derived
     // from the same gram stream (no second text scan)
