@@ -109,8 +109,10 @@ object Dedup {
   def minHashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
                             shingleLen: Int = 5, numHashes: Int = 8,
                             bandSize: Int = 2): DataFrame =
-    candidatePairsFromBands(
-      lshBands(df, idCol, textCol, shingleLen, numHashes, bandSize), idCol)
+    // pin: the self-join consumes the band table twice, and a lazy plan
+    // would run the whole shingle→signature pipeline once per side
+    candidatePairsFromBands(Graphs.pin(
+      lshBands(df, idCol, textCol, shingleLen, numHashes, bandSize)), idCol)
 
   /** Winnowing document fingerprints (the MOSS scheme): hash every
     * k-gram, then keep the minimum hash of each sliding window of `w`
@@ -161,7 +163,8 @@ object Dedup {
     * LSH bucket is — AQE's skew split covers it. */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame =
-    simHashPairsFrom(simHash32(df, idCol, textCol), idCol, maxHamming)
+    // pin: the band self-join reads the fingerprints twice
+    simHashPairsFrom(Graphs.pin(simHash32(df, idCol, textCol)), idCol, maxHamming)
 
   /** [[simHashPairs]] over a precomputed (id, simhash) fingerprint table —
     * at 100 TB persist [[simHash32]]'s output once and pair from storage,
@@ -248,10 +251,12 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         groupCol: String, n: Int = 3, idWindow: Long = 20,
                         minJaccard: Double = 0.0): DataFrame = {
-    val grams = df.filter(length(col(textCol)) >= n)
+    // pin: the distinct gram table feeds three consumers (per-doc counts +
+    // both join sides) — evaluate the explode + distinct once
+    val grams = Graphs.pin(df.filter(length(col(textCol)) >= n)
       .select(col(idCol), col(groupCol),
         explode(expr(s"transform(sequence(1, length($textCol) - ${n - 1}), i -> substring($textCol, i, $n))")).as("g"))
-      .distinct()
+      .distinct())
     val counts = grams.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
     val a = grams.select(col(idCol).as("id_a"), col(groupCol).as("grp"), col("g"))
       .withColumn("band", expr(s"id_a div $idWindow"))
