@@ -55,8 +55,15 @@ object Graphs {
   }
 
   /** Truncate lineage between rounds so the iterative plan stays flat.
-    * Also used by multi-consumer plans ([[Dedup.dedupGroups]]) to evaluate
-    * an expensive shared subframe once. */
+    * Also used by multi-consumer plans ([[Dedup.dedupGroups]], the corpus
+    * aggregates) to evaluate an expensive shared subframe once.
+    *
+    * With a checkpoint dir configured the reliable variant is used —
+    * durable under executor loss; enable
+    * `spark.cleaner.referenceTracking.cleanCheckpoints` so files from
+    * repeated operator calls are reclaimed when their frames are GC'd.
+    * Without one, localCheckpoint keeps blocks in executor storage (the
+    * context cleaner reclaims them the same way). */
   private[operators] def pin(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
     else df.localCheckpoint()
