@@ -53,7 +53,7 @@ object Corpus {
     val tokens = df.select(id, explode(words(col(textCol))).as("w"))
     // word counts feed the top-word window AND the n_words rollup; pin so
     // the token explode + (doc, word) aggregate evaluates once
-    val wordCounts = Graphs.pin(
+    val wordCounts = Graphs.pinLocal(
       tokens.groupBy(id, col("w")).agg(count(lit(1)).as("cnt")))
     val topWord = wordCounts
       .withColumn("__rn", row_number().over(
@@ -101,7 +101,7 @@ object Corpus {
     val id = col(idCol)
     // spans feeds the first-instance aggregate AND the join back; pin so
     // the gram explode + hash — the expensive stage — evaluates once
-    val spans = Graphs.pin(df
+    val spans = Graphs.pinLocal(df
       .select(id, posexplode(wordNgrams(col(textCol), n)).as(Seq("pos", "g")))
       .select(id, col("pos"), md5(col("g")).as("h")))
     val firsts = spans.groupBy(col("h"))
@@ -183,7 +183,7 @@ object Corpus {
     // it so the text explode + (doc, term) aggregate — the expensive stage
     // — runs once, not once per consumer (batch operator: tf-idf is not
     // streamable anyway, it aggregates twice)
-    val tf = Graphs.pin(df0.select(id, explode(words(col(textCol))).as("term"))
+    val tf = Graphs.pinLocal(df0.select(id, explode(words(col(textCol))).as("term"))
       .groupBy(id, col("term")).agg(count(lit(1)).as("tf")))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val scored = tf.join(dfreq, "term").crossJoin(broadcast(nDf))
@@ -218,7 +218,7 @@ object Corpus {
     val id = col(idCol)
     // grams feeds three consumers (bigram counts, start-char counts, the
     // scoring join); pin so the character explode evaluates once
-    val grams = Graphs.pin(df0.filter(length(col(textCol)) >= 2)
+    val grams = Graphs.pinLocal(df0.filter(length(col(textCol)) >= 2)
       .select(id, explode(expr(
         s"transform(sequence(1, length($textCol) - 1), i -> substring($textCol, i, 2))")).as("g")))
     val bi = grams.groupBy("g").agg(count(lit(1)).as("cnt2"))

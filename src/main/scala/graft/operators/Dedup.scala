@@ -111,7 +111,7 @@ object Dedup {
                             bandSize: Int = 2): DataFrame =
     // pin: the self-join consumes the band table twice, and a lazy plan
     // would run the whole shingle→signature pipeline once per side
-    candidatePairsFromBands(Graphs.pin(
+    candidatePairsFromBands(Graphs.pinLocal(
       lshBands(df, idCol, textCol, shingleLen, numHashes, bandSize)), idCol)
 
   /** Winnowing document fingerprints (the MOSS scheme): hash every
@@ -164,7 +164,7 @@ object Dedup {
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame =
     // pin: the band self-join reads the fingerprints twice
-    simHashPairsFrom(Graphs.pin(simHash32(df, idCol, textCol)), idCol, maxHamming)
+    simHashPairsFrom(Graphs.pinLocal(simHash32(df, idCol, textCol)), idCol, maxHamming)
 
   /** [[simHashPairs]] over a precomputed (id, simhash) fingerprint table —
     * at 100 TB persist [[simHash32]]'s output once and pair from storage,
@@ -215,7 +215,7 @@ object Dedup {
     // The band table feeds two consumers (the per-bucket roots aggregate
     // and the member join); pin it so the shingle→signature pipeline — the
     // dominant cost — is evaluated once, not once per consumer.
-    val bands = Graphs.pin(
+    val bands = Graphs.pinLocal(
       lshBands(df, idCol, textCol, shingleLen, numHashes, bandSize))
     val roots = bands.groupBy("band", "band_key").agg(min(col(idCol)).as("__root"))
     val starEdges = bands.join(roots, Seq("band", "band_key"))
@@ -253,11 +253,14 @@ object Dedup {
                         minJaccard: Double = 0.0): DataFrame = {
     // pin: the distinct gram table feeds three consumers (per-doc counts +
     // both join sides) — evaluate the explode + distinct once
-    val grams = Graphs.pin(df.filter(length(col(textCol)) >= n)
+    val grams = Graphs.pinLocal(df.filter(length(col(textCol)) >= n)
       .select(col(idCol), col(groupCol),
         explode(expr(s"transform(sequence(1, length($textCol) - ${n - 1}), i -> substring($textCol, i, $n))")).as("g"))
       .distinct())
-    val counts = grams.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
+    // counts is consumed by both the na and nb joins — pin the (tiny,
+    // doc-cardinality) rollup so the gram table isn't re-aggregated twice
+    val counts = Graphs.pinLocal(
+      grams.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams")))
     val a = grams.select(col(idCol).as("id_a"), col(groupCol).as("grp"), col("g"))
       .withColumn("band", expr(s"id_a div $idWindow"))
     val b = grams.select(col(idCol).as("id_b"), col(groupCol).as("grp"), col("g"))

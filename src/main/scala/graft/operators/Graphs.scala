@@ -54,19 +54,26 @@ object Graphs {
       .distinct()
   }
 
-  /** Truncate lineage between rounds so the iterative plan stays flat.
-    * Also used by multi-consumer plans ([[Dedup.dedupGroups]], the corpus
-    * aggregates) to evaluate an expensive shared subframe once.
-    *
-    * With a checkpoint dir configured the reliable variant is used —
-    * durable under executor loss; enable
-    * `spark.cleaner.referenceTracking.cleanCheckpoints` so files from
-    * repeated operator calls are reclaimed when their frames are GC'd.
-    * Without one, localCheckpoint keeps blocks in executor storage (the
-    * context cleaner reclaims them the same way). */
-  private[operators] def pin(df: DataFrame): DataFrame =
+  /** Truncate lineage between CC rounds so the iterative plan stays flat.
+    * Eager, and reliable when a checkpoint dir is configured (edge lists
+    * are small; enable `spark.cleaner.referenceTracking.cleanCheckpoints`
+    * so round files are reclaimed). */
+  private def pin(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
     else df.localCheckpoint()
+
+  /** Single-evaluation pin for an expensive subframe shared by several
+    * consumers of one batch operator ([[Dedup.minHashCandidatePairs]]'s
+    * bands, the corpus aggregates' token tables): LAZY — constructing the
+    * operator runs no jobs; the frame materializes with the first action
+    * and every consumer reuses the persisted blocks — and always LOCAL,
+    * never the reliable checkpoint dir: these intermediates are
+    * corpus-scale and transient, and reliable files would accumulate
+    * across operator calls (the context cleaner reclaims local blocks
+    * when the frame is GC'd; an executor loss costs a job retry, the
+    * normal batch contract). */
+  private[operators] def pinLocal(df: DataFrame): DataFrame =
+    df.localCheckpoint(eager = false)
 
   /** Release a finished round's pinned storage: once the next round is
     * materialized, the previous edge set is never referenced again, so its

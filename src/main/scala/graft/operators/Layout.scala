@@ -76,7 +76,9 @@ object Layout {
     require(cols.size >= 2, "Z-order needs at least 2 columns to interleave")
     require(bits >= 1 && bits * cols.size <= 63,
       s"bits ($bits) × cols (${cols.size}) must fit a long")
-    require(cols.forall(df.columns.contains), s"missing column in ${cols}")
+    // resolve through the session's own rules (case sensitivity etc.) so a
+    // missing column fails here with Spark's did-you-mean message
+    cols.foreach(df(_))
   }
 
   /** The Morton (bit-interleaved) value of the given columns' rank codes,
