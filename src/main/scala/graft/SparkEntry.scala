@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{FunctionQueries, PipelineQueries, RelationalQueries, TemporalQueries}
+import graft.queries.{FunctionQueries, PipelineQueries, RelationalQueries, StreamingQueries, TemporalQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -19,7 +19,8 @@ object SparkEntry {
       (RelationalQueries.queries, RelationalQueries.oracles),
       (TemporalQueries.queries, TemporalQueries.oracles),
       (PipelineQueries.queries, PipelineQueries.oracles),
-      (FunctionQueries.queries, FunctionQueries.oracles)
+      (FunctionQueries.queries, FunctionQueries.oracles),
+      (StreamingQueries.queries, StreamingQueries.oracles)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

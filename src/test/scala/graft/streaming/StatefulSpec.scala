@@ -1,0 +1,137 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.sources.TemporalTable
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class StatefulSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val M = 60L * 1000 * 1000 * 1000 // one minute in ns
+  private def ns(minute: Long): Long = 1704100000000000000L + minute * M
+
+  test("changeDetect carries last-value state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Long, String)]
+    val out = Stateful.changeDetect(
+      in.toDF().toDF("k", "ts", "seq", "v"), "k", "ts", "seq", "v")
+    val q = out.writeStream.format("memory").queryName("cd_test")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, ns(0), 0L, "a"), (1L, ns(1), 1L, "a"), (1L, ns(2), 2L, "b"))
+      q.processAllAvailable()
+      // first observation + a→b transition; the repeat 'a' is suppressed
+      assert(spark.table("cd_test").count() == 2)
+      // next batch starts with the SAME value as the carried state → no emit
+      in.addData((1L, ns(3), 3L, "b"))
+      q.processAllAvailable()
+      assert(spark.table("cd_test").count() == 2)
+      // ...then a real change, plus a brand-new key
+      in.addData((1L, ns(4), 4L, "c"), (2L, ns(4), 5L, "x"))
+      q.processAllAvailable()
+      val rows = spark.table("cd_test")
+        .select("k", "v", "prev_value").as[(Long, String, Option[String])]
+        .collect().toSet
+      assert(rows == Set(
+        (1L, "a", None), (1L, "b", Some("a")), (1L, "c", Some("b")),
+        (2L, "x", None)))
+    } finally q.stop()
+  }
+
+  test("changeDetect batch mode matches the lag-window formulation") {
+    val df = Seq(
+      (1L, ns(0), 0L, "a"), (1L, ns(1), 1L, "b"), (1L, ns(2), 2L, "b"),
+      (1L, ns(3), 3L, "a"), (2L, ns(0), 4L, "z")).toDF("k", "ts", "seq", "v")
+    val got = Stateful.changeDetect(df, "k", "ts", "seq", "v")
+      .select("k", "ts", "v").as[(Long, Long, String)].collect().toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("k").orderBy("ts", "seq")
+    val want = df.withColumn("p", lag("v", 1).over(w))
+      .filter(col("p").isNull || col("p") =!= col("v"))
+      .select("k", "ts", "v").as[(Long, Long, String)].collect().toSet
+    assert(got == want && got.size == 4)
+  }
+
+  test("sessionize closes sessions via event-time timeout in streaming mode") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Long)]
+    val out = Stateful.sessionize(
+      in.toDF().toDF("k", "ts", "seq"), "k", "ts", "seq", gapNs = 5 * M)
+    val q = out.writeStream.format("memory").queryName("sess_test")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, ns(0), 0L), (1L, ns(2), 1L))
+      q.processAllAvailable()
+      // session still open: watermark (10:02) hasn't passed end+gap (10:07)
+      assert(spark.table("sess_test").count() == 0)
+      // an event far past the gap advances the watermark → timeout fires and
+      // the first session closes; the new event opens session two
+      in.addData((1L, ns(20), 2L))
+      q.processAllAvailable()
+      val closed = spark.table("sess_test")
+        .select("k", "session_start", "session_end", "n_events")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(closed == Set((1L, ns(0), ns(2), 2L)))
+    } finally q.stop()
+  }
+
+  test("sessionize batch mode matches session_window semantics") {
+    val df = Seq(
+      (1L, ns(0), 0L), (1L, ns(2), 1L), (1L, ns(20), 2L),
+      (2L, ns(1), 3L)).toDF("k", "ts", "seq")
+    val got = Stateful.sessionize(df, "k", "ts", "seq", gapNs = 5 * M,
+      emitOpen = true)
+      .select("k", "session_start", "session_end", "n_events")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, ns(0), ns(2), 2L), (1L, ns(20), ns(20), 1L), (2L, ns(1), ns(1), 1L)))
+  }
+
+  test("intervalJoin pairs stream-stream rows within the time range") {
+    implicit val sqlCtx = spark.sqlContext
+    val lin = MemoryStream[(Long, Long, Long)]
+    val rin = MemoryStream[(Long, Long, Long)]
+    val out = Stateful.intervalJoin(
+      lin.toDF().toDF("k", "ts", "lid"), rin.toDF().toDF("k", "ts", "rid"),
+      Seq("k"), "ts", "ts", 0L, 10 * M, lateness = "1 minute")
+      .select(col("k"), col("lid"), col("right_rid"))
+    val q = out.writeStream.format("memory").queryName("ij_test")
+      .outputMode("append").start()
+    try {
+      lin.addData((1L, ns(0), 100L), (2L, ns(0), 101L))
+      rin.addData((1L, ns(5), 200L), // in range for lid=100
+        (1L, ns(30), 201L), // out of range
+        (3L, ns(1), 202L)) // wrong key
+      q.processAllAvailable()
+      val rows = spark.table("ij_test")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(rows == Set((1L, 100L, 200L)))
+    } finally q.stop()
+  }
+
+  test("maintainTable merges each micro-batch into a temporal-table revision") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-maintain")
+    val tbl = dir.resolve("tbl").toString
+    val ckpt = dir.resolve("ckpt").toString
+    val in = MemoryStream[(Long, Double)]
+    in.addData((1L, 10.0), (2L, 20.0))
+    val q1 = Stateful.maintainTable(
+      in.toDF().toDF("node_key", "price"), tbl, Seq("node_key"), ckpt)
+    q1.awaitTermination() // AvailableNow drains and stops
+    assert(TemporalTable.read(spark, tbl)
+      .select("node_key", "price").as[(Long, Double)].collect().toSet ==
+      Set((1L, 10.0), (2L, 20.0)))
+    // second batch: update key 1, insert key 3 → one more committed revision
+    in.addData((1L, 11.0), (3L, 30.0))
+    val q2 = Stateful.maintainTable(
+      in.toDF().toDF("node_key", "price"), tbl, Seq("node_key"), ckpt)
+    q2.awaitTermination()
+    assert(TemporalTable.commits(tbl).map(_.revision) == Seq(1, 2))
+    assert(TemporalTable.read(spark, tbl)
+      .select("node_key", "price").as[(Long, Double)].collect().toSet ==
+      Set((1L, 11.0), (2L, 20.0), (3L, 30.0)))
+  }
+}
