@@ -219,6 +219,35 @@ object FunctionQueries {
           to_json(struct(col("n_name").as("name"), col("n_regionkey").as("region")))
             .as("js"))
         .orderBy("n_nationkey")
+    },
+    // JSONiq update expressions (§2.14: insert/replace/rename/delete json,
+    // array append, element-wise rewrite through []) as struct-column edits
+    "q_json_update" -> { (s, d) =>
+      import graft.operators.JsonUpdates._
+      val doc0 = t(s, d, "orders")
+        .select(col("o_orderkey"),
+          struct(
+            struct(col("o_custkey").as("ckey"),
+              col("o_orderstatus").as("status")).as("cust"),
+            array(
+              struct(col("o_orderkey").as("line_no"),
+                col("o_totalprice").as("amt"))).as("lines"))
+            .as("doc"))
+      doc0
+        .withColumn("doc", insertField(col("doc"), "cust.segment",
+          concat(lit("seg-"), col("doc.cust.status"))))    // insert json
+        .withColumn("doc", renameField(col("doc"), "cust.status", "state"))
+        .withColumn("doc", mapField(col("doc"), "lines[].amt")(
+          p => p.getField("amt") * 2))                     // replace value of
+        .withColumn("doc", appendToArray(col("doc"), "lines",
+          struct(lit(-1L).as("line_no"), lit(0.0).as("amt"))))
+        .withColumn("doc", removeField(col("doc"), "cust.ckey")) // delete json
+        .select(col("o_orderkey"),
+          to_json(col("doc.cust")).as("cust_js"),
+          col("doc.cust.state").as("state"),
+          element_at(col("doc.lines"), 1).getField("amt").as("amt0"),
+          size(col("doc.lines")).as("n_lines"))
+        .orderBy("o_orderkey")
     }
   )
 
@@ -340,6 +369,14 @@ object FunctionQueries {
     "q_serialize" ->
       """SELECT n_nationkey,
         |  '{"name":"' || n_name || '","region":' || n_regionkey || '}' AS js
-        |FROM nation ORDER BY n_nationkey""".stripMargin
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "q_json_update" ->
+      """SELECT o_orderkey,
+        |  '{"segment":"seg-' || o_orderstatus || '","state":"' || o_orderstatus
+        |    || '"}' AS cust_js,
+        |  o_orderstatus AS state,
+        |  o_totalprice * 2 AS amt0,
+        |  CAST(2 AS INTEGER) AS n_lines
+        |FROM orders ORDER BY o_orderkey""".stripMargin
   )
 }
