@@ -101,9 +101,21 @@ object Graphs {
   /** Connected components of the undirected graph given as an edge list.
     * Returns (`node`, `component`) for every node INCIDENT to an edge;
     * `component` is the minimum node id in the component. Edge endpoints
-    * must be orderable (numeric or string). */
+    * must be orderable (numeric or string).
+    *
+    * Adaptive execution: when the deduplicated edge list is at most
+    * `driverMaxEdges` rows with integral endpoints (≤ ~16 MB of longs —
+    * the same bounded-driver-state budget as IvfIndex's k-means
+    * centroids), union-find runs on the driver in one collect instead of
+    * O(log² n) multi-job star rounds — at sf0.1 this is most of the
+    * dedup-group wall clock, pure job-scheduling overhead on a few
+    * thousand edges. Above the threshold (the 100 TB regime: candidate
+    * edges scale with corpus size) the all-relational loop runs as
+    * before; rounds that contract below the threshold finish on the
+    * driver too. */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-                          maxIter: Int = 25): DataFrame = {
+                          maxIter: Int = 25,
+                          driverMaxEdges: Long = 1000000L): DataFrame = {
     var e = pin(edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src") =!= col("dst"))
@@ -111,19 +123,57 @@ object Graphs {
     var fp = fingerprint(e)
     var converged = false
     var it = 0
-    while (!converged && it < maxIter) {
-      val next = pin(smallStar(largeStar(e)))
-      val nfp = fingerprint(next) // also forces next's materialization
-      converged = nfp == fp
-      unpin(e)
-      e = next
-      fp = nfp
-      it += 1
+    var small: Option[DataFrame] = None
+    val integral = e.schema("src").dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType => true
+      case _ => false // string min is binary-collated in Spark; keep distributed
     }
-    // at the fixpoint every edge points at its component root
-    e.select(col("src").as("node"), col("dst").as("component"))
-      .union(e.select(col("dst").as("node"), col("dst").as("component")))
-      .distinct()
+    while (small.isEmpty && !converged && it < maxIter) {
+      if (integral && fp._1 <= driverMaxEdges) {
+        small = Some(driverUnionFind(e))
+        unpin(e)
+      } else {
+        val next = pin(smallStar(largeStar(e)))
+        val nfp = fingerprint(next) // also forces next's materialization
+        converged = nfp == fp
+        unpin(e)
+        e = next
+        fp = nfp
+        it += 1
+      }
+    }
+    small.getOrElse {
+      // at the fixpoint every edge points at its component root
+      e.select(col("src").as("node"), col("dst").as("component"))
+        .union(e.select(col("dst").as("node"), col("dst").as("component")))
+        .distinct()
+    }
+  }
+
+  /** Single-collect union-find (min-root, path-halving) for edge lists
+    * under the driver budget. Emits the same (`node`, `component`) frame
+    * as the distributed fixpoint, with the input's integral node type. */
+  private def driverUnionFind(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    val dt = e.schema("src").dataType
+    val longs = e.select(col("src").cast("long"), col("dst").cast("long")).collect()
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+      r
+    }
+    longs.foreach { row =>
+      val a = row.getLong(0); val b = row.getLong(1)
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    import spark.implicits._
+    val out = parent.keysIterator.map(n => (n, find(n))).toSeq
+    spark.createDataset(out).toDF("node", "component")
+      .select(col("node").cast(dt), col("component").cast(dt))
   }
 
   /** Component labels for ALL nodes of `nodes` (isolated nodes label

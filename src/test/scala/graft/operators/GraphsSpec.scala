@@ -46,6 +46,25 @@ class GraphsSpec extends SparkSpec {
     assert(labelsOf(edges, nodes) == brute(edges, nodes))
   }
 
+  test("distributed star rounds and the driver fast path agree") {
+    val rnd = new scala.util.Random(11)
+    val edges = Seq.fill(300)((rnd.nextInt(500).toLong, rnd.nextInt(500).toLong))
+      .filter { case (a, b) => a != b }
+    val e = edges.toDF("a", "b")
+    val driver = Graphs.connectedComponents(e, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Graphs.connectedComponents(e, "a", "b", driverMaxEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(driver == dist && driver.nonEmpty)
+  }
+
+  test("string-keyed edges stay on the distributed path and converge") {
+    val got = Graphs.connectedComponents(
+      Seq(("b", "c"), ("a", "b"), ("x", "y")).toDF("s", "d"), "s", "d")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
+  }
+
   test("empty edge list labels every node itself") {
     val got = labelsOf(Seq.empty, Seq(3L, 5L))
     assert(got == Map(3L -> 3L, 5L -> 5L))
