@@ -40,6 +40,15 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
 
+    // Each run constructs its query fresh, so operator-internal pins
+    // (lazy localCheckpoints) are paid inside the timed run — but their
+    // blocks outlive the run until GC. Dropping leftovers between queries
+    // keeps executor storage flat across the suite: without it, later
+    // queries measure block-manager eviction pressure from earlier ones
+    // (observed ±2.5× swings on the pair generators).
+    def dropLeftoverPins(): Unit =
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+
     val results = headline.filter(SparkEntry.queries.contains).map { name =>
       val t =
         try {
@@ -54,6 +63,7 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           -1.0
         }
+      dropLeftoverPins()
       name -> t
     }
 
