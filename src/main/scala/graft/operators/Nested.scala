@@ -133,4 +133,37 @@ object Nested {
       case None => lit("{}")
     }
   }
+
+  /** Truncate every ARRAY in the value to its first `maxChildren` elements,
+    * recursively (the serializer's `maxChildNodes` option —
+    * service/json/serialize/JsonMaxLevelMaxNodesMaxChildNodesVisitor.java).
+    * Struct fan-out is schema-bounded, so with [[truncateToLevel]] this
+    * also bounds total serialized nodes (the `maxNodes` budget is ≤
+    * fields^maxLevel × maxChildren^arrayDepth — pick the two knobs from
+    * it). Pure slice/transform — codegen'd, no explode. */
+  def truncateChildren(c: Column, dt: DataType, maxChildren: Int): Column =
+    dt match {
+      case at: org.apache.spark.sql.types.ArrayType =>
+        transform(slice(c, 1, maxChildren),
+          e => truncateChildren(e, at.elementType, maxChildren))
+      case st: StructType =>
+        struct(st.fields.toSeq.map(f =>
+          truncateChildren(c.getField(f.name), f.dataType, maxChildren)
+            .as(f.name)): _*)
+      case _ => c
+    }
+
+  /** `sdb:serialize` with BOTH limits: depth-truncate to `maxLevel`, then
+    * cap every array at `maxChildren` elements. */
+  def toJsonLimited(df: DataFrame, colName: String, maxLevel: Int,
+                    maxChildren: Int): Column = {
+    val dt = df.schema(colName).dataType
+    truncateToLevel(col(colName), dt, maxLevel) match {
+      case Some(c) =>
+        // re-derive the truncated type to drive the array walk
+        val kept = df.select(c.as("__t")).schema("__t").dataType
+        to_json(truncateChildren(c, kept, maxChildren))
+      case None => lit("{}")
+    }
+  }
 }

@@ -196,6 +196,20 @@ object FunctionQueries {
           graft.operators.Nested.toJsonLimited(base, "doc", 1).as("js"))
         .orderBy("n_nationkey")
     },
+    // child-limited serialization (sdb:serialize maxChildNodes, §2.6):
+    // every array capped to its first 2 elements at any depth
+    "q_serialize_children" -> { (s, d) =>
+      val base = t(s, d, "nation")
+        .select(col("n_nationkey"),
+          struct(col("n_name").as("name"),
+            array(col("n_regionkey"), col("n_regionkey") + 1,
+              col("n_regionkey") + 2, col("n_regionkey") + 3).as("xs"),
+            struct(array(col("n_nationkey"), col("n_nationkey") + 1,
+              col("n_nationkey") + 2).as("ys")).as("meta")).as("doc"))
+      base.select(col("n_nationkey"),
+          graft.operators.Nested.toJsonLimited(base, "doc", 9, 2).as("js"))
+        .orderBy("n_nationkey")
+    },
     // path summary (§1.3): inferred schema + per-path non-null statistics
     "q_path_summary" -> { (s, d) =>
       val base = t(s, d, "customer")
@@ -353,6 +367,12 @@ object FunctionQueries {
         |ORDER BY doc_id, name""".stripMargin,
     "q_serialize_limited" ->
       """SELECT n_nationkey, '{"name":"' || n_name || '"}' AS js
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "q_serialize_children" ->
+      """SELECT n_nationkey,
+        |  '{"name":"' || n_name || '","xs":[' || n_regionkey || ','
+        |    || n_regionkey + 1 || '],"meta":{"ys":[' || n_nationkey || ','
+        |    || n_nationkey + 1 || ']}}' AS js
         |FROM nation ORDER BY n_nationkey""".stripMargin,
     "q_path_summary" ->
       """SELECT * FROM (

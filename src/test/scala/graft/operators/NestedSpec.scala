@@ -87,4 +87,18 @@ class NestedSpec extends SparkSpec {
       .select(Nested.toJsonLimited(docs, "a", 2).as("js")).as[String].head()
     assert(l2 == """{"price":10.0,"meta":{"price":11.0,"tag":"x"}}""")
   }
+
+  test("toJsonLimited caps arrays at maxChildren, at every depth") {
+    val d = Seq((1L, Seq(1L, 2L, 3L, 4L), Seq(Seq(10L, 20L, 30L), Seq(40L))))
+      .toDF("id", "xs", "yss")
+      .select($"id", struct($"xs", $"yss").as("doc"))
+    val js = d.select(Nested.toJsonLimited(d, "doc", 9, 2).as("js"))
+      .as[String].head()
+    // outer arrays sliced to 2; the nested inner array sliced too
+    assert(js == """{"xs":[1,2],"yss":[[10,20],[40]]}""")
+    // short arrays pass through untouched
+    val js1 = d.select(Nested.toJsonLimited(d, "doc", 9, 5).as("js"))
+      .as[String].head()
+    assert(js1 == """{"xs":[1,2,3,4],"yss":[[10,20,30],[40]]}""")
+  }
 }
