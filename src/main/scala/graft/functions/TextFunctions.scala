@@ -94,4 +94,34 @@ object TextFunctions {
     * pre-tokenization cleanup. */
   def normalizeWhitespace(c: Column): Column =
     trim(regexp_replace(c, "\\s+", " "))
+
+  // ---- URL canonicalization (URL-level dedup: the cheapest and first
+  // dedup pass of a web-corpus pipeline keys on the canonical URL before
+  // any content hash is computed) ----
+
+  /** Tracking query params stripped by [[canonicalizeUrl]]; the trailing
+    * `(&|$)` consumes the separator so adjacent tracking params all match
+    * in one left-to-right pass. */
+  private val TrackingParamRe = "(utm_[a-z0-9_]+|fbclid|gclid|ref)=[^&]*(&|$)"
+
+  /** Canonical URL form for URL-level dedup: drop the `#fragment`, drop the
+    * scheme, lowercase the HOST only (paths stay case-sensitive), drop a
+    * leading `www.`, strip tracking query params (`utm_*`, `fbclid`,
+    * `gclid`, `ref`), collapse a directory slash before the query, and trim
+    * dangling `?`/`&`/`/`. A codegen'd regexp chain — map-side only, no
+    * shuffle, linear scan at any scale. Replacement semantics are
+    * replace-ALL-matches (Java `replaceAll`); the DuckDB oracle passes the
+    * `g` flag everywhere to match. */
+  def canonicalizeUrl(c: Column): Column = {
+    val noFrag = regexp_replace(c, "#.*", "")
+    val noScheme = regexp_replace(noFrag, "^[hH][tT][tT][pP][sS]?://", "")
+    val host = lower(regexp_extract(noScheme, "^[^/?#]*", 0))
+    val bareHost = regexp_replace(host, "^www\\.", "")
+    val rest = regexp_replace(noScheme, "^[^/?#]*", "")
+    val noTrack = regexp_replace(rest, TrackingParamRe, "")
+    val noDangling = regexp_replace(noTrack, "[?&]+$", "")
+    val noDirSlash = regexp_replace(noDangling, "/\\?", "?")
+    val noTrailSlash = regexp_replace(noDirSlash, "/$", "")
+    concat(bareHost, noTrailSlash)
+  }
 }

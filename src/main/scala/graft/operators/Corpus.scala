@@ -272,4 +272,67 @@ object Corpus {
     }
     df.filter(hashBucket(col(keyCol)) < thresholds)
   }
+
+  /** Sequence packing — the pretraining prep step that concatenates
+    * documents into fixed `budget`-token training sequences: within a
+    * shard, documents are streamed in id order and the token stream is cut
+    * every `budget` tokens; each document is assigned the pack where its
+    * first token lands (`pack_id`) at `pack_offset`. Ids must be
+    * non-negative (the deterministic shard is `id % nShards`).
+    *
+    * Sharding is the scale story: a single global running sum would be one
+    * sort on one reducer, so the cumulative sum is PARTITIONED by the
+    * deterministic shard — at 100 TB set `nShards` to a multiple of the
+    * cluster's core count and packing runs as independent per-shard window
+    * sums behind one shard-keyed exchange of (id, count) pairs; the text
+    * column itself never shuffles. Packs never span shards, so parallelism
+    * costs at most one underfull tail pack per shard. */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+                    budget: Int, nShards: Int = 32): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    require(nShards > 0, s"nShards must be positive: $nShards")
+    val id = col(idCol)
+    val perDoc = df.select(id, (id % nShards).cast("int").as("shard"),
+      size(words(col(textCol))).cast("long").as("n_tokens"))
+    val w = Window.partitionBy("shard").orderBy(id)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perDoc
+      .withColumn("__cum", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .select(id, col("shard"),
+        expr(s"__cum div ${budget}L").as("pack_id"),
+        col("n_tokens"),
+        (col("__cum") % budget).as("pack_offset"))
+  }
+
+  /** Multi-stage curation funnel: every document is attributed to the FIRST
+    * stage that rejects it (stage names sort in pipeline order; `0_kept`
+    * = survived all stages), and the report is one row per stage with doc
+    * counts and corpus share — the attrition dashboard a curation pipeline
+    * publishes before committing a training mix. Stages compose the
+    * library kernels: length band and word-length band
+    * ([[graft.functions.TextFunctions.qualityMetrics]]), language ID
+    * (`und` = no marker fired), and Gopher repetition flags
+    * ([[repetitionMetrics]]). A metric whose denominator is empty is null
+    * and does not reject (same convention as the kernels themselves).
+    * Cost is one text scan plus the repetition aggregates; the funnel
+    * rollup itself is a stage-cardinality aggregate — nothing data-sized
+    * reaches the driver. */
+  def curationFunnel(raw: DataFrame, idCol: String, textCol: String,
+                     minChars: Long = 100, maxChars: Long = 10000,
+                     minWordLen: Double = 3.0, maxWordLen: Double = 12.0): DataFrame = {
+    val id = col(idCol)
+    val t = col(textCol)
+    val rep = repetitionMetrics(raw, idCol, textCol).select(id, col("rep_flagged"))
+    val m = graft.functions.TextFunctions.qualityMetrics(t).toMap
+    raw.join(rep, Seq(idCol), "left")
+      .select(
+        when(!m("n_chars").between(minChars, maxChars), "1_length")
+          .when(!m("avg_word_len").between(minWordLen, maxWordLen), "2_word_len")
+          .when(graft.functions.TextFunctions.langId(t) === "und", "3_lang")
+          .when(col("rep_flagged"), "4_repetition")
+          .otherwise("0_kept").as("stage"))
+      .groupBy("stage").agg(count(lit(1)).as("n_docs"))
+      .withColumn("doc_share",
+        round(col("n_docs") / sum("n_docs").over(Window.partitionBy()), 4))
+  }
 }

@@ -114,6 +114,32 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("sim"), col("rank"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space with the IVF coarse
+    * quantizer ([[IvfIndex.fit]], deterministic under the seed), materialize
+    * candidate pairs ONLY within a cluster, connect pairs at or above
+    * `threshold` cosine similarity into duplicate groups, and keep the
+    * smallest id per group. Returns one row per input row:
+    * (id, `group_id`, `keep`).
+    *
+    * The within-cell pair join is what makes semantic dedup tractable at
+    * 100 TB: k-means cells bound the candidate set the way LSH bands bound
+    * MinHash candidates — no all-pairs comparison ever materializes, and
+    * the join shuffles on the cell id, not the vectors, when the
+    * assignment is persisted clustered ([[IvfIndex.writeClustered]]).
+    * Group assignment reuses the adaptive connected-components fixpoint
+    * ([[Graphs.componentLabels]]), so transitive duplicate chains collapse
+    * to one survivor (`keep` = the row IS its group's min id). */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    nLists: Int, threshold: Double,
+                    seed: Long = 42L): DataFrame = {
+    val (_, assigned) = IvfIndex.fit(df, vecCol, nLists, seed)
+    val pairs = nearDupPairs(assigned, idCol, vecCol, "ivf_cell", threshold)
+    Graphs.componentLabels(df, idCol, pairs, "id_a", "id_b")
+      .select(col(idCol), col("component").as("group_id"),
+        (col("component") === col(idCol)).as("keep"))
+  }
+
   /** ANN top-k via LSH buckets: probe only the query's bucket. Falls back to
     * brute force within the bucket; recall is tuned by `nBits`. */
   def annTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int,

@@ -173,6 +173,40 @@ object PipelineQueries {
           defaultRate = 0.0625)
         .select("doc_id", "lang").orderBy("doc_id")
     },
+    // sequence packing: docs -> fixed 512-token training packs, 8 shards
+    "x_pack" -> { (s, d) =>
+      Corpus.packSequences(docs(s, d), "doc_id", "text", 512, 8)
+        .orderBy("doc_id")
+    },
+    // curation funnel: per-stage attrition report (first failing stage)
+    "x_funnel" -> { (s, d) =>
+      Corpus.curationFunnel(docs(s, d), "doc_id", "text").orderBy("stage")
+    },
+    // URL-level dedup on canonicalized synthetic URLs (scheme/www/fragment/
+    // tracking-param/slash variants collapse; host lowercased, path not)
+    "d_url_dedup" -> { (s, d) =>
+      val id = col("doc_id")
+      val url = concat(
+        when(id % 2 === 0, "HTTP://").otherwise("https://"),
+        when(id % 3 === 0, "WWW.").otherwise(lit("")),
+        lit("Site"), (id % 7).cast("string"), lit(".com/Path/"),
+        (id % 50).cast("string"),
+        when(id % 2 === 0, "/").otherwise(lit("")),
+        lit("?utm_source=feed&fbclid=x"), id.cast("string"),
+        lit("&id="), (id % 5).cast("string"),
+        when(id % 4 === 0, "#frag").otherwise(lit("")))
+      docs(s, d).select(id, TextFunctions.canonicalizeUrl(url).as("canon_url"))
+        .groupBy("canon_url")
+        .agg(min(id).as("keep_id"), count(lit(1)).as("n_dups"))
+        .orderBy("canon_url")
+    },
+    // SemDeDup: IVF-cell-bounded cosine groups over embeddings (k-means is
+    // not oracle-expressible -> rows-only driver check; semantics pinned by
+    // DedupSimilaritySpec)
+    "s_semantic_dedup" -> { (s, d) =>
+      Similarity.semanticDedup(emb(s, d), "vec_id", "embedding", 8, 0.95)
+        .orderBy("vec_id")
+    },
     // PII scrubbing + whitespace normalization (training-data hygiene);
     // deterministic synthetic PII is injected per doc so the kernels are
     // exercised on every row
@@ -442,6 +476,47 @@ object PipelineQueries {
         |WHERE bucket < CASE lang WHEN 'en' THEN 2048 WHEN 'es' THEN 1024
         |  WHEN 'fr' THEN 1024 WHEN 'de' THEN 512 ELSE 256 END
         |ORDER BY doc_id""".stripMargin,
+    "x_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(doc_id % 8 AS INTEGER) AS shard,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |  FROM t)
+        |SELECT doc_id, shard, CAST(cum // 512 AS BIGINT) AS pack_id, n_tokens,
+        |  CAST(cum % 512 AS BIGINT) AS pack_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "x_funnel" -> PipelineOracleSql.funnelSql,
+    "d_url_dedup" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'https://' END) ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
+        |    'Site' || (doc_id % 7) || '.com/Path/' || (doc_id % 50) ||
+        |    (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END) ||
+        |    '?utm_source=feed&fbclid=x' || doc_id || '&id=' || (doc_id % 5) ||
+        |    (CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END) AS url
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(url, '#.*', '', 'g') AS x FROM u),
+        |s2 AS (SELECT doc_id,
+        |  regexp_replace(x, '^[hH][tT][tT][pP][sS]?://', '', 'g') AS x FROM s1),
+        |s3 AS (SELECT doc_id,
+        |  regexp_replace(lower(regexp_extract(x, '^[^/?#]*')), '^www\.', '', 'g') AS host,
+        |  regexp_replace(x, '^[^/?#]*', '') AS rest FROM s2),
+        |s4 AS (SELECT doc_id, host,
+        |  regexp_replace(rest, '(utm_[a-z0-9_]+|fbclid|gclid|ref)=[^&]*(&|$)', '', 'g') AS rest
+        |  FROM s3),
+        |s5 AS (SELECT doc_id, host,
+        |  regexp_replace(rest, '[?&]+$', '', 'g') AS rest FROM s4),
+        |s6 AS (SELECT doc_id, host,
+        |  regexp_replace(regexp_replace(rest, '/\?', '?', 'g'), '/$', '', 'g') AS rest
+        |  FROM s5),
+        |c AS (SELECT doc_id, host || rest AS canon_url FROM s6)
+        |SELECT canon_url, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+        |FROM c GROUP BY canon_url ORDER BY canon_url""".stripMargin,
     "x_scrub" ->
       """SELECT doc_id,
         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
@@ -512,6 +587,64 @@ object PipelineOracleSql {
        |FROM scored ORDER BY doc_id""".stripMargin
 
   private val punct = hits(Seq(".", ",", "!", "?", ";", ":"))
+
+  /** Curation-funnel oracle: mirrors [[graft.operators.Corpus.curationFunnel]]
+    * — the quality-metric CTE (same expressions as [[qualitySql]]), the
+    * lang-ID CASE (same as [[langIdSql]]), and the repetition flags (same
+    * as the x_repetition oracle), composed into a first-failing-stage
+    * attribution. */
+  val funnelSql: String =
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    CAST(length(text) AS BIGINT) AS n_chars,
+       |    CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS n_words,
+       |    CAST(length(replace(text, ' ', '')) AS DOUBLE) AS n_nonspace,
+       |    $en AS h_en, $es AS h_es, $fr AS h_fr, $de AS h_de
+       |  FROM documents),
+       |q AS (
+       |  SELECT doc_id, n_chars, ROUND(n_nonspace / n_words, 4) AS awl,
+       |    CASE
+       |      WHEN h_de > 0 AND h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+       |      WHEN h_en > 0 AND h_en >= h_de AND h_en >= h_es AND h_en >= h_fr THEN 'en'
+       |      WHEN h_es > 0 AND h_es >= h_de AND h_es >= h_en AND h_es >= h_fr THEN 'es'
+       |      WHEN h_fr > 0 AND h_fr >= h_de AND h_fr >= h_en AND h_fr >= h_es THEN 'fr'
+       |      ELSE 'und' END AS pred_lang
+       |  FROM m),
+       |wl AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
+       |  FROM documents),
+       |toks AS (SELECT doc_id, unnest(w) AS w FROM wl),
+       |counts AS (SELECT doc_id, w, COUNT(*) AS cnt FROM toks GROUP BY doc_id, w),
+       |top AS (
+       |  SELECT doc_id, cnt AS top_cnt,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, w) AS rn
+       |  FROM counts),
+       |grams AS (
+       |  SELECT doc_id, w[CAST(i AS INTEGER)] || ' ' || w[CAST(i AS INTEGER) + 1] AS g
+       |  FROM wl, UNNEST(range(1, len(w))) AS r(i)),
+       |g2 AS (
+       |  SELECT doc_id, COUNT(*) AS n_2grams, COUNT(DISTINCT g) AS n_distinct
+       |  FROM grams GROUP BY doc_id),
+       |rep AS (
+       |  SELECT wl.doc_id,
+       |    (COALESCE(ROUND(CAST(top.top_cnt AS DOUBLE) / len(wl.w), 4) > 0.2, false)
+       |      OR COALESCE(ROUND(1.0 - CAST(g2.n_distinct AS DOUBLE) / g2.n_2grams, 4) > 0.2, false))
+       |      AS rep_flagged
+       |  FROM wl
+       |  LEFT JOIN top ON top.doc_id = wl.doc_id AND top.rn = 1
+       |  LEFT JOIN g2 ON g2.doc_id = wl.doc_id),
+       |staged AS (
+       |  SELECT q.doc_id,
+       |    CASE
+       |      WHEN NOT (n_chars BETWEEN 100 AND 10000) THEN '1_length'
+       |      WHEN NOT (awl BETWEEN 3.0 AND 12.0) THEN '2_word_len'
+       |      WHEN pred_lang = 'und' THEN '3_lang'
+       |      WHEN rep_flagged THEN '4_repetition'
+       |      ELSE '0_kept' END AS stage
+       |  FROM q LEFT JOIN rep ON rep.doc_id = q.doc_id)
+       |SELECT stage, COUNT(*) AS n_docs,
+       |  ROUND(COUNT(*) / SUM(COUNT(*)) OVER (), 4) AS doc_share
+       |FROM staged GROUP BY stage ORDER BY stage""".stripMargin
 
   val qualitySql: String =
     s"""WITH m AS (

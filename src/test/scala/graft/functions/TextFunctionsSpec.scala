@@ -49,4 +49,22 @@ class TextFunctionsSpec extends SparkSpec {
       .select(TextFunctions.fingerprint($"t").as("fp")).distinct()
     assert(fp.count() == 1)
   }
+
+  test("canonicalizeUrl collapses scheme/www/fragment/tracking/slash variants") {
+    val r = Seq(
+      "HTTP://WWW.Example.com/Path/One/?utm_source=a&utm_medium=b&id=3#frag",
+      "https://example.com/Path/One?id=3",
+      "http://example.com/Path/One?ref=x&id=3",
+      "https://other.com/CaseSensitive/",
+      "https://a.com/p?utm_source=only", // tracking-only query → dropped whole
+      "example.com"                      // schemeless bare host
+    ).toDF("url").select(TextFunctions.canonicalizeUrl($"url").as("c"))
+      .as[String].collect()
+    assert(r(0) == "example.com/Path/One?id=3", r(0))
+    assert(r(1) == "example.com/Path/One?id=3")
+    assert(r(2) == "example.com/Path/One?id=3")
+    assert(r(3) == "other.com/CaseSensitive") // path case preserved
+    assert(r(4) == "a.com/p", r(4))
+    assert(r(5) == "example.com")
+  }
 }

@@ -117,4 +117,45 @@ class CorpusSpec extends SparkSpec {
     // a rate of zero keeps nothing
     assert(Corpus.stratifiedSample(df, "doc_id", "lang", Map.empty, 0.0).count() == 0)
   }
+
+  test("packSequences assigns packs by per-shard running token count") {
+    val df = Seq(
+      (0L, "a b c"),       // shard 0: 3 tokens, cum 0 → pack 0, offset 0
+      (2L, "d e f g"),     // shard 0: 4 tokens, cum 3 → pack 0, offset 3
+      (4L, "h i"),         // shard 0: cum 7 → pack 1, offset 1 (budget 6)
+      (1L, "x y z w v u")  // shard 1: 6 tokens, cum 0 → pack 0, offset 0
+    ).toDF("doc_id", "text")
+    val r = Corpus.packSequences(df, "doc_id", "text", budget = 6, nShards = 2)
+      .orderBy("doc_id")
+      .select("doc_id", "shard", "pack_id", "n_tokens", "pack_offset")
+      .as[(Long, Int, Long, Long, Long)].collect()
+    assert(r(0) == ((0L, 0, 0L, 3L, 0L)))
+    assert(r(1) == ((1L, 1, 0L, 6L, 0L)))
+    assert(r(2) == ((2L, 0, 0L, 4L, 3L)))
+    assert(r(3) == ((4L, 0, 1L, 2L, 1L)))
+  }
+
+  test("curationFunnel attributes each doc to its first failing stage") {
+    val kept = "the alpha and bravo of charlie delta echo foxtrot golf hotel " +
+      "india juliet kilo lima mike november oscar papa quebec romeo sierra " +
+      "tango uniform victor whiskey xray yankee zulu extra filler words"
+    val shortWords = ("a b " * 50).trim                 // avg word len 1 < 3
+    val noLang = ("qqq www eee rrr ttt yyy uuu iii ooo ppp aaa sss ddd fff " +
+      "ggg hhh jjj kkk lll zzz xxx ccc vvv bbb nnn mmm").trim
+    val repetitive = "the spam and spam of " + ("spam " * 30).trim
+    val df = Seq(
+      (1L, kept),        // survives all stages
+      (2L, "tiny text"), // < 100 chars → 1_length
+      (3L, shortWords),  // avg word len below band → 2_word_len
+      (4L, noLang),      // no language marker fires → 3_lang
+      (5L, repetitive)   // top-word share 0.91 → 4_repetition
+    ).toDF("doc_id", "text")
+    val r = Corpus.curationFunnel(df, "doc_id", "text")
+      .orderBy("stage")
+      .select("stage", "n_docs", "doc_share")
+      .as[(String, Long, Double)].collect()
+    assert(r.toSeq == Seq(
+      ("0_kept", 1L, 0.2), ("1_length", 1L, 0.2), ("2_word_len", 1L, 0.2),
+      ("3_lang", 1L, 0.2), ("4_repetition", 1L, 0.2)), r.mkString(", "))
+  }
 }

@@ -141,4 +141,25 @@ class DedupSimilaritySpec extends SparkSpec {
       .as[(Long, Double)].collect()
     assert(ann.nonEmpty && ann.head._1 == 0L) // query vector is its own nearest
   }
+
+  test("semanticDedup groups near-identical embeddings, keeps min id per group") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.99f, 0.01f, 0.0f)),  // near-dup of 1 (cosine ≈ 1)
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(0.0f, 0.99f, 0.01f)),  // near-dup of 3
+      (5L, Array(0.0f, 0.0f, 1.0f))     // singleton survivor
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.semanticDedup(df, "vec_id", "embedding",
+        nLists = 3, threshold = 0.95)
+      .orderBy("vec_id")
+      .as[(Long, Long, Boolean)].collect()
+    assert(r.toSeq == Seq(
+      (1L, 1L, true), (2L, 1L, false), (3L, 3L, true), (4L, 3L, false),
+      (5L, 5L, true)), r.mkString(", "))
+    // deterministic under the fixed seed
+    val again = Similarity.semanticDedup(df, "vec_id", "embedding", 3, 0.95)
+      .orderBy("vec_id").as[(Long, Long, Boolean)].collect()
+    assert(r.toSeq == again.toSeq)
+  }
 }
