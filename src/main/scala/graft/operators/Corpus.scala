@@ -273,6 +273,32 @@ object Corpus {
     df.filter(hashBucket(col(keyCol)) < thresholds)
   }
 
+  /** Domain-rebalancing sampling rates: given a TARGET corpus mix per
+    * stratum, compute the per-stratum downsampling rate that realizes the
+    * closest achievable mix WITHOUT upsampling — rate ∝ target share /
+    * current share, normalized so the scarcest-relative stratum is kept
+    * whole (rate 1.0) and every other stratum is cut proportionally.
+    * Output one row per observed stratum: (stratum, `n_docs`,
+    * `current_share`, `target_share`, `sample_rate`); strata absent from
+    * `target` get rate 0. Feed the rates into [[stratifiedSample]] for the
+    * deterministic cut. One scan + a stratum-cardinality aggregate; the
+    * share windows run over the handful of stratum rows, never the data. */
+  def mixWeights(df: DataFrame, stratumCol: String,
+                 target: Map[String, Double]): DataFrame = {
+    val counts = df.groupBy(stratumCol).agg(count(lit(1)).as("n_docs"))
+      .withColumn("__cur",
+        col("n_docs") / sum("n_docs").over(Window.partitionBy()))
+    val t = target.foldLeft(lit(0.0)) { case (acc, (s, v)) =>
+      when(col(stratumCol) === s, v).otherwise(acc)
+    }
+    counts.withColumn("target_share", t)
+      .withColumn("__w", col("target_share") / col("__cur"))
+      .select(col(stratumCol), col("n_docs"),
+        round(col("__cur"), 4).as("current_share"), col("target_share"),
+        round(col("__w") / max("__w").over(Window.partitionBy()), 4)
+          .as("sample_rate"))
+  }
+
   /** Sequence packing — the pretraining prep step that concatenates
     * documents into fixed `budget`-token training sequences: within a
     * shard, documents are streamed in id order and the token stream is cut

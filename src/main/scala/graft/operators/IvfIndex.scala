@@ -34,14 +34,29 @@ object IvfIndex {
   }
 
   /** Fit the coarse quantizer and assign every row its cell:
-    * returns (model, df + `ivf_cell` column). */
+    * returns (model, df + `ivf_cell` column).
+    *
+    * `fitFraction` < 1 fits k-means on a DETERMINISTIC hash-sample of the
+    * rows (seeded xxhash64 bucket — reproducible across runs and engines,
+    * no RNG state) while the cell ASSIGNMENT still covers every row. This
+    * is the 100 TB posture: centroid quality converges on a tiny uniform
+    * sample (nLists ≪ sample size), so the iterative fit — the only
+    * multi-pass stage — runs over a bounded input, and the full corpus is
+    * touched exactly once by the single-pass transform. */
   def fit(df: DataFrame, vecCol: String, nLists: Int,
-          seed: Long = 42L): (Model, DataFrame) = {
+          seed: Long = 42L, fitFraction: Double = 1.0): (Model, DataFrame) = {
+    require(fitFraction > 0.0 && fitFraction <= 1.0,
+      s"fitFraction must be in (0, 1]: $fitFraction")
     val withVec = df.withColumn("__vec", array_to_vector(
       expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))")))
+    val fitInput =
+      if (fitFraction >= 1.0) withVec
+      else withVec.filter(
+        pmod(xxhash64(col(vecCol), lit(seed)), lit(1000000L)) <
+          (fitFraction * 1000000L).toLong)
     val km = new KMeans().setK(nLists).setSeed(seed)
       .setFeaturesCol("__vec").setPredictionCol("ivf_cell")
-    val model = km.fit(withVec)
+    val model = km.fit(fitInput)
     val assigned = model.transform(withVec).drop("__vec")
     (Model(model.clusterCenters.map(_.toArray)), assigned)
   }

@@ -129,11 +129,14 @@ object Similarity {
     * assignment is persisted clustered ([[IvfIndex.writeClustered]]).
     * Group assignment reuses the adaptive connected-components fixpoint
     * ([[Graphs.componentLabels]]), so transitive duplicate chains collapse
-    * to one survivor (`keep` = the row IS its group's min id). */
+    * to one survivor (`keep` = the row IS its group's min id). At corpus
+    * scale pass `fitFraction` < 1: the k-means fit — the only multi-pass
+    * stage — runs on a deterministic hash-sample while cell assignment
+    * still covers every row (see [[IvfIndex.fit]]). */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
                     nLists: Int, threshold: Double,
-                    seed: Long = 42L): DataFrame = {
-    val (_, assigned) = IvfIndex.fit(df, vecCol, nLists, seed)
+                    seed: Long = 42L, fitFraction: Double = 1.0): DataFrame = {
+    val (_, assigned) = IvfIndex.fit(df, vecCol, nLists, seed, fitFraction)
     val pairs = nearDupPairs(assigned, idCol, vecCol, "ivf_cell", threshold)
     Graphs.componentLabels(df, idCol, pairs, "id_a", "id_b")
       .select(col(idCol), col("component").as("group_id"),

@@ -200,6 +200,12 @@ object PipelineQueries {
         .agg(min(id).as("keep_id"), count(lit(1)).as("n_dups"))
         .orderBy("canon_url")
     },
+    // domain-rebalancing sampling rates toward a target language mix
+    "x_mix_weights" -> { (s, d) =>
+      Corpus.mixWeights(docs(s, d), "lang",
+          Map("en" -> 0.7, "es" -> 0.1, "fr" -> 0.1, "de" -> 0.1))
+        .orderBy("lang")
+    },
     // SemDeDup: IVF-cell-bounded cosine groups over embeddings (k-means is
     // not oracle-expressible -> rows-only driver check; semantics pinned by
     // DedupSimilaritySpec)
@@ -490,6 +496,20 @@ object PipelineQueries {
         |  CAST(cum % 512 AS BIGINT) AS pack_offset
         |FROM c ORDER BY doc_id""".stripMargin,
     "x_funnel" -> PipelineOracleSql.funnelSql,
+    "x_mix_weights" ->
+      """WITH c AS (
+        |  SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+        |s AS (
+        |  SELECT lang, n_docs,
+        |    CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER () AS cur,
+        |    CAST(CASE lang WHEN 'en' THEN 0.7 WHEN 'es' THEN 0.1
+        |      WHEN 'fr' THEN 0.1 WHEN 'de' THEN 0.1 ELSE 0.0 END AS DOUBLE)
+        |      AS target_share
+        |  FROM c),
+        |w AS (SELECT *, target_share / cur AS wt FROM s)
+        |SELECT lang, n_docs, ROUND(cur, 4) AS current_share, target_share,
+        |  ROUND(wt / MAX(wt) OVER (), 4) AS sample_rate
+        |FROM w ORDER BY lang""".stripMargin,
     "d_url_dedup" ->
       """WITH u AS (
         |  SELECT doc_id,

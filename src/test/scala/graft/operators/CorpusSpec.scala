@@ -118,6 +118,22 @@ class CorpusSpec extends SparkSpec {
     assert(Corpus.stratifiedSample(df, "doc_id", "lang", Map.empty, 0.0).count() == 0)
   }
 
+  test("mixWeights computes downsampling rates that realize the target mix") {
+    val df = (Seq.fill(600)("en") ++ Seq.fill(300)("es") ++ Seq.fill(100)("de"))
+      .zipWithIndex.map { case (l, i) => (i.toLong, l) }.toDF("doc_id", "lang")
+    val r = Corpus.mixWeights(df, "lang",
+        Map("en" -> 0.5, "es" -> 0.25, "de" -> 0.25))
+      .orderBy("lang")
+      .select("lang", "n_docs", "current_share", "target_share", "sample_rate")
+      .as[(String, Long, Double, Double, Double)].collect()
+    // weights target/current: en .833, es .833, de 2.5 → de kept whole;
+    // applying the rates yields 200/100/100 docs = exactly the 0.5/.25/.25 mix
+    assert(r.toSeq == Seq(
+      ("de", 100L, 0.1, 0.25, 1.0),
+      ("en", 600L, 0.6, 0.5, 0.3333),
+      ("es", 300L, 0.3, 0.25, 0.3333)), r.mkString(", "))
+  }
+
   test("packSequences assigns packs by per-shard running token count") {
     val df = Seq(
       (0L, "a b c"),       // shard 0: 3 tokens, cum 0 → pack 0, offset 0

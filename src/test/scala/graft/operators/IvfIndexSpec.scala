@@ -16,6 +16,18 @@ class IvfIndexSpec extends SparkSpec {
     assert(cells.nonEmpty && cells.forall(c => c >= 0 && c < 8))
   }
 
+  test("fit on a hash-sample still assigns every row; sample is deterministic") {
+    val (model, assigned) = IvfIndex.fit(emb, "embedding", nLists = 4,
+      fitFraction = 0.5)
+    assert(model.centroids.length == 4)
+    assert(assigned.count() == emb.count(), "assignment must cover all rows")
+    val again = IvfIndex.fit(emb, "embedding", nLists = 4, fitFraction = 0.5)._2
+      .select("vec_id", "ivf_cell").as[(Long, Int)].collect().sorted.toSeq
+    val first = assigned.select("vec_id", "ivf_cell")
+      .as[(Long, Int)].collect().sorted.toSeq
+    assert(first == again, "hash-sampled fit must be reproducible")
+  }
+
   test("search probes a subset of cells and still finds the true nearest") {
     val (model, assigned) = IvfIndex.fit(emb, "embedding", nLists = 8)
     val cached = assigned.cache()
