@@ -99,10 +99,12 @@ object TextFunctions {
   // dedup pass of a web-corpus pipeline keys on the canonical URL before
   // any content hash is computed) ----
 
-  /** Tracking query params stripped by [[canonicalizeUrl]]; the trailing
-    * `(&|$)` consumes the separator so adjacent tracking params all match
-    * in one left-to-right pass. */
-  private val TrackingParamRe = "(utm_[a-z0-9_]+|fbclid|gclid|ref)=[^&]*(&|$)"
+  /** Tracking query params stripped by [[canonicalizeUrl]]. Anchored to a
+    * leading `?`/`&` separator (kept via `$1`) so parameter names that
+    * merely CONTAIN a tracking name (`href=`, `xutm_source=`) and path
+    * segments (`/ref=x/`) never match; separator runs left behind by
+    * adjacent tracking params are collapsed afterwards. */
+  private val TrackingParamRe = "([?&])(utm_[a-z0-9_]+|fbclid|gclid|ref)=[^&]*"
 
   /** Canonical URL form for URL-level dedup: drop the `#fragment`, drop the
     * scheme, lowercase the HOST only (paths stay case-sensitive), drop a
@@ -118,8 +120,10 @@ object TextFunctions {
     val host = lower(regexp_extract(noScheme, "^[^/?#]*", 0))
     val bareHost = regexp_replace(host, "^www\\.", "")
     val rest = regexp_replace(noScheme, "^[^/?#]*", "")
-    val noTrack = regexp_replace(rest, TrackingParamRe, "")
-    val noDangling = regexp_replace(noTrack, "[?&]+$", "")
+    val noTrack = regexp_replace(rest, TrackingParamRe, "$1")
+    // adjacent tracking params leave separator runs: '?&&id=3' → '?id=3'
+    val noAmpRun = regexp_replace(regexp_replace(noTrack, "&&+", "&"), "\\?&", "?")
+    val noDangling = regexp_replace(noAmpRun, "[?&]+$", "")
     val noDirSlash = regexp_replace(noDangling, "/\\?", "?")
     val noTrailSlash = regexp_replace(noDirSlash, "/$", "")
     concat(bareHost, noTrailSlash)

@@ -295,8 +295,11 @@ object Corpus {
       .withColumn("__w", col("target_share") / col("__cur"))
       .select(col(stratumCol), col("n_docs"),
         round(col("__cur"), 4).as("current_share"), col("target_share"),
-        round(col("__w") / max("__w").over(Window.partitionBy()), 4)
-          .as("sample_rate"))
+        // guard the no-overlap degenerate case (every __w = 0): the
+        // documented contract is rate 0 — and 0/0 throws under ANSI mode
+        round(when(max("__w").over(Window.partitionBy()) > 0,
+            col("__w") / max("__w").over(Window.partitionBy()))
+          .otherwise(lit(0.0)), 4).as("sample_rate"))
   }
 
   /** Sequence packing — the pretraining prep step that concatenates
@@ -348,15 +351,24 @@ object Corpus {
                      minWordLen: Double = 3.0, maxWordLen: Double = 12.0): DataFrame = {
     val id = col(idCol)
     val t = col(textCol)
-    val rep = repetitionMetrics(raw, idCol, textCol).select(id, col("rep_flagged"))
     val m = graft.functions.TextFunctions.qualityMetrics(t).toMap
-    raw.join(rep, Seq(idCol), "left")
-      .select(
-        when(!m("n_chars").between(minChars, maxChars), "1_length")
-          .when(!m("avg_word_len").between(minWordLen, maxWordLen), "2_word_len")
-          .when(graft.functions.TextFunctions.langId(t) === "und", "3_lang")
-          .when(col("rep_flagged"), "4_repetition")
-          .otherwise("0_kept").as("stage"))
+    // cheap map-side stages first (null = survived them all) ...
+    val early = raw.select(id, t,
+      when(!m("n_chars").between(minChars, maxChars), "1_length")
+        .when(!m("avg_word_len").between(minWordLen, maxWordLen), "2_word_len")
+        .when(graft.functions.TextFunctions.langId(t) === "und", "3_lang")
+        .as("__early"))
+    // ... so the expensive repetition explodes run ONLY over their
+    // survivors — the stage attribution is first-fail, so rejected docs
+    // never consult rep_flagged and skipping them is exact, while the
+    // docs that dominate explode cost (over-length ones) are exactly the
+    // ones stage 1 already dropped
+    val rep = repetitionMetrics(
+        early.filter(col("__early").isNull).select(id, t), idCol, textCol)
+      .select(id, col("rep_flagged"))
+    early.join(rep, Seq(idCol), "left")
+      .select(coalesce(col("__early"),
+        when(col("rep_flagged"), "4_repetition").otherwise("0_kept")).as("stage"))
       .groupBy("stage").agg(count(lit(1)).as("n_docs"))
       .withColumn("doc_share",
         round(col("n_docs") / sum("n_docs").over(Window.partitionBy()), 4))

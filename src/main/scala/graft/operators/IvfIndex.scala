@@ -51,9 +51,15 @@ object IvfIndex {
       expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))")))
     val fitInput =
       if (fitFraction >= 1.0) withVec
-      else withVec.filter(
-        pmod(xxhash64(col(vecCol), lit(seed)), lit(1000000L)) <
-          (fitFraction * 1000000L).toLong)
+      else {
+        val sampled = withVec.filter(
+          pmod(xxhash64(col(vecCol), lit(seed)), lit(1000000L)) <
+            (fitFraction * 1000000L).toLong)
+        // a sample smaller than nLists would crash the fit (empty) or
+        // silently return fewer centroids; fall back to the full input —
+        // an input that small has no business being subsampled anyway
+        if (sampled.limit(nLists).count() < nLists) withVec else sampled
+      }
     val km = new KMeans().setK(nLists).setSeed(seed)
       .setFeaturesCol("__vec").setPredictionCol("ivf_cell")
     val model = km.fit(fitInput)

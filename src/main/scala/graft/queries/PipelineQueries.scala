@@ -527,10 +527,13 @@ object PipelineQueries {
         |  regexp_replace(lower(regexp_extract(x, '^[^/?#]*')), '^www\.', '', 'g') AS host,
         |  regexp_replace(x, '^[^/?#]*', '') AS rest FROM s2),
         |s4 AS (SELECT doc_id, host,
-        |  regexp_replace(rest, '(utm_[a-z0-9_]+|fbclid|gclid|ref)=[^&]*(&|$)', '', 'g') AS rest
+        |  regexp_replace(rest, '([?&])(utm_[a-z0-9_]+|fbclid|gclid|ref)=[^&]*', '\1', 'g') AS rest
         |  FROM s3),
+        |s4b AS (SELECT doc_id, host,
+        |  regexp_replace(regexp_replace(rest, '&&+', '&', 'g'), '\?&', '?', 'g') AS rest
+        |  FROM s4),
         |s5 AS (SELECT doc_id, host,
-        |  regexp_replace(rest, '[?&]+$', '', 'g') AS rest FROM s4),
+        |  regexp_replace(rest, '[?&]+$', '', 'g') AS rest FROM s4b),
         |s6 AS (SELECT doc_id, host,
         |  regexp_replace(regexp_replace(rest, '/\?', '?', 'g'), '/$', '', 'g') AS rest
         |  FROM s5),

@@ -67,4 +67,20 @@ class TextFunctionsSpec extends SparkSpec {
     assert(r(4) == "a.com/p", r(4))
     assert(r(5) == "example.com")
   }
+
+  test("canonicalizeUrl only strips tracking params at a ?/& separator") {
+    val r = Seq(
+      "https://a.com/path?href=one",          // 'ref' inside 'href' — keep
+      "https://a.com/ref=oldstyle/page",      // path segment — keep
+      "https://a.com/p?xutm_source=a&id=3",   // 'utm_' inside a name — keep
+      "https://a.com/p?utm_a=1&utm_b=2&id=3", // adjacent tracking params
+      "https://a.com/p?id=3&utm_a=1&utm_b=2"  // trailing tracking params
+    ).toDF("url").select(TextFunctions.canonicalizeUrl($"url").as("c"))
+      .as[String].collect()
+    assert(r(0) == "a.com/path?href=one", r(0))
+    assert(r(1) == "a.com/ref=oldstyle/page", r(1))
+    assert(r(2) == "a.com/p?xutm_source=a&id=3", r(2))
+    assert(r(3) == "a.com/p?id=3", r(3))
+    assert(r(4) == "a.com/p?id=3", r(4))
+  }
 }

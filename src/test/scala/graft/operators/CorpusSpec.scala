@@ -132,6 +132,10 @@ class CorpusSpec extends SparkSpec {
       ("de", 100L, 0.1, 0.25, 1.0),
       ("en", 600L, 0.6, 0.5, 0.3333),
       ("es", 300L, 0.3, 0.25, 0.3333)), r.mkString(", "))
+    // degenerate case: target names no observed stratum → rate 0, not null
+    val zero = Corpus.mixWeights(df, "lang", Map("zh" -> 1.0))
+      .select("sample_rate").as[Double].collect()
+    assert(zero.length == 3 && zero.forall(_ == 0.0), zero.mkString(", "))
   }
 
   test("packSequences assigns packs by per-shard running token count") {

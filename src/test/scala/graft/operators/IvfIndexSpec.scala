@@ -26,6 +26,12 @@ class IvfIndexSpec extends SparkSpec {
     val first = assigned.select("vec_id", "ivf_cell")
       .as[(Long, Int)].collect().sorted.toSeq
     assert(first == again, "hash-sampled fit must be reproducible")
+    // a fraction that samples fewer rows than nLists falls back to the
+    // full input instead of crashing or under-delivering centroids
+    val (tiny, tinyAssigned) = IvfIndex.fit(emb, "embedding", nLists = 4,
+      fitFraction = 1e-9)
+    assert(tiny.centroids.length == 4)
+    assert(tinyAssigned.count() == emb.count())
   }
 
   test("search probes a subset of cells and still finds the true nearest") {
