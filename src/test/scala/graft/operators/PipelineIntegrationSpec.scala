@@ -30,4 +30,36 @@ class PipelineIntegrationSpec extends SparkSpec {
       .as[(Long, Double)].collect()
     assert(top.nonEmpty && top.head._1 == 5L && top.head._2 == 1.0)
   }
+
+  test("corpus curation: dedup → mix rebalance → stratified sample → packing") {
+    val docs = (0 until 300).map { i =>
+      val lang = if (i % 3 == 2) "es" else "en" // 200 en / 100 es, skewed
+      val text =
+        if (i % 10 == 0) "duplicate boilerplate text body here"
+        else s"unique document $i body with enough words to pack"
+      (i.toLong, text, lang)
+    }.toDF("doc_id", "text", "lang")
+    // 1. exact dedup: 30 boilerplate copies collapse to one survivor
+    val keep = Dedup.exactDedup(docs, "doc_id", "text")
+      .select(col("keep_id").as("doc_id"))
+    val deduped = docs.join(keep, "doc_id")
+    assert(deduped.count() == 271)
+    // 2. rebalance toward a 50/50 mix: es (scarce) kept whole, en cut
+    val rates = Corpus.mixWeights(deduped, "lang", Map("en" -> 0.5, "es" -> 0.5))
+      .select("lang", "sample_rate").as[(String, Double)].collect().toMap
+    assert(rates("es") == 1.0 && rates("en") < 0.6, rates.toString)
+    val sampled = Corpus.stratifiedSample(deduped, "doc_id", "lang", rates)
+    val byLang = sampled.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(byLang("es") == 90L, s"es must be kept whole: $byLang")
+    // 3. pack the curated docs into fixed-budget training sequences
+    val packed = Corpus.packSequences(sampled, "doc_id", "text",
+      budget = 64, nShards = 4)
+    assert(packed.count() == sampled.count())
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("doc_id")
+    val firsts = packed.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+    assert(firsts.filter($"pack_offset" =!= 0L || $"pack_id" =!= 0L).count() == 0,
+      "each shard's first doc starts pack 0 at offset 0")
+  }
 }
