@@ -352,10 +352,14 @@ object Corpus {
     val id = col(idCol)
     val t = col(textCol)
     val m = graft.functions.TextFunctions.qualityMetrics(t).toMap
-    // cheap map-side stages first (null = survived them all) ...
+    // cheap map-side stages first (null = survived them all); the word-len
+    // band is guarded on n_words > 0 — an all-whitespace doc inside the
+    // char band must fall through to the language stage, not divide by
+    // zero under ANSI mode (CASE conditions evaluate lazily in order)
+    val awl = when(m("n_words") > 0, m("avg_word_len"))
     val early = raw.select(id, t,
       when(!m("n_chars").between(minChars, maxChars), "1_length")
-        .when(!m("avg_word_len").between(minWordLen, maxWordLen), "2_word_len")
+        .when(!awl.between(minWordLen, maxWordLen), "2_word_len")
         .when(graft.functions.TextFunctions.langId(t) === "und", "3_lang")
         .as("__early"))
     // ... so the expensive repetition explodes run ONLY over their

@@ -138,6 +138,16 @@ class CorpusSpec extends SparkSpec {
     assert(zero.length == 3 && zero.forall(_ == 0.0), zero.mkString(", "))
   }
 
+  test("curationFunnel survives empty and all-whitespace docs") {
+    val df = Seq((1L, ""), (2L, " " * 200), (3L, "tiny")).toDF("doc_id", "text")
+    val r = Corpus.curationFunnel(df, "doc_id", "text")
+      .orderBy("stage").select("stage", "n_docs")
+      .as[(String, Long)].collect()
+    // 1 and 3 fail the char band; the 200-space doc passes it with zero
+    // words (word-len stage is null → falls through) and rejects on lang
+    assert(r.toSeq == Seq(("1_length", 2L), ("3_lang", 1L)), r.mkString(", "))
+  }
+
   test("packSequences assigns packs by per-shard running token count") {
     val df = Seq(
       (0L, "a b c"),       // shard 0: 3 tokens, cum 0 → pack 0, offset 0
