@@ -302,6 +302,62 @@ object Corpus {
           .otherwise(lit(0.0)), 4).as("sample_rate"))
   }
 
+  /** Materialize a domain-rebalanced corpus from per-stratum sampling
+    * RATES ([[mixWeights]] output, or hand-chosen): rate < 1 downsamples
+    * through the same deterministic md5 bucket as [[stratifiedSample]];
+    * rate > 1 upsamples by emitting `floor(rate)` copies plus one more
+    * when the doc's bucket falls under the fractional remainder — so the
+    * expected multiplicity of every stratum is exactly its rate. Each
+    * copy carries an `epoch` column (0-based) so downstream packing /
+    * shuffling can interleave repeats instead of training on back-to-back
+    * duplicates. Strata absent from `rates` get `defaultRate` (1.0 =
+    * pass through). Fully map-side — no shuffle, no RNG state — and the
+    * identical arithmetic re-derives in SQL, so the materialized mix is
+    * reproducible across runs, executors, and engines. */
+  def applyMixRates(df: DataFrame, keyCol: String, stratumCol: String,
+                    rates: Map[String, Double],
+                    defaultRate: Double = 1.0): DataFrame = {
+    require(rates.values.forall(_ >= 0.0) && defaultRate >= 0.0,
+      "sampling rates must be non-negative")
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (s, r)) =>
+      when(col(stratumCol) === s, r).otherwise(acc)
+    }
+    val base = floor(rate)
+    val fracThreshold = round((rate - base) * 4096, 0).cast("long")
+    val copies = base +
+      when(hashBucket(col(keyCol)) < fracThreshold, 1L).otherwise(0L)
+    df.withColumn("__n_copies", copies)
+      .filter(col("__n_copies") > 0)
+      .withColumn("epoch",
+        explode(expr("sequence(0, CAST(__n_copies AS INT) - 1)")))
+      .drop("__n_copies")
+  }
+
+  /** Deterministic training-order shuffle: address every row with a
+    * pseudorandom (`shard`, `pos`) — `md5(seed:key)` orders the corpus,
+    * the top bucket bits pick the output shard, and `pos` is the row's
+    * rank within its shard. The plan is one exchange keyed by shard plus
+    * per-shard window ranks: no global sort ever lands on one reducer, and
+    * at 100 TB `nShards` is simply the writer parallelism. Same seed →
+    * bit-identical order on any cluster; a new seed is a fresh epoch
+    * permutation. */
+  def trainingOrder(df: DataFrame, keyCol: String, seed: Long = 0,
+                    nShards: Int = 32): DataFrame = {
+    require(nShards > 0, s"nShards must be positive: $nShards")
+    val sortKey = md5(concat(lit(seed.toString), lit(":"),
+      col(keyCol).cast("string")))
+    df.withColumn("__sort_key", sortKey)
+      // same 3-nibble bucket arithmetic as [[hashBucket]], but over the
+      // already-computed digest so md5 runs once per row
+      .withColumn("shard",
+        (conv(substring(col("__sort_key"), 1, 3), 16, 10).cast("long")
+          % nShards).cast("int"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard"))
+          .orderBy(col("__sort_key"), col(keyCol))).cast("long"))
+      .drop("__sort_key")
+  }
+
   /** Sequence packing — the pretraining prep step that concatenates
     * documents into fixed `budget`-token training sequences: within a
     * shard, documents are streamed in id order and the token stream is cut
@@ -346,9 +402,13 @@ object Corpus {
     * Cost is one text scan plus the repetition aggregates; the funnel
     * rollup itself is a stage-cardinality aggregate — nothing data-sized
     * reaches the driver. */
-  def curationFunnel(raw: DataFrame, idCol: String, textCol: String,
-                     minChars: Long = 100, maxChars: Long = 10000,
-                     minWordLen: Double = 3.0, maxWordLen: Double = 12.0): DataFrame = {
+  /** Per-document curation decision: (id, `stage`) where `stage` is the
+    * FIRST rejecting stage (names sort in pipeline order) or `0_kept`.
+    * This is the per-doc surface behind [[curationFunnel]]; filter on
+    * `stage = '0_kept'` to materialize the curated corpus. */
+  def curationDecisions(raw: DataFrame, idCol: String, textCol: String,
+                        minChars: Long = 100, maxChars: Long = 10000,
+                        minWordLen: Double = 3.0, maxWordLen: Double = 12.0): DataFrame = {
     val id = col(idCol)
     val t = col(textCol)
     val m = graft.functions.TextFunctions.qualityMetrics(t).toMap
@@ -371,10 +431,16 @@ object Corpus {
         early.filter(col("__early").isNull).select(id, t), idCol, textCol)
       .select(id, col("rep_flagged"))
     early.join(rep, Seq(idCol), "left")
-      .select(coalesce(col("__early"),
+      .select(id, coalesce(col("__early"),
         when(col("rep_flagged"), "4_repetition").otherwise("0_kept")).as("stage"))
+  }
+
+  def curationFunnel(raw: DataFrame, idCol: String, textCol: String,
+                     minChars: Long = 100, maxChars: Long = 10000,
+                     minWordLen: Double = 3.0, maxWordLen: Double = 12.0): DataFrame =
+    curationDecisions(raw, idCol, textCol, minChars, maxChars,
+        minWordLen, maxWordLen)
       .groupBy("stage").agg(count(lit(1)).as("n_docs"))
       .withColumn("doc_share",
         round(col("n_docs") / sum("n_docs").over(Window.partitionBy()), 4))
-  }
 }

@@ -241,6 +241,64 @@ object Dedup {
       Seq(idCol), "left_semi")
   }
 
+  /** Incremental (batch-vs-corpus) near-dup candidates: which docs of a
+    * NEW batch near-duplicate an EXISTING corpus, as an asymmetric join of
+    * the batch's band table against the corpus's STORED band table
+    * ([[bandBuckets]] persisted once at ingest). This is the daily-ingest
+    * pattern at 100 TB — the corpus side is never re-shingled, only its
+    * (id, band, band_key) bucket table is read, and the join shuffles
+    * 32-byte band keys, never text. Returns distinct (batch_id,
+    * corpus_id). */
+  def incrementalCandidatePairs(batchBands: DataFrame, corpusBands: DataFrame,
+                                idCol: String): DataFrame = {
+    val a = batchBands.select(col(idCol).as("batch_id"),
+      col("band"), col("band_key"))
+    val b = corpusBands.select(col(idCol).as("corpus_id"),
+      col("band"), col("band_key"))
+    a.join(b, Seq("band", "band_key"))
+      .select("batch_id", "corpus_id").distinct()
+  }
+
+  /** Incremental dedup ADMIT set: the rows of `batch` that (a) are not
+    * near-duplicates of the existing corpus (via
+    * [[incrementalCandidatePairs]] against its stored band table) and
+    * (b) are not near-duplicates of a smaller-id batch doc (PAIRWISE, not
+    * transitive — two batch docs that only share a neighbor both stay;
+    * whole-corpus transitive closure is [[dedupCorpus]]'s job). The
+    * batch's bands are computed once (pinned) and feed both the corpus
+    * join and the in-batch join; both anti-joins are keyed by the doc id. */
+  def incrementalDedup(batch: DataFrame, idCol: String, textCol: String,
+                       corpusBands: DataFrame, shingleLen: Int = 5,
+                       numHashes: Int = 8, bandSize: Int = 2): DataFrame = {
+    val bands = Graphs.pinLocal(
+      lshBands(batch, idCol, textCol, shingleLen, numHashes, bandSize))
+    val vsCorpus = incrementalCandidatePairs(bands, corpusBands, idCol)
+      .select(col("batch_id").as(idCol)).distinct()
+    val inBatch = candidatePairsFromBands(bands, idCol)
+      .select(col("id_b").as(idCol)).distinct()
+    batch.join(vsCorpus, Seq(idCol), "left_anti")
+      .join(inBatch, Seq(idCol), "left_anti")
+  }
+
+  /** [[dedupCorpus]] with caller-chosen representatives: keep the group
+    * member maximizing `scoreCol` (ties → smallest id) instead of the
+    * smallest id — production pipelines keep the highest-QUALITY member of
+    * a near-dup cluster (longest, best LM score), not the first-crawled
+    * one. Costs one extra group-keyed aggregate over the
+    * [[dedupGroups]] labels; the text column still never shuffles. */
+  def dedupCorpusBest(df: DataFrame, idCol: String, textCol: String,
+                      scoreCol: String, shingleLen: Int = 5,
+                      numHashes: Int = 8, bandSize: Int = 2): DataFrame = {
+    val groups = dedupGroups(df, idCol, textCol, shingleLen, numHashes, bandSize)
+    val keep = df.select(col(idCol), col(scoreCol))
+      .join(groups, Seq(idCol))
+      .groupBy("group_id")
+      .agg(max(struct(col(scoreCol).as("s"), (-col(idCol)).as("negId")))
+        .as("best"))
+      .select((-col("best.negId")).as(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
   /** n-gram Jaccard similarity over candidate pairs. Candidates are bounded
     * by an equality `groupCol` (shuffle key) and an id-distance window. The
     * window is enforced IN the join key, not post-hoc: side A joins on its

@@ -206,6 +206,29 @@ object PipelineQueries {
           Map("en" -> 0.7, "es" -> 0.1, "fr" -> 0.1, "de" -> 0.1))
         .orderBy("lang")
     },
+    // incremental dedup: admit batch docs (doc_id % 10 = 0) that near-dup
+    // neither the stored corpus (doc_id % 10 != 0) nor a smaller-id batch doc
+    "d_incremental_dedup" -> { (s, d) =>
+      val all = docs(s, d)
+      val corpusBands = Dedup.bandBuckets(
+        all.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", 5, 8, 2)
+      Dedup.incrementalDedup(all.filter(col("doc_id") % 10 === 0),
+          "doc_id", "text", corpusBands, 5, 8, 2)
+        .select("doc_id").orderBy("doc_id")
+    },
+    // mix-rate application: deterministic up/down-sampling to a target mix,
+    // repeats tagged with an epoch column
+    "x_mix_apply" -> { (s, d) =>
+      Corpus.applyMixRates(docs(s, d), "doc_id", "lang",
+          Map("en" -> 1.5, "es" -> 0.75, "fr" -> 2.0, "de" -> 0.25),
+          defaultRate = 1.0)
+        .select("doc_id", "lang", "epoch").orderBy("doc_id", "epoch")
+    },
+    // deterministic training-order shuffle: seeded (shard, pos) addresses
+    "x_shuffle" -> { (s, d) =>
+      Corpus.trainingOrder(docs(s, d), "doc_id", seed = 42, nShards = 8)
+        .select("doc_id", "shard", "pos").orderBy("shard", "pos")
+    },
     // SemDeDup: IVF-cell-bounded cosine groups over embeddings (k-means is
     // not oracle-expressible -> rows-only driver check; semantics pinned by
     // DedupSimilaritySpec)
@@ -540,6 +563,54 @@ object PipelineQueries {
         |c AS (SELECT doc_id, host || rest AS canon_url FROM s6)
         |SELECT canon_url, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
         |FROM c GROUP BY canon_url ORDER BY canon_url""".stripMargin,
+    "d_incremental_dedup" ->
+      ("WITH " + PipelineOracleSql.minhashPairsCtes + """,
+        |hit_corpus AS (
+        |  SELECT DISTINCT a.doc_id FROM bands a
+        |  JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+        |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 != 0),
+        |hit_batch AS (
+        |  SELECT DISTINCT a.doc_id FROM bands a
+        |  JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+        |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 = 0 AND b.doc_id < a.doc_id)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id % 10 = 0
+        |  AND doc_id NOT IN (SELECT doc_id FROM hit_corpus)
+        |  AND doc_id NOT IN (SELECT doc_id FROM hit_batch)
+        |ORDER BY doc_id""".stripMargin),
+    "x_mix_apply" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang,
+        |    (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 256
+        |  + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 16
+        |  + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1)
+        |      AS bucket,
+        |    CASE lang WHEN 'en' THEN 1.5 WHEN 'es' THEN 0.75
+        |      WHEN 'fr' THEN 2.0 WHEN 'de' THEN 0.25 ELSE 1.0 END AS rate
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang,
+        |    CAST(FLOOR(rate) AS BIGINT)
+        |      + CASE WHEN bucket < ROUND((rate - FLOOR(rate)) * 4096, 0)
+        |             THEN 1 ELSE 0 END AS n
+        |  FROM b)
+        |SELECT doc_id, lang, CAST(e AS INTEGER) AS epoch
+        |FROM c, UNNEST(range(0, n)) AS t(e)
+        |ORDER BY doc_id, epoch""".stripMargin,
+    "x_shuffle" ->
+      """WITH k AS (
+        |  SELECT doc_id, md5('42:' || CAST(doc_id AS VARCHAR)) AS sk
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, sk,
+        |    CAST(((strpos('0123456789abcdef', substr(sk, 1, 1)) - 1) * 256
+        |        + (strpos('0123456789abcdef', substr(sk, 2, 1)) - 1) * 16
+        |        + (strpos('0123456789abcdef', substr(sk, 3, 1)) - 1)) % 8
+        |      AS INTEGER) AS shard
+        |  FROM k)
+        |SELECT doc_id, shard,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY sk, doc_id) AS BIGINT) AS pos
+        |FROM s ORDER BY shard, pos""".stripMargin,
     "x_scrub" ->
       """SELECT doc_id,
         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(

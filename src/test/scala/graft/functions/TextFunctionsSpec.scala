@@ -83,4 +83,16 @@ class TextFunctionsSpec extends SparkSpec {
     assert(r(3) == "a.com/p?id=3", r(3))
     assert(r(4) == "a.com/p?id=3", r(4))
   }
+
+  test("canonicalizeUrl is idempotent on its own output") {
+    val urls = Seq(
+      "HTTP://WWW.Example.com/Path/One/?utm_source=a&utm_medium=b&id=3#frag",
+      "https://a.com/p?utm_a=1&utm_b=2&id=3",
+      "https://a.com/p?utm_source=only",
+      "https://other.com/CaseSensitive/",
+      "example.com").toDF("url")
+    val once = urls.select(TextFunctions.canonicalizeUrl($"url").as("c"))
+    val twice = once.select(TextFunctions.canonicalizeUrl($"c").as("c"))
+    assert(once.as[String].collect().toSeq == twice.as[String].collect().toSeq)
+  }
 }

@@ -187,5 +187,53 @@ class CorpusSpec extends SparkSpec {
     assert(r.toSeq == Seq(
       ("0_kept", 1L, 0.2), ("1_length", 1L, 0.2), ("2_word_len", 1L, 0.2),
       ("3_lang", 1L, 0.2), ("4_repetition", 1L, 0.2)), r.mkString(", "))
+    // the per-doc surface attributes each doc to the same stage
+    val perDoc = Corpus.curationDecisions(df, "doc_id", "text")
+      .orderBy("doc_id").select("stage").as[String].collect()
+    assert(perDoc.toSeq == Seq(
+      "0_kept", "1_length", "2_word_len", "3_lang", "4_repetition"))
+  }
+
+  test("applyMixRates: whole rates copy exactly, zero drops, fraction is deterministic") {
+    val df = (0L until 40L).map(i =>
+      (i, Seq("a", "b", "c")(math.floorMod(i, 3).toInt))).toDF("doc_id", "stratum")
+    val out = Corpus.applyMixRates(df, "doc_id", "stratum",
+        Map("a" -> 2.0, "b" -> 0.0, "c" -> 1.5))
+      .select("doc_id", "stratum", "epoch")
+      .as[(Long, String, Int)].collect()
+    val byDoc = out.groupBy(_._1).view.mapValues(_.map(_._3).sorted.toSeq).toMap
+    val strata = df.as[(Long, String)].collect().toMap
+    // every 'a' doc exactly twice (epochs 0,1); no 'b' doc survives
+    strata.foreach { case (id, s) =>
+      if (s == "a") assert(byDoc(id) == Seq(0, 1), s"doc $id: ${byDoc.get(id)}")
+      if (s == "b") assert(!byDoc.contains(id), s"doc $id should be dropped")
+    }
+    // 'c' multiplicity re-derives from the same hash bucket the operator uses
+    val buckets = df.select($"doc_id", Corpus.hashBucket($"doc_id").as("b"))
+      .as[(Long, Long)].collect().toMap
+    strata.filter(_._2 == "c").foreach { case (id, _) =>
+      val expected = if (buckets(id) < 2048) Seq(0, 1) else Seq(0)
+      assert(byDoc(id) == expected, s"doc $id bucket ${buckets(id)}: ${byDoc.get(id)}")
+    }
+  }
+
+  test("trainingOrder: seeded permutation is total, contiguous, and seed-sensitive") {
+    val df = (0L until 100L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val once = Corpus.trainingOrder(df, "doc_id", seed = 7, nShards = 4)
+      .select("doc_id", "shard", "pos").as[(Long, Int, Long)].collect()
+    val again = Corpus.trainingOrder(df, "doc_id", seed = 7, nShards = 4)
+      .select("doc_id", "shard", "pos").as[(Long, Int, Long)].collect()
+    assert(once.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq,
+      "same seed must reproduce the same order")
+    // every row addressed exactly once; positions contiguous from 1 per shard
+    assert(once.map(_._1).toSet == (0L until 100L).toSet)
+    once.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq,
+        s"shard $shard positions not contiguous")
+    }
+    val other = Corpus.trainingOrder(df, "doc_id", seed = 8, nShards = 4)
+      .select("doc_id", "shard", "pos").as[(Long, Int, Long)].collect()
+    assert(once.sortBy(_._1).toSeq != other.sortBy(_._1).toSeq,
+      "a different seed must permute differently")
   }
 }

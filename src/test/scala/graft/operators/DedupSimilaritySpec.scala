@@ -84,6 +84,43 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(shFromDisk == shEndToEnd)
   }
 
+  test("incrementalDedup admits exactly the non-colliding batch docs") {
+    val corpus = docs.filter($"doc_id" === 0L)
+    val batch = docs.filter($"doc_id" =!= 0L)
+    val admitted = Dedup.incrementalDedup(batch, "doc_id", "text",
+        Dedup.bandBuckets(corpus, "doc_id", "text", 5, 8, 2), 5, 8, 2)
+      .select("doc_id").as[Long].collect().toSet
+    // differential expectation from the full-set candidate pairs
+    val pairs = Dedup.minHashCandidatePairs(docs, "doc_id", "text", 5, 8, 2)
+      .as[(Long, Long)].collect().toSet
+    val batchIds = Set(1L, 2L, 3L, 4L)
+    val expected = batchIds.filter { i =>
+      val hitsCorpus = pairs.exists { case (a, b) =>
+        (a == i && b == 0L) || (b == i && a == 0L) }
+      val hitsSmallerBatch = pairs.exists { case (a, b) =>
+        b == i && batchIds(a) }
+      !hitsCorpus && !hitsSmallerBatch
+    }
+    assert(admitted == expected, s"admitted=$admitted expected=$expected")
+    assert(!admitted.contains(1L), "exact dup of a corpus doc must be dropped")
+    assert(admitted.contains(3L) && admitted.contains(4L))
+  }
+
+  test("dedupCorpusBest keeps the highest-scoring member per group") {
+    val scored = docs.withColumn("score", $"doc_id".cast("double"))
+    val kept = Dedup.dedupCorpusBest(scored, "doc_id", "text", "score")
+      .select("doc_id").as[Long].collect().toSet
+    val groups = Dedup.dedupGroups(docs, "doc_id", "text", 5, 8, 2)
+      .as[(Long, Long)].collect()
+    val expected = groups.groupBy(_._2).values
+      .map(members => members.map(_._1).maxBy(i => (i.toDouble, -i)))
+      .toSet
+    assert(kept == expected, s"kept=$kept expected=$expected")
+    // docs 0/1/2 form one near-dup group: with score = id the highest-id
+    // member represents it — never doc 0, exactly one of the three kept
+    assert(!kept.contains(0L) && kept.intersect(Set(0L, 1L, 2L)).size == 1)
+  }
+
   test("winnowing: shared substring of length >= w+k-1 shares a fingerprint") {
     val a = (0L, "aaaa THE QUICK BROWN FOX bbbb")
     val b = (1L, "cccc THE QUICK BROWN FOX dddd") // 20-char shared run > w+k-1=8
