@@ -335,26 +335,37 @@ object Corpus {
 
   /** Deterministic training-order shuffle: address every row with a
     * pseudorandom (`shard`, `pos`) — `md5(seed:key)` orders the corpus,
-    * the top bucket bits pick the output shard, and `pos` is the row's
-    * rank within its shard. The plan is one exchange keyed by shard plus
-    * per-shard window ranks: no global sort ever lands on one reducer, and
-    * at 100 TB `nShards` is simply the writer parallelism. Same seed →
-    * bit-identical order on any cluster; a new seed is a fresh epoch
-    * permutation. */
+    * the digest's top 24 bits pick the output shard (bucket space 2^24,
+    * so shard-size bias from a non-divisor `nShards` is ≤ 2^-24 relative
+    * and any practical writer parallelism stays far under the cap), and
+    * `pos` is the row's rank within its shard. The plan is one exchange
+    * keyed by shard plus per-shard window ranks: no global sort ever
+    * lands on one reducer, and at 100 TB `nShards` is simply the writer
+    * parallelism. Same seed → bit-identical order on any cluster; a new
+    * seed is a fresh epoch permutation.
+    *
+    * The rows must be UNIQUE under `keyCol` ++ `extraKeyCols` — pass the
+    * disambiguating columns (e.g. [[applyMixRates]]'s `epoch`) in
+    * `extraKeyCols` so repeated documents hash to DIFFERENT addresses and
+    * epoch copies interleave instead of landing back-to-back. */
   def trainingOrder(df: DataFrame, keyCol: String, seed: Long = 0,
-                    nShards: Int = 32): DataFrame = {
-    require(nShards > 0, s"nShards must be positive: $nShards")
-    val sortKey = md5(concat(lit(seed.toString), lit(":"),
-      col(keyCol).cast("string")))
+                    nShards: Int = 32,
+                    extraKeyCols: Seq[String] = Nil): DataFrame = {
+    require(nShards > 0 && nShards <= (1 << 24),
+      s"nShards must be in 1..${1 << 24}: $nShards")
+    val keyParts = (keyCol +: extraKeyCols)
+      .flatMap(c => Seq(lit(":"), col(c).cast("string")))
+    val sortKey = md5(concat(lit(seed.toString) +: keyParts: _*))
+    val tieBreak = (keyCol +: extraKeyCols).map(col)
     df.withColumn("__sort_key", sortKey)
-      // same 3-nibble bucket arithmetic as [[hashBucket]], but over the
-      // already-computed digest so md5 runs once per row
+      // 6-nibble (24-bit) bucket — same arithmetic family as
+      // [[hashBucket]], over the already-computed digest so md5 runs once
       .withColumn("shard",
-        (conv(substring(col("__sort_key"), 1, 3), 16, 10).cast("long")
+        (conv(substring(col("__sort_key"), 1, 6), 16, 10).cast("long")
           % nShards).cast("int"))
       .withColumn("pos", row_number().over(
         Window.partitionBy(col("shard"))
-          .orderBy(col("__sort_key"), col(keyCol))).cast("long"))
+          .orderBy(col("__sort_key") +: tieBreak: _*)).cast("long"))
       .drop("__sort_key")
   }
 
@@ -389,23 +400,17 @@ object Corpus {
         (col("__cum") % budget).as("pack_offset"))
   }
 
-  /** Multi-stage curation funnel: every document is attributed to the FIRST
-    * stage that rejects it (stage names sort in pipeline order; `0_kept`
-    * = survived all stages), and the report is one row per stage with doc
-    * counts and corpus share — the attrition dashboard a curation pipeline
-    * publishes before committing a training mix. Stages compose the
-    * library kernels: length band and word-length band
+  /** Per-document curation decision: (id, `stage`) where `stage` is the
+    * FIRST rejecting stage (names sort in pipeline order) or `0_kept`.
+    * This is the per-doc surface behind [[curationFunnel]]; filter on
+    * `stage = '0_kept'` to materialize the curated corpus.
+    *
+    * Stages compose the library kernels: length band and word-length band
     * ([[graft.functions.TextFunctions.qualityMetrics]]), language ID
     * (`und` = no marker fired), and Gopher repetition flags
     * ([[repetitionMetrics]]). A metric whose denominator is empty is null
     * and does not reject (same convention as the kernels themselves).
-    * Cost is one text scan plus the repetition aggregates; the funnel
-    * rollup itself is a stage-cardinality aggregate — nothing data-sized
-    * reaches the driver. */
-  /** Per-document curation decision: (id, `stage`) where `stage` is the
-    * FIRST rejecting stage (names sort in pipeline order) or `0_kept`.
-    * This is the per-doc surface behind [[curationFunnel]]; filter on
-    * `stage = '0_kept'` to materialize the curated corpus. */
+    * Cost is one text scan plus the repetition aggregates. */
   def curationDecisions(raw: DataFrame, idCol: String, textCol: String,
                         minChars: Long = 100, maxChars: Long = 10000,
                         minWordLen: Double = 3.0, maxWordLen: Double = 12.0): DataFrame = {
@@ -435,6 +440,11 @@ object Corpus {
         when(col("rep_flagged"), "4_repetition").otherwise("0_kept")).as("stage"))
   }
 
+  /** Multi-stage curation funnel: [[curationDecisions]] rolled up to one
+    * row per stage with doc counts and corpus share — the attrition
+    * dashboard a curation pipeline publishes before committing a training
+    * mix. The rollup is a stage-cardinality aggregate; nothing data-sized
+    * reaches the driver. */
   def curationFunnel(raw: DataFrame, idCol: String, textCol: String,
                      minChars: Long = 100, maxChars: Long = 10000,
                      minWordLen: Double = 3.0, maxWordLen: Double = 12.0): DataFrame =

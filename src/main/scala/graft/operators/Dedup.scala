@@ -290,12 +290,16 @@ object Dedup {
                       scoreCol: String, shingleLen: Int = 5,
                       numHashes: Int = 8, bandSize: Int = 2): DataFrame = {
     val groups = dedupGroups(df, idCol, textCol, shingleLen, numHashes, bandSize)
+    // rank-within-group rather than max(struct(score, -id)): negation would
+    // assume a numeric id, but ids may be strings (same contract as
+    // dedupGroups). Groups are tiny, so the per-group window is safe.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("group_id").orderBy(col(scoreCol).desc, col(idCol).asc)
     val keep = df.select(col(idCol), col(scoreCol))
       .join(groups, Seq(idCol))
-      .groupBy("group_id")
-      .agg(max(struct(col(scoreCol).as("s"), (-col(idCol)).as("negId")))
-        .as("best"))
-      .select((-col("best.negId")).as(idCol))
+      .withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") === 1)
+      .select(col(idCol))
     df.join(keep, Seq(idCol), "left_semi")
   }
 

@@ -603,9 +603,12 @@ object PipelineQueries {
         |  FROM documents),
         |s AS (
         |  SELECT doc_id, sk,
-        |    CAST(((strpos('0123456789abcdef', substr(sk, 1, 1)) - 1) * 256
-        |        + (strpos('0123456789abcdef', substr(sk, 2, 1)) - 1) * 16
-        |        + (strpos('0123456789abcdef', substr(sk, 3, 1)) - 1)) % 8
+        |    CAST(((strpos('0123456789abcdef', substr(sk, 1, 1)) - 1) * 1048576
+        |        + (strpos('0123456789abcdef', substr(sk, 2, 1)) - 1) * 65536
+        |        + (strpos('0123456789abcdef', substr(sk, 3, 1)) - 1) * 4096
+        |        + (strpos('0123456789abcdef', substr(sk, 4, 1)) - 1) * 256
+        |        + (strpos('0123456789abcdef', substr(sk, 5, 1)) - 1) * 16
+        |        + (strpos('0123456789abcdef', substr(sk, 6, 1)) - 1)) % 8
         |      AS INTEGER) AS shard
         |  FROM k)
         |SELECT doc_id, shard,

@@ -236,4 +236,26 @@ class CorpusSpec extends SparkSpec {
     assert(once.sortBy(_._1).toSeq != other.sortBy(_._1).toSeq,
       "a different seed must permute differently")
   }
+
+  test("trainingOrder interleaves applyMixRates epoch copies via extraKeyCols") {
+    val df = (0L until 40L).map(i =>
+      (i, Seq("a", "b", "c")(math.floorMod(i, 3).toInt))).toDF("doc_id", "stratum")
+    val mixed = Corpus.applyMixRates(df, "doc_id", "stratum",
+      Map("a" -> 2.0, "b" -> 1.0, "c" -> 1.0))
+    val ordered = Corpus.trainingOrder(mixed, "doc_id", seed = 3, nShards = 4,
+        extraKeyCols = Seq("epoch"))
+      .select("doc_id", "epoch", "shard", "pos")
+      .as[(Long, Int, Int, Long)].collect()
+    // a total address assignment: every (doc, epoch) copy exactly once
+    assert(ordered.length == mixed.count())
+    assert(ordered.map(r => (r._1, r._2)).distinct.length == ordered.length)
+    // epoch copies hash independently: they must not systematically land
+    // back-to-back in the same shard
+    val copies = ordered.groupBy(_._1).filter(_._2.length == 2).values.toSeq
+    assert(copies.nonEmpty, "rate 2.0 must produce doubled docs")
+    val adjacent = copies.count { rs =>
+      rs(0)._3 == rs(1)._3 && math.abs(rs(0)._4 - rs(1)._4) == 1 }
+    assert(adjacent < copies.size,
+      s"$adjacent of ${copies.size} copy-pairs adjacent — epochs not interleaved")
+  }
 }
