@@ -62,4 +62,38 @@ class PipelineIntegrationSpec extends SparkSpec {
     assert(firsts.filter($"pack_offset" =!= 0L || $"pack_id" =!= 0L).count() == 0,
       "each shard's first doc starts pack 0 at offset 0")
   }
+
+  test("daily increment: incremental dedup → mix apply → training order → packing") {
+    // an existing corpus with a stored band table, and a new daily batch
+    // where every tenth doc replays a corpus doc verbatim
+    val corpus = (0 until 100).map(i =>
+      (i.toLong, s"existing corpus document $i body with enough words")).toDF("doc_id", "text")
+    val batch = (100 until 200).map { i =>
+      val text =
+        if (i % 10 == 0) s"existing corpus document ${i - 100} body with enough words"
+        else s"fresh document $i body with plenty of unique words"
+      (i.toLong, text, if (i % 4 == 0) "es" else "en")
+    }.toDF("doc_id", "text", "lang")
+    val corpusBands = Dedup.bandBuckets(corpus, "doc_id", "text", 5, 8, 2)
+    val admitted = Dedup.incrementalDedup(batch, "doc_id", "text", corpusBands, 5, 8, 2)
+    // every verbatim replay of a corpus doc is rejected; fresh docs survive
+    assert(admitted.filter($"doc_id" % 10 === 0).count() == 0,
+      "corpus replays must be rejected")
+    assert(admitted.count() > 0)
+    // rebalance: double the scarce es docs, keep en whole (epoch-tagged)
+    val mixed = Corpus.applyMixRates(admitted, "doc_id", "lang",
+      Map("es" -> 2.0, "en" -> 1.0))
+    val byLang = admitted.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(mixed.count() == byLang.getOrElse("es", 0L) * 2 + byLang.getOrElse("en", 0L))
+    // seeded global shuffle addressing every (doc, epoch) copy exactly once
+    val ordered = Corpus.trainingOrder(mixed, "doc_id", seed = 1, nShards = 4,
+      extraKeyCols = Seq("epoch"))
+    assert(ordered.count() == mixed.count())
+    assert(ordered.select("doc_id", "epoch").distinct().count() == mixed.count())
+    // pack in shuffled order under a per-copy unique id
+    val packed = Corpus.packSequences(
+      ordered.withColumn("row_id", $"doc_id" * 2 + $"epoch"),
+      "row_id", "text", budget = 64, nShards = 4)
+    assert(packed.count() == mixed.count())
+  }
 }
