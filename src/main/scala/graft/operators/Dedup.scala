@@ -45,48 +45,72 @@ object Dedup {
       .select(col(idCol),
         explode(expr(s"transform(sequence(1, length($textCol) - ${k - 1}), i -> substring($textCol, i, $k))")).as("sh"))
 
-  /** MinHash signatures via the one-hash trick: md5 runs ONCE per shingle;
+  /** Wide per-doc MinHash signatures — (id, sig_0 .. sig_{n-1}) — computed
+    * ENTIRELY map-side: the shingle digests are a per-row `transform`
+    * array (md5 runs once per shingle), and each signature is an
+    * `array_min` over the rotated digests. No Generate of the shingle
+    * stream, no per-partition sort, no aggregate, no exchange — at corpus
+    * scale the signature stage costs exactly one codegen'd pass over the
+    * text splits. `array_min` over strings uses the same binary
+    * lexicographic ordering as the `min` aggregate, so results are
+    * bit-identical to the aggregate formulation (and to the DuckDB
+    * oracle's GROUP BY MIN). */
+  private[operators] def wideSignatures(df: DataFrame, idCol: String,
+                                        textCol: String, shingleLen: Int,
+                                        numHashes: Int): DataFrame = {
+    require(numHashes >= 1 && numHashes <= 8, "numHashes must be in 1..8")
+    val k = shingleLen
+    val withHashes = fanOut(df.filter(length(col(textCol)) >= k), idCol)
+      .select(col(idCol), expr(
+        s"transform(sequence(1, length($textCol) - ${k - 1}), i -> md5(substring($textCol, i, $k)))")
+        .as("__hs"))
+    def rotMin(i: Int) =
+      if (i == 0) array_min(col("__hs"))
+      else array_min(expr(
+        s"transform(__hs, h -> concat(substring(h, ${4 * i + 1}, ${32 - 4 * i}), substring(h, 1, ${4 * i})))"))
+    withHashes.select(col(idCol) +:
+      (0 until numHashes).map(i => rotMin(i).as(s"sig_$i")): _*)
+  }
+
+  /** MinHash signatures as (id, seed, sig) rows, via the one-hash trick:
     * hash function `seed` is the digest rotated by 4·seed hex chars (md5
     * bits are independent, so rotations act as distinct hash functions —
     * max 8 seeds at rotation step 4). The min is over the hex string
-    * (lexicographic = byte order), identical in every engine.
-    *
-    * Plan shape: all `numHashes` mins aggregate in ONE wide groupBy(id) —
-    * map-side partial aggregation collapses the exploded shingles before
-    * the (narrow, one-row-per-doc) shuffle — then an unpivot to
-    * (id, seed, sig). ~8× less hashing and ~3000× less shuffle volume than
-    * the naive (id, seed)-keyed shape. */
+    * (lexicographic = byte order), identical in every engine. The whole
+    * computation is one map-side pass ([[wideSignatures]]) plus an
+    * unpivot. */
   def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
                         shingleLen: Int, numHashes: Int): DataFrame = {
-    require(numHashes >= 1 && numHashes <= 8, "numHashes must be in 1..8")
-    val hashed = charShingles(df, idCol, textCol, shingleLen)
-      .withColumn("h", md5(col("sh")))
-    def rot(i: Int) =
-      if (i == 0) col("h")
-      else concat(expr(s"substring(h, ${4 * i + 1}, ${32 - 4 * i})"),
-        expr(s"substring(h, 1, ${4 * i})"))
-    val wide = hashed.groupBy(col(idCol))
-      .agg(min(rot(0)).as("sig_0"),
-        (1 until numHashes).map(i => min(rot(i)).as(s"sig_$i")): _*)
     val stackArgs = (0 until numHashes).map(i => s"$i, sig_$i").mkString(", ")
-    wide.select(col(idCol),
-      expr(s"stack($numHashes, $stackArgs)").as(Seq("seed", "sig")))
+    wideSignatures(df, idCol, textCol, shingleLen, numHashes)
+      .select(col(idCol),
+        expr(s"stack($numHashes, $stackArgs)").as(Seq("seed", "sig")))
   }
 
   /** LSH banding: hash `bandSize` consecutive signature components per band;
     * docs sharing a (band, band_key) bucket are near-duplicate candidates.
-    * The self-join shuffles on the band key — buckets are tiny for
-    * non-duplicate data, so the join explodes only where true near-dups
-    * cluster (the LSH guarantee). */
-  /** LSH band buckets: (id, band, band_key) — docs sharing a (band,
-    * band_key) bucket are near-duplicate candidates. */
+    * Band keys are computed per-row from [[wideSignatures]] — the whole
+    * band table is ONE map-side pass over the text (no aggregate, no
+    * exchange); the only shuffle in the candidate path is the band-bucket
+    * join itself, which explodes only where true near-dups cluster (the
+    * LSH guarantee). Key bytes are identical to the former
+    * sorted-collect_list aggregate (seeds zero-padded, concatenated in
+    * seed order). */
   private[operators] def lshBands(df: DataFrame, idCol: String, textCol: String,
                                   shingleLen: Int, numHashes: Int,
-                                  bandSize: Int): DataFrame =
-    minHashSignatures(df, idCol, textCol, shingleLen, numHashes)
-      .withColumn("band", expr(s"seed div $bandSize"))
-      .groupBy(col(idCol), col("band"))
-      .agg(md5(expr("array_join(array_sort(collect_list(concat(lpad(cast(seed AS string), 2, '0'), sig))), '')")).as("band_key"))
+                                  bandSize: Int): DataFrame = {
+    val wide = wideSignatures(df, idCol, textCol, shingleLen, numHashes)
+    val bandStructs = (0 until numHashes).groupBy(_ / bandSize).toSeq
+      .sortBy(_._1).map { case (b, seeds) =>
+        val keyParts = seeds.sorted.flatMap(s =>
+          Seq(lit(f"$s%02d"), col(s"sig_$s")))
+        struct(lit(b.toLong).as("band"),
+          md5(concat(keyParts: _*)).as("band_key"))
+      }
+    wide.select(col(idCol), explode(array(bandStructs: _*)).as("__b"))
+      .select(col(idCol), col("__b.band").as("band"),
+        col("__b.band_key").as("band_key"))
+  }
 
   /** [[lshBands]] as a public surface: the (id, band, band_key) bucket
     * table. At 100 TB compute this ONCE and persist it (a self-join over a
