@@ -59,17 +59,12 @@ object Dedup {
                                         textCol: String, shingleLen: Int,
                                         numHashes: Int): DataFrame = {
     require(numHashes >= 1 && numHashes <= 8, "numHashes must be in 1..8")
-    val k = shingleLen
-    val withHashes = fanOut(df.filter(length(col(textCol)) >= k), idCol)
-      .select(col(idCol), expr(
-        s"transform(sequence(1, length($textCol) - ${k - 1}), i -> md5(substring($textCol, i, $k)))")
-        .as("__hs"))
-    def rotMin(i: Int) =
-      if (i == 0) array_min(col("__hs"))
-      else array_min(expr(
-        s"transform(__hs, h -> concat(substring(h, ${4 * i + 1}, ${32 - 4 * i}), substring(h, 1, ${4 * i})))"))
-    withHashes.select(col(idCol) +:
-      (0 until numHashes).map(i => rotMin(i).as(s"sig_$i")): _*)
+    val sigs = graft.functions.MinHashExpressions.minHashSigs(
+      col(textCol), shingleLen, numHashes)
+    fanOut(df.filter(length(col(textCol)) >= shingleLen), idCol)
+      .select(col(idCol), sigs.as("__sigs"))
+      .select(col(idCol) +:
+        (0 until numHashes).map(i => element_at(col("__sigs"), i + 1).as(s"sig_$i")): _*)
   }
 
   /** MinHash signatures as (id, seed, sig) rows, via the one-hash trick:
