@@ -59,6 +59,41 @@ object MinHashExpressions {
     * `shingleLen`-code-point shingle. */
   def minHashSigs(text: Column, shingleLen: Int, numHashes: Int): Column =
     GraftBridge.column(MinHashSigs(GraftBridge.expression(text), shingleLen, numHashes))
+
+  /** 32-bit SimHash over whitespace(space)-split tokens, one pass per doc.
+    * Bit-identical to the aggregate formulation (and the DuckDB oracle):
+    * bit `i` of md5(token) is nibble `i/4`, bit `i%4`; the fingerprint
+    * sets bit `i` where the signed vote across tokens is strictly
+    * positive. Null when the text has no token — matching the exploded
+    * formulation, where tokenless docs produce no row. */
+  case class SimHash32Expr(child: Expression) extends UnaryExpression {
+
+    override def prettyName: String = "graft_simhash32"
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (child.dataType == StringType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string input, got ${child.dataType.sql}")
+
+    override def nullSafeEval(t: Any): Any =
+      MinHashKernel.simhash32(t.asInstanceOf[UTF8String])
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"""
+         |java.lang.Long r = graft.functions.MinHashKernel.simhash32($c);
+         |${ev.isNull} = (r == null);
+         |${ev.value} = ${ev.isNull} ? 0L : r.longValue();
+       """.stripMargin)
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def simHash32(text: Column): Column =
+    GraftBridge.column(SimHash32Expr(GraftBridge.expression(text)))
 }
 
 /** Static kernel called from generated code (Scala object = static
@@ -117,5 +152,49 @@ object MinHashKernel {
       i += 1
     }
     new GenericArrayData(mins.map(b => UTF8String.fromBytes(b): AnyRef))
+  }
+
+  /** One-pass 32-bit SimHash: split the raw UTF-8 bytes on 0x20 (a space
+    * byte never occurs inside a multi-byte UTF-8 sequence, so byte-level
+    * splitting equals the SQL `split(text, ' ')`), md5 each non-empty
+    * token, vote bit `i` = nibble `i/4` bit `i%4` of the digest hex.
+    * Returns null for a tokenless text (the exploded formulation produces
+    * no row for it). */
+  def simhash32(text: UTF8String): java.lang.Long = {
+    val bytes = text.getBytes
+    val md = mdLocal.get()
+    val votes = new Array[Int](32)
+    var any = false
+    var start = 0
+    var p = 0
+    val len = bytes.length
+    while (p <= len) {
+      if (p == len || bytes(p) == 0x20) {
+        if (p > start) {
+          any = true
+          md.reset()
+          md.update(bytes, start, p - start)
+          val digest = md.digest()
+          var i = 0
+          while (i < 32) {
+            val hexPos = i >> 2
+            val b = digest(hexPos >> 1)
+            val nibble = if ((hexPos & 1) == 0) (b >> 4) & 0xf else b & 0xf
+            votes(i) += (((nibble >> (i & 3)) & 1) << 1) - 1
+            i += 1
+          }
+        }
+        start = p + 1
+      }
+      p += 1
+    }
+    if (!any) return null
+    var fp = 0L
+    var i = 0
+    while (i < 32) {
+      if (votes(i) > 0) fp |= 1L << i
+      i += 1
+    }
+    java.lang.Long.valueOf(fp)
   }
 }

@@ -154,20 +154,15 @@ object Dedup {
 
   /** 32-bit SimHash over whitespace tokens. Bit i of md5(token) is nibble
     * i/4, bit i%4; the fingerprint sets bit i where the signed vote across
-    * tokens is positive. Expansion is map-side (tokens × 32); the vote and
-    * recombine are two aggregations keyed by (id, bit) then id. */
-  def simHash32(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = fanOut(df, idCol).select(col(idCol),
-      explode(expr(s"filter(split($textCol, ' '), x -> x != '')")).as("tok"))
-    val bits = toks
-      .select(col(idCol), col("tok"), explode(expr("sequence(0, 31)")).as("i"))
-      .withColumn("bit",
-        expr("shiftright(instr('0123456789abcdef', substring(md5(tok), (i div 4) + 1, 1)) - 1, i % 4) & 1"))
-    bits.groupBy(col(idCol), col("i"))
-      .agg(sum(col("bit") * 2 - 1).as("w"))
-      .groupBy(col(idCol))
-      .agg(sum(expr("CASE WHEN w > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(i AS INT)) ELSE CAST(0 AS BIGINT) END")).as("simhash"))
-  }
+    * tokens is positive. Computed by the one-pass codegen'd kernel
+    * ([[graft.functions.MinHashExpressions.simHash32]]) — a single
+    * map-side pass per document, no token explode, no (id, bit)-keyed
+    * shuffle. Tokenless docs drop (same as the exploded formulation). */
+  def simHash32(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    fanOut(df, idCol)
+      .select(col(idCol),
+        graft.functions.MinHashExpressions.simHash32(col(textCol)).as("simhash"))
+      .filter(col("simhash").isNotNull)
 
   /** SimHash near-duplicate pairs — the fingerprint-side counterpart of
     * [[minHashCandidatePairs]] (Manku et al., WWW'07, adapted from 64- to

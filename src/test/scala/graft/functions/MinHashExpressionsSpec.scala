@@ -48,6 +48,35 @@ class MinHashExpressionsSpec extends SparkSpec {
         org.apache.spark.sql.types.StringType).map(_.toString).toSeq == viaDf)
   }
 
+  test("simhash kernel is bit-identical to the exploded aggregate formulation") {
+    val docs = texts.filter(length(trim($"text")) > 0)
+    val native = docs.select($"doc_id",
+        MinHashExpressions.simHash32($"text").as("simhash"))
+      .filter($"simhash".isNotNull)
+    // the original two-aggregation shape, verbatim
+    val toks = docs.select($"doc_id",
+      explode(expr("filter(split(text, ' '), x -> x != '')")).as("tok"))
+    val agg = toks
+      .select($"doc_id", $"tok", explode(expr("sequence(0, 31)")).as("i"))
+      .withColumn("bit",
+        expr("shiftright(instr('0123456789abcdef', substring(md5(tok), (i div 4) + 1, 1)) - 1, i % 4) & 1"))
+      .groupBy($"doc_id", $"i")
+      .agg(sum($"bit" * 2 - 1).as("w"))
+      .groupBy($"doc_id")
+      .agg(sum(expr("CASE WHEN w > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(i AS INT)) ELSE CAST(0 AS BIGINT) END")).as("simhash"))
+    val n = native.orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    val a = agg.orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(n == a)
+    assert(n.nonEmpty)
+  }
+
+  test("simhash: all-space and empty texts drop like the exploded formulation") {
+    val df = Seq((1L, ""), (2L, "   "), (3L, "one token")).toDF("doc_id", "text")
+      .select($"doc_id", MinHashExpressions.simHash32($"text").as("s"))
+      .filter($"s".isNotNull)
+    assert(df.select("doc_id").as[Long].collect().toSeq == Seq(3L))
+  }
+
   test("short and null texts yield null, never a crash") {
     val df = Seq((1L, "abcd"), (2L, null: String), (3L, "abcde"))
       .toDF("doc_id", "text")
