@@ -94,6 +94,42 @@ object MinHashExpressions {
 
   def simHash32(text: Column): Column =
     GraftBridge.column(SimHash32Expr(GraftBridge.expression(text)))
+
+  /** Winnowing fingerprints (MOSS scheme), one pass per doc: md5 every
+    * `k`-code-point gram, keep the min of each sliding window of `w`
+    * consecutive gram hashes, return the DISTINCT selected prints.
+    * Bit-identical to the explode + window-min + distinct formulation.
+    * Null when the text has no `k`-gram. */
+  case class WinnowingPrints(child: Expression, k: Int, w: Int)
+      extends UnaryExpression {
+
+    require(k >= 1 && w >= 1, s"k and w must be positive: k=$k w=$w")
+
+    override def prettyName: String = "graft_winnowing"
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullable: Boolean = true
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (child.dataType == StringType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string input, got ${child.dataType.sql}")
+
+    override def nullSafeEval(t: Any): Any =
+      MinHashKernel.winnow(t.asInstanceOf[UTF8String], k, w)
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"""
+         |${ev.value} = graft.functions.MinHashKernel.winnow($c, $k, $w);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin)
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def winnowingPrints(text: Column, k: Int, w: Int): Column =
+    GraftBridge.column(WinnowingPrints(GraftBridge.expression(text), k, w))
 }
 
 /** Static kernel called from generated code (Scala object = static
@@ -152,6 +188,57 @@ object MinHashKernel {
       i += 1
     }
     new GenericArrayData(mins.map(b => UTF8String.fromBytes(b): AnyRef))
+  }
+
+  /** One-pass winnowing: md5 hex of every k-gram, forward-window min of
+    * `w` consecutive hashes (tail windows truncate, matching
+    * `rowsBetween(0, w-1)`), distinct prints in first-selection order.
+    * O(m·w) compares — `w` is small by construction (~2/(w+1) selection
+    * density is the point of the scheme). */
+  def winnow(text: UTF8String, k: Int, w: Int): GenericArrayData = {
+    val cps = text.toString.codePoints().toArray
+    val m = cps.length - k + 1
+    if (m <= 0) return null
+    val md = mdLocal.get()
+    val hashes = new Array[Array[Byte]](m)
+    var i = 0
+    while (i < m) {
+      val digest = {
+        md.reset()
+        md.digest(new String(cps, i, k).getBytes(StandardCharsets.UTF_8))
+      }
+      val hex = new Array[Byte](32)
+      var j = 0
+      while (j < 16) {
+        hex(2 * j) = HEX((digest(j) >> 4) & 0xf)
+        hex(2 * j + 1) = HEX(digest(j) & 0xf)
+        j += 1
+      }
+      hashes(i) = hex
+      i += 1
+    }
+    def less(a: Array[Byte], b: Array[Byte]): Boolean = {
+      var j = 0
+      while (j < 32) {
+        if (a(j) != b(j)) return a(j) < b(j)
+        j += 1
+      }
+      false
+    }
+    val out = new java.util.LinkedHashSet[UTF8String]()
+    var p = 0
+    while (p < m) {
+      var best = hashes(p)
+      var q = p + 1
+      val end = math.min(p + w, m)
+      while (q < end) {
+        if (less(hashes(q), best)) best = hashes(q)
+        q += 1
+      }
+      out.add(UTF8String.fromBytes(best))
+      p += 1
+    }
+    new GenericArrayData(out.toArray)
   }
 
   /** One-pass 32-bit SimHash: split the raw UTF-8 bytes on 0x20 (a space

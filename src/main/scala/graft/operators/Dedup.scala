@@ -140,17 +140,15 @@ object Dedup {
     * hashing are map-side; the sliding min is one window over the
     * (id, position) order; distinct folds the selected prints. */
   def winnowingFingerprints(df: DataFrame, idCol: String, textCol: String,
-                            k: Int = 5, w: Int = 4): DataFrame = {
-    val hashed = fanOut(df.filter(length(col(textCol)) >= k), idCol)
+                            k: Int = 5, w: Int = 4): DataFrame =
+    // one-pass kernel per doc: no gram explode, no doc-keyed window
+    // shuffle, and no distinct — the kernel emits each doc's prints
+    // already deduplicated, so (id, fp) rows are unique by construction
+    // and the whole operator is map-side
+    fanOut(df.filter(length(col(textCol)) >= k), idCol)
       .select(col(idCol),
-        posexplode(expr(s"transform(sequence(1, length($textCol) - ${k - 1}), i -> substring($textCol, i, $k))")))
-      .select(col(idCol), col("pos"), md5(col("col")).as("h"))
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy(idCol).orderBy("pos").rowsBetween(0, w - 1)
-    hashed
-      .withColumn("fp", min(col("h")).over(win))
-      .select(col(idCol), col("fp")).distinct()
-  }
+        explode(graft.functions.MinHashExpressions.winnowingPrints(
+          col(textCol), k, w)).as("fp"))
 
   /** 32-bit SimHash over whitespace tokens. Bit i of md5(token) is nibble
     * i/4, bit i%4; the fingerprint sets bit i where the signed vote across

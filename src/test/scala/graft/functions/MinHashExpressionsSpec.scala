@@ -77,6 +77,30 @@ class MinHashExpressionsSpec extends SparkSpec {
     assert(df.select("doc_id").as[Long].collect().toSeq == Seq(3L))
   }
 
+  test("winnowing kernel equals the window-min formulation as a set") {
+    val docs = texts.filter(length($"text") >= 5)
+    val native = docs.select($"doc_id",
+        explode(MinHashExpressions.winnowingPrints($"text", 5, 4)).as("fp"))
+      .as[(Long, String)].collect().toSet
+    // the original explode + forward-window min + distinct, verbatim
+    val hashed = docs.select($"doc_id",
+        posexplode(expr("transform(sequence(1, length(text) - 4), i -> substring(text, i, 5))")))
+      .select($"doc_id", $"pos", md5($"col").as("h"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    val agg = hashed.withColumn("fp", min($"h").over(win))
+      .select($"doc_id", $"fp").distinct()
+      .as[(Long, String)].collect().toSet
+    assert(native == agg)
+    assert(native.nonEmpty)
+    // per-doc prints are already distinct (no downstream distinct needed)
+    val perDoc = docs.select($"doc_id",
+      MinHashExpressions.winnowingPrints($"text", 5, 4).as("fps"))
+      .as[(Long, Seq[String])].collect()
+    perDoc.foreach { case (id, fps) =>
+      assert(fps.distinct.length == fps.length, s"doc $id has repeated prints") }
+  }
+
   test("short and null texts yield null, never a crash") {
     val df = Seq((1L, "abcd"), (2L, null: String), (3L, "abcde"))
       .toDF("doc_id", "text")
