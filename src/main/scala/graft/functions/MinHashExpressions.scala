@@ -130,6 +130,44 @@ object MinHashExpressions {
 
   def winnowingPrints(text: Column, k: Int, w: Int): Column =
     GraftBridge.column(WinnowingPrints(GraftBridge.expression(text), k, w))
+
+  /** Per-document repetition statistics in one pass: word count, the most
+    * frequent word (ties → smallest in binary UTF-8 order, matching
+    * `row_number over (desc cnt, asc w)`), its count, and the distinct
+    * adjacent word-2-gram count. Null when the text has no word. The
+    * per-doc hash maps bound memory by document size, never corpus
+    * size. */
+  case class RepetitionStats(child: Expression) extends UnaryExpression {
+
+    override def prettyName: String = "graft_repetition_stats"
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_words", LongType, nullable = false),
+      StructField("top_word", StringType, nullable = false),
+      StructField("top_cnt", LongType, nullable = false),
+      StructField("n_distinct_2grams", LongType, nullable = false)))
+    override def nullable: Boolean = true
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (child.dataType == StringType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string input, got ${child.dataType.sql}")
+
+    override def nullSafeEval(t: Any): Any =
+      MinHashKernel.repetitionStats(t.asInstanceOf[UTF8String])
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"""
+         |${ev.value} = graft.functions.MinHashKernel.repetitionStats($c);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin)
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def repetitionStats(text: Column): Column =
+    GraftBridge.column(RepetitionStats(GraftBridge.expression(text)))
 }
 
 /** Static kernel called from generated code (Scala object = static
@@ -239,6 +277,61 @@ object MinHashKernel {
       p += 1
     }
     new GenericArrayData(out.toArray)
+  }
+
+  /** One-pass per-doc repetition stats over space-split words (byte-level
+    * split on 0x20, exact for UTF-8). Returns null when no word. */
+  def repetitionStats(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val bytes = text.getBytes
+    val len = bytes.length
+    // word byte ranges
+    val starts = new java.util.ArrayList[Int]()
+    val ends = new java.util.ArrayList[Int]()
+    var start = 0
+    var p = 0
+    while (p <= len) {
+      if (p == len || bytes(p) == 0x20) {
+        if (p > start) { starts.add(start); ends.add(p) }
+        start = p + 1
+      }
+      p += 1
+    }
+    val nWords = starts.size()
+    if (nWords == 0) return null
+    def word(i: Int): UTF8String =
+      UTF8String.fromBytes(bytes, starts.get(i), ends.get(i) - starts.get(i))
+    val counts = new java.util.HashMap[UTF8String, Array[Long]]()
+    var i = 0
+    while (i < nWords) {
+      val w = word(i)
+      val cell = counts.get(w)
+      if (cell == null) counts.put(w, Array(1L)) else cell(0) += 1
+      i += 1
+    }
+    var topWord: UTF8String = null
+    var topCnt = 0L
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val c = e.getValue()(0)
+      if (c > topCnt || (c == topCnt && e.getKey.compareTo(topWord) < 0)) {
+        topWord = e.getKey; topCnt = c
+      }
+    }
+    val grams = new java.util.HashSet[UTF8String]()
+    i = 0
+    while (i < nWords - 1) {
+      val l1 = ends.get(i) - starts.get(i)
+      val l2 = ends.get(i + 1) - starts.get(i + 1)
+      val g = new Array[Byte](l1 + 1 + l2)
+      System.arraycopy(bytes, starts.get(i), g, 0, l1)
+      g(l1) = 0x20
+      System.arraycopy(bytes, starts.get(i + 1), g, l1 + 1, l2)
+      grams.add(UTF8String.fromBytes(g))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nWords.toLong, topWord, topCnt, grams.size().toLong))
   }
 
   /** One-pass 32-bit SimHash: split the raw UTF-8 bytes on 0x20 (a space

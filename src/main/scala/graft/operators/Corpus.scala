@@ -50,31 +50,20 @@ object Corpus {
                         dup2gramMax: Double = 0.2): DataFrame = {
     val df = Dedup.fanOut(raw, idCol)
     val id = col(idCol)
-    val tokens = df.select(id, explode(words(col(textCol))).as("w"))
-    // word counts feed the top-word window AND the n_words rollup; pin so
-    // the token explode + (doc, word) aggregate evaluates once
-    val wordCounts = Graphs.pinLocal(
-      tokens.groupBy(id, col("w")).agg(count(lit(1)).as("cnt")))
-    val topWord = wordCounts
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(id).orderBy(desc("cnt"), col("w"))))
-      .filter(col("__rn") === 1)
-      .select(id, col("w").as("top_word"), col("cnt").as("top_cnt"))
-    val grams = df.select(id, explode(wordNgrams(col(textCol), 2)).as("g"))
-      .groupBy(id).agg(count(lit(1)).as("n_2grams"),
-        count_distinct(col("g")).as("n_distinct_2grams"))
-    // n_words folds out of the per-word counts — no third scan of the
-    // wide text column
-    val nWords = wordCounts.groupBy(id).agg(sum(col("cnt")).as("n_words"))
-    // left joins from the full doc list: docs too short to produce words or
-    // 2-grams keep their row (null metrics) instead of silently vanishing
-    df.select(id)
-      .join(nWords, Seq(idCol), "left")
-      .join(topWord, Seq(idCol), "left")
-      .join(grams, Seq(idCol), "left")
-      .select(id, coalesce(col("n_words"), lit(0L)).as("n_words"), col("top_word"),
-        round(col("top_cnt").cast("double") / col("n_words"), 4).as("top_word_frac"),
-        round(lit(1.0) - col("n_distinct_2grams").cast("double") / col("n_2grams"), 4)
+    // one-pass kernel per doc (word counts, top word, distinct 2-grams) —
+    // the metrics are purely per-document, so nothing shuffles at any
+    // scale; docs with no words keep their row with null metrics (the
+    // kernel returns a null struct). n_2grams is n_words − 1 by
+    // construction; a doc without 2-grams gets a null fraction.
+    val n2grams = when(col("__r.n_words") >= 2, col("__r.n_words") - 1)
+    df.select(id,
+        graft.functions.MinHashExpressions.repetitionStats(col(textCol)).as("__r"))
+      .select(id,
+        coalesce(col("__r.n_words"), lit(0L)).as("n_words"),
+        col("__r.top_word").as("top_word"),
+        round(col("__r.top_cnt").cast("double") / col("__r.n_words"), 4)
+          .as("top_word_frac"),
+        round(lit(1.0) - col("__r.n_distinct_2grams").cast("double") / n2grams, 4)
           .as("dup_2gram_frac"))
       .withColumn("rep_flagged",
         coalesce(col("top_word_frac") > topWordMax, lit(false)) ||

@@ -101,6 +101,51 @@ class MinHashExpressionsSpec extends SparkSpec {
       assert(fps.distinct.length == fps.length, s"doc $id has repeated prints") }
   }
 
+  test("repetitionStats kernel equals the aggregate/window formulation") {
+    val docs = texts.unionByName(Seq(
+      (900L, ""), (901L, "   "), (902L, "solo"),
+      (903L, "tie tie bee bee"),          // count tie -> smallest word
+      (904L, "a a a b b")).toDF("doc_id", "text"))
+    val native = docs.select($"doc_id",
+        MinHashExpressions.repetitionStats($"text").as("r"))
+      .select($"doc_id", $"r.n_words", $"r.top_word", $"r.top_cnt",
+        $"r.n_distinct_2grams")
+      .as[(Long, Option[Long], Option[String], Option[Long], Option[Long])]
+      .collect().toSeq.sortBy(_._1)
+    // the original shapes, verbatim
+    val tokens = docs.select($"doc_id",
+      explode(expr("filter(split(text, ' '), x -> x != '')")).as("w"))
+    val wordCounts = tokens.groupBy($"doc_id", $"w").agg(count(lit(1)).as("cnt"))
+    val topWord = wordCounts
+      .withColumn("rn", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id").orderBy(desc("cnt"), $"w")))
+      .filter($"rn" === 1).select($"doc_id", $"w", $"cnt")
+    val nWords = wordCounts.groupBy($"doc_id").agg(sum($"cnt").as("n_words"))
+    // explode_outer: a doc with words but no 2-gram still groups, with
+    // count_distinct(null) = 0 — the kernel's convention (the final
+    // repetitionMetrics output is identical either way: the n_words >= 2
+    // guard nulls the fraction)
+    val grams = docs.select($"doc_id", explode_outer(expr(
+        """CASE WHEN size(filter(split(text, ' '), x -> x != '')) >= 2
+          |THEN transform(sequence(0, size(filter(split(text, ' '), x -> x != '')) - 2),
+          |  i -> concat_ws(' ', slice(filter(split(text, ' '), x -> x != ''), i + 1, 2)))
+          |ELSE array() END""".stripMargin)).as("g"))
+      .groupBy($"doc_id").agg(count_distinct($"g").as("nd"))
+      .join(nWords.select($"doc_id"), Seq("doc_id"), "left_semi")
+    val expected = docs.select($"doc_id")
+      .join(nWords, Seq("doc_id"), "left")
+      .join(topWord, Seq("doc_id"), "left")
+      .join(grams, Seq("doc_id"), "left")
+      .as[(Long, Option[Long], Option[String], Option[Long], Option[Long])]
+      .collect().toSeq.sortBy(_._1)
+    assert(native == expected)
+    // null-struct docs surface as all-null fields
+    val m = native.map(r => r._1 -> r).toMap
+    assert(m(900L)._2.isEmpty && m(901L)._2.isEmpty)
+    assert(m(902L) == ((902L, Some(1L), Some("solo"), Some(1L), Some(0L))))
+    assert(m(903L)._3 == Some("bee"), "count tie must pick the smallest word")
+  }
+
   test("short and null texts yield null, never a crash") {
     val df = Seq((1L, "abcd"), (2L, null: String), (3L, "abcde"))
       .toDF("doc_id", "text")
