@@ -168,6 +168,43 @@ object MinHashExpressions {
 
   def repetitionStats(text: Column): Column =
     GraftBridge.column(RepetitionStats(GraftBridge.expression(text)))
+
+  /** md5 hex of every `n`-word gram (words space-split, grams joined with
+    * a single space), in position order — `posexplode` over the result
+    * reproduces the (pos, hash) stream of the transform/array_join
+    * formulation. With `dedup` the per-doc first-occurrence distinct set
+    * is returned instead (for overlap tests that count distinct grams).
+    * Null when the text has fewer than `n` words. */
+  case class WordGramHashes(child: Expression, n: Int, dedup: Boolean)
+      extends UnaryExpression {
+
+    require(n >= 1, s"n must be positive: $n")
+
+    override def prettyName: String = "graft_word_gram_hashes"
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullable: Boolean = true
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (child.dataType == StringType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string input, got ${child.dataType.sql}")
+
+    override def nullSafeEval(t: Any): Any =
+      MinHashKernel.wordGramHashes(t.asInstanceOf[UTF8String], n, dedup)
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"""
+         |${ev.value} = graft.functions.MinHashKernel.wordGramHashes($c, $n, $dedup);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin)
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def wordGramHashes(text: Column, n: Int, dedup: Boolean = false): Column =
+    GraftBridge.column(WordGramHashes(GraftBridge.expression(text), n, dedup))
 }
 
 /** Static kernel called from generated code (Scala object = static
@@ -332,6 +369,52 @@ object MinHashKernel {
     }
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](nWords.toLong, topWord, topCnt, grams.size().toLong))
+  }
+
+  /** One-pass word-n-gram md5 hex array (position order, or per-doc
+    * first-occurrence distinct). Null when fewer than n words. */
+  def wordGramHashes(text: UTF8String, n: Int, dedup: Boolean): GenericArrayData = {
+    val bytes = text.getBytes
+    val len = bytes.length
+    val starts = new java.util.ArrayList[Int]()
+    val ends = new java.util.ArrayList[Int]()
+    var start = 0
+    var p = 0
+    while (p <= len) {
+      if (p == len || bytes(p) == 0x20) {
+        if (p > start) { starts.add(start); ends.add(p) }
+        start = p + 1
+      }
+      p += 1
+    }
+    val nWords = starts.size()
+    val m = nWords - n + 1
+    if (m <= 0) return null
+    val md = mdLocal.get()
+    val out = new java.util.ArrayList[AnyRef](if (dedup) math.min(m, 16) else m)
+    val seen = if (dedup) new java.util.HashSet[UTF8String]() else null
+    var i = 0
+    while (i < m) {
+      md.reset()
+      var j = 0
+      while (j < n) {
+        if (j > 0) md.update(0x20.toByte)
+        md.update(bytes, starts.get(i + j), ends.get(i + j) - starts.get(i + j))
+        j += 1
+      }
+      val digest = md.digest()
+      val hex = new Array[Byte](32)
+      var q = 0
+      while (q < 16) {
+        hex(2 * q) = HEX((digest(q) >> 4) & 0xf)
+        hex(2 * q + 1) = HEX(digest(q) & 0xf)
+        q += 1
+      }
+      val s = UTF8String.fromBytes(hex)
+      if (seen == null || seen.add(s)) out.add(s)
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
   }
 
   /** One-pass 32-bit SimHash: split the raw UTF-8 bytes on 0x20 (a space

@@ -25,16 +25,6 @@ object Corpus {
   private def words(textCol: Column): Column =
     filter(split(textCol, " "), w => w =!= "")
 
-  /** Word n-grams as an array column (empty when the doc is shorter than
-    * `n` words). */
-  private def wordNgrams(textCol: Column, n: Int): Column = {
-    val w = words(textCol)
-    when(size(w) >= n,
-      transform(sequence(lit(0), size(w) - n),
-        i => array_join(slice(w, i + 1, lit(n)), " ")))
-      .otherwise(array().cast("array<string>"))
-  }
-
   /** Gopher-style repetition metrics, one row per doc:
     *  - `top_word_frac`: share of the most frequent word (ties → the
     *    lexicographically smallest word), high = degenerate repetition;
@@ -89,10 +79,12 @@ object Corpus {
     val df = Dedup.fanOut(raw, idCol)
     val id = col(idCol)
     // spans feeds the first-instance aggregate AND the join back; pin so
-    // the gram explode + hash — the expensive stage — evaluates once
+    // the gram explode + hash — the expensive stage — evaluates once.
+    // Gram hashes come from the one-pass kernel (md5 of words joined by
+    // a space, identical bytes to the array_join formulation).
     val spans = Graphs.pinLocal(df
-      .select(id, posexplode(wordNgrams(col(textCol), n)).as(Seq("pos", "g")))
-      .select(id, col("pos"), md5(col("g")).as("h")))
+      .select(id, posexplode(graft.functions.MinHashExpressions
+        .wordGramHashes(col(textCol), n)).as(Seq("pos", "h"))))
     val firsts = spans.groupBy(col("h"))
       .agg(min(struct(id, col("pos"))).as("__first"))
     spans.join(firsts, "h")
@@ -113,12 +105,15 @@ object Corpus {
                     textCol: String, n: Int = 3): DataFrame = {
     val corpus = Dedup.fanOut(rawCorpus, idCol)
     val id = col(idCol)
+    val gramHashes = (c: Column) =>
+      graft.functions.MinHashExpressions.wordGramHashes(c, n, dedup = true)
     val benchGrams = benchmark
-      .select(explode(wordNgrams(col(textCol), n)).as("g"))
-      .select(md5(col("g")).as("h")).distinct()
+      .select(explode(gramHashes(col(textCol))).as("h")).distinct()
+    // per-doc distinct happens IN the kernel — no corpus-side distinct
+    // aggregate, so the doc side is map-side all the way to the
+    // broadcast semi-join
     val docGrams = corpus
-      .select(id, explode(wordNgrams(col(textCol), n)).as("g"))
-      .select(id, md5(col("g")).as("h")).distinct()
+      .select(id, explode(gramHashes(col(textCol))).as("h"))
     docGrams.join(broadcast(benchGrams), Seq("h"), "left_semi")
       .groupBy(id).agg(count(lit(1)).as("n_overlap"))
       .join(corpus.select(id), Seq(idCol), "right_outer")

@@ -146,6 +146,29 @@ class MinHashExpressionsSpec extends SparkSpec {
     assert(m(903L)._3 == Some("bee"), "count tie must pick the smallest word")
   }
 
+  test("wordGramHashes equals md5 over the array_join n-gram formulation") {
+    val docs = texts
+    val ngramSql = expr(
+      """CASE WHEN size(filter(split(text, ' '), x -> x != '')) >= 3
+        |THEN transform(sequence(0, size(filter(split(text, ' '), x -> x != '')) - 3),
+        |  i -> md5(array_join(slice(filter(split(text, ' '), x -> x != ''), i + 1, 3), ' ')))
+        |ELSE array() END""".stripMargin)
+    val expected = docs.select($"doc_id", posexplode(ngramSql))
+      .select($"doc_id", $"pos", $"col").as[(Long, Int, String)].collect().toSet
+    val native = docs.select($"doc_id",
+        posexplode(MinHashExpressions.wordGramHashes($"text", 3)).as(Seq("pos", "h")))
+      .as[(Long, Int, String)].collect().toSet
+    assert(native == expected)
+    assert(native.nonEmpty)
+    // dedup variant: first-occurrence distinct per doc
+    val dedup = docs.select($"doc_id",
+        explode(MinHashExpressions.wordGramHashes($"text", 3, dedup = true)).as("h"))
+      .as[(Long, String)].collect()
+    assert(dedup.toSet == expected.map(r => (r._1, r._3)))
+    assert(dedup.groupBy(identity).values.forall(_.length == 1),
+      "dedup variant must emit each (doc, hash) once")
+  }
+
   test("short and null texts yield null, never a crash") {
     val df = Seq((1L, "abcd"), (2L, null: String), (3L, "abcde"))
       .toDF("doc_id", "text")
