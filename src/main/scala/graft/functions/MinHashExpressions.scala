@@ -82,11 +82,17 @@ object MinHashExpressions {
       MinHashKernel.simhash32(t.asInstanceOf[UTF8String])
 
     override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      nullSafeCodeGen(ctx, ev, c => s"""
-         |java.lang.Long r = graft.functions.MinHashKernel.simhash32($c);
-         |${ev.isNull} = (r == null);
-         |${ev.value} = ${ev.isNull} ? 0L : r.longValue();
-       """.stripMargin)
+      nullSafeCodeGen(ctx, ev, c => {
+        // fresh name: a fixed local would collide (Janino redefinition →
+        // silent interpreted fallback) when the expression appears twice
+        // in one codegen scope with non-nullable children
+        val r = ctx.freshName("simhashRes")
+        s"""
+           |java.lang.Long $r = graft.functions.MinHashKernel.simhash32($c);
+           |${ev.isNull} = ($r == null);
+           |${ev.value} = ${ev.isNull} ? 0L : $r.longValue();
+         """.stripMargin
+      })
 
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
@@ -216,6 +222,62 @@ object MinHashKernel {
   private val mdLocal: ThreadLocal[java.security.MessageDigest] =
     ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
 
+  /** Byte offset of each SQL character (code point), walked with
+    * `UTF8String.numBytesForFirstByte` — the exact stepping
+    * `substringSQL`/`numChars` use, so char-window slicing over the RAW
+    * bytes reproduces `substring(text, i, k)` byte-for-byte, including on
+    * malformed INTERIOR bytes (no String round-trip, which would
+    * substitute U+FFFD). One deliberate divergence: a text ENDING in a
+    * truncated multi-byte sequence makes Spark's own substring read past
+    * the string's buffer (it slices to the stepped-past-end offset —
+    * whatever bytes happen to live there); we clamp the final offset to
+    * the string length instead of reproducing an out-of-bounds read. */
+  private def charStarts(bytes: Array[Byte]): Array[Int] = {
+    val offs = new Array[Int](bytes.length + 1)
+    var n = 0
+    var i = 0
+    while (i < bytes.length) {
+      offs(n) = i
+      n += 1
+      i += UTF8String.numBytesForFirstByte(bytes(i))
+    }
+    offs(n) = bytes.length
+    java.util.Arrays.copyOf(offs, n + 1)
+  }
+
+  /** Word byte ranges of a space(0x20)-split text — byte-level split is
+    * exact for UTF-8 (0x20 never occurs inside a multi-byte sequence).
+    * Returns (starts, ends) as parallel arrays. */
+  private def splitWords(bytes: Array[Byte]): (Array[Int], Array[Int]) = {
+    val starts = new java.util.ArrayList[Int]()
+    val ends = new java.util.ArrayList[Int]()
+    var start = 0
+    var p = 0
+    val len = bytes.length
+    while (p <= len) {
+      if (p == len || bytes(p) == 0x20) {
+        if (p > start) { starts.add(start); ends.add(p) }
+        start = p + 1
+      }
+      p += 1
+    }
+    val s = new Array[Int](starts.size())
+    val e = new Array[Int](ends.size())
+    var i = 0
+    while (i < s.length) { s(i) = starts.get(i); e(i) = ends.get(i); i += 1 }
+    (s, e)
+  }
+
+  /** Write the digest as lowercase hex into `hex` (32 bytes). */
+  private def hexEncode(digest: Array[Byte], hex: Array[Byte]): Unit = {
+    var j = 0
+    while (j < 16) {
+      hex(2 * j) = HEX((digest(j) >> 4) & 0xf)
+      hex(2 * j + 1) = HEX(digest(j) & 0xf)
+      j += 1
+    }
+  }
+
   /** Rotated-in-place comparison: digest hex rotated left by `off` chars vs
     * the stored (already-rotated) current min. */
   private def rotatedLess(hex: Array[Byte], off: Int, cur: Array[Byte]): Boolean = {
@@ -230,25 +292,18 @@ object MinHashKernel {
   }
 
   def sigs(text: UTF8String, k: Int, n: Int): GenericArrayData = {
-    // code points, matching SQL substring/length semantics exactly
-    val cps = text.toString.codePoints().toArray
-    val m = cps.length - k + 1
+    val bytes = text.getBytes
+    val offs = charStarts(bytes)
+    val m = (offs.length - 1) - k + 1
     if (m <= 0) return null
     val md = mdLocal.get()
     val mins = new Array[Array[Byte]](n)
     val hex = new Array[Byte](32)
     var i = 0
     while (i < m) {
-      val digest = {
-        md.reset()
-        md.digest(new String(cps, i, k).getBytes(StandardCharsets.UTF_8))
-      }
-      var j = 0
-      while (j < 16) {
-        hex(2 * j) = HEX((digest(j) >> 4) & 0xf)
-        hex(2 * j + 1) = HEX(digest(j) & 0xf)
-        j += 1
-      }
+      md.reset()
+      md.update(bytes, offs(i), offs(i + k) - offs(i))
+      hexEncode(md.digest(), hex)
       var r = 0
       while (r < n) {
         val off = 4 * r
@@ -271,24 +326,18 @@ object MinHashKernel {
     * O(m·w) compares — `w` is small by construction (~2/(w+1) selection
     * density is the point of the scheme). */
   def winnow(text: UTF8String, k: Int, w: Int): GenericArrayData = {
-    val cps = text.toString.codePoints().toArray
-    val m = cps.length - k + 1
+    val bytes = text.getBytes
+    val offs = charStarts(bytes)
+    val m = (offs.length - 1) - k + 1
     if (m <= 0) return null
     val md = mdLocal.get()
     val hashes = new Array[Array[Byte]](m)
     var i = 0
     while (i < m) {
-      val digest = {
-        md.reset()
-        md.digest(new String(cps, i, k).getBytes(StandardCharsets.UTF_8))
-      }
+      md.reset()
+      md.update(bytes, offs(i), offs(i + k) - offs(i))
       val hex = new Array[Byte](32)
-      var j = 0
-      while (j < 16) {
-        hex(2 * j) = HEX((digest(j) >> 4) & 0xf)
-        hex(2 * j + 1) = HEX(digest(j) & 0xf)
-        j += 1
-      }
+      hexEncode(md.digest(), hex)
       hashes(i) = hex
       i += 1
     }
@@ -320,27 +369,13 @@ object MinHashKernel {
     * split on 0x20, exact for UTF-8). Returns null when no word. */
   def repetitionStats(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
     val bytes = text.getBytes
-    val len = bytes.length
-    // word byte ranges
-    val starts = new java.util.ArrayList[Int]()
-    val ends = new java.util.ArrayList[Int]()
-    var start = 0
-    var p = 0
-    while (p <= len) {
-      if (p == len || bytes(p) == 0x20) {
-        if (p > start) { starts.add(start); ends.add(p) }
-        start = p + 1
-      }
-      p += 1
-    }
-    val nWords = starts.size()
+    val (starts, ends) = splitWords(bytes)
+    val nWords = starts.length
     if (nWords == 0) return null
-    def word(i: Int): UTF8String =
-      UTF8String.fromBytes(bytes, starts.get(i), ends.get(i) - starts.get(i))
     val counts = new java.util.HashMap[UTF8String, Array[Long]]()
     var i = 0
     while (i < nWords) {
-      val w = word(i)
+      val w = UTF8String.fromBytes(bytes, starts(i), ends(i) - starts(i))
       val cell = counts.get(w)
       if (cell == null) counts.put(w, Array(1L)) else cell(0) += 1
       i += 1
@@ -358,12 +393,12 @@ object MinHashKernel {
     val grams = new java.util.HashSet[UTF8String]()
     i = 0
     while (i < nWords - 1) {
-      val l1 = ends.get(i) - starts.get(i)
-      val l2 = ends.get(i + 1) - starts.get(i + 1)
+      val l1 = ends(i) - starts(i)
+      val l2 = ends(i + 1) - starts(i + 1)
       val g = new Array[Byte](l1 + 1 + l2)
-      System.arraycopy(bytes, starts.get(i), g, 0, l1)
+      System.arraycopy(bytes, starts(i), g, 0, l1)
       g(l1) = 0x20
-      System.arraycopy(bytes, starts.get(i + 1), g, l1 + 1, l2)
+      System.arraycopy(bytes, starts(i + 1), g, l1 + 1, l2)
       grams.add(UTF8String.fromBytes(g))
       i += 1
     }
@@ -375,20 +410,8 @@ object MinHashKernel {
     * first-occurrence distinct). Null when fewer than n words. */
   def wordGramHashes(text: UTF8String, n: Int, dedup: Boolean): GenericArrayData = {
     val bytes = text.getBytes
-    val len = bytes.length
-    val starts = new java.util.ArrayList[Int]()
-    val ends = new java.util.ArrayList[Int]()
-    var start = 0
-    var p = 0
-    while (p <= len) {
-      if (p == len || bytes(p) == 0x20) {
-        if (p > start) { starts.add(start); ends.add(p) }
-        start = p + 1
-      }
-      p += 1
-    }
-    val nWords = starts.size()
-    val m = nWords - n + 1
+    val (starts, ends) = splitWords(bytes)
+    val m = starts.length - n + 1
     if (m <= 0) return null
     val md = mdLocal.get()
     val out = new java.util.ArrayList[AnyRef](if (dedup) math.min(m, 16) else m)
@@ -399,17 +422,11 @@ object MinHashKernel {
       var j = 0
       while (j < n) {
         if (j > 0) md.update(0x20.toByte)
-        md.update(bytes, starts.get(i + j), ends.get(i + j) - starts.get(i + j))
+        md.update(bytes, starts(i + j), ends(i + j) - starts(i + j))
         j += 1
       }
-      val digest = md.digest()
       val hex = new Array[Byte](32)
-      var q = 0
-      while (q < 16) {
-        hex(2 * q) = HEX((digest(q) >> 4) & 0xf)
-        hex(2 * q + 1) = HEX(digest(q) & 0xf)
-        q += 1
-      }
+      hexEncode(md.digest(), hex)
       val s = UTF8String.fromBytes(hex)
       if (seen == null || seen.add(s)) out.add(s)
       i += 1
@@ -425,33 +442,25 @@ object MinHashKernel {
     * no row for it). */
   def simhash32(text: UTF8String): java.lang.Long = {
     val bytes = text.getBytes
+    val (starts, ends) = splitWords(bytes)
+    if (starts.length == 0) return null
     val md = mdLocal.get()
     val votes = new Array[Int](32)
-    var any = false
-    var start = 0
-    var p = 0
-    val len = bytes.length
-    while (p <= len) {
-      if (p == len || bytes(p) == 0x20) {
-        if (p > start) {
-          any = true
-          md.reset()
-          md.update(bytes, start, p - start)
-          val digest = md.digest()
-          var i = 0
-          while (i < 32) {
-            val hexPos = i >> 2
-            val b = digest(hexPos >> 1)
-            val nibble = if ((hexPos & 1) == 0) (b >> 4) & 0xf else b & 0xf
-            votes(i) += (((nibble >> (i & 3)) & 1) << 1) - 1
-            i += 1
-          }
-        }
-        start = p + 1
+    var t = 0
+    while (t < starts.length) {
+      md.reset()
+      md.update(bytes, starts(t), ends(t) - starts(t))
+      val digest = md.digest()
+      var i = 0
+      while (i < 32) {
+        val hexPos = i >> 2
+        val b = digest(hexPos >> 1)
+        val nibble = if ((hexPos & 1) == 0) (b >> 4) & 0xf else b & 0xf
+        votes(i) += (((nibble >> (i & 3)) & 1) << 1) - 1
+        i += 1
       }
-      p += 1
+      t += 1
     }
-    if (!any) return null
     var fp = 0L
     var i = 0
     while (i < 32) {

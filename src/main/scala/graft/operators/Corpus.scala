@@ -33,8 +33,9 @@ object Corpus {
     *  - `rep_flagged`: either ratio beyond its Gopher-ish threshold.
     * One row per doc, including short ones: a metric whose denominator is
     * empty (no words / no 2-grams) is null and never flags the doc.
-    * Two doc-keyed hash aggregates + one tiny window — no data-sized
-    * state, scales with splits. */
+    * One kernel pass per document
+    * ([[graft.functions.MinHashExpressions.repetitionStats]]) — zero
+    * shuffles at any scale. */
   def repetitionMetrics(raw: DataFrame, idCol: String, textCol: String,
                         topWordMax: Double = 0.2,
                         dup2gramMax: Double = 0.2): DataFrame = {

@@ -5,13 +5,19 @@ import org.apache.spark.sql.functions._
 
 /** Document deduplication for large-scale training-data pipelines.
   *
-  * All kernels are built from codegen'd built-in expressions (no Scala UDFs)
-  * so they stay inside whole-stage codegen; every hash is md5 over UTF-8,
-  * chosen because it is bit-identical across engines (differential-testable
-  * against DuckDB) and deterministic across the cluster. The shapes are
-  * shuffle-minimal: shingling/token expansion is map-side (explode), the only
-  * shuffles are the per-(id,seed) signature aggregation and the band-bucket
-  * self-join, each partitioned by a high-cardinality key.
+  * All kernels are codegen'd expressions (built-ins plus the native
+  * one-pass kernels in [[graft.functions.MinHashExpressions]] — no Scala
+  * UDFs); every hash is md5 over UTF-8, chosen because it is bit-identical
+  * across engines (differential-testable against DuckDB) and deterministic
+  * across the cluster. The shapes are shuffle-minimal: signature and
+  * fingerprint generation is entirely map-side (one kernel pass per
+  * document), so the only shuffles in the candidate paths are the
+  * band-bucket joins themselves, each partitioned by a high-cardinality
+  * key.
+  *
+  * Id-keyed operators assume ONE ROW PER DOCUMENT (ids unique) — the
+  * invariant every downstream join/label relies on. Inputs with repeated
+  * ids should be exact-deduped first.
   */
 object Dedup {
 
@@ -136,9 +142,9 @@ object Dedup {
   /** Winnowing document fingerprints (the MOSS scheme): hash every
     * k-gram, then keep the minimum hash of each sliding window of `w`
     * consecutive k-grams — guarantees any match of length ≥ w+k−1 shares a
-    * fingerprint, with ~2/(w+1) selection density. Shingle expansion and
-    * hashing are map-side; the sliding min is one window over the
-    * (id, position) order; distinct folds the selected prints. */
+    * fingerprint, with ~2/(w+1) selection density. The whole selection
+    * runs in one kernel pass per document
+    * ([[graft.functions.MinHashExpressions.winnowingPrints]]). */
   def winnowingFingerprints(df: DataFrame, idCol: String, textCol: String,
                             k: Int = 5, w: Int = 4): DataFrame =
     // one-pass kernel per doc: no gram explode, no doc-keyed window

@@ -169,6 +169,40 @@ class MinHashExpressionsSpec extends SparkSpec {
       "dedup variant must emit each (doc, hash) once")
   }
 
+  test("kernels match the SQL formulation on malformed UTF-8 (no String round-trip)") {
+    // cast(binary as string) reinterprets bytes — 0xFF is not valid UTF-8,
+    // so a String round-trip would substitute U+FFFD and diverge. (A
+    // TRAILING truncated multi-byte sequence is excluded: Spark's own
+    // substring reads past the buffer there — see the charStarts scaladoc.)
+    val raw = Array[Byte](0xff.toByte) ++ "abcdefgh ".getBytes("UTF-8") ++
+      Array[Byte](0xc3.toByte) ++ " ij kl".getBytes("UTF-8")
+    val df = Seq(Tuple1(raw)).toDF("b").select($"b".cast("string").as("text"))
+    val cmp = df.select(
+      MinHashExpressions.minHashSigs($"text", 5, 8).as("native"),
+      sqlSigs(5, 8).as("sql"))
+    assert(cmp.filter($"native" =!= $"sql").count() == 0)
+    val win = df.select(
+      MinHashExpressions.winnowingPrints($"text", 5, 4).as("native"),
+      expr("""array_sort(array_distinct(transform(sequence(1, length(text) - 4), p ->
+        |array_min(transform(sequence(p, least(p + 3, length(text) - 4)), i ->
+        |  md5(substring(text, i, 5)))))))""".stripMargin).as("sql"))
+      .select(array_sort($"native").as("native"), $"sql")
+    assert(win.filter($"native" =!= $"sql").count() == 0)
+  }
+
+  test("two simhash instances in one projection stay correct (codegen scope)") {
+    // non-nullable children put both expansions in the same codegen scope;
+    // a fixed local name would collide and silently fall back
+    val df = Seq(("alpha beta", "gamma delta")).toDF("a", "b")
+    val r = df.select(
+      MinHashExpressions.simHash32(coalesce($"a", lit(""))).as("sa"),
+      MinHashExpressions.simHash32(coalesce($"b", lit(""))).as("sb"))
+      .as[(Long, Long)].head()
+    val single = (t: String) => Seq(t).toDF("t")
+      .select(MinHashExpressions.simHash32($"t")).as[Long].head()
+    assert(r._1 == single("alpha beta") && r._2 == single("gamma delta"))
+  }
+
   test("short and null texts yield null, never a crash") {
     val df = Seq((1L, "abcd"), (2L, null: String), (3L, "abcde"))
       .toDF("doc_id", "text")
