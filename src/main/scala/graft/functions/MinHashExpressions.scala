@@ -211,6 +211,40 @@ object MinHashExpressions {
 
   def wordGramHashes(text: Column, n: Int, dedup: Boolean = false): Column =
     GraftBridge.column(WordGramHashes(GraftBridge.expression(text), n, dedup))
+
+  /** Per-doc word histogram: `array<struct<w, cnt>>` in first-occurrence
+    * order — `explode` over it replaces a (doc, word) count aggregate
+    * with map-side work (the pairs are unique per doc by construction).
+    * Null when the text has no word. */
+  case class WordCounts(child: Expression) extends UnaryExpression {
+
+    override def prettyName: String = "graft_word_counts"
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("w", StringType, nullable = false),
+      StructField("cnt", LongType, nullable = false))), containsNull = false)
+    override def nullable: Boolean = true
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (child.dataType == StringType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string input, got ${child.dataType.sql}")
+
+    override def nullSafeEval(t: Any): Any =
+      MinHashKernel.wordCounts(t.asInstanceOf[UTF8String])
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"""
+         |${ev.value} = graft.functions.MinHashKernel.wordCounts($c);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin)
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def wordCounts(text: Column): Column =
+    GraftBridge.column(WordCounts(GraftBridge.expression(text)))
 }
 
 /** Static kernel called from generated code (Scala object = static
@@ -363,6 +397,32 @@ object MinHashKernel {
       p += 1
     }
     new GenericArrayData(out.toArray)
+  }
+
+  /** Per-doc word histogram in first-occurrence order; null when no word. */
+  def wordCounts(text: UTF8String): GenericArrayData = {
+    val bytes = text.getBytes
+    val (starts, ends) = splitWords(bytes)
+    val nWords = starts.length
+    if (nWords == 0) return null
+    val counts = new java.util.LinkedHashMap[UTF8String, Array[Long]]()
+    var i = 0
+    while (i < nWords) {
+      val w = UTF8String.fromBytes(bytes, starts(i), ends(i) - starts(i))
+      val cell = counts.get(w)
+      if (cell == null) counts.put(w, Array(1L)) else cell(0) += 1
+      i += 1
+    }
+    val out = new Array[AnyRef](counts.size())
+    val it = counts.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](e.getKey, e.getValue()(0)))
+      j += 1
+    }
+    new GenericArrayData(out)
   }
 
   /** One-pass per-doc repetition stats over space-split words (byte-level

@@ -165,11 +165,14 @@ object Corpus {
     val df0 = Dedup.fanOut(raw, idCol)
     val id = col(idCol)
     // tf feeds two consumers (document frequencies + the score join); pin
-    // it so the text explode + (doc, term) aggregate — the expensive stage
-    // — runs once, not once per consumer (batch operator: tf-idf is not
-    // streamable anyway, it aggregates twice)
-    val tf = Graphs.pinLocal(df0.select(id, explode(words(col(textCol))).as("term"))
-      .groupBy(id, col("term")).agg(count(lit(1)).as("tf")))
+    // it so the text scan runs once, not once per consumer. The per-doc
+    // term histogram comes from the one-pass kernel — (doc, term) pairs
+    // are unique per doc by construction, so there is NO tf aggregate:
+    // the table is map-side explode output.
+    val tf = Graphs.pinLocal(df0
+      .select(id, explode(graft.functions.MinHashExpressions
+        .wordCounts(col(textCol))).as("tc"))
+      .select(id, col("tc.w").as("term"), col("tc.cnt").as("tf")))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val scored = tf.join(dfreq, "term").crossJoin(broadcast(nDf))
       .select(id, col("term"),

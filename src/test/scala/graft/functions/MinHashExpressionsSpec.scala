@@ -203,6 +203,21 @@ class MinHashExpressionsSpec extends SparkSpec {
     assert(r._1 == single("alpha beta") && r._2 == single("gamma delta"))
   }
 
+  test("wordCounts kernel equals the (doc, word) count aggregate") {
+    val docs = texts.unionByName(Seq((900L, ""), (901L, "a b a b a")).toDF("doc_id", "text"))
+    val native = docs.select($"doc_id",
+        explode(MinHashExpressions.wordCounts($"text")).as("tc"))
+      .select($"doc_id", $"tc.w", $"tc.cnt")
+      .as[(Long, String, Long)].collect().toSet
+    val expected = docs.select($"doc_id",
+        explode(expr("filter(split(text, ' '), x -> x != '')")).as("w"))
+      .groupBy($"doc_id", $"w").agg(count(lit(1)).as("cnt"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(native == expected)
+    assert(native.contains((901L, "a", 3L)) && native.contains((901L, "b", 2L)))
+    assert(!native.exists(_._1 == 900L), "wordless doc must drop")
+  }
+
   test("short and null texts yield null, never a crash") {
     val df = Seq((1L, "abcd"), (2L, null: String), (3L, "abcde"))
       .toDF("doc_id", "text")
