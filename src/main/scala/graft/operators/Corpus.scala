@@ -184,6 +184,41 @@ object Corpus {
       .select(id, col("term"), col("tfidf"), col("rank"))
   }
 
+  /** Linear bag-of-words classifier scoring — the fastText-style quality
+    * classifier application step (score a corpus against a TRAINED weight
+    * table; training itself is offline). For each doc: `margin` = bias +
+    * Σ(cnt·weight)/Σcnt over its term histogram (mean token weight, the
+    * fastText reduction; unseen terms weigh 0). Returns (id, `n_terms`,
+    * `margin`) — apply a sigmoid/threshold downstream; the margin keeps
+    * the arithmetic engine-exact (no transcendentals). Docs with no words
+    * drop. The doc side is one kernel pass + explode; the weight table
+    * joins broadcast when it fits (vocabularies are ≤ millions of rows
+    * against a 100 TB corpus), falling back to a term-keyed shuffle join
+    * otherwise; the only doc-keyed exchange carries (id, partial sums). */
+  def classifierScore(raw: DataFrame, idCol: String, textCol: String,
+                      weights: DataFrame, termCol: String = "term",
+                      weightCol: String = "weight",
+                      bias: Double = 0.0): DataFrame = {
+    val df0 = Dedup.fanOut(raw, idCol)
+    val id = col(idCol)
+    val tc = df0.select(id, explode(graft.functions.MinHashExpressions
+        .wordCounts(col(textCol))).as("tc"))
+      .select(id, col("tc.w").as("__term"), col("tc.cnt").as("__cnt"))
+    val w = weights.select(col(termCol).as("__term"),
+      col(weightCol).cast("double").as("__w"))
+    // per-term contributions fold as exact decimals so the mean is
+    // accumulation-order-free (hash-compare safe across engines) — the
+    // same convention as charBigramLmScore
+    tc.join(w, Seq("__term"), "left")
+      .groupBy(id)
+      .agg(sum(col("__cnt")).as("n_terms"),
+        sum((col("__cnt").cast("double") * coalesce(col("__w"), lit(0.0)))
+          .cast("decimal(28,10)")).as("__dot"))
+      .select(id, col("n_terms"),
+        round(lit(bias) + col("__dot").cast("double") / col("n_terms"), 4)
+          .as("margin"))
+  }
+
   /** Language-model quality proxy (the CCNet/Wikipedia-LM filtering idea,
     * self-trained): fit a character-bigram model ON the corpus itself and
     * score every document by its mean log-probability under that model —

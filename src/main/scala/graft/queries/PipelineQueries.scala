@@ -229,6 +229,15 @@ object PipelineQueries {
       Corpus.trainingOrder(docs(s, d), "doc_id", seed = 42, nShards = 8)
         .select("doc_id", "shard", "pos").orderBy("shard", "pos")
     },
+    // fastText-style linear classifier scoring against a fixed weight table
+    "x_classifier" -> { (s, d) =>
+      import s.implicits._
+      val weights = Seq(
+        ("the", 0.5), ("and", 0.5), ("of", 0.25),
+        ("table", -0.5), ("spam", -2.0), ("value", -0.25)).toDF("term", "weight")
+      Corpus.classifierScore(docs(s, d), "doc_id", "text", weights, bias = 0.125)
+        .orderBy("doc_id")
+    },
     // SemDeDup: IVF-cell-bounded cosine groups over embeddings (k-means is
     // not oracle-expressible -> rows-only driver check; semantics pinned by
     // DedupSimilaritySpec)
@@ -614,6 +623,24 @@ object PipelineQueries {
         |SELECT doc_id, shard,
         |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY sk, doc_id) AS BIGINT) AS pos
         |FROM s ORDER BY shard, pos""".stripMargin,
+    "x_classifier" ->
+      """WITH w(term, weight) AS (VALUES
+        |  ('the', 0.5), ('and', 0.5), ('of', 0.25),
+        |  ('table', -0.5), ('spam', -2.0), ('value', -0.25)),
+        |tc AS (
+        |  SELECT doc_id, tok AS term, COUNT(*) AS cnt
+        |  FROM (SELECT doc_id,
+        |          unnest(list_filter(string_split(text, ' '), x -> x != '')) AS tok
+        |        FROM documents)
+        |  GROUP BY doc_id, tok),
+        |agg AS (
+        |  SELECT doc_id, SUM(cnt) AS n_terms,
+        |    SUM(CAST(cnt * COALESCE(w.weight, 0.0) AS DECIMAL(28,10))) AS dot
+        |  FROM tc LEFT JOIN w ON tc.term = w.term
+        |  GROUP BY doc_id)
+        |SELECT doc_id, n_terms,
+        |  ROUND(0.125 + CAST(dot AS DOUBLE) / n_terms, 4) AS margin
+        |FROM agg ORDER BY doc_id""".stripMargin,
     "x_scrub" ->
       """SELECT doc_id,
         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(

@@ -194,6 +194,18 @@ class CorpusSpec extends SparkSpec {
       "0_kept", "1_length", "2_word_len", "3_lang", "4_repetition"))
   }
 
+  test("classifierScore: mean token weight + bias, unseen terms weigh zero") {
+    val docs = Seq(
+      (1L, "good good bad"),   // (2*1.0 + 1*(-1.0))/3 + 0.5 = 0.8333
+      (2L, "novel words only"),// all unseen -> bias
+      (3L, "")                 // no words -> drops
+    ).toDF("doc_id", "text")
+    val weights = Seq(("good", 1.0), ("bad", -1.0)).toDF("term", "weight")
+    val r = Corpus.classifierScore(docs, "doc_id", "text", weights, bias = 0.5)
+      .orderBy("doc_id").as[(Long, Long, Double)].collect()
+    assert(r.toSeq == Seq((1L, 3L, 0.8333), (2L, 3L, 0.5)), r.mkString(", "))
+  }
+
   test("applyMixRates: whole rates copy exactly, zero drops, fraction is deterministic") {
     val df = (0L until 40L).map(i =>
       (i, Seq("a", "b", "c")(math.floorMod(i, 3).toInt))).toDF("doc_id", "stratum")
