@@ -430,10 +430,13 @@ object Corpus {
     *
     * Stages compose the library kernels: length band and word-length band
     * ([[graft.functions.TextFunctions.qualityMetrics]]), language ID
-    * (`und` = no marker fired), and Gopher repetition flags
-    * ([[repetitionMetrics]]). A metric whose denominator is empty is null
-    * and does not reject (same convention as the kernels themselves).
-    * Cost is one text scan plus the repetition aggregates. */
+    * (`und` = no marker fired), and Gopher repetition flags (the
+    * [[graft.functions.MinHashExpressions.repetitionStats]] kernel,
+    * evaluated INLINE and lazily — a doc rejected by an earlier stage
+    * never runs the repetition pass, and the whole decision is one
+    * map-side pass with no join, so it composes with Structured
+    * Streaming). A metric whose denominator is empty is null and does not
+    * reject (same convention as the kernels themselves). */
   def curationDecisions(raw: DataFrame, idCol: String, textCol: String,
                         minChars: Long = 100, maxChars: Long = 10000,
                         minWordLen: Double = 3.0, maxWordLen: Double = 12.0): DataFrame = {
@@ -443,24 +446,23 @@ object Corpus {
     // cheap map-side stages first (null = survived them all); the word-len
     // band is guarded on n_words > 0 — an all-whitespace doc inside the
     // char band must fall through to the language stage, not divide by
-    // zero under ANSI mode (CASE conditions evaluate lazily in order)
+    // zero under ANSI mode (CASE conditions evaluate lazily in order, and
+    // the final branch's repetition kernel runs only for docs that
+    // survived every earlier stage)
     val awl = when(m("n_words") > 0, m("avg_word_len"))
-    val early = raw.select(id, t,
+    val r = graft.functions.MinHashExpressions.repetitionStats(t)
+    val topWordFrac = round(r.getField("top_cnt").cast("double")
+      / r.getField("n_words"), 4)
+    val dup2gramFrac = round(lit(1.0) - r.getField("n_distinct_2grams").cast("double")
+      / when(r.getField("n_words") >= 2, r.getField("n_words") - 1), 4)
+    val repFlagged = coalesce(topWordFrac > 0.2, lit(false)) ||
+      coalesce(dup2gramFrac > 0.2, lit(false))
+    raw.select(id,
       when(!m("n_chars").between(minChars, maxChars), "1_length")
         .when(!awl.between(minWordLen, maxWordLen), "2_word_len")
         .when(graft.functions.TextFunctions.langId(t) === "und", "3_lang")
-        .as("__early"))
-    // ... so the expensive repetition explodes run ONLY over their
-    // survivors — the stage attribution is first-fail, so rejected docs
-    // never consult rep_flagged and skipping them is exact, while the
-    // docs that dominate explode cost (over-length ones) are exactly the
-    // ones stage 1 already dropped
-    val rep = repetitionMetrics(
-        early.filter(col("__early").isNull).select(id, t), idCol, textCol)
-      .select(id, col("rep_flagged"))
-    early.join(rep, Seq(idCol), "left")
-      .select(id, coalesce(col("__early"),
-        when(col("rep_flagged"), "4_repetition").otherwise("0_kept")).as("stage"))
+        .when(repFlagged, "4_repetition")
+        .otherwise("0_kept").as("stage"))
   }
 
   /** Multi-stage curation funnel: [[curationDecisions]] rolled up to one

@@ -44,4 +44,38 @@ class StreamingPipelineSpec extends SparkSpec {
         (3L, 0, "tail", 1)))
     } finally q.stop()
   }
+
+  test("hash kernels + curation decisions run as a stateless stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val docs = in.toDF().toDF("doc_id", "text")
+    // one map-side pass per doc: simhash fingerprint, winnowing prints,
+    // and the full first-failing-stage curation decision (its repetition
+    // stage is the inline kernel — no join, no aggregate, streams as-is)
+    val hashes = docs
+      .withColumn("simhash",
+        graft.functions.MinHashExpressions.simHash32(col("text")))
+      .withColumn("n_prints",
+        size(graft.functions.MinHashExpressions.winnowingPrints(col("text"), 5, 4)))
+    val decisions = Corpus.curationDecisions(docs, "doc_id", "text",
+      minChars = 5, maxChars = 1000)
+    val q1 = hashes.writeStream.format("memory").queryName("kernel_stream")
+      .outputMode("append").start()
+    val q2 = decisions.writeStream.format("memory").queryName("decision_stream")
+      .outputMode("append").start()
+    try {
+      val kept = "the quick brown fox jumps over the lazy dog and more " * 2
+      in.addData((1L, kept.trim), (2L, "tiny"))
+      q1.processAllAvailable(); q2.processAllAvailable()
+      val stages = spark.table("decision_stream")
+        .select("doc_id", "stage").as[(Long, String)].collect().toMap
+      assert(stages(2L) == "1_length")
+      assert(stages(1L) != "1_length")
+      val sh = spark.table("kernel_stream").filter($"doc_id" === 1L)
+        .select("simhash").as[Long].head()
+      val batch = Seq((1L, kept.trim)).toDF("doc_id", "text")
+        .select(graft.functions.MinHashExpressions.simHash32($"text")).as[Long].head()
+      assert(sh == batch, "streaming and batch kernels must agree")
+    } finally { q1.stop(); q2.stop() }
+  }
 }
