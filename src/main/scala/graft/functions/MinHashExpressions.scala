@@ -245,6 +245,48 @@ object MinHashExpressions {
 
   def wordCounts(text: Column): Column =
     GraftBridge.column(WordCounts(GraftBridge.expression(text)))
+
+  private def intArg(e: Expression, fn: String, pos: Int): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+    case _ => throw new IllegalArgumentException(
+      s"$fn: argument $pos must be an integer literal, got $e")
+  }
+
+  private def boolArg(e: Expression, fn: String, pos: Int): Boolean = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Boolean, BooleanType) => v
+    case _ => throw new IllegalArgumentException(
+      s"$fn: argument $pos must be a boolean literal, got $e")
+  }
+
+  /** SQL registrations, mirroring the reference's extension-function
+    * registry (function/jn/JNFun.java): `graft_minhash_sigs(text, k, n)`,
+    * `graft_simhash32(text)`, `graft_winnowing(text, k, w)`,
+    * `graft_word_gram_hashes(text, n, dedup)`,
+    * `graft_repetition_stats(text)`, `graft_word_counts(text)`. */
+  val registrations: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_minhash_sigs" -> { args =>
+      MinHashSigs(args(0), intArg(args(1), "graft_minhash_sigs", 2),
+        intArg(args(2), "graft_minhash_sigs", 3)) },
+    "graft_simhash32" -> { args => SimHash32Expr(args(0)) },
+    "graft_winnowing" -> { args =>
+      WinnowingPrints(args(0), intArg(args(1), "graft_winnowing", 2),
+        intArg(args(2), "graft_winnowing", 3)) },
+    "graft_word_gram_hashes" -> { args =>
+      WordGramHashes(args(0), intArg(args(1), "graft_word_gram_hashes", 2),
+        if (args.length > 2) boolArg(args(2), "graft_word_gram_hashes", 3) else false) },
+    "graft_repetition_stats" -> { args => RepetitionStats(args(0)) },
+    "graft_word_counts" -> { args => WordCounts(args(0)) })
+
+  /** Runtime registration on an existing session (the
+    * [[graft.functions.GraftExtensions]] hook injects the same set). */
+  def install(spark: org.apache.spark.sql.SparkSession): Unit =
+    registrations.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          "graft.functions.MinHashExpressions", name),
+        builder)
+    }
 }
 
 /** Static kernel called from generated code (Scala object = static

@@ -160,6 +160,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo("graft.functions.VectorExpressions", "graft_dot"),
       (args: Seq[Expression]) => VectorExpressions.DotProduct(args(0), args(1))))
+    MinHashExpressions.registrations.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions.MinHashExpressions", name),
+        builder))
+    }
     ext.injectOptimizerRule(graft.plans.CountFromMetadataRule(_))
     ext.injectOptimizerRule(graft.plans.ValidTimeStabRule(_))
     ext.injectResolutionRule(graft.plans.DeltaReconstructRule(_))

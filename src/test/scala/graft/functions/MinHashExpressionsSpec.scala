@@ -218,6 +218,25 @@ class MinHashExpressionsSpec extends SparkSpec {
     assert(!native.exists(_._1 == 900L), "wordless doc must drop")
   }
 
+  test("kernels are SQL-callable after install") {
+    MinHashExpressions.install(spark)
+    val r = Seq(("alpha beta alpha", 1)).toDF("text", "i").selectExpr(
+      "graft_simhash32(text) AS sh",
+      "size(graft_minhash_sigs(text, 5, 8)) AS n_sigs",
+      "size(graft_winnowing(text, 5, 4)) AS n_prints",
+      "size(graft_word_gram_hashes(text, 2)) AS n_grams",
+      "graft_repetition_stats(text).n_words AS n_words",
+      "size(graft_word_counts(text)) AS n_terms").head()
+    assert(r.getInt(1) == 8 && r.getInt(3) == 2 &&
+      r.getLong(4) == 3L && r.getInt(5) == 2)
+    val direct = Seq("alpha beta alpha").toDF("text")
+      .select(MinHashExpressions.simHash32($"text")).as[Long].head()
+    assert(r.getLong(0) == direct)
+    intercept[Exception] {
+      spark.sql("SELECT graft_minhash_sigs('x', 'not-an-int', 8)").collect()
+    }
+  }
+
   test("short and null texts yield null, never a crash") {
     val df = Seq((1L, "abcd"), (2L, null: String), (3L, "abcde"))
       .toDF("doc_id", "text")
