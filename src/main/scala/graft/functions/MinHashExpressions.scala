@@ -246,6 +246,40 @@ object MinHashExpressions {
   def wordCounts(text: Column): Column =
     GraftBridge.column(WordCounts(GraftBridge.expression(text)))
 
+  /** Per-doc character-bigram histogram: `array<struct<g, cnt>>` in
+    * first-occurrence order (bigram = 2 consecutive SQL characters, the
+    * `substring(text, i, 2)` stepping). Null when the text has fewer than
+    * 2 characters. */
+  case class CharBigramCounts(child: Expression) extends UnaryExpression {
+
+    override def prettyName: String = "graft_char_bigram_counts"
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("g", StringType, nullable = false),
+      StructField("cnt", LongType, nullable = false))), containsNull = false)
+    override def nullable: Boolean = true
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (child.dataType == StringType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string input, got ${child.dataType.sql}")
+
+    override def nullSafeEval(t: Any): Any =
+      MinHashKernel.charBigramCounts(t.asInstanceOf[UTF8String])
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"""
+         |${ev.value} = graft.functions.MinHashKernel.charBigramCounts($c);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin)
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def charBigramCounts(text: Column): Column =
+    GraftBridge.column(CharBigramCounts(GraftBridge.expression(text)))
+
   private def intArg(e: Expression, fn: String, pos: Int): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
     case _ => throw new IllegalArgumentException(
@@ -275,7 +309,8 @@ object MinHashExpressions {
       WordGramHashes(args(0), intArg(args(1), "graft_word_gram_hashes", 2),
         if (args.length > 2) boolArg(args(2), "graft_word_gram_hashes", 3) else false) },
     "graft_repetition_stats" -> { args => RepetitionStats(args(0)) },
-    "graft_word_counts" -> { args => WordCounts(args(0)) })
+    "graft_word_counts" -> { args => WordCounts(args(0)) },
+    "graft_char_bigram_counts" -> { args => CharBigramCounts(args(0)) })
 
   /** Runtime registration on an existing session (the
     * [[graft.functions.GraftExtensions]] hook injects the same set). */
@@ -439,6 +474,33 @@ object MinHashKernel {
       p += 1
     }
     new GenericArrayData(out.toArray)
+  }
+
+  /** Per-doc char-bigram histogram in first-occurrence order; null when
+    * the text has fewer than two characters. */
+  def charBigramCounts(text: UTF8String): GenericArrayData = {
+    val bytes = text.getBytes
+    val offs = charStarts(bytes)
+    val m = (offs.length - 1) - 1
+    if (m <= 0) return null
+    val counts = new java.util.LinkedHashMap[UTF8String, Array[Long]]()
+    var i = 0
+    while (i < m) {
+      val g = UTF8String.fromBytes(bytes, offs(i), offs(i + 2) - offs(i))
+      val cell = counts.get(g)
+      if (cell == null) counts.put(g, Array(1L)) else cell(0) += 1
+      i += 1
+    }
+    val out = new Array[AnyRef](counts.size())
+    val it = counts.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](e.getKey, e.getValue()(0)))
+      j += 1
+    }
+    new GenericArrayData(out)
   }
 
   /** Per-doc word histogram in first-occurrence order; null when no word. */

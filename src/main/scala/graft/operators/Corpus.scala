@@ -239,26 +239,31 @@ object Corpus {
   def charBigramLmScore(raw: DataFrame, idCol: String, textCol: String): DataFrame = {
     val df0 = Dedup.fanOut(raw, idCol)
     val id = col(idCol)
-    // grams feeds three consumers (bigram counts, start-char counts, the
-    // scoring join); pin so the character explode evaluates once
-    val grams = Graphs.pinLocal(df0.filter(length(col(textCol)) >= 2)
-      .select(id, explode(expr(
-        s"transform(sequence(1, length($textCol) - 1), i -> substring($textCol, i, 2))")).as("g")))
-    val bi = grams.groupBy("g").agg(count(lit(1)).as("cnt2"))
+    // per-doc bigram HISTOGRAMS from the one-pass kernel feed three
+    // consumers (bigram counts, start-char counts, the scoring join); pin
+    // so the text scan evaluates once. Every downstream exchange carries
+    // per-doc DISTINCT grams with multiplicities, never the instance
+    // stream.
+    val grams = Graphs.pinLocal(df0
+      .select(id, explode(graft.functions.MinHashExpressions
+        .charBigramCounts(col(textCol))).as("gc"))
+      .select(id, col("gc.g").as("g"), col("gc.cnt").as("cnt")))
+    val bi = grams.groupBy("g").agg(sum("cnt").as("cnt2"))
     // P(c2|c1): denominator = occurrences of c1 as a bigram START, derived
     // from the same gram stream (no second text scan)
     val uni = grams.groupBy(substring(col("g"), 1, 1).as("c1"))
-      .agg(count(lit(1)).as("cnt1"))
+      .agg(sum("cnt").as("cnt1"))
     val probs = bi.withColumn("c1", substring(col("g"), 1, 1))
       .join(uni, "c1")
       .select(col("g"),
         round(log(col("cnt2").cast("double") / col("cnt1").cast("double")), 6).as("lp"))
+    // sum(lp · cnt) in exact decimal == the per-instance decimal fold
     grams.join(probs, "g")
       .groupBy(id)
       .agg(
-        round(sum(col("lp").cast("decimal(18,6)")).cast("double") / count(lit(1)), 4)
-          .as("lm_score"),
-        count(lit(1)).as("n_bigrams"))
+        round(sum(col("lp").cast("decimal(18,6)") * col("cnt")).cast("double")
+          / sum(col("cnt")), 4).as("lm_score"),
+        sum(col("cnt")).as("n_bigrams"))
   }
 
   /** Corpus composition report: document/token/char volume and corpus share
