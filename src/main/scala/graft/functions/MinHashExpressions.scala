@@ -292,25 +292,41 @@ object MinHashExpressions {
       s"$fn: argument $pos must be a boolean literal, got $e")
   }
 
+  private def arity(args: Seq[Expression], signature: String, ns: Int*): Unit =
+    if (!ns.contains(args.length)) throw new IllegalArgumentException(
+      s"expected $signature, got ${args.length} argument(s)")
+
   /** SQL registrations, mirroring the reference's extension-function
     * registry (function/jn/JNFun.java): `graft_minhash_sigs(text, k, n)`,
     * `graft_simhash32(text)`, `graft_winnowing(text, k, w)`,
-    * `graft_word_gram_hashes(text, n, dedup)`,
-    * `graft_repetition_stats(text)`, `graft_word_counts(text)`. */
+    * `graft_word_gram_hashes(text, n[, dedup])`,
+    * `graft_repetition_stats(text)`, `graft_word_counts(text)`,
+    * `graft_char_bigram_counts(text)`. */
   val registrations: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_minhash_sigs" -> { args =>
+      arity(args, "graft_minhash_sigs(text, k, n)", 3)
       MinHashSigs(args(0), intArg(args(1), "graft_minhash_sigs", 2),
         intArg(args(2), "graft_minhash_sigs", 3)) },
-    "graft_simhash32" -> { args => SimHash32Expr(args(0)) },
+    "graft_simhash32" -> { args =>
+      arity(args, "graft_simhash32(text)", 1)
+      SimHash32Expr(args(0)) },
     "graft_winnowing" -> { args =>
+      arity(args, "graft_winnowing(text, k, w)", 3)
       WinnowingPrints(args(0), intArg(args(1), "graft_winnowing", 2),
         intArg(args(2), "graft_winnowing", 3)) },
     "graft_word_gram_hashes" -> { args =>
+      arity(args, "graft_word_gram_hashes(text, n[, dedup])", 2, 3)
       WordGramHashes(args(0), intArg(args(1), "graft_word_gram_hashes", 2),
         if (args.length > 2) boolArg(args(2), "graft_word_gram_hashes", 3) else false) },
-    "graft_repetition_stats" -> { args => RepetitionStats(args(0)) },
-    "graft_word_counts" -> { args => WordCounts(args(0)) },
-    "graft_char_bigram_counts" -> { args => CharBigramCounts(args(0)) })
+    "graft_repetition_stats" -> { args =>
+      arity(args, "graft_repetition_stats(text)", 1)
+      RepetitionStats(args(0)) },
+    "graft_word_counts" -> { args =>
+      arity(args, "graft_word_counts(text)", 1)
+      WordCounts(args(0)) },
+    "graft_char_bigram_counts" -> { args =>
+      arity(args, "graft_char_bigram_counts(text)", 1)
+      CharBigramCounts(args(0)) })
 
   /** Runtime registration on an existing session (the
     * [[graft.functions.GraftExtensions]] hook injects the same set). */
@@ -476,21 +492,17 @@ object MinHashKernel {
     new GenericArrayData(out.toArray)
   }
 
-  /** Per-doc char-bigram histogram in first-occurrence order; null when
-    * the text has fewer than two characters. */
-  def charBigramCounts(text: UTF8String): GenericArrayData = {
-    val bytes = text.getBytes
-    val offs = charStarts(bytes)
-    val m = (offs.length - 1) - 1
-    if (m <= 0) return null
-    val counts = new java.util.LinkedHashMap[UTF8String, Array[Long]]()
-    var i = 0
-    while (i < m) {
-      val g = UTF8String.fromBytes(bytes, offs(i), offs(i + 2) - offs(i))
-      val cell = counts.get(g)
-      if (cell == null) counts.put(g, Array(1L)) else cell(0) += 1
-      i += 1
-    }
+  /** Shared count-accumulation for the histogram kernels (insertion order
+    * preserved). */
+  private def countInto(counts: java.util.LinkedHashMap[UTF8String, Array[Long]],
+                        key: UTF8String): Unit = {
+    val cell = counts.get(key)
+    if (cell == null) counts.put(key, Array(1L)) else cell(0) += 1
+  }
+
+  /** (key, cnt) struct rows from an accumulated histogram. */
+  private def histToArray(
+      counts: java.util.LinkedHashMap[UTF8String, Array[Long]]): GenericArrayData = {
     val out = new Array[AnyRef](counts.size())
     val it = counts.entrySet().iterator()
     var j = 0
@@ -501,6 +513,22 @@ object MinHashKernel {
       j += 1
     }
     new GenericArrayData(out)
+  }
+
+  /** Per-doc char-bigram histogram in first-occurrence order; null when
+    * the text has fewer than two characters. */
+  def charBigramCounts(text: UTF8String): GenericArrayData = {
+    val bytes = text.getBytes
+    val offs = charStarts(bytes)
+    val m = (offs.length - 1) - 1
+    if (m <= 0) return null
+    val counts = new java.util.LinkedHashMap[UTF8String, Array[Long]]()
+    var i = 0
+    while (i < m) {
+      countInto(counts, UTF8String.fromBytes(bytes, offs(i), offs(i + 2) - offs(i)))
+      i += 1
+    }
+    histToArray(counts)
   }
 
   /** Per-doc word histogram in first-occurrence order; null when no word. */
@@ -512,21 +540,10 @@ object MinHashKernel {
     val counts = new java.util.LinkedHashMap[UTF8String, Array[Long]]()
     var i = 0
     while (i < nWords) {
-      val w = UTF8String.fromBytes(bytes, starts(i), ends(i) - starts(i))
-      val cell = counts.get(w)
-      if (cell == null) counts.put(w, Array(1L)) else cell(0) += 1
+      countInto(counts, UTF8String.fromBytes(bytes, starts(i), ends(i) - starts(i)))
       i += 1
     }
-    val out = new Array[AnyRef](counts.size())
-    val it = counts.entrySet().iterator()
-    var j = 0
-    while (it.hasNext) {
-      val e = it.next()
-      out(j) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-        Array[Any](e.getKey, e.getValue()(0)))
-      j += 1
-    }
-    new GenericArrayData(out)
+    histToArray(counts)
   }
 
   /** One-pass per-doc repetition stats over space-split words (byte-level
@@ -536,12 +553,12 @@ object MinHashKernel {
     val (starts, ends) = splitWords(bytes)
     val nWords = starts.length
     if (nWords == 0) return null
-    val counts = new java.util.HashMap[UTF8String, Array[Long]]()
+    // LinkedHashMap for uniformity with the histogram kernels; the
+    // top-word selection is order-independent (compareTo tie-break)
+    val counts = new java.util.LinkedHashMap[UTF8String, Array[Long]]()
     var i = 0
     while (i < nWords) {
-      val w = UTF8String.fromBytes(bytes, starts(i), ends(i) - starts(i))
-      val cell = counts.get(w)
-      if (cell == null) counts.put(w, Array(1L)) else cell(0) += 1
+      countInto(counts, UTF8String.fromBytes(bytes, starts(i), ends(i) - starts(i)))
       i += 1
     }
     var topWord: UTF8String = null

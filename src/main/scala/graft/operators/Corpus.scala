@@ -156,7 +156,11 @@ object Corpus {
     * or doc id; the corpus-size N is a 1-row aggregate. At 100 TB the
     * df table is vocabulary-sized (Heaps' law, ≪ corpus) and the join back
     * to tf shuffles on the word — the natural key, with AQE covering
-    * stopword skew. */
+    * stopword skew.
+    *
+    * Ids must be UNIQUE (one row per document) — duplicate ids would
+    * double-count document frequencies (same contract as
+    * [[graft.operators.Dedup]]'s id-keyed operators). */
   def tfidfTopTerms(raw: DataFrame, idCol: String, textCol: String,
                     k: Int = 3): DataFrame = {
     // corpus size as a lazy 1-row aggregate broadcast into the plan (no
@@ -194,7 +198,8 @@ object Corpus {
     * drop. The doc side is one kernel pass + explode; the weight table
     * joins broadcast when it fits (vocabularies are ≤ millions of rows
     * against a 100 TB corpus), falling back to a term-keyed shuffle join
-    * otherwise; the only doc-keyed exchange carries (id, partial sums). */
+    * otherwise; the only doc-keyed exchange carries (id, partial sums).
+    * Ids must be unique (one row per document). */
   def classifierScore(raw: DataFrame, idCol: String, textCol: String,
                       weights: DataFrame, termCol: String = "term",
                       weightCol: String = "weight",
@@ -455,7 +460,12 @@ object Corpus {
     // the final branch's repetition kernel runs only for docs that
     // survived every earlier stage)
     val awl = when(m("n_words") > 0, m("avg_word_len"))
-    val r = graft.functions.MinHashExpressions.repetitionStats(t)
+    // the repetition struct is PROJECTED once (guarded on early-stage
+    // survival, so rejected docs never run the kernel) and both fractions
+    // read fields of that single column — CollapseProject does not inline
+    // a non-cheap alias referenced more than once, so the kernel runs at
+    // most once per row
+    val r = col("__r")
     val topWordFrac = round(r.getField("top_cnt").cast("double")
       / r.getField("n_words"), 4)
     val dup2gramFrac = round(lit(1.0) - r.getField("n_distinct_2grams").cast("double")
@@ -463,11 +473,16 @@ object Corpus {
     val repFlagged = coalesce(topWordFrac > 0.2, lit(false)) ||
       coalesce(dup2gramFrac > 0.2, lit(false))
     raw.select(id,
-      when(!m("n_chars").between(minChars, maxChars), "1_length")
-        .when(!awl.between(minWordLen, maxWordLen), "2_word_len")
-        .when(graft.functions.TextFunctions.langId(t) === "und", "3_lang")
-        .when(repFlagged, "4_repetition")
-        .otherwise("0_kept").as("stage"))
+        when(!m("n_chars").between(minChars, maxChars), "1_length")
+          .when(!awl.between(minWordLen, maxWordLen), "2_word_len")
+          .when(graft.functions.TextFunctions.langId(t) === "und", "3_lang")
+          .as("__early"),
+        t)
+      .select(id, col("__early"),
+        when(col("__early").isNull,
+          graft.functions.MinHashExpressions.repetitionStats(t)).as("__r"))
+      .select(id, coalesce(col("__early"),
+        when(repFlagged, "4_repetition").otherwise("0_kept")).as("stage"))
   }
 
   /** Multi-stage curation funnel: [[curationDecisions]] rolled up to one

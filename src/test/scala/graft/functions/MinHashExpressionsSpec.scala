@@ -218,6 +218,29 @@ class MinHashExpressionsSpec extends SparkSpec {
     assert(!native.exists(_._1 == 900L), "wordless doc must drop")
   }
 
+  test("charBigramCounts equals the substring bigram aggregate") {
+    // multi-alphabet random texts plus an interior-malformed doc
+    val malformed = Array[Byte](0x61) ++ Array[Byte](0xff.toByte) ++
+      "bc de".getBytes("UTF-8")
+    val docs = texts.unionByName(
+      Seq(Tuple1(malformed)).toDF("b")
+        .select(lit(900L).as("doc_id"), $"b".cast("string").as("text")))
+      .unionByName(Seq((901L, ""), (902L, "x")).toDF("doc_id", "text"))
+    val native = docs.select($"doc_id",
+        explode(MinHashExpressions.charBigramCounts($"text")).as("gc"))
+      .select($"doc_id", $"gc.g", $"gc.cnt")
+      .as[(Long, String, Long)].collect().toSet
+    val expected = docs.filter(length($"text") >= 2)
+      .select($"doc_id",
+        explode(expr("transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))")).as("g"))
+      .groupBy($"doc_id", $"g").agg(count(lit(1)).as("cnt"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(native == expected)
+    assert(native.exists(_._1 == 900L), "malformed doc must produce bigrams")
+    assert(!native.exists(r => r._1 == 901L || r._2 == 902L),
+      "sub-2-char docs must drop")
+  }
+
   test("kernels are SQL-callable after install") {
     MinHashExpressions.install(spark)
     val r = Seq(("alpha beta alpha", 1)).toDF("text", "i").selectExpr(
