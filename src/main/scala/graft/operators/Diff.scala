@@ -99,30 +99,69 @@ object Diff {
     val cmp =
       if (compare.nonEmpty) compare
       else left.columns.toSeq.intersect(right.columns.toSeq).filterNot(keys.contains)
-    def withBucket(df: DataFrame) = df
-      .withColumn("__bucket", pmod(xxhash64(keys.map(col): _*), lit(numBuckets)))
+    prunedDiffFromManifests(left, right,
+      bucketManifest(left, keys, cmp, numBuckets),
+      bucketManifest(right, keys, cmp, numBuckets),
+      keys, cmp, numBuckets)
+  }
+
+  /** Per-bucket change manifest — the STORABLE form of [[prunedDiff]]'s
+    * pruning pass (the reference's stored-hash design: hashes computed at
+    * WRITE time, `diff/DiffFactory.java` DiffOptimized.HASHED +
+    * CHANGED_NODES, so diff never scans unchanged data to discover it is
+    * unchanged). Bucket = hash(keys) mod `numBuckets`; digest = xor of
+    * full row hashes. Xor alone cancels PAIRS of identical rows ({A,A,C}
+    * vs {B,B,C} would collide); a modular sum as a second digest breaks
+    * that cancellation (reduced mod a prime so the long sum can't
+    * overflow under ANSI). Both partial-aggregate map-side, so the
+    * manifest exchange is ≤ `numBuckets` rows, never the table. The
+    * hashed column list rides along in `cols` so a reader can verify a
+    * stored manifest matches its key/compare choice. */
+  def bucketManifest(df: DataFrame, keys: Seq[String],
+                     compare: Seq[String] = Seq.empty,
+                     numBuckets: Int = 65536): DataFrame = {
+    val cmp =
+      if (compare.nonEmpty) compare
+      else df.columns.toSeq.filterNot(keys.contains)
+    df.withColumn("__bucket", pmod(xxhash64(keys.map(col): _*), lit(numBuckets)))
       .withColumn("__rowhash", rowDigest(keys ++ cmp))
-    // xor alone cancels PAIRS of identical rows ({A,A,C} vs {B,B,C} would
-    // collide); a modular sum as a second digest breaks that cancellation
-    // (reduced mod a prime so the long sum can't overflow under ANSI).
-    // Both partial-aggregate map-side.
-    def manifest(df: DataFrame, digest: String, sumD: String, cnt: String) = df
       .groupBy("__bucket")
-      .agg(expr("bit_xor(__rowhash)").as(digest),
-        sum(pmod(col("__rowhash"), lit(1000003L))).as(sumD),
-        count(lit(1)).as(cnt))
-    val l = withBucket(left)
-    val r = withBucket(right)
-    val changedBuckets = manifest(l, "ld", "ls", "lc")
-      .join(manifest(r, "rd", "rs", "rc"), Seq("__bucket"), "full_outer")
+      .agg(expr("bit_xor(__rowhash)").as("digest"),
+        sum(pmod(col("__rowhash"), lit(1000003L))).as("digest_sum"),
+        count(lit(1)).as("cnt"))
+      .withColumn("cols", lit((keys ++ cmp).mkString(",")))
+  }
+
+  /** Bucket ids that provably differ between two manifests (missing on
+    * either side, or any digest/count mismatch). */
+  def changedBuckets(ml: DataFrame, mr: DataFrame): DataFrame =
+    ml.select(col("__bucket"), col("digest").as("ld"),
+        col("digest_sum").as("ls"), col("cnt").as("lc"))
+      .join(mr.select(col("__bucket"), col("digest").as("rd"),
+        col("digest_sum").as("rs"), col("cnt").as("rc")), Seq("__bucket"), "full_outer")
       .filter(col("ld").isNull || col("rd").isNull ||
         col("ld") =!= col("rd") || col("ls") =!= col("rs") || col("lc") =!= col("rc"))
       .select("__bucket")
-    val lChanged = l.join(broadcast(changedBuckets), Seq("__bucket"), "left_semi")
-      .drop("__bucket", "__rowhash")
-    val rChanged = r.join(broadcast(changedBuckets), Seq("__bucket"), "left_semi")
-      .drop("__bucket", "__rowhash")
-    diff(lChanged, rChanged, keys, cmp)
+
+  /** [[prunedDiff]] driven by STORED manifests: each snapshot is scanned
+    * ONCE (the semi-join against the changed-bucket set), and the
+    * manifests themselves are `numBuckets`-row sidecars — for the
+    * mostly-unchanged adjacent-revision case this reads two tiny files
+    * plus the changed slice, instead of scanning both snapshots twice to
+    * recompute what the writer already knew. */
+  def prunedDiffFromManifests(left: DataFrame, right: DataFrame,
+                              leftManifest: DataFrame, rightManifest: DataFrame,
+                              keys: Seq[String], compare: Seq[String] = Seq.empty,
+                              numBuckets: Int = 65536): DataFrame = {
+    val cmp =
+      if (compare.nonEmpty) compare
+      else left.columns.toSeq.intersect(right.columns.toSeq).filterNot(keys.contains)
+    val changed = changedBuckets(leftManifest, rightManifest)
+    def slice(df: DataFrame) = df
+      .withColumn("__bucket", pmod(xxhash64(keys.map(col): _*), lit(numBuckets)))
+      .join(broadcast(changed), Seq("__bucket"), "left_semi")
+      .drop("__bucket")
+    diff(slice(left), slice(right), keys, cmp)
   }
 
   /** Change records in delta-storage shape (DeltaTemporalTable): keys

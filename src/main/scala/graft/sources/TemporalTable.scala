@@ -167,14 +167,31 @@ object TemporalTable {
     firePostCommit(path, Commit(rev, ts, author, message))
   }
 
+  private[graft] def manifestDir(path: String, rev: Int): String =
+    s"$path/rev=$rev/_manifest"
+
   /** Append a new revision: reserve the revision number, write the full
-    * snapshot, then append the commit-log entry (commit point — a failed
-    * write never becomes a revision). */
+    * snapshot plus its bucket-manifest sidecar (the reference's
+    * stored-hash design — hashes computed at write time so [[diff]] never
+    * scans unchanged data), then append the commit-log entry (commit
+    * point — a failed write never becomes a revision). The sidecar lives
+    * under an underscore-prefixed directory inside `rev=N`, which Spark's
+    * file listing ignores, so snapshot reads are unaffected; it is only
+    * written when the frame carries the default `node_key` diff key.
+    *
+    * The manifest costs one extra aggregate pass per commit and saves two
+    * full-snapshot scans per [[diff]] — the right trade for a temporal
+    * table (commit once, diff/time-travel many); pass
+    * `withManifest = false` for ingest-only tables that are never
+    * diffed. */
   def write(df: DataFrame, path: String, author: String = "graft",
-            message: String = ""): Int = {
+            message: String = "", withManifest: Boolean = true): Int = {
     val rev = reserveRevision(path)
     try {
       df.write.mode("overwrite").parquet(s"$path/rev=$rev")
+      if (withManifest && df.columns.contains("node_key"))
+        graft.operators.Diff.bucketManifest(df, Seq("node_key"))
+          .write.mode("overwrite").parquet(manifestDir(path, rev))
       logCommit(path, rev, author, message)
       rev
     } catch {
@@ -294,13 +311,36 @@ object TemporalTable {
   /** Semantic diff of two revisions (`jn:diff`, SURVEY.md §2.9) — hash-
     * pruned by default (adjacent revisions are mostly identical, so the
     * bucket-manifest pass drops the unchanged bulk before the join; the
-    * reference's DiffOptimized.HASHED motivation). */
+    * reference's DiffOptimized.HASHED motivation). When both revisions
+    * carry the write-time manifest sidecar for the requested key/compare
+    * columns, the pruning reads those instead of recomputing digests —
+    * each snapshot is scanned once, and only for its changed slice. */
   def diff(spark: SparkSession, path: String, rev1: Int, rev2: Int,
            keys: Seq[String] = Seq("node_key"),
            hashPruned: Boolean = true): DataFrame = {
     val a = read(spark, path, Some(rev1)).drop("revision", "commit_ts", "author")
     val b = read(spark, path, Some(rev2)).drop("revision", "commit_ts", "author")
-    if (hashPruned) graft.operators.Diff.prunedDiff(a, b, keys)
-    else graft.operators.Diff.diff(a, b, keys)
+    if (!hashPruned) return graft.operators.Diff.diff(a, b, keys)
+    val cmp = a.columns.toSeq.intersect(b.columns.toSeq).filterNot(keys.contains)
+    val expected = (keys ++ cmp).mkString(",")
+    def storedManifest(rev: Int): Option[DataFrame] = {
+      val dir = manifestDir(path, rev)
+      if (!MetaIO.exists(dir)) None
+      else {
+        val m = spark.read.parquet(dir)
+        // an empty manifest (empty snapshot) has no cols row to check —
+        // it prunes correctly regardless of the column choice
+        m.select("cols").limit(1).collect().headOption match {
+          case Some(r) if r.getString(0) == expected => Some(m)
+          case None => Some(m)
+          case _ => None
+        }
+      }
+    }
+    (storedManifest(rev1), storedManifest(rev2)) match {
+      case (Some(ml), Some(mr)) =>
+        graft.operators.Diff.prunedDiffFromManifests(a, b, ml, mr, keys, cmp)
+      case _ => graft.operators.Diff.prunedDiff(a, b, keys, cmp)
+    }
   }
 }

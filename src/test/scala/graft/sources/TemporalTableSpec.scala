@@ -112,6 +112,31 @@ class TemporalTableSpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
   }
 
+  test("write stores a bucket-manifest sidecar; diff prunes from it") {
+    val p = freshPath()
+    TemporalTable.write(rev1, p)
+    TemporalTable.write(rev2, p)
+    // the sidecar exists and matches a manifest recomputed from the data
+    assert(MetaIO.exists(TemporalTable.manifestDir(p, 1)))
+    val stored = spark.read.parquet(TemporalTable.manifestDir(p, 1))
+      .orderBy("__bucket").collect().toSeq
+    val snap = TemporalTable.read(spark, p, Some(1))
+      .drop("revision", "commit_ts", "author")
+    val recomputed = graft.operators.Diff.bucketManifest(snap, Seq("node_key"))
+      .orderBy("__bucket").collect().toSeq
+    assert(stored == recomputed)
+    // the sidecar is invisible to snapshot reads
+    assert(snap.count() == 2 && snap.columns.toSet ==
+      Set("node_key", "name", "price"))
+    // manifest-driven diff == unpruned diff
+    val pruned = TemporalTable.diff(spark, p, 1, 2).orderBy("node_key")
+      .collect().toSeq
+    val plain = TemporalTable.diff(spark, p, 1, 2, hashPruned = false)
+      .orderBy("node_key").collect().toSeq
+    assert(pruned == plain)
+    assert(pruned.nonEmpty)
+  }
+
   test("load shreds a JSON file into a committed revision (jn:load)") {
     val dir = Files.createTempDirectory("graft-load")
     val json = dir.resolve("docs.jsonl")
