@@ -99,6 +99,8 @@ object Diff {
     val cmp =
       if (compare.nonEmpty) compare
       else left.columns.toSeq.intersect(right.columns.toSeq).filterNot(keys.contains)
+    // cmp may legitimately be empty (pure existence diff): bucketManifest
+    // takes it verbatim, digesting keys only — identically on both sides
     prunedDiffFromManifests(left, right,
       bucketManifest(left, keys, cmp, numBuckets),
       bucketManifest(right, keys, cmp, numBuckets),
@@ -115,22 +117,28 @@ object Diff {
     * that cancellation (reduced mod a prime so the long sum can't
     * overflow under ANSI). Both partial-aggregate map-side, so the
     * manifest exchange is ≤ `numBuckets` rows, never the table. The
-    * hashed column list rides along in `cols` so a reader can verify a
-    * stored manifest matches its key/compare choice. */
+    * hashed column list AND the bucket count ride along in `cols` so a
+    * reader can verify a stored manifest matches its key/compare/bucket
+    * choice (a bucket-count mismatch would silently mis-slice).
+    * `compare` is taken VERBATIM — empty means digest the keys only (a
+    * pure existence manifest); there is no implicit column default, so
+    * two sides always digest the same set. */
   def bucketManifest(df: DataFrame, keys: Seq[String],
-                     compare: Seq[String] = Seq.empty,
+                     compare: Seq[String],
                      numBuckets: Int = 65536): DataFrame = {
-    val cmp =
-      if (compare.nonEmpty) compare
-      else df.columns.toSeq.filterNot(keys.contains)
     df.withColumn("__bucket", pmod(xxhash64(keys.map(col): _*), lit(numBuckets)))
-      .withColumn("__rowhash", rowDigest(keys ++ cmp))
+      .withColumn("__rowhash", rowDigest(keys ++ compare))
       .groupBy("__bucket")
       .agg(expr("bit_xor(__rowhash)").as("digest"),
         sum(pmod(col("__rowhash"), lit(1000003L))).as("digest_sum"),
         count(lit(1)).as("cnt"))
-      .withColumn("cols", lit((keys ++ cmp).mkString(",")))
+      .withColumn("cols", lit(manifestSignature(keys, compare, numBuckets)))
   }
+
+  /** The validity string stored in a manifest's `cols` column. */
+  def manifestSignature(keys: Seq[String], compare: Seq[String],
+                        numBuckets: Int): String =
+    (keys ++ compare).mkString(",") + s"|buckets=$numBuckets"
 
   /** Bucket ids that provably differ between two manifests (missing on
     * either side, or any digest/count mismatch). */

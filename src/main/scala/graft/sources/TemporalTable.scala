@@ -189,13 +189,34 @@ object TemporalTable {
     val rev = reserveRevision(path)
     try {
       df.write.mode("overwrite").parquet(s"$path/rev=$rev")
-      if (withManifest && df.columns.contains("node_key"))
-        graft.operators.Diff.bucketManifest(df, Seq("node_key"))
-          .write.mode("overwrite").parquet(manifestDir(path, rev))
+      if (withManifest) writeManifest(df.sparkSession, path, rev)
       logCommit(path, rev, author, message)
       rev
     } catch {
       case e: Throwable => abortReservation(path, rev); throw e
+    }
+  }
+
+  /** Digest the JUST-WRITTEN parquet — not the input frame's lineage,
+    * which (a) would re-execute the upstream pipeline and (b) diverges
+    * from the stored bytes when the lineage is nondeterministic (rand,
+    * current_timestamp, monotonically_increasing_id), silently corrupting
+    * later pruned diffs. Skipped (diff falls back to from-scratch
+    * pruning) when there is no `node_key` or the schema contains a type
+    * xxhash64 cannot digest (maps). */
+  private def writeManifest(spark: SparkSession, path: String, rev: Int): Unit = {
+    val snap = spark.read.parquet(s"$path/rev=$rev")
+    def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashable(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+      case _ => true
+    }
+    if (snap.columns.contains("node_key") &&
+        snap.schema.fields.forall(f => hashable(f.dataType))) {
+      graft.operators.Diff.bucketManifest(snap, Seq("node_key"),
+          snap.columns.toSeq.filterNot(_ == "node_key"))
+        .write.mode("overwrite").parquet(manifestDir(path, rev))
     }
   }
 
@@ -322,7 +343,7 @@ object TemporalTable {
     val b = read(spark, path, Some(rev2)).drop("revision", "commit_ts", "author")
     if (!hashPruned) return graft.operators.Diff.diff(a, b, keys)
     val cmp = a.columns.toSeq.intersect(b.columns.toSeq).filterNot(keys.contains)
-    val expected = (keys ++ cmp).mkString(",")
+    val expected = graft.operators.Diff.manifestSignature(keys, cmp, 65536)
     def storedManifest(rev: Int): Option[DataFrame] = {
       val dir = manifestDir(path, rev)
       if (!MetaIO.exists(dir)) None

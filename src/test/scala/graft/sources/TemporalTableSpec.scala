@@ -122,7 +122,8 @@ class TemporalTableSpec extends SparkSpec {
       .orderBy("__bucket").collect().toSeq
     val snap = TemporalTable.read(spark, p, Some(1))
       .drop("revision", "commit_ts", "author")
-    val recomputed = graft.operators.Diff.bucketManifest(snap, Seq("node_key"))
+    val recomputed = graft.operators.Diff.bucketManifest(snap, Seq("node_key"),
+        snap.columns.toSeq.filterNot(_ == "node_key"))
       .orderBy("__bucket").collect().toSeq
     assert(stored == recomputed)
     // the sidecar is invisible to snapshot reads
@@ -135,6 +136,22 @@ class TemporalTableSpec extends SparkSpec {
       .orderBy("node_key").collect().toSeq
     assert(pruned == plain)
     assert(pruned.nonEmpty)
+  }
+
+  test("write with a map column commits without a manifest; diff still works") {
+    val p = freshPath()
+    val withMap = (props: Map[String, String]) => Seq((1L, props), (2L, props))
+      .toDF("node_key", "props")
+    TemporalTable.write(withMap(Map("a" -> "1")), p)
+    TemporalTable.write(withMap(Map("a" -> "2")), p)
+    // unhashable schema -> sidecar skipped, commit succeeds
+    assert(!MetaIO.exists(TemporalTable.manifestDir(p, 1)))
+    // map columns can't be hash-COMPARED either (pre-existing xxhash64
+    // limit) — the keys-only existence diff is the supported surface
+    val a = TemporalTable.read(spark, p, Some(1)).select("node_key")
+    val b = TemporalTable.read(spark, p, Some(2)).select("node_key")
+    val d = graft.operators.Diff.diff(a, b, Seq("node_key"))
+    assert(d.columns.contains("change_type") && d.count() == 0)
   }
 
   test("load shreds a JSON file into a committed revision (jn:load)") {
