@@ -415,7 +415,7 @@ object PipelineQueries {
         |    CAST(length(text) AS BIGINT) AS nc
         |  FROM documents),
         |agg AS (
-        |  SELECT source, lang, COUNT(*) AS n_docs, SUM(nw) AS n_words,
+        |  SELECT source, lang, COUNT(*) AS n_docs, CAST(SUM(nw) AS BIGINT) AS n_words,
         |    ROUND(AVG(nc), 4) AS avg_chars
         |  FROM per_doc GROUP BY source, lang)
         |SELECT source, lang, n_docs, n_words, avg_chars,
@@ -467,7 +467,7 @@ object PipelineQueries {
         |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
         |  FROM spans)
         |SELECT doc_id, COUNT(*) AS n_spans,
-        |  SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS n_dup_spans,
+        |  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
         |  ROUND(CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4)
         |    AS dup_span_frac
         |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
@@ -634,7 +634,7 @@ object PipelineQueries {
         |        FROM documents)
         |  GROUP BY doc_id, tok),
         |agg AS (
-        |  SELECT doc_id, SUM(cnt) AS n_terms,
+        |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_terms,
         |    SUM(CAST(cnt * COALESCE(w.weight, 0.0) AS DECIMAL(28,10))) AS dot
         |  FROM tc LEFT JOIN w ON tc.term = w.term
         |  GROUP BY doc_id)
