@@ -143,6 +143,28 @@ object Similarity {
         (col("component") === col(idCol)).as("keep"))
   }
 
+  /** [[semanticDedup]] made externally verifiable: the k-means fit (the one
+    * stage no SQL oracle can replay) ends at a persisted sidecar — the
+    * deterministic cell assignment `(id, ivf_cell)` written to `cellsPath` —
+    * and every stage downstream of the sidecar is plain relational algebra
+    * computed FROM the re-read sidecar, so an external engine can reproduce
+    * the result exactly: join the stored cells to the vectors, pair within
+    * cells at `round(cosine, 4) >= threshold`, take connected components,
+    * keep the min id per group. */
+  def semanticDedupVerified(df: DataFrame, idCol: String, vecCol: String,
+                            nLists: Int, threshold: Double, cellsPath: String,
+                            seed: Long = 42L, fitFraction: Double = 1.0): DataFrame = {
+    val (_, assigned) = IvfIndex.fit(df, vecCol, nLists, seed, fitFraction)
+    assigned.select(col(idCol), col("ivf_cell"))
+      .write.mode("overwrite").parquet(cellsPath)
+    val cells = df.sparkSession.read.parquet(cellsPath)
+    val withCells = df.join(cells, idCol)
+    val pairs = nearDupPairs(withCells, idCol, vecCol, "ivf_cell", threshold)
+    Graphs.componentLabels(df, idCol, pairs, "id_a", "id_b")
+      .select(col(idCol), col("component").as("group_id"),
+        (col("component") === col(idCol)).as("keep"))
+  }
+
   /** ANN top-k via LSH buckets: probe only the query's bucket. Falls back to
     * brute force within the bucket; recall is tuned by `nBits`. */
   def annTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int,

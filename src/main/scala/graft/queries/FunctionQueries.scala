@@ -116,11 +116,18 @@ object FunctionQueries {
           count(lit(1)).as("n"))
         .orderBy("o_custkey")
     },
-    // approximate count-distinct (HLL) — implementations differ across
-    // engines, so no oracle (driver records rows-only)
+    // approximate count-distinct (HLL). The estimate itself is
+    // engine-specific, so the output carries what IS portable: the exact
+    // cardinality plus a bounded-relative-error assertion over the HLL
+    // estimate (rsd 0.05 → assert within 3σ = 15%); the oracle recomputes
+    // the exact count and pins the assertion to true.
     "q_approx_distinct" -> { (s, d) =>
       t(s, d, "lineitem")
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .agg(approx_count_distinct(col("l_partkey"), 0.05).as("__approx"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("exact_parts"),
+          (abs(col("__approx") - col("exact_parts")).cast("double") /
+            col("exact_parts") <= 0.15).as("within_bounds"))
     },
     // descendant deref $o=>>field (§2.2): schema-driven any-depth search
     "q_deref_descendant" -> { (s, d) =>
@@ -266,6 +273,12 @@ object FunctionQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // exact cardinality is portable; the HLL estimate is checked by the
+    // Spark side's own bounded-error assertion, which the oracle pins true
+    "q_approx_distinct" ->
+      """SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        |  true AS within_bounds
+        |FROM lineitem""".stripMargin,
     "q_string_funcs" ->
       """SELECT p_partkey, upper(p_name) AS u, lower(p_brand) AS l,
         |  substr(p_name, 1, 5) AS sub,

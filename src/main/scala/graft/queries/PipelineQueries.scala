@@ -18,6 +18,11 @@ object PipelineQueries {
   private def docs(s: SparkSession, d: String): DataFrame = Tables.df(s, d, "documents")
   private def emb(s: SparkSession, d: String): DataFrame = Tables.df(s, d, "embeddings")
 
+  /** Sidecar path for the s_semantic_dedup cell assignment. Fixed (not
+    * java.io.tmpdir-derived) because the DuckDB oracle below references the
+    * same absolute path as a string literal. */
+  private val semDedupCellsPath = "/tmp/graft_semdedup_cells"
+
   /** Shared oracle WITH-prefix: per-doc 32-bit simhash as CTE `sh`
     * (consumed by d_simhash and d_simhash_pairs). */
   private val simhashCte =
@@ -238,11 +243,14 @@ object PipelineQueries {
       Corpus.classifierScore(docs(s, d), "doc_id", "text", weights, bias = 0.125)
         .orderBy("doc_id")
     },
-    // SemDeDup: IVF-cell-bounded cosine groups over embeddings (k-means is
-    // not oracle-expressible -> rows-only driver check; semantics pinned by
-    // DedupSimilaritySpec)
+    // SemDeDup: IVF-cell-bounded cosine groups over embeddings. The k-means
+    // fit is not SQL-expressible, so the query persists its deterministic
+    // cell assignment to a sidecar and computes the labels FROM the stored
+    // sidecar — the oracle replays the within-cell grouping over the same
+    // parquet (fit semantics stay pinned by DedupSimilaritySpec).
     "s_semantic_dedup" -> { (s, d) =>
-      Similarity.semanticDedup(emb(s, d), "vec_id", "embedding", 8, 0.95)
+      Similarity.semanticDedupVerified(emb(s, d), "vec_id", "embedding", 8, 0.95,
+          semDedupCellsPath)
         .orderBy("vec_id")
     },
     // PII scrubbing + whitespace normalization (training-data hygiene);
@@ -340,6 +348,29 @@ object PipelineQueries {
         |        list_transform(qvec, x -> CAST(x AS DOUBLE))), 4) AS sim
         |  FROM embeddings, q)
         |SELECT vec_id, sim FROM scored ORDER BY sim DESC, vec_id LIMIT 20""".stripMargin,
+    // Replays the grouping over the persisted cell-assignment sidecar the
+    // Spark query wrote (the fit itself is spec-pinned, not oracle-checked).
+    "s_semantic_dedup" ->
+      """WITH RECURSIVE cells AS (
+        |  SELECT * FROM read_parquet('/tmp/graft_semdedup_cells/*.parquet')),
+        |j AS (
+        |  SELECT e.vec_id, c.ivf_cell, e.embedding
+        |  FROM embeddings e JOIN cells c USING (vec_id)),
+        |pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM j a JOIN j b ON a.ivf_cell = b.ivf_cell AND a.vec_id < b.vec_id
+        |  WHERE ROUND(list_cosine_similarity(
+        |      list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+        |      list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 4) >= 0.95),
+        |edges AS (
+        |  SELECT id_a AS u, id_b AS v FROM pairs
+        |  UNION ALL SELECT id_b AS u, id_a AS v FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT vec_id, vec_id FROM embeddings
+        |  UNION
+        |  SELECT reach.id, e.v FROM reach JOIN edges e ON e.u = reach.r)
+        |SELECT id AS vec_id, MIN(r) AS group_id, (MIN(r) = id) AS keep
+        |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin,
     "s_neardup_embed" ->
       """WITH scored AS (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
