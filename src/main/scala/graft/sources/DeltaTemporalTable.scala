@@ -90,13 +90,19 @@ object DeltaTemporalTable {
 
   private def logCommit(path: String, rev: Int, author: String, message: String,
                         kind: String): Unit = {
+    // same commit-time ownership gate + writer-unique entry bytes as
+    // TemporalTable.logCommit — see the S3A race notes on MetaIO.createNew
+    TemporalTable.requireOwnership(path, rev)
     val ts = System.currentTimeMillis()
+    val token = TemporalTable.writerToken(path, rev)
+      .getOrElse(java.util.UUID.randomUUID().toString)
     val json = s"""{"revision":$rev,"commitTsMs":$ts,""" +
       s""""author":"${TemporalTable.escapeJson(author)}",""" +
-      s""""message":"${TemporalTable.escapeJson(message)}","kind":"$kind"}"""
+      s""""message":"${TemporalTable.escapeJson(message)}","kind":"$kind",""" +
+      s""""writerId":"$token"}"""
     MetaIO.mkdirs(commitsDir(path))
     MetaIO.createNew(s"${commitsDir(path)}/${"%08d".format(rev)}.json", json)
-    MetaIO.delete(s"${commitsDir(path)}/${"%08d".format(rev)}.reserve")
+    TemporalTable.clearReservation(path, rev)
     ()
   }
 

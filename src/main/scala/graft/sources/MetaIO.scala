@@ -72,10 +72,18 @@ private[graft] object MetaIO {
     * (rename refuses an existing destination, namenode-enforced) and on
     * the local FS (hard-link of a fully-written tmp file — link(2) fails
     * with EEXIST if the destination appears first, and the linked content
-    * is complete, so no torn reads). NOT atomic on S3A (a HEAD-then-PUT
-    * check): there, run a single writer per table (Delta Lake has the same
-    * caveat without a coordination service) or enable S3 conditional
-    * writes at the store layer. */
+    * is complete, so no torn reads).
+    *
+    * On stores whose rename does NOT refuse an existing destination (S3A:
+    * HEAD-then-COPY — two racing writers can both "succeed", last copy
+    * wins), the rename is followed by a read-back: the call only returns
+    * normally if the destination holds OUR bytes. With **writer-unique
+    * content** (the reservation/commit markers embed a per-writer UUID —
+    * see [[TemporalTable.reserveRevision]]) at most one of two racing
+    * writers survives; the loser gets [[FileAlreadyExistsException]] and
+    * aborts cleanly. S3's read-after-write consistency makes the read-back
+    * decisive up to the copy-vs-read inversion window (~one RTT); S3
+    * conditional writes close even that at the store layer. */
   def createNew(path: String, content: String): Unit = {
     val f = fs(path)
     val p = new Path(path)
@@ -115,6 +123,12 @@ private[graft] object MetaIO {
           f.delete(tmp, false)
           throw new FileAlreadyExistsException(path)
         }
+        // Overwriting-rename stores (S3A): require our bytes at the
+        // destination, so of two writers whose renames both "succeeded"
+        // only the one whose copy landed last proceeds.
+        if (readString(path) != content)
+          throw new FileAlreadyExistsException(
+            s"$path: lost create-new race (destination holds another writer's content)")
     }
   }
 

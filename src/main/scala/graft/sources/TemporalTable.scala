@@ -117,13 +117,61 @@ object TemporalTable {
     ()
   }
 
+  /** Writer tokens for reservations made by THIS process, keyed
+    * (tablePath, rev). The token is also the marker file's content — the
+    * durable, cross-process claim; this map only carries it between the
+    * reserve / commit / abort steps of one writer so the Int-returning
+    * protocol API stays unchanged. Entries are removed at commit/abort. */
+  private val reservationTokens =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
+
+  private def reserveMarker(path: String, rev: Int): String =
+    s"${commitsDir(path)}/${"%08d".format(rev)}.reserve"
+
+  /** True iff this process holds the reservation for `rev` AND the marker
+    * on storage still carries this writer's token. On backends with an
+    * atomic create-new (local FS, HDFS) the marker can never change hands,
+    * so this always holds; on S3A it is the ownership re-check that
+    * demotes a writer whose reservation was overwritten in the
+    * HEAD-then-PUT race window. Reservations made by OTHER processes (or
+    * direct protocol calls in specs) have no local token and are trusted. */
+  private def stillOwns(path: String, rev: Int): Boolean = {
+    val token = reservationTokens.get((path, rev))
+    if (token == null) true
+    else scala.util.Try(MetaIO.readString(reserveMarker(path, rev)))
+      .toOption.forall(_ == token)
+  }
+
+  /** Commit-time ownership gate shared by both commit-log writers (this
+    * object's [[logCommit]] and [[DeltaTemporalTable]]'s). */
+  private[sources] def requireOwnership(path: String, rev: Int): Unit =
+    if (!stillOwns(path, rev))
+      throw new FileAlreadyExistsException(
+        s"$path rev=$rev: reservation was claimed by another writer; not committing")
+
+  private[sources] def writerToken(path: String, rev: Int): Option[String] =
+    Option(reservationTokens.get((path, rev)))
+
+  /** Post-commit cleanup: drop the durable marker and the local token. */
+  private[sources] def clearReservation(path: String, rev: Int): Unit = {
+    MetaIO.delete(reserveMarker(path, rev))
+    reservationTokens.remove((path, rev))
+    ()
+  }
+
   /** Reserve the next revision number with a create-new marker file in the
     * commit-log directory, so two racing writers can never both claim the
     * same `rev=N` data directory (the pre-fix protocol wrote data first and
     * resolved N from the log alone — a loser's overwrite could destroy the
-    * winner's already-committed files). A writer that crashes between
-    * reservation and commit leaves an orphan marker, which merely skips one
-    * revision number — readers only ever see the `.json` entries. */
+    * winner's already-committed files). The marker content is a per-writer
+    * UUID token: on stores whose rename can overwrite (S3A),
+    * [[MetaIO.createNew]]'s read-back plus the [[logCommit]] ownership
+    * re-check make the token the arbiter — of two writers that raced onto
+    * the same marker, exactly one sees its own token and commits
+    * (reference README.md:118-121 pins the same one-writer guarantee
+    * in-process). A writer that crashes between reservation and commit
+    * leaves an orphan marker, which merely skips one revision number —
+    * readers only ever see the `.json` entries. */
   private[graft] def reserveRevision(path: String): Int = {
     MetaIO.mkdirs(commitsDir(path))
     var attempts = 0
@@ -136,8 +184,10 @@ object TemporalTable {
         base.flatMap(b => scala.util.Try(b.toInt).toOption)
       }
       val next = (taken :+ 0).max + 1
+      val token = java.util.UUID.randomUUID().toString
       try {
-        MetaIO.createNew(s"${commitsDir(path)}/${"%08d".format(next)}.reserve", "")
+        MetaIO.createNew(reserveMarker(path, next), token)
+        reservationTokens.put((path, next), token)
         return next
       } catch { case _: FileAlreadyExistsException => attempts += 1 }
     }
@@ -145,25 +195,38 @@ object TemporalTable {
   }
 
   /** Discard a reservation (failed write): remove any partial data files,
-    * then the marker. */
+    * then the marker — but ONLY while this writer still owns the marker.
+    * If another writer overwrote the reservation (S3A race), the data
+    * directory may hold the WINNER's files; deleting it here would destroy
+    * a committed revision, so a demoted writer backs off touching nothing
+    * but its local token. */
   private[graft] def abortReservation(path: String, rev: Int): Unit = {
-    MetaIO.delete(s"$path/rev=$rev", recursive = true)
-    MetaIO.delete(s"${commitsDir(path)}/${"%08d".format(rev)}.reserve")
+    if (stillOwns(path, rev)) {
+      MetaIO.delete(s"$path/rev=$rev", recursive = true)
+      MetaIO.delete(reserveMarker(path, rev))
+    }
+    reservationTokens.remove((path, rev))
     ()
   }
 
   /** Append the commit-log entry for a just-written revision (the last
     * step of the commit protocol — also invoked by the DataSource V2 write
-    * path on successful job commit). Clears the revision's reservation
+    * path on successful job commit). Re-checks marker ownership first and
+    * embeds the writer token in the entry ([[MetaIO.createNew]]'s
+    * read-back needs writer-unique bytes), then clears the reservation
     * marker once the entry is durable. */
   private[graft] def logCommit(path: String, rev: Int, author: String,
                                message: String): Unit = {
+    requireOwnership(path, rev)
     MetaIO.mkdirs(commitsDir(path))
     val ts = System.currentTimeMillis()
+    val token = writerToken(path, rev)
+      .getOrElse(java.util.UUID.randomUUID().toString)
     val json = s"""{"revision":$rev,"commitTsMs":$ts,""" +
-      s""""author":"${escapeJson(author)}","message":"${escapeJson(message)}"}"""
+      s""""author":"${escapeJson(author)}","message":"${escapeJson(message)}",""" +
+      s""""writerId":"$token"}"""
     MetaIO.createNew(s"${commitsDir(path)}/${"%08d".format(rev)}.json", json)
-    MetaIO.delete(s"${commitsDir(path)}/${"%08d".format(rev)}.reserve")
+    clearReservation(path, rev)
     firePostCommit(path, Commit(rev, ts, author, message))
   }
 
