@@ -242,17 +242,38 @@ object TemporalTable {
     * file listing ignores, so snapshot reads are unaffected; it is only
     * written when the frame carries the default `node_key` diff key.
     *
-    * The manifest costs one extra aggregate pass per commit and saves two
-    * full-snapshot scans per [[diff]] — the right trade for a temporal
-    * table (commit once, diff/time-travel many); pass
-    * `withManifest = false` for ingest-only tables that are never
-    * diffed. */
+    * Manifest cost: when the input plan is fully deterministic (the
+    * common case), the frame is pinned for the duration of the commit and
+    * the digests are computed FROM THE PINNED BLOCKS the write itself
+    * materialized — one upstream execution, and the extra pass is a
+    * cache-local scan plus a ≤64k-row aggregate instead of a second
+    * parquet read. Determinism makes the pin safe: a block evicted under
+    * pressure recomputes to identical rows. A nondeterministic plan
+    * (rand, shuffle-order-dependent ids) falls back to digesting the
+    * just-written parquet, whose bytes ARE the revision — never the
+    * lineage, which would silently diverge from storage and corrupt every
+    * later pruned diff. Pass `withManifest = false` for ingest-only
+    * tables that are never diffed. */
   def write(df: DataFrame, path: String, author: String = "graft",
             message: String = "", withManifest: Boolean = true): Int = {
     val rev = reserveRevision(path)
     try {
-      df.write.mode("overwrite").parquet(s"$path/rev=$rev")
-      if (withManifest) writeManifest(df.sparkSession, path, rev)
+      val wantManifest = withManifest && manifestEligible(df.schema)
+      val fromCache = wantManifest && planDeterministic(df)
+      // respect a caller-owned pin (persist with a different level throws)
+      val pinHere = fromCache &&
+        df.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+      val frame =
+        if (pinHere) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else df
+      try {
+        frame.write.mode("overwrite").parquet(s"$path/rev=$rev")
+        if (wantManifest) {
+          val src = if (fromCache) frame
+                    else df.sparkSession.read.parquet(s"$path/rev=$rev")
+          writeManifestFrom(src, path, rev)
+        }
+      } finally if (pinHere) { frame.unpersist(); () }
       logCommit(path, rev, author, message)
       rev
     } catch {
@@ -260,28 +281,35 @@ object TemporalTable {
     }
   }
 
-  /** Digest the JUST-WRITTEN parquet — not the input frame's lineage,
-    * which (a) would re-execute the upstream pipeline and (b) diverges
-    * from the stored bytes when the lineage is nondeterministic (rand,
-    * current_timestamp, monotonically_increasing_id), silently corrupting
-    * later pruned diffs. Skipped (diff falls back to from-scratch
-    * pruning) when there is no `node_key` or the schema contains a type
-    * xxhash64 cannot digest (maps). */
-  private def writeManifest(spark: SparkSession, path: String, rev: Int): Unit = {
-    val snap = spark.read.parquet(s"$path/rev=$rev")
+  /** Manifest preconditions on the schema alone: a `node_key` diff key and
+    * no type xxhash64 cannot digest (maps). Ineligible tables still
+    * commit — [[graft.operators.Diff.prunedDiff]] just recomputes pruning
+    * from scratch. */
+  private def manifestEligible(schema: org.apache.spark.sql.types.StructType): Boolean = {
     def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
       case _: org.apache.spark.sql.types.MapType => false
       case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashable(f.dataType))
       case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
       case _ => true
     }
-    if (snap.columns.contains("node_key") &&
-        snap.schema.fields.forall(f => hashable(f.dataType))) {
-      graft.operators.Diff.bucketManifest(snap, Seq("node_key"),
-          snap.columns.toSeq.filterNot(_ == "node_key"))
-        .write.mode("overwrite").parquet(manifestDir(path, rev))
-    }
+    schema.fieldNames.contains("node_key") && schema.fields.forall(f => hashable(f.dataType))
   }
+
+  /** True iff every expression in the plan is deterministic — the
+    * condition under which a cached block evicted and recomputed yields
+    * the same rows, making the pinned frame a safe digest source for the
+    * just-written bytes. Checked on the OPTIMIZED plan, i.e. after cache
+    * substitution: a caller-cached subtree (InMemoryRelation) counts as a
+    * materialized source even if its own lineage was nondeterministic —
+    * its blocks are the caller's stated source of truth, the same
+    * assumption the snapshot write itself makes when it scans them. */
+  private def planDeterministic(df: DataFrame): Boolean =
+    !df.queryExecution.optimizedPlan.exists(_.expressions.exists(_.exists(!_.deterministic)))
+
+  private def writeManifestFrom(snap: DataFrame, path: String, rev: Int): Unit =
+    graft.operators.Diff.bucketManifest(snap, Seq("node_key"),
+        snap.columns.toSeq.filterNot(_ == "node_key"))
+      .write.mode("overwrite").parquet(manifestDir(path, rev))
 
   /** `jn:load` (reference: bundles/sirix-query/src/main/java/io/sirix/query/
     * function/jn/io/Load.java): ingest JSON document file(s) into a
