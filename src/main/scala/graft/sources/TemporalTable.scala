@@ -203,6 +203,7 @@ object TemporalTable {
   private[graft] def abortReservation(path: String, rev: Int): Unit = {
     if (stillOwns(path, rev)) {
       MetaIO.delete(s"$path/rev=$rev", recursive = true)
+      MetaIO.delete(s"${keyIndexDir(path)}/rev=$rev", recursive = true)
       MetaIO.delete(reserveMarker(path, rev))
     }
     reservationTokens.remove((path, rev))
@@ -253,13 +254,23 @@ object TemporalTable {
     * just-written parquet, whose bytes ARE the revision — never the
     * lineage, which would silently diverge from storage and corrupt every
     * later pruned diff. Pass `withManifest = false` for ingest-only
-    * tables that are never diffed. */
+    * tables that are never diffed.
+    *
+    * The commit also maintains the RECORD_TO_REVISIONS analog (reference:
+    * index/IndexType.java:24-27): the revision's key column lands in a
+    * `_keyindex/rev=N` sidecar — a map-side single-column projection, no
+    * shuffle — so [[recordRevisions]] answers "which revisions contain
+    * key k" from the compact key table instead of scanning every
+    * revision's full snapshot (the reference's aged-DB shape: 10k+
+    * revisions). `withKeyIndex = false` skips it. */
   def write(df: DataFrame, path: String, author: String = "graft",
-            message: String = "", withManifest: Boolean = true): Int = {
+            message: String = "", withManifest: Boolean = true,
+            withKeyIndex: Boolean = true): Int = {
     val rev = reserveRevision(path)
     try {
       val wantManifest = withManifest && manifestEligible(df.schema)
-      val fromCache = wantManifest && planDeterministic(df)
+      val wantKeys = withKeyIndex && df.schema.fieldNames.contains("node_key")
+      val fromCache = (wantManifest || wantKeys) && planDeterministic(df)
       // respect a caller-owned pin (persist with a different level throws)
       val pinHere = fromCache &&
         df.storageLevel == org.apache.spark.storage.StorageLevel.NONE
@@ -268,10 +279,12 @@ object TemporalTable {
         else df
       try {
         frame.write.mode("overwrite").parquet(s"$path/rev=$rev")
-        if (wantManifest) {
+        if (wantManifest || wantKeys) {
           val src = if (fromCache) frame
                     else df.sparkSession.read.parquet(s"$path/rev=$rev")
-          writeManifestFrom(src, path, rev)
+          if (wantManifest) writeManifestFrom(src, path, rev)
+          if (wantKeys) src.select(col("node_key"))
+            .write.mode("overwrite").parquet(s"${keyIndexDir(path)}/rev=$rev")
         }
       } finally if (pinHere) { frame.unpersist(); () }
       logCommit(path, rev, author, message)
@@ -280,6 +293,8 @@ object TemporalTable {
       case e: Throwable => abortReservation(path, rev); throw e
     }
   }
+
+  private[graft] def keyIndexDir(path: String): String = s"$path/_keyindex"
 
   /** Manifest preconditions on the schema alone: a `node_key` diff key and
     * no type xxhash64 cannot digest (maps). Ineligible tables still
@@ -389,13 +404,43 @@ object TemporalTable {
 
   /** RECORD_TO_REVISIONS lookup (reference: index/IndexType.java:24-27,
     * axis/temporal/RecordRevisionsLookup.java): which revisions contain
-    * record `key`. The node_key filter pushes into every revision's scan. */
+    * record `key`.
+    *
+    * Fast path: when every committed revision has a `_keyindex/rev=N`
+    * sidecar (written by [[write]]), the lookup reads ONLY that compact
+    * single-column table — parquet min/max on `node_key` prunes most
+    * files, and at the reference's aged-DB depth (10k revisions,
+    * docs/BENCHMARKS.md:253) this touches kilobytes instead of scanning
+    * 10k full snapshots. Falls back to the pushed-filter history scan
+    * when the index is absent or incomplete (pre-index commits) or a
+    * non-default `keyCol` is asked for — same rows either way
+    * (spec-pinned). */
   def recordRevisions(spark: SparkSession, path: String, key: Long,
-                      keyCol: String = "node_key"): DataFrame =
-    readAllRevisions(spark, path)
-      .filter(col(keyCol) === key)
-      .select(col("revision"), col("commit_ts"))
-      .orderBy("revision")
+                      keyCol: String = "node_key"): DataFrame = {
+    val log = commits(path)
+    val indexed = MetaIO.listDirs(keyIndexDir(path))
+      .flatMap(n => scala.util.Try(n.stripPrefix("rev=").toInt).toOption).toSet
+    if (keyCol == "node_key" && log.nonEmpty &&
+        log.forall(c => indexed.contains(c.revision))) {
+      val meta = spark.createDataFrame(log)
+        .select(col("revision"), timestamp_millis(col("commitTsMs")).as("commit_ts"))
+      // explicit committed-revision paths: an orphaned sidecar from an
+      // aborted writer can never leak a phantom revision into the answer
+      spark.read.option("basePath", keyIndexDir(path))
+        .parquet(log.map(c => s"${keyIndexDir(path)}/rev=${c.revision}"): _*)
+        .filter(col("node_key") === key)
+        .select(col("rev").cast("int").as("revision"))
+        .distinct()
+        .join(broadcast(meta), "revision")
+        .select(col("revision"), col("commit_ts"))
+        .orderBy("revision")
+    } else {
+      readAllRevisions(spark, path)
+        .filter(col(keyCol) === key)
+        .select(col("revision"), col("commit_ts"))
+        .orderBy("revision")
+    }
+  }
 
   /** MERGE-style bulk update (SURVEY.md §2.14): the JSONiq update surface
     * (insert/replace/delete json — JsonNodeTrx.java:62-228 in the

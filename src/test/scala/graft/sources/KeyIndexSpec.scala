@@ -1,0 +1,73 @@
+package graft.sources
+
+import graft.SparkSpec
+import java.nio.file.Files
+
+/** RECORD_TO_REVISIONS analog (reference: index/IndexType.java:24-27,
+  * axis/temporal/RecordRevisionsLookup.java): the `_keyindex/rev=N`
+  * sidecars must make a record-revision lookup read ONLY the compact key
+  * table at aged-DB revision depth, with the full-history scan kept as a
+  * bit-identical fallback. */
+class KeyIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val nRevs = 120
+
+  /** One table, `nRevs` commits. Revision r contains node 1 (always),
+    * node 1000+r (only that revision), and node 2 on even revisions. */
+  private lazy val agedTable: String = {
+    val p = Files.createTempDirectory("graft-keyidx").resolve("tbl").toString
+    (1 to nRevs).foreach { r =>
+      val keys = Seq(1L, 1000L + r) ++ (if (r % 2 == 0) Seq(2L) else Nil)
+      TemporalTable.write(keys.toDF("node_key"), p, withManifest = false)
+    }
+    p
+  }
+
+  test("aged table: lookup answers from the key index alone") {
+    val everywhere = TemporalTable.recordRevisions(spark, agedTable, 1L)
+    assert(everywhere.select("revision").as[Int].collect().toSeq == (1 to nRevs))
+    // the plan's only file sources are _keyindex sidecars — one compact
+    // metadata table, not nRevs full-snapshot scans
+    assert(everywhere.inputFiles.nonEmpty)
+    assert(everywhere.inputFiles.forall(_.contains("_keyindex")))
+
+    val even = TemporalTable.recordRevisions(spark, agedTable, 2L)
+    assert(even.select("revision").as[Int].collect().toSeq ==
+      (1 to nRevs).filter(_ % 2 == 0))
+
+    val once = TemporalTable.recordRevisions(spark, agedTable, 1042L)
+    assert(once.select("revision").as[Int].collect().toSeq == Seq(42))
+    assert(TemporalTable.recordRevisions(spark, agedTable, 999999L).count() == 0)
+  }
+
+  test("lookup carries the commit timestamp like the history scan") {
+    val viaIndex = TemporalTable.recordRevisions(spark, agedTable, 1042L)
+      .select("revision", "commit_ts").collect()
+    val viaScan = TemporalTable.readAllRevisions(spark, agedTable)
+      .filter($"node_key" === 1042L)
+      .select("revision", "commit_ts").collect()
+    assert(viaIndex.toSeq == viaScan.toSeq)
+  }
+
+  test("incomplete index falls back to the history scan, same answer") {
+    val p = Files.createTempDirectory("graft-keyidx-fb").resolve("tbl").toString
+    TemporalTable.write(Seq(1L, 2L).toDF("node_key"), p, withManifest = false)
+    TemporalTable.write(Seq(1L, 3L).toDF("node_key"), p, withManifest = false)
+    TemporalTable.write(Seq(1L).toDF("node_key"), p, withManifest = false)
+    // age out one sidecar, as if rev 2 predated the key-index feature
+    MetaIO.delete(s"${TemporalTable.keyIndexDir(p)}/rev=2", recursive = true)
+    val r = TemporalTable.recordRevisions(spark, p, 3L)
+    assert(r.select("revision").as[Int].collect().toSeq == Seq(2))
+    assert(r.inputFiles.exists(!_.contains("_keyindex"))) // scan path
+  }
+
+  test("withKeyIndex=false writes no sidecar; non-default keyCol scans") {
+    val p = Files.createTempDirectory("graft-keyidx-off").resolve("tbl").toString
+    TemporalTable.write(Seq((1L, "a")).toDF("node_key", "name"), p,
+      withManifest = false, withKeyIndex = false)
+    assert(!MetaIO.exists(TemporalTable.keyIndexDir(p)))
+    assert(TemporalTable.recordRevisions(spark, p, 1L)
+      .select("revision").as[Int].collect().toSeq == Seq(1))
+  }
+}
