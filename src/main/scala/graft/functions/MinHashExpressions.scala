@@ -450,24 +450,18 @@ object MinHashKernel {
   /** One-pass winnowing: md5 hex of every k-gram, forward-window min of
     * `w` consecutive hashes (tail windows truncate, matching
     * `rowsBetween(0, w-1)`), distinct prints in first-selection order.
-    * O(m·w) compares — `w` is small by construction (~2/(w+1) selection
-    * density is the point of the scheme). */
+    * Window minima come from a monotonic deque over a (w+1)-slot ring of
+    * digests — O(m) compares total and O(w) live digest state, so a
+    * pathologically large document costs 32·(w+1) bytes of hash memory,
+    * never 32·|doc| (an earlier formulation materialized every k-gram
+    * digest with no spill path). Each digest is computed exactly once,
+    * when its index enters the lookahead window. */
   def winnow(text: UTF8String, k: Int, w: Int): GenericArrayData = {
     val bytes = text.getBytes
     val offs = charStarts(bytes)
     val m = (offs.length - 1) - k + 1
     if (m <= 0) return null
     val md = mdLocal.get()
-    val hashes = new Array[Array[Byte]](m)
-    var i = 0
-    while (i < m) {
-      md.reset()
-      md.update(bytes, offs(i), offs(i + k) - offs(i))
-      val hex = new Array[Byte](32)
-      hexEncode(md.digest(), hex)
-      hashes(i) = hex
-      i += 1
-    }
     def less(a: Array[Byte], b: Array[Byte]): Boolean = {
       var j = 0
       while (j < 32) {
@@ -476,17 +470,36 @@ object MinHashKernel {
       }
       false
     }
+    // live indices span at most w+1 slots; idx's slot only ever overwrites
+    // that of the (long-dead) idx-w-1
+    val cap = w + 1
+    val ring = new Array[Array[Byte]](cap)
+    val dq = new Array[Int](cap) // index deque, values increasing front→back
+    var dqHead = 0 // slot of the front
+    var dqLen = 0
+    def admit(idx: Int): Unit = {
+      md.reset()
+      md.update(bytes, offs(idx), offs(idx + k) - offs(idx))
+      val hex = new Array[Byte](32)
+      hexEncode(md.digest(), hex)
+      // pop strictly-greater backs; equal digests are one value, so tie
+      // order cannot change the emitted minima
+      while (dqLen > 0 && less(hex, ring(dq((dqHead + dqLen - 1) % cap) % cap)))
+        dqLen -= 1
+      ring(idx % cap) = hex
+      dq((dqHead + dqLen) % cap) = idx
+      dqLen += 1
+    }
+    var j = 0
+    val primed = math.min(w, m)
+    while (j < primed) { admit(j); j += 1 }
     val out = new java.util.LinkedHashSet[UTF8String]()
     var p = 0
     while (p < m) {
-      var best = hashes(p)
-      var q = p + 1
-      val end = math.min(p + w, m)
-      while (q < end) {
-        if (less(hashes(q), best)) best = hashes(q)
-        q += 1
-      }
-      out.add(UTF8String.fromBytes(best))
+      // at most one front index (p-1) falls out of window [p, p+w)
+      if (dq(dqHead) < p) { dqHead = (dqHead + 1) % cap; dqLen -= 1 }
+      out.add(UTF8String.fromBytes(ring(dq(dqHead) % cap)))
+      if (p + w < m) admit(p + w)
       p += 1
     }
     new GenericArrayData(out.toArray)

@@ -368,9 +368,10 @@ object Corpus {
 
   /** Deterministic training-order shuffle: address every row with a
     * pseudorandom (`shard`, `pos`) — `md5(seed:key)` orders the corpus,
-    * the digest's top 24 bits pick the output shard (bucket space 2^24,
-    * so shard-size bias from a non-divisor `nShards` is ≤ 2^-24 relative
-    * and any practical writer parallelism stays far under the cap), and
+    * the digest's top 24 bits pick the output shard (bucket space 2^24;
+    * mod over it gives a non-divisor `nShards` a shard-size bias of
+    * ≈ nShards/2^24 relative — still negligible for any practical writer
+    * parallelism), and
     * `pos` is the row's rank within its shard. The plan is one exchange
     * keyed by shard plus per-shard window ranks: no global sort ever
     * lands on one reducer, and at 100 TB `nShards` is simply the writer

@@ -52,15 +52,16 @@ object Dedup {
         explode(expr(s"transform(sequence(1, length($textCol) - ${k - 1}), i -> substring($textCol, i, $k))")).as("sh"))
 
   /** Wide per-doc MinHash signatures — (id, sig_0 .. sig_{n-1}) — computed
-    * ENTIRELY map-side: the shingle digests are a per-row `transform`
-    * array (md5 runs once per shingle), and each signature is an
-    * `array_min` over the rotated digests. No Generate of the shingle
-    * stream, no per-partition sort, no aggregate, no exchange — at corpus
-    * scale the signature stage costs exactly one codegen'd pass over the
-    * text splits. `array_min` over strings uses the same binary
+    * ENTIRELY map-side by the native
+    * [[graft.functions.MinHashExpressions.minHashSigs]] kernel: one JIT'd
+    * pass per document digests every k-shingle once and folds the n
+    * rotated-hex minima in place. No Generate of the shingle stream, no
+    * per-partition sort, no aggregate, no exchange — at corpus scale the
+    * signature stage costs exactly one codegen'd pass over the text
+    * splits. The kernel's byte-wise minimum uses the same binary
     * lexicographic ordering as the `min` aggregate, so results are
-    * bit-identical to the aggregate formulation (and to the DuckDB
-    * oracle's GROUP BY MIN). */
+    * bit-identical to the exploded-aggregate formulation (differential
+    * HOF twin in the spec) and to the DuckDB oracle's GROUP BY MIN. */
   private[operators] def wideSignatures(df: DataFrame, idCol: String,
                                         textCol: String, shingleLen: Int,
                                         numHashes: Int): DataFrame = {
@@ -290,10 +291,15 @@ object Dedup {
                        numHashes: Int = 8, bandSize: Int = 2): DataFrame = {
     val bands = Graphs.pinLocal(
       lshBands(batch, idCol, textCol, shingleLen, numHashes, bandSize))
+    // the two REJECT id-sets are materialized eagerly (they are tiny —
+    // bounded by the batch), which severs their lineage from the band
+    // table so its pinned blocks can be released here instead of
+    // accumulating in executor storage for the life of the session
     val vsCorpus = incrementalCandidatePairs(bands, corpusBands, idCol)
-      .select(col("batch_id").as(idCol)).distinct()
+      .select(col("batch_id").as(idCol)).distinct().localCheckpoint(true)
     val inBatch = candidatePairsFromBands(bands, idCol)
-      .select(col("id_b").as(idCol)).distinct()
+      .select(col("id_b").as(idCol)).distinct().localCheckpoint(true)
+    Graphs.unpin(bands)
     batch.join(vsCorpus, Seq(idCol), "left_anti")
       .join(inBatch, Seq(idCol), "left_anti")
   }
