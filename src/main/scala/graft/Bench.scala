@@ -96,7 +96,67 @@ object Bench {
         Seq.empty
       }
 
-    val all = results ++ storage
+    // aged-history numbers (the reference's signature scale posture:
+    // 10k-revision session opens and sub-ms adjacent diffs —
+    // docs/BENCHMARKS.md:253, docs/COMPARISON_POSTGRES.md:47). A
+    // 1000-revision table is SYNTHESIZED at the storage layout (one
+    // partitioned write + driver-side commit log) rather than 1000
+    // protocol commits — the write path has its own headline above; these
+    // rows time the READ paths that must survive revision depth:
+    // key-index record lookup, the single-plan revision feed, and the
+    // stored-manifest adjacent diff.
+    val aged: Seq[(String, Double)] =
+      try {
+        import org.apache.spark.sql.functions._
+        val nRevs = 1000
+        val keysPer = 200
+        val dir = java.nio.file.Files.createTempDirectory("graft-aged").resolve("tbl").toString
+        // revision r changes exactly one key vs r-1 (and reverts r-1's)
+        val rows = spark.range(1, nRevs + 1).select(col("id").cast("int").as("rev"))
+          .crossJoin(spark.range(0, keysPer).toDF("node_key"))
+          .withColumn("payload", xxhash64(col("node_key"),
+            when(pmod(col("rev") - 1, lit(keysPer)) === col("node_key"), col("rev"))
+              .otherwise(lit(0))))
+        rows.repartition(cpus.toInt, col("rev"))
+          .write.partitionBy("rev").parquet(dir)
+        rows.select(col("rev"), col("node_key"))
+          .repartition(cpus.toInt, col("rev"))
+          .write.partitionBy("rev").parquet(graft.sources.TemporalTable.keyIndexDir(dir))
+        val base = System.currentTimeMillis() - nRevs
+        (1 to nRevs).foreach { r =>
+          graft.sources.MetaIO.createNew(s"$dir/_commits/${"%08d".format(r)}.json",
+            s"""{"revision":$r,"commitTsMs":${base + r},"author":"bench","message":""}""")
+        }
+        // stored manifests for the last adjacent pair only (diff target)
+        Seq(nRevs - 1, nRevs).foreach { r =>
+          val snap = spark.read.parquet(s"$dir/rev=$r")
+          graft.operators.Diff.bucketManifest(snap, Seq("node_key"), Seq("payload"))
+            .write.parquet(s"$dir/rev=$r/_manifest")
+        }
+        def timed(body: => Long): Double = {
+          body // warmup: file-listing caches + codegen
+          val t0 = System.nanoTime()
+          val n = body
+          require(n > 0)
+          (System.nanoTime() - t0) / 1e9
+        }
+        val lookup = timed {
+          graft.sources.TemporalTable.recordRevisions(spark, dir, 7L).count()
+        }
+        val feed = timed {
+          graft.streaming.ChangeFeed.revisionFeed(spark, dir).count()
+        }
+        val diffAged = timed {
+          graft.sources.TemporalTable.diff(spark, dir, nRevs - 1, nRevs).count()
+        }
+        Seq("h_record_lookup" -> lookup, "h_revision_feed" -> feed,
+          "h_diff_adjacent_aged" -> diffAged)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] aged-history timing failed: ${e.getMessage}")
+        Seq.empty
+      }
+
+    val all = results ++ storage ++ aged
     val qs = all.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = all.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")

@@ -92,15 +92,31 @@ object TemporalTable {
 
   /** Read the commit log (small driver-side metadata, like Delta's log).
     * Goes through the Hadoop FileSystem resolved from the path, so the
-    * table opens on HDFS/S3A exactly like on local disk. */
+    * table opens on HDFS/S3A exactly like on local disk. Commit files are
+    * fetched with bounded driver-side parallelism: on object storage each
+    * read is a ~10-20 ms GET, and an aged table carries thousands of
+    * revisions (the reference's 10k-revision posture, docs/BENCHMARKS
+    * .md:253) — sequential opens would turn session-open into minutes. */
   def commits(path: String): Seq[Commit] = {
-    MetaIO.list(commitsDir(path))
-      .filter(_.endsWith(".json"))
-      .map { name =>
-        val s = MetaIO.readString(s"${commitsDir(path)}/$name")
-        Commit(parseField(s, "revision").toInt, parseField(s, "commitTsMs").toLong,
-          parseField(s, "author"), parseField(s, "message"))
-      }.sortBy(_.revision)
+    val dir = commitsDir(path)
+    val names = MetaIO.list(dir).filter(_.endsWith(".json"))
+    val readOne = (name: String) => {
+      val s = MetaIO.readString(s"$dir/$name")
+      Commit(parseField(s, "revision").toInt, parseField(s, "commitTsMs").toLong,
+        parseField(s, "author"), parseField(s, "message"))
+    }
+    val out =
+      if (names.size <= 4) names.map(readOne)
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(16, names.size))
+        try {
+          import scala.jdk.CollectionConverters._
+          pool.invokeAll(names.map[java.util.concurrent.Callable[Commit]](n =>
+            () => readOne(n)).asJava).asScala.map(_.get()).toSeq
+        } finally pool.shutdown()
+      }
+    out.sortBy(_.revision)
   }
 
   def mostRecentRevision(path: String): Option[Int] = commits(path).lastOption.map(_.revision)
