@@ -12,5 +12,7 @@ object Graft {
   def install(spark: SparkSession): Unit = {
     functions.VectorExpressions.install(spark)
     plans.CountFromMetadataRule.install(spark)
+    plans.DictAggRule.install(spark)
+    plans.MinMaxFromMetadataRule.install(spark)
   }
 }

@@ -168,6 +168,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     ext.injectOptimizerRule(graft.plans.CountFromMetadataRule(_))
     ext.injectOptimizerRule(graft.plans.ValidTimeStabRule(_))
+    ext.injectOptimizerRule(graft.plans.DictAggRule(_))
+    ext.injectOptimizerRule(graft.plans.MinMaxFromMetadataRule(_))
     ext.injectResolutionRule(graft.plans.DeltaReconstructRule(_))
   }
 }

@@ -216,6 +216,25 @@ object RelationalQueries {
         .orderBy("gid", "flag", "status")
     },
 
+    // ---- dictionary-surrogate aggregation (Dict layout + DictAggRule):
+    // the table is rewritten through Dict.writeEncoded, the rule turns the
+    // string-keyed group-by into an int32-code group-by (scan never decodes
+    // the strings), and the oracle checks the answer is bit-identical to a
+    // plain GROUP BY over the original parquet ----
+    "q_dict_groupby" -> { (s, d) =>
+      val enc = java.nio.file.Files.createTempDirectory("graft-dictq").toString + "/docs"
+      graft.operators.Dict.writeEncoded(
+        t(s, d, "documents").select("doc_id", "lang", "source", "n_chars"),
+        Seq("lang", "source"), enc)
+      graft.plans.DictAggRule.install(s)
+      s.read.parquet(enc)
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_chars"),
+          countDistinct(col("doc_id")).as("n_distinct"))
+        .orderBy("lang", "source")
+    },
+
     // ---- nested data: JSON field extraction, array ops (SURVEY.md §2.2) ----
     "q_json_extract" -> { (s, d) =>
       t(s, d, "events")
@@ -270,6 +289,14 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the rewrite must not change a single value vs the plain formulation:
+    // the oracle ignores the encoded table entirely and aggregates the
+    // original parquet (SUM cast — DuckDB SUM(BIGINT) returns HUGEINT)
+    "q_dict_groupby" ->
+      """SELECT lang, source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  COUNT(DISTINCT doc_id) AS n_distinct
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -21,15 +21,23 @@ object ScaleBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
-      spark.range(n).repartition(32)
+    // the table is written through the dict-surrogate layout (Dict
+    // .writeEncoded) — dept/city gain int32 code columns + footer
+    // dictionaries. DuckDB's twin reads the same files and still groups on
+    // the strings (it aggregates on parquet dictionary codes internally;
+    // the layout gives Spark the same move via DictAggRule). Regenerate if
+    // an older run left a non-encoded table here.
+    val haveEncoded = new java.io.File(s"$dir/_SUCCESS").exists() &&
+      spark.read.parquet(dir).columns.contains(graft.operators.Dict.codeCol("dept"))
+    if (!haveEncoded) {
+      val base = spark.range(n).repartition(32)
         .select(col("id"),
           (pmod(hash(col("id")), lit(48)) + 18).as("age"),
           concat(lit("dept_"), pmod(hash(col("id") * 7), lit(8))).as("dept"),
           concat(lit("city_"), pmod(hash(col("id") * 13), lit(8))).as("city"),
           (pmod(hash(col("id") * 31), lit(2)) === 0).as("active"))
-        .write.mode("overwrite").parquet(dir)
-      println(s"generated $n rows at $dir")
+      graft.operators.Dict.writeEncoded(base, Seq("dept", "city"), dir)
+      println(s"generated $n rows (dict-encoded dept/city) at $dir")
     }
 
     val df = spark.read.parquet(dir)
@@ -44,18 +52,25 @@ object ScaleBench {
       "countDistinctDept" -> (() => df.agg(countDistinct(col("dept")))),
       "compoundAnd" -> (() => df.filter(col("age") > 30 && col("age") < 50 && col("active")).agg(count(lit(1)))))
 
-    val results = shapes.map { case (name, q) =>
+    def run(label: String): Seq[(String, Double)] = shapes.map { case (name, q) =>
       q().write.format("noop").mode("overwrite").save() // warm
       val runs = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         q().write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e6
       }
-      println(f"$name%-20s ${runs.min}%8.1f ms")
+      println(f"$label%-7s $name%-20s ${runs.min}%8.1f ms")
       name -> runs.min
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    println(s"""{"metric":"scale_bench_ms","rows":$n,"queries":$qs}""")
+    // string-keyed baseline first, then the shipped configuration
+    // (Graft.install: DictAggRule + MinMaxFromMetadataRule + count rule):
+    // same session, same files
+    val noDict = run("plain")
+    graft.Graft.install(spark)
+    val withDict = run("graft")
+    def json(rs: Seq[(String, Double)]) =
+      rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale_bench_ms","rows":$n,"queries":${json(withDict)},"queries_nodict":${json(noDict)}}""")
     spark.stop()
   }
 }

@@ -1,0 +1,127 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.operators.Dict
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+
+class DictAggRuleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val dir = {
+    val d = java.nio.file.Files.createTempDirectory("graft-dict").toString + "/t"
+    val df = Seq(
+      ("eng", "web", 10L), ("eng", "book", 20L), ("fra", "web", 30L),
+      ("deu", "web", 40L), ("fra", "book", 50L), ("eng", "web", 60L),
+      (null, "web", 70L), ("deu", null, 80L)
+    ).toDF("lang", "source", "n")
+    Dict.writeEncoded(df, Seq("lang", "source"), d)
+    d
+  }
+
+  private def read(): DataFrame = spark.read.parquet(dir)
+
+  private def scanFields(df: DataFrame): Seq[String] = {
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    plan.collectFirst { case f: FileSourceScanExec => f.requiredSchema.fieldNames.toSeq }
+      .getOrElse(Seq.empty)
+  }
+
+  test("dict metadata round-trips through the parquet footer") {
+    val schema = read().schema
+    val code = schema(Dict.codeCol("lang"))
+    assert(code.dataType == IntegerType)
+    assert(code.metadata.getString(Dict.MetaFor) == "lang")
+    // ordered dictionary: code = rank of the value
+    assert(code.metadata.getStringArray(Dict.MetaValues).toSeq ==
+      Seq("deu", "eng", "fra"))
+  }
+
+  test("groupBy on an encoded column aggregates on codes, scans no strings") {
+    DictAggRule.install(spark)
+    val q = read().groupBy("lang").agg(sum("n").as("s"))
+    val aggs = q.queryExecution.optimizedPlan.collect { case a: Aggregate => a }
+    assert(aggs.nonEmpty)
+    // every grouping key is the int32 code, never the string
+    assert(aggs.forall(_.groupingExpressions.forall(_.dataType == IntegerType)))
+    val fields = scanFields(q)
+    assert(fields.contains(Dict.codeCol("lang")) && !fields.contains("lang"))
+    // values identical to the plain formulation, null group preserved
+    val got = q.orderBy(asc_nulls_first("lang")).as[(Option[String], Long)].collect().toSeq
+    assert(got == Seq((None, 70L), (Some("deu"), 120L), (Some("eng"), 90L), (Some("fra"), 80L)))
+  }
+
+  test("multi-key grouping rewrites every encoded key") {
+    DictAggRule.install(spark)
+    val q = read().groupBy("lang", "source").count()
+    val aggs = q.queryExecution.optimizedPlan.collect { case a: Aggregate => a }
+    assert(aggs.forall(_.groupingExpressions.forall(_.dataType == IntegerType)))
+    val fields = scanFields(q)
+    assert(!fields.contains("lang") && !fields.contains("source"))
+    val plain = read().drop(Dict.codeCol("lang"), Dict.codeCol("source"))
+      .groupBy("lang", "source").count()
+    assert(q.orderBy(asc_nulls_first("lang"), asc_nulls_first("source")).collect().toSeq ==
+      plain.orderBy(asc_nulls_first("lang"), asc_nulls_first("source")).collect().toSeq)
+  }
+
+  test("count(DISTINCT) counts codes without decoding") {
+    DictAggRule.install(spark)
+    val q = read().agg(countDistinct(col("lang")).as("n"))
+    assert(!scanFields(q).contains("lang"))
+    assert(q.as[Long].head() == 3L) // nulls excluded, like the plain path
+  }
+
+  test("filter below the aggregate keeps its string column; rewrite still fires") {
+    DictAggRule.install(spark)
+    val q = read().filter(col("source") === "web").groupBy("lang").count()
+    val fields = scanFields(q)
+    // lang never scanned; source still needed by the (unrewritten) filter
+    assert(!fields.contains("lang") && fields.contains("source"))
+    val got = q.orderBy(asc_nulls_first("lang")).as[(Option[String], Long)].collect().toSeq
+    assert(got == Seq((None, 1L), (Some("deu"), 1L), (Some("eng"), 2L), (Some("fra"), 1L)))
+  }
+
+  test("string min/max through the decode expression stays correct") {
+    DictAggRule.install(spark)
+    val q = read().groupBy("lang").agg(min("source").as("lo"), max("source").as("hi"))
+    val got = q.orderBy(asc_nulls_first("lang"))
+      .as[(Option[String], Option[String], Option[String])].collect().toSeq
+    assert(got == Seq(
+      (None, Some("web"), Some("web")),
+      (Some("deu"), Some("web"), Some("web")), // deu's null source ignored by min/max
+      (Some("eng"), Some("book"), Some("web")),
+      (Some("fra"), Some("book"), Some("web"))))
+  }
+
+  test("no dict metadata → no rewrite; join of two dict tables doesn't cross wires") {
+    DictAggRule.install(spark)
+    val plainDir = java.nio.file.Files.createTempDirectory("graft-plain").toString + "/t"
+    Seq(("eng", 1L)).toDF("lang", "n").write.parquet(plainDir)
+    val plain = spark.read.parquet(plainDir).groupBy("lang").count()
+    assert(scanFields(plain).contains("lang")) // untouched
+    // grouping the ENCODED table joined to the plain one: only the encoded
+    // side's attribute may rewrite, and here the grouping attr comes from
+    // the plain side — rule must leave it alone
+    val j = spark.read.parquet(plainDir).as("p")
+      .join(read().as("e"), Seq("lang"))
+      .groupBy(col("p.lang")).count()
+    assert(j.collect().toSeq.map(r => (r.getString(0), r.getLong(1))) == Seq(("eng", 3L)))
+  }
+
+  test("rule is idempotent and encode() guards cardinality") {
+    DictAggRule.install(spark)
+    DictAggRule.install(spark)
+    assert(spark.experimental.extraOptimizations.count(_.isInstanceOf[DictAggRule]) == 1)
+    val wide = spark.range(5000).select(col("id").cast("string").as("s"))
+    intercept[IllegalArgumentException] {
+      Dict.encode(wide, Seq("s"), maxDict = 4096)
+    }
+  }
+}

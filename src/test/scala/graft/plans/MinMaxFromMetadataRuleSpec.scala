@@ -1,0 +1,65 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation}
+import org.apache.spark.sql.functions._
+
+class MinMaxFromMetadataRuleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rewritten(df: DataFrame): Boolean = {
+    val opt = df.queryExecution.optimizedPlan
+    opt.collectFirst { case _: LocalRelation => () }.isDefined &&
+      opt.collectFirst { case _: Aggregate => () }.isEmpty
+  }
+
+  private lazy val dir = {
+    val d = java.nio.file.Files.createTempDirectory("graft-minmax").toString + "/t"
+    Seq((1L, 7, "a"), (2L, -3, "b"), (3L, 99, "c"), (4L, 12, null))
+      .toDF("id", "v", "s")
+      .repartition(2) // several files → several footers folded
+      .write.parquet(d)
+    d
+  }
+
+  test("unfiltered min/max over parquet folds to a LocalRelation") {
+    MinMaxFromMetadataRule.install(spark)
+    val q = spark.read.parquet(dir)
+      .agg(min("v").as("lo"), max("v").as("hi"),
+        min("id").as("ilo"), max("id").as("ihi"), count(lit(1)).as("n"))
+    assert(rewritten(q))
+    assert(q.as[(Int, Int, Long, Long, Long)].head() == ((-3, 99, 1L, 4L, 4L)))
+  }
+
+  test("a filter disqualifies the rewrite, answer still correct") {
+    MinMaxFromMetadataRule.install(spark)
+    val q = spark.read.parquet(dir).filter(col("v") > 0).agg(min("v").as("lo"))
+    assert(!rewritten(q))
+    assert(q.as[Int].head() == 7)
+  }
+
+  test("string / non-integral aggregates are left to the scan") {
+    MinMaxFromMetadataRule.install(spark)
+    val q = spark.read.parquet(dir).agg(min("s").as("lo"))
+    assert(!rewritten(q))
+    assert(q.as[String].head() == "a") // nulls ignored, like the plain path
+  }
+
+  test("all-null column yields null min/max from metadata") {
+    MinMaxFromMetadataRule.install(spark)
+    val d = java.nio.file.Files.createTempDirectory("graft-minmax-null").toString + "/t"
+    Seq((1L, Option.empty[Long]), (2L, Option.empty[Long])).toDF("id", "v")
+      .write.parquet(d)
+    val q = spark.read.parquet(d).agg(min("v").as("lo"), max("id").as("hi"))
+    assert(rewritten(q))
+    assert(q.as[(Option[Long], Long)].head() == ((None, 2L)))
+  }
+
+  test("grouped aggregate is untouched") {
+    MinMaxFromMetadataRule.install(spark)
+    val q = spark.read.parquet(dir).groupBy("s").agg(min("v").as("lo"))
+    assert(!rewritten(q))
+    assert(q.count() == 4)
+  }
+}
