@@ -26,11 +26,16 @@ import scala.collection.mutable
   *    like the reference's in-memory graph walk.
   *
   * Simplification vs HNSW: a single-layer exact-kNN graph ("NSW"), not
-  * the hierarchical multi-layer insert — the hierarchy accelerates entry
-  * point selection on billion-point graphs; within an IVF cell the
-  * diameter is small enough that a fixed deterministic entry (min id)
-  * plus the beam reaches the basin. Search is fully deterministic: ties
-  * break on id everywhere.
+  * the hierarchical multi-layer insert. What the hierarchy buys on large
+  * graphs is ENTRY-POINT selection (HnswGraph.java's upper layers route
+  * the search to the right basin in O(log n) hops); the same effect is
+  * recovered here with a hub layer: a deterministic √n hash-sample of the
+  * cell is evaluated up front and seeds the beam, so search starts from
+  * the best of √n spread-out basins instead of one arbitrary node —
+  * √n extra distance evaluations, still ≪ |cell|, and no extra storage
+  * (hub selection is a pure function of the ids already read). Search is
+  * fully deterministic: the hub sample orders on (splitmix64(id), id) and
+  * ties break on id everywhere.
   *
   * Scale shape: search shuffles ONLY the probed cells (one group-by-cell
   * shuffle); each grouped iterator materializes ONE cell's vectors +
@@ -127,21 +132,33 @@ object NswGraph {
       .limit(k)
   }
 
-  /** Greedy best-first over one cell's graph from the deterministic entry
-    * (min id); returns the final beam (≤ ef hits, sim-descending). */
+  /** Mix hash for the hub sample — full-avalanche, JVM-independent. */
+  private def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  /** Greedy best-first over one cell's graph, seeded from the hub layer
+    * (deterministic √n hash-sample, all evaluated — the HNSW upper-layer
+    * analog, see object scaladoc); returns the final beam (≤ ef hits,
+    * sim-descending). */
   private[operators] def beamSearch(
       graph: Map[Long, (Array[Double], Array[Long])],
       query: Array[Double], ef: Int): Iterator[Hit] = {
     if (graph.isEmpty) return Iterator.empty
-    val entry = graph.keysIterator.min
+    val ids = graph.keysIterator.toArray
+    val nHubs = math.max(1, math.ceil(math.sqrt(ids.length.toDouble)).toInt)
+    val hubs = ids.sortBy(id => (splitmix64(id), id)).take(nHubs)
     // candidates: best-first (sim desc, id asc); beam: worst-first so the
     // floor is O(1) to inspect and evict
     implicit val hitOrd: Ordering[Hit] =
       Ordering.by[Hit, (Double, Long)](h => (-h.sim, h.id))
     val candidates = mutable.PriorityQueue.empty[Hit](hitOrd.reverse)
     val beam = mutable.PriorityQueue.empty[Hit](hitOrd)
-    val visited = mutable.Set(entry)
-    candidates.enqueue(Hit(entry, cosine(graph(entry)._1, query)))
+    val visited = mutable.Set(hubs.toIndexedSeq: _*)
+    hubs.foreach(h => candidates.enqueue(Hit(h, cosine(graph(h)._1, query))))
     while (candidates.nonEmpty) {
       val c = candidates.dequeue()
       if (beam.size >= ef && c.sim <= beam.head.sim) {

@@ -68,6 +68,29 @@ class NswGraphSpec extends SparkSpec {
     assert(mean >= 0.7, s"mean recall@10 too low: $mean")
   }
 
+  test("hub seeding reaches a basin disconnected from the min-id entry") {
+    // two tight clusters far apart: the in-cell kNN graph (m=3) splits
+    // into two components, so any single fixed entry point can only ever
+    // reach its own component — the √n hub sample must span both
+    def cluster(base: Double, ids: Range): Map[Long, Array[Double]] =
+      ids.map(i => i.toLong -> Array(base + (i % 7) * 1e-3, 1.0)).toMap
+    val vecs = cluster(10.0, 0 until 40) ++ cluster(-10.0, 40 until 80)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val graph = vecs.map { case (id, v) =>
+      val nn = vecs.keys.filter(_ != id).toSeq
+        .sortBy(o => (-cos(vecs(o), v), o)).take(3)
+      id -> (v, nn.toArray)
+    }
+    // a query sitting on the SECOND cluster (ids 40+, far from min id 0)
+    val q = Array(-10.0, 1.0)
+    val hits = NswGraph.beamSearch(graph, q, ef = 8).toSeq
+    assert(hits.nonEmpty && hits.head.id >= 40L,
+      s"beam never escaped the min-id component: ${hits.take(3)}")
+  }
+
   test("beam search is deterministic and bounded by ef") {
     val rnd = new scala.util.Random(7)
     val vecs = (0L until 50L).map(i => i -> Array.fill(8)(rnd.nextDouble() - 0.5)).toMap
