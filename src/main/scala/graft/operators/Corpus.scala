@@ -271,6 +271,54 @@ object Corpus {
         sum(col("cnt")).as("n_bigrams"))
   }
 
+  /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling", arXiv:2302.03169):
+    * score every corpus document by the mean log-likelihood ratio of its
+    * words under a TARGET-domain unigram distribution vs the corpus
+    * distribution — the standard "make the pretraining mix look like the
+    * target domain" selection signal; resample downstream with
+    * [[stratifiedSample]]/[[applyMixRates]] on the weight.
+    *
+    * `lr(w) = round(ln(((t_w+1)·(C+1)) / ((c_w+1)·(T+1))), 6)` with
+    * add-one smoothing over the corpus vocabulary; per-doc weight is the
+    * exact-decimal mean of `lr` over word instances (rounded 4dp,
+    * accumulation-order-free — the [[charBigramLmScore]] convention).
+    * Docs with no words drop. Returns (id, `n_words`, `dsir_weight`).
+    *
+    * Plan shape: one kernel histogram pass per side; every exchange is
+    * vocabulary-keyed (distinct words, never the instance stream), the
+    * totals are 1-row broadcasts, and the final aggregate is doc-keyed.
+    * The paper's hashed-n-gram variant (bucket `w` through
+    * `pmod(xxhash64(w), nBuckets)`) drops in unchanged when 100 TB
+    * vocabulary cardinality calls for a fixed-width distribution. */
+  def importanceWeights(raw: DataFrame, target: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val df0 = Dedup.fanOut(raw, idCol)
+    val id = col(idCol)
+    val grams = Graphs.pinLocal(df0
+      .select(id, explode(graft.functions.MinHashExpressions
+        .wordCounts(col(textCol))).as("tc"))
+      .select(id, col("tc.w").as("w"), col("tc.cnt").as("cnt")))
+    val corpus = grams.groupBy("w").agg(sum("cnt").as("ccnt"))
+    val tgt = target
+      .select(explode(graft.functions.MinHashExpressions
+        .wordCounts(col(textCol))).as("tc"))
+      .select(col("tc.w").as("w"), col("tc.cnt").as("cnt"))
+      .groupBy("w").agg(sum("cnt").as("tcnt"))
+    val cTot = corpus.agg(sum("ccnt").as("c"))
+    val tTot = tgt.agg(coalesce(sum("tcnt"), lit(0L)).as("t"))
+    val lr = corpus.join(tgt, Seq("w"), "left")
+      .crossJoin(cTot).crossJoin(tTot)
+      .select(col("w"), round(log(
+        ((coalesce(col("tcnt"), lit(0L)) + 1).cast("double") * (col("c") + 1)) /
+          ((col("ccnt") + 1).cast("double") * (col("t") + 1))), 6).as("lr"))
+    grams.join(lr, "w")
+      .groupBy(id)
+      .agg(sum("cnt").as("n_words"),
+        round(sum(col("lr").cast("decimal(18,6)") * col("cnt")).cast("double")
+          / sum(col("cnt")), 4).as("dsir_weight"))
+  }
+
   /** Corpus composition report: document/token/char volume and corpus share
     * per stratum (e.g. source × lang) — the first dashboard every curation
     * pipeline builds. One doc-keyed scan folds per-doc word counts

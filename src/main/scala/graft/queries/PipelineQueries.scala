@@ -126,6 +126,14 @@ object PipelineQueries {
     "x_lm_score" -> { (s, d) =>
       Corpus.charBigramLmScore(docs(s, d), "doc_id", "text").orderBy("doc_id")
     },
+    // DSIR importance weights against a target slice of the corpus
+    "x_dsir" -> { (s, d) =>
+      val all = docs(s, d)
+      Corpus.importanceWeights(all,
+          all.filter(col("source").isin("src0", "src1", "src2")),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    },
     // corpus composition report by source × lang
     "x_source_mix" -> { (s, d) =>
       Corpus.sourceMix(docs(s, d), "text", Seq("source", "lang"))
@@ -422,6 +430,28 @@ object PipelineQueries {
         |  FROM scored)
         |SELECT doc_id, term, tfidf, CAST(rn AS INTEGER) AS rank
         |FROM r WHERE rn <= 3 ORDER BY doc_id, rank""".stripMargin,
+    // instance-level decimal fold == Spark's histogram-level sum(lr·cnt)
+    // (decimal × integer is exact); COUNT(*) avoids the HUGEINT SUM trap
+    "x_dsir" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS w
+        |  FROM documents),
+        |corpus AS (SELECT w, COUNT(*) AS ccnt FROM toks GROUP BY w),
+        |ctot AS (SELECT COUNT(*) AS c FROM toks),
+        |ttoks AS (
+        |  SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS w
+        |  FROM documents WHERE source IN ('src0', 'src1', 'src2')),
+        |tgt AS (SELECT w, COUNT(*) AS tcnt FROM ttoks GROUP BY w),
+        |ttot AS (SELECT COUNT(*) AS t FROM ttoks),
+        |lr AS (
+        |  SELECT corpus.w,
+        |    ROUND(ln((CAST(COALESCE(tgt.tcnt, 0) + 1 AS DOUBLE) * (ctot.c + 1)) /
+        |             (CAST(corpus.ccnt + 1 AS DOUBLE) * (ttot.t + 1))), 6) AS lr
+        |  FROM corpus LEFT JOIN tgt ON tgt.w = corpus.w, ctot, ttot)
+        |SELECT toks.doc_id, COUNT(*) AS n_words,
+        |  ROUND(CAST(SUM(CAST(lr.lr AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4) AS dsir_weight
+        |FROM toks JOIN lr USING (w)
+        |GROUP BY toks.doc_id ORDER BY toks.doc_id""".stripMargin,
     "x_lm_score" ->
       """WITH grams AS (
         |  SELECT doc_id, substr(text, CAST(i AS INTEGER), 2) AS g
