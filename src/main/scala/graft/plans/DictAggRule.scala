@@ -37,6 +37,16 @@ import org.apache.spark.sql.types.{ArrayType, IntegerType, StringType}
   * run by the time user-provided rules fire), so the now-unreferenced
   * string column actually leaves the scan.
   *
+  * Filters rewrite too: `c = 'x'` / `c IN (...)` / `c <=> 'x'` become
+  * the same predicate on the code column (a value absent from the
+  * dictionary compares against code −1, preserving the false-vs-null
+  * three-valued result per row). Combined with the aggregate rewrite,
+  * `filter($"dept" === "x").groupBy("city").count()` over a dict table
+  * scans no string column at all. Filter rewriting only fires when the
+  * code attribute is already in the filter child's output (the
+  * filter-on-relation shape pushdown produces) — widening an arbitrary
+  * node's output could break arity-sensitive parents like Union.
+  *
   * Bails (leaves the plan untouched) when: no code attribute with dict
   * metadata exists on the relation that produced `c`; the chain between
   * aggregate and relation is anything but Project/Filter; or `c` reaches
@@ -71,8 +81,65 @@ case class DictAggRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => None
     }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case agg: Aggregate =>
+  /** The code for a dictionary value, or -1 when absent — -1 matches no
+    * code, so `dc = -1` reproduces `c = '<absent>'` row-for-row (false on
+    * non-null, null on null). Linear scan: dictionaries are ≤4096 entries
+    * and this runs once at plan time. */
+  private def codeOf(values: Array[String], s: String): Int = {
+    var i = 0
+    while (i < values.length) { if (values(i) == s) return i; i += 1 }
+    -1
+  }
+
+  private def rewriteFilter(f: Filter): Filter = {
+    val newCond = f.condition.transformUp {
+      case EqualTo(a: AttributeReference, Literal(v, StringType)) if v != null =>
+        dictPredicate(f.child, a, v.toString, EqualTo.apply).getOrElse(
+          EqualTo(a, Literal(v, StringType)))
+      case EqualTo(Literal(v, StringType), a: AttributeReference) if v != null =>
+        dictPredicate(f.child, a, v.toString, EqualTo.apply).getOrElse(
+          EqualTo(Literal(v, StringType), a))
+      case EqualNullSafe(a: AttributeReference, Literal(v, StringType)) if v != null =>
+        dictPredicate(f.child, a, v.toString, EqualNullSafe.apply).getOrElse(
+          EqualNullSafe(a, Literal(v, StringType)))
+      case in @ In(a: AttributeReference, list)
+          if a.dataType == StringType && list.nonEmpty && list.forall {
+            case Literal(v, StringType) => v != null
+            case _ => false
+          } =>
+        dictFor(f.child, a) match {
+          case Some((dc, values)) if f.child.outputSet.contains(dc) =>
+            val codes = list.collect { case Literal(v, StringType) =>
+              codeOf(values, v.toString)
+            }.filter(_ >= 0)
+            if (codes.isEmpty) EqualTo(dc, Literal(-1))
+            else In(dc, codes.map(Literal(_)))
+          case _ => in
+        }
+    }
+    if (newCond fastEquals f.condition) f else Filter(newCond, f.child)
+  }
+
+  /** `op(dc, code-literal)` when `a` has a dict whose code attr is in
+    * scope; a value absent from the dictionary compares against -1. */
+  private def dictPredicate(child: LogicalPlan, a: AttributeReference,
+                            s: String,
+                            op: (Expression, Expression) => Expression)
+      : Option[Expression] =
+    if (a.dataType != StringType) None
+    else dictFor(child, a) match {
+      case Some((dc, values)) if child.outputSet.contains(dc) =>
+        Some(op(dc, Literal(codeOf(values, s))))
+      case _ => None
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // filters first: the aggregate rewrite re-runs ColumnPruning, and a
+    // still-string-keyed filter below would pin the string column into
+    // the pruned scan before its own rewrite got a chance
+    val filtered = plan.transform { case f: Filter => rewriteFilter(f) }
+    filtered.transform {
+      case agg: Aggregate =>
       val grouped = agg.groupingExpressions.collect {
         case a: AttributeReference if a.dataType == StringType => a
       }
@@ -87,6 +154,7 @@ case class DictAggRule(spark: SparkSession) extends Rule[LogicalPlan] {
         rewriteOne(cur, c).getOrElse(cur)
       }
       if (out eq agg) agg else CollapseProject(ColumnPruning(out))
+    }
   }
 
   private def rewriteOne(agg: Aggregate, c: AttributeReference): Option[Aggregate] =

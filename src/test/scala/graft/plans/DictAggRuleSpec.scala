@@ -78,14 +78,14 @@ class DictAggRuleSpec extends SparkSpec {
     assert(q.as[Long].head() == 3L) // nulls excluded, like the plain path
   }
 
-  test("filter below the aggregate keeps its string column; rewrite still fires") {
+  test("filter on a non-dict column stays; aggregate rewrite still fires") {
     DictAggRule.install(spark)
-    val q = read().filter(col("source") === "web").groupBy("lang").count()
+    val q = read().filter(col("n") >= 30L).groupBy("lang").count()
     val fields = scanFields(q)
-    // lang never scanned; source still needed by the (unrewritten) filter
-    assert(!fields.contains("lang") && fields.contains("source"))
+    // lang never scanned; n still needed by the (unrewritable) filter
+    assert(!fields.contains("lang") && fields.contains("n"))
     val got = q.orderBy(asc_nulls_first("lang")).as[(Option[String], Long)].collect().toSeq
-    assert(got == Seq((None, 1L), (Some("deu"), 1L), (Some("eng"), 2L), (Some("fra"), 1L)))
+    assert(got == Seq((None, 1L), (Some("deu"), 2L), (Some("eng"), 1L), (Some("fra"), 2L)))
   }
 
   test("string min/max through the decode expression stays correct") {
@@ -98,6 +98,32 @@ class DictAggRuleSpec extends SparkSpec {
       (Some("deu"), Some("web"), Some("web")), // deu's null source ignored by min/max
       (Some("eng"), Some("book"), Some("web")),
       (Some("fra"), Some("book"), Some("web"))))
+  }
+
+  test("equality filter rewrites onto the code column; filter+groupBy scans no strings") {
+    DictAggRule.install(spark)
+    val q = read().filter(col("source") === "web").groupBy("lang").count()
+    val fields = scanFields(q)
+    assert(!fields.contains("lang") && !fields.contains("source"),
+      s"string column still scanned: $fields")
+    val got = q.orderBy(asc_nulls_first("lang")).as[(Option[String], Long)].collect().toSeq
+    assert(got == Seq((None, 1L), (Some("deu"), 1L), (Some("eng"), 2L), (Some("fra"), 1L)))
+  }
+
+  test("filter on a value absent from the dictionary matches nothing") {
+    DictAggRule.install(spark)
+    assert(read().filter(col("lang") === "zzz").count() == 0L)
+    // three-valued logic preserved: NOT(c = '<absent>') keeps nulls out
+    assert(read().filter(!(col("lang") === "zzz")).count() == 7L)
+  }
+
+  test("IN-list and null-safe equality rewrite with identical results") {
+    DictAggRule.install(spark)
+    val in = read().filter(col("lang").isin("eng", "deu", "zzz"))
+    assert(!scanFields(in.groupBy("lang").count()).contains("lang"))
+    assert(in.count() == 5L)
+    assert(read().filter(col("lang") <=> "fra").count() == 2L)
+    assert(read().filter(col("lang") <=> "zzz").count() == 0L)
   }
 
   test("no dict metadata → no rewrite; join of two dict tables doesn't cross wires") {
