@@ -143,13 +143,21 @@ object Bench {
         val lookup = timed {
           graft.sources.TemporalTable.recordRevisions(spark, dir, 7L).count()
         }
+        // consolidate the 1000 per-revision sidecars, then the same lookup
+        // reads ~one key-clustered file instead of 1000 tiny ones
+        graft.sources.TemporalTable.compactKeyIndex(spark, dir)
+        val lookupCompacted = timed {
+          graft.sources.TemporalTable.recordRevisions(spark, dir, 7L).count()
+        }
         val feed = timed {
           graft.streaming.ChangeFeed.revisionFeed(spark, dir).count()
         }
         val diffAged = timed {
           graft.sources.TemporalTable.diff(spark, dir, nRevs - 1, nRevs).count()
         }
-        Seq("h_record_lookup" -> lookup, "h_revision_feed" -> feed,
+        Seq("h_record_lookup" -> lookup,
+          "h_record_lookup_compacted" -> lookupCompacted,
+          "h_revision_feed" -> feed,
           "h_diff_adjacent_aged" -> diffAged)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] aged-history timing failed: ${e.getMessage}")

@@ -312,6 +312,51 @@ object TemporalTable {
 
   private[graft] def keyIndexDir(path: String): String = s"$path/_keyindex"
 
+  private[graft] def keyIndexCompactDir(path: String, upTo: Int): String =
+    s"${keyIndexDir(path)}/compact_upto=$upTo"
+
+  /** Newest COMPLETE key-index compaction (aborted writes leave no
+    * `_SUCCESS` and are invisible). */
+  private[graft] def newestKeyIndexCompaction(path: String): Option[Int] =
+    MetaIO.listDirs(keyIndexDir(path))
+      .flatMap(n => scala.util.Try(n.stripPrefix("compact_upto=").toInt).toOption)
+      .filter(u => MetaIO.exists(s"${keyIndexCompactDir(path, u)}/_SUCCESS"))
+      .maxOption
+
+  /** Consolidate the per-revision key-index sidecars into ONE
+    * key-range-clustered table — the analog of the reference's index-page
+    * consolidation (its RB-tree index pages are rewritten compact on
+    * commit; here a thousand per-commit sidecar files become `nFiles`
+    * key-sorted files whose row-group min/max prune a lookup to ~one
+    * file). [[recordRevisions]] reads the newest compaction plus only the
+    * sidecars of LATER revisions, so aged-table lookup cost stops growing
+    * with revision depth; sidecars stay in place (the compaction is an
+    * accelerator, not the source of truth, and a half-written one is
+    * ignored — readers require `_SUCCESS`). Superseded compactions are
+    * removed best-effort after the new one commits. Returns the highest
+    * revision covered. */
+  def compactKeyIndex(spark: SparkSession, path: String, nFiles: Int = 32): Int = {
+    val log = commits(path)
+    require(log.nonEmpty, s"compactKeyIndex: no commits at $path")
+    val indexed = MetaIO.listDirs(keyIndexDir(path))
+      .flatMap(n => scala.util.Try(n.stripPrefix("rev=").toInt).toOption).toSet
+    val missing = log.filterNot(c => indexed.contains(c.revision))
+    require(missing.isEmpty,
+      s"compactKeyIndex: sidecars missing for revisions ${missing.map(_.revision).mkString(",")}")
+    val upTo = log.map(_.revision).max
+    spark.read.option("basePath", keyIndexDir(path))
+      .parquet(log.map(c => s"${keyIndexDir(path)}/rev=${c.revision}"): _*)
+      .select(col("node_key"), col("rev").cast("int").as("rev"))
+      .repartitionByRange(nFiles, col("node_key"))
+      .sortWithinPartitions("node_key", "rev")
+      .write.mode("overwrite").parquet(keyIndexCompactDir(path, upTo))
+    MetaIO.listDirs(keyIndexDir(path))
+      .flatMap(n => scala.util.Try(n.stripPrefix("compact_upto=").toInt).toOption)
+      .filter(_ != upTo)
+      .foreach(u => MetaIO.delete(keyIndexCompactDir(path, u), recursive = true))
+    upTo
+  }
+
   /** Manifest preconditions on the schema alone: a `node_key` diff key and
     * no type xxhash64 cannot digest (maps). Ineligible tables still
     * commit — [[graft.operators.Diff.prunedDiff]] just recomputes pruning
@@ -436,16 +481,30 @@ object TemporalTable {
     val log = commits(path)
     val indexed = MetaIO.listDirs(keyIndexDir(path))
       .flatMap(n => scala.util.Try(n.stripPrefix("rev=").toInt).toOption).toSet
+    // revisions covered by the newest compaction read from ONE clustered
+    // table; only later commits fall back to their per-revision sidecars
+    val compactUpTo = newestKeyIndexCompaction(path).getOrElse(Int.MinValue)
+    val tail = log.filter(_.revision > compactUpTo)
     if (keyCol == "node_key" && log.nonEmpty &&
-        log.forall(c => indexed.contains(c.revision))) {
+        tail.forall(c => indexed.contains(c.revision))) {
       val meta = spark.createDataFrame(log)
         .select(col("revision"), timestamp_millis(col("commitTsMs")).as("commit_ts"))
+      val compacted =
+        if (compactUpTo == Int.MinValue) None
+        else Some(spark.read.parquet(keyIndexCompactDir(path, compactUpTo))
+          .filter(col("node_key") === key)
+          .select(col("rev").cast("int").as("revision")))
       // explicit committed-revision paths: an orphaned sidecar from an
       // aborted writer can never leak a phantom revision into the answer
-      spark.read.option("basePath", keyIndexDir(path))
-        .parquet(log.map(c => s"${keyIndexDir(path)}/rev=${c.revision}"): _*)
-        .filter(col("node_key") === key)
-        .select(col("rev").cast("int").as("revision"))
+      val tailed =
+        if (tail.isEmpty) None
+        else Some(spark.read.option("basePath", keyIndexDir(path))
+          .parquet(tail.map(c => s"${keyIndexDir(path)}/rev=${c.revision}"): _*)
+          .filter(col("node_key") === key)
+          .select(col("rev").cast("int").as("revision")))
+      // the broadcast meta join also screens out any compacted revision
+      // that is no longer in the commit log
+      (compacted.toSeq ++ tailed.toSeq).reduce(_ union _)
         .distinct()
         .join(broadcast(meta), "revision")
         .select(col("revision"), col("commit_ts"))

@@ -62,6 +62,43 @@ class KeyIndexSpec extends SparkSpec {
     assert(r.inputFiles.exists(!_.contains("_keyindex"))) // scan path
   }
 
+  test("compaction answers from one clustered table; later commits union in") {
+    val p = Files.createTempDirectory("graft-keyidx-cmp").resolve("tbl").toString
+    (1 to 6).foreach { r =>
+      TemporalTable.write(Seq(1L, 100L + r).toDF("node_key"), p, withManifest = false)
+    }
+    val upTo = TemporalTable.compactKeyIndex(spark, p, nFiles = 2)
+    assert(upTo == 6)
+    assert(TemporalTable.newestKeyIndexCompaction(p).contains(6))
+    // covered revisions come from the compaction, not per-rev sidecars
+    val hit = TemporalTable.recordRevisions(spark, p, 103L)
+    assert(hit.select("revision").as[Int].collect().toSeq == Seq(3))
+    assert(hit.inputFiles.forall(_.contains("compact_upto=6")))
+    // a post-compaction commit reads its own sidecar on top
+    TemporalTable.write(Seq(1L, 103L).toDF("node_key"), p, withManifest = false)
+    val both = TemporalTable.recordRevisions(spark, p, 103L)
+    assert(both.select("revision").as[Int].collect().toSeq == Seq(3, 7))
+    assert(both.inputFiles.exists(_.contains("compact_upto=6")) &&
+      both.inputFiles.exists(_.contains("rev=7")))
+    // re-compacting covers the tail and removes the superseded compaction
+    assert(TemporalTable.compactKeyIndex(spark, p, nFiles = 2) == 7)
+    assert(TemporalTable.newestKeyIndexCompaction(p).contains(7))
+    assert(!MetaIO.exists(TemporalTable.keyIndexCompactDir(p, 6)))
+    assert(TemporalTable.recordRevisions(spark, p, 103L)
+      .select("revision").as[Int].collect().toSeq == Seq(3, 7))
+  }
+
+  test("a compaction without _SUCCESS is invisible") {
+    val p = Files.createTempDirectory("graft-keyidx-abort").resolve("tbl").toString
+    TemporalTable.write(Seq(1L).toDF("node_key"), p, withManifest = false)
+    TemporalTable.compactKeyIndex(spark, p)
+    MetaIO.delete(s"${TemporalTable.keyIndexCompactDir(p, 1)}/_SUCCESS", recursive = false)
+    assert(TemporalTable.newestKeyIndexCompaction(p).isEmpty)
+    // lookup still green via the per-revision sidecars
+    assert(TemporalTable.recordRevisions(spark, p, 1L)
+      .select("revision").as[Int].collect().toSeq == Seq(1))
+  }
+
   test("withKeyIndex=false writes no sidecar; non-default keyCol scans") {
     val p = Files.createTempDirectory("graft-keyidx-off").resolve("tbl").toString
     TemporalTable.write(Seq((1L, "a")).toDF("node_key", "name"), p,
