@@ -1,0 +1,52 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.sources.TemporalTable
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+class TemporalSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("each micro-batch commits one revision; temporal reads compose") {
+    implicit val sqlCtx = spark.sqlContext
+    val p = Files.createTempDirectory("graft-sink").resolve("tbl").toString
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("node_key", "name")
+      .writeStream
+      .foreachBatch(TemporalSink.revisionWriter(p))
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-sink-ckpt").toString)
+      .start()
+    try {
+      in.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      in.addData((1L, "a2"), (3L, "c"))
+      q.processAllAvailable()
+      assert(TemporalTable.commits(p).map(_.revision) == Seq(1, 2))
+      assert(TemporalTable.commits(p).map(_.message) == Seq("batch=0", "batch=1"))
+      // streamed revisions behave exactly like batch commits
+      val snap2 = TemporalTable.read(spark, p, Some(2))
+      assert(snap2.select("node_key").as[Long].collect().toSet == Set(1L, 3L))
+      val feed = ChangeFeed.revisionFeed(spark, p)
+        .filter(col("revision") === 2)
+        .select("node_key", "change_type").as[(Long, String)].collect().toSet
+      assert(feed == Set((1L, "update"), (3L, "insert"), (2L, "delete")))
+    } finally q.stop()
+  }
+
+  test("a replayed batchId never double-commits; empty batches commit nothing") {
+    val p = Files.createTempDirectory("graft-sink-replay").resolve("tbl").toString
+    val w = TemporalSink.revisionWriter(p)
+    val batch = Seq((1L, "a")).toDF("node_key", "name")
+    w(batch, 0L)
+    w(batch, 0L) // retry of the same micro-batch
+    assert(TemporalTable.commits(p).map(_.revision) == Seq(1))
+    w(batch.limit(0), 1L) // empty micro-batch
+    assert(TemporalTable.commits(p).map(_.revision) == Seq(1))
+    w(batch, 2L)
+    assert(TemporalTable.commits(p).map(_.revision) == Seq(1, 2))
+  }
+}
