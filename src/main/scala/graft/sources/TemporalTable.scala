@@ -439,6 +439,22 @@ object TemporalTable {
       .withColumn("author", lit(meta.author))
   }
 
+  /** `revertTo(revision)` analog (reference: api/NodeTrx.java:50,
+    * api/xml/XmlNodeTrx.java:578): commit a NEW revision whose content is
+    * an older revision's snapshot. History stays immutable — revert moves
+    * forward, exactly like the reference's writer (revisions after the
+    * revert target remain readable; the new head just matches the old
+    * content). The snapshot is re-read from storage (deterministic
+    * lineage), so the manifest/key-index fold applies and an adjacent
+    * diff against the pre-revert head reproduces the inverse edits. */
+  def revert(spark: SparkSession, path: String, toRevision: Int,
+             author: String = "graft", message: String = ""): Int = {
+    val snap = read(spark, path, Some(toRevision))
+      .drop("revision", "commit_ts", "author")
+    val msg = if (message.nonEmpty) message else s"revert to $toRevision"
+    write(snap, path, author, msg)
+  }
+
   /** `jn:open-revisions(t1,t2)`: all snapshots committed in the window as
     * one history frame with revision metadata columns. A single scan over
     * the hive-partitioned layout (`rev=N/`) — the revision restriction is a

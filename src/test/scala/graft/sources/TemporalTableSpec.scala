@@ -86,6 +86,26 @@ class TemporalTableSpec extends SparkSpec {
     assert(d == Map(1L -> "delete", 2L -> "update", 5L -> "insert"))
   }
 
+  test("revert commits the old content forward; history stays readable") {
+    val p = freshPath()
+    TemporalTable.write(rev1, p)
+    TemporalTable.write(rev2, p)
+    assert(TemporalTable.revert(spark, p, 1) == 3)
+    // head content == revision 1's content
+    val head = TemporalTable.read(spark, p)
+      .select("node_key", "name", "price").orderBy("node_key")
+    val r1 = TemporalTable.read(spark, p, Some(1))
+      .select("node_key", "name", "price").orderBy("node_key")
+    assert(head.collect().toSeq == r1.collect().toSeq)
+    // the reverted-over revision is still time-travel readable
+    assert(TemporalTable.read(spark, p, Some(2)).count() == 3)
+    assert(TemporalTable.commits(p).last.message == "revert to 1")
+    // diff(2,3) is the inverse of diff(1,2): the rev-2 insert becomes a delete
+    val d = TemporalTable.diff(spark, p, 2, 3)
+      .select("node_key", "change_type").as[(Long, String)].collect().toSet
+    assert(d.contains((3L, "delete")) && d.contains((1L, "update")))
+  }
+
   test("unknown revision raises") {
     val p = freshPath()
     TemporalTable.write(rev1, p)
