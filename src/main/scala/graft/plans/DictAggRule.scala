@@ -93,6 +93,20 @@ case class DictAggRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def rewriteFilter(f: Filter): Filter = {
     val newCond = f.condition.transformUp {
+      // null-ness transfers exactly (code is null iff the string is) —
+      // and the main optimizer INFERS IsNotNull conjuncts from equality
+      // before this rule runs, which would otherwise pin the string
+      // column into the scan all by themselves
+      case IsNull(a: AttributeReference) if a.dataType == StringType =>
+        dictFor(f.child, a) match {
+          case Some((dc, _)) if f.child.outputSet.contains(dc) => IsNull(dc)
+          case _ => IsNull(a)
+        }
+      case IsNotNull(a: AttributeReference) if a.dataType == StringType =>
+        dictFor(f.child, a) match {
+          case Some((dc, _)) if f.child.outputSet.contains(dc) => IsNotNull(dc)
+          case _ => IsNotNull(a)
+        }
       case EqualTo(a: AttributeReference, Literal(v, StringType)) if v != null =>
         dictPredicate(f.child, a, v.toString, EqualTo.apply).getOrElse(
           EqualTo(a, Literal(v, StringType)))

@@ -46,6 +46,28 @@ object ExplainAudit {
     println("\n========== revisionFeed (single-plan change feed, 10 revisions) ==========")
     println(graft.streaming.ChangeFeed.revisionFeed(spark, feedPath)
       .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode))
+
+    // dictionary-surrogate rewrite: the group-by keys on int32 codes and
+    // the scan's ReadSchema carries no string column
+    graft.plans.DictAggRule.install(spark)
+    val dictPath = tmp.resolve("dict").toString
+    graft.operators.Dict.writeEncoded(
+      graft.Tables.df(spark, d, "documents").select("doc_id", "lang", "source", "n_chars"),
+      Seq("lang", "source"), dictPath)
+    val dictAgg = spark.read.parquet(dictPath)
+      .filter(col("source") === "src3")
+      .groupBy("lang").agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
+    println("\n========== dict-surrogate aggregate (no string column scanned) ==========")
+    println(dictAgg.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode))
+
+    // metadata-only min/max: the whole aggregate folds to a LocalRelation
+    graft.plans.MinMaxFromMetadataRule.install(spark)
+    val mm = spark.read.parquet(dictPath).agg(
+      min("doc_id").as("lo"), max("doc_id").as("hi"), count(lit(1)).as("n"))
+    println("\n========== metadata-only min/max (zero-task LocalRelation) ==========")
+    println(mm.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode))
     spark.stop()
   }
 }
