@@ -288,22 +288,42 @@ object Corpus {
     * Plan shape: one kernel histogram pass per side; every exchange is
     * vocabulary-keyed (distinct words, never the instance stream), the
     * totals are 1-row broadcasts, and the final aggregate is doc-keyed.
-    * The paper's hashed-n-gram variant (bucket `w` through
-    * `pmod(xxhash64(w), nBuckets)`) drops in unchanged when 100 TB
-    * vocabulary cardinality calls for a fixed-width distribution. */
+    * The paper's hashed-feature variant is [[importanceWeightsHashed]] —
+    * same plan, fixed-width key space. */
   def importanceWeights(raw: DataFrame, target: DataFrame, idCol: String,
-                        textCol: String): DataFrame = {
+                        textCol: String): DataFrame =
+    importanceWeightsOn(raw, target, idCol, textCol, identity)
+
+  /** [[importanceWeights]] over the paper's actual feature space: words
+    * bucketed through `pmod(xxhash64(w), nBuckets)` (DSIR §3 hashes
+    * n-grams into 10k buckets). The distribution is fixed-width no matter
+    * the vocabulary — at 100 TB the ratio table is exactly `nBuckets`
+    * rows, always broadcastable, immune to typo/CJK vocabulary explosion.
+    * With a collision-free bucket count the weights equal
+    * [[importanceWeights]]' exactly (spec-pinned); at the paper's 10k,
+    * collisions coarsen the distribution the same way they do in DSIR. */
+  def importanceWeightsHashed(raw: DataFrame, target: DataFrame,
+                              idCol: String, textCol: String,
+                              nBuckets: Int = 10000): DataFrame =
+    importanceWeightsOn(raw, target, idCol, textCol,
+      w => pmod(xxhash64(w), lit(nBuckets.toLong)))
+
+  private def importanceWeightsOn(raw: DataFrame, target: DataFrame,
+                                  idCol: String, textCol: String,
+                                  feature: Column => Column): DataFrame = {
     val df0 = Dedup.fanOut(raw, idCol)
     val id = col(idCol)
     val grams = Graphs.pinLocal(df0
       .select(id, explode(graft.functions.MinHashExpressions
         .wordCounts(col(textCol))).as("tc"))
-      .select(id, col("tc.w").as("w"), col("tc.cnt").as("cnt")))
+      // two words sharing a bucket may yield duplicate (id, w) rows —
+      // harmless: every consumer SUMs over them, and Σcnt_i·lr ≡ (Σcnt_i)·lr
+      .select(id, feature(col("tc.w")).as("w"), col("tc.cnt").as("cnt")))
     val corpus = grams.groupBy("w").agg(sum("cnt").as("ccnt"))
     val tgt = target
       .select(explode(graft.functions.MinHashExpressions
         .wordCounts(col(textCol))).as("tc"))
-      .select(col("tc.w").as("w"), col("tc.cnt").as("cnt"))
+      .select(feature(col("tc.w")).as("w"), col("tc.cnt").as("cnt"))
       .groupBy("w").agg(sum("cnt").as("tcnt"))
     val cTot = corpus.agg(sum("ccnt").as("c"))
     val tTot = tgt.agg(coalesce(sum("tcnt"), lit(0L)).as("t"))

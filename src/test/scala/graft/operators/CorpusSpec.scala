@@ -249,6 +249,30 @@ class CorpusSpec extends SparkSpec {
       "a different seed must permute differently")
   }
 
+  test("DSIR weights rank target-like docs higher; hashed variant matches exactly when collision-free") {
+    val docs = Seq(
+      (1L, "wiki", "science method experiment theory science"),
+      (2L, "wiki", "theory experiment method analysis"),
+      (3L, "web", "click here buy now cheap deals"),
+      (4L, "web", "science theory buy cheap"),
+      (5L, "web", "buy buy cheap cheap now")
+    ).toDF("doc_id", "source", "text")
+    val target = docs.filter($"source" === "wiki")
+    val w = Corpus.importanceWeights(docs, target, "doc_id", "text")
+      .select("doc_id", "dsir_weight").as[(Long, Double)].collect().toMap
+    // target docs and target-like docs must outrank pure off-domain docs
+    assert(w(1L) > w(3L) && w(2L) > w(5L) && w(4L) > w(5L))
+    // a collision-free bucket space reproduces the word-space weights
+    val hashed = Corpus.importanceWeightsHashed(docs, target, "doc_id", "text",
+        nBuckets = 1 << 22)
+      .select("doc_id", "dsir_weight").as[(Long, Double)].collect().toMap
+    assert(hashed == w, s"hashed-feature weights diverged: $hashed vs $w")
+    // the paper's 10k default still runs (collisions allowed) and keeps
+    // one row per doc
+    assert(Corpus.importanceWeightsHashed(docs, target, "doc_id", "text")
+      .count() == 5)
+  }
+
   test("trainingOrder interleaves applyMixRates epoch copies via extraKeyCols") {
     val df = (0L until 40L).map(i =>
       (i, Seq("a", "b", "c")(math.floorMod(i, 3).toInt))).toDF("doc_id", "stratum")
