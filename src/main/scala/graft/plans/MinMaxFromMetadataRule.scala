@@ -62,14 +62,30 @@ case class MinMaxFromMetadataRule(spark: SparkSession) extends Rule[LogicalPlan]
     case _ => None
   }
 
-  /** The parquet files of an unfiltered V1 scan, if the child is exactly
-    * that (attribute-only Projects allowed, nothing else). */
+  /** The parquet files of an unfiltered scan, if the child is exactly
+    * that (attribute-only Projects allowed, nothing else). Covers V1
+    * parquet relations and unfiltered graft-temporal V2 snapshots (the
+    * same scope split as [[CountFromMetadataRule.graftTableOf]]). */
   private def parquetFilesOf(plan: LogicalPlan): Option[Seq[String]] = plan match {
     case lr: LogicalRelation => lr.relation match {
       case fs: HadoopFsRelation if fs.fileFormat.isInstanceOf[ParquetFileFormat] =>
         Some(fs.location.inputFiles.toSeq)
       case _ => None
     }
+    case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+      r.table match {
+        case t: graft.sources.GraftTable if !t.isDeltaLayout =>
+          Some(t.resolvedDataPaths.flatMap(d =>
+            graft.sources.MetaIO.listDataFiles(d, ".parquet").map(_.toString)))
+        case _ => None
+      }
+    case sr: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+      val unfiltered = sr.scan match {
+        case ps: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
+          ps.pushedFilters.isEmpty && ps.partitionFilters.isEmpty && ps.dataFilters.isEmpty
+        case _ => false
+      }
+      if (unfiltered) parquetFilesOf(sr.relation) else None
     case Project(projectList, child) if projectList.forall(_.isInstanceOf[Attribute]) =>
       parquetFilesOf(child)
     case _ => None

@@ -56,6 +56,21 @@ class MinMaxFromMetadataRuleSpec extends SparkSpec {
     assert(q.as[(Option[Long], Long)].head() == ((None, 2L)))
   }
 
+  test("folds over an unfiltered graft-temporal V2 snapshot") {
+    MinMaxFromMetadataRule.install(spark)
+    val p = java.nio.file.Files.createTempDirectory("graft-minmax-v2")
+      .resolve("tbl").toString
+    graft.sources.TemporalTable.write(
+      Seq((1L, 5L), (2L, 9L)).toDF("node_key", "v"), p)
+    graft.sources.TemporalTable.write(
+      Seq((1L, 6L), (2L, 9L), (3L, -4L)).toDF("node_key", "v"), p)
+    val q = spark.read.format("graft-temporal").load(p)
+      .agg(min("v").as("lo"), max("v").as("hi"), count(lit(1)).as("n"))
+    assert(rewritten(q))
+    // latest revision only — never the whole history
+    assert(q.as[(Long, Long, Long)].head() == ((-4L, 9L, 3L)))
+  }
+
   test("grouped aggregate is untouched") {
     MinMaxFromMetadataRule.install(spark)
     val q = spark.read.parquet(dir).groupBy("s").agg(min("v").as("lo"))
