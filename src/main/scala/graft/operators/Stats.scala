@@ -108,17 +108,50 @@ object Stats {
 
   /** [[quantiles]] without display rounding — the form boundary CONSUMERS
     * (equi-depth bucketing) must use, so bucket membership is decided
-    * against the true quantile, not a 4-decimal approximation. */
+    * against the true quantile, not a 4-decimal approximation.
+    *
+    * The exact path is DISTRIBUTED: Spark's `percentile` aggregate
+    * buffers every value in one aggregation buffer (the documented 100 TB
+    * wall), so instead the column is range-partition sorted (distributed),
+    * indexed with `zipWithIndex` (per-partition offsets, one extra count
+    * job), and only the ≤ 2·|qs| rows at the quantile positions are
+    * collected — driver state is O(|qs|), never O(n). Interpolation
+    * reproduces `percentile`/`quantile_cont` semantics exactly:
+    * `v[⌊p⌋] + (p−⌊p⌋)·(v[⌈p⌉]−v[⌊p⌋])` at `p = q·(n−1)`
+    * (differential-spec-pinned against the SQL aggregate). The rare
+    * genuine-RDD use: a global sorted index has no DataFrame form that
+    * doesn't funnel through one window partition. */
   private def rawQuantiles(df: DataFrame, c: String, qs: Seq[Double],
                            exact: Boolean): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 1), "qs must be in [0,1]")
-    val fn = if (exact) "percentile" else "approx_percentile"
-    val arr = df.agg(
-      expr(s"$fn(CAST($c AS DOUBLE), array(${qs.mkString(", ")}))").as("__qs"))
-    arr.select(explode(arrays_zip(
-        array(qs.map(lit): _*).as("q"),
-        expr("transform(__qs, x -> CAST(x AS DOUBLE))").as("value"))).as("s"))
-      .select(col("s.q").as("q"), col("s.value").as("value"))
+    if (exact) {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val vals = df.select(col(c).cast("double").as("v")).na.drop()
+      val n = vals.count()
+      if (n == 0L) return qs.map(q => (q, Option.empty[Double])).toDF("q", "value")
+      val positions = qs.map(q => q * (n - 1))
+      val needed = positions
+        .flatMap(p => Seq(math.floor(p).toLong, math.ceil(p).toLong)).toSet
+      val bc = spark.sparkContext.broadcast(needed)
+      val picked = vals.sort("v").rdd.map(_.getDouble(0)).zipWithIndex()
+        .filter { case (_, i) => bc.value.contains(i) }
+        .map(_.swap).collectAsMap()
+      qs.zip(positions).map { case (q, p) =>
+        val lo = math.floor(p).toLong
+        val v =
+          if (p == lo) picked(lo)
+          else picked(lo) + (p - lo) * (picked(lo + 1) - picked(lo))
+        (q, Some(v))
+      }.toDF("q", "value")
+    } else {
+      val arr = df.agg(
+        expr(s"approx_percentile(CAST($c AS DOUBLE), array(${qs.mkString(", ")}))").as("__qs"))
+      arr.select(explode(arrays_zip(
+          array(qs.map(lit): _*).as("q"),
+          expr("transform(__qs, x -> CAST(x AS DOUBLE))").as("value"))).as("s"))
+        .select(col("s.q").as("q"), col("s.value").as("value"))
+    }
   }
 
   /** Equi-depth histogram: `nBuckets` buckets holding ~equal row counts,

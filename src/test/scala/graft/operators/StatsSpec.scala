@@ -48,6 +48,25 @@ class StatsSpec extends SparkSpec {
     assert(q.head._2 == 10.0 && q(1)._2 == 20.0 && q.last._2 == 50.0)
   }
 
+  test("distributed exact quantiles bit-match the percentile aggregate") {
+    val rnd = new scala.util.Random(41)
+    val data = Seq.fill(997)(rnd.nextDouble() * 1000 - 500) ++ Seq.fill(13)(7.25)
+    val ddf = data.toDF("x").repartition(7)
+    val qs = Seq(0.0, 0.01, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0)
+    val dist = Stats.quantiles(ddf, "x", qs).orderBy("q")
+      .as[(Double, Double)].collect().toSeq
+    val viaSql = ddf.selectExpr(
+        s"percentile(CAST(x AS DOUBLE), array(${qs.mkString(",")})) AS a")
+      .selectExpr("explode(a) AS v").as[Double].collect().toSeq
+      .map(v => math.rint(v * 10000) / 10000) // same 4dp display rounding
+    assert(dist.map(_._2) == viaSql,
+      s"distributed ${dist.map(_._2)} != aggregate $viaSql")
+    // all-null column → null quantiles, like the aggregate
+    val nulls = Seq[Option[Double]](None, None).toDF("x")
+    assert(Stats.quantiles(nulls, "x", Seq(0.5)).select("value")
+      .as[Option[Double]].head().isEmpty)
+  }
+
   test("pearson matches known correlations and ignores null pairs") {
     val perfect = Seq((1.0, 2.0), (2.0, 4.0), (3.0, 6.0), (4.0, 8.0)).toDF("x", "y")
     assert(Stats.pearson(perfect, "x", "y").select("r").as[Double].head() == 1.0)
