@@ -271,6 +271,30 @@ object Corpus {
         sum(col("cnt")).as("n_bigrams"))
   }
 
+  /** CCNet-style quality bucketing (Wenzek et al. 2020, "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl Data",
+    * arXiv:1911.00359 §4.4 — corpora are split into head/middle/tail by
+    * LM perplexity and consumed selectively). Threshold-based, not
+    * `ntile`: a global ntile window funnels the corpus through ONE
+    * partition; here the `nBuckets−1` quantile boundaries come from the
+    * distributed [[Stats.quantiles]] job and land as literals in a
+    * comparison chain, so assignment is pure map-side at any scale.
+    * Adds `bucket` (1 = lowest `scoreCol`, `nBuckets` = highest — with a
+    * mean-log-prob score like [[charBigramLmScore]]'s, the top bucket is
+    * CCNet's "head"). Boundary ties go to the lower bucket in both
+    * engines (strict `>` chain). */
+  def perplexityBuckets(scored: DataFrame, scoreCol: String,
+                        nBuckets: Int = 3): DataFrame = {
+    require(nBuckets >= 2, "perplexityBuckets: need at least 2 buckets")
+    val qs = (1 until nBuckets).map(_.toDouble / nBuckets)
+    val bounds = Stats.quantiles(scored, scoreCol, qs)
+      .orderBy("q").select("value").collect().map(_.getDouble(0))
+    val bucket = bounds.foldLeft(lit(1)) { (acc, b) =>
+      acc + when(col(scoreCol) > lit(b), 1).otherwise(0)
+    }
+    scored.withColumn("bucket", bucket)
+  }
+
   /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling", arXiv:2302.03169):
     * score every corpus document by the mean log-likelihood ratio of its

@@ -126,6 +126,17 @@ object PipelineQueries {
     "x_lm_score" -> { (s, d) =>
       Corpus.charBigramLmScore(docs(s, d), "doc_id", "text").orderBy("doc_id")
     },
+    // CCNet head/middle/tail split over the self-trained LM score
+    "x_ccnet_buckets" -> { (s, d) =>
+      val scored = Corpus.charBigramLmScore(docs(s, d), "doc_id", "text")
+        .select("doc_id", "lm_score")
+      Corpus.perplexityBuckets(scored, "lm_score", 3)
+        .select(col("doc_id"), col("lm_score"),
+          when(col("bucket") === 3, "head")
+            .when(col("bucket") === 2, "middle")
+            .otherwise("tail").as("bucket"))
+        .orderBy("doc_id")
+    },
     // DSIR importance weights against a target slice of the corpus
     "x_dsir" -> { (s, d) =>
       val all = docs(s, d)
@@ -430,6 +441,34 @@ object PipelineQueries {
         |  FROM scored)
         |SELECT doc_id, term, tfidf, CAST(rn AS INTEGER) AS rank
         |FROM r WHERE rn <= 3 ORDER BY doc_id, rank""".stripMargin,
+    // same lm_score derivation as x_lm_score; quantile_cont matches
+    // Stats.quantiles' interpolation (R-7), both rounded to 4dp before
+    // the strict-> comparison chain, so boundary ties agree
+    "x_ccnet_buckets" ->
+      """WITH grams AS (
+        |  SELECT doc_id, substr(text, CAST(i AS INTEGER), 2) AS g
+        |  FROM documents, UNNEST(range(1, length(text))) AS t(i)
+        |  WHERE length(text) >= 2),
+        |bi AS (SELECT g, COUNT(*) AS cnt2 FROM grams GROUP BY g),
+        |uni AS (
+        |  SELECT substr(g, 1, 1) AS c1, COUNT(*) AS cnt1
+        |  FROM grams GROUP BY substr(g, 1, 1)),
+        |probs AS (
+        |  SELECT g, ROUND(ln(CAST(cnt2 AS DOUBLE) / cnt1), 6) AS lp
+        |  FROM bi JOIN uni ON uni.c1 = substr(bi.g, 1, 1)),
+        |scored AS (
+        |  SELECT doc_id,
+        |    ROUND(CAST(SUM(CAST(lp AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4) AS lm_score
+        |  FROM grams JOIN probs USING (g) GROUP BY doc_id),
+        |b AS (
+        |  SELECT ROUND(quantile_cont(lm_score, 1.0/3), 4) AS b1,
+        |         ROUND(quantile_cont(lm_score, 2.0/3), 4) AS b2
+        |  FROM scored)
+        |SELECT doc_id, lm_score,
+        |  CASE WHEN lm_score > b2 THEN 'head'
+        |       WHEN lm_score > b1 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM scored, b ORDER BY doc_id""".stripMargin,
     // instance-level decimal fold == Spark's histogram-level sum(lr·cnt)
     // (decimal × integer is exact); COUNT(*) avoids the HUGEINT SUM trap
     "x_dsir" ->

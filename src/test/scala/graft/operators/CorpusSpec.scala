@@ -249,6 +249,20 @@ class CorpusSpec extends SparkSpec {
       "a different seed must permute differently")
   }
 
+  test("perplexityBuckets splits head/middle/tail on thresholds, map-side") {
+    val scored = (1 to 90).map(i => (i.toLong, i.toDouble)).toDF("doc_id", "s")
+    val b = Corpus.perplexityBuckets(scored, "s", 3)
+      .select("doc_id", "bucket").as[(Long, Int)].collect().toMap
+    // uniform scores → thirds; strict-> chain sends boundary ties down
+    assert(b(10L) == 1 && b(45L) == 2 && b(80L) == 3)
+    val sizes = b.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(sizes.values.forall(n => n >= 28 && n <= 32), s"unbalanced: $sizes")
+    // no window/exchange on the assignment side: boundaries are literals
+    val plan = Corpus.perplexityBuckets(scored, "s", 3)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Window"), "bucket assignment must not use a window")
+  }
+
   test("DSIR weights rank target-like docs higher; hashed variant matches exactly when collision-free") {
     val docs = Seq(
       (1L, "wiki", "science method experiment theory science"),
