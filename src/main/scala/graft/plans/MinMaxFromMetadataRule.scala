@@ -126,6 +126,25 @@ case class MinMaxFromMetadataRule(spark: SparkSession) extends Rule[LogicalPlan]
             block.getColumns.asScala.find(_.getPath.toDotString == c) match {
               case None => false // column absent from this file: bail
               case Some(chunk) =>
+                // trust only signed int32/int64 statistics: an UNSIGNED
+                // logical type (Spark reads UINT32 as long) carries
+                // unsigned-comparator stats that a signed fold would
+                // misorder — bail to the scan
+                val prim = chunk.getPrimitiveType
+                val signedInt = (prim.getPrimitiveTypeName ==
+                    org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT32 ||
+                  prim.getPrimitiveTypeName ==
+                    org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64) &&
+                  (prim.getLogicalTypeAnnotation match {
+                    case null => true
+                    case i: org.apache.parquet.schema.LogicalTypeAnnotation
+                        .IntLogicalTypeAnnotation => i.isSigned
+                    case _: org.apache.parquet.schema.LogicalTypeAnnotation
+                        .DateLogicalTypeAnnotation => true
+                    case _ => false
+                  })
+                if (!signedInt) false
+                else {
                 val stats = chunk.getStatistics
                 if (stats == null || stats.isEmpty) false
                 else if (!stats.hasNonNullValue)
@@ -138,6 +157,7 @@ case class MinMaxFromMetadataRule(spark: SparkSession) extends Rule[LogicalPlan]
                     }
                     true
                   case _ => false
+                }
                 }
             }
           }
