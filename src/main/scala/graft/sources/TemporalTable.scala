@@ -298,9 +298,15 @@ object TemporalTable {
         if (wantManifest || wantKeys) {
           val src = if (fromCache) frame
                     else df.sparkSession.read.parquet(s"$path/rev=$rev")
-          if (wantManifest) writeManifestFrom(src, path, rev)
-          if (wantKeys) src.select(col("node_key"))
-            .write.mode("overwrite").parquet(s"${keyIndexDir(path)}/rev=$rev")
+          // both sidecars consume src: pin the re-read once instead of
+          // scanning the fresh revision twice (cached frames already are)
+          val pinSrc = !fromCache && wantManifest && wantKeys
+          if (pinSrc) src.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            if (wantManifest) writeManifestFrom(src, path, rev)
+            if (wantKeys) src.select(col("node_key"))
+              .write.mode("overwrite").parquet(s"${keyIndexDir(path)}/rev=$rev")
+          } finally if (pinSrc) { src.unpersist(); () }
         }
       } finally if (pinHere) { frame.unpersist(); () }
       logCommit(path, rev, author, message)
