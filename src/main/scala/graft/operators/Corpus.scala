@@ -281,18 +281,27 @@ object Corpus {
     * comparison chain, so assignment is pure map-side at any scale.
     * Adds `bucket` (1 = lowest `scoreCol`, `nBuckets` = highest — with a
     * mean-log-prob score like [[charBigramLmScore]]'s, the top bucket is
-    * CCNet's "head"). Boundary ties go to the lower bucket in both
-    * engines (strict `>` chain). */
+    * CCNet's "head"; a null score yields a null bucket). Boundary ties go
+    * to the lower bucket in both engines (strict `>` chain). Boundaries
+    * are DELIBERATELY the 4dp-rounded [[Stats.quantiles]] — bucket edges
+    * must be cross-engine-stable for the oracle twin, and scores
+    * themselves are published at the same display precision (the
+    * [[charBigramLmScore]] trade); equi-depth HISTOGRAMS, whose counts
+    * must tie out exactly, keep using the unrounded boundaries per
+    * [[Stats]]' contract. */
   def perplexityBuckets(scored: DataFrame, scoreCol: String,
                         nBuckets: Int = 3): DataFrame = {
     require(nBuckets >= 2, "perplexityBuckets: need at least 2 buckets")
     val qs = (1 until nBuckets).map(_.toDouble / nBuckets)
-    val bounds = Stats.quantiles(scored, scoreCol, qs)
-      .orderBy("q").select("value").collect().map(_.getDouble(0))
+    val rows = Stats.quantiles(scored, scoreCol, qs).orderBy("q").collect()
+    require(rows.forall(!_.isNullAt(1)),
+      s"perplexityBuckets: `$scoreCol` has no non-null values to bucket")
+    val bounds = rows.map(_.getDouble(1))
     val bucket = bounds.foldLeft(lit(1)) { (acc, b) =>
       acc + when(col(scoreCol) > lit(b), 1).otherwise(0)
     }
-    scored.withColumn("bucket", bucket)
+    scored.withColumn("bucket",
+      when(col(scoreCol).isNotNull, bucket))
   }
 
   /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection

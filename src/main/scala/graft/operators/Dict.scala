@@ -51,8 +51,12 @@ object Dict {
     * their natural form. */
   def encode(df: DataFrame, cols: Seq[String], maxDict: Int = 4096): DataFrame = {
     require(cols.nonEmpty, "Dict.encode: no columns given")
+    require(cols.distinct == cols,
+      s"Dict.encode: duplicate columns in ${cols.mkString(",")}")
     cols.foldLeft(df) { (d, c) =>
-      require(!df.columns.contains(codeCol(c)),
+      // check the accumulator, not the original frame — a prior fold step
+      // may already have added this code column
+      require(!d.columns.contains(codeCol(c)),
         s"Dict.encode: input already has a ${codeCol(c)} column")
       val values = d.select(col(c)).na.drop().distinct()
         .orderBy(col(c)).limit(maxDict + 1)

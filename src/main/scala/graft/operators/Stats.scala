@@ -127,7 +127,10 @@ object Stats {
     if (exact) {
       val spark = df.sparkSession
       import spark.implicits._
-      val vals = df.select(col(c).cast("double").as("v")).na.drop()
+      // drop ONLY nulls — the percentile aggregate keeps NaN (sorted
+      // greatest, like Spark's double ordering), and so must this path
+      val vals = df.select(col(c).cast("double").as("v"))
+        .filter(col("v").isNotNull)
       val n = vals.count()
       if (n == 0L) return qs.map(q => (q, Option.empty[Double])).toDF("q", "value")
       val positions = qs.map(q => q * (n - 1))

@@ -91,7 +91,18 @@ case class DictAggRule(spark: SparkSession) extends Rule[LogicalPlan] {
     -1
   }
 
+  /** Project/Filter-over-one-relation shapes only — a Filter above a
+    * Union passes `outputSet`/`dictFor` checks with the FIRST child's
+    * exprIds, and rewriting there would apply one table's codes to every
+    * child's rows. */
+  private def simpleChain(p: LogicalPlan): Boolean = p match {
+    case _: Project | _: Filter => simpleChain(p.children.head)
+    case leaf if leaf.children.isEmpty => true
+    case _ => false
+  }
+
   private def rewriteFilter(f: Filter): Filter = {
+    if (!simpleChain(f.child)) return f
     val newCond = f.condition.transformUp {
       // null-ness transfers exactly (code is null iff the string is) —
       // and the main optimizer INFERS IsNotNull conjuncts from equality
@@ -172,7 +183,8 @@ case class DictAggRule(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   private def rewriteOne(agg: Aggregate, c: AttributeReference): Option[Aggregate] =
-    dictFor(agg.child, c).flatMap { case (dc, values) =>
+    if (!simpleChain(agg.child)) None
+    else dictFor(agg.child, c).flatMap { case (dc, values) =>
       inject(agg.child, dc).map { newChild =>
         val decode = ElementAt(
           Literal.create(values.toSeq, ArrayType(StringType)),
@@ -191,11 +203,20 @@ case class DictAggRule(spark: SparkSession) extends Rule[LogicalPlan] {
               Alias(decode, a.name)(a.exprId, a.qualifier)
             case other => other.transformDown {
               // distinct aggregation distinguishes exactly what codes
-              // distinguish — count the codes, never decode
+              // distinguish — a BARE column argument counts the codes;
+              // a reference nested inside an expression (substring(c,..))
+              // must decode like everywhere else, or the rewrite would
+              // hand an int32 to a string function
               case ae: AggregateExpression if ae.isDistinct =>
-                ae.transformUp {
+                val af = ae.aggregateFunction
+                val newChildren = af.children.map {
                   case a: AttributeReference if a.exprId == c.exprId => dc
+                  case child => child.transformUp {
+                    case a: AttributeReference if a.exprId == c.exprId => decode
+                  }
                 }
+                ae.copy(aggregateFunction = af.withNewChildren(newChildren)
+                  .asInstanceOf[org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction])
               case a: AttributeReference if a.exprId == c.exprId => decode
             }
           }

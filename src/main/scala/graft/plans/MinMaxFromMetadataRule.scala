@@ -105,11 +105,35 @@ case class MinMaxFromMetadataRule(spark: SparkSession) extends Rule[LogicalPlan]
     case _ => None
   }
 
+  /** Memo for folded footers — the optimizer batch runs to fixed point
+    * and every explain() recompiles, so without it a bailing table would
+    * re-open all O(files) footers per compilation. Keyed by the exact
+    * file list: any rewrite produces fresh per-job part-file names, so a
+    * changed table never hits a stale entry. Bounded (cleared at 64
+    * entries); negative results are cached too. */
+  private val statsCache = scala.collection.mutable.HashMap
+    .empty[(Seq[String], Seq[String]), Option[(Map[String, Acc], Long)]]
+
+  private def foldStats(files: Seq[String], cols: Seq[String])
+      : Option[(Map[String, Acc], Long)] = {
+    val key = (files, cols)
+    statsCache.synchronized(statsCache.get(key)) match {
+      case Some(hit) => hit
+      case None =>
+        val computed = foldStatsUncached(files, cols)
+        statsCache.synchronized {
+          if (statsCache.size >= 64) statsCache.clear()
+          statsCache(key) = computed
+        }
+        computed
+    }
+  }
+
   /** Fold footer statistics for `cols` across all files. None = any
     * statistic absent/untrustworthy → caller must not rewrite. Files are
     * read concurrently into per-file partials (no shared mutable state on
     * pool threads) and merged on the calling thread. */
-  private def foldStats(files: Seq[String], cols: Seq[String])
+  private def foldStatsUncached(files: Seq[String], cols: Seq[String])
       : Option[(Map[String, Acc], Long)] = {
     val conf = spark.sparkContext.hadoopConfiguration
     // per-file partial: rows + per-col Some((lo, hi)) / None (col all-null

@@ -141,6 +141,35 @@ class DictAggRuleSpec extends SparkSpec {
     assert(j.collect().toSeq.map(r => (r.getString(0), r.getLong(1))) == Seq(("eng", 3L)))
   }
 
+  test("distinct agg over an EXPRESSION of the column decodes, never hands codes to string functions") {
+    DictAggRule.install(spark)
+    // lang is a candidate via the grouping; its nested reference inside
+    // the distinct substring must decode, not substitute the int code
+    val q = read().groupBy("lang")
+      .agg(countDistinct(substring(col("lang"), 1, 2)).as("n"))
+      .orderBy(asc_nulls_first("lang"))
+    assert(q.as[(Option[String], Long)].collect().toSeq ==
+      Seq((None, 0L), (Some("deu"), 1L), (Some("eng"), 1L), (Some("fra"), 1L)))
+    // bare distinct argument still counts codes (no decode in the plan)
+    val bare = read().agg(countDistinct(col("source")).as("n"))
+    assert(bare.as[Long].head() == 2L)
+  }
+
+  test("filter above a union of two dict tables must not rewrite (codes differ)") {
+    DictAggRule.install(spark)
+    val d2 = java.nio.file.Files.createTempDirectory("graft-dict2").toString + "/t"
+    // second table's dictionary assigns DIFFERENT codes to the same values
+    // ("aaa" sorts before "eng"/"fra", shifting every code by one)
+    Dict.writeEncoded(Seq(("aaa", "web", 1L), ("eng", "web", 2L), ("fra", "web", 3L))
+      .toDF("lang", "source", "n"), Seq("lang", "source"), d2)
+    val u = read().select("lang", "n").union(spark.read.parquet(d2).select("lang", "n"))
+    // a nondeterministic leading conjunct keeps the filter above the Union
+    val kept = u.filter(rand(7) <= 1.0 && col("lang") === "fra")
+      .select("lang").as[String].collect().toSeq
+    assert(kept == Seq("fra", "fra", "fra"),
+      s"union filter returned $kept — first table's codes applied to the second's rows")
+  }
+
   test("rule is idempotent and encode() guards cardinality") {
     DictAggRule.install(spark)
     DictAggRule.install(spark)
