@@ -312,11 +312,32 @@ object Dedup {
     * [[dedupGroups]] labels; the text column still never shuffles. */
   def dedupCorpusBest(df: DataFrame, idCol: String, textCol: String,
                       scoreCol: String, shingleLen: Int = 5,
-                      numHashes: Int = 8, bandSize: Int = 2): DataFrame = {
-    val groups = dedupGroups(df, idCol, textCol, shingleLen, numHashes, bandSize)
-    // rank-within-group rather than max(struct(score, -id)): negation would
-    // assume a numeric id, but ids may be strings (same contract as
-    // dedupGroups). Groups are tiny, so the per-group window is safe.
+                      numHashes: Int = 8, bandSize: Int = 2): DataFrame =
+    bestFromGroups(df, idCol, scoreCol,
+      dedupGroups(df, idCol, textCol, shingleLen, numHashes, bandSize))
+
+  /** [[dedupCorpusBest]] with the group labels PERSISTED to
+    * `sidecarPath` and the selection computed over the stored table —
+    * the oracle chain: `d_dedup_groups` pins the labels themselves
+    * cell-for-cell, and this pins the best-representative selection over
+    * exactly the labels Spark stored (the
+    * [[Similarity.semanticDedupVerified]] pattern). */
+  def dedupCorpusBestVerified(df: DataFrame, idCol: String, textCol: String,
+                              scoreCol: String, shingleLen: Int,
+                              numHashes: Int, bandSize: Int,
+                              sidecarPath: String): DataFrame = {
+    dedupGroups(df, idCol, textCol, shingleLen, numHashes, bandSize)
+      .write.mode("overwrite").parquet(sidecarPath)
+    bestFromGroups(df, idCol, scoreCol,
+      df.sparkSession.read.parquet(sidecarPath))
+  }
+
+  /** Best representative per dedup group: rank-within-group rather than
+    * max(struct(score, -id)) — negation would assume a numeric id, but
+    * ids may be strings (same contract as dedupGroups). Groups are tiny,
+    * so the per-group window is safe. */
+  private def bestFromGroups(df: DataFrame, idCol: String, scoreCol: String,
+                             groups: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("group_id").orderBy(col(scoreCol).desc, col(idCol).asc)
     val keep = df.select(col(idCol), col(scoreCol))

@@ -23,6 +23,10 @@ object PipelineQueries {
     * same absolute path as a string literal. */
   private val semDedupCellsPath = "/tmp/graft_semdedup_cells"
 
+  /** Sidecar path for the d_dedup_best group labels (same fixed-path
+    * contract as [[semDedupCellsPath]]). */
+  private val dedupBestGroupsPath = "/tmp/graft_dedup_best_groups"
+
   /** Shared oracle WITH-prefix: per-doc 32-bit simhash as CTE `sh`
     * (consumed by d_simhash and d_simhash_pairs). */
   private val simhashCte =
@@ -63,6 +67,13 @@ object PipelineQueries {
     // near-dup group labels: LSH candidate pairs -> connected components
     "d_dedup_groups" -> { (s, d) =>
       Dedup.dedupGroups(docs(s, d), "doc_id", "text", 5, 8, 2).orderBy("doc_id")
+    },
+    // best representative per near-dup group (labels persisted; see
+    // dedupBestGroupsPath scaladoc for the verification chain)
+    "d_dedup_best" -> { (s, d) =>
+      Dedup.dedupCorpusBestVerified(docs(s, d), "doc_id", "text", "n_chars",
+          5, 8, 2, dedupBestGroupsPath)
+        .select("doc_id", "n_chars").orderBy("doc_id")
     },
     // winnowing (rolling-hash window-min) fingerprints
     "d_winnowing" -> { (s, d) =>
@@ -306,6 +317,16 @@ object PipelineQueries {
     "d_minhash_pairs" ->
       ("WITH " + PipelineOracleSql.minhashPairsCtes +
         "\nSELECT id_a, id_b FROM pairs ORDER BY id_a, id_b"),
+    // selection over the STORED labels; d_dedup_groups pins the labels
+    "d_dedup_best" ->
+      """WITH g AS (
+        |  SELECT * FROM read_parquet('/tmp/graft_dedup_best_groups/*.parquet')),
+        |r AS (
+        |  SELECT d.doc_id, d.n_chars,
+        |    row_number() OVER (PARTITION BY g.group_id
+        |                       ORDER BY d.n_chars DESC, d.doc_id) AS rn
+        |  FROM documents d JOIN g USING (doc_id))
+        |SELECT doc_id, n_chars FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "d_dedup_groups" ->
       ("WITH RECURSIVE " + PipelineOracleSql.minhashPairsCtes + ",\n" +
         """edges AS (
