@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Corpus, Dedup, Quantize, Similarity}
+import graft.operators.{Corpus, Dedup, IvfIndex, Quantize, Similarity}
 
 /** Training-data pipeline operators (builder brief: dedup, similarity
   * search, text analysis) over the `documents` and `embeddings` tables.
@@ -26,6 +26,13 @@ object PipelineQueries {
   /** Sidecar path for the d_dedup_best group labels (same fixed-path
     * contract as [[semDedupCellsPath]]). */
   private val dedupBestGroupsPath = "/tmp/graft_dedup_best_groups"
+
+  /** Fixed paths for the s_ivf_search oracle: the clustered index itself
+    * plus (vec_id, ivf_cell) and (cell, centroid) parquet sidecars the
+    * oracle re-derives the probe + scan from. */
+  private val ivfIndexPath = "/tmp/graft_ivf_idx"
+  private val ivfCellsPath = "/tmp/graft_ivf_cells"
+  private val ivfCentroidsPath = "/tmp/graft_ivf_centroids"
 
   /** Shared oracle WITH-prefix: per-doc 32-bit simhash as CTE `sh`
     * (consumed by d_simhash and d_simhash_pairs). */
@@ -108,6 +115,26 @@ object PipelineQueries {
       val e = emb(s, d)
       val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
       Similarity.cosineTopK(e, "vec_id", "embedding", q, 20)
+    },
+    // IVF ANN search over the persisted clustered layout; the oracle
+    // re-derives probe selection (L2 to the stored centroids) and the
+    // in-cell cosine top-k from the parquet sidecars
+    "s_ivf_search" -> { (s, d) =>
+      val e = emb(s, d)
+      val (model, assigned) = IvfIndex.fit(e, "embedding", nLists = 8)
+      IvfIndex.writeClustered(assigned, model, ivfIndexPath)
+      assigned.select("vec_id", "ivf_cell")
+        .write.mode("overwrite").parquet(ivfCellsPath)
+      import s.implicits._
+      model.centroids.zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cell", "centroid")
+        .write.mode("overwrite").parquet(ivfCentroidsPath)
+      val q = e.filter(col("vec_id") === 0)
+        .selectExpr("transform(embedding, x -> CAST(x AS DOUBLE)) AS q")
+        .as[Seq[Double]].head().toArray
+      IvfIndex.searchClustered(s, ivfIndexPath, "vec_id", "embedding",
+        q, 10, nProbe = 3)
     },
     // embedding near-duplicate pairs within a label
     "s_neardup_embed" -> { (s, d) =>
@@ -378,6 +405,26 @@ object PipelineQueries {
         |JOIN counts cb ON cb.doc_id = id_b
         |WHERE CAST(n_inter AS DOUBLE) / (ca.n_grams + cb.n_grams - n_inter) >= 0.05
         |ORDER BY id_a, id_b""".stripMargin,
+    // probe ties break on cell (Model.nearestCentroids' stable sort);
+    // scoring matches s_knn's cosine/round/tie conventions
+    "s_ivf_search" ->
+      """WITH cent AS (
+        |  SELECT * FROM read_parquet('/tmp/graft_ivf_centroids/*.parquet')),
+        |cells AS (
+        |  SELECT * FROM read_parquet('/tmp/graft_ivf_cells/*.parquet')),
+        |q AS (
+        |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        |  FROM embeddings WHERE vec_id = 0),
+        |probes AS (
+        |  SELECT cell FROM cent, q
+        |  ORDER BY list_distance(centroid, qv), cell LIMIT 3),
+        |scored AS (
+        |  SELECT e.vec_id,
+        |    ROUND(list_cosine_similarity(
+        |      list_transform(e.embedding, x -> CAST(x AS DOUBLE)), qv), 4) AS sim
+        |  FROM embeddings e JOIN cells c USING (vec_id), q
+        |  WHERE c.ivf_cell IN (SELECT cell FROM probes))
+        |SELECT vec_id, sim FROM scored ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
     "s_knn" ->
       """WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
         |scored AS (
