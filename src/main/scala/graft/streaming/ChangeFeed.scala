@@ -35,6 +35,8 @@ object ChangeFeed {
     * the predecessor of the first wanted revision onward is read. */
   def revisionFeed(spark: SparkSession, tablePath: String, fromRevision: Int = 0,
                    keys: Seq[String] = Seq("node_key")): DataFrame = {
+    if (graft.sources.DeltaTemporalTable.isDeltaLayout(tablePath))
+      return revisionFeedDelta(spark, tablePath, fromRevision, keys)
     import org.apache.spark.sql.expressions.Window
     val allRevs = TemporalTable.commits(tablePath).map(_.revision)
     val wanted = allRevs.filter(_ > fromRevision)
@@ -78,6 +80,43 @@ object ChangeFeed {
       .select(keys.map(col) :+ lit("delete").as("change_type")
         :+ col("__next_rev").as("revision"): _*)
     upserts.unionByName(deletes)
+  }
+
+  /** [[revisionFeed]] over a delta-encoded layout — here the storage
+    * already holds the answer: a delta revision's stored records ARE its
+    * change feed (pure file read, zero diffing). Scheduled full snapshots
+    * diff against the reconstructed prior revision (1/snapshotEvery of
+    * commits); a compaction — logically identical state — emits no rows
+    * through the same diff. The first commit emits all rows as inserts,
+    * matching the snapshot-layout feed's semantics. */
+  private def revisionFeedDelta(spark: SparkSession, tablePath: String,
+                                fromRevision: Int,
+                                keys: Seq[String]): DataFrame = {
+    import graft.sources.DeltaTemporalTable
+    import graft.operators.Diff
+    val log = DeltaTemporalTable.commits(tablePath)
+    val wanted = log.filter(_.revision > fromRevision)
+    require(wanted.nonEmpty, s"no revisions after $fromRevision at $tablePath")
+    val parts = wanted.map { c =>
+      val stored = spark.read.parquet(s"$tablePath/rev=${c.revision}")
+      val changes: DataFrame = c.kind match {
+        case "delta" =>
+          stored.select(keys.map(col) :+ col("__change_type").as("change_type"): _*)
+        case _ =>
+          val idx = log.indexWhere(_.revision == c.revision)
+          if (idx == 0)
+            stored.select(keys.map(col): _*).withColumn("change_type", lit("insert"))
+          else {
+            val prior = DeltaTemporalTable.read(spark, tablePath,
+              Some(log(idx - 1).revision))
+            val valueCols = stored.columns.toSeq.filterNot(keys.contains)
+            Diff.diffFrames(prior, stored, keys, valueCols)
+              .select(keys.map(col) :+ col("__change_type").as("change_type"): _*)
+          }
+      }
+      changes.withColumn("revision", lit(c.revision))
+    }
+    parts.reduce(_ unionByName _)
   }
 
   /** Commit-log micro-batch stream: offsets are committed REVISION numbers

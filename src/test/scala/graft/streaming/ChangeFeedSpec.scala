@@ -28,6 +28,34 @@ class ChangeFeedSpec extends SparkSpec {
     assert(tail == Set((3, 2L, "delete"), (3, 3L, "update"), (4, 2L, "insert")))
   }
 
+  test("revisionFeed on a delta layout matches the snapshot layout's feed") {
+    import graft.sources.DeltaTemporalTable
+    val snaps = Seq(
+      Seq((1L, 10.0), (2L, 20.0)),
+      Seq((1L, 11.0), (2L, 20.0), (3L, 30.0)),
+      Seq((1L, 11.0), (3L, 31.0)),
+      Seq((1L, 11.0), (2L, 99.0), (3L, 31.0)),
+      Seq((1L, 12.0), (2L, 99.0), (3L, 31.0)))
+    val pSnap = Files.createTempDirectory("graft-feed-s").resolve("tbl").toString
+    val pDelta = Files.createTempDirectory("graft-feed-d").resolve("tbl").toString
+    snaps.foreach { rows =>
+      TemporalTable.write(rows.toDF("node_key", "price"), pSnap)
+      // snapshotEvery=3 → revisions 1 and 4 are FULL, the rest deltas
+      DeltaTemporalTable.write(spark, rows.toDF("node_key", "price"), pDelta,
+        snapshotEvery = 3)
+    }
+    def feedOf(p: String, from: Int = 0) =
+      ChangeFeed.revisionFeed(spark, p, from)
+        .select("revision", "node_key", "change_type")
+        .as[(Int, Long, String)].collect().toSet
+    assert(feedOf(pDelta) == feedOf(pSnap))
+    assert(feedOf(pDelta, from = 3) == feedOf(pSnap, from = 3))
+    // a compaction duplicates state, not history: the feed emits nothing
+    // for it
+    val compactRev = DeltaTemporalTable.compact(spark, pDelta)
+    assert(!feedOf(pDelta).exists(_._1 == compactRev))
+  }
+
   test("revisionFeed plan stays flat over a long history (no N-way union)") {
     val p = Files.createTempDirectory("graft-feed-long").resolve("tbl").toString
     // 100 single-row revisions: key 1 updated every revision, key r inserted at r
