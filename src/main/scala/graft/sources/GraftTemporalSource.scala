@@ -222,6 +222,26 @@ private[graft] class GraftTable(options: CaseInsensitiveStringMap)
     if (isDeltaLayout) throw new UnsupportedOperationException(
       s"$tablePath is delta-encoded: commit new revisions via DeltaTemporalTable.write " +
         "(a V2 append would log a kind-less full snapshot into a delta chain)")
+    // `rev` is the PARTITION axis, assigned by the reservation protocol.
+    // Output resolution pads every write (plain V2 save AND catalog
+    // INSERT) to the full table schema, so input rows arrive CARRYING a
+    // rev column — which, written as data, lands an all-null shadow
+    // column in every file (the partition value wins on read, so it
+    // hides — but it bloats storage, and a user-supplied value would
+    // silently vanish behind the partition). Strip it: the revision
+    // number is storage-assigned.
+    val fullSchema = info.schema()
+    val dataIdx = fullSchema.fields.indices.filter(i => fullSchema(i).name != "rev")
+    val dataSchema = StructType(dataIdx.map(fullSchema(_)))
+    val writeInfo: LogicalWriteInfo =
+      if (dataIdx.size == fullSchema.length) info
+      else new LogicalWriteInfo {
+        override def queryId(): String = info.queryId()
+        override def schema(): StructType = dataSchema
+        override def options(): CaseInsensitiveStringMap = info.options()
+        override def rowIdSchema(): java.util.Optional[StructType] = info.rowIdSchema()
+        override def metadataSchema(): java.util.Optional[StructType] = info.metadataSchema()
+      }
     val spark = SparkSession.active
     // Reserve the revision number up front (create-new marker): two racing
     // writers get distinct rev=N directories instead of clobbering each
@@ -232,15 +252,21 @@ private[graft] class GraftTable(options: CaseInsensitiveStringMap)
     val message = Option(options.get("message")).getOrElse("")
     val writeTable = ParquetTable(s"graft-temporal $tablePath rev=$nextRev",
       spark, options, Seq(s"$tablePath/rev=$nextRev"),
-      Some(info.schema()), classOf[ParquetFileFormat])
-    val inner = writeTable.newWriteBuilder(info)
+      Some(dataSchema), classOf[ParquetFileFormat])
+    val inner = writeTable.newWriteBuilder(writeInfo)
     new WriteBuilder {
       override def build(): Write = new Write {
         private lazy val innerBatch = inner.build().toBatch
         override def description(): String = s"graft-temporal commit rev=$nextRev"
         override def toBatch: BatchWrite = new BatchWrite {
-          override def createBatchWriterFactory(p: PhysicalWriteInfo) =
-            innerBatch.createBatchWriterFactory(p)
+          override def createBatchWriterFactory(p: PhysicalWriteInfo) = {
+            val factory = innerBatch.createBatchWriterFactory(p)
+            // incoming rows still have the padded layout: project the rev
+            // slot away before handing rows to the parquet writer
+            if (dataIdx.size == fullSchema.length) factory
+            else new DropRevWriterFactory(factory, dataIdx.toArray,
+              dataIdx.map(fullSchema(_).dataType).toArray)
+          }
           override def useCommitCoordinator(): Boolean = innerBatch.useCommitCoordinator()
           override def onDataWriterCommit(m: WriterCommitMessage): Unit =
             innerBatch.onDataWriterCommit(m)
@@ -255,6 +281,34 @@ private[graft] class GraftTable(options: CaseInsensitiveStringMap)
           }
         }
       }
+    }
+  }
+}
+
+/** Executor-side row projection dropping the padded `rev` slot (see
+  * [[GraftTable.newWriteBuilder]]). Carries only serializable state; the
+  * codegen'd projection is built per writer on the executor. */
+private[sources] class DropRevWriterFactory(
+    inner: org.apache.spark.sql.connector.write.DataWriterFactory,
+    indices: Array[Int],
+    types: Array[org.apache.spark.sql.types.DataType])
+  extends org.apache.spark.sql.connector.write.DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[
+        org.apache.spark.sql.catalyst.InternalRow] = {
+    val delegate = inner.createWriter(partitionId, taskId)
+    val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(
+      indices.zip(types).map { case (i, t) =>
+        org.apache.spark.sql.catalyst.expressions.BoundReference(i, t, nullable = true)
+      }.toIndexedSeq)
+    new org.apache.spark.sql.connector.write.DataWriter[
+        org.apache.spark.sql.catalyst.InternalRow] {
+      override def write(r: org.apache.spark.sql.catalyst.InternalRow): Unit =
+        delegate.write(proj(r))
+      override def commit(): WriterCommitMessage = delegate.commit()
+      override def abort(): Unit = delegate.abort()
+      override def close(): Unit = delegate.close()
     }
   }
 }

@@ -67,6 +67,43 @@ class GraftCatalogSpec extends SparkSpec {
     intercept[Exception] { spark.sql("SELECT * FROM gw.db.missing").collect() }
   }
 
+  test("V2 append and SQL INSERT commit revisions; no rev shadow column in the files") {
+    warehouse
+    // own table: this test advances the head, which must not perturb the
+    // shared fixture other tests read
+    val t = s"$warehouse/db/ins"
+    TemporalTable.write(Seq((1L, 10.0), (3L, 30.0)).toDF("node_key", "price"), t)
+    val before = TemporalTable.mostRecentRevision(t).get
+    Seq((9L, 90.0)).toDF("node_key", "price")
+      .write.format("graft-temporal").mode("append").save(t)
+    val after = TemporalTable.mostRecentRevision(t).get
+    assert(after == before + 1)
+    // revision semantics (new head = the written snapshot), catalog reads it
+    val head = spark.sql("SELECT node_key, price FROM gw.db.ins ORDER BY node_key")
+      .as[(Long, Double)].collect().toSeq
+    assert(head == Seq((9L, 90.0)))
+    // prior revisions remain time-travel readable
+    val prior = spark.sql(
+        s"SELECT node_key FROM gw.db.ins VERSION AS OF $before ORDER BY node_key")
+      .as[Long].collect().toSeq
+    assert(prior == Seq(1L, 3L))
+    // SQL INSERT resolves the full table schema incl. the rev partition
+    // axis - the provided value is storage-assigned away (rev is never a
+    // data column), and the commit lands the NEXT revision number
+    spark.sql("INSERT INTO gw.db.ins SELECT 10L AS node_key, 1.0 AS price, 777 AS rev")
+    val afterInsert = TemporalTable.mostRecentRevision(t).get
+    assert(afterInsert == after + 1)
+    assert(spark.sql(s"SELECT node_key FROM gw.db.ins VERSION AS OF $afterInsert")
+      .as[Long].head() == 10L)
+    // the padded rev slot must NOT land as a data column in the files
+    (before + 1 to afterInsert).foreach { r =>
+      val written = spark.read.parquet(s"$t/rev=$r")
+      assert(!written.columns.contains("rev"),
+        s"rev=$r files carry a rev shadow column: ${written.columns.toSeq}")
+    }
+    TemporalTable.drop(t)
+  }
+
   test("hostile identifiers and phantom revisions are rejected") {
     warehouse
     // path traversal: backquoted identifier parts must not escape the root
