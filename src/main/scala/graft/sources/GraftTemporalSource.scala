@@ -265,13 +265,18 @@ private[graft] class GraftTable(options: CaseInsensitiveStringMap)
             // slot away before handing rows to the parquet writer
             if (dataIdx.size == fullSchema.length) factory
             else new DropRevWriterFactory(factory, dataIdx.toArray,
-              dataIdx.map(fullSchema(_).dataType).toArray)
+              dataIdx.map(fullSchema(_).dataType).toArray,
+              fullSchema.fieldNames.indexOf("rev"))
           }
           override def useCommitCoordinator(): Boolean = innerBatch.useCommitCoordinator()
           override def onDataWriterCommit(m: WriterCommitMessage): Unit =
             innerBatch.onDataWriterCommit(m)
           override def commit(msgs: Array[WriterCommitMessage]): Unit = {
             innerBatch.commit(msgs)
+            // sidecars BEFORE the log entry: a committed revision always
+            // carries its key index + manifest, so a V2 append never
+            // degrades recordRevisions / manifest-pruned diff fast paths
+            TemporalTable.writeSidecars(spark, tablePath, nextRev, dataSchema)
             // log AFTER data commit: a failed job never becomes a revision
             TemporalTable.logCommit(tablePath, nextRev, author, message)
           }
@@ -286,12 +291,17 @@ private[graft] class GraftTable(options: CaseInsensitiveStringMap)
 }
 
 /** Executor-side row projection dropping the padded `rev` slot (see
-  * [[GraftTable.newWriteBuilder]]). Carries only serializable state; the
-  * codegen'd projection is built per writer on the executor. */
+  * [[GraftTable.newWriteBuilder]]). Output resolution pads the slot with
+  * NULL; a NON-null value means the user explicitly supplied a revision
+  * number, which is storage-assigned — silently discarding it would be
+  * data loss, so the write fails fast instead (write `NULL AS rev` in a
+  * SQL INSERT). Carries only serializable state; the codegen'd
+  * projection is built per writer on the executor. */
 private[sources] class DropRevWriterFactory(
     inner: org.apache.spark.sql.connector.write.DataWriterFactory,
     indices: Array[Int],
-    types: Array[org.apache.spark.sql.types.DataType])
+    types: Array[org.apache.spark.sql.types.DataType],
+    revIdx: Int)
   extends org.apache.spark.sql.connector.write.DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long)
@@ -304,8 +314,14 @@ private[sources] class DropRevWriterFactory(
       }.toIndexedSeq)
     new org.apache.spark.sql.connector.write.DataWriter[
         org.apache.spark.sql.catalyst.InternalRow] {
-      override def write(r: org.apache.spark.sql.catalyst.InternalRow): Unit =
+      override def write(r: org.apache.spark.sql.catalyst.InternalRow): Unit = {
+        if (!r.isNullAt(revIdx))
+          throw new IllegalArgumentException(
+            "the `rev` column is storage-assigned (the next revision is " +
+              "chosen by the commit protocol) — write NULL AS rev, or omit " +
+              "the column in a DataFrame append")
         delegate.write(proj(r))
+      }
       override def commit(): WriterCommitMessage = delegate.commit()
       override def abort(): Unit = delegate.abort()
       override def close(): Unit = delegate.close()

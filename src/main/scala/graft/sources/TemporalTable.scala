@@ -377,6 +377,29 @@ object TemporalTable {
     schema.fieldNames.contains("node_key") && schema.fields.forall(f => hashable(f.dataType))
   }
 
+  /** Maintain the per-revision sidecars (manifest + key index) from the
+    * JUST-WRITTEN revision directory — the commit path for writers that
+    * land data through their own job (the V2/SQL-INSERT append,
+    * GraftTable.newWriteBuilder) and therefore cannot digest from a
+    * pinned frame. Called BEFORE the commit is logged, so a committed
+    * revision always carries its sidecars and the record-lookup /
+    * manifest-diff fast paths never silently degrade after a V2 write. */
+  private[graft] def writeSidecars(spark: SparkSession, path: String, rev: Int,
+                                   schema: org.apache.spark.sql.types.StructType): Unit = {
+    val wantManifest = manifestEligible(schema)
+    val wantKeys = schema.fieldNames.contains("node_key")
+    if (wantManifest || wantKeys) {
+      val src = spark.read.parquet(s"$path/rev=$rev")
+      val pin = wantManifest && wantKeys
+      if (pin) src.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        if (wantManifest) writeManifestFrom(src, path, rev)
+        if (wantKeys) src.select(col("node_key"))
+          .write.mode("overwrite").parquet(s"${keyIndexDir(path)}/rev=$rev")
+      } finally if (pin) { src.unpersist(); () }
+    }
+  }
+
   /** True iff every expression in the plan is deterministic — the
     * condition under which a cached block evicted and recomputed yields
     * the same rows, making the pinned frame a safe digest source for the

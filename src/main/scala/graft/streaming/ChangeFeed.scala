@@ -88,7 +88,17 @@ object ChangeFeed {
     * diff against the reconstructed prior revision (1/snapshotEvery of
     * commits); a compaction — logically identical state — emits no rows
     * through the same diff. The first commit emits all rows as inserts,
-    * matching the snapshot-layout feed's semantics. */
+    * matching the snapshot-layout feed's semantics.
+    *
+    * Plan shape caveat: unlike the snapshot layout's single-window plan,
+    * this is one union leg per CONSUMED revision (plus a reconstruction
+    * per scheduled full snapshot). That is the right trade for the feed's
+    * design usage — incremental consumption from a checkpoint, where
+    * `wanted` is a handful of revisions and each leg is a raw file read.
+    * A full-history replay over a deep delta chain builds a wide plan;
+    * for that access pattern convert via [[graft.sources
+    * .DeltaTemporalTable.compact]] + snapshot-layout reads, which the
+    * single-plan branch serves. */
   private def revisionFeedDelta(spark: SparkSession, tablePath: String,
                                 fromRevision: Int,
                                 keys: Seq[String]): DataFrame = {
@@ -97,22 +107,23 @@ object ChangeFeed {
     val log = DeltaTemporalTable.commits(tablePath)
     val wanted = log.filter(_.revision > fromRevision)
     require(wanted.nonEmpty, s"no revisions after $fromRevision at $tablePath")
+    // adjacent-predecessor map up front (not indexWhere per leg)
+    val prevOf: Map[Int, Int] = log.map(_.revision).zip(log.map(_.revision).drop(1))
+      .map { case (p, n) => n -> p }.toMap
     val parts = wanted.map { c =>
       val stored = spark.read.parquet(s"$tablePath/rev=${c.revision}")
       val changes: DataFrame = c.kind match {
         case "delta" =>
           stored.select(keys.map(col) :+ col("__change_type").as("change_type"): _*)
-        case _ =>
-          val idx = log.indexWhere(_.revision == c.revision)
-          if (idx == 0)
+        case _ => prevOf.get(c.revision) match {
+          case None =>
             stored.select(keys.map(col): _*).withColumn("change_type", lit("insert"))
-          else {
-            val prior = DeltaTemporalTable.read(spark, tablePath,
-              Some(log(idx - 1).revision))
+          case Some(prev) =>
+            val prior = DeltaTemporalTable.read(spark, tablePath, Some(prev))
             val valueCols = stored.columns.toSeq.filterNot(keys.contains)
             Diff.diffFrames(prior, stored, keys, valueCols)
               .select(keys.map(col) :+ col("__change_type").as("change_type"): _*)
-          }
+        }
       }
       changes.withColumn("revision", lit(c.revision))
     }

@@ -87,14 +87,23 @@ class GraftCatalogSpec extends SparkSpec {
         s"SELECT node_key FROM gw.db.ins VERSION AS OF $before ORDER BY node_key")
       .as[Long].collect().toSeq
     assert(prior == Seq(1L, 3L))
+    // V2 append maintains the sidecars like a TemporalTable.write commit
+    assert(MetaIO.exists(s"${TemporalTable.keyIndexDir(t)}/rev=$after"))
     // SQL INSERT resolves the full table schema incl. the rev partition
-    // axis - the provided value is storage-assigned away (rev is never a
-    // data column), and the commit lands the NEXT revision number
-    spark.sql("INSERT INTO gw.db.ins SELECT 10L AS node_key, 1.0 AS price, 777 AS rev")
+    // axis - NULL means "storage-assigned" and commits the next revision
+    spark.sql("INSERT INTO gw.db.ins SELECT 10L AS node_key, 1.0 AS price, CAST(NULL AS INT) AS rev")
     val afterInsert = TemporalTable.mostRecentRevision(t).get
     assert(afterInsert == after + 1)
     assert(spark.sql(s"SELECT node_key FROM gw.db.ins VERSION AS OF $afterInsert")
       .as[Long].head() == 10L)
+    // an EXPLICIT rev value would be silently lost if accepted - reject
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO gw.db.ins SELECT 11L AS node_key, 2.0 AS price, 777 AS rev")
+    }
+    assert(e.getMessage.contains("storage-assigned") ||
+      Option(e.getCause).exists(_.getMessage.contains("storage-assigned")),
+      s"unexpected error: ${e.getMessage}")
+    assert(TemporalTable.mostRecentRevision(t).get == afterInsert)
     // the padded rev slot must NOT land as a data column in the files
     (before + 1 to afterInsert).foreach { r =>
       val written = spark.read.parquet(s"$t/rev=$r")

@@ -44,10 +44,12 @@ class ChangeFeedSpec extends SparkSpec {
       DeltaTemporalTable.write(spark, rows.toDF("node_key", "price"), pDelta,
         snapshotEvery = 3)
     }
+    // sorted Seq, not Set: a feed emitting duplicate change records must
+    // fail this, not have them silently collapsed
     def feedOf(p: String, from: Int = 0) =
       ChangeFeed.revisionFeed(spark, p, from)
         .select("revision", "node_key", "change_type")
-        .as[(Int, Long, String)].collect().toSet
+        .as[(Int, Long, String)].collect().toSeq.sorted
     assert(feedOf(pDelta) == feedOf(pSnap))
     assert(feedOf(pDelta, from = 3) == feedOf(pSnap, from = 3))
     // a compaction duplicates state, not history: the feed emits nothing
