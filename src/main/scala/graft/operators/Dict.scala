@@ -42,14 +42,36 @@ object Dict {
 
   def codeCol(c: String): String = c + Suffix
 
+  /** The dictionaries a schema carries (string column → ordered values) —
+    * how a writer picks up the PRIOR revision's dictionaries to encode
+    * the next one stably (footer-only read, no job). */
+  def dictionariesOf(schema: org.apache.spark.sql.types.StructType)
+      : Map[String, Array[String]] =
+    schema.fields.collect {
+      case f if f.dataType == org.apache.spark.sql.types.IntegerType &&
+          f.metadata.contains(MetaFor) && f.metadata.contains(MetaValues) =>
+        f.metadata.getString(MetaFor) -> f.metadata.getStringArray(MetaValues)
+    }.toMap
+
   /** `df` with an int32 `<col>__dict` code column per listed string
     * column. Null encodes to null; every non-null value is present in the
     * dictionary (built from `df` itself in the same lineage — callers
     * encoding a nondeterministic frame must cache it first). Fails fast
     * past `maxDict` distinct values: global dictionaries are for
     * low-cardinality columns; high-cardinality keys should aggregate on
-    * their natural form. */
-  def encode(df: DataFrame, cols: Seq[String], maxDict: Int = 4096): DataFrame = {
+    * their natural form.
+    *
+    * `base` makes the dictionary APPEND-ONLY across writes: each listed
+    * column's dictionary starts with `base(col)` verbatim (codes stable —
+    * what rev 1 called 0 stays 0 forever) and values new to this frame
+    * append after it in sorted order. Prefix-compatible dictionaries are
+    * what licenses [[graft.plans.DictAggRule]] on MULTI-revision scans:
+    * with independent per-write dictionaries the rule must bail on
+    * history frames. The trade: with a non-empty base, codes are no
+    * longer globally value-ordered (only the fresh-encode path is), which
+    * the rewrite never relies on — it maps equality/IN predicates only. */
+  def encode(df: DataFrame, cols: Seq[String], maxDict: Int = 4096,
+             base: Map[String, Array[String]] = Map.empty): DataFrame = {
     require(cols.nonEmpty, "Dict.encode: no columns given")
     require(cols.distinct == cols,
       s"Dict.encode: duplicate columns in ${cols.mkString(",")}")
@@ -58,9 +80,18 @@ object Dict {
       // may already have added this code column
       require(!d.columns.contains(codeCol(c)),
         s"Dict.encode: input already has a ${codeCol(c)} column")
-      val values = d.select(col(c)).na.drop().distinct()
-        .orderBy(col(c)).limit(maxDict + 1)
+      val baseVals = base.getOrElse(c, Array.empty[String])
+      // the limit must leave room for base values re-appearing in the
+      // frame — a truncated distinct list could silently hide NEW values
+      val cap = maxDict + baseVals.length + 1
+      val fresh = d.select(col(c)).na.drop().distinct()
+        .orderBy(col(c)).limit(cap)
         .collect().map(_.getString(0))
+      require(fresh.length < cap,
+        s"Dict.encode: `$c` has more than $maxDict distinct values — " +
+          "dictionary encoding is for low-cardinality columns")
+      val baseSet = baseVals.toSet
+      val values = baseVals ++ fresh.filterNot(baseSet)
       require(values.length <= maxDict,
         s"Dict.encode: `$c` has more than $maxDict distinct values — " +
           "dictionary encoding is for low-cardinality columns")

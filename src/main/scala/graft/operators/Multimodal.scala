@@ -9,14 +9,19 @@ import org.apache.spark.sql.types._
   * Image/audio/video payloads are opaque `binary` columns plus a typed
   * metadata struct; decode / feature-extraction run as partition-local
   * batch kernels (`mapPartitions` over a typed Dataset — the Scala analog
-  * of `mapInPandas` batching). The Spark-side plumbing (schema, typed
-  * encoders, batch shape, partition sizing) is real and tested, and so is
-  * CONTAINER-HEADER decode ([[sniff]]: PNG/JPEG/GIF/BMP dimensions, WAV
-  * duration — fixed-layout byte parsing, no codec needed). Only the
-  * pixel/sample decode behind the headers is STUBBED with a deterministic
-  * hash-derived fake because no codec libraries ship in this environment —
-  * swap `stubDecode` for a real decoder (e.g. javacv) without touching the
-  * pipeline shape.
+  * of `mapInPandas` batching).
+  *
+  * IMAGE decode is REAL and JDK-only: `javax.imageio.ImageIO` ships
+  * PNG/JPEG/BMP/GIF/WBMP readers in every JRE, so [[decodeImage]] returns
+  * true pixel dimensions, the full-image mean luma, and a grid-downsampled
+  * luma feature vector with zero external dependencies. CONTAINER-HEADER
+  * decode is also real ([[sniff]]: PNG/JPEG/GIF/BMP dimensions, WAV
+  * duration — fixed-layout byte parsing). Only AUDIO sample decode and
+  * VIDEO frame decode remain STUBBED with a deterministic hash-derived
+  * fake (no audio/video codec ships in the JDK) — swap [[stubDecode]] for
+  * a real decoder (e.g. javacv) without touching the pipeline shape;
+  * undecodable/hostile image bytes fall back to the same stub rather than
+  * failing the partition.
   */
 object Multimodal {
 

@@ -56,17 +56,92 @@ case class DictAggRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   /** The code attribute + ordered dictionary for `c`, from the leaf
     * relation that actually produced `c` — in a join, a same-named column
-    * of another table must not license the rewrite. */
+    * of another table must not license the rewrite.
+    *
+    * The RESOLVED schema's metadata is only a hint: a multi-file scan
+    * (history frame, `allRevisions`, plain read of the table root) keeps
+    * ONE footer's metadata, but each revision wrote its OWN dictionary —
+    * rev 1's `eng=0` can collide with rev 2's `deu=0`, and decoding one
+    * revision's codes with another's dictionary is a silent wrong answer.
+    * So the rewrite is licensed per FILE: every parquet file backing the
+    * scan must carry a dictionary for `c`, and the dictionaries must be
+    * prefix-compatible (identical, or stable append-only growth — the
+    * `Dict.encode(base=...)` path); the rewrite then decodes through the
+    * LONGEST. Any disagreement, unparseable footer, or un-enumerable leaf
+    * bails to string keys — correct answers degrade to the ordinary plan,
+    * never to a mis-decode. */
   private def dictFor(child: LogicalPlan, c: AttributeReference)
       : Option[(Attribute, Array[String])] =
     child.collectLeaves()
       .find(_.output.exists(_.exprId == c.exprId))
-      .flatMap(_.output.find(a =>
-        a.dataType == IntegerType &&
-          a.metadata.contains(Dict.MetaFor) &&
-          a.metadata.getString(Dict.MetaFor) == c.name &&
-          a.metadata.contains(Dict.MetaValues)))
-      .map(a => a -> a.metadata.getStringArray(Dict.MetaValues))
+      .flatMap { leaf =>
+        leaf.output.find(a =>
+            a.dataType == IntegerType &&
+              a.metadata.contains(Dict.MetaFor) &&
+              a.metadata.getString(Dict.MetaFor) == c.name &&
+              a.metadata.contains(Dict.MetaValues))
+          .flatMap(a => verifiedDict(leaf, a.name, c.name).map(a -> _))
+      }
+
+  /** Per-file (path, length, mtime) triples backing a leaf scan, or None
+    * when the leaf's files can't be enumerated (then no rewrite). Covers
+    * the same leaf shapes as [[MinMaxFromMetadataRule]]: V1 parquet
+    * relations, V2 parquet scans, and graft-temporal snapshot tables. */
+  private def filesOf(leaf: LogicalPlan): Option[Seq[(String, Long, Long)]] = leaf match {
+    case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+      lr.relation match {
+        case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation
+            if fs.fileFormat.isInstanceOf[
+              org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat] =>
+          Some(fs.location.listFiles(Nil, Nil).flatMap(_.files)
+            .map(f => (f.getPath.toString, f.getLen, f.getModificationTime)))
+        case _ => None
+      }
+    case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+      r.table match {
+        case t: graft.sources.GraftTable if !t.isDeltaLayout =>
+          Some(t.resolvedDataPaths.flatMap(d =>
+            graft.sources.MetaIO.listDataFileStatus(d, ".parquet")
+              .map(s => (s.getPath.toString, s.getLen, s.getModificationTime))))
+        case _ => None
+      }
+    case sr: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+      sr.scan match {
+        case ps: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
+          // allFiles, not the pruned listing: a superset check is stricter,
+          // and prefix-compatibility makes it pass whenever the table is
+          // uniformly encoded
+          Some(ps.fileIndex.allFiles()
+            .map(s => (s.getPath.toString, s.getLen, s.getModificationTime)))
+        case _ => filesOf(sr.relation)
+      }
+    case _ => None
+  }
+
+  /** The verified dictionary for code column `codeCol` across every file
+    * of `leaf`, when all per-file dictionaries are prefix-compatible. */
+  private def verifiedDict(leaf: LogicalPlan, codeCol: String,
+                           strCol: String): Option[Array[String]] =
+    filesOf(leaf).filter(_.nonEmpty).flatMap { files =>
+      FooterSchemas.sparkSchemasOf(files, spark.sparkContext.hadoopConfiguration)
+        .flatMap { schemas =>
+          val dicts = schemas.map { s =>
+            s.fields.find(_.name == codeCol) match {
+              case Some(f) if f.metadata.contains(Dict.MetaFor) &&
+                  f.metadata.getString(Dict.MetaFor) == strCol &&
+                  f.metadata.contains(Dict.MetaValues) =>
+                Some(f.metadata.getStringArray(Dict.MetaValues))
+              case _ => None
+            }
+          }
+          if (dicts.exists(_.isEmpty)) None
+          else {
+            val all = dicts.flatten
+            val longest = all.maxBy(_.length)
+            if (all.forall(d => longest.startsWith(d))) Some(longest) else None
+          }
+        }
+    }
 
   /** Re-thread `dc` through the Project/Filter chain down to the relation
     * that outputs it (column pruning dropped it — nothing referenced it

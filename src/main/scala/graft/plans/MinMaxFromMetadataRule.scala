@@ -62,21 +62,27 @@ case class MinMaxFromMetadataRule(spark: SparkSession) extends Rule[LogicalPlan]
     case _ => None
   }
 
-  /** The parquet files of an unfiltered scan, if the child is exactly
-    * that (attribute-only Projects allowed, nothing else). Covers V1
-    * parquet relations and unfiltered graft-temporal V2 snapshots (the
-    * same scope split as [[CountFromMetadataRule.graftTableOf]]). */
-  private def parquetFilesOf(plan: LogicalPlan): Option[Seq[String]] = plan match {
+  /** The parquet files of an unfiltered scan — as (path, length, mtime)
+    * triples, so the stats cache key changes whenever a file is rewritten
+    * IN PLACE under the same name (external writers produce deterministic
+    * part names; a stale fold would be a wrong answer with no scan to
+    * catch it) — if the child is exactly that (attribute-only Projects
+    * allowed, nothing else). Covers V1 parquet relations and unfiltered
+    * graft-temporal V2 snapshots (the same scope split as
+    * [[CountFromMetadataRule.graftTableOf]]). */
+  private def parquetFilesOf(plan: LogicalPlan): Option[Seq[(String, Long, Long)]] = plan match {
     case lr: LogicalRelation => lr.relation match {
       case fs: HadoopFsRelation if fs.fileFormat.isInstanceOf[ParquetFileFormat] =>
-        Some(fs.location.inputFiles.toSeq)
+        Some(fs.location.listFiles(Nil, Nil).flatMap(_.files)
+          .map(f => (f.getPath.toString, f.getLen, f.getModificationTime)))
       case _ => None
     }
     case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
       r.table match {
         case t: graft.sources.GraftTable if !t.isDeltaLayout =>
           Some(t.resolvedDataPaths.flatMap(d =>
-            graft.sources.MetaIO.listDataFiles(d, ".parquet").map(_.toString)))
+            graft.sources.MetaIO.listDataFileStatus(d, ".parquet")
+              .map(s => (s.getPath.toString, s.getLen, s.getModificationTime))))
         case _ => None
       }
     case sr: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
@@ -108,13 +114,16 @@ case class MinMaxFromMetadataRule(spark: SparkSession) extends Rule[LogicalPlan]
   /** Memo for folded footers — the optimizer batch runs to fixed point
     * and every explain() recompiles, so without it a bailing table would
     * re-open all O(files) footers per compilation. Keyed by the exact
-    * file list: any rewrite produces fresh per-job part-file names, so a
-    * changed table never hits a stale entry. Bounded (cleared at 64
-    * entries); negative results are cached too. */
+    * file list WITH per-file (length, mtime): Spark writers produce fresh
+    * part names, and a file rewritten in place under the SAME name
+    * (external writers — DuckDB COPY's deterministic data_0.parquet,
+    * manual replacement) changes size or mtime and misses the cache, so a
+    * stale fold is never served. Bounded (cleared at 64 entries);
+    * negative results are cached too. */
   private val statsCache = scala.collection.mutable.HashMap
-    .empty[(Seq[String], Seq[String]), Option[(Map[String, Acc], Long)]]
+    .empty[(Seq[(String, Long, Long)], Seq[String]), Option[(Map[String, Acc], Long)]]
 
-  private def foldStats(files: Seq[String], cols: Seq[String])
+  private def foldStats(files: Seq[(String, Long, Long)], cols: Seq[String])
       : Option[(Map[String, Acc], Long)] = {
     val key = (files, cols)
     statsCache.synchronized(statsCache.get(key)) match {
@@ -133,8 +142,9 @@ case class MinMaxFromMetadataRule(spark: SparkSession) extends Rule[LogicalPlan]
     * statistic absent/untrustworthy → caller must not rewrite. Files are
     * read concurrently into per-file partials (no shared mutable state on
     * pool threads) and merged on the calling thread. */
-  private def foldStatsUncached(files: Seq[String], cols: Seq[String])
+  private def foldStatsUncached(fileMetas: Seq[(String, Long, Long)], cols: Seq[String])
       : Option[(Map[String, Acc], Long)] = {
+    val files = fileMetas.map(_._1)
     val conf = spark.sparkContext.hadoopConfiguration
     // per-file partial: rows + per-col Some((lo, hi)) / None (col all-null
     // in this file); outer None = untrustworthy stats somewhere
@@ -191,15 +201,7 @@ case class MinMaxFromMetadataRule(spark: SparkSession) extends Rule[LogicalPlan]
     }
     try {
       val partials: Seq[Option[(Long, Map[String, Option[(Long, Long)]])]] =
-        if (files.size <= 4) files.map(one)
-        else {
-          val pool = java.util.concurrent.Executors.newFixedThreadPool(
-            math.min(16, files.size))
-          try pool.invokeAll(files.map[java.util.concurrent.Callable[
-              Option[(Long, Map[String, Option[(Long, Long)]])]]](f =>
-              () => one(f)).asJava).asScala.map(_.get()).toSeq
-          finally pool.shutdown()
-        }
+        graft.sources.MetaIO.parallelMap(files)(one)
       if (partials.exists(_.isEmpty)) None
       else {
         val accs = cols.map(_ -> new Acc).toMap

@@ -18,21 +18,27 @@ object PipelineQueries {
   private def docs(s: SparkSession, d: String): DataFrame = Tables.df(s, d, "documents")
   private def emb(s: SparkSession, d: String): DataFrame = Tables.df(s, d, "embeddings")
 
-  /** Sidecar path for the s_semantic_dedup cell assignment. Fixed (not
-    * java.io.tmpdir-derived) because the DuckDB oracle below references the
-    * same absolute path as a string literal. */
-  private val semDedupCellsPath = "/tmp/graft_semdedup_cells"
+  /** Per-run root for oracle-shared sidecars: the query writes parquet
+    * here and the DuckDB oracle reads the SAME resolved absolute path
+    * (interpolated into the SQL below). Per-run (fresh temp dir per JVM)
+    * rather than fixed `/tmp/graft_*` names, so concurrent or stale runs
+    * can't clobber each other and a pre-created path from another user on
+    * a shared host can't poison the oracle's input. */
+  private lazy val runDir: String =
+    java.nio.file.Files.createTempDirectory("graft-oracle-sidecars").toString
 
-  /** Sidecar path for the d_dedup_best group labels (same fixed-path
-    * contract as [[semDedupCellsPath]]). */
-  private val dedupBestGroupsPath = "/tmp/graft_dedup_best_groups"
+  /** Sidecar path for the s_semantic_dedup cell assignment. */
+  private lazy val semDedupCellsPath = s"$runDir/semdedup_cells"
 
-  /** Fixed paths for the s_ivf_search oracle: the clustered index itself
-    * plus (vec_id, ivf_cell) and (cell, centroid) parquet sidecars the
-    * oracle re-derives the probe + scan from. */
-  private val ivfIndexPath = "/tmp/graft_ivf_idx"
-  private val ivfCellsPath = "/tmp/graft_ivf_cells"
-  private val ivfCentroidsPath = "/tmp/graft_ivf_centroids"
+  /** Sidecar path for the d_dedup_best group labels. */
+  private lazy val dedupBestGroupsPath = s"$runDir/dedup_best_groups"
+
+  /** Paths for the s_ivf_search oracle: the clustered index itself plus
+    * (vec_id, ivf_cell) and (cell, centroid) parquet sidecars the oracle
+    * re-derives the probe + scan from. */
+  private lazy val ivfIndexPath = s"$runDir/ivf_idx"
+  private lazy val ivfCellsPath = s"$runDir/ivf_cells"
+  private lazy val ivfCentroidsPath = s"$runDir/ivf_centroids"
 
   /** Shared oracle WITH-prefix: per-doc 32-bit simhash as CTE `sh`
     * (consumed by d_simhash and d_simhash_pairs). */
@@ -346,8 +352,8 @@ object PipelineQueries {
         "\nSELECT id_a, id_b FROM pairs ORDER BY id_a, id_b"),
     // selection over the STORED labels; d_dedup_groups pins the labels
     "d_dedup_best" ->
-      """WITH g AS (
-        |  SELECT * FROM read_parquet('/tmp/graft_dedup_best_groups/*.parquet')),
+      s"""WITH g AS (
+        |  SELECT * FROM read_parquet('$dedupBestGroupsPath/*.parquet')),
         |r AS (
         |  SELECT d.doc_id, d.n_chars,
         |    row_number() OVER (PARTITION BY g.group_id
@@ -408,10 +414,10 @@ object PipelineQueries {
     // probe ties break on cell (Model.nearestCentroids' stable sort);
     // scoring matches s_knn's cosine/round/tie conventions
     "s_ivf_search" ->
-      """WITH cent AS (
-        |  SELECT * FROM read_parquet('/tmp/graft_ivf_centroids/*.parquet')),
+      s"""WITH cent AS (
+        |  SELECT * FROM read_parquet('$ivfCentroidsPath/*.parquet')),
         |cells AS (
-        |  SELECT * FROM read_parquet('/tmp/graft_ivf_cells/*.parquet')),
+        |  SELECT * FROM read_parquet('$ivfCellsPath/*.parquet')),
         |q AS (
         |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
         |  FROM embeddings WHERE vec_id = 0),
@@ -438,8 +444,8 @@ object PipelineQueries {
     // Replays the grouping over the persisted cell-assignment sidecar the
     // Spark query wrote (the fit itself is spec-pinned, not oracle-checked).
     "s_semantic_dedup" ->
-      """WITH RECURSIVE cells AS (
-        |  SELECT * FROM read_parquet('/tmp/graft_semdedup_cells/*.parquet')),
+      s"""WITH RECURSIVE cells AS (
+        |  SELECT * FROM read_parquet('$semDedupCellsPath/*.parquet')),
         |j AS (
         |  SELECT e.vec_id, c.ivf_cell, e.embedding
         |  FROM embeddings e JOIN cells c USING (vec_id)),

@@ -235,6 +235,28 @@ object RelationalQueries {
         .orderBy("lang", "source")
     },
 
+    // The stable-dictionary variant over a MULTI-revision history frame:
+    // two revisions written with `dictCols` share an append-only dictionary
+    // (rev 1 covers only langs >= 'es', rev 2 appends the rest AFTER —
+    // codes are deliberately NOT value-ordered), and the rule's per-file
+    // footer verification finds them prefix-compatible, so the history
+    // aggregation runs on int32 codes and decodes through the longest
+    // dictionary. The oracle recomputes the same two-revision union from
+    // the original parquet — one mis-decoded code would shift a whole
+    // group.
+    "q_dict_history" -> { (s, d) =>
+      val p = java.nio.file.Files.createTempDirectory("graft-dicth").toString + "/docs"
+      val docs = t(s, d, "documents").select("doc_id", "lang", "n_chars")
+      graft.sources.TemporalTable.write(docs.filter(col("lang") >= "es"), p,
+        dictCols = Seq("lang"))
+      graft.sources.TemporalTable.write(docs, p, dictCols = Seq("lang"))
+      graft.plans.DictAggRule.install(s)
+      s.read.format("graft-temporal").option("allRevisions", true).load(p)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+        .orderBy("lang")
+    },
+
     // ---- nested data: JSON field extraction, array ops (SURVEY.md §2.2) ----
     "q_json_extract" -> { (s, d) =>
       t(s, d, "events")
@@ -297,6 +319,11 @@ object RelationalQueries {
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
         |  COUNT(DISTINCT doc_id) AS n_distinct
         |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "q_dict_history" ->
+      """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM (SELECT lang, n_chars FROM documents WHERE lang >= 'es'
+        |      UNION ALL SELECT lang, n_chars FROM documents) u
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

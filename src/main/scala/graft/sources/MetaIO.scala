@@ -23,6 +23,40 @@ import java.nio.charset.StandardCharsets
   */
 private[graft] object MetaIO {
 
+  /** Shared lazy daemon pool for bounded-parallel metadata fetches
+    * (commit-log reads, footer folds). Hot paths call these helpers
+    * several times per operation — creating and tearing down a fresh pool
+    * per call costs more than the reads on a local FS and thrashes
+    * threads on object storage. Daemon threads: the pool must never hold
+    * the JVM open. */
+  private lazy val metaPool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newFixedThreadPool(16,
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-meta-io")
+        t.setDaemon(true)
+        t
+      })
+
+  /** Map `f` over `items` with bounded parallelism on the shared pool;
+    * small batches run inline (pool hand-off costs more than 4 reads).
+    * IO failures propagate with their ORIGINAL exception type —
+    * callers/specs match on FileNotFoundException etc., which
+    * invokeAll's ExecutionException wrapper would hide. */
+  def parallelMap[A, B](items: Seq[A])(f: A => B): Seq[B] =
+    if (items.size <= 4) items.map(f)
+    else {
+      import scala.jdk.CollectionConverters._
+      val futures = metaPool.invokeAll(
+        items.map[java.util.concurrent.Callable[B]](a => () => f(a)).asJava)
+      futures.asScala.map { fut =>
+        try fut.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            throw Option(e.getCause).getOrElse(e)
+        }
+      }.toSeq
+    }
+
   /** Hadoop conf: the active session's (so `fs.*` settings apply), else the
     * default session's (hooks and non-session threads still see S3A
     * credentials etc.), else bare — metadata helpers are also called before
@@ -150,16 +184,23 @@ private[graft] object MetaIO {
   /** Recursively list data files under `dir`, skipping hidden
     * (`_`/`.`-prefixed) path segments — Spark's file-listing convention
     * (`_commits`, `_proj`, `.crc` never count as data). */
-  def listDataFiles(dir: String, suffix: String): Seq[Path] = {
+  def listDataFiles(dir: String, suffix: String): Seq[Path] =
+    listDataFileStatus(dir, suffix).map(_.getPath)
+
+  /** [[listDataFiles]] with full status — callers that need (length,
+    * modificationTime) for cache keys get them from the listing the walk
+    * already fetched, no per-file re-stat. */
+  def listDataFileStatus(dir: String, suffix: String)
+      : Seq[org.apache.hadoop.fs.FileStatus] = {
     val root = new Path(dir)
     val f = fs(dir)
     if (!f.exists(root)) return Seq.empty
-    val out = Seq.newBuilder[Path]
+    val out = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
     def walk(p: Path): Unit = f.listStatus(p).foreach { st =>
       val name = st.getPath.getName
       if (!name.startsWith("_") && !name.startsWith(".")) {
         if (st.isDirectory) walk(st.getPath)
-        else if (name.endsWith(suffix)) out += st.getPath
+        else if (name.endsWith(suffix)) out += st
       }
     }
     walk(root)

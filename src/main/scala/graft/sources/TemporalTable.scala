@@ -105,18 +105,7 @@ object TemporalTable {
       Commit(parseField(s, "revision").toInt, parseField(s, "commitTsMs").toLong,
         parseField(s, "author"), parseField(s, "message"))
     }
-    val out =
-      if (names.size <= 4) names.map(readOne)
-      else {
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(
-          math.min(16, names.size))
-        try {
-          import scala.jdk.CollectionConverters._
-          pool.invokeAll(names.map[java.util.concurrent.Callable[Commit]](n =>
-            () => readOne(n)).asJava).asScala.map(_.get()).toSeq
-        } finally pool.shutdown()
-      }
-    out.sortBy(_.revision)
+    MetaIO.parallelMap(names)(readOne).sortBy(_.revision)
   }
 
   def mostRecentRevision(path: String): Option[Int] = commits(path).lastOption.map(_.revision)
@@ -278,10 +267,34 @@ object TemporalTable {
     * shuffle — so [[recordRevisions]] answers "which revisions contain
     * key k" from the compact key table instead of scanning every
     * revision's full snapshot (the reference's aged-DB shape: 10k+
-    * revisions). `withKeyIndex = false` skips it. */
+    * revisions). `withKeyIndex = false` skips it.
+    *
+    * `dictCols` turns on the STABLE dictionary-surrogate layout for the
+    * listed string columns: the frame is [[graft.operators.Dict.encode]]d
+    * before the write, seeding each dictionary with the PRIOR revision's
+    * (footer-only read) so codes never change meaning across revisions —
+    * new values append. Prefix-compatible per-revision dictionaries are
+    * what lets [[graft.plans.DictAggRule]] fire on multi-revision history
+    * frames; per-write independent dictionaries (encoding yourself before
+    * calling write) stay correct but make the rule bail on history. */
   def write(df: DataFrame, path: String, author: String = "graft",
             message: String = "", withManifest: Boolean = true,
-            withKeyIndex: Boolean = true): Int = {
+            withKeyIndex: Boolean = true, dictCols: Seq[String] = Nil): Int = {
+    val encoded =
+      if (dictCols.isEmpty) df
+      else {
+        val base = mostRecentRevision(path)
+          .map(r => graft.operators.Dict.dictionariesOf(
+            df.sparkSession.read.parquet(s"$path/rev=$r").schema))
+          .getOrElse(Map.empty[String, Array[String]])
+        graft.operators.Dict.encode(df, dictCols, base = base)
+      }
+    writeFrame(encoded, path, author, message, withManifest, withKeyIndex)
+  }
+
+  private def writeFrame(df: DataFrame, path: String, author: String,
+                         message: String, withManifest: Boolean,
+                         withKeyIndex: Boolean): Int = {
     val rev = reserveRevision(path)
     try {
       val wantManifest = withManifest && manifestEligible(df.schema)
