@@ -35,12 +35,21 @@ object Multimodal {
       height: Int,
       duration_ms: Long)
 
+  /** Extraction output. For decodable images, `width`/`height`/`mean_luma`
+    * are TRUE decoded values and `features` is the grid-downsampled luma
+    * vector (`decoder` = "imageio"); for audio/video and undecodable
+    * bytes, dimensions are -1, mean_luma is -1.0, and features fall back
+    * to the deterministic stub (`decoder` = "stub"). */
   final case class MediaFeatures(
       media_id: Long,
       kind: String,
       n_bytes: Long,
       sha: String,
-      features: Array[Float])
+      width: Int,
+      height: Int,
+      mean_luma: Double,
+      features: Array[Float],
+      decoder: String)
 
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
@@ -63,18 +72,113 @@ object Multimodal {
     java.security.MessageDigest.getInstance("SHA-256").digest(content)
       .map("%02x".format(_)).mkString
 
+  /** ImageIO's default stream cache is a temp FILE per read; decoding from
+    * in-memory byte arrays must not touch disk on every row. Thread-safe
+    * global flag, set once per JVM (executors included — the lazy val is
+    * forced inside the decode kernel). */
+  private lazy val imageIoNoDiskCache: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
+  /** REAL image decode, JDK-only: `javax.imageio` reads PNG/JPEG/BMP/GIF
+    * from the payload bytes — no external codec. Returns (width, height,
+    * full-image mean luma, grid-downsampled luma features of length
+    * `dim`), or None when the bytes aren't a decodable image (caller
+    * falls back to the stub — scrubbing pipelines must tolerate hostile
+    * bytes, so this never throws).
+    *
+    * Features: the image is partitioned into a ceil(sqrt(dim))² cell
+    * grid; each cell's mean luma (ITU-R BT.601: 0.299 R + 0.587 G +
+    * 0.114 B) maps to [-0.5, 0.5]; cells repeat cyclically when `dim`
+    * isn't a perfect square. One row-major pass over the pixels,
+    * O(width × height) per image, partition-local. */
+  private[operators] def decodeImage(content: Array[Byte], dim: Int)
+      : Option[(Int, Int, Double, Array[Float])] =
+    try {
+      imageIoNoDiskCache
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        if (w <= 0 || h <= 0) None
+        else {
+          val grid = math.max(1, math.ceil(math.sqrt(dim.toDouble)).toInt)
+          val sums = new Array[Double](grid * grid)
+          val counts = new Array[Long](grid * grid)
+          var total = 0.0
+          // one getRGB call per row, not per pixel (BufferedImage's bulk
+          // path converts to sRGB ints in a native loop)
+          val row = new Array[Int](w)
+          var y = 0
+          while (y < h) {
+            img.getRGB(0, y, w, 1, row, 0, w)
+            val gy = y * grid / h
+            var x = 0
+            while (x < w) {
+              val rgb = row(x)
+              val luma = 0.299 * ((rgb >> 16) & 0xff) +
+                0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+              val c = gy * grid + x * grid / w
+              sums(c) += luma
+              counts(c) += 1
+              total += luma
+              x += 1
+            }
+            y += 1
+          }
+          val cells = Array.tabulate(grid * grid)(i =>
+            if (counts(i) == 0) 0f
+            else ((sums(i) / counts(i)) / 255.0 - 0.5).toFloat)
+          val feats = Array.tabulate(dim)(i => cells(i % cells.length))
+          Some((w, h, total / (w.toLong * h), feats))
+        }
+      }
+    } catch { case _: Exception => None }
+
   /** Feature extraction over media payloads: partition-local batches, no
-    * shuffle — the operator scales with input splits. `dim` is the feature
-    * dimensionality of the (stubbed) decoder. */
+    * shuffle — the operator scales with input splits. Images decode for
+    * real through [[decodeImage]]; audio/video (and undecodable bytes)
+    * take the deterministic stub. `dim` is the feature dimensionality of
+    * both paths. */
   def extractFeatures(media: Dataset[MediaRecord], dim: Int = 16): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       // batch-shaped kernel: decode amortizes per-partition setup cost
       it.map { m =>
-        MediaFeatures(m.media_id, m.kind, m.content.length.toLong,
-          shaHex(m.content), stubDecode(m.content, dim))
+        val decoded = if (m.kind == "image") decodeImage(m.content, dim) else None
+        decoded match {
+          case Some((w, h, luma, feats)) =>
+            MediaFeatures(m.media_id, m.kind, m.content.length.toLong,
+              shaHex(m.content), w, h, luma, feats, "imageio")
+          case None =>
+            MediaFeatures(m.media_id, m.kind, m.content.length.toLong,
+              shaHex(m.content), -1, -1, -1.0, stubDecode(m.content, dim), "stub")
+        }
       }
     }
+  }
+
+  /** Deterministic in-memory PNG encode of a computed grayscale pattern
+    * (`pixel(x, y)` → 0-255) — real encoded bytes for specs and the
+    * decode oracle, JDK-only. PNG is lossless, so a decode of these bytes
+    * reproduces the pattern exactly. */
+  private[graft] def encodeGrayPng(w: Int, h: Int, pixel: (Int, Int) => Int): Array[Byte] = {
+    imageIoNoDiskCache
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = pixel(x, y) & 0xff
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
   }
 
   /** Frame sampling for video payloads: emits one row per sampled frame

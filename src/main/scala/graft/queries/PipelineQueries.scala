@@ -40,6 +40,11 @@ object PipelineQueries {
   private lazy val ivfCellsPath = s"$runDir/ivf_cells"
   private lazy val ivfCentroidsPath = s"$runDir/ivf_centroids"
 
+  /** Sidecar for the m_image_decode oracle: generator-side EXPECTED image
+    * metadata (dimensions by construction, mean luma from the raw pattern
+    * before encoding). */
+  private lazy val imageMetaPath = s"$runDir/image_meta"
+
   /** Shared oracle WITH-prefix: per-doc 32-bit simhash as CTE `sh`
     * (consumed by d_simhash and d_simhash_pairs). */
   private val simhashCte =
@@ -161,6 +166,46 @@ object PipelineQueries {
           expr("concat_ws(',', transform(codes, c -> CAST(c AS STRING)))").as("codes"))
         .orderBy("vec_id")
     },
+    // REAL image decode (JDK ImageIO, no external codecs): 48 deterministic
+    // grayscale patterns are PNG-encoded on executors, decoded back by the
+    // partition-local kernel, and the decoded width/height/mean-luma are
+    // checked against the GENERATOR's expected metadata (written as a
+    // parquet sidecar before any encode happened — the oracle never runs
+    // the decoder). PNG is lossless and both sides sum the same BT.601
+    // luma in the same pixel order, so the match is exact at 4 decimals.
+    "m_image_decode" -> { (s, d) =>
+      import s.implicits._
+      val imageSpecs = (0 until 48).map(i => (i.toLong, 16 + (i % 13), 12 + (i % 7)))
+      def pix(id: Long, x: Int, y: Int): Int = ((x * 7 + y * 13 + id) % 256).toInt
+      val expected = imageSpecs.map { case (id, w, h) =>
+        var sum = 0.0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = pix(id, x, y)
+            sum += 0.299 * v + 0.587 * v + 0.114 * v
+            x += 1
+          }
+          y += 1
+        }
+        val mean = java.math.BigDecimal.valueOf(sum / (w.toLong * h))
+          .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+        (id, w, h, mean)
+      }
+      expected.toDF("media_id", "width", "height", "mean_luma")
+        .coalesce(1).write.mode("overwrite").parquet(imageMetaPath)
+      val media = s.createDataset(imageSpecs).map { case (id, w, h) =>
+        graft.operators.Multimodal.MediaRecord(id, "image",
+          graft.operators.Multimodal.encodeGrayPng(w, h, (x, y) => pix(id, x, y)),
+          "image/png", -1, -1, 0L)
+      }
+      graft.operators.Multimodal.extractFeatures(media)
+        .select(col("media_id"), col("width"), col("height"),
+          round(col("mean_luma"), 4).as("mean_luma"))
+        .orderBy("media_id")
+    },
+
     // corpus TF-IDF: top-3 most characteristic words per doc
     "x_tfidf" -> { (s, d) =>
       Corpus.tfidfTopTerms(docs(s, d), "doc_id", "text", 3)
@@ -331,6 +376,14 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // decoded-vs-expected over the generator's sidecar: the oracle reads
+    // what the pattern generator STORED (pre-encode); the Spark side is
+    // what ImageIO DECODED from the PNG bytes — a decoder bug (wrong
+    // dims, wrong channel order, wrong luma) breaks the hash match
+    "m_image_decode" ->
+      s"""SELECT media_id, width, height, mean_luma
+         |FROM read_parquet('$imageMetaPath/*.parquet')
+         |ORDER BY media_id""".stripMargin,
     "d_exact_dedup" ->
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
         |FROM documents GROUP BY md5(text) ORDER BY text_hash""".stripMargin,

@@ -49,6 +49,51 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("ImageIO decode: PNG golden fixture — exact dimensions and luma features") {
+    // 8×4, left half black / right half white: with dim=16 the grid is
+    // 4×4, cells 2px wide × 1px tall — each cell is uniformly black
+    // (-0.5) or white (+0.5), and the mean luma is exactly mid-scale
+    val png = Multimodal.encodeGrayPng(8, 4, (x, _) => if (x < 4) 0 else 255)
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRecord(7L, "image", png, "image/png", -1, -1, 0L)))
+    val f = Multimodal.extractFeatures(media, dim = 16).collect().head
+    assert(f.decoder == "imageio")
+    assert(f.width == 8 && f.height == 4)
+    assert(math.abs(f.mean_luma - 127.5) < 1e-6, s"mean_luma = ${f.mean_luma}")
+    val expected = Seq.tabulate(16)(i => if (i % 4 < 2) -0.5f else 0.5f)
+    f.features.zip(expected).zipWithIndex.foreach { case ((got, exp), i) =>
+      assert(math.abs(got - exp) < 1e-6f, s"cell $i: $got != $exp")
+    }
+  }
+
+  test("ImageIO decode: JPEG and BMP real encodes; hostile bytes fall back to the stub") {
+    // uniform mid-gray survives JPEG's lossy round-trip almost exactly
+    val img = new java.awt.image.BufferedImage(20, 10,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 10).foreach(y => (0 until 20).foreach(x =>
+      img.setRGB(x, y, 0x808080)))
+    for (fmt <- Seq("jpg", "bmp")) {
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, out), s"JDK can't write $fmt")
+      val dec = Multimodal.decodeImage(out.toByteArray, 16)
+      assert(dec.isDefined, s"$fmt did not decode")
+      val (w, h, luma, feats) = dec.get
+      assert(w == 20 && h == 10)
+      assert(math.abs(luma - 128.0) < 3.0, s"$fmt mean luma $luma")
+      assert(feats.length == 16)
+    }
+    // hostile bytes: decode refuses, extractFeatures falls back to stub
+    assert(Multimodal.decodeImage(Array[Byte](1, 2, 3, 4), 16).isEmpty)
+    val hostile = spark.createDataset(Seq(
+      Multimodal.MediaRecord(9L, "image", Array[Byte](9, 9, 9), "image/png", -1, -1, 0L)))
+    val hf = Multimodal.extractFeatures(hostile, dim = 8).collect().head
+    assert(hf.decoder == "stub" && hf.width == -1 && hf.features.length == 8)
+    // audio stays honestly stubbed (no sample codec in the JDK)
+    val audio = spark.createDataset(Seq(
+      Multimodal.MediaRecord(10L, "audio", Array[Byte](1, 1), "audio/wav", -1, -1, 99L)))
+    assert(Multimodal.extractFeatures(audio).collect().head.decoder == "stub")
+  }
+
   test("sniff parses real container headers: PNG, JPEG, GIF, WAV, hostile bytes") {
     def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
     // PNG: signature + IHDR length/type + width=800, height=600
