@@ -67,6 +67,24 @@ object IvfIndex {
     (Model(model.clusterCenters.map(_.toArray)), assigned)
   }
 
+  /** Assign rows to a STORED model's cells — the incremental-maintenance
+    * path (no refit, no ML pipeline): a pure codegen expression computing
+    * the same argmin KMeansModel.transform does (squared L2, ties to the
+    * lowest cell id — array_sort on (d, cell) structs reproduces the
+    * first-minimal tie-break). Used by [[graft.sources.VectorIndex]] to
+    * route a new revision's vectors into an existing clustered layout. */
+  def assignCells(df: DataFrame, model: Model, vecCol: String): DataFrame = {
+    val dvec = expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))")
+    val cells = model.centroids.zipWithIndex.map { case (c, i) =>
+      val cLit = array(c.map(lit): _*)
+      val d2 = aggregate(zip_with(dvec, cLit, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v)
+      struct(d2.as("d"), lit(i).as("cell"))
+    }
+    df.withColumn("ivf_cell",
+      element_at(array_sort(array(cells: _*)), 1).getField("cell"))
+  }
+
   /** ANN top-k: probe the query's `nProbe` cells only. `assigned` is the
     * output of [[fit]] (persist it clustered by `ivf_cell` so the IN
     * filter prunes storage, not just rows). */

@@ -1,0 +1,211 @@
+package graft.sources
+
+import graft.operators.{IvfIndex, NswGraph}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental vector-index maintenance over a temporal table — the
+  * analog of the reference's per-commit HNSW maintenance
+  * (bundles/sirix-core/src/main/java/io/sirix/index/vector/
+  * VectorIndexListener.java:56, wired like its projection listener),
+  * mirroring [[ProjectionIndex]]'s catalog + maintain shape:
+  *
+  * {{{
+  * table/_vectoridx/<name>.json     // {"name","idCol","vecCol","nLists","m"}
+  * table/_vecidx/<name>/            // IvfIndex.writeClustered layout
+  *                                  //   (+ nsw_neighbors column when m > 0)
+  * table/_vecidx/<name>/_ivf/indexed_upto.txt   // maintenance watermark
+  * }}}
+  *
+  * CREATE fits the coarse quantizer over the current latest revision and
+  * persists the cell-clustered layout (with the per-cell NSW adjacency
+  * when `m` > 0). MAINTAIN (the commit-hook body) brings the index to the
+  * newest committed revision WITHOUT a rebuild:
+  *
+  *  1. the new revision's NEW rows (ids absent from the last indexed
+  *     revision — one anti-join on the id, both sides snapshots) are
+  *     assigned to the STORED model's cells by [[IvfIndex.assignCells]]
+  *     (same argmin as the original fit, pure codegen, no refit);
+  *  2. plain IVF (`m` = 0): the assigned rows APPEND into their cell
+  *     partitions — untouched cells' files are not rewritten;
+  *  3. NSW (`m` > 0): only the AFFECTED cells (those receiving new
+  *     vectors) re-derive their in-cell adjacency — existing members gain
+  *     edges to the new vectors and vice versa — and dynamic partition
+  *     overwrite rewrites exactly those `ivf_cell=` directories; every
+  *     other cell's files stay byte-identical (spec-pinned).
+  *
+  * Search stays [[IvfIndex.searchClustered]] / [[NswGraph.searchGraph]]
+  * over the index path — they see maintained vectors with no API change.
+  *
+  * Append-only contract (documented, like the reference's lazy deletes):
+  * rows REMOVED or RE-EMBEDDED in later revisions are not purged from the
+  * layout — the index serves the union of everything ever indexed, and a
+  * caller that needs exact current-snapshot semantics semi-joins hits
+  * against the snapshot or calls [[rebuild]] (the compaction). The
+  * centroids are fixed at create time; heavy drift degrades recall, not
+  * correctness (assignment and probe use the same centroids), and
+  * [[rebuild]] refits.
+  */
+object VectorIndex {
+
+  final case class Spec(name: String, idCol: String, vecCol: String,
+                        nLists: Int, m: Int)
+
+  private def catalogDir(tablePath: String) = s"$tablePath/_vectoridx"
+  private def dataDir(tablePath: String, name: String) = s"$tablePath/_vecidx/$name"
+  private def watermarkDir(tablePath: String, name: String) =
+    s"${dataDir(tablePath, name)}/_ivf"
+
+  def list(tablePath: String): Seq[Spec] =
+    MetaIO.list(catalogDir(tablePath)).filter(_.endsWith(".json")).map { f =>
+      val s = MetaIO.readString(s"${catalogDir(tablePath)}/$f")
+      Spec(TemporalTable.parseField(s, "name"),
+        TemporalTable.parseField(s, "idCol"),
+        TemporalTable.parseField(s, "vecCol"),
+        TemporalTable.parseField(s, "nLists").toInt,
+        TemporalTable.parseField(s, "m").toInt)
+    }.sortBy(_.name)
+
+  /** The highest revision the index covers. Watermarks are append-only
+    * `upto_<N>` marker files (max wins) — advancing creates the new
+    * marker BEFORE best-effort-deleting older ones, so a crash between
+    * the two steps can never lose the watermark. */
+  def indexedUpTo(tablePath: String, name: String): Int =
+    MetaIO.list(watermarkDir(tablePath, name))
+      .flatMap(n => scala.util.Try(n.stripPrefix("upto_").toInt).toOption)
+      .maxOption
+      .getOrElse(throw new IllegalStateException(
+        s"vector index $name at $tablePath has no watermark — rebuild it"))
+
+  private def writeWatermark(tablePath: String, name: String, rev: Int): Unit = {
+    val dir = watermarkDir(tablePath, name)
+    MetaIO.mkdirs(dir)
+    scala.util.Try(MetaIO.createNew(s"$dir/upto_$rev", rev.toString))
+    MetaIO.list(dir)
+      .flatMap(n => scala.util.Try(n.stripPrefix("upto_").toInt).toOption)
+      .filter(_ < rev)
+      .foreach(r => MetaIO.delete(s"$dir/upto_$r"))
+  }
+
+  /** The normalized (id, vec) projection of one revision's snapshot — the
+    * layout schema is pinned at create time so later appends line up:
+    * id cast long, vector cast array<double>. */
+  private def snapshotVectors(spark: SparkSession, tablePath: String, rev: Int,
+                              spec: Spec): DataFrame =
+    TemporalTable.read(spark, tablePath, Some(rev))
+      .select(col(spec.idCol).cast("long").as(spec.idCol),
+        expr(s"transform(${spec.vecCol}, x -> CAST(x AS DOUBLE))").as(spec.vecCol))
+
+  /** Declare + build the index over the table's current latest revision.
+    * `m` = 0 → plain IVF layout; `m` > 0 → per-cell NSW adjacency rides
+    * along ([[NswGraph.writeGraphIndexed]]'s layout). */
+  def create(spark: SparkSession, tablePath: String, name: String,
+             idCol: String, vecCol: String, nLists: Int, m: Int = 0,
+             seed: Long = 42L, fitFraction: Double = 1.0): Unit = {
+    require(name.matches("[A-Za-z0-9_.-]+"),
+      s"vector index name must be a plain identifier (path segment), got '$name'")
+    val latest = TemporalTable.mostRecentRevision(tablePath)
+      .getOrElse(throw new IllegalArgumentException(s"no commits at $tablePath"))
+    val spec = Spec(name, idCol, vecCol, nLists, m)
+    val base = snapshotVectors(spark, tablePath, latest, spec)
+    val (model, assigned) = IvfIndex.fit(base, vecCol, nLists, seed, fitFraction)
+    if (m > 0)
+      NswGraph.writeGraphIndexed(assigned, model, idCol, vecCol,
+        dataDir(tablePath, name), m)
+    else IvfIndex.writeClustered(assigned, model, dataDir(tablePath, name))
+    writeWatermark(tablePath, name, latest)
+    MetaIO.mkdirs(catalogDir(tablePath))
+    import TemporalTable.escapeJson
+    MetaIO.createNew(s"${catalogDir(tablePath)}/$name.json",
+      s"""{"name":"${escapeJson(name)}","idCol":"${escapeJson(idCol)}",""" +
+        s""""vecCol":"${escapeJson(vecCol)}","nLists":$nLists,"m":$m}""")
+  }
+
+  /** Bring one index up to the newest committed revision incrementally
+    * (see object scaladoc). Returns the number of newly indexed vectors
+    * (0 when already current). */
+  def maintain(spark: SparkSession, tablePath: String, name: String): Long = {
+    val spec = list(tablePath).find(_.name == name)
+      .getOrElse(throw new IllegalArgumentException(s"unknown vector index $name"))
+    val latest = TemporalTable.mostRecentRevision(tablePath)
+      .getOrElse(throw new IllegalArgumentException(s"no commits at $tablePath"))
+    val upTo = indexedUpTo(tablePath, name)
+    if (latest <= upTo) return 0L
+    val path = dataDir(tablePath, name)
+    val model = IvfIndex.readModel(path)
+    val newRows = snapshotVectors(spark, tablePath, latest, spec)
+      .join(snapshotVectors(spark, tablePath, upTo, spec)
+        .select(spec.idCol), Seq(spec.idCol), "left_anti")
+    val assigned = IvfIndex.assignCells(newRows, model, spec.vecCol)
+      .withColumn("ivf_cell", col("ivf_cell").cast("int"))
+    val count =
+      if (spec.m > 0) patchGraphCells(spark, path, assigned, spec)
+      else {
+        // plain IVF: append into the cell partitions — no existing file
+        // is rewritten, untouched cells aren't even listed
+        val pinned = assigned.persist()
+        try {
+          val n = pinned.count()
+          if (n > 0) pinned.write.mode("append").partitionBy("ivf_cell").parquet(path)
+          n
+        } finally { pinned.unpersist(); () }
+      }
+    writeWatermark(tablePath, name, latest)
+    count
+  }
+
+  /** NSW maintenance: re-derive the in-cell adjacency for exactly the
+    * cells that received new vectors (existing members must gain edges TO
+    * the new vectors — appending adjacency-less rows would leave them
+    * unreachable), then dynamic-partition-overwrite rewrites only those
+    * `ivf_cell=` directories. */
+  private def patchGraphCells(spark: SparkSession, path: String,
+                              assigned: DataFrame, spec: Spec): Long = {
+    val pinned = assigned.persist()
+    try {
+      val affected = pinned.select("ivf_cell").distinct()
+        .collect().map(_.getInt(0)).sorted
+      if (affected.isEmpty) return 0L
+      val n = pinned.count()
+      val existing = spark.read.parquet(path)
+        .filter(col("ivf_cell").isin(affected.toSeq: _*))
+        .select(col(spec.idCol), col(spec.vecCol), col("ivf_cell").cast("int"))
+      val merged = existing.unionByName(pinned)
+      val patched = NswGraph.buildGraph(merged, spec.idCol, spec.vecCol, spec.m)
+      // rewrite ONLY the affected cell directories; reading and writing
+      // the same path needs the read fully materialized WITH ITS LINEAGE
+      // CUT first (a lazily recomputed block would re-scan files the
+      // overwrite is replacing) — localCheckpoint truncates the plan to
+      // the materialized blocks
+      patched.localCheckpoint(true).write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ivf_cell").parquet(path)
+      n
+    } finally { pinned.unpersist(); () }
+  }
+
+  /** Maintain every declared index — the commit-hook body, mirroring
+    * [[ProjectionIndex.maintainAll]]:
+    * `TemporalTable.addCommitHook((p, _) => VectorIndex.maintainAll(spark, p))`. */
+  def maintainAll(spark: SparkSession, tablePath: String): Unit =
+    list(tablePath).foreach(s => maintain(spark, tablePath, s.name))
+
+  /** Full refit + rewrite (the compaction for drifted centroids or
+    * accumulated removed/re-embedded rows — see the append-only contract
+    * in the object scaladoc). */
+  def rebuild(spark: SparkSession, tablePath: String, name: String,
+              seed: Long = 42L, fitFraction: Double = 1.0): Unit = {
+    val spec = list(tablePath).find(_.name == name)
+      .getOrElse(throw new IllegalArgumentException(s"unknown vector index $name"))
+    val latest = TemporalTable.mostRecentRevision(tablePath)
+      .getOrElse(throw new IllegalArgumentException(s"no commits at $tablePath"))
+    val base = snapshotVectors(spark, tablePath, latest, spec)
+    val (model, assigned) = IvfIndex.fit(base, spec.vecCol, spec.nLists, seed, fitFraction)
+    val path = dataDir(tablePath, name)
+    MetaIO.delete(path, recursive = true)
+    if (spec.m > 0)
+      NswGraph.writeGraphIndexed(assigned, model, spec.idCol, spec.vecCol, path, spec.m)
+    else IvfIndex.writeClustered(assigned, model, path)
+    writeWatermark(tablePath, name, latest)
+  }
+}

@@ -1,0 +1,133 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.operators.{IvfIndex, NswGraph}
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** Incremental vector-index maintenance (the VectorIndexListener analog):
+  * commit a new revision into an indexed table, maintain, and the
+  * IVF/NSW search paths see the new vectors WITHOUT a rebuild — untouched
+  * cells keep their exact files. */
+class VectorIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Four well-separated clusters on a circle: unit vector at the cluster
+    * angle ± a deterministic per-id wobble of up to 0.3 rad. The wobble
+    * slots (id·37 mod 101) keep every pair of same-cluster vectors ≥
+    * ~0.012 rad apart, so cosine similarities are DISTINCT at the search
+    * paths' 4-decimal rounding — a query equal to one member's vector has
+    * that member as its unique top hit, no tie-break masking. */
+  private def vec(cluster: Int, salt: Long): Array[Double] = {
+    val slot = ((salt * 37) % 101).toDouble
+    val theta = cluster * math.Pi / 2.0 + slot / 101.0 * 0.6 - 0.3
+    Array(math.cos(theta), math.sin(theta))
+  }
+
+  private def rows(ids: Seq[Long]): org.apache.spark.sql.DataFrame =
+    ids.map(id => (id, vec((id % 4).toInt, id).toSeq))
+      .toDF("node_key", "embedding")
+
+  private def cellFiles(path: String): Map[String, Set[String]] =
+    MetaIO.listDirs(path).filter(_.startsWith("ivf_cell=")).map { d =>
+      d -> MetaIO.list(s"$path/$d").filter(_.endsWith(".parquet")).toSet
+    }.toMap
+
+  test("assignCells matches the ML fit's own assignment") {
+    val df = rows(0L until 64L)
+    val (model, assigned) = IvfIndex.fit(df, "embedding", nLists = 4)
+    val re = IvfIndex.assignCells(df, model, "embedding")
+    val a = assigned.select("node_key", "ivf_cell").as[(Long, Int)].collect().toMap
+    val b = re.select("node_key", "ivf_cell").as[(Long, Int)].collect().toMap
+    assert(a == b, "codegen assignment disagrees with KMeansModel.transform")
+  }
+
+  test("plain IVF: maintain appends new vectors; untouched cells keep their files") {
+    val p = Files.createTempDirectory("graft-vecidx").resolve("tbl").toString
+    TemporalTable.write(rows(0L until 64L), p)
+    VectorIndex.create(spark, p, "emb", "node_key", "embedding", nLists = 4)
+    assert(VectorIndex.indexedUpTo(p, "emb") == 1)
+    val idxPath = s"$p/_vecidx/emb"
+    val before = cellFiles(idxPath)
+
+    // rev 2 appends ids 100-103, ALL in cluster 0 (ids ≡ 0 mod 4)
+    val newIds = Seq(100L, 104L, 108L, 112L)
+    TemporalTable.write(rows((0L until 64L) ++ newIds), p)
+    val n = VectorIndex.maintain(spark, p, "emb")
+    assert(n == 4, s"maintained $n vectors, expected 4")
+    assert(VectorIndex.indexedUpTo(p, "emb") == 2)
+
+    // the new vectors' cell gained files; every other cell kept its exact set
+    val after = cellFiles(idxPath)
+    val model = IvfIndex.readModel(idxPath)
+    val newCell = s"ivf_cell=${IvfIndex.assignCells(rows(newIds), model, "embedding")
+      .select("ivf_cell").distinct().as[Int].head()}"
+    before.foreach { case (cell, files) =>
+      if (cell != newCell)
+        assert(after(cell) == files, s"untouched $cell was rewritten")
+    }
+    assert(after(newCell).size > before.getOrElse(newCell, Set.empty).size)
+
+    // search finds a new vector as its own top hit
+    val q = vec(0, 100L)
+    val top = IvfIndex.searchClustered(spark, idxPath, "node_key", "embedding",
+      q, k = 3, nProbe = 1).select("node_key").as[Long].collect()
+    assert(top.contains(100L), s"new vector not found: ${top.toSeq}")
+    // maintain is idempotent at the same watermark
+    assert(VectorIndex.maintain(spark, p, "emb") == 0L)
+  }
+
+  test("NSW: maintain patches only affected cells; graph search reaches new vectors") {
+    val p = Files.createTempDirectory("graft-vecidx-nsw").resolve("tbl").toString
+    TemporalTable.write(rows(0L until 64L), p)
+    VectorIndex.create(spark, p, "g", "node_key", "embedding", nLists = 4, m = 4)
+    val idxPath = s"$p/_vecidx/g"
+    val before = cellFiles(idxPath)
+
+    val newIds = Seq(101L, 105L, 109L) // cluster 1 (ids ≡ 1 mod 4)
+    TemporalTable.write(rows((0L until 64L) ++ newIds), p)
+    assert(VectorIndex.maintain(spark, p, "g") == 3)
+
+    val model = IvfIndex.readModel(idxPath)
+    val newCell = s"ivf_cell=${IvfIndex.assignCells(rows(newIds), model, "embedding")
+      .select("ivf_cell").distinct().as[Int].head()}"
+    val after = cellFiles(idxPath)
+    before.foreach { case (cell, files) =>
+      if (cell != newCell)
+        assert(after(cell) == files, s"unaffected $cell was rewritten")
+    }
+    assert(after(newCell) != before(newCell), "affected cell was not rewritten")
+
+    // beam search over the patched graph reaches a new vector: existing
+    // members must have gained edges to it (append-without-patch would
+    // leave it unreachable except as a hub seed)
+    val q = vec(1, 101L)
+    val top = NswGraph.searchGraph(spark, idxPath, "node_key", "embedding",
+      q, k = 3, nProbe = 1, ef = 16).select("node_key").as[Long].collect()
+    assert(top.contains(101L), s"patched graph missed the new vector: ${top.toSeq}")
+    // new vectors also carry adjacency of their own
+    val deg = spark.read.parquet(idxPath)
+      .filter(col("node_key").isin(newIds: _*))
+      .select(size(col("nsw_neighbors"))).as[Int].collect()
+    assert(deg.forall(_ > 0), "new vectors have empty adjacency")
+  }
+
+  test("commit hook wires maintenance into the write path") {
+    val p = Files.createTempDirectory("graft-vecidx-hook").resolve("tbl").toString
+    TemporalTable.write(rows(0L until 32L), p)
+    VectorIndex.create(spark, p, "h", "node_key", "embedding", nLists = 2)
+    val hook: TemporalTable.CommitHook =
+      (path, _) => VectorIndex.maintainAll(spark, path)
+    TemporalTable.addCommitHook(hook)
+    try {
+      TemporalTable.write(rows((0L until 32L) :+ 202L), p)
+      // no manual maintain: the hook already advanced the index
+      assert(VectorIndex.indexedUpTo(p, "h") == 2)
+      val q = vec(2, 202L)
+      val top = IvfIndex.searchClustered(spark, s"$p/_vecidx/h", "node_key",
+        "embedding", q, k = 2, nProbe = 1).select("node_key").as[Long].collect()
+      assert(top.contains(202L))
+    } finally TemporalTable.removeCommitHook(hook)
+  }
+}
