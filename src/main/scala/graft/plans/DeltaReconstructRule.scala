@@ -37,7 +37,14 @@ case class DeltaReconstructRule(spark: SparkSession) extends Rule[LogicalPlan] {
       rel.table match {
         case t: GraftTable if t.isDeltaLayout =>
           val reconstructed =
-            DeltaTemporalTable.read(spark, t.tablePath, t.deltaRevision)
+            (if (t.wantsAllRevisions)
+              // full history frame: the bounded event-interval plan,
+              // reshaped to the snapshot layout's V2 surface (data
+              // columns + `rev` partition column)
+              DeltaTemporalTable.readAllRevisions(spark, t.tablePath)
+                .drop("commit_ts", "author")
+                .withColumnRenamed("revision", "rev")
+            else DeltaTemporalTable.read(spark, t.tablePath, t.deltaRevision))
               .queryExecution.analyzed
           val byName = reconstructed.output.map(a => a.name -> a).toMap
           val projections = rel.output.map { a =>

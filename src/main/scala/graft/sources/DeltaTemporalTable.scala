@@ -206,4 +206,128 @@ object DeltaTemporalTable {
     val upserts = delta.filter(col("__change_type") =!= "delete").drop("__change_type")
     untouched.unionByName(upserts)
   }
+
+  /** Epoch structure of a delta chain: every full snapshot starts an epoch
+    * that runs until the next full (exclusive). Reconstruction, history
+    * reads and the change feed never need to look across an epoch boundary
+    * — a full snapshot restates everything. */
+  private final case class Epochs(fullRevs: Seq[Int]) {
+    require(fullRevs.nonEmpty, "delta chain has no full snapshot")
+    def startOf(rev: Int): Int = fullRevs.takeWhile(_ <= rev).last
+    def endOf(rev: Int): Int = fullRevs.find(_ > rev).getOrElse(Int.MaxValue)
+  }
+
+  private def epochsOf(log: Seq[Commit]): Epochs =
+    Epochs(log.filter(_.kind == "full").map(_.revision))
+
+  /** Key columns as stored by [[write]] — delta records lay keys out first,
+    * before the `__change_type` marker (driver-side footer read of one
+    * delta file). None when the chain holds no delta yet. */
+  private def storedKeys(spark: SparkSession, path: String,
+                         log: Seq[Commit]): Option[Seq[String]] =
+    log.find(_.kind == "delta").map { c =>
+      spark.read.parquet(s"$path/rev=${c.revision}").schema.fieldNames.toSeq
+        .takeWhile(_ != "__change_type")
+    }
+
+  /** Stored change events with VISIBILITY INTERVALS — the bounded-plan
+    * primitive behind [[readAllRevisions]] and the full-history change
+    * feed. Full-snapshot rows are upsert events at their revision; delta
+    * records are their own events. One window per (epoch, key) ordered by
+    * revision assigns each event `__valid_to` = the next event's revision
+    * for the same key (a later upsert or delete supersedes it) capped at
+    * the epoch end (the next full snapshot restates the world). The whole
+    * history is TWO hive-partitioned parquet reads (all fulls, all
+    * deltas) + one window — plan width independent of chain depth, the
+    * uniform-read property the reference gets from page-fragment
+    * reconstruction (VersioningType.java) expressed relationally.
+    *
+    * Returns data columns + `__change_type`, `rev`, `__epoch`,
+    * `__epoch_end`, `__valid_to`. Delete events keep their interval rows
+    * (they cap predecessors); consumers drop them when materializing
+    * states. */
+  private def eventIntervals(spark: SparkSession, path: String,
+                             commitsIn: Seq[Commit], epochs: Epochs): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fullDirs = commitsIn.filter(_.kind == "full")
+      .map(c => s"$path/rev=${c.revision}")
+    require(fullDirs.nonEmpty, "event-interval read needs a full snapshot")
+    val deltaCommits = commitsIn.filter(_.kind == "delta")
+    val fullDf = spark.read.option("basePath", path).parquet(fullDirs: _*)
+      .withColumn("__change_type", lit("insert"))
+    val events =
+      if (deltaCommits.isEmpty) fullDf
+      else fullDf.unionByName(
+        spark.read.option("basePath", path)
+          .parquet(deltaCommits.map(c => s"$path/rev=${c.revision}"): _*))
+    val epochDf = spark.createDataFrame(
+      commitsIn.map(c => (c.revision, epochs.startOf(c.revision), epochs.endOf(c.revision))))
+      .toDF("rev", "__epoch", "__epoch_end")
+    val tagged = events.join(broadcast(epochDf), "rev")
+    if (deltaCommits.isEmpty)
+      // all-full chain: singleton epochs, nothing supersedes within one
+      tagged.withColumn("__valid_to", col("__epoch_end"))
+    else {
+      val keys = storedKeys(spark, path, deltaCommits).get
+      val w = Window.partitionBy((col("__epoch") +: keys.map(col)): _*)
+        .orderBy(col("rev"))
+      tagged.withColumn("__valid_to",
+        coalesce(lead(col("rev"), 1).over(w), col("__epoch_end")))
+    }
+  }
+
+  /** Full transaction-time history frame over a delta layout — the schema
+    * and semantics of [[TemporalTable.readAllRevisions]] (`revision`,
+    * data columns, `commit_ts`, `author`), with every revision's
+    * reconstructed state present.
+    *
+    * Served by a BOUNDED plan regardless of chain depth: the
+    * [[eventIntervals]] frame joined (broadcast, epoch-keyed — never more
+    * than `snapshotEvery` revisions per epoch match an event) against the
+    * tiny commit-log revision list, keeping each event for the revisions
+    * inside its visibility interval. No per-revision reconstruction legs:
+    * a 10,000-revision chain is still two scans + one window + two
+    * broadcast joins. */
+  def readAllRevisions(spark: SparkSession, path: String): DataFrame = {
+    val log = commits(path)
+    require(log.nonEmpty, s"no commits at $path")
+    val epochs = epochsOf(log)
+    val ev = eventIntervals(spark, path, log, epochs)
+    val dataCols = ev.columns.toSeq
+      .filterNot(c => c == "rev" || c.startsWith("__"))
+    val revsDf = spark.createDataFrame(
+      log.map(c => (c.revision, epochs.startOf(c.revision))))
+      .toDF("revision", "__epoch")
+    val states = ev
+      .filter(col("__change_type") =!= "delete")
+      .join(broadcast(revsDf), "__epoch")
+      .filter(col("revision") >= col("rev") && col("revision") < col("__valid_to"))
+      .select(col("revision") +: dataCols.map(col): _*)
+    val meta = spark.createDataFrame(log)
+      .select(col("revision"), timestamp_millis(col("commitTsMs")).as("commit_ts"),
+        col("author"))
+    states.join(broadcast(meta), "revision")
+  }
+
+  /** End-of-epoch states for the epochs ENDING at each revision in
+    * `targets` — i.e. the reconstructed state immediately BEFORE each
+    * target full snapshot, for all targets in one plan. Rows carry
+    * `__target` = the full-snapshot revision they precede. Used by the
+    * change feed to diff scheduled full snapshots without per-snapshot
+    * reconstruction legs. */
+  private[graft] def statesBefore(spark: SparkSession, path: String,
+                                  log: Seq[Commit], targets: Seq[Int],
+                                  keys: Seq[String]): DataFrame = {
+    val epochs = epochsOf(log)
+    val targetSet = targets.toSet
+    val priorCommits = log.filter(c => targetSet.contains(epochs.endOf(c.revision)))
+    require(priorCommits.nonEmpty, s"no epochs end at any of $targets")
+    val ev = eventIntervals(spark, path, priorCommits, epochs)
+    val valueCols = ev.columns.toSeq
+      .filterNot(c => c == "rev" || c.startsWith("__") || keys.contains(c))
+    ev.filter(col("__change_type") =!= "delete" &&
+        col("__valid_to") === col("__epoch_end"))
+      .select(keys.map(col) ++ valueCols.map(col)
+        :+ col("__epoch_end").as("__target"): _*)
+  }
 }

@@ -192,16 +192,23 @@ private[graft] class GraftTable(options: CaseInsensitiveStringMap)
           Some(options.getLong("asOfTimestampMs", Long.MaxValue))
         else None)
 
+  /** Whether this read asks for the full history frame (`allRevisions`) —
+    * on a delta layout [[graft.plans.DeltaReconstructRule]] substitutes
+    * the bounded event-interval plan ([[DeltaTemporalTable
+    * .readAllRevisions]]) instead of per-revision reconstruction. */
+  private[graft] def wantsAllRevisions: Boolean =
+    options.getBoolean("allRevisions", false)
+
   /** Reconstructed schema for a delta table = its base full snapshot's
     * (deltas add only the `__change_type` marker, which reconstruction
-    * drops) — footer-only driver-side read, no job. */
-  private lazy val deltaSchema: StructType = {
-    require(!options.getBoolean("allRevisions", false),
-      "allRevisions is not supported on delta-encoded tables (revision dirs mix " +
-        "snapshot and change-record schemas); read revisions individually via " +
-        "DeltaTemporalTable.read")
-    DeltaTemporalTable.baseSchema(tablePath, deltaRevision)
-  }
+    * drops) — footer-only driver-side read, no job. An `allRevisions`
+    * read appends the `rev` column, mirroring the snapshot layout's
+    * partition-column surface. */
+  private lazy val deltaSchema: StructType =
+    if (wantsAllRevisions)
+      DeltaTemporalTable.baseSchema(tablePath)
+        .add("rev", org.apache.spark.sql.types.IntegerType, nullable = true)
+    else DeltaTemporalTable.baseSchema(tablePath, deltaRevision)
 
   override def name(): String = s"graft-temporal $tablePath"
   override def schema(): StructType =

@@ -100,6 +100,74 @@ class DeltaTemporalTableSpec extends SparkSpec {
     assert(DeltaTemporalTable.read(spark, p, Some(1)).count() == 2)
   }
 
+  test("readAllRevisions serves a 100-revision delta chain with a bounded plan") {
+    val p = Files.createTempDirectory("graft-delta-hist").resolve("tbl").toString
+    // 100 revisions with churn: inserts, updates and periodic deletes
+    var state = Map.empty[Long, Double]
+    val states = (1 to 100).map { r =>
+      state += (r % 7).toLong -> r.toDouble
+      if (r % 10 == 0) state -= (r % 3).toLong
+      DeltaTemporalTable.write(spark, snap(state.toSeq: _*), p, snapshotEvery = 5)
+      state
+    }
+
+    val hist = DeltaTemporalTable.readAllRevisions(spark, p)
+    // BOUNDED plan: one scan of all fulls + one of all deltas — never a
+    // reconstruction leg per revision (the round-5 caveat)
+    val scans = hist.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+    }
+    assert(scans.size <= 2, s"expected ≤2 parquet scans, got ${scans.size}")
+
+    // parity: every revision's slice reconstructs the driver-tracked state
+    val byRev = hist.select($"revision", $"node_key", $"price")
+      .as[(Int, Long, Double)].collect().groupBy(_._1)
+    assert(byRev.keySet == (1 to 100).toSet)
+    Seq(1, 4, 5, 37, 50, 99, 100).foreach { r =>
+      val got = byRev(r).map(t => t._2 -> t._3).toMap
+      assert(got == states(r - 1), s"revision $r mismatch")
+    }
+    assert(hist.count() == states.map(_.size).sum)
+    // schema matches the snapshot layout's history frame
+    assert(hist.columns.toSeq ==
+      Seq("revision", "node_key", "price", "commit_ts", "author"))
+
+    // the full-history change feed over the same chain is equally bounded
+    val feed = graft.streaming.ChangeFeed.revisionFeed(spark, p)
+    val feedScans = feed.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+    }
+    // wanted deltas + wanted fulls + prior-epoch fulls + prior-epoch deltas
+    assert(feedScans.size <= 4, s"expected ≤4 parquet scans, got ${feedScans.size}")
+    // feed replays to exactly the per-revision transitions
+    val changes = feed.select($"revision", $"node_key", $"change_type")
+      .as[(Int, Long, String)].collect().toSet
+    val expected = (1 to 100).flatMap { r =>
+      val prev = if (r == 1) Map.empty[Long, Double] else states(r - 2)
+      val cur = states(r - 1)
+      (cur.keySet -- prev.keySet).map(k => (r, k, "insert")) ++
+        (prev.keySet -- cur.keySet).map(k => (r, k, "delete")) ++
+        (cur.keySet & prev.keySet).filter(k => cur(k) != prev(k))
+          .map(k => (r, k, "update"))
+    }.toSet
+    assert(changes == expected)
+  }
+
+  test("V2 allRevisions read serves the delta history frame") {
+    val p = Files.createTempDirectory("graft-delta-v2all").resolve("tbl").toString
+    val snaps = Seq(
+      snap(1L -> 10.0, 2L -> 20.0),
+      snap(1L -> 11.0, 3L -> 30.0),
+      snap(1L -> 11.0, 3L -> 31.0, 4L -> 40.0))
+    snaps.foreach(s => DeltaTemporalTable.write(spark, s, p, snapshotEvery = 4))
+    val all = spark.read.format("graft-temporal").option("allRevisions", true).load(p)
+    assert(all.columns.toSeq == Seq("node_key", "price", "rev"))
+    assert(all.count() == snaps.map(_.count()).sum)
+    // a rev filter slices one reconstructed revision
+    assert(all.filter($"rev" === 2).select("node_key", "price")
+      .as[(Long, Double)].collect().toMap == Map(1L -> 11.0, 3L -> 30.0))
+  }
+
   test("unknown revision and empty table raise") {
     val p = Files.createTempDirectory("graft-delta3").resolve("tbl").toString
     intercept[IllegalArgumentException] { DeltaTemporalTable.read(spark, p) }
