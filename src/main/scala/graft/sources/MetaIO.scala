@@ -89,7 +89,13 @@ private[graft] object MetaIO {
     else f.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName)
   }
 
+  /** Count of metadata GETs ([[readString]] calls) since JVM start —
+    * test-visible so specs can pin O(1)-per-operation metadata access on
+    * aged tables (each read is a real GET on object storage). */
+  private[graft] val readCount = new java.util.concurrent.atomic.AtomicLong()
+
   def readString(path: String): String = {
+    readCount.incrementAndGet()
     val f = fs(path)
     val in = f.open(new Path(path))
     try {
