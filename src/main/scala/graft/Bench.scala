@@ -123,9 +123,16 @@ object Bench {
           .repartition(cpus.toInt, col("rev"))
           .write.partitionBy("rev").parquet(graft.sources.TemporalTable.keyIndexDir(dir))
         val base = System.currentTimeMillis() - nRevs
+        // file manifests in the synthesized log entries, as logCommit
+        // records them — history reads then never list revision dirs
+        val fileLists = graft.sources.MetaIO.parallelMap((1 to nRevs).toSeq) { r =>
+          r -> graft.sources.MetaIO.listFiles(s"$dir/rev=$r")
+            .map { case (n, s) => s"$n|$s" }.mkString(";")
+        }.toMap
         (1 to nRevs).foreach { r =>
           graft.sources.MetaIO.createNew(s"$dir/_commits/${"%08d".format(r)}.json",
-            s"""{"revision":$r,"commitTsMs":${base + r},"author":"bench","message":""}""")
+            s"""{"revision":$r,"commitTsMs":${base + r},"author":"bench",""" +
+              s""""message":"","files":"${fileLists(r)}"}""")
         }
         // stored manifests for the last adjacent pair only (diff target)
         Seq(nRevs - 1, nRevs).foreach { r =>

@@ -81,6 +81,22 @@ private[graft] object MetaIO {
     else f.listStatus(p).toSeq.map(_.getPath.getName)
   }
 
+  /** Data-file names and sizes of a directory — plain files only,
+    * excluding hidden/metadata entries (`_SUCCESS`, `_manifest/`,
+    * `.crc`). One LIST; the commit protocol uses it to record a
+    * revision's file manifest into its commit-log entry. */
+  def listFiles(dir: String): Seq[(String, Long)] = {
+    val p = new Path(dir)
+    val f = fs(dir)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq
+      .filter(s => s.isFile && {
+        val n = s.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      })
+      .map(s => s.getPath.getName -> s.getLen)
+  }
+
   /** Child DIRECTORY names only (stray files are not namespaces). */
   def listDirs(dir: String): Seq[String] = {
     val p = new Path(dir)

@@ -220,7 +220,15 @@ object TemporalTable {
     * path on successful job commit). Re-checks marker ownership first and
     * embeds the writer token in the entry ([[MetaIO.createNew]]'s
     * read-back needs writer-unique bytes), then clears the reservation
-    * marker once the entry is durable. */
+    * marker once the entry is durable.
+    *
+    * The entry also records the revision's data-file manifest (name and
+    * size, from ONE write-time listing of the just-written directory):
+    * history reads ([[readRevisions]]) then discover every file from the
+    * commit log alone — zero per-revision directory listings on an aged
+    * table, the same move the reference makes by keeping page references
+    * in its UberPage instead of scanning storage
+    * (bundles/sirix-core/src/main/java/io/sirix/page/UberPage.java). */
   private[graft] def logCommit(path: String, rev: Int, author: String,
                                message: String): Unit = {
     requireOwnership(path, rev)
@@ -228,12 +236,41 @@ object TemporalTable {
     val ts = System.currentTimeMillis()
     val token = writerToken(path, rev)
       .getOrElse(java.util.UUID.randomUUID().toString)
+    val files = MetaIO.listFiles(s"$path/rev=$rev")
+      .map { case (n, s) => s"$n|$s" }.mkString(";")
     val json = s"""{"revision":$rev,"commitTsMs":$ts,""" +
       s""""author":"${escapeJson(author)}","message":"${escapeJson(message)}",""" +
+      s""""files":"${escapeJson(files)}",""" +
       s""""writerId":"$token"}"""
     MetaIO.createNew(s"${commitsDir(path)}/${"%08d".format(rev)}.json", json)
     clearReservation(path, rev)
     firePostCommit(path, Commit(rev, ts, author, message))
+  }
+
+  /** Per-revision data-file manifests parsed from the commit log —
+    * `rev -> Seq(fileName -> size)`. Revisions committed before manifests
+    * were recorded are absent from the map (readers fall back to
+    * directory listing). One metadata pass, shared with [[commits]]'s
+    * parse format. */
+  private[graft] def commitFileManifests(path: String): Map[Int, Seq[(String, Long)]] = {
+    val dir = commitsDir(path)
+    val names = MetaIO.list(dir).filter(_.endsWith(".json"))
+    MetaIO.parallelMap(names) { name =>
+      val s = MetaIO.readString(s"$dir/$name")
+      val rev = parseField(s, "revision").toInt
+      // distinguish "no field" (pre-manifest commit) from "empty manifest"
+      // (an empty snapshot): parseField returns "" for both, so re-probe
+      if (!s.contains("\"files\"")) None
+      else {
+        val files = parseField(s, "files").split(";").toSeq
+          .filter(_.nonEmpty)
+          .map { e =>
+            val i = e.lastIndexOf('|')
+            e.substring(0, i) -> e.substring(i + 1).toLong
+          }
+        Some(rev -> files)
+      }
+    }.flatten.toMap
   }
 
   private[graft] def manifestDir(path: String, rev: Int): String =
@@ -501,7 +538,15 @@ object TemporalTable {
     * one history frame with revision metadata columns. A single scan over
     * the hive-partitioned layout (`rev=N/`) — the revision restriction is a
     * partition-pruning filter, and commit metadata joins in from the (tiny,
-    * broadcast) commit log instead of per-revision literals. */
+    * broadcast) commit log instead of per-revision literals.
+    *
+    * File discovery comes from the COMMIT LOG when every eligible
+    * revision's entry carries its file manifest ([[logCommit]] records
+    * them): a [[CommitLogFileIndex]] feeds the parquet relation directly,
+    * so an aged table's history read performs ZERO per-revision directory
+    * listings — at the reference's 10k-revision posture the listing pass
+    * alone dominates the plan. Tables with pre-manifest commits fall back
+    * to the listed read, same rows. */
   def readRevisions(spark: SparkSession, path: String,
                     fromTsMs: Long = Long.MinValue,
                     toTsMs: Long = Long.MaxValue): DataFrame = {
@@ -511,7 +556,25 @@ object TemporalTable {
     val meta = spark.createDataFrame(eligible)
       .select(col("revision"), timestamp_millis(col("commitTsMs")).as("commit_ts"),
         col("author"))
-    spark.read.parquet(path)
+    val manifests = commitFileManifests(path)
+    // schema probe target: newest eligible revision that HAS data files
+    // (an empty snapshot's directory can't answer a footer read)
+    val probeRev = eligible.reverse
+      .find(c => manifests.get(c.revision).exists(_.nonEmpty)).map(_.revision)
+    val snapshots =
+      if (eligible.forall(c => manifests.contains(c.revision)) && probeRev.isDefined) {
+        // footer-only schema probe of one revision — the only filesystem
+        // metadata op on this path
+        val dataSchema = spark.read.parquet(s"$path/rev=${probeRev.get}").schema
+        val index = new CommitLogFileIndex(path,
+          eligible.map(c => c.revision -> manifests(c.revision)))
+        val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+          index, index.partitionSchema, dataSchema, None,
+          new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
+          Map("basePath" -> path))(spark)
+        spark.baseRelationToDataFrame(relation)
+      } else spark.read.parquet(path)
+    snapshots
       .withColumnRenamed("rev", "revision")
       .filter(col("revision").isin(eligible.map(_.revision): _*))
       .join(broadcast(meta), "revision")

@@ -66,20 +66,24 @@ object ChangeFeed {
       .withColumn("__next_seen", lead(col("revision"), 1).over(w))
       .join(broadcast(adjDf), "revision") // adds __next_rev (-1 = last revision)
       .join(broadcast(prevAdjDf), Seq("revision"), "left") // __adj_prev (null = first)
-    val upserts = base
-      .withColumn("change_type",
-        when(col("__adj_prev").isNull || col("__prev_rev").isNull ||
-          col("__prev_rev") =!= col("__adj_prev"), lit("insert"))
-          .when(!(col("__vals") <=> col("__prev_vals")), lit("update")))
-      .filter(col("change_type").isNotNull && col("revision") > fromRevision)
-      .select(keys.map(col) :+ col("change_type") :+ col("revision"): _*)
-    val deletes = base
-      .filter(col("__next_rev") =!= -1 && // a successor revision exists
+    // ONE pass emits both candidate change records per row (its own
+    // upsert, and a delete attributed to the successor revision when the
+    // key vanishes there) — a two-branch union would scan and window the
+    // whole history twice
+    val upsertType = when(col("__adj_prev").isNull || col("__prev_rev").isNull ||
+        col("__prev_rev") =!= col("__adj_prev"), lit("insert"))
+      .when(!(col("__vals") <=> col("__prev_vals")), lit("update"))
+    val upsertRec = when(col("revision") > fromRevision && upsertType.isNotNull,
+      struct(upsertType.as("change_type"), col("revision").as("revision")))
+    val deleteRec = when(col("__next_rev") =!= -1 && // a successor revision exists
         (col("__next_seen").isNull || col("__next_seen") =!= col("__next_rev")) &&
-        col("__next_rev") > fromRevision)
-      .select(keys.map(col) :+ lit("delete").as("change_type")
-        :+ col("__next_rev").as("revision"): _*)
-    upserts.unionByName(deletes)
+        col("__next_rev") > fromRevision,
+      struct(lit("delete").as("change_type"), col("__next_rev").as("revision")))
+    base
+      .select(keys.map(col) :+ explode(array(upsertRec, deleteRec)).as("__c"): _*)
+      .filter(col("__c").isNotNull)
+      .select(keys.map(col) :+ col("__c.change_type").as("change_type")
+        :+ col("__c.revision").as("revision"): _*)
   }
 
   /** [[revisionFeed]] over a delta-encoded layout — here the storage
