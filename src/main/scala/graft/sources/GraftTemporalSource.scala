@@ -286,6 +286,7 @@ private[graft] class GraftTable(options: CaseInsensitiveStringMap)
             TemporalTable.writeSidecars(spark, tablePath, nextRev, dataSchema)
             // log AFTER data commit: a failed job never becomes a revision
             TemporalTable.logCommit(tablePath, nextRev, author, message)
+            TemporalTable.maybeAutoCompactKeyIndex(spark, tablePath)
           }
           override def abort(msgs: Array[WriterCommitMessage]): Unit = {
             innerBatch.abort(msgs)

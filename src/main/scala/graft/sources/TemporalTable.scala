@@ -360,10 +360,13 @@ object TemporalTable {
         }
       } finally if (pinHere) { frame.unpersist(); () }
       logCommit(path, rev, author, message)
-      rev
     } catch {
       case e: Throwable => abortReservation(path, rev); throw e
     }
+    // outside the protocol's try: the revision is durable, so a policy
+    // failure must not trip the abort path
+    maybeAutoCompactKeyIndex(df.sparkSession, path)
+    rev
   }
 
   private[graft] def keyIndexDir(path: String): String = s"$path/_keyindex"
@@ -412,6 +415,52 @@ object TemporalTable {
       .foreach(u => MetaIO.delete(keyIndexCompactDir(path, u), recursive = true))
     upTo
   }
+
+  private def autoCompactConfigPath(path: String): String =
+    s"${keyIndexDir(path)}/_autocompact.json"
+
+  /** Persist a key-index auto-compaction policy ON THE TABLE: once at
+    * least `every` commits have accumulated past the newest compaction,
+    * the NEXT commit (batch write, V2 append or streaming sink — anything
+    * that reaches the commit point) re-runs [[compactKeyIndex]]. The
+    * policy travels with the table, so every writer process honors it
+    * without registering hooks — aged-table record lookups stay at
+    * compacted cost with no manual maintenance, the reference's
+    * always-compact index-page behavior as a storage policy. */
+  def setKeyIndexAutoCompaction(path: String, every: Int, nFiles: Int = 32): Unit = {
+    require(every >= 1, "every must be >= 1")
+    MetaIO.mkdirs(keyIndexDir(path))
+    MetaIO.delete(autoCompactConfigPath(path))
+    MetaIO.createNew(autoCompactConfigPath(path),
+      s"""{"every":$every,"nFiles":$nFiles}""")
+    ()
+  }
+
+  def clearKeyIndexAutoCompaction(path: String): Unit = {
+    MetaIO.delete(autoCompactConfigPath(path))
+    ()
+  }
+
+  /** Post-commit policy check: compact when due. Runs after the commit
+    * point, so the revision is durable either way; a table whose sidecars
+    * are incomplete (withKeyIndex = false writers) skips silently and the
+    * next eligible commit retries, while an IO failure during the
+    * compaction itself propagates like any post-commit hook. One metadata
+    * existence probe when no policy is set. */
+  private[graft] def maybeAutoCompactKeyIndex(spark: SparkSession, path: String): Unit =
+    if (MetaIO.exists(autoCompactConfigPath(path))) {
+      val json = MetaIO.readString(autoCompactConfigPath(path))
+      val every = parseField(json, "every").toInt
+      val nFiles = parseField(json, "nFiles").toInt
+      val upTo = newestKeyIndexCompaction(path).getOrElse(0)
+      val latest = mostRecentRevision(path).getOrElse(0)
+      if (latest - upTo >= every) {
+        val indexed = MetaIO.listDirs(keyIndexDir(path))
+          .flatMap(n => scala.util.Try(n.stripPrefix("rev=").toInt).toOption).toSet
+        val complete = commits(path).forall(c => indexed.contains(c.revision))
+        if (complete) { compactKeyIndex(spark, path, nFiles); () }
+      }
+    }
 
   /** Manifest preconditions on the schema alone: a `node_key` diff key and
     * no type xxhash64 cannot digest (maps). Ineligible tables still

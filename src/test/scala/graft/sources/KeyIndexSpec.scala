@@ -99,6 +99,45 @@ class KeyIndexSpec extends SparkSpec {
       .select("revision").as[Int].collect().toSeq == Seq(1))
   }
 
+  test("auto-compaction policy keeps lookups at compacted cost with no manual call") {
+    val p = Files.createTempDirectory("graft-keyidx-auto").resolve("tbl").toString
+    TemporalTable.setKeyIndexAutoCompaction(p, every = 5, nFiles = 2)
+    (1 to 5).foreach { r =>
+      TemporalTable.write(Seq(1L, 100L + r).toDF("node_key"), p, withManifest = false)
+    }
+    // the 5th commit triggered compaction covering revisions 1-5
+    assert(TemporalTable.newestKeyIndexCompaction(p).contains(5))
+    // commits 6-9 accumulate, 10 re-compacts
+    (6 to 9).foreach { r =>
+      TemporalTable.write(Seq(1L, 100L + r).toDF("node_key"), p, withManifest = false)
+    }
+    assert(TemporalTable.newestKeyIndexCompaction(p).contains(5))
+    TemporalTable.write(Seq(1L, 110L).toDF("node_key"), p, withManifest = false)
+    assert(TemporalTable.newestKeyIndexCompaction(p).contains(10))
+    // lookups read the compacted table (+ nothing newer exists) and stay
+    // correct across the policy's lifetime
+    val hits = TemporalTable.recordRevisions(spark, p, 1L)
+    assert(hits.select("revision").as[Int].collect().toSeq == (1 to 10))
+    assert(hits.inputFiles.forall(_.contains("compact_upto=10")))
+    // V2 appends honor the table policy too
+    TemporalTable.clearKeyIndexAutoCompaction(p)
+    TemporalTable.setKeyIndexAutoCompaction(p, every = 1, nFiles = 2)
+    Seq(1L, 111L).toDF("node_key")
+      .write.format("graft-temporal").mode("append").save(p)
+    assert(TemporalTable.newestKeyIndexCompaction(p).contains(11))
+  }
+
+  test("auto-compaction skips silently while sidecars are incomplete") {
+    val p = Files.createTempDirectory("graft-keyidx-auto-skip").resolve("tbl").toString
+    TemporalTable.setKeyIndexAutoCompaction(p, every = 2)
+    TemporalTable.write(Seq(1L).toDF("node_key"), p, withKeyIndex = false)
+    TemporalTable.write(Seq(2L).toDF("node_key"), p) // due, but rev 1 has no sidecar
+    assert(TemporalTable.newestKeyIndexCompaction(p).isEmpty)
+    // lookups still answer via the fallback scan
+    assert(TemporalTable.recordRevisions(spark, p, 1L)
+      .select("revision").as[Int].collect().toSeq == Seq(1))
+  }
+
   test("withKeyIndex=false writes no sidecar; non-default keyCol scans") {
     val p = Files.createTempDirectory("graft-keyidx-off").resolve("tbl").toString
     TemporalTable.write(Seq((1L, "a")).toDF("node_key", "name"), p,
