@@ -12,6 +12,9 @@ object Graft {
   def install(spark: SparkSession): Unit = {
     functions.VectorExpressions.install(spark)
     plans.CountFromMetadataRule.install(spark)
+    // before DictAggRule: a count-distinct a sidecar can serve whole
+    // should fold outright rather than be rewritten onto dict codes
+    plans.AggFromStatsRule.install(spark)
     plans.DictAggRule.install(spark)
     plans.MinMaxFromMetadataRule.install(spark)
   }

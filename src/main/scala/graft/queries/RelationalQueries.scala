@@ -257,6 +257,46 @@ object RelationalQueries {
         .orderBy("lang")
     },
 
+    // ---- stats-sidecar aggregate fold (AggFromStatsRule): the writer
+    // records per-column count/nulls/sum/min/max + exact NDV in a _stats
+    // sidecar, and the unfiltered aggregate below folds to a one-row
+    // LocalRelation — zero tasks, zero data bytes. The oracle recomputes
+    // every statistic from the source table: a stale or mis-merged
+    // sidecar value would hash-mismatch ----
+    "q_stats_fold" -> { (s, d) =>
+      val dir = java.nio.file.Files.createTempDirectory("graft-statsq").toString + "/t"
+      t(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus")
+        .write.parquet(dir)
+      graft.sources.StatsSidecar.write(s, dir,
+        ndvCols = Seq("l_returnflag", "l_linestatus"))
+      graft.plans.AggFromStatsRule.install(s)
+      s.read.parquet(dir).agg(
+        sum("l_linenumber").as("sum_ln"),
+        avg("l_linenumber").as("avg_ln"),
+        min("l_linenumber").as("min_ln"),
+        max("l_linenumber").as("max_ln"),
+        count(lit(1)).as("n_rows"),
+        count(col("l_linenumber")).as("n_ln"),
+        countDistinct(col("l_returnflag")).as("n_flags"),
+        countDistinct(col("l_linestatus")).as("n_status"))
+    },
+
+    // The staleness bail, oracle-checked: rows appended AFTER the sidecar
+    // was written make the fingerprint stale, so the rule must fall back
+    // to the scan — the answer covers the appended rows or the hash
+    // mismatches
+    "q_stats_stale" -> { (s, d) =>
+      val dir = java.nio.file.Files.createTempDirectory("graft-statsq-stale").toString + "/t"
+      val proj = t(s, d, "lineitem").select("l_orderkey", "l_linenumber")
+      proj.write.parquet(dir)
+      graft.sources.StatsSidecar.write(s, dir)
+      proj.filter(col("l_orderkey") <= 1000).write.mode("append").parquet(dir)
+      graft.plans.AggFromStatsRule.install(s)
+      s.read.parquet(dir).agg(
+        sum("l_linenumber").as("sum_ln"), count(lit(1)).as("n_rows"))
+    },
+
     // ---- nested data: JSON field extraction, array ops (SURVEY.md §2.2) ----
     "q_json_extract" -> { (s, d) =>
       t(s, d, "events")
@@ -349,6 +389,19 @@ object RelationalQueries {
       "SELECT l_returnflag, COUNT(*) AS cnt FROM lineitem WHERE l_discount > 0.05 GROUP BY l_returnflag ORDER BY l_returnflag",
     "b_count_distinct" ->
       "SELECT COUNT(DISTINCT l_partkey) AS cnt_d FROM lineitem",
+    "q_stats_fold" ->
+      """SELECT CAST(SUM(l_linenumber) AS BIGINT) AS sum_ln,
+        |  AVG(l_linenumber) AS avg_ln,
+        |  MIN(l_linenumber) AS min_ln, MAX(l_linenumber) AS max_ln,
+        |  COUNT(*) AS n_rows, COUNT(l_linenumber) AS n_ln,
+        |  CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS n_flags,
+        |  CAST(COUNT(DISTINCT l_linestatus) AS BIGINT) AS n_status
+        |FROM lineitem""".stripMargin,
+    "q_stats_stale" ->
+      """SELECT CAST(SUM(l_linenumber) AS BIGINT) AS sum_ln, COUNT(*) AS n_rows
+        |FROM (SELECT l_orderkey, l_linenumber FROM lineitem
+        |      UNION ALL
+        |      SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_orderkey <= 1000)""".stripMargin,
     "q_select_item" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM lineitem
         |WHERE l_orderkey = 42 AND l_linenumber = 1""".stripMargin,

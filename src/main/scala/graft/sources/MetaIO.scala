@@ -203,6 +203,28 @@ private[graft] object MetaIO {
     try fs(path).delete(new Path(path), recursive)
     catch { case _: FileNotFoundException => false }
 
+  /** Overwrite write with rename visibility: content lands fully in a
+    * hidden tmp file, then renames over the destination. Unlike
+    * [[createNew]] this is NOT a race-safe primitive — it is for
+    * best-effort sidecars ([[StatsSidecar]]) whose readers treat a
+    * missing, torn, or unparseable file as "no sidecar" and fall back to
+    * the scan; a lost overwrite race loses an optimization, never an
+    * answer. */
+  def writeStringOverwrite(path: String, content: String): Unit = {
+    val f = fs(path)
+    val p = new Path(path)
+    val tmp = new Path(p.getParent,
+      s".${p.getName}.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = f.create(tmp, true)
+    try out.write(content.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    if (f.exists(p)) f.delete(p, false)
+    if (!f.rename(tmp, p)) {
+      f.delete(tmp, false)
+      throw new java.io.IOException(s"writeStringOverwrite: rename failed for $path")
+    }
+  }
+
   /** Recursively list data files under `dir`, skipping hidden
     * (`_`/`.`-prefixed) path segments — Spark's file-listing convention
     * (`_commits`, `_proj`, `.crc` never count as data). */

@@ -313,10 +313,17 @@ object TemporalTable {
     * new values append. Prefix-compatible per-revision dictionaries are
     * what lets [[graft.plans.DictAggRule]] fire on multi-revision history
     * frames; per-write independent dictionaries (encoding yourself before
-    * calling write) stay correct but make the rule bail on history. */
+    * calling write) stay correct but make the rule bail on history.
+    *
+    * `withStats` additionally materializes a per-revision
+    * [[StatsSidecar]] (per-column count/nulls/sum/min/max + dictionary
+    * NDV) so unfiltered aggregate shapes over the snapshot fold to
+    * metadata via [[graft.plans.AggFromStatsRule]]; costs one extra
+    * aggregate pass over the just-written revision, hence opt-in. */
   def write(df: DataFrame, path: String, author: String = "graft",
             message: String = "", withManifest: Boolean = true,
-            withKeyIndex: Boolean = true, dictCols: Seq[String] = Nil): Int = {
+            withKeyIndex: Boolean = true, dictCols: Seq[String] = Nil,
+            withStats: Boolean = false): Int = {
     val encoded =
       if (dictCols.isEmpty) df
       else {
@@ -326,12 +333,14 @@ object TemporalTable {
           .getOrElse(Map.empty[String, Array[String]])
         graft.operators.Dict.encode(df, dictCols, base = base)
       }
-    writeFrame(encoded, path, author, message, withManifest, withKeyIndex)
+    writeFrame(encoded, path, author, message, withManifest, withKeyIndex,
+      withStats)
   }
 
   private def writeFrame(df: DataFrame, path: String, author: String,
                          message: String, withManifest: Boolean,
-                         withKeyIndex: Boolean): Int = {
+                         withKeyIndex: Boolean,
+                         withStats: Boolean = false): Int = {
     val rev = reserveRevision(path)
     try {
       val wantManifest = withManifest && manifestEligible(df.schema)
@@ -359,6 +368,12 @@ object TemporalTable {
           } finally if (pinSrc) { src.unpersist(); () }
         }
       } finally if (pinHere) { frame.unpersist(); () }
+      // per-revision statistics sidecar (opt-in): unfiltered sum/avg/
+      // count/min-max/NDV over this snapshot become metadata-only reads
+      // via AggFromStatsRule; computed from the just-written files so
+      // the fingerprint provably covers the stats (StatsSidecar contract)
+      if (withStats)
+        StatsSidecar.write(df.sparkSession, s"$path/rev=$rev")
       logCommit(path, rev, author, message)
     } catch {
       case e: Throwable => abortReservation(path, rev); throw e

@@ -37,8 +37,15 @@ object ScaleBench {
           concat(lit("city_"), pmod(hash(col("id") * 13), lit(8))).as("city"),
           (pmod(hash(col("id") * 31), lit(2)) === 0).as("active"))
       graft.operators.Dict.writeEncoded(base, Seq("dept", "city"), dir)
-      println(s"generated $n rows (dict-encoded dept/city) at $dir")
+      // the stats sidecar (count/nulls/sum/min/max + dict-column NDV)
+      // makes the unfiltered sum/avg/minmax/countDistinct shapes
+      // metadata-only reads via AggFromStatsRule
+      graft.sources.StatsSidecar.write(spark, dir)
+      println(s"generated $n rows (dict-encoded dept/city, stats sidecar) at $dir")
     }
+    // older runs may predate the sidecar
+    if (haveEncoded && !graft.sources.MetaIO.exists(s"$dir/_stats"))
+      graft.sources.StatsSidecar.write(spark, dir)
 
     val df = spark.read.parquet(dir)
     val shapes: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
