@@ -3,8 +3,8 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.aggregate._
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, NamedExpression, Not}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LocalRelation, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -23,10 +23,28 @@ import graft.sources.StatsSidecar
   *   `count(1)` · `count(col)` · `count(distinct col)`
   *
   * over an UNFILTERED parquet relation (V1, or a graft-temporal V2
-  * snapshot; attribute-only Projects allowed, any Filter disqualifies —
-  * same scope discipline as [[MinMaxFromMetadataRule]]) whose scan
-  * directories all carry FRESH sidecars, and replaces the subtree with a
-  * one-row LocalRelation: zero tasks, zero data bytes, at any table size.
+  * snapshot; attribute-only Projects allowed — same scope discipline as
+  * [[MinMaxFromMetadataRule]]) whose scan directories all carry FRESH
+  * sidecars, and replaces the subtree with a one-row LocalRelation: zero
+  * tasks, zero data bytes, at any table size.
+  *
+  * It also folds GROUPED and FILTERED aggregates from recorded group
+  * sections — the micro-cube serving path (Druid/Pinot's aggregate
+  * index; the reference's index summaries). A section records the
+  * complete value list of a column tuple (a full groupBy over the same
+  * pinned file set, recorded only under the
+  * [[graft.sources.StatsSidecar.MaxGroupValues]] cardinality bound).
+  * Any aggregate whose grouping attributes AND filter columns all lie
+  * inside one recorded tuple is answered by evaluating the predicate
+  * over the ≤4096 recorded entries driver-side and merging the
+  * survivors by grouping value: extra tuple dimensions merge away
+  * additively, and a tuple column's own count/sum/min/max within an
+  * entry is the exact function of (group value, row count). Supported
+  * filter conjuncts: bare/negated boolean attributes, IS [NOT] NULL,
+  * `=`/`<=>`/IN against literals, and integral range comparisons
+  * (string ranges excluded — token order need not match Spark's UTF8
+  * binary collation). Per-group NDV is not recorded, so
+  * `count(distinct …)` disables the section fold.
   *
   * Freshness: the rule re-lists each directory's parquet files (the same
   * listing the sidecar writer used) and requires the recorded
@@ -137,29 +155,306 @@ case class AggFromStatsRule(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case agg @ Aggregate(Nil, aggExprs, child, _) if aggExprs.nonEmpty =>
-      val reqs = aggExprs.map(reqOf)
-      if (reqs.exists(_.isEmpty)) agg
-      else statsDirsOf(child) match {
-        case Some(dirs) if dirs.nonEmpty =>
-          val wanted = reqs.flatten
-          val ndvWanted = wanted.exists(_.isInstanceOf[NdvOf])
-          if (ndvWanted && dirs.size > 1) agg // NDV is not additive
-          else {
-            val perDir = dirs.map(freshStats)
-            if (perDir.exists(_.isEmpty)) agg
-            else {
-              val stats = perDir.flatten
-              serve(wanted, stats) match {
-                case Some(values) =>
-                  LocalRelation(agg.output, Seq(InternalRow.fromSeq(values)))
-                case None => agg
-              }
-            }
-          }
-        case _ => agg
-      }
+    case agg @ Aggregate(groupExprs, aggExprs, child, _)
+        if aggExprs.nonEmpty &&
+          groupExprs.forall(_.isInstanceOf[AttributeReference]) =>
+      val groupAttrs = groupExprs.map(_.asInstanceOf[AttributeReference])
+      val global =
+        if (groupExprs.isEmpty) serveGlobal(agg, aggExprs, child) else None
+      global
+        .orElse(serveFromSections(agg, groupAttrs, aggExprs, child))
+        .getOrElse(agg)
   }
+
+  /** Ungrouped, unfiltered: fold from the table-level statistics. */
+  private def serveGlobal(agg: Aggregate, aggExprs: Seq[NamedExpression],
+                          child: LogicalPlan): Option[LogicalPlan] = {
+    val reqs = aggExprs.map(reqOf)
+    if (reqs.exists(_.isEmpty)) return None
+    val dirs = statsDirsOf(child).getOrElse(return None)
+    if (dirs.isEmpty) return None
+    val wanted = reqs.flatten
+    if (wanted.exists(_.isInstanceOf[NdvOf]) && dirs.size > 1)
+      return None // NDV is not additive
+    val perDir = dirs.map(freshStats)
+    if (perDir.exists(_.isEmpty)) return None
+    serve(wanted, perDir.flatten).map(values =>
+      LocalRelation(agg.output, Seq(InternalRow.fromSeq(values))))
+  }
+
+  /** A grouped-aggregate output column: a pass-through of one of the
+    * grouping attributes, or a foldable aggregate over a non-group
+    * column. */
+  private sealed trait GOut
+  private case class GroupPass(a: AttributeReference) extends GOut
+  private case class GroupAgg(req: Req) extends GOut
+
+  private def groupTokenToCatalyst(tok: Option[String], dt: DataType): Option[Any] =
+    tok match {
+      case None => Some(null)
+      case Some(s) => dt match {
+        case StringType =>
+          Some(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+        case BooleanType => Some(s.toBoolean)
+        case ByteType | ShortType | IntegerType | LongType =>
+          try Some(toCatalyst(s.toLong, dt)) catch { case _: Exception => None }
+        case _ => None
+      }
+    }
+
+  /** Split a conjunction into its conjuncts. */
+  private def splitAnd(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitAnd(l) ++ splitAnd(r)
+    case x => Seq(x)
+  }
+
+  /** Compile one filter conjunct into (referenced column, token
+    * predicate), or None when the shape is unsupported. Token predicates
+    * implement SQL three-valued semantics against the recorded group
+    * tokens: a NULL group value (None) satisfies only IS NULL and a
+    * null-safe equality with null. Range comparisons are integral-only —
+    * string ordering on tokens would not match Spark's UTF8 binary
+    * collation for every input. */
+  private def compilePred(e: Expression): Option[(String, Option[String] => Boolean)] = {
+    def litLong(v: Any): Option[Long] = v match {
+      case i: Int => Some(i.toLong)
+      case l: Long => Some(l)
+      case s: Short => Some(s.toLong)
+      case b: Byte => Some(b.toLong)
+      case _ => None
+    }
+    def supported(a: AttributeReference): Boolean =
+      integral(a.dataType) || a.dataType == StringType || a.dataType == BooleanType
+    def eqTo(a: AttributeReference, v: Any): Option[(String, Option[String] => Boolean)] =
+      if (!supported(a)) None
+      else if (v == null) Some(a.name -> ((_: Option[String]) => false))
+      else a.dataType match {
+        case StringType => Some(a.name -> ((t: Option[String]) => t.contains(v.toString)))
+        case BooleanType => Some(a.name -> ((t: Option[String]) => t.contains(v.toString)))
+        case _ => litLong(v).map(lv =>
+          a.name -> ((t: Option[String]) => t.exists(_.toLong == lv)))
+      }
+    def cmp(a: AttributeReference, v: Any, op: (Long, Long) => Boolean)
+        : Option[(String, Option[String] => Boolean)] =
+      if (v == null) Some(a.name -> ((_: Option[String]) => false))
+      else if (!integral(a.dataType)) None
+      else litLong(v).map(lv =>
+        a.name -> ((t: Option[String]) => t.exists(s => op(s.toLong, lv))))
+    e match {
+      case a: AttributeReference if a.dataType == BooleanType =>
+        Some(a.name -> (_.contains("true")))
+      case Not(a: AttributeReference) if a.dataType == BooleanType =>
+        Some(a.name -> (_.contains("false")))
+      case IsNull(a: AttributeReference) => Some(a.name -> (_.isEmpty))
+      case IsNotNull(a: AttributeReference) => Some(a.name -> (_.nonEmpty))
+      case EqualTo(a: AttributeReference, Literal(v, _)) => eqTo(a, v)
+      case EqualTo(Literal(v, _), a: AttributeReference) => eqTo(a, v)
+      case EqualNullSafe(a: AttributeReference, Literal(v, _)) =>
+        if (v == null) Some(a.name -> (_.isEmpty)) else eqTo(a, v)
+      case EqualNullSafe(Literal(v, _), a: AttributeReference) =>
+        if (v == null) Some(a.name -> (_.isEmpty)) else eqTo(a, v)
+      case GreaterThan(a: AttributeReference, Literal(v, _)) => cmp(a, v, _ > _)
+      case GreaterThan(Literal(v, _), a: AttributeReference) => cmp(a, v, _ < _)
+      case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) => cmp(a, v, _ >= _)
+      case GreaterThanOrEqual(Literal(v, _), a: AttributeReference) => cmp(a, v, _ <= _)
+      case LessThan(a: AttributeReference, Literal(v, _)) => cmp(a, v, _ < _)
+      case LessThan(Literal(v, _), a: AttributeReference) => cmp(a, v, _ > _)
+      case LessThanOrEqual(a: AttributeReference, Literal(v, _)) => cmp(a, v, _ <= _)
+      case LessThanOrEqual(Literal(v, _), a: AttributeReference) => cmp(a, v, _ >= _)
+      case In(a: AttributeReference, list) if list.forall(_.isInstanceOf[Literal]) =>
+        val preds = list.map(l => eqTo(a, l.asInstanceOf[Literal].value))
+        if (preds.exists(_.isEmpty)) None
+        else {
+          val fns = preds.flatten.map(_._2)
+          Some(a.name -> ((t: Option[String]) => fns.exists(_(t))))
+        }
+      // general negation with SQL three-valued semantics: for inners that
+      // can evaluate to NULL (comparisons, IN, bare boolean), NOT(NULL)
+      // is NULL and the row is excluded — so a null token stays excluded
+      // under negation; only the never-null inners invert directly
+      case Not(inner) => compilePred(inner).map { case (n, fn) =>
+        inner match {
+          case _: IsNull | _: IsNotNull | _: EqualNullSafe =>
+            n -> ((t: Option[String]) => !fn(t))
+          case _ =>
+            n -> ((t: Option[String]) => t.nonEmpty && !fn(t))
+        }
+      }
+      case _ => None
+    }
+  }
+
+  /** Synthesize [[StatsSidecar.ColStats]] for a TUPLE column of one
+    * entry: within the entry the column is the constant group value, so
+    * count/sum/min/max are exact functions of (token, rows). A
+    * non-numeric token yields no sum/min/max — harmless, because
+    * [[reqOf]] only admits those aggregates on integral attributes. A
+    * multiplication overflow yields sum=None with count>0, which the
+    * fold helpers treat as poison (bail to the scan). */
+  private def synthTupleCol(name: String, tok: Option[String], rows: Long)
+      : StatsSidecar.ColStats = tok match {
+    case None => StatsSidecar.ColStats(name, 0L, rows, None, None, None)
+    case Some(t) =>
+      val asLong = try Some(t.toLong) catch { case _: Exception => None }
+      val sum = asLong.flatMap { v =>
+        try Some(Math.multiplyExact(v, rows)) catch { case _: ArithmeticException => None }
+      }
+      StatsSidecar.ColStats(name, rows, 0L, sum, asLong.map(v => (v, v)), None)
+  }
+
+  /** Serve a (possibly filtered, possibly grouped) aggregate from a
+    * recorded group section that COVERS it: a tuple whose column set
+    * contains every grouping attribute and every filter column. The
+    * section's value list is complete under the cardinality bound, so
+    * evaluating the predicate over its ≤[[StatsSidecar.MaxGroupValues]]
+    * entries and merging the survivors by the (projected) grouping value
+    * is the exact answer — the micro-cube serving path. Extra tuple
+    * dimensions merge away additively; per-dir sections may record the
+    * covering tuple in different column orders. */
+  private def serveFromSections(agg: Aggregate, groupAttrs: Seq[AttributeReference],
+                                aggExprs: Seq[NamedExpression],
+                                child0: LogicalPlan): Option[LogicalPlan] = try {
+    // peel attribute-only projects, collecting filter conjuncts
+    def peel(p: LogicalPlan, conj: Seq[Expression]): (Seq[Expression], LogicalPlan) =
+      p match {
+        case Project(pl, c) if pl.forall(_.isInstanceOf[Attribute]) => peel(c, conj)
+        case f: Filter => peel(f.child, conj ++ splitAnd(f.condition))
+        case other => (conj, other)
+      }
+    val (conjuncts, core) = peel(child0, Nil)
+    val preds = conjuncts.map(compilePred)
+    if (preds.exists(_.isEmpty)) return None
+    val predicates = preds.flatten
+
+    val groupIds = groupAttrs.map(_.exprId).toSet
+    val outs: Seq[Option[GOut]] = aggExprs.map {
+      case a: AttributeReference if groupIds.contains(a.exprId) => Some(GroupPass(a))
+      case Alias(a: AttributeReference, _) if groupIds.contains(a.exprId) =>
+        Some(GroupPass(a))
+      case ne => reqOf(ne) match {
+        case Some(_: NdvOf) => None // per-group NDV is not recorded
+        case Some(r) => Some(GroupAgg(r))
+        case None => None
+      }
+    }
+    if (outs.exists(_.isEmpty)) return None
+
+    val needed = (groupAttrs.map(_.name) ++ predicates.map(_._1)).distinct
+    if (needed.isEmpty) return None // pure global shape — serveGlobal's job
+    val dirs = statsDirsOf(core).getOrElse(return None)
+    if (dirs.isEmpty) return None
+    val perDir = dirs.map(freshStats)
+    if (perDir.exists(_.isEmpty)) return None
+
+    // per dir: the smallest recorded tuple covering the needed columns
+    // (deterministic tie-break), its entries filtered by the predicates
+    // and projected to (grouping value, per-column stats incl. the
+    // synthesized tuple columns)
+    val perDirSurvivors: Seq[Seq[(Seq[Option[String]], Long, Map[String, StatsSidecar.ColStats])]] =
+      perDir.flatten.map { st =>
+        val covering = st.groups.keys.toSeq
+          .filter(g => needed.forall(g.contains))
+          .sortBy(g => (g.size, g.mkString(",")))
+          .headOption.getOrElse(return None)
+        val entries = st.groups(covering)
+        val predIdx = predicates.map { case (n, fn) => (covering.indexOf(n), fn) }
+        val groupIdx = groupAttrs.map(a => covering.indexOf(a.name))
+        entries.flatMap { e =>
+          if (!predIdx.forall { case (i, fn) => fn(e.value(i)) }) None
+          else {
+            val synth = covering.zipWithIndex.map { case (n, i) =>
+              n -> synthTupleCol(n, e.value(i), e.rows)
+            }.toMap
+            Some((groupIdx.map(e.value), e.rows, e.cols ++ synth))
+          }
+        }
+      }
+
+    // merge across dirs (and away over extra tuple dimensions) by the
+    // projected grouping value: rows add, per-column stats concat for the
+    // shared fold helpers
+    val merged = collection.mutable.LinkedHashMap
+      .empty[Seq[Option[String]], (Long, Map[String, Seq[StatsSidecar.ColStats]])]
+    perDirSurvivors.foreach(_.foreach { case (value, eRows, eCols) =>
+      val (r0, c0) = merged.getOrElse(value,
+        (0L, Map.empty[String, Seq[StatsSidecar.ColStats]]))
+      val c1 = eCols.foldLeft(c0) { case (m, (n, cs)) =>
+        m + (n -> (m.getOrElse(n, Seq.empty) :+ cs))
+      }
+      merged(value) = (r0 + eRows, c1)
+    })
+    // an ungrouped filtered aggregate returns exactly one row even when
+    // nothing survives the filter — the empty fold (0 / NULL) is correct
+    if (groupAttrs.isEmpty && merged.isEmpty)
+      merged(Seq.empty) = (0L, Map.empty)
+
+    val rows = merged.toSeq.map { case (value, (gRows, colMap)) =>
+      val byPos = groupAttrs.map(_.name).zip(value).toMap
+      val cells = outs.flatten.map {
+        case GroupPass(a) => groupTokenToCatalyst(byPos(a.name), a.dataType)
+        case GroupAgg(req) =>
+          // a column absent from a dir's section means the column is not
+          // in that dir's file schema — its scan rows are null there, so
+          // folding over the dirs that DO record it is exact (null-
+          // ignoring aggregate semantics); the all-dirs-absent case folds
+          // to the correct empty answer (count 0, null sum/min/max)
+          def cs(name: String): Seq[StatsSidecar.ColStats] =
+            colMap.getOrElse(name, Seq.empty)
+          req match {
+            case CountStar => Some(gRows)
+            case CountCol(a) => Some(cs(a.name).map(_.count).sum)
+            case SumOf(a) => foldSum(cs(a.name))
+            case AvgOf(a) => foldAvg(cs(a.name))
+            case MinOf(a) => foldMin(cs(a.name), a.dataType)
+            case MaxOf(a) => foldMax(cs(a.name), a.dataType)
+            case _ => None
+          }
+      }
+      if (cells.exists(_.isEmpty)) return None
+      InternalRow.fromSeq(cells.map(_.get))
+    }
+    Some(LocalRelation(agg.output, rows))
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  // ---- shared per-column folds (global and per-group). Each returns
+  // None when a needed statistic is unrecorded (→ caller must not
+  // rewrite) and Some(null) for the empty/all-null SQL answer. ----
+
+  private def foldSum(cs: Seq[StatsSidecar.ColStats]): Option[Any] =
+    if (cs.exists(c => c.sum.isEmpty && c.count > 0)) None // no stat
+    else {
+      val nonNull = cs.map(_.count).sum
+      if (nonNull == 0) Some(null)
+      else Some(cs.flatMap(_.sum).sum: java.lang.Long)
+    }
+
+  private def foldAvg(cs: Seq[StatsSidecar.ColStats]): Option[Any] =
+    if (cs.exists(c => c.sum.isEmpty && c.count > 0)) None
+    else {
+      val nonNull = cs.map(_.count).sum
+      if (nonNull == 0) Some(null)
+      else {
+        val s = cs.flatMap(_.sum).sum
+        if (math.abs(s) > Exact) None // double-exactness guard
+        else Some(s.toDouble / nonNull: java.lang.Double)
+      }
+    }
+
+  private def foldMin(cs: Seq[StatsSidecar.ColStats], dt: DataType): Option[Any] =
+    if (cs.exists(c => c.minMax.isEmpty && c.count > 0)) None
+    else {
+      val mms = cs.flatMap(_.minMax)
+      if (mms.isEmpty) Some(null)
+      else Some(toCatalyst(mms.map(_._1).min, dt))
+    }
+
+  private def foldMax(cs: Seq[StatsSidecar.ColStats], dt: DataType): Option[Any] =
+    if (cs.exists(c => c.minMax.isEmpty && c.count > 0)) None
+    else {
+      val mms = cs.flatMap(_.minMax)
+      if (mms.isEmpty) Some(null)
+      else Some(toCatalyst(mms.map(_._2).max, dt))
+    }
 
   /** Fold the merged answer for each request; None = some statistic is
     * unavailable (column missing from a sidecar, sum overflow guard, …)
@@ -176,42 +471,10 @@ case class AggFromStatsRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case CountCol(a) => col(a.name).map(cs => cs.map(_.count).sum)
       case NdvOf(a) => // single-dir only (enforced by caller)
         col(a.name).flatMap(_.head.ndv)
-      case SumOf(a) => col(a.name).flatMap { cs =>
-        if (cs.exists(c => c.sum.isEmpty && c.count > 0)) None // no stat
-        else {
-          val nonNull = cs.map(_.count).sum
-          if (nonNull == 0) Some(null)
-          else Some(cs.flatMap(_.sum).sum: java.lang.Long)
-        }
-      }
-      case AvgOf(a) => col(a.name).flatMap { cs =>
-        if (cs.exists(c => c.sum.isEmpty && c.count > 0)) None
-        else {
-          val nonNull = cs.map(_.count).sum
-          if (nonNull == 0) Some(null)
-          else {
-            val s = cs.flatMap(_.sum).sum
-            if (math.abs(s) > Exact) None // double-exactness guard
-            else Some(s.toDouble / nonNull: java.lang.Double)
-          }
-        }
-      }
-      case MinOf(a) => col(a.name).flatMap { cs =>
-        if (cs.exists(c => c.minMax.isEmpty && c.count > 0)) None
-        else {
-          val mms = cs.flatMap(_.minMax)
-          if (mms.isEmpty) Some(null)
-          else Some(toCatalyst(mms.map(_._1).min, a.dataType))
-        }
-      }
-      case MaxOf(a) => col(a.name).flatMap { cs =>
-        if (cs.exists(c => c.minMax.isEmpty && c.count > 0)) None
-        else {
-          val mms = cs.flatMap(_.minMax)
-          if (mms.isEmpty) Some(null)
-          else Some(toCatalyst(mms.map(_._2).max, a.dataType))
-        }
-      }
+      case SumOf(a) => col(a.name).flatMap(foldSum)
+      case AvgOf(a) => col(a.name).flatMap(foldAvg)
+      case MinOf(a) => col(a.name).flatMap(foldMin(_, a.dataType))
+      case MaxOf(a) => col(a.name).flatMap(foldMax(_, a.dataType))
     }
     if (out.exists(_.isEmpty)) None else Some(out.map(_.get))
   }

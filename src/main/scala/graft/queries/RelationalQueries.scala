@@ -282,6 +282,47 @@ object RelationalQueries {
         countDistinct(col("l_linestatus")).as("n_status"))
     },
 
+    // The grouped fold: the sidecar records a per-group section for
+    // l_returnflag, so the whole GROUP BY answer (3 groups) comes from
+    // the sidecar — the oracle recomputes every group from the raw table
+    "q_stats_group" -> { (s, d) =>
+      val dir = java.nio.file.Files.createTempDirectory("graft-statsq-grp").toString + "/t"
+      t(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_returnflag")
+        .write.parquet(dir)
+      graft.sources.StatsSidecar.write(s, dir,
+        groupCols = Seq(Seq("l_returnflag")))
+      graft.plans.AggFromStatsRule.install(s)
+      s.read.parquet(dir).groupBy("l_returnflag").agg(
+        sum("l_linenumber").as("sum_ln"),
+        avg("l_linenumber").as("avg_ln"),
+        min("l_linenumber").as("min_ln"),
+        max("l_linenumber").as("max_ln"),
+        count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
+    },
+
+    // The filtered fold (micro-cube serving): filter columns + grouping
+    // columns all lie inside the recorded (l_returnflag, l_linestatus)
+    // tuple, so the predicate evaluates over ≤6 recorded entries
+    // driver-side and the survivors merge by group — zero tasks. The
+    // oracle recomputes from the raw table
+    "q_stats_cube_filter" -> { (s, d) =>
+      val dir = java.nio.file.Files.createTempDirectory("graft-statsq-cube").toString + "/t"
+      t(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus")
+        .write.parquet(dir)
+      graft.sources.StatsSidecar.write(s, dir,
+        groupCols = Seq(Seq("l_returnflag", "l_linestatus")))
+      graft.plans.AggFromStatsRule.install(s)
+      s.read.parquet(dir)
+        .filter(col("l_returnflag") =!= "N")
+        .groupBy("l_linestatus").agg(
+          count(lit(1)).as("n_rows"),
+          sum("l_linenumber").as("sum_ln"))
+        .orderBy("l_linestatus")
+    },
+
     // The staleness bail, oracle-checked: rows appended AFTER the sidecar
     // was written make the fingerprint stale, so the rule must fall back
     // to the scan — the answer covers the appended rows or the hash
@@ -397,6 +438,17 @@ object RelationalQueries {
         |  CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS n_flags,
         |  CAST(COUNT(DISTINCT l_linestatus) AS BIGINT) AS n_status
         |FROM lineitem""".stripMargin,
+    "q_stats_group" ->
+      """SELECT l_returnflag, CAST(SUM(l_linenumber) AS BIGINT) AS sum_ln,
+        |  AVG(l_linenumber) AS avg_ln,
+        |  MIN(l_linenumber) AS min_ln, MAX(l_linenumber) AS max_ln,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_stats_cube_filter" ->
+      """SELECT l_linestatus, COUNT(*) AS n_rows,
+        |  CAST(SUM(l_linenumber) AS BIGINT) AS sum_ln
+        |FROM lineitem WHERE l_returnflag <> 'N'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
     "q_stats_stale" ->
       """SELECT CAST(SUM(l_linenumber) AS BIGINT) AS sum_ln, COUNT(*) AS n_rows
         |FROM (SELECT l_orderkey, l_linenumber FROM lineitem

@@ -84,8 +84,16 @@ object TemporalTable {
   /** Parse one field out of a single-object commit-log JSON line; string
     * values tolerate escaped quotes/backslashes and round-trip through
     * [[escapeJson]]. Shared by TemporalTable and DeltaTemporalTable. */
+  // compiled per field name once: large sidecars (StatsSidecar group
+  // sections) and aged commit logs parse thousands of lines per open, and
+  // regex COMPILATION — not matching — dominated that cost
+  private val fieldPatterns =
+    new java.util.concurrent.ConcurrentHashMap[String, scala.util.matching.Regex]()
+
   private[graft] def parseField(json: String, name: String): String =
-    s"""\"$name\"\\s*:\\s*(\"((?:\\\\.|[^\"\\\\])*)\"|[-0-9]+)""".r
+    fieldPatterns
+      .computeIfAbsent(name,
+        n => s"""\"$n\"\\s*:\\s*(\"((?:\\\\.|[^\"\\\\])*)\"|[-0-9]+)""".r)
       .findFirstMatchIn(json)
       .map(m => Option(m.group(2)).map(unescapeJson).getOrElse(m.group(1)))
       .getOrElse("")

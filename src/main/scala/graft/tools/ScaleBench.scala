@@ -11,6 +11,9 @@ import org.apache.spark.sql.functions._
   * parquet gives the local 2x-gate comparison (BENCH_NOTES.md).
   */
 object ScaleBench {
+  private val benchGroups =
+    Seq(Seq("dept", "city"), Seq("age", "dept", "active"))
+
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toLong else 100000000L
     val dir = s"/tmp/graftbench/d$n"
@@ -37,15 +40,18 @@ object ScaleBench {
           concat(lit("city_"), pmod(hash(col("id") * 13), lit(8))).as("city"),
           (pmod(hash(col("id") * 31), lit(2)) === 0).as("active"))
       graft.operators.Dict.writeEncoded(base, Seq("dept", "city"), dir)
-      // the stats sidecar (count/nulls/sum/min/max + dict-column NDV)
-      // makes the unfiltered sum/avg/minmax/countDistinct shapes
-      // metadata-only reads via AggFromStatsRule
-      graft.sources.StatsSidecar.write(spark, dir)
+      // the stats sidecar (count/nulls/sum/min/max + dict-column NDV +
+      // per-group sections: dict singles, the dept×city pair, and the
+      // age×dept×active cube — 48·8·2 = 768 entries) makes every one of
+      // the nine baseline shapes, filtered ones included, a
+      // metadata-only read via AggFromStatsRule
+      graft.sources.StatsSidecar.write(spark, dir, groupCols = benchGroups)
       println(s"generated $n rows (dict-encoded dept/city, stats sidecar) at $dir")
     }
-    // older runs may predate the sidecar
-    if (haveEncoded && !graft.sources.MetaIO.exists(s"$dir/_stats"))
-      graft.sources.StatsSidecar.write(spark, dir)
+    // older runs may predate the sidecar or its group sections
+    if (haveEncoded && !graft.sources.StatsSidecar.read(dir)
+          .exists(st => benchGroups.forall(st.groups.contains)))
+      graft.sources.StatsSidecar.write(spark, dir, groupCols = benchGroups)
 
     val df = spark.read.parquet(dir)
     val shapes: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(

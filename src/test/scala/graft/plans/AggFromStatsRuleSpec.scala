@@ -109,6 +109,150 @@ class AggFromStatsRuleSpec extends SparkSpec {
     assert(q.as[(Long, Long)].head() == ((11L, 3L)))
   }
 
+  test("grouped aggregate folds from a recorded group section") {
+    AggFromStatsRule.install(spark)
+    val d = java.nio.file.Files.createTempDirectory("graft-aggstats-grp").toString + "/t"
+    Seq((1L, Some(7), "a"), (2L, Some(-3), "b"), (3L, Some(99), "a"),
+        (4L, None, "a"), (5L, Some(4), null))
+      .toDF("id", "v", "s").repartition(2).write.parquet(d)
+    StatsSidecar.write(spark, d, groupCols = Seq(Seq("s")))
+    val q = spark.read.parquet(d).groupBy("s").agg(
+      count(lit(1)).as("n"), count(col("v")).as("nv"), sum("v").as("sv"),
+      avg("v").as("av"), min("v").as("lo"), max("v").as("hi"),
+      count(col("s")).as("ns"))
+    assert(rewritten(q))
+    val got = q.collect().map(r => (Option(r.getString(0)), r.getLong(1),
+      r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long]),
+      Option(r.get(4)).map(_.asInstanceOf[Double]),
+      Option(r.get(5)).map(_.asInstanceOf[Int]),
+      Option(r.get(6)).map(_.asInstanceOf[Int]), r.getLong(7))).toSet
+    assert(got == Set(
+      (Some("a"), 3L, 2L, Some(106L), Some(53.0), Some(7), Some(99), 3L),
+      (Some("b"), 1L, 1L, Some(-3L), Some(-3.0), Some(-3), Some(-3), 1L),
+      (None, 1L, 1L, Some(4L), Some(4.0), Some(4), Some(4), 0L)))
+  }
+
+  test("multi-column group tuple folds in any grouping order and merges dirs") {
+    AggFromStatsRule.install(spark)
+    val base = java.nio.file.Files.createTempDirectory("graft-aggstats-grp2").toString
+    val d1 = s"$base/r1"; val d2 = s"$base/r2"
+    Seq(("a", "x", 1), ("a", "y", 2), ("b", "x", 3)).toDF("g1", "g2", "v")
+      .write.parquet(d1)
+    // d2 records the tuple in the OPPOSITE column order and overlaps one value
+    Seq(("x", "a", 10), ("z", "b", 20)).toDF("g2", "g1", "v").write.parquet(d2)
+    StatsSidecar.write(spark, d1, groupCols = Seq(Seq("g1", "g2")))
+    StatsSidecar.write(spark, d2, groupCols = Seq(Seq("g2", "g1")))
+    val q = spark.read.parquet(d1, d2).groupBy("g2", "g1")
+      .agg(sum("v").as("sv"), count(lit(1)).as("n"))
+    assert(rewritten(q))
+    assert(q.as[(String, String, Long, Long)].collect().toSet == Set(
+      ("x", "a", 11L, 2L), ("y", "a", 2L, 1L), ("x", "b", 3L, 1L),
+      ("z", "b", 20L, 1L)))
+  }
+
+  test("grouped fold declines: unrecorded tuple, count-distinct, filter") {
+    AggFromStatsRule.install(spark)
+    val d = java.nio.file.Files.createTempDirectory("graft-aggstats-grp3").toString + "/t"
+    Seq(("a", 1, 5), ("b", 2, 6)).toDF("s", "k", "v").write.parquet(d)
+    StatsSidecar.write(spark, d, groupCols = Seq(Seq("s")))
+    // tuple (s,k) not recorded
+    val q1 = spark.read.parquet(d).groupBy("s", "k").agg(sum("v").as("sv"))
+    assert(!rewritten(q1))
+    // per-group NDV not recorded
+    val q2 = spark.read.parquet(d).groupBy("s").agg(countDistinct(col("v")).as("dv"))
+    assert(!rewritten(q2))
+    // filter disqualifies
+    val q3 = spark.read.parquet(d).filter(col("v") > 5).groupBy("s")
+      .agg(count(lit(1)).as("n"))
+    assert(!rewritten(q3))
+    assert(q3.as[(String, Long)].collect().toSet == Set(("b", 1L)))
+  }
+
+  // age/active/dept with nulls in every role; covering tuple recorded
+  private lazy val cubeDir = {
+    val d = java.nio.file.Files.createTempDirectory("graft-aggstats-cube").toString + "/t"
+    Seq((Some(50), Some(true), Some("a")), (Some(45), Some(false), Some("a")),
+        (Some(30), Some(true), Some("b")), (None, Some(true), Some("b")),
+        (Some(60), Some(true), None), (Some(41), None, Some("b")))
+      .toDF("age", "active", "dept").repartition(2).write.parquet(d)
+    StatsSidecar.write(spark, d, groupCols = Seq(Seq("age", "active", "dept")))
+    d
+  }
+
+  test("filtered ungrouped aggregate folds from a covering group section") {
+    AggFromStatsRule.install(spark)
+    val q = spark.read.parquet(cubeDir)
+      .filter(col("age") > 40 && col("active"))
+      .agg(count(lit(1)).as("n"), sum("age").as("sa"), avg("age").as("aa"),
+        min("age").as("lo"), max("age").as("hi"))
+    assert(rewritten(q))
+    assert(q.as[(Long, Long, Double, Int, Int)].head() == ((2L, 110L, 55.0, 50, 60)))
+  }
+
+  test("filtered groupBy folds; null groups and null filter values follow SQL") {
+    AggFromStatsRule.install(spark)
+    val q = spark.read.parquet(cubeDir).filter(col("active"))
+      .groupBy("dept").agg(count(lit(1)).as("n"))
+    assert(rewritten(q))
+    assert(q.collect().map(r => (Option(r.getString(0)), r.getLong(1))).toSet ==
+      Set((Some("a"), 1L), (Some("b"), 2L), (None, 1L)))
+    // IS NULL filter selects exactly the null-active row
+    val q2 = spark.read.parquet(cubeDir).filter(col("active").isNull)
+      .agg(count(lit(1)).as("n"), sum("age").as("sa"))
+    assert(rewritten(q2))
+    assert(q2.as[(Long, Long)].head() == ((1L, 41L)))
+    // string equality folds too
+    val q3 = spark.read.parquet(cubeDir).filter(col("dept") === "b")
+      .agg(sum("age").as("sa"), count(lit(1)).as("n"))
+    assert(rewritten(q3))
+    assert(q3.as[(Long, Long)].head() == ((71L, 3L)))
+    // negated equality: NOT(NULL = lit) is NULL → the null-dept row is
+    // excluded, exactly as the scan would
+    val q4 = spark.read.parquet(cubeDir).filter(col("dept") =!= "b")
+      .agg(count(lit(1)).as("n"))
+    assert(rewritten(q4))
+    assert(q4.as[Long].head() == 2L)
+  }
+
+  test("empty filtered selection folds to the one-row 0/NULL answer") {
+    AggFromStatsRule.install(spark)
+    val q = spark.read.parquet(cubeDir).filter(col("age") > 100)
+      .agg(count(lit(1)).as("n"), sum("age").as("sa"), min("age").as("lo"))
+    assert(rewritten(q))
+    val r = q.collect()(0)
+    assert(r.getLong(0) == 0L && r.isNullAt(1) && r.isNullAt(2))
+  }
+
+  test("superset tuple serves a smaller groupBy; extra dims merge away") {
+    AggFromStatsRule.install(spark)
+    // only (age, active, dept) is recorded — not (dept) alone
+    val q = spark.read.parquet(cubeDir).groupBy("dept")
+      .agg(count(lit(1)).as("n"), sum("age").as("sa"), count(col("age")).as("na"))
+    assert(rewritten(q))
+    assert(q.collect().map(r => (Option(r.getString(0)), r.getLong(1),
+      Option(r.get(2)).map(_.asInstanceOf[Long]), r.getLong(3))).toSet ==
+      Set((Some("a"), 2L, Some(95L), 2L), (Some("b"), 3L, Some(71L), 2L),
+        (None, 1L, Some(60L), 1L)))
+  }
+
+  test("string range predicate does not fold, answer still correct") {
+    AggFromStatsRule.install(spark)
+    val q = spark.read.parquet(cubeDir).filter(col("dept") > "a")
+      .agg(count(lit(1)).as("n"))
+    assert(!rewritten(q))
+    assert(q.as[Long].head() == 3L)
+  }
+
+  test("group section not recorded above the cardinality bound") {
+    val d = java.nio.file.Files.createTempDirectory("graft-aggstats-card").toString + "/t"
+    spark.range(StatsSidecar.MaxGroupValues + 10)
+      .select(col("id"), (col("id") % 7).as("v")).write.parquet(d)
+    StatsSidecar.write(spark, d, groupCols = Seq(Seq("id"), Seq("v")))
+    val st = StatsSidecar.read(d).get
+    assert(!st.groups.contains(Seq("id"))) // 4106 distinct > bound
+    assert(st.groups(Seq("v")).size == 7)
+  }
+
   test("TemporalTable.write(withStats=true) folds snapshot and merges history") {
     AggFromStatsRule.install(spark)
     val p = java.nio.file.Files.createTempDirectory("graft-aggstats-ws")
