@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, unix_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-provided parquet star schema (TESTDATA.md).
   *
@@ -17,16 +19,36 @@ object Tables {
 
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
-  /** Read one table. `events` carries parquet TIMESTAMP(NANOS) which Spark
-    * only reads via the nanosAsLong legacy conf — its `ts` column surfaces
-    * as epoch-nanoseconds LongType (we keep it integral; all temporal
-    * queries work on the ns axis, which is also exactly what DuckDB's
-    * `epoch_ns` yields for the oracle).
+  /** Read one table. `events.ts` must surface as epoch-nanoseconds LongType
+    * regardless of the file's physical parquet encoding — the driver has
+    * shipped both TIMESTAMP(NANOS) and TIMESTAMP(MICROS) eras of the same
+    * table, and (like the reference, which reconstructs any stored revision
+    * uniformly whatever its on-disk version —
+    * sirix-core io/sirix/settings/VersioningType.java) the reader owns the
+    * normalization, not the query layer:
+    *
+    *   - TIMESTAMP(NANOS) files: Spark only reads these under the
+    *     nanosAsLong legacy conf, which yields epoch-ns LongType directly.
+    *   - TIMESTAMP(MICROS) files: surface as TimestampType/TimestampNTZType;
+    *     convert via `unix_micros * 1000`. Session timezone is UTC at every
+    *     entry point (Verify/Bench/SparkSpec), so the NTZ→instant cast is
+    *     exactly the UTC interpretation DuckDB's `epoch_ns` oracle uses.
+    *
+    * Either way every temporal query sees one integral ns axis.
     */
   def df(spark: SparkSession, dir: String, name: String): DataFrame = {
-    if (name == "events")
+    if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(path(dir, name))
+      val raw = spark.read.parquet(path(dir, name))
+      raw.schema("ts").dataType match {
+        case LongType => raw
+        case TimestampType | TimestampNTZType =>
+          raw.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+        case other =>
+          throw new IllegalStateException(
+            s"events.ts: unsupported physical type $other (expected ns-long or timestamp)")
+      }
+    } else spark.read.parquet(path(dir, name))
   }
 
   /** Register every table as a temp view named after itself. */

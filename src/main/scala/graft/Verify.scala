@@ -24,7 +24,19 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        // A failed query must surface as an `err`/mismatch row in the
+        // driver's correctness file, never as a silent absence (round 6:
+        // 12 broken queries vanished and the file read "all green").
+        // Write a one-row error-schema parquet in the slot the result
+        // would occupy — the oracle compare then fails loudly on schema.
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        try {
+          import spark.implicits._
+          Seq(s"${e.getClass.getName}: ${e.getMessage}").toDF("_error")
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case e2: Throwable =>
+          System.err.println(s"[verify] $name error-marker write failed: ${e2.getMessage}")
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
