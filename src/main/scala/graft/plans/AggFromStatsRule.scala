@@ -129,11 +129,21 @@ case class AggFromStatsRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** Per-[[apply]] memo of fresh-sidecar lookups: one optimizer pass may
+    * visit several Aggregate nodes and each probes both the global and
+    * the section serving path — the same directory must pay its probe and
+    * freshness listing at most once per pass. Deliberately NOT cached
+    * across passes: a later pass must re-check freshness (appends between
+    * queries must degrade the fold to the scan — `q_stats_stale` pins
+    * this). Sidecar ABSENCE is additionally negative-cached across
+    * queries inside [[StatsSidecar.read]]. */
+  private type StatsMemo = collection.mutable.Map[String, Option[StatsSidecar.TableStats]]
+
   /** Fresh sidecar for `dir`, or None (absent / unparseable / stale). The
     * freshness listing uses the writer's own listing function, so the
     * compared file sets are defined identically on both sides. */
-  private def freshStats(dir: String): Option[StatsSidecar.TableStats] =
-    StatsSidecar.read(dir).filter { st =>
+  private def freshStats(dir: String, memo: StatsMemo): Option[StatsSidecar.TableStats] =
+    memo.getOrElseUpdate(dir, StatsSidecar.read(dir).filter { st =>
       try {
         val dirUri = graft.sources.MetaIO.fs(dir)
           .makeQualified(new org.apache.hadoop.fs.Path(dir)).toString
@@ -143,7 +153,7 @@ case class AggFromStatsRule(spark: SparkSession) extends Rule[LogicalPlan] {
         }
         StatsSidecar.fresh(st, current)
       } catch { case _: Exception => false }
-    }
+    })
 
   private val Exact = 1L << 53
 
@@ -154,21 +164,28 @@ case class AggFromStatsRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case LongType => v
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case agg @ Aggregate(groupExprs, aggExprs, child, _)
-        if aggExprs.nonEmpty &&
-          groupExprs.forall(_.isInstanceOf[AttributeReference]) =>
-      val groupAttrs = groupExprs.map(_.asInstanceOf[AttributeReference])
-      val global =
-        if (groupExprs.isEmpty) serveGlobal(agg, aggExprs, child) else None
-      global
-        .orElse(serveFromSections(agg, groupAttrs, aggExprs, child))
-        .getOrElse(agg)
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // cheap tree-pattern bail: most plans carry no Aggregate at all, and
+    // this rule must cost zero FS work (and zero tree walk) on them
+    if (!plan.containsPattern(org.apache.spark.sql.catalyst.trees.TreePattern.AGGREGATE))
+      return plan
+    val memo: StatsMemo = collection.mutable.Map.empty
+    plan.transform {
+      case agg @ Aggregate(groupExprs, aggExprs, child, _)
+          if aggExprs.nonEmpty &&
+            groupExprs.forall(_.isInstanceOf[AttributeReference]) =>
+        val groupAttrs = groupExprs.map(_.asInstanceOf[AttributeReference])
+        val global =
+          if (groupExprs.isEmpty) serveGlobal(agg, aggExprs, child, memo) else None
+        global
+          .orElse(serveFromSections(agg, groupAttrs, aggExprs, child, memo))
+          .getOrElse(agg)
+    }
   }
 
   /** Ungrouped, unfiltered: fold from the table-level statistics. */
   private def serveGlobal(agg: Aggregate, aggExprs: Seq[NamedExpression],
-                          child: LogicalPlan): Option[LogicalPlan] = {
+                          child: LogicalPlan, memo: StatsMemo): Option[LogicalPlan] = {
     val reqs = aggExprs.map(reqOf)
     if (reqs.exists(_.isEmpty)) return None
     val dirs = statsDirsOf(child).getOrElse(return None)
@@ -176,7 +193,7 @@ case class AggFromStatsRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val wanted = reqs.flatten
     if (wanted.exists(_.isInstanceOf[NdvOf]) && dirs.size > 1)
       return None // NDV is not additive
-    val perDir = dirs.map(freshStats)
+    val perDir = dirs.map(freshStats(_, memo))
     if (perDir.exists(_.isEmpty)) return None
     serve(wanted, perDir.flatten).map(values =>
       LocalRelation(agg.output, Seq(InternalRow.fromSeq(values))))
@@ -313,7 +330,7 @@ case class AggFromStatsRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * covering tuple in different column orders. */
   private def serveFromSections(agg: Aggregate, groupAttrs: Seq[AttributeReference],
                                 aggExprs: Seq[NamedExpression],
-                                child0: LogicalPlan): Option[LogicalPlan] = try {
+                                child0: LogicalPlan, memo: StatsMemo): Option[LogicalPlan] = try {
     // peel attribute-only projects, collecting filter conjuncts
     def peel(p: LogicalPlan, conj: Seq[Expression]): (Seq[Expression], LogicalPlan) =
       p match {
@@ -343,7 +360,7 @@ case class AggFromStatsRule(spark: SparkSession) extends Rule[LogicalPlan] {
     if (needed.isEmpty) return None // pure global shape — serveGlobal's job
     val dirs = statsDirsOf(core).getOrElse(return None)
     if (dirs.isEmpty) return None
-    val perDir = dirs.map(freshStats)
+    val perDir = dirs.map(freshStats(_, memo))
     if (perDir.exists(_.isEmpty)) return None
 
     // per dir: the smallest recorded tuple covering the needed columns

@@ -338,6 +338,32 @@ object RelationalQueries {
         sum("l_linenumber").as("sum_ln"), count(lit(1)).as("n_rows"))
     },
 
+    // The persisted stats policy end-to-end over a MULTI-REVISION
+    // temporal table: revision 1 opts in (withStats + an NDV column),
+    // revision 2 is a PLAIN write that must inherit the recipe. The
+    // snapshot aggregate folds from revision 2's inherited sidecar
+    // (incl. the NDV); the history aggregate merges both revisions'
+    // sidecars additively. The oracle recomputes everything from the
+    // raw table — a mis-inherited or mis-merged value hash-mismatches
+    "q_stats_temporal" -> { (s, d) =>
+      val p = java.nio.file.Files.createTempDirectory("graft-statsq-temp")
+        .toString + "/tbl"
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
+      graft.sources.TemporalTable.write(li.filter(col("l_orderkey") <= 3000), p,
+        withStats = true, statsNdvCols = Seq("l_returnflag"))
+      graft.sources.TemporalTable.write(li, p) // inherits the stats policy
+      graft.plans.AggFromStatsRule.install(s)
+      val snap = s.read.format("graft-temporal").load(p).agg(
+        sum("l_linenumber").as("snap_sum"), count(lit(1)).as("snap_n"),
+        min("l_linenumber").as("snap_min"), max("l_linenumber").as("snap_max"),
+        countDistinct(col("l_returnflag")).as("snap_flags"))
+      val hist = s.read.format("graft-temporal")
+        .option("allRevisions", true).load(p)
+        .agg(sum("l_linenumber").as("hist_sum"), count(lit(1)).as("hist_n"))
+      snap.crossJoin(hist)
+    },
+
     // ---- nested data: JSON field extraction, array ops (SURVEY.md §2.2) ----
     "q_json_extract" -> { (s, d) =>
       t(s, d, "events")
@@ -454,6 +480,16 @@ object RelationalQueries {
         |FROM (SELECT l_orderkey, l_linenumber FROM lineitem
         |      UNION ALL
         |      SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_orderkey <= 1000)""".stripMargin,
+    "q_stats_temporal" ->
+      """SELECT * FROM
+        |(SELECT CAST(SUM(l_linenumber) AS BIGINT) AS snap_sum, COUNT(*) AS snap_n,
+        |        MIN(l_linenumber) AS snap_min, MAX(l_linenumber) AS snap_max,
+        |        CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS snap_flags
+        | FROM lineitem) a
+        |CROSS JOIN
+        |(SELECT CAST(SUM(l_linenumber) AS BIGINT) AS hist_sum, COUNT(*) AS hist_n
+        | FROM (SELECT l_linenumber FROM lineitem WHERE l_orderkey <= 3000
+        |       UNION ALL SELECT l_linenumber FROM lineitem) u) b""".stripMargin,
     "q_select_item" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM lineitem
         |WHERE l_orderkey = 42 AND l_linenumber = 1""".stripMargin,

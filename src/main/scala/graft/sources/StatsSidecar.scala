@@ -286,6 +286,7 @@ object StatsSidecar {
       }
     }
     MetaIO.writeStringOverwrite(statsPath(dir), sb.toString)
+    absentAt.remove(cacheKey(dir)) // our own write must be visible to the next query
     true
   }
 
@@ -302,11 +303,43 @@ object StatsSidecar {
         size > 64
     }
 
+  // Negative cache: dirs recently probed and found to carry NO sidecar.
+  // Every driver-provided table is sidecar-less, and the fold rule runs on
+  // every aggregate plan — without this each such query pays a pointless
+  // metadata GET per optimizer pass (real latency against object storage).
+  // Short TTL bounds the staleness window: a sidecar written by ANOTHER
+  // process becomes visible within AbsentTtlMs (missing only an
+  // optimization, never an answer); a sidecar written in THIS JVM
+  // invalidates the entry immediately (write0 below), so our own
+  // write-then-query pipelines always see it.
+  private val absentAt = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private[graft] val AbsentTtlMs = 30000L
+
+  /** Cache key: the FS-qualified URI, so the writer's raw path and the
+    * fold rule's qualified rootPath land on the SAME entry (a stale
+    * negative entry under a second spelling would hide a fresh sidecar
+    * for a TTL). Resolving the FileSystem object is a Hadoop-level cache
+    * hit, not an RPC. */
+  private def cacheKey(dir: String): String =
+    try MetaIO.fs(dir).makeQualified(new org.apache.hadoop.fs.Path(dir)).toString
+    catch { case _: Exception => dir }
+
+  /** FS probes actually performed by [[read]] (negative-cache misses) —
+    * test-visible so specs can pin O(1) probes per query on sidecar-less
+    * tables (the [[MetaIO.readCount]] instrumentation discipline). */
+  private[graft] val probeCount = new java.util.concurrent.atomic.AtomicLong()
+
   /** Parse the sidecar under `dir`; None when absent or unreadable. */
   def read(dir: String): Option[TableStats] = {
     val p = statsPath(dir)
     try {
-      if (!MetaIO.exists(p)) return None
+      val now = System.currentTimeMillis()
+      val negKey = cacheKey(dir)
+      val neg = absentAt.get(negKey)
+      if (neg != null && now - neg < AbsentTtlMs) return None
+      probeCount.incrementAndGet()
+      if (!MetaIO.exists(p)) { absentAt.put(negKey, now); return None }
+      absentAt.remove(negKey)
       val st = MetaIO.fs(p).getFileStatus(new org.apache.hadoop.fs.Path(p))
       val key = (st.getPath.toString, st.getLen, st.getModificationTime)
       parseCache.synchronized {

@@ -325,13 +325,21 @@ object TemporalTable {
     *
     * `withStats` additionally materializes a per-revision
     * [[StatsSidecar]] (per-column count/nulls/sum/min/max + dictionary
-    * NDV) so unfiltered aggregate shapes over the snapshot fold to
-    * metadata via [[graft.plans.AggFromStatsRule]]; costs one extra
-    * aggregate pass over the just-written revision, hence opt-in. */
+    * NDV; `statsNdvCols` asks for more exact NDVs, `statsGroupCols`
+    * records micro-cube group sections) so aggregate shapes over the
+    * snapshot fold to metadata via [[graft.plans.AggFromStatsRule]];
+    * costs one extra aggregate pass over the just-written revision,
+    * hence opt-in. Once opted in, the sidecar is a PERSISTED TABLE
+    * POLICY (the auto-compaction discipline): every later revision —
+    * written through this API or SQL INSERT — inherits the prior
+    * revision's recipe (its NDV columns and group tuples), so history
+    * frames never mix sidecar'd and bare revisions and the fold keeps
+    * firing without every writer restating the options. */
   def write(df: DataFrame, path: String, author: String = "graft",
             message: String = "", withManifest: Boolean = true,
             withKeyIndex: Boolean = true, dictCols: Seq[String] = Nil,
-            withStats: Boolean = false): Int = {
+            withStats: Boolean = false, statsNdvCols: Seq[String] = Nil,
+            statsGroupCols: Seq[Seq[String]] = Nil): Int = {
     val encoded =
       if (dictCols.isEmpty) df
       else {
@@ -342,13 +350,26 @@ object TemporalTable {
         graft.operators.Dict.encode(df, dictCols, base = base)
       }
     writeFrame(encoded, path, author, message, withManifest, withKeyIndex,
-      withStats)
+      withStats, statsNdvCols, statsGroupCols)
   }
+
+  /** The stats-policy read: the prior revision's sidecar recipe (NDV
+    * columns, recorded group tuples), or None when the table has not
+    * opted in. One negative-cached metadata probe per write. */
+  private def inheritedStatsRecipe(path: String, rev: Int)
+      : Option[(Seq[String], Seq[Seq[String]])] =
+    if (rev <= 1) None
+    else StatsSidecar.read(s"$path/rev=${rev - 1}").map { st =>
+      (st.cols.values.filter(_.ndv.isDefined).map(_.name).toSeq.sorted,
+        st.groups.keys.toSeq)
+    }
 
   private def writeFrame(df: DataFrame, path: String, author: String,
                          message: String, withManifest: Boolean,
                          withKeyIndex: Boolean,
-                         withStats: Boolean = false): Int = {
+                         withStats: Boolean = false,
+                         statsNdvCols: Seq[String] = Nil,
+                         statsGroupCols: Seq[Seq[String]] = Nil): Int = {
     val rev = reserveRevision(path)
     try {
       val wantManifest = withManifest && manifestEligible(df.schema)
@@ -376,12 +397,18 @@ object TemporalTable {
           } finally if (pinSrc) { src.unpersist(); () }
         }
       } finally if (pinHere) { frame.unpersist(); () }
-      // per-revision statistics sidecar (opt-in): unfiltered sum/avg/
-      // count/min-max/NDV over this snapshot become metadata-only reads
-      // via AggFromStatsRule; computed from the just-written files so
-      // the fingerprint provably covers the stats (StatsSidecar contract)
+      // per-revision statistics sidecar (opt-in, then a persisted table
+      // policy): unfiltered sum/avg/count/min-max/NDV over this snapshot
+      // become metadata-only reads via AggFromStatsRule; computed from
+      // the just-written files so the fingerprint provably covers the
+      // stats (StatsSidecar contract)
       if (withStats)
-        StatsSidecar.write(df.sparkSession, s"$path/rev=$rev")
+        StatsSidecar.write(df.sparkSession, s"$path/rev=$rev",
+          ndvCols = statsNdvCols, groupCols = statsGroupCols)
+      else inheritedStatsRecipe(path, rev).foreach { case (ndv, groups) =>
+        StatsSidecar.write(df.sparkSession, s"$path/rev=$rev",
+          ndvCols = ndv, groupCols = groups)
+      }
       logCommit(path, rev, author, message)
     } catch {
       case e: Throwable => abortReservation(path, rev); throw e
@@ -519,6 +546,12 @@ object TemporalTable {
         if (wantKeys) src.select(col("node_key"))
           .write.mode("overwrite").parquet(s"${keyIndexDir(path)}/rev=$rev")
       } finally if (pin) { src.unpersist(); () }
+    }
+    // stats policy also covers SQL INSERT: a table whose prior revision
+    // carries a sidecar keeps getting sidecars with the same recipe
+    inheritedStatsRecipe(path, rev).foreach { case (ndv, groups) =>
+      StatsSidecar.write(spark, s"$path/rev=$rev",
+        ndvCols = ndv, groupCols = groups)
     }
   }
 

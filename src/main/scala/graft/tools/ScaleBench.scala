@@ -3,6 +3,8 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
+import graft.sources.MetaIO
+
 /** The reference's duck_bench at the reference's own scale: generate the
   * 100M-record dataset shape from docs/COMPARISON_DUCKDB.md:14
   * ({id, age: 18..65, dept: 8, city: 8, active: bool}, uniform) and run
@@ -16,7 +18,13 @@ object ScaleBench {
 
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toLong else 100000000L
-    val dir = s"/tmp/graftbench/d$n"
+    // table root: written through the STANDARD TemporalTable.write path
+    // (dictCols + withStats) so the gate numbers measure the shipped
+    // write configuration, not a hand-rolled layout; the measured data
+    // dir is the revision-1 snapshot. Legacy d<n> dirs (pre-round-7
+    // hand-encoded layout) are ignored.
+    val root = s"/tmp/graftbench/t$n"
+    val dir = s"$root/rev=1"
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
@@ -24,34 +32,33 @@ object ScaleBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // the table is written through the dict-surrogate layout (Dict
-    // .writeEncoded) — dept/city gain int32 code columns + footer
-    // dictionaries. DuckDB's twin reads the same files and still groups on
-    // the strings (it aggregates on parquet dictionary codes internally;
-    // the layout gives Spark the same move via DictAggRule). Regenerate if
-    // an older run left a non-encoded table here.
+    // one TemporalTable.write call produces the whole shipped layout:
+    // dept/city in the stable dict-surrogate encoding (int32 code columns
+    // + footer dictionaries → DictAggRule groups on codes), plus the
+    // stats sidecar (count/nulls/sum/min/max + dict-column NDV +
+    // per-group sections: dict singles, the dept×city pair, and the
+    // age×dept×active cube — 48·8·2 = 768 entries) that makes every one
+    // of the nine baseline shapes, filtered ones included, a
+    // metadata-only read via AggFromStatsRule. DuckDB's twin reads the
+    // same rev=1 parquet files and still groups on the strings.
     val haveEncoded = new java.io.File(s"$dir/_SUCCESS").exists() &&
-      spark.read.parquet(dir).columns.contains(graft.operators.Dict.codeCol("dept"))
+      spark.read.parquet(dir).columns.contains(graft.operators.Dict.codeCol("dept")) &&
+      graft.sources.StatsSidecar.read(dir)
+        .exists(st => benchGroups.forall(st.groups.contains))
     if (!haveEncoded) {
+      MetaIO.delete(root, recursive = true)
       val base = spark.range(n).repartition(32)
         .select(col("id"),
           (pmod(hash(col("id")), lit(48)) + 18).as("age"),
           concat(lit("dept_"), pmod(hash(col("id") * 7), lit(8))).as("dept"),
           concat(lit("city_"), pmod(hash(col("id") * 13), lit(8))).as("city"),
           (pmod(hash(col("id") * 31), lit(2)) === 0).as("active"))
-      graft.operators.Dict.writeEncoded(base, Seq("dept", "city"), dir)
-      // the stats sidecar (count/nulls/sum/min/max + dict-column NDV +
-      // per-group sections: dict singles, the dept×city pair, and the
-      // age×dept×active cube — 48·8·2 = 768 entries) makes every one of
-      // the nine baseline shapes, filtered ones included, a
-      // metadata-only read via AggFromStatsRule
-      graft.sources.StatsSidecar.write(spark, dir, groupCols = benchGroups)
-      println(s"generated $n rows (dict-encoded dept/city, stats sidecar) at $dir")
+      graft.sources.TemporalTable.write(base, root,
+        withManifest = false, withKeyIndex = false,
+        dictCols = Seq("dept", "city"), withStats = true,
+        statsGroupCols = benchGroups)
+      println(s"generated $n rows via TemporalTable.write (dict dept/city, stats sidecar) at $dir")
     }
-    // older runs may predate the sidecar or its group sections
-    if (haveEncoded && !graft.sources.StatsSidecar.read(dir)
-          .exists(st => benchGroups.forall(st.groups.contains)))
-      graft.sources.StatsSidecar.write(spark, dir, groupCols = benchGroups)
 
     val df = spark.read.parquet(dir)
     val shapes: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(

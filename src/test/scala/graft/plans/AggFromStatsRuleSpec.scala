@@ -253,6 +253,75 @@ class AggFromStatsRuleSpec extends SparkSpec {
     assert(st.groups(Seq("v")).size == 7)
   }
 
+  test("stats sidecar is a persisted policy: later writes inherit the recipe") {
+    val p = java.nio.file.Files.createTempDirectory("graft-aggstats-pol")
+      .resolve("tbl").toString
+    graft.sources.TemporalTable.write(
+      Seq((1L, 5L, "a"), (2L, 9L, "b")).toDF("node_key", "v", "s"), p,
+      withStats = true, statsNdvCols = Seq("s"), statsGroupCols = Seq(Seq("s")))
+    // revision 2: a PLAIN API write — no stats arguments
+    graft.sources.TemporalTable.write(
+      Seq((1L, 6L, "a"), (3L, 2L, "c")).toDF("node_key", "v", "s"), p)
+    val st2 = StatsSidecar.read(s"$p/rev=2").get
+    assert(st2.cols("s").ndv.contains(2L), "rev 2 must inherit the NDV column")
+    assert(st2.groups.contains(Seq("s")), "rev 2 must inherit the group tuple")
+    // revision 3: a V2 DataFrame write (the SQL INSERT path) — same policy
+    Seq((4L, 7L, "d")).toDF("node_key", "v", "s")
+      .write.format("graft-temporal").mode("append").save(p)
+    val st3 = StatsSidecar.read(s"$p/rev=3").get
+    assert(st3.cols("s").ndv.contains(1L) && st3.groups.contains(Seq("s")),
+      "V2 writes must keep the stats policy going")
+    // a table that never opted in stays sidecar-less
+    val q = java.nio.file.Files.createTempDirectory("graft-aggstats-pol2")
+      .resolve("tbl").toString
+    graft.sources.TemporalTable.write(Seq((1L, 5L)).toDF("node_key", "v"), q)
+    graft.sources.TemporalTable.write(Seq((2L, 6L)).toDF("node_key", "v"), q)
+    assert(StatsSidecar.read(s"$q/rev=2").isEmpty)
+  }
+
+  test("multi-dir count(distinct) never folds — per-dir NDVs double-count") {
+    AggFromStatsRule.install(spark)
+    val base = java.nio.file.Files.createTempDirectory("graft-aggstats-ndv2").toString
+    val d1 = s"$base/r1"; val d2 = s"$base/r2"
+    // overlapping value sets: per-dir NDV 3 + 3, true union NDV 4 — an
+    // additive "merge" would answer 6. The rule must refuse, forever.
+    Seq(1, 2, 3).toDF("v").write.parquet(d1)
+    Seq(2, 3, 4).toDF("v").write.parquet(d2)
+    StatsSidecar.write(spark, d1, ndvCols = Seq("v"))
+    StatsSidecar.write(spark, d2, ndvCols = Seq("v"))
+    val q = spark.read.parquet(d1, d2).agg(countDistinct(col("v")).as("dv"))
+    assert(!rewritten(q))
+    assert(q.as[Long].head() == 4L)
+    // the refusal is the multi-dir condition, not a missing statistic:
+    // the same shape folds on a single dir
+    val q1 = spark.read.parquet(d1).agg(countDistinct(col("v")).as("dv"))
+    assert(rewritten(q1))
+    assert(q1.as[Long].head() == 3L)
+    // non-NDV aggregates over the same two dirs still merge additively
+    val q2 = spark.read.parquet(d1, d2).agg(sum("v").as("sv"), count(lit(1)).as("n"))
+    assert(rewritten(q2))
+    assert(q2.as[(Long, Long)].head() == ((15L, 6L)))
+  }
+
+  test("sidecar-less dir pays zero FS probes after the first query") {
+    AggFromStatsRule.install(spark)
+    val d = java.nio.file.Files.createTempDirectory("graft-aggstats-noside").toString + "/t"
+    Seq((1L, 10), (2L, 20)).toDF("id", "v").write.parquet(d)
+    // first query records the absence (one probe, no sidecar found)
+    assert(spark.read.parquet(d).agg(sum("v").as("sv")).as[Long].head() == 30L)
+    val before = StatsSidecar.probeCount.get()
+    (1 to 5).foreach { _ =>
+      assert(spark.read.parquet(d).agg(sum("v").as("sv")).as[Long].head() == 30L)
+    }
+    assert(StatsSidecar.probeCount.get() == before,
+      "negative cache must absorb sidecar probes on sidecar-less dirs")
+    // a sidecar written in this JVM is visible immediately (invalidation)
+    StatsSidecar.write(spark, d)
+    val q = spark.read.parquet(d).agg(sum("v").as("sv"))
+    assert(rewritten(q))
+    assert(q.as[Long].head() == 30L)
+  }
+
   test("TemporalTable.write(withStats=true) folds snapshot and merges history") {
     AggFromStatsRule.install(spark)
     val p = java.nio.file.Files.createTempDirectory("graft-aggstats-ws")
