@@ -14,14 +14,17 @@ import org.apache.spark.sql.types._
   * IMAGE decode is REAL and JDK-only: `javax.imageio.ImageIO` ships
   * PNG/JPEG/BMP/GIF/WBMP readers in every JRE, so [[decodeImage]] returns
   * true pixel dimensions, the full-image mean luma, and a grid-downsampled
-  * luma feature vector with zero external dependencies. CONTAINER-HEADER
-  * decode is also real ([[sniff]]: PNG/JPEG/GIF/BMP dimensions, WAV
-  * duration — fixed-layout byte parsing). Only AUDIO sample decode and
-  * VIDEO frame decode remain STUBBED with a deterministic hash-derived
-  * fake (no audio/video codec ships in the JDK) — swap [[stubDecode]] for
-  * a real decoder (e.g. javacv) without touching the pipeline shape;
-  * undecodable/hostile image bytes fall back to the same stub rather than
-  * failing the partition.
+  * luma feature vector with zero external dependencies. AUDIO decode is
+  * also REAL and JDK-only: `javax.sound.sampled.AudioSystem` reads
+  * WAV/AIFF/AU containers with PCM (plus a-law/µ-law via conversion), so
+  * [[decodeAudio]] / [[extractAudioFeatures]] emit true duration, RMS,
+  * zero-crossing rate and coarse Goertzel spectral bins. CONTAINER-HEADER
+  * decode is real too ([[sniff]]: PNG/JPEG/GIF/BMP dimensions, WAV
+  * duration — fixed-layout byte parsing). Only VIDEO frame decode remains
+  * STUBBED with a deterministic hash-derived fake (no video codec ships
+  * in the JDK) — swap [[stubDecode]] for a real decoder (e.g. javacv)
+  * without touching the pipeline shape; undecodable/hostile bytes fall
+  * back to the same stub rather than failing the partition.
   */
 object Multimodal {
 
@@ -156,6 +159,150 @@ object Multimodal {
         }
       }
     }
+  }
+
+  /** Audio extraction output. For decodable clips, `sample_rate`/
+    * `channels`/`duration_ms`/`rms`/`zero_cross_rate` are TRUE decoded
+    * values and `features` holds coarse spectral bins (`decoder` =
+    * "pcm"); undecodable bytes yield -1 metrics and the deterministic
+    * stub features (`decoder` = "stub"). */
+  final case class AudioFeatures(
+      media_id: Long,
+      n_bytes: Long,
+      sha: String,
+      sample_rate: Int,
+      channels: Int,
+      duration_ms: Long,
+      rms: Double,
+      zero_cross_rate: Double,
+      features: Array[Float],
+      decoder: String)
+
+  /** REAL audio decode, JDK-only (see object scaladoc). Returns
+    * (sampleRate, channels, durationMs, rms, zeroCrossRate, spectral
+    * features of length `dim`), or None when the bytes aren't decodable
+    * audio — never throws, hostile bytes included.
+    *
+    *  - samples normalize to 16-bit signed PCM (AudioSystem conversion),
+    *    channels average to mono, amplitudes scale to [-1, 1];
+    *  - duration comes from the container's full frame count; analysis
+    *    (RMS / ZCR / spectra) covers the first `maxSamples` frames so a
+    *    pathological multi-hour payload costs bounded work per row;
+    *  - ZCR = sign flips / (n-1) ∈ [0, 1] (1 ≈ Nyquist-rate alternation);
+    *  - features: Goertzel power at `dim` log-spaced frequencies in
+    *    [50 Hz, Nyquist), each mapped to [-0.5, 0.5] by normalizing to
+    *    the loudest bin — the audio analog of the image grid-luma vector.
+    *    One O(dim × n) pass, partition-local. */
+  private[operators] def decodeAudio(content: Array[Byte], dim: Int,
+                                     maxSamples: Int = 1 << 16)
+      : Option[(Int, Int, Long, Double, Double, Array[Float])] =
+    try {
+      val raw = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(content))
+      try {
+        val src = raw.getFormat
+        val rate = src.getSampleRate.toInt
+        val channels = src.getChannels
+        val frames = raw.getFrameLength
+        if (rate <= 0 || channels <= 0 || frames <= 0) return None
+        val target = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          src.getSampleRate, 16, channels, 2 * channels, src.getSampleRate,
+          false)
+        val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, raw)
+        try {
+          val nFrames = math.min(frames, maxSamples.toLong).toInt
+          val bytes = pcm.readNBytes(nFrames * 2 * channels)
+          val n = bytes.length / (2 * channels)
+          if (n == 0) return None
+          // mono-average normalized samples
+          val mono = new Array[Double](n)
+          var i = 0
+          while (i < n) {
+            var acc = 0.0
+            var c = 0
+            while (c < channels) {
+              val o = (i * channels + c) * 2
+              val s = ((bytes(o) & 0xff) | (bytes(o + 1) << 8)).toShort
+              acc += s / 32768.0
+              c += 1
+            }
+            mono(i) = acc / channels
+            i += 1
+          }
+          var sumSq = 0.0
+          var flips = 0L
+          i = 0
+          while (i < n) {
+            sumSq += mono(i) * mono(i)
+            if (i > 0 && (mono(i) > 0) != (mono(i - 1) > 0)) flips += 1
+            i += 1
+          }
+          val rms = math.sqrt(sumSq / n)
+          val zcr = if (n > 1) flips.toDouble / (n - 1) else 0.0
+          // Goertzel power at dim log-spaced frequencies in [50, Nyquist)
+          val fLo = 50.0
+          val fHi = math.max(fLo * 2, rate / 2.0)
+          val powers = Array.tabulate(dim) { k =>
+            val f = fLo * math.pow(fHi / fLo, (k + 0.5) / dim)
+            val w = 2.0 * math.Pi * f / rate
+            val coeff = 2.0 * math.cos(w)
+            var s0 = 0.0; var s1 = 0.0; var s2 = 0.0
+            var j = 0
+            while (j < n) {
+              s0 = mono(j) + coeff * s1 - s2
+              s2 = s1; s1 = s0
+              j += 1
+            }
+            s1 * s1 + s2 * s2 - coeff * s1 * s2
+          }
+          val peak = powers.max
+          val feats =
+            if (peak <= 0) Array.fill(dim)(-0.5f)
+            else powers.map(p => (p / peak - 0.5).toFloat)
+          val durMs = math.round(frames * 1000.0 / rate)
+          Some((rate, channels, durMs, rms, zcr, feats))
+        } finally pcm.close()
+      } finally raw.close()
+    } catch { case _: Exception => None }
+
+  /** Audio-feature extraction: the audio twin of [[extractFeatures]] —
+    * partition-local batches, no shuffle, real PCM decode with the stub
+    * fallback for undecodable bytes. */
+  def extractAudioFeatures(media: Dataset[MediaRecord], dim: Int = 16)
+      : Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val decoded = if (m.kind == "audio") decodeAudio(m.content, dim) else None
+        decoded match {
+          case Some((rate, ch, dur, rms, zcr, feats)) =>
+            AudioFeatures(m.media_id, m.content.length.toLong, shaHex(m.content),
+              rate, ch, dur, rms, zcr, feats, "pcm")
+          case None =>
+            AudioFeatures(m.media_id, m.content.length.toLong, shaHex(m.content),
+              -1, -1, -1L, -1.0, -1.0, stubDecode(m.content, dim), "stub")
+        }
+      }
+    }
+  }
+
+  /** Deterministic in-memory mono 16-bit PCM WAV encode (44-byte RIFF
+    * header + little-endian samples) — real encoded bytes for specs and
+    * the decode oracle, JDK-free of codecs. Lossless, so a decode of
+    * these bytes reproduces the samples exactly. */
+  private[graft] def encodePcmWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(sampleRate)
+      .putInt(sampleRate * 2).putShort(2).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(s => { bb.putShort(s); () })
+    bb.array()
   }
 
   /** Deterministic in-memory PNG encode of a computed grayscale pattern

@@ -45,6 +45,10 @@ object PipelineQueries {
     * before encoding). */
   private lazy val imageMetaPath = s"$runDir/image_meta"
 
+  /** Sidecar for the m_audio_decode oracle: generator-side EXPECTED audio
+    * metrics computed from the raw int16 samples before WAV encoding. */
+  private lazy val audioMetaPath = s"$runDir/audio_meta"
+
   /** Shared oracle WITH-prefix: per-doc 32-bit simhash as CTE `sh`
     * (consumed by d_simhash and d_simhash_pairs). */
   private val simhashCte =
@@ -203,6 +207,45 @@ object PipelineQueries {
       graft.operators.Multimodal.extractFeatures(media)
         .select(col("media_id"), col("width"), col("height"),
           round(col("mean_luma"), 4).as("mean_luma"))
+        .orderBy("media_id")
+    },
+
+    // REAL WAV decode through javax.sound.sampled: per-clip duration /
+    // RMS / zero-crossing rate from true PCM samples, checked against the
+    // GENERATOR's expected metrics (computed from the raw int16 samples
+    // BEFORE the WAV bytes existed — the oracle never runs the decoder).
+    // WAV PCM is lossless and both sides use the same /32768 norm and
+    // sign-flip count, so the match is exact at 4 decimals.
+    "m_audio_decode" -> { (s, d) =>
+      import s.implicits._
+      val clipSpecs = (0 until 32).map { i =>
+        (i.toLong, 2000 + (i % 5) * 400, 100.0 + i * 37.0, 0.2 + (i % 4) * 0.15)
+      }
+      val rate = 8000
+      def synth(n: Int, freq: Double, amp: Double): Array[Short] =
+        Array.tabulate(n)(j =>
+          (amp * 32767.0 * math.sin(2 * math.Pi * freq * j / rate)).toShort)
+      def r4(v: Double): Double = java.math.BigDecimal.valueOf(v)
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+      val expected = clipSpecs.map { case (id, n, freq, amp) =>
+        val mono = synth(n, freq, amp).map(_ / 32768.0)
+        val rms = math.sqrt(mono.map(x => x * x).sum / mono.length)
+        val flips = mono.sliding(2).count(p => (p(1) > 0) != (p(0) > 0))
+        (id, rate, 1, math.round(n * 1000.0 / rate),
+          r4(rms), r4(flips.toDouble / (mono.length - 1)))
+      }
+      expected.toDF("media_id", "sample_rate", "channels", "duration_ms",
+          "rms", "zero_cross_rate")
+        .coalesce(1).write.mode("overwrite").parquet(audioMetaPath)
+      val media = s.createDataset(clipSpecs).map { case (id, n, freq, amp) =>
+        graft.operators.Multimodal.MediaRecord(id, "audio",
+          graft.operators.Multimodal.encodePcmWav(rate, synth(n, freq, amp)),
+          "audio/wav", -1, -1, 0L)
+      }
+      graft.operators.Multimodal.extractAudioFeatures(media)
+        .select(col("media_id"), col("sample_rate"), col("channels"),
+          col("duration_ms"), round(col("rms"), 4).as("rms"),
+          round(col("zero_cross_rate"), 4).as("zero_cross_rate"))
         .orderBy("media_id")
     },
 
@@ -383,6 +426,10 @@ object PipelineQueries {
     "m_image_decode" ->
       s"""SELECT media_id, width, height, mean_luma
          |FROM read_parquet('$imageMetaPath/*.parquet')
+         |ORDER BY media_id""".stripMargin,
+    "m_audio_decode" ->
+      s"""SELECT media_id, sample_rate, channels, duration_ms, rms, zero_cross_rate
+         |FROM read_parquet('$audioMetaPath/*.parquet')
          |ORDER BY media_id""".stripMargin,
     "d_exact_dedup" ->
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups

@@ -37,14 +37,21 @@ import org.apache.spark.sql.functions._
   * Search stays [[IvfIndex.searchClustered]] / [[NswGraph.searchGraph]]
   * over the index path — they see maintained vectors with no API change.
   *
-  * Append-only contract (documented, like the reference's lazy deletes):
-  * rows REMOVED or RE-EMBEDDED in later revisions are not purged from the
-  * layout — the index serves the union of everything ever indexed, and a
-  * caller that needs exact current-snapshot semantics semi-joins hits
-  * against the snapshot or calls [[rebuild]] (the compaction). The
+  * Append-only contract (documented, like the reference's lazy deletes —
+  * its vector index tombstones in place, index/vector/VectorIndex.java):
+  * rows REMOVED in later revisions are not purged from the layout, and a
+  * RE-EMBEDDED row's old vector stays alongside the new one (maintain
+  * indexes changed embeddings as appends, so the new vector IS
+  * searchable) — the raw layout serves the union of everything ever
+  * indexed and may hold several vectors per id. [[search]] with
+  * `exact = true` restores exact current-snapshot semantics at query
+  * time: candidate ids from the approximate probe are semi-joined
+  * against the governing snapshot (ghosts of deleted rows drop) and
+  * similarity is recomputed from the snapshot's CURRENT embedding (stale
+  * copies can't mis-rank; duplicates collapse in the semi-join). The
   * centroids are fixed at create time; heavy drift degrades recall, not
   * correctness (assignment and probe use the same centroids), and
-  * [[rebuild]] refits.
+  * [[rebuild]] refits + purges.
   */
 object VectorIndex {
 
@@ -133,9 +140,17 @@ object VectorIndex {
     if (latest <= upTo) return 0L
     val path = dataDir(tablePath, name)
     val model = IvfIndex.readModel(path)
+    // NEW ids plus RE-EMBEDDED ids (same id, changed vector — the join is
+    // on the id with an array-equality filter; array<double> compares
+    // element-wise). A re-embedded row appends its new vector next to the
+    // stale one: search(exact = true) recomputes from the snapshot, and
+    // rebuild purges.
     val newRows = snapshotVectors(spark, tablePath, latest, spec)
       .join(snapshotVectors(spark, tablePath, upTo, spec)
-        .select(spec.idCol), Seq(spec.idCol), "left_anti")
+        .select(col(spec.idCol), col(spec.vecCol).as("__prev_vec")),
+        Seq(spec.idCol), "left_outer")
+      .filter(col("__prev_vec").isNull || col("__prev_vec") =!= col(spec.vecCol))
+      .drop("__prev_vec")
     val assigned = IvfIndex.assignCells(newRows, model, spec.vecCol)
       .withColumn("ivf_cell", col("ivf_cell").cast("int"))
     val count =
@@ -182,6 +197,53 @@ object VectorIndex {
         .partitionBy("ivf_cell").parquet(path)
       n
     } finally { pinned.unpersist(); () }
+  }
+
+  /** Top-k search over a maintained index. `exact = false` searches the
+    * raw layout ([[IvfIndex.searchClustered]] / [[NswGraph.searchGraph]]
+    * — may surface ghosts of deleted rows and stale embeddings, per the
+    * append-only contract). `exact = true` closes that gap at query time:
+    *
+    *  1. the approximate probe OVERFETCHES `overfetch × k` candidate ids
+    *     from the layout (ghosts consume candidate slots; the slack keeps
+    *     k live results available);
+    *  2. the governing snapshot (the table's latest revision) is
+    *     semi-joined on the id — deleted rows drop, duplicate copies of a
+    *     re-embedded id collapse;
+    *  3. similarity is recomputed against the snapshot's CURRENT
+    *     embedding, so a stale stored vector can never mis-rank a hit.
+    *
+    * The extra cost is one candidate-bounded join against the snapshot
+    * (≤ overfetch·k ids — broadcast-sized at any table scale; the
+    * snapshot side prunes on the semi-join key). Recall caveat shared
+    * with every IVF search: a re-embedded vector that drifted into a
+    * cell the query doesn't probe is missed until [[rebuild]] refits —
+    * exactness here means "no ghosts, current embeddings", not exhaustive
+    * scan. */
+  def search(spark: SparkSession, tablePath: String, name: String,
+             query: Array[Double], k: Int, nProbe: Int,
+             exact: Boolean = false, overfetch: Int = 4): DataFrame = {
+    val spec = list(tablePath).find(_.name == name)
+      .getOrElse(throw new IllegalArgumentException(s"unknown vector index $name"))
+    val path = dataDir(tablePath, name)
+    def approx(kk: Int): DataFrame =
+      if (spec.m > 0)
+        NswGraph.searchGraph(spark, path, spec.idCol, spec.vecCol, query, kk, nProbe)
+      else
+        IvfIndex.searchClustered(spark, path, spec.idCol, spec.vecCol, query, kk, nProbe)
+    if (!exact) approx(k)
+    else {
+      val latest = TemporalTable.mostRecentRevision(tablePath)
+        .getOrElse(throw new IllegalStateException(s"no commits at $tablePath"))
+      val candIds = approx(math.max(k, k * overfetch)).select(spec.idCol)
+      val qLit = array(query.map(lit): _*)
+      snapshotVectors(spark, tablePath, latest, spec)
+        .join(candIds, Seq(spec.idCol), "left_semi")
+        .withColumn("sim", round(graft.operators.Similarity.cosine(col(spec.vecCol), qLit), 4))
+        .select(col(spec.idCol), col("sim"))
+        .orderBy(desc("sim"), col(spec.idCol))
+        .limit(k)
+    }
   }
 
   /** Maintain every declared index — the commit-hook body, mirroring

@@ -94,6 +94,61 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.extractFeatures(audio).collect().head.decoder == "stub")
   }
 
+  test("PCM decode: WAV golden fixture — duration, RMS, ZCR, spectral peak") {
+    // 0.5 s sine at amplitude 0.5, 8 kHz mono 16-bit. The tone sits
+    // EXACTLY on Goertzel bin 10's log-spaced center (~887 Hz): an
+    // off-grid tone's rectangular-window sidelobes don't decay
+    // monotonically, so only an on-bin tone makes "loudest bin" exact
+    val rate = 8000
+    val n = 4000
+    val dim = 16
+    val centers = Array.tabulate(dim)(k =>
+      50.0 * math.pow(rate / 2.0 / 50.0, (k + 0.5) / dim))
+    val freq = centers(10)
+    val samples = Array.tabulate(n)(i =>
+      (0.5 * 32767.0 * math.sin(2 * math.Pi * freq * i / rate)).toShort)
+    val wav = Multimodal.encodePcmWav(rate, samples)
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRecord(3L, "audio", wav, "audio/wav", -1, -1, 0L)))
+    val f = Multimodal.extractAudioFeatures(media, dim = 16).collect().head
+    assert(f.decoder == "pcm")
+    assert(f.sample_rate == rate && f.channels == 1)
+    assert(f.duration_ms == 500L, s"duration = ${f.duration_ms}")
+    // sine RMS = A/sqrt(2); finite-length + int16 quantization → loose tol
+    assert(math.abs(f.rms - 0.5 / math.sqrt(2)) < 0.01, s"rms = ${f.rms}")
+    // a sine at f Hz crosses zero 2·f times per second → 2f/rate per sample
+    assert(math.abs(f.zero_cross_rate - 2 * freq / rate) < 0.01,
+      s"zcr = ${f.zero_cross_rate}")
+    // the loudest Goertzel bin (normalized to +0.5) is the on-tone bin
+    val gotPeak = f.features.zipWithIndex.maxBy(_._1)._2
+    assert(gotPeak == 10,
+      s"spectral peak at bin $gotPeak (center ${centers(gotPeak)} Hz), " +
+        s"expected 10 (center $freq Hz)")
+    assert(f.features(gotPeak) == 0.5f)
+  }
+
+  test("PCM decode: stereo averages to mono; hostile bytes fall back to the stub") {
+    val rate = 8000
+    val n = 800
+    // stereo with L = -R: the mono average cancels to (near-)silence
+    val l = Array.tabulate(n)(i => (0.4 * 32767.0 * math.sin(2 * math.Pi * 300 * i / rate)).toShort)
+    val bb = java.nio.ByteBuffer.allocate(44 + n * 4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + n * 4).put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16).putShort(1).putShort(2)
+      .putInt(rate).putInt(rate * 4).putShort(4).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(n * 4)
+    l.foreach { s => bb.putShort(s); bb.putShort((-s).toShort); () }
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRecord(1L, "audio", bb.array(), "audio/wav", -1, -1, 0L),
+      Multimodal.MediaRecord(2L, "audio", Array.fill[Byte](64)(0x41), "audio/wav", -1, -1, 0L)))
+    val out = Multimodal.extractAudioFeatures(media, dim = 8)
+      .collect().sortBy(_.media_id)
+    assert(out(0).decoder == "pcm" && out(0).channels == 2)
+    assert(out(0).rms < 1e-4, s"anti-phase stereo should cancel: rms = ${out(0).rms}")
+    assert(out(1).decoder == "stub" && out(1).sample_rate == -1)
+    assert(out(1).features.length == 8)
+  }
+
   test("sniff parses real container headers: PNG, JPEG, GIF, WAV, hostile bytes") {
     def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
     // PNG: signature + IHDR length/type + width=800, height=600

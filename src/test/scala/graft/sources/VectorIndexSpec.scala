@@ -113,6 +113,46 @@ class VectorIndexSpec extends SparkSpec {
     assert(deg.forall(_ > 0), "new vectors have empty adjacency")
   }
 
+  test("exact search: deletes leave no ghosts, re-embeds rank by the current vector") {
+    val p = Files.createTempDirectory("graft-vecidx-exact").resolve("tbl").toString
+    TemporalTable.write(rows(0L until 64L), p)
+    VectorIndex.create(spark, p, "e", "node_key", "embedding", nLists = 4)
+    // rev 2: append cluster-0 neighbors of id 100
+    TemporalTable.write(rows((0L until 64L) ++ Seq(100L, 104L, 108L)), p)
+    VectorIndex.maintain(spark, p, "e")
+    // rev 3: DELETE ids 100 and 104; RE-EMBED id 108 to the opposite
+    // cluster (2) — its old cluster-0 vector stays in the layout
+    val rev3 = rows((0L until 64L) :+ 300L).union(
+      Seq((108L, vec(2, 108L).toSeq)).toDF("node_key", "embedding"))
+    TemporalTable.write(rev3, p)
+    assert(VectorIndex.maintain(spark, p, "e") == 2L,
+      "maintain must index the new id AND the re-embedded id")
+
+    val q0 = vec(0, 100L)
+    // the raw layout still serves the ghosts (documented contract)
+    val raw = IvfIndex.searchClustered(spark, s"$p/_vecidx/e", "node_key",
+      "embedding", q0, k = 8, nProbe = 1).select("node_key").as[Long].collect()
+    assert(raw.contains(100L), "precondition: ghost present in raw layout")
+    // exact search: no deleted ids, no stale-embedding ranks
+    val exact = VectorIndex.search(spark, p, "e", q0, k = 8, nProbe = 1,
+      exact = true).select("node_key", "sim").as[(Long, Double)].collect()
+    val ids = exact.map(_._1)
+    assert(!ids.contains(100L) && !ids.contains(104L), s"ghosts returned: ${ids.toSeq}")
+    assert(ids.length == 8 && ids.distinct.length == 8)
+    // 108 now lives in cluster 2: a cluster-0 query must not rank it as a
+    // near neighbor (its STALE vector would), and a cluster-2 query finds
+    // it under its NEW embedding as the top hit
+    assert(!ids.take(3).contains(108L), "stale embedding mis-ranked a re-embedded id")
+    val q2 = vec(2, 108L)
+    val hit2 = VectorIndex.search(spark, p, "e", q2, k = 1, nProbe = 1,
+      exact = true).select("node_key").as[Long].head()
+    assert(hit2 == 108L, "re-embedded vector not searchable under its new embedding")
+    // exact = false stays the raw approximate path (same plan as before)
+    val approx = VectorIndex.search(spark, p, "e", q0, k = 8, nProbe = 1)
+      .select("node_key").as[Long].collect()
+    assert(approx.sameElements(raw))
+  }
+
   test("commit hook wires maintenance into the write path") {
     val p = Files.createTempDirectory("graft-vecidx-hook").resolve("tbl").toString
     TemporalTable.write(rows(0L until 32L), p)
