@@ -49,15 +49,31 @@ object Bench {
     def dropLeftoverPins(): Unit =
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
 
+    // contended-box forensics (round 6: a contaminated run recorded
+    // d_minhash_pairs at 32.7 s vs a clean-box 1.74 s): every timed run
+    // is recorded, not just the min, and the host load average rides in
+    // the JSON so a polluted measurement is self-identifying.
+    def loadavg(): String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split(" ").take(3).mkString(" ")
+      catch { case _: Exception => "" }
+    val loadStart = loadavg()
+    val allRuns = collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+
+    // the pair generators sit in a wide noise band (candidate-edge
+    // shuffles dominate) — min-of-3 instead of min-of-2
+    val tripleRun = Set("d_minhash_pairs", "d_dedup_groups", "d_span_dedup")
+
     val results = headline.filter(SparkEntry.queries.contains).map { name =>
       val t =
         try {
           execute(name) // warmup: JIT + codegen + file-listing caches
-          val runs = (1 to 2).map { _ =>
+          val runs = (1 to (if (tripleRun(name)) 3 else 2)).map { _ =>
             val t0 = System.nanoTime()
             execute(name)
             (System.nanoTime() - t0) / 1e9
           }
+          allRuns(name) = runs
           runs.min
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
@@ -174,7 +190,11 @@ object Bench {
     val all = results ++ storage ++ aged
     val qs = all.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = all.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val runsJson = allRuns.map { case (k, rs) =>
+      "\"" + k + "\":[" + rs.map(r => f"$r%.3f").mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""runs":$runsJson,"loadavg_start":"$loadStart","loadavg_end":"${loadavg()}","sf":"$sfDir"}""")
     spark.stop()
   }
 }
