@@ -213,9 +213,11 @@ object VectorIndex {
     *  3. similarity is recomputed against the snapshot's CURRENT
     *     embedding, so a stale stored vector can never mis-rank a hit.
     *
-    * The extra cost is one candidate-bounded join against the snapshot
-    * (≤ overfetch·k ids — broadcast-sized at any table scale; the
-    * snapshot side prunes on the semi-join key). Recall caveat shared
+    * The extra cost is one candidate-bounded probe of the snapshot: the
+    * ≤ overfetch·k candidate ids (driver-sized by construction) become an
+    * IN predicate on the snapshot scan, so parquet footer min/max prunes
+    * the read to the row groups that can hold them — never a full
+    * snapshot scan. Recall caveat shared
     * with every IVF search: a re-embedded vector that drifted into a
     * cell the query doesn't probe is missed until [[rebuild]] refits —
     * exactness here means "no ghosts, current embeddings", not exhaustive
@@ -235,10 +237,14 @@ object VectorIndex {
     else {
       val latest = TemporalTable.mostRecentRevision(tablePath)
         .getOrElse(throw new IllegalStateException(s"no commits at $tablePath"))
-      val candIds = approx(math.max(k, k * overfetch)).select(spec.idCol)
+      // bounded collect (≤ overfetch·k longs) → pushed-down IN filter
+      val candIds = approx(math.max(k, k * overfetch))
+        .select(col(spec.idCol).cast("long")).distinct()
+        .collect().map(_.getLong(0)).toSeq
+      if (candIds.isEmpty) return approx(k).limit(0)
       val qLit = array(query.map(lit): _*)
       snapshotVectors(spark, tablePath, latest, spec)
-        .join(candIds, Seq(spec.idCol), "left_semi")
+        .filter(col(spec.idCol).isin(candIds: _*))
         .withColumn("sim", round(graft.operators.Similarity.cosine(col(spec.vecCol), qLit), 4))
         .select(col(spec.idCol), col("sim"))
         .orderBy(desc("sim"), col(spec.idCol))
