@@ -43,8 +43,16 @@ import graft.sources.StatsSidecar
   * filter conjuncts: bare/negated boolean attributes, IS [NOT] NULL,
   * `=`/`<=>`/IN against literals, and integral range comparisons
   * (string ranges excluded — token order need not match Spark's UTF8
-  * binary collation). Per-group NDV is not recorded, so
-  * `count(distinct …)` disables the section fold.
+  * binary collation).
+  *
+  * `count(distinct c)` folds from sections when `c` is ITSELF a tuple
+  * column: a section's entries are the COMPLETE value list of the
+  * tuple, so the distinct surviving tokens of `c` — unioned across
+  * dirs and/or within each output group — are exactly the distinct
+  * values of `c` in the selected rows. This is NOT the (refused)
+  * additive merge of per-dir table-level NDVs: token sets union, they
+  * never add, so overlap between dirs cannot double-count. An NDV
+  * column outside every covering tuple still disables the fold.
   *
   * Freshness: the rule re-lists each directory's parquet files (the same
   * listing the sidecar writer used) and requires the recorded
@@ -349,14 +357,17 @@ case class AggFromStatsRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case Alias(a: AttributeReference, _) if groupIds.contains(a.exprId) =>
         Some(GroupPass(a))
       case ne => reqOf(ne) match {
-        case Some(_: NdvOf) => None // per-group NDV is not recorded
         case Some(r) => Some(GroupAgg(r))
         case None => None
       }
     }
     if (outs.exists(_.isEmpty)) return None
+    // count(distinct c) serves only when c is inside the covering tuple
+    // (token-set union — see class scaladoc); forcing the NDV columns
+    // into `needed` makes the covering check enforce exactly that
+    val ndvCols = outs.flatten.collect { case GroupAgg(NdvOf(a)) => a.name }.distinct
 
-    val needed = (groupAttrs.map(_.name) ++ predicates.map(_._1)).distinct
+    val needed = (groupAttrs.map(_.name) ++ predicates.map(_._1) ++ ndvCols).distinct
     if (needed.isEmpty) return None // pure global shape — serveGlobal's job
     val dirs = statsDirsOf(core).getOrElse(return None)
     if (dirs.isEmpty) return None
@@ -366,8 +377,9 @@ case class AggFromStatsRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // per dir: the smallest recorded tuple covering the needed columns
     // (deterministic tie-break), its entries filtered by the predicates
     // and projected to (grouping value, per-column stats incl. the
-    // synthesized tuple columns)
-    val perDirSurvivors: Seq[Seq[(Seq[Option[String]], Long, Map[String, StatsSidecar.ColStats])]] =
+    // synthesized tuple columns, NDV-column tokens)
+    val perDirSurvivors: Seq[Seq[(Seq[Option[String]], Long,
+        Map[String, StatsSidecar.ColStats], Map[String, Option[String]])]] =
       perDir.flatten.map { st =>
         val covering = st.groups.keys.toSeq
           .filter(g => needed.forall(g.contains))
@@ -376,39 +388,50 @@ case class AggFromStatsRule(spark: SparkSession) extends Rule[LogicalPlan] {
         val entries = st.groups(covering)
         val predIdx = predicates.map { case (n, fn) => (covering.indexOf(n), fn) }
         val groupIdx = groupAttrs.map(a => covering.indexOf(a.name))
+        val ndvIdx = ndvCols.map(n => n -> covering.indexOf(n))
         entries.flatMap { e =>
           if (!predIdx.forall { case (i, fn) => fn(e.value(i)) }) None
           else {
             val synth = covering.zipWithIndex.map { case (n, i) =>
               n -> synthTupleCol(n, e.value(i), e.rows)
             }.toMap
-            Some((groupIdx.map(e.value), e.rows, e.cols ++ synth))
+            Some((groupIdx.map(e.value), e.rows, e.cols ++ synth,
+              ndvIdx.map { case (n, i) => n -> e.value(i) }.toMap))
           }
         }
       }
 
     // merge across dirs (and away over extra tuple dimensions) by the
     // projected grouping value: rows add, per-column stats concat for the
-    // shared fold helpers
+    // shared fold helpers, NDV token sets UNION (never add)
     val merged = collection.mutable.LinkedHashMap
-      .empty[Seq[Option[String]], (Long, Map[String, Seq[StatsSidecar.ColStats]])]
-    perDirSurvivors.foreach(_.foreach { case (value, eRows, eCols) =>
-      val (r0, c0) = merged.getOrElse(value,
-        (0L, Map.empty[String, Seq[StatsSidecar.ColStats]]))
+      .empty[Seq[Option[String]], (Long, Map[String, Seq[StatsSidecar.ColStats]],
+        Map[String, Set[Option[String]]])]
+    perDirSurvivors.foreach(_.foreach { case (value, eRows, eCols, eNdv) =>
+      val (r0, c0, n0) = merged.getOrElse(value,
+        (0L, Map.empty[String, Seq[StatsSidecar.ColStats]],
+          Map.empty[String, Set[Option[String]]]))
       val c1 = eCols.foldLeft(c0) { case (m, (n, cs)) =>
         m + (n -> (m.getOrElse(n, Seq.empty) :+ cs))
       }
-      merged(value) = (r0 + eRows, c1)
+      val n1 = eNdv.foldLeft(n0) { case (m, (n, tok)) =>
+        m + (n -> (m.getOrElse(n, Set.empty) + tok))
+      }
+      merged(value) = (r0 + eRows, c1, n1)
     })
     // an ungrouped filtered aggregate returns exactly one row even when
     // nothing survives the filter — the empty fold (0 / NULL) is correct
     if (groupAttrs.isEmpty && merged.isEmpty)
-      merged(Seq.empty) = (0L, Map.empty)
+      merged(Seq.empty) = (0L, Map.empty, Map.empty)
 
-    val rows = merged.toSeq.map { case (value, (gRows, colMap)) =>
+    val rows = merged.toSeq.map { case (value, (gRows, colMap, ndvSets)) =>
       val byPos = groupAttrs.map(_.name).zip(value).toMap
       val cells = outs.flatten.map {
         case GroupPass(a) => groupTokenToCatalyst(byPos(a.name), a.dataType)
+        case GroupAgg(NdvOf(a)) =>
+          // distinct non-NULL tokens of a tuple column among the
+          // surviving entries — exact by section completeness
+          Some(ndvSets.getOrElse(a.name, Set.empty).flatten.size.toLong)
         case GroupAgg(req) =>
           // a column absent from a dir's section means the column is not
           // in that dir's file schema — its scan rows are null there, so

@@ -303,6 +303,42 @@ class AggFromStatsRuleSpec extends SparkSpec {
     assert(q2.as[(Long, Long)].head() == ((15L, 6L)))
   }
 
+  test("count(distinct) folds from sections by token-set UNION, never addition") {
+    AggFromStatsRule.install(spark)
+    val base = java.nio.file.Files.createTempDirectory("graft-aggstats-ndvsec").toString
+    val d1 = s"$base/r1"; val d2 = s"$base/r2"
+    // overlapping dept sets: per-dir 2 + 2 distinct, true union 3 — an
+    // additive merge would answer 4
+    Seq(("a", 1), ("b", 2), ("a", 3)).toDF("dept", "v").write.parquet(d1)
+    Seq(("b", 10), ("c", 20)).toDF("dept", "v").write.parquet(d2)
+    StatsSidecar.write(spark, d1, groupCols = Seq(Seq("dept")))
+    StatsSidecar.write(spark, d2, groupCols = Seq(Seq("dept")))
+    val q = spark.read.parquet(d1, d2).agg(countDistinct(col("dept")).as("dd"))
+    assert(rewritten(q))
+    assert(q.as[Long].head() == 3L)
+    // grouped: count(distinct tupleCol) per group from a covering tuple
+    val d3 = s"$base/r3"
+    Seq(("a", "x", 1), ("a", "x", 2), ("a", "y", 3), ("b", "x", 4), ("b", null, 5))
+      .toDF("g", "c", "v").write.parquet(d3)
+    StatsSidecar.write(spark, d3, groupCols = Seq(Seq("g", "c")))
+    val q2 = spark.read.parquet(d3).groupBy("g")
+      .agg(countDistinct(col("c")).as("dc"), count(lit(1)).as("n"))
+    assert(rewritten(q2))
+    // NULL excluded from count(distinct), exactly as the scan would
+    assert(q2.as[(String, Long, Long)].collect().toSet ==
+      Set(("a", 2L, 3L), ("b", 1L, 2L)))
+    // filtered + distinct: predicate selects entries before the union
+    val q3 = spark.read.parquet(d3).filter(col("g") === "a")
+      .agg(countDistinct(col("c")).as("dc"))
+    assert(rewritten(q3))
+    assert(q3.as[Long].head() == 2L)
+    // an NDV column OUTSIDE every recorded tuple still refuses
+    val q4 = spark.read.parquet(d3).groupBy("g")
+      .agg(countDistinct(col("v")).as("dv"))
+    assert(!rewritten(q4))
+    assert(q4.as[(String, Long)].collect().toSet == Set(("a", 3L), ("b", 2L)))
+  }
+
   test("sidecar-less dir pays zero FS probes after the first query") {
     AggFromStatsRule.install(spark)
     val d = java.nio.file.Files.createTempDirectory("graft-aggstats-noside").toString + "/t"
