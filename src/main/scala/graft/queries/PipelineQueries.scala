@@ -49,6 +49,11 @@ object PipelineQueries {
     * metrics computed from the raw int16 samples before WAV encoding. */
   private lazy val audioMetaPath = s"$runDir/audio_meta"
 
+  /** Sidecar for the s_exact_search oracle: the candidate ids the exact
+    * search's approximate probe produced (the oracle re-scores them
+    * against the snapshot predicate instead of running the index). */
+  private lazy val exactCandPath = s"$runDir/exact_cand"
+
   /** Shared oracle WITH-prefix: per-doc 32-bit simhash as CTE `sh`
     * (consumed by d_simhash and d_simhash_pairs). */
   private val simhashCte =
@@ -150,6 +155,35 @@ object PipelineQueries {
         .as[Seq[Double]].head().toArray
       IvfIndex.searchClustered(s, ivfIndexPath, "vec_id", "embedding",
         q, 10, nProbe = 3)
+    },
+    // EXACT current-snapshot search over a maintained (ghost-bearing)
+    // vector index: revision 1 indexes every vector, revision 2 DELETES
+    // vec_id % 7 = 0 (their vectors stay in the layout — the documented
+    // append-only contract), and the query vector is a DELETED row's own
+    // embedding. search(exact = true) must drop every ghost and re-rank
+    // from the snapshot's current vectors. The oracle re-scores the
+    // persisted candidate-id sidecar against the same snapshot predicate
+    // — it never runs the index, so a ghost that leaks through the exact
+    // path hash-mismatches
+    "s_exact_search" -> { (s, d) =>
+      import s.implicits._
+      val p = java.nio.file.Files.createTempDirectory("graft-exactsearch")
+        .toString + "/tbl"
+      val e = emb(s, d).select(col("vec_id"), col("embedding"))
+      graft.sources.TemporalTable.write(e, p)
+      graft.sources.VectorIndex.create(s, p, "x", "vec_id", "embedding", nLists = 8)
+      graft.sources.TemporalTable.write(e.filter(col("vec_id") % 7 =!= 0), p)
+      graft.sources.VectorIndex.maintain(s, p, "x")
+      val q = e.filter(col("vec_id") === 0)
+        .selectExpr("transform(embedding, x -> CAST(x AS DOUBLE)) AS q")
+        .as[Seq[Double]].head().toArray
+      // persist the same candidate set the exact path overfetches (same
+      // deterministic probe: k·overfetch = 40, nProbe = 3)
+      graft.operators.IvfIndex.searchClustered(s, s"$p/_vecidx/x", "vec_id",
+        "embedding", q, 40, nProbe = 3).select("vec_id")
+        .write.mode("overwrite").parquet(exactCandPath)
+      graft.sources.VectorIndex.search(s, p, "x", q, k = 10, nProbe = 3,
+        exact = true, overfetch = 4)
     },
     // embedding near-duplicate pairs within a label
     "s_neardup_embed" -> { (s, d) =>
@@ -530,6 +564,19 @@ object PipelineQueries {
         |      list_transform(e.embedding, x -> CAST(x AS DOUBLE)), qv), 4) AS sim
         |  FROM embeddings e JOIN cells c USING (vec_id), q
         |  WHERE c.ivf_cell IN (SELECT cell FROM probes))
+        |SELECT vec_id, sim FROM scored ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    "s_exact_search" ->
+      s"""WITH q AS (
+        |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        |  FROM embeddings WHERE vec_id = 0),
+        |cand AS (
+        |  SELECT DISTINCT vec_id FROM read_parquet('$exactCandPath/*.parquet')),
+        |scored AS (
+        |  SELECT e.vec_id,
+        |    ROUND(list_cosine_similarity(
+        |      list_transform(e.embedding, x -> CAST(x AS DOUBLE)), qv), 4) AS sim
+        |  FROM embeddings e JOIN cand USING (vec_id), q
+        |  WHERE e.vec_id % 7 <> 0)
         |SELECT vec_id, sim FROM scored ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
     "s_knn" ->
       """WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
