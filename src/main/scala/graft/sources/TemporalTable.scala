@@ -353,16 +353,25 @@ object TemporalTable {
       withStats, statsNdvCols, statsGroupCols)
   }
 
-  /** The stats-policy read: the prior revision's sidecar recipe (NDV
-    * columns, recorded group tuples), or None when the table has not
-    * opted in. One negative-cached metadata probe per write. */
+  /** The stats-policy read: the prior COMMITTED revision's sidecar recipe
+    * (NDV columns, recorded group tuples), or None when the table has not
+    * opted in. The prior revision comes from one `_commits` name listing
+    * (never `rev - 1`: a concurrent writer's aborted reservation can
+    * leave a permanent numbering gap there), plus one negative-cached
+    * sidecar probe. */
   private def inheritedStatsRecipe(path: String, rev: Int)
       : Option[(Seq[String], Seq[Seq[String]])] =
-    if (rev <= 1) None
-    else StatsSidecar.read(s"$path/rev=${rev - 1}").map { st =>
-      (st.cols.values.filter(_.ndv.isDefined).map(_.name).toSeq.sorted,
-        st.groups.keys.toSeq)
-    }
+    MetaIO.list(commitsDir(path))
+      .flatMap(n =>
+        if (n.endsWith(".json"))
+          scala.util.Try(n.stripSuffix(".json").toInt).toOption
+        else None)
+      .filter(_ < rev).maxOption
+      .flatMap(prior => StatsSidecar.read(s"$path/rev=$prior"))
+      .map { st =>
+        (st.cols.values.filter(_.ndv.isDefined).map(_.name).toSeq.sorted,
+          st.groups.keys.toSeq)
+      }
 
   private def writeFrame(df: DataFrame, path: String, author: String,
                          message: String, withManifest: Boolean,
