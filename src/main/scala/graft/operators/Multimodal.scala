@@ -369,9 +369,10 @@ object Multimodal {
     (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) | ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
 
   /** Parse real container headers: PNG IHDR, JPEG SOF, GIF, BMP
-    * dimensions; WAV fmt/data chunks → duration. Unknown formats yield
-    * ("unknown", -1, -1, 0) rather than failing — scrubbing pipelines must
-    * tolerate hostile bytes. */
+    * dimensions; WAV fmt/data chunks → duration; MP4/ISO-BMFF box walk →
+    * movie duration (`mvhd`) and track dimensions (`tkhd`). Unknown
+    * formats yield ("unknown", -1, -1, 0) rather than failing — scrubbing
+    * pipelines must tolerate hostile bytes. */
   private[operators] def sniff(id: Long, b: Array[Byte]): SniffedMeta = {
     def png = b.length >= 24 &&
       b.take(8).sameElements(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
@@ -380,6 +381,7 @@ object Multimodal {
     def bmp = b.length >= 26 && b(0) == 'B' && b(1) == 'M'
     def wav = b.length >= 44 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
       b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+    def mp4 = b.length >= 12 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p'
     try {
       if (png) SniffedMeta(id, "png", be32(b, 16), be32(b, 20), 0L)
       else if (jpeg) {
@@ -416,6 +418,57 @@ object Multimodal {
         }
         val dur = if (byteRate > 0 && dataLen >= 0) dataLen * 1000L / byteRate else 0L
         SniffedMeta(id, "wav", -1, -1, dur)
+      } else if (mp4) {
+        // ISO-BMFF box walk: [size:u32 BE][type:4cc] (size 1 → u64
+        // follows). `moov`/`trak` recurse; `mvhd` carries movie
+        // timescale+duration (v0: u32s at payload +12/+16; v1: 64-bit
+        // times, timescale at +20, duration u64 at +24); `tkhd` carries
+        // 16.16 fixed-point width/height after the transform matrix
+        // (payload +76 for v0, +88 for v1). Hostile sizes stop the walk
+        // (step is always ≥ the header size); depth is bounded.
+        def u32(o: Int): Long = be32(b, o).toLong & 0xffffffffL
+        var dur = 0L; var w = -1; var h = -1
+        def walk(from: Long, to: Long, depth: Int): Unit = {
+          var i = from
+          while (i + 8 <= to && depth < 8) {
+            val sz0 = u32(i.toInt)
+            val hdr = if (sz0 == 1 && i + 16 <= to) 16L else 8L
+            val sz =
+              if (sz0 == 1 && i + 16 <= to)
+                (u32(i.toInt + 8) << 32) | u32(i.toInt + 12)
+              else if (sz0 == 0) to - i // box extends to end of enclosure
+              else sz0
+            if (sz < hdr) return // hostile: would not advance
+            val tpe = new String(b, i.toInt + 4, 4, "US-ASCII")
+            val end = math.min(to, i + sz)
+            tpe match {
+              case "moov" | "trak" => walk(i + hdr, end, depth + 1)
+              case "mvhd" if i + hdr + 20 <= to =>
+                val o = (i + hdr).toInt
+                if ((b(o) & 0xff) == 1 && i + hdr + 32 <= to) {
+                  val ts = u32(o + 20)
+                  val d = (u32(o + 24) << 32) | u32(o + 28)
+                  if (ts > 0) dur = d * 1000L / ts
+                } else {
+                  val ts = u32(o + 12)
+                  val d = u32(o + 16)
+                  if (ts > 0) dur = d * 1000L / ts
+                }
+              case "tkhd" =>
+                val o = (i + hdr).toInt
+                val wOff = if ((b(o) & 0xff) == 1) o + 88 else o + 76
+                if (wOff + 8 <= b.length) {
+                  val tw = (u32(wOff) >> 16).toInt
+                  val th = (u32(wOff + 4) >> 16).toInt
+                  if (tw > 0 && th > 0) { w = math.max(w, tw); h = math.max(h, th) }
+                }
+              case _ =>
+            }
+            i += math.max(sz, hdr)
+          }
+        }
+        walk(0L, b.length.toLong, 0)
+        SniffedMeta(id, "mp4", w, h, dur)
       } else SniffedMeta(id, "unknown", -1, -1, 0L)
     } catch { case _: Exception => SniffedMeta(id, "corrupt", -1, -1, 0L) }
   }

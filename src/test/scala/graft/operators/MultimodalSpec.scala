@@ -149,6 +149,39 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1).features.length == 8)
   }
 
+  test("sniff parses MP4 boxes: mvhd duration, tkhd dimensions, hostile sizes") {
+    def box(tpe: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length).put(tpe.getBytes("US-ASCII")).put(payload)
+      bb.array()
+    }
+    // mvhd v0: ver/flags, ctime, mtime, timescale=600, duration=1500
+    // (2.5 s), then the remaining 80 header bytes zeroed
+    val mvhd = {
+      val bb = java.nio.ByteBuffer.allocate(100)
+      bb.putInt(0).putInt(0).putInt(0).putInt(600).putInt(1500)
+      bb.array()
+    }
+    // tkhd v0: 76 zero bytes then width=640, height=360 in 16.16
+    val tkhd = {
+      val bb = java.nio.ByteBuffer.allocate(84)
+      bb.position(76)
+      bb.putInt(640 << 16).putInt(360 << 16)
+      bb.array()
+    }
+    val ftyp = box("ftyp", "isomiso2".getBytes("US-ASCII"))
+    val moov = box("moov", box("mvhd", mvhd) ++ box("trak", box("tkhd", tkhd)))
+    val m = Multimodal.sniff(1L, ftyp ++ moov)
+    assert(m.format == "mp4")
+    assert(m.duration_ms == 2500L, s"duration = ${m.duration_ms}")
+    assert(m.width == 640 && m.height == 360)
+    // hostile: a box whose declared size is smaller than its header must
+    // stop the walk, not loop
+    val hostile = ftyp ++ box("moov", Array[Byte](0, 0, 0, 2, 'm', 'v', 'h', 'd'))
+    val hm = Multimodal.sniff(2L, hostile)
+    assert(hm.format == "mp4" && hm.duration_ms == 0L && hm.width == -1)
+  }
+
   test("sniff parses real container headers: PNG, JPEG, GIF, WAV, hostile bytes") {
     def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
     // PNG: signature + IHDR length/type + width=800, height=600
