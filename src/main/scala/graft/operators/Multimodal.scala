@@ -480,19 +480,46 @@ object Multimodal {
     media.mapPartitions(_.map(m => sniff(m.media_id, m.content)))
   }
 
-  /** Deterministic synthetic media table for tests/demos (no codecs in the
-    * environment, so payloads are seeded pseudo-random bytes). */
+  /** Deterministic synthetic media table for tests/demos. Audio payloads
+    * are REAL mono PCM WAVs (a seeded sine, decodable by
+    * [[extractAudioFeatures]]); video payloads carry a REAL MP4
+    * `ftyp`+`moov` header (mvhd duration matching the metadata column,
+    * parseable by [[sniff]]) ahead of pseudo-random "codec" bytes; image
+    * payloads stay pseudo-random bytes — exercising the hostile-bytes
+    * stub fallback is part of the demo. */
   def syntheticMedia(spark: SparkSession, n: Int): Dataset[MediaRecord] = {
     import spark.implicits._
     spark.range(n.toLong).map { i =>
       val rnd = new scala.util.Random(i)
       val kind = Seq("image", "audio", "video")(i.toInt % 3)
-      val bytes = Array.fill[Byte](64 + rnd.nextInt(64))(rnd.nextInt().toByte)
+      val durMs = if (kind == "video") 1000L + rnd.nextInt(10000) else 0L
+      val bytes = kind match {
+        case "audio" =>
+          val rate = 8000
+          val samples = Array.tabulate(800 + rnd.nextInt(800))(j =>
+            (0.4 * 32767.0 * math.sin(2 * math.Pi * (200 + i % 11 * 50) * j / rate)).toShort)
+          encodePcmWav(rate, samples)
+        case "video" =>
+          def box(tpe: String, payload: Array[Byte]): Array[Byte] = {
+            val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+            bb.putInt(8 + payload.length).put(tpe.getBytes("US-ASCII")).put(payload)
+            bb.array()
+          }
+          val mvhd = {
+            val bb = java.nio.ByteBuffer.allocate(100)
+            bb.putInt(0).putInt(0).putInt(0).putInt(1000).putInt(durMs.toInt)
+            bb.array()
+          }
+          box("ftyp", "isomiso2".getBytes("US-ASCII")) ++ box("moov", box("mvhd", mvhd)) ++
+            Array.fill[Byte](rnd.nextInt(64))(rnd.nextInt().toByte)
+        case _ =>
+          Array.fill[Byte](64 + rnd.nextInt(64))(rnd.nextInt().toByte)
+      }
       MediaRecord(i, kind, bytes,
         Map("image" -> "image/png", "audio" -> "audio/wav", "video" -> "video/mp4")(kind),
         if (kind == "image") 640 + rnd.nextInt(1280) else -1,
         if (kind == "image") 480 + rnd.nextInt(720) else -1,
-        if (kind == "video") 1000L + rnd.nextInt(10000) else 0L)
+        durMs)
     }
   }
 }
