@@ -362,13 +362,16 @@ case class AggFromStatsRule(spark: SparkSession) extends Rule[LogicalPlan] {
       }
     }
     if (outs.exists(_.isEmpty)) return None
-    // count(distinct c) serves only when c is inside the covering tuple
-    // (token-set union — see class scaladoc); forcing the NDV columns
-    // into `needed` makes the covering check enforce exactly that
+    // count(distinct c) serves from a section two ways (class scaladoc):
+    // token-set union when c is inside the covering tuple (preferred —
+    // always valid), or the recorded per-group NDV when section entries
+    // map 1:1 to output groups. Covering selection therefore PREFERS a
+    // tuple containing the NDV columns but does not require one.
     val ndvCols = outs.flatten.collect { case GroupAgg(NdvOf(a)) => a.name }.distinct
 
-    val needed = (groupAttrs.map(_.name) ++ predicates.map(_._1) ++ ndvCols).distinct
-    if (needed.isEmpty) return None // pure global shape — serveGlobal's job
+    val needed = (groupAttrs.map(_.name) ++ predicates.map(_._1)).distinct
+    if (needed.isEmpty && ndvCols.isEmpty)
+      return None // pure global shape — serveGlobal's job
     val dirs = statsDirsOf(core).getOrElse(return None)
     if (dirs.isEmpty) return None
     val perDir = dirs.map(freshStats(_, memo))
@@ -378,17 +381,21 @@ case class AggFromStatsRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // (deterministic tie-break), its entries filtered by the predicates
     // and projected to (grouping value, per-column stats incl. the
     // synthesized tuple columns, NDV-column tokens)
+    val coverings = Seq.newBuilder[Seq[String]]
     val perDirSurvivors: Seq[Seq[(Seq[Option[String]], Long,
         Map[String, StatsSidecar.ColStats], Map[String, Option[String]])]] =
       perDir.flatten.map { st =>
-        val covering = st.groups.keys.toSeq
+        val candidates = st.groups.keys.toSeq
           .filter(g => needed.forall(g.contains))
-          .sortBy(g => (g.size, g.mkString(",")))
-          .headOption.getOrElse(return None)
+        val covering = candidates.filter(g => ndvCols.forall(g.contains))
+          .sortBy(g => (g.size, g.mkString(","))).headOption
+          .orElse(candidates.sortBy(g => (g.size, g.mkString(","))).headOption)
+          .getOrElse(return None)
+        coverings += covering
         val entries = st.groups(covering)
         val predIdx = predicates.map { case (n, fn) => (covering.indexOf(n), fn) }
         val groupIdx = groupAttrs.map(a => covering.indexOf(a.name))
-        val ndvIdx = ndvCols.map(n => n -> covering.indexOf(n))
+        val ndvIdx = ndvCols.map(n => n -> covering.indexOf(n)).filter(_._2 >= 0)
         entries.flatMap { e =>
           if (!predIdx.forall { case (i, fn) => fn(e.value(i)) }) None
           else {
@@ -424,14 +431,31 @@ case class AggFromStatsRule(spark: SparkSession) extends Rule[LogicalPlan] {
     if (groupAttrs.isEmpty && merged.isEmpty)
       merged(Seq.empty) = (0L, Map.empty, Map.empty)
 
+    // per-entry recorded NDVs are usable only when every output group is
+    // exactly one section entry: one directory, and the covering tuple IS
+    // the grouping set (distinct tuple values = distinct groups; filters
+    // only drop whole entries). Any merge — extra tuple dimensions or a
+    // second dir — makes per-group NDVs non-additive, so the fold bails.
+    val coveringSeq = coverings.result()
+    val entriesAreGroups = coveringSeq.size == 1 &&
+      coveringSeq.head.toSet == groupAttrs.map(_.name).toSet
+
     val rows = merged.toSeq.map { case (value, (gRows, colMap, ndvSets)) =>
       val byPos = groupAttrs.map(_.name).zip(value).toMap
       val cells = outs.flatten.map {
         case GroupPass(a) => groupTokenToCatalyst(byPos(a.name), a.dataType)
         case GroupAgg(NdvOf(a)) =>
-          // distinct non-NULL tokens of a tuple column among the
-          // surviving entries — exact by section completeness
-          Some(ndvSets.getOrElse(a.name, Set.empty).flatten.size.toLong)
+          if (coveringSeq.exists(_.contains(a.name)))
+            // distinct non-NULL tokens of a tuple column among the
+            // surviving entries — exact by section completeness
+            Some(ndvSets.getOrElse(a.name, Set.empty).flatten.size.toLong)
+          else if (entriesAreGroups) colMap.get(a.name) match {
+            // exactly one contributing entry per group (guaranteed
+            // above) — its recorded per-group NDV is the exact answer
+            case Some(Seq(single)) => single.ndv.map(identity[Any])
+            case _ => None
+          }
+          else None
         case GroupAgg(req) =>
           // a column absent from a dir's section means the column is not
           // in that dir's file schema — its scan rows are null there, so

@@ -323,6 +323,24 @@ object RelationalQueries {
         .orderBy("l_linestatus")
     },
 
+    // Per-group NDV of a NON-tuple column ("distinct orders per flag" —
+    // the distinct-users-per-dept monitoring shape): recorded exactly at
+    // write time, served only because section entries map 1:1 to output
+    // groups. The oracle recomputes every group's distinct count raw
+    "q_stats_group_ndv" -> { (s, d) =>
+      val dir = java.nio.file.Files.createTempDirectory("graft-statsq-gndv").toString + "/t"
+      t(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_returnflag")
+        .write.parquet(dir)
+      graft.sources.StatsSidecar.write(s, dir,
+        ndvCols = Seq("l_orderkey"), groupCols = Seq(Seq("l_returnflag")))
+      graft.plans.AggFromStatsRule.install(s)
+      s.read.parquet(dir).groupBy("l_returnflag").agg(
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
+    },
+
     // The staleness bail, oracle-checked: rows appended AFTER the sidecar
     // was written make the fingerprint stale, so the rule must fall back
     // to the scan — the answer covers the appended rows or the hash
@@ -475,6 +493,11 @@ object RelationalQueries {
         |  CAST(SUM(l_linenumber) AS BIGINT) AS sum_ln
         |FROM lineitem WHERE l_returnflag <> 'N'
         |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "q_stats_group_ndv" ->
+      """SELECT l_returnflag,
+        |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_stats_stale" ->
       """SELECT CAST(SUM(l_linenumber) AS BIGINT) AS sum_ln, COUNT(*) AS n_rows
         |FROM (SELECT l_orderkey, l_linenumber FROM lineitem

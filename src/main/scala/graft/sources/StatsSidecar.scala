@@ -70,8 +70,9 @@ object StatsSidecar {
   /** One distinct value of a recorded group tuple: the tuple's value
     * tokens (None = SQL NULL; strings/integrals/booleans stringified —
     * the fold reconstructs typed values from the query attribute's
-    * dataType), that group's row count, and per-column [[ColStats]]
-    * (no NDV at group granularity). */
+    * dataType), that group's row count, and per-column [[ColStats]].
+    * NDV-requested columns carry an exact per-group distinct count;
+    * other columns have `ndv = None` at group granularity. */
   final case class GroupEntry(
       value: Seq[Option[String]],
       rows: Long,
@@ -208,6 +209,10 @@ object StatsSidecar {
     // (checked via limit(bound+1), never assumed). The tuple's own
     // columns carry no ColStats — within one group the group column is a
     // constant the fold can reconstruct from the group value itself.
+    // NDV-requested columns additionally record an exact PER-GROUP
+    // distinct count (the "distinct users per dept" monitoring shape);
+    // the fold may only serve it when section entries map 1:1 to output
+    // groups — see AggFromStatsRule.
     val autoGroups = dictCols.map(Seq(_))
     val wantedGroups = (groupCols ++ autoGroups).distinct.filter { tuple =>
       tuple.nonEmpty && tuple.size <= 16 && tuple.distinct.size == tuple.size &&
@@ -226,6 +231,7 @@ object StatsSidecar {
           gaggs += min(c).cast(LongType).as(s"__min_${f.name}")
           gaggs += max(c).cast(LongType).as(s"__max_${f.name}")
         }
+        if (wantNdv.contains(f.name)) gaggs += count_distinct(c).as(s"__ndv_${f.name}")
       }
       val ga = gaggs.result()
       val grows = df.groupBy(tuple.map(n => col(s"`$n`")): _*)
@@ -247,7 +253,8 @@ object StatsSidecar {
             case (Some(lo), Some(hi)) => Some((lo, hi))
             case _ => None
           }
-          f.name -> ColStats(f.name, cnt, n - cnt, opt(s"__sum_${f.name}"), mm, None)
+          f.name -> ColStats(f.name, cnt, n - cnt, opt(s"__sum_${f.name}"), mm,
+            opt(s"__ndv_${f.name}"))
         }.toMap)
       })
     }
@@ -281,6 +288,7 @@ object StatsSidecar {
           val extra = new StringBuilder
           c.sum.foreach(s => extra ++= s""","sum":$s""")
           c.minMax.foreach { case (lo, hi) => extra ++= s""","min":$lo,"max":$hi""" }
+          c.ndv.foreach(n => extra ++= s""","ndv":$n""")
           sb ++= s"""{"kind":"gcol","g":"$g","nullmask":$mask,"name":"${escapeJson(c.name)}","count":${c.count},"nulls":${c.nulls}$extra$vs}\n"""
         }
       }
@@ -410,7 +418,7 @@ object StatsSidecar {
             }
             gcolStats(key) = gcolStats(key) + (name -> ColStats(name,
               parseField(line, "count").toLong, parseField(line, "nulls").toLong,
-              opt("sum"), mm, None))
+              opt("sum"), mm, opt("ndv")))
           case _ => return None
         }
       }

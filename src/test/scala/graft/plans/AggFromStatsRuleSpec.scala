@@ -339,6 +339,45 @@ class AggFromStatsRuleSpec extends SparkSpec {
     assert(q4.as[(String, Long)].collect().toSet == Set(("a", 3L), ("b", 2L)))
   }
 
+  test("per-group NDV of a non-tuple column folds only when entries are groups") {
+    AggFromStatsRule.install(spark)
+    val base = java.nio.file.Files.createTempDirectory("graft-aggstats-gndv").toString
+    val d = s"$base/t"
+    // user repeats within and across depts: per-dept distinct user counts
+    // are 2 (a: u1,u2), 2 (b: u2,u3) — their SUM (4) ≠ table NDV (3)
+    Seq(("a", "u1", 1), ("a", "u1", 2), ("a", "u2", 3),
+        ("b", "u2", 4), ("b", "u3", 5))
+      .toDF("dept", "user", "v").write.parquet(d)
+    StatsSidecar.write(spark, d, ndvCols = Seq("user"),
+      groupCols = Seq(Seq("dept"), Seq("dept", "v")))
+    // covering == grouping set → per-entry NDV serves
+    val q = spark.read.parquet(d).groupBy("dept")
+      .agg(countDistinct(col("user")).as("du"), count(lit(1)).as("n"))
+    assert(rewritten(q))
+    assert(q.as[(String, Long, Long)].collect().toSet ==
+      Set(("a", 2L, 3L), ("b", 2L, 2L)))
+    // filter on the grouping column drops whole entries — still 1:1
+    val q2 = spark.read.parquet(d).filter(col("dept") === "a")
+      .groupBy("dept").agg(countDistinct(col("user")).as("du"))
+    assert(rewritten(q2))
+    assert(q2.as[(String, Long)].head() == (("a", 2L)))
+    // merging entries (here: ungrouped over the (dept,v) covering, which
+    // survives the v-filter with several entries) would ADD per-group
+    // NDVs of a repeating user — must refuse and take the scan
+    val q3 = spark.read.parquet(d).filter(col("v") > 0).groupBy()
+      .agg(countDistinct(col("user")).as("du"))
+    assert(!rewritten(q3))
+    assert(q3.as[Long].head() == 3L)
+    // multi-dir: entries merge across dirs → refuse
+    val d2 = s"$base/t2"
+    Seq(("a", "u9", 9)).toDF("dept", "user", "v").write.parquet(d2)
+    StatsSidecar.write(spark, d2, ndvCols = Seq("user"), groupCols = Seq(Seq("dept")))
+    val q4 = spark.read.parquet(d, d2).groupBy("dept")
+      .agg(countDistinct(col("user")).as("du"))
+    assert(!rewritten(q4))
+    assert(q4.as[(String, Long)].collect().toSet == Set(("a", 3L), ("b", 2L)))
+  }
+
   test("sidecar-less dir pays zero FS probes after the first query") {
     AggFromStatsRule.install(spark)
     val d = java.nio.file.Files.createTempDirectory("graft-aggstats-noside").toString + "/t"
