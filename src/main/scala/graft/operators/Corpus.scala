@@ -122,6 +122,128 @@ object Corpus {
       .withColumn("contaminated", col("n_overlap") > 0)
   }
 
+  /** Contamination at reference-set scales where the exact gram set can no
+    * longer broadcast — identical OUTPUT to [[contamination]], different
+    * plan. A Bloom filter over the benchmark grams (built distributed by
+    * `DataFrameStatFunctions.bloomFilter`, a few bits per gram) stands in
+    * for the gram set as the broadcast object, and a map-side
+    * might-contain probe (Spark's native `BloomFilterMightContain`
+    * expression — codegen'd, the same primitive AQE's runtime row-level
+    * filtering injects) prunes corpus grams BEFORE the exchange. Only
+    * suspected grams — true overlaps plus the fpp sliver of false
+    * positives — shuffle into the exact semi-join that kills the false
+    * positives, so the result is exact. At 100 TB: a 100M-gram benchmark
+    * is ~115 MB of bloom at 1% fpp (broadcastable) where its exact long
+    * set is gigabytes, and the shuffle carries the pruned candidates
+    * instead of every corpus gram. */
+  def contaminationAtScale(rawCorpus: DataFrame, benchmark: DataFrame,
+                           idCol: String, textCol: String, n: Int = 3,
+                           fpp: Double = 0.01): DataFrame = {
+    val corpus = Dedup.fanOut(rawCorpus, idCol)
+    val id = col(idCol)
+    val gramHashes = (c: Column) =>
+      graft.functions.MinHashExpressions.wordGramHashes(c, n, dedup = true)
+    val benchGrams = benchmark
+      .select(explode(gramHashes(col(textCol))).as("h")).distinct()
+    val pinnedBench = benchGrams.persist()
+    try {
+      // the gram digests are strings (md5-parity with the oracles);
+      // the bloom works on their xxhash64 — same long hashing on the
+      // build side (putLong) and the probe side (mightContainLong)
+      val bloom = pinnedBench.select(xxhash64(col("h")).as("hl"))
+        .stat.bloomFilter("hl", math.max(1L, pinnedBench.count()), fpp)
+      val bytes = {
+        val out = new java.io.ByteArrayOutputStream()
+        bloom.writeTo(out)
+        out.toByteArray
+      }
+      val mightContain = org.apache.spark.sql.graftbridge.GraftBridge.column(
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          org.apache.spark.sql.catalyst.expressions.Literal.create(
+            bytes, org.apache.spark.sql.types.BinaryType),
+          org.apache.spark.sql.graftbridge.GraftBridge.expression(
+            xxhash64(col("h")))))
+      val suspected = corpus
+        .select(id, explode(gramHashes(col(textCol))).as("h"))
+        .filter(mightContain)
+      // exact confirm WITHOUT broadcast — the at-scale join shape the
+      // bloom pre-prune exists for (hash-shuffle both pruned sides)
+      suspected.hint("shuffle_hash").join(pinnedBench, Seq("h"), "left_semi")
+        .groupBy(id).agg(count(lit(1)).as("n_overlap"))
+        .join(corpus.select(id), Seq(idCol), "right_outer")
+        .select(id, coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+        .withColumn("contaminated", col("n_overlap") > 0)
+    } finally { pinnedBench.unpersist(); () }
+  }
+
+  /** Exact corpus heavy hitters: the tokens whose occurrence count strictly
+    * exceeds 1/`k` of all token occurrences, found with Misra-Gries
+    * candidate generation plus an exact confirmation pass — the two-phase
+    * shape that keeps "top words of a 100 TB corpus" a bounded-memory
+    * problem (Misra & Gries 1982, the standard space-bounded
+    * frequent-items construction; no reference analog — corpus operators
+    * are parity-plus):
+    *
+    *  1. every partition streams its documents through a `k`-counter
+    *     Misra-Gries summary (O(k) memory however large the partition).
+    *     An item with global frequency > n/k must exceed its local quota
+    *     n_p/k in at least one partition (else summing the per-partition
+    *     bounds caps it at n/k), so the union of partition survivors is a
+    *     guaranteed superset of the true heavy hitters. Text never
+    *     shuffles; each partition emits ≤ k tokens.
+    *  2. the candidate set (≤ k · partitions rows, broadcast-sized by
+    *     construction) semi-joins the re-tokenized corpus map-side and
+    *     exact counts apply the threshold freq · k > n. False candidates
+    *     die here, so the output is EXACT and independent of
+    *     partitioning.
+    */
+  def heavyHitters(raw: DataFrame, idCol: String, textCol: String,
+                   k: Int = 64): DataFrame = {
+    require(k >= 2, s"heavyHitters needs k >= 2, got $k")
+    val spark = raw.sparkSession
+    import spark.implicits._
+    val df = Dedup.fanOut(raw, idCol)
+    // pass 1: per-partition summaries, plus each partition's token total
+    // (tagged row) so the threshold needs no third scan
+    val summaries = df.select(col(textCol).cast("string")).as[String]
+      .mapPartitions { texts =>
+        val counters = scala.collection.mutable.HashMap.empty[String, Long]
+        var total = 0L
+        texts.foreach { t =>
+          if (t != null) t.split(' ').foreach { w =>
+            if (w.nonEmpty) {
+              total += 1
+              counters.get(w) match {
+                case Some(c) => counters.update(w, c + 1L)
+                case None if counters.size < k => counters.update(w, 1L)
+                case None =>
+                  // decrement-all; snapshot keys first (no mutation
+                  // during iteration)
+                  counters.keys.toArray.foreach { kk =>
+                    val c = counters(kk)
+                    if (c == 1L) counters.remove(kk)
+                    else counters.update(kk, c - 1L)
+                  }
+              }
+            }
+          }
+        }
+        counters.keysIterator.map(w => (w, false, 0L)) ++
+          Iterator(("", true, total))
+      }.toDF("token", "is_total", "n")
+    val pinned = summaries.persist()
+    try {
+      val total = pinned.filter(col("is_total"))
+        .agg(coalesce(sum("n"), lit(0L))).head().getLong(0)
+      val candidates = pinned.filter(!col("is_total")).select("token").distinct()
+      df.select(explode(words(col(textCol))).as("token"))
+        .join(broadcast(candidates), Seq("token"), "left_semi")
+        .groupBy("token").agg(count(lit(1)).as("freq"))
+        .filter(col("freq") * k > total)
+        .orderBy(desc("freq"), col("token"))
+    } finally { pinned.unpersist(); () }
+  }
+
   /** Sliding-window document chunking — the standard pretraining/RAG prep
     * step: split each doc into `chunkWords`-word windows advancing by
     * `chunkWords - overlap`, the tail chunk keeping whatever remains.

@@ -85,6 +85,28 @@ object IvfIndex {
       element_at(array_sort(array(cells: _*)), 1).getField("cell"))
   }
 
+  /** [[assignCells]] plus the Euclidean distance to the winning centroid —
+    * the k-means CLUSTERING surface (fit + assignment as a first-class
+    * pipeline op: diversity bucketing, per-cluster sampling, mixture
+    * design all consume (row, cluster, dist)). Same argmin and tie-break
+    * as [[assignCells]]; `dist` is sqrt of the winning squared-L2, rounded
+    * to 4 places (the library's similarity rounding convention). Pure
+    * codegen: nLists struct comparisons per row, no shuffle. */
+  def assignCellsWithDistance(df: DataFrame, model: Model, vecCol: String,
+                              cellCol: String = "cluster",
+                              distCol: String = "dist"): DataFrame = {
+    val dvec = expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))")
+    val cells = model.centroids.zipWithIndex.map { case (c, i) =>
+      val cLit = array(c.map(lit): _*)
+      val d2 = aggregate(zip_with(dvec, cLit, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v)
+      struct(d2.as("d"), lit(i).as("cell"))
+    }
+    val best = element_at(array_sort(array(cells: _*)), 1)
+    df.withColumn(cellCol, best.getField("cell"))
+      .withColumn(distCol, round(sqrt(best.getField("d")), 4))
+  }
+
   /** ANN top-k: probe the query's `nProbe` cells only. `assigned` is the
     * output of [[fit]] (persist it clustered by `ivf_cell` so the IN
     * filter prunes storage, not just rows). */

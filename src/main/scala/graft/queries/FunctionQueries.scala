@@ -193,6 +193,58 @@ object FunctionQueries {
           (element_at(col("ordpath"), size(col("ordpath"))) - 1).as("n_preceding"))
         .orderBy("doc_id", "name")
     },
+    // level-order traversal with depth limit (sdb:level-order —
+    // function/sdb/trx/LevelOrder.java:36 over axis/LevelOrderAxis.java):
+    // BFS rank = ordering by (level, pre-order seq). Pre-order preserves
+    // relative document order within a level, so the whole traversal is
+    // ONE window over the shredded node table — no tree walk, and the
+    // window partitions by document, so at 100 TB each doc sorts its own
+    // (tiny) node set with no cross-document shuffle beyond the hash.
+    "q_level_order" -> { (s, d) =>
+      val xml = t(s, d, "nation").select(
+        col("n_nationkey").cast("long").as("doc_id"),
+        concat(lit("<nation key=\""), col("n_nationkey"), lit("\"><name>"),
+          col("n_name"), lit("</name><region><id>"), col("n_regionkey"),
+          lit("</id></region></nation>")).as("xml"))
+      val nodes = graft.sources.XmlShredder.shred(xml, "doc_id", "xml")
+      val maxLevel = 3 // LevelOrder's depth argument (FunUtil depth param)
+      import org.apache.spark.sql.expressions.Window
+      nodes.filter(size(col("ordpath")) <= maxLevel)
+        .withColumn("visit_rank", row_number().over(
+          Window.partitionBy("doc_id")
+            .orderBy(size(col("ordpath")), col("node_seq"))))
+        .select(col("doc_id"), col("visit_rank"),
+          size(col("ordpath")).as("level"), col("kind"),
+          coalesce(col("name"), lit("")).as("name"),
+          coalesce(col("value"), lit("")).as("value"))
+        .orderBy("doc_id", "visit_rank")
+    },
+    // document-order sort (sdb:sort — function/sdb/SortByDocOrder.java):
+    // ordpath arrays ORDER as document order (lexicographic, ancestor
+    // before descendant), so re-establishing doc order over an arbitrarily
+    // shuffled node set is a plain column sort — Catalyst's native array
+    // ordering, codegen'd, no comparator UDF. The emitted `ordered_ok`
+    // column additionally pins Ordpath.docOrderCmp against the same order:
+    // every node's predecessor under the sort compares strictly before it.
+    "q_doc_order_sort" -> { (s, d) =>
+      val xml = t(s, d, "nation").select(
+        col("n_nationkey").cast("long").as("doc_id"),
+        concat(lit("<nation key=\""), col("n_nationkey"), lit("\"><name>"),
+          col("n_name"), lit("</name><region><id>"), col("n_regionkey"),
+          lit("</id></region></nation>")).as("xml"))
+      val nodes = graft.sources.XmlShredder.shred(xml, "doc_id", "xml")
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("doc_id").orderBy(col("ordpath"))
+      nodes
+        .withColumn("doc_order_rank", row_number().over(w))
+        .withColumn("ordered_ok",
+          coalesce(graft.operators.Ordpath.docOrderCmp(
+            lag(col("ordpath"), 1).over(w), col("ordpath")) < 0, lit(true)))
+        .select(col("doc_id"), col("doc_order_rank"), col("node_seq"),
+          col("kind"), coalesce(col("name"), lit("")).as("name"),
+          col("ordered_ok"))
+        .orderBy("doc_id", "doc_order_rank")
+    },
     // depth-limited serialization (sdb:serialize maxLevel, §2.6)
     "q_serialize_limited" -> { (s, d) =>
       val base = t(s, d, "nation")
@@ -378,6 +430,33 @@ object FunctionQueries {
         |  UNION ALL
         |  SELECT CAST(n_nationkey AS BIGINT), 'region', 'nation', 1 FROM nation)
         |ORDER BY doc_id, name""".stripMargin,
+    "q_level_order" ->
+      """SELECT doc_id, visit_rank, level, kind, name, value FROM (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS doc_id, 1 AS visit_rank, 1 AS level,
+        |    'element' AS kind, 'nation' AS name, '' AS value FROM nation
+        |  UNION ALL SELECT CAST(n_nationkey AS BIGINT), 2, 2, 'attribute', 'key',
+        |    CAST(n_nationkey AS VARCHAR) FROM nation
+        |  UNION ALL SELECT CAST(n_nationkey AS BIGINT), 3, 2, 'element', 'name',
+        |    '' FROM nation
+        |  UNION ALL SELECT CAST(n_nationkey AS BIGINT), 4, 2, 'element', 'region',
+        |    '' FROM nation
+        |  UNION ALL SELECT CAST(n_nationkey AS BIGINT), 5, 3, 'text', '',
+        |    n_name FROM nation
+        |  UNION ALL SELECT CAST(n_nationkey AS BIGINT), 6, 3, 'element', 'id',
+        |    '' FROM nation)
+        |ORDER BY doc_id, visit_rank""".stripMargin,
+    "q_doc_order_sort" ->
+      """SELECT doc_id, r AS doc_order_rank, r AS node_seq, kind, name,
+        |  TRUE AS ordered_ok FROM (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS doc_id, 1 AS r,
+        |    'element' AS kind, 'nation' AS name FROM nation
+        |  UNION ALL SELECT CAST(n_nationkey AS BIGINT), 2, 'attribute', 'key' FROM nation
+        |  UNION ALL SELECT CAST(n_nationkey AS BIGINT), 3, 'element', 'name' FROM nation
+        |  UNION ALL SELECT CAST(n_nationkey AS BIGINT), 4, 'text', '' FROM nation
+        |  UNION ALL SELECT CAST(n_nationkey AS BIGINT), 5, 'element', 'region' FROM nation
+        |  UNION ALL SELECT CAST(n_nationkey AS BIGINT), 6, 'element', 'id' FROM nation
+        |  UNION ALL SELECT CAST(n_nationkey AS BIGINT), 7, 'text', '' FROM nation)
+        |ORDER BY doc_id, doc_order_rank""".stripMargin,
     "q_serialize_limited" ->
       """SELECT n_nationkey, '{"name":"' || n_name || '"}' AS js
         |FROM nation ORDER BY n_nationkey""".stripMargin,

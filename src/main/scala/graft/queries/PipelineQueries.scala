@@ -54,6 +54,11 @@ object PipelineQueries {
     * against the snapshot predicate instead of running the index). */
   private lazy val exactCandPath = s"$runDir/exact_cand"
 
+  /** Sidecar for the s_kmeans oracle: the fitted (cell, centroid) pairs —
+    * the oracle re-derives every row's argmin assignment and distance
+    * from the stored centers alone. */
+  private lazy val kmeansCentersPath = s"$runDir/kmeans_centers"
+
   /** Shared oracle WITH-prefix: per-doc 32-bit simhash as CTE `sh`
     * (consumed by d_simhash and d_simhash_pairs). */
   private val simhashCte =
@@ -350,6 +355,35 @@ object PipelineQueries {
       Corpus.contamination(all.filter(col("doc_id") % 50 =!= 0),
           all.filter(col("doc_id") % 50 === 0), "doc_id", "text", 3)
         .orderBy("doc_id")
+    },
+    // bloom-prefiltered contamination (the at-broadcast-scale variant:
+    // bloom prune map-side, exact shuffle semi-join confirm — output
+    // identical to the exact join by construction; benchmark = % 40)
+    "x_contamination_scale" -> { (s, d) =>
+      val all = docs(s, d)
+      Corpus.contaminationAtScale(all.filter(col("doc_id") % 40 =!= 0),
+          all.filter(col("doc_id") % 40 === 0), "doc_id", "text", 3)
+        .orderBy("doc_id")
+    },
+    // exact heavy hitters via Misra-Gries candidates + exact confirm
+    // (tokens with > 1/64 of all occurrences)
+    "x_heavy_hitters" -> { (s, d) =>
+      Corpus.heavyHitters(docs(s, d), "doc_id", "text", 64)
+    },
+    // k-means clustering over embeddings (fit + argmin assignment +
+    // distance); the oracle re-derives every assignment from the stored
+    // centers sidecar alone
+    "s_kmeans" -> { (s, d) =>
+      val e = emb(s, d)
+      val (model, _) = IvfIndex.fit(e, "embedding", nLists = 6)
+      import s.implicits._
+      model.centroids.zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cell", "centroid")
+        .write.mode("overwrite").parquet(kmeansCentersPath)
+      IvfIndex.assignCellsWithDistance(e, model, "embedding")
+        .select(col("vec_id"), col("cluster"), col("dist"))
+        .orderBy("vec_id")
     },
     // sliding-window chunking (32-word windows, 8-word overlap)
     "x_chunk" -> { (s, d) =>
@@ -810,6 +844,50 @@ object PipelineQueries {
         |FROM (SELECT doc_id FROM documents WHERE doc_id % 50 != 0) d
         |LEFT JOIN ov ON ov.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // exact twin of the bloom-prefiltered plan: the bloom only prunes,
+    // the exact semi-join decides — so the oracle is the plain overlap join
+    "x_contamination_scale" ->
+      """WITH wl AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id,
+        |    md5(array_to_string(w[CAST(i AS INTEGER):CAST(i AS INTEGER) + 2], ' ')) AS h
+        |  FROM wl, UNNEST(range(1, len(w) - 1)) AS r(i)),
+        |ov AS (
+        |  SELECT doc_id, COUNT(*) AS n_overlap FROM grams
+        |  WHERE doc_id % 40 != 0
+        |    AND h IN (SELECT h FROM grams WHERE doc_id % 40 = 0)
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(ov.n_overlap, 0) AS n_overlap,
+        |  COALESCE(ov.n_overlap, 0) > 0 AS contaminated
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 40 != 0) d
+        |LEFT JOIN ov ON ov.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    "x_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS token
+        |  FROM documents),
+        |tot AS (SELECT COUNT(*) AS n FROM toks)
+        |SELECT token, COUNT(*) AS freq FROM toks, tot
+        |GROUP BY token, tot.n HAVING COUNT(*) * 64 > tot.n
+        |ORDER BY freq DESC, token""".stripMargin,
+    // assignment + distance re-derived purely from the stored centers:
+    // same argmin, same (dist, cell) tie-break, same rounding convention
+    "s_kmeans" ->
+      s"""WITH cent AS (
+        |  SELECT * FROM read_parquet('$kmeansCentersPath/*.parquet')),
+        |a AS (
+        |  SELECT e.vec_id, c.cell,
+        |    list_distance(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+        |      c.centroid) AS dist,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_distance(
+        |        list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+        |        c.centroid), c.cell) AS rn
+        |  FROM embeddings e CROSS JOIN cent c)
+        |SELECT vec_id, CAST(cell AS INTEGER) AS cluster, ROUND(dist, 4) AS dist
+        |FROM a WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     "x_chunk" ->
       """WITH wl AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w

@@ -50,8 +50,9 @@ import org.apache.spark.sql.functions._
   * similarity is recomputed from the snapshot's CURRENT embedding (stale
   * copies can't mis-rank; duplicates collapse in the semi-join). The
   * centroids are fixed at create time; heavy drift degrades recall, not
-  * correctness (assignment and probe use the same centroids), and
-  * [[rebuild]] refits + purges.
+  * correctness (assignment and probe use the same centroids). [[purge]]
+  * compacts ghosts out of the raw layout in place (affected cells only,
+  * centroids kept); [[rebuild]] refits + purges.
   */
 object VectorIndex {
 
@@ -257,6 +258,68 @@ object VectorIndex {
     * `TemporalTable.addCommitHook((p, _) => VectorIndex.maintainAll(spark, p))`. */
   def maintainAll(spark: SparkSession, tablePath: String): Unit =
     list(tablePath).foreach(s => maintain(spark, tablePath, s.name))
+
+  /** Physically remove ghosts — stored rows whose (id, vector) no longer
+    * exists in the governing snapshot: deleted ids, and the stale copies
+    * of re-embedded ids. The tombstone-compaction analog of the
+    * reference's in-place vector deletes
+    * (bundles/sirix-core/src/main/java/io/sirix/index/vector/
+    * VectorIndex.java), closing the append-only contract's gap for
+    * callers that want the RAW layout exact again (search(exact = true)
+    * already gives ghost-free answers without it).
+    *
+    * Unlike [[rebuild]], the quantizer is untouched — centroids and cell
+    * routing stay as created. The index is first brought up to the latest
+    * revision ([[maintain]] — so a re-embedded id's current vector is in
+    * the layout before its stale copy drops), then ONLY the cells that
+    * actually contain ghosts are rewritten (dynamic partition overwrite;
+    * clean cells' files stay byte-identical — same discipline as
+    * maintenance). NSW cells re-derive their in-cell adjacency over the
+    * survivors; cells left empty have their directories removed. Returns
+    * the number of rows purged. */
+  def purge(spark: SparkSession, tablePath: String, name: String): Long = {
+    val spec = list(tablePath).find(_.name == name)
+      .getOrElse(throw new IllegalArgumentException(s"unknown vector index $name"))
+    maintain(spark, tablePath, name)
+    val latest = TemporalTable.mostRecentRevision(tablePath)
+      .getOrElse(throw new IllegalArgumentException(s"no commits at $tablePath"))
+    val path = dataDir(tablePath, name)
+    val live = snapshotVectors(spark, tablePath, latest, spec)
+      .select(col(spec.idCol), col(spec.vecCol).as("__live_vec"))
+    val flagged = spark.read.parquet(path)
+      .join(live, Seq(spec.idCol), "left_outer")
+      .withColumn("__ghost",
+        col("__live_vec").isNull || col("__live_vec") =!= col(spec.vecCol))
+      .drop("__live_vec")
+    val pinned = flagged.persist()
+    try {
+      val ghosts = pinned.filter(col("__ghost"))
+      val affected = ghosts.select("ivf_cell").distinct()
+        .collect().map(_.getInt(0)).sorted
+      if (affected.isEmpty) return 0L
+      val nPurged = ghosts.count()
+      val survivors = pinned
+        .filter(!col("__ghost") && col("ivf_cell").isin(affected.toSeq: _*))
+        .select(col(spec.idCol), col(spec.vecCol), col("ivf_cell").cast("int"))
+      val out =
+        if (spec.m > 0) NswGraph.buildGraph(survivors, spec.idCol, spec.vecCol, spec.m)
+        else survivors
+      // read + overwrite of the same path: cut lineage first (see
+      // patchGraphCells) so a recomputed block can't re-scan replaced files
+      val checkpointed = out.localCheckpoint(true)
+      // dynamic overwrite only touches partitions PRESENT in the output —
+      // a cell whose every row was a ghost writes nothing, so its
+      // directory is removed explicitly afterwards
+      val survivorCells = checkpointed.select("ivf_cell").distinct()
+        .collect().map(_.getInt(0)).toSet
+      checkpointed.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ivf_cell").parquet(path)
+      affected.filterNot(survivorCells)
+        .foreach(c => MetaIO.delete(s"$path/ivf_cell=$c", recursive = true))
+      nPurged
+    } finally { pinned.unpersist(); () }
+  }
 
   /** Full refit + rewrite (the compaction for drifted centroids or
     * accumulated removed/re-embedded rows — see the append-only contract

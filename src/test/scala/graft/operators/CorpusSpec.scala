@@ -308,4 +308,57 @@ class CorpusSpec extends SparkSpec {
     assert(adjacent < copies.size,
       s"$adjacent of ${copies.size} copy-pairs adjacent — epochs not interleaved")
   }
+
+  test("heavyHitters: exact counts at the n/k threshold, any partitioning") {
+    // a ×40, b ×20, c ×5, w1..w25 ×1 → n = 90
+    val df = Seq(
+      (1L, Seq.fill(30)("a").mkString(" ")),
+      (2L, (Seq.fill(10)("a") ++ Seq.fill(20)("b")).mkString(" ")),
+      (3L, (Seq.fill(5)("c") ++ (1 to 25).map(i => s"w$i")).mkString(" "))
+    ).toDF("doc_id", "text")
+    for (parts <- Seq(1, 5, 13)) {
+      val r = Corpus.heavyHitters(df.repartition(parts), "doc_id", "text", k = 8)
+        .as[(String, Long)].collect().toSeq
+      // freq·8 > 90 → freq > 11.25 → a(40), b(20); c and singletons excluded
+      assert(r == Seq(("a", 40L), ("b", 20L)),
+        s"parts=$parts: $r")
+    }
+    // tighter k = 3: threshold n/3 = 30 → only a (40) qualifies
+    val top = Corpus.heavyHitters(df, "doc_id", "text", k = 3)
+      .as[(String, Long)].collect().toSeq
+    assert(top == Seq(("a", 40L)))
+    // k = 2: threshold 45 — nothing reaches it, exact answer is empty
+    assert(Corpus.heavyHitters(df, "doc_id", "text", k = 2).isEmpty)
+  }
+
+  test("heavyHitters: bounded candidate state under a wide vocabulary") {
+    // 400 distinct singletons + one genuinely heavy token; k = 8 keeps
+    // per-partition state at 8 counters and the exact pass still lands
+    val noise = (1 to 400).map(i => (i.toLong, s"n$i x$i y$i"))
+    val heavy = (401 to 500).map(i => (i.toLong, "hot hot hot hot hot hot"))
+    val df = (noise ++ heavy).toDF("doc_id", "text").repartition(11)
+    val r = Corpus.heavyHitters(df, "doc_id", "text", k = 8)
+      .as[(String, Long)].collect().toSeq
+    // n = 1200 + 600 = 1800; hot = 600 → 600·8 > 1800 ✓; all noise ≤ 1
+    assert(r == Seq(("hot", 600L)), s"got $r")
+  }
+
+  test("contaminationAtScale output equals the exact broadcast contamination") {
+    // docs sharing 3-grams with the benchmark slice plus clean docs
+    val df = (0L until 60L).map { i =>
+      val base =
+        if (i % 3 == 0) s"shared trigram block $i plus unique tail $i"
+        else s"totally unrelated words number $i nothing common here $i"
+      (i, base)
+    }.toDF("doc_id", "text")
+    val bench = Seq((1000L, "shared trigram block 0 plus unique tail 0 and " +
+      "shared trigram block 3")).toDF("doc_id", "text")
+    val corpus = df
+    val exact = Corpus.contamination(corpus, bench, "doc_id", "text", 3)
+      .orderBy("doc_id").as[(Long, Long, Boolean)].collect().toSeq
+    val scaled = Corpus.contaminationAtScale(corpus, bench, "doc_id", "text", 3)
+      .orderBy("doc_id").as[(Long, Long, Boolean)].collect().toSeq
+    assert(scaled == exact, "bloom-prefiltered result diverged from exact join")
+    assert(exact.count(_._3) >= 2, "fixture produced no contaminated docs")
+  }
 }

@@ -115,4 +115,25 @@ class IvfIndexSpec extends SparkSpec {
       assert(fromTable == fromFrame)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
   }
+
+  test("assignCellsWithDistance: same argmin as assignCells, true winning distance") {
+    val (model, _) = IvfIndex.fit(emb, "embedding", nLists = 6)
+    val cells = IvfIndex.assignCells(emb, model, "embedding")
+      .select("vec_id", "ivf_cell").as[(Long, Int)].collect().toMap
+    val rows = IvfIndex.assignCellsWithDistance(emb, model, "embedding")
+      .select("vec_id", "cluster", "dist").as[(Long, Int, Double)].collect()
+    assert(rows.length == cells.size)
+    rows.foreach { case (id, cluster, dist) =>
+      assert(cluster == cells(id), s"vec $id: cluster $cluster != ${cells(id)}")
+      assert(dist >= 0.0, s"vec $id: negative distance")
+    }
+    // spot-verify one distance against a driver-side recompute
+    val (id0, cl0, d0) = rows.minBy(_._1)
+    val v = emb.filter(org.apache.spark.sql.functions.col("vec_id") === id0)
+      .selectExpr("transform(embedding, x -> CAST(x AS DOUBLE))")
+      .as[Seq[Double]].head()
+    val c = model.centroids(cl0)
+    val expect = math.sqrt(v.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum)
+    assert(math.abs(d0 - expect) < 5e-5, s"dist $d0 vs recomputed $expect")
+  }
 }

@@ -153,6 +153,80 @@ class VectorIndexSpec extends SparkSpec {
     assert(approx.sameElements(raw))
   }
 
+  test("purge drops ghosts physically; clean cells keep files; centroids unchanged") {
+    val p = Files.createTempDirectory("graft-vecidx-purge").resolve("tbl").toString
+    TemporalTable.write(rows(0L until 64L), p)
+    VectorIndex.create(spark, p, "pg", "node_key", "embedding", nLists = 4)
+    val idxPath = s"$p/_vecidx/pg"
+    // rev 2: DELETE cluster-0 ids 0/4/8 and RE-EMBED id 1 (cluster 1) into
+    // cluster 2 — three delete ghosts plus one stale-copy ghost
+    val kept = (2L until 64L).filterNot(Set(4L, 8L))
+    val rev2 = rows(kept)
+      .union(Seq((1L, vec(2, 1L).toSeq)).toDF("node_key", "embedding"))
+    TemporalTable.write(rev2, p)
+    VectorIndex.maintain(spark, p, "pg") // 1's new vector enters the layout
+    val model = IvfIndex.readModel(idxPath)
+    val before = cellFiles(idxPath)
+    val ghostCells = IvfIndex.assignCells(
+        Seq((0L, vec(0, 0L).toSeq), (4L, vec(0, 4L).toSeq),
+          (8L, vec(0, 8L).toSeq), (1L, vec(1, 1L).toSeq))
+          .toDF("node_key", "embedding"), model, "embedding")
+      .select("ivf_cell").distinct().as[Int].collect()
+      .map(c => s"ivf_cell=$c").toSet
+
+    assert(VectorIndex.purge(spark, p, "pg") == 4L)
+
+    val after = cellFiles(idxPath)
+    before.foreach { case (cell, files) =>
+      if (!ghostCells(cell))
+        assert(after(cell) == files, s"clean $cell was rewritten")
+    }
+    // the raw layout now equals the snapshot exactly: same ids, same vectors
+    val raw = spark.read.parquet(idxPath)
+      .select(col("node_key"), col("embedding"))
+    val snap = TemporalTable.read(spark, p, None)
+      .select(col("node_key"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("embedding"))
+    assert(raw.count() == snap.count(), "row count differs from snapshot")
+    assert(raw.except(snap).isEmpty && snap.except(raw).isEmpty,
+      "raw layout differs from snapshot after purge")
+    // quantizer untouched (this is purge, not rebuild)
+    assert(IvfIndex.readModel(idxPath).centroids.map(_.toSeq).toSeq ==
+      model.centroids.map(_.toSeq).toSeq, "purge refit the centroids")
+    // idempotent; approximate search is now ghost-free without exact mode
+    assert(VectorIndex.purge(spark, p, "pg") == 0L)
+    val ids = VectorIndex.search(spark, p, "pg", vec(0, 100L), k = 8, nProbe = 2)
+      .select("node_key").as[Long].collect()
+    assert(!ids.exists(Set(0L, 4L, 8L)), s"approx search returned ghosts: ${ids.toSeq}")
+  }
+
+  test("NSW purge: adjacency re-derived without ghosts; emptied cells vanish") {
+    val p = Files.createTempDirectory("graft-vecidx-purgensw").resolve("tbl").toString
+    TemporalTable.write(rows(0L until 64L), p)
+    VectorIndex.create(spark, p, "pn", "node_key", "embedding", nLists = 4, m = 4)
+    val idxPath = s"$p/_vecidx/pn"
+    val model = IvfIndex.readModel(idxPath)
+    // rev 2 drops ALL of cluster 3 (ids ≡ 3 mod 4) and half of cluster 1
+    val dropped = (0L until 64L).filter(id => id % 4 == 3 || (id % 4 == 1 && id < 32))
+    TemporalTable.write(rows((0L until 64L).filterNot(dropped.contains)), p)
+    assert(VectorIndex.purge(spark, p, "pn") == dropped.size.toLong)
+    // no surviving row's adjacency references a purged id
+    val badEdges = spark.read.parquet(idxPath)
+      .select(explode(col("nsw_neighbors")).as("nb"))
+      .filter(col("nb").isin(dropped: _*)).count()
+    assert(badEdges == 0L, s"$badEdges adjacency edges point at purged ids")
+    // the all-ghost cell's directory is gone
+    val cluster3Cell = IvfIndex.assignCells(
+        Seq((3L, vec(3, 3L).toSeq)).toDF("node_key", "embedding"),
+        model, "embedding").select("ivf_cell").as[Int].head()
+    assert(!MetaIO.listDirs(idxPath).contains(s"ivf_cell=$cluster3Cell"),
+      "emptied cell directory not removed")
+    // graph search over survivors still works
+    val top = NswGraph.searchGraph(spark, idxPath, "node_key", "embedding",
+      vec(2, 2L), k = 3, nProbe = 1, ef = 16).select("node_key").as[Long].collect()
+    assert(top.contains(2L), s"graph search broken after purge: ${top.toSeq}")
+  }
+
   test("commit hook wires maintenance into the write path") {
     val p = Files.createTempDirectory("graft-vecidx-hook").resolve("tbl").toString
     TemporalTable.write(rows(0L until 32L), p)
