@@ -63,17 +63,28 @@ object VectorExpressions {
 
     override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, (a, b) => {
-        val lGet = if (elemType(left) == FloatType) s"(double) $a.getFloat(i)" else s"$a.getDouble(i)"
-        val rGet = if (elemType(right) == FloatType) s"(double) $b.getFloat(i)" else s"$b.getDouble(i)"
+        // every local via freshName: two instances of this expression can
+        // land in ONE generated method scope (UnsafeProjection inlines
+        // them flat), where a hardcoded `i`/`n` is a janino
+        // "Redefinition of local variable" → silent interpreter fallback
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val dot = ctx.freshName("dot")
+        val na = ctx.freshName("na")
+        val nb = ctx.freshName("nb")
+        val x = ctx.freshName("x")
+        val y = ctx.freshName("y")
+        val lGet = if (elemType(left) == FloatType) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+        val rGet = if (elemType(right) == FloatType) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
         s"""
-           |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-           |double dot = 0.0, na = 0.0, nb = 0.0;
-           |for (int i = 0; i < n; i++) {
-           |  double x = $lGet;
-           |  double y = $rGet;
-           |  dot += x * y; na += x * x; nb += y * y;
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $x = $lGet;
+           |  double $y = $rGet;
+           |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
            |}
-           |${ev.value} = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
+           |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
          """.stripMargin
       })
 
@@ -110,13 +121,17 @@ object VectorExpressions {
 
     override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, (a, b) => {
-        val lGet = if (elemType(left) == FloatType) s"(double) $a.getFloat(i)" else s"$a.getDouble(i)"
-        val rGet = if (elemType(right) == FloatType) s"(double) $b.getFloat(i)" else s"$b.getDouble(i)"
+        // freshName for every local — see CosineSimilarity.doGenCode
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val dot = ctx.freshName("dot")
+        val lGet = if (elemType(left) == FloatType) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+        val rGet = if (elemType(right) == FloatType) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
         s"""
-           |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-           |double dot = 0.0;
-           |for (int i = 0; i < n; i++) { dot += ($lGet) * ($rGet); }
-           |${ev.value} = dot;
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $dot = 0.0;
+           |for (int $i = 0; $i < $n; $i++) { $dot += ($lGet) * ($rGet); }
+           |${ev.value} = $dot;
          """.stripMargin
       })
 

@@ -60,4 +60,29 @@ class VectorExpressionsSpec extends SparkSpec {
         $"b").as("c")).as[Double].collect()
     assert(d.forall(c => c >= -1.0 && c <= 1.0))
   }
+
+  test("two instances in one projection still COMPILE (freshName locals)") {
+    // regression: hardcoded `i`/`n`/`dot` locals collide when two copies
+    // of the expression inline into one generated method (janino
+    // "Redefinition of local variable") → the whole UnsafeProjection
+    // silently fell back to interpreter. GenerateUnsafeProjection has no
+    // fallback layer, so a collision throws here.
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val a = BoundReference(0, ArrayType(DoubleType), nullable = true)
+    val b = BoundReference(1, ArrayType(DoubleType), nullable = true)
+    val exprs = Seq(
+      VectorExpressions.CosineSimilarity(a, b),
+      VectorExpressions.CosineSimilarity(b, a),
+      VectorExpressions.DotProduct(a, b),
+      VectorExpressions.DotProduct(b, a))
+    val proj = org.apache.spark.sql.catalyst.expressions.codegen
+      .GenerateUnsafeProjection.generate(exprs)
+    val row = org.apache.spark.sql.catalyst.InternalRow(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array(1.0, 0.0)),
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array(0.6, 0.8)))
+    val out = proj(row)
+    assert(math.abs(out.getDouble(0) - 0.6) < 1e-12)
+    assert(math.abs(out.getDouble(2) - 0.6) < 1e-12)
+  }
 }
