@@ -21,7 +21,8 @@ object Bench {
     "q1_agg", "q3_topk", "q5_join", "q_window_rank",
     "t_history", "t_asof", "t_diff_snapshots", "t_window_tumbling",
     "d_exact_dedup", "d_minhash_pairs", "s_knn", "x_quality",
-    "d_span_dedup", "x_contamination", "d_dedup_groups", "x_tfidf")
+    "d_span_dedup", "x_contamination", "d_dedup_groups", "x_tfidf",
+    "x_heavy_hitters", "x_contamination_scale", "s_kmeans")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
