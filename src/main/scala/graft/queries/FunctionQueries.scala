@@ -193,6 +193,35 @@ object FunctionQueries {
           (element_at(col("ordpath"), size(col("ordpath"))) - 1).as("n_preceding"))
         .orderBy("doc_id", "name")
     },
+    // following / preceding axes (§2.2 — reference axis/FollowingAxis.java:33,
+    // PrecedingAxis.java:34): XPath semantics — nodes strictly after/before
+    // the anchor in document order, excluding the anchor's own
+    // descendants/ancestors and attribute nodes. Pure ordpath expressions
+    // (docOrderCmp + prefix ancestry) over the shredded node table: the
+    // axis is a per-document column computation after one equi-join on the
+    // doc id — no tree walk, no cross-document shuffle.
+    "q_xml_following" -> { (s, d) =>
+      val xml = t(s, d, "nation").select(
+        col("n_nationkey").cast("long").as("doc_id"),
+        concat(lit("<nation><meta>M</meta><name>"), col("n_name"),
+          lit("</name><region><id>"), col("n_regionkey"),
+          lit("</id></region></nation>")).as("xml"))
+      val nodes = graft.sources.XmlShredder.shred(xml, "doc_id", "xml")
+      val anchor = nodes
+        .filter(col("kind") === "element" && col("name") === "name")
+        .select(col("doc_id"), col("ordpath").as("a_path"))
+      val op = graft.operators.Ordpath
+      nodes.filter(col("kind") =!= "attribute")
+        .join(anchor, "doc_id")
+        .groupBy("doc_id").agg(
+          sum(when(op.docOrderCmp(col("a_path"), col("ordpath")) < 0 &&
+            !op.isAncestor(col("a_path"), col("ordpath")), 1L).otherwise(0L))
+            .as("n_following"),
+          sum(when(op.docOrderCmp(col("ordpath"), col("a_path")) < 0 &&
+            !op.isAncestor(col("ordpath"), col("a_path")), 1L).otherwise(0L))
+            .as("n_preceding"))
+        .orderBy("doc_id")
+    },
     // level-order traversal with depth limit (sdb:level-order —
     // function/sdb/trx/LevelOrder.java:36 over axis/LevelOrderAxis.java):
     // BFS rank = ordering by (level, pre-order seq). Pre-order preserves
@@ -430,6 +459,14 @@ object FunctionQueries {
         |  UNION ALL
         |  SELECT CAST(n_nationkey AS BIGINT), 'region', 'nation', 1 FROM nation)
         |ORDER BY doc_id, name""".stripMargin,
+    // doc shape <nation><meta>M</meta><name>N</name><region><id>R</id></region></nation>:
+    // anchor = <name>; following = region, id, text-R (3); preceding =
+    // meta, text-M (2); nation is an ancestor, text-N a descendant — both
+    // excluded by the axis definition
+    "q_xml_following" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS doc_id,
+        |  CAST(3 AS BIGINT) AS n_following, CAST(2 AS BIGINT) AS n_preceding
+        |FROM nation ORDER BY doc_id""".stripMargin,
     "q_level_order" ->
       """SELECT doc_id, visit_rank, level, kind, name, value FROM (
         |  SELECT CAST(n_nationkey AS BIGINT) AS doc_id, 1 AS visit_rank, 1 AS level,

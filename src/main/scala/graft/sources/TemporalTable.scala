@@ -648,6 +648,44 @@ object TemporalTable {
     write(snap, path, author, msg)
   }
 
+  /** OPTIMIZE-analog: commit a bin-packed, content-identical copy of the
+    * head snapshot — the cure for the small-files problem a stream of
+    * small commits leaves behind (the reference ingests per-document
+    * commits the same way; its pages compact inside the page file, ours
+    * compact at the file layout). Deliberately a FORWARD COMMIT through
+    * the full protocol rather than an in-place rewrite: every read path
+    * (single-revision listing, commit-log-manifest history reads, the V2
+    * source, the streaming `rev=*` glob) keeps working untouched, the
+    * compaction is crash-safe for free (an aborted attempt never becomes
+    * a revision), and history stays immutable — as-of reads before the
+    * compaction still serve the original files. Manifest, key-index, and
+    * stats sidecars regenerate through the standard write, so diff /
+    * record-lookup / stats serving hold across the compaction; an
+    * adjacent diff across it is empty by construction.
+    *
+    * Returns the new revision, or None when the head is already at or
+    * under `maxFiles` for the target size (no commit made). File count =
+    * ceil(headBytes / targetFileBytes), floor 1. */
+  def compactHead(spark: SparkSession, path: String,
+                  targetFileBytes: Long = 128L << 20,
+                  author: String = "graft"): Option[Int] = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val head = mostRecentRevision(path)
+      .getOrElse(throw new IllegalArgumentException(s"no commits at $path"))
+    val files = MetaIO.listFiles(s"$path/rev=$head")
+    val bytes = files.map(_._2).sum
+    val want = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    if (files.size <= want) return None
+    val snap = read(spark, path, Some(head))
+      .drop("revision", "commit_ts", "author")
+      // repartition, not coalesce: coalesce would chain the upstream
+      // scan's task count into later stages, and uneven input files
+      // would pack unevenly; a round-robin exchange yields want
+      // near-equal files
+      .repartition(want)
+    Some(write(snap, path, author, s"compact rev $head to $want files"))
+  }
+
   /** `jn:open-revisions(t1,t2)`: all snapshots committed in the window as
     * one history frame with revision metadata columns. A single scan over
     * the hive-partitioned layout (`rev=N/`) — the revision restriction is a

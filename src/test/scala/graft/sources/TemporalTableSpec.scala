@@ -284,6 +284,38 @@ class TemporalTableSpec extends SparkSpec {
     finally raw.close()
   }
 
+  test("compactHead: bin-packed, content-identical forward commit") {
+    import org.apache.spark.sql.functions._
+    val p = freshPath()
+    val df = spark.range(0, 10000)
+      .select(col("id").as("node_key"), (col("id") * 2).as("v"))
+      .repartition(64) // fragmented head: 64 small files
+    TemporalTable.write(df, p)
+    assert(MetaIO.listFiles(s"$p/rev=1").size >= 32, "fixture not fragmented")
+
+    val rev = TemporalTable.compactHead(spark, p, targetFileBytes = 1L << 30)
+    assert(rev.contains(2))
+    assert(MetaIO.listFiles(s"$p/rev=2").size == 1, "head not bin-packed")
+    // content identical: adjacent diff across the compaction is empty
+    assert(TemporalTable.diff(spark, p, 1, 2).isEmpty)
+    val head = TemporalTable.read(spark, p).drop("revision", "commit_ts", "author")
+    assert(head.except(df).isEmpty && df.except(head).isEmpty)
+    // history immutable: as-of before the compaction serves the original
+    assert(TemporalTable.read(spark, p, Some(1)).inputFiles.length >= 32)
+    // already compact → no-op, no new commit
+    assert(TemporalTable.compactHead(spark, p, 1L << 30).isEmpty)
+    assert(TemporalTable.mostRecentRevision(p).contains(2))
+    // multi-file target: a re-fragmented head packs to ceil(bytes/target)
+    TemporalTable.write(df, p) // rev 3, 64 files again
+    val bytes = MetaIO.listFiles(s"$p/rev=3").map(_._2).sum
+    val target = bytes / 3
+    val rev4 = TemporalTable.compactHead(spark, p, targetFileBytes = target)
+    assert(rev4.contains(4))
+    val want = ((bytes + target - 1) / target).toInt
+    assert(MetaIO.listFiles(s"$p/rev=4").size == want,
+      s"expected $want files")
+  }
+
   test("aborted write leaves no revision and frees nothing visible") {
     val p = freshPath()
     TemporalTable.write(rev1, p)
