@@ -46,6 +46,49 @@ object StreamingQueries {
         .select("user_id", "session_start", "session_end", "n_events")
         .orderBy("user_id", "session_start")
     },
+    // TRUE streaming execution with late-data drops: the events table
+    // replays as two deterministic micro-batches through a MemoryStream
+    // into ChangeFeed.tumblingCounts (6 h windows, 1 h watermark, append
+    // mode). Batch 1 is the [10%, 50%) slice of the (ts, event_id) order;
+    // batch 2 replays the bottom 10% LATE (their windows were finalized
+    // when batch 1's watermark passed) plus the top half on time. The
+    // memory-sink result is returned as the batch answer, so the oracle
+    // pins Spark's actual watermark semantics relationally: a window is
+    // emitted once window_end <= final watermark, and a late row is
+    // dropped when its window_end <= the watermark in force at its
+    // arrival. The driver-side collect here is the REPLAY HARNESS
+    // (MemoryStream feeds from the driver by design), not the operator —
+    // the plan under test is the same unbounded streaming plan
+    // StatefulSpec runs.
+    "t_late_data" -> { (s, d) =>
+      import s.implicits._
+      val sorted = ev(s, d).select(col("user_id"), col("ts"), col("event_id"))
+        .as[(Long, Long, Long)].collect()
+        .sortBy(r => (r._2, r._3))
+      val n = sorted.length
+      val (lo, mid) = (n / 10, n / 2)
+      val batch1 = sorted.slice(lo, mid).toSeq
+      val batch2 = (sorted.slice(0, lo) ++ sorted.slice(mid, n)).toSeq
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, Long)]
+      val events = in.toDF().toDF("user_id", "ts_ns", "event_id")
+        .withColumn("ts_t", timestamp_micros(expr("ts_ns div 1000")))
+      val out = graft.streaming.ChangeFeed.tumblingCounts(
+        events, "ts_t", "6 hours", "1 hour", Seq.empty)
+      val name = s"late_data_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        in.addData(batch1)
+        q.processAllAvailable()
+        in.addData(batch2)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(name)
+        .select(unix_micros(col("win_start")).as("win_start_us"), col("cnt"))
+        .orderBy("win_start_us")
+    },
     // stream-stream interval join (click→purchase attribution within 1h);
     // in streaming mode the same plan bounds its join state by watermark
     "t_stream_interval_join" -> { (s, d) =>
@@ -87,6 +130,35 @@ object StreamingQueries {
         |  COUNT(*) AS n_events
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+    // watermark semantics, relationally: wm1 = max(batch-1 ts) - 1 h is in
+    // force while batch 2 processes (late rows whose 6 h window already
+    // finalized drop); wmf = max(all ts) - 1 h decides which windows the
+    // append-mode sink has emitted by the end
+    "t_late_data" ->
+      """WITH s AS (
+        |  SELECT epoch_us(ts) AS ts_us,
+        |    ROW_NUMBER() OVER (ORDER BY ts, event_id) - 1 AS rn,
+        |    COUNT(*) OVER () AS n
+        |  FROM events),
+        |marked AS (
+        |  SELECT ts_us,
+        |    CASE WHEN rn >= n // 10 AND rn < n // 2 THEN 1 ELSE 2 END AS batch
+        |  FROM s),
+        |wm AS (
+        |  SELECT MAX(CASE WHEN batch = 1 THEN ts_us END) - 3600000000 AS wm1,
+        |         MAX(ts_us) - 3600000000 AS wmf
+        |  FROM marked),
+        |win AS (
+        |  SELECT ts_us, batch,
+        |    (ts_us // 21600000000) * 21600000000 AS ws,
+        |    (ts_us // 21600000000) * 21600000000 + 21600000000 AS we
+        |  FROM marked),
+        |kept AS (
+        |  SELECT win.* , wm.wmf FROM win, wm
+        |  WHERE NOT (win.batch = 2 AND win.we <= wm.wm1))
+        |SELECT ws AS win_start_us, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM kept WHERE we <= wmf
+        |GROUP BY ws ORDER BY win_start_us""".stripMargin,
     "t_stream_interval_join" ->
       """SELECT a.user_id AS user_id, a.event_id AS click_id,
         |  b.event_id AS purchase_id,

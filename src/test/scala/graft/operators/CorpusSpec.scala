@@ -329,6 +329,12 @@ class CorpusSpec extends SparkSpec {
     assert(top == Seq(("a", 40L)))
     // k = 2: threshold 45 — nothing reaches it, exact answer is empty
     assert(Corpus.heavyHitters(df, "doc_id", "text", k = 2).isEmpty)
+    // plan shape: the confirm pass broadcasts the candidate set — the
+    // exploded token stream joins map-side, text never shuffles
+    val plan = Corpus.heavyHitters(df, "doc_id", "text", k = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"candidates not broadcast in confirm pass:\n$plan")
   }
 
   test("heavyHitters: bounded candidate state under a wide vocabulary") {
