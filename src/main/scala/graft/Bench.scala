@@ -107,7 +107,20 @@ object Bench {
         val n = graft.sources.TemporalTable.diff(spark, dir, 1, 2).count()
         val dSec = (System.nanoTime() - t1) / 1e9
         require(n > 0)
-        Seq("w_write_snapshot" -> wSec, "w_diff_adjacent" -> dSec)
+        // OPTIMIZE analog: commit a deliberately fragmented head (32
+        // files — the many-small-commits aftermath), then bin-pack it to
+        // ~4. Only the compaction itself is timed; the extra revision
+        // leaves w_write/w_diff comparable across rounds.
+        graft.sources.TemporalTable.write(li.repartition(32), dir)
+        val fragRev = graft.sources.TemporalTable.mostRecentRevision(dir).get
+        val headBytes = graft.sources.MetaIO.listFiles(s"$dir/rev=$fragRev").map(_._2).sum
+        val t2 = System.nanoTime()
+        val compacted = graft.sources.TemporalTable.compactHead(
+          spark, dir, targetFileBytes = math.max(1L, headBytes / 4))
+        val cSec = (System.nanoTime() - t2) / 1e9
+        require(compacted.nonEmpty)
+        Seq("w_write_snapshot" -> wSec, "w_diff_adjacent" -> dSec,
+          "w_compact_head" -> cSec)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] storage timing failed: ${e.getMessage}")
         Seq.empty

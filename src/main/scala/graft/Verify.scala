@@ -4,6 +4,30 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** Dump one query's result to `outDir/<name>`. A failed query must
+    * surface as an `err`/mismatch row in the driver's correctness file,
+    * never as a silent absence (round 6: 12 broken queries vanished and
+    * the file read "all green") — on any failure a one-row `_error`-schema
+    * parquet takes the slot the result would occupy, so the oracle
+    * compare fails loudly on schema. Spec-pinned in VerifyDumpSpec. */
+  private[graft] def dumpOne(spark: SparkSession, sfDir: String, outDir: String,
+                             name: String,
+                             fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
+    try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      .parquet(s"$outDir/$name")
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      try {
+        import spark.implicits._
+        Seq(s"${e.getClass.getName}: ${e.getMessage}").toDF("_error")
+          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e2: Throwable =>
+        System.err.println(s"[verify] $name error-marker write failed: ${e2.getMessage}")
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args.take(2)
     // optional 3rd arg (local iteration only): comma-separated query names
@@ -20,25 +44,7 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        // A failed query must surface as an `err`/mismatch row in the
-        // driver's correctness file, never as a silent absence (round 6:
-        // 12 broken queries vanished and the file read "all green").
-        // Write a one-row error-schema parquet in the slot the result
-        // would occupy — the oracle compare then fails loudly on schema.
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        try {
-          import spark.implicits._
-          Seq(s"${e.getClass.getName}: ${e.getMessage}").toDF("_error")
-            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
-        } catch { case e2: Throwable =>
-          System.err.println(s"[verify] $name error-marker write failed: ${e2.getMessage}")
-        }
-      }
-    }
+      .foreach { case (name, fn) => dumpOne(spark, sfDir, outDir, name, fn) }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
