@@ -207,27 +207,43 @@ object Corpus {
     // (tagged row) so the threshold needs no third scan
     val summaries = df.select(col(textCol).cast("string")).as[String]
       .mapPartitions { texts =>
+        // Misra-Gries with DEFERRED decrements: a miss against a full
+        // table books a unit of debt instead of sweeping all k counters
+        // (classic MG is O(k) per miss → O(n·k) worst case); a sweep
+        // subtracting the accumulated debt and evicting exhausted
+        // counters runs only once the debt reaches k, so the amortized
+        // cost per token is O(1). Equivalent superset guarantee: total
+        // debt ≤ n_p/k exactly as one-at-a-time decrements, so a token
+        // with freq_p > n_p/k keeps a positive effective count and
+        // survives every sweep.
         val counters = scala.collection.mutable.HashMap.empty[String, Long]
+        var debt = 0L
         var total = 0L
+        def sweep(): Unit = if (debt > 0) {
+          counters.keys.toArray.foreach { kk =>
+            val c = counters(kk) - debt
+            if (c <= 0L) counters.remove(kk)
+            else counters.update(kk, c)
+          }
+          debt = 0L
+        }
         texts.foreach { t =>
           if (t != null) t.split(' ').foreach { w =>
             if (w.nonEmpty) {
               total += 1
               counters.get(w) match {
                 case Some(c) => counters.update(w, c + 1L)
-                case None if counters.size < k => counters.update(w, 1L)
                 case None =>
-                  // decrement-all; snapshot keys first (no mutation
-                  // during iteration)
-                  counters.keys.toArray.foreach { kk =>
-                    val c = counters(kk)
-                    if (c == 1L) counters.remove(kk)
-                    else counters.update(kk, c - 1L)
+                  if (counters.size >= k) {
+                    debt += 1L
+                    if (debt >= k) sweep()
                   }
+                  if (counters.size < k) counters.update(w, debt + 1L)
               }
             }
           }
         }
+        sweep()
         counters.keysIterator.map(w => (w, false, 0L)) ++
           Iterator(("", true, total))
       }.toDF("token", "is_total", "n")

@@ -52,6 +52,21 @@ object ProfileTextScale {
     time("curation_decisions") {
       Corpus.curationDecisions(docs, "doc_id", "text").count()
     }
+    time("heavy_hitters") {
+      Corpus.heavyHitters(docs, "doc_id", "text", 256).count()
+    }
+    // the single-pass twin (unbounded agg state — fine when the
+    // vocabulary fits, the wrong tool at open-web vocab scale)
+    time("heavy_hitters_agg") {
+      val toks = docs.select(explode(split($"text", " ")).as("token"))
+        .filter($"token" =!= "")
+      val n = toks.count()
+      toks.groupBy("token").count().filter($"count" * 256 > n).count()
+    }
+    time("contamination_scale") {
+      Corpus.contaminationAtScale(docs.filter($"doc_id" % 40 =!= 0),
+        docs.filter($"doc_id" % 40 === 0), "doc_id", "text", 3).count()
+    }
     spark.stop()
   }
 }

@@ -349,6 +349,33 @@ class CorpusSpec extends SparkSpec {
     assert(r == Seq(("hot", 600L)), s"got $r")
   }
 
+  test("heavyHitters differential: equals exact groupBy counts on skewed random text") {
+    import org.apache.spark.sql.functions.{col, desc, explode, split}
+    // seeded zipf-ish corpus: token t_j appears ~ 1/j as often; exact
+    // answer computed independently with a plain aggregate
+    val rnd = new scala.util.Random(7)
+    val vocab = (1 to 300).map(j => s"t$j")
+    val docs = (1 to 200).map { i =>
+      val words = (1 to 60).map { _ =>
+        val j = math.min(300, (1 / math.max(1e-6, rnd.nextDouble())).toInt)
+        vocab(math.min(j, 300) - 1)
+      }
+      (i.toLong, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val toks = docs.select(explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+    val n = toks.count()
+    for (k <- Seq(4, 16, 64)) {
+      val exact = toks.groupBy("token").count()
+        .filter(col("count") * k > n)
+        .orderBy(desc("count"), col("token"))
+        .as[(String, Long)].collect().toSeq
+      val got = Corpus.heavyHitters(docs.repartition(9), "doc_id", "text", k)
+        .as[(String, Long)].collect().toSeq
+      assert(got == exact, s"k=$k: got ${got.take(5)}... expected ${exact.take(5)}...")
+    }
+  }
+
   test("contaminationAtScale output equals the exact broadcast contamination") {
     // docs sharing 3-grams with the benchmark slice plus clean docs
     val df = (0L until 60L).map { i =>

@@ -39,7 +39,36 @@ SELECT COUNT(*) FROM (
   FROM votes GROUP BY doc_id)
 """
 
-for name, sql in [("minhash_sigs", MINHASH), ("simhash32", SIMHASH)]:
+HEAVY = f"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS token
+  FROM {rel}),
+tot AS (SELECT COUNT(*) AS n FROM toks)
+SELECT COUNT(*) FROM (
+  SELECT token FROM toks, tot GROUP BY token, tot.n
+  HAVING COUNT(*) * 256 > tot.n)
+"""
+
+CONTAM = f"""
+WITH wl AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
+  FROM {rel}),
+grams AS (
+  SELECT DISTINCT doc_id,
+    md5(array_to_string(w[CAST(i AS INTEGER):CAST(i AS INTEGER) + 2], ' ')) AS h
+  FROM wl, UNNEST(range(1, len(w) - 1)) AS r(i)),
+ov AS (
+  SELECT doc_id, COUNT(*) AS n_overlap FROM grams
+  WHERE doc_id % 40 != 0
+    AND h IN (SELECT h FROM grams WHERE doc_id % 40 = 0)
+  GROUP BY doc_id)
+SELECT COUNT(*) FROM (
+  SELECT d.doc_id FROM (SELECT doc_id FROM {rel} WHERE doc_id % 40 != 0) d
+  LEFT JOIN ov ON ov.doc_id = d.doc_id)
+"""
+
+for name, sql in [("minhash_sigs", MINHASH), ("simhash32", SIMHASH),
+                  ("heavy_hitters", HEAVY), ("contamination_scale", CONTAM)]:
     t0 = time.time()
     rows = con.execute(sql).fetchone()[0]
     print(f"{name:22s} {time.time() - t0:7.2f} s  rows={rows}")
