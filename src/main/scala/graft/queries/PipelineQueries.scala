@@ -59,6 +59,12 @@ object PipelineQueries {
     * from the stored centers alone. */
   private lazy val kmeansCentersPath = s"$runDir/kmeans_centers"
 
+  /** Sidecars for the s_purged_search oracle: stored centroids + the
+    * MODEL-derived cell assignment of the surviving snapshot (never read
+    * from the purged layout itself — a leftover ghost must mismatch). */
+  private lazy val purgedCellsPath = s"$runDir/purged_cells"
+  private lazy val purgedCentroidsPath = s"$runDir/purged_centroids"
+
   /** Shared oracle WITH-prefix: per-doc 32-bit simhash as CTE `sh`
     * (consumed by d_simhash and d_simhash_pairs). */
   private val simhashCte =
@@ -189,6 +195,37 @@ object PipelineQueries {
         .write.mode("overwrite").parquet(exactCandPath)
       graft.sources.VectorIndex.search(s, p, "x", q, k = 10, nProbe = 3,
         exact = true, overfetch = 4)
+    },
+    // RAW approximate search over a PURGED index: revision 2 deletes
+    // vec_id % 7 = 0, purge physically compacts the ghosts out, and the
+    // plain (non-exact) probe must already be ghost-free. The oracle
+    // re-derives probe + in-cell top-k from centroid/assignment sidecars
+    // computed from the MODEL and the surviving snapshot — a ghost left
+    // in the layout mismatches
+    "s_purged_search" -> { (s, d) =>
+      import s.implicits._
+      val p = java.nio.file.Files.createTempDirectory("graft-purgesearch")
+        .toString + "/tbl"
+      val e = emb(s, d).select(col("vec_id"), col("embedding"))
+      graft.sources.TemporalTable.write(e, p)
+      graft.sources.VectorIndex.create(s, p, "x", "vec_id", "embedding", nLists = 8)
+      graft.sources.TemporalTable.write(e.filter(col("vec_id") % 7 =!= 0), p)
+      graft.sources.VectorIndex.purge(s, p, "x")
+      val model = IvfIndex.readModel(s"$p/_vecidx/x")
+      model.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cell", "centroid")
+        .write.mode("overwrite").parquet(purgedCentroidsPath)
+      IvfIndex.assignCells(
+          e.filter(col("vec_id") % 7 =!= 0)
+            .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding"),
+          model, "embedding")
+        .select(col("vec_id"), col("ivf_cell"))
+        .write.mode("overwrite").parquet(purgedCellsPath)
+      val q = e.filter(col("vec_id") === 0)
+        .selectExpr("transform(embedding, x -> CAST(x AS DOUBLE)) AS q")
+        .as[Seq[Double]].head().toArray
+      IvfIndex.searchClustered(s, s"$p/_vecidx/x", "vec_id", "embedding",
+        q, 10, nProbe = 3)
     },
     // embedding near-duplicate pairs within a label
     "s_neardup_embed" -> { (s, d) =>
@@ -586,6 +623,24 @@ object PipelineQueries {
         |  SELECT * FROM read_parquet('$ivfCentroidsPath/*.parquet')),
         |cells AS (
         |  SELECT * FROM read_parquet('$ivfCellsPath/*.parquet')),
+        |q AS (
+        |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        |  FROM embeddings WHERE vec_id = 0),
+        |probes AS (
+        |  SELECT cell FROM cent, q
+        |  ORDER BY list_distance(centroid, qv), cell LIMIT 3),
+        |scored AS (
+        |  SELECT e.vec_id,
+        |    ROUND(list_cosine_similarity(
+        |      list_transform(e.embedding, x -> CAST(x AS DOUBLE)), qv), 4) AS sim
+        |  FROM embeddings e JOIN cells c USING (vec_id), q
+        |  WHERE c.ivf_cell IN (SELECT cell FROM probes))
+        |SELECT vec_id, sim FROM scored ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    "s_purged_search" ->
+      s"""WITH cent AS (
+        |  SELECT * FROM read_parquet('$purgedCentroidsPath/*.parquet')),
+        |cells AS (
+        |  SELECT * FROM read_parquet('$purgedCellsPath/*.parquet')),
         |q AS (
         |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
         |  FROM embeddings WHERE vec_id = 0),

@@ -22,6 +22,7 @@ object TemporalQueries {
   private val T2 = 1705968000000000000L
 
   private def ev(s: SparkSession, d: String): DataFrame = Tables.df(s, d, "events")
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.df(s, d, n)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // jn:all-times / sdb:item-history — the full history frame
@@ -149,6 +150,38 @@ object TemporalQueries {
           col("event_type"), col("cnt"))
         .orderBy("win_start", "event_type")
     },
+    // sliding-window aggregation (6 h windows every 3 h — each event lands
+    // in exactly two windows; the same ChangeFeed.slidingAgg plan runs
+    // under readStream with the watermark bounding state). Decimal-cast
+    // sum keeps the fold order-independent for the hash compare.
+    "t_window_sliding" -> { (s, d) =>
+      val df = ev(s, d)
+        .withColumn("ets", expr("timestamp_micros(ts div 1000)"))
+        .withColumn("value", col("value").cast("decimal(18,2)"))
+      graft.streaming.ChangeFeed.slidingAgg(df, "ets", "6 hours", "3 hours",
+          "1 hour", Seq("event_type"), "value")
+        .select(unix_timestamp(col("win_start")).as("win_start"),
+          col("event_type"), col("cnt"),
+          col("sum_val").cast("double").as("sum_value"))
+        .orderBy("win_start", "event_type")
+    },
+    // OPTIMIZE-analog round trip: fragmented write → compactHead → the
+    // bin-packed head revision serves the identical content (oracle reads
+    // the source table the snapshot was derived from)
+    "t_compact_read" -> { (s, d) =>
+      val p = java.nio.file.Files.createTempDirectory("graft-compact")
+        .toString + "/tbl"
+      val src = t(s, d, "orders").select(
+        col("o_orderkey").as("node_key"), col("o_totalprice"), col("o_orderstatus"))
+      graft.sources.TemporalTable.write(src.repartition(24), p)
+      val compacted = graft.sources.TemporalTable.compactHead(
+        s, p, targetFileBytes = 1L << 40)
+      require(compacted.contains(2), s"head did not compact: $compacted")
+      graft.sources.TemporalTable.read(s, p)
+        .select(col("node_key"), col("o_totalprice"), col("o_orderstatus"),
+          col("revision"))
+        .orderBy("node_key")
+    },
     // tumbling-window aggregation on the event-time axis (streaming parity,
     // SURVEY.md §2.12, exercised as a batch query)
     "t_window_tumbling" -> { (s, d) =>
@@ -274,6 +307,23 @@ object TemporalQueries {
         |  event_type, COUNT(*) AS cnt
         |FROM events
         |GROUP BY 1, event_type ORDER BY win_start, event_type""".stripMargin,
+    "t_window_sliding" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v,
+        |    CAST(epoch(ts) AS BIGINT) - (CAST(epoch(ts) AS BIGINT) % 10800) AS s0
+        |  FROM events),
+        |x AS (
+        |  SELECT event_type, v, s0 AS win_start FROM e
+        |  UNION ALL
+        |  SELECT event_type, v, s0 - 10800 FROM e)
+        |SELECT win_start, event_type, COUNT(*) AS cnt,
+        |  CAST(SUM(v) AS DOUBLE) AS sum_value
+        |FROM x GROUP BY win_start, event_type
+        |ORDER BY win_start, event_type""".stripMargin,
+    "t_compact_read" ->
+      """SELECT o_orderkey AS node_key, o_totalprice, o_orderstatus,
+        |  CAST(2 AS INTEGER) AS revision
+        |FROM orders ORDER BY node_key""".stripMargin,
     "t_window_tumbling" ->
       """SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour_bucket,
         |  COUNT(*) AS cnt,
