@@ -193,6 +193,17 @@ object FunctionQueries {
           (element_at(col("ordpath"), size(col("ordpath"))) - 1).as("n_preceding"))
         .orderBy("doc_id", "name")
     },
+    // shred → serialize round trip (XmlShredder.serialize, the inverse of
+    // the shredder — reference service/xml/serialize): the reconstructed
+    // document must equal the input byte-for-byte
+    "q_xml_roundtrip" -> { (s, d) =>
+      val xml = t(s, d, "nation").select(
+        col("n_nationkey").cast("long").as("doc_id"),
+        concat(lit("<nation key=\""), col("n_nationkey"), lit("\"><name>"),
+          col("n_name"), lit("</name></nation>")).as("xml"))
+      val nodes = graft.sources.XmlShredder.shred(xml, "doc_id", "xml")
+      graft.sources.XmlShredder.serialize(nodes).orderBy("doc_id")
+    },
     // following / preceding axes (§2.2 — reference axis/FollowingAxis.java:33,
     // PrecedingAxis.java:34): XPath semantics — nodes strictly after/before
     // the anchor in document order, excluding the anchor's own
@@ -459,6 +470,11 @@ object FunctionQueries {
         |  UNION ALL
         |  SELECT CAST(n_nationkey AS BIGINT), 'region', 'nation', 1 FROM nation)
         |ORDER BY doc_id, name""".stripMargin,
+    "q_xml_roundtrip" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS doc_id,
+        |  '<nation key="' || n_nationkey || '"><name>' || n_name
+        |    || '</name></nation>' AS xml
+        |FROM nation ORDER BY doc_id""".stripMargin,
     // doc shape <nation><meta>M</meta><name>N</name><region><id>R</id></region></nation>:
     // anchor = <name>; following = region, id, text-R (3); preceding =
     // meta, text-M (2); nation is an ancestor, text-N a descendant — both

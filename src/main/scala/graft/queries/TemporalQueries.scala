@@ -165,6 +165,20 @@ object TemporalQueries {
           col("sum_val").cast("double").as("sum_value"))
         .orderBy("win_start", "event_type")
     },
+    // native session_window aggregation (gap 6 h) — the built-in twin of
+    // the Stateful.sessionize oracle row; session end = last event + gap
+    // per Spark's session semantics, a new session opens when the gap is
+    // REACHED (>= gap, half-open window)
+    "t_window_session" -> { (s, d) =>
+      val df = ev(s, d).withColumn("ets", expr("timestamp_micros(ts div 1000)"))
+      graft.streaming.ChangeFeed.sessionAgg(df, "ets", "6 hours", "1 hour",
+          Seq("user_id"))
+        .select(col("user_id"),
+          unix_micros(col("session_start")).as("session_start_us"),
+          unix_micros(col("session_end")).as("session_end_us"),
+          col("n_events"))
+        .orderBy("user_id", "session_start_us")
+    },
     // OPTIMIZE-analog round trip: fragmented write → compactHead → the
     // bin-packed head revision serves the identical content (oracle reads
     // the source table the snapshot was derived from)
@@ -320,6 +334,22 @@ object TemporalQueries {
         |  CAST(SUM(v) AS DOUBLE) AS sum_value
         |FROM x GROUP BY win_start, event_type
         |ORDER BY win_start, event_type""".stripMargin,
+    "t_window_session" ->
+      """WITH o AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts_us,
+        |    SUM(CASE WHEN prev IS NULL OR ts_us - prev >= 21600000000 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o)
+        |SELECT user_id, MIN(ts_us) AS session_start_us,
+        |  MAX(ts_us) + 21600000000 AS session_end_us,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_us""".stripMargin,
     "t_compact_read" ->
       """SELECT o_orderkey AS node_key, o_totalprice, o_orderstatus,
         |  CAST(2 AS INTEGER) AS revision

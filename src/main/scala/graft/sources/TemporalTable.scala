@@ -670,6 +670,12 @@ object TemporalTable {
                   targetFileBytes: Long = 128L << 20,
                   author: String = "graft"): Option[Int] = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
+    // a delta layout's rev=N holds CHANGE rows, not a snapshot — reading
+    // it as one and committing the result forward would corrupt the
+    // table; delta heads compact through their own checkpoint cadence
+    require(!DeltaTemporalTable.isDeltaLayout(path),
+      s"compactHead targets snapshot layouts; $path is delta-encoded " +
+        "(its periodic full checkpoints are the compaction points)")
     val head = mostRecentRevision(path)
       .getOrElse(throw new IllegalArgumentException(s"no commits at $path"))
     val files = MetaIO.listFiles(s"$path/rev=$head")

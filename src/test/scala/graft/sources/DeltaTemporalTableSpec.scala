@@ -176,4 +176,14 @@ class DeltaTemporalTableSpec extends SparkSpec {
       DeltaTemporalTable.read(spark, p, Some(7))
     }
   }
+
+  test("compactHead refuses a delta layout (change rows are not a snapshot)") {
+    val p = Files.createTempDirectory("graft-delta4").resolve("tbl").toString
+    DeltaTemporalTable.write(spark, snap(1L -> 1.0, 2L -> 2.0), p, snapshotEvery = 4)
+    DeltaTemporalTable.write(spark, snap(1L -> 1.5, 2L -> 2.0), p, snapshotEvery = 4)
+    val e = intercept[IllegalArgumentException] {
+      TemporalTable.compactHead(spark, p, targetFileBytes = 1L)
+    }
+    assert(e.getMessage.contains("delta"), e.getMessage)
+  }
 }
