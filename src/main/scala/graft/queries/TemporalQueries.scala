@@ -196,6 +196,32 @@ object TemporalQueries {
           col("revision"))
         .orderBy("node_key")
     },
+    // in-place HISTORICAL compaction round trip: fragmented old revision →
+    // RevisionCompaction (same revision number, originals vacuumed) → the
+    // full history frame still serves both revisions' exact content from
+    // the commit-log manifest index (oracle recomputes both snapshots from
+    // the source table)
+    "t_compact_history" -> { (s, d) =>
+      val p = java.nio.file.Files.createTempDirectory("graft-compact-hist")
+        .toString + "/tbl"
+      val src = t(s, d, "orders").select(
+        col("o_orderkey").as("node_key"), col("o_totalprice"), col("o_orderstatus"))
+      graft.sources.TemporalTable.write(src.repartition(24), p)
+      // rev 2 keeps only open orders, re-priced
+      graft.sources.TemporalTable.write(
+        src.filter(col("o_orderstatus") === "O")
+          .withColumn("o_totalprice", col("o_totalprice") * 2).repartition(12), p)
+      val gen = graft.sources.RevisionCompaction.compactRevision(
+        s, p, 1, targetFileBytes = 1L << 40)
+      require(gen.contains(1), s"revision 1 did not compact: $gen")
+      require(graft.sources.MetaIO.listFiles(s"$p/rev=1").isEmpty,
+        "rev=1 originals were not vacuumed — the read below would not prove " +
+          "manifest-only visibility")
+      graft.sources.TemporalTable.readAllRevisions(s, p)
+        .select(col("node_key"), col("o_totalprice"), col("o_orderstatus"),
+          col("revision"))
+        .orderBy("revision", "node_key")
+    },
     // tumbling-window aggregation on the event-time axis (streaming parity,
     // SURVEY.md §2.12, exercised as a batch query)
     "t_window_tumbling" -> { (s, d) =>
@@ -354,6 +380,16 @@ object TemporalQueries {
       """SELECT o_orderkey AS node_key, o_totalprice, o_orderstatus,
         |  CAST(2 AS INTEGER) AS revision
         |FROM orders ORDER BY node_key""".stripMargin,
+    "t_compact_history" ->
+      """SELECT * FROM (
+        |  SELECT o_orderkey AS node_key, o_totalprice, o_orderstatus,
+        |    CAST(1 AS INTEGER) AS revision
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey AS node_key, o_totalprice * 2 AS o_totalprice,
+        |    o_orderstatus, CAST(2 AS INTEGER) AS revision
+        |  FROM orders WHERE o_orderstatus = 'O'
+        |) ORDER BY revision, node_key""".stripMargin,
     "t_window_tumbling" ->
       """SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour_bucket,
         |  COUNT(*) AS cnt,

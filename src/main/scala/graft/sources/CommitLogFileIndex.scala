@@ -7,12 +7,15 @@ import org.apache.spark.sql.execution.datasources.{FileIndex, PartitionDirectory
 import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 
 /** [[FileIndex]] built from the commit log's per-revision file manifests
-  * (see [[TemporalTable.logCommit]]) — NO filesystem listing at plan
-  * time. An aged table's history read costs O(commit-log entries)
-  * metadata GETs (already paid by the log read itself) instead of one
-  * directory listing per revision; the reference makes the same move by
-  * resolving every page from its UberPage tree rather than scanning
-  * storage (bundles/sirix-core/src/main/java/io/sirix/page/UberPage.java).
+  * (see [[TemporalTable.logCommit]], with any [[RevisionCompaction]]
+  * overlay already applied — file paths are RELATIVE TO THE TABLE ROOT,
+  * so a compacted revision's `rev=N/_c2/...` generation files plug in
+  * unchanged) — NO filesystem listing at plan time. An aged table's
+  * history read costs O(commit-log entries) metadata GETs (already paid
+  * by the log read itself) instead of one directory listing per revision;
+  * the reference makes the same move by resolving every page from its
+  * UberPage tree rather than scanning storage
+  * (bundles/sirix-core/src/main/java/io/sirix/page/UberPage.java).
   *
   * Exposes `rev` as the single partition column, so Catalyst partition
   * pruning works exactly as on the listed layout: a `rev = N` predicate
@@ -33,9 +36,9 @@ private[graft] class CommitLogFileIndex(
 
   private lazy val partitions: Seq[PartitionDirectory] =
     revFiles.map { case (rev, files) =>
-      PartitionDirectory(InternalRow(rev), files.map { case (name, size) =>
+      PartitionDirectory(InternalRow(rev), files.map { case (rel, size) =>
         new FileStatus(size, false, 1, blockSize, 0L,
-          new Path(s"$tablePath/rev=$rev/$name"))
+          new Path(s"$tablePath/$rel"))
       }.toArray)
     }
 
@@ -54,8 +57,8 @@ private[graft] class CommitLogFileIndex(
     }
 
   override def inputFiles: Array[String] =
-    revFiles.flatMap { case (rev, files) =>
-      files.map { case (name, _) => s"$tablePath/rev=$rev/$name" }
+    revFiles.flatMap { case (_, files) =>
+      files.map { case (rel, _) => s"$tablePath/$rel" }
     }.toArray
 
   override def refresh(): Unit = ()

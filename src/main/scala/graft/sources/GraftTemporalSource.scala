@@ -86,11 +86,23 @@ private[graft] object GraftTemporalSource {
     Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException("graft-temporal requires a path"))
 
-  /** Resolve the revision selection to concrete data directories. */
+  /** Resolve the revision selection to concrete data directories —
+    * through any [[RevisionCompaction]] overlay, so a rewritten old
+    * revision serves from its live generation directory. Hive partition
+    * parsing still infers `rev=N` for a generation dir (`rev=N/_c2/`)
+    * under the table basePath, so compacted and uncompacted revisions
+    * mix in one scan with ordinary `rev` pruning. */
   def resolveDataPaths(options: CaseInsensitiveStringMap): Seq[String] = {
     val tablePath = tablePathOf(options)
-    if (options.getBoolean("allRevisions", false)) Seq(tablePath)
-    else {
+    if (options.getBoolean("allRevisions", false)) {
+      val ovs = RevisionCompaction.overlays(tablePath)
+      // no overlays: one recursive listing of the hive layout (cheapest);
+      // with overlays the listing would miss vacuumed revisions, so the
+      // scan enumerates each revision's effective directory explicitly
+      if (ovs.isEmpty) Seq(tablePath)
+      else TemporalTable.commits(tablePath)
+        .map(c => RevisionCompaction.effectiveDir(tablePath, c.revision, ovs))
+    } else {
       val rev =
         if (options.containsKey("revision")) options.getInt("revision", -1)
         else if (options.containsKey("asOfTimestampMs")) {
@@ -100,7 +112,7 @@ private[graft] object GraftTemporalSource {
           eligible.last.revision
         } else TemporalTable.mostRecentRevision(tablePath).getOrElse(
           throw new IllegalArgumentException(s"no commits at $tablePath"))
-      Seq(s"$tablePath/rev=$rev")
+      Seq(RevisionCompaction.effectiveDir(tablePath, rev))
     }
   }
 

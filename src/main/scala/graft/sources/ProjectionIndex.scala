@@ -82,7 +82,7 @@ object ProjectionIndex {
       .map(_.stripPrefix("rev=").toInt).toSet
     val missing = TemporalTable.commits(tablePath).map(_.revision).filterNot(have)
     missing.foreach { rev =>
-      spark.read.parquet(s"$tablePath/rev=$rev")
+      spark.read.parquet(RevisionCompaction.effectiveDir(tablePath, rev))
         .select(proj.columns.head, proj.columns.tail: _*)
         .write.mode("overwrite").parquet(s"${dataDir(tablePath, name)}/rev=$rev")
     }

@@ -1,0 +1,225 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+
+/** In-place compaction of HISTORICAL revisions (the last storage-layer gap
+  * vs the reference: its page files are reconstructible from a bounded
+  * number of fragments and its index pages are rewritten compact on
+  * commit — VersioningType.java:1216-1226, while an aged graft table kept
+  * every old revision at whatever file granularity its original commit
+  * happened to produce).
+  *
+  * [[TemporalTable.compactHead]] already serves the HEAD by committing a
+  * bin-packed copy forward; that move is wrong for history — a forward
+  * commit changes the revision axis, and old revisions must stay
+  * readable at their own revision numbers. So historical compaction
+  * rewrites an old revision's file layout WITHOUT a new revision, under
+  * three invariants:
+  *
+  *  1. '''History is logically immutable''' — the compacted revision
+  *     serves byte-identical rows at the same revision number; commit-log
+  *     entries are never rewritten.
+  *  2. '''Atomic visibility''' — the new layout becomes visible in one
+  *     metadata `createNew` (an overlay entry in `_compactions/`); a
+  *     crashed attempt leaves only an invisible orphan directory.
+  *  3. '''Manifest-only reads''' — every read path resolves a revision's
+  *     files through [[effectiveDir]]/[[effectiveManifests]] (overlay
+  *     wins over the commit manifest), never through a directory listing
+  *     of `rev=N/`, so vacuuming the superseded files cannot change any
+  *     answer.
+  *
+  * Layout: generation `g` of revision `N` lives at `rev=N/_c<g>/part-*`.
+  * The underscore prefix hides the directory from every listing-based
+  * reader (Spark skips `_`-prefixed children), while an EXPLICIT read of
+  * the generation directory with `basePath` still infers `rev=N` — hive
+  * partition parsing skips non-`k=v` components below the first partition
+  * component — so the V2 source and the commit-log micro-batch stream mix
+  * compacted and uncompacted revisions in one scan with ordinary `rev`
+  * partition pruning.
+  *
+  * {{{
+  * table/
+  *   _commits/00000003.json          // immutable; manifest = original files
+  *   _compactions/00000003-0001.json // overlay: rev 3 now served by _c1
+  *   rev=3/_c1/part-*.parquet        // generation 1 (bin-packed)
+  *   rev=3/_manifest/                // diff sidecar — content-addressed,
+  *                                   // survives compaction untouched
+  * }}}
+  *
+  * Sidecars: the diff `_manifest` digests CONTENT (bucket hashes), not
+  * files, so it stays valid; the `_stats` sidecar fingerprints the file
+  * set, so compaction regenerates it inside the generation directory with
+  * the same recipe (AggFromStatsRule probes the scan's root path — the
+  * generation dir — and keeps folding); the `_keyindex` tree is keyed by
+  * revision number only and is untouched. Dictionary-surrogate columns
+  * survive because their dictionaries ride in the schema metadata, which
+  * a read→write round trip preserves into the new footers.
+  *
+  * The one reader that cannot follow overlays is the raw file-stream glob
+  * ([[graft.streaming.ChangeFeed.streamTable]]); it refuses to START on a
+  * compacted table and directs callers to the commit-log stream (which
+  * resolves files per revision through [[effectiveDir]] at batch-planning
+  * time). A stream already RUNNING when a compaction lands is safe: its
+  * discovered files are processed, generation dirs are hidden from its
+  * discovery, and deferred vacuum (`vacuumDelayMs`, or a separate
+  * [[vacuum]] pass) gives in-flight batches their grace.
+  */
+object RevisionCompaction {
+
+  private[graft] def compactionsDir(path: String) = s"$path/_compactions"
+
+  private[graft] def genDir(path: String, rev: Int, gen: Int): String =
+    s"$path/rev=$rev/_c$gen"
+
+  /** One published compaction generation: the overlay's file manifest
+    * (names relative to the generation directory). */
+  final case class Overlay(revision: Int, gen: Int, files: Seq[(String, Long)])
+
+  /** Newest published generation per revision — one LIST of
+    * `_compactions/` plus one bounded-parallel GET per entry (the same
+    * metadata discipline as the commit log; a never-compacted table pays
+    * one existence probe). */
+  def overlays(path: String): Map[Int, Overlay] = {
+    val dir = compactionsDir(path)
+    val names = MetaIO.list(dir).filter(_.endsWith(".json"))
+    MetaIO.parallelMap(names) { n =>
+      val s = MetaIO.readString(s"$dir/$n")
+      val files = TemporalTable.parseField(s, "files").split(";").toSeq
+        .filter(_.nonEmpty)
+        .map { e =>
+          val i = e.lastIndexOf('|')
+          e.substring(0, i) -> e.substring(i + 1).toLong
+        }
+      Overlay(TemporalTable.parseField(s, "revision").toInt,
+        TemporalTable.parseField(s, "gen").toInt, files)
+    }.groupBy(_.revision).map { case (r, os) => r -> os.maxBy(_.gen) }
+  }
+
+  /** The directory currently serving revision `rev`'s data files. */
+  def effectiveDir(path: String, rev: Int): String =
+    effectiveDir(path, rev, overlays(path))
+
+  def effectiveDir(path: String, rev: Int, ovs: Map[Int, Overlay]): String =
+    ovs.get(rev).map(o => genDir(path, rev, o.gen)).getOrElse(s"$path/rev=$rev")
+
+  /** Per-revision file manifests with compaction overlays applied — file
+    * paths RELATIVE TO THE TABLE ROOT (commit-log manifests are relative
+    * to their revision directory; overlay manifests to their generation
+    * directory). This is the file-discovery source for history reads
+    * ([[CommitLogFileIndex]]): zero directory listings, and a vacuumed
+    * revision resolves to its live generation. */
+  private[graft] def effectiveManifests(path: String): Map[Int, Seq[(String, Long)]] = {
+    val ovs = overlays(path)
+    TemporalTable.commitFileManifests(path).map { case (rev, files) =>
+      rev -> (ovs.get(rev) match {
+        case Some(o) => o.files.map { case (n, s) => (s"rev=$rev/_c${o.gen}/$n", s) }
+        case None => files.map { case (n, s) => (s"rev=$rev/$n", s) }
+      })
+    }
+  }
+
+  /** Bin-pack one committed revision's files in place to
+    * `ceil(bytes / targetFileBytes)` files (floor 1). Returns the new
+    * generation number, or None when the revision is already at or under
+    * the target count (nothing written).
+    *
+    * Fails fast unless EVERY commit carries a file manifest (pre-manifest
+    * tables would fall back to directory listings on the history path,
+    * which a vacuumed revision can no longer serve) and the layout is a
+    * snapshot layout (a delta revision's files are change records — its
+    * chain compacts through its own checkpoint cadence).
+    *
+    * Crash safety: a failure before the overlay `createNew` leaves an
+    * orphan `_c<g>` directory that is invisible to every reader and is
+    * overwritten by the next attempt; a failure after it leaves the
+    * superseded files for [[vacuum]]. `vacuum = false` defers the
+    * deletion entirely (grace for long-running readers on object
+    * storage — POSIX readers hold their open files either way). */
+  def compactRevision(spark: SparkSession, path: String, rev: Int,
+                      targetFileBytes: Long = 128L << 20,
+                      vacuum: Boolean = true): Option[Int] = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    require(!DeltaTemporalTable.isDeltaLayout(path),
+      s"compactRevision targets snapshot layouts; $path is delta-encoded " +
+        "(its periodic full checkpoints are the compaction points)")
+    val log = TemporalTable.commits(path)
+    require(log.exists(_.revision == rev), s"unknown revision $rev at $path")
+    val manifests = TemporalTable.commitFileManifests(path)
+    val missing = log.map(_.revision).filterNot(manifests.contains)
+    require(missing.isEmpty,
+      s"compactRevision requires a file manifest on every commit; missing for " +
+        s"revisions ${missing.mkString(",")} (history reads of a vacuumed " +
+        "revision must never fall back to a directory listing)")
+    val cur = overlays(path).get(rev)
+    val curDir = cur.map(o => genDir(path, rev, o.gen)).getOrElse(s"$path/rev=$rev")
+    val files = cur.map(_.files).getOrElse(manifests(rev))
+    val bytes = files.map(_._2).sum
+    val want = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    if (files.size <= want) return None
+    val gen = cur.map(_.gen + 1).getOrElse(1)
+    val dst = genDir(path, rev, gen)
+    // an orphan from a crashed attempt at this generation is overwritten
+    spark.read.parquet(curDir)
+      // repartition, not coalesce — near-equal output files (compactHead's
+      // reasoning applies unchanged)
+      .repartition(want)
+      .write.mode("overwrite").parquet(dst)
+    // carry the stats sidecar: same recipe, fingerprint over the new files
+    StatsSidecar.read(curDir).foreach { st =>
+      StatsSidecar.write(spark, dst,
+        ndvCols = st.cols.values.filter(_.ndv.isDefined).map(_.name).toSeq.sorted,
+        groupCols = st.groups.keys.toSeq)
+    }
+    val newFiles = MetaIO.listFiles(dst).map { case (n, s) => s"$n|$s" }.mkString(";")
+    MetaIO.mkdirs(compactionsDir(path))
+    // the publish point: atomic create-new, never overwritten
+    MetaIO.createNew(
+      s"${compactionsDir(path)}/${"%08d".format(rev)}-${"%04d".format(gen)}.json",
+      s"""{"revision":$rev,"gen":$gen,""" +
+        s""""files":"${TemporalTable.escapeJson(newFiles)}"}""")
+    if (vacuum) vacuumRevision(path, rev, manifests(rev), keepGen = gen)
+    Some(gen)
+  }
+
+  /** Compact every committed revision below the head (the head compacts
+    * through [[TemporalTable.compactHead]]'s forward commit, which keeps
+    * a freshly-written revision's original files readable to any
+    * concurrent reader that just resolved them; pass `includeHead = true`
+    * to force the in-place path there too). Returns rev → new gen for the
+    * revisions that were rewritten. */
+  def compactHistory(spark: SparkSession, path: String,
+                     targetFileBytes: Long = 128L << 20,
+                     includeHead: Boolean = false,
+                     vacuum: Boolean = true): Map[Int, Int] = {
+    val revs = TemporalTable.commits(path).map(_.revision)
+    val targets = if (includeHead) revs else revs.dropRight(1)
+    targets.flatMap(r =>
+      compactRevision(spark, path, r, targetFileBytes, vacuum).map(r -> _)).toMap
+  }
+
+  /** Delete the files a revision's newest generation superseded: older
+    * generation directories, and — when the live generation replaced the
+    * ORIGINAL layout — the original data files named in the commit
+    * manifest (only those: the `_manifest` diff sidecar and any other
+    * underscore children of `rev=N/` stay). Idempotent. */
+  private def vacuumRevision(path: String, rev: Int,
+                             originalFiles: Seq[(String, Long)], keepGen: Int): Unit = {
+    // superseded generations
+    MetaIO.listDirs(s"$path/rev=$rev")
+      .filter(n => n.startsWith("_c") &&
+        scala.util.Try(n.stripPrefix("_c").toInt).toOption.exists(_ < keepGen))
+      .foreach(n => MetaIO.delete(s"$path/rev=$rev/$n", recursive = true))
+    // original files (no-op when an earlier compaction already removed them)
+    originalFiles.foreach { case (n, _) => MetaIO.delete(s"$path/rev=$rev/$n") }
+  }
+
+  /** Stand-alone vacuum pass over every compacted revision — the deferred
+    * half of `compactRevision(..., vacuum = false)`, and the recovery
+    * path for a compactor that crashed between publish and delete. */
+  def vacuum(path: String): Unit = {
+    val manifests = TemporalTable.commitFileManifests(path)
+    overlays(path).foreach { case (rev, o) =>
+      vacuumRevision(path, rev, manifests.getOrElse(rev, Nil), keepGen = o.gen)
+    }
+  }
+}

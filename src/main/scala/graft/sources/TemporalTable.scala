@@ -345,7 +345,7 @@ object TemporalTable {
       else {
         val base = mostRecentRevision(path)
           .map(r => graft.operators.Dict.dictionariesOf(
-            df.sparkSession.read.parquet(s"$path/rev=$r").schema))
+            df.sparkSession.read.parquet(RevisionCompaction.effectiveDir(path, r)).schema))
           .getOrElse(Map.empty[String, Array[String]])
         graft.operators.Dict.encode(df, dictCols, base = base)
       }
@@ -367,7 +367,7 @@ object TemporalTable {
           scala.util.Try(n.stripSuffix(".json").toInt).toOption
         else None)
       .filter(_ < rev).maxOption
-      .flatMap(prior => StatsSidecar.read(s"$path/rev=$prior"))
+      .flatMap(prior => StatsSidecar.read(RevisionCompaction.effectiveDir(path, prior)))
       .map { st =>
         (st.cols.values.filter(_.ndv.isDefined).map(_.name).toSeq.sorted,
           st.groups.keys.toSeq)
@@ -626,7 +626,18 @@ object TemporalTable {
     }).getOrElse(log.last.revision)
     val meta = log.find(_.revision == rev)
       .getOrElse(throw new IllegalArgumentException(s"unknown revision $rev"))
-    spark.read.parquet(s"$path/rev=$rev")
+    // resolve through any in-place compaction overlay: a vacuumed
+    // revision's rev=N/ directory no longer holds its data files. The
+    // overlay case reads its explicit file list (the generation dir's
+    // underscore name would otherwise trip DataSource's hidden-path
+    // warning on every open).
+    val snap = RevisionCompaction.overlays(path).get(rev) match {
+      case Some(o) =>
+        val dir = RevisionCompaction.genDir(path, rev, o.gen)
+        spark.read.parquet(o.files.map { case (n, _) => s"$dir/$n" }: _*)
+      case None => spark.read.parquet(s"$path/rev=$rev")
+    }
+    snap
       .withColumn("revision", lit(rev))
       .withColumn("commit_ts", timestamp_millis(lit(meta.commitTsMs)))
       .withColumn("author", lit(meta.author))
@@ -678,7 +689,7 @@ object TemporalTable {
         "(its periodic full checkpoints are the compaction points)")
     val head = mostRecentRevision(path)
       .getOrElse(throw new IllegalArgumentException(s"no commits at $path"))
-    val files = MetaIO.listFiles(s"$path/rev=$head")
+    val files = MetaIO.listFiles(RevisionCompaction.effectiveDir(path, head))
     val bytes = files.map(_._2).sum
     val want = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
     if (files.size <= want) return None
@@ -714,7 +725,9 @@ object TemporalTable {
     val meta = spark.createDataFrame(eligible)
       .select(col("revision"), timestamp_millis(col("commitTsMs")).as("commit_ts"),
         col("author"))
-    val manifests = commitFileManifests(path)
+    // compaction-aware manifests: a rewritten revision resolves to its
+    // live generation's files (paths relative to the table root)
+    val manifests = RevisionCompaction.effectiveManifests(path)
     // schema probe target: newest eligible revision that HAS data files
     // (an empty snapshot's directory can't answer a footer read)
     val probeRev = eligible.reverse
@@ -723,7 +736,8 @@ object TemporalTable {
       if (eligible.forall(c => manifests.contains(c.revision)) && probeRev.isDefined) {
         // footer-only schema probe of one revision — the only filesystem
         // metadata op on this path
-        val dataSchema = spark.read.parquet(s"$path/rev=${probeRev.get}").schema
+        val dataSchema = spark.read
+          .parquet(RevisionCompaction.effectiveDir(path, probeRev.get)).schema
         val index = new CommitLogFileIndex(path,
           eligible.map(c => c.revision -> manifests(c.revision)))
         val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(

@@ -181,6 +181,17 @@ object ChangeFeed {
     * revision-stream semantics (§2.12) with zero custom source code and
     * exactly-once file tracking from Spark's checkpoint log. */
   def streamTable(spark: SparkSession, tablePath: String): DataFrame = {
+    // the file-stream glob discovers files by LISTING rev=N/ directories,
+    // which an in-place-compacted revision no longer serves (its live
+    // generation hides under rev=N/_c<g>/, and the originals are
+    // vacuumed) — a new stream would silently replay partial history.
+    // A stream already running when a compaction lands is safe: its
+    // discovered files are processed and generation dirs stay invisible
+    // to its discovery. For compacted tables use streamCommits, whose
+    // batches resolve files through the compaction overlay.
+    require(graft.sources.RevisionCompaction.overlays(tablePath).isEmpty,
+      s"$tablePath has in-place-compacted revisions; the file-stream glob " +
+        "cannot discover their generation files — use ChangeFeed.streamCommits")
     val schema = TemporalTable.read(spark, tablePath)
       .drop("revision", "commit_ts", "author").schema
     spark.readStream

@@ -64,7 +64,15 @@ final class GraftMicroBatchStream(tablePath: String, schema: StructType)
     val e = end.asInstanceOf[RevisionOffset].revision
     val revs = committed.filter(r => r > s && r <= e)
     if (revs.isEmpty) Array.empty
-    else delegate(s"($s,$e]", revs.map(r => s"$tablePath/rev=$r")).planInputPartitions()
+    else {
+      // effective-dir resolution: a replay over in-place-compacted history
+      // reads each revision's live generation (RevisionCompaction) — the
+      // raw rev=N directory may have been vacuumed
+      val ovs = graft.sources.RevisionCompaction.overlays(tablePath)
+      delegate(s"($s,$e]",
+        revs.map(r => graft.sources.RevisionCompaction.effectiveDir(tablePath, r, ovs)))
+        .planInputPartitions()
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

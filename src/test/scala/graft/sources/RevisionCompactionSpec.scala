@@ -1,0 +1,173 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import java.nio.file.Files
+
+/** In-place historical compaction ([[RevisionCompaction]]): old revisions
+  * rewritten bin-packed at the same revision number, with manifest-only
+  * visibility on every read path — the invariant under test is that NO
+  * reader's answer changes across compact + vacuum, even though the
+  * original `rev=N/` data files are gone. */
+class RevisionCompactionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String) =
+    Files.createTempDirectory(prefix).resolve("tbl").toString
+
+  private def rows(df: DataFrame): Set[String] =
+    df.collect().map(_.toString).toSet
+
+  test("compacted revision serves identical rows on every read path; originals vacuumed") {
+    val p = tmp("graft-rc")
+    // fragment rev 1 on purpose; rev 2 modifies a subset
+    TemporalTable.write(
+      (1L to 200L).map(k => (k, s"v$k", k * 10)).toDF("node_key", "name", "score")
+        .repartition(16), p)
+    TemporalTable.write(
+      (1L to 180L).map(k => (k, if (k <= 5) s"w$k" else s"v$k", k * 10))
+        .toDF("node_key", "name", "score").repartition(12), p)
+
+    val before1 = rows(TemporalTable.read(spark, p, Some(1)))
+    val beforeAll = rows(TemporalTable.readAllRevisions(spark, p)
+      .drop("commit_ts"))
+    val beforeDiff = rows(TemporalTable.diff(spark, p, 1, 2))
+    val beforeV2All = rows(spark.read.format("graft-temporal")
+      .option("allRevisions", true).load(p))
+    val beforeRec = rows(TemporalTable.recordRevisions(spark, p, 3L)
+      .drop("commit_ts"))
+
+    assert(MetaIO.listFiles(s"$p/rev=1").size == 16)
+    val gen = RevisionCompaction.compactRevision(spark, p, 1, targetFileBytes = 1L << 40)
+    assert(gen.contains(1))
+
+    // originals gone, sidecars and generation intact
+    assert(MetaIO.listFiles(s"$p/rev=1").isEmpty, "original data files not vacuumed")
+    assert(MetaIO.exists(s"$p/rev=1/_manifest"), "diff manifest must survive vacuum")
+    val g1 = RevisionCompaction.genDir(p, 1, 1)
+    assert(MetaIO.listFiles(g1).size == 1, "expected one bin-packed file")
+
+    assert(rows(TemporalTable.read(spark, p, Some(1))) == before1)
+    assert(rows(TemporalTable.readAllRevisions(spark, p).drop("commit_ts")) == beforeAll)
+    assert(rows(TemporalTable.diff(spark, p, 1, 2)) == beforeDiff)
+    assert(rows(spark.read.format("graft-temporal")
+      .option("allRevisions", true).load(p)) == beforeV2All)
+    val v2r1 = spark.read.format("graft-temporal").option("revision", 1).load(p)
+    assert(v2r1.count() == 200)
+    assert(v2r1.filter($"node_key" === 7L).select("name").as[String].head() == "v7")
+    assert(rows(TemporalTable.recordRevisions(spark, p, 3L).drop("commit_ts")) == beforeRec)
+  }
+
+  test("second compaction supersedes the first generation and removes it") {
+    val p = tmp("graft-rc-gen")
+    TemporalTable.write(
+      (1L to 100L).map(k => (k, k.toDouble)).toDF("node_key", "v").repartition(8), p)
+    TemporalTable.write(Seq((999L, 0.0)).toDF("node_key", "v"), p)
+
+    // gen 1: pack to ~2 files (tiny target), gen 2: pack to 1
+    val sz = MetaIO.listFiles(s"$p/rev=1").map(_._2).sum
+    val g1 = RevisionCompaction.compactRevision(spark, p, 1, targetFileBytes = sz / 2)
+    assert(g1.contains(1))
+    val n1 = MetaIO.listFiles(RevisionCompaction.genDir(p, 1, 1)).size
+    assert(n1 > 1 && n1 < 8)
+    val g2 = RevisionCompaction.compactRevision(spark, p, 1, targetFileBytes = 1L << 40)
+    assert(g2.contains(2))
+    assert(!MetaIO.exists(RevisionCompaction.genDir(p, 1, 1)), "superseded gen not removed")
+    assert(MetaIO.listFiles(RevisionCompaction.genDir(p, 1, 2)).size == 1)
+    assert(TemporalTable.read(spark, p, Some(1)).count() == 100)
+    // already at target: no-op
+    assert(RevisionCompaction.compactRevision(spark, p, 1, 1L << 40).isEmpty)
+  }
+
+  test("dict + stats sidecars survive compaction (metadata carried, fold stays live)") {
+    val p = tmp("graft-rc-dict")
+    val df = (1L to 500L).map(k => (k, s"dept${k % 5}", k))
+      .toDF("node_key", "dept", "amount").repartition(10)
+    TemporalTable.write(df, p, dictCols = Seq("dept"), withStats = true,
+      statsGroupCols = Seq(Seq("dept")))
+    TemporalTable.write(df.limit(100), p)
+
+    assert(StatsSidecar.read(s"$p/rev=1").isDefined)
+    val gen = RevisionCompaction.compactRevision(spark, p, 1, targetFileBytes = 1L << 40)
+    assert(gen.contains(1))
+    val gd = RevisionCompaction.genDir(p, 1, 1)
+    // stats regenerated over the new files with the same recipe — and FRESH
+    val st = StatsSidecar.read(gd)
+    assert(st.isDefined, "stats sidecar not carried into the generation dir")
+    assert(st.get.groups.keySet.contains(Seq("dept")), "group sections lost")
+    val cur = MetaIO.listDataFileStatus(gd, ".parquet")
+      .map(s => (s.getPath.getName, s.getLen, s.getModificationTime))
+    assert(StatsSidecar.fresh(st.get,
+      cur.map { case (n, l, m) => (n, l, m) }), "carried sidecar is stale")
+    // dictionary metadata preserved through the rewrite
+    val dicts = graft.operators.Dict.dictionariesOf(
+      spark.read.parquet(gd).schema)
+    assert(dicts.contains("dept") && dicts("dept").length == 5)
+    // a later write still seeds its dictionary from the (compacted) prior
+    // revision — exercised against the head: compact head in place too
+    RevisionCompaction.compactRevision(spark, p, 2, 1L << 40, vacuum = true) match {
+      case _ => // head may already be single-file; either way the next write resolves
+    }
+    val r3 = TemporalTable.write(df.limit(50), p, dictCols = Seq("dept"))
+    val d3 = graft.operators.Dict.dictionariesOf(
+      spark.read.parquet(RevisionCompaction.effectiveDir(p, r3)).schema)
+    assert(d3("dept").toSeq == dicts("dept").toSeq, "dict codes drifted across compaction")
+  }
+
+  test("commit-log stream replays compacted history; file-stream glob refuses") {
+    val p = tmp("graft-rc-stream")
+    TemporalTable.write(
+      (1L to 50L).map(k => (k, k * 2)).toDF("node_key", "v").repartition(6), p)
+    TemporalTable.write(Seq((51L, 102L)).toDF("node_key", "v"), p)
+    assert(RevisionCompaction.compactRevision(spark, p, 1, 1L << 40).contains(1))
+
+    // a NEW commit stream replaying from scratch must see revision 1's rows
+    val out = Files.createTempDirectory("graft-rc-sink").toString
+    val q = graft.streaming.ChangeFeed.streamCommits(spark, p)
+      .writeStream.format("memory").queryName("rc_replay")
+      .option("checkpointLocation", s"$out/cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.table("rc_replay").select($"node_key", $"v", $"rev")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got.size == 51, s"expected 51 rows, got ${got.size}")
+    assert(got.contains((1L, 2L, 1)) && got.contains((51L, 102L, 2)))
+
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.ChangeFeed.streamTable(spark, p)
+    }
+    assert(e.getMessage.contains("streamCommits"))
+  }
+
+  test("compactHistory packs all pre-head revisions; delta layouts refused") {
+    val p = tmp("graft-rc-hist")
+    (1 to 3).foreach { i =>
+      TemporalTable.write(
+        (1L to 60L).map(k => (k, i.toLong * k)).toDF("node_key", "v").repartition(5), p)
+    }
+    val done = RevisionCompaction.compactHistory(spark, p, targetFileBytes = 1L << 40)
+    assert(done.keySet == Set(1, 2), s"expected pre-head revisions, got $done")
+    assert(MetaIO.listFiles(s"$p/rev=3").size == 5, "head must not be rewritten by default")
+    (1 to 3).foreach { r =>
+      assert(TemporalTable.read(spark, p, Some(r)).count() == 60)
+    }
+    // history read plans from the manifest index and matches per-rev reads
+    val hist = TemporalTable.readAllRevisions(spark, p)
+    assert(hist.count() == 180)
+    assert(hist.filter($"revision" === 1).select(functions.sum("v"))
+      .as[Long].head() == (1L to 60L).sum)
+
+    val dp = tmp("graft-rc-delta")
+    DeltaTemporalTable.write(spark,
+      Seq((1L, "a")).toDF("node_key", "name"), dp)
+    val err = intercept[IllegalArgumentException] {
+      RevisionCompaction.compactRevision(spark, dp, 1, 1L << 40)
+    }
+    assert(err.getMessage.contains("delta"))
+  }
+
+  private object functions {
+    def sum(c: String) = org.apache.spark.sql.functions.sum(c)
+  }
+}
