@@ -49,6 +49,11 @@ object PipelineQueries {
     * metrics computed from the raw int16 samples before WAV encoding. */
   private lazy val audioMetaPath = s"$runDir/audio_meta"
 
+  /** Sidecar for the m_video_decode oracle: generator-side EXPECTED
+    * container metadata (dimensions, frame count and cadence by
+    * construction — exact regardless of JPEG's lossy luma). */
+  private lazy val videoMetaPath = s"$runDir/video_meta"
+
   /** Sidecar for the s_exact_search oracle: the candidate ids the exact
     * search's approximate probe produced (the oracle re-scores them
     * against the snapshot predicate instead of running the index). */
@@ -324,6 +329,38 @@ object PipelineQueries {
           round(col("zero_cross_rate"), 4).as("zero_cross_rate"))
         .orderBy("media_id")
     },
+    // REAL Motion-JPEG AVI decode: deterministic gradient clips, exact
+    // container metadata (dimensions / frame count / cadence) against the
+    // generator-side oracle; per-frame luma is JPEG-lossy and therefore
+    // spec-pinned with tolerance, not oracle-hashed. Every third clip is
+    // hostile bytes — the decoder column proves the stub fallback fires
+    // instead of failing the partition.
+    "m_video_decode" -> { (s, d) =>
+      import s.implicits._
+      val clipSpecs = (0 until 24).map { i =>
+        (i.toLong, 16 + (i % 4) * 8, 12 + (i % 3) * 4, 4 + (i % 6), i % 3 == 2)
+      }
+      val fps = 8
+      val expected = clipSpecs.map { case (id, w, h, nf, hostile) =>
+        if (hostile) (id, -1, -1, -1, -1L, "stub")
+        else (id, w, h, nf, (1000000 / fps).toLong * nf / 1000L, "mjpeg")
+      }
+      expected.toDF("media_id", "width", "height", "n_frames", "duration_ms",
+          "decoder")
+        .coalesce(1).write.mode("overwrite").parquet(videoMetaPath)
+      val media = s.createDataset(clipSpecs).map { case (id, w, h, nf, hostile) =>
+        val payload =
+          if (hostile) Array.tabulate[Byte](48)(j => ((id * 31 + j * 7) % 251).toByte)
+          else graft.operators.Multimodal.encodeMjpegAvi(w, h, fps,
+            (0 until nf).map(k => (x: Int, y: Int) => (x * 11 + y * 3 + k * 29 + id.toInt) % 256))
+        graft.operators.Multimodal.MediaRecord(id, "video", payload,
+          "video/x-msvideo", -1, -1, 0L)
+      }
+      graft.operators.Multimodal.extractVideoFeatures(media)
+        .select(col("media_id"), col("width"), col("height"), col("n_frames"),
+          col("duration_ms"), col("decoder"))
+        .orderBy("media_id")
+    },
 
     // corpus TF-IDF: top-3 most characteristic words per doc
     "x_tfidf" -> { (s, d) =>
@@ -535,6 +572,10 @@ object PipelineQueries {
     "m_audio_decode" ->
       s"""SELECT media_id, sample_rate, channels, duration_ms, rms, zero_cross_rate
          |FROM read_parquet('$audioMetaPath/*.parquet')
+         |ORDER BY media_id""".stripMargin,
+    "m_video_decode" ->
+      s"""SELECT media_id, width, height, n_frames, duration_ms, decoder
+         |FROM read_parquet('$videoMetaPath/*.parquet')
          |ORDER BY media_id""".stripMargin,
     "d_exact_dedup" ->
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups

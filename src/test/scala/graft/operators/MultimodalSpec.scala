@@ -209,4 +209,71 @@ class MultimodalSpec extends SparkSpec {
     val sniffed = Multimodal.sniffMetadata(Multimodal.syntheticMedia(spark, 9))
     assert(sniffed.count() == 9) // random payloads → mostly unknown, none crash
   }
+
+  test("MJPEG-AVI decode: golden fixture — exact container metadata, close luma") {
+    // 3 uniform-gray frames at distinct levels: container metadata is
+    // exact; JPEG luma is lossy-close (uniform frames compress exactly
+    // in practice, but only a tolerance is contractual)
+    val levels = Seq(40, 128, 220)
+    val avi = Multimodal.encodeMjpegAvi(32, 24, 10,
+      levels.map(v => (_: Int, _: Int) => v))
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRecord(5L, "video", avi, "video/x-msvideo", -1, -1, 300L)))
+    val f = Multimodal.extractVideoFeatures(media, dim = 3).collect().head
+    assert(f.decoder == "mjpeg", s"expected real decode, got ${f.decoder}")
+    assert(f.width == 32 && f.height == 24)
+    assert(f.n_frames == 3 && f.duration_ms == 300L)
+    assert(math.abs(f.mean_luma - levels.sum / 3.0) < 3.0, s"luma ${f.mean_luma}")
+    // temporal profile tracks the per-frame levels in order
+    f.features.zip(levels).foreach { case (got, v) =>
+      assert(math.abs(got - (v / 255.0 - 0.5)) < 0.02, s"$got vs level $v")
+    }
+    // sniff agrees with the decoder on container metadata
+    val s5 = Multimodal.sniff(5L, avi)
+    assert(s5 == Multimodal.SniffedMeta(5L, "avi", 32, 24, 300L))
+  }
+
+  test("sampleFrames decodes real MJPEG frames at the asked cadence only") {
+    // 10 frames at 10 fps (1 s), sampled every 300 ms → floor(1000/300)=3
+    // ticks at 0/300/600 ms (the same tick contract as the stub path) →
+    // frame indices 0/3/6; per-frame grid features reflect each frame's
+    // own gray level
+    val levels = (0 until 10).map(k => 20 * k + 10)
+    val avi = Multimodal.encodeMjpegAvi(16, 16, 10,
+      levels.map(v => (_: Int, _: Int) => v))
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRecord(9L, "video", avi, "video/x-msvideo", -1, -1, 1000L)))
+    val rows = Multimodal.sampleFrames(media, everyMs = 300L)
+      .orderBy("ts_ms")
+      .as[(Long, Int, Long, Array[Float])].collect()
+    assert(rows.map(r => (r._2, r._3)).toSeq ==
+      Seq((0, 0L), (3, 300L), (6, 600L)))
+    rows.foreach { case (_, idx, _, feats) =>
+      val want = levels(idx) / 255.0 - 0.5
+      feats.foreach(v => assert(math.abs(v - want) < 0.02, s"frame $idx: $v vs $want"))
+    }
+    // hostile bytes keep the stub path with metadata-derived ticks
+    val junk = spark.createDataset(Seq(
+      Multimodal.MediaRecord(1L, "video", Array[Byte](1, 2, 3), "video/mp4",
+        -1, -1, 700L)))
+    val stubRows = Multimodal.sampleFrames(junk, everyMs = 300L).collect()
+    assert(stubRows.length == 2) // max(1, 700/300)
+  }
+
+  test("extractVideoFeatures: non-MJPEG payloads fall back to the stub") {
+    val vids = media.filter(_.kind == "video")
+    val f = Multimodal.extractVideoFeatures(vids, dim = 8).collect()
+    assert(f.nonEmpty)
+    // syntheticMedia alternates MJPEG-AVI and MP4-header payloads
+    val byDecoder = f.groupBy(_.decoder).view.mapValues(_.length).toMap
+    assert(byDecoder.getOrElse("mjpeg", 0) > 0, s"no real decodes: $byDecoder")
+    assert(byDecoder.getOrElse("stub", 0) > 0, s"no stub fallbacks: $byDecoder")
+    f.filter(_.decoder == "mjpeg").foreach { v =>
+      assert(v.width == 24 && v.height == 16 && v.n_frames >= 4)
+      assert(v.duration_ms == v.n_frames * 125L)
+    }
+    f.filter(_.decoder == "stub").foreach { v =>
+      assert(v.width == -1 && v.n_frames == -1)
+    }
+  }
 }
