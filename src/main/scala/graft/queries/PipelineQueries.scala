@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Corpus, Dedup, IvfIndex, Quantize, Similarity}
+import graft.operators.{Corpus, Dedup, IvfIndex, Pq, Quantize, Similarity}
 
 /** Training-data pipeline operators (builder brief: dedup, similarity
   * search, text analysis) over the `documents` and `embeddings` tables.
@@ -38,6 +38,14 @@ object PipelineQueries {
     * re-derives the probe + scan from. */
   private lazy val ivfIndexPath = s"$runDir/ivf_idx"
   private lazy val ivfCellsPath = s"$runDir/ivf_cells"
+
+  /** Sidecars for the s_pq_search oracle: the fitted PQ layout (exploded
+    * codes + true norms) and the query's ADC lookup table — the oracle
+    * re-derives every candidate's ADC cosine and the top-k ordering from
+    * the stored tables alone (the k-means fit itself has no SQL oracle,
+    * same stance as s_ivf_search / s_kmeans). */
+  private lazy val pqCodesPath = s"$runDir/pq_codes"
+  private lazy val pqTablePath = s"$runDir/pq_table"
   private lazy val ivfCentroidsPath = s"$runDir/ivf_centroids"
 
   /** Sidecar for the m_image_decode oracle: generator-side EXPECTED image
@@ -171,6 +179,29 @@ object PipelineQueries {
         .as[Seq[Double]].head().toArray
       IvfIndex.searchClustered(s, ivfIndexPath, "vec_id", "embedding",
         q, 10, nProbe = 3)
+    },
+    // Product-quantization ADC search: fit m=8 sub-space codebooks (k=16),
+    // encode every embedding to 8 int codes + its true norm, store the
+    // exploded codes and the query's ADC table, and rank by approximate
+    // cosine from the codes alone — the oracle re-derives the ADC sums,
+    // the cosine division and the top-k ordering from the stored tables
+    "s_pq_search" -> { (s, d) =>
+      import s.implicits._
+      val e = emb(s, d)
+      val model = Pq.fit(e, "embedding", dim = 64, m = 8, k = 16)
+      val enc = Pq.encode(e, "embedding", model).cache()
+      enc.select(col("vec_id"), posexplode(col("pq_codes")).as(Seq("m", "code")),
+          col("pq_norm"))
+        .write.mode("overwrite").parquet(pqCodesPath)
+      val q = e.filter(col("vec_id") === 0)
+        .selectExpr("transform(embedding, x -> CAST(x AS DOUBLE)) AS q")
+        .as[Seq[Double]].head().toArray
+      val table = Pq.distTable(model, q, "dot")
+      table.zipWithIndex.flatMap { case (row, m) =>
+        row.zipWithIndex.map { case (v, c) => (m, c, v) }
+      }.toDF("m", "code", "val")
+        .write.mode("overwrite").parquet(pqTablePath)
+      Pq.searchCosine(enc, model, "vec_id", q, k = 10)
     },
     // EXACT current-snapshot search over a maintained (ghost-bearing)
     // vector index: revision 1 indexes every vector, revision 2 DELETES
@@ -577,6 +608,22 @@ object PipelineQueries {
       s"""SELECT media_id, width, height, n_frames, duration_ms, decoder
          |FROM read_parquet('$videoMetaPath/*.parquet')
          |ORDER BY media_id""".stripMargin,
+    "s_pq_search" ->
+      s"""WITH codes AS (
+         |  SELECT * FROM read_parquet('$pqCodesPath/*.parquet')),
+         |tbl AS (
+         |  SELECT * FROM read_parquet('$pqTablePath/*.parquet')),
+         |q AS (
+         |  SELECT sqrt(list_dot_product(
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)),
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS qnorm
+         |  FROM embeddings WHERE vec_id = 0),
+         |scored AS (
+         |  SELECT c.vec_id,
+         |    ROUND(SUM(t.val) / (MAX(c.pq_norm) * MAX(q.qnorm)), 4) AS sim
+         |  FROM codes c JOIN tbl t ON t.m = c.m AND t.code = c.code, q
+         |  GROUP BY c.vec_id)
+         |SELECT vec_id, sim FROM scored ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
     "d_exact_dedup" ->
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
         |FROM documents GROUP BY md5(text) ORDER BY text_hash""".stripMargin,
