@@ -22,7 +22,7 @@ object Bench {
     "t_history", "t_asof", "t_diff_snapshots", "t_window_tumbling",
     "d_exact_dedup", "d_minhash_pairs", "s_knn", "x_quality",
     "d_span_dedup", "x_contamination", "d_dedup_groups", "x_tfidf",
-    "x_heavy_hitters", "x_contamination_scale", "s_kmeans")
+    "x_heavy_hitters", "x_contamination_scale", "s_kmeans", "s_pq_search")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -119,8 +119,18 @@ object Bench {
           spark, dir, targetFileBytes = math.max(1L, headBytes / 4))
         val cSec = (System.nanoTime() - t2) / 1e9
         require(compacted.nonEmpty)
+        // in-place HISTORICAL compaction: the fragmented revision is now
+        // history (compactHead committed past it) — rewrite it to ~4
+        // files at the SAME revision number and vacuum the originals,
+        // then prove the read path with a count of the compacted snapshot
+        val t3 = System.nanoTime()
+        val gen = graft.sources.RevisionCompaction.compactRevision(
+          spark, dir, fragRev, targetFileBytes = math.max(1L, headBytes / 4))
+        require(gen.nonEmpty)
+        require(graft.sources.TemporalTable.read(spark, dir, Some(fragRev)).count() > 0)
+        val hSec = (System.nanoTime() - t3) / 1e9
         Seq("w_write_snapshot" -> wSec, "w_diff_adjacent" -> dSec,
-          "w_compact_head" -> cSec)
+          "w_compact_head" -> cSec, "w_compact_history" -> hSec)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] storage timing failed: ${e.getMessage}")
         Seq.empty

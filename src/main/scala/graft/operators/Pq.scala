@@ -47,7 +47,8 @@ object Pq {
     * sub-spaces. `fitFraction` < 1 fits each k-means on a deterministic
     * hash-sample (same discipline as [[IvfIndex.fit]]). */
   def fit(df: DataFrame, vecCol: String, dim: Int, m: Int, k: Int = 256,
-          seed: Long = 42L, fitFraction: Double = 1.0): Model = {
+          seed: Long = 42L, fitFraction: Double = 1.0,
+          maxIter: Int = 20): Model = {
     require(dim % m == 0, s"dim $dim must split into m=$m equal sub-spaces")
     require(k >= 1 && k <= 65536, s"k out of range: $k")
     val subDim = dim / m
@@ -67,7 +68,10 @@ object Pq {
         .as(s"__sub$mi")): _*).cache()
     try {
       val codebooks = (0 until m).map { mi =>
-        val km = new KMeans().setK(k).setSeed(seed + mi)
+        // maxIter bounds the fit's JOB COUNT (m fits × iterations, each an
+        // aggregate job): codebook quality plateaus early, and a capped,
+        // seeded iteration count keeps the model deterministic
+        val km = new KMeans().setK(k).setSeed(seed + mi).setMaxIter(maxIter)
           .setFeaturesCol("__fv").setPredictionCol("__cell")
         val fitted = km.fit(pinned.select(array_to_vector(col(s"__sub$mi")).as("__fv")))
         // stable codebook order: centroid ids are positional, so impose a

@@ -188,7 +188,10 @@ object PipelineQueries {
     "s_pq_search" -> { (s, d) =>
       import s.implicits._
       val e = emb(s, d)
-      val model = Pq.fit(e, "embedding", dim = 64, m = 8, k = 16)
+      // hash-sampled fit (the corpus-scale posture): codebooks converge on
+      // a fraction of the rows; encode + search still cover every row
+      val model = Pq.fit(e, "embedding", dim = 64, m = 8, k = 16,
+        fitFraction = 0.2, maxIter = 8)
       val enc = Pq.encode(e, "embedding", model).cache()
       enc.select(col("vec_id"), posexplode(col("pq_codes")).as(Seq("m", "code")),
           col("pq_norm"))

@@ -167,7 +167,8 @@ private[graft] class GraftStreamTable(options: CaseInsensitiveStringMap)
         new org.apache.spark.sql.connector.read.Scan {
           override def readSchema(): StructType = fullSchema
           override def toMicroBatchStream(checkpointLocation: String) =
-            new graft.streaming.GraftMicroBatchStream(tablePath, fullSchema)
+            new graft.streaming.GraftMicroBatchStream(tablePath, fullSchema,
+              options.getInt("maxRevisionsPerBatch", 0))
           override def description(): String = name()
         }
     }

@@ -83,20 +83,43 @@ object TemporalTable {
 
   /** Parse one field out of a single-object commit-log JSON line; string
     * values tolerate escaped quotes/backslashes and round-trip through
-    * [[escapeJson]]. Shared by TemporalTable and DeltaTemporalTable. */
-  // compiled per field name once: large sidecars (StatsSidecar group
-  // sections) and aged commit logs parse thousands of lines per open, and
-  // regex COMPILATION — not matching — dominated that cost
-  private val fieldPatterns =
-    new java.util.concurrent.ConcurrentHashMap[String, scala.util.matching.Regex]()
-
-  private[graft] def parseField(json: String, name: String): String =
-    fieldPatterns
-      .computeIfAbsent(name,
-        n => s"""\"$n\"\\s*:\\s*(\"((?:\\\\.|[^\"\\\\])*)\"|[-0-9]+)""".r)
-      .findFirstMatchIn(json)
-      .map(m => Option(m.group(2)).map(unescapeJson).getOrElse(m.group(1)))
-      .getOrElse("")
+    * [[escapeJson]]. Shared by TemporalTable and DeltaTemporalTable.
+    *
+    * Hand-rolled scan, not a regex: the obvious pattern's string-value
+    * loop (`(?:\\.|[^"\\])*`) RECURSES once per character in the JVM's
+    * regex engine, so a multi-kilobyte value — a 32-file revision's
+    * `files` manifest is ~2 KB — overflows the stack. The scanner is one
+    * forward pass with O(1) stack at any value length. */
+  private[graft] def parseField(json: String, name: String): String = {
+    val key = "\"" + name + "\""
+    var from = 0
+    while (from < json.length) {
+      val ki = json.indexOf(key, from)
+      if (ki < 0) return ""
+      var i = ki + key.length
+      while (i < json.length && Character.isWhitespace(json.charAt(i))) i += 1
+      if (i < json.length && json.charAt(i) == ':') {
+        i += 1
+        while (i < json.length && Character.isWhitespace(json.charAt(i))) i += 1
+        if (i < json.length && json.charAt(i) == '"') {
+          // string value: scan to the closing quote, honoring escapes
+          var j = i + 1
+          while (j < json.length && json.charAt(j) != '"') {
+            if (json.charAt(j) == '\\') j += 2 else j += 1
+          }
+          return unescapeJson(json.substring(i + 1, math.min(j, json.length)))
+        }
+        var j = i
+        while (j < json.length &&
+          (json.charAt(j) == '-' || Character.isDigit(json.charAt(j)))) j += 1
+        if (j > i) return json.substring(i, j)
+      }
+      // the key text appeared without a parsable value (e.g. inside
+      // another string) — keep scanning from past this occurrence
+      from = ki + key.length
+    }
+    ""
+  }
 
   /** Read the commit log (small driver-side metadata, like Delta's log).
     * Goes through the Hadoop FileSystem resolved from the path, so the

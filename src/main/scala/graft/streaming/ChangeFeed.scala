@@ -167,10 +167,16 @@ object ChangeFeed {
     * ([[GraftMicroBatchStream]]), so each micro-batch holds exactly the
     * revisions committed since the last one — never a torn revision, and
     * reserved-but-uncommitted directories are invisible (the file-stream
-    * variant below batches by file discovery instead). */
-  def streamCommits(spark: SparkSession, tablePath: String): DataFrame =
+    * variant below batches by file discovery instead). Supports
+    * `Trigger.AvailableNow` (drain everything committed at trigger time,
+    * then stop) and `maxRevisionsPerBatch` > 0 bounds any single batch —
+    * together they make replaying an aged 10k-revision history a series
+    * of bounded jobs with checkpointed progress. */
+  def streamCommits(spark: SparkSession, tablePath: String,
+                    maxRevisionsPerBatch: Int = 0): DataFrame =
     spark.readStream.format("graft-temporal")
       .option("commitStream", "true")
+      .option("maxRevisionsPerBatch", maxRevisionsPerBatch.toString)
       .load(tablePath)
 
   /** Structured Streaming source over a temporal table: each committed

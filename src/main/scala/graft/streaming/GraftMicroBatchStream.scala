@@ -33,8 +33,10 @@ final case class RevisionOffset(revision: Int) extends Offset {
   *
   * Use via [[ChangeFeed.streamCommits]].
   */
-final class GraftMicroBatchStream(tablePath: String, schema: StructType)
-    extends MicroBatchStream {
+final class GraftMicroBatchStream(tablePath: String, schema: StructType,
+                                  maxRevisionsPerBatch: Int = 0)
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   private def committed: Seq[Int] = TemporalTable.commits(tablePath).map(_.revision)
 
@@ -42,6 +44,34 @@ final class GraftMicroBatchStream(tablePath: String, schema: StructType)
 
   override def latestOffset(): Offset =
     RevisionOffset(committed.lastOption.getOrElse(0))
+
+  // ---- admission control + Trigger.AvailableNow ----------------------
+  // AvailableNow pins the end of the run to the revisions committed when
+  // the trigger fired (commits landing mid-run wait for the next run),
+  // then drains toward it in bounded batches; `maxRevisionsPerBatch`
+  // bounds any batch — replaying a 10k-revision history is then a series
+  // of bounded jobs instead of one 10k-directory scan.
+
+  @volatile private var availableNowEnd: Option[Int] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(committed.lastOption.getOrElse(0))
+
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    val s = start.asInstanceOf[RevisionOffset].revision
+    val cap = availableNowEnd.getOrElse(committed.lastOption.getOrElse(0))
+    val eligible = committed.filter(r => r > s && r <= cap)
+    val taken =
+      if (maxRevisionsPerBatch > 0) eligible.take(maxRevisionsPerBatch) else eligible
+    RevisionOffset(taken.lastOption.getOrElse(s))
+  }
+
+  override def reportLatestOffset(): Offset = latestOffset()
 
   override def deserializeOffset(json: String): Offset =
     RevisionOffset(TemporalTable.parseField(json, "revision").toInt)

@@ -46,6 +46,25 @@ class MetaCodecPropertySpec extends SparkSpec {
     }
   }
 
+  test("parseField handles multi-kilobyte values with O(1) stack (regex regression)") {
+    // the pre-fix regex recursed once per character of a string value —
+    // a 32-file revision's `files` manifest (~2 KB) overflowed the stack
+    val bigManifest = (0 until 500)
+      .map(i => s"part-$i-0123456789abcdef-c000.snappy.parquet|${i * 1000}")
+      .mkString(";")
+    val json = s"""{"revision":42,"commitTsMs":1,"author":"a","message":"m",""" +
+      s""""files":"${TemporalTable.escapeJson(bigManifest)}"}"""
+    assert(json.length > 20000)
+    assert(TemporalTable.parseField(json, "files") == bigManifest)
+    assert(TemporalTable.parseField(json, "revision") == "42")
+    // a value that CONTAINS a key-shaped string must not satisfy a probe
+    // for that key with garbage — the scan resumes past it
+    val tricky = """{"message":"fake \"revision\": x","revision":9}"""
+    assert(TemporalTable.parseField(tricky, "revision") == "9")
+    // absent key → empty
+    assert(TemporalTable.parseField(json, "nope") == "")
+  }
+
   test("commit metadata survives a real write-read cycle") {
     samples(10).grouped(2).foreach { pair =>
       val (author, message) = (pair.head, pair.last)

@@ -126,6 +126,28 @@ class ChangeFeedSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamCommits: AvailableNow drains bounded batches then stops") {
+    val p = Files.createTempDirectory("graft-cstream-an").resolve("tbl").toString
+    (1 to 5).foreach(i =>
+      TemporalTable.write(Seq((i.toLong, i * 1.0)).toDF("node_key", "v"), p))
+    val batchSizes = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = ChangeFeed.streamCommits(spark, p, maxRevisionsPerBatch = 2)
+      .writeStream
+      .foreachBatch((df: org.apache.spark.sql.DataFrame, _: Long) => {
+        batchSizes.add(df.count()); ()
+      })
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-cstream-an-cp").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    assert(!q.isActive, "AvailableNow query must terminate on its own")
+    // 5 one-row revisions at 2 revisions/batch → batches of 2, 2, 1 rows
+    import scala.jdk.CollectionConverters._
+    assert(batchSizes.asScala.toSeq.sorted == Seq(1L, 2L, 2L),
+      s"batches: ${batchSizes.asScala.toSeq}")
+  }
+
   test("streamCommits over a delta table is a CDC feed of change records") {
     import org.apache.spark.sql.functions.col
     import graft.sources.DeltaTemporalTable
