@@ -58,7 +58,8 @@ object Intervals {
   def stab(df: DataFrame, fromCol: String, toCol: String, ts: Column): DataFrame =
     df.filter(col(fromCol) <= ts && (col(toCol).isNull || col(toCol) > ts))
 
-  /** Allen-style relation classifier for two intervals (columns). */
+  /** Coarse relation classifier for two intervals (columns) — the 6-way
+    * summary ([[allen]] below is the full 13-relation algebra). */
   def relation(aFrom: Column, aTo: Column, bFrom: Column, bTo: Column): Column =
     when(aTo <= bFrom, "before")
       .when(bTo <= aFrom, "after")
@@ -66,6 +67,61 @@ object Intervals {
       .when(aFrom >= bFrom && aTo <= bTo, "during")
       .when(bFrom >= aFrom && bTo <= aTo, "contains")
       .otherwise("overlaps")
+
+  /** Full Allen interval algebra: exactly one of the 13 relations holds
+    * for any two well-formed intervals (from < to). Case order encodes
+    * the decision tree — each branch is reached only when the prior ones
+    * failed, so the predicates stay minimal. Pure column expressions
+    * (codegen'd); works on any ordered axis (epoch-ns longs here). */
+  def allen(aFrom: Column, aTo: Column, bFrom: Column, bTo: Column): Column =
+    when(aTo < bFrom, "before")
+      .when(bTo < aFrom, "after")
+      .when(aTo === bFrom, "meets")
+      .when(bTo === aFrom, "met_by")
+      .when(aFrom === bFrom && aTo === bTo, "equals")
+      .when(aFrom === bFrom && aTo < bTo, "starts")
+      .when(aFrom === bFrom, "started_by") // aTo > bTo
+      .when(aTo === bTo && aFrom > bFrom, "finishes")
+      .when(aTo === bTo, "finished_by") // aFrom < bFrom
+      .when(aFrom > bFrom && aTo < bTo, "during")
+      .when(aFrom < bFrom && aTo > bTo, "contains")
+      .when(aFrom < bFrom, "overlaps") // aTo in (bFrom, bTo)
+      .otherwise("overlapped_by")
+
+  /** Coalesce intervals per key: overlapping or ADJACENT (half-open:
+    * `[1,3)` + `[3,5)` = `[1,5)`) intervals merge into maximal islands —
+    * the classic temporal-normalization step (a bitemporal table's valid
+    * periods after piecewise updates). One key-partitioned window + one
+    * aggregate: the running max of prior ends marks island starts, a
+    * running count of starts labels islands, min/max per island emits the
+    * merged intervals. Shuffles once on the keys — no self-join, no
+    * quadratic pair scan, per-key work linear in its interval count. */
+  def coalesceIntervals(df: DataFrame, keys: Seq[String],
+                        fromCol: String, toCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(fromCol), col(toCol))
+    val prevMaxTo = max(col(toCol)).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val isStart = when(prevMaxTo.isNull || col(fromCol) > prevMaxTo, 1).otherwise(0)
+    df.withColumn("__island",
+        sum(isStart).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy((keys.map(col) :+ col("__island")): _*)
+      .agg(min(col(fromCol)).as(fromCol), max(col(toCol)).as(toCol))
+      .drop("__island")
+  }
+
+  /** Duration-weighted aggregate per key: each interval's value weighted
+    * by its length — `avg` = Σ v·(to−from) / Σ (to−from), plus the total
+    * covered duration. The standard temporal-aggregation reading of a
+    * piecewise-constant signal (sensor states, price validity periods).
+    * One aggregate, map-side partials. */
+  def timeWeightedAvg(df: DataFrame, keys: Seq[String], fromCol: String,
+                      toCol: String, valueCol: String): DataFrame = {
+    val dur = col(toCol) - col(fromCol)
+    df.groupBy(keys.map(col): _*)
+      .agg(sum(dur).as("total_duration"),
+        (sum(col(valueCol) * dur) / sum(dur)).as("weighted_avg"))
+  }
 
   // ---- RI-tree fork nodes (valid-time index, SURVEY §2.10 / §4.3 item 2;
   // reference: index/interval/RelationalIntervalTree.java — each interval

@@ -140,6 +140,53 @@ object TemporalQueries {
           col("r_win_id").as("win_id"))
         .orderBy("user_id", "event_id", "win_id")
     },
+    // interval coalescing (temporal normalization): each event opens a 6 h
+    // validity interval; overlapping/adjacent intervals per user merge
+    // into maximal islands — one key-shuffled window + one aggregate
+    "t_interval_coalesce" -> { (s, d) =>
+      val sixHoursUs = 21600000000L
+      val iv = ev(s, d).select(col("user_id"),
+        expr("ts div 1000").as("vf"),
+        (expr("ts div 1000") + sixHoursUs).as("vt"))
+      graft.operators.Intervals.coalesceIntervals(iv, Seq("user_id"), "vf", "vt")
+        .orderBy("user_id", "vf")
+    },
+    // duration-weighted temporal aggregation: each event's value holds
+    // until the user's next event (piecewise-constant signal); the
+    // weighted average reads the signal's true time integral
+    "t_time_weighted" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val iv = ev(s, d)
+        .withColumn("next_ts", lead(col("ts"), 1).over(w))
+        .filter(col("next_ts").isNotNull)
+        .select(col("user_id"), col("value"),
+          expr("ts div 1000").as("vf"), expr("next_ts div 1000").as("vt"))
+      graft.operators.Intervals.timeWeightedAvg(iv, Seq("user_id"), "vf", "vt", "value")
+        .select(col("user_id"), col("total_duration"),
+          round(col("weighted_avg"), 4).as("weighted_avg"))
+        .orderBy("user_id")
+    },
+    // full Allen interval algebra over consecutive per-user event
+    // intervals (6 h validity each): equal-length intervals exercise
+    // before / meets / overlaps / equals; the classifier is total —
+    // exactly one relation per pair — so the counts partition the pairs
+    "t_allen" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val sixHoursUs = 21600000000L
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val pairs = ev(s, d)
+        .withColumn("next_ts", lead(col("ts"), 1).over(w))
+        .filter(col("next_ts").isNotNull)
+        .select(expr("ts div 1000").as("af"),
+          (expr("ts div 1000") + sixHoursUs).as("at"),
+          expr("next_ts div 1000").as("bf"),
+          (expr("next_ts div 1000") + sixHoursUs).as("bt"))
+      pairs.select(graft.operators.Intervals.allen(
+          col("af"), col("at"), col("bf"), col("bt")).as("relation"))
+        .groupBy("relation").agg(count(lit(1)).as("cnt"))
+        .orderBy("relation")
+    },
     // event-time tumbling window via the built-in window() operator
     "t_window_fn" -> { (s, d) =>
       ev(s, d)
@@ -380,6 +427,49 @@ object TemporalQueries {
       """SELECT o_orderkey AS node_key, o_totalprice, o_orderstatus,
         |  CAST(2 AS INTEGER) AS revision
         |FROM orders ORDER BY node_key""".stripMargin,
+    "t_interval_coalesce" ->
+      """WITH iv AS (
+        |  SELECT user_id, epoch_us(ts) AS vf, epoch_us(ts) + 21600000000 AS vt
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, vf, vt,
+        |    MAX(vt) OVER (PARTITION BY user_id ORDER BY vf, vt
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM iv),
+        |g AS (
+        |  SELECT user_id, vf, vt,
+        |    SUM(CASE WHEN pmax IS NULL OR vf > pmax THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY vf, vt
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM m)
+        |SELECT user_id, MIN(vf) AS vf, MAX(vt) AS vt
+        |FROM g GROUP BY user_id, island ORDER BY user_id, vf""".stripMargin,
+    "t_time_weighted" ->
+      """WITH iv AS (
+        |  SELECT user_id, value, epoch_us(ts) AS vf,
+        |    LEAD(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vt
+        |  FROM events)
+        |SELECT user_id, SUM(vt - vf) AS total_duration,
+        |  ROUND(SUM(value * (vt - vf)) / SUM(vt - vf), 4) AS weighted_avg
+        |FROM iv WHERE vt IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "t_allen" ->
+      """WITH p AS (
+        |  SELECT epoch_us(ts) AS a_f, epoch_us(ts) + 21600000000 AS a_t,
+        |    LEAD(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS b_f
+        |  FROM events),
+        |r AS (
+        |  SELECT CASE
+        |    WHEN a_t < b_f THEN 'before'
+        |    WHEN b_f + 21600000000 < a_f THEN 'after'
+        |    WHEN a_t = b_f THEN 'meets'
+        |    WHEN b_f + 21600000000 = a_f THEN 'met_by'
+        |    WHEN a_f = b_f THEN 'equals'
+        |    WHEN a_f < b_f THEN 'overlaps'
+        |    ELSE 'overlapped_by' END AS relation
+        |  FROM p WHERE b_f IS NOT NULL)
+        |SELECT relation, COUNT(*) AS cnt FROM r
+        |GROUP BY relation ORDER BY relation""".stripMargin,
     "t_compact_history" ->
       """SELECT * FROM (
         |  SELECT o_orderkey AS node_key, o_totalprice, o_orderstatus,

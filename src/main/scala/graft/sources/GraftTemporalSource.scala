@@ -300,6 +300,7 @@ private[graft] class GraftTable(options: CaseInsensitiveStringMap)
             // log AFTER data commit: a failed job never becomes a revision
             TemporalTable.logCommit(tablePath, nextRev, author, message)
             TemporalTable.maybeAutoCompactKeyIndex(spark, tablePath)
+            RevisionCompaction.maybeAutoCompact(spark, tablePath)
           }
           override def abort(msgs: Array[WriterCommitMessage]): Unit = {
             innerBatch.abort(msgs)

@@ -81,7 +81,9 @@ object RevisionCompaction {
     * one existence probe). */
   def overlays(path: String): Map[Int, Overlay] = {
     val dir = compactionsDir(path)
-    val names = MetaIO.list(dir).filter(_.endsWith(".json"))
+    // underscore names are policy/config files, not overlay entries
+    val names = MetaIO.list(dir)
+      .filter(n => n.endsWith(".json") && !n.startsWith("_"))
     MetaIO.parallelMap(names) { n =>
       val s = MetaIO.readString(s"$dir/$n")
       val files = TemporalTable.parseField(s, "files").split(";").toSeq
@@ -222,4 +224,61 @@ object RevisionCompaction {
       vacuumRevision(path, rev, manifests.getOrElse(rev, Nil), keepGen = o.gen)
     }
   }
+
+  // ---- persisted auto-compaction policy (the history analog of the
+  // key-index auto-compaction: the policy travels WITH the table, so
+  // every writer process honors it without registering hooks — the
+  // reference's always-compact page behavior as a storage policy) ----
+
+  private def policyPath(path: String) = s"${compactionsDir(path)}/_policy.json"
+
+  /** Persist: once a revision is at least `olderThan` commits behind the
+    * head, the next commit bin-packs it in place to `targetFileBytes`.
+    * Each commit retires exactly one revision past the threshold (plus
+    * any backlog the policy finds on an existing table), so steady-state
+    * commit latency carries at most one bounded rewrite. */
+  def setAutoCompaction(path: String, olderThan: Int,
+                        targetFileBytes: Long = 128L << 20): Unit = {
+    require(olderThan >= 1, "olderThan must be >= 1")
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    require(!DeltaTemporalTable.isDeltaLayout(path),
+      "auto-compaction targets snapshot layouts")
+    MetaIO.mkdirs(compactionsDir(path))
+    MetaIO.delete(policyPath(path))
+    MetaIO.createNew(policyPath(path),
+      s"""{"olderThan":$olderThan,"targetFileBytes":$targetFileBytes}""")
+    ()
+  }
+
+  def clearAutoCompaction(path: String): Unit = {
+    MetaIO.delete(policyPath(path))
+    ()
+  }
+
+  /** Post-commit policy check ([[TemporalTable]] calls this after every
+    * durable commit, V2 appends included). Eligibility is decided from
+    * the effective manifests ALONE — zero file listings on an already-
+    * packed history — and only revisions actually above the target file
+    * count are rewritten. One metadata existence probe when no policy is
+    * set. */
+  private[graft] def maybeAutoCompact(spark: SparkSession, path: String): Unit =
+    if (MetaIO.exists(policyPath(path))) {
+      val json = MetaIO.readString(policyPath(path))
+      val olderThan = TemporalTable.parseField(json, "olderThan").toInt
+      val target = TemporalTable.parseField(json, "targetFileBytes").toLong
+      val revs = TemporalTable.commits(path).map(_.revision)
+      if (revs.size > olderThan) {
+        val manifests = TemporalTable.commitFileManifests(path)
+        if (revs.forall(manifests.contains)) {
+          val ovs = overlays(path)
+          val eligible = revs.dropRight(olderThan)
+          eligible.foreach { r =>
+            val files = ovs.get(r).map(_.files).getOrElse(manifests(r))
+            val bytes = files.map(_._2).sum
+            val want = math.max(1L, (bytes + target - 1) / target)
+            if (files.size > want) { compactRevision(spark, path, r, target); () }
+          }
+        }
+      }
+    }
 }

@@ -448,6 +448,7 @@ object TemporalTable {
     // outside the protocol's try: the revision is durable, so a policy
     // failure must not trip the abort path
     maybeAutoCompactKeyIndex(df.sparkSession, path)
+    RevisionCompaction.maybeAutoCompact(df.sparkSession, path)
     rev
   }
 

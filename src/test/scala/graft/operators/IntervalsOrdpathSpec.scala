@@ -112,4 +112,48 @@ class IntervalsOrdpathSpec extends SparkSpec {
     val expected = (for (x <- 1L to 5L; y <- 1L to 5L if x < y) yield (x, y)).toSet
     assert(sorted == expected)
   }
+
+  test("allen classifies all 13 relations, exactly one per pair") {
+    // b is fixed [10, 20); a sweeps every relation
+    val cases = Seq(
+      (0L, 5L, "before"), (25L, 30L, "after"),
+      (5L, 10L, "meets"), (20L, 25L, "met_by"),
+      (10L, 20L, "equals"),
+      (10L, 15L, "starts"), (10L, 25L, "started_by"),
+      (15L, 20L, "finishes"), (5L, 20L, "finished_by"),
+      (12L, 18L, "during"), (5L, 25L, "contains"),
+      (5L, 15L, "overlaps"), (15L, 25L, "overlapped_by"))
+    val df = cases.map { case (f, t, want) => (f, t, want) }
+      .toDF("af", "at", "want")
+      .withColumn("got", Intervals.allen(col("af"), col("at"), lit(10L), lit(20L)))
+    val bad = df.filter(col("got") =!= col("want")).collect()
+    assert(bad.isEmpty, bad.mkString(", "))
+    // totality: the coarse classifier agrees on the summary buckets
+    val coarse = df.withColumn("c",
+      Intervals.relation(col("af"), col("at"), lit(10L), lit(20L)))
+    assert(coarse.filter(col("c") === "before" && col("want") =!= "before"
+      && col("want") =!= "meets").isEmpty)
+  }
+
+  test("coalesceIntervals merges overlap and half-open adjacency, keeps gaps") {
+    val iv = Seq(
+      ("u1", 0L, 5L), ("u1", 3L, 8L),   // overlap -> [0,8)
+      ("u1", 8L, 12L),                   // adjacent -> [0,12)
+      ("u1", 20L, 25L),                  // gap -> own island
+      ("u2", 0L, 1L),                    // other key untouched
+      ("u1", 21L, 22L)                   // contained -> absorbed
+    ).toDF("k", "vf", "vt")
+    val got = Intervals.coalesceIntervals(iv, Seq("k"), "vf", "vt")
+      .orderBy("k", "vf").as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("u1", 0L, 12L), ("u1", 20L, 25L), ("u2", 0L, 1L)))
+  }
+
+  test("timeWeightedAvg integrates a piecewise-constant signal exactly") {
+    // value 2.0 for 10 units, 8.0 for 30 units -> avg = (20+240)/40 = 6.5
+    val iv = Seq(("k", 0L, 10L, 2.0), ("k", 10L, 40L, 8.0))
+      .toDF("k", "vf", "vt", "v")
+    val r = Intervals.timeWeightedAvg(iv, Seq("k"), "vf", "vt", "v")
+      .as[(String, Long, Double)].head()
+    assert(r == (("k", 40L, 6.5)))
+  }
 }

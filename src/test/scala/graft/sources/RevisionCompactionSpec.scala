@@ -167,6 +167,30 @@ class RevisionCompactionSpec extends SparkSpec {
     assert(err.getMessage.contains("delta"))
   }
 
+  test("persisted auto-compaction policy packs aging revisions on commit") {
+    val p = tmp("graft-rc-auto")
+    RevisionCompaction.setAutoCompaction(p, olderThan = 1, targetFileBytes = 1L << 40)
+    def frag(i: Int) = (1L to 40L).map(k => (k, i.toLong * k))
+      .toDF("node_key", "v").repartition(6)
+    TemporalTable.write(frag(1), p)
+    assert(RevisionCompaction.overlays(p).isEmpty, "head must not auto-compact")
+    TemporalTable.write(frag(2), p)
+    // rev 1 aged past the threshold: the commit packed it in place
+    assert(RevisionCompaction.overlays(p).keySet == Set(1))
+    assert(MetaIO.listFiles(s"$p/rev=1").isEmpty)
+    assert(MetaIO.listFiles(RevisionCompaction.genDir(p, 1, 1)).size == 1)
+    // V2 append honors the policy too (it travels with the table)
+    frag(3).write.format("graft-temporal").mode("append").save(p)
+    assert(RevisionCompaction.overlays(p).keySet == Set(1, 2))
+    (1 to 3).foreach(r => assert(TemporalTable.read(spark, p, Some(r)).count() == 40))
+    // already-packed history: the policy check is metadata-only and idempotent
+    TemporalTable.write(frag(4), p)
+    assert(RevisionCompaction.overlays(p)(1).gen == 1, "re-compacted a packed revision")
+    RevisionCompaction.clearAutoCompaction(p)
+    TemporalTable.write(frag(5), p)
+    assert(!RevisionCompaction.overlays(p).contains(4), "cleared policy still fired")
+  }
+
   private object functions {
     def sum(c: String) = org.apache.spark.sql.functions.sum(c)
   }
