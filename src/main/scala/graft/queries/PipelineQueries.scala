@@ -140,6 +140,28 @@ object PipelineQueries {
             .as("n_bpe_tokens"))
         .orderBy("doc_id")
     },
+    // LEARNED BPE: one corpus pass builds the piece dictionary, the merge
+    // table trains driver-side over it (graft.operators.Tokenizer — the
+    // merge choice itself is golden-pinned in TokenizerSpec; iterative
+    // merge learning has no SQL oracle), then the encode kernel segments
+    // every document. The oracle verifies the two SQL-expressible
+    // invariants end-to-end: the pre-tokenization piece count, and
+    // LOSSLESSNESS — concatenated BPE tokens must reproduce exactly the
+    // concatenated regex pieces.
+    "x_bpe_train" -> { (s, d) =>
+      val dd = docs(s, d)
+      val merges = graft.operators.Tokenizer.train(dd, "text",
+        numMerges = 200, maxPieces = 4096)
+      require(merges.size > 50, s"degenerate merge table: ${merges.size}")
+      val enc = graft.operators.Tokenizer.encode(dd, "doc_id", "text", merges)
+      val pieces = dd.select(col("doc_id"),
+        size(regexp_extract_all(col("text"),
+          lit(graft.operators.Tokenizer.PiecePattern), lit(0))).as("n_pieces"))
+      enc.withColumn("detok", concat_ws("", col("tokens")))
+        .join(pieces, "doc_id")
+        .select(col("doc_id"), col("n_pieces"), col("detok"))
+        .orderBy("doc_id")
+    },
     // 32-bit SimHash fingerprints
     "d_simhash" -> { (s, d) =>
       Dedup.simHash32(docs(s, d), "doc_id", "text").orderBy("doc_id")
@@ -679,6 +701,11 @@ object PipelineQueries {
     "x_bpe_tokens" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '''(?:ll|ve|re|[sdmt])| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+')) AS INTEGER) AS n_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_bpe_train" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '(?:''(?:ll|ve|re|[sdmt]))| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+')) AS INTEGER) AS n_pieces,
+        |  array_to_string(regexp_extract_all(text, '(?:''(?:ll|ve|re|[sdmt]))| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+'), '') AS detok
         |FROM documents ORDER BY doc_id""".stripMargin,
     "d_simhash" ->
       (simhashCte + "\nSELECT doc_id, simhash FROM sh ORDER BY doc_id"),
