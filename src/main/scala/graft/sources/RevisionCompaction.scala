@@ -137,9 +137,15 @@ object RevisionCompaction {
     * superseded files for [[vacuum]]. `vacuum = false` defers the
     * deletion entirely (grace for long-running readers on object
     * storage — POSIX readers hold their open files either way). */
+  /** `clusterBy` re-clusters the rewrite: rows range-partition on the
+    * listed columns and sort within files, so the new footers carry tight
+    * min/max on them — compaction doubles as the re-clustering window
+    * (key-pruned record lookups and diff scans over old revisions then
+    * skip most files, the OPTIMIZE-ZORDER reading of the same moment). */
   def compactRevision(spark: SparkSession, path: String, rev: Int,
                       targetFileBytes: Long = 128L << 20,
-                      vacuum: Boolean = true): Option[Int] = {
+                      vacuum: Boolean = true,
+                      clusterBy: Seq[String] = Nil): Option[Int] = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     require(!DeltaTemporalTable.isDeltaLayout(path),
       s"compactRevision targets snapshot layouts; $path is delta-encoded " +
@@ -161,11 +167,16 @@ object RevisionCompaction {
     val gen = cur.map(_.gen + 1).getOrElse(1)
     val dst = genDir(path, rev, gen)
     // an orphan from a crashed attempt at this generation is overwritten
-    spark.read.parquet(curDir)
-      // repartition, not coalesce — near-equal output files (compactHead's
-      // reasoning applies unchanged)
-      .repartition(want)
-      .write.mode("overwrite").parquet(dst)
+    val src = spark.read.parquet(curDir)
+    val packed =
+      if (clusterBy.isEmpty)
+        // repartition, not coalesce — near-equal output files
+        // (compactHead's reasoning applies unchanged)
+        src.repartition(want)
+      else src
+        .repartitionByRange(want, clusterBy.map(org.apache.spark.sql.functions.col): _*)
+        .sortWithinPartitions(clusterBy.map(org.apache.spark.sql.functions.col): _*)
+    packed.write.mode("overwrite").parquet(dst)
     // carry the stats sidecar: same recipe, fingerprint over the new files
     StatsSidecar.read(curDir).foreach { st =>
       StatsSidecar.write(spark, dst,

@@ -167,6 +167,33 @@ class RevisionCompactionSpec extends SparkSpec {
     assert(err.getMessage.contains("delta"))
   }
 
+  test("clusterBy re-clusters the rewrite: key-sorted files, identical rows") {
+    val p = tmp("graft-rc-cluster")
+    TemporalTable.write(
+      (1L to 400L).map(k => (k, k * 3)).toDF("node_key", "v")
+        .repartition(8), p) // round-robin: keys scattered across files
+    TemporalTable.write(Seq((401L, 0L)).toDF("node_key", "v"), p)
+    val before = rows(TemporalTable.read(spark, p, Some(1)))
+    val sz = MetaIO.listFiles(s"$p/rev=1").map(_._2).sum
+    val gen = RevisionCompaction.compactRevision(spark, p, 1,
+      targetFileBytes = sz / 3, clusterBy = Seq("node_key"))
+    assert(gen.contains(1))
+    assert(rows(TemporalTable.read(spark, p, Some(1))) == before)
+    // range clustering: per-file key ranges are disjoint, so footer
+    // min/max prune a point lookup to one file
+    val gd = RevisionCompaction.genDir(p, 1, 1)
+    val ranges = MetaIO.listFiles(gd).map { case (n, _) =>
+      val f = spark.read.parquet(s"$gd/$n")
+        .agg(org.apache.spark.sql.functions.min("node_key"),
+          org.apache.spark.sql.functions.max("node_key")).head()
+      (f.getLong(0), f.getLong(1))
+    }.sortBy(_._1)
+    assert(ranges.size > 1)
+    ranges.sliding(2).foreach { case Seq((_, hi), (lo, _)) =>
+      assert(hi < lo, s"overlapping key ranges: $ranges")
+    }
+  }
+
   test("persisted auto-compaction policy packs aging revisions on commit") {
     val p = tmp("graft-rc-auto")
     RevisionCompaction.setAutoCompaction(p, olderThan = 1, targetFileBytes = 1L << 40)
