@@ -31,8 +31,17 @@ object PqExpressions {
     * vectors whose length ≠ M·subDim yield NULL (a corrupt embedding must
     * not silently encode as a truncated code). Ties break to the lowest
     * centroid id (strict `<`), matching [[graft.operators.IvfIndex
-    * .assignCells]]'s first-minimal contract. */
-  case class PqEncode(child: Expression, codebook: Seq[Seq[Seq[Double]]])
+    * .assignCells]]'s first-minimal contract.
+    *
+    * `normalize = true` (the cosine contract) quantizes the UNIT vector
+    * x/‖x‖: with raw vectors, every row sharing a code cell has the same
+    * ADC numerator and cosine ranking inside a cell degenerates to
+    * 1/‖x‖ — small-norm rows beat the true neighbours. On unit vectors
+    * the ADC sum approximates the cosine itself. A zero vector encodes
+    * unnormalized (its cosine is undefined; callers filter on the stored
+    * norm). */
+  case class PqEncode(child: Expression, codebook: Seq[Seq[Seq[Double]]],
+                      normalize: Boolean = true)
       extends UnaryExpression {
 
     private val m = codebook.length
@@ -66,6 +75,16 @@ object PqExpressions {
       val xs = a.asInstanceOf[ArrayData]
       if (xs.numElements() != m * subDim) return null
       val f = isFloat
+      def raw(i: Int): Double =
+        if (f) xs.getFloat(i).toDouble else xs.getDouble(i)
+      val inv =
+        if (!normalize) 1.0
+        else {
+          var s = 0.0
+          var i = 0
+          while (i < m * subDim) { val x = raw(i); s += x * x; i += 1 }
+          if (s > 0) 1.0 / math.sqrt(s) else 1.0
+        }
       val codes = new Array[Int](m)
       var mi = 0
       while (mi < m) {
@@ -77,9 +96,7 @@ object PqExpressions {
           var j = 0
           val base = (mi * k + c) * subDim
           while (j < subDim) {
-            val x = if (f) xs.getFloat(mi * subDim + j).toDouble
-                    else xs.getDouble(mi * subDim + j)
-            val t = x - flat(base + j)
+            val t = raw(mi * subDim + j) * inv - flat(base + j)
             d += t * t
             j += 1
           }
@@ -101,15 +118,30 @@ object PqExpressions {
         val mi = ctx.freshName("mi")
         val c = ctx.freshName("c")
         val j = ctx.freshName("j")
+        val i = ctx.freshName("i")
         val d = ctx.freshName("d")
         val t = ctx.freshName("t")
+        val s2 = ctx.freshName("s2")
+        val x = ctx.freshName("x")
+        val inv = ctx.freshName("inv")
         val best = ctx.freshName("best")
         val bestD = ctx.freshName("bestD")
         val base = ctx.freshName("base")
+        val normCode =
+          if (!normalize) s"double $inv = 1.0;"
+          else s"""
+             |double $s2 = 0.0;
+             |for (int $i = 0; $i < ${m * subDim}; $i++) {
+             |  double $x = (double) $a.$get($i);
+             |  $s2 += $x * $x;
+             |}
+             |double $inv = $s2 > 0 ? 1.0 / java.lang.Math.sqrt($s2) : 1.0;
+           """.stripMargin
         s"""
            |if ($a.numElements() != ${m * subDim}) {
            |  ${ev.isNull} = true;
            |} else {
+           |  $normCode
            |  int[] $codes = new int[$m];
            |  for (int $mi = 0; $mi < $m; $mi++) {
            |    int $best = 0;
@@ -118,7 +150,7 @@ object PqExpressions {
            |      double $d = 0.0;
            |      int $base = ($mi * $k + $c) * $subDim;
            |      for (int $j = 0; $j < $subDim; $j++) {
-           |        double $t = (double) $a.$get($mi * $subDim + $j) - $cb[$base + $j];
+           |        double $t = (double) $a.$get($mi * $subDim + $j) * $inv - $cb[$base + $j];
            |        $d += $t * $t;
            |      }
            |      if ($d < $bestD) { $bestD = $d; $best = $c; }

@@ -61,11 +61,18 @@ object Pq {
             (fitFraction * 1000000L).toLong)
         if (s.limit(k).count() < k) base else s
       }
-    // one cached pass feeds all M fits — the sample is small by contract
+    // one cached pass feeds all M fits — the sample is small by contract.
+    // Sub-vectors come from the UNIT vector (x/‖x‖): the codebooks model
+    // directions, matching PqEncode's normalize contract — quantizing raw
+    // vectors would make within-cell cosine ranking degenerate to 1/‖x‖
+    // (every row in a cell shares the ADC numerator)
+    val normExpr = s"sqrt(aggregate($vecCol, 0.0d, " +
+      s"(a, v) -> a + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
     val pinned = sampled.select(
       (0 until m).map(mi => expr(
-        s"transform(slice($vecCol, ${mi * subDim + 1}, $subDim), x -> CAST(x AS DOUBLE))")
-        .as(s"__sub$mi")): _*).cache()
+        s"transform(slice($vecCol, ${mi * subDim + 1}, $subDim), " +
+          s"x -> CAST(x AS DOUBLE) / nullif($normExpr, 0.0d))")
+        .as(s"__sub$mi")): _*).na.drop().cache()
     try {
       val codebooks = (0 until m).map { mi =>
         // maxIter bounds the fit's JOB COUNT (m fits × iterations, each an
@@ -84,9 +91,11 @@ object Pq {
     } finally { pinned.unpersist(); () }
   }
 
-  /** `df` + `codesCol` (array<int>, one centroid id per sub-space) +
-    * `normCol` (the vector's true L2 norm — what cosine search needs
-    * after the vector itself is gone). Codegen, partition-local. */
+  /** `df` + `codesCol` (array<int> — one centroid id per sub-space,
+    * quantizing the UNIT vector, [[graft.functions.PqExpressions.PqEncode]]'s
+    * cosine contract) + `normCol` (the true L2 norm: the zero-vector
+    * filter, and the magnitude if callers reconstruct). Codegen,
+    * partition-local. */
   def encode(df: DataFrame, vecCol: String, model: Model,
              codesCol: String = "pq_codes", normCol: String = "pq_norm"): DataFrame = {
     val dvec = expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))")
@@ -118,25 +127,27 @@ object Pq {
     }
   }
 
-  /** ADC top-k by approximate cosine over an [[encode]]d frame: the scan
-    * touches ONLY the code and norm columns (parquet pruning — the float
-    * vectors, if stored at all, stay unread). `refine` > 1 widens the ADC
-    * candidate list to `refine·k` and exactly re-scores it against
-    * `vecCol` (which must then still exist) — the standard PQ re-rank
-    * that recovers near-exact top-k while still skipping ~all of the
-    * corpus. Output: (idCol, sim) — rounded like every similarity
-    * surface here. */
+  /** ADC top-k by approximate cosine over an [[encode]]d frame: codes are
+    * unit-vector quantizations ([[encode]]'s contract), the query
+    * normalizes driver-side, so the ADC lookup sum IS the approximate
+    * cosine — no per-row division, and the scan touches ONLY the code and
+    * norm columns (parquet pruning — the float vectors, if stored at all,
+    * stay unread). `refine` > 1 widens the ADC candidate list to
+    * `refine·k` and exactly re-scores it against `vecCol` (which must
+    * then still exist) — the standard PQ re-rank that recovers near-exact
+    * top-k while still skipping ~all of the corpus. Output: (idCol, sim)
+    * — rounded like every similarity surface here. */
   def searchCosine(encoded: DataFrame, model: Model, idCol: String,
                    query: Array[Double], k: Int, refine: Int = 1,
                    vecCol: String = "vec", codesCol: String = "pq_codes",
                    normCol: String = "pq_norm"): DataFrame = {
     require(refine >= 1, "refine must be >= 1")
     val qNorm = math.sqrt(query.map(x => x * x).sum)
-    val table = distTable(model, query, "dot")
+    require(qNorm > 0, "searchCosine: zero query vector")
+    val table = distTable(model, query.map(_ / qNorm), "dot")
     val approx = encoded
-      .withColumn("__adc", PqExpressions.pqAdc(col(codesCol), table))
-      .filter(col("__adc").isNotNull && col(normCol) > 0)
-      .withColumn("__sim", col("__adc") / (col(normCol) * lit(qNorm)))
+      .withColumn("__sim", PqExpressions.pqAdc(col(codesCol), table))
+      .filter(col("__sim").isNotNull && col(normCol) > 0)
     if (refine <= 1)
       approx.select(col(idCol), round(col("__sim"), 4).as("sim"))
         .orderBy(desc("sim"), col(idCol)).limit(k)

@@ -221,7 +221,10 @@ object PipelineQueries {
       val q = e.filter(col("vec_id") === 0)
         .selectExpr("transform(embedding, x -> CAST(x AS DOUBLE)) AS q")
         .as[Seq[Double]].head().toArray
-      val table = Pq.distTable(model, q, "dot")
+      // store the UNIT-query table — exactly what searchCosine sums
+      // (codes quantize unit vectors, so the ADC sum IS the cosine)
+      val qn = math.sqrt(q.map(x => x * x).sum)
+      val table = Pq.distTable(model, q.map(_ / qn), "dot")
       table.zipWithIndex.flatMap { case (row, m) =>
         row.zipWithIndex.map { case (v, c) => (m, c, v) }
       }.toDF("m", "code", "val")
@@ -638,15 +641,10 @@ object PipelineQueries {
          |  SELECT * FROM read_parquet('$pqCodesPath/*.parquet')),
          |tbl AS (
          |  SELECT * FROM read_parquet('$pqTablePath/*.parquet')),
-         |q AS (
-         |  SELECT sqrt(list_dot_product(
-         |    list_transform(embedding, x -> CAST(x AS DOUBLE)),
-         |    list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS qnorm
-         |  FROM embeddings WHERE vec_id = 0),
          |scored AS (
-         |  SELECT c.vec_id,
-         |    ROUND(SUM(t.val) / (MAX(c.pq_norm) * MAX(q.qnorm)), 4) AS sim
-         |  FROM codes c JOIN tbl t ON t.m = c.m AND t.code = c.code, q
+         |  SELECT c.vec_id, ROUND(SUM(t.val), 4) AS sim
+         |  FROM codes c JOIN tbl t ON t.m = c.m AND t.code = c.code
+         |  WHERE c.pq_norm > 0
          |  GROUP BY c.vec_id)
          |SELECT vec_id, sim FROM scored ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
     "d_exact_dedup" ->

@@ -136,7 +136,15 @@ object RevisionCompaction {
     * overwritten by the next attempt; a failure after it leaves the
     * superseded files for [[vacuum]]. `vacuum = false` defers the
     * deletion entirely (grace for long-running readers on object
-    * storage — POSIX readers hold their open files either way). */
+    * storage — POSIX readers hold their open files either way).
+    *
+    * Run ONE compactor per table (the table's single-writer discipline
+    * extends to maintenance): two compactors racing the same revision
+    * would write the same generation directory concurrently, and while
+    * the overlay `createNew` picks exactly one publisher, the loser's
+    * in-flight overwrite can clobber data files the winner's manifest
+    * already named. The auto-compaction policy satisfies this by
+    * construction — it runs inside the (single) writer's commit. */
   /** `clusterBy` re-clusters the rewrite: rows range-partition on the
     * listed columns and sort within files, so the new footers carry tight
     * min/max on them — compaction doubles as the re-clustering window

@@ -769,7 +769,19 @@ object TemporalTable {
           new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
           Map("basePath" -> path))(spark)
         spark.baseRelationToDataFrame(relation)
-      } else spark.read.parquet(path)
+      } else {
+        // listing fallback (pre-manifest commits only). It cannot serve an
+        // in-place-compacted revision — its files hide under rev=N/_c<gen>/
+        // and the originals are vacuumed; compactRevision refuses tables
+        // with manifest-less commits up front, so this can only trip on
+        // hand-edited logs — fail loud rather than return partial history
+        require(!RevisionCompaction.overlays(path).keySet
+            .exists(r => eligible.exists(_.revision == r)),
+          s"$path mixes in-place-compacted revisions with pre-manifest " +
+            "commits — the listing fallback would silently drop compacted " +
+            "revisions' rows")
+        spark.read.parquet(path)
+      }
     snapshots
       .withColumnRenamed("rev", "revision")
       .filter(col("revision").isin(eligible.map(_.revision): _*))
