@@ -184,14 +184,14 @@ object Corpus {
     * frequent-items construction; no reference analog — corpus operators
     * are parity-plus):
     *
-    *  1. every partition streams its documents through a `k`-counter
-    *     Misra-Gries summary (O(k) memory however large the partition).
-    *     An item with global frequency > n/k must exceed its local quota
-    *     n_p/k in at least one partition (else summing the per-partition
-    *     bounds caps it at n/k), so the union of partition survivors is a
-    *     guaranteed superset of the true heavy hitters. Text never
-    *     shuffles; each partition emits ≤ k tokens.
-    *  2. the candidate set (≤ k · partitions rows, broadcast-sized by
+    *  1. every partition streams its documents through a `2k`-counter
+    *     batched Misra-Gries summary (O(k) memory however large the
+    *     partition). An item with global frequency > n/k must exceed its
+    *     local quota n_p/k in at least one partition (else summing the
+    *     per-partition bounds caps it at n/k), so the union of partition
+    *     survivors is a guaranteed superset of the true heavy hitters.
+    *     Text never shuffles; each partition emits ≤ 2k tokens.
+    *  2. the candidate set (≤ 2k · partitions rows, broadcast-sized by
     *     construction) semi-joins the re-tokenized corpus map-side and
     *     exact counts apply the threshold freq · k > n. False candidates
     *     die here, so the output is EXACT and independent of
@@ -207,25 +207,32 @@ object Corpus {
     // (tagged row) so the threshold needs no third scan
     val summaries = df.select(col(textCol).cast("string")).as[String]
       .mapPartitions { texts =>
-        // Misra-Gries with DEFERRED decrements: a miss against a full
-        // table books a unit of debt instead of sweeping all k counters
-        // (classic MG is O(k) per miss → O(n·k) worst case); a sweep
-        // subtracting the accumulated debt and evicting exhausted
-        // counters runs only once the debt reaches k, so the amortized
-        // cost per token is O(1). Equivalent superset guarantee: total
-        // debt ≤ n_p/k exactly as one-at-a-time decrements, so a token
-        // with freq_p > n_p/k keeps a positive effective count and
-        // survives every sweep.
+        // Batched Misra-Gries (the mergeable-summaries purge, Agarwal et
+        // al. 2013; same scheme as DataSketches' frequent-items): hold up
+        // to 2k counters, insert misses at count 1, and when the table
+        // fills subtract the upper-median value m from every counter,
+        // evicting the non-positive half. Soundness: ≥ k counters sit at
+        // or above the median, so each purge destroys ≥ k·m units of
+        // inserted mass; with n_p total insertions, Σ m_i ≤ n_p/k, and a
+        // token's stored count undercounts its true partition frequency
+        // by at most Σ m_i — so freq_p > n_p/k stays positive and
+        // survives to the candidate set. (A prior "deferred decrement"
+        // variant charged misses that classic MG would have turned into
+        // insertions as debt against live counters, which could evict
+        // true heavy hitters; this purge has the textbook bound.) Each
+        // purge frees ≥ half the slots → amortized O(log k) per miss.
+        val cap = 2 * k
         val counters = scala.collection.mutable.HashMap.empty[String, Long]
-        var debt = 0L
         var total = 0L
-        def sweep(): Unit = if (debt > 0) {
+        def purge(): Unit = {
+          val vals = counters.values.toArray
+          java.util.Arrays.sort(vals)
+          val m = vals(vals.length / 2)
           counters.keys.toArray.foreach { kk =>
-            val c = counters(kk) - debt
+            val c = counters(kk) - m
             if (c <= 0L) counters.remove(kk)
             else counters.update(kk, c)
           }
-          debt = 0L
         }
         texts.foreach { t =>
           if (t != null) t.split(' ').foreach { w =>
@@ -234,16 +241,12 @@ object Corpus {
               counters.get(w) match {
                 case Some(c) => counters.update(w, c + 1L)
                 case None =>
-                  if (counters.size >= k) {
-                    debt += 1L
-                    if (debt >= k) sweep()
-                  }
-                  if (counters.size < k) counters.update(w, debt + 1L)
+                  if (counters.size >= cap) purge()
+                  counters.update(w, 1L)
               }
             }
           }
         }
-        sweep()
         counters.keysIterator.map(w => (w, false, 0L)) ++
           Iterator(("", true, total))
       }.toDF("token", "is_total", "n")

@@ -95,18 +95,32 @@ object Intervals {
     * aggregate: the running max of prior ends marks island starts, a
     * running count of starts labels islands, min/max per island emits the
     * merged intervals. Shuffles once on the keys — no self-join, no
-    * quadratic pair scan, per-key work linear in its interval count. */
+    * quadratic pair scan, per-key work linear in its interval count.
+    *
+    * A null `to` is an OPEN interval `[from, ∞)` (this module's [[stab]]
+    * convention): it absorbs every later interval of its key, and an
+    * island containing one ends open (null). The null handling is
+    * explicit flags, not a sentinel — `max` skips SQL nulls, so a naive
+    * running max would silently split islands after an open row. */
   def coalesceIntervals(df: DataFrame, keys: Seq[String],
                         fromCol: String, toCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(fromCol), col(toCol))
-    val prevMaxTo = max(col(toCol)).over(w.rowsBetween(Window.unboundedPreceding, -1))
-    val isStart = when(prevMaxTo.isNull || col(fromCol) > prevMaxTo, 1).otherwise(0)
+    val prec = w.rowsBetween(Window.unboundedPreceding, -1)
+    val prevMaxTo = max(col(toCol)).over(prec)
+    // null if no preceding row; 1 if any preceding interval is open
+    val prevOpen = max(col(toCol).isNull.cast("int")).over(prec)
+    val isStart = when(prevOpen.isNull, 1) // first row of the key
+      .when(prevOpen === 1, 0) // an open predecessor covers everything
+      .when(col(fromCol) > prevMaxTo, 1)
+      .otherwise(0)
     df.withColumn("__island",
         sum(isStart).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy((keys.map(col) :+ col("__island")): _*)
-      .agg(min(col(fromCol)).as(fromCol), max(col(toCol)).as(toCol))
+      .agg(min(col(fromCol)).as(fromCol),
+        when(max(col(toCol).isNull.cast("int")) === 1, lit(null))
+          .otherwise(max(col(toCol))).as(toCol))
       .drop("__island")
   }
 

@@ -66,13 +66,20 @@ object Pq {
     // directions, matching PqEncode's normalize contract — quantizing raw
     // vectors would make within-cell cosine ranking degenerate to 1/‖x‖
     // (every row in a cell shares the ADC numerator)
-    val normExpr = s"sqrt(aggregate($vecCol, 0.0d, " +
-      s"(a, v) -> a + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
-    val pinned = sampled.select(
-      (0 until m).map(mi => expr(
-        s"transform(slice($vecCol, ${mi * subDim + 1}, $subDim), " +
-          s"x -> CAST(x AS DOUBLE) / nullif($normExpr, 0.0d))")
-        .as(s"__sub$mi")): _*).na.drop().cache()
+    // the norm is a separate projected column, NOT inlined in each slice
+    // lambda (inlined it re-evaluates the O(dim) aggregate once per output
+    // element → O(dim²)/row), and zero-norm rows are FILTERED here — a
+    // nullif'd norm would null array *elements*, which na.drop (row-level
+    // null columns only) passes through into array_to_vector/KMeans
+    val pinned = sampled
+      .withColumn("__norm", expr(s"sqrt(aggregate($vecCol, 0.0d, " +
+        s"(a, v) -> a + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"))
+      .filter(col("__norm") > 0.0)
+      .select(
+        (0 until m).map(mi => expr(
+          s"transform(slice($vecCol, ${mi * subDim + 1}, $subDim), " +
+            s"x -> CAST(x AS DOUBLE) / __norm)")
+          .as(s"__sub$mi")): _*).na.drop().cache()
     try {
       val codebooks = (0 until m).map { mi =>
         // maxIter bounds the fit's JOB COUNT (m fits × iterations, each an

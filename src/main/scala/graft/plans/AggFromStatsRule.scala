@@ -445,7 +445,13 @@ case class AggFromStatsRule(spark: SparkSession) extends Rule[LogicalPlan] {
       val cells = outs.flatten.map {
         case GroupPass(a) => groupTokenToCatalyst(byPos(a.name), a.dataType)
         case GroupAgg(NdvOf(a)) =>
-          if (coveringSeq.exists(_.contains(a.name)))
+          // token union is exact only when EVERY contributing dir's
+          // covering tuple carries the column — a dir whose covering
+          // lacks it contributed zero tokens (its ndvIdx filter dropped
+          // the column), so exists() would serve a silent undercount on
+          // mixed coverings (e.g. one revision's wide tuple exceeded the
+          // write-time cardinality bound). Mixed → fall through / bail.
+          if (coveringSeq.nonEmpty && coveringSeq.forall(_.contains(a.name)))
             // distinct non-NULL tokens of a tuple column among the
             // surviving entries — exact by section completeness
             Some(ndvSets.getOrElse(a.name, Set.empty).flatten.size.toLong)

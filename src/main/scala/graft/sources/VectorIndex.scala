@@ -146,12 +146,25 @@ object VectorIndex {
     // element-wise). A re-embedded row appends its new vector next to the
     // stale one: search(exact = true) recomputes from the snapshot, and
     // rebuild purges.
-    val newRows = snapshotVectors(spark, tablePath, latest, spec)
+    val changed = snapshotVectors(spark, tablePath, latest, spec)
       .join(snapshotVectors(spark, tablePath, upTo, spec)
         .select(col(spec.idCol), col(spec.vecCol).as("__prev_vec")),
         Seq(spec.idCol), "left_outer")
       .filter(col("__prev_vec").isNull || col("__prev_vec") =!= col(spec.vecCol))
       .drop("__prev_vec")
+    // a row that re-embeds BACK to a vector already in the layout (A→B→A
+    // across maintains: rev-over-rev diff sees B→A as changed, but the A
+    // copy from the first index pass is still stored) must not append a
+    // byte-identical duplicate — raw search would return the id twice.
+    // The guard anti-joins the increment against the layout's (id, vec)
+    // pairs for exactly the increment's ids (semi-join first so only the
+    // touched ids' index rows join, not the whole layout).
+    val incrementIds = broadcast(changed.select(spec.idCol).distinct())
+    val alreadyStored = spark.read.parquet(path)
+      .select(col(spec.idCol), col(spec.vecCol))
+      .join(incrementIds, Seq(spec.idCol), "left_semi")
+    val newRows = changed.join(alreadyStored,
+      Seq(spec.idCol, spec.vecCol), "left_anti")
     val assigned = IvfIndex.assignCells(newRows, model, spec.vecCol)
       .withColumn("ivf_cell", col("ivf_cell").cast("int"))
     val count =
@@ -286,10 +299,18 @@ object VectorIndex {
     val path = dataDir(tablePath, name)
     val live = snapshotVectors(spark, tablePath, latest, spec)
       .select(col(spec.idCol), col(spec.vecCol).as("__live_vec"))
+    // beyond stale-vector ghosts, byte-identical DUPLICATE copies of one
+    // id (legacy layouts written before maintain's already-stored guard:
+    // A→B→A re-embeds appended a second A) are ghosts past the first —
+    // they all match the live vector, so the stale test alone keeps every
+    // copy and raw search returns the id twice
+    val dupRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(spec.idCol), col(spec.vecCol)).orderBy(col("ivf_cell"))
     val flagged = spark.read.parquet(path)
       .join(live, Seq(spec.idCol), "left_outer")
       .withColumn("__ghost",
-        col("__live_vec").isNull || col("__live_vec") =!= col(spec.vecCol))
+        col("__live_vec").isNull || col("__live_vec") =!= col(spec.vecCol) ||
+          row_number().over(dupRank) > 1)
       .drop("__live_vec")
     val pinned = flagged.persist()
     try {

@@ -349,6 +349,27 @@ class CorpusSpec extends SparkSpec {
     assert(r == Seq(("hot", 600L)), s"got $r")
   }
 
+  test("heavyHitters: eviction-pressure adversary keeps a just-over-threshold hitter") {
+    // One partition, k=4: a heavy token at frequency barely above n/k,
+    // interleaved with a flood of distinct singletons that forces many
+    // summary purges. The retired "deferred decrement" sweep charged
+    // would-be-insertions as debt against live counters and evicted the
+    // true hitter here; the batched-median purge must keep it (total
+    // subtraction ≤ n_p/k < freq).
+    val fillers = (1 to 40).map(i => s"f$i")
+    // interleave: h f1 f2 f3 h f4 f5 f6 h ... → h ×14, fillers ×40, n = 54
+    val words = fillers.grouped(3).zipWithIndex.flatMap { case (g, _) =>
+      "h" +: g
+    }.toSeq ++ Seq.fill(14 - (40 + 2) / 3)("h")
+    val hCount = words.count(_ == "h")
+    val n = words.size
+    assert(hCount * 4 > n, s"fixture broken: $hCount*4 <= $n")
+    val df = Seq((1L, words.mkString(" "))).toDF("doc_id", "text").coalesce(1)
+    val r = Corpus.heavyHitters(df, "doc_id", "text", k = 4)
+      .as[(String, Long)].collect().toSeq
+    assert(r == Seq(("h", hCount.toLong)), s"got $r, expected h x$hCount of n=$n")
+  }
+
   test("heavyHitters differential: equals exact groupBy counts on skewed random text") {
     import org.apache.spark.sql.functions.{col, desc, explode, split}
     // seeded zipf-ish corpus: token t_j appears ~ 1/j as often; exact

@@ -148,6 +148,22 @@ class IntervalsOrdpathSpec extends SparkSpec {
     assert(got == Seq(("u1", 0L, 12L), ("u1", 20L, 25L), ("u2", 0L, 1L)))
   }
 
+  test("coalesceIntervals: open (null-end) intervals absorb successors and stay open") {
+    val iv = Seq(
+      ("u1", 1L, Option.empty[Long]),   // open [1,∞) …
+      ("u1", 2L, Some(5L)),             // … absorbs this (max() would skip the null)
+      ("u1", 40L, Some(45L)),           // absorbed too: open predecessor
+      ("u2", 0L, Some(3L)), ("u2", 10L, None), ("u2", 4L, Some(6L)),
+      ("u3", 0L, Some(2L))              // closed key unaffected
+    ).toDF("k", "vf", "vt")
+    val got = Intervals.coalesceIntervals(iv, Seq("k"), "vf", "vt")
+      .orderBy("k", "vf").as[(String, Long, Option[Long])].collect().toSeq
+    assert(got == Seq(
+      ("u1", 1L, None),                 // ONE island, open end survives
+      ("u2", 0L, Some(3L)), ("u2", 4L, Some(6L)), ("u2", 10L, None),
+      ("u3", 0L, Some(2L))), s"got $got")
+  }
+
   test("timeWeightedAvg integrates a piecewise-constant signal exactly") {
     // value 2.0 for 10 units, 8.0 for 30 units -> avg = (20+240)/40 = 6.5
     val iv = Seq(("k", 0L, 10L, 2.0), ("k", 10L, 40L, 8.0))

@@ -35,6 +35,16 @@ class PqSpec extends SparkSpec {
 
   private lazy val model = Pq.fit(corpus, "vec", dim = Dim, m = 8, k = 16)
 
+  test("fit tolerates all-zero vectors (filtered, not nulled into KMeans)") {
+    // a legal zero vector must not crash the fit: the old nullif-divide
+    // nulled array ELEMENTS, which na.drop (row-level) passed straight
+    // into array_to_vector → NPE inside the KMeans job
+    val withZero = corpus.union(
+      Seq((999L, Array.fill(Dim)(0.0).toSeq)).toDF("id", "vec"))
+    val m2 = Pq.fit(withZero, "vec", dim = Dim, m = 8, k = 16)
+    assert(m2 == model, "zero vector must be excluded from the fit sample")
+  }
+
   test("codebook shape and determinism") {
     assert(model.m == 8 && model.k == 16 && model.subDim == 4)
     val again = Pq.fit(corpus, "vec", dim = Dim, m = 8, k = 16)

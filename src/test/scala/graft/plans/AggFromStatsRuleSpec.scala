@@ -339,6 +339,29 @@ class AggFromStatsRuleSpec extends SparkSpec {
     assert(q4.as[(String, Long)].collect().toSet == Set(("a", 3L), ("b", 2L)))
   }
 
+  test("count(distinct) refuses mixed coverings — a tokenless dir must bail the union") {
+    AggFromStatsRule.install(spark)
+    val base = java.nio.file.Files.createTempDirectory("graft-aggstats-mixcov").toString
+    val d1 = s"$base/r1"; val d2 = s"$base/r2"
+    Seq(("a", "x", 1), ("a", "y", 2)).toDF("g", "c", "v").write.parquet(d1)
+    Seq(("a", "z", 3), ("a", "x", 4)).toDF("g", "c", "v").write.parquet(d2)
+    // r1's sidecar covers (g, c) — carries c tokens; r2 recorded only (g)
+    // (the shape a write-time cardinality bound or recipe change leaves
+    // behind). A union over r1's tokens alone would answer 2; the true
+    // distinct-c under g=a is 3 — the fold must refuse, not undercount.
+    StatsSidecar.write(spark, d1, groupCols = Seq(Seq("g", "c")))
+    StatsSidecar.write(spark, d2, groupCols = Seq(Seq("g")))
+    val q = spark.read.parquet(d1, d2).groupBy("g")
+      .agg(countDistinct(col("c")).as("dc"))
+    assert(!rewritten(q), "mixed coverings must bail to the scan")
+    assert(q.as[(String, Long)].collect().toSet == Set(("a", 3L)))
+    // non-NDV aggregates over the same mixed pair still fold fine
+    val q2 = spark.read.parquet(d1, d2).groupBy("g")
+      .agg(count(lit(1)).as("n"), sum("v").as("sv"))
+    assert(rewritten(q2))
+    assert(q2.as[(String, Long, Long)].collect().toSet == Set(("a", 4L, 10L)))
+  }
+
   test("per-group NDV of a non-tuple column folds only when entries are groups") {
     AggFromStatsRule.install(spark)
     val base = java.nio.file.Files.createTempDirectory("graft-aggstats-gndv").toString

@@ -153,6 +153,44 @@ class VectorIndexSpec extends SparkSpec {
     assert(approx.sameElements(raw))
   }
 
+  test("A→B→A re-embed never duplicates a stored copy; purge drops legacy dups") {
+    val p = Files.createTempDirectory("graft-vecidx-aba").resolve("tbl").toString
+    val idxPath = s"$p/_vecidx/aba"
+    TemporalTable.write(rows(0L until 64L), p) // id 8 ≡ 0 mod 4 → cluster 0
+    VectorIndex.create(spark, p, "aba", "node_key", "embedding", nLists = 4)
+    def copiesOf(id: Long) = spark.read.parquet(idxPath)
+      .filter(col("node_key") === id)
+      .select("embedding").as[Seq[Double]].collect().toSeq
+    val a = vec(0, 8L).toSeq
+    // rev 2: re-embed id 8 to cluster 2 (vector B)
+    TemporalTable.write(rows(0L until 64L).filter($"node_key" =!= 8L)
+      .union(Seq((8L, vec(2, 8L).toSeq)).toDF("node_key", "embedding")), p)
+    assert(VectorIndex.maintain(spark, p, "aba") == 1L)
+    // rev 3: re-embed BACK to the original vector A — the rev-over-rev
+    // diff sees a change, but A is already stored from the create pass:
+    // maintain must not append a byte-identical duplicate
+    TemporalTable.write(rows(0L until 64L), p)
+    assert(VectorIndex.maintain(spark, p, "aba") == 0L,
+      "re-appearing vector must be recognized as already stored")
+    assert(copiesOf(8L).sorted(Ordering.by((s: Seq[Double]) => s.mkString(","))) ==
+      Seq(a, vec(2, 8L).toSeq).sorted(Ordering.by((s: Seq[Double]) => s.mkString(","))),
+      "layout must hold exactly A and the ghost B, no duplicate A")
+    // a LEGACY layout (written before the guard) may already carry the
+    // duplicate: simulate one, then purge must ghost it past the first
+    val aCell = spark.read.parquet(idxPath).filter(col("node_key") === 8L)
+      .filter(col("embedding") === typedLit(a))
+      .select(col("ivf_cell").cast("int")).as[Int].head()
+    Seq((8L, a, aCell)).toDF("node_key", "embedding", "ivf_cell")
+      .write.mode("append").partitionBy("ivf_cell").parquet(idxPath)
+    assert(copiesOf(8L).count(_ == a) == 2, "fixture: duplicate appended")
+    assert(VectorIndex.purge(spark, p, "aba") == 2L, "ghost B + duplicate A")
+    assert(copiesOf(8L) == Seq(a), "exactly one live copy after purge")
+    val hits = IvfIndex.searchClustered(spark, idxPath, "node_key",
+      "embedding", vec(0, 8L), k = 8, nProbe = 1).select("node_key")
+      .as[Long].collect().toSeq
+    assert(hits.count(_ == 8L) == 1, s"raw search must see id 8 once: $hits")
+  }
+
   test("purge drops ghosts physically; clean cells keep files; centroids unchanged") {
     val p = Files.createTempDirectory("graft-vecidx-purge").resolve("tbl").toString
     TemporalTable.write(rows(0L until 64L), p)
