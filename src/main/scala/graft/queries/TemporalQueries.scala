@@ -269,6 +269,40 @@ object TemporalQueries {
           col("revision"))
         .orderBy("revision", "node_key")
     },
+    // in-place compaction of a DELTA chain: full + delta revisions
+    // bin-packed at their own revision numbers, originals vacuumed, and
+    // the reconstruction/history read paths still answer through the
+    // compaction overlay (SURVEY.md §1.5/§2.14; the reference rewrites
+    // delta-versioned pages compact the same way —
+    // bundles/sirix-core/src/main/java/io/sirix/settings/VersioningType.java)
+    "t_compact_delta" -> { (s, d) =>
+      val p = java.nio.file.Files.createTempDirectory("graft-compact-delta")
+        .toString + "/tbl"
+      val src = t(s, d, "orders").select(
+        col("o_orderkey").as("node_key"), col("o_totalprice"), col("o_orderstatus"))
+      // rev 1 full; rev 2 delta (drops F-status rows); rev 3 delta
+      // (re-prices open orders) — snapshotEvery=4 keeps 2-3 as deltas
+      val st2 = src.filter(col("o_orderstatus") =!= "F")
+      val st3 = st2.withColumn("o_totalprice",
+        when(col("o_orderstatus") === "O", col("o_totalprice") * 2)
+          .otherwise(col("o_totalprice")))
+      graft.sources.DeltaTemporalTable.write(s, src.repartition(8), p,
+        keys = Seq("node_key"), snapshotEvery = 4)
+      graft.sources.DeltaTemporalTable.write(s, st2, p,
+        keys = Seq("node_key"), snapshotEvery = 4)
+      graft.sources.DeltaTemporalTable.write(s, st3, p,
+        keys = Seq("node_key"), snapshotEvery = 4)
+      val done = graft.sources.RevisionCompaction.compactHistory(
+        s, p, targetFileBytes = 1L << 40)
+      require(done.contains(1), s"full revision 1 did not compact: $done")
+      require(graft.sources.MetaIO.listFiles(s"$p/rev=1").isEmpty,
+        "rev=1 originals were not vacuumed — the read below would not prove " +
+          "overlay-only visibility on the delta reconstruction path")
+      graft.sources.DeltaTemporalTable.readAllRevisions(s, p)
+        .select(col("node_key"), col("o_totalprice"), col("o_orderstatus"),
+          col("revision"))
+        .orderBy("revision", "node_key")
+    },
     // tumbling-window aggregation on the event-time axis (streaming parity,
     // SURVEY.md §2.12, exercised as a batch query)
     "t_window_tumbling" -> { (s, d) =>
@@ -479,6 +513,22 @@ object TemporalQueries {
         |  SELECT o_orderkey AS node_key, o_totalprice * 2 AS o_totalprice,
         |    o_orderstatus, CAST(2 AS INTEGER) AS revision
         |  FROM orders WHERE o_orderstatus = 'O'
+        |) ORDER BY revision, node_key""".stripMargin,
+    "t_compact_delta" ->
+      """SELECT * FROM (
+        |  SELECT o_orderkey AS node_key, o_totalprice, o_orderstatus,
+        |    CAST(1 AS INTEGER) AS revision
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey AS node_key, o_totalprice, o_orderstatus,
+        |    CAST(2 AS INTEGER) AS revision
+        |  FROM orders WHERE o_orderstatus <> 'F'
+        |  UNION ALL
+        |  SELECT o_orderkey AS node_key,
+        |    CASE WHEN o_orderstatus = 'O' THEN o_totalprice * 2
+        |         ELSE o_totalprice END AS o_totalprice,
+        |    o_orderstatus, CAST(3 AS INTEGER) AS revision
+        |  FROM orders WHERE o_orderstatus <> 'F'
         |) ORDER BY revision, node_key""".stripMargin,
     "t_window_tumbling" ->
       """SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour_bucket,

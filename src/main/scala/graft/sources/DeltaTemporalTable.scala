@@ -61,11 +61,21 @@ object DeltaTemporalTable {
     baseFullIn(log, rev)
   }
 
+  /** The directory serving revision `rev` — the original `rev=N/` or, if
+    * the revision was compacted in place, its live generation directory
+    * ([[RevisionCompaction]]; the originals may be vacuumed). Resolve the
+    * overlay map ONCE per logical read and thread it through — every
+    * delta read path below goes through this, never a bare `rev=N`. */
+  private def effDir(path: String, rev: Int,
+                     ovs: Map[Int, RevisionCompaction.Overlay]): String =
+    RevisionCompaction.effectiveDir(path, rev, ovs)
+
   /** Schema of the reconstructed table at `upTo` = its governing full
     * snapshot's (deltas add only the `__change_type` marker, which
     * reconstruction drops) — footer-only driver-side read, no job. */
   def baseSchema(path: String, upTo: Option[Int] = None): org.apache.spark.sql.types.StructType =
-    SparkSession.active.read.parquet(s"$path/rev=${baseFullRevision(path, upTo)}").schema
+    SparkSession.active.read.parquet(
+      effDir(path, baseFullRevision(path, upTo), RevisionCompaction.overlays(path))).schema
 
   /** Resolve V2-option-style pinning (`revision` / `asOfTimestampMs`)
     * against the delta commit log; None = latest. */
@@ -96,9 +106,15 @@ object DeltaTemporalTable {
     val ts = System.currentTimeMillis()
     val token = TemporalTable.writerToken(path, rev)
       .getOrElse(java.util.UUID.randomUUID().toString)
+    // data-file manifest, as on snapshot commits: in-place compaction
+    // ([[RevisionCompaction]]) decides eligibility and vacuums originals
+    // from the commit log alone — zero listings of an aged chain
+    val files = MetaIO.listFiles(s"$path/rev=$rev")
+      .map { case (n, s) => s"$n|$s" }.mkString(";")
     val json = s"""{"revision":$rev,"commitTsMs":$ts,""" +
       s""""author":"${TemporalTable.escapeJson(author)}",""" +
       s""""message":"${TemporalTable.escapeJson(message)}","kind":"$kind",""" +
+      s""""files":"${TemporalTable.escapeJson(files)}",""" +
       s""""writerId":"$token"}"""
     MetaIO.mkdirs(commitsDir(path))
     MetaIO.createNew(s"${commitsDir(path)}/${"%08d".format(rev)}.json", json)
@@ -153,6 +169,10 @@ object DeltaTemporalTable {
         d.write.mode("overwrite").parquet(s"$path/rev=$rev")
         logCommit(path, rev, author, message, "delta")
       }
+      // persisted in-place compaction policy, same post-commit point as
+      // the snapshot layout (we ARE the single writer here — the policy's
+      // one-compactor discipline holds by construction)
+      RevisionCompaction.maybeAutoCompact(spark, path)
       rev
     } catch {
       case e: Throwable => TemporalTable.abortReservation(path, rev); throw e
@@ -170,9 +190,10 @@ object DeltaTemporalTable {
     require(log.exists(_.revision == rev), s"unknown revision $rev")
     val upTo = log.filter(_.revision <= rev)
     val baseRev = baseFullIn(log, rev)
-    val base = spark.read.parquet(s"$path/rev=$baseRev")
+    val ovs = RevisionCompaction.overlays(path)
+    val base = spark.read.parquet(effDir(path, baseRev, ovs))
     upTo.filter(c => c.revision > baseRev).foldLeft(base) { (snap, c) =>
-      val delta = spark.read.parquet(s"$path/rev=${c.revision}")
+      val delta = spark.read.parquet(effDir(path, c.revision, ovs))
       val keys = delta.columns.toSeq.takeWhile(_ != "__change_type") // keys stored first
       applyDelta(snap, delta, keys)
     }
@@ -194,6 +215,7 @@ object DeltaTemporalTable {
       val current = read(spark, path)
       current.write.mode("overwrite").parquet(s"$path/rev=$rev")
       logCommit(path, rev, author, "compact", "full")
+      RevisionCompaction.maybeAutoCompact(spark, path)
       rev
     } catch {
       case e: Throwable => TemporalTable.abortReservation(path, rev); throw e
@@ -224,9 +246,10 @@ object DeltaTemporalTable {
     * before the `__change_type` marker (driver-side footer read of one
     * delta file). None when the chain holds no delta yet. */
   private def storedKeys(spark: SparkSession, path: String,
-                         log: Seq[Commit]): Option[Seq[String]] =
+                         log: Seq[Commit],
+                         ovs: Map[Int, RevisionCompaction.Overlay]): Option[Seq[String]] =
     log.find(_.kind == "delta").map { c =>
-      spark.read.parquet(s"$path/rev=${c.revision}").schema.fieldNames.toSeq
+      spark.read.parquet(effDir(path, c.revision, ovs)).schema.fieldNames.toSeq
         .takeWhile(_ != "__change_type")
     }
 
@@ -249,8 +272,12 @@ object DeltaTemporalTable {
   private def eventIntervals(spark: SparkSession, path: String,
                              commitsIn: Seq[Commit], epochs: Epochs): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // effective-dir resolution: a compacted revision's live generation dir
+    // (rev=N/_c<g>/) still hive-infers rev=N under basePath = table root —
+    // non-`k=v` components below the first partition component are skipped
+    val ovs = RevisionCompaction.overlays(path)
     val fullDirs = commitsIn.filter(_.kind == "full")
-      .map(c => s"$path/rev=${c.revision}")
+      .map(c => effDir(path, c.revision, ovs))
     require(fullDirs.nonEmpty, "event-interval read needs a full snapshot")
     val deltaCommits = commitsIn.filter(_.kind == "delta")
     val fullDf = spark.read.option("basePath", path).parquet(fullDirs: _*)
@@ -259,7 +286,7 @@ object DeltaTemporalTable {
       if (deltaCommits.isEmpty) fullDf
       else fullDf.unionByName(
         spark.read.option("basePath", path)
-          .parquet(deltaCommits.map(c => s"$path/rev=${c.revision}"): _*))
+          .parquet(deltaCommits.map(c => effDir(path, c.revision, ovs)): _*))
     val epochDf = spark.createDataFrame(
       commitsIn.map(c => (c.revision, epochs.startOf(c.revision), epochs.endOf(c.revision))))
       .toDF("rev", "__epoch", "__epoch_end")
@@ -268,7 +295,7 @@ object DeltaTemporalTable {
       // all-full chain: singleton epochs, nothing supersedes within one
       tagged.withColumn("__valid_to", col("__epoch_end"))
     else {
-      val keys = storedKeys(spark, path, deltaCommits).get
+      val keys = storedKeys(spark, path, deltaCommits, ovs).get
       val w = Window.partitionBy((col("__epoch") +: keys.map(col)): _*)
         .orderBy(col("rev"))
       tagged.withColumn("__valid_to",

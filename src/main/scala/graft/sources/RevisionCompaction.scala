@@ -127,9 +127,17 @@ object RevisionCompaction {
     *
     * Fails fast unless EVERY commit carries a file manifest (pre-manifest
     * tables would fall back to directory listings on the history path,
-    * which a vacuumed revision can no longer serve) and the layout is a
-    * snapshot layout (a delta revision's files are change records — its
-    * chain compacts through its own checkpoint cadence).
+    * which a vacuumed revision can no longer serve).
+    *
+    * Works on BOTH layouts. A delta chain's revisions hold either full
+    * snapshots or change-record files; each bin-packs in place the same
+    * way — the rewrite preserves rows, schema and column order (the
+    * stored-keys-first contract of delta records), and every delta read
+    * path resolves dirs through the overlay
+    * ([[DeltaTemporalTable]] reconstruction, event intervals, the change
+    * feed, the V2 rule). This is compaction of the FILE layout within a
+    * revision; merging deltas ACROSS revisions remains the chain's own
+    * checkpoint cadence ([[DeltaTemporalTable.compact]]).
     *
     * Crash safety: a failure before the overlay `createNew` leaves an
     * orphan `_c<g>` directory that is invisible to every reader and is
@@ -155,9 +163,6 @@ object RevisionCompaction {
                       vacuum: Boolean = true,
                       clusterBy: Seq[String] = Nil): Option[Int] = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
-    require(!DeltaTemporalTable.isDeltaLayout(path),
-      s"compactRevision targets snapshot layouts; $path is delta-encoded " +
-        "(its periodic full checkpoints are the compaction points)")
     val log = TemporalTable.commits(path)
     require(log.exists(_.revision == rev), s"unknown revision $rev at $path")
     val manifests = TemporalTable.commitFileManifests(path)
@@ -260,8 +265,6 @@ object RevisionCompaction {
                         targetFileBytes: Long = 128L << 20): Unit = {
     require(olderThan >= 1, "olderThan must be >= 1")
     require(targetFileBytes > 0, "targetFileBytes must be positive")
-    require(!DeltaTemporalTable.isDeltaLayout(path),
-      "auto-compaction targets snapshot layouts")
     MetaIO.mkdirs(compactionsDir(path))
     MetaIO.delete(policyPath(path))
     MetaIO.createNew(policyPath(path),

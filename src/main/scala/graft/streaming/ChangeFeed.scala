@@ -112,11 +112,16 @@ object ChangeFeed {
     require(wanted.nonEmpty, s"no revisions after $fromRevision at $tablePath")
     val wantedDeltas = wanted.filter(_.kind == "delta")
     val wantedFulls = wanted.filter(_.kind == "full")
+    // in-place-compacted revisions serve from their live generation dir
+    // (hive still infers rev=N below basePath; originals may be vacuumed)
+    val ovs = graft.sources.RevisionCompaction.overlays(tablePath)
+    def eff(rev: Int): String =
+      graft.sources.RevisionCompaction.effectiveDir(tablePath, rev, ovs)
 
     val deltaLeg: Option[DataFrame] =
       if (wantedDeltas.isEmpty) None
       else Some(spark.read.option("basePath", tablePath)
-        .parquet(wantedDeltas.map(c => s"$tablePath/rev=${c.revision}"): _*)
+        .parquet(wantedDeltas.map(c => eff(c.revision)): _*)
         .select(keys.map(col) :+ col("__change_type").as("change_type")
           :+ col("rev").cast("int").as("revision"): _*))
 
@@ -124,7 +129,7 @@ object ChangeFeed {
       if (wantedFulls.isEmpty) None
       else {
         val snapDf = spark.read.option("basePath", tablePath)
-          .parquet(wantedFulls.map(c => s"$tablePath/rev=${c.revision}"): _*)
+          .parquet(wantedFulls.map(c => eff(c.revision)): _*)
         val valueCols = snapDf.columns.toSeq
           .filterNot(c => keys.contains(c) || c == "rev")
         val newSide = snapDf.select(

@@ -140,7 +140,7 @@ class RevisionCompactionSpec extends SparkSpec {
     assert(e.getMessage.contains("streamCommits"))
   }
 
-  test("compactHistory packs all pre-head revisions; delta layouts refused") {
+  test("compactHistory packs all pre-head revisions") {
     val p = tmp("graft-rc-hist")
     (1 to 3).foreach { i =>
       TemporalTable.write(
@@ -158,13 +158,75 @@ class RevisionCompactionSpec extends SparkSpec {
     assert(hist.filter($"revision" === 1).select(functions.sum("v"))
       .as[Long].head() == (1L to 60L).sum)
 
-    val dp = tmp("graft-rc-delta")
-    DeltaTemporalTable.write(spark,
-      Seq((1L, "a")).toDF("node_key", "name"), dp)
-    val err = intercept[IllegalArgumentException] {
-      RevisionCompaction.compactRevision(spark, dp, 1, 1L << 40)
+  }
+
+  test("delta chain compacts in place: every read path identical, originals vacuumed") {
+    val p = tmp("graft-rc-deltachain")
+    // five logical snapshots → rev1 full, rev2-3 deltas, rev4 full
+    // (cadence), rev5 delta; inserts/updates/deletes between them
+    def state(i: Int) = (1L to 100L)
+      .filterNot(k => i >= 3 && k <= 10) // deletes from snapshot 3 on
+      .map(k => (k, if (k % 7 == 0) i.toDouble * k else k.toDouble))
+      .toDF("node_key", "price")
+    (1 to 5).foreach { i =>
+      DeltaTemporalTable.write(spark, state(i).repartition(7), p,
+        keys = Seq("node_key"), snapshotEvery = 3)
     }
-    assert(err.getMessage.contains("delta"))
+    assert(DeltaTemporalTable.commits(p).map(_.kind) ==
+      Seq("full", "delta", "delta", "full", "delta"))
+
+    val beforeReads = (1 to 5).map(r =>
+      rows(DeltaTemporalTable.read(spark, p, Some(r))))
+    val beforeAll = rows(DeltaTemporalTable.readAllRevisions(spark, p)
+      .drop("commit_ts"))
+    val beforeFeed = rows(
+      graft.streaming.ChangeFeed.revisionFeed(spark, p))
+    val beforeV2 = rows(spark.read.format("graft-temporal")
+      .option("revision", 3).load(p))
+
+    // which pre-head revisions are multi-file (fulls are 7-way by
+    // construction; a delta diff's fan-out depends on AQE coalescing)
+    val multiFile = (1 to 4).filter(r => MetaIO.listFiles(s"$p/rev=$r").size > 1).toSet
+    assert(Set(1, 4).subsetOf(multiFile), "fixture: fulls must be fragmented")
+    val done = RevisionCompaction.compactHistory(spark, p, targetFileBytes = 1L << 40)
+    assert(done.keySet == multiFile, s"got $done, expected $multiFile")
+    done.foreach { case (r, g) =>
+      assert(MetaIO.listFiles(s"$p/rev=$r").isEmpty, s"rev $r originals not vacuumed")
+      assert(MetaIO.listFiles(RevisionCompaction.genDir(p, r, g)).size == 1)
+    }
+
+    (1 to 5).foreach { r =>
+      assert(rows(DeltaTemporalTable.read(spark, p, Some(r))) == beforeReads(r - 1),
+        s"reconstruction changed at revision $r")
+    }
+    assert(rows(DeltaTemporalTable.readAllRevisions(spark, p)
+      .drop("commit_ts")) == beforeAll)
+    assert(rows(graft.streaming.ChangeFeed.revisionFeed(spark, p)) == beforeFeed)
+    assert(rows(spark.read.format("graft-temporal")
+      .option("revision", 3).load(p)) == beforeV2)
+    // a fresh commit diffs against the overlay-served predecessor
+    DeltaTemporalTable.write(spark, state(6), p,
+      keys = Seq("node_key"), snapshotEvery = 3)
+    assert(rows(DeltaTemporalTable.read(spark, p)) == rows(state(6)))
+  }
+
+  test("auto-compaction policy on a delta chain retires aging revisions per commit") {
+    val p = tmp("graft-rc-deltaauto")
+    RevisionCompaction.setAutoCompaction(p, olderThan = 1, targetFileBytes = 1L << 40)
+    def state(i: Int) = (1L to 30L).map(k => (k, i.toDouble + k))
+      .toDF("node_key", "price").repartition(5)
+    DeltaTemporalTable.write(spark, state(1), p, snapshotEvery = 3)
+    assert(RevisionCompaction.overlays(p).isEmpty, "head must not auto-compact")
+    DeltaTemporalTable.write(spark, state(2), p, snapshotEvery = 3)
+    assert(RevisionCompaction.overlays(p).keySet == Set(1))
+    assert(MetaIO.listFiles(s"$p/rev=1").isEmpty)
+    // rev 2 is a delta: the policy packs it when it aged IF it is
+    // multi-file (AQE may already have coalesced the diff to one file)
+    val rev2Files = MetaIO.listFiles(s"$p/rev=2").size
+    DeltaTemporalTable.write(spark, state(3), p, snapshotEvery = 3)
+    assert(RevisionCompaction.overlays(p).contains(2) == (rev2Files > 1))
+    (1 to 3).foreach(r =>
+      assert(DeltaTemporalTable.read(spark, p, Some(r)).count() == 30))
   }
 
   test("clusterBy re-clusters the rewrite: key-sorted files, identical rows") {
