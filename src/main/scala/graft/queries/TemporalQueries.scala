@@ -269,6 +269,24 @@ object TemporalQueries {
           col("revision"))
         .orderBy("revision", "node_key")
     },
+    // schema evolution across revisions: a later commit adds a column,
+    // the history frame serves the union schema with nulls where absent
+    // (the reference is schemaless — revisions shape documents freely;
+    // SURVEY.md §1.3; recorded per-commit schemas merged at read)
+    "t_schema_evolution" -> { (s, d) =>
+      val p = java.nio.file.Files.createTempDirectory("graft-evolution")
+        .toString + "/tbl"
+      val src = t(s, d, "orders")
+      graft.sources.TemporalTable.write(
+        src.select(col("o_orderkey").as("node_key"), col("o_totalprice")), p)
+      graft.sources.TemporalTable.write(
+        src.select(col("o_orderkey").as("node_key"), col("o_totalprice"),
+          col("o_orderstatus")), p)
+      graft.sources.TemporalTable.readAllRevisions(s, p)
+        .select(col("node_key"), col("o_totalprice"), col("o_orderstatus"),
+          col("revision"))
+        .orderBy("revision", "node_key")
+    },
     // in-place compaction of a DELTA chain: full + delta revisions
     // bin-packed at their own revision numbers, originals vacuumed, and
     // the reconstruction/history read paths still answer through the
@@ -513,6 +531,16 @@ object TemporalQueries {
         |  SELECT o_orderkey AS node_key, o_totalprice * 2 AS o_totalprice,
         |    o_orderstatus, CAST(2 AS INTEGER) AS revision
         |  FROM orders WHERE o_orderstatus = 'O'
+        |) ORDER BY revision, node_key""".stripMargin,
+    "t_schema_evolution" ->
+      """SELECT * FROM (
+        |  SELECT o_orderkey AS node_key, o_totalprice,
+        |    CAST(NULL AS VARCHAR) AS o_orderstatus, CAST(1 AS INTEGER) AS revision
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey AS node_key, o_totalprice, o_orderstatus,
+        |    CAST(2 AS INTEGER) AS revision
+        |  FROM orders
         |) ORDER BY revision, node_key""".stripMargin,
     "t_compact_delta" ->
       """SELECT * FROM (

@@ -120,8 +120,17 @@ private[graft] object GraftTemporalSource {
     val tablePath = tablePathOf(options)
     val opts = new CaseInsensitiveStringMap(
       (options.asCaseSensitiveMap().asScala.toMap ++ Map("basePath" -> tablePath)).asJava)
+    // an allRevisions scan over an evolved table (revisions with
+    // different recorded schemas) pins the UNION schema — plain footer
+    // inference would pick one representative file and silently drop the
+    // other eras' columns
+    val evolved =
+      if (options.getBoolean("allRevisions", false))
+        TemporalTable.mergedHistorySchema(tablePath,
+          TemporalTable.commits(tablePath).map(_.revision))
+      else None
     ParquetTable(s"graft-temporal $tablePath", SparkSession.active, opts,
-      resolveDataPaths(options), None, classOf[ParquetFileFormat])
+      resolveDataPaths(options), evolved, classOf[ParquetFileFormat])
   }
 }
 
@@ -226,8 +235,20 @@ private[graft] class GraftTable(options: CaseInsensitiveStringMap)
   override def name(): String = s"graft-temporal $tablePath"
   override def schema(): StructType =
     if (isDeltaLayout) deltaSchema else reader.schema
-  override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE).asJava
+  override def capabilities(): java.util.Set[TableCapability] = {
+    val base = Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+    // `evolveSchema` opts an append out of output resolution against the
+    // head revision's schema: the revision is written with the QUERY's
+    // schema (each revision owns its shape — the schemaless contract),
+    // recorded in the commit log, and history reads serve the union.
+    // Without the option, extra/missing columns still fail resolution —
+    // accidental drift should be loud.
+    val s =
+      if (options.getBoolean("evolveSchema", false))
+        base + TableCapability.ACCEPT_ANY_SCHEMA
+      else base
+    s.asJava
+  }
 
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder = {
     if (isDeltaLayout) throw new IllegalStateException(
@@ -298,7 +319,8 @@ private[graft] class GraftTable(options: CaseInsensitiveStringMap)
             // degrades recordRevisions / manifest-pruned diff fast paths
             TemporalTable.writeSidecars(spark, tablePath, nextRev, dataSchema)
             // log AFTER data commit: a failed job never becomes a revision
-            TemporalTable.logCommit(tablePath, nextRev, author, message)
+            TemporalTable.logCommit(tablePath, nextRev, author, message,
+              Some(dataSchema))
             TemporalTable.maybeAutoCompactKeyIndex(spark, tablePath)
             RevisionCompaction.maybeAutoCompact(spark, tablePath)
           }

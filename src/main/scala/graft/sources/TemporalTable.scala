@@ -261,7 +261,9 @@ object TemporalTable {
     * in its UberPage instead of scanning storage
     * (bundles/sirix-core/src/main/java/io/sirix/page/UberPage.java). */
   private[graft] def logCommit(path: String, rev: Int, author: String,
-                               message: String): Unit = {
+                               message: String,
+                               schema: Option[org.apache.spark.sql.types.StructType]
+                                 = None): Unit = {
     requireOwnership(path, rev)
     MetaIO.mkdirs(commitsDir(path))
     val ts = System.currentTimeMillis()
@@ -269,13 +271,66 @@ object TemporalTable {
       .getOrElse(java.util.UUID.randomUUID().toString)
     val files = MetaIO.listFiles(s"$path/rev=$rev")
       .map { case (n, s) => s"$n|$s" }.mkString(";")
+    // the revision's schema (DDL — names and types, not column metadata):
+    // history reads merge these across revisions so a table whose
+    // columns evolved still serves one union frame (the reference is
+    // schemaless — any revision may shape its documents differently)
+    val schemaField = schema
+      .map(s => s""""schemaDdl":"${escapeJson(s.toDDL)}",""").getOrElse("")
     val json = s"""{"revision":$rev,"commitTsMs":$ts,""" +
       s""""author":"${escapeJson(author)}","message":"${escapeJson(message)}",""" +
-      s""""files":"${escapeJson(files)}",""" +
+      s""""files":"${escapeJson(files)}",$schemaField""" +
       s""""writerId":"$token"}"""
     MetaIO.createNew(s"${commitsDir(path)}/${"%08d".format(rev)}.json", json)
     clearReservation(path, rev)
     firePostCommit(path, Commit(rev, ts, author, message))
+  }
+
+  /** Per-revision schemas recorded in the commit log (absent for commits
+    * made before schemas were recorded). Same metadata pass as
+    * [[commits]]. */
+  private[graft] def commitSchemas(path: String)
+      : Map[Int, org.apache.spark.sql.types.StructType] = {
+    val dir = commitsDir(path)
+    val names = MetaIO.list(dir).filter(_.endsWith(".json"))
+    MetaIO.parallelMap(names) { name =>
+      val s = MetaIO.readString(s"$dir/$name")
+      if (!s.contains("\"schemaDdl\"")) None
+      else scala.util.Try(
+        parseField(s, "revision").toInt ->
+          org.apache.spark.sql.types.StructType.fromDDL(parseField(s, "schemaDdl"))
+      ).toOption
+    }.flatten.toMap
+  }
+
+  /** Union schema over the given revisions' recorded schemas — by NAME in
+    * first-seen order (ascending revision), every field nullable (a column
+    * absent from a revision reads as null there). None when any revision
+    * lacks a recorded schema (pre-schema commits — callers fall back to a
+    * single-revision probe) or when every schema is identical (callers
+    * keep the probe, which preserves column METADATA the DDL round-trip
+    * drops — dictionary-surrogate columns ride there). Name collisions at
+    * different types fail loud: nothing can serve both eras in one frame. */
+  private[graft] def mergedHistorySchema(path: String, revs: Seq[Int])
+      : Option[org.apache.spark.sql.types.StructType] = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val recorded = commitSchemas(path)
+    if (!revs.forall(recorded.contains)) return None
+    val ordered = revs.sorted.map(recorded)
+    if (ordered.forall(_ == ordered.head)) return None
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, StructField]
+    ordered.foreach(_.fields.foreach { f =>
+      out.get(f.name) match {
+        case None => out(f.name) = f.copy(nullable = true)
+        case Some(prev) =>
+          require(prev.dataType == f.dataType,
+            s"schema evolution conflict at $path: column '${f.name}' was " +
+              s"${prev.dataType.simpleString} in an earlier revision and " +
+              s"${f.dataType.simpleString} later — a history frame cannot " +
+              "serve both; rename the column instead of retyping it")
+      }
+    })
+    Some(StructType(out.values.toSeq))
   }
 
   /** Per-revision data-file manifests parsed from the commit log —
@@ -441,7 +496,7 @@ object TemporalTable {
         StatsSidecar.write(df.sparkSession, s"$path/rev=$rev",
           ndvCols = ndv, groupCols = groups)
       }
-      logCommit(path, rev, author, message)
+      logCommit(path, rev, author, message, Some(df.schema))
     } catch {
       case e: Throwable => abortReservation(path, rev); throw e
     }
@@ -758,10 +813,14 @@ object TemporalTable {
       .find(c => manifests.get(c.revision).exists(_.nonEmpty)).map(_.revision)
     val snapshots =
       if (eligible.forall(c => manifests.contains(c.revision)) && probeRev.isDefined) {
-        // footer-only schema probe of one revision — the only filesystem
-        // metadata op on this path
-        val dataSchema = spark.read
-          .parquet(RevisionCompaction.effectiveDir(path, probeRev.get)).schema
+        // schema: the union of the revisions' RECORDED schemas when they
+        // differ (schema evolution — a column absent from a revision
+        // reads as null there); otherwise a footer-only probe of one
+        // revision, which also preserves column metadata (dictionary
+        // surrogates) the DDL round-trip drops
+        val dataSchema = mergedHistorySchema(path, eligible.map(_.revision))
+          .getOrElse(spark.read
+            .parquet(RevisionCompaction.effectiveDir(path, probeRev.get)).schema)
         val index = new CommitLogFileIndex(path,
           eligible.map(c => c.revision -> manifests(c.revision)))
         val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(

@@ -1,0 +1,108 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Schema evolution across revisions (the reference is schemaless — any
+  * revision may shape its documents differently; our relational analog is
+  * columns appearing/disappearing between commits). Contract under test:
+  * single-revision reads serve each revision's own schema; history reads
+  * serve the UNION schema with nulls where a column is absent; diff
+  * compares the shared columns; a column retyped across revisions fails
+  * loud instead of serving a mixed frame. */
+class SchemaEvolutionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp() =
+    Files.createTempDirectory("graft-evol").resolve("tbl").toString
+
+  test("history reads serve the union schema; absent columns read as null") {
+    val p = tmp()
+    // rev 1: (node_key, v); rev 2 adds w; rev 3 drops v
+    TemporalTable.write(Seq((1L, "a"), (2L, "b")).toDF("node_key", "v"), p)
+    TemporalTable.write(
+      Seq((1L, "a", 10), (3L, "c", 30)).toDF("node_key", "v", "w"), p)
+    TemporalTable.write(Seq((1L, 11), (3L, 31)).toDF("node_key", "w"), p)
+
+    // single-revision reads keep each revision's own shape
+    assert(TemporalTable.read(spark, p, Some(1)).columns.toSeq ==
+      Seq("node_key", "v", "revision", "commit_ts", "author"))
+    assert(TemporalTable.read(spark, p, Some(3)).columns.toSeq ==
+      Seq("node_key", "w", "revision", "commit_ts", "author"))
+
+    // history: union schema in first-seen order, nulls where absent
+    val hist = TemporalTable.readAllRevisions(spark, p)
+      .select("revision", "node_key", "v", "w")
+    val got = hist.as[(Int, Long, Option[String], Option[Int])]
+      .collect().toSet
+    assert(got == Set(
+      (1, 1L, Some("a"), None), (1, 2L, Some("b"), None),
+      (2, 1L, Some("a"), Some(10)), (2, 3L, Some("c"), Some(30)),
+      (3, 1L, None, Some(11)), (3, 3L, None, Some(31))), s"got $got")
+
+    // V2 allRevisions: same union frame (plain inference would pick one
+    // representative footer and drop the other era's columns)
+    val v2 = spark.read.format("graft-temporal")
+      .option("allRevisions", true).load(p)
+    assert(Set("node_key", "v", "w", "rev").subsetOf(v2.columns.toSet), v2.columns.toSeq)
+    assert(v2.filter(col("rev") === 1 && col("w").isNotNull).count() == 0)
+    assert(v2.filter(col("rev") === 2).select("node_key", "v", "w")
+      .as[(Long, String, Int)].collect().toSet == Set((1L, "a", 10), (3L, "c", 30)))
+
+    // diff across the evolution compares the SHARED columns
+    val d12 = TemporalTable.diff(spark, p, 1, 2)
+    assert(d12.filter(col("node_key") === 3L)
+      .select("change_type").as[String].head() == "insert")
+    assert(d12.filter(col("node_key") === 2L)
+      .select("change_type").as[String].head() == "delete")
+    val d23 = TemporalTable.diff(spark, p, 2, 3)
+    assert(d23.filter(col("node_key") === 1L)
+      .select("change_type").as[String].head() == "update") // w: 10 → 11
+  }
+
+  test("a column retyped across revisions fails loud on the history read") {
+    val p = tmp()
+    TemporalTable.write(Seq((1L, 5)).toDF("node_key", "v"), p)
+    TemporalTable.write(Seq((1L, "five")).toDF("node_key", "v"), p)
+    val e = intercept[IllegalArgumentException] {
+      TemporalTable.readAllRevisions(spark, p).collect()
+    }
+    assert(e.getMessage.contains("schema evolution conflict"), e.getMessage)
+  }
+
+  test("identical schemas keep the footer-probe path (dict metadata preserved)") {
+    val p = tmp()
+    // dictionary-surrogate columns carry their dictionaries in column
+    // METADATA, which the DDL round-trip drops — equal-schema histories
+    // must keep probing a footer so the metadata survives resolution
+    TemporalTable.write(Seq((1L, "x")).toDF("node_key", "s"), p,
+      dictCols = Seq("s"))
+    TemporalTable.write(Seq((1L, "y"), (2L, "x")).toDF("node_key", "s"), p,
+      dictCols = Seq("s"))
+    val hist = TemporalTable.readAllRevisions(spark, p)
+    val dicts = graft.operators.Dict.dictionariesOf(hist.schema)
+    assert(dicts.contains("s"),
+      s"dictionary metadata lost from the history schema: ${hist.schema}")
+    assert(hist.select("s").as[String].collect().toSet == Set("x", "y"))
+  }
+
+  test("evolution through the V2 append path requires the evolveSchema opt-in") {
+    val p = tmp()
+    TemporalTable.write(Seq((1L, 1.0)).toDF("node_key", "a"), p)
+    // default: accidental schema drift fails output resolution loudly
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Seq((9L, 9.0, "no")).toDF("node_key", "a", "b")
+        .write.format("graft-temporal").mode("append").save(p)
+    }
+    // opted in: the revision is written with the query's schema and the
+    // commit log records it → history serves the union
+    Seq((2L, 2.0, "extra")).toDF("node_key", "a", "b")
+      .write.format("graft-temporal").option("evolveSchema", true)
+      .mode("append").save(p)
+    val hist = TemporalTable.readAllRevisions(spark, p)
+      .select("revision", "node_key", "a", "b")
+    assert(hist.as[(Int, Long, Double, Option[String])].collect().toSet ==
+      Set((1, 1L, 1.0, None), (2, 2L, 2.0, Some("extra"))))
+  }
+}
