@@ -1,6 +1,6 @@
 package graft.sources
 
-import graft.operators.{IvfIndex, NswGraph}
+import graft.operators.{IvfIndex, NswGraph, Pq}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -56,8 +56,11 @@ import org.apache.spark.sql.functions._
   */
 object VectorIndex {
 
+  /** `m` > 0 → per-cell NSW adjacency; `pqM` > 0 → PQ codes ride in the
+    * layout (the byte-budget tier: ADC ranking reads codes only, exact
+    * re-rank reads `refine·k` vectors). The tiers are exclusive. */
   final case class Spec(name: String, idCol: String, vecCol: String,
-                        nLists: Int, m: Int)
+                        nLists: Int, m: Int, pqM: Int = 0, pqK: Int = 256)
 
   private def catalogDir(tablePath: String) = s"$tablePath/_vectoridx"
   private def dataDir(tablePath: String, name: String) = s"$tablePath/_vecidx/$name"
@@ -67,11 +70,17 @@ object VectorIndex {
   def list(tablePath: String): Seq[Spec] =
     MetaIO.list(catalogDir(tablePath)).filter(_.endsWith(".json")).map { f =>
       val s = MetaIO.readString(s"${catalogDir(tablePath)}/$f")
+      // pqM/pqK absent from pre-PQ catalogs → 0 / 256
+      def intOr(field: String, dflt: Int): Int = {
+        val v = TemporalTable.parseField(s, field)
+        if (v.isEmpty) dflt else v.toInt
+      }
       Spec(TemporalTable.parseField(s, "name"),
         TemporalTable.parseField(s, "idCol"),
         TemporalTable.parseField(s, "vecCol"),
         TemporalTable.parseField(s, "nLists").toInt,
-        TemporalTable.parseField(s, "m").toInt)
+        TemporalTable.parseField(s, "m").toInt,
+        intOr("pqM", 0), intOr("pqK", 256))
     }.sortBy(_.name)
 
   /** The highest revision the index covers. Watermarks are append-only
@@ -109,24 +118,41 @@ object VectorIndex {
     * along ([[NswGraph.writeGraphIndexed]]'s layout). */
   def create(spark: SparkSession, tablePath: String, name: String,
              idCol: String, vecCol: String, nLists: Int, m: Int = 0,
-             seed: Long = 42L, fitFraction: Double = 1.0): Unit = {
+             seed: Long = 42L, fitFraction: Double = 1.0,
+             pqM: Int = 0, pqK: Int = 256): Unit = {
     require(name.matches("[A-Za-z0-9_.-]+"),
       s"vector index name must be a plain identifier (path segment), got '$name'")
+    require(m == 0 || pqM == 0,
+      "NSW adjacency (m) and PQ codes (pqM) are alternative tiers — pick one")
     val latest = TemporalTable.mostRecentRevision(tablePath)
       .getOrElse(throw new IllegalArgumentException(s"no commits at $tablePath"))
-    val spec = Spec(name, idCol, vecCol, nLists, m)
+    val spec = Spec(name, idCol, vecCol, nLists, m, pqM, pqK)
     val base = snapshotVectors(spark, tablePath, latest, spec)
     val (model, assigned) = IvfIndex.fit(base, vecCol, nLists, seed, fitFraction)
     if (m > 0)
       NswGraph.writeGraphIndexed(assigned, model, idCol, vecCol,
         dataDir(tablePath, name), m)
-    else IvfIndex.writeClustered(assigned, model, dataDir(tablePath, name))
+    else if (pqM > 0) {
+      val pq = Pq.fit(base, vecCol, dimOf(base, vecCol), pqM, pqK,
+        seed, fitFraction)
+      Pq.writeClusteredPq(assigned, model, pq, vecCol, dataDir(tablePath, name))
+    } else IvfIndex.writeClustered(assigned, model, dataDir(tablePath, name))
     writeWatermark(tablePath, name, latest)
     MetaIO.mkdirs(catalogDir(tablePath))
     import TemporalTable.escapeJson
     MetaIO.createNew(s"${catalogDir(tablePath)}/$name.json",
       s"""{"name":"${escapeJson(name)}","idCol":"${escapeJson(idCol)}",""" +
-        s""""vecCol":"${escapeJson(vecCol)}","nLists":$nLists,"m":$m}""")
+        s""""vecCol":"${escapeJson(vecCol)}","nLists":$nLists,"m":$m,""" +
+        s""""pqM":$pqM,"pqK":$pqK}""")
+  }
+
+  /** Vector dimensionality from the snapshot's first non-null vector —
+    * one tiny job; [[Pq.fit]] re-checks per row (wrong-length vectors are
+    * excluded from the fit and encode to null codes). */
+  private def dimOf(base: DataFrame, vecCol: String): Int = {
+    val r = base.select(size(col(vecCol)).as("__d")).na.drop().limit(1).collect()
+    require(r.nonEmpty, s"no vectors in $vecCol to size the PQ sub-spaces")
+    r.head.getInt(0)
   }
 
   /** Bring one index up to the newest committed revision incrementally
@@ -170,9 +196,15 @@ object VectorIndex {
     val count =
       if (spec.m > 0) patchGraphCells(spark, path, assigned, spec)
       else {
-        // plain IVF: append into the cell partitions — no existing file
-        // is rewritten, untouched cells aren't even listed
-        val pinned = assigned.persist()
+        // plain IVF / IVF-PQ: append into the cell partitions — no
+        // existing file is rewritten, untouched cells aren't even listed.
+        // PQ rows encode with the STORED codebooks (no refit — same
+        // fixed-quantizer discipline as the centroids; drift degrades
+        // recall, not correctness, until rebuild)
+        val rows =
+          if (spec.pqM > 0) Pq.encode(assigned, spec.vecCol, Pq.readModel(path))
+          else assigned
+        val pinned = rows.persist()
         try {
           val n = pinned.count()
           if (n > 0) pinned.write.mode("append").partitionBy("ivf_cell").parquet(path)
@@ -245,6 +277,8 @@ object VectorIndex {
     def approx(kk: Int): DataFrame =
       if (spec.m > 0)
         NswGraph.searchGraph(spark, path, spec.idCol, spec.vecCol, query, kk, nProbe)
+      else if (spec.pqM > 0)
+        Pq.searchClusteredPq(spark, path, spec.idCol, spec.vecCol, query, kk, nProbe)
       else
         IvfIndex.searchClustered(spark, path, spec.idCol, spec.vecCol, query, kk, nProbe)
     if (!exact) approx(k)
@@ -324,6 +358,10 @@ object VectorIndex {
         .select(col(spec.idCol), col(spec.vecCol), col("ivf_cell").cast("int"))
       val out =
         if (spec.m > 0) NswGraph.buildGraph(survivors, spec.idCol, spec.vecCol, spec.m)
+        // PQ codes re-derive from the stored codebooks (pure function of
+        // the surviving vectors — reading them through `flagged` and
+        // re-encoding beats trusting possibly-hand-edited code columns)
+        else if (spec.pqM > 0) Pq.encode(survivors, spec.vecCol, Pq.readModel(path))
         else survivors
       // read + overwrite of the same path: cut lineage first (see
       // patchGraphCells) so a recomputed block can't re-scan replaced files
@@ -357,7 +395,11 @@ object VectorIndex {
     MetaIO.delete(path, recursive = true)
     if (spec.m > 0)
       NswGraph.writeGraphIndexed(assigned, model, spec.idCol, spec.vecCol, path, spec.m)
-    else IvfIndex.writeClustered(assigned, model, path)
+    else if (spec.pqM > 0) {
+      val pq = Pq.fit(base, spec.vecCol, dimOf(base, spec.vecCol),
+        spec.pqM, spec.pqK, seed, fitFraction)
+      Pq.writeClusteredPq(assigned, model, pq, spec.vecCol, path)
+    } else IvfIndex.writeClustered(assigned, model, path)
     writeWatermark(tablePath, name, latest)
   }
 }

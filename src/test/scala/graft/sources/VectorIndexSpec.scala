@@ -153,6 +153,42 @@ class VectorIndexSpec extends SparkSpec {
     assert(approx.sameElements(raw))
   }
 
+  test("PQ tier: codes ride the layout, maintain encodes appends, purge re-derives") {
+    val p = Files.createTempDirectory("graft-vecidx-pq").resolve("tbl").toString
+    val idxPath = s"$p/_vecidx/pq"
+    TemporalTable.write(rows(0L until 64L), p)
+    VectorIndex.create(spark, p, "pq", "node_key", "embedding",
+      nLists = 4, pqM = 2, pqK = 8)
+    assert(VectorIndex.list(p).find(_.name == "pq").get.pqM == 2)
+    val layout = spark.read.parquet(idxPath)
+    assert(Set("pq_codes", "pq_norm").subsetOf(layout.columns.toSet))
+    assert(layout.filter(col("pq_codes").isNull).count() == 0)
+
+    // search: ADC candidates + exact re-rank recover the true member
+    val q0 = vec(0, 12L)
+    val hits = VectorIndex.search(spark, p, "pq", q0, k = 4, nProbe = 1)
+      .select("node_key").as[Long].collect().toSeq
+    assert(hits.contains(12L), s"PQ search missed the query's own vector: $hits")
+
+    // maintain: appended rows carry codes from the STORED codebooks
+    TemporalTable.write(rows((0L until 64L) :+ 100L), p)
+    assert(VectorIndex.maintain(spark, p, "pq") == 1L)
+    val after = spark.read.parquet(idxPath)
+    assert(after.filter(col("node_key") === 100L && col("pq_codes").isNotNull)
+      .count() == 1, "maintained row must be PQ-encoded")
+    val hit100 = VectorIndex.search(spark, p, "pq", vec(0, 100L), k = 1,
+      nProbe = 1, exact = true).select("node_key").as[Long].head()
+    assert(hit100 == 100L)
+
+    // purge after a delete: ghost gone, surviving codes still serve
+    TemporalTable.write(rows((0L until 64L).filterNot(_ == 12L) :+ 100L), p)
+    assert(VectorIndex.purge(spark, p, "pq") == 1L)
+    assert(spark.read.parquet(idxPath).filter(col("node_key") === 12L).count() == 0)
+    val post = VectorIndex.search(spark, p, "pq", q0, k = 4, nProbe = 1)
+      .select("node_key").as[Long].collect().toSeq
+    assert(!post.contains(12L) && post.nonEmpty, s"got $post")
+  }
+
   test("A→B→A re-embed never duplicates a stored copy; purge drops legacy dups") {
     val p = Files.createTempDirectory("graft-vecidx-aba").resolve("tbl").toString
     val idxPath = s"$p/_vecidx/aba"
