@@ -336,6 +336,32 @@ object DeltaTemporalTable {
     states.join(broadcast(meta), "revision")
   }
 
+  /** RECORD_TO_REVISIONS over a delta chain (reference:
+    * index/IndexType.java:24-27, axis/temporal/RecordRevisionsLookup.java):
+    * which revisions' reconstructed states contain `key`. One BOUNDED
+    * plan at any chain depth — the [[eventIntervals]] frame filtered to
+    * the key (the predicate pushes beneath the interval window because
+    * the key is a window partition column, so both parquet legs scan
+    * with footer min/max pruning), expanded against the tiny commit
+    * list. Same output shape as [[TemporalTable.recordRevisions]]. */
+  def recordRevisions(spark: SparkSession, path: String, key: Long,
+                      keyCol: String = "node_key"): DataFrame = {
+    val log = commits(path)
+    require(log.nonEmpty, s"no commits at $path")
+    val epochs = epochsOf(log)
+    val ev = eventIntervals(spark, path, log, epochs)
+    val revsDf = spark.createDataFrame(
+      log.map(c => (c.revision, epochs.startOf(c.revision), c.commitTsMs)))
+      .toDF("revision", "__epoch", "__commit_ts_ms")
+    ev.filter(col("__change_type") =!= "delete" && col(keyCol) === key)
+      .join(broadcast(revsDf), "__epoch")
+      .filter(col("revision") >= col("rev") && col("revision") < col("__valid_to"))
+      .select(col("revision"),
+        timestamp_millis(col("__commit_ts_ms")).as("commit_ts"))
+      .distinct()
+      .orderBy("revision")
+  }
+
   /** End-of-epoch states for the epochs ENDING at each revision in
     * `targets` — i.e. the reconstructed state immediately BEFORE each
     * target full snapshot, for all targets in one plan. Rows carry

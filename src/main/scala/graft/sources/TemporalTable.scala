@@ -866,6 +866,10 @@ object TemporalTable {
     * (spec-pinned). */
   def recordRevisions(spark: SparkSession, path: String, key: Long,
                       keyCol: String = "node_key"): DataFrame = {
+    // a delta chain's rev=N dirs hold CHANGE rows — the snapshot-layout
+    // scan below would misread them; route to the bounded delta plan
+    if (DeltaTemporalTable.isDeltaLayout(path))
+      return DeltaTemporalTable.recordRevisions(spark, path, key, keyCol)
     val log = commits(path)
     val indexed = MetaIO.listDirs(keyIndexDir(path))
       .flatMap(n => scala.util.Try(n.stripPrefix("rev=").toInt).toOption).toSet

@@ -168,6 +168,33 @@ class DeltaTemporalTableSpec extends SparkSpec {
       .as[(Long, Double)].collect().toMap == Map(1L -> 11.0, 3L -> 30.0))
   }
 
+  test("recordRevisions answers key-presence over the delta chain, one bounded plan") {
+    val p = Files.createTempDirectory("graft-delta-rr").resolve("tbl").toString
+    // key 5: present rev 1-2, deleted rev 3, re-inserted rev 5
+    val states = Seq(
+      snap(1L -> 1.0, 5L -> 5.0),
+      snap(1L -> 1.0, 5L -> 5.5),
+      snap(1L -> 1.0),
+      snap(1L -> 1.1),
+      snap(1L -> 1.1, 5L -> 9.0))
+    states.foreach(s => DeltaTemporalTable.write(spark, s, p, snapshotEvery = 3))
+    def revsOf(k: Long) =
+      DeltaTemporalTable.recordRevisions(spark, p, k)
+        .select("revision").as[Int].collect().toSeq
+    assert(revsOf(5L) == Seq(1, 2, 5))
+    assert(revsOf(1L) == Seq(1, 2, 3, 4, 5))
+    assert(revsOf(99L).isEmpty)
+    // the routing facade dispatches delta layouts here
+    assert(TemporalTable.recordRevisions(spark, p, 5L)
+      .select("revision").as[Int].collect().toSeq == Seq(1, 2, 5))
+    // matches the brute-force per-revision reconstruction
+    val brute = (1 to 5).filter { r =>
+      DeltaTemporalTable.read(spark, p, Some(r))
+        .filter($"node_key" === 5L).count() == 1
+    }
+    assert(revsOf(5L) == brute)
+  }
+
   test("unknown revision and empty table raise") {
     val p = Files.createTempDirectory("graft-delta3").resolve("tbl").toString
     intercept[IllegalArgumentException] { DeltaTemporalTable.read(spark, p) }

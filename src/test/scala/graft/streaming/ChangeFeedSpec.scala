@@ -126,6 +126,24 @@ class ChangeFeedSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamCommits serves an evolved table under the union schema") {
+    import org.apache.spark.sql.functions.col
+    val p = Files.createTempDirectory("graft-cstream-evol").resolve("tbl").toString
+    TemporalTable.write(Seq((1L, 10.0)).toDF("node_key", "price"), p)
+    TemporalTable.write(Seq((2L, 20.0, "eur")).toDF("node_key", "price", "ccy"), p)
+    val q = ChangeFeed.streamCommits(spark, p)
+      .writeStream.format("memory").queryName("cstream_evol")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("cstream_evol")
+        .select(col("rev"), col("node_key"), col("ccy"))
+        .as[(Int, Long, Option[String])].collect().toSet
+      assert(rows == Set((1, 1L, None), (2, 2L, Some("eur"))),
+        s"got $rows — rev 1 must stream with a null ccy, not a dropped column")
+    } finally q.stop()
+  }
+
   test("streamCommits: AvailableNow drains bounded batches then stops") {
     val p = Files.createTempDirectory("graft-cstream-an").resolve("tbl").toString
     (1 to 5).foreach(i =>
