@@ -690,6 +690,40 @@ object TemporalTable {
     }
   }
 
+  /** DESCRIBE HISTORY analog — one row per committed revision with its
+    * commit metadata, storage kind (`full`/`delta`/`compact`), the
+    * EFFECTIVE file layout (count + bytes after any in-place compaction),
+    * the live compaction generation, and the recorded schema DDL. Pure
+    * commit-log/overlay metadata — zero data-file reads at any table
+    * size. Works on both layouts. */
+  def history(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val delta = DeltaTemporalTable.isDeltaLayout(path)
+    val kinds: Map[Int, String] =
+      if (delta) DeltaTemporalTable.commits(path).map(c => c.revision -> c.kind).toMap
+      else Map.empty
+    val log = commits(path)
+    require(log.nonEmpty, s"no commits at $path")
+    val manifests = commitFileManifests(path)
+    val ovs = RevisionCompaction.overlays(path)
+    val schemas = commitSchemas(path)
+    log.map { c =>
+      val eff = ovs.get(c.revision).map(_.files)
+        .orElse(manifests.get(c.revision))
+      (c.revision, c.commitTsMs, c.author, c.message,
+        kinds.getOrElse(c.revision, if (delta) "full" else "snapshot"),
+        eff.map(_.size), eff.map(_.map(_._2).sum),
+        ovs.get(c.revision).map(_.gen),
+        schemas.get(c.revision).map(_.toDDL))
+    }.toDF("revision", "__ts_ms", "author", "message", "kind",
+        "n_files", "bytes", "compaction_gen", "schema_ddl")
+      .withColumn("commit_ts", timestamp_millis(col("__ts_ms")))
+      .drop("__ts_ms")
+      .select("revision", "commit_ts", "author", "message", "kind",
+        "n_files", "bytes", "compaction_gen", "schema_ddl")
+      .orderBy("revision")
+  }
+
   /** Time-travel read. Default = latest revision; `revision` pins an exact
     * revision (`jn:doc(db,res,rev)`); `asOfTsMs` resolves the revision
     * current at a wall-clock instant (`jn:open`, DocByPointInTime.java:32)

@@ -193,6 +193,14 @@ class DeltaTemporalTableSpec extends SparkSpec {
         .filter($"node_key" === 5L).count() == 1
     }
     assert(revsOf(5L) == brute)
+    // the key predicate must reach BOTH parquet legs (pushed beneath the
+    // interval window — node_key is a window partition column), so the
+    // scans prune by footer min/max instead of reading the chain
+    val plan = DeltaTemporalTable.recordRevisions(spark, p, 5L)
+      .queryExecution.executedPlan.toString
+    val pushed = plan.split('\n')
+      .count(l => l.contains("PushedFilters") && l.contains("EqualTo(node_key,5)"))
+    assert(pushed >= 2, s"key filter not pushed to both scan legs:\n$plan")
   }
 
   test("unknown revision and empty table raise") {

@@ -210,6 +210,33 @@ class RevisionCompactionSpec extends SparkSpec {
     assert(rows(DeltaTemporalTable.read(spark, p)) == rows(state(6)))
   }
 
+  test("history() reports commits, effective layout, compaction gen, schema") {
+    val p = tmp("graft-rc-history")
+    TemporalTable.write(
+      (1L to 50L).map(k => (k, k * 2)).toDF("node_key", "v").repartition(4), p,
+      author = "alice", message = "load")
+    TemporalTable.write(
+      (1L to 50L).map(k => (k, k * 2, "x")).toDF("node_key", "v", "tag"), p)
+    RevisionCompaction.compactRevision(spark, p, 1, targetFileBytes = 1L << 40)
+    val h = TemporalTable.history(spark, p)
+      .select("revision", "author", "kind", "n_files", "compaction_gen", "schema_ddl")
+      .as[(Int, String, String, Option[Int], Option[Int], Option[String])]
+      .collect().toSeq
+    assert(h.map(_._1) == Seq(1, 2))
+    assert(h.head._2 == "alice" && h.forall(_._3 == "snapshot"))
+    // rev 1 compacted to one file at gen 1; rev 2 untouched
+    assert(h.head._4.contains(1) && h.head._5.contains(1))
+    assert(h(1)._5.isEmpty)
+    assert(h.head._6.exists(_.contains("node_key")) &&
+      h(1)._6.exists(_.contains("tag")), "recorded schemas must surface")
+    // delta layout: kinds surface
+    val dp = tmp("graft-rc-history-delta")
+    (1 to 3).foreach(i => DeltaTemporalTable.write(spark,
+      Seq((1L, i.toDouble)).toDF("node_key", "price"), dp, snapshotEvery = 3))
+    assert(TemporalTable.history(spark, dp).select("kind").as[String]
+      .collect().toSeq == Seq("full", "delta", "delta"))
+  }
+
   test("auto-compaction policy on a delta chain retires aging revisions per commit") {
     val p = tmp("graft-rc-deltaauto")
     RevisionCompaction.setAutoCompaction(p, olderThan = 1, targetFileBytes = 1L << 40)
