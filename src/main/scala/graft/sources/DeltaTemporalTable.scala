@@ -30,16 +30,12 @@ object DeltaTemporalTable {
 
   private def commitsDir(path: String) = TemporalTable.commitsDir(path)
 
-  def commits(path: String): Seq[Commit] = {
-    MetaIO.list(commitsDir(path))
-      .filter(_.endsWith(".json"))
-      .map { name =>
-        val s = MetaIO.readString(s"${commitsDir(path)}/$name")
-        import TemporalTable.{parseField => f}
-        Commit(f(s, "revision").toInt, f(s, "commitTsMs").toLong,
-          f(s, "author"), f(s, "message"), f(s, "kind"))
-      }.sortBy(_.revision)
-  }
+  def commits(path: String): Seq[Commit] =
+    TemporalTable.commitEntryJsons(path).map { s =>
+      import TemporalTable.{parseField => f}
+      Commit(f(s, "revision").toInt, f(s, "commitTsMs").toLong,
+        f(s, "author"), f(s, "message"), f(s, "kind"))
+    }.sortBy(_.revision)
 
   def mostRecentRevision(path: String): Option[Int] = commits(path).lastOption.map(_.revision)
 
@@ -169,14 +165,16 @@ object DeltaTemporalTable {
         d.write.mode("overwrite").parquet(s"$path/rev=$rev")
         logCommit(path, rev, author, message, "delta")
       }
-      // persisted in-place compaction policy, same post-commit point as
-      // the snapshot layout (we ARE the single writer here — the policy's
-      // one-compactor discipline holds by construction)
-      RevisionCompaction.maybeAutoCompact(spark, path)
-      rev
     } catch {
       case e: Throwable => TemporalTable.abortReservation(path, rev); throw e
     }
+    // OUTSIDE the protocol's try (TemporalTable.writeFrame's discipline):
+    // the revision is durable once logCommit returned, so a transient
+    // policy failure must surface to the caller WITHOUT tripping the
+    // abort path — abortReservation after a durable commit would delete
+    // the committed revision's data directory
+    RevisionCompaction.maybeAutoCompact(spark, path)
+    rev
   }
 
   /** Reconstruct revision `revision` (default latest): start from the
@@ -215,11 +213,12 @@ object DeltaTemporalTable {
       val current = read(spark, path)
       current.write.mode("overwrite").parquet(s"$path/rev=$rev")
       logCommit(path, rev, author, "compact", "full")
-      RevisionCompaction.maybeAutoCompact(spark, path)
-      rev
     } catch {
       case e: Throwable => TemporalTable.abortReservation(path, rev); throw e
     }
+    // outside the try — see write()
+    RevisionCompaction.maybeAutoCompact(spark, path)
+    rev
   }
 
   private[sources] def applyDelta(snap: DataFrame, delta: DataFrame,

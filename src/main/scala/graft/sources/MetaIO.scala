@@ -105,6 +105,43 @@ private[graft] object MetaIO {
     else f.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName)
   }
 
+  /** Cached bulk read of an IMMUTABLE-ENTRY metadata directory (commit
+    * log, compaction overlays — entries are [[createNew]]'d once and
+    * never modified). One LIST per call; GETs only for entries not yet
+    * cached. The cache key is (qualified path, size, mtime): a dropped
+    * and recreated table can reuse an entry name, but not with the same
+    * size AND modification time — the same staleness discipline as the
+    * footer-schema cache. Bounded (cleared past 64k entries).
+    *
+    * Returns (name, content) for entries passing `pred`, in name order
+    * (commit-log parsers sort by revision themselves; deterministic
+    * ordering here keeps callers reproducible). */
+  private val entryCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), String]()
+  def readAllCached(dir: String, pred: String => Boolean): Seq[(String, String)] = {
+    val p = new Path(dir)
+    val f = fs(dir)
+    if (!f.exists(p)) return Seq.empty
+    val entries = f.listStatus(p).toSeq
+      .filter(s => s.isFile && pred(s.getPath.getName))
+      .map(s => (s.getPath.getName, s.getPath.toString, s.getLen,
+        s.getModificationTime))
+      .sortBy(_._1)
+    if (entryCache.size() > 65536) entryCache.clear()
+    parallelMap(entries) { case (name, qualified, len, mtime) =>
+      val key = (qualified, len, mtime)
+      val cached = entryCache.get(key)
+      val content =
+        if (cached != null) cached
+        else {
+          val s = readString(qualified)
+          entryCache.put(key, s)
+          s
+        }
+      name -> content
+    }
+  }
+
   /** Count of metadata GETs ([[readString]] calls) since JVM start —
     * test-visible so specs can pin O(1)-per-operation metadata access on
     * aged tables (each read is a real GET on object storage). */

@@ -80,21 +80,20 @@ object RevisionCompaction {
     * metadata discipline as the commit log; a never-compacted table pays
     * one existence probe). */
   def overlays(path: String): Map[Int, Overlay] = {
-    val dir = compactionsDir(path)
-    // underscore names are policy/config files, not overlay entries
-    val names = MetaIO.list(dir)
-      .filter(n => n.endsWith(".json") && !n.startsWith("_"))
-    MetaIO.parallelMap(names) { n =>
-      val s = MetaIO.readString(s"$dir/$n")
-      val files = TemporalTable.parseField(s, "files").split(";").toSeq
-        .filter(_.nonEmpty)
-        .map { e =>
-          val i = e.lastIndexOf('|')
-          e.substring(0, i) -> e.substring(i + 1).toLong
-        }
-      Overlay(TemporalTable.parseField(s, "revision").toInt,
-        TemporalTable.parseField(s, "gen").toInt, files)
-    }.groupBy(_.revision).map { case (r, os) => r -> os.maxBy(_.gen) }
+    // underscore names are policy/config files, not overlay entries;
+    // entries are create-new-once immutable → one LIST + cached GETs
+    MetaIO.readAllCached(compactionsDir(path),
+        n => n.endsWith(".json") && !n.startsWith("_"))
+      .map { case (_, s) =>
+        val files = TemporalTable.parseField(s, "files").split(";").toSeq
+          .filter(_.nonEmpty)
+          .map { e =>
+            val i = e.lastIndexOf('|')
+            e.substring(0, i) -> e.substring(i + 1).toLong
+          }
+        Overlay(TemporalTable.parseField(s, "revision").toInt,
+          TemporalTable.parseField(s, "gen").toInt, files)
+      }.groupBy(_.revision).map { case (r, os) => r -> os.maxBy(_.gen) }
   }
 
   /** The directory currently serving revision `rev`'s data files. */

@@ -128,16 +128,19 @@ object TemporalTable {
     * read is a ~10-20 ms GET, and an aged table carries thousands of
     * revisions (the reference's 10k-revision posture, docs/BENCHMARKS
     * .md:253) — sequential opens would turn session-open into minutes. */
-  def commits(path: String): Seq[Commit] = {
-    val dir = commitsDir(path)
-    val names = MetaIO.list(dir).filter(_.endsWith(".json"))
-    val readOne = (name: String) => {
-      val s = MetaIO.readString(s"$dir/$name")
+  /** Commit-log entry contents — ONE list + cached GETs (entries are
+    * create-new-once immutable, [[MetaIO.readAllCached]]), shared by
+    * every commit-log parse ([[commits]], [[commitFileManifests]],
+    * [[commitSchemas]], the delta log): an aged table's metadata passes
+    * stop multiplying GETs per read surface. */
+  private[graft] def commitEntryJsons(path: String): Seq[String] =
+    MetaIO.readAllCached(commitsDir(path), _.endsWith(".json")).map(_._2)
+
+  def commits(path: String): Seq[Commit] =
+    commitEntryJsons(path).map { s =>
       Commit(parseField(s, "revision").toInt, parseField(s, "commitTsMs").toLong,
         parseField(s, "author"), parseField(s, "message"))
-    }
-    MetaIO.parallelMap(names)(readOne).sortBy(_.revision)
-  }
+    }.sortBy(_.revision)
 
   def mostRecentRevision(path: String): Option[Int] = commits(path).lastOption.map(_.revision)
 
@@ -290,18 +293,14 @@ object TemporalTable {
     * made before schemas were recorded). Same metadata pass as
     * [[commits]]. */
   private[graft] def commitSchemas(path: String)
-      : Map[Int, org.apache.spark.sql.types.StructType] = {
-    val dir = commitsDir(path)
-    val names = MetaIO.list(dir).filter(_.endsWith(".json"))
-    MetaIO.parallelMap(names) { name =>
-      val s = MetaIO.readString(s"$dir/$name")
+      : Map[Int, org.apache.spark.sql.types.StructType] =
+    commitEntryJsons(path).flatMap { s =>
       if (!s.contains("\"schemaDdl\"")) None
       else scala.util.Try(
         parseField(s, "revision").toInt ->
           org.apache.spark.sql.types.StructType.fromDDL(parseField(s, "schemaDdl"))
       ).toOption
-    }.flatten.toMap
-  }
+    }.toMap
 
   /** Union schema over the given revisions' recorded schemas — by NAME in
     * first-seen order (ascending revision), every field nullable (a column
@@ -338,11 +337,8 @@ object TemporalTable {
     * were recorded are absent from the map (readers fall back to
     * directory listing). One metadata pass, shared with [[commits]]'s
     * parse format. */
-  private[graft] def commitFileManifests(path: String): Map[Int, Seq[(String, Long)]] = {
-    val dir = commitsDir(path)
-    val names = MetaIO.list(dir).filter(_.endsWith(".json"))
-    MetaIO.parallelMap(names) { name =>
-      val s = MetaIO.readString(s"$dir/$name")
+  private[graft] def commitFileManifests(path: String): Map[Int, Seq[(String, Long)]] =
+    commitEntryJsons(path).flatMap { s =>
       val rev = parseField(s, "revision").toInt
       // distinguish "no field" (pre-manifest commit) from "empty manifest"
       // (an empty snapshot): parseField returns "" for both, so re-probe
@@ -356,8 +352,7 @@ object TemporalTable {
           }
         Some(rev -> files)
       }
-    }.flatten.toMap
-  }
+    }.toMap
 
   private[graft] def manifestDir(path: String, rev: Int): String =
     s"$path/rev=$rev/_manifest"

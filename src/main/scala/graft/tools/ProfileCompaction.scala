@@ -39,10 +39,13 @@ object ProfileCompaction {
           s""""message":"","files":"${fileLists(r)}"}""")
     }
 
-    def countFiles(): Int = (1 to nRevs).map { r =>
-      graft.sources.MetaIO.listFiles(
-        graft.sources.RevisionCompaction.effectiveDir(dir, r)).size
-    }.sum
+    def countFiles(): Int = {
+      val ovs = graft.sources.RevisionCompaction.overlays(dir)
+      (1 to nRevs).map { r =>
+        graft.sources.MetaIO.listFiles(
+          graft.sources.RevisionCompaction.effectiveDir(dir, r, ovs)).size
+      }.sum
+    }
     def timed(label: String)(body: => Long): Double = {
       body // warmup
       val t0 = System.nanoTime()

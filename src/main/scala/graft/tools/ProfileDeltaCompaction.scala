@@ -40,10 +40,14 @@ object ProfileDeltaCompaction {
     }
     println(f"built $nRevs-revision delta chain in ${(System.nanoTime() - t0) / 1e9}%.1fs")
 
-    def countFiles(): Int = (1 to nRevs).map { r =>
-      graft.sources.MetaIO.listFiles(
-        graft.sources.RevisionCompaction.effectiveDir(dir, r)).size
-    }.sum
+    def countFiles(): Int = {
+      // resolve the overlay map ONCE, not per revision
+      val ovs = graft.sources.RevisionCompaction.overlays(dir)
+      (1 to nRevs).map { r =>
+        graft.sources.MetaIO.listFiles(
+          graft.sources.RevisionCompaction.effectiveDir(dir, r, ovs)).size
+      }.sum
+    }
     def timed(label: String)(body: => Long): Double = {
       body // warmup
       val s0 = System.nanoTime()

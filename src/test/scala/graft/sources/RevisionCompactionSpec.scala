@@ -210,6 +210,33 @@ class RevisionCompactionSpec extends SparkSpec {
     assert(rows(DeltaTemporalTable.read(spark, p)) == rows(state(6)))
   }
 
+  test("a post-commit policy failure surfaces WITHOUT destroying the committed revision") {
+    val p = tmp("graft-rc-policyfail")
+    DeltaTemporalTable.write(spark,
+      Seq((1L, 1.0)).toDF("node_key", "price"), p, snapshotEvery = 3)
+    // corrupt policy: maybeAutoCompact will throw AFTER the next commit
+    // is durable — the failure must reach the caller, but the revision
+    // must survive (a tripped abort path would delete its data dir and
+    // leave a dangling commit entry)
+    MetaIO.mkdirs(RevisionCompaction.compactionsDir(p))
+    MetaIO.createNew(s"${RevisionCompaction.compactionsDir(p)}/_policy.json",
+      """{"olderThan":"not-a-number"}""")
+    intercept[Exception] {
+      DeltaTemporalTable.write(spark,
+        Seq((1L, 2.0)).toDF("node_key", "price"), p, snapshotEvery = 3)
+    }
+    assert(DeltaTemporalTable.commits(p).map(_.revision) == Seq(1, 2),
+      "revision 2 committed before the policy ran — it must exist")
+    assert(DeltaTemporalTable.read(spark, p, Some(2))
+      .select("price").as[Double].head() == 2.0,
+      "committed revision's data must survive the policy failure")
+    RevisionCompaction.clearAutoCompaction(p)
+    // the chain keeps working once the policy is repaired
+    DeltaTemporalTable.write(spark,
+      Seq((1L, 3.0)).toDF("node_key", "price"), p, snapshotEvery = 3)
+    assert(DeltaTemporalTable.read(spark, p).select("price").as[Double].head() == 3.0)
+  }
+
   test("history() reports commits, effective layout, compaction gen, schema") {
     val p = tmp("graft-rc-history")
     TemporalTable.write(
