@@ -181,6 +181,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo("graft.functions.MinHashExpressions", name),
         builder))
     }
+    CdcExpressions.registrations.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions.CdcExpressions", name),
+        builder))
+    }
     ext.injectOptimizerRule(graft.plans.CountFromMetadataRule(_))
     ext.injectOptimizerRule(graft.plans.ValidTimeStabRule(_))
     ext.injectOptimizerRule(graft.plans.DictAggRule(_))

@@ -384,4 +384,51 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
   }
+
+  /** Content-defined chunks of every document, exploded: (id, chunk_id,
+    * start, len, chunk_hash) — boundaries from the Gear rolling hash
+    * ([[graft.functions.CdcExpressions]]), so an edited document
+    * re-synchronizes within one chunk and the untouched remainder keeps
+    * its hashes (the fixed-window chunker's shift problem solved).
+    * start/len are CHARACTER offsets: `substring(text, start+1, len)` is
+    * the chunk, and `chunk_hash = xxhash64(that substring)` — both
+    * spec-pinned. Entirely map-side (one kernel pass + posexplode); text
+    * never shuffles. */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+                avgBits: Int = 6, minChars: Int = 16,
+                maxChars: Int = 256): DataFrame =
+    df.select(col(idCol),
+        posexplode(graft.functions.CdcExpressions.cdcChunks(
+          col(textCol), avgBits, minChars, maxChars))
+          .as(Seq("chunk_id", "__c")))
+      .select(col(idCol), col("chunk_id"),
+        col("__c.start").as("start"), col("__c.len").as("len"),
+        col("__c.hash").as("chunk_hash"))
+
+  /** Per-document chunk-level duplication: how much of each document's
+    * content (chunks, weighted by length) also appears — byte-identical —
+    * in at least one OTHER document. The "shared boilerplate" curation
+    * signal CDC exists for: headers, licence blocks, templated sections
+    * surface even when no document-level near-dup fires.
+    *
+    * Plan: one kernel pass → chunk table; `chunk_hash`-keyed aggregate
+    * counts distinct holders per hash (hash is 8 bytes — the shuffle
+    * never carries text); join back on the hash; per-doc weighted
+    * rollup. Both shuffles key on high-cardinality columns; at 100 TB
+    * the chunk-hash table is the dedup working set, ~corpus/2^avgBits
+    * rows. */
+  def cdcDupRatio(df: DataFrame, idCol: String, textCol: String,
+                  avgBits: Int = 6, minChars: Int = 16,
+                  maxChars: Int = 256): DataFrame = {
+    val chunks = cdcChunks(df, idCol, textCol, avgBits, minChars, maxChars)
+    val holders = chunks.groupBy("chunk_hash")
+      .agg(countDistinct(col(idCol)).as("__n_docs"))
+    chunks.join(holders, "chunk_hash")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("len")).as("n_chars"),
+        sum(when(col("__n_docs") > 1, col("len")).otherwise(0L)).as("dup_chars"))
+      .withColumn("dup_ratio",
+        round(col("dup_chars").cast("double") / col("n_chars"), 4))
+  }
 }

@@ -72,6 +72,15 @@ object PipelineQueries {
     * from the stored centers alone. */
   private lazy val kmeansCentersPath = s"$runDir/kmeans_centers"
 
+  /** Sidecars for the CDC oracles: each query persists ITS OWN chunk
+    * table (the kernel is deterministic, so both copies are identical —
+    * no cross-query ordering dependency). The oracle re-derives the
+    * aggregate answer from the stored (doc_id, start, len, chunk_hash)
+    * rows, and `d_cdc_chunks` additionally cross-checks the kernel's
+    * character accounting against DuckDB's own length(text). */
+  private lazy val cdcChunksPath = s"$runDir/cdc_chunks"
+  private lazy val cdcSharePath = s"$runDir/cdc_share_chunks"
+
   /** Sidecars for the s_purged_search oracle: stored centroids + the
     * MODEL-derived cell assignment of the surviving snapshot (never read
     * from the purged layout itself — a leftover ghost must mismatch). */
@@ -125,6 +134,26 @@ object PipelineQueries {
       Dedup.dedupCorpusBestVerified(docs(s, d), "doc_id", "text", "n_chars",
           5, 8, 2, dedupBestGroupsPath)
         .select("doc_id", "n_chars").orderBy("doc_id")
+    },
+    // content-defined chunking: Gear rolling-hash boundaries, per-doc
+    // coverage cross-checked against DuckDB's length()
+    "d_cdc_chunks" -> { (s, d) =>
+      val chunks = Dedup.cdcChunks(docs(s, d), "doc_id", "text")
+      chunks.write.mode("overwrite").parquet(cdcChunksPath)
+      chunks.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"), sum("len").as("covered"),
+          max("len").as("max_len"))
+        .orderBy("doc_id")
+    },
+    // chunk-level duplication ratio (shared-boilerplate signal): the
+    // distributed hash-keyed aggregation re-derived by the oracle from
+    // the stored chunk table
+    "d_cdc_share" -> { (s, d) =>
+      Dedup.cdcChunks(docs(s, d), "doc_id", "text")
+        .write.mode("overwrite").parquet(cdcSharePath)
+      Dedup.cdcDupRatio(docs(s, d), "doc_id", "text")
+        .select("doc_id", "n_chunks", "n_chars", "dup_chars", "dup_ratio")
+        .orderBy("doc_id")
     },
     // winnowing (rolling-hash window-min) fingerprints
     "d_winnowing" -> { (s, d) =>
@@ -687,6 +716,28 @@ object PipelineQueries {
           |  SELECT reach.id, e.v FROM reach JOIN edges e ON e.u = reach.r)
           |SELECT id AS doc_id, MIN(r) AS group_id
           |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin),
+    "d_cdc_chunks" ->
+      s"""SELECT c.doc_id, c.n_chunks, c.covered, c.max_len
+        |FROM (SELECT doc_id, COUNT(*) AS n_chunks,
+        |        CAST(SUM(len) AS BIGINT) AS covered,
+        |        MAX(len) AS max_len
+        |      FROM read_parquet('$cdcChunksPath/*.parquet')
+        |      GROUP BY doc_id) c
+        |JOIN documents d USING (doc_id)
+        |WHERE c.covered = length(d.text)
+        |ORDER BY c.doc_id""".stripMargin,
+    "d_cdc_share" ->
+      s"""WITH ch AS (SELECT * FROM read_parquet('$cdcSharePath/*.parquet')),
+        |h AS (SELECT chunk_hash, COUNT(DISTINCT doc_id) AS n_docs
+        |      FROM ch GROUP BY chunk_hash)
+        |SELECT ch.doc_id, COUNT(*) AS n_chunks,
+        |  CAST(SUM(ch.len) AS BIGINT) AS n_chars,
+        |  CAST(COALESCE(SUM(CASE WHEN h.n_docs > 1 THEN ch.len END), 0) AS BIGINT)
+        |    AS dup_chars,
+        |  ROUND(CAST(COALESCE(SUM(CASE WHEN h.n_docs > 1 THEN ch.len END), 0)
+        |      AS DOUBLE) / SUM(ch.len), 4) AS dup_ratio
+        |FROM ch JOIN h USING (chunk_hash)
+        |GROUP BY ch.doc_id ORDER BY ch.doc_id""".stripMargin,
     "d_winnowing" ->
       """WITH hashed AS (
         |  SELECT doc_id, CAST(i AS INTEGER) AS pos, md5(substr(text, CAST(i AS INTEGER), 5)) AS h
