@@ -22,7 +22,8 @@ object Bench {
     "t_history", "t_asof", "t_diff_snapshots", "t_window_tumbling",
     "d_exact_dedup", "d_minhash_pairs", "s_knn", "x_quality",
     "d_span_dedup", "x_contamination", "d_dedup_groups", "x_tfidf",
-    "x_heavy_hitters", "x_contamination_scale", "s_kmeans", "s_pq_search")
+    "x_heavy_hitters", "x_contamination_scale", "s_kmeans", "s_pq_search",
+    "d_cdc_share")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -316,6 +316,34 @@ class TemporalTableSpec extends SparkSpec {
       s"expected $want files")
   }
 
+  test("warm commit-log parses pay zero GETs (aged session-open analog)") {
+    // the reference opens a 10k-revision session flat (BENCHMARKS.md:253);
+    // our analog: commit entries are create-new-once immutable, so every
+    // parse after the first is ONE LIST + cached contents — commits(),
+    // manifests and schemas stop multiplying GETs with history depth
+    val p = java.nio.file.Files.createTempDirectory("graft-logcache")
+      .resolve("tbl").toString
+    val dir = TemporalTable.commitsDir(p)
+    MetaIO.mkdirs(dir)
+    (1 to 500).foreach { r =>
+      MetaIO.createNew(f"$dir/$r%08d.json",
+        s"""{"revision":$r,"commitTsMs":$r,"author":"x","message":"",""" +
+          s""""files":"f.parquet|10","schemaDdl":"node_key BIGINT"}""")
+    }
+    assert(TemporalTable.commits(p).size == 500) // cold: reads entries
+    val before = MetaIO.readCount.get()
+    assert(TemporalTable.commits(p).size == 500)
+    assert(TemporalTable.commitFileManifests(p).size == 500)
+    assert(TemporalTable.commitSchemas(p).size == 500)
+    assert(MetaIO.readCount.get() == before,
+      "warm commit-log parses must serve from the immutable-entry cache")
+    // a NEW entry costs exactly its own GET
+    MetaIO.createNew(f"$dir/${501}%08d.json",
+      s"""{"revision":501,"commitTsMs":501,"author":"x","message":""}""")
+    assert(TemporalTable.commits(p).size == 501)
+    assert(MetaIO.readCount.get() == before + 1)
+  }
+
   test("aborted write leaves no revision and frees nothing visible") {
     val p = freshPath()
     TemporalTable.write(rev1, p)
