@@ -95,7 +95,9 @@ object DeltaTemporalTable {
   }
 
   private def logCommit(path: String, rev: Int, author: String, message: String,
-                        kind: String): Unit = {
+                        kind: String,
+                        schema: Option[org.apache.spark.sql.types.StructType]
+                          = None): Unit = {
     // same commit-time ownership gate + writer-unique entry bytes as
     // TemporalTable.logCommit — see the S3A race notes on MetaIO.createNew
     TemporalTable.requireOwnership(path, rev)
@@ -107,10 +109,16 @@ object DeltaTemporalTable {
     // from the commit log alone — zero listings of an aged chain
     val files = MetaIO.listFiles(s"$path/rev=$rev")
       .map { case (n, s) => s"$n|$s" }.mkString(";")
+    // the LOGICAL schema (the snapshot's, never the change-record shape):
+    // schema-change detection at the next write, and evolved-history
+    // merging, both read it back from the log
+    val schemaField = schema
+      .map(s => s""""schemaDdl":"${TemporalTable.escapeJson(s.toDDL)}",""")
+      .getOrElse("")
     val json = s"""{"revision":$rev,"commitTsMs":$ts,""" +
       s""""author":"${TemporalTable.escapeJson(author)}",""" +
       s""""message":"${TemporalTable.escapeJson(message)}","kind":"$kind",""" +
-      s""""files":"${TemporalTable.escapeJson(files)}",""" +
+      s""""files":"${TemporalTable.escapeJson(files)}",$schemaField""" +
       s""""writerId":"$token"}"""
     MetaIO.mkdirs(commitsDir(path))
     MetaIO.createNew(s"${commitsDir(path)}/${"%08d".format(rev)}.json", json)
@@ -154,16 +162,29 @@ object DeltaTemporalTable {
       requireNoLowerReservation(path, rev)
       val log = commits(path)
       val sinceFull = log.reverse.takeWhile(_.kind != "full").size
-      val full = log.isEmpty || sinceFull >= snapshotEvery - 1
+      // a SCHEMA CHANGE forces a full snapshot: the epoch boundary is the
+      // natural evolution point (a delta against a different-shaped prior
+      // has no well-defined change records), and every revision inside an
+      // epoch then shares its governing full's schema. Keys must survive
+      // the evolution — without them no later delta can address rows.
+      val priorSchema = log.lastOption
+        .flatMap(c => TemporalTable.commitSchemas(path).get(c.revision))
+      val evolved = priorSchema.exists(p =>
+        p.fields.map(f => (f.name, f.dataType)).toSeq !=
+          df.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+      if (evolved)
+        require(keys.forall(df.columns.contains),
+          s"schema evolution must keep the key column(s) ${keys.mkString(",")}")
+      val full = log.isEmpty || evolved || sinceFull >= snapshotEvery - 1
       if (full) {
         df.write.mode("overwrite").parquet(s"$path/rev=$rev")
-        logCommit(path, rev, author, message, "full")
+        logCommit(path, rev, author, message, "full", Some(df.schema))
       } else {
         val prior = read(spark, path, Some(log.last.revision))
         val valueCols = df.columns.toSeq.filterNot(keys.contains)
         val d = Diff.diffFrames(prior, df, keys, valueCols)
         d.write.mode("overwrite").parquet(s"$path/rev=$rev")
-        logCommit(path, rev, author, message, "delta")
+        logCommit(path, rev, author, message, "delta", Some(df.schema))
       }
     } catch {
       case e: Throwable => TemporalTable.abortReservation(path, rev); throw e
@@ -212,7 +233,7 @@ object DeltaTemporalTable {
       // this compaction supersedes
       val current = read(spark, path)
       current.write.mode("overwrite").parquet(s"$path/rev=$rev")
-      logCommit(path, rev, author, "compact", "full")
+      logCommit(path, rev, author, "compact", "full", Some(current.schema))
     } catch {
       case e: Throwable => TemporalTable.abortReservation(path, rev); throw e
     }
@@ -240,6 +261,18 @@ object DeltaTemporalTable {
 
   private def epochsOf(log: Seq[Commit]): Epochs =
     Epochs(log.filter(_.kind == "full").map(_.revision))
+
+  /** Whether the chain's recorded LOGICAL schemas differ across the given
+    * commits — the evolved-chain signal: multi-epoch reads then merge
+    * footers (columns absent from an epoch read as null there) instead of
+    * trusting one representative file. Commits without a recorded schema
+    * (pre-schema tables) count as one uniform shape. */
+  private[graft] def schemasDiffer(path: String, log: Seq[Commit]): Boolean = {
+    val rec = TemporalTable.commitSchemas(path)
+    log.flatMap(c => rec.get(c.revision))
+      .map(_.fields.map(f => (f.name, f.dataType)).toSeq)
+      .distinct.size > 1
+  }
 
   /** Key columns as stored by [[write]] — delta records lay keys out first,
     * before the `__change_type` marker (driver-side footer read of one
@@ -279,13 +312,22 @@ object DeltaTemporalTable {
       .map(c => effDir(path, c.revision, ovs))
     require(fullDirs.nonEmpty, "event-interval read needs a full snapshot")
     val deltaCommits = commitsIn.filter(_.kind == "delta")
-    val fullDf = spark.read.option("basePath", path).parquet(fullDirs: _*)
-      .withColumn("__change_type", lit("insert"))
+    // evolved chains (schema changed at an epoch boundary — write() forces
+    // a full there): merge footers so the event frame carries the UNION of
+    // the epochs' columns, absent ones null; the union of the two legs
+    // then tolerates columns only one side ever stored
+    val evolved = schemasDiffer(path, commitsIn)
+    def rd(dirs: Seq[String]) = {
+      val base = spark.read.option("basePath", path)
+      (if (evolved) base.option("mergeSchema", "true") else base)
+        .parquet(dirs: _*)
+    }
+    val fullDf = rd(fullDirs).withColumn("__change_type", lit("insert"))
     val events =
       if (deltaCommits.isEmpty) fullDf
       else fullDf.unionByName(
-        spark.read.option("basePath", path)
-          .parquet(deltaCommits.map(c => effDir(path, c.revision, ovs)): _*))
+        rd(deltaCommits.map(c => effDir(path, c.revision, ovs))),
+        allowMissingColumns = evolved)
     val epochDf = spark.createDataFrame(
       commitsIn.map(c => (c.revision, epochs.startOf(c.revision), epochs.endOf(c.revision))))
       .toDF("rev", "__epoch", "__epoch_end")

@@ -156,8 +156,10 @@ private[graft] class GraftStreamTable(options: CaseInsensitiveStringMap)
     if (DeltaTemporalTable.isDeltaLayout(tablePath)) {
       // full snapshots never carry __change_type; append it plus the rev
       // partition column, mirroring the non-delta inferred layout
-      // (partition cols last)
-      DeltaTemporalTable.baseSchema(tablePath)
+      // (partition cols last). Evolved chains stream the union schema.
+      TemporalTable.mergedHistorySchema(tablePath,
+          DeltaTemporalTable.commits(tablePath).map(_.revision))
+        .getOrElse(DeltaTemporalTable.baseSchema(tablePath))
         .add("__change_type", org.apache.spark.sql.types.StringType, nullable = true)
         .add("rev", org.apache.spark.sql.types.IntegerType, nullable = true)
     } else GraftTemporalSource.readDelegate(
@@ -228,7 +230,12 @@ private[graft] class GraftTable(options: CaseInsensitiveStringMap)
     * partition-column surface. */
   private lazy val deltaSchema: StructType =
     if (wantsAllRevisions)
-      DeltaTemporalTable.baseSchema(tablePath)
+      // evolved chains: the history frame carries the UNION of the
+      // epochs' logical schemas (recorded per commit); un-evolved chains
+      // keep the base-snapshot probe
+      TemporalTable.mergedHistorySchema(tablePath,
+          DeltaTemporalTable.commits(tablePath).map(_.revision))
+        .getOrElse(DeltaTemporalTable.baseSchema(tablePath))
         .add("rev", org.apache.spark.sql.types.IntegerType, nullable = true)
     else DeltaTemporalTable.baseSchema(tablePath, deltaRevision)
 

@@ -117,19 +117,24 @@ object ChangeFeed {
     val ovs = graft.sources.RevisionCompaction.overlays(tablePath)
     def eff(rev: Int): String =
       graft.sources.RevisionCompaction.effectiveDir(tablePath, rev, ovs)
+    // evolved chains: merge footers across epochs (see eventIntervals)
+    val evolved = DeltaTemporalTable.schemasDiffer(tablePath, log)
+    def rd(dirs: Seq[String]) = {
+      val base = spark.read.option("basePath", tablePath)
+      (if (evolved) base.option("mergeSchema", "true") else base)
+        .parquet(dirs: _*)
+    }
 
     val deltaLeg: Option[DataFrame] =
       if (wantedDeltas.isEmpty) None
-      else Some(spark.read.option("basePath", tablePath)
-        .parquet(wantedDeltas.map(c => eff(c.revision)): _*)
+      else Some(rd(wantedDeltas.map(c => eff(c.revision)))
         .select(keys.map(col) :+ col("__change_type").as("change_type")
           :+ col("rev").cast("int").as("revision"): _*))
 
     val fullLeg: Option[DataFrame] =
       if (wantedFulls.isEmpty) None
       else {
-        val snapDf = spark.read.option("basePath", tablePath)
-          .parquet(wantedFulls.map(c => eff(c.revision)): _*)
+        val snapDf = rd(wantedFulls.map(c => eff(c.revision)))
         val valueCols = snapDf.columns.toSeq
           .filterNot(c => keys.contains(c) || c == "rev")
         val newSide = snapDf.select(
@@ -145,8 +150,20 @@ object ChangeFeed {
             :+ lit("insert").as("change_type")
             :+ col("__n_target").as("revision"): _*))
         else {
-          val oldSide = DeltaTemporalTable
-            .statesBefore(spark, tablePath, log, targets, keys)
+          // prior-epoch states may predate a schema change (write()
+          // forces a full at the boundary, so the epoch ENDING at a
+          // target may lack columns the target introduced) — pad the old
+          // side to the union valueCols with typed nulls so the struct
+          // compare is shape-aligned; a row whose only change is the new
+          // column then classifies as an update, exactly like the
+          // snapshot layout's diff
+          val oldBase = valueCols.foldLeft(
+              DeltaTemporalTable.statesBefore(spark, tablePath, log, targets, keys)) {
+            (d, c) =>
+              if (d.columns.contains(c)) d
+              else d.withColumn(c, lit(null).cast(snapDf.schema(c).dataType))
+          }
+          val oldSide = oldBase
             .select(keys.map(k => col(k).as(s"__o_$k"))
               :+ struct(valueCols.map(col): _*).as("__o_vals")
               :+ col("__target").as("__o_target"): _*)

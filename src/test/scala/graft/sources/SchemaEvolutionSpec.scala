@@ -87,6 +87,59 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(hist.select("s").as[String].collect().toSet == Set("x", "y"))
   }
 
+  test("delta chains evolve at epoch boundaries: schema change forces a full snapshot") {
+    val p = tmp()
+    def w(df: org.apache.spark.sql.DataFrame) =
+      DeltaTemporalTable.write(spark, df, p, snapshotEvery = 4)
+    w(Seq((1L, 10.0), (2L, 20.0)).toDF("node_key", "price")) // rev 1: full
+    w(Seq((1L, 11.0), (2L, 20.0)).toDF("node_key", "price")) // rev 2: delta
+    // rev 3 changes shape mid-epoch → MUST commit as a full snapshot
+    w(Seq((1L, 11.0, "eur"), (2L, 20.0, "usd"))
+      .toDF("node_key", "price", "ccy"))
+    // rev 4: delta within the new epoch
+    w(Seq((1L, 12.0, "eur"), (2L, 20.0, "usd"))
+      .toDF("node_key", "price", "ccy"))
+    assert(DeltaTemporalTable.commits(p).map(_.kind) ==
+      Seq("full", "delta", "full", "delta"))
+
+    // per-revision reads serve each epoch's own schema
+    assert(DeltaTemporalTable.read(spark, p, Some(2)).columns.toSeq ==
+      Seq("node_key", "price"))
+    assert(DeltaTemporalTable.read(spark, p, Some(4)).columns.toSeq ==
+      Seq("node_key", "price", "ccy"))
+    assert(DeltaTemporalTable.read(spark, p, Some(4))
+      .filter($"node_key" === 1L).select("price", "ccy")
+      .as[(Double, String)].head() == ((12.0, "eur")))
+
+    // history: union frame, epoch-1 rows carry null ccy
+    val hist = DeltaTemporalTable.readAllRevisions(spark, p)
+      .select("revision", "node_key", "price", "ccy")
+      .as[(Int, Long, Double, Option[String])].collect().toSet
+    assert(hist == Set(
+      (1, 1L, 10.0, None), (1, 2L, 20.0, None),
+      (2, 1L, 11.0, None), (2, 2L, 20.0, None),
+      (3, 1L, 11.0, Some("eur")), (3, 2L, 20.0, Some("usd")),
+      (4, 1L, 12.0, Some("eur")), (4, 2L, 20.0, Some("usd"))), s"got $hist")
+
+    // V2 allRevisions + record lookup + change feed cross the boundary
+    val v2 = spark.read.format("graft-temporal")
+      .option("allRevisions", true).load(p)
+    assert(v2.filter(col("rev") === 1 && col("ccy").isNotNull).count() == 0)
+    assert(v2.filter(col("rev") === 4 && col("ccy") === "eur").count() == 1)
+    assert(DeltaTemporalTable.recordRevisions(spark, p, 1L)
+      .select("revision").as[Int].collect().toSeq == Seq(1, 2, 3, 4))
+    val feed = graft.streaming.ChangeFeed.revisionFeed(spark, p)
+      .filter(col("revision") === 4 && col("node_key") === 1L)
+      .select("change_type").as[String].collect().toSeq
+    assert(feed == Seq("update"), s"got $feed")
+
+    // dropping the key column is refused (no later delta could address rows)
+    val e = intercept[IllegalArgumentException] {
+      w(Seq((1, "x")).toDF("id", "name"))
+    }
+    assert(e.getMessage.contains("key column"), e.getMessage)
+  }
+
   test("evolution through the V2 append path requires the evolveSchema opt-in") {
     val p = tmp()
     TemporalTable.write(Seq((1L, 1.0)).toDF("node_key", "a"), p)
