@@ -431,4 +431,28 @@ object Dedup {
       .withColumn("dup_ratio",
         round(col("dup_chars").cast("double") / col("n_chars"), 4))
   }
+
+  /** Incremental chunk-level duplication: how much of each NEW document
+    * already exists — byte-identical at chunk granularity — in a stored
+    * corpus chunk table ([[cdcChunks]] output persisted as parquet). The
+    * daily-ingest admission pattern, mirroring [[incrementalDedup]]: the
+    * corpus is never re-chunked; only its (8-byte) hash column is read,
+    * distinct-reduced, and hash-joined against the batch's chunks. Same
+    * parameters as the stored table or the hashes won't line up. */
+  def cdcDupRatioAgainst(newBatch: DataFrame, idCol: String, textCol: String,
+                         corpusChunksPath: String,
+                         avgBits: Int = 6, minChars: Int = 16,
+                         maxChars: Int = 256): DataFrame = {
+    val chunks = cdcChunks(newBatch, idCol, textCol, avgBits, minChars, maxChars)
+    val corpus = newBatch.sparkSession.read.parquet(corpusChunksPath)
+      .select(col("chunk_hash")).distinct()
+      .withColumn("__hit", lit(1))
+    chunks.join(corpus, Seq("chunk_hash"), "left_outer")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("len")).as("n_chars"),
+        sum(when(col("__hit") === 1, col("len")).otherwise(0L)).as("dup_chars"))
+      .withColumn("dup_ratio",
+        round(col("dup_chars").cast("double") / col("n_chars"), 4))
+  }
 }

@@ -80,6 +80,8 @@ object PipelineQueries {
     * character accounting against DuckDB's own length(text). */
   private lazy val cdcChunksPath = s"$runDir/cdc_chunks"
   private lazy val cdcSharePath = s"$runDir/cdc_share_chunks"
+  private lazy val cdcCorpusPath = s"$runDir/cdc_corpus_chunks"
+  private lazy val cdcBatchPath = s"$runDir/cdc_batch_chunks"
 
   /** Sidecars for the s_purged_search oracle: stored centroids + the
     * MODEL-derived cell assignment of the surviving snapshot (never read
@@ -152,6 +154,20 @@ object PipelineQueries {
       Dedup.cdcChunks(docs(s, d), "doc_id", "text")
         .write.mode("overwrite").parquet(cdcSharePath)
       Dedup.cdcDupRatio(docs(s, d), "doc_id", "text")
+        .select("doc_id", "n_chunks", "n_chars", "dup_chars", "dup_ratio")
+        .orderBy("doc_id")
+    },
+    // incremental chunk-level dedup: a new batch admitted against the
+    // STORED corpus chunk table (corpus never re-chunked)
+    "d_cdc_incremental" -> { (s, d) =>
+      val all = docs(s, d)
+      val corpus = all.filter(col("doc_id") % 5 =!= 0)
+      val batch = all.filter(col("doc_id") % 5 === 0)
+      Dedup.cdcChunks(corpus, "doc_id", "text")
+        .write.mode("overwrite").parquet(cdcCorpusPath)
+      Dedup.cdcChunks(batch, "doc_id", "text")
+        .write.mode("overwrite").parquet(cdcBatchPath)
+      Dedup.cdcDupRatioAgainst(batch, "doc_id", "text", cdcCorpusPath)
         .select("doc_id", "n_chunks", "n_chars", "dup_chars", "dup_ratio")
         .orderBy("doc_id")
     },
@@ -738,6 +754,18 @@ object PipelineQueries {
         |      AS DOUBLE) / SUM(ch.len), 4) AS dup_ratio
         |FROM ch JOIN h USING (chunk_hash)
         |GROUP BY ch.doc_id ORDER BY ch.doc_id""".stripMargin,
+    "d_cdc_incremental" ->
+      s"""WITH b AS (SELECT * FROM read_parquet('$cdcBatchPath/*.parquet')),
+        |c AS (SELECT DISTINCT chunk_hash
+        |      FROM read_parquet('$cdcCorpusPath/*.parquet'))
+        |SELECT b.doc_id, COUNT(*) AS n_chunks,
+        |  CAST(SUM(b.len) AS BIGINT) AS n_chars,
+        |  CAST(COALESCE(SUM(CASE WHEN c.chunk_hash IS NOT NULL THEN b.len END), 0)
+        |    AS BIGINT) AS dup_chars,
+        |  ROUND(CAST(COALESCE(SUM(CASE WHEN c.chunk_hash IS NOT NULL THEN b.len END), 0)
+        |      AS DOUBLE) / SUM(b.len), 4) AS dup_ratio
+        |FROM b LEFT JOIN c USING (chunk_hash)
+        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
     "d_winnowing" ->
       """WITH hashed AS (
         |  SELECT doc_id, CAST(i AS INTEGER) AS pos, md5(substr(text, CAST(i AS INTEGER), 5)) AS h

@@ -86,6 +86,24 @@ class CdcSpec extends SparkSpec {
     assert(r(3L) == 0.0, s"unique doc must score zero: $r")
   }
 
+  test("cdcDupRatioAgainst admits a batch against stored corpus chunks") {
+    val boiler = randomText(21, 700)
+    val corpus = Seq((1L, boiler + randomText(22, 800)),
+      (2L, randomText(23, 900))).toDF("doc_id", "text")
+    val stored = java.nio.file.Files.createTempDirectory("cdc-corpus").toString
+    Dedup.cdcChunks(corpus, "doc_id", "text", 5, 8, 128)
+      .write.mode("overwrite").parquet(stored)
+    val batch = Seq(
+      (10L, boiler + randomText(31, 500)), // shares the corpus boilerplate
+      (11L, randomText(32, 1200))          // entirely new
+    ).toDF("doc_id", "text")
+    val r = Dedup.cdcDupRatioAgainst(batch, "doc_id", "text", stored,
+      avgBits = 5, minChars = 8, maxChars = 128)
+      .select("doc_id", "dup_ratio").as[(Long, Double)].collect().toMap
+    assert(r(10L) > 0.3, s"boilerplate overlap must score: $r")
+    assert(r(11L) == 0.0, s"fresh doc must score zero: $r")
+  }
+
   test("SQL registration: graft_cdc_chunks matches the column API") {
     docs.createOrReplaceTempView("cdc_docs")
     val viaSql = spark.sql(
