@@ -67,6 +67,12 @@ object ProfileTextScale {
       Corpus.contaminationAtScale(docs.filter($"doc_id" % 40 =!= 0),
         docs.filter($"doc_id" % 40 === 0), "doc_id", "text", 3).count()
     }
+    time("cdc_chunks") {
+      Dedup.cdcChunks(docs, "doc_id", "text").count()
+    }
+    time("cdc_dup_ratio") {
+      Dedup.cdcDupRatio(docs, "doc_id", "text").count()
+    }
     spark.stop()
   }
 }
