@@ -27,7 +27,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * the MinHash kernels), so every chunk is a well-formed substring:
   * `chunk i == substring(text, start+1, len)` and `hash ==
   * xxhash64(substring(...))` hold EXACTLY (seed-42 XXH64 over the same
-  * bytes) — the differential the spec pins.
+  * bytes) — the differential the spec pins. One documented divergence,
+  * shared with every kernel on MinHashKernel.charStarts: a text ENDING
+  * in a truncated multi-byte sequence clamps its final character to the
+  * buffer, where Spark's own substring reads past it — there the last
+  * chunk's hash is over the clamped bytes, not substring's
+  * out-of-bounds slice.
   */
 object CdcExpressions {
 
@@ -109,27 +114,13 @@ object CdcExpressions {
 
 object CdcKernel {
 
-  /** Byte offset of each character start + end sentinel — the
-    * `substringSQL` stepping (see MinHashKernel.charStarts for the
-    * clamping rationale on truncated trailing sequences). */
-  private def charStarts(bytes: Array[Byte]): Array[Int] = {
-    val offs = new Array[Int](bytes.length + 1)
-    var n = 0
-    var i = 0
-    while (i < bytes.length) {
-      offs(n) = i
-      n += 1
-      i += UTF8String.numBytesForFirstByte(bytes(i))
-    }
-    offs(n) = bytes.length
-    java.util.Arrays.copyOf(offs, n + 1)
-  }
-
   def chunks(text: UTF8String, avgBits: Int, minChars: Int,
              maxChars: Int): GenericArrayData = {
     val bytes = text.getBytes
     if (bytes.isEmpty) return null
-    val offs = charStarts(bytes)
+    // the ONE charStarts (MinHashKernel's): chunk boundaries and shingle
+    // boundaries must step text identically forever
+    val offs = MinHashKernel.charStarts(bytes)
     val nChars = offs.length - 1
     val mask = (1L << avgBits) - 1L
     val gear = CdcExpressions.GEAR

@@ -359,7 +359,7 @@ object MinHashKernel {
     * the string's buffer (it slices to the stepped-past-end offset —
     * whatever bytes happen to live there); we clamp the final offset to
     * the string length instead of reproducing an out-of-bounds read. */
-  private def charStarts(bytes: Array[Byte]): Array[Int] = {
+  private[functions] def charStarts(bytes: Array[Byte]): Array[Int] = {
     val offs = new Array[Int](bytes.length + 1)
     var n = 0
     var i = 0

@@ -411,23 +411,26 @@ object Dedup {
     * signal CDC exists for: headers, licence blocks, templated sections
     * surface even when no document-level near-dup fires.
     *
-    * Plan: one kernel pass → chunk table; `chunk_hash`-keyed aggregate
-    * counts distinct holders per hash (hash is 8 bytes — the shuffle
-    * never carries text); join back on the hash; per-doc weighted
-    * rollup. Both shuffles key on high-cardinality columns; at 100 TB
-    * the chunk-hash table is the dedup working set, ~corpus/2^avgBits
-    * rows. */
+    * Plan: ONE kernel pass → chunk frame; a `chunk_hash`-partitioned
+    * window marks hashes held by more than one distinct doc (min ≠ max
+    * of the holder id — no self-join, so the expensive map-side chunking
+    * runs once, not once per plan subtree); per-doc weighted rollup.
+    * Both shuffles key on high-cardinality columns and carry 8-byte
+    * hashes, never text; at 100 TB the chunk-hash exchange is the dedup
+    * working set, ~corpus/2^avgBits rows. */
   def cdcDupRatio(df: DataFrame, idCol: String, textCol: String,
                   avgBits: Int = 6, minChars: Int = 16,
                   maxChars: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val chunks = cdcChunks(df, idCol, textCol, avgBits, minChars, maxChars)
-    val holders = chunks.groupBy("chunk_hash")
-      .agg(countDistinct(col(idCol)).as("__n_docs"))
-    chunks.join(holders, "chunk_hash")
+    val perHash = Window.partitionBy("chunk_hash")
+    chunks
+      .withColumn("__multi",
+        min(col(idCol)).over(perHash) =!= max(col(idCol)).over(perHash))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_chunks"),
         sum(col("len")).as("n_chars"),
-        sum(when(col("__n_docs") > 1, col("len")).otherwise(0L)).as("dup_chars"))
+        sum(when(col("__multi"), col("len")).otherwise(0L)).as("dup_chars"))
       .withColumn("dup_ratio",
         round(col("dup_chars").cast("double") / col("n_chars"), 4))
   }

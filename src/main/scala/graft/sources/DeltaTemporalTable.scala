@@ -167,8 +167,17 @@ object DeltaTemporalTable {
       // has no well-defined change records), and every revision inside an
       // epoch then shares its governing full's schema. Keys must survive
       // the evolution — without them no later delta can address rows.
-      val priorSchema = log.lastOption
-        .flatMap(c => TemporalTable.commitSchemas(path).get(c.revision))
+      // prior logical schema: recorded in the commit log, or — for chains
+      // whose last commit predates schema recording — the governing
+      // full's footer (one driver-side read; within an epoch the schema
+      // is constant, and pre-recording chains could not have evolved: the
+      // old diff path failed analysis on any column change). Without this
+      // fallback a column-dropping write on a legacy chain would commit
+      // as a DELTA whose reconstruction breaks every later read.
+      val priorSchema = log.lastOption.map { c =>
+        TemporalTable.commitSchemas(path).getOrElse(c.revision,
+          baseSchema(path, Some(c.revision)))
+      }
       val evolved = priorSchema.exists(p =>
         p.fields.map(f => (f.name, f.dataType)).toSeq !=
           df.schema.fields.map(f => (f.name, f.dataType)).toSeq)

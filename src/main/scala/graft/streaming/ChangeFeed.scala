@@ -134,9 +134,26 @@ object ChangeFeed {
     val fullLeg: Option[DataFrame] =
       if (wantedFulls.isEmpty) None
       else {
-        val snapDf = rd(wantedFulls.map(c => eff(c.revision)))
-        val valueCols = snapDf.columns.toSeq
-          .filterNot(c => keys.contains(c) || c == "rev")
+        val snapDf0 = rd(wantedFulls.map(c => eff(c.revision)))
+        // the compared column set must not depend on WHERE replay starts:
+        // a column dropped at an epoch boundary has to produce the same
+        // change rows whether or not an older full is inside the window.
+        // So the value columns are the union over the WHOLE log's
+        // recorded logical schemas (falls back to the window's own
+        // columns on pre-schema chains, which cannot have evolved), and
+        // BOTH sides pad missing ones with typed nulls.
+        val unionSchema = graft.sources.TemporalTable
+          .mergedHistorySchema(tablePath, log.map(_.revision))
+        val valueFields = unionSchema
+          .map(_.fields.toSeq.filterNot(f => keys.contains(f.name) || f.name == "rev"))
+          .getOrElse(snapDf0.schema.fields.toSeq
+            .filterNot(f => keys.contains(f.name) || f.name == "rev"))
+        val valueCols = valueFields.map(_.name)
+        def pad(d: DataFrame): DataFrame = valueFields.foldLeft(d) { (acc, f) =>
+          if (acc.columns.contains(f.name)) acc
+          else acc.withColumn(f.name, lit(null).cast(f.dataType))
+        }
+        val snapDf = pad(snapDf0)
         val newSide = snapDf.select(
           keys.map(k => col(k).as(s"__n_$k"))
             :+ struct(valueCols.map(col): _*).as("__n_vals")
@@ -151,19 +168,12 @@ object ChangeFeed {
             :+ col("__n_target").as("revision"): _*))
         else {
           // prior-epoch states may predate a schema change (write()
-          // forces a full at the boundary, so the epoch ENDING at a
-          // target may lack columns the target introduced) — pad the old
-          // side to the union valueCols with typed nulls so the struct
-          // compare is shape-aligned; a row whose only change is the new
-          // column then classifies as an update, exactly like the
-          // snapshot layout's diff
-          val oldBase = valueCols.foldLeft(
-              DeltaTemporalTable.statesBefore(spark, tablePath, log, targets, keys)) {
-            (d, c) =>
-              if (d.columns.contains(c)) d
-              else d.withColumn(c, lit(null).cast(snapDf.schema(c).dataType))
-          }
-          val oldSide = oldBase
+          // forces a full at the boundary) — the same pad applies, so a
+          // row whose only change is an added OR dropped column
+          // classifies as an update, exactly like the snapshot layout's
+          // diff, regardless of the replay window
+          val oldSide = pad(
+              DeltaTemporalTable.statesBefore(spark, tablePath, log, targets, keys))
             .select(keys.map(k => col(k).as(s"__o_$k"))
               :+ struct(valueCols.map(col): _*).as("__o_vals")
               :+ col("__target").as("__o_target"): _*)

@@ -12,8 +12,12 @@ class CdcSpec extends SparkSpec {
 
   private def randomText(seed: Int, n: Int): String = {
     val r = new scala.util.Random(seed)
-    val alphabet = "abcdefgh ij.kλμν中文字😀" // multi-byte + surrogate
-    (1 to n).map(_ => alphabet(r.nextInt(alphabet.length))).mkString
+    // sample whole CODE POINTS (indexing the string by Java char would
+    // split the 4-byte emoji into lone surrogates that encode to '?',
+    // silently dropping the supplementary-plane coverage)
+    val alphabet = Seq("a", "b", "c", "d", "e", "f", "g", "h", " ", "i",
+      "j", ".", "k", "λ", "μ", "ν", "中", "文", "字", "😀")
+    (1 to n).map(_ => alphabet(r.nextInt(alphabet.size))).mkString
   }
 
   private lazy val docs = (1 to 40)
