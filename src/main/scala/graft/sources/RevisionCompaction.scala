@@ -248,6 +248,28 @@ object RevisionCompaction {
     }
   }
 
+  /** Remove generation directories no published overlay points at — the
+    * residue of a compactor that crashed BEFORE its publish `createNew`
+    * (invisible to every reader; overwritten on a retry of the same
+    * generation, but never reclaimed if the compactor moves on or the
+    * policy is cleared). Run it from the (single) maintenance process
+    * only: a concurrently RUNNING compactor's in-progress generation is
+    * indistinguishable from an orphan. Returns the removed dirs. */
+  def cleanOrphans(path: String): Seq[String] = {
+    val ovs = overlays(path)
+    TemporalTable.commits(path).map(_.revision).flatMap { rev =>
+      val live = ovs.get(rev).map(_.gen)
+      MetaIO.listDirs(s"$path/rev=$rev")
+        .filter(n => n.startsWith("_c") &&
+          scala.util.Try(n.stripPrefix("_c").toInt).toOption
+            .exists(g => !live.contains(g)))
+        .map { n =>
+          MetaIO.delete(s"$path/rev=$rev/$n", recursive = true)
+          s"rev=$rev/$n"
+        }
+    }
+  }
+
   // ---- persisted auto-compaction policy (the history analog of the
   // key-index auto-compaction: the policy travels WITH the table, so
   // every writer process honors it without registering hooks — the

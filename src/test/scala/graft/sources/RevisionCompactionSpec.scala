@@ -210,6 +210,24 @@ class RevisionCompactionSpec extends SparkSpec {
     assert(rows(DeltaTemporalTable.read(spark, p)) == rows(state(6)))
   }
 
+  test("cleanOrphans removes crashed-attempt generations, never the live one") {
+    val p = tmp("graft-rc-orphan")
+    TemporalTable.write(
+      (1L to 60L).map(k => (k, k)).toDF("node_key", "v").repartition(4), p)
+    TemporalTable.write(Seq((61L, 61L)).toDF("node_key", "v"), p)
+    RevisionCompaction.compactRevision(spark, p, 1, targetFileBytes = 1L << 40)
+    val before = rows(TemporalTable.read(spark, p, Some(1)))
+    // a compactor that crashed before publishing gen 2 leaves an orphan
+    MetaIO.mkdirs(s"$p/rev=1/_c2")
+    MetaIO.createNew(s"$p/rev=1/_c2/part-junk.parquet", "not parquet")
+    val removed = RevisionCompaction.cleanOrphans(p)
+    assert(removed == Seq("rev=1/_c2"), s"got $removed")
+    assert(!MetaIO.exists(s"$p/rev=1/_c2"))
+    assert(MetaIO.exists(RevisionCompaction.genDir(p, 1, 1)), "live gen removed")
+    assert(rows(TemporalTable.read(spark, p, Some(1))) == before)
+    assert(RevisionCompaction.cleanOrphans(p).isEmpty, "idempotence")
+  }
+
   test("a post-commit policy failure surfaces WITHOUT destroying the committed revision") {
     val p = tmp("graft-rc-policyfail")
     DeltaTemporalTable.write(spark,
