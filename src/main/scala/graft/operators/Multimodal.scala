@@ -494,20 +494,27 @@ object Multimodal {
                                      maxFrames: Int = 32)
       : Option[(Int, Int, Long, Int, Double, Array[Float])] =
     parseAvi(content).flatMap { avi =>
-      val n = avi.nFrames
-      val take = math.min(math.min(dim, maxFrames), n)
-      val lumas = (0 until take).flatMap { k =>
-        val (off, len) = avi.frames(k * n / take)
-        decodeImage(java.util.Arrays.copyOfRange(content, off, off + len), 1)
-          .map(_._3)
-      }
-      if (lumas.isEmpty) None
-      else {
-        val feats = Array.tabulate(dim)(i =>
-          (lumas(i % lumas.length) / 255.0 - 0.5).toFloat)
-        Some((avi.width, avi.height, avi.durationMs, n,
-          lumas.sum / lumas.length, feats))
-      }
+      // post-parse body under try: parseAvi validates the container, but a
+      // hostile index can still name absurd frame counts/offsets — the
+      // hostile-bytes contract is "fall back to the stub", never throw.
+      // Long arithmetic on the sample index: k * n overflows Int past
+      // ~2^31/take tiny frame chunks.
+      try {
+        val n = avi.nFrames
+        val take = math.min(math.min(dim, maxFrames), n)
+        val lumas = (0 until take).flatMap { k =>
+          val (off, len) = avi.frames((k.toLong * n / take).toInt)
+          decodeImage(java.util.Arrays.copyOfRange(content, off, off + len), 1)
+            .map(_._3)
+        }
+        if (lumas.isEmpty) None
+        else {
+          val feats = Array.tabulate(dim)(i =>
+            (lumas(i % lumas.length) / 255.0 - 0.5).toFloat)
+          Some((avi.width, avi.height, avi.durationMs, n,
+            lumas.sum / lumas.length, feats))
+        }
+      } catch { case _: RuntimeException => None }
     }
 
   /** Video-feature extraction: the video twin of [[extractFeatures]] —

@@ -501,7 +501,7 @@ object TemporalQueries {
         |  SELECT user_id, value, epoch_us(ts) AS vf,
         |    LEAD(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vt
         |  FROM events)
-        |SELECT user_id, SUM(vt - vf) AS total_duration,
+        |SELECT user_id, CAST(SUM(vt - vf) AS BIGINT) AS total_duration,
         |  ROUND(SUM(value * (vt - vf)) / SUM(vt - vf), 4) AS weighted_avg
         |FROM iv WHERE vt IS NOT NULL
         |GROUP BY user_id ORDER BY user_id""".stripMargin,

@@ -110,14 +110,31 @@ private[graft] object MetaIO {
     * never modified). One LIST per call; GETs only for entries not yet
     * cached. The cache key is (qualified path, size, mtime): a dropped
     * and recreated table can reuse an entry name, but not with the same
-    * size AND modification time — the same staleness discipline as the
-    * footer-schema cache. Bounded (cleared past 64k entries).
+    * size AND modification time. Two hardenings on the cache itself:
+    *
+    *  - the cache is a true LRU bounded at 64k entries (one eviction per
+    *    insert) — the previous clear-all-at-64k caused a thundering
+    *    re-GET of every hot commit log on the next read;
+    *  - [[delete]] purges every cached entry under the deleted path, so a
+    *    drop-and-recreate THROUGH THIS PROCESS can never serve the old
+    *    table's entries even when the store's mtime granularity (whole
+    *    seconds on some object stores) would let the (size, mtime) key
+    *    collide. The cross-process residual — another process drops and
+    *    recreates a table with a same-length entry inside one mtime tick
+    *    — is outside the single-writer discipline every metadata path
+    *    already assumes.
     *
     * Returns (name, content) for entries passing `pred`, in name order
     * (commit-log parsers sort by revision themselves; deterministic
     * ordering here keeps callers reproducible). */
+  private val entryCacheMax = 65536
   private val entryCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), String]()
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(String, Long, Long), String](1024, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, Long, Long), String]): Boolean =
+          size() > entryCacheMax
+      })
   def readAllCached(dir: String, pred: String => Boolean): Seq[(String, String)] = {
     val p = new Path(dir)
     val f = fs(dir)
@@ -127,7 +144,6 @@ private[graft] object MetaIO {
       .map(s => (s.getPath.getName, s.getPath.toString, s.getLen,
         s.getModificationTime))
       .sortBy(_._1)
-    if (entryCache.size() > 65536) entryCache.clear()
     parallelMap(entries) { case (name, qualified, len, mtime) =>
       val key = (qualified, len, mtime)
       val cached = entryCache.get(key)
@@ -139,6 +155,23 @@ private[graft] object MetaIO {
           s
         }
       name -> content
+    }
+  }
+
+  /** Drop every cached immutable-entry read at or under `path` — called
+    * by [[delete]] so an in-process drop-and-recreate cannot serve stale
+    * entries off a colliding (size, mtime) key. */
+  private def purgeCached(path: String): Unit = {
+    val qualified = {
+      val f = fs(path)
+      new Path(path).makeQualified(f.getUri, f.getWorkingDirectory).toString
+    }
+    entryCache.synchronized {
+      val it = entryCache.entrySet().iterator()
+      while (it.hasNext) {
+        val k = it.next().getKey
+        if (k._1 == qualified || k._1.startsWith(qualified + "/")) it.remove()
+      }
     }
   }
 
@@ -236,9 +269,13 @@ private[graft] object MetaIO {
     }
   }
 
-  def delete(path: String, recursive: Boolean = false): Boolean =
+  def delete(path: String, recursive: Boolean = false): Boolean = {
+    // data-file deletes (vacuum loops) can never hit cached entries —
+    // only metadata JSONs are cached — so skip the purge scan for them
+    if (recursive || path.endsWith(".json")) purgeCached(path)
     try fs(path).delete(new Path(path), recursive)
     catch { case _: FileNotFoundException => false }
+  }
 
   /** Overwrite write with rename visibility: content lands fully in a
     * hidden tmp file, then renames over the destination. Unlike
