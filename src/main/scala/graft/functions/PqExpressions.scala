@@ -31,7 +31,10 @@ object PqExpressions {
     * vectors whose length ≠ M·subDim yield NULL (a corrupt embedding must
     * not silently encode as a truncated code). Ties break to the lowest
     * centroid id (strict `<`), matching [[graft.operators.IvfIndex
-    * .assignCells]]'s first-minimal contract.
+    * .assignCells]]'s first-minimal contract. A vector with NULL elements
+    * also yields NULL — `ArrayData.getFloat` on a null slot returns an
+    * undefined value, which would otherwise encode to plausible-looking
+    * but wrong codes (same contract as the length mismatch).
     *
     * `normalize = true` (the cosine contract) quantizes the UNIT vector
     * x/‖x‖: with raw vectors, every row sharing a code cell has the same
@@ -71,9 +74,19 @@ object PqExpressions {
             s"$prettyName requires array<float|double>, got ${other.sql}")
       }
 
+    private def containsNull: Boolean =
+      child.dataType.asInstanceOf[ArrayType].containsNull
+
     override def nullSafeEval(a: Any): Any = {
       val xs = a.asInstanceOf[ArrayData]
       if (xs.numElements() != m * subDim) return null
+      if (containsNull) {
+        var i = 0
+        while (i < m * subDim) {
+          if (xs.isNullAt(i)) return null
+          i += 1
+        }
+      }
       val f = isFloat
       def raw(i: Int): Double =
         if (f) xs.getFloat(i).toDouble else xs.getDouble(i)
@@ -137,27 +150,43 @@ object PqExpressions {
              |}
              |double $inv = $s2 > 0 ? 1.0 / java.lang.Math.sqrt($s2) : 1.0;
            """.stripMargin
+        val nn = ctx.freshName("nn")
+        // null-slot scan only runs once the length matched (isNullAt past
+        // numElements is undefined); skipped entirely for containsNull=false
+        val nullScan =
+          if (!containsNull) s"boolean $nn = false;"
+          else s"""
+             |boolean $nn = false;
+             |for (int $i = 0; $i < ${m * subDim} && !$nn; $i++) {
+             |  if ($a.isNullAt($i)) $nn = true;
+             |}
+           """.stripMargin
         s"""
            |if ($a.numElements() != ${m * subDim}) {
            |  ${ev.isNull} = true;
            |} else {
-           |  $normCode
-           |  int[] $codes = new int[$m];
-           |  for (int $mi = 0; $mi < $m; $mi++) {
-           |    int $best = 0;
-           |    double $bestD = Double.MAX_VALUE;
-           |    for (int $c = 0; $c < $k; $c++) {
-           |      double $d = 0.0;
-           |      int $base = ($mi * $k + $c) * $subDim;
-           |      for (int $j = 0; $j < $subDim; $j++) {
-           |        double $t = (double) $a.$get($mi * $subDim + $j) * $inv - $cb[$base + $j];
-           |        $d += $t * $t;
+           |  $nullScan
+           |  if ($nn) {
+           |    ${ev.isNull} = true;
+           |  } else {
+           |    $normCode
+           |    int[] $codes = new int[$m];
+           |    for (int $mi = 0; $mi < $m; $mi++) {
+           |      int $best = 0;
+           |      double $bestD = Double.MAX_VALUE;
+           |      for (int $c = 0; $c < $k; $c++) {
+           |        double $d = 0.0;
+           |        int $base = ($mi * $k + $c) * $subDim;
+           |        for (int $j = 0; $j < $subDim; $j++) {
+           |          double $t = (double) $a.$get($mi * $subDim + $j) * $inv - $cb[$base + $j];
+           |          $d += $t * $t;
+           |        }
+           |        if ($d < $bestD) { $bestD = $d; $best = $c; }
            |      }
-           |      if ($d < $bestD) { $bestD = $d; $best = $c; }
+           |      $codes[$mi] = $best;
            |    }
-           |    $codes[$mi] = $best;
+           |    ${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($codes);
            |  }
-           |  ${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($codes);
            |}
          """.stripMargin
       })
@@ -171,8 +200,8 @@ object PqExpressions {
     * is query-specific (built driver-side by [[graft.operators.Pq
     * .distTable]]) and can hold squared-L2 (distance) or inner-product
     * (similarity) partials — the expression just sums the lookups. NULL
-    * for null codes, wrong arity, or an out-of-range code (hostile
-    * storage must not read out of the table). */
+    * for null codes, a null code SLOT, wrong arity, or an out-of-range
+    * code (hostile storage must not read out of the table). */
   case class PqAdc(child: Expression, table: Seq[Seq[Double]])
       extends UnaryExpression {
 
@@ -202,12 +231,16 @@ object PqExpressions {
         case ByteType => xs.getByte(i).toInt
       }
 
+    private def containsNull: Boolean =
+      child.dataType.asInstanceOf[ArrayType].containsNull
+
     override def nullSafeEval(a: Any): Any = {
       val xs = a.asInstanceOf[ArrayData]
       if (xs.numElements() != m) return null
       var acc = 0.0
       var i = 0
       while (i < m) {
+        if (containsNull && xs.isNullAt(i)) return null
         val c = getCode(xs, i)
         if (c < 0 || c >= k) return null
         acc += flat(i * k + c)
@@ -235,6 +268,7 @@ object PqExpressions {
            |  double $acc = 0.0;
            |  boolean $bad = false;
            |  for (int $i = 0; $i < $m; $i++) {
+           |    ${if (containsNull) s"if ($a.isNullAt($i)) { $bad = true; break; }" else ""}
            |    int $c = (int) $a.$get($i);
            |    if ($c < 0 || $c >= $k) { $bad = true; break; }
            |    $acc += $tb[$i * $k + $c];

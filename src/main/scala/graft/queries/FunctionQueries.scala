@@ -195,12 +195,17 @@ object FunctionQueries {
     },
     // shred → serialize round trip (XmlShredder.serialize, the inverse of
     // the shredder — reference service/xml/serialize): the reconstructed
-    // document must equal the input byte-for-byte
+    // document must equal the input byte-for-byte. The fixture carries a
+    // top-level comment, an in-element comment and a processing
+    // instruction — first-class node kinds (reference CommentNode.java /
+    // PINode.java), NOT dropped by the shredder.
     "q_xml_roundtrip" -> { (s, d) =>
       val xml = t(s, d, "nation").select(
         col("n_nationkey").cast("long").as("doc_id"),
-        concat(lit("<nation key=\""), col("n_nationkey"), lit("\"><name>"),
-          col("n_name"), lit("</name></nation>")).as("xml"))
+        concat(lit("<!--hdr--><nation key=\""), col("n_nationkey"),
+          lit("\"><?audit level=\"2\"?><name>"), col("n_name"),
+          lit("</name><!--trail:"), col("n_regionkey"),
+          lit("--></nation>")).as("xml"))
       val nodes = graft.sources.XmlShredder.shred(xml, "doc_id", "xml")
       graft.sources.XmlShredder.serialize(nodes).orderBy("doc_id")
     },
@@ -472,8 +477,8 @@ object FunctionQueries {
         |ORDER BY doc_id, name""".stripMargin,
     "q_xml_roundtrip" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS doc_id,
-        |  '<nation key="' || n_nationkey || '"><name>' || n_name
-        |    || '</name></nation>' AS xml
+        |  '<!--hdr--><nation key="' || n_nationkey || '"><?audit level="2"?><name>'
+        |    || n_name || '</name><!--trail:' || n_regionkey || '--></nation>' AS xml
         |FROM nation ORDER BY doc_id""".stripMargin,
     // doc shape <nation><meta>M</meta><name>N</name><region><id>R</id></region></nation>:
     // anchor = <name>; following = region, id, text-R (3); preceding =

@@ -61,7 +61,8 @@ import org.apache.spark.sql.SparkSession
   * resolves files per revision through [[effectiveDir]] at batch-planning
   * time). A stream already RUNNING when a compaction lands is safe: its
   * discovered files are processed, generation dirs are hidden from its
-  * discovery, and deferred vacuum (`vacuumDelayMs`, or a separate
+  * discovery, and deferred vacuum (the auto-policy's `vacuumDelayMs`
+  * retention window, or `compactRevision(vacuum = false)` plus a later
   * [[vacuum]] pass) gives in-flight batches their grace.
   */
 object RevisionCompaction {
@@ -72,8 +73,11 @@ object RevisionCompaction {
     s"$path/rev=$rev/_c$gen"
 
   /** One published compaction generation: the overlay's file manifest
-    * (names relative to the generation directory). */
-  final case class Overlay(revision: Int, gen: Int, files: Seq[(String, Long)])
+    * (names relative to the generation directory) plus its publish
+    * timestamp (epoch ms; 0 on entries written before the retention
+    * field existed — those are always past any grace window). */
+  final case class Overlay(revision: Int, gen: Int, files: Seq[(String, Long)],
+                           ts: Long = 0L)
 
   /** Newest published generation per revision — one LIST of
     * `_compactions/` plus one bounded-parallel GET per entry (the same
@@ -92,7 +96,9 @@ object RevisionCompaction {
             e.substring(0, i) -> e.substring(i + 1).toLong
           }
         Overlay(TemporalTable.parseField(s, "revision").toInt,
-          TemporalTable.parseField(s, "gen").toInt, files)
+          TemporalTable.parseField(s, "gen").toInt, files,
+          Option(TemporalTable.parseField(s, "ts")).filter(_.nonEmpty)
+            .map(_.toLong).getOrElse(0L))
       }.groupBy(_.revision).map { case (r, os) => r -> os.maxBy(_.gen) }
   }
 
@@ -200,7 +206,7 @@ object RevisionCompaction {
     // the publish point: atomic create-new, never overwritten
     MetaIO.createNew(
       s"${compactionsDir(path)}/${"%08d".format(rev)}-${"%04d".format(gen)}.json",
-      s"""{"revision":$rev,"gen":$gen,""" +
+      s"""{"revision":$rev,"gen":$gen,"ts":${System.currentTimeMillis()},""" +
         s""""files":"${TemporalTable.escapeJson(newFiles)}"}""")
     if (vacuum) vacuumRevision(path, rev, manifests(rev), keepGen = gen)
     Some(gen)
@@ -236,7 +242,13 @@ object RevisionCompaction {
       .foreach(n => MetaIO.delete(s"$path/rev=$rev/$n", recursive = true))
     // original files (no-op when an earlier compaction already removed them)
     originalFiles.foreach { case (n, _) => MetaIO.delete(s"$path/rev=$rev/$n") }
+    // marker: the deferred-vacuum sweep skips already-vacuumed generations
+    // without re-listing/re-deleting (idempotent overwrite)
+    MetaIO.writeStringOverwrite(vacMarkerPath(path, rev, keepGen), "{}")
   }
+
+  private def vacMarkerPath(path: String, rev: Int, gen: Int): String =
+    s"${compactionsDir(path)}/${"%08d".format(rev)}-${"%04d".format(gen)}.vac"
 
   /** Stand-alone vacuum pass over every compacted revision — the deferred
     * half of `compactRevision(..., vacuum = false)`, and the recovery
@@ -281,15 +293,28 @@ object RevisionCompaction {
     * head, the next commit bin-packs it in place to `targetFileBytes`.
     * Each commit retires exactly one revision past the threshold (plus
     * any backlog the policy finds on an existing table), so steady-state
-    * commit latency carries at most one bounded rewrite. */
+    * commit latency carries at most one bounded rewrite.
+    *
+    * `vacuumDelayMs` is the retention grace for the superseded files: a
+    * policy-driven compaction never deletes them inline — each commit's
+    * policy check instead vacuums generations whose overlay was
+    * published at least `vacuumDelayMs` ago (Delta's vacuum-retention
+    * discipline). A concurrent reader that resolved its file list from
+    * the pre-overlay manifest moments before the compaction therefore
+    * keeps its files for the grace window instead of hitting
+    * FileNotFoundException mid-query on object storage. Default 10
+    * minutes; 0 restores eager deletion for tests/local tables. */
   def setAutoCompaction(path: String, olderThan: Int,
-                        targetFileBytes: Long = 128L << 20): Unit = {
+                        targetFileBytes: Long = 128L << 20,
+                        vacuumDelayMs: Long = 600000L): Unit = {
     require(olderThan >= 1, "olderThan must be >= 1")
     require(targetFileBytes > 0, "targetFileBytes must be positive")
+    require(vacuumDelayMs >= 0, "vacuumDelayMs must be >= 0")
     MetaIO.mkdirs(compactionsDir(path))
     MetaIO.delete(policyPath(path))
     MetaIO.createNew(policyPath(path),
-      s"""{"olderThan":$olderThan,"targetFileBytes":$targetFileBytes}""")
+      s"""{"olderThan":$olderThan,"targetFileBytes":$targetFileBytes,""" +
+        s""""vacuumDelayMs":$vacuumDelayMs}""")
     ()
   }
 
@@ -309,6 +334,10 @@ object RevisionCompaction {
       val json = MetaIO.readString(policyPath(path))
       val olderThan = TemporalTable.parseField(json, "olderThan").toInt
       val target = TemporalTable.parseField(json, "targetFileBytes").toLong
+      // pre-retention policy files carry no vacuumDelayMs → eager (their
+      // tables were written under the old always-eager behavior)
+      val graceMs = Option(TemporalTable.parseField(json, "vacuumDelayMs"))
+        .filter(_.nonEmpty).map(_.toLong).getOrElse(0L)
       val revs = TemporalTable.commits(path).map(_.revision)
       if (revs.size > olderThan) {
         val manifests = TemporalTable.commitFileManifests(path)
@@ -319,9 +348,32 @@ object RevisionCompaction {
             val files = ovs.get(r).map(_.files).getOrElse(manifests(r))
             val bytes = files.map(_._2).sum
             val want = math.max(1L, (bytes + target - 1) / target)
-            if (files.size > want) { compactRevision(spark, path, r, target); () }
+            if (files.size > want) {
+              // grace > 0: publish only — the sweep below deletes the
+              // superseded files once the overlay has aged past the window
+              compactRevision(spark, path, r, target, vacuum = graceMs <= 0)
+              ()
+            }
           }
         }
       }
+      if (graceMs > 0) sweepAgedVacuum(path, graceMs)
     }
+
+  /** Vacuum every compacted revision whose live overlay was published at
+    * least `graceMs` ago and is not already vacuumed (one LIST for the
+    * `.vac` markers; overlays are served from the entry cache). Readers
+    * that planned against the pre-overlay manifest get the grace window;
+    * the files are reclaimed by a later commit's policy check or an
+    * explicit [[vacuum]]. */
+  private[graft] def sweepAgedVacuum(path: String, graceMs: Long): Unit = {
+    val now = System.currentTimeMillis()
+    val markers = MetaIO.list(compactionsDir(path)).filter(_.endsWith(".vac")).toSet
+    val manifests = TemporalTable.commitFileManifests(path)
+    overlays(path).foreach { case (rev, o) =>
+      val marker = s"${"%08d".format(rev)}-${"%04d".format(o.gen)}.vac"
+      if (!markers.contains(marker) && now - o.ts >= graceMs)
+        vacuumRevision(path, rev, manifests.getOrElse(rev, Nil), keepGen = o.gen)
+    }
+  }
 }

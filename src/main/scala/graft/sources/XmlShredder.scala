@@ -27,8 +27,17 @@ import org.apache.spark.sql.functions._
   * reference's per-document shredder transactions (XmlShredder.java runs
   * one wtx per document).
   *
-  * Node encoding (attributes precede child content, like the reference's
-  * attribute-before-first-child key order):
+  * Node kinds: element, attribute, text, comment, pi, namespace — the
+  * full first-class set of the reference's XML node model
+  * (node/NodeKind.java:103; CommentNode.java, PINode.java,
+  * NamespaceNode.java) — so a comment/PI-bearing corpus round-trips
+  * losslessly instead of silently dropping those nodes. Element and
+  * attribute names keep their prefix (`x:a`), namespace declarations
+  * become child nodes (name = prefix or null for the default namespace,
+  * value = URI).
+  *
+  * Node encoding (namespaces then attributes precede child content, like
+  * the reference's attribute-before-first-child key order):
   * {{{
   * <r id="5"><name>X</name></r>  →
   *   kind=element   name=r     value=null ordpath=[1]     seq=1 parent=0
@@ -86,12 +95,21 @@ object XmlShredder {
       var seq = 0
       // (element seq, ordpath, next child slot) for each open element
       var stack = List.empty[(Int, List[Int], Int)]
+      // top-level slot counter: comments/PIs can precede or follow the
+      // root element, and each top-level node needs its own ordpath
+      var topSlot = 1
       def nextSlot(): (Int, List[Int]) = stack match {
         case (pSeq, pPath, slot) :: rest =>
           stack = (pSeq, pPath, slot + 1) :: rest
           (pSeq, pPath :+ slot)
-        case Nil => (0, List(1)) // root
+        case Nil =>
+          val s = topSlot; topSlot += 1
+          (0, List(s))
       }
+      // prefixed name (the reference keeps QNames on ElementNode/
+      // AttributeNode — local name alone would round-trip `<x:a>` lossily)
+      def qname(prefix: String, local: String): String =
+        if (prefix == null || prefix.isEmpty) local else s"$prefix:$local"
       val text = new StringBuilder
       def flushText(): Unit = if (text.nonEmpty) {
         val t = text.toString; text.clear()
@@ -108,12 +126,23 @@ object XmlShredder {
             val (pSeq, path) = nextSlot()
             seq += 1
             val elemSeq = seq
-            out += XmlNode(docId, elemSeq, pSeq, "element", r.getLocalName, null, path)
+            out += XmlNode(docId, elemSeq, pSeq, "element",
+              qname(r.getPrefix, r.getLocalName), null, path)
             var slot = 1
+            // namespace declarations first (reference key order: the
+            // NamespaceNode delegate precedes attributes), then attributes
+            (0 until r.getNamespaceCount).foreach { i =>
+              seq += 1
+              out += XmlNode(docId, seq, elemSeq, "namespace",
+                Option(r.getNamespacePrefix(i)).filter(_.nonEmpty).orNull,
+                r.getNamespaceURI(i), path :+ slot)
+              slot += 1
+            }
             (0 until r.getAttributeCount).foreach { i =>
               seq += 1
               out += XmlNode(docId, seq, elemSeq, "attribute",
-                r.getAttributeLocalName(i), r.getAttributeValue(i), path :+ slot)
+                qname(r.getAttributePrefix(i), r.getAttributeLocalName(i)),
+                r.getAttributeValue(i), path :+ slot)
               slot += 1
             }
             stack = (elemSeq, path, slot) :: stack
@@ -121,6 +150,19 @@ object XmlShredder {
             flushText()
             stack = stack.tail
           case CHARACTERS | CDATA => text.append(r.getText)
+          case COMMENT =>
+            // first-class node kind (reference node/xml/CommentNode.java)
+            flushText()
+            val (pSeq, path) = nextSlot()
+            seq += 1
+            out += XmlNode(docId, seq, pSeq, "comment", null, r.getText, path)
+          case PROCESSING_INSTRUCTION =>
+            // reference node/xml/PINode.java: target is the name, data the value
+            flushText()
+            val (pSeq, path) = nextSlot()
+            seq += 1
+            out += XmlNode(docId, seq, pSeq, "pi", r.getPITarget,
+              Option(r.getPIData).getOrElse(""), path)
           case _ => ()
         }
       }
@@ -149,11 +191,22 @@ object XmlShredder {
           val kids = children.getOrElse(seq, Array.empty)
           n._4 match {
             case "text" => escape(n._6)
-            case "attribute" => "" // rendered by the parent element
+            case "comment" => s"<!--${n._6}-->" // raw: '--' cannot occur inside
+            case "pi" =>
+              if (n._6 == null || n._6.isEmpty) s"<?${n._5}?>"
+              else s"<?${n._5} ${n._6}?>"
+            case "attribute" | "namespace" => "" // rendered by the parent element
             case "element" =>
-              val attrs = kids.filter(_._4 == "attribute")
-                .map(a => s""" ${a._5}="${escape(a._6)}"""").mkString
-              val body = kids.filter(_._4 != "attribute").map(k => render(k._2)).mkString
+              val attrs = kids.collect {
+                case ns if ns._4 == "namespace" =>
+                  val prefix = if (ns._5 == null) "xmlns" else s"xmlns:${ns._5}"
+                  s""" $prefix="${escape(ns._6)}""""
+                case a if a._4 == "attribute" =>
+                  s""" ${a._5}="${escape(a._6)}""""
+              }.mkString
+              val body = kids
+                .filter(k => k._4 != "attribute" && k._4 != "namespace")
+                .map(k => render(k._2)).mkString
               if (body.isEmpty) s"<${n._5}$attrs/>"
               else s"<${n._5}$attrs>$body</${n._5}>"
           }

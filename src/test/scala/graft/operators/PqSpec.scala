@@ -74,6 +74,23 @@ class PqSpec extends SparkSpec {
     val bad = Seq((1L, Array(1.0, 2.0, 3.0))).toDF("id", "vec")
     val b = Pq.encode(bad, "vec", model).select("pq_codes").collect().head
     assert(b.isNullAt(0))
+    // hostile: a NULL element must yield NULL, not encode the undefined
+    // 0.0 the ArrayData getter returns for a null slot (both eval modes)
+    val dim = model.codebooks.length * model.codebooks.head.head.length
+    val withNull: Seq[java.lang.Double] =
+      (0 until dim).map(i => if (i == 2) null else java.lang.Double.valueOf(i * 0.1))
+    val nb = Seq((1L, withNull)).toDF("id", "vec")
+    assert(Pq.encode(nb, "vec", model).select("pq_codes").collect().head.isNullAt(0))
+    val peNullable = PqExpressions.PqEncode(
+      org.apache.spark.sql.catalyst.expressions.BoundReference(
+        0, org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, containsNull = true),
+        nullable = true),
+      model.codebooks)
+    val nullSlot = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      (0 until dim).map(i => if (i == 2) null else (i * 0.1): java.lang.Double).toArray[Any])
+    assert(peNullable.eval(
+      org.apache.spark.sql.catalyst.InternalRow(nullSlot)) == null)
   }
 
   test("ADC: codegen equals a driver-side recompute; hostile codes are null") {
@@ -94,6 +111,14 @@ class PqSpec extends SparkSpec {
     val h = hostile.select(PqExpressions.pqAdc($"pq_codes", table).as("adc"))
       .collect()
     assert(h.forall(_.isNullAt(0)))
+    // a null code SLOT → null, not a lookup of the undefined 0 the
+    // ArrayData getter would return
+    val m = table.length
+    val nullCodes: Seq[java.lang.Integer] =
+      (0 until m).map(i => if (i == 1) null else java.lang.Integer.valueOf(0))
+    val hn = Seq((1L, nullCodes)).toDF("id", "pq_codes")
+      .select(PqExpressions.pqAdc($"pq_codes", table).as("adc")).collect()
+    assert(hn.forall(_.isNullAt(0)))
   }
 
   test("ADC cosine top-k recalls the exact brute-force top-k; refine recovers it exactly") {

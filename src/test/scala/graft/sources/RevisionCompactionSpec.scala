@@ -284,7 +284,8 @@ class RevisionCompactionSpec extends SparkSpec {
 
   test("auto-compaction policy on a delta chain retires aging revisions per commit") {
     val p = tmp("graft-rc-deltaauto")
-    RevisionCompaction.setAutoCompaction(p, olderThan = 1, targetFileBytes = 1L << 40)
+    RevisionCompaction.setAutoCompaction(p, olderThan = 1, targetFileBytes = 1L << 40,
+      vacuumDelayMs = 0) // eager reclaim: this test pins the packing cadence
     def state(i: Int) = (1L to 30L).map(k => (k, i.toDouble + k))
       .toDF("node_key", "price").repartition(5)
     DeltaTemporalTable.write(spark, state(1), p, snapshotEvery = 3)
@@ -330,7 +331,8 @@ class RevisionCompactionSpec extends SparkSpec {
 
   test("persisted auto-compaction policy packs aging revisions on commit") {
     val p = tmp("graft-rc-auto")
-    RevisionCompaction.setAutoCompaction(p, olderThan = 1, targetFileBytes = 1L << 40)
+    RevisionCompaction.setAutoCompaction(p, olderThan = 1, targetFileBytes = 1L << 40,
+      vacuumDelayMs = 0) // eager reclaim: this test pins the packing cadence
     def frag(i: Int) = (1L to 40L).map(k => (k, i.toLong * k))
       .toDF("node_key", "v").repartition(6)
     TemporalTable.write(frag(1), p)
@@ -350,6 +352,32 @@ class RevisionCompactionSpec extends SparkSpec {
     RevisionCompaction.clearAutoCompaction(p)
     TemporalTable.write(frag(5), p)
     assert(!RevisionCompaction.overlays(p).contains(4), "cleared policy still fired")
+  }
+
+  test("policy vacuum retention: superseded files survive the grace window") {
+    val p = tmp("graft-rc-retention")
+    // default vacuumDelayMs (10 min): a policy compaction publishes the
+    // overlay but must NOT delete the superseded files inline — a reader
+    // that planned against the pre-overlay manifest keeps its files
+    RevisionCompaction.setAutoCompaction(p, olderThan = 1, targetFileBytes = 1L << 40)
+    def frag(i: Int) = (1L to 40L).map(k => (k, i.toLong * k))
+      .toDF("node_key", "v").repartition(6)
+    TemporalTable.write(frag(1), p)
+    val originals = MetaIO.listFiles(s"$p/rev=1").map(_._1).toSet
+    assert(originals.size == 6)
+    TemporalTable.write(frag(2), p)
+    assert(RevisionCompaction.overlays(p).keySet == Set(1), "overlay published")
+    assert(MetaIO.listFiles(s"$p/rev=1").map(_._1).toSet == originals,
+      "superseded files must survive until the grace window passes")
+    // reads resolve through the overlay regardless
+    assert(TemporalTable.read(spark, p, Some(1)).count() == 40)
+    // grace elapsed (simulated with a zero window): the sweep reclaims
+    RevisionCompaction.sweepAgedVacuum(p, graceMs = 0)
+    assert(MetaIO.listFiles(s"$p/rev=1").isEmpty, "aged files reclaimed")
+    assert(TemporalTable.read(spark, p, Some(1)).count() == 40)
+    // idempotent: the marker makes later sweeps metadata-only no-ops
+    RevisionCompaction.sweepAgedVacuum(p, graceMs = 0)
+    assert(MetaIO.exists(s"${RevisionCompaction.compactionsDir(p)}/00000001-0001.vac"))
   }
 
   private object functions {

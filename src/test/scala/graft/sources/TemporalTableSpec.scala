@@ -344,6 +344,27 @@ class TemporalTableSpec extends SparkSpec {
     assert(MetaIO.readCount.get() == before + 1)
   }
 
+  test("drop-and-recreate never serves the old table's cached entries") {
+    // the entry cache keys on (path, size, mtime); a recreated same-size
+    // entry within the store's mtime granularity could collide — delete()
+    // purges cached entries under the dropped path, so an in-process
+    // drop+recreate is immune regardless of mtime resolution
+    val p = java.nio.file.Files.createTempDirectory("graft-dropcache")
+      .resolve("tbl").toString
+    val dir = TemporalTable.commitsDir(p)
+    MetaIO.mkdirs(dir)
+    // author field padded so old/new contents are the SAME byte length
+    MetaIO.createNew(f"$dir/${1}%08d.json",
+      s"""{"revision":1,"commitTsMs":1,"author":"aa","message":""}""")
+    assert(TemporalTable.commits(p).head.author == "aa")
+    MetaIO.delete(p, recursive = true)
+    MetaIO.mkdirs(dir)
+    MetaIO.createNew(f"$dir/${1}%08d.json",
+      s"""{"revision":1,"commitTsMs":1,"author":"bb","message":""}""")
+    assert(TemporalTable.commits(p).head.author == "bb",
+      "stale cached entry served after drop-and-recreate")
+  }
+
   test("aborted write leaves no revision and frees nothing visible") {
     val p = freshPath()
     TemporalTable.write(rev1, p)

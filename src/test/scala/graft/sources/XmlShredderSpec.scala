@@ -64,6 +64,46 @@ class XmlShredderSpec extends SparkSpec {
     assert(back(3L) == "<a><b><c>deep</c></b>tail</a>")
   }
 
+  test("comments and processing instructions are first-class nodes that round-trip") {
+    // reference models COMMENT/PI as node kinds (node/xml/CommentNode.java,
+    // PINode.java); the shredder must not silently drop them
+    val doc = """<!--hdr--><r><?audit level="2"?><a>X</a><!--mid-->tail<?go?></r><!--tl-->"""
+    val n = XmlShredder.shred(Seq((7L, doc)).toDF("doc_id", "xml"), "doc_id", "xml")
+    val kinds = n.orderBy("node_seq")
+      .select("kind", "name", "value", "parent_seq")
+      .as[(String, String, String, Int)].collect().toSeq
+    assert(kinds == Seq(
+      ("comment", null, "hdr", 0),
+      ("element", "r", null, 0),
+      ("pi", "audit", """level="2"""", 2),
+      ("element", "a", null, 2),
+      ("text", null, "X", 4),
+      ("comment", null, "mid", 2),
+      ("text", null, "tail", 2),
+      ("pi", "go", "", 2),
+      ("comment", null, "tl", 0)))
+    // top-level siblings get distinct ordpaths (document order holds)
+    val topPaths = n.filter($"parent_seq" === 0).orderBy("node_seq")
+      .select("ordpath").as[Seq[Int]].collect().toSeq
+    assert(topPaths == Seq(Seq(1), Seq(2), Seq(3)))
+    val rt = XmlShredder.serialize(n).select("xml").as[String].head()
+    assert(rt == doc, "comment/PI round-trip must be byte-identical")
+  }
+
+  test("namespace declarations and prefixed names round-trip") {
+    val doc = """<x:r xmlns:x="urn:a" xmlns="urn:d" x:id="1"><y/></x:r>"""
+    val n = XmlShredder.shred(Seq((8L, doc)).toDF("doc_id", "xml"), "doc_id", "xml")
+    val ns = n.filter($"kind" === "namespace").orderBy("node_seq")
+      .select("name", "value").as[(String, String)].collect().toSeq
+    assert(ns == Seq(("x", "urn:a"), (null, "urn:d")))
+    assert(n.filter($"kind" === "element").select("name").as[String]
+      .collect().toSet == Set("x:r", "y"))
+    assert(n.filter($"kind" === "attribute").select("name", "value")
+      .as[(String, String)].head() == ("x:id", "1"))
+    val rt = XmlShredder.serialize(n).select("xml").as[String].head()
+    assert(rt == doc)
+  }
+
   test("escaped content round-trips; DTD/external entities rejected") {
     val hostile = Seq((1L, "<d a=\"x&amp;y\">1 &lt; 2</d>")).toDF("doc_id", "xml")
     val n = XmlShredder.shred(hostile, "doc_id", "xml")
