@@ -205,7 +205,16 @@ object Intervals {
     * registers at the top of the axis tree and every in-axis stab finds
     * it. */
   def writeIndexed(df: DataFrame, path: String, fromCol: String, toCol: String,
-                   granularity: Long): Unit = {
+                   granularity: Long): Unit =
+    require(tryWriteIndexed(df, path, fromCol, toCol, granularity),
+      s"writeIndexed: input is empty (or every $fromCol is null) — nothing to index at $path")
+
+  /** [[writeIndexed]] that reports an empty input as `false` instead of
+    * failing — the commit-maintenance path ([[graft.sources
+    * .ValidTimeIndex]]) skips the sidecar for an empty revision rather
+    * than failing the commit. */
+  def tryWriteIndexed(df: DataFrame, path: String, fromCol: String, toCol: String,
+                      granularity: Long): Boolean = {
     // axis cap: no interval registers a fork above its own coarse end, so
     // a stab IN-list never needs nodes beyond the axis max — recording it
     // keeps the list ~log2(axis) long and inside the partition column's
@@ -214,8 +223,7 @@ object Intervals {
     val maxCoarseRow = df
       .agg(max(coalesce(idiv(col(toCol) - 1, granularity), idiv(col(fromCol), granularity))))
       .head()
-    require(!maxCoarseRow.isNullAt(0),
-      s"writeIndexed: input is empty (or every $fromCol is null) — nothing to index at $path")
+    if (maxCoarseRow.isNullAt(0)) return false
     val maxCoarse = maxCoarseRow.getLong(0)
     val meta = new org.apache.spark.sql.types.MetadataBuilder()
       .putString(MetaFrom, fromCol)
@@ -228,6 +236,7 @@ object Intervals {
           .as(ForkCol, meta))
       .withColumn(ForkPartCol, col(ForkCol))
       .write.mode("overwrite").partitionBy(ForkPartCol).parquet(path)
+    true
   }
 
   /** Read an interval-indexed table (restores the `__fork` metadata, which

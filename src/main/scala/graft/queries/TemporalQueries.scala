@@ -100,6 +100,27 @@ object TemporalQueries {
           expr("valid_from div 1000").as("valid_from_us"))
         .orderBy("user_id")
     },
+    // jn:valid-at over a REVISIONED table through the commit-maintained
+    // fork index (reference: ValidTimeIntervalIndexWriter via
+    // ChangeListener): the valid intervals land in a temporal table whose
+    // persisted policy writes the `_vindex` RI-tree sidecar at commit;
+    // the stab reads only the ≤log2(axis) fork partitions on T1's root
+    // path instead of scanning the revision (pruning spec-pinned in
+    // ValidTimeIndexSpec; this row pins the answer equals the plain stab)
+    "t_valid_at_indexed" -> { (s, d) =>
+      val p = java.nio.file.Files.createTempDirectory("graft-vindex")
+        .toString + "/tbl"
+      val iv = Temporal.asValidIntervals(ev(s, d), "user_id", "ts", "event_id")
+        .select(col("user_id"), col("event_id"), col("valid_from"), col("valid_to"))
+      // granularity 1 h on the ns axis — near the median interval length
+      graft.sources.ValidTimeIndex.setPolicy(p, "valid_from", "valid_to",
+        granularity = 3600000000000L)
+      graft.sources.TemporalTable.write(iv, p)
+      graft.sources.ValidTimeIndex.validAt(s, p, T1)
+        .select(col("user_id"), col("event_id"),
+          expr("valid_from div 1000").as("valid_from_us"))
+        .orderBy("user_id")
+    },
     // jn:open-bitemporal — transaction-axis restriction + valid-time stab
     "t_bitemporal" -> { (s, d) =>
       Temporal.openBitemporal(ev(s, d), "user_id", "ts", "event_id",
@@ -405,6 +426,14 @@ object TemporalQueries {
         |  LEAD(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to_us
         |FROM events ORDER BY user_id, valid_from_us, event_id""".stripMargin,
     "t_valid_at" ->
+      s"""SELECT user_id, event_id, valid_from_us FROM (
+         |  SELECT user_id, event_id, epoch_us(ts) AS valid_from_us,
+         |    LEAD(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to_us
+         |  FROM events)
+         |WHERE valid_from_us <= epoch_us($tsT1)
+         |  AND (valid_to_us IS NULL OR valid_to_us > epoch_us($tsT1))
+         |ORDER BY user_id""".stripMargin,
+    "t_valid_at_indexed" ->
       s"""SELECT user_id, event_id, valid_from_us FROM (
          |  SELECT user_id, event_id, epoch_us(ts) AS valid_from_us,
          |    LEAD(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to_us

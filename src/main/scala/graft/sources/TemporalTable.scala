@@ -491,6 +491,10 @@ object TemporalTable {
         StatsSidecar.write(df.sparkSession, s"$path/rev=$rev",
           ndvCols = ndv, groupCols = groups)
       }
+      // valid-time fork index (persisted policy — the reference maintains
+      // its RI-tree per commit via ChangeListener; ValidTimeIndex scaladoc)
+      ValidTimeIndex.maybeWrite(df.sparkSession, path, rev,
+        df.sparkSession.read.parquet(s"$path/rev=$rev"))
       logCommit(path, rev, author, message, Some(df.schema))
     } catch {
       case e: Throwable => abortReservation(path, rev); throw e

@@ -1,0 +1,131 @@
+package graft.sources
+
+import graft.operators.Intervals
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Commit-maintained valid-time fork index on temporal tables — the
+  * reference maintains its Relational-Interval-Tree per commit through a
+  * change listener (bundles/sirix-core/src/main/java/io/sirix/index/
+  * interval/ValidTimeIntervalIndexWriter.java, index/ChangeListener.java);
+  * here the index is a per-revision `_vindex/rev=N` sidecar written by the
+  * same commit that produced the revision, under the same persisted-policy
+  * discipline as the stats sidecar and the key index: the policy travels
+  * WITH the table, so every writer process maintains it without
+  * registering hooks.
+  *
+  * Layout: `_vindex/rev=N` is an [[Intervals.writeIndexed]] table — the
+  * revision's rows fork-partitioned on the RI-tree node of their
+  * `[validFrom, validTo)` interval. A stab query at instant L reads ONLY
+  * the ≤log₂(axis) fork directories on L's root path: `validAt` over a
+  * revisioned bitemporal table partition-prunes instead of scanning the
+  * revision (the reference's O(log axis) stab guarantee re-expressed as
+  * hive partition pruning). Open intervals (null `validTo`) register at
+  * the axis top and are found by every in-axis stab.
+  *
+  * The sidecar stores FULL rows (the projection-index trade: serve stabs
+  * directly, no join back), so opting in costs one extra write of each
+  * revision — the same write-amplification a reference secondary index
+  * pays. At 100 TB, opt in on the bitemporal tables that serve stab
+  * queries; everything else keeps the plain min/max-skipping scan path.
+  */
+object ValidTimeIndex {
+
+  private[graft] def dir(path: String): String = s"$path/_vindex"
+  private def revDir(path: String, rev: Int): String = s"${dir(path)}/rev=$rev"
+  private def policyPath(path: String): String = s"${dir(path)}/_policy.json"
+
+  /** Persist the policy: every subsequent commit writes the fork-indexed
+    * sidecar for its revision (snapshot layout; delta chains keep their
+    * own reconstruction path). `granularity` coarsens the axis before
+    * fork derivation — pick it near the median interval length (the
+    * [[Intervals]] bucket-width reasoning). */
+  def setPolicy(path: String, fromCol: String, toCol: String,
+                granularity: Long): Unit = {
+    require(granularity > 0, "granularity must be positive")
+    MetaIO.mkdirs(dir(path))
+    MetaIO.delete(policyPath(path))
+    MetaIO.createNew(policyPath(path),
+      s"""{"fromCol":"${TemporalTable.escapeJson(fromCol)}",""" +
+        s""""toCol":"${TemporalTable.escapeJson(toCol)}",""" +
+        s""""granularity":$granularity}""")
+    ()
+  }
+
+  def clearPolicy(path: String): Unit = {
+    MetaIO.delete(policyPath(path))
+    ()
+  }
+
+  private[graft] def policy(path: String): Option[(String, String, Long)] =
+    if (!MetaIO.exists(policyPath(path))) None
+    else {
+      val json = MetaIO.readString(policyPath(path))
+      Some((TemporalTable.parseField(json, "fromCol"),
+        TemporalTable.parseField(json, "toCol"),
+        TemporalTable.parseField(json, "granularity").toLong))
+    }
+
+  /** Commit hook ([[TemporalTable]] calls this before logging the
+    * commit): writes `_vindex/rev=N` when the policy is set and the
+    * revision's schema carries both axis columns. An empty revision (or
+    * one whose axis columns the schema lacks) records no sidecar —
+    * [[validAt]] falls back to the plain scan for it. */
+  private[graft] def maybeWrite(spark: SparkSession, path: String, rev: Int,
+                                snap: DataFrame): Unit =
+    policy(path).foreach { case (fromCol, toCol, gran) =>
+      val names = snap.schema.fieldNames.toSet
+      if (names.contains(fromCol) && names.contains(toCol)) {
+        Intervals.tryWriteIndexed(snap, revDir(path, rev), fromCol, toCol, gran)
+        ()
+      }
+    }
+
+  /** `jn:valid-at` over a revisioned table: stab the revision current at
+    * the transaction axis (latest, or `revision`) for rows whose
+    * `[fromCol, toCol)` contains `ts`. Served from the fork sidecar when
+    * the commit maintained one — the stab IN-list prunes the partition
+    * listing to the ≤log₂(axis) fork directories — with a transparent
+    * full-scan fallback (bit-identical answers either way).
+    *
+    * The IN-list is conjoined explicitly, so the pruning does not depend
+    * on [[graft.plans.ValidTimeStabRule]] being installed on the session
+    * (installing it additionally serves ad-hoc stab FILTERS over
+    * [[readIndexed]] frames). */
+  def validAt(spark: SparkSession, path: String, ts: Long,
+              revision: Option[Int] = None): DataFrame = {
+    val rev = revision.getOrElse(TemporalTable.mostRecentRevision(path)
+      .getOrElse(throw new IllegalArgumentException(s"no revisions at $path")))
+    val p = policy(path)
+    if (p.isEmpty || !MetaIO.exists(revDir(path, rev)))
+      return fallbackScan(spark, path, ts, rev)
+    val (fromCol, toCol, gran) = p.get
+    val idx = Intervals.readIndexed(spark, revDir(path, rev))
+    val meta = idx.schema(Intervals.ForkCol).metadata
+    val axisMax =
+      if (meta.contains(Intervals.MetaAxisMax)) meta.getLong(Intervals.MetaAxisMax)
+      else Long.MaxValue
+    val stab = col(fromCol) <= ts && (col(toCol).isNull || col(toCol) > ts)
+    // a stab past the axis max cannot use the fork index (open intervals
+    // registered at [from, axisMax] still contain such instants but their
+    // forks are off the instant's root path) — same bail as the rule
+    if (ts < 0 || ts / gran > axisMax)
+      return idx.filter(stab).drop(Intervals.ForkCol, Intervals.ForkPartCol)
+    val nodes = Intervals.stabNodes(ts, gran).filter(_ <= axisMax)
+    idx.filter(col(Intervals.ForkPartCol).isin(nodes: _*) &&
+        col(Intervals.ForkCol).isin(nodes: _*) && stab)
+      .drop(Intervals.ForkCol, Intervals.ForkPartCol)
+  }
+
+  private def fallbackScan(spark: SparkSession, path: String, ts: Long,
+                           rev: Int): DataFrame =
+    policy(path) match {
+      case Some((fromCol, toCol, _)) =>
+        TemporalTable.read(spark, path, Some(rev))
+          .filter(col(fromCol) <= ts && (col(toCol).isNull || col(toCol) > ts))
+          .drop("revision", "commit_ts", "author") // match the sidecar schema
+      case None => throw new IllegalStateException(
+        s"validAt($path): no valid-time policy — set one with setPolicy, " +
+          "or stab with operators.Temporal.validAt over an explicit read")
+    }
+}
