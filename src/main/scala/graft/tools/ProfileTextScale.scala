@@ -52,17 +52,23 @@ object ProfileTextScale {
     time("curation_decisions") {
       Corpus.curationDecisions(docs, "doc_id", "text").count()
     }
-    time("heavy_hitters") {
+    // auto routing: the replicated-docs vocabulary is closed, so the
+    // probe should pick the one-pass aggregate here
+    println(s"auto route on corpus: " +
+      Corpus.chooseHeavyHitterRoute(docs, "text", 2000000L))
+    time("heavy_hitters_auto") {
       Corpus.heavyHitters(docs, "doc_id", "text", 256).count()
     }
-    // the single-pass twin (unbounded agg state — fine when the
-    // vocabulary fits, the wrong tool at open-web vocab scale)
-    time("heavy_hitters_agg") {
-      val toks = docs.select(explode(split($"text", " ")).as("token"))
-        .filter($"token" =!= "")
-      val n = toks.count()
-      toks.groupBy("token").count().filter($"count" * 256 > n).count()
+    time("heavy_hitters_mg") {
+      Corpus.heavyHitters(docs, "doc_id", "text", 256, route = "mg").count()
     }
+    // forced open-vocabulary fixture: every doc mints fresh tokens — the
+    // probe must route to the bounded-state MG shape
+    val open = docs.limit(200000).select($"doc_id",
+      concat_ws(" ", (1 to 8).map(j =>
+        concat(lit("u"), $"doc_id", lit(s"_$j"))): _*).as("text"))
+    println(s"auto route on open vocabulary: " +
+      Corpus.chooseHeavyHitterRoute(open, "text", 2000000L))
     time("contamination_scale") {
       Corpus.contaminationAtScale(docs.filter($"doc_id" % 40 =!= 0),
         docs.filter($"doc_id" % 40 === 0), "doc_id", "text", 3).count()

@@ -316,12 +316,14 @@ class CorpusSpec extends SparkSpec {
       (2L, (Seq.fill(10)("a") ++ Seq.fill(20)("b")).mkString(" ")),
       (3L, (Seq.fill(5)("c") ++ (1 to 25).map(i => s"w$i")).mkString(" "))
     ).toDF("doc_id", "text")
-    for (parts <- Seq(1, 5, 13)) {
-      val r = Corpus.heavyHitters(df.repartition(parts), "doc_id", "text", k = 8)
+    // differential: both physical routes are exact under any partitioning
+    for (parts <- Seq(1, 5, 13); route <- Seq("mg", "onepass")) {
+      val r = Corpus.heavyHitters(df.repartition(parts), "doc_id", "text",
+          k = 8, route = route)
         .as[(String, Long)].collect().toSeq
       // freq·8 > 90 → freq > 11.25 → a(40), b(20); c and singletons excluded
       assert(r == Seq(("a", 40L), ("b", 20L)),
-        s"parts=$parts: $r")
+        s"parts=$parts route=$route: $r")
     }
     // tighter k = 3: threshold n/3 = 30 → only a (40) qualifies
     val top = Corpus.heavyHitters(df, "doc_id", "text", k = 3)
@@ -329,12 +331,32 @@ class CorpusSpec extends SparkSpec {
     assert(top == Seq(("a", 40L)))
     // k = 2: threshold 45 — nothing reaches it, exact answer is empty
     assert(Corpus.heavyHitters(df, "doc_id", "text", k = 2).isEmpty)
-    // plan shape: the confirm pass broadcasts the candidate set — the
+    // plan shape: the MG confirm pass broadcasts the candidate set — the
     // exploded token stream joins map-side, text never shuffles
-    val plan = Corpus.heavyHitters(df, "doc_id", "text", k = 8)
+    val plan = Corpus.heavyHitters(df, "doc_id", "text", k = 8, route = "mg")
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"),
       s"candidates not broadcast in confirm pass:\n$plan")
+  }
+
+  test("heavyHitters: auto route picks one-pass on closed vocab, MG on open") {
+    // closed vocabulary: tiny NDV however many docs → one-pass
+    val closed = (1 to 3000).map(i => (i.toLong, "the cat sat on the mat"))
+      .toDF("doc_id", "text")
+    assert(Corpus.chooseHeavyHitterRoute(closed, "text",
+      onePassMaxVocab = 2000000L) == "onepass")
+    // open vocabulary (every doc mints fresh tokens): the 2% sample's HLL
+    // NDV already proves the vocabulary exceeds the one-pass budget → MG,
+    // the guaranteed-bounded shape
+    val open = (1 to 3000).map(i =>
+        (i.toLong, (1 to 10).map(j => s"u${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    assert(Corpus.chooseHeavyHitterRoute(open, "text",
+      onePassMaxVocab = 1000L) == "mg")
+    // and the routed call stays exact either way
+    val r = Corpus.heavyHitters(closed, "doc_id", "text", k = 4)
+      .as[(String, Long)].collect().toSeq
+    assert(r == Seq(("the", 6000L)), s"got $r") // 6000·4 > 18000
   }
 
   test("heavyHitters: bounded candidate state under a wide vocabulary") {
@@ -343,7 +365,7 @@ class CorpusSpec extends SparkSpec {
     val noise = (1 to 400).map(i => (i.toLong, s"n$i x$i y$i"))
     val heavy = (401 to 500).map(i => (i.toLong, "hot hot hot hot hot hot"))
     val df = (noise ++ heavy).toDF("doc_id", "text").repartition(11)
-    val r = Corpus.heavyHitters(df, "doc_id", "text", k = 8)
+    val r = Corpus.heavyHitters(df, "doc_id", "text", k = 8, route = "mg")
       .as[(String, Long)].collect().toSeq
     // n = 1200 + 600 = 1800; hot = 600 → 600·8 > 1800 ✓; all noise ≤ 1
     assert(r == Seq(("hot", 600L)), s"got $r")
@@ -365,7 +387,7 @@ class CorpusSpec extends SparkSpec {
     val n = words.size
     assert(hCount * 4 > n, s"fixture broken: $hCount*4 <= $n")
     val df = Seq((1L, words.mkString(" "))).toDF("doc_id", "text").coalesce(1)
-    val r = Corpus.heavyHitters(df, "doc_id", "text", k = 4)
+    val r = Corpus.heavyHitters(df, "doc_id", "text", k = 4, route = "mg")
       .as[(String, Long)].collect().toSeq
     assert(r == Seq(("h", hCount.toLong)), s"got $r, expected h x$hCount of n=$n")
   }
