@@ -532,9 +532,23 @@ case class AggFromStatsRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def serve(wanted: Seq[Req], stats: Seq[StatsSidecar.TableStats])
       : Option[Seq[Any]] = {
     val rows = stats.map(_.rows).sum
+    // Schema evolution: a dir whose sidecar lacks the column predates it
+    // (the sidecar records every data column and its fingerprint covers
+    // the file set, so absence-from-sidecar = absence-from-data), and a
+    // union-schema read serves NULL there — exactly an all-null ColStats
+    // (count 0, no sum/min-max). The fold helpers already treat that as a
+    // clean zero contribution, so sum/avg/count/min/max merge correctly
+    // across an evolved history instead of bailing. NDV still bails via
+    // its ndv=None (and the multi-dir refusal above). A column absent
+    // from EVERY sidecar is not evolution — it is a scan-provided column
+    // (`rev` partition axis, V2 metadata) whose values no sidecar
+    // describes → bail to the scan.
     def col(name: String): Option[Seq[StatsSidecar.ColStats]] = {
       val per = stats.map(_.cols.get(name))
-      if (per.exists(_.isEmpty)) None else Some(per.flatten)
+      if (per.forall(_.isEmpty)) None
+      else Some(stats.zip(per).map { case (t, c) =>
+        c.getOrElse(StatsSidecar.ColStats(name, 0L, t.rows, None, None, None))
+      })
     }
     val out = wanted.map {
       case CountStar => Some(rows)

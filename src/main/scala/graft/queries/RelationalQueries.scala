@@ -382,6 +382,35 @@ object RelationalQueries {
       snap.crossJoin(hist)
     },
 
+    // Schema evolution × stats sidecar: revision 1 predates l_returnflag,
+    // revision 2 adds it (both withStats). The union-schema history
+    // aggregate folds — the pre-column revision contributes an all-null
+    // ColStats, exactly what the union-schema read serves — and the
+    // snapshot NDV folds single-dir. The oracle recomputes both frames
+    // raw: a mis-merged all-null era (e.g. counting the old rows into
+    // count(l_returnflag)) hash-mismatches
+    "q_stats_evolved" -> { (s, d) =>
+      val p = java.nio.file.Files.createTempDirectory("graft-statsq-evo")
+        .toString + "/tbl"
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
+      graft.sources.TemporalTable.write(
+        li.select(col("l_orderkey"), col("l_linenumber"))
+          .filter(col("l_orderkey") <= 3000), p, withStats = true)
+      graft.sources.TemporalTable.write(li, p,
+        withStats = true, statsNdvCols = Seq("l_returnflag"))
+      graft.plans.AggFromStatsRule.install(s)
+      val hist = s.read.format("graft-temporal")
+        .option("allRevisions", true).load(p)
+        .agg(sum("l_linenumber").as("hist_sum"), count(lit(1)).as("hist_n"),
+          count(col("l_returnflag")).as("hist_flag_n"),
+          min("l_linenumber").as("hist_min"), max("l_linenumber").as("hist_max"))
+      val snap = s.read.format("graft-temporal").load(p)
+        .agg(countDistinct(col("l_returnflag")).as("snap_flags"),
+          sum("l_linenumber").as("snap_sum"))
+      snap.crossJoin(hist)
+    },
+
     // ---- nested data: JSON field extraction, array ops (SURVEY.md §2.2) ----
     "q_json_extract" -> { (s, d) =>
       t(s, d, "events")
@@ -513,6 +542,18 @@ object RelationalQueries {
         |(SELECT CAST(SUM(l_linenumber) AS BIGINT) AS hist_sum, COUNT(*) AS hist_n
         | FROM (SELECT l_linenumber FROM lineitem WHERE l_orderkey <= 3000
         |       UNION ALL SELECT l_linenumber FROM lineitem) u) b""".stripMargin,
+    "q_stats_evolved" ->
+      """SELECT * FROM
+        |(SELECT CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS snap_flags,
+        |        CAST(SUM(l_linenumber) AS BIGINT) AS snap_sum
+        | FROM lineitem) a
+        |CROSS JOIN
+        |(SELECT CAST(SUM(l_linenumber) AS BIGINT) AS hist_sum, COUNT(*) AS hist_n,
+        |        COUNT(l_returnflag) AS hist_flag_n,
+        |        MIN(l_linenumber) AS hist_min, MAX(l_linenumber) AS hist_max
+        | FROM (SELECT l_linenumber, CAST(NULL AS VARCHAR) AS l_returnflag
+        |         FROM lineitem WHERE l_orderkey <= 3000
+        |       UNION ALL SELECT l_linenumber, l_returnflag FROM lineitem) u) b""".stripMargin,
     "q_select_item" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM lineitem
         |WHERE l_orderkey = 42 AND l_linenumber = 1""".stripMargin,

@@ -96,11 +96,14 @@ private[graft] object GraftTemporalSource {
     val tablePath = tablePathOf(options)
     if (options.getBoolean("allRevisions", false)) {
       val ovs = RevisionCompaction.overlays(tablePath)
-      // no overlays: one recursive listing of the hive layout (cheapest);
-      // with overlays the listing would miss vacuumed revisions, so the
-      // scan enumerates each revision's effective directory explicitly
-      if (ovs.isEmpty) Seq(tablePath)
-      else TemporalTable.commits(tablePath)
+      // enumerate each revision's effective directory explicitly (the
+      // commit log is already parsed and cached): a compacted revision
+      // serves from its live generation (a root listing would miss
+      // vacuumed revisions), and the per-revision dir list is what lets
+      // the metadata rules (AggFromStatsRule, MinMax/CountFromMetadata)
+      // fold per-revision sidecars over a history read — one root path
+      // would hide them
+      TemporalTable.commits(tablePath)
         .map(c => RevisionCompaction.effectiveDir(tablePath, c.revision, ovs))
     } else {
       val rev =

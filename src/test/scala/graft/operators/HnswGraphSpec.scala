@@ -1,0 +1,131 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+class HnswGraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = Tables.df(spark, "/root/testdata/sf0.001", "embeddings").cache()
+
+  private def freshPath(): String =
+    Files.createTempDirectory("graft-hnsw").resolve("idx").toString
+
+  test("level assignment is geometric, deterministic, and id-stable") {
+    val ids = (0L until 100000L).toArray
+    val levels = ids.map(HnswGraph.levelOf(_, 16))
+    // P(level >= 1) = 1/16: expect ~6250 of 100k, generous band
+    val atLeast1 = levels.count(_ >= 1)
+    assert(atLeast1 > 5000 && atLeast1 < 7700, s"level>=1 count $atLeast1")
+    val atLeast2 = levels.count(_ >= 2)
+    assert(atLeast2 > 200 && atLeast2 < 600, s"level>=2 count $atLeast2")
+    // pure function of the id — identical on re-evaluation (rebuild
+    // stability: a surviving node keeps its level forever)
+    assert(ids.take(1000).forall(id =>
+      HnswGraph.levelOf(id, 16) == HnswGraph.levelOf(id, 16)))
+    // pinned literals (independently recomputed): a drifted hash or
+    // level formula would silently re-level every stored graph
+    assert(Seq(0L, 1L, 42L, 10L, 21L, 48L).map(HnswGraph.levelOf(_, 16)) ==
+      Seq(0, 0, 0, 1, 1, 1))
+  }
+
+  test("layered build: layer memberships nest and adjacency stays in-layer") {
+    val (model, assigned) = IvfIndex.fit(emb, "embedding", nLists = 4)
+    val g = HnswGraph.buildGraph(assigned, "vec_id", "embedding", m = 6, mL = 4)
+    val rows = g.select($"vec_id", $"hnsw_level", $"hnsw_layers")
+      .as[(Long, Int, Array[Array[Long]])].collect()
+    assert(rows.nonEmpty)
+    val levelOfId = rows.map(r => r._1 -> r._2).toMap
+    rows.foreach { case (id, level, layers) =>
+      assert(level == HnswGraph.levelOf(id, 4))
+      assert(layers.length == level + 1, s"node $id: ${layers.length} layers")
+      layers.zipWithIndex.foreach { case (nbrs, l) =>
+        assert(nbrs.length <= 6)
+        // a layer-l neighbour must itself live on layer l
+        nbrs.foreach(n => assert(levelOfId(n) >= l,
+          s"node $id layer $l points at $n of level ${levelOfId(n)}"))
+      }
+    }
+    // mL=4 on ~1k vectors: at least one node above level 0, so the
+    // descent actually has an upper layer to route through
+    assert(rows.exists(_._2 >= 1), "degenerate fixture: no upper layer")
+  }
+
+  test("search finds the query's own vector and has high recall vs brute force") {
+    val p = freshPath()
+    val (model, assigned) = IvfIndex.fit(emb, "embedding", nLists = 4)
+    HnswGraph.writeGraphIndexed(assigned, model, "vec_id", "embedding", p,
+      m = 8, mL = 4)
+    // the layout stays interchangeable with plain IVF search
+    val q0 = emb.filter($"vec_id" === 3L)
+      .selectExpr("transform(embedding, x -> CAST(x AS DOUBLE)) AS q")
+      .as[Seq[Double]].head().toArray
+    assert(IvfIndex.searchClustered(spark, p, "vec_id", "embedding",
+      q0, 5, nProbe = 4).count() == 5)
+    val queries = emb.filter($"vec_id" < 5L)
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS q")
+      .as[(Long, Seq[Double])].collect()
+    val recalls = queries.map { case (qid, q) =>
+      val approx = HnswGraph.searchGraph(spark, p, "vec_id", "embedding",
+          q.toArray, 10, nProbe = 4, ef = 48)
+        .as[(Long, Double)].collect()
+      assert(approx.head._1 == qid && approx.head._2 == 1.0,
+        s"query $qid did not find itself: ${approx.take(3).toSeq}")
+      val truth = Similarity.cosineTopK(emb, "vec_id", "embedding",
+        spark.range(1).select(lit(q.toArray).as("qvec")), 10)
+        .as[(Long, Double)].collect().map(_._1).toSet
+      (approx.map(_._1).toSet intersect truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.length
+    assert(mean >= 0.7, s"mean recall@10 too low: $mean")
+  }
+
+  test("upper-layer descent reaches a basin far from the entry's start") {
+    // two far-apart clusters; layer-1 nodes exist in both, so the greedy
+    // descent crosses to the query's basin before the layer-0 beam —
+    // the entry-point routing the hierarchy exists for
+    def mk(id: Long, base: Double) =
+      (id, Array(base + (id % 7) * 1e-3, 1.0), 0, HnswGraph.levelOf(id, 2),
+        Array.empty[Array[Long]])
+    val nodes = ((0L until 40L).map(mk(_, 10.0)) ++
+      (40L until 80L).map(mk(_, -10.0)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    // hand-build per-layer adjacency (m=3) with the production level fn
+    val graph = nodes.map { case (id, v, _, level, _) =>
+      val layers = (0 to level).map { l =>
+        nodes.filter(o => o._1 != id && o._4 >= l)
+          .map(o => (o._1, cos(o._2, v)))
+          .sortBy { case (oid, s) => (-s, oid) }
+          .take(3).map(_._1).toArray
+      }.toArray
+      id -> (v, level, layers)
+    }.toMap
+    assert(graph.exists { case (id, (_, lvl, _)) => lvl >= 1 && id >= 40L },
+      "fixture needs an upper-layer node in the far cluster")
+    val q = Array(-10.0, 1.0)
+    val hits = HnswGraph.descendSearch(graph, q, ef = 8).toSeq
+    assert(hits.nonEmpty && hits.head.id >= 40L,
+      s"descent never reached the query's basin: ${hits.take(3)}")
+  }
+
+  test("search is deterministic run to run") {
+    val p = freshPath()
+    val (model, assigned) = IvfIndex.fit(emb, "embedding", nLists = 4)
+    HnswGraph.writeGraphIndexed(assigned, model, "vec_id", "embedding", p,
+      m = 8, mL = 4)
+    val q = emb.filter($"vec_id" === 7L)
+      .selectExpr("transform(embedding, x -> CAST(x AS DOUBLE)) AS q")
+      .as[Seq[Double]].head().toArray
+    val r1 = HnswGraph.searchGraph(spark, p, "vec_id", "embedding", q, 10, 4)
+      .as[(Long, Double)].collect().toSeq
+    val r2 = HnswGraph.searchGraph(spark, p, "vec_id", "embedding", q, 10, 4)
+      .as[(Long, Double)].collect().toSeq
+    assert(r1 == r2 && r1.size == 10)
+  }
+}

@@ -446,4 +446,42 @@ class AggFromStatsRuleSpec extends SparkSpec {
     assert(rewritten(multi))
     assert(multi.as[(Long, Long, Long, Long)].head() == ((25L, 5L, -4L, 9L)))
   }
+
+  test("schema-evolved history: fold merges pre-column revisions as all-null; NDV bails") {
+    AggFromStatsRule.install(spark)
+    val p = java.nio.file.Files.createTempDirectory("graft-aggstats-evo")
+      .resolve("tbl").toString
+    // revision 1 predates `tag`; revision 2 adds it — the union-schema
+    // history serves NULL tag for revision 1's rows
+    graft.sources.TemporalTable.write(
+      Seq((1L, 10L), (2L, 20L)).toDF("node_key", "v"), p, withStats = true)
+    graft.sources.TemporalTable.write(
+      Seq((1L, 30L, "x"), (2L, 40L, "y")).toDF("node_key", "v", "tag"), p,
+      withStats = true, statsNdvCols = Seq("tag"))
+    val hist = spark.read.format("graft-temporal")
+      .option("allRevisions", true).load(p)
+    // sum/count/min/max over the evolved frame FOLD: the pre-column
+    // revision contributes an all-null ColStats (count 0), exactly the
+    // union-schema read's semantics
+    val q = hist.agg(sum("v").as("sv"), count(lit(1)).as("n"),
+      count(col("tag")).as("nt"), min("v").as("lo"), max("v").as("hi"))
+    assert(rewritten(q), "evolved history must fold, not bail")
+    assert(q.as[(Long, Long, Long, Long, Long)].head() ==
+      ((100L, 4L, 2L, 10L, 40L)))
+    // NDV across the evolved multi-dir frame stays non-additive → scan
+    val ndvQ = hist.agg(countDistinct(col("tag")).as("dt"))
+    assert(!rewritten(ndvQ))
+    assert(ndvQ.as[Long].head() == 2L)
+    // the scan-provided revision axis is in NO sidecar → never folds
+    // (an all-null synthesis here would return NULL for max(rev))
+    val revCol = hist.columns.find(c => c == "rev" || c == "revision").get
+    val revQ = hist.agg(max(revCol).as("mr"))
+    assert(!rewritten(revQ))
+    assert(revQ.collect().head.getInt(0) == 2)
+    // snapshot (single-dir) NDV on the evolved column still folds
+    val snap = spark.read.format("graft-temporal").load(p)
+      .agg(countDistinct(col("tag")).as("dt"), sum("v").as("sv"))
+    assert(rewritten(snap))
+    assert(snap.as[(Long, Long)].head() == ((2L, 70L)))
+  }
 }
