@@ -640,6 +640,9 @@ object TemporalTable {
       StatsSidecar.write(spark, s"$path/rev=$rev",
         ndvCols = ndv, groupCols = groups)
     }
+    // valid-time fork index policy travels with the table the same way
+    ValidTimeIndex.maybeWrite(spark, path, rev,
+      spark.read.parquet(s"$path/rev=$rev"))
   }
 
   /** True iff every expression in the plan is deterministic — the

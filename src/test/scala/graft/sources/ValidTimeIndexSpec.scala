@@ -86,6 +86,20 @@ class ValidTimeIndexSpec extends SparkSpec {
     }
   }
 
+  test("V2 appends honor the policy (it travels with the table)") {
+    val p = tmp("graft-vti-v2")
+    ValidTimeIndex.setPolicy(p, "vf", "vt", granularity = 64)
+    TemporalTable.write(frame(60), p)
+    frame(40, mult = 110L).write.format("graft-temporal").mode("append").save(p)
+    assert(MetaIO.exists(s"$p/_vindex/rev=2"), "V2 commit skipped the fork sidecar")
+    val got = ValidTimeIndex.validAt(spark, p, 555L, Some(2))
+      .select("node_key").as[Long].collect().toSet
+    val want = TemporalTable.read(spark, p, Some(2))
+      .filter($"vf" <= 555L && ($"vt".isNull || $"vt" > 555L))
+      .select("node_key").as[Long].collect().toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("open intervals register at the axis top and every in-axis stab finds them") {
     val p = tmp("graft-vti-open")
     ValidTimeIndex.setPolicy(p, "vf", "vt", granularity = 16)
