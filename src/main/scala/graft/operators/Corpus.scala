@@ -297,14 +297,29 @@ object Corpus {
       .orderBy(desc("freq"), col("token"))
   }
 
-  /** Auto-route probe: HLL NDV of the tokens in a 2% document sample —
-    * a lower bound on the corpus vocabulary. Spec-pinned in CorpusSpec. */
+  /** Auto-route probe: two nested document samples (1% and 2%, same
+    * seed → the smaller is a subset) give the vocabulary's GROWTH under
+    * doubling, the Heaps-law signal a single sample's NDV cannot: a
+    * closed vocabulary has ndv(2%) ≈ ndv(1%) (slope ~0), an open one
+    * keeps minting tokens (slope ~ndv(1%)). The corpus vocabulary is
+    * projected by linear extrapolation of that slope — exact for
+    * open/linear growth, a safe overestimate for anything sublinear —
+    * and compared to the one-pass budget. A sub-5% slope is HLL noise,
+    * treated as zero. Two HLL sketches over ~3% of the corpus; map-side
+    * partials, bytes on the wire. Spec-pinned in CorpusSpec; measured in
+    * ProfileTextScale (250k-doc closed corpus → onepass, 4M-token open
+    * fixture → mg). */
   private[graft] def chooseHeavyHitterRoute(df: DataFrame, textCol: String,
                                             onePassMaxVocab: Long): String = {
-    val sampleNdv = df.sample(withReplacement = false, 0.02, seed = 42)
-      .select(explode(words(col(textCol))).as("w"))
-      .agg(approx_count_distinct("w")).head().getLong(0)
-    if (sampleNdv * 4 >= onePassMaxVocab) "mg" else "onepass"
+    def ndvAt(frac: Double): Long =
+      df.sample(withReplacement = false, frac, seed = 42)
+        .select(explode(words(col(textCol))).as("w"))
+        .agg(approx_count_distinct("w")).head().getLong(0)
+    val s1 = ndvAt(0.01)
+    val s2 = ndvAt(0.02)
+    val slope = if (s2 - s1 < 0.05 * math.max(1L, s1)) 0L else s2 - s1
+    val projected = s2 + slope * 98
+    if (projected >= onePassMaxVocab) "mg" else "onepass"
   }
 
   /** Sliding-window document chunking — the standard pretraining/RAG prep

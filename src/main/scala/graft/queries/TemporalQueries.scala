@@ -264,6 +264,67 @@ object TemporalQueries {
           col("revision"))
         .orderBy("node_key")
     },
+    // revertTo (reference api/NodeTrx.java:50): revert commits the OLD
+    // snapshot forward as a new revision — history immutable, head
+    // content = revision 1's. The oracle recomputes revision 1 from the
+    // source table with the post-revert head revision number
+    "t_revert" -> { (s, d) =>
+      val p = java.nio.file.Files.createTempDirectory("graft-revert")
+        .toString + "/tbl"
+      val src = t(s, d, "orders").select(
+        col("o_orderkey").as("node_key"), col("o_totalprice"), col("o_orderstatus"))
+      graft.sources.TemporalTable.write(src, p)
+      graft.sources.TemporalTable.write(
+        src.filter(col("o_orderstatus") === "O")
+          .withColumn("o_totalprice", col("o_totalprice") * 2), p)
+      val newRev = graft.sources.TemporalTable.revert(s, p, 1)
+      require(newRev == 3, s"revert committed revision $newRev")
+      graft.sources.TemporalTable.read(s, p)
+        .select(col("node_key"), col("o_totalprice"), col("o_orderstatus"),
+          col("revision"))
+        .orderBy("node_key")
+    },
+    // RECORD_TO_REVISIONS lookup (reference index/IndexType.java:24-27,
+    // RecordRevisionsLookup.java) through the commit-maintained
+    // `_keyindex` sidecars: three revisions with known key predicates,
+    // four probe keys whose revision sets the oracle re-derives
+    // relationally from the source table
+    "t_record_revisions" -> { (s, d) =>
+      val p = java.nio.file.Files.createTempDirectory("graft-recrev")
+        .toString + "/tbl"
+      val src = t(s, d, "orders").select(
+        col("o_orderkey").as("node_key"), col("o_totalprice"))
+      graft.sources.TemporalTable.write(src, p)
+      graft.sources.TemporalTable.write(src.filter(col("node_key") % 3 === 0), p)
+      graft.sources.TemporalTable.write(src.filter(col("node_key") % 2 === 0), p)
+      Seq(4L, 6L, 7L, 9L).map(k =>
+          graft.sources.TemporalTable.recordRevisions(s, p, k)
+            .select(lit(k).as("node_key"), col("revision")))
+        .reduce(_ unionByName _)
+        .orderBy("node_key", "revision")
+    },
+    // SQL time travel through the V2 catalog (jn:doc(db,res,rev) as
+    // `VERSION AS OF` — reference Doc.java:31; GraftCatalog maps
+    // identifiers to warehouse paths): the flagship cross-revision join
+    // written in PLAIN SQL, revision pins validated against the commit
+    // log. The oracle recomputes both versions from the source table
+    "t_sql_time_travel" -> { (s, d) =>
+      val w = java.nio.file.Files.createTempDirectory("graft-sqlcat").toString
+      val p = s"$w/db/orders_t"
+      val src = t(s, d, "orders").select(
+        col("o_orderkey").as("node_key"), col("o_totalprice"))
+      graft.sources.TemporalTable.write(src, p)
+      graft.sources.TemporalTable.write(
+        src.withColumn("o_totalprice", col("o_totalprice") * 2), p)
+      s.conf.set("spark.sql.catalog.gverify",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gverify.warehouse", w)
+      s.sql("""SELECT node_key, v1.o_totalprice AS price_v1,
+              |  v2.o_totalprice AS price_v2
+              |FROM gverify.db.orders_t VERSION AS OF 1 v1
+              |JOIN gverify.db.orders_t VERSION AS OF 2 v2 USING (node_key)
+              |ORDER BY node_key""".stripMargin)
+    },
     // in-place HISTORICAL compaction round trip: fragmented old revision →
     // RevisionCompaction (same revision number, originals vacuumed) → the
     // full history frame still serves both revisions' exact content from
@@ -508,6 +569,27 @@ object TemporalQueries {
       """SELECT o_orderkey AS node_key, o_totalprice, o_orderstatus,
         |  CAST(2 AS INTEGER) AS revision
         |FROM orders ORDER BY node_key""".stripMargin,
+    "t_sql_time_travel" ->
+      """SELECT o_orderkey AS node_key, o_totalprice AS price_v1,
+        |  o_totalprice * 2 AS price_v2
+        |FROM orders ORDER BY node_key""".stripMargin,
+    "t_revert" ->
+      """SELECT o_orderkey AS node_key, o_totalprice, o_orderstatus,
+        |  CAST(3 AS INTEGER) AS revision
+        |FROM orders ORDER BY node_key""".stripMargin,
+    "t_record_revisions" ->
+      """WITH probes AS (SELECT * FROM (VALUES (4), (6), (7), (9)) p(k)),
+        |revs AS (
+        |  SELECT k, 1 AS revision FROM probes
+        |  WHERE EXISTS (SELECT 1 FROM orders WHERE o_orderkey = k)
+        |  UNION ALL
+        |  SELECT k, 2 FROM probes
+        |  WHERE EXISTS (SELECT 1 FROM orders WHERE o_orderkey = k AND k % 3 = 0)
+        |  UNION ALL
+        |  SELECT k, 3 FROM probes
+        |  WHERE EXISTS (SELECT 1 FROM orders WHERE o_orderkey = k AND k % 2 = 0))
+        |SELECT CAST(k AS BIGINT) AS node_key, CAST(revision AS INTEGER) AS revision
+        |FROM revs ORDER BY node_key, revision""".stripMargin,
     "t_interval_coalesce" ->
       """WITH iv AS (
         |  SELECT user_id, epoch_us(ts) AS vf, epoch_us(ts) + 21600000000 AS vt

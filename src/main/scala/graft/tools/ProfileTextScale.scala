@@ -62,10 +62,11 @@ object ProfileTextScale {
     time("heavy_hitters_mg") {
       Corpus.heavyHitters(docs, "doc_id", "text", 256, route = "mg").count()
     }
-    // forced open-vocabulary fixture: every doc mints fresh tokens — the
-    // probe must route to the bounded-state MG shape
-    val open = docs.limit(200000).select($"doc_id",
-      concat_ws(" ", (1 to 8).map(j =>
+    // forced open-vocabulary fixture (every doc mints 16 fresh tokens →
+    // ~4M-token vocabulary): the growth probe must route to the
+    // bounded-state MG shape under the default 2M one-pass budget
+    val open = docs.select($"doc_id",
+      concat_ws(" ", (1 to 16).map(j =>
         concat(lit("u"), $"doc_id", lit(s"_$j"))): _*).as("text"))
     println(s"auto route on open vocabulary: " +
       Corpus.chooseHeavyHitterRoute(open, "text", 2000000L))
