@@ -72,11 +72,14 @@ object ValidTimeIndex {
     * one whose axis columns the schema lacks) records no sidecar —
     * [[validAt]] falls back to the plain scan for it. */
   private[graft] def maybeWrite(spark: SparkSession, path: String, rev: Int,
-                                snap: DataFrame): Unit =
+                                snap: => DataFrame): Unit =
+    // by-name snap: the no-policy fast path (one metadata existence
+    // probe) must not pay the frame's parquet footer read
     policy(path).foreach { case (fromCol, toCol, gran) =>
-      val names = snap.schema.fieldNames.toSet
+      val s = snap
+      val names = s.schema.fieldNames.toSet
       if (names.contains(fromCol) && names.contains(toCol)) {
-        Intervals.tryWriteIndexed(snap, revDir(path, rev), fromCol, toCol, gran)
+        Intervals.tryWriteIndexed(s, revDir(path, rev), fromCol, toCol, gran)
         ()
       }
     }
