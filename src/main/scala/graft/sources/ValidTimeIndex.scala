@@ -99,12 +99,21 @@ object ValidTimeIndex {
               revision: Option[Int] = None): DataFrame = {
     val rev = revision.getOrElse(TemporalTable.mostRecentRevision(path)
       .getOrElse(throw new IllegalArgumentException(s"no revisions at $path")))
-    val p = policy(path)
-    if (p.isEmpty || !MetaIO.exists(revDir(path, rev)))
+    if (policy(path).isEmpty || !MetaIO.exists(revDir(path, rev)))
       return fallbackScan(spark, path, ts, rev)
-    val (fromCol, toCol, gran) = p.get
     val idx = Intervals.readIndexed(spark, revDir(path, rev))
     val meta = idx.schema(Intervals.ForkCol).metadata
+    // axis columns and granularity come from the SIDECAR's own metadata,
+    // never the current policy: a policy re-set with different columns
+    // or granularity after this revision was written would otherwise
+    // prune with constants its forks were not computed under — silently
+    // dropping rows. (The policy is the write-side recipe only.)
+    if (!meta.contains(Intervals.MetaFrom) || !meta.contains(Intervals.MetaTo) ||
+        !meta.contains(Intervals.MetaGranularity))
+      return fallbackScan(spark, path, ts, rev)
+    val fromCol = meta.getString(Intervals.MetaFrom)
+    val toCol = meta.getString(Intervals.MetaTo)
+    val gran = meta.getLong(Intervals.MetaGranularity)
     val axisMax =
       if (meta.contains(Intervals.MetaAxisMax)) meta.getLong(Intervals.MetaAxisMax)
       else Long.MaxValue

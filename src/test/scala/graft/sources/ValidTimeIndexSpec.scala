@@ -100,6 +100,25 @@ class ValidTimeIndexSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("a re-set policy never misprunes revisions written under the old one") {
+    // the sidecar's own fork metadata governs the read; the policy is
+    // write-side only — a granularity change after revision 1 must not
+    // prune revision 1 with constants its forks were not computed under
+    val p = tmp("graft-vti-reset")
+    ValidTimeIndex.setPolicy(p, "vf", "vt", granularity = 64)
+    TemporalTable.write(frame(200), p)
+    ValidTimeIndex.setPolicy(p, "vf", "vt", granularity = 7) // different axis coarsening
+    TemporalTable.write(frame(200, mult = 90L), p)
+    for ((rev, ts) <- Seq((1, 555L), (2, 555L), (1, 19999L), (2, 10000L))) {
+      val got = ValidTimeIndex.validAt(spark, p, ts, Some(rev))
+        .select("node_key").as[Long].collect().toSet
+      val want = TemporalTable.read(spark, p, Some(rev))
+        .filter($"vf" <= ts && ($"vt".isNull || $"vt" > ts))
+        .select("node_key").as[Long].collect().toSet
+      assert(got == want && want.nonEmpty, s"rev=$rev ts=$ts: $got vs $want")
+    }
+  }
+
   test("open intervals register at the axis top and every in-axis stab finds them") {
     val p = tmp("graft-vti-open")
     ValidTimeIndex.setPolicy(p, "vf", "vt", granularity = 16)
