@@ -230,19 +230,25 @@ object Bench {
             val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
           }.min
         }
+        // timed fit returning the LAST model (3 fits total: warmup + 2
+        // timed; the second timed run doubles as the kept model)
+        def timedFit[A](fit: => A): (Double, A) = {
+          fit // warmup
+          var last: Option[A] = None
+          val t = (1 to 2).map { _ =>
+            val t0 = System.nanoTime(); last = Some(fit)
+            (System.nanoTime() - t0) / 1e9
+          }.min
+          (t, last.get)
+        }
         val e = graft.Tables.df(spark, sfDir, "embeddings")
         val q = e.filter(col("vec_id") === 0)
           .selectExpr("transform(embedding, x -> CAST(x AS DOUBLE)) AS q")
           .as[Seq[Double]].head().toArray
-        val pqFit = timed2 {
+        val (pqFit, pqModel) = timedFit {
           graft.operators.Pq.fit(e, "embedding", dim = q.length, m = 8, k = 16,
-            fitFraction = 0.2, maxIter = 8); ()
-        } {
-          graft.operators.Pq.fit(e, "embedding", dim = q.length, m = 8, k = 16,
-            fitFraction = 0.2, maxIter = 8); ()
+            fitFraction = 0.2, maxIter = 8)
         }
-        val pqModel = graft.operators.Pq.fit(e, "embedding", dim = q.length,
-          m = 8, k = 16, fitFraction = 0.2, maxIter = 8)
         // codes are write-time artifacts: materialize once, outside the
         // query timing (the serving posture — ADC reads codes only)
         val enc = graft.operators.Pq.encode(e, "embedding", pqModel).cache()
@@ -255,12 +261,10 @@ object Bench {
             .write.format("noop").mode("overwrite").save()
         }
         enc.unpersist()
-        val kmFit = timed2 {
-          graft.operators.IvfIndex.fit(e, "embedding", nLists = 6); ()
-        } {
-          graft.operators.IvfIndex.fit(e, "embedding", nLists = 6); ()
+        val (kmFit, kmFitted) = timedFit {
+          graft.operators.IvfIndex.fit(e, "embedding", nLists = 6)
         }
-        val (kmModel, _) = graft.operators.IvfIndex.fit(e, "embedding", nLists = 6)
+        val kmModel = kmFitted._1
         val kmAssign = timed2 {
           graft.operators.IvfIndex.assignCellsWithDistance(e, kmModel, "embedding")
             .write.format("noop").mode("overwrite").save()

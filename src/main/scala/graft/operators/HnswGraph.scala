@@ -143,7 +143,12 @@ object HnswGraph {
   private[operators] final case class Hit(id: Long, sim: Double)
 
   /** One cell: top-entry greedy descent through the upper layers, then an
-    * ef-beam on layer 0. Deterministic (ties on id everywhere). */
+    * ef-beam on layer 0. A cell too small to have minted any upper-layer
+    * node (every level 0) has no routing hierarchy — there the beam
+    * seeds from the √n hub sample instead ([[NswGraph]]'s
+    * disconnected-basin guard; a single arbitrary entry could be cut off
+    * from the query's component of the kNN graph). Deterministic (ties
+    * on id everywhere). */
   private[operators] def descendSearch(
       graph: Map[Long, (Array[Double], Int, Array[Array[Long]])],
       query: Array[Double], ef: Int): Iterator[Hit] = {
@@ -153,6 +158,12 @@ object HnswGraph {
     var cur = graph.keysIterator.maxBy(id => (graph(id)._2, -id))
     var curSim = sim(cur)
     val topLevel = graph(cur)._2
+    if (topLevel == 0) {
+      val ids = graph.keysIterator.toArray
+      val nHubs = math.max(1, math.ceil(math.sqrt(ids.length.toDouble)).toInt)
+      val hubs = ids.sortBy(id => (splitmix64(id), id)).take(nHubs)
+      return beamFrom(graph, hubs.map(h => Hit(h, sim(h))), query, ef)
+    }
     // greedy descent: layers top..1, move while an improving neighbour exists
     var l = topLevel
     while (l >= 1) {
@@ -172,12 +183,19 @@ object HnswGraph {
       l -= 1
     }
     // layer-0 beam from the descent's landing point
+    beamFrom(graph, Array(Hit(cur, curSim)), query, ef)
+  }
+
+  private def beamFrom(
+      graph: Map[Long, (Array[Double], Int, Array[Array[Long]])],
+      seeds: Array[Hit], query: Array[Double], ef: Int): Iterator[Hit] = {
+    def sim(id: Long): Double = cosine(graph(id)._1, query)
     implicit val hitOrd: Ordering[Hit] =
       Ordering.by[Hit, (Double, Long)](h => (-h.sim, h.id))
     val candidates = mutable.PriorityQueue.empty[Hit](hitOrd.reverse)
     val beam = mutable.PriorityQueue.empty[Hit](hitOrd)
-    val visited = mutable.Set(cur)
-    candidates.enqueue(Hit(cur, curSim))
+    val visited = mutable.Set(seeds.map(_.id).toIndexedSeq: _*)
+    seeds.foreach(candidates.enqueue(_))
     while (candidates.nonEmpty) {
       val c = candidates.dequeue()
       if (beam.size >= ef && c.sim <= beam.head.sim) candidates.clear()

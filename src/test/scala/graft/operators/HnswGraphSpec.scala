@@ -114,6 +114,31 @@ class HnswGraphSpec extends SparkSpec {
       s"descent never reached the query's basin: ${hits.take(3)}")
   }
 
+  test("flat cells (no upper-layer node) hub-seed the beam across basins") {
+    // every id chosen level-0 (verified below); two far clusters — a
+    // single fixed entry would be trapped in its own kNN component
+    val ids = (0L until 3000L).filter(HnswGraph.levelOf(_, 16) == 0).take(80)
+    assert(ids.length == 80)
+    def vecOf(i: Int): Array[Double] =
+      if (i < 40) Array(10.0 + (i % 7) * 1e-3, 1.0)
+      else Array(-10.0 + (i % 7) * 1e-3, 1.0)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val vecs = ids.zipWithIndex.map { case (id, i) => id -> vecOf(i) }.toMap
+    val graph = vecs.map { case (id, v) =>
+      val nn = vecs.keys.filter(_ != id).toSeq
+        .sortBy(o => (-cos(vecs(o), v), o)).take(3).toArray
+      id -> (v, 0, Array(nn))
+    }
+    val idxOf = ids.zipWithIndex.toMap
+    val q = Array(-10.0, 1.0)
+    val hits = HnswGraph.descendSearch(graph, q, ef = 8).toSeq
+    assert(hits.nonEmpty && idxOf(hits.head.id) >= 40,
+      s"flat-cell search trapped in the wrong basin: ${hits.take(3)}")
+  }
+
   test("search is deterministic run to run") {
     val p = freshPath()
     val (model, assigned) = IvfIndex.fit(emb, "embedding", nLists = 4)
