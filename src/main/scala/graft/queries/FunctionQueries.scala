@@ -196,15 +196,17 @@ object FunctionQueries {
     // shred → serialize round trip (XmlShredder.serialize, the inverse of
     // the shredder — reference service/xml/serialize): the reconstructed
     // document must equal the input byte-for-byte. The fixture carries a
-    // top-level comment, an in-element comment and a processing
-    // instruction — first-class node kinds (reference CommentNode.java /
-    // PINode.java), NOT dropped by the shredder.
+    // top-level comment, an in-element comment, a processing instruction,
+    // a namespace declaration and prefixed names — first-class node kinds
+    // (reference CommentNode.java / PINode.java / NamespaceNode.java),
+    // NOT dropped by the shredder.
     "q_xml_roundtrip" -> { (s, d) =>
       val xml = t(s, d, "nation").select(
         col("n_nationkey").cast("long").as("doc_id"),
-        concat(lit("<!--hdr--><nation key=\""), col("n_nationkey"),
-          lit("\"><?audit level=\"2\"?><name>"), col("n_name"),
-          lit("</name><!--trail:"), col("n_regionkey"),
+        concat(lit("<!--hdr--><nation xmlns:g=\"urn:g\" key=\""),
+          col("n_nationkey"),
+          lit("\"><?audit level=\"2\"?><g:name>"), col("n_name"),
+          lit("</g:name><!--trail:"), col("n_regionkey"),
           lit("--></nation>")).as("xml"))
       val nodes = graft.sources.XmlShredder.shred(xml, "doc_id", "xml")
       graft.sources.XmlShredder.serialize(nodes).orderBy("doc_id")
@@ -477,8 +479,9 @@ object FunctionQueries {
         |ORDER BY doc_id, name""".stripMargin,
     "q_xml_roundtrip" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS doc_id,
-        |  '<!--hdr--><nation key="' || n_nationkey || '"><?audit level="2"?><name>'
-        |    || n_name || '</name><!--trail:' || n_regionkey || '--></nation>' AS xml
+        |  '<!--hdr--><nation xmlns:g="urn:g" key="' || n_nationkey
+        |    || '"><?audit level="2"?><g:name>' || n_name
+        |    || '</g:name><!--trail:' || n_regionkey || '--></nation>' AS xml
         |FROM nation ORDER BY doc_id""".stripMargin,
     // doc shape <nation><meta>M</meta><name>N</name><region><id>R</id></region></nation>:
     // anchor = <name>; following = region, id, text-R (3); preceding =
