@@ -56,11 +56,15 @@ import org.apache.spark.sql.functions._
   */
 object VectorIndex {
 
-  /** `m` > 0 → per-cell NSW adjacency; `pqM` > 0 → PQ codes ride in the
-    * layout (the byte-budget tier: ADC ranking reads codes only, exact
-    * re-rank reads `refine·k` vectors). The tiers are exclusive. */
+  /** `m` > 0 → per-cell graph adjacency (flat NSW, or the hierarchical
+    * HNSW tier when `hnswMl` > 0 — [[graft.operators.HnswGraph]]'s
+    * layered layout with level ratio `hnswMl`); `pqM` > 0 → PQ codes
+    * ride in the layout (the byte-budget tier: ADC ranking reads codes
+    * only, exact re-rank reads `refine·k` vectors). Graph and PQ tiers
+    * are exclusive. */
   final case class Spec(name: String, idCol: String, vecCol: String,
-                        nLists: Int, m: Int, pqM: Int = 0, pqK: Int = 256)
+                        nLists: Int, m: Int, pqM: Int = 0, pqK: Int = 256,
+                        hnswMl: Int = 0)
 
   private def catalogDir(tablePath: String) = s"$tablePath/_vectoridx"
   private def dataDir(tablePath: String, name: String) = s"$tablePath/_vecidx/$name"
@@ -80,7 +84,7 @@ object VectorIndex {
         TemporalTable.parseField(s, "vecCol"),
         TemporalTable.parseField(s, "nLists").toInt,
         TemporalTable.parseField(s, "m").toInt,
-        intOr("pqM", 0), intOr("pqK", 256))
+        intOr("pqM", 0), intOr("pqK", 256), intOr("hnswMl", 0))
     }.sortBy(_.name)
 
   /** The highest revision the index covers. Watermarks are append-only
@@ -113,25 +117,34 @@ object VectorIndex {
       .select(col(spec.idCol).cast("long").as(spec.idCol),
         expr(s"transform(${spec.vecCol}, x -> CAST(x AS DOUBLE))").as(spec.vecCol))
 
+  /** The spec's graph build: flat NSW, or the layered HNSW adjacency. */
+  private def graphOf(assigned: DataFrame, spec: Spec): DataFrame =
+    if (spec.hnswMl > 0)
+      graft.operators.HnswGraph.buildGraph(assigned, spec.idCol, spec.vecCol,
+        spec.m, spec.hnswMl)
+    else NswGraph.buildGraph(assigned, spec.idCol, spec.vecCol, spec.m)
+
   /** Declare + build the index over the table's current latest revision.
-    * `m` = 0 → plain IVF layout; `m` > 0 → per-cell NSW adjacency rides
-    * along ([[NswGraph.writeGraphIndexed]]'s layout). */
+    * `m` = 0 → plain IVF layout; `m` > 0 → per-cell graph adjacency rides
+    * along (NSW, or HNSW when `hnswMl` > 0). */
   def create(spark: SparkSession, tablePath: String, name: String,
              idCol: String, vecCol: String, nLists: Int, m: Int = 0,
              seed: Long = 42L, fitFraction: Double = 1.0,
-             pqM: Int = 0, pqK: Int = 256): Unit = {
+             pqM: Int = 0, pqK: Int = 256, hnswMl: Int = 0): Unit = {
     require(name.matches("[A-Za-z0-9_.-]+"),
       s"vector index name must be a plain identifier (path segment), got '$name'")
     require(m == 0 || pqM == 0,
-      "NSW adjacency (m) and PQ codes (pqM) are alternative tiers — pick one")
+      "graph adjacency (m) and PQ codes (pqM) are alternative tiers — pick one")
+    require(hnswMl == 0 || m > 0,
+      "hnswMl needs the graph tier (m > 0)")
     val latest = TemporalTable.mostRecentRevision(tablePath)
       .getOrElse(throw new IllegalArgumentException(s"no commits at $tablePath"))
-    val spec = Spec(name, idCol, vecCol, nLists, m, pqM, pqK)
+    val spec = Spec(name, idCol, vecCol, nLists, m, pqM, pqK, hnswMl)
     val base = snapshotVectors(spark, tablePath, latest, spec)
     val (model, assigned) = IvfIndex.fit(base, vecCol, nLists, seed, fitFraction)
     if (m > 0)
-      NswGraph.writeGraphIndexed(assigned, model, idCol, vecCol,
-        dataDir(tablePath, name), m)
+      IvfIndex.writeClustered(graphOf(assigned, spec), model,
+        dataDir(tablePath, name))
     else if (pqM > 0) {
       val pq = Pq.fit(base, vecCol, dimOf(base, vecCol), pqM, pqK,
         seed, fitFraction)
@@ -143,7 +156,7 @@ object VectorIndex {
     MetaIO.createNew(s"${catalogDir(tablePath)}/$name.json",
       s"""{"name":"${escapeJson(name)}","idCol":"${escapeJson(idCol)}",""" +
         s""""vecCol":"${escapeJson(vecCol)}","nLists":$nLists,"m":$m,""" +
-        s""""pqM":$pqM,"pqK":$pqK}""")
+        s""""pqM":$pqM,"pqK":$pqK,"hnswMl":$hnswMl}""")
   }
 
   /** Vector dimensionality from the snapshot's first non-null vector —
@@ -232,7 +245,7 @@ object VectorIndex {
         .filter(col("ivf_cell").isin(affected.toSeq: _*))
         .select(col(spec.idCol), col(spec.vecCol), col("ivf_cell").cast("int"))
       val merged = existing.unionByName(pinned)
-      val patched = NswGraph.buildGraph(merged, spec.idCol, spec.vecCol, spec.m)
+      val patched = graphOf(merged, spec)
       // rewrite ONLY the affected cell directories; reading and writing
       // the same path needs the read fully materialized WITH ITS LINEAGE
       // CUT first (a lazily recomputed block would re-scan files the
@@ -275,7 +288,10 @@ object VectorIndex {
       .getOrElse(throw new IllegalArgumentException(s"unknown vector index $name"))
     val path = dataDir(tablePath, name)
     def approx(kk: Int): DataFrame =
-      if (spec.m > 0)
+      if (spec.m > 0 && spec.hnswMl > 0)
+        graft.operators.HnswGraph.searchGraph(spark, path, spec.idCol,
+          spec.vecCol, query, kk, nProbe)
+      else if (spec.m > 0)
         NswGraph.searchGraph(spark, path, spec.idCol, spec.vecCol, query, kk, nProbe)
       else if (spec.pqM > 0)
         Pq.searchClusteredPq(spark, path, spec.idCol, spec.vecCol, query, kk, nProbe)
@@ -357,7 +373,7 @@ object VectorIndex {
         .filter(!col("__ghost") && col("ivf_cell").isin(affected.toSeq: _*))
         .select(col(spec.idCol), col(spec.vecCol), col("ivf_cell").cast("int"))
       val out =
-        if (spec.m > 0) NswGraph.buildGraph(survivors, spec.idCol, spec.vecCol, spec.m)
+        if (spec.m > 0) graphOf(survivors, spec)
         // PQ codes re-derive from the stored codebooks (pure function of
         // the surviving vectors — reading them through `flagged` and
         // re-encoding beats trusting possibly-hand-edited code columns)
@@ -394,7 +410,7 @@ object VectorIndex {
     val path = dataDir(tablePath, name)
     MetaIO.delete(path, recursive = true)
     if (spec.m > 0)
-      NswGraph.writeGraphIndexed(assigned, model, spec.idCol, spec.vecCol, path, spec.m)
+      IvfIndex.writeClustered(graphOf(assigned, spec), model, path)
     else if (spec.pqM > 0) {
       val pq = Pq.fit(base, spec.vecCol, dimOf(base, spec.vecCol),
         spec.pqM, spec.pqK, seed, fitFraction)

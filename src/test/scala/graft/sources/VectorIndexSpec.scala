@@ -113,6 +113,45 @@ class VectorIndexSpec extends SparkSpec {
     assert(deg.forall(_ > 0), "new vectors have empty adjacency")
   }
 
+  test("HNSW tier: layered layout maintained, searched and purged like NSW") {
+    val p = Files.createTempDirectory("graft-vecidx-hnsw").resolve("tbl").toString
+    TemporalTable.write(rows(0L until 64L), p)
+    VectorIndex.create(spark, p, "h", "node_key", "embedding", nLists = 4,
+      m = 4, hnswMl = 4)
+    val idxPath = s"$p/_vecidx/h"
+    // the layered adjacency column is in the layout, spec round-trips
+    assert(VectorIndex.list(p).head.hnswMl == 4)
+    assert(spark.read.parquet(idxPath).columns.contains("hnsw_layers"))
+    val before = cellFiles(idxPath)
+
+    // maintain patches only the affected cell
+    val newIds = Seq(101L, 105L, 109L)
+    TemporalTable.write(rows((0L until 64L) ++ newIds), p)
+    assert(VectorIndex.maintain(spark, p, "h") == 3)
+    val model = IvfIndex.readModel(idxPath)
+    val newCell = s"ivf_cell=${IvfIndex.assignCells(rows(newIds), model, "embedding")
+      .select("ivf_cell").distinct().as[Int].head()}"
+    val after = cellFiles(idxPath)
+    before.foreach { case (cell, files) =>
+      if (cell != newCell)
+        assert(after(cell) == files, s"unaffected $cell was rewritten")
+    }
+    // descent search through the maintained graph reaches a new vector
+    val q = vec(1, 101L)
+    val top = VectorIndex.search(spark, p, "h", q, k = 3, nProbe = 1)
+      .select("node_key").as[Long].collect()
+    assert(top.contains(101L), s"maintained HNSW missed the new vector: ${top.toSeq}")
+    // purge after a delete re-derives the layered adjacency on survivors
+    TemporalTable.write(rows((0L until 64L).filter(_ != 1L) ++ newIds), p)
+    assert(VectorIndex.purge(spark, p, "h") >= 1)
+    val raw = VectorIndex.search(spark, p, "h", vec(1, 1L), k = 10, nProbe = 4)
+      .select("node_key").as[Long].collect()
+    assert(!raw.contains(1L), "purged HNSW layout still serves the ghost")
+    // every stored row keeps a well-formed layer array
+    assert(spark.read.parquet(idxPath)
+      .filter(size(col("hnsw_layers")) === 0).count() == 0)
+  }
+
   test("exact search: deletes leave no ghosts, re-embeds rank by the current vector") {
     val p = Files.createTempDirectory("graft-vecidx-exact").resolve("tbl").toString
     TemporalTable.write(rows(0L until 64L), p)
