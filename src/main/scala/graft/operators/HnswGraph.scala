@@ -45,26 +45,12 @@ object HnswGraph {
     * nodes per cell, far past the one-cell-fits-an-executor contract. */
   private val MaxLevel = 8
 
-  private def splitmix64(x0: Long): Long = {
-    var x = x0 + 0x9E3779B97F4A7C15L
-    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
-    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
-    x ^ (x >>> 31)
-  }
-
   /** Deterministic geometric level of a node id: P(level ≥ l) = mL^-l.
     * Uses the top 53 hash bits as a uniform in (0,1] — id-stable, so an
     * incremental rebuild assigns every surviving node its old level. */
   private[operators] def levelOf(id: Long, mL: Int): Int = {
-    val u = ((splitmix64(id) >>> 11) + 1).toDouble / (1L << 53).toDouble
+    val u = ((NswGraph.splitmix64(id) >>> 11) + 1).toDouble / (1L << 53).toDouble
     math.min(MaxLevel, (-math.log(u) / math.log(mL.toDouble)).toInt)
-  }
-
-  private def cosine(a: Array[Double], b: Array[Double]): Double = {
-    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-    val n = math.min(a.length, b.length)
-    while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   // public: Dataset encoder codegen must reach the constructor/accessors
@@ -98,7 +84,7 @@ object HnswGraph {
           val layers = (0 to levels(i)).map { l =>
             byLayer(l).iterator
               .filter(_ != i)
-              .map(j => (arr(j).id, cosine(r.vec, arr(j).vec)))
+              .map(j => (arr(j).id, NswGraph.cosine(r.vec, arr(j).vec)))
               .toArray
               .sortBy { case (id, s) => (-s, id) }
               .take(m).map(_._1)
@@ -153,7 +139,7 @@ object HnswGraph {
       graph: Map[Long, (Array[Double], Int, Array[Array[Long]])],
       query: Array[Double], ef: Int): Iterator[Hit] = {
     if (graph.isEmpty) return Iterator.empty
-    def sim(id: Long): Double = cosine(graph(id)._1, query)
+    def sim(id: Long): Double = NswGraph.cosine(graph(id)._1, query)
     // entry: the cell's top node — max level, ties to lowest id
     var cur = graph.keysIterator.maxBy(id => (graph(id)._2, -id))
     var curSim = sim(cur)
@@ -161,7 +147,7 @@ object HnswGraph {
     if (topLevel == 0) {
       val ids = graph.keysIterator.toArray
       val nHubs = math.max(1, math.ceil(math.sqrt(ids.length.toDouble)).toInt)
-      val hubs = ids.sortBy(id => (splitmix64(id), id)).take(nHubs)
+      val hubs = ids.sortBy(id => (NswGraph.splitmix64(id), id)).take(nHubs)
       return beamFrom(graph, hubs.map(h => Hit(h, sim(h))), query, ef)
     }
     // greedy descent: layers top..1, move while an improving neighbour exists
@@ -189,7 +175,7 @@ object HnswGraph {
   private def beamFrom(
       graph: Map[Long, (Array[Double], Int, Array[Array[Long]])],
       seeds: Array[Hit], query: Array[Double], ef: Int): Iterator[Hit] = {
-    def sim(id: Long): Double = cosine(graph(id)._1, query)
+    def sim(id: Long): Double = NswGraph.cosine(graph(id)._1, query)
     implicit val hitOrd: Ordering[Hit] =
       Ordering.by[Hit, (Double, Long)](h => (-h.sim, h.id))
     val candidates = mutable.PriorityQueue.empty[Hit](hitOrd.reverse)

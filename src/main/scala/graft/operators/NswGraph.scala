@@ -50,7 +50,8 @@ object NswGraph {
                             neighbors: Array[Long])
   final case class Hit(id: Long, sim: Double)
 
-  private def cosine(a: Array[Double], b: Array[Double]): Double = {
+  /** Shared with [[HnswGraph]] — one kernel for both graph tiers. */
+  private[operators] def cosine(a: Array[Double], b: Array[Double]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     val n = math.min(a.length, b.length)
     while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
@@ -132,8 +133,9 @@ object NswGraph {
       .limit(k)
   }
 
-  /** Mix hash for the hub sample — full-avalanche, JVM-independent. */
-  private def splitmix64(x0: Long): Long = {
+  /** Mix hash for the hub sample (and [[HnswGraph]]'s level assignment)
+    * — full-avalanche, JVM-independent. */
+  private[operators] def splitmix64(x0: Long): Long = {
     var x = x0 + 0x9E3779B97F4A7C15L
     x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
     x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL

@@ -96,14 +96,20 @@ private[graft] object GraftTemporalSource {
     val tablePath = tablePathOf(options)
     if (options.getBoolean("allRevisions", false)) {
       val ovs = RevisionCompaction.overlays(tablePath)
-      // enumerate each revision's effective directory explicitly (the
-      // commit log is already parsed and cached): a compacted revision
-      // serves from its live generation (a root listing would miss
-      // vacuumed revisions), and the per-revision dir list is what lets
-      // the metadata rules (AggFromStatsRule, MinMax/CountFromMetadata)
-      // fold per-revision sidecars over a history read — one root path
-      // would hide them
-      TemporalTable.commits(tablePath)
+      val commits = TemporalTable.commits(tablePath)
+      // per-revision dir enumeration is needed when overlays redirect a
+      // vacuumed revision, and is what lets AggFromStatsRule fold
+      // per-revision _stats sidecars over a history read (one root path
+      // hides them). A plain aged table with NEITHER pays O(revisions)
+      // directory listings for nothing — there the single recursive root
+      // listing stays the shape (the stats policy is inherited forward,
+      // so the LATEST committed revision's sidecar witnesses the whole
+      // table's opt-in: one existence probe).
+      val anyStats = commits.lastOption.exists(c => MetaIO.exists(
+        s"${RevisionCompaction.effectiveDir(tablePath, c.revision, ovs)}/" +
+          StatsSidecar.FileName))
+      if (ovs.isEmpty && !anyStats) Seq(tablePath)
+      else commits
         .map(c => RevisionCompaction.effectiveDir(tablePath, c.revision, ovs))
     } else {
       val rev =

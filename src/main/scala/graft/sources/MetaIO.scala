@@ -270,9 +270,17 @@ private[graft] object MetaIO {
   }
 
   def delete(path: String, recursive: Boolean = false): Boolean = {
-    // data-file deletes (vacuum loops) can never hit cached entries —
-    // only metadata JSONs are cached — so skip the purge scan for them
-    if (recursive || path.endsWith(".json")) purgeCached(path)
+    // the cache only ever holds entries under `_commits`/`_compactions`
+    // (the readAllCached call sites). Purge-scan ONLY for deletes that
+    // can reach them: a metadata JSON, or a recursive delete of a tree
+    // that may CONTAIN a metadata dir (a table/namespace drop). The hot
+    // deletes — rev=N/_cG/cell dirs in vacuum and abort loops — can
+    // never hold cached entries; scanning 64k keys under the map lock
+    // there would stall concurrent commit-log readers for nothing.
+    val name = new Path(path).getName
+    val dataSubtree = name.matches(
+      "rev=\\d+|_c\\d+|ivf_cell=[-\\d]+|compact_upto=\\d+|_keyindex|_vecidx|_vindex|_stats")
+    if ((recursive && !dataSubtree) || path.endsWith(".json")) purgeCached(path)
     try fs(path).delete(new Path(path), recursive)
     catch { case _: FileNotFoundException => false }
   }

@@ -243,6 +243,10 @@ object TemporalTable {
     if (stillOwns(path, rev)) {
       MetaIO.delete(s"$path/rev=$rev", recursive = true)
       MetaIO.delete(s"${keyIndexDir(path)}/rev=$rev", recursive = true)
+      // the valid-time fork sidecar is written pre-commit too: an aborted
+      // attempt must not leave one behind (validAt would serve rows of a
+      // revision that never existed)
+      MetaIO.delete(s"${ValidTimeIndex.dir(path)}/rev=$rev", recursive = true)
       MetaIO.delete(reserveMarker(path, rev))
     }
     reservationTokens.remove((path, rev))

@@ -97,8 +97,14 @@ object ValidTimeIndex {
     * [[readIndexed]] frames). */
   def validAt(spark: SparkSession, path: String, ts: Long,
               revision: Option[Int] = None): DataFrame = {
-    val rev = revision.getOrElse(TemporalTable.mostRecentRevision(path)
-      .getOrElse(throw new IllegalArgumentException(s"no revisions at $path")))
+    // the revision must be COMMITTED: a sidecar directory alone does not
+    // make one (a crashed writer's abort path cleans _vindex too, but a
+    // kill between sidecar write and abort can strand it — the commit
+    // log, not sidecar existence, is the source of truth)
+    val committed = TemporalTable.commits(path).map(_.revision)
+    require(committed.nonEmpty, s"no revisions at $path")
+    val rev = revision.getOrElse(committed.last)
+    require(committed.contains(rev), s"unknown revision $rev at $path")
     if (policy(path).isEmpty || !MetaIO.exists(revDir(path, rev)))
       return fallbackScan(spark, path, ts, rev)
     val idx = Intervals.readIndexed(spark, revDir(path, rev))

@@ -288,11 +288,15 @@ object VectorIndex {
       .getOrElse(throw new IllegalArgumentException(s"unknown vector index $name"))
     val path = dataDir(tablePath, name)
     def approx(kk: Int): DataFrame =
+      // the beam must be at least as wide as the ask: the default ef=32
+      // would silently truncate an exact-search overfetch (k·overfetch
+      // candidates) — or a large plain k — to 32 hits per cell
       if (spec.m > 0 && spec.hnswMl > 0)
         graft.operators.HnswGraph.searchGraph(spark, path, spec.idCol,
-          spec.vecCol, query, kk, nProbe)
+          spec.vecCol, query, kk, nProbe, ef = math.max(32, kk))
       else if (spec.m > 0)
-        NswGraph.searchGraph(spark, path, spec.idCol, spec.vecCol, query, kk, nProbe)
+        NswGraph.searchGraph(spark, path, spec.idCol, spec.vecCol, query, kk,
+          nProbe, ef = math.max(32, kk))
       else if (spec.pqM > 0)
         Pq.searchClusteredPq(spark, path, spec.idCol, spec.vecCol, query, kk, nProbe)
       else

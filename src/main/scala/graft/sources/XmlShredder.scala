@@ -36,6 +36,16 @@ import org.apache.spark.sql.functions._
   * become child nodes (name = prefix or null for the default namespace,
   * value = URI).
   *
+  * Tag-internal ordering is CANONICALIZED: serialization emits namespace
+  * declarations before attributes (the XML C14N order, which is also the
+  * reference's namespace-before-attribute key order). StAX reports the
+  * two as separate lists and does not preserve their interleaving, so a
+  * document written `<r a="1" xmlns:x="u">` round-trips to the
+  * canonical-equivalent `<r xmlns:x="u" a="1">` — same infoset,
+  * different bytes. Documents already in canonical order (and any
+  * shred→serialize output, which is canonical by construction)
+  * round-trip byte-identically.
+  *
   * Node encoding (namespaces then attributes precede child content, like
   * the reference's attribute-before-first-child key order):
   * {{{

@@ -102,6 +102,17 @@ class XmlShredderSpec extends SparkSpec {
       .as[(String, String)].head() == ("x:id", "1"))
     val rt = XmlShredder.serialize(n).select("xml").as[String].head()
     assert(rt == doc)
+    // attr-before-xmlns input: StAX does not expose the interleaving, so
+    // the round trip CANONICALIZES to ns-first (same infoset, documented)
+    val mixed = """<r a="1" xmlns:x="u"><x:y/></r>"""
+    val n2 = XmlShredder.shred(Seq((9L, mixed)).toDF("doc_id", "xml"),
+      "doc_id", "xml")
+    val rt2 = XmlShredder.serialize(n2).select("xml").as[String].head()
+    assert(rt2 == """<r xmlns:x="u" a="1"><x:y/></r>""")
+    // idempotent: canonical output round-trips byte-identically
+    val n3 = XmlShredder.shred(Seq((9L, rt2)).toDF("doc_id", "xml"),
+      "doc_id", "xml")
+    assert(XmlShredder.serialize(n3).select("xml").as[String].head() == rt2)
   }
 
   test("escaped content round-trips; DTD/external entities rejected") {
