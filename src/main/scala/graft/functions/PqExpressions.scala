@@ -61,6 +61,12 @@ object PqExpressions {
     override def prettyName: String = "graft_pq_encode"
     override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
     override def nullIntolerant: Boolean = true
+    // nullable regardless of the child: a NON-null vector still encodes
+    // to NULL on length mismatch or null slots. Without this override a
+    // non-nullable input makes codegen assign into the `false` literal
+    // ("false = true;" — not an rvalue) and the whole UnsafeProjection
+    // silently degrades to interpreted eval.
+    override def nullable: Boolean = true
 
     private def isFloat: Boolean =
       child.dataType.asInstanceOf[ArrayType].elementType == FloatType
@@ -214,6 +220,7 @@ object PqExpressions {
     override def prettyName: String = "graft_pq_adc"
     override def dataType: DataType = DoubleType
     override def nullIntolerant: Boolean = true
+    override def nullable: Boolean = true // wrong arity/out-of-range/null slot → NULL
 
     override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
       child.dataType match {
