@@ -28,6 +28,14 @@ import org.apache.spark.sql.functions._
   * revision — the same write-amplification a reference secondary index
   * pays. At 100 TB, opt in on the bitemporal tables that serve stab
   * queries; everything else keeps the plain min/max-skipping scan path.
+  *
+  * Scope: snapshot-layout tables (library writes, V2 appends, SQL
+  * INSERT, the streaming sink — all route through the same commit
+  * protocol). A [[DeltaTemporalTable]] chain's revisions hold change
+  * records, not snapshots — indexing them would require materializing
+  * the reconstruction per commit, defeating the delta layout's point;
+  * stab a delta chain with [[graft.operators.Temporal.validAt]] over its
+  * reconstructed read instead.
   */
 object ValidTimeIndex {
 
