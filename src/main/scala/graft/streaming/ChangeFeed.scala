@@ -230,6 +230,14 @@ object ChangeFeed {
     require(graft.sources.RevisionCompaction.overlays(tablePath).isEmpty,
       s"$tablePath has in-place-compacted revisions; the file-stream glob " +
         "cannot discover their generation files — use ChangeFeed.streamCommits")
+    // a delta chain's rev=N dirs hold CHANGE RECORDS, not snapshot rows —
+    // the raw glob would stream delete markers as data rows and partial
+    // row sets as snapshots (every other raw-scan entry point routes or
+    // refuses the same way: recordRevisions, compactHead, the V2 scan)
+    require(!graft.sources.DeltaTemporalTable.isDeltaLayout(tablePath),
+      s"$tablePath is a delta-encoded chain; the raw file stream would " +
+        "surface change records as rows — use ChangeFeed.streamCommits " +
+        "(its batches are the CDC feed on a delta layout)")
     val schema = TemporalTable.read(spark, tablePath)
       .drop("revision", "commit_ts", "author").schema
     spark.readStream

@@ -105,9 +105,14 @@ final class GraftMicroBatchStream(tablePath: String, schema: StructType,
     }
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    // the parquet reader factory is partition-agnostic (schema-driven), so
-    // a whole-table delegate serves any batch's partitions — and stays
-    // valid for empty batches
+  // the parquet reader factory is partition-schema-driven (an empty path
+  // list would infer NO rev partition and null it out of every row), so
+  // it is built over the whole table — but ONCE, cached for the stream's
+  // lifetime. Building it per micro-batch forced a recursive listing of
+  // every revision directory each batch: O(revisions) LISTs per batch on
+  // the aged tables this stream targets.
+  private lazy val readerFactory: PartitionReaderFactory =
     delegate("factory", Seq(tablePath)).createReaderFactory()
+
+  override def createReaderFactory(): PartitionReaderFactory = readerFactory
 }

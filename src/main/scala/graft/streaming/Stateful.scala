@@ -60,6 +60,25 @@ object Stateful {
       col(valueCol).cast("string").as("value")).as[Keyed]
   }
 
+  /** [[Keyed]] plus the TimestampType twin for the watermarked TTL
+    * variant of [[changeDetect]]. */
+  case class KeyedTsV(key: Long, ord: Long, tie: Long, value: String,
+                      __ets: java.sql.Timestamp)
+
+  /** One key's fold: the (changes, carried last) of a sorted batch slice. */
+  private def foldChanges(key: Long, sorted: Array[Keyed],
+                          prior: Option[LastValue])
+      : (Seq[Change], Option[LastValue]) = {
+    var last = prior
+    val out = Seq.newBuilder[Change]
+    sorted.foreach { e =>
+      if (!last.exists(_.value == e.value))
+        out += Change(e.key, e.ord, e.tie, e.value, last.map(_.value))
+      last = Some(LastValue(e.value, e.ord, e.tie))
+    }
+    (out.result(), last)
+  }
+
   /** Per-key change detection: emit a row whenever a key's `valueCol`
     * differs from the LAST value seen for that key (first observation
     * emits with `prev_value` null) — the reference's change-listener
@@ -72,31 +91,63 @@ object Stateful {
     * (the watermark contract); a straggler older than the carried `ord` is
     * compared against the newer value — the unavoidable cost of bounded
     * state.
-    */
+    *
+    * State bound: the default keeps one [[LastValue]] per key FOREVER —
+    * right for closed key sets (the reference's per-node listeners), a
+    * leak on unbounded key cardinality. `stateTtlNs > 0` (streaming only)
+    * evicts a key's state once the event-time watermark passes its last
+    * observation + TTL; a key re-appearing after eviction emits as a
+    * fresh first observation (prev_value null) — the documented trade of
+    * bounded state. */
   def changeDetect(df: DataFrame, keyCol: String, ordCol: String,
-                   tieCol: String, valueCol: String): DataFrame = {
+                   tieCol: String, valueCol: String,
+                   stateTtlNs: Long = 0L,
+                   lateness: String = "0 seconds"): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    keyed(df, keyCol, ordCol, tieCol, valueCol)
-      .groupByKey(_.key)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (key: Long, it: Iterator[Keyed], state: GroupState[LastValue]) =>
-          val sorted = it.toArray.sortBy(e => (e.ord, e.tie))
-          var last = state.getOption
-          val out = Seq.newBuilder[Change]
-          sorted.foreach { e =>
-            if (!last.exists(_.value == e.value))
-              out += Change(e.key, e.ord, e.tie, e.value, last.map(_.value))
-            last = Some(LastValue(e.value, e.ord, e.tie))
-          }
-          last.foreach(state.update)
-          out.result().iterator
-      }
-      .toDF()
+    val renames = (d: DataFrame) => d
       .withColumnRenamed("key", keyCol)
       .withColumnRenamed("ord", ordCol)
       .withColumnRenamed("tie", tieCol)
       .withColumnRenamed("value", valueCol)
+    if (stateTtlNs > 0 && df.isStreaming) {
+      val base = df.select(col(keyCol).cast(LongType).as("key"),
+          col(ordCol).cast(LongType).as("ord"),
+          col(tieCol).cast(LongType).as("tie"),
+          col(valueCol).cast("string").as("value"))
+        .withColumn("__ets", expr("timestamp_micros(ord div 1000)"))
+        .withWatermark("__ets", lateness)
+      return renames(base.as[KeyedTsV]
+        .groupByKey(_.key)
+        .flatMapGroupsWithState(OutputMode.Append,
+            GroupStateTimeout.EventTimeTimeout) {
+          (key: Long, it: Iterator[KeyedTsV], state: GroupState[LastValue]) =>
+            if (state.hasTimedOut) { state.remove(); Iterator.empty }
+            else {
+              val sorted = it.map(e => Keyed(e.key, e.ord, e.tie, e.value))
+                .toArray.sortBy(e => (e.ord, e.tie))
+              val (changes, last) = foldChanges(key, sorted, state.getOption)
+              last.foreach { l =>
+                state.update(l)
+                val ttlMs = (l.ord + stateTtlNs + 999999L) / 1000000L
+                state.setTimeoutTimestamp(
+                  math.max(state.getCurrentWatermarkMs() + 1, ttlMs))
+              }
+              changes.iterator
+            }
+        }
+        .toDF())
+    }
+    renames(keyed(df, keyCol, ordCol, tieCol, valueCol)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, it: Iterator[Keyed], state: GroupState[LastValue]) =>
+          val sorted = it.toArray.sortBy(e => (e.ord, e.tie))
+          val (changes, last) = foldChanges(key, sorted, state.getOption)
+          last.foreach(state.update)
+          changes.iterator
+      }
+      .toDF())
   }
 
   /** Event-time sessionization with explicit state: consecutive events of a
@@ -155,8 +206,18 @@ object Stateful {
               if (emitOpen && !streaming) out += Session(key, s.start, s.end, s.n)
               else {
                 state.update(s)
-                if (streaming)
-                  state.setTimeoutTimestamp(s.end / 1000000L + gapNs / 1000000L)
+                if (streaming) {
+                  // ceil(end + gap) to ms: separate floor-divisions fired
+                  // up to ~2 ms early, wrongly splitting sub-ms sessions.
+                  // Clamp above the CURRENT watermark: Spark rejects (and
+                  // permanently crashes the query on) a timeout below it,
+                  // and a straggler merging into an old session can land
+                  // exactly there — the session then closes on the next
+                  // watermark advance, which is the soonest legal moment.
+                  val endGapMs = (s.end + gapNs + 999999L) / 1000000L
+                  state.setTimeoutTimestamp(
+                    math.max(state.getCurrentWatermarkMs() + 1, endGapMs))
+                }
               }
             }
             out.result().iterator
@@ -209,28 +270,37 @@ object Stateful {
     * `stream` is merged (upsert on `keys`) into the temporal table at
     * `tablePath` — one committed revision per micro-batch, which is the
     * reference's per-commit index-maintenance loop
-    * (index/ProjectionIndexChangeListener.java) running on Spark's
-    * exactly-once foreachBatch contract (batch replays after failure
-    * re-merge idempotently: same keys, same values). Bootstrap: the first
-    * batch creates the table. */
+    * (index/ProjectionIndexChangeListener.java) on foreachBatch.
+    *
+    * foreachBatch is AT-LEAST-ONCE (a crash between the commit and the
+    * streaming checkpoint replays the batch), so the commit message
+    * stamps the batch id and a replayed id is skipped — without the
+    * guard the table CONTENT stayed correct (same keys, same values) but
+    * history gained a spurious duplicate revision and every change-feed
+    * consumer received the whole table again. `appId` scopes the markers
+    * per logical query ([[TemporalSink]]'s discipline — a new query's
+    * checkpoint restarts batch ids at 0). Bootstrap: the first batch
+    * creates the table. */
   def maintainTable(stream: DataFrame, tablePath: String, keys: Seq[String],
-                    checkpointDir: String): StreamingQuery =
+                    checkpointDir: String, appId: String = ""): StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val exists =
-          scala.util.Try(graft.sources.TemporalTable.commits(tablePath))
-            .toOption.exists(_.nonEmpty)
-        if (!batch.isEmpty) {
-          if (exists)
+        val tag = if (appId.isEmpty) s"batch=$batchId"
+                  else s"app=$appId batch=$batchId"
+        val log = scala.util.Try(graft.sources.TemporalTable.commits(tablePath))
+          .toOption.getOrElse(Seq.empty)
+        val replayed = log.exists(_.message.endsWith(tag))
+        if (!batch.isEmpty && !replayed) {
+          if (log.nonEmpty)
             graft.sources.TemporalTable.merge(spark, tablePath, batch, None, keys,
-              message = "stream maintenance")
+              message = s"stream maintenance $tag")
           else
             graft.sources.TemporalTable.write(batch, tablePath,
-              message = "stream bootstrap")
+              message = s"stream bootstrap $tag")
         }
         ()
       }

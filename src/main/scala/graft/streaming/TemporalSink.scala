@@ -30,16 +30,36 @@ import org.apache.spark.sql.DataFrame
   * reference's one-writer commit protocol gives the log-read-then-write
   * sequence a single owner).
   *
-  * ONE STREAM PER TABLE PATH: batch ids are monotonic only within a
-  * single query's checkpoint, and the replay check is read-log-then-
-  * write, not atomic. Two concurrent streams (or a stream racing a batch
-  * writer that fakes `batch=` markers) can both observe a marker absent
-  * and double-commit the same id — point concurrent pipelines at
-  * distinct table paths and merge downstream.
+  * ONE STREAM PER TABLE PATH AT A TIME: batch ids are monotonic only
+  * within a single query's checkpoint, and the replay check is
+  * read-log-then-write, not atomic. Two concurrent streams (or a stream
+  * racing a batch writer that fakes `batch=` markers) can both observe a
+  * marker absent and double-commit the same id — point concurrent
+  * pipelines at distinct table paths and merge downstream.
+  *
+  * SEQUENTIAL queries against one table need `appId` (Delta's txnAppId
+  * discipline): a NEW query's fresh checkpoint restarts batch ids at 0,
+  * and under the unscoped default its first batches would compare
+  * against the previous query's markers and be silently dropped. Give
+  * each logical query a stable appId — markers become
+  * `app=<id> batch=<n>` and watermarks are tracked per (path, appId),
+  * so a new appId starts from a clean slate while replays within the
+  * same query stay no-ops.
   */
 object TemporalSink {
 
-  private def marker(batchId: Long): String = s"batch=$batchId"
+  private def marker(appId: String, batchId: Long): String =
+    if (appId.isEmpty) s"batch=$batchId" else s"app=$appId batch=$batchId"
+
+  /** Parse a commit message as THIS appId's marker (exact prefix match —
+    * an unscoped parse must not claim another app's markers and vice
+    * versa). */
+  private def parseMarker(appId: String, msg: String): Option[Long] = {
+    val prefix = if (appId.isEmpty) "batch=" else s"app=$appId batch="
+    if (msg.startsWith(prefix))
+      scala.util.Try(msg.stripPrefix(prefix).toLong).toOption
+    else None
+  }
 
   /** Per-path replay watermark: the highest commit-log revision this
     * process has read, and the highest `batch=` marker id seen in entries
@@ -53,12 +73,11 @@ object TemporalSink {
   private final case class Watermark(rev: Int, maxBatch: Long)
 
   private val watermarks =
-    new java.util.concurrent.ConcurrentHashMap[String, Watermark]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Watermark]()
 
-  private val MarkerRe = "batch=(-?\\d+)".r
-
-  private def refreshed(path: String): Watermark = {
-    val prev = Option(watermarks.get(path))
+  private def refreshed(path: String, appId: String): Watermark = {
+    val key = (path, appId)
+    val prev = Option(watermarks.get(key))
       .getOrElse(Watermark(Int.MinValue, Long.MinValue))
     val dir = TemporalTable.commitsDir(path)
     val unseen = MetaIO.list(dir)
@@ -69,21 +88,20 @@ object TemporalSink {
       if (unseen.isEmpty) prev
       else {
         val batchIds = MetaIO.parallelMap(unseen.map(_._2)) { name =>
-          TemporalTable.parseField(MetaIO.readString(s"$dir/$name"), "message") match {
-            case MarkerRe(id) => id.toLong
-            case _ => Long.MinValue
-          }
+          parseMarker(appId,
+            TemporalTable.parseField(MetaIO.readString(s"$dir/$name"), "message"))
+            .getOrElse(Long.MinValue)
         }
         Watermark(unseen.map(_._1).max, (prev.maxBatch +: batchIds).max)
       }
-    watermarks.put(path, next)
+    watermarks.put(key, next)
     next
   }
 
   /** Drop the cached watermark for `path` — specs use this to simulate a
     * driver restart (the next refresh rebuilds from the commit log). */
   private[graft] def invalidate(path: String): Unit = {
-    watermarks.remove(path)
+    watermarks.keySet().removeIf(_._1 == path)
     ()
   }
 
@@ -92,16 +110,21 @@ object TemporalSink {
     * see the class doc for the single-stream-per-path contract). */
   def revisionWriter(path: String, author: String = "graft-stream",
                      withManifest: Boolean = true,
-                     withKeyIndex: Boolean = true): (DataFrame, Long) => Unit =
+                     withKeyIndex: Boolean = true,
+                     appId: String = ""): (DataFrame, Long) => Unit = {
+    require(!appId.contains(" ") && !appId.contains("\""),
+      "appId must not contain spaces or quotes (it rides in the marker)")
     (batch, batchId) => {
-      val wm = refreshed(path)
+      val wm = refreshed(path, appId)
       if (batchId > wm.maxBatch && !batch.isEmpty) {
-        val rev = TemporalTable.write(batch, path, author, marker(batchId),
+        val rev = TemporalTable.write(batch, path, author,
+          marker(appId, batchId),
           withManifest = withManifest, withKeyIndex = withKeyIndex)
         // advance past our own commit so the next refresh's listing
         // filter skips it without a GET
-        watermarks.put(path, Watermark(rev, batchId))
+        watermarks.put((path, appId), Watermark(rev, batchId))
         ()
       }
     }
+  }
 }

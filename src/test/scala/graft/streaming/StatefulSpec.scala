@@ -77,6 +77,63 @@ class StatefulSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize: a straggler below the watermark is dropped, the session still closes once") {
+    // batch 1: key 1 far in the future drives the watermark high while
+    // key 2 opens an old session. batch 2: a straggler for key 2 arrives
+    // below the watermark — Spark's late-row filter drops it BEFORE the
+    // stateful operator (pinned here: the session closes with only its
+    // on-time event and the query keeps running). The timeout the
+    // operator schedules is additionally clamped above the current
+    // watermark — pure insurance: post-filter every surviving event is
+    // >= watermark, but Spark rejects a below-watermark timeout with a
+    // permanent query crash, so the clamp guards any version whose
+    // late-row filtering differs.
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Long)]
+    val out = Stateful.sessionize(
+      in.toDF().toDF("k", "ts", "seq"), "k", "ts", "seq", gapNs = 5 * M)
+    val q = out.writeStream.format("memory").queryName("sess_straggler")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, ns(100), 0L), (2L, ns(0), 1L))
+      q.processAllAvailable()
+      in.addData((2L, ns(2), 2L)) // below the watermark: dropped as late
+      q.processAllAvailable()
+      in.addData((1L, ns(200), 3L)) // advances the watermark further
+      q.processAllAvailable()
+      assert(q.isActive, "query crashed on the straggler batch")
+      val closed = spark.table("sess_straggler")
+        .filter($"k" === 2L)
+        .select("session_start", "session_end", "n_events")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(closed == Set((ns(0), ns(0), 1L)), s"got $closed")
+    } finally q.stop()
+  }
+
+  test("changeDetect stateTtl evicts idle keys; a re-appearing key emits fresh") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Long, String)]
+    val out = Stateful.changeDetect(
+      in.toDF().toDF("k", "ts", "seq", "v"), "k", "ts", "seq", "v",
+      stateTtlNs = 5 * M)
+    val q = out.writeStream.format("memory").queryName("cd_ttl")
+      .outputMode("append").start()
+    try {
+      in.addData((7L, ns(0), 0L, "a"))
+      q.processAllAvailable()
+      // watermark sails past key 7's last ord + TTL → state evicted
+      in.addData((8L, ns(50), 1L, "x"))
+      q.processAllAvailable()
+      // the SAME value re-appears: with live state this would be
+      // suppressed; after eviction it emits as a fresh first observation
+      in.addData((7L, ns(60), 2L, "a"))
+      q.processAllAvailable()
+      val sevens = spark.table("cd_ttl").filter($"k" === 7L)
+        .select("ts", "prev_value").as[(Long, Option[String])].collect().toSet
+      assert(sevens == Set((ns(0), None), (ns(60), None)), s"got $sevens")
+    } finally q.stop()
+  }
+
   test("sessionize batch mode matches session_window semantics") {
     val df = Seq(
       (1L, ns(0), 0L), (1L, ns(2), 1L), (1L, ns(20), 2L),
@@ -133,5 +190,22 @@ class StatefulSpec extends SparkSpec {
     assert(TemporalTable.read(spark, tbl)
       .select("node_key", "price").as[(Long, Double)].collect().toSet ==
       Set((1L, 11.0), (2L, 20.0), (3L, 30.0)))
+    // replay guard (foreachBatch is at-least-once): the same logical
+    // batches re-run under a FRESH checkpoint with the same appId must
+    // not mint duplicate revisions — the batch markers already in the
+    // log dedupe them. A different appId is a new logical query: commits.
+    val in2 = MemoryStream[(Long, Double)]
+    in2.addData((1L, 11.0))
+    val ckpt2 = dir.resolve("ckpt2").toString
+    Stateful.maintainTable(in2.toDF().toDF("node_key", "price"), tbl,
+      Seq("node_key"), ckpt2).awaitTermination()
+    assert(TemporalTable.commits(tbl).map(_.revision) == Seq(1, 2),
+      "replayed batch id minted a duplicate revision")
+    val in3 = MemoryStream[(Long, Double)]
+    in3.addData((4L, 40.0))
+    val ckpt3 = dir.resolve("ckpt3").toString
+    Stateful.maintainTable(in3.toDF().toDF("node_key", "price"), tbl,
+      Seq("node_key"), ckpt3, appId = "q2").awaitTermination()
+    assert(TemporalTable.commits(tbl).map(_.revision) == Seq(1, 2, 3))
   }
 }

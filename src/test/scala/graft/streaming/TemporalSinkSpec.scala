@@ -54,6 +54,29 @@ class TemporalSinkSpec extends SparkSpec {
     assert(TemporalTable.commits(p).map(_.revision) == Seq(1, 2))
   }
 
+  test("appId scopes markers: a new logical query on an existing table is not dropped") {
+    val p = Files.createTempDirectory("graft-sink-appid").resolve("tbl").toString
+    // query 1 (unscoped, legacy markers) commits batches 0..2
+    val w1 = TemporalSink.revisionWriter(p)
+    (0L to 2L).foreach(i => w1(Seq((i, "a")).toDF("node_key", "name"), i))
+    assert(TemporalTable.commits(p).map(_.revision) == Seq(1, 2, 3))
+    // query 2: fresh checkpoint restarts batch ids at 0 — under the
+    // unscoped default its first batches would silently drop against
+    // query 1's markers; with its own appId it starts from a clean slate
+    val w2 = TemporalSink.revisionWriter(p, appId = "q2")
+    w2(Seq((10L, "x")).toDF("node_key", "name"), 0L)
+    assert(TemporalTable.commits(p).map(_.revision) == Seq(1, 2, 3, 4),
+      "new query's batch 0 was dropped against the old query's markers")
+    assert(TemporalTable.commits(p).last.message == "app=q2 batch=0")
+    // replays within query 2 stay no-ops (cold cache: the log decides)
+    TemporalSink.invalidate(p)
+    w2(Seq((10L, "x")).toDF("node_key", "name"), 0L)
+    assert(TemporalTable.commits(p).map(_.revision) == Seq(1, 2, 3, 4))
+    // ...and query 2's markers never mask query 1's axis
+    w1(Seq((11L, "y")).toDF("node_key", "name"), 3L)
+    assert(TemporalTable.commits(p).map(_.revision) == Seq(1, 2, 3, 4, 5))
+  }
+
   test("replay check tail-reads the log: per-batch metadata GETs stay O(1) on an aged table") {
     import graft.sources.MetaIO
     val p = Files.createTempDirectory("graft-sink-aged").resolve("tbl").toString
