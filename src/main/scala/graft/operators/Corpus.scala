@@ -46,20 +46,27 @@ object Corpus {
     // scale; docs with no words keep their row with null metrics (the
     // kernel returns a null struct). n_2grams is n_words − 1 by
     // construction; a doc without 2-grams gets a null fraction.
-    val n2grams = when(col("__r.n_words") >= 2, col("__r.n_words") - 1)
+    val (topFrac, dupFrac) = repetitionFracs(col("__r"))
     df.select(id,
         graft.functions.MinHashExpressions.repetitionStats(col(textCol)).as("__r"))
       .select(id,
         coalesce(col("__r.n_words"), lit(0L)).as("n_words"),
         col("__r.top_word").as("top_word"),
-        round(col("__r.top_cnt").cast("double") / col("__r.n_words"), 4)
-          .as("top_word_frac"),
-        round(lit(1.0) - col("__r.n_distinct_2grams").cast("double") / n2grams, 4)
-          .as("dup_2gram_frac"))
+        topFrac.as("top_word_frac"),
+        dupFrac.as("dup_2gram_frac"))
       .withColumn("rep_flagged",
         coalesce(col("top_word_frac") > topWordMax, lit(false)) ||
           coalesce(col("dup_2gram_frac") > dup2gramMax, lit(false)))
   }
+
+  /** The Gopher repetition fractions of one `repetitionStats` struct —
+    * THE definition, read by both [[repetitionMetrics]] and
+    * [[curationDecisions]] so the funnel's repetition stage can never
+    * drift from the standalone metric it composes. */
+  private def repetitionFracs(r: Column): (Column, Column) = (
+    round(r.getField("top_cnt").cast("double") / r.getField("n_words"), 4),
+    round(lit(1.0) - r.getField("n_distinct_2grams").cast("double")
+      / when(r.getField("n_words") >= 2, r.getField("n_words") - 1), 4))
 
   /** C4-style corpus-level span dedup: every `n`-word gram instance that
     * also occurs at a lexicographically earlier (doc_id, position) —
@@ -337,8 +344,14 @@ object Corpus {
     val w = words(col(textCol))
     df.select(id, w.as("__w"))
       .filter(size(col("__w")) > 0)
+      // start bound n − overlap − 1, not n − 1: a start inside the final
+      // overlap window would emit a tail chunk whose every word is
+      // already in the previous chunk — pure duplicate content injected
+      // into a pipeline whose other half exists to remove duplicates.
+      // Coverage still holds: the last admitted start + chunkWords ≥ n.
       .select(id, posexplode(
-        transform(sequence(lit(0), size(col("__w")) - 1, lit(stride)),
+        transform(sequence(lit(0),
+            greatest(lit(0), size(col("__w")) - overlap - 1), lit(stride)),
           start => slice(col("__w"), start + 1, lit(chunkWords))))
         .as(Seq("chunk_id", "__c")))
       .select(id, col("chunk_id"),
@@ -561,7 +574,7 @@ object Corpus {
     val cTot = corpus.agg(sum("ccnt").as("c"))
     val tTot = tgt.agg(coalesce(sum("tcnt"), lit(0L)).as("t"))
     val lr = corpus.join(tgt, Seq("w"), "left")
-      .crossJoin(cTot).crossJoin(tTot)
+      .crossJoin(broadcast(cTot)).crossJoin(broadcast(tTot))
       .select(col("w"), round(log(
         ((coalesce(col("tcnt"), lit(0L)) + 1).cast("double") * (col("c") + 1)) /
           ((col("ccnt") + 1).cast("double") * (col("t") + 1))), 6).as("lr"))
@@ -595,7 +608,15 @@ object Corpus {
     * sample is reproducible across runs, executors, and engines; the same
     * arithmetic re-derives in SQL for the oracle. */
   def hashBucket(keyCol: Column): Column =
-    (conv(substring(md5(keyCol.cast("string")), 1, 3), 16, 10)).cast("long")
+    // null keys land deterministically in bucket 0 — kept whenever the
+    // stratum's rate is positive. The raw md5(null) is null, and a null
+    // comparison silently DROPPED null-key rows even at rate 1.0
+    // (while applyMixRates kept them — the paired samplers disagreed).
+    // A keyless row has no uniform-sampling story; assign real keys for
+    // proportional cuts.
+    coalesce(
+      conv(substring(md5(keyCol.cast("string")), 1, 3), 16, 10).cast("long"),
+      lit(0L))
 
   def stratifiedSample(df: DataFrame, keyCol: String, stratumCol: String,
                        rates: Map[String, Double],
@@ -751,7 +772,9 @@ object Corpus {
     * reject (same convention as the kernels themselves). */
   def curationDecisions(raw: DataFrame, idCol: String, textCol: String,
                         minChars: Long = 100, maxChars: Long = 10000,
-                        minWordLen: Double = 3.0, maxWordLen: Double = 12.0): DataFrame = {
+                        minWordLen: Double = 3.0, maxWordLen: Double = 12.0,
+                        topWordMax: Double = 0.2,
+                        dup2gramMax: Double = 0.2): DataFrame = {
     val id = col(idCol)
     val t = col(textCol)
     val m = graft.functions.TextFunctions.qualityMetrics(t).toMap
@@ -767,13 +790,9 @@ object Corpus {
     // read fields of that single column — CollapseProject does not inline
     // a non-cheap alias referenced more than once, so the kernel runs at
     // most once per row
-    val r = col("__r")
-    val topWordFrac = round(r.getField("top_cnt").cast("double")
-      / r.getField("n_words"), 4)
-    val dup2gramFrac = round(lit(1.0) - r.getField("n_distinct_2grams").cast("double")
-      / when(r.getField("n_words") >= 2, r.getField("n_words") - 1), 4)
-    val repFlagged = coalesce(topWordFrac > 0.2, lit(false)) ||
-      coalesce(dup2gramFrac > 0.2, lit(false))
+    val (topWordFrac, dup2gramFrac) = repetitionFracs(col("__r"))
+    val repFlagged = coalesce(topWordFrac > topWordMax, lit(false)) ||
+      coalesce(dup2gramFrac > dup2gramMax, lit(false))
     raw.select(id,
         when(!m("n_chars").between(minChars, maxChars), "1_length")
           .when(!awl.between(minWordLen, maxWordLen), "2_word_len")
@@ -794,9 +813,11 @@ object Corpus {
     * reaches the driver. */
   def curationFunnel(raw: DataFrame, idCol: String, textCol: String,
                      minChars: Long = 100, maxChars: Long = 10000,
-                     minWordLen: Double = 3.0, maxWordLen: Double = 12.0): DataFrame =
+                     minWordLen: Double = 3.0, maxWordLen: Double = 12.0,
+                     topWordMax: Double = 0.2,
+                     dup2gramMax: Double = 0.2): DataFrame =
     curationDecisions(raw, idCol, textCol, minChars, maxChars,
-        minWordLen, maxWordLen)
+        minWordLen, maxWordLen, topWordMax, dup2gramMax)
       .groupBy("stage").agg(count(lit(1)).as("n_docs"))
       .withColumn("doc_share",
         round(col("n_docs") / sum("n_docs").over(Window.partitionBy()), 4))

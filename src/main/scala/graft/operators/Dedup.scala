@@ -101,6 +101,10 @@ object Dedup {
   private[operators] def lshBands(df: DataFrame, idCol: String, textCol: String,
                                   shingleLen: Int, numHashes: Int,
                                   bandSize: Int): DataFrame = {
+    require(bandSize >= 1 && numHashes % bandSize == 0,
+      s"bandSize ($bandSize) must be >= 1 and divide numHashes ($numHashes) — " +
+        "a short final band would inflate its collision probability past " +
+        "the r-band/b-row LSH model")
     val wide = wideSignatures(df, idCol, textCol, shingleLen, numHashes)
     val bandStructs = (0 until numHashes).groupBy(_ / bandSize).toSeq
       .sortBy(_._1).map { case (b, seeds) =>
@@ -358,6 +362,14 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         groupCol: String, n: Int = 3, idWindow: Long = 20,
                         minJaccard: Double = 0.0): DataFrame = {
+    require(idWindow >= 1, s"idWindow must be >= 1, got $idWindow")
+    require(Set("long", "int", "bigint", "integer", "smallint", "tinyint")(
+        df.schema(idCol).dataType.simpleString),
+      s"ngramJaccardPairs bands on integral id arithmetic (id div window); " +
+        s"'$idCol' is ${df.schema(idCol).dataType.simpleString} — assign a " +
+        "numeric surrogate id first (string ids are supported by " +
+        "minHashCandidatePairs/dedupGroups, not by the windowed bander)")
+
     // pin: the distinct gram table feeds three consumers (per-doc counts +
     // both join sides) — evaluate the explode + distinct once
     val grams = Graphs.pinLocal(df.filter(length(col(textCol)) >= n)

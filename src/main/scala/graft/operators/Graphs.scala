@@ -144,6 +144,17 @@ object Graphs {
       }
     }
     small.getOrElse {
+      // the final mapping is only a component labeling AT THE FIXPOINT —
+      // emitting it after an exhausted iteration budget would hand a node
+      // on an uncontracted path TWO different component labels, silently
+      // breaking the one-row-per-id invariant downstream dedup joins rely
+      // on. Star contraction halves path lengths per round, so the
+      // default budget covers graphs ~2^25 deep; hitting it means the
+      // caller lowered maxIter below the graph's needs — fail loud.
+      require(converged,
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "raise maxIter (star contraction needs ~log2 of the longest " +
+          "path); a non-fixpoint labeling would be silently inconsistent")
       // at the fixpoint every edge points at its component root
       e.select(col("src").as("node"), col("dst").as("component"))
         .union(e.select(col("dst").as("node"), col("dst").as("component")))

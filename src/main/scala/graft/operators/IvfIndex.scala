@@ -63,8 +63,14 @@ object IvfIndex {
     val km = new KMeans().setK(nLists).setSeed(seed)
       .setFeaturesCol("__vec").setPredictionCol("ivf_cell")
     val model = km.fit(fitInput)
-    val assigned = model.transform(withVec).drop("__vec")
-    (Model(model.clusterCenters.map(_.toArray)), assigned)
+    // assignment through OUR argmin, not model.transform: MLlib's
+    // norm-cached fastSquaredDistance can disagree with the exact
+    // squared-L2 fold on near-ties, and the incremental-maintenance path
+    // (assignCells over the stored centroids) must route a vector into
+    // the SAME cell the original layout put it in — one argmin, one
+    // source of truth (parity spec-pinned in VectorIndexSpec)
+    val out = Model(model.clusterCenters.map(_.toArray))
+    (out, assignCells(df, out, vecCol))
   }
 
   /** Assign rows to a STORED model's cells — the incremental-maintenance
@@ -73,16 +79,23 @@ object IvfIndex {
     * lowest cell id — array_sort on (d, cell) structs reproduces the
     * first-minimal tie-break). Used by [[graft.sources.VectorIndex]] to
     * route a new revision's vectors into an existing clustered layout. */
-  def assignCells(df: DataFrame, model: Model, vecCol: String): DataFrame = {
+  def assignCells(df: DataFrame, model: Model, vecCol: String): DataFrame =
+    df.withColumn("ivf_cell",
+      element_at(array_sort(distStructs(model, vecCol)), 1).getField("cell"))
+
+  /** The shared argmin kernel: per-centroid (squared-L2, cell) structs —
+    * array_sort's struct ordering gives the first-minimal tie-break. ONE
+    * definition on purpose: assignment, clustering and kNN-join routing
+    * must never drift apart (a vector routed by one variant must land
+    * where another variant put it). */
+  private def distStructs(model: Model, vecCol: String): org.apache.spark.sql.Column = {
     val dvec = expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))")
-    val cells = model.centroids.zipWithIndex.map { case (c, i) =>
+    array(model.centroids.zipWithIndex.map { case (c, i) =>
       val cLit = array(c.map(lit): _*)
       val d2 = aggregate(zip_with(dvec, cLit, (x, y) => (x - y) * (x - y)),
         lit(0.0), (acc, v) => acc + v)
       struct(d2.as("d"), lit(i).as("cell"))
-    }
-    df.withColumn("ivf_cell",
-      element_at(array_sort(array(cells: _*)), 1).getField("cell"))
+    }: _*)
   }
 
   /** [[assignCells]] plus the Euclidean distance to the winning centroid —
@@ -95,14 +108,7 @@ object IvfIndex {
   def assignCellsWithDistance(df: DataFrame, model: Model, vecCol: String,
                               cellCol: String = "cluster",
                               distCol: String = "dist"): DataFrame = {
-    val dvec = expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))")
-    val cells = model.centroids.zipWithIndex.map { case (c, i) =>
-      val cLit = array(c.map(lit): _*)
-      val d2 = aggregate(zip_with(dvec, cLit, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, v) => acc + v)
-      struct(d2.as("d"), lit(i).as("cell"))
-    }
-    val best = element_at(array_sort(array(cells: _*)), 1)
+    val best = element_at(array_sort(distStructs(model, vecCol)), 1)
     df.withColumn(cellCol, best.getField("cell"))
       .withColumn(distCol, round(sqrt(best.getField("d")), 4))
   }
@@ -134,14 +140,7 @@ object IvfIndex {
     * is tuned by `nProbe` (spec-checked). */
   def knnJoin(assigned: DataFrame, model: Model, idCol: String, vecCol: String,
               k: Int, nProbe: Int): DataFrame = {
-    val dvec = expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))")
-    val cells = model.centroids.zipWithIndex.map { case (c, i) =>
-      val cLit = array(c.map(lit): _*)
-      val d2 = aggregate(zip_with(dvec, cLit, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, v) => acc + v)
-      struct(d2.as("d"), lit(i).as("cell"))
-    }
-    val probes = transform(slice(array_sort(array(cells: _*)), 1, nProbe),
+    val probes = transform(slice(array_sort(distStructs(model, vecCol)), 1, nProbe),
       s => s.getField("cell"))
     val probeSide = assigned
       .select(col(idCol).as("id_a"), col(vecCol).as("__va"),

@@ -1145,7 +1145,7 @@ object PipelineQueries {
         |starts AS (
         |  SELECT doc_id, w, CAST(s AS INTEGER) AS start,
         |    CAST(s AS INTEGER) // 24 AS chunk_id
-        |  FROM wl, UNNEST(range(0, len(w), 24)) AS r(s)
+        |  FROM wl, UNNEST(range(0, greatest(1, len(w) - 8), 24)) AS r(s)
         |  WHERE len(w) > 0)
         |SELECT doc_id, chunk_id,
         |  array_to_string(w[start + 1:start + 32], ' ') AS chunk_text,

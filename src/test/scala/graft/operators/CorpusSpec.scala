@@ -77,12 +77,13 @@ class CorpusSpec extends SparkSpec {
       .orderBy("doc_id", "chunk_id")
       .select("doc_id", "chunk_id", "chunk_text", "n_chunk_words")
       .as[(Long, Int, String, Long)].collect()
-    // stride 3: starts 0,3,6,9 over 10 words
+    // stride 3 over 10 words: starts 0,3,6 — start 9 is NOT emitted
+    // (its chunk would be the pure-overlap tail "w10", entirely
+    // contained in the previous chunk); coverage still reaches w10
     assert(r.toSeq == Seq(
       (1L, 0, "w1 w2 w3 w4", 4L),
       (1L, 1, "w4 w5 w6 w7", 4L),
       (1L, 2, "w7 w8 w9 w10", 4L),
-      (1L, 3, "w10", 1L),
       (2L, 0, "solo", 1L)))
     intercept[IllegalArgumentException] {
       Corpus.chunk(df, "doc_id", "text", chunkWords = 4, overlap = 4)
