@@ -24,19 +24,34 @@ object Intervals {
 
   /** Overlap join of two interval tables on [fromCol, toCol) (half-open).
     * Output: all column pairs (left prefixed `l_`, right `r_`) for every
-    * overlapping pair. `bucketWidth` is in the axis' units. */
+    * overlapping pair. `bucketWidth` is in the axis' units.
+    *
+    * OPEN intervals (null `toCol` — this module's [[stab]]/[[forkNode]]
+    * convention): pass `openTo` = the axis top to substitute, and an open
+    * interval overlaps everything from its start through the top (it
+    * explodes to every bucket up there — fine when open rows are the few
+    * currently-valid ones). Without `openTo` a null end FAILS the job
+    * loudly: the previous behavior silently dropped the row (sequence of
+    * a null endpoint is null, explode emits nothing), so every
+    * currently-valid interval vanished from the join with no error. */
   def overlapJoin(left: DataFrame, right: DataFrame,
                   fromCol: String, toCol: String,
-                  bucketWidth: Long): DataFrame = {
+                  bucketWidth: Long, openTo: Option[Long] = None): DataFrame = {
     require(bucketWidth > 0)
-    def bucketize(df: DataFrame, prefix: String): DataFrame = {
-      val renamed = df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, s"$prefix$c"))
-      renamed.withColumn("__bucket",
-        explode(sequence(
-          idiv(col(s"$prefix$fromCol"), bucketWidth),
-          // inclusive end bucket of the last contained instant (to is exclusive)
-          idiv(col(s"$prefix$toCol") - 1, bucketWidth))))
+    def endOf(c: Column): Column = openTo match {
+      case Some(top) => coalesce(c, lit(top))
+      case None => when(c.isNull, raise_error(lit(
+          s"overlapJoin: null $toCol is an OPEN interval — pass openTo " +
+            "(the axis top) to join open intervals")).cast("long"))
+        .otherwise(c)
     }
+    def bucketize(df: DataFrame, prefix: String): DataFrame =
+      df.toDF(df.columns.map(prefix + _): _*)
+        .withColumn("__bucket",
+          explode(sequence(
+            idiv(col(s"$prefix$fromCol"), bucketWidth),
+            // inclusive end bucket of the last contained instant
+            idiv(endOf(col(s"$prefix$toCol")) - 1, bucketWidth))))
     val l = bucketize(left, "l_")
     val r = bucketize(right, "r_")
     // An overlapping pair meets in every bucket both intervals span; keep
@@ -47,8 +62,8 @@ object Intervals {
     val canonicalBucket =
       idiv(greatest(col(s"l_$fromCol"), col(s"r_$fromCol")), bucketWidth)
     l.join(r, Seq("__bucket"))
-      .filter(overlaps(col(s"l_$fromCol"), col(s"l_$toCol"),
-        col(s"r_$fromCol"), col(s"r_$toCol")))
+      .filter(overlaps(col(s"l_$fromCol"), endOf(col(s"l_$toCol")),
+        col(s"r_$fromCol"), endOf(col(s"r_$toCol"))))
       .filter(col("__bucket") === canonicalBucket)
       .drop("__bucket")
   }

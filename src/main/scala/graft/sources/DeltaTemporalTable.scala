@@ -89,8 +89,12 @@ object DeltaTemporalTable {
     * commit of a delta table is always `kind=full`. */
   def isDeltaLayout(path: String): Boolean = {
     val dir = commitsDir(path)
+    // through the immutable-entry cache: this probe now guards every
+    // TemporalTable.read, so a warm call must cost LISTs, not a GET of
+    // the first commit entry each time
     MetaIO.list(dir).filter(_.endsWith(".json")).sorted.headOption.exists { n =>
-      TemporalTable.parseField(MetaIO.readString(s"$dir/$n"), "kind").nonEmpty
+      MetaIO.readAllCached(dir, _ == n).headOption
+        .exists(e => TemporalTable.parseField(e._2, "kind").nonEmpty)
     }
   }
 

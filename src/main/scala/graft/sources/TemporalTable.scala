@@ -178,7 +178,13 @@ object TemporalTable {
     val token = reservationTokens.get((path, rev))
     if (token == null) true
     else scala.util.Try(MetaIO.readString(reserveMarker(path, rev)))
-      .toOption.forall(_ == token)
+      .toOption.contains(token)
+    // .contains, NOT .forall: a token-holding writer whose marker is
+    // MISSING or unreadable must demote. The vacuous-true reading let the
+    // loser of the S3A double-reservation race pass the ownership gate
+    // AFTER the winner committed and cleared the marker — its abort then
+    // deleted the winner's committed revision. A false demotion merely
+    // strands an orphan marker/data dir, the documented-safe outcome.
   }
 
   /** Commit-time ownership gate shared by both commit-log writers (this
@@ -240,7 +246,16 @@ object TemporalTable {
     * a committed revision, so a demoted writer backs off touching nothing
     * but its local token. */
   private[graft] def abortReservation(path: String, rev: Int): Unit = {
-    if (stillOwns(path, rev)) {
+    // the commit-log entry is the commit point: once it exists the
+    // revision is durable and MUST survive any abort. Without this gate a
+    // post-commit failure (a throwing commit hook, a V2 maybeAutoCompact
+    // error surfacing through Spark's abort()) reached here AFTER
+    // clearReservation dropped the local token, stillOwns vacuously
+    // passed, and the just-committed revision's data was deleted while
+    // its log entry remained — a table that can never be read again.
+    val committed =
+      MetaIO.exists(s"${commitsDir(path)}/${"%08d".format(rev)}.json")
+    if (!committed && stillOwns(path, rev)) {
       MetaIO.delete(s"$path/rev=$rev", recursive = true)
       MetaIO.delete(s"${keyIndexDir(path)}/rev=$rev", recursive = true)
       // the valid-time fork sidecar is written pre-commit too: an aborted
@@ -469,36 +484,16 @@ object TemporalTable {
         else df
       try {
         frame.write.mode("overwrite").parquet(s"$path/rev=$rev")
-        if (wantManifest || wantKeys) {
-          val src = if (fromCache) frame
-                    else df.sparkSession.read.parquet(s"$path/rev=$rev")
-          // both sidecars consume src: pin the re-read once instead of
-          // scanning the fresh revision twice (cached frames already are)
-          val pinSrc = !fromCache && wantManifest && wantKeys
-          if (pinSrc) src.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          try {
-            if (wantManifest) writeManifestFrom(src, path, rev)
-            if (wantKeys) src.select(col("node_key"))
-              .write.mode("overwrite").parquet(s"${keyIndexDir(path)}/rev=$rev")
-          } finally if (pinSrc) { src.unpersist(); () }
-        }
+        writeRevisionSidecars(df.sparkSession, path, rev,
+          src = if (fromCache) frame
+                else df.sparkSession.read.parquet(s"$path/rev=$rev"),
+          wantManifest = wantManifest, wantKeys = wantKeys,
+          // cached frames are already pinned; pin the re-read once
+          // instead of scanning the fresh revision twice
+          pinSrc = !fromCache && wantManifest && wantKeys,
+          explicitStats =
+            if (withStats) Some((statsNdvCols, statsGroupCols)) else None)
       } finally if (pinHere) { frame.unpersist(); () }
-      // per-revision statistics sidecar (opt-in, then a persisted table
-      // policy): unfiltered sum/avg/count/min-max/NDV over this snapshot
-      // become metadata-only reads via AggFromStatsRule; computed from
-      // the just-written files so the fingerprint provably covers the
-      // stats (StatsSidecar contract)
-      if (withStats)
-        StatsSidecar.write(df.sparkSession, s"$path/rev=$rev",
-          ndvCols = statsNdvCols, groupCols = statsGroupCols)
-      else inheritedStatsRecipe(path, rev).foreach { case (ndv, groups) =>
-        StatsSidecar.write(df.sparkSession, s"$path/rev=$rev",
-          ndvCols = ndv, groupCols = groups)
-      }
-      // valid-time fork index (persisted policy — the reference maintains
-      // its RI-tree per commit via ChangeListener; ValidTimeIndex scaladoc)
-      ValidTimeIndex.maybeWrite(df.sparkSession, path, rev,
-        df.sparkSession.read.parquet(s"$path/rev=$rev"))
       logCommit(path, rev, author, message, Some(df.schema))
     } catch {
       case e: Throwable => abortReservation(path, rev); throw e
@@ -544,9 +539,22 @@ object TemporalTable {
     require(missing.isEmpty,
       s"compactKeyIndex: sidecars missing for revisions ${missing.map(_.revision).mkString(",")}")
     val upTo = log.map(_.revision).max
-    spark.read.option("basePath", keyIndexDir(path))
-      .parquet(log.map(c => s"${keyIndexDir(path)}/rev=${c.revision}"): _*)
-      .select(col("node_key"), col("rev").cast("int").as("rev"))
+    // INCREMENTAL: fold the newest complete compaction (already
+    // key-sorted, covers 1..prev) with only the tail revisions' sidecars
+    // — recordRevisions' own read shape. Rebuilding from every
+    // per-revision sidecar made each auto-compaction trigger O(total
+    // revisions) in table age; now each pays prev-compaction + tail.
+    val prev = newestKeyIndexCompaction(path).filter(_ < upTo)
+    val tailRevs = log.map(_.revision).filter(r => prev.forall(r > _))
+    val tail =
+      if (tailRevs.isEmpty) None
+      else Some(spark.read.option("basePath", keyIndexDir(path))
+        .parquet(tailRevs.map(r => s"${keyIndexDir(path)}/rev=$r"): _*)
+        .select(col("node_key"), col("rev").cast("int").as("rev")))
+    val base = prev.map(u => spark.read.parquet(keyIndexCompactDir(path, u))
+      .select(col("node_key"), col("rev").cast("int").as("rev")))
+    val all = (base.toSeq ++ tail.toSeq).reduce(_ unionByName _)
+    all
       .repartitionByRange(nFiles, col("node_key"))
       .sortWithinPartitions("node_key", "rev")
       .write.mode("overwrite").parquet(keyIndexCompactDir(path, upTo))
@@ -628,23 +636,47 @@ object TemporalTable {
                                    schema: org.apache.spark.sql.types.StructType): Unit = {
     val wantManifest = manifestEligible(schema)
     val wantKeys = schema.fieldNames.contains("node_key")
+    writeRevisionSidecars(spark, path, rev,
+      src = spark.read.parquet(s"$path/rev=$rev"),
+      wantManifest = wantManifest, wantKeys = wantKeys,
+      pinSrc = wantManifest && wantKeys, explicitStats = None)
+  }
+
+  /** The per-revision sidecar block shared by BOTH commit paths (the
+    * library [[writeFrame]] and the V2/SQL-INSERT [[writeSidecars]]):
+    * manifest + key index from `src`, then the stats policy (explicit
+    * opt-in or inherited recipe) and the valid-time fork policy. ONE
+    * definition on purpose — the two paths had already drifted once (the
+    * V2 path initially missed the `_vindex` hook). `src` is by-name: the
+    * no-sidecar fast path must not pay its construction. */
+  private def writeRevisionSidecars(spark: SparkSession, path: String, rev: Int,
+      src: => DataFrame, wantManifest: Boolean, wantKeys: Boolean,
+      pinSrc: Boolean,
+      explicitStats: Option[(Seq[String], Seq[Seq[String]])]): Unit = {
     if (wantManifest || wantKeys) {
-      val src = spark.read.parquet(s"$path/rev=$rev")
-      val pin = wantManifest && wantKeys
-      if (pin) src.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val s = src
+      if (pinSrc) s.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        if (wantManifest) writeManifestFrom(src, path, rev)
-        if (wantKeys) src.select(col("node_key"))
+        if (wantManifest) writeManifestFrom(s, path, rev)
+        if (wantKeys) s.select(col("node_key"))
           .write.mode("overwrite").parquet(s"${keyIndexDir(path)}/rev=$rev")
-      } finally if (pin) { src.unpersist(); () }
+      } finally if (pinSrc) { s.unpersist(); () }
     }
-    // stats policy also covers SQL INSERT: a table whose prior revision
-    // carries a sidecar keeps getting sidecars with the same recipe
-    inheritedStatsRecipe(path, rev).foreach { case (ndv, groups) =>
-      StatsSidecar.write(spark, s"$path/rev=$rev",
-        ndvCols = ndv, groupCols = groups)
+    // per-revision statistics sidecar: explicit opt-in, else the
+    // persisted table policy (a prior revision's recipe inherits forward
+    // — SQL INSERTs included), computed from the just-written files so
+    // the fingerprint provably covers the stats (StatsSidecar contract)
+    explicitStats match {
+      case Some((ndv, groups)) =>
+        StatsSidecar.write(spark, s"$path/rev=$rev",
+          ndvCols = ndv, groupCols = groups)
+      case None => inheritedStatsRecipe(path, rev).foreach { case (ndv, groups) =>
+        StatsSidecar.write(spark, s"$path/rev=$rev",
+          ndvCols = ndv, groupCols = groups)
+      }
     }
-    // valid-time fork index policy travels with the table the same way
+    // valid-time fork index (persisted policy — the reference maintains
+    // its RI-tree per commit via ChangeListener; ValidTimeIndex scaladoc)
     ValidTimeIndex.maybeWrite(spark, path, rev,
       spark.read.parquet(s"$path/rev=$rev"))
   }
@@ -736,6 +768,15 @@ object TemporalTable {
     * via binary-search-equivalent scan of the (tiny) commit log. */
   def read(spark: SparkSession, path: String, revision: Option[Int] = None,
            asOfTsMs: Option[Long] = None): DataFrame = {
+    // a delta chain's rev=N dirs hold CHANGE ROWS — reading one raw as a
+    // snapshot silently serves a fraction of the table, and merge/revert/
+    // copy/diff (all built on this read) would then commit a head missing
+    // every unchanged row. Same routing discipline as recordRevisions and
+    // compactHead: refuse loudly, point at the delta reader.
+    require(!DeltaTemporalTable.isDeltaLayout(path),
+      s"$path is a delta-encoded chain — read it with DeltaTemporalTable" +
+        ".read / format(\"graft-temporal\") (reconstruction), not the " +
+        "snapshot reader")
     val log = commits(path)
     require(log.nonEmpty, s"no commits at $path")
     val rev = revision.orElse(asOfTsMs.map { ts =>

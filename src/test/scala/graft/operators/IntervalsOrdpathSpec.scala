@@ -34,6 +34,27 @@ class IntervalsOrdpathSpec extends SparkSpec {
     assert(res.count() == 2, "duplicate left rows must yield two matches")
   }
 
+  test("overlapJoin: open intervals join with openTo, and fail loud without it") {
+    // id 4 is OPEN [15, ∞): it must overlap everything from 15 onward —
+    // the silent-drop behavior (sequence(null) → explode emits nothing)
+    // made every currently-valid interval vanish from the join
+    val withOpen = a.unionByName(
+      Seq((4L, 15L, Option.empty[Long])).toDF("id", "vfrom", "vto"))
+    val got = Intervals.overlapJoin(withOpen, b, "vfrom", "vto", 8L,
+        openTo = Some(200L))
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L), (3L, 10L), (2L, 11L),
+      (4L, 11L), (4L, 12L)), s"got $got")
+    // closed-only inputs: identical answer with or without openTo
+    assert(Intervals.overlapJoin(a, b, "vfrom", "vto", 8L, openTo = Some(200L))
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSet ==
+      Set((1L, 10L), (3L, 10L), (2L, 11L)))
+    // without openTo a null end is an ERROR, never a silently dropped row
+    intercept[org.apache.spark.SparkThrowable] {
+      Intervals.overlapJoin(withOpen, b, "vfrom", "vto", 8L).count()
+    }
+  }
+
   test("isFollowingSibling on empty (root) labels is false, not an error") {
     val roots = Seq((1L, Seq.empty[Int]), (2L, Seq.empty[Int])).toDF("id", "pos")
     val n = roots.as("a").join(roots.as("b"),

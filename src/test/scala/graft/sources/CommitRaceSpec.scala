@@ -93,6 +93,70 @@ class CommitRaceSpec extends SparkSpec {
     }
   }
 
+  test("a demoted loser whose marker VANISHED (winner committed) backs off everywhere") {
+    withRaceFs { p =>
+      val rev = TemporalTable.reserveRevision(p)
+      val marker = s"$p/_commits/${"%08d".format(rev)}.reserve"
+      // the winner's full lifecycle happened between our reservation and
+      // now: data written, entry logged, marker CLEARED
+      val winnersData = s"$p/rev=$rev/part-00000.parquet"
+      MetaIO.createNew(winnersData, "winner bytes")
+      MetaIO.createNew(s"$p/_commits/${"%08d".format(rev)}.json",
+        s"""{"revision":$rev,"commitTsMs":1,"author":"winner","message":""}""")
+      MetaIO.delete(marker)
+      // the loser must neither commit (its entry createNew collides — but
+      // the ownership gate must already refuse: a held token with NO
+      // readable marker is a demotion, not vacuous ownership) ...
+      intercept[Exception] {
+        TemporalTable.logCommit(p, rev, "loser", "")
+      }
+      // ... nor destroy the winner's committed data on abort
+      TemporalTable.abortReservation(p, rev)
+      assert(MetaIO.exists(winnersData),
+        "abort deleted a committed revision after the marker vanished")
+      assert(MetaIO.exists(s"$p/_commits/${"%08d".format(rev)}.json"))
+    }
+  }
+
+  test("a throwing post-commit hook propagates but never rolls back the revision") {
+    val p = java.nio.file.Files.createTempDirectory("graft-hookfail")
+      .resolve("tbl").toString
+    val hook: TemporalTable.CommitHook =
+      (_, _) => throw new RuntimeException("transient hook failure")
+    TemporalTable.addCommitHook(hook)
+    try {
+      val boom = intercept[RuntimeException] {
+        TemporalTable.write(Seq((1L, "a")).toDF("node_key", "name"), p,
+          withManifest = false)
+      }
+      assert(boom.getMessage.contains("transient hook failure"))
+      // the revision is durable and READABLE: before the committed-entry
+      // guard, the catch path aborted and deleted the data files while
+      // the log entry remained — an unreadable table
+      assert(TemporalTable.commits(p).map(_.revision) == Seq(1))
+      assert(TemporalTable.read(spark, p).count() == 1)
+    } finally TemporalTable.removeCommitHook(hook)
+  }
+
+  test("the snapshot reader refuses a delta-encoded chain") {
+    val p = java.nio.file.Files.createTempDirectory("graft-readdelta")
+      .resolve("tbl").toString
+    DeltaTemporalTable.write(spark,
+      Seq((1L, 1.0)).toDF("node_key", "price"), p, snapshotEvery = 3)
+    DeltaTemporalTable.write(spark,
+      Seq((1L, 2.0), (2L, 5.0)).toDF("node_key", "price"), p, snapshotEvery = 3)
+    // raw snapshot read of a delta head would serve change rows as a
+    // snapshot — and merge/revert/copy/diff build on read()
+    intercept[IllegalArgumentException] {
+      TemporalTable.read(spark, p)
+    }
+    intercept[IllegalArgumentException] {
+      TemporalTable.merge(spark, p,
+        Seq((3L, 9.0)).toDF("node_key", "price"), None, Seq("node_key"))
+    }
+    assert(DeltaTemporalTable.read(spark, p).count() == 2) // the right door
+  }
+
   test("uncontended write path is unaffected on the race-prone FS") {
     withRaceFs { p =>
       val df = Seq((1L, "a"), (2L, "b")).toDF("node_key", "name")
