@@ -13,9 +13,15 @@ object TextFunctions {
   /** Occurrences of literal `tok` in `c` via the length-delta trick —
     * engine-portable (identical semantics in DuckDB for the oracle).
     * Literal `replace`, not regexp: ~4x cheaper per pass and the kernels
-    * below run many passes over every document. */
-  def occurrences(c: Column, tok: String): Column =
-    ((length(c) - length(call_function("replace", c, lit(tok), lit("")))) / tok.length).cast("long")
+    * below run many passes over every document. The divisor is tok's
+    * CODE-POINT count (`length` counts code points, `String.length`
+    * counts UTF-16 units — a supplementary-plane tok would halve the
+    * count); empty tok is refused rather than dividing by zero. */
+  def occurrences(c: Column, tok: String): Column = {
+    require(tok.nonEmpty, "occurrences: empty token")
+    val cps = tok.codePointCount(0, tok.length)
+    ((length(c) - length(call_function("replace", c, lit(tok), lit("")))) / cps).cast("long")
+  }
 
   /** Non-empty whitespace tokens. */
   def tokens(c: Column): Column = filter(split(c, " "), x => x =!= "")

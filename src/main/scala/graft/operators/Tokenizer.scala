@@ -27,9 +27,14 @@ object Tokenizer {
 
   /** GPT-2-style pre-tokenization pieces: contraction suffixes, space-
     * prefixed letter runs, digit runs, punctuation runs (the same class
-    * of pattern the x_bpe_tokens oracle row uses). */
+    * of pattern the x_bpe_tokens oracle row uses). The punctuation run
+    * INCLUDES the apostrophe (as GPT-2's `[^\s\p{L}\p{N}]+` does):
+    * the contraction branch claims `'ll/'ve/'re/'s/...` first, and any
+    * OTHER apostrophe must still surface as a piece — an excluded `'`
+    * was silently dropped from the stream, breaking encode()'s
+    * losslessness on text like `rock 'n roll`. */
   val PiecePattern: String =
-    "(?:'(?:ll|ve|re|[sdmt]))| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s']+"
+    "(?:'(?:ll|ve|re|[sdmt]))| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"
 
   /** Distributed (piece, count) dictionary — the single corpus pass.
     * Bounded: top `maxPieces` by count (ties lexicographic). */
@@ -84,7 +89,8 @@ object Tokenizer {
       affected.foreach { w =>
         val (syms, n) = words(w)
         // drop this word's old pair contributions, rebuild after merging
-        syms.indices.dropRight(1).foreach(i => removePair((syms(i), syms(i + 1)), n))
+        val oldPairs = syms.indices.dropRight(1).map(i => (syms(i), syms(i + 1)))
+        oldPairs.foreach(p => removePair(p, n))
         var i = 0
         while (i < syms.length - 1) {
           if (syms(i) == pair._1 && syms(i + 1) == pair._2) {
@@ -92,7 +98,18 @@ object Tokenizer {
             syms.remove(i + 1)
           } else i += 1
         }
-        syms.indices.dropRight(1).foreach(i => addPair((syms(i), syms(i + 1)), n, w))
+        val newPairs = syms.indices.dropRight(1).map(i => (syms(i), syms(i + 1)))
+        newPairs.foreach(p => addPair(p, n, w))
+        // un-index the word from pairs it no longer contains: a stale
+        // entry makes every later selection of that pair pay a full
+        // teardown/rebuild of this word for nothing — the inverted
+        // index only ever grew
+        (oldPairs.toSet -- newPairs.toSet).foreach { p =>
+          pairWords.get(p).foreach { ws =>
+            ws -= w
+            if (ws.isEmpty) pairWords.remove(p)
+          }
+        }
       }
       pairWords.remove(pair)
     }
@@ -138,7 +155,9 @@ object Tokenizer {
     import spark.implicits._
     val ranks: Map[(String, String), Int] = merges.zipWithIndex.toMap
     val re = PiecePattern.r
-    df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+    // Option id: a null id must surface as a null-id output row, not
+    // crash the tuple encoder mid-job
+    df.select(col(idCol).cast("long"), col(textCol)).as[(Option[Long], String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
           val pieces = re.findAllIn(if (text == null) "" else text).toSeq

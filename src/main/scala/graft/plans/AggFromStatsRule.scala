@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.aggregate._
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, NamedExpression, Not}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, BinaryComparison, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, NamedExpression, Not}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LocalRelation, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
@@ -296,7 +296,23 @@ case class AggFromStatsRule(spark: SparkSession) extends Rule[LogicalPlan] {
       // general negation with SQL three-valued semantics: for inners that
       // can evaluate to NULL (comparisons, IN, bare boolean), NOT(NULL)
       // is NULL and the row is excluded — so a null token stays excluded
-      // under negation; only the never-null inners invert directly
+      // under negation; only the never-null inners invert directly.
+      // negated comparison/IN against a NULL literal first: the inner is
+      // TRUE or NULL, never FALSE (a null element poisons IN; a null
+      // comparand poisons =,<,>,…), so the negation admits NO row. The
+      // generic inversion below would compile it as "non-null and not
+      // matched" — a silently inflated fold. EqualNullSafe is excluded
+      // (never-null, inverts correctly below).
+      case Not(inner @ (_: BinaryComparison | _: In))
+          if !inner.isInstanceOf[EqualNullSafe] &&
+            inner.children.exists {
+              case Literal(null, _) => true; case _ => false
+            } =>
+        inner.references.toSeq match {
+          case Seq(a: AttributeReference) =>
+            Some(a.name -> ((_: Option[String]) => false))
+          case _ => None
+        }
       case Not(inner) => compilePred(inner).map { case (n, fn) =>
         inner match {
           case _: IsNull | _: IsNotNull | _: EqualNullSafe =>

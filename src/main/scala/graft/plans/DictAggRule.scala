@@ -118,10 +118,26 @@ case class DictAggRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** Per-apply memo for [[verifiedDict]]: one optimizer pass (a
+    * FIXED-POINT batch) may probe the same leaf for every matched filter
+    * conjunct plus every aggregate candidate, and each probe is a live
+    * file LISTING on object storage — pay it once per pass (the
+    * [[AggFromStatsRule]] StatsMemo discipline). Thread-local: the rule
+    * instance is shared across concurrent queries. */
+  private val dictMemo = new ThreadLocal[
+      collection.mutable.Map[(LogicalPlan, String, String), Option[Array[String]]]] {
+    override def initialValue() = collection.mutable.Map.empty
+  }
+
   /** The verified dictionary for code column `codeCol` across every file
     * of `leaf`, when all per-file dictionaries are prefix-compatible. */
   private def verifiedDict(leaf: LogicalPlan, codeCol: String,
                            strCol: String): Option[Array[String]] =
+    dictMemo.get().getOrElseUpdate((leaf, codeCol, strCol),
+      verifiedDictUncached(leaf, codeCol, strCol))
+
+  private def verifiedDictUncached(leaf: LogicalPlan, codeCol: String,
+                                   strCol: String): Option[Array[String]] =
     filesOf(leaf).filter(_.nonEmpty).flatMap { files =>
       FooterSchemas.sparkSchemasOf(files, spark.sparkContext.hadoopConfiguration)
         .flatMap { schemas =>
@@ -234,6 +250,7 @@ case class DictAggRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
+    dictMemo.get().clear() // fresh files/footers per pass (staleness)
     // filters first: the aggregate rewrite re-runs ColumnPruning, and a
     // still-string-keyed filter below would pin the string column into
     // the pruned scan before its own rewrite got a chance
@@ -278,11 +295,17 @@ case class DictAggRule(spark: SparkSession) extends Rule[LogicalPlan] {
               Alias(decode, a.name)(a.exprId, a.qualifier)
             case other => other.transformDown {
               // distinct aggregation distinguishes exactly what codes
-              // distinguish — a BARE column argument counts the codes;
-              // a reference nested inside an expression (substring(c,..))
-              // must decode like everywhere else, or the rewrite would
-              // hand an int32 to a string function
-              case ae: AggregateExpression if ae.isDistinct =>
+              // distinguish — a BARE column argument of a CARDINALITY-ONLY
+              // aggregate (count) counts the codes. The bare-code
+              // substitution is ONLY valid there: a value-carrying
+              // distinct aggregate (collect_list/collect_set/min/max …)
+              // would surface int32 codes where the query expects
+              // strings. Those — and any reference nested inside an
+              // expression (substring(c, ..)) — decode like everywhere
+              // else.
+              case ae: AggregateExpression if ae.isDistinct &&
+                  ae.aggregateFunction.isInstanceOf[
+                    org.apache.spark.sql.catalyst.expressions.aggregate.Count] =>
                 val af = ae.aggregateFunction
                 val newChildren = af.children.map {
                   case a: AttributeReference if a.exprId == c.exprId => dc

@@ -181,7 +181,7 @@ object PipelineQueries {
     "x_bpe_tokens" -> { (s, d) =>
       docs(s, d).select(col("doc_id"),
           size(expr(
-            """regexp_extract_all(text, "'(?:ll|ve|re|[sdmt])| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s']+", 0)"""))
+            """regexp_extract_all(text, "'(?:ll|ve|re|[sdmt])| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+", 0)"""))
             .as("n_bpe_tokens"))
         .orderBy("doc_id")
     },
@@ -777,12 +777,12 @@ object PipelineQueries {
         |FROM hashed ORDER BY doc_id, fp""".stripMargin,
     "x_bpe_tokens" ->
       """SELECT doc_id,
-        |  CAST(len(regexp_extract_all(text, '''(?:ll|ve|re|[sdmt])| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+')) AS INTEGER) AS n_bpe_tokens
+        |  CAST(len(regexp_extract_all(text, '''(?:ll|ve|re|[sdmt])| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+')) AS INTEGER) AS n_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
     "x_bpe_train" ->
       """SELECT doc_id,
-        |  CAST(len(regexp_extract_all(text, '(?:''(?:ll|ve|re|[sdmt]))| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+')) AS INTEGER) AS n_pieces,
-        |  array_to_string(regexp_extract_all(text, '(?:''(?:ll|ve|re|[sdmt]))| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+'), '') AS detok
+        |  CAST(len(regexp_extract_all(text, '(?:''(?:ll|ve|re|[sdmt]))| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+')) AS INTEGER) AS n_pieces,
+        |  array_to_string(regexp_extract_all(text, '(?:''(?:ll|ve|re|[sdmt]))| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'), '') AS detok
         |FROM documents ORDER BY doc_id""".stripMargin,
     "d_simhash" ->
       (simhashCte + "\nSELECT doc_id, simhash FROM sh ORDER BY doc_id"),

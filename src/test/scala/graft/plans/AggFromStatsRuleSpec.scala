@@ -447,6 +447,32 @@ class AggFromStatsRuleSpec extends SparkSpec {
     assert(multi.as[(Long, Long, Long, Long)].head() == ((25L, 5L, -4L, 9L)))
   }
 
+  test("negated predicates against NULL literals fold with SQL three-valued semantics") {
+    AggFromStatsRule.install(spark)
+    val d = java.nio.file.Files.createTempDirectory("graft-aggstats-notin")
+      .toString + "/t"
+    Seq((1L, 5, "a"), (2L, 7, "b"), (3L, 9, "a"), (4L, 11, null))
+      .toDF("id", "v", "s").repartition(2).write.parquet(d)
+    graft.sources.StatsSidecar.write(spark, d, groupCols = Seq(Seq("s")))
+    // NOT IN with a NULL element is never TRUE in SQL — the fold admitted
+    // every non-null non-matching entry instead (silently inflated count)
+    val q1 = spark.read.parquet(d)
+      .filter(expr("s NOT IN ('a', NULL)"))
+      .agg(count(lit(1)).as("n"), sum("v").as("sv"))
+    assert(q1.as[(Long, Option[Long])].head() == ((0L, None)))
+    // NOT(s = NULL) likewise admits no row
+    val q2 = spark.read.parquet(d)
+      .filter(expr("NOT (s = NULL)"))
+      .agg(count(lit(1)).as("n"))
+    assert(q2.as[Long].head() == 0L)
+    // and the well-formed negation still folds correctly
+    val q3 = spark.read.parquet(d)
+      .filter(expr("s NOT IN ('a')"))
+      .agg(count(lit(1)).as("n"), sum("v").as("sv"))
+    assert(rewritten(q3))
+    assert(q3.as[(Long, Long)].head() == ((1L, 7L)))
+  }
+
   test("schema-evolved history: fold merges pre-column revisions as all-null; NDV bails") {
     AggFromStatsRule.install(spark)
     val p = java.nio.file.Files.createTempDirectory("graft-aggstats-evo")

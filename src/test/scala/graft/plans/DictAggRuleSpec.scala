@@ -155,6 +155,28 @@ class DictAggRuleSpec extends SparkSpec {
     assert(bare.as[Long].head() == 2L)
   }
 
+  test("value-carrying distinct aggregates decode — only count(distinct) rides the codes") {
+    DictAggRule.install(spark)
+    // collect_list(DISTINCT c) is isDistinct but NOT cardinality-only:
+    // substituting the bare code column returned arrays of int32 codes
+    // where the query expects strings
+    val q = read().groupBy("source")
+      .agg(expr("sort_array(collect_list(DISTINCT lang))").as("langs"))
+    val got = q.orderBy(asc_nulls_first("source"))
+      .as[(Option[String], Seq[String])].collect().toSeq
+    assert(got == Seq(
+      (None, Seq("deu")),
+      (Some("book"), Seq("eng", "fra")),
+      (Some("web"), Seq("deu", "eng", "fra"))), s"got $got")
+    // max(DISTINCT) is value-carrying too (EliminateDistinct may strip the
+    // flag before this rule — either way the VALUE must be the string)
+    assert(read().agg(expr("max(DISTINCT lang)")).as[String].head() == "fra")
+    // count(distinct) still folds onto the codes
+    val cd = read().groupBy("source").agg(countDistinct(col("lang")).as("d"))
+    assert(cd.orderBy(asc_nulls_first("source")).as[(Option[String], Long)]
+      .collect().toSeq == Seq((None, 1L), (Some("book"), 2L), (Some("web"), 3L)))
+  }
+
   test("filter above a union of two dict tables must not rewrite (codes differ)") {
     DictAggRule.install(spark)
     val d2 = java.nio.file.Files.createTempDirectory("graft-dict2").toString + "/t"
