@@ -99,10 +99,32 @@ object Multimodal {
     * 0.114 B) maps to [-0.5, 0.5]; cells repeat cyclically when `dim`
     * isn't a perfect square. One row-major pass over the pixels,
     * O(width × height) per image, partition-local. */
+  /** Pixel budget for [[decodeImage]]: dimensions are read from the
+    * IMAGE HEADER (no pixel decode) and capped BEFORE the raster is
+    * allocated — a few-KB decompression-bomb PNG declaring 50000×50000
+    * would otherwise make ImageIO allocate a ~10 GB raster, and the
+    * resulting OutOfMemoryError is an Error the never-throw contract's
+    * `catch Exception` cannot stop. 64 MP covers every sane photo. */
+  private val MaxImagePixels = 64L * 1024 * 1024
+
   private[operators] def decodeImage(content: Array[Byte], dim: Int)
       : Option[(Int, Int, Double, Array[Float])] =
     try {
       imageIoNoDiskCache
+      // header-only dimension probe + bomb cap before any pixel decode
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(content))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return None
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, true, true)
+          val hw = reader.getWidth(0).toLong
+          val hh = reader.getHeight(0).toLong
+          if (hw <= 0 || hh <= 0 || hw * hh > MaxImagePixels) return None
+        } finally reader.dispose()
+      } finally iis.close()
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
       if (img == null) None
       else {
@@ -426,6 +448,12 @@ object Multimodal {
         b(8) != 'A' || b(9) != 'V' || b(10) != 'I' || b(11) != ' ') return None
       var usPerFrame = 0L
       var w = -1; var h = -1
+      // the stream type of the most recent strh: an strf's layout depends
+      // on it (BITMAPINFOHEADER for 'vids', WAVEFORMATEX for 'auds') — an
+      // ungated parse of an audio strf would overwrite the video
+      // dimensions with nSamplesPerSec/nAvgBytesPerSec on any AVI that
+      // also carries an audio stream
+      var curStream = ""
       val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
       def fourcc(i: Int) = new String(b, i, 4, "US-ASCII")
       def walk(from: Long, to: Long, depth: Int): Unit = {
@@ -443,7 +471,10 @@ object Multimodal {
               val o = i.toInt + 8
               usPerFrame = le32(b, o).toLong & 0xffffffffL
               if (w < 0) { w = le32(b, o + 32); h = le32(b, o + 36) }
-            case "strf" if i + 8 + 24 <= to =>
+            case "strh" if i + 8 + 4 <= to =>
+              curStream = fourcc(i.toInt + 8) // 'vids' / 'auds' / ...
+            case "strf" if curStream == "vids" && i + 8 + 24 <= to &&
+                sz >= 24 =>
               // BITMAPINFOHEADER: biWidth/biHeight at +4/+8 (biHeight
               // signed; negative = top-down rows, same magnitude)
               val o = i.toInt + 8
@@ -547,6 +578,12 @@ object Multimodal {
     * difference between decoding 0.3% and 100% of the bytes), and emits
     * the true per-frame grid-luma features with true timestamps. Other
     * codecs keep the deterministic stub with metadata-derived ticks. */
+  /** Per-row tick-count ceiling for [[sampleFrames]]: a hostile header
+    * can declare a multi-year duration; `(durMs / step).toInt` would
+    * silently wrap NEGATIVE and emit zero rows (neither frames nor the
+    * stub — a vanished video). Long math + this cap bound the fan-out. */
+  private val MaxSampledFrames = 100000L
+
   def sampleFrames(media: Dataset[MediaRecord], everyMs: Long): DataFrame = {
     import media.sparkSession.implicits._
     val step = math.max(1L, everyMs)
@@ -555,20 +592,35 @@ object Multimodal {
         parseAvi(m.content) match {
           case Some(avi) if avi.usPerFrame > 0 =>
             val durMs = avi.durationMs
-            val n = math.max(1L, durMs / step).toInt
+            val n = math.min(MaxSampledFrames, math.max(1L, durMs / step)).toInt
+            // cache the last decoded frame: several ticks can map to one
+            // frame (everyMs below the frame interval) — re-decoding the
+            // same JPEG per tick multiplied the decode cost for nothing
+            var lastIdx = -1
+            var lastFeats: Option[Array[Float]] = None
             (0 until n).flatMap { i =>
               val tsMs = i * step
               val idx = math.min(avi.nFrames - 1L, tsMs * 1000L / avi.usPerFrame).toInt
-              val (off, len) = avi.frames(idx)
-              decodeImage(java.util.Arrays.copyOfRange(m.content, off, off + len), 8)
-                .map { case (_, _, _, feats) => (m.media_id, idx, tsMs, feats) }
+              if (idx != lastIdx) {
+                lastIdx = idx
+                val (off, len) = avi.frames(idx)
+                lastFeats = decodeImage(
+                  java.util.Arrays.copyOfRange(m.content, off, off + len), 8)
+                  .map { case (_, _, _, feats) => feats }
+              }
+              lastFeats.map(f => (m.media_id, idx, tsMs, f))
             }
           case _ =>
-            val n = math.max(1, (m.duration_ms / step).toInt)
+            val n = math.min(MaxSampledFrames, math.max(1L, m.duration_ms / step)).toInt
+            // STUB frame decode: hash the payload ONCE, mix the tick index
+            // into the seed — copying and re-hashing the whole payload per
+            // tick was O(ticks × bytes) memory traffic for one input row
+            val base = stubDecode(m.content, 8)
             (0 until n).map { i =>
               val tsMs = i * step
-              // STUB frame decode: slice of the payload hash as the "frame"
-              (m.media_id, i, tsMs, stubDecode(m.content ++ BigInt(i).toByteArray, 8))
+              val feats = Array.tabulate(8)(j =>
+                base((j + i) % 8) + (((i * 31 + j) % 7) - 3) * 1e-4f)
+              (m.media_id, i, tsMs, feats)
             }
         }
       }
@@ -640,17 +692,27 @@ object Multimodal {
       else if (bmp) SniffedMeta(id, "bmp", le32(b, 18),
         math.abs(le32(b, 22).toLong).min(Int.MaxValue).toInt, 0L)
       else if (wav) {
-        val byteRate = le32(b, 28)
-        // scan RIFF chunks for the data chunk's size
+        // scan RIFF chunks for fmt (byteRate at +8 of its payload) and
+        // data. byteRate used to read from FIXED offset 28, assuming fmt
+        // starts at 12 — a legal WAV with a JUNK/LIST chunk before fmt
+        // (broadcast-WAV tools emit these) put garbage there and the
+        // duration came out wild; the same chunk walk that finds data
+        // finds fmt.
         var i = 12L
         var dataLen = -1L
-        while (dataLen < 0 && i + 8 <= b.length) {
+        var byteRate = -1
+        while ((dataLen < 0 || byteRate < 0) && i + 8 <= b.length) {
           val sz = le32(b, i.toInt + 4).toLong & 0xffffffffL
-          if (b(i.toInt) == 'd' && b(i.toInt + 1) == 'a' &&
-            b(i.toInt + 2) == 't' && b(i.toInt + 3) == 'a') dataLen = sz
+          val isData = b(i.toInt) == 'd' && b(i.toInt + 1) == 'a' &&
+            b(i.toInt + 2) == 't' && b(i.toInt + 3) == 'a'
+          val isFmt = b(i.toInt) == 'f' && b(i.toInt + 1) == 'm' &&
+            b(i.toInt + 2) == 't' && b(i.toInt + 3) == ' '
+          if (isData) dataLen = sz
+          else if (isFmt && sz >= 12 && i + 8 + 12 <= b.length)
+            byteRate = le32(b, i.toInt + 8 + 8)
           // long arithmetic: sz is in [0, 0xFFFFFFFF], so the step is
           // always ≥ 8 and the scan terminates on hostile sizes
-          else i += 8L + sz + (sz & 1)
+          if (dataLen < 0 || byteRate < 0) i += 8L + sz + (sz & 1)
         }
         val dur = if (byteRate > 0 && dataLen >= 0) dataLen * 1000L / byteRate else 0L
         SniffedMeta(id, "wav", -1, -1, dur)
@@ -690,7 +752,11 @@ object Multimodal {
                   val d = u32(o + 16)
                   if (ts > 0) dur = d * 1000L / ts
                 }
-              case "tkhd" =>
+              case "tkhd" if i + hdr + 1 <= to =>
+                // version-byte read bounds-guarded like mvhd: a truncated
+                // trailing tkhd otherwise threw out of the box walk and
+                // flipped the whole sniff (mvhd duration included) to
+                // "corrupt"
                 val o = (i + hdr).toInt
                 val wOff = if ((b(o) & 0xff) == 1) o + 88 else o + 76
                 if (wOff + 8 <= b.length) {

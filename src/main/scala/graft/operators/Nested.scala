@@ -28,18 +28,35 @@ object Nested {
     * (first-match-per-branch, like the reference). Paths that cross an
     * array have no dotted-string form and are excluded here — the deref
     * builders below search them too. */
-  def descendantPaths(schema: StructType, field: String): Seq[String] = {
-    def walk(st: StructType, prefix: String): Seq[String] =
+  def descendantPaths(schema: StructType, field: String): Seq[String] =
+    descendantSegPaths(schema, field).map(_.mkString("."))
+
+  /** The same paths as SEGMENT lists — the form column construction must
+    * use: a dotted string cannot represent a field whose NAME contains a
+    * dot (`col("a.b")` parses as nested access, resolving the wrong field
+    * or failing). */
+  private def descendantSegPaths(schema: StructType,
+                                 field: String): Seq[Seq[String]] = {
+    def walk(st: StructType, prefix: Seq[String]): Seq[Seq[String]] =
       st.fields.toSeq.flatMap { f =>
-        val p = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
+        val p = prefix :+ f.name
         if (f.name == field) Seq(p)
         else f.dataType match {
           case s: StructType => walk(s, p)
           case _ => Seq.empty
         }
       }
-    walk(schema, "")
+    walk(schema, Seq.empty)
   }
+
+  /** Top-level column reference by EXACT name (backtick-quoted — a name
+    * containing a dot must not parse as nested access). */
+  private def qcol(name: String): Column =
+    col(s"`${name.replace("`", "``")}`")
+
+  /** Nested access from exact segment names (getField never re-parses). */
+  private def segCol(segs: Seq[String]): Column =
+    segs.tail.foldLeft(qcol(segs.head))(_.getField(_))
 
   /** Does any match of `field` sit under an array in this subtree? */
   private def hasArrayMatch(dt: DataType, field: String, inArray: Boolean = false): Boolean =
@@ -94,10 +111,10 @@ object Nested {
   def derefDescendant(df: DataFrame, field: String): Column = {
     if (!hasArrayMatch(df.schema, field)) {
       // struct-only schema: plain nested-field coalesce (narrowest plan)
-      val paths = descendantPaths(df.schema, field)
-      if (paths.isEmpty) lit(null) else coalesce(paths.map(col): _*)
+      val paths = descendantSegPaths(df.schema, field)
+      if (paths.isEmpty) lit(null) else coalesce(paths.map(segCol): _*)
     } else {
-      val all = matchesIn(df.schema, col, field).get
+      val all = matchesIn(df.schema, qcol, field).get
       // `get` (not element_at) — returns null on empty under ANSI mode
       get(filter(all, _.isNotNull), lit(0))
     }
@@ -106,10 +123,15 @@ object Nested {
   /** All matches of `field` at any depth, as one flat array in document
     * order (array-borne matches contribute one entry per element). */
   def derefDescendantAll(df: DataFrame, field: String): Column =
-    matchesIn(df.schema, col, field).getOrElse(array())
+    matchesIn(df.schema, qcol, field).getOrElse(array())
 
-  /** Truncate a struct column to `maxLevel` nesting levels (level 1 = the
-    * struct's own fields; deeper struct fields are dropped). */
+  /** Truncate a struct column to `maxLevel` STRUCT-nesting levels
+    * (level 1 = the struct's own fields; deeper struct fields are
+    * dropped). Arrays are transparent containers — they do not consume a
+    * level, but their element structs DO and are truncated like any
+    * other (previously structs inside arrays bypassed the limit
+    * entirely, serializing unbounded depth); an array whose element type
+    * truncates away drops with its subtree. */
   def truncateToLevel(c: Column, dt: DataType, maxLevel: Int): Option[Column] =
     dt match {
       case st: StructType =>
@@ -120,6 +142,18 @@ object Nested {
               .map(_.as(f.name))
           }
           if (kept.isEmpty) None else Some(struct(kept: _*))
+        }
+      case ArrayType(e, _) =>
+        if (maxLevel <= 0) None
+        else e match {
+          case _: StructType | _: ArrayType =>
+            // rebuild each element truncated; None when nothing survives
+            truncateToLevel(lit(null), e, maxLevel) match {
+              case Some(_) => Some(transform(c,
+                x => truncateToLevel(x, e, maxLevel).get))
+              case None => None
+            }
+          case _ => Some(c)
         }
       case _ => Some(c)
     }

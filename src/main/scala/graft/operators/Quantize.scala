@@ -30,14 +30,22 @@ object Quantize {
     * new corpus against frozen bounds) still honor the int8 contract;
     * constant dimensions code to 0. Output: (idCol, `codes` array<long>)
     * in dimension order; rows with a null/empty vector keep a null `codes`
-    * (never silently dropped). */
+    * (never silently dropped).
+    *
+    * Malformed inputs surface, never corrupt: a NULL vector ELEMENT keeps
+    * a null code slot (Spark's greatest/least skip nulls — the clamp
+    * would otherwise fabricate code 0, the dimension minimum, for a value
+    * that was never observed), and a vector LONGER than the fitted bounds
+    * keeps null slots for the unbounded dimensions (a left join — the
+    * inner join silently truncated such vectors). */
   def encode(df: DataFrame, idCol: String, vecCol: String,
              bounds: DataFrame): DataFrame = {
     val id = col(idCol)
     val encoded = df.select(id, posexplode(col(vecCol)).as(Seq("pos", "__x")))
-      .join(broadcast(bounds), "pos")
+      .join(broadcast(bounds), Seq("pos"), "left")
       .select(id, col("pos"),
-        when(col("mx") === col("mn"), 0L)
+        when(col("__x").isNull || col("mn").isNull, lit(null).cast("long"))
+          .when(col("mx") === col("mn"), 0L)
           .otherwise(least(greatest(
             round((col("__x").cast("double") - col("mn"))
               / (col("mx") - col("mn")) * 255).cast("long"), lit(0L)), lit(255L)))

@@ -202,12 +202,55 @@ class MultimodalSpec extends SparkSpec {
       1, 0, 1, 0, 0xe8, 0x03, 0, 0, 0xe8, 0x03, 0, 0, 1, 0, 8, 0,
       'd', 'a', 't', 'a', 0xc4, 0x09, 0, 0)
     assert(Multimodal.sniff(4, wav) == Multimodal.SniffedMeta(4, "wav", -1, -1, 2500L))
+    // WAV with a JUNK chunk BEFORE fmt (broadcast-WAV tools emit these):
+    // byteRate must come from the fmt chunk found by the walk, not a
+    // fixed offset that now holds junk bytes
+    val junkWav = bytes('R', 'I', 'F', 'F', 0, 0, 0, 0, 'W', 'A', 'V', 'E',
+      'J', 'U', 'N', 'K', 4, 0, 0, 0, 0xde, 0xad, 0xbe, 0xef,
+      'f', 'm', 't', ' ', 16, 0, 0, 0,
+      1, 0, 1, 0, 0xe8, 0x03, 0, 0, 0xe8, 0x03, 0, 0, 1, 0, 8, 0,
+      'd', 'a', 't', 'a', 0xc4, 0x09, 0, 0)
+    assert(Multimodal.sniff(7, junkWav) ==
+      Multimodal.SniffedMeta(7, "wav", -1, -1, 2500L))
     // hostile/unknown bytes never throw
     assert(Multimodal.sniff(5, Array[Byte](1, 2, 3)).format == "unknown")
     assert(Multimodal.sniff(6, bytes(0xff, 0xd8, 0xff, 0xc0, 0x00)).width == -1)
     // distributed path
     val sniffed = Multimodal.sniffMetadata(Multimodal.syntheticMedia(spark, 9))
     assert(sniffed.count() == 9) // random payloads → mostly unknown, none crash
+  }
+
+  test("an AVI's AUDIO stream header never overwrites the video dimensions") {
+    // hand-built two-stream AVI: video strl (BITMAPINFO 32x24) followed by
+    // an audio strl whose strf is a WAVEFORMATEX — parsing it as
+    // BITMAPINFO used to set width=nSamplesPerSec / height=nAvgBytesPerSec
+    def le(v: Int): Array[Byte] = Array[Byte](
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(tag: String, payload: Array[Byte]): Array[Byte] =
+      tag.getBytes("US-ASCII") ++ le(payload.length) ++ payload ++
+        (if (payload.length % 2 == 1) Array[Byte](0) else Array.empty[Byte])
+    def list(kind: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", kind.getBytes("US-ASCII") ++ body)
+    val avih = chunk("avih", le(100000) ++ Array.fill[Byte](28)(0) ++
+      le(32) ++ le(24) ++ Array.fill[Byte](16)(0))
+    val vidsStrl = list("strl",
+      chunk("strh", "vids".getBytes("US-ASCII") ++ Array.fill[Byte](52)(0)) ++
+        chunk("strf", le(40) ++ le(32) ++ le(24) ++ Array.fill[Byte](28)(0)))
+    val audsStrl = list("strl",
+      chunk("strh", "auds".getBytes("US-ASCII") ++ Array.fill[Byte](52)(0)) ++
+        // WAVEFORMATEX: tag/channels, nSamplesPerSec=44100 at +4,
+        // nAvgBytesPerSec=176400 at +8 — the bytes that used to clobber
+        chunk("strf", le(0x10001) ++ le(44100) ++ le(176400) ++
+          le(0x100004) ++ le(0) ++ le(0)))
+    val frame = chunk("00dc", Array.fill[Byte](8)(0x42))
+    val body = "AVI ".getBytes("US-ASCII") ++
+      list("hdrl", avih ++ vidsStrl ++ audsStrl) ++ list("movi", frame)
+    val avi = "RIFF".getBytes("US-ASCII") ++ le(body.length) ++ body
+    val parsed = Multimodal.parseAvi(avi)
+    assert(parsed.isDefined, "two-stream AVI failed to parse")
+    assert(parsed.get.width == 32 && parsed.get.height == 24,
+      s"audio strf clobbered dims: ${parsed.get.width}x${parsed.get.height}")
   }
 
   test("MJPEG-AVI decode: golden fixture — exact container metadata, close luma") {

@@ -88,6 +88,62 @@ class NestedSpec extends SparkSpec {
     assert(l2 == """{"price":10.0,"meta":{"price":11.0,"tag":"x"}}""")
   }
 
+  test("maxLevel reaches structs INSIDE arrays (no depth bypass)") {
+    // struct<items: array<struct<a: struct<b>>>> — the array previously
+    // escaped truncateToLevel entirely, serializing unbounded depth
+    val d = Seq((1L, Seq((5L, 7L)))).toDF("id", "raw")
+      .select($"id", struct(
+        expr("transform(raw, r -> struct(struct(r._1 AS b) AS a, r._2 AS n))")
+          .as("items")).as("doc"))
+    // level 2: doc.items[].{a?, n} — a is a struct at level 3 → dropped
+    val l2 = d.select(Nested.toJsonLimited(d, "doc", 2).as("js")).as[String].head()
+    assert(l2 == """{"items":[{"n":7}]}""", s"got $l2")
+    // level 3 keeps the full subtree
+    val l3 = d.select(Nested.toJsonLimited(d, "doc", 3).as("js")).as[String].head()
+    assert(l3 == """{"items":[{"a":{"b":5},"n":7}]}""", s"got $l3")
+    // level 1: the array's element struct is beyond the limit → array drops
+    val l1 = d.select(Nested.toJsonLimited(d, "doc", 1).as("js")).as[String].head()
+    assert(l1 == "{}", s"got $l1")
+  }
+
+  test("field names containing dots resolve exactly, never as nested access") {
+    val d = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(1L,
+        org.apache.spark.sql.Row(42, org.apache.spark.sql.Row(7)))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("a.b",
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("v",
+              org.apache.spark.sql.types.IntegerType),
+            org.apache.spark.sql.types.StructField("c",
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("v",
+                  org.apache.spark.sql.types.IntegerType))))))))))
+    // first match of v lives under the dotted-name column `a.b`
+    assert(d.select(Nested.derefDescendant(d, "v").as("m"))
+      .as[Int].head() == 42)
+    assert(d.select(Nested.derefDescendantAll(d, "v").as("m"))
+      .as[Seq[Int]].head() == Seq(42, 7))
+  }
+
+  test("quantize: null elements and unbounded dimensions keep NULL slots") {
+    val bounds = Quantize.fitBounds(
+      Seq((1L, Seq(0.0, 0.0)), (2L, Seq(10.0, 10.0))).toDF("id", "v"), "v")
+    // a null element must NOT fabricate code 0 (the dimension minimum)
+    val withNull = Seq((1L, Seq[java.lang.Double](null, 5.0))).toDF("id", "v")
+    val codes = Quantize.encode(withNull, "id", "v", bounds)
+      .select("codes").as[Seq[Option[Long]]].head()
+    assert(codes == Seq(None, Some(128L)), s"got $codes")
+    // a vector longer than the fitted bounds keeps null tail slots,
+    // never a silently shortened array
+    val longer = Seq((1L, Seq(5.0, 5.0, 5.0))).toDF("id", "v")
+    val c2 = Quantize.encode(longer, "id", "v", bounds)
+      .select("codes").as[Seq[Option[Long]]].head()
+    assert(c2 == Seq(Some(128L), Some(128L), None), s"got $c2")
+  }
+
   test("toJsonLimited caps arrays at maxChildren, at every depth") {
     val d = Seq((1L, Seq(1L, 2L, 3L, 4L), Seq(Seq(10L, 20L, 30L), Seq(40L))))
       .toDF("id", "xs", "yss")
