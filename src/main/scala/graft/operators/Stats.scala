@@ -60,7 +60,11 @@ object Stats {
     val x = col(xCol).cast("decimal(18,6)")
     val y = col(yCol).cast("decimal(18,6)")
     val nD = col("n").cast("double")
-    df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+    // filter on the QUANTIZED casts: NaN and |v| >= 1e12 cast to decimal
+    // NULL, and a row counted in n whose value the power sums silently
+    // skipped yields a plausible-looking but wrong r — such rows must be
+    // excluded from n and sums alike
+    df.filter(x.isNotNull && y.isNotNull)
       .agg(count(lit(1)).as("n"),
         sum(x).as("sx"), sum(y).as("sy"),
         sum(x * x).as("sxx"), sum(y * y).as("syy"), sum(x * y).as("sxy"))
@@ -148,8 +152,12 @@ object Stats {
         (q, Some(v))
       }.toDF("q", "value")
     } else {
+      // column-API form: interpolating the raw name into SQL text broke
+      // (or silently mis-resolved) names needing quoting — the exact path
+      // already used col(c)
       val arr = df.agg(
-        expr(s"approx_percentile(CAST($c AS DOUBLE), array(${qs.mkString(", ")}))").as("__qs"))
+        percentile_approx(col(c).cast("double"),
+          array(qs.map(lit): _*), lit(10000)).as("__qs"))
       arr.select(explode(arrays_zip(
           array(qs.map(lit): _*).as("q"),
           expr("transform(__qs, x -> CAST(x AS DOUBLE))").as("value"))).as("s"))
@@ -165,12 +173,13 @@ object Stats {
                          exact: Boolean = true): DataFrame = {
     require(nBuckets >= 1, "nBuckets must be >= 1")
     val qs = (0 to nBuckets).map(_.toDouble / nBuckets)
-    val bounds = rawQuantiles(df, c, qs, exact).orderBy("q")
-      .collect().map(_.getDouble(1))
-    // percentile over zero non-null rows returns null → the explode yields
-    // no boundary rows at all
-    require(bounds.length == nBuckets + 1,
+    val boundRows = rawQuantiles(df, c, qs, exact).orderBy("q").collect()
+    // zero non-null rows: the approx path yields no boundary rows, the
+    // exact path yields null-valued ones — both must hit THIS message,
+    // not an NPE inside getDouble
+    require(boundRows.length == nBuckets + 1 && boundRows.forall(!_.isNullAt(1)),
       s"equiDepthHistogram($c): no non-null rows")
+    val bounds = boundRows.map(_.getDouble(1))
     val v = col(c).cast("double")
     // bucket = number of INNER boundaries strictly below v (top bucket closed)
     val bucket = (1 until nBuckets)

@@ -72,7 +72,6 @@ object TreeMatch {
       .select(nodes("*"), col("__subtree_hash"), col("__subtree_size"))
   }
 
-  private def pathStr(c: String) = concat_ws(".", col(c))
 
   /** 1-1 node matches between `a` and `b` per doc_id:
     * `(doc_id, a_key, b_key, phase)`. `minRatio` gates same-name internal
@@ -87,9 +86,13 @@ object TreeMatch {
       col("ordpath").as("b_path"), col("__subtree_hash"), col("__subtree_size"))
 
     // phase 1: k-th equal-hash subtree left pairs with k-th right
+    // rank in TRUE document order: the ordpath array<int> compares
+    // element-wise (ancestors first, siblings by position) — the previous
+    // dot-joined STRING ordered "1.10" before "1.2", crossing matches for
+    // any node with 10+ siblings
     def ranked(df: DataFrame, pathCol: String) = df.withColumn("__rn",
       row_number().over(Window.partitionBy(col("doc_id"), col("__subtree_hash"))
-        .orderBy(concat_ws(".", col(pathCol)))))
+        .orderBy(col(pathCol))))
     val p1Roots = ranked(ah, "a_path").join(
         ranked(bh, "b_path").withColumnRenamed("__subtree_size", "__bsize"),
         Seq("doc_id", "__subtree_hash", "__rn"))
@@ -106,29 +109,24 @@ object TreeMatch {
       .select(col("doc_id"), col("a_desc").as("a_key"), col("b_desc").as("b_key"),
         lit(1).as("phase"), col("__subtree_size").as("__prio"))
 
-    // phase 2: unmatched leaves on (kind, name, value), document order
+    // (A separate leaf phase on (kind, name, value) is PROVABLY empty: a
+    // leaf's subtree hash is exactly that triple, so phase 1's rank join
+    // already pairs k-th with k-th per group — leftovers exist only on
+    // the surplus side of a group, and re-ranking surpluses can never
+    // find a counterpart. The former phase 2 cost two anti-joins, two
+    // windows and a 5-key join for zero rows; value-edited leaves pair in
+    // phase 4.)
     def unmatched(nodes: DataFrame, m: DataFrame, key: String) =
       nodes.join(m.select(col("doc_id"), col(key)).distinct()
           .withColumnRenamed(key, "node_key"),
         Seq("doc_id", "node_key"), "left_anti")
-    val aLeaf = unmatched(a.filter(col("kind") =!= "element"), phase1, "a_key")
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("doc_id"), col("kind"), col("name"), col("value"))
-          .orderBy(pathStr("ordpath"))))
-    val bLeaf = unmatched(b.filter(col("kind") =!= "element"), phase1, "b_key")
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("doc_id"), col("kind"), col("name"), col("value"))
-          .orderBy(pathStr("ordpath"))))
-    val phase2 = aLeaf.select(col("doc_id"), col("kind"), col("name"), col("value"),
-        col("__rn"), col("node_key").as("a_key"))
-      .join(bLeaf.select(col("doc_id"), col("kind"), col("name"), col("value"),
-        col("__rn"), col("node_key").as("b_key")),
-        Seq("doc_id", "kind", "name", "value", "__rn"))
-      .select(col("doc_id"), col("a_key"), col("b_key"),
-        lit(2).as("phase"), lit(1L).as("__prio"))
 
-    val m12 = phase1.select("doc_id", "a_key", "b_key")
-      .unionByName(phase2.select("doc_id", "a_key", "b_key"))
+    // DISTINCT: nested identical subtrees make phase 1 emit the same
+    // (a_key, b_key) once per matched ancestor root; phase 3's __npairs
+    // counts rows, and duplicate rows inflated the matched-children
+    // ratio past 1.0 — licensing same-name and rename matches on
+    // single-child evidence
+    val m12 = phase1.select("doc_id", "a_key", "b_key").distinct()
 
     // phase 3: BOTTOM-UP internal matching by matched-children ratio, one
     // pass per tree level from the deepest up (the reference's bottom-up
@@ -147,11 +145,11 @@ object TreeMatch {
     val roots3 = unmatched(a.filter(col("parent_key").isNull), m12, "a_key")
       .select(col("doc_id"), col("node_key").as("a_key"), col("ordpath"))
       .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(pathStr("ordpath"))))
+        Window.partitionBy(col("doc_id")).orderBy(col("ordpath"))))
       .join(unmatched(b.filter(col("parent_key").isNull), m12, "b_key")
         .select(col("doc_id"), col("node_key").as("b_key"), col("ordpath"))
         .withColumn("__rn", row_number().over(
-          Window.partitionBy(col("doc_id")).orderBy(pathStr("ordpath")))),
+          Window.partitionBy(col("doc_id")).orderBy(col("ordpath")))),
         Seq("doc_id", "__rn"))
       .select(col("doc_id"), col("a_key"), col("b_key"),
         lit(3).as("phase"), lit(0L).as("__prio"))
@@ -224,12 +222,12 @@ object TreeMatch {
         .join(parentPairs, Seq("doc_id", "a_parent"))
         .withColumn("__rn", row_number().over(
           Window.partitionBy(col("doc_id"), col("a_parent"), col("b_parent"),
-            col("name")).orderBy(pathStr("ordpath"))))
+            col("name")).orderBy(col("ordpath"))))
       val b5 = els(b, "b_key", "b_parent")
         .join(parentPairs, Seq("doc_id", "b_parent"))
         .withColumn("__rn", row_number().over(
           Window.partitionBy(col("doc_id"), col("a_parent"), col("b_parent"),
-            col("name")).orderBy(pathStr("ordpath"))))
+            col("name")).orderBy(col("ordpath"))))
       val p5 = a5.select(col("doc_id"), col("a_parent"), col("b_parent"),
           col("name"), col("__rn"), col("node_key").as("a_key"))
         .join(b5.select(col("doc_id"), col("a_parent"), col("b_parent"),
@@ -259,12 +257,12 @@ object TreeMatch {
       .join(parentPairs123, Seq("doc_id", "a_parent"))
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col("doc_id"), col("a_parent"), col("b_parent"),
-          col("kind"), col("name")).orderBy(pathStr("ordpath"))))
+          col("kind"), col("name")).orderBy(col("ordpath"))))
     val b4 = leaf4(b, m123, "b_key", "b_parent")
       .join(parentPairs123, Seq("doc_id", "b_parent"))
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col("doc_id"), col("a_parent"), col("b_parent"),
-          col("kind"), col("name")).orderBy(pathStr("ordpath"))))
+          col("kind"), col("name")).orderBy(col("ordpath"))))
     val phase4 = a4.select(col("doc_id"), col("a_parent"), col("b_parent"),
         col("kind"), col("name"), col("__rn"), col("node_key").as("a_key"))
       .join(b4.select(col("doc_id"), col("a_parent"), col("b_parent"),
@@ -274,7 +272,7 @@ object TreeMatch {
         lit(4).as("phase"), lit(0L).as("__prio"))
 
     // combine 1-1: earlier phase, then larger subtree, wins on each side
-    val all = (Seq(phase1, phase2, phase3, phase4) ++ p5Parts).reduce(_ unionByName _)
+    val all = (Seq(phase1, phase3, phase4) ++ p5Parts).reduce(_ unionByName _)
     all
       .withColumn("__d1", row_number().over(Window.partitionBy(col("doc_id"), col("a_key"))
         .orderBy(col("phase"), col("__prio").desc, col("b_key"))))

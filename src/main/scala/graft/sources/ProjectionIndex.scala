@@ -62,8 +62,17 @@ object ProjectionIndex {
   def create(spark: SparkSession, tablePath: String, name: String,
              columns: Seq[String]): Unit = {
     require(columns.nonEmpty, "projection needs at least one column")
-    require(name.matches("[A-Za-z0-9_.-]+"),
+    // GraftCatalog.safeSegment's discipline: "." and ".." match the char
+    // class but resolve UP the tree — a projection named ".." would make
+    // maintain() overwrite the BASE TABLE's rev=N data files
+    require(name.matches("[A-Za-z0-9_.-]+") && name != "." && name != "..",
       s"projection name must be a plain identifier (path segment), got '$name'")
+    // a delta chain's rev=N dirs hold CHANGE ROWS — projecting them as
+    // snapshots would serve each commit's fraction as the full revision
+    // (TemporalTable.read's refusal, applied at declaration time)
+    require(!DeltaTemporalTable.isDeltaLayout(tablePath),
+      s"$tablePath is a delta-encoded chain — projections read raw " +
+        "revision dirs and are snapshot-layout only")
     MetaIO.mkdirs(catalogDir(tablePath))
     import TemporalTable.escapeJson
     val json = s"""{"name":"${escapeJson(name)}","columns":[""" +
@@ -75,11 +84,20 @@ object ProjectionIndex {
   /** Incremental maintenance: project exactly the revisions not yet
     * covered (called after each commit — the per-commit ChangeListener). */
   def maintain(spark: SparkSession, tablePath: String, name: String): Seq[Int] = {
+    require(!DeltaTemporalTable.isDeltaLayout(tablePath),
+      s"$tablePath is a delta-encoded chain — projections are " +
+        "snapshot-layout only")
     val proj = list(tablePath).find(_.name == name)
       .getOrElse(throw new IllegalArgumentException(s"unknown projection $name"))
+    // a revision counts as projected only when its write COMPLETED
+    // (_SUCCESS marker — the newestKeyIndexCompaction discipline): a
+    // crashed maintenance otherwise left a partial rev=N that was never
+    // re-projected and that readAuto served as complete
     val have = MetaIO.list(dataDir(tablePath, name))
       .filter(_.startsWith("rev="))
-      .map(_.stripPrefix("rev=").toInt).toSet
+      .map(_.stripPrefix("rev=").toInt)
+      .filter(r => MetaIO.exists(s"${dataDir(tablePath, name)}/rev=$r/_SUCCESS"))
+      .toSet
     val missing = TemporalTable.commits(tablePath).map(_.revision).filterNot(have)
     missing.foreach { rev =>
       spark.read.parquet(RevisionCompaction.effectiveDir(tablePath, rev))
@@ -112,16 +130,23 @@ object ProjectionIndex {
       .getOrElse(throw new IllegalArgumentException(s"no commits at $tablePath"))
     val covering = list(tablePath)
       .filter(p => columns.forall(p.columns.contains))
-      // the projection must actually be maintained for this revision —
-      // a stale projection falls back to the base table, never errors
-      .filter(p => MetaIO.exists(s"${dataDir(tablePath, p.name)}/rev=$rev"))
+      // the projection must actually be maintained COMPLETELY for this
+      // revision (_SUCCESS — a crashed write's partial dir must fall
+      // back, not serve a fraction); a stale projection falls back to
+      // the base table, never errors
+      .filter(p => MetaIO.exists(
+        s"${dataDir(tablePath, p.name)}/rev=$rev/_SUCCESS"))
       .sortBy(_.columns.size)
       .headOption
     covering match {
       case Some(p) =>
-        read(spark, tablePath, p.name, revision).select(columns.head, columns.tail: _*)
+        // pass the RESOLVED revision: with revision=None a commit landing
+        // between the covering check and the read would re-resolve to a
+        // different, unchecked revision
+        read(spark, tablePath, p.name, Some(rev))
+          .select(columns.head, columns.tail: _*)
       case None =>
-        TemporalTable.read(spark, tablePath, revision)
+        TemporalTable.read(spark, tablePath, Some(rev))
           .select(columns.head, columns.tail: _*)
     }
   }

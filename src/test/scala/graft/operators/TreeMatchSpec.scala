@@ -51,6 +51,25 @@ class TreeMatchSpec extends SparkSpec {
     assert(named.exists { case (av, bv, p) => av == "two" && bv == "two-edit" && p == 4 })
   }
 
+  test("10+ same-hash siblings pair in TRUE document order, not string order") {
+    // a has identical <x>v</x> leaves at sibling positions 2 and 11; b has
+    // one at position 2 only. The dot-joined STRING ranking ordered
+    // "1.11" before "1.2", pairing b's leaf with a's ELEVENTH sibling —
+    // a crossed match surfacing as a bogus move + delete of the true
+    // counterpart. Array ordering pairs position 2 with position 2.
+    val fillers = (1 to 9).map(i => s"<f$i/>").mkString
+    val aN = shred(s"<r><a0/><x>v</x>$fillers<x>v</x></r>")
+    val bN = shred(s"<r><a0/><x>v</x></r>")
+    val m = TreeMatch.matchTrees(aN, bN)
+    val aPos2 = aN.filter($"kind" === "element" && $"name" === "x")
+      .orderBy("node_seq").select("node_key").as[Long].collect()
+    val bX = bN.filter($"kind" === "element" && $"name" === "x")
+      .select("node_key").as[Long].head()
+    val matchedA = m.filter($"b_key" === bX).select("a_key").as[Long].collect()
+    assert(matchedA.toSeq == Seq(aPos2.head),
+      s"b's x paired with a's ${matchedA.toSeq}, expected first-in-doc-order ${aPos2.head}")
+  }
+
   test("edit script classifies delete/insert/update and detects moves") {
     val script = TreeMatch.editScript(aNodes, bNodes, matches)
     val ops = script.as[(Long, String, Option[Long], Option[Long])].collect().map {

@@ -94,5 +94,33 @@ class ProjectionIndexSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       ProjectionIndex.create(spark, p, "../escape", Seq(hostile.head))
     }
+    // bare ".." matches the char class but resolves UP the tree —
+    // maintain would then OVERWRITE the base table's rev=N data
+    intercept[IllegalArgumentException] {
+      ProjectionIndex.create(spark, p, "..", Seq(hostile.head))
+    }
+    intercept[IllegalArgumentException] {
+      ProjectionIndex.create(spark, p, ".", Seq(hostile.head))
+    }
+  }
+
+  test("a crashed (partial) projection write is re-projected, never served") {
+    val p = java.nio.file.Files.createTempDirectory("graft-proj-partial")
+      .resolve("tbl").toString
+    TemporalTable.write(Seq((1L, "a", 1.0), (2L, "b", 2.0))
+      .toDF("node_key", "name", "v"), p)
+    ProjectionIndex.create(spark, p, "nv", Seq("node_key", "v"))
+    TemporalTable.write(Seq((1L, "a", 9.0)).toDF("node_key", "name", "v"), p)
+    // simulate the crash: rev=2's projection dir exists WITHOUT _SUCCESS
+    val partial = s"$p/_proj/nv/rev=2"
+    MetaIO.mkdirs(partial)
+    MetaIO.createNew(s"$partial/part-00000.parquet", "torn bytes")
+    // readAuto must fall back to the base table, not serve the fragment
+    assert(ProjectionIndex.readAuto(spark, p, Seq("node_key", "v"), Some(2))
+      .count() == 1)
+    // maintain must treat the partial dir as missing and re-project it
+    assert(ProjectionIndex.maintain(spark, p, "nv") == Seq(2))
+    assert(MetaIO.exists(s"$partial/_SUCCESS"))
+    assert(ProjectionIndex.read(spark, p, "nv", Some(2)).count() == 1)
   }
 }
