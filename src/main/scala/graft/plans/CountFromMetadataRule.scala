@@ -38,55 +38,15 @@ case class CountFromMetadataRule(spark: SparkSession) extends Rule[LogicalPlan] 
     case _ => false
   }
 
-  private def graftTableOf(plan: LogicalPlan): Option[graft.sources.GraftTable] =
-    plan match {
-      case r: DataSourceV2Relation =>
-        r.table match {
-          // a delta table's revision dirs hold change records, not rows —
-          // footer counts would overcount (DeltaReconstructRule normally
-          // rewrites these relations away before this rule can see them)
-          case t: graft.sources.GraftTable if !t.isDeltaLayout => Some(t)
-          case _ => None
-        }
-      // post-pushdown shape: rewrite ONLY if nothing was pushed into the
-      // scan — a fully-pushed partition filter (e.g. rev = 2) leaves no
-      // Filter node in the plan, and a footer count would then overcount
-      case sr: DataSourceV2ScanRelation =>
-        val unfiltered = sr.scan match {
-          case ps: ParquetScan =>
-            ps.pushedFilters.isEmpty && ps.partitionFilters.isEmpty && ps.dataFilters.isEmpty
-          case _ => false
-        }
-        if (unfiltered) graftTableOf(sr.relation) else None
-      // a Project that only drops/reorders attributes cannot change counts
-      case Project(projectList, child) if projectList.forall(_.isInstanceOf[Attribute]) =>
-        graftTableOf(child)
-      case _ => None
-    }
-
-  private def rowCountFromFooters(dirs: Seq[String]): Option[Long] = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    try {
-      var total = 0L
-      dirs.foreach { dir =>
-        if (!graft.sources.MetaIO.exists(dir)) return None
-        // MetaIO mirrors Spark's file listing: hidden (_/.-prefixed) path
-        // segments — _commits, _proj projections, .crc files — are skipped
-        graft.sources.MetaIO.listDataFiles(dir, ".parquet").foreach { f =>
-          val in = HadoopInputFile.fromPath(f, conf)
-          val reader = ParquetFileReader.open(in)
-          try total += reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
-          finally reader.close()
-        }
-      }
-      Some(total)
-    } catch { case _: Exception => None }
-  }
-
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case agg @ Aggregate(Nil, aggExprs, child, _)
         if aggExprs.nonEmpty && aggExprs.forall(isCountLiteral) =>
-      graftTableOf(child).flatMap(t => rowCountFromFooters(t.resolvedDataPaths)) match {
+      // scope + footer fold through the SHARED helper (one definition
+      // with MinMaxFromMetadataRule: delta refusal, unfiltered-scan
+      // check, strict file lists, parallel memoized footer reads)
+      ParquetScanScope.of(child)
+        .flatMap(sc => ParquetScanScope.rowCount(sc.files,
+          spark.sparkContext.hadoopConfiguration)) match {
         case Some(n) =>
           LocalRelation(agg.output, Seq(InternalRow.fromSeq(agg.output.map(_ => n))))
         case None => agg

@@ -70,33 +70,6 @@ case class MinMaxFromMetadataRule(spark: SparkSession) extends Rule[LogicalPlan]
     * allowed, nothing else). Covers V1 parquet relations and unfiltered
     * graft-temporal V2 snapshots (the same scope split as
     * [[CountFromMetadataRule.graftTableOf]]). */
-  private def parquetFilesOf(plan: LogicalPlan): Option[Seq[(String, Long, Long)]] = plan match {
-    case lr: LogicalRelation => lr.relation match {
-      case fs: HadoopFsRelation if fs.fileFormat.isInstanceOf[ParquetFileFormat] =>
-        Some(fs.location.listFiles(Nil, Nil).flatMap(_.files)
-          .map(f => (f.getPath.toString, f.getLen, f.getModificationTime)))
-      case _ => None
-    }
-    case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
-      r.table match {
-        case t: graft.sources.GraftTable if !t.isDeltaLayout =>
-          Some(t.resolvedDataPaths.flatMap(d =>
-            graft.sources.MetaIO.listDataFileStatus(d, ".parquet")
-              .map(s => (s.getPath.toString, s.getLen, s.getModificationTime))))
-        case _ => None
-      }
-    case sr: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
-      val unfiltered = sr.scan match {
-        case ps: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
-          ps.pushedFilters.isEmpty && ps.partitionFilters.isEmpty && ps.dataFilters.isEmpty
-        case _ => false
-      }
-      if (unfiltered) parquetFilesOf(sr.relation) else None
-    case Project(projectList, child) if projectList.forall(_.isInstanceOf[Attribute]) =>
-      parquetFilesOf(child)
-    case _ => None
-  }
-
   /** Per-column fold state over row groups: (min, max) as longs, plus
     * whether any non-null value was seen. */
   private final class Acc {
@@ -120,21 +93,28 @@ case class MinMaxFromMetadataRule(spark: SparkSession) extends Rule[LogicalPlan]
     * manual replacement) changes size or mtime and misses the cache, so a
     * stale fold is never served. Bounded (cleared at 64 entries);
     * negative results are cached too. */
-  private val statsCache = scala.collection.mutable.HashMap
-    .empty[(Seq[(String, Long, Long)], Seq[String]), Option[(Map[String, Acc], Long)]]
+  // bounded LRU (the MetaIO entry-cache discipline): clear-all-at-
+  // capacity evicted every hot fold at once — the 65th distinct query
+  // shape forced O(files) footer re-reads for every previously-hot table
+  private val statsCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[
+          (Seq[(String, Long, Long)], Seq[String]),
+          Option[(Map[String, Acc], Long)]](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(Seq[(String, Long, Long)], Seq[String]),
+              Option[(Map[String, Acc], Long)]]): Boolean = size() > 64
+      })
 
   private def foldStats(files: Seq[(String, Long, Long)], cols: Seq[String])
       : Option[(Map[String, Acc], Long)] = {
     val key = (files, cols)
-    statsCache.synchronized(statsCache.get(key)) match {
-      case Some(hit) => hit
-      case None =>
-        val computed = foldStatsUncached(files, cols)
-        statsCache.synchronized {
-          if (statsCache.size >= 64) statsCache.clear()
-          statsCache(key) = computed
-        }
-        computed
+    val hit = statsCache.get(key)
+    if (hit != null) hit
+    else {
+      val computed = foldStatsUncached(files, cols)
+      statsCache.put(key, computed)
+      computed
     }
   }
 
@@ -151,6 +131,11 @@ case class MinMaxFromMetadataRule(spark: SparkSession) extends Rule[LogicalPlan]
     def one(file: String): Option[(Long, Map[String, Option[(Long, Long)]])] = {
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(file), conf))
       try {
+        // legacy (hybrid Julian) rebase marker: the scan REBASES such
+        // files' date values on read (or raises under EXCEPTION mode) —
+        // raw footer stats can be ~10 days off for pre-1582 dates; bail
+        if (reader.getFooter.getFileMetaData.getKeyValueMetaData
+            .containsKey(ParquetScanScope.LegacyRebaseKey)) return None
         var rows = 0L
         val local = scala.collection.mutable.Map.empty[String, Option[(Long, Long)]]
         cols.foreach(local(_) = None)
@@ -237,13 +222,18 @@ case class MinMaxFromMetadataRule(spark: SparkSession) extends Rule[LogicalPlan]
       // GraftTable scope; plain-parquet count rides along here when mixed)
       if (reqs.exists(_.isEmpty) ||
           !wanted.exists(r => r.isInstanceOf[MinOf] || r.isInstanceOf[MaxOf])) agg
-      else parquetFilesOf(child) match {
-        case Some(files) if files.nonEmpty =>
+      else ParquetScanScope.of(child) match {
+        case Some(sc) if sc.files.nonEmpty =>
           val cols = wanted.collect {
             case MinOf(a) => a.name
             case MaxOf(a) => a.name
           }.distinct
-          foldStats(files, cols) match {
+          // a PARTITION column's values come from the directory layout;
+          // data files may carry a same-named shadow column (the V2
+          // pre-strip append leaves an all-null one) whose footer stats
+          // would silently answer min(rev) with the shadow's values
+          if (cols.exists(sc.partitionCols.contains)) agg
+          else foldStats(sc.files, cols) match {
             case Some((accs, rows)) =>
               val values = wanted.map {
                 case MinOf(a) =>

@@ -23,7 +23,8 @@ import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
   * revision's files before the scan plans splits. */
 private[graft] class CommitLogFileIndex(
     tablePath: String,
-    revFiles: Seq[(Int, Seq[(String, Long)])]) extends FileIndex {
+    revFiles: Seq[(Int, Seq[(String, Long)])],
+    revTimesMs: Map[Int, Long] = Map.empty) extends FileIndex {
 
   override val partitionSchema: StructType =
     StructType(Seq(StructField("rev", IntegerType, nullable = true)))
@@ -36,8 +37,12 @@ private[graft] class CommitLogFileIndex(
 
   private lazy val partitions: Seq[PartitionDirectory] =
     revFiles.map { case (rev, files) =>
+      // mtime = the revision's commit timestamp: a fabricated 0 made
+      // _metadata.file_modification_time read 1970-01-01 and weakened
+      // (path, len, mtime) cache keys derived from this index's listing
+      val mtime = revTimesMs.getOrElse(rev, 0L)
       PartitionDirectory(InternalRow(rev), files.map { case (rel, size) =>
-        new FileStatus(size, false, 1, blockSize, 0L,
+        new FileStatus(size, false, 1, blockSize, mtime,
           new Path(s"$tablePath/$rel"))
       }.toArray)
     }

@@ -903,7 +903,8 @@ object TemporalTable {
           .getOrElse(spark.read
             .parquet(RevisionCompaction.effectiveDir(path, probeRev.get)).schema)
         val index = new CommitLogFileIndex(path,
-          eligible.map(c => c.revision -> manifests(c.revision)))
+          eligible.map(c => c.revision -> manifests(c.revision)),
+          eligible.map(c => c.revision -> c.commitTsMs).toMap)
         val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
           index, index.partitionSchema, dataSchema, None,
           new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,

@@ -77,4 +77,21 @@ class MinMaxFromMetadataRuleSpec extends SparkSpec {
     assert(!rewritten(q))
     assert(q.count() == 4)
   }
+
+  test("a partition column shadowed by a data column never folds from footers") {
+    MinMaxFromMetadataRule.install(spark)
+    val d = java.nio.file.Files.createTempDirectory("graft-minmax-shadow")
+      .toString + "/t"
+    // the data FILE carries rev=99; the DIRECTORY says rev=7 — Spark's
+    // read serves the partition value (7), so folding the footer's 99
+    // would be a silently wrong answer
+    Seq((1L, 99)).toDF("k", "rev").write.parquet(s"$d/rev=7")
+    val df = spark.read.parquet(d)
+    val q = df.agg(min("rev").as("lo"), max("rev").as("hi"))
+    assert(!rewritten(q), "partition-column aggregate folded from a shadow")
+    assert(q.as[(Int, Int)].head() == ((7, 7)))
+    // non-partition columns over the same table still fold
+    val q2 = df.agg(min("k").as("lo"))
+    assert(rewritten(q2) && q2.as[Long].head() == 1L)
+  }
 }
