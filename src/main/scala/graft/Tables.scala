@@ -38,6 +38,11 @@ object Tables {
     */
   def df(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
+      // NOTE: session-global on purpose — the events table shipped as
+      // TIMESTAMP(NANOS) in early testdata eras and every read of it in
+      // this session (queries, verify, bench) must decode identically.
+      // This is a TEST-HARNESS loader, not library API; library readers
+      // never touch this conf.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(path(dir, name))
       raw.schema("ts").dataType match {

@@ -121,8 +121,11 @@ object Temporal {
           leftCols.map(col): _*)
       .unionByName(
         // null right timestamps would sort first (asc nulls-first) and be
-        // carried onto EVERY left row — the as-of contract is null-rejecting
-        right.filter(col(rightTsCol).isNotNull)
+        // carried onto EVERY left row — the as-of contract is null-rejecting.
+        // Null right KEYS are rejected too: the window's partitionBy groups
+        // null with null, so a null-key right payload would be carried onto
+        // null-key LEFT rows — SQL join semantics never match NULL to NULL
+        right.filter(col(rightTsCol).isNotNull && col(keyCol).isNotNull)
           .withColumn("__ts", col(rightTsCol)).withColumn("__src", lit(0))
           .withColumn("__payload", struct(rightValueCols.map(col): _*))
           .select(col(keyCol).as("__key"), col("__ts"), col("__src"), col("__payload")),

@@ -108,13 +108,29 @@ private[graft] object GraftTemporalSource {
       val anyStats = commits.lastOption.exists(c => MetaIO.exists(
         s"${RevisionCompaction.effectiveDir(tablePath, c.revision, ovs)}/" +
           StatsSidecar.FileName))
-      if (ovs.isEmpty && !anyStats) Seq(tablePath)
+      // the root-listing fast path is only sound when the rev=N children
+      // are EXACTLY the committed revisions: a writer that crashed after
+      // materializing rev=N data but before logCommit leaves an orphan
+      // dir a recursive root listing would serve — rows of a revision
+      // that, per the commit log, never existed. One extra LIST decides.
+      val committed = commits.map(_.revision).toSet
+      val rootClean = MetaIO.listDirs(tablePath)
+        .filter(_.startsWith("rev="))
+        .flatMap(n => scala.util.Try(n.stripPrefix("rev=").toInt).toOption)
+        .forall(committed.contains)
+      if (ovs.isEmpty && !anyStats && rootClean) Seq(tablePath)
       else commits
         .map(c => RevisionCompaction.effectiveDir(tablePath, c.revision, ovs))
     } else {
       val rev =
-        if (options.containsKey("revision")) options.getInt("revision", -1)
-        else if (options.containsKey("asOfTimestampMs")) {
+        if (options.containsKey("revision")) {
+          val r = options.getInt("revision", -1)
+          // validate like TemporalTable.read: a reserved-but-uncommitted
+          // rev=N directory must never serve reads (snapshot isolation)
+          require(TemporalTable.commits(tablePath).exists(_.revision == r),
+            s"unknown revision $r at $tablePath")
+          r
+        } else if (options.containsKey("asOfTimestampMs")) {
           val ts = options.getLong("asOfTimestampMs", Long.MaxValue)
           val eligible = TemporalTable.commits(tablePath).filter(_.commitTsMs <= ts)
           require(eligible.nonEmpty, s"no revision at or before ts=$ts")

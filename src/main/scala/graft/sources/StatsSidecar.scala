@@ -320,7 +320,17 @@ object StatsSidecar {
   // optimization, never an answer); a sidecar written in THIS JVM
   // invalidates the entry immediately (write0 below), so our own
   // write-then-query pipelines always see it.
-  private val absentAt = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  // bounded LRU: expired entries were never evicted (only overwritten on
+  // re-probe), so a long-lived driver probing aged sidecar-less tables
+  // (one entry per revision dir) leaked negative entries for the JVM's
+  // lifetime. 4096 live negatives cover any realistic working set.
+  private val absentAt =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, java.lang.Long](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, java.lang.Long]): Boolean =
+          size() > 4096
+      })
   private[graft] val AbsentTtlMs = 30000L
 
   /** Cache key: the FS-qualified URI, so the writer's raw path and the

@@ -102,10 +102,15 @@ object VectorIndex {
     val dir = watermarkDir(tablePath, name)
     MetaIO.mkdirs(dir)
     scala.util.Try(MetaIO.createNew(s"$dir/upto_$rev", rev.toString))
-    MetaIO.list(dir)
-      .flatMap(n => scala.util.Try(n.stripPrefix("upto_").toInt).toOption)
-      .filter(_ < rev)
-      .foreach(r => MetaIO.delete(s"$dir/upto_$r"))
+    // prune older markers ONLY once the new one verifiably exists: a
+    // swallowed transient createNew failure followed by the deletes
+    // would leave ZERO markers — indexedUpTo then throws forever and
+    // maintenance is bricked until a rebuild
+    if (MetaIO.exists(s"$dir/upto_$rev"))
+      MetaIO.list(dir)
+        .flatMap(n => scala.util.Try(n.stripPrefix("upto_").toInt).toOption)
+        .filter(_ < rev)
+        .foreach(r => MetaIO.delete(s"$dir/upto_$r"))
   }
 
   /** The normalized (id, vec) projection of one revision's snapshot — the
@@ -131,7 +136,7 @@ object VectorIndex {
              idCol: String, vecCol: String, nLists: Int, m: Int = 0,
              seed: Long = 42L, fitFraction: Double = 1.0,
              pqM: Int = 0, pqK: Int = 256, hnswMl: Int = 0): Unit = {
-    require(name.matches("[A-Za-z0-9_.-]+"),
+    require(name.matches("[A-Za-z0-9_.-]+") && name != "." && name != "..",
       s"vector index name must be a plain identifier (path segment), got '$name'")
     require(m == 0 || pqM == 0,
       "graph adjacency (m) and PQ codes (pqM) are alternative tiers — pick one")
@@ -140,23 +145,34 @@ object VectorIndex {
     val latest = TemporalTable.mostRecentRevision(tablePath)
       .getOrElse(throw new IllegalArgumentException(s"no commits at $tablePath"))
     val spec = Spec(name, idCol, vecCol, nLists, m, pqM, pqK, hnswMl)
-    val base = snapshotVectors(spark, tablePath, latest, spec)
-    val (model, assigned) = IvfIndex.fit(base, vecCol, nLists, seed, fitFraction)
-    if (m > 0)
-      IvfIndex.writeClustered(graphOf(assigned, spec), model,
-        dataDir(tablePath, name))
-    else if (pqM > 0) {
-      val pq = Pq.fit(base, vecCol, dimOf(base, vecCol), pqM, pqK,
-        seed, fitFraction)
-      Pq.writeClusteredPq(assigned, model, pq, vecCol, dataDir(tablePath, name))
-    } else IvfIndex.writeClustered(assigned, model, dataDir(tablePath, name))
-    writeWatermark(tablePath, name, latest)
+    // CLAIM THE NAME FIRST (create-new fails on a duplicate): building
+    // the layout before the check destroyed the existing index's data
+    // under mode(overwrite) and left the surviving catalog entry
+    // describing a layout that no longer exists
     MetaIO.mkdirs(catalogDir(tablePath))
     import TemporalTable.escapeJson
     MetaIO.createNew(s"${catalogDir(tablePath)}/$name.json",
       s"""{"name":"${escapeJson(name)}","idCol":"${escapeJson(idCol)}",""" +
         s""""vecCol":"${escapeJson(vecCol)}","nLists":$nLists,"m":$m,""" +
         s""""pqM":$pqM,"pqK":$pqK,"hnswMl":$hnswMl}""")
+    try {
+      val base = snapshotVectors(spark, tablePath, latest, spec)
+      val (model, assigned) = IvfIndex.fit(base, vecCol, nLists, seed, fitFraction)
+      if (m > 0)
+        IvfIndex.writeClustered(graphOf(assigned, spec), model,
+          dataDir(tablePath, name))
+      else if (pqM > 0) {
+        val pq = Pq.fit(base, vecCol, dimOf(base, vecCol), pqM, pqK,
+          seed, fitFraction)
+        Pq.writeClusteredPq(assigned, model, pq, vecCol, dataDir(tablePath, name))
+      } else IvfIndex.writeClustered(assigned, model, dataDir(tablePath, name))
+      writeWatermark(tablePath, name, latest)
+    } catch { case e: Throwable =>
+      // a failed build must not leave a catalog entry with no layout
+      MetaIO.delete(s"${catalogDir(tablePath)}/$name.json")
+      MetaIO.delete(dataDir(tablePath, name), recursive = true)
+      throw e
+    }
   }
 
   /** Vector dimensionality from the snapshot's first non-null vector —

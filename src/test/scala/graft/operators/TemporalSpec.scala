@@ -123,6 +123,19 @@ class TemporalSpec extends SparkSpec {
     assert(out == Map("a" -> "1")) // no AnalysisException, payload intact
   }
 
+  test("asOfJoin never matches NULL keys to each other (SQL join semantics)") {
+    val left = Seq((Option.empty[Long], 10L, "L1"), (Some(1L), 10L, "L2"))
+      .toDF("k", "ts", "tag")
+    val right = Seq((Option.empty[Long], 5L, 42.0), (Some(1L), 5L, 7.0))
+      .toDF("k", "ts", "v")
+    val r = Temporal.asOfJoin(left, right, "k", "ts", "ts", Seq("v"))
+      .select("tag", "asof_v").as[(String, Option[Double])].collect().toMap
+    // the null-key left row must carry NO right payload — an equi-join
+    // (or DuckDB ASOF) would never pair NULL with NULL
+    assert(r("L1").isEmpty, s"null keys matched: ${r("L1")}")
+    assert(r("L2").contains(7.0))
+  }
+
   test("canonical bitemporal price correction (reference README.md:50-66)") {
     // price recorded $100 valid-from Jan 1 (committed Jan 15), corrected
     // to $95 (committed Jan 20); both valid from the same instant

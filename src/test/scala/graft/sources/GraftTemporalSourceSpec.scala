@@ -79,4 +79,22 @@ class GraftTemporalSourceSpec extends SparkSpec {
     val scans = "FileScan|BatchScan".r.findAllIn(hist.queryExecution.executedPlan.toString).size
     assert(scans == 1, s"expected single scan, got $scans")
   }
+
+  test("orphan rev dirs (crashed pre-logCommit writers) are invisible to every read") {
+    val p = java.nio.file.Files.createTempDirectory("graft-v2-orphan")
+      .resolve("tbl").toString
+    TemporalTable.write(Seq((1L, "a")).toDF("node_key", "name"), p)
+    // a writer materialized rev=2 data but crashed before logCommit —
+    // per the commit log this revision never existed
+    Seq((99L, "ghost")).toDF("node_key", "name")
+      .write.parquet(s"$p/rev=2")
+    val hist = spark.read.format("graft-temporal")
+      .option("allRevisions", true).load(p)
+    assert(hist.count() == 1, "history served an uncommitted revision")
+    assert(!hist.select("node_key").as[Long].collect().contains(99L))
+    // an explicit pin on the orphan must refuse, like TemporalTable.read
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft-temporal").option("revision", 2).load(p).count()
+    }
+  }
 }
