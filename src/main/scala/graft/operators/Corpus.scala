@@ -212,12 +212,16 @@ object Corpus {
     *       die here, so the output is EXACT and independent of
     *       partitioning.
     *
-    * Auto routing probes the vocabulary with one HLL sketch over a 2%
-    * document sample (map-side partials, bytes on the wire): a sample's
-    * NDV lower-bounds the corpus vocabulary, so `sampleNdv · 4 ≥
-    * onePassMaxVocab` proves the vocabulary is open → MG; otherwise the
-    * one-pass aggregate wins (a misestimate costs spill time, never
-    * correctness). */
+    * Auto routing probes the vocabulary's GROWTH, not just its size: two
+    * nested document samples (1% and 2%, same seed) each get an HLL NDV,
+    * and the Heaps-law slope between them is linearly extrapolated to
+    * the full corpus ([[chooseHeavyHitterRoute]]); a projected
+    * vocabulary at or past `onePassMaxVocab` routes to MG, anything else
+    * to one-pass (a misestimate costs spill time, never correctness).
+    * Corpora under [[HeavyHitterProbeMinDocs]] documents skip the probe
+    * entirely — at that size even a fully open vocabulary fits the
+    * one-pass hash aggregate, and the two probe jobs would cost more
+    * than the query. */
   def heavyHitters(raw: DataFrame, idCol: String, textCol: String,
                    k: Int = 64, route: String = "auto",
                    onePassMaxVocab: Long = 2000000L): DataFrame = {
@@ -304,6 +308,10 @@ object Corpus {
       .orderBy(desc("freq"), col("token"))
   }
 
+  /** Below this many documents the auto route skips the growth probe and
+    * takes one-pass directly (probe cost would exceed the query's). */
+  private[graft] val HeavyHitterProbeMinDocs = 20000
+
   /** Auto-route probe: two nested document samples (1% and 2%, same
     * seed → the smaller is a subset) give the vocabulary's GROWTH under
     * doubling, the Heaps-law signal a single sample's NDV cannot: a
@@ -318,6 +326,12 @@ object Corpus {
     * fixture → mg). */
   private[graft] def chooseHeavyHitterRoute(df: DataFrame, textCol: String,
                                             onePassMaxVocab: Long): String = {
+    // tiny corpus → skip the probe: even one unique token per word keeps
+    // the one-pass hash aggregate comfortable below this many documents,
+    // and the two tokenize+HLL probe jobs would dominate the query cost.
+    // limit().count() short-circuits the scan, so the check is ~free.
+    if (df.limit(HeavyHitterProbeMinDocs).count() < HeavyHitterProbeMinDocs)
+      return "onepass"
     def ndvAt(frac: Double): Long =
       df.sample(withReplacement = false, frac, seed = 42)
         .select(explode(words(col(textCol))).as("w"))

@@ -253,10 +253,15 @@ object Intervals {
       // cluster rows by fork BEFORE the partitioned write: without it,
       // every input task writes one small file into every fork directory
       // it touches (files = tasks x forks — measured 8x slower stabs at
-      // 10M intervals from file-open overhead alone); with it each fork
-      // directory holds ~one packed file and a stab's cost tracks the
-      // root-path partition count, not the writer's parallelism
-      .repartition(col(ForkPartCol))
+      // 10M intervals from file-open overhead alone). Range-partition on
+      // (fork, from) rather than hash-partition on fork alone: the
+      // axis-top fork collects every open interval (and root forks the
+      // long ones), so fork-only clustering gave a hot fork exactly one
+      // task and one oversized file; under range partitioning a hot fork
+      // spans several consecutive range buckets (split by `from`, so its
+      // files also stay time-clustered) while cold forks share buckets —
+      // each still writes its own packed file via partitionBy.
+      .repartitionByRange(col(ForkPartCol), col(fromCol))
       .write.mode("overwrite").partitionBy(ForkPartCol).parquet(path)
     true
   }

@@ -90,22 +90,41 @@ object ProjectionIndex {
     val proj = list(tablePath).find(_.name == name)
       .getOrElse(throw new IllegalArgumentException(s"unknown projection $name"))
     // a revision counts as projected only when its write COMPLETED
-    // (_SUCCESS marker — the newestKeyIndexCompaction discipline): a
+    // (completion marker — the newestKeyIndexCompaction discipline): a
     // crashed maintenance otherwise left a partial rev=N that was never
-    // re-projected and that readAuto served as complete
+    // re-projected and that readAuto served as complete. The marker is
+    // OUR OWN file written after the parquet job returns, not the
+    // committer's `_SUCCESS`: deployments that disable
+    // mapreduce.fileoutputcommitter.marksuccessfuljobs (common on object
+    // stores) never produce `_SUCCESS`, which silently disabled serving
+    // and re-projected every revision on every commit. `_SUCCESS` is
+    // still accepted for revisions projected before the marker existed.
     val have = MetaIO.list(dataDir(tablePath, name))
       .filter(_.startsWith("rev="))
       .map(_.stripPrefix("rev=").toInt)
-      .filter(r => MetaIO.exists(s"${dataDir(tablePath, name)}/rev=$r/_SUCCESS"))
+      .filter(r => completeAt(tablePath, name, r))
       .toSet
     val missing = TemporalTable.commits(tablePath).map(_.revision).filterNot(have)
     missing.foreach { rev =>
       spark.read.parquet(RevisionCompaction.effectiveDir(tablePath, rev))
         .select(proj.columns.head, proj.columns.tail: _*)
         .write.mode("overwrite").parquet(s"${dataDir(tablePath, name)}/rev=$rev")
+      scala.util.Try(MetaIO.createNew(
+        s"${dataDir(tablePath, name)}/rev=$rev/$CompleteMarker", "{}"))
     }
     missing
   }
+
+  /** Name of the projection-write completion marker (ours, not the
+    * Hadoop committer's). */
+  private val CompleteMarker = "_graft_projected"
+
+  /** A projected revision is servable when its own completion marker —
+    * or the legacy committer `_SUCCESS`, for dirs written before the
+    * marker existed — is present. */
+  private def completeAt(tablePath: String, name: String, rev: Int): Boolean =
+    MetaIO.exists(s"${dataDir(tablePath, name)}/rev=$rev/$CompleteMarker") ||
+      MetaIO.exists(s"${dataDir(tablePath, name)}/rev=$rev/_SUCCESS")
 
   /** Maintain every declared projection (the convenient commit-hook body:
     * `TemporalTable.addCommitHook((p, _) => ProjectionIndex.maintainAll(spark, p))`
@@ -131,11 +150,10 @@ object ProjectionIndex {
     val covering = list(tablePath)
       .filter(p => columns.forall(p.columns.contains))
       // the projection must actually be maintained COMPLETELY for this
-      // revision (_SUCCESS — a crashed write's partial dir must fall
-      // back, not serve a fraction); a stale projection falls back to
-      // the base table, never errors
-      .filter(p => MetaIO.exists(
-        s"${dataDir(tablePath, p.name)}/rev=$rev/_SUCCESS"))
+      // revision (completion marker — a crashed write's partial dir must
+      // fall back, not serve a fraction); a stale projection falls back
+      // to the base table, never errors
+      .filter(p => completeAt(tablePath, p.name, rev))
       .sortBy(_.columns.size)
       .headOption
     covering match {

@@ -293,7 +293,15 @@ object Stateful {
                   else s"app=$appId batch=$batchId"
         val log = scala.util.Try(graft.sources.TemporalTable.commits(tablePath))
           .toOption.getOrElse(Seq.empty)
-        val replayed = log.exists(_.message.endsWith(tag))
+        // Exact-match the marker, not endsWith: with the default unscoped
+        // appId the tag is "batch=N", and a SCOPED marker "app=x batch=N"
+        // from an earlier query on the same table also endsWith it — the
+        // new query would silently skip its first batches while the
+        // checkpoint advanced (permanent loss). Same discipline as
+        // [[TemporalSink.parseMarker]].
+        val replayed = log.exists(c =>
+          c.message == s"stream maintenance $tag" ||
+            c.message == s"stream bootstrap $tag")
         if (!batch.isEmpty && !replayed) {
           if (log.nonEmpty)
             graft.sources.TemporalTable.merge(spark, tablePath, batch, None, keys,

@@ -346,14 +346,23 @@ class CorpusSpec extends SparkSpec {
       .toDF("doc_id", "text")
     assert(Corpus.chooseHeavyHitterRoute(closed, "text",
       onePassMaxVocab = 2000000L) == "onepass")
-    // open vocabulary (every doc mints fresh tokens): the 2% sample's HLL
-    // NDV already proves the vocabulary exceeds the one-pass budget → MG,
-    // the guaranteed-bounded shape
-    val open = (1 to 3000).map(i =>
+    // open vocabulary (every doc mints fresh tokens): the sample slope
+    // projects a vocabulary past the one-pass budget → MG, the
+    // guaranteed-bounded shape. Must sit ABOVE the probe-skip floor —
+    // smaller corpora route one-pass without probing at all.
+    val nOpen = Corpus.HeavyHitterProbeMinDocs + 5000
+    val open = (1 to nOpen).map(i =>
         (i.toLong, (1 to 10).map(j => s"u${i}_$j").mkString(" ")))
       .toDF("doc_id", "text")
     assert(Corpus.chooseHeavyHitterRoute(open, "text",
       onePassMaxVocab = 1000L) == "mg")
+    // below the floor the probe is skipped: even a fully open vocabulary
+    // routes one-pass (correct either way — one-pass is exact)
+    val tinyOpen = (1 to 3000).map(i =>
+        (i.toLong, (1 to 10).map(j => s"u${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    assert(Corpus.chooseHeavyHitterRoute(tinyOpen, "text",
+      onePassMaxVocab = 1000L) == "onepass")
     // and the routed call stays exact either way
     val r = Corpus.heavyHitters(closed, "doc_id", "text", k = 4)
       .as[(String, Long)].collect().toSeq

@@ -111,7 +111,8 @@ class ProjectionIndexSpec extends SparkSpec {
       .toDF("node_key", "name", "v"), p)
     ProjectionIndex.create(spark, p, "nv", Seq("node_key", "v"))
     TemporalTable.write(Seq((1L, "a", 9.0)).toDF("node_key", "name", "v"), p)
-    // simulate the crash: rev=2's projection dir exists WITHOUT _SUCCESS
+    // simulate the crash: rev=2's projection dir exists WITHOUT any
+    // completion marker (neither ours nor the committer's _SUCCESS)
     val partial = s"$p/_proj/nv/rev=2"
     MetaIO.mkdirs(partial)
     MetaIO.createNew(s"$partial/part-00000.parquet", "torn bytes")
@@ -120,7 +121,39 @@ class ProjectionIndexSpec extends SparkSpec {
       .count() == 1)
     // maintain must treat the partial dir as missing and re-project it
     assert(ProjectionIndex.maintain(spark, p, "nv") == Seq(2))
-    assert(MetaIO.exists(s"$partial/_SUCCESS"))
+    assert(MetaIO.exists(s"$partial/_graft_projected"))
     assert(ProjectionIndex.read(spark, p, "nv", Some(2)).count() == 1)
+  }
+
+  test("completion gating survives a committer that writes no _SUCCESS") {
+    // object-store deployments disable marksuccessfuljobs: the projection
+    // must gate on its OWN marker, else every revision looks unprojected
+    // forever (permanent fallback + O(revisions) rewrite per commit)
+    val p = java.nio.file.Files.createTempDirectory("graft-proj-nosucc")
+      .resolve("tbl").toString
+    TemporalTable.write(Seq((1L, "a", 1.0), (2L, "b", 2.0))
+      .toDF("node_key", "name", "v"), p)
+    val prev = spark.sparkContext.hadoopConfiguration
+      .get("mapreduce.fileoutputcommitter.marksuccessfuljobs")
+    spark.sparkContext.hadoopConfiguration
+      .set("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+    try {
+      ProjectionIndex.create(spark, p, "nv", Seq("node_key", "v"))
+      assert(!MetaIO.exists(s"$p/_proj/nv/rev=1/_SUCCESS"))
+      assert(MetaIO.exists(s"$p/_proj/nv/rev=1/_graft_projected"))
+      // maintained once — a second maintain finds nothing missing
+      assert(ProjectionIndex.maintain(spark, p, "nv").isEmpty)
+      // and the projection actually serves
+      val plan = ProjectionIndex
+        .readAuto(spark, p, Seq("node_key", "v"), Some(1))
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("_proj"), s"projection not served:\n$plan")
+    } finally {
+      if (prev == null)
+        spark.sparkContext.hadoopConfiguration
+          .unset("mapreduce.fileoutputcommitter.marksuccessfuljobs")
+      else spark.sparkContext.hadoopConfiguration
+        .set("mapreduce.fileoutputcommitter.marksuccessfuljobs", prev)
+    }
   }
 }

@@ -208,4 +208,30 @@ class StatefulSpec extends SparkSpec {
       Seq("node_key"), ckpt3, appId = "q2").awaitTermination()
     assert(TemporalTable.commits(tbl).map(_.revision) == Seq(1, 2, 3))
   }
+
+  test("maintainTable: unscoped markers do not collide with scoped ones") {
+    // a SCOPED marker "app=x batch=0" endsWith the unscoped tag
+    // "batch=0" — suffix matching made a later default-appId query skip
+    // its first batches while the checkpoint advanced (permanent loss);
+    // the guard must match the full marker exactly
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-maintain-scope")
+    val tbl = dir.resolve("tbl").toString
+    val inScoped = MemoryStream[(Long, Double)]
+    inScoped.addData((1L, 10.0))
+    Stateful.maintainTable(inScoped.toDF().toDF("node_key", "price"), tbl,
+      Seq("node_key"), dir.resolve("c1").toString, appId = "x")
+      .awaitTermination()
+    assert(TemporalTable.commits(tbl).map(_.revision) == Seq(1))
+    // new UNSCOPED query, fresh checkpoint → its batch 0 must commit
+    val inDefault = MemoryStream[(Long, Double)]
+    inDefault.addData((2L, 20.0))
+    Stateful.maintainTable(inDefault.toDF().toDF("node_key", "price"), tbl,
+      Seq("node_key"), dir.resolve("c2").toString).awaitTermination()
+    assert(TemporalTable.commits(tbl).map(_.revision) == Seq(1, 2),
+      "unscoped batch 0 was swallowed by a scoped app's marker")
+    assert(TemporalTable.read(spark, tbl)
+      .select("node_key", "price").as[(Long, Double)].collect().toSet ==
+      Set((1L, 10.0), (2L, 20.0)))
+  }
 }
