@@ -63,6 +63,21 @@ object Bench {
       try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
         .split(" ").take(3).mkString(" ")
       catch { case _: Exception => "" }
+    // quiet-box gate (round-8 verdict: BENCH_r08 recorded at loadavg 7 —
+    // two spurious "regressions"): wait up to 3 minutes for the 1-min
+    // load to drop under cpus/8 before timing anything. Never refuses to
+    // emit (the driver needs a BENCH json every round) — a still-loaded
+    // box after the wait is flagged `"contended":true` so the judge can
+    // discount the numbers instead of adjudicating ghosts.
+    val loadGate = cpus.toDouble / 8.0
+    def load1(): Double =
+      try loadavg().split(" ").head.toDouble catch { case _: Exception => 0.0 }
+    val gateDeadline = System.nanoTime() + 180L * 1000000000L
+    while (load1() > loadGate && System.nanoTime() < gateDeadline) {
+      System.err.println(f"[bench] box loaded (${load1()}%.2f > $loadGate%.1f), waiting...")
+      Thread.sleep(10000)
+    }
+    val contended = load1() > loadGate
     val loadStart = loadavg()
     val allRuns = collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
 
@@ -272,8 +287,36 @@ object Bench {
           graft.operators.IvfIndex.assignCellsWithDistance(e, kmModel, "embedding")
             .write.format("noop").mode("overwrite").save()
         }
+        // HNSW tier: build (insertion build + clustered write) vs query
+        // (layered descent over the persisted graph) — split like PQ
+        val (model, assigned0) = graft.operators.IvfIndex.fit(
+          e, "embedding", nLists = 8)
+        val assigned = assigned0.cache(); assigned.count()
+        def freshIdx(): String = java.nio.file.Files
+          .createTempDirectory("graft-bench-hnsw").resolve("idx").toString
+        var idxPath = freshIdx()
+        graft.operators.HnswGraph.writeGraphIndexed(assigned, model,
+          "vec_id", "embedding", idxPath, m = 8, mL = 16) // warmup
+        val hnswBuild = (1 to 2).map { _ =>
+          idxPath = freshIdx()
+          val t0 = System.nanoTime()
+          graft.operators.HnswGraph.writeGraphIndexed(assigned, model,
+            "vec_id", "embedding", idxPath, m = 8, mL = 16)
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        assigned.unpersist()
+        val hnswQuery = timed2 {
+          graft.operators.HnswGraph.searchGraph(spark, idxPath, "vec_id",
+              "embedding", q, k = 10, nProbe = 2, ef = 48)
+            .write.format("noop").mode("overwrite").save()
+        } {
+          graft.operators.HnswGraph.searchGraph(spark, idxPath, "vec_id",
+              "embedding", q, k = 10, nProbe = 2, ef = 48)
+            .write.format("noop").mode("overwrite").save()
+        }
         Seq("s_pq_fit" -> pqFit, "s_pq_query" -> pqQuery,
-          "s_kmeans_fit" -> kmFit, "s_kmeans_assign" -> kmAssign)
+          "s_kmeans_fit" -> kmFit, "s_kmeans_assign" -> kmAssign,
+          "s_hnsw_build" -> hnswBuild, "s_hnsw_query" -> hnswQuery)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] vector timing failed: ${e.getMessage}")
         Seq.empty
@@ -286,7 +329,8 @@ object Bench {
       "\"" + k + "\":[" + rs.map(r => f"$r%.3f").mkString(",") + "]"
     }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""runs":$runsJson,"loadavg_start":"$loadStart","loadavg_end":"${loadavg()}","sf":"$sfDir"}""")
+      s""""runs":$runsJson,"loadavg_start":"$loadStart","loadavg_end":"${loadavg()}",""" +
+      s""""contended":$contended,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

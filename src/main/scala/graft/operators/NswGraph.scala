@@ -10,12 +10,16 @@ import scala.collection.mutable
   * sirix/index/vector/hnsw/HnswGraph.java:24, VectorIndexBuilder.java:52),
   * layered on top of [[IvfIndex]]'s coarse quantizer:
   *
-  *  - BUILD (one distributed pass): within each IVF cell, every vector
-  *    gets its `m` nearest in-cell neighbours (exact, cell-local — the
-  *    quadratic cost is bounded by cell size and spread across cells, the
-  *    same work HNSW's insert loop does incrementally). The adjacency is
-  *    stored as an `nsw_neighbors` column IN the clustered table, so the
-  *    graph ships with the data and partition pruning applies to both.
+  *  - BUILD (one distributed pass): within each IVF cell, vectors are
+  *    inserted in id order, each finding its `m` neighbours by an
+  *    ef-beam search of the partially built graph with the diversity
+  *    heuristic ([[HnswGraph.insertBuild]] with every node on layer 0 —
+  *    one kernel for both tiers); edges are bidirectional with
+  *    cap-triggered re-pruning. ~O(n·ef·log n) distance evaluations per
+  *    cell, vs the O(n²) exact-kNN batch build this replaced. The
+  *    adjacency is stored as an `nsw_neighbors` column IN the clustered
+  *    table, so the graph ships with the data and partition pruning
+  *    applies to both.
   *  - SEARCH: probe `nProbe` cells (file-listing pruning via the
   *    `ivf_cell` hive partition, see [[IvfIndex.writeClustered]]), then
   *    per cell run a greedy best-first beam search (beam `ef`) over the
@@ -68,13 +72,16 @@ object NswGraph {
       col("ivf_cell").cast("int").as("cell")).as[VecRow]
   }
 
-  /** Exact in-cell kNN adjacency: one shuffle on the cell id, quadratic
-    * only within a cell. Output keeps the caller's `idCol`/`vecCol` names
-    * (id cast to long, vector to array<double>) + `ivf_cell` +
-    * `nsw_neighbors`, so the persisted graph table stays interchangeable
-    * with a plain [[IvfIndex.writeClustered]] layout. */
+  /** In-cell NSW adjacency by incremental insertion: one shuffle on the
+    * cell id, ~O(n·ef·log n) within a cell (see object scaladoc). Output
+    * keeps the caller's `idCol`/`vecCol` names (id cast to long, vector
+    * to array<double>) + `ivf_cell` + `nsw_neighbors`, so the persisted
+    * graph table stays interchangeable with a plain
+    * [[IvfIndex.writeClustered]] layout. */
   def buildGraph(assigned: DataFrame, idCol: String, vecCol: String,
-                 m: Int): DataFrame = {
+                 m: Int, efConstruction: Int = 64): DataFrame = {
+    require(m >= 1 && efConstruction >= m,
+      s"need 1 <= m <= efConstruction; got m=$m ef=$efConstruction")
     val spark = assigned.sparkSession
     import spark.implicits._
     // flatMapGroups (not repartition+mapPartitions): hash partitioning
@@ -86,14 +93,11 @@ object NswGraph {
       .groupByKey(_.cell)
       .flatMapGroups { (_, rows) =>
         val arr = rows.toArray.sortBy(_.id)
-        arr.iterator.map { r =>
-          val nn = arr.iterator
-            .filter(_.id != r.id)
-            .map(o => (o.id, cosine(r.vec, o.vec)))
-            .toArray
-            .sortBy { case (id, s) => (-s, id) }
-            .take(m).map(_._1)
-          GraphRow(r.id, r.vec, r.cell, nn)
+        val (adj, _) = HnswGraph.insertBuild(arr.map(_.vec),
+          Array.fill(arr.length)(0), m, efConstruction)
+        arr.indices.iterator.map { i =>
+          GraphRow(arr(i).id, arr(i).vec, arr(i).cell,
+            adj(i)(0).map(j => arr(j).id))
         }
       }
       .toDF(idCol, vecCol, "ivf_cell", "nsw_neighbors")
@@ -104,8 +108,9 @@ object NswGraph {
     * layout + the adjacency column). */
   def writeGraphIndexed(assigned: DataFrame, model: IvfIndex.Model,
                         idCol: String, vecCol: String, path: String,
-                        m: Int = 8): Unit =
-    IvfIndex.writeClustered(buildGraph(assigned, idCol, vecCol, m), model, path)
+                        m: Int = 8, efConstruction: Int = 64): Unit =
+    IvfIndex.writeClustered(
+      buildGraph(assigned, idCol, vecCol, m, efConstruction), model, path)
 
   /** ANN top-k: prune to the probed cells, co-locate each cell's graph,
     * greedy beam search per cell, global top-k of the per-cell beams.

@@ -65,7 +65,7 @@ class NswGraphSpec extends SparkSpec {
       (approx.map(_._1).toSet intersect truth).size.toDouble / truth.size
     }
     val mean = recalls.sum / recalls.length
-    assert(mean >= 0.7, s"mean recall@10 too low: $mean")
+    assert(mean >= 0.85, s"mean recall@10 too low: $mean")
   }
 
   test("hub seeding reaches a basin disconnected from the min-id entry") {

@@ -141,6 +141,27 @@ class VectorIndexSpec extends SparkSpec {
     val top = VectorIndex.search(spark, p, "h", q, k = 3, nProbe = 1)
       .select("node_key").as[Long].collect()
     assert(top.contains(101L), s"maintained HNSW missed the new vector: ${top.toSeq}")
+    // levels stay id-pure across maintenance (a surviving node must keep
+    // its original level — the rebuild re-derives, never re-rolls)
+    val maintained = spark.read.parquet(idxPath)
+      .select(col("node_key").cast("long"), col("hnsw_level"))
+      .as[(Long, Int)].collect()
+    maintained.foreach { case (id, lvl) =>
+      assert(lvl == graft.operators.HnswGraph.levelOf(id, 4),
+        s"node $id re-levelled to $lvl after maintain")
+    }
+    // backlink repair: surviving nodes in the patched cell must point AT
+    // the new ids (append-only rows would leave the new vectors
+    // unreachable from the old graph)
+    val patchedCellId = newCell.stripPrefix("ivf_cell=").toInt
+    val survivorsPointAtNew = spark.read.parquet(idxPath)
+      .filter(col("ivf_cell") === patchedCellId &&
+        !col("node_key").isin(newIds: _*))
+      .select(col("node_key").cast("long"), col("hnsw_layers"))
+      .as[(Long, Array[Array[Long]])].collect()
+      .exists(_._2.exists(_.exists(newIds.contains)))
+    assert(survivorsPointAtNew,
+      "no surviving node in the patched cell links to any new id")
     // purge after a delete re-derives the layered adjacency on survivors
     TemporalTable.write(rows((0L until 64L).filter(_ != 1L) ++ newIds), p)
     assert(VectorIndex.purge(spark, p, "h") >= 1)
