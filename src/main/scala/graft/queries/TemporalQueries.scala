@@ -121,6 +121,27 @@ object TemporalQueries {
           expr("valid_from div 1000").as("valid_from_us"))
         .orderBy("user_id")
     },
+    // the same fork-indexed stab over a DELTA-ENCODED chain: revision 1
+    // (full, epoch base) carries the `_vindex` sidecar; revision 2 is a
+    // delta commit (drops every 7th user's intervals) with no sidecar of
+    // its own — the stab serves from the epoch base's pruned forks plus
+    // the one small delta file (ValidTimeIndexSpec pins the file-read
+    // evidence; this row pins the answer against a raw recompute)
+    "t_valid_at_delta" -> { (s, d) =>
+      val p = java.nio.file.Files.createTempDirectory("graft-vindex-delta")
+        .toString + "/tbl"
+      val iv = Temporal.asValidIntervals(ev(s, d), "user_id", "ts", "event_id")
+        .select(col("user_id"), col("event_id"), col("valid_from"), col("valid_to"))
+      graft.sources.ValidTimeIndex.setPolicy(p, "valid_from", "valid_to",
+        granularity = 3600000000000L)
+      graft.sources.DeltaTemporalTable.write(s, iv, p, keys = Seq("event_id"))
+      graft.sources.DeltaTemporalTable.write(s,
+        iv.filter(col("user_id") % 7 =!= 0), p, keys = Seq("event_id"))
+      graft.sources.ValidTimeIndex.validAt(s, p, T1, Some(2))
+        .select(col("user_id"), col("event_id"),
+          expr("valid_from div 1000").as("valid_from_us"))
+        .orderBy("user_id")
+    },
     // jn:open-bitemporal — transaction-axis restriction + valid-time stab
     "t_bitemporal" -> { (s, d) =>
       Temporal.openBitemporal(ev(s, d), "user_id", "ts", "event_id",
@@ -501,6 +522,15 @@ object TemporalQueries {
          |  FROM events)
          |WHERE valid_from_us <= epoch_us($tsT1)
          |  AND (valid_to_us IS NULL OR valid_to_us > epoch_us($tsT1))
+         |ORDER BY user_id""".stripMargin,
+    "t_valid_at_delta" ->
+      s"""SELECT user_id, event_id, valid_from_us FROM (
+         |  SELECT user_id, event_id, epoch_us(ts) AS valid_from_us,
+         |    LEAD(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to_us
+         |  FROM events)
+         |WHERE valid_from_us <= epoch_us($tsT1)
+         |  AND (valid_to_us IS NULL OR valid_to_us > epoch_us($tsT1))
+         |  AND user_id % 7 <> 0
          |ORDER BY user_id""".stripMargin,
     "t_bitemporal" ->
       s"""SELECT user_id, event_id, valid_from_us FROM (

@@ -191,6 +191,13 @@ object DeltaTemporalTable {
       val full = log.isEmpty || evolved || sinceFull >= snapshotEvery - 1
       if (full) {
         df.write.mode("overwrite").parquet(s"$path/rev=$rev")
+        // valid-time fork sidecar at the epoch boundary: the full frame
+        // is in hand, so indexing it costs one extra write — delta
+        // commits stay unindexed and stab through this base
+        // ([[ValidTimeIndex]] scaladoc; a failure here aborts, and
+        // abortReservation cleans _vindex/rev=N)
+        ValidTimeIndex.maybeWrite(spark, path, rev,
+          spark.read.parquet(s"$path/rev=$rev"))
         logCommit(path, rev, author, message, "full", Some(df.schema))
       } else {
         val prior = read(spark, path, Some(log.last.revision))
@@ -246,6 +253,9 @@ object DeltaTemporalTable {
       // this compaction supersedes
       val current = read(spark, path)
       current.write.mode("overwrite").parquet(s"$path/rev=$rev")
+      // compaction mints an epoch boundary: index it like any full
+      ValidTimeIndex.maybeWrite(spark, path, rev,
+        spark.read.parquet(s"$path/rev=$rev"))
       logCommit(path, rev, author, "compact", "full", Some(current.schema))
     } catch {
       case e: Throwable => TemporalTable.abortReservation(path, rev); throw e

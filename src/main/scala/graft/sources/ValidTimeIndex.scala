@@ -30,12 +30,17 @@ import org.apache.spark.sql.functions._
   * queries; everything else keeps the plain min/max-skipping scan path.
   *
   * Scope: snapshot-layout tables (library writes, V2 appends, SQL
-  * INSERT, the streaming sink — all route through the same commit
-  * protocol). A [[DeltaTemporalTable]] chain's revisions hold change
-  * records, not snapshots — indexing them would require materializing
-  * the reconstruction per commit, defeating the delta layout's point;
-  * stab a delta chain with [[graft.operators.Temporal.validAt]] over its
-  * reconstructed read instead.
+  * INSERT, the streaming sink) AND delta chains. A
+  * [[DeltaTemporalTable]] chain's delta revisions hold change records,
+  * not snapshots — indexing every commit would materialize the
+  * reconstruction per commit, defeating the delta layout's point — so
+  * the sidecar is written at EPOCH boundaries only (every full-snapshot
+  * commit, including [[DeltaTemporalTable.compact]]; the frame is in
+  * hand there for free). A stab at a delta revision then reads the
+  * governing full's ≤log₂(axis) fork directories plus the epoch's ≤
+  * `snapshotEvery−1` delta files (the small part by design) and re-stabs
+  * after applying them — fork-pruned I/O on the dominant full, never a
+  * full reconstruction scan.
   */
 object ValidTimeIndex {
 
@@ -113,18 +118,29 @@ object ValidTimeIndex {
     require(committed.nonEmpty, s"no revisions at $path")
     val rev = revision.getOrElse(committed.last)
     require(committed.contains(rev), s"unknown revision $rev at $path")
+    if (DeltaTemporalTable.isDeltaLayout(path))
+      return validAtDelta(spark, path, ts, rev)
     if (policy(path).isEmpty || !MetaIO.exists(revDir(path, rev)))
       return fallbackScan(spark, path, ts, rev)
-    val idx = Intervals.readIndexed(spark, revDir(path, rev))
+    stabSidecarDir(spark, revDir(path, rev), ts) match {
+      case Some((pruned, _, _)) => pruned
+      case None => fallbackScan(spark, path, ts, rev)
+    }
+  }
+
+  /** Stab-pruned read of one `_vindex` sidecar dir: rows whose interval
+    * contains `ts`, fork columns dropped. Pruning constants come from the
+    * SIDECAR's own metadata, never the current policy: a policy re-set
+    * with different columns or granularity after the sidecar was written
+    * would otherwise prune with constants its forks were not computed
+    * under — silently dropping rows. (The policy is the write-side recipe
+    * only.) None when the sidecar's metadata is unreadable. */
+  private def stabSidecarDir(spark: SparkSession, rdir: String,
+                             ts: Long): Option[(DataFrame, String, String)] = {
+    val idx = Intervals.readIndexed(spark, rdir)
     val meta = idx.schema(Intervals.ForkCol).metadata
-    // axis columns and granularity come from the SIDECAR's own metadata,
-    // never the current policy: a policy re-set with different columns
-    // or granularity after this revision was written would otherwise
-    // prune with constants its forks were not computed under — silently
-    // dropping rows. (The policy is the write-side recipe only.)
     if (!meta.contains(Intervals.MetaFrom) || !meta.contains(Intervals.MetaTo) ||
-        !meta.contains(Intervals.MetaGranularity))
-      return fallbackScan(spark, path, ts, rev)
+        !meta.contains(Intervals.MetaGranularity)) return None
     val fromCol = meta.getString(Intervals.MetaFrom)
     val toCol = meta.getString(Intervals.MetaTo)
     val gran = meta.getLong(Intervals.MetaGranularity)
@@ -135,12 +151,54 @@ object ValidTimeIndex {
     // a stab past the axis max cannot use the fork index (open intervals
     // registered at [from, axisMax] still contain such instants but their
     // forks are off the instant's root path) — same bail as the rule
-    if (ts < 0 || ts / gran > axisMax)
-      return idx.filter(stab).drop(Intervals.ForkCol, Intervals.ForkPartCol)
-    val nodes = Intervals.stabNodes(ts, gran).filter(_ <= axisMax)
-    idx.filter(col(Intervals.ForkPartCol).isin(nodes: _*) &&
-        col(Intervals.ForkCol).isin(nodes: _*) && stab)
-      .drop(Intervals.ForkCol, Intervals.ForkPartCol)
+    val pruned =
+      if (ts < 0 || ts / gran > axisMax)
+        idx.filter(stab).drop(Intervals.ForkCol, Intervals.ForkPartCol)
+      else {
+        val nodes = Intervals.stabNodes(ts, gran).filter(_ <= axisMax)
+        idx.filter(col(Intervals.ForkPartCol).isin(nodes: _*) &&
+            col(Intervals.ForkCol).isin(nodes: _*) && stab)
+          .drop(Intervals.ForkCol, Intervals.ForkPartCol)
+      }
+    Some((pruned, fromCol, toCol))
+  }
+
+  /** Delta-chain stab (see object scaladoc): fork-pruned read of the
+    * governing full's sidecar, then the epoch's delta change records
+    * applied on top and the stab re-checked (an update can move a row
+    * into or out of the stab; a delete removes it — the final filter and
+    * [[DeltaTemporalTable.applyDelta]]'s anti-join handle both). Answers
+    * are bit-identical to the reconstruction-scan fallback, which serves
+    * whenever the epoch's base predates the policy. */
+  private def validAtDelta(spark: SparkSession, path: String, ts: Long,
+                           rev: Int): DataFrame = {
+    def fb(): DataFrame = policy(path) match {
+      case Some((fromCol, toCol, _)) =>
+        DeltaTemporalTable.read(spark, path, Some(rev))
+          .filter(col(fromCol) <= ts && (col(toCol).isNull || col(toCol) > ts))
+      case None => throw new IllegalStateException(
+        s"validAt($path): no valid-time policy — set one with setPolicy, " +
+          "or stab with operators.Temporal.validAt over an explicit read")
+    }
+    if (policy(path).isEmpty) return fb()
+    val base = DeltaTemporalTable.baseFullRevision(path, Some(rev))
+    if (!MetaIO.exists(revDir(path, base))) return fb()
+    stabSidecarDir(spark, revDir(path, base), ts) match {
+      case None => fb()
+      case Some((stabbed, fromCol, toCol)) =>
+        val ovs = RevisionCompaction.overlays(path)
+        val epochDeltas = DeltaTemporalTable.commits(path)
+          .filter(c => c.revision > base && c.revision <= rev)
+        val merged = epochDeltas.foldLeft(stabbed) { (snap, c) =>
+          val delta = spark.read.parquet(
+            RevisionCompaction.effectiveDir(path, c.revision, ovs))
+          val keys = delta.columns.toSeq.takeWhile(_ != "__change_type")
+          DeltaTemporalTable.applyDelta(snap, delta, keys)
+        }
+        // re-stab: upserted rows entered unfiltered (their interval may
+        // not contain ts); untouched sidecar rows already satisfy it
+        merged.filter(col(fromCol) <= ts && (col(toCol).isNull || col(toCol) > ts))
+    }
   }
 
   private def fallbackScan(spark: SparkSession, path: String, ts: Long,

@@ -100,6 +100,91 @@ class ValidTimeIndexSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("delta chain: epoch-base sidecar serves stabs at delta revisions") {
+    val p = tmp("graft-vti-delta")
+    ValidTimeIndex.setPolicy(p, "vf", "vt", granularity = 64)
+    // epoch 1: full rev=1, then two delta commits mutating the chain —
+    // an update that moves a key INTO the stab window, one OUT of it, a
+    // delete, and fresh inserts (snapshotEvery=4 keeps all three in one
+    // epoch, so rev=3 stabs through rev=1's sidecar + two delta files)
+    val f1 = frame(400)
+    DeltaTemporalTable.write(spark, f1, p)
+    assert(MetaIO.exists(s"$p/_vindex/rev=1"),
+      "full commit of a delta chain skipped the epoch sidecar")
+    val f2 = f1.withColumn("vf",
+        when($"node_key" === 300L, lit(500L)).otherwise($"vf"))
+      .withColumn("vt",
+        when($"node_key" === 300L, lit(700L))
+          .when($"node_key" === 5L, lit(400L)) // 5 leaves the 555 stab
+          .otherwise($"vt"))
+    DeltaTemporalTable.write(spark, f2, p)
+    val f3 = f2.filter($"node_key" =!= 4L) // delete
+      .unionByName(Seq((900L, 540L, Some(600L))).toDF("node_key", "vf", "vt"))
+    DeltaTemporalTable.write(spark, f3, p)
+    assert(!MetaIO.exists(s"$p/_vindex/rev=2") &&
+      !MetaIO.exists(s"$p/_vindex/rev=3"),
+      "delta commits must not materialize sidecars")
+    for ((rev, ts) <- Seq((1, 555L), (2, 555L), (3, 555L), (3, 5000L),
+        (3, 19999L))) {
+      val got = ValidTimeIndex.validAt(spark, p, ts, Some(rev))
+        .select("node_key").as[Long].collect().toSet
+      val want = DeltaTemporalTable.read(spark, p, Some(rev))
+        .filter($"vf" <= ts && ($"vt".isNull || $"vt" > ts))
+        .select("node_key").as[Long].collect().toSet
+      assert(got == want && want.nonEmpty, s"rev=$rev ts=$ts: $got vs $want")
+    }
+    // the moved-in key is found, the moved-out and deleted ones are not
+    val at555 = ValidTimeIndex.validAt(spark, p, 555L, Some(3))
+      .select("node_key").as[Long].collect().toSet
+    assert(at555.contains(300L) && at555.contains(900L) &&
+      !at555.contains(5L) && !at555.contains(4L))
+    // physical evidence (file level, single-source frame): stabbing the
+    // BASE revision reads only stab-node fork partitions of the sidecar
+    val files = ValidTimeIndex.validAt(spark, p, 555L, Some(1))
+      .select(input_file_name()).distinct().as[String].collect()
+    assert(files.nonEmpty && files.forall(_.contains("/_vindex/")))
+    val allowed = Intervals.stabNodes(555L, 64)
+      .map(n => s"${Intervals.ForkPartCol}=$n").toSet
+    val touched = files.map { f =>
+      f.split("/").find(_.startsWith(s"${Intervals.ForkPartCol}="))
+        .getOrElse("?")
+    }.toSet
+    assert(touched.subsetOf(allowed), s"read outside the root path: $touched")
+    val allParts = MetaIO.listDirs(s"$p/_vindex/rev=1")
+      .count(_.startsWith(s"${Intervals.ForkPartCol}="))
+    assert(touched.size < allParts,
+      s"no pruning: touched ${touched.size} of $allParts partitions")
+    // plan evidence at the delta revision (input_file_name cannot span
+    // the union): the full's contribution scans the SIDECAR location
+    // with the fork IN-list, never the raw rev=1 data dir; the only raw
+    // dirs in the plan are the epoch's small delta files
+    val deltaPlan = ValidTimeIndex.validAt(spark, p, 555L, Some(3))
+      .queryExecution.executedPlan.toString
+    assert(deltaPlan.contains("_vindex"), s"sidecar absent from plan:\n$deltaPlan")
+    assert(!deltaPlan.contains(s"$p/rev=1"),
+      "stab scanned the raw full revision instead of the fork sidecar")
+    assert(deltaPlan.contains(Intervals.ForkPartCol),
+      s"no fork partition filter in the delta stab plan:\n$deltaPlan")
+    // compaction mints a new indexed epoch and later stabs use it
+    val cRev = DeltaTemporalTable.compact(spark, p)
+    assert(MetaIO.exists(s"$p/_vindex/rev=$cRev"),
+      "compact() skipped the epoch sidecar")
+    val gotC = ValidTimeIndex.validAt(spark, p, 555L, Some(cRev))
+      .select("node_key").as[Long].collect().toSet
+    assert(gotC == at555)
+    // pre-policy epochs fall back to the reconstruction scan, identically
+    val bare = tmp("graft-vti-delta-late")
+    DeltaTemporalTable.write(spark, frame(50), bare)
+    ValidTimeIndex.setPolicy(bare, "vf", "vt", granularity = 64)
+    DeltaTemporalTable.write(spark, frame(50, mult = 90L), bare)
+    val lateGot = ValidTimeIndex.validAt(spark, bare, 555L, Some(2))
+      .select("node_key").as[Long].collect().toSet
+    val lateWant = DeltaTemporalTable.read(spark, bare, Some(2))
+      .filter($"vf" <= 555L && ($"vt".isNull || $"vt" > 555L))
+      .select("node_key").as[Long].collect().toSet
+    assert(lateGot == lateWant && lateWant.nonEmpty)
+  }
+
   test("a re-set policy never misprunes revisions written under the old one") {
     // the sidecar's own fork metadata governs the read; the policy is
     // write-side only — a granularity change after revision 1 must not
