@@ -411,6 +411,37 @@ object RelationalQueries {
       snap.crossJoin(hist)
     },
 
+    // Projection-index serving (reference projection/ProjectionIndexBuilder
+    // .java:52): a declared (l_orderkey, l_quantity) projection over a
+    // 2-revision table serves a covering aggregate — the closure FAILS
+    // unless the executed plan reads the `_proj` sidecar and never the
+    // base table's data files; the oracle recomputes from raw lineitem,
+    // so a stale or fractional projection hash-mismatches
+    "q_projection_serve" -> { (s, d) =>
+      val p = java.nio.file.Files.createTempDirectory("graft-projq")
+        .toString + "/tbl"
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_returnflag"))
+      graft.sources.TemporalTable.write(
+        li.filter(col("l_orderkey") <= 3000), p)
+      graft.sources.ProjectionIndex.create(s, p, "oq",
+        Seq("l_orderkey", "l_quantity"))
+      graft.sources.TemporalTable.write(li, p)
+      graft.sources.ProjectionIndex.maintain(s, p, "oq")
+      val served = graft.sources.ProjectionIndex.readAuto(
+        s, p, Seq("l_orderkey", "l_quantity"), Some(2))
+      val plan = served.queryExecution.executedPlan.toString
+      require(plan.contains("_proj"),
+        s"projection did not serve the covering read:\n$plan")
+      require(!plan.contains(s"$p/rev="),
+        s"covering read scanned the base table's data files:\n$plan")
+      served.agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+    },
+
     // ---- nested data: JSON field extraction, array ops (SURVEY.md §2.2) ----
     "q_json_extract" -> { (s, d) =>
       t(s, d, "events")
@@ -554,6 +585,10 @@ object RelationalQueries {
         | FROM (SELECT l_linenumber, CAST(NULL AS VARCHAR) AS l_returnflag
         |         FROM lineitem WHERE l_orderkey <= 3000
         |       UNION ALL SELECT l_linenumber, l_returnflag FROM lineitem) u) b""".stripMargin,
+    "q_projection_serve" ->
+      """SELECT SUM(l_quantity) AS sum_qty, COUNT(*) AS n_rows,
+        |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+        |FROM lineitem""".stripMargin,
     "q_select_item" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM lineitem
         |WHERE l_orderkey = 42 AND l_linenumber = 1""".stripMargin,
