@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{FunctionQueries, PipelineQueries, RelationalQueries, StreamingQueries, TemporalQueries}
+import graft.queries.{FunctionQueries, JsoniqQueries, PipelineQueries, RelationalQueries, StreamingQueries, TemporalQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -20,7 +20,8 @@ object SparkEntry {
       (TemporalQueries.queries, TemporalQueries.oracles),
       (PipelineQueries.queries, PipelineQueries.oracles),
       (FunctionQueries.queries, FunctionQueries.oracles),
-      (StreamingQueries.queries, StreamingQueries.oracles)
+      (StreamingQueries.queries, StreamingQueries.oracles),
+      (JsoniqQueries.queries, JsoniqQueries.oracles)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

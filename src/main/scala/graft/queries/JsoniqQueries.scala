@@ -1,0 +1,101 @@
+package graft.queries
+
+import graft.query.JsoniqRun
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Differential oracle rows for the JSONiq front end: each row stores a
+  * document from the reference's own integration corpus
+  * (bundles/sirix-query/src/test/java/io/sirix/query/
+  * JsonIntegrationTest.java), runs the reference's query text VERBATIM
+  * through [[graft.query.JsoniqRun]], and returns the computed sequence
+  * serialization as one row. The DuckDB oracle is the reference's PINNED
+  * assertion as a literal — the row is green only when the engine
+  * computes the reference's answer from the input (pinned strings carry
+  * the two documented canonicalisations: sorted object keys and
+  * `sdb:nodekey` masked to 0, exactly `testIgnoreNodeKeys`'s compare).
+  * JsoniqSpec replays the wider corpus (26 queries); these rows put a
+  * representative of each operator class under the driver's oracle gate. */
+object JsoniqQueries {
+
+  private def runOne(s: SparkSession, setup: Seq[String],
+                     query: String): DataFrame = {
+    val st = new JsoniqRun.Store(s,
+      java.nio.file.Files.createTempDirectory("graft-jq-oracle").toString)
+    setup.foreach(JsoniqRun.serialize(st, _))
+    val out = JsoniqRun.serialize(st, query)
+    s.range(1).select(lit(out).as("result"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // deref over a parenthesized FLWOR pipeline (JsonIntegrationTest:42)
+    "j_deref_pipeline" -> { (s, _) =>
+      runOne(s, Nil,
+        """count((for $i in 1 to 3 return {"a": $i}).a)""")
+    },
+    // descendant deref =>> with child + descendant matches (ibid:75)
+    "j_descendant_deref" -> { (s, _) =>
+      runOne(s,
+        Seq("""jn:store('json-path1','mydoc.jn','[{"test": "test string"},{"test": [{"blabla": "test blabla string"}]}]')"""),
+        """let $array := jn:doc('json-path1','mydoc.jn')
+          |return $array=>>test""".stripMargin)
+    },
+    // =>> recursion into matched values (ibid:225, the nastiest pin)
+    "j_descendant_recurse" -> { (s, _) =>
+      runOne(s,
+        Seq("""jn:store('json-path1','mydoc.jn','[{"test": "test string"},{"test": [{"test": "test string"},{"test": {"test": {"test": "test string"}}}]}]')"""),
+        """let $array := jn:doc('json-path1','mydoc.jn')
+          |return $array=>>test""".stripMargin)
+    },
+    // FLWOR + deep-equal + object-merge construction (ibid:639)
+    "j_flwor_filter" -> { (s, _) =>
+      runOne(s,
+        Seq("""jn:store('json-path1','mydoc.jn','[{"generic": 1, "location": {"city": "Los Angeles", "state": "CA"}}, {"generic": 1, "location": {"city": "New York", "state": "NY"}}]')"""),
+        """for $i in jn:doc('json-path1','mydoc.jn') where deep-equal($i.generic, 1) return {$i,'nodeKey': sdb:nodekey($i)}""")
+    },
+    // nested unboxing + context-item predicate + value comparison (ibid:872)
+    "j_nesting_pred" -> { (s, _) =>
+      runOne(s,
+        Seq("""jn:store('json-path1','mydoc.jn','[{"key":0},{"value":[{"key":{"boolean":5}},{"newkey":"yes"}]},{"key":"hey","value":false}]')"""),
+        """for $i in jn:doc('json-path1','mydoc.jn')[1].value[].key[?$$.boolean gt 3] return { $i, "nodekey": sdb:nodekey($i) }""")
+    },
+    // array slice (ibid:519)
+    "j_array_slice" -> { (s, _) =>
+      runOne(s,
+        Seq("""jn:store('json-path1','mydoc.jn','[{"generic": 1, "location": {"city": "Los Angeles", "state": "CA"}},{"generic": 2, "location": {"city": "New York", "state": "NY"}},{"generic": 3, "location": {"city": "Montgomery", "state": "AL"}}]')"""),
+        """let $doc := jn:doc('json-path1','mydoc.jn')
+          |return $doc[0:1]""".stripMargin)
+    },
+    // FLWOR order by over computed keys + aggregate
+    "j_order_agg" -> { (s, _) =>
+      runOne(s,
+        Seq("""jn:store('c','o.jn','[{"n": 2},{"n": 9},{"n": 4}]')"""),
+        """for $i in jn:doc('c','o.jn') order by $i.n descending return $i.n""")
+    },
+    // temporal axis: re-store commits revisions, jn:all-times iterates them
+    "j_time_travel" -> { (s, _) =>
+      runOne(s,
+        Seq("""jn:store('c','doc.jn','{"v": 1}')""",
+          """jn:store('c','doc.jn','{"v": 2}')"""),
+        """for $d in jn:all-times(jn:doc('c','doc.jn')) return $d.v""")
+    })
+
+  private def pin(s: String): String =
+    "SELECT '" + s.replace("'", "''") + "' AS result"
+
+  val oracles: Map[String, String] = Map(
+    "j_deref_pipeline" -> pin("3"),
+    "j_descendant_deref" ->
+      pin("\"test string\" [{\"blabla\":\"test blabla string\"}]"),
+    "j_descendant_recurse" -> pin(
+      "\"test string\" [{\"test\":\"test string\"},{\"test\":{\"test\":{\"test\":\"test string\"}}}] " +
+        "\"test string\" {\"test\":{\"test\":\"test string\"}} {\"test\":\"test string\"} \"test string\""),
+    "j_flwor_filter" -> pin(
+      "{\"generic\":1,\"location\":{\"city\":\"Los Angeles\",\"state\":\"CA\"},\"nodeKey\":0} " +
+        "{\"generic\":1,\"location\":{\"city\":\"New York\",\"state\":\"NY\"},\"nodeKey\":0}"),
+    "j_nesting_pred" -> pin("{\"boolean\":5,\"nodekey\":0}"),
+    "j_array_slice" ->
+      pin("[{\"generic\":1,\"location\":{\"city\":\"Los Angeles\",\"state\":\"CA\"}}]"),
+    "j_order_agg" -> pin("9 4 2"),
+    "j_time_travel" -> pin("1 2"))
+}

@@ -1,0 +1,392 @@
+package graft.query
+
+/** JSONiq-subset front end, part 1: tokenizer + AST + recursive-descent
+  * parser. The textual query surface of the reference is JSONiq compiled
+  * through Brackit (bundles/sirix-query/src/main/java/io/sirix/query/
+  * SirixCompileChain.java:425-446); this front end parses the subset its
+  * integration corpus (JsonIntegrationTest.java) exercises and
+  * [[JsoniqRun]] compiles it onto the SAME public DataFrame operators a
+  * direct caller would use — it is a thin translator, not a second
+  * engine.
+  *
+  * Grammar subset (the corpus' surface):
+  *   FLWOR      for/let/where/order by/return (at-position omitted)
+  *   postfix    `.field` `."quoted"` `.$var` deref, `=>>field` descendant
+  *              deref, `[]` unbox, `[i]` 0-based index, `[i:j]` slice,
+  *              `[?pred]` filter with `$$` context item
+  *   operators  or/and, eq ne lt le gt ge = != < <= > >=, to,
+  *              + - * div idiv mod, unary -
+  *   primaries  literals, `{...}` object (incl. `{$x, "k": v}` merge),
+  *              `[...]` array, `($e, ...)` sequence, `$var`, `$$`,
+  *              if/then/else, function calls (qnames with `:`)
+  */
+object Jsoniq {
+
+  // ---------------------------------------------------------------- AST
+  sealed trait Expr
+  final case class NumLit(text: String) extends Expr
+  final case class StrLit(value: String) extends Expr
+  final case class BoolLit(value: Boolean) extends Expr
+  case object NullLit extends Expr
+  final case class VarRef(name: String) extends Expr
+  case object ContextItem extends Expr // $$
+  final case class SeqCtor(items: Seq[Expr]) extends Expr
+  final case class ArrayCtor(items: Seq[Expr]) extends Expr
+  /** entries: Left(splat source) | Right((key, value)) */
+  final case class ObjectCtor(entries: Seq[Either[Expr, (String, Expr)]]) extends Expr
+  final case class Deref(base: Expr, field: String) extends Expr
+  /** `.$var` — field name taken from a bound variable (bit:fields loop) */
+  final case class DerefVar(base: Expr, varName: String) extends Expr
+  final case class DescendantDeref(base: Expr, field: String) extends Expr
+  final case class Unbox(base: Expr) extends Expr
+  final case class ArrayIndex(base: Expr, index: Expr) extends Expr
+  final case class ArraySlice(base: Expr, from: Expr, until: Expr) extends Expr
+  final case class FilterPred(base: Expr, pred: Expr) extends Expr
+  final case class Binary(op: String, lhs: Expr, rhs: Expr) extends Expr
+  final case class Unary(op: String, e: Expr) extends Expr
+  final case class Range(from: Expr, to: Expr) extends Expr
+  final case class If(cond: Expr, thenE: Expr, elseE: Expr) extends Expr
+  final case class InstanceOf(e: Expr, typeName: String) extends Expr
+  final case class Call(name: String, args: Seq[Expr]) extends Expr
+  final case class ForClause(varName: String, in: Expr)
+  final case class LetClause(varName: String, value: Expr)
+  final case class OrderKey(key: Expr, descending: Boolean)
+  final case class Flwor(clauses: Seq[Either[ForClause, LetClause]],
+                         where: Option[Expr], orderBy: Seq[OrderKey],
+                         ret: Expr) extends Expr
+
+  // ------------------------------------------------------------- tokens
+  private sealed trait Tok
+  private final case class TNum(s: String) extends Tok
+  private final case class TStr(s: String) extends Tok
+  private final case class TName(s: String) extends Tok // possibly qname a:b
+  private final case class TVar(s: String) extends Tok // $name
+  private case object TCtx extends Tok // $$
+  private final case class TPunct(s: String) extends Tok
+
+  private def tokenize(q: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    val n = q.length
+    def isNameStart(c: Char) = c.isLetter || c == '_'
+    def isNamePart(c: Char) = c.isLetterOrDigit || c == '_' || c == '-'
+    while (i < n) {
+      val c = q(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '(' && i + 1 < n && q(i + 1) == ':') { // XQuery comment
+        var depth = 1; i += 2
+        while (i + 1 < n && depth > 0) {
+          if (q(i) == '(' && q(i + 1) == ':') { depth += 1; i += 2 }
+          else if (q(i) == ':' && q(i + 1) == ')') { depth -= 1; i += 2 }
+          else i += 1
+        }
+      } else if (c == '"' || c == '\'') {
+        val sb = new StringBuilder; i += 1
+        while (i < n && q(i) != c) {
+          if (q(i) == '\\' && i + 1 < n) { sb.append(unescape(q(i + 1))); i += 2 }
+          else { sb.append(q(i)); i += 1 }
+        }
+        require(i < n, s"unterminated string at offset $i")
+        i += 1
+        out += TStr(sb.toString)
+      } else if (c.isDigit) {
+        val j = i
+        while (i < n && (q(i).isDigit || q(i) == '.')) i += 1
+        out += TNum(q.substring(j, i))
+      } else if (isNameStart(c)) {
+        val j = i
+        while (i < n && isNamePart(q(i))) i += 1
+        var name = q.substring(j, i)
+        // qname: ns:local (but not `:=`)
+        if (i < n && q(i) == ':' && i + 1 < n && isNameStart(q(i + 1))) {
+          val k = i + 1; i += 1
+          while (i < n && isNamePart(q(i))) i += 1
+          name = name + ":" + q.substring(k, i)
+        }
+        out += TName(name)
+      } else if (c == '$') {
+        if (i + 1 < n && q(i + 1) == '$') { out += TCtx; i += 2 }
+        else {
+          val j = i + 1; i += 1
+          while (i < n && isNamePart(q(i))) i += 1
+          require(i > j, s"bare $$ at offset $j")
+          out += TVar(q.substring(j, i))
+        }
+      } else {
+        val three = if (i + 3 <= n) q.substring(i, i + 3) else ""
+        val two = if (i + 2 <= n) q.substring(i, i + 2) else ""
+        if (three == "=>>") { out += TPunct("=>>"); i += 3 }
+        else if (Set(":=", "!=", "<=", ">=", "[?").contains(two)) {
+          out += TPunct(two); i += 2
+        } else { out += TPunct(c.toString); i += 1 }
+      }
+    }
+    out.result()
+  }
+
+  private def unescape(c: Char): String = c match {
+    case 'n' => "\n"; case 't' => "\t"; case 'r' => "\r"
+    case other => other.toString
+  }
+
+  // ------------------------------------------------------------- parser
+  def parse(query: String): Expr = {
+    val p = new P(tokenize(stripProlog(query)))
+    val e = p.expr()
+    p.expectEnd()
+    e
+  }
+
+  /** Drop an `xquery version "...";` prolog (XMark queries carry one). */
+  private def stripProlog(q: String): String = {
+    val t = q.trim
+    if (t.startsWith("xquery")) t.substring(t.indexOf(';') + 1) else t
+  }
+
+  private final class P(toks: Vector[Tok]) {
+    private var pos = 0
+    private def peek: Option[Tok] = if (pos < toks.length) Some(toks(pos)) else None
+    private def next(): Tok = { val t = toks(pos); pos += 1; t }
+    private def at(s: String): Boolean = peek.contains(TPunct(s))
+    private def atName(s: String): Boolean = peek.contains(TName(s))
+    private def eat(s: String): Unit = {
+      require(at(s) || atName(s), s"expected '$s' at token $pos, got $peek")
+      pos += 1
+    }
+    def expectEnd(): Unit =
+      require(pos == toks.length, s"trailing tokens from $pos: ${toks.drop(pos).take(5)}")
+
+    def expr(): Expr = peek match {
+      case Some(TName("for")) | Some(TName("let")) => flwor()
+      case Some(TName("if")) => ifExpr()
+      case _ => orExpr()
+    }
+
+    private def flwor(): Expr = {
+      val clauses = Seq.newBuilder[Either[ForClause, LetClause]]
+      var more = true
+      while (more) peek match {
+        case Some(TName("for")) =>
+          eat("for")
+          var again = true
+          while (again) {
+            val v = varName()
+            eat("in")
+            clauses += Left(ForClause(v, orExpr()))
+            if (at(",")) eat(",") else again = false
+          }
+        case Some(TName("let")) =>
+          eat("let")
+          var again = true
+          while (again) {
+            val v = varName()
+            eat(":=")
+            clauses += Right(LetClause(v, exprSingleNoFlwor()))
+            if (at(",")) eat(",") else again = false
+          }
+        case _ => more = false
+      }
+      val where = if (atName("where")) { eat("where"); Some(orExpr()) } else None
+      val keys = Seq.newBuilder[OrderKey]
+      if (atName("order")) {
+        eat("order"); eat("by")
+        var again = true
+        while (again) {
+          val k = orExpr()
+          val desc =
+            if (atName("descending")) { eat("descending"); true }
+            else { if (atName("ascending")) eat("ascending"); false }
+          keys += OrderKey(k, desc)
+          if (at(",")) eat(",") else again = false
+        }
+      }
+      eat("return")
+      Flwor(clauses.result(), where, keys.result(), expr())
+    }
+
+    /** let-value position: a nested FLWOR must be parenthesized there, so
+      * `let $a := e for $b in ...` does not swallow the for. */
+    private def exprSingleNoFlwor(): Expr = peek match {
+      case Some(TName("if")) => ifExpr()
+      case _ => orExpr()
+    }
+
+    private def ifExpr(): Expr = {
+      eat("if"); eat("(")
+      val c = expr()
+      eat(")"); eat("then")
+      val t = expr()
+      eat("else")
+      If(c, t, expr())
+    }
+
+    private def varName(): String = next() match {
+      case TVar(v) => v
+      case other => throw new IllegalArgumentException(s"expected variable, got $other")
+    }
+
+    private def orExpr(): Expr = {
+      var e = andExpr()
+      while (atName("or")) { eat("or"); e = Binary("or", e, andExpr()) }
+      e
+    }
+    private def andExpr(): Expr = {
+      var e = cmpExpr()
+      while (atName("and")) { eat("and"); e = Binary("and", e, cmpExpr()) }
+      e
+    }
+    private val cmpOps = Set("eq", "ne", "lt", "le", "gt", "ge")
+    private def cmpExpr(): Expr = {
+      val e = instanceExpr()
+      peek match {
+        case Some(TName(op)) if cmpOps(op) => eat(op); Binary(op, e, instanceExpr())
+        case Some(TPunct(op)) if Set("=", "!=", "<", "<=", ">", ">=")(op) =>
+          eat(op)
+          val norm = Map("=" -> "eq", "!=" -> "ne", "<" -> "lt", "<=" -> "le",
+            ">" -> "gt", ">=" -> "ge")(op)
+          Binary(norm, e, instanceExpr())
+        case _ => e
+      }
+    }
+    private def instanceExpr(): Expr = {
+      val e = rangeExpr()
+      if (atName("instance")) {
+        eat("instance"); eat("of")
+        val tn = next() match {
+          case TName(t) => t
+          case other => throw new IllegalArgumentException(s"bad type name $other")
+        }
+        eat("("); eat(")")
+        InstanceOf(e, tn)
+      } else e
+    }
+    private def rangeExpr(): Expr = {
+      val e = addExpr()
+      if (atName("to")) { eat("to"); Range(e, addExpr()) } else e
+    }
+    private def addExpr(): Expr = {
+      var e = mulExpr()
+      var more = true
+      while (more) peek match {
+        case Some(TPunct("+")) => eat("+"); e = Binary("+", e, mulExpr())
+        case Some(TPunct("-")) => eat("-"); e = Binary("-", e, mulExpr())
+        case _ => more = false
+      }
+      e
+    }
+    private def mulExpr(): Expr = {
+      var e = unaryExpr()
+      var more = true
+      while (more) peek match {
+        case Some(TPunct("*")) => eat("*"); e = Binary("*", e, unaryExpr())
+        case Some(TName("div")) => eat("div"); e = Binary("div", e, unaryExpr())
+        case Some(TName("idiv")) => eat("idiv"); e = Binary("idiv", e, unaryExpr())
+        case Some(TName("mod")) => eat("mod"); e = Binary("mod", e, unaryExpr())
+        case _ => more = false
+      }
+      e
+    }
+    private def unaryExpr(): Expr =
+      if (at("-")) { eat("-"); Unary("-", postfixExpr()) } else postfixExpr()
+
+    private def postfixExpr(): Expr = {
+      var e = primary()
+      var more = true
+      while (more) peek match {
+        case Some(TPunct(".")) =>
+          eat(".")
+          next() match {
+            case TName(f) => e = Deref(e, f)
+            case TStr(f) => e = Deref(e, f)
+            case TVar(v) => e = DerefVar(e, v)
+            case other => throw new IllegalArgumentException(s"bad deref $other")
+          }
+        case Some(TPunct("=>>")) =>
+          eat("=>>")
+          next() match {
+            case TName(f) => e = DescendantDeref(e, f)
+            case TStr(f) => e = DescendantDeref(e, f)
+            case other => throw new IllegalArgumentException(s"bad =>> $other")
+          }
+        case Some(TPunct("[?")) =>
+          eat("[?")
+          e = FilterPred(e, expr())
+          eat("]")
+        case Some(TPunct("[")) =>
+          eat("[")
+          if (at("]")) { eat("]"); e = Unbox(e) }
+          else {
+            val i1 = expr()
+            if (at(":")) {
+              eat(":")
+              e = ArraySlice(e, i1, expr())
+            } else e = ArrayIndex(e, i1)
+            eat("]")
+          }
+        case _ => more = false
+      }
+      e
+    }
+
+    private def primary(): Expr = next() match {
+      case TNum(s) => NumLit(s)
+      case TStr(s) => StrLit(s)
+      case TCtx => ContextItem
+      case TVar(v) => VarRef(v)
+      case TPunct("(") =>
+        if (at(")")) { eat(")"); SeqCtor(Seq.empty) }
+        else {
+          val items = Seq.newBuilder[Expr]
+          items += expr()
+          while (at(",")) { eat(","); items += expr() }
+          eat(")")
+          val all = items.result()
+          if (all.size == 1) all.head else SeqCtor(all)
+        }
+      case TPunct("[") =>
+        if (at("]")) { eat("]"); ArrayCtor(Seq.empty) }
+        else {
+          val items = Seq.newBuilder[Expr]
+          items += expr()
+          while (at(",")) { eat(","); items += expr() }
+          eat("]")
+          ArrayCtor(items.result())
+        }
+      case TPunct("{") =>
+        val entries = Seq.newBuilder[Either[Expr, (String, Expr)]]
+        if (!at("}")) {
+          var again = true
+          while (again) {
+            peek match {
+              case Some(TStr(k)) =>
+                pos += 1; eat(":"); entries += Right((k, expr()))
+              case Some(TName(k)) if toks.lift(pos + 1).contains(TPunct(":")) =>
+                pos += 1; eat(":"); entries += Right((k, expr()))
+              case _ => entries += Left(expr()) // splat: {$i, "k": v}
+            }
+            if (at(",")) eat(",") else again = false
+          }
+        }
+        eat("}")
+        ObjectCtor(entries.result())
+      case TName("true") =>
+        if (at("(")) { eat("("); eat(")") }
+        BoolLit(true)
+      case TName("false") =>
+        if (at("(")) { eat("("); eat(")") }
+        BoolLit(false)
+      case TName("null") => NullLit
+      case TName(name) if at("(") =>
+        eat("(")
+        val args = Seq.newBuilder[Expr]
+        if (!at(")")) {
+          args += expr()
+          while (at(",")) { eat(","); args += expr() }
+        }
+        eat(")")
+        Call(name, args.result())
+      case other =>
+        throw new IllegalArgumentException(s"unexpected token $other at $pos")
+    }
+  }
+}

@@ -1,0 +1,669 @@
+package graft.query
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** JSONiq-subset front end, part 2: compile the [[Jsoniq]] AST onto
+  * DataFrame operators (reference: Brackit compile chain,
+  * bundles/sirix-query/src/main/java/io/sirix/query/SirixCompileChain
+  * .java:425-446; the JSON item/sequence semantics follow
+  * JsonIntegrationTest.java's pinned behaviour).
+  *
+  * Execution model — everything is a declarative Spark plan:
+  *
+  *  - a '''tuple stream''' (FLWOR binding tuples) is a DataFrame with an
+  *    `__ord: array<long>` order vector plus one variant column per
+  *    bound variable (`let`-bound sequences ride as `array<variant>`);
+  *  - an '''expression''' evaluates against a tuple stream to the same
+  *    stream plus (`__pos: array<long>`, `__item: variant`) — one row
+  *    per item of the result sequence, order vectors concatenated so
+  *    nested explosions stay document-ordered without a global sort;
+  *  - `for` = explode (one narrow transform), `where` = filter,
+  *    `order by` = sort, aggregates = groupBy on the order vector.
+  *
+  * Items are Spark VARIANT values: deref is `variant_get`, unboxing is
+  * `posexplode(cast(v AS array<variant>))`, construction round-trips
+  * through JSON text — all Catalyst expressions, so a `for` over a
+  * billion-member array distributes like any explode. The driver only
+  * assembles plans; [[serialize]] collects purely for the differential
+  * test harness. Two deliberate deviations, both canonicalisations:
+  * objects serialize with SORTED keys (the variant encoding's canonical
+  * form — the differential specs normalise the reference's pinned
+  * strings the same way), and `sdb:nodekey` returns 0 (node identity is
+  * not part of the value model; the reference's own testIgnoreNodeKeys
+  * compares with node keys masked). Descendant deref (`=>>`) walks
+  * arbitrary-depth subtrees — recursion no Catalyst expression
+  * expresses — so it maps items through a Jackson pre-order walk
+  * (flatMap), the same escape hatch the StAX shredder uses. */
+object JsoniqRun {
+
+  private val ORD = "__ord"
+  private val POS = "__pos"
+  private val ITEM = "__item"
+
+  private sealed trait Binding
+  private final case class ItemVar(colName: String) extends Binding
+  private final case class SeqVar(colName: String) extends Binding
+
+  /** One document store (jn:store / jn:doc target). Documents are
+    * temporal tables of a single `doc_json` column — every re-store is a
+    * new revision, so `jn:doc(c, d, rev)` time travel is the library's
+    * own revision read. */
+  final class Store(val spark: SparkSession, val baseDir: String) {
+    private[query] def docPath(collection: String, doc: String): String = {
+      require(!collection.contains("..") && !doc.contains(".."),
+        "store names must not escape the store directory")
+      s"$baseDir/$collection/$doc"
+    }
+    private[query] def store(collection: String, doc: String, json: String): Unit = {
+      import spark.implicits._
+      graft.sources.TemporalTable.write(
+        Seq(json).toDF("doc_json"), docPath(collection, doc))
+      ()
+    }
+    private[query] def doc(collection: String, doc: String,
+                           revision: Option[Int]): DataFrame =
+      graft.sources.TemporalTable
+        .read(spark, docPath(collection, doc), revision)
+        .select(col("doc_json"))
+  }
+
+  /** Parse + compile + return the result sequence as a DataFrame of
+    * (`pos: array<long>`, `item_json: string`) in sequence order. */
+  def run(store: Store, query: String): DataFrame = {
+    val seqDf = compile(store, query)
+    seqDf
+      .select(col(POS), to_json(col(ITEM)).as("item_json"),
+        concat(col(ORD), col(POS)).as("__k"))
+      .orderBy("__k")
+      .select(col(POS).as("pos"), col("item_json"))
+  }
+
+  /** Run and serialize the way the reference serializes a top-level
+    * sequence: JSON items joined by single spaces. Collects — use from
+    * tests and pinned-assertion rows only. */
+  def serialize(store: Store, query: String): String =
+    run(store, query).select("item_json")
+      .collect().map(_.getString(0)).mkString(" ")
+
+  private def compile(store: Store, query: String): DataFrame = {
+    val ast = Jsoniq.parse(query)
+    val root = store.spark.range(1)
+      .select(array(lit(0L)).as(ORD))
+    evalSeq(store, ast, root, Map.empty)
+  }
+
+  private var gensymCounter = 0
+  private def gensym(prefix: String): String = synchronized {
+    gensymCounter += 1
+    s"__${prefix}_$gensymCounter"
+  }
+
+  private def vnull: Column = expr("parse_json('null')")
+  private def asBool(c: Column): Column = c.try_cast("boolean")
+
+  private def jsonNumber(c: Column): Column = parse_json(c.cast("string"))
+  private def jsonBool(c: Column): Column =
+    parse_json(when(c, lit("true")).otherwise(lit("false")))
+  /** Quote an arbitrary string column as a JSON string (escaping via
+    * to_json of a 1-element array, then stripping the brackets). */
+  private def jsonString(c: Column): Column = {
+    val arr = to_json(array(c))
+    parse_json(arr.substr(lit(2), length(arr) - 2))
+  }
+
+  private def fieldPath(f: String): String =
+    if (f.matches("[A-Za-z_][A-Za-z0-9_]*")) "$." + f
+    else "$['" + f.replace("'", "\\'") + "']"
+
+  // ------------------------------------------------------- sequence eval
+  /** Evaluate `e` against the tuple stream: returns the stream's columns
+    * + (__pos, __item), one row per item. */
+  private def evalSeq(store: Store, e: Jsoniq.Expr, tuples: DataFrame,
+                      env: Map[String, Binding]): DataFrame = {
+    import Jsoniq._
+    pointwise(e, env) match {
+      case Some(c) =>
+        // scalar whose value is computable per tuple with no reshaping
+        tuples.withColumn(POS, array(lit(0L))).withColumn(ITEM, c)
+          .filter(col(ITEM).isNotNull)
+      case None => e match {
+        case VarRef(name) => env.get(name) match {
+          case Some(SeqVar(cn)) =>
+            tuples
+              .select(tuples.columns.map(col) :+
+                posexplode(col(cn)).as(Seq("__p0", ITEM)): _*)
+              .withColumn(POS, array(col("__p0").cast("long")))
+              .drop("__p0")
+          case Some(ItemVar(_)) =>
+            throw new IllegalStateException("item var is pointwise")
+          case None =>
+            throw new IllegalArgumentException(s"unbound variable $$$name")
+        }
+        case SeqCtor(items) =>
+          val parts = items.zipWithIndex.map { case (it, i) =>
+            evalSeq(store, it, tuples, env)
+              .withColumn(POS, concat(array(lit(i.toLong)), col(POS)))
+          }
+          if (parts.isEmpty)
+            tuples.withColumn(POS, array(lit(0L))).withColumn(ITEM, vnull)
+              .filter(lit(false))
+          else parts.reduce(_ unionByName _)
+        case Range(fromE, toE) =>
+          val withF = evalScalar(store, fromE, tuples, env)
+          val f = gensym("rf")
+          val step1 = withF.withColumnRenamed("__v", f)
+          val step2 = evalScalar(store, toE, step1, env)
+          step2
+            .select(step2.columns.map(col) :+ posexplode(
+              expr(s"sequence(try_cast($f as long), try_cast(__v as long))"))
+              .as(Seq("__p0", "__n")): _*)
+            .withColumn(POS, array(col("__p0").cast("long")))
+            .withColumn(ITEM, jsonNumber(col("__n")))
+            .drop("__p0", "__n", "__v", f)
+        case Deref(base, field) =>
+          val b = evalSeq(store, base, tuples, env)
+          b.withColumn(ITEM, expr(
+              s"variant_get($ITEM, '${fieldPath(field).replace("'", "''")}')"))
+            .filter(col(ITEM).isNotNull)
+        case DescendantDeref(base, field) =>
+          descendantDeref(store, evalSeq(store, base, tuples, env), field)
+        case Unbox(base) =>
+          val b = evalSeq(store, base, tuples, env)
+            .withColumn("__arr", expr(s"try_cast($ITEM as array<variant>)"))
+            .filter(col("__arr").isNotNull)
+          val keep = b.columns
+            .filter(c => c != ITEM && c != "__arr" && c != POS).map(col)
+          b.select(keep :+ col(POS) :+
+              posexplode(col("__arr")).as(Seq("__p0", ITEM)): _*)
+            .withColumn(POS, concat(col(POS), array(col("__p0").cast("long"))))
+            .drop("__p0")
+        case ArrayIndex(base, idxE) =>
+          val b = evalSeq(store, base, tuples, env)
+          val withI = evalScalar(store, idxE, b, env) // idx may use tuple vars
+          withI
+            .withColumn(ITEM, element_at(
+              expr(s"try_cast($ITEM as array<variant>)"),
+              (expr("try_cast(__v as long)") + 1).cast("int")))
+            .filter(col(ITEM).isNotNull)
+            .drop("__v")
+        case ArraySlice(base, fromE, untilE) =>
+          val b = evalSeq(store, base, tuples, env)
+          val f = gensym("sf")
+          val s1 = evalScalar(store, fromE, b, env).withColumnRenamed("__v", f)
+          val s2 = evalScalar(store, untilE, s1, env)
+          s2
+            .withColumn("__sl", expr(
+              s"slice(try_cast($ITEM as array<variant>), " +
+                s"try_cast($f as int) + 1, " +
+                s"try_cast(__v as int) - try_cast($f as int))"))
+            .filter(col("__sl").isNotNull)
+            .withColumn(ITEM, parse_json(concat(lit("["),
+              array_join(expr("transform(__sl, x -> to_json(x))"), ","),
+              lit("]"))))
+            .drop("__sl", "__v", f)
+        case FilterPred(base, pred) =>
+          val b = evalSeq(store, base, tuples, env)
+          val ord0 = gensym("fo")
+          val ctx = gensym("fc")
+          val promoted = b
+            .withColumnRenamed(ITEM, ctx)
+            .withColumn(ord0, col(ORD))
+            .withColumn(ORD, concat(col(ORD), col(POS)))
+          val checked = evalScalar(store, pred, promoted,
+            env + ("$$" -> ItemVar(ctx)))
+          checked.filter(asBool(col("__v")))
+            .withColumn(ORD, col(ord0))
+            .withColumnRenamed(ctx, ITEM)
+            .drop("__v", ord0)
+        case Flwor(clauses, whereE, orderKeys, retE) =>
+          // stash the caller's order vector: the clauses grow ORD with
+          // iteration suffixes, and the RESULT must surface those
+          // suffixes as sequence positions relative to the ORIGINAL
+          // tuples (count() etc. group on the caller's ORD)
+          val ord0 = gensym("fw")
+          var cur = tuples.withColumn(ord0, col(ORD))
+          var curEnv = env
+          clauses.foreach {
+            case Left(ForClause(v, inE)) =>
+              // `for` iterates ARRAY items member-wise (the corpus'
+              // dialect: `for $i in jn:doc(...)` over an array document
+              // binds each member — JsonIntegrationTest testSimpleQuery's
+              // pinned behaviour); non-array items bind as themselves
+              val s0 = evalSeq(store, inE, cur, curEnv)
+                .withColumn("__arr", expr(s"try_cast($ITEM as array<variant>)"))
+              val scalarPart = s0.filter(col("__arr").isNull)
+                .withColumn(POS, concat(col(POS), array(lit(0L))))
+                .drop("__arr")
+              val keepCols = s0.columns
+                .filter(c => c != ITEM && c != "__arr" && c != POS).map(col)
+              val arrayPart = s0.filter(col("__arr").isNotNull)
+                .select(keepCols :+ col(POS) :+
+                  posexplode(col("__arr")).as(Seq("__p0", ITEM)): _*)
+                .withColumn(POS, concat(col(POS), array(col("__p0").cast("long"))))
+                .drop("__p0")
+              val s = scalarPart.unionByName(arrayPart)
+              val cn = gensym(s"v_$v")
+              cur = s.withColumn(ORD, concat(col(ORD), col(POS)))
+                .withColumnRenamed(ITEM, cn)
+                .drop(POS)
+              curEnv = curEnv + (v -> ItemVar(cn))
+            case Right(LetClause(v, valueE)) =>
+              val s = evalSeq(store, valueE, cur, curEnv)
+              val cn = gensym(s"s_$v")
+              // variant is not orderable: sort on (pos, json text) and
+              // re-parse — canonical text round-trips losslessly
+              val agg = s.groupBy(col(ORD).as("__jord"))
+                .agg(expr(s"transform(sort_array(collect_list(struct(" +
+                  s"$POS as p, to_json($ITEM) as i))), s -> parse_json(s.i))")
+                  .as(cn))
+              cur = cur.join(agg, cur(ORD) === agg("__jord"), "left")
+                .drop("__jord")
+                .withColumn(cn, coalesce(col(cn), expr("array()")))
+              curEnv = curEnv + (v -> SeqVar(cn))
+          }
+          whereE.foreach { w =>
+            cur = evalScalar(store, w, cur, curEnv)
+              .filter(asBool(col("__v"))).drop("__v")
+          }
+          if (orderKeys.nonEmpty) {
+            var keyed = cur
+            val sortCols = orderKeys.zipWithIndex.flatMap { case (ok, i) =>
+              val kn = gensym(s"ok$i")
+              keyed = evalScalar(store, ok.key, keyed, curEnv)
+                .withColumnRenamed("__v", kn)
+              val nCol = expr(s"try_cast($kn as double)")
+              val sCol = expr(s"try_cast($kn as string)")
+              if (ok.descending) Seq(nCol.desc_nulls_last, sCol.desc_nulls_last)
+              else Seq(nCol.asc_nulls_last, sCol.asc_nulls_last)
+            }
+            // re-number WITHIN each original tuple so ORD stays a
+            // prefix-extension of ord0 (the suffix-recovery below)
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(col(ord0))
+              .orderBy(sortCols :+ col(ORD).asc: _*)
+            keyed = keyed.withColumn(ORD,
+              concat(col(ord0), array(row_number().over(w).cast("long"))))
+            cur = keyed.drop(keyed.columns.filter(_.startsWith("__ok")): _*)
+          }
+          val ret = evalSeq(store, retE, cur, curEnv)
+          // iteration suffix (ORD beyond the caller's prefix) becomes the
+          // leading sequence position; the caller's ORD is restored
+          val restored = ret
+            .withColumn(POS, concat(
+              expr(s"slice($ORD, size($ord0) + 1, size($ORD) - size($ord0))"),
+              col(POS)))
+            .withColumn(ORD, col(ord0))
+          // project away this FLWOR's bindings so unions stay aligned
+          val keep = tuples.columns.toSet + POS + ITEM
+          restored.select(restored.columns.filter(keep).map(col): _*)
+        case If(condE, thenE, elseE) =>
+          val c = evalScalar(store, condE, tuples, env)
+          val t = evalSeq(store, thenE,
+            c.filter(asBool(col("__v"))).drop("__v"), env)
+          val f = evalSeq(store, elseE,
+            c.filter(!coalesce(asBool(col("__v")), lit(false))).drop("__v"), env)
+          t.unionByName(f)
+        case Call(name, args) if SeqFunctions(name) =>
+          evalCallSeq(store, name, args, tuples, env)
+        case ObjectCtor(_) | ArrayCtor(_) | Binary(_, _, _) | Unary(_, _) |
+            InstanceOf(_, _) | NumLit(_) | StrLit(_) | BoolLit(_) | NullLit |
+            ContextItem | Call(_, _) =>
+          val s = evalScalar(store, e, tuples, env)
+          s.withColumn(POS, array(lit(0L)))
+            .withColumnRenamed("__v", ITEM)
+            .filter(col(ITEM).isNotNull)
+        case DerefVar(_, _) =>
+          throw new UnsupportedOperationException(
+            "dynamic deref (.$var) is outside the compiled subset")
+      }
+    }
+  }
+
+  /** Column for expressions computable per tuple without reshaping. */
+  private def pointwise(e: Jsoniq.Expr,
+                        env: Map[String, Binding]): Option[Column] = {
+    import Jsoniq._
+    e match {
+      case NumLit(t) => Some(parse_json(lit(t)))
+      case StrLit(s) => Some(jsonString(lit(s)))
+      case BoolLit(b) => Some(parse_json(lit(if (b) "true" else "false")))
+      case NullLit => Some(vnull)
+      case ContextItem => env.get("$$") match {
+        case Some(ItemVar(cn)) => Some(col(cn))
+        case _ => throw new IllegalArgumentException("$$ outside a predicate")
+      }
+      case VarRef(n) => env.get(n) match {
+        case Some(ItemVar(cn)) => Some(col(cn))
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
+  // --------------------------------------------------------- scalar eval
+  /** Evaluate `e` to at most one item per tuple: returns the stream +
+    * `__v` (variant; SQL null = empty sequence). Multi-item results keep
+    * the first item in sequence order (the corpus' scalar positions are
+    * genuinely single-valued). */
+  private def evalScalar(store: Store, e: Jsoniq.Expr, tuples: DataFrame,
+                         env: Map[String, Binding]): DataFrame = {
+    import Jsoniq._
+    pointwise(e, env) match {
+      case Some(c) => tuples.withColumn("__v", c)
+      case None => e match {
+        case Binary(op, l, r) if Set("or", "and")(op) =>
+          val lf = gensym("bl")
+          val s1 = evalScalar(store, l, tuples, env).withColumnRenamed("__v", lf)
+          val s2 = evalScalar(store, r, s1, env)
+          val b =
+            if (op == "or")
+              coalesce(asBool(col(lf)), lit(false)) ||
+                coalesce(asBool(col("__v")), lit(false))
+            else
+              coalesce(asBool(col(lf)), lit(false)) &&
+                coalesce(asBool(col("__v")), lit(false))
+          s2.withColumn("__v", jsonBool(b)).drop(lf)
+        case Binary(op, l, r) if Set("eq", "ne", "lt", "le", "gt", "ge")(op) =>
+          val lf = gensym("cl")
+          val s1 = evalScalar(store, l, tuples, env).withColumnRenamed("__v", lf)
+          val s2 = evalScalar(store, r, s1, env)
+          val ld = expr(s"try_cast($lf as double)")
+          val rd = expr("try_cast(__v as double)")
+          val ls = expr(s"cast($lf as string)")
+          val rs = expr("cast(__v as string)")
+          def cmp(a: Column, b: Column): Column = op match {
+            case "eq" => a === b; case "ne" => a =!= b
+            case "lt" => a < b; case "le" => a <= b
+            case "gt" => a > b; case "ge" => a >= b
+          }
+          val b = when(ld.isNotNull && rd.isNotNull, cmp(ld, rd))
+            .otherwise(cmp(ls, rs))
+          // empty operand -> empty result (SQL null propagates)
+          s2.withColumn("__v",
+            when(col(lf).isNull || col("__v").isNull, lit(null))
+              .otherwise(jsonBool(b))).drop(lf)
+        case Binary(op, l, r) => // arithmetic
+          val lf = gensym("al")
+          val s1 = evalScalar(store, l, tuples, env).withColumnRenamed("__v", lf)
+          val s2 = evalScalar(store, r, s1, env)
+          val ints = Set("BIGINT", "INT", "SMALLINT", "TINYINT")
+          val bothInt = expr(s"schema_of_variant($lf)").isin(ints.toSeq: _*) &&
+            expr("schema_of_variant(__v)").isin(ints.toSeq: _*)
+          val ll = expr(s"try_cast($lf as long)")
+          val rl = expr("try_cast(__v as long)")
+          val ld = expr(s"try_cast($lf as double)")
+          val rd = expr("try_cast(__v as double)")
+          def arith(a: Column, b: Column): Column = op match {
+            case "+" => a + b; case "-" => a - b; case "*" => a * b
+            case "div" => a / b; case "idiv" => (a / b).cast("long")
+            case "mod" => a % b
+            case other => throw new IllegalArgumentException(s"op $other")
+          }
+          val intResult = Set("+", "-", "*", "idiv", "mod")(op)
+          val v = when(col(lf).isNull || col("__v").isNull, lit(null))
+            .when(bothInt && lit(intResult), jsonNumber(arith(ll, rl)))
+            .otherwise(jsonNumber(arith(ld, rd)))
+          s2.withColumn("__v", v).drop(lf)
+        case Unary("-", x) =>
+          val s = evalScalar(store, x, tuples, env)
+          s.withColumn("__v",
+            when(expr("schema_of_variant(__v)") === "BIGINT",
+              jsonNumber(-expr("try_cast(__v as long)")))
+            .otherwise(jsonNumber(-expr("try_cast(__v as double)"))))
+        case InstanceOf(x, typeName) =>
+          val s = evalScalar(store, x, tuples, env)
+          val schema = expr("schema_of_variant(__v)")
+          val b = typeName match {
+            case "object" => schema.startsWith("OBJECT") || schema.startsWith("STRUCT")
+            case "array" => schema.startsWith("ARRAY")
+            case "string" => schema === "STRING"
+            case other =>
+              throw new UnsupportedOperationException(s"instance of $other()")
+          }
+          s.withColumn("__v",
+            when(col("__v").isNull, lit(null)).otherwise(jsonBool(b)))
+        case ObjectCtor(entries) =>
+          var cur = tuples
+          val parts = entries.zipWithIndex.map {
+            case (Right((k, ve)), i) =>
+              val cn = gensym(s"oe$i")
+              cur = evalScalar(store, ve, cur, env).withColumnRenamed("__v", cn)
+              val keyJson = lit("\"" + k.replace("\\", "\\\\")
+                .replace("\"", "\\\"") + "\":")
+              concat(keyJson, to_json(coalesce(col(cn), vnull)))
+            case (Left(splat), i) =>
+              val cn = gensym(s"os$i")
+              cur = evalScalar(store, splat, cur, env).withColumnRenamed("__v", cn)
+              val j = to_json(col(cn))
+              when(col(cn).isNull || j === "{}", lit(""))
+                .otherwise(j.substr(lit(2), length(j) - 2))
+          }
+          val body = array_join(
+            filter(array(parts: _*), p => p =!= lit("")), ",")
+          val out = cur.withColumn("__v",
+            parse_json(concat(lit("{"), body, lit("}"))))
+          out.drop(out.columns.filter(c =>
+            c.startsWith("__oe") || c.startsWith("__os")): _*)
+        case ArrayCtor(items) =>
+          var cur = tuples
+          val parts = items.zipWithIndex.map { case (ve, i) =>
+            val cn = gensym(s"ae$i")
+            cur = evalScalar(store, ve, cur, env).withColumnRenamed("__v", cn)
+            to_json(coalesce(col(cn), vnull))
+          }
+          val body =
+            if (parts.isEmpty) lit("") else array_join(array(parts: _*), ",")
+          val out = cur.withColumn("__v",
+            parse_json(concat(lit("["), body, lit("]"))))
+          out.drop(out.columns.filter(_.startsWith("__ae")): _*)
+        case Call(name, args) => evalCallScalar(store, name, args, tuples, env)
+        case other =>
+          // general route: evaluate the sequence, keep the first item
+          val s = evalSeq(store, other, tuples, env)
+          val agg = s.groupBy(col(ORD).as("__jord"))
+            .agg(expr(s"min_by($ITEM, $POS)").as("__v"))
+          tuples.join(agg, tuples(ORD) === agg("__jord"), "left")
+            .drop("__jord")
+      }
+    }
+  }
+
+  // ------------------------------------------------------------ functions
+  private def evalCallScalar(store: Store, name: String,
+                             args: Seq[Jsoniq.Expr], tuples: DataFrame,
+                             env: Map[String, Binding]): DataFrame = {
+    def aggOver(e: Jsoniq.Expr, aggs: Seq[Column],
+                finish: DataFrame => Column): DataFrame = {
+      val s = evalSeq(store, e, tuples, env)
+      val g = s.groupBy(col(ORD).as("__jord")).agg(aggs.head, aggs.tail: _*)
+      val joined = tuples.join(g, tuples(ORD) === g("__jord"), "left")
+        .drop("__jord")
+      joined.withColumn("__v", finish(joined))
+        .drop(g.columns.filter(_ != "__jord").filter(joined.columns.contains): _*)
+    }
+    name match {
+      case "count" =>
+        require(args.size == 1, "count(arg)")
+        aggOver(args.head, Seq(count(lit(1)).as("__c")),
+          d => jsonNumber(coalesce(col("__c"), lit(0L))))
+      case "sum" =>
+        require(args.size == 1, "sum(arg)")
+        aggOver(args.head, Seq(
+          sum(expr(s"try_cast($ITEM as long)")).as("__sl"),
+          sum(expr(s"try_cast($ITEM as double)")).as("__sd"),
+          count(lit(1)).as("__c"),
+          count(expr(s"case when schema_of_variant($ITEM) = 'BIGINT' " +
+            "then 1 end")).as("__ci")),
+          d => when(coalesce(col("__c"), lit(0L)) === 0, jsonNumber(lit(0L)))
+            .when(col("__ci") === col("__c"), jsonNumber(col("__sl")))
+            .otherwise(jsonNumber(col("__sd"))))
+      case "exists" =>
+        aggOver(args.head, Seq(count(lit(1)).as("__c")),
+          d => jsonBool(coalesce(col("__c"), lit(0L)) > 0))
+      case "empty" =>
+        aggOver(args.head, Seq(count(lit(1)).as("__c")),
+          d => jsonBool(coalesce(col("__c"), lit(0L)) === 0))
+      case "not" =>
+        val s = evalScalar(store, args.head, tuples, env)
+        s.withColumn("__v",
+          jsonBool(!coalesce(asBool(col("__v")), lit(false))))
+      case "contains" =>
+        require(args.size == 2, "contains(s, sub)")
+        val lf = gensym("cs")
+        val s1 = evalScalar(store, args.head, tuples, env)
+          .withColumnRenamed("__v", lf)
+        val s2 = evalScalar(store, args(1), s1, env)
+        s2.withColumn("__v", jsonBool(
+            expr(s"contains(cast($lf as string), cast(__v as string))")))
+          .drop(lf)
+      case "deep-equal" =>
+        require(args.size == 2, "deep-equal(a, b)")
+        val lf = gensym("de")
+        val s1 = evalScalar(store, args.head, tuples, env)
+          .withColumnRenamed("__v", lf)
+        val s2 = evalScalar(store, args(1), s1, env)
+        s2.withColumn("__v",
+            when(col(lf).isNull || col("__v").isNull, lit(null))
+              .otherwise(jsonBool(to_json(col(lf)) === to_json(col("__v")))))
+          .drop(lf)
+      case "string" | "xs:string" =>
+        val s = evalScalar(store, args.head, tuples, env)
+        s.withColumn("__v", jsonString(expr("cast(__v as string)")))
+      case "xs:integer" =>
+        val s = evalScalar(store, args.head, tuples, env)
+        s.withColumn("__v", jsonNumber(expr("try_cast(__v as long)")))
+      case "zero-or-one" => evalScalar(store, args.head, tuples, env)
+      case "sdb:nodekey" =>
+        // node identity is not part of the value model (object scaladoc);
+        // the reference's own harness masks these before comparing
+        val s = evalScalar(store, args.head, tuples, env)
+        s.withColumn("__v", jsonNumber(lit(0L)))
+      case "min" | "max" =>
+        val fn = if (name == "min") "min" else "max"
+        aggOver(args.head, Seq(
+          expr(s"$fn(try_cast($ITEM as double))").as("__m"),
+          count(lit(1)).as("__c"),
+          count(expr(s"case when schema_of_variant($ITEM) = 'BIGINT' " +
+            "then 1 end")).as("__ci")),
+          d => when(coalesce(col("__c"), lit(0L)) === 0, lit(null))
+            .when(col("__ci") === col("__c"),
+              jsonNumber(col("__m").cast("long")))
+            .otherwise(jsonNumber(col("__m"))))
+      case "avg" =>
+        aggOver(args.head, Seq(
+          avg(expr(s"try_cast($ITEM as double)")).as("__a"),
+          count(lit(1)).as("__c")),
+          d => when(coalesce(col("__c"), lit(0L)) === 0, lit(null))
+            .otherwise(jsonNumber(col("__a"))))
+      case other =>
+        val s = evalCallSeq(store, other, args, tuples, env)
+        val agg = s.groupBy(col(ORD).as("__jord"))
+          .agg(expr(s"min_by($ITEM, $POS)").as("__v"))
+        tuples.join(agg, tuples(ORD) === agg("__jord"), "left").drop("__jord")
+    }
+  }
+
+  /** Functions whose result is inherently a sequence / needs the store. */
+  private val SeqFunctions = Set("jn:store", "jn:doc", "jn:all-times")
+
+  private def evalCallSeq(store: Store, name: String, args: Seq[Jsoniq.Expr],
+                          tuples: DataFrame,
+                          env: Map[String, Binding]): DataFrame = {
+    import Jsoniq._
+    def litStr(e: Expr, what: String): String = e match {
+      case StrLit(s) => s
+      case other =>
+        throw new UnsupportedOperationException(s"$what must be a literal, got $other")
+    }
+    name match {
+      case "jn:store" =>
+        require(args.size == 3, "jn:store(collection, doc, json)")
+        store.store(litStr(args(0), "collection"), litStr(args(1), "doc"),
+          litStr(args(2), "json"))
+        tuples.withColumn(POS, array(lit(0L))).withColumn(ITEM, vnull)
+          .filter(lit(false)) // empty result sequence
+      case "jn:doc" =>
+        require(args.size == 2 || args.size == 3, "jn:doc(collection, doc[, rev])")
+        val rev = args.lift(2).map {
+          case NumLit(t) => t.toInt
+          case other =>
+            throw new UnsupportedOperationException(s"revision literal, got $other")
+        }
+        val doc = store.doc(litStr(args(0), "collection"), litStr(args(1), "doc"), rev)
+        tuples.crossJoin(broadcast(
+            doc.select(parse_json(col("doc_json")).as(ITEM))))
+          .withColumn(POS, array(lit(0L)))
+      case "jn:all-times" =>
+        // every committed revision's root, ordered by revision — the
+        // reference's time axis iteration (jn:all-times). The argument
+        // must be a jn:doc call (the axis is per document, not per node).
+        args.head match {
+          case Call("jn:doc", dargs) =>
+            val path = store.docPath(litStr(dargs(0), "collection"),
+              litStr(dargs(1), "doc"))
+            val all = graft.sources.TemporalTable
+              .readAllRevisions(store.spark, path)
+              .select(parse_json(col("doc_json")).as(ITEM),
+                array(col("revision").cast("long")).as(POS))
+            tuples.crossJoin(broadcast(all))
+          case other =>
+            throw new UnsupportedOperationException(
+              s"jn:all-times over ${other.getClass.getSimpleName}")
+        }
+      case other =>
+        throw new UnsupportedOperationException(s"unsupported function $other()")
+    }
+  }
+
+  // ----------------------------------------------- descendant deref (=>>)
+  /** Pre-order walk collecting every value of `field` at ANY depth —
+    * matches recurse into matched values too (JsonIntegrationTest
+    * testDescendantDerefExprWithDifferentPaths2's pinned behaviour). */
+  private def descendantDeref(store: Store, seq: DataFrame,
+                              field: String): DataFrame = {
+    val spark = seq.sparkSession
+    import spark.implicits._
+    // variant columns cannot ride a typed flatMap: walk (key, json) pairs
+    // only and join back on the (ORD, POS) identity, which is unique per
+    // item row and fully deterministic
+    val key = concat(concat_ws(",", col(ORD)), lit("|"), concat_ws(",", col(POS)))
+    val pairs = seq.select(key.as("__k"), to_json(col(ITEM)).as("__j"))
+      .as[(String, String)]
+      .flatMap { case (k, j) =>
+        walkCollect(j, field).zipWithIndex.map { case (m, i) => (k, i.toLong, m) }
+      }
+      .toDF("__k", "__p0", "__mj")
+    seq.withColumn("__k", key)
+      .drop(ITEM)
+      .join(pairs, "__k")
+      .withColumn(POS, concat(col(POS), array(col("__p0"))))
+      .withColumn(ITEM, parse_json(col("__mj")))
+      .drop("__k", "__p0", "__mj")
+  }
+
+  /** Jackson pre-order walk: values of `field` in document order,
+    * serialized compact with sorted keys (the variant canonical form). */
+  private[query] def walkCollect(json: String, field: String): Seq[String] = {
+    import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper, SerializationFeature}
+    val mapper = new ObjectMapper()
+    mapper.configure(SerializationFeature.ORDER_MAP_ENTRIES_BY_KEYS, true)
+    val out = Seq.newBuilder[String]
+    def walk(node: JsonNode): Unit = {
+      if (node.isObject) {
+        val it = node.fields()
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getKey == field) out += mapper.writeValueAsString(
+            mapper.treeToValue(e.getValue, classOf[Object]))
+          walk(e.getValue)
+        }
+      } else if (node.isArray) {
+        val it = node.elements()
+        while (it.hasNext) walk(it.next())
+      }
+    }
+    walk(mapper.readTree(json))
+    out.result()
+  }
+}

@@ -1,0 +1,273 @@
+package graft.query
+
+import graft.SparkSpec
+
+import java.nio.file.Files
+
+/** Differential replay of the reference's own JSONiq corpus
+  * (bundles/sirix-query/src/test/java/io/sirix/query/
+  * JsonIntegrationTest.java) through the [[JsoniqRun]] front end: each
+  * test stores the reference's document, runs the reference's query
+  * text VERBATIM, and compares against the reference's pinned assertion.
+  *
+  * Normalisation (applied to the PINNED string, never the computed one):
+  * object keys sort (the variant encoding serializes canonically; the
+  * corpus' fixtures are key-sorted already except where noted) and
+  * `nodekey`/`nodeKey` values mask to 0 — the reference's own
+  * testIgnoreNodeKeys does exactly this masking before comparing. */
+class JsoniqSpec extends SparkSpec {
+
+  private def freshStore(): JsoniqRun.Store =
+    new JsoniqRun.Store(spark,
+      Files.createTempDirectory("graft-jq").toString)
+
+  /** Sorted-key, nodekey-masked canonical form of a reference-pinned
+    * sequence serialization (whitespace-separated JSON items). */
+  private def normalize(pinned: String): String = {
+    import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper, SerializationFeature}
+    import com.fasterxml.jackson.databind.node.ObjectNode
+    val mapper = new ObjectMapper()
+    mapper.configure(SerializationFeature.ORDER_MAP_ENTRIES_BY_KEYS, true)
+    def mask(n: JsonNode): Unit = {
+      if (n.isObject) {
+        val o = n.asInstanceOf[ObjectNode]
+        Seq("nodekey", "nodeKey").foreach { k =>
+          if (o.has(k)) { o.put(k, 0L); () }
+        }
+        val it = o.elements(); while (it.hasNext) mask(it.next())
+      } else if (n.isArray) {
+        val it = n.elements(); while (it.hasNext) mask(it.next())
+      }
+    }
+    // readTree on a shared parser, NOT MappingIterator: the latter
+    // streams a top-level array's ELEMENTS instead of the array value
+    val parser = mapper.createParser(pinned)
+    val out = Seq.newBuilder[String]
+    while (parser.nextToken() != null) {
+      val n = mapper.readTree[JsonNode](parser)
+      mask(n)
+      out += mapper.writeValueAsString(mapper.treeToValue(n, classOf[Object]))
+    }
+    out.result().mkString(" ")
+  }
+
+  private def check(setup: Seq[String], query: String, pinned: String): Unit = {
+    val st = freshStore()
+    setup.foreach(JsoniqRun.serialize(st, _))
+    val got = JsoniqRun.serialize(st, query)
+    assert(got == normalize(pinned), s"\nquery: $query\ngot:   $got\nwant:  ${normalize(pinned)}")
+  }
+
+  // ---- dereference over pipelines (JsonIntegrationTest.java:42-73) ----
+
+  test("j: deref over parenthesized pipeline") {
+    check(Nil, """count((for $i in 1 to 3 return {"a": $i}).a)""", "3")
+  }
+
+  test("j: deref skips records without the field") {
+    check(Nil,
+      """count((for $i in 1 to 3 return if ($i eq 2) then {"b": $i} else {"a": $i}).a)""",
+      "2")
+  }
+
+  test("j: deref sequence iterates freshly per pass") {
+    check(Nil,
+      """let $s := (for $i in 1 to 3 return {"a": $i}).a
+        |return count($s) + count($s)""".stripMargin, "6")
+  }
+
+  // ---- descendant deref (JsonIntegrationTest.java:75-353) ----
+
+  private val D1 =
+    """jn:store('json-path1','mydoc.jn','[{"test": "test string"},{"test": [{"blabla": "test blabla string"}]}]')"""
+
+  test("j: descendant deref, child match") {
+    check(Seq(D1),
+      """let $array := jn:doc('json-path1','mydoc.jn')
+        |return $array=>>test""".stripMargin,
+      "\"test string\" [{\"blabla\":\"test blabla string\"}]")
+  }
+
+  test("j: descendant deref after unbox") {
+    check(Seq(D1),
+      """let $array := jn:doc('json-path1','mydoc.jn')
+        |return $array[]=>>test""".stripMargin,
+      "\"test string\" [{\"blabla\":\"test blabla string\"}]")
+  }
+
+  test("j: descendant deref on an object root") {
+    check(Seq("""jn:store('json-path1','mydoc.jn','{"test": "test string"}')"""),
+      """let $array := jn:doc('json-path1','mydoc.jn')
+        |return $array=>>test""".stripMargin,
+      "\"test string\"")
+  }
+
+  test("j: descendant deref, descendant match") {
+    check(Seq(
+      """jn:store('json-path1','mydoc.jn','[{"foo": "test string"},{"foo": [{"test": "test blabla string"}]}]')"""),
+      """let $array := jn:doc('json-path1','mydoc.jn')
+        |return $array=>>test""".stripMargin,
+      "\"test blabla string\"")
+  }
+
+  test("j: descendant deref through a nested array") {
+    check(Seq(
+      """jn:store('json-path1','mydoc.jn','{"bla": ["test string",{"test": "test blabla string"}]}')"""),
+      """let $array := jn:doc('json-path1','mydoc.jn')
+        |return $array=>>test""".stripMargin,
+      "\"test blabla string\"")
+  }
+
+  test("j: descendant deref after deref chain") {
+    check(Seq(
+      """jn:store('json-path1','mydoc.jn','[{"foo": "test string"},{"foo": [{"test": "foo"}, [{"test": "test blabla string"}]]}]')"""),
+      """let $array := jn:doc('json-path1','mydoc.jn')
+        |return $array[].foo=>>test""".stripMargin,
+      "\"foo\" \"test blabla string\"")
+  }
+
+  test("j: descendant deref, different paths on same level") {
+    check(Seq(
+      """jn:store('json-path1','mydoc.jn','{"tada": {"baz": [{"test": "test string"}],"foo": [{"test": "test blabla string"}]}}')"""),
+      """let $array := jn:doc('json-path1','mydoc.jn')
+        |return $array=>>test""".stripMargin,
+      "\"test string\" \"test blabla string\"")
+  }
+
+  test("j: descendant deref, different paths on same level in array") {
+    check(Seq(
+      """jn:store('json-path1','mydoc.jn','[{"baz": [{"test": "test string"}]},{"foo": [{"test": "test blabla string"}]}]')"""),
+      """let $array := jn:doc('json-path1','mydoc.jn')
+        |return $array=>>test""".stripMargin,
+      "\"test string\" \"test blabla string\"")
+  }
+
+  test("j: descendant deref recurses into matched values") {
+    check(Seq(
+      """jn:store('json-path1','mydoc.jn','[{"test": "test string"},{"test": [{"test": "test string"},{"test": "test string"}]}]')"""),
+      """let $array := jn:doc('json-path1','mydoc.jn')
+        |return $array=>>test""".stripMargin,
+      """"test string" [{"test":"test string"},{"test":"test string"}] "test string" "test string"""")
+  }
+
+  test("j: descendant deref recurses deeply into matched values") {
+    check(Seq(
+      """jn:store('json-path1','mydoc.jn','[{"test": "test string"},{"test": [{"test": "test string"},{"test": {"test": {"test": "test string"}}}]}]')"""),
+      """let $array := jn:doc('json-path1','mydoc.jn')
+        |return $array=>>test""".stripMargin,
+      """"test string" [{"test":"test string"},{"test":{"test":{"test":"test string"}}}] "test string" {"test":{"test":"test string"}} {"test":"test string"} "test string"""")
+  }
+
+  test("j: descendant deref skips empty containers") {
+    check(Seq(
+      """jn:store('json-path1','mydoc.jn','[[],[{"test": true}],{"test": "test string"},{"test": [{"test": "test string"},{"test": {"test": {"test": "test string"}}}]},{}]')"""),
+      """let $array := jn:doc('json-path1','mydoc.jn')
+        |return $array[]=>>test""".stripMargin,
+      """true "test string" [{"test":"test string"},{"test":{"test":{"test":"test string"}}}] "test string" {"test":{"test":"test string"}} {"test":"test string"} "test string"""")
+  }
+
+  test("j: descendant deref chained with unbox and deref") {
+    check(Seq(
+      """jn:store('json-path1','mydoc.jn','[[],[{"test": true}],{"test": "test string"},{"test": [{"test": "test string"},{"test": {"test": {"test": "test string"}}}]},{}]')"""),
+      """let $array := jn:doc('json-path1','mydoc.jn')
+        |return $array=>>test[].test""".stripMargin,
+      """"test string" {"test":{"test":"test string"}}""")
+  }
+
+  test("j: double descendant deref") {
+    check(Seq(
+      """jn:store('json-path1','mydoc.jn','[{"test": "test string"},{"test": [[[{"blabla": "test blabla string"}]],{"blabla": "test blabla string"},[{"blabla": "test blabla string"}]]}]')"""),
+      """let $array := jn:doc('json-path1','mydoc.jn')
+        |return $array=>>test=>>blabla""".stripMargin,
+      "\"test blabla string\" \"test blabla string\" \"test blabla string\"")
+  }
+
+  test("j: deref chain into descendant deref") {
+    check(Seq(
+      """jn:store('json-path1','mydoc.jn','{"tztz": [[],[{"test": true}],{"test": "test string"},{"test": [{"test": "test string"},{"test": {"test": {"test": "test string"}}}]},{}]}')"""),
+      """let $object := jn:doc('json-path1','mydoc.jn')
+        |return $object.tztz[].test=>>test""".stripMargin,
+      """"test string" {"test":{"test":"test string"}} {"test":"test string"} "test string"""")
+  }
+
+  // ---- FLWOR over documents (JsonIntegrationTest.java:391-858) ----
+
+  test("j: simple FLWOR with xs:string and contains") {
+    check(Seq("""jn:store('json-path1','mydoc.jn','[{"test": "test string"}]')"""),
+      """for $i in jn:doc('json-path1','mydoc.jn')
+        |let $value := xs:string($i.test)
+        |where contains($value, 'test')
+        |return $i""".stripMargin,
+      """{"test":"test string"}""")
+  }
+
+  test("j: deep-equal filter with object-merge construction") {
+    check(Seq(
+      """jn:store('json-path1','mydoc.jn','[{"generic": 1, "location": {"city": "Los Angeles", "state": "CA"}}, {"generic": 1, "location": {"city": "New York", "state": "NY"}}]')"""),
+      """for $i in jn:doc('json-path1','mydoc.jn') where deep-equal($i.generic, 1) return {$i,'nodeKey': sdb:nodekey($i)}""",
+      """{"generic":1,"location":{"city":"Los Angeles","state":"CA"},"nodeKey":2} {"generic":1,"location":{"city":"New York","state":"NY"},"nodeKey":11}""")
+  }
+
+  test("j: array iteration with key filter") {
+    check(Seq(
+      """jn:store('json-path1','mydoc.jn','[{"key":0,"value":true},{"key":"hey","value":false}]')"""),
+      """for $i in jn:doc('json-path1','mydoc.jn') where deep-equal($i.key, 0) return { $i, "nodekey": sdb:nodekey($i) }""",
+      """{"key":0,"nodekey":2,"value":true}""")
+  }
+
+  test("j: instance-of filter over unboxed values") {
+    check(Seq(
+      """jn:store('json-path1','mydoc.jn','[{"key":0},{"value":{"key":true}},{"key":"hey","value":false}]')"""),
+      """for $i in jn:doc('json-path1','mydoc.jn')[].value where $i instance of object() and $i.key eq true() return { $i, "nodekey": sdb:nodekey($i) }""",
+      """{"key":true,"nodekey":7}""")
+  }
+
+  test("j: context-item predicate over nested unboxing") {
+    check(Seq(
+      """jn:store('json-path1','mydoc.jn','[{"key":0},{"value":[{"key":{"boolean":true}},{"newkey":"yes"}]},{"key":"hey","value":false}]')"""),
+      """for $i in jn:doc('json-path1','mydoc.jn')[].value[].key[?$$.boolean] return { $i, "nodekey": sdb:nodekey($i) }""",
+      """{"boolean":true,"nodekey":10}""")
+  }
+
+  test("j: array index and context predicate with comparison") {
+    check(Seq(
+      """jn:store('json-path1','mydoc.jn','[{"key":0},{"value":[{"key":{"boolean":5}},{"newkey":"yes"}]},{"key":"hey","value":false}]')"""),
+      """for $i in jn:doc('json-path1','mydoc.jn')[1].value[].key[?$$.boolean gt 3] return { $i, "nodekey": sdb:nodekey($i) }""",
+      """{"boolean":5,"nodekey":10}""")
+  }
+
+  test("j: array slice") {
+    check(Seq(
+      """jn:store('json-path1','mydoc.jn','[{"generic": 1, "location": {"city": "Los Angeles", "state": "CA"}},
+        |{"generic": 2, "location": {"city": "New York", "state": "NY"}},
+        |{"generic": 3, "location": {"city": "Montgomery", "state": "AL"}}]')""".stripMargin),
+      """let $doc := jn:doc('json-path1','mydoc.jn')
+        |return $doc[0:1]""".stripMargin,
+      """[{"generic":1,"location":{"city":"Los Angeles","state":"CA"}}]""")
+  }
+
+  // ---- temporal axis (jn:doc revisions, jn:all-times) ----
+
+  test("j: re-store is a new revision; jn:doc time-travels") {
+    val st = freshStore()
+    JsoniqRun.serialize(st, """jn:store('c','doc.jn','{"v": 1}')""")
+    JsoniqRun.serialize(st, """jn:store('c','doc.jn','{"v": 2}')""")
+    assert(JsoniqRun.serialize(st, """jn:doc('c','doc.jn').v""") == "2")
+    assert(JsoniqRun.serialize(st, """jn:doc('c','doc.jn', 1).v""") == "1")
+    assert(JsoniqRun.serialize(st,
+      """for $d in jn:all-times(jn:doc('c','doc.jn')) return $d.v""") == "1 2")
+    assert(JsoniqRun.serialize(st,
+      """count(jn:all-times(jn:doc('c','doc.jn')))""") == "2")
+  }
+
+  test("j: FLWOR order by descending over computed keys") {
+    val st = freshStore()
+    JsoniqRun.serialize(st,
+      """jn:store('c','o.jn','[{"n": 2},{"n": 9},{"n": 4}]')""")
+    assert(JsoniqRun.serialize(st,
+      """for $i in jn:doc('c','o.jn') order by $i.n descending return $i.n""")
+      == "9 4 2")
+    assert(JsoniqRun.serialize(st,
+      """sum((for $i in jn:doc('c','o.jn') return $i).n)""") == "15")
+  }
+}
