@@ -78,7 +78,29 @@ object JsoniqQueries {
         Seq("""jn:store('c','doc.jn','{"v": 1}')""",
           """jn:store('c','doc.jn','{"v": 2}')"""),
         """for $d in jn:all-times(jn:doc('c','doc.jn')) return $d.v""")
-    })
+    },
+    // XMark q01/q05 verbatim over the reference's auction.xml, pinned to
+    // the reference's own results/qNN.out (XmarkSpec replays q06/q07 too)
+    "j_xmark_q01" -> { (s, _) => runXmark(s, "q01") },
+    "j_xmark_q05" -> { (s, _) => runXmark(s, "q05") })
+
+  private val XmarkDir =
+    "/root/reference/bundles/sirix-query/src/test/resources/xmark"
+
+  /** auction.xml converted once per JVM (driver-side 1.4 MB string). */
+  private lazy val auctionJson: String =
+    graft.query.XmlItem.xmlToJson(new String(
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$XmarkDir/auction.xml")), "UTF-8"))
+
+  private def runXmark(s: SparkSession, name: String): DataFrame = {
+    val st = new JsoniqRun.Store(s,
+      java.nio.file.Files.createTempDirectory("graft-xmark-oracle").toString)
+    val q = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$XmarkDir/queries/orig/$name.xq")), "UTF-8")
+    s.range(1).select(lit(
+      JsoniqRun.serialize(st, q, Some(auctionJson))).as("result"))
+  }
 
   private def pin(s: String): String =
     "SELECT '" + s.replace("'", "''") + "' AS result"
@@ -97,5 +119,7 @@ object JsoniqQueries {
     "j_array_slice" ->
       pin("[{\"generic\":1,\"location\":{\"city\":\"Los Angeles\",\"state\":\"CA\"}}]"),
     "j_order_agg" -> pin("9 4 2"),
-    "j_time_travel" -> pin("1 2"))
+    "j_time_travel" -> pin("1 2"),
+    "j_xmark_q01" -> pin("\"Sinisa Farrel\""),
+    "j_xmark_q05" -> pin("75"))
 }

@@ -35,6 +35,11 @@ object Jsoniq {
   /** entries: Left(splat source) | Right((key, value)) */
   final case class ObjectCtor(entries: Seq[Either[Expr, (String, Expr)]]) extends Expr
   final case class Deref(base: Expr, field: String) extends Expr
+  // -- XPath-lite steps over the XML item encoding ([[XmlItem]]) --
+  final case class ChildStep(base: Expr, name: String) extends Expr
+  final case class DescStep(base: Expr, name: String) extends Expr
+  final case class TextStep(base: Expr) extends Expr
+  final case class AttrStep(base: Expr, name: String) extends Expr
   /** `.$var` — field name taken from a bound variable (bit:fields loop) */
   final case class DerefVar(base: Expr, varName: String) extends Expr
   final case class DescendantDeref(base: Expr, field: String) extends Expr
@@ -116,7 +121,7 @@ object Jsoniq {
         val three = if (i + 3 <= n) q.substring(i, i + 3) else ""
         val two = if (i + 2 <= n) q.substring(i, i + 2) else ""
         if (three == "=>>") { out += TPunct("=>>"); i += 3 }
-        else if (Set(":=", "!=", "<=", ">=", "[?").contains(two)) {
+        else if (Set(":=", "!=", "<=", ">=", "[?", "//").contains(two)) {
           out += TPunct(two); i += 2
         } else { out += TPunct(c.toString); i += 1 }
       }
@@ -312,6 +317,19 @@ object Jsoniq {
           eat("[?")
           e = FilterPred(e, expr())
           eat("]")
+        case Some(TPunct("/")) =>
+          eat("/")
+          if (at("@")) {
+            eat("@")
+            e = AttrStep(e, nameTok("attribute step"))
+          } else {
+            val n = nameTok("child step")
+            if (n == "text" && at("(")) { eat("("); eat(")"); e = TextStep(e) }
+            else e = ChildStep(e, n)
+          }
+        case Some(TPunct("//")) =>
+          eat("//")
+          e = DescStep(e, nameTok("descendant step"))
         case Some(TPunct("[")) =>
           eat("[")
           if (at("]")) { eat("]"); e = Unbox(e) }
@@ -328,11 +346,18 @@ object Jsoniq {
       e
     }
 
+    private def nameTok(what: String): String = next() match {
+      case TName(n) => n
+      case other => throw new IllegalArgumentException(s"$what: expected name, got $other")
+    }
+
     private def primary(): Expr = next() match {
       case TNum(s) => NumLit(s)
       case TStr(s) => StrLit(s)
       case TCtx => ContextItem
       case TVar(v) => VarRef(v)
+      case TPunct(".") => ContextItem // XPath context item ('let $a := .')
+      case TPunct("@") => AttrStep(ContextItem, nameTok("attribute ref"))
       case TPunct("(") =>
         if (at(")")) { eat(")"); SeqCtor(Seq.empty) }
         else {

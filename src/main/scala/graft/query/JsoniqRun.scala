@@ -66,12 +66,24 @@ object JsoniqRun {
       graft.sources.TemporalTable
         .read(spark, docPath(collection, doc), revision)
         .select(col("doc_json"))
+
+    /** Store an XML document (converted to the [[XmlItem]] encoding) —
+      * the XQuery/XMark ingestion path. Returns the encoded JSON so the
+      * caller can bind it as the query's context item. */
+    def storeXml(collection: String, doc: String, xml: String): String = {
+      val json = XmlItem.xmlToJson(xml)
+      store(collection, doc, json)
+      json
+    }
   }
 
   /** Parse + compile + return the result sequence as a DataFrame of
-    * (`pos: array<long>`, `item_json: string`) in sequence order. */
-  def run(store: Store, query: String): DataFrame = {
-    val seqDf = compile(store, query)
+    * (`pos: array<long>`, `item_json: string`) in sequence order.
+    * `contextJson` binds the XPath context item (`.`) — XMark queries
+    * open with `let $auction := .` against the stored document. */
+  def run(store: Store, query: String,
+          contextJson: Option[String] = None): DataFrame = {
+    val seqDf = compile(store, query, contextJson)
     seqDf
       .select(col(POS), to_json(col(ITEM)).as("item_json"),
         concat(col(ORD), col(POS)).as("__k"))
@@ -82,15 +94,26 @@ object JsoniqRun {
   /** Run and serialize the way the reference serializes a top-level
     * sequence: JSON items joined by single spaces. Collects — use from
     * tests and pinned-assertion rows only. */
-  def serialize(store: Store, query: String): String =
-    run(store, query).select("item_json")
+  def serialize(store: Store, query: String,
+                contextJson: Option[String] = None): String =
+    run(store, query, contextJson).select("item_json")
       .collect().map(_.getString(0)).mkString(" ")
 
-  private def compile(store: Store, query: String): DataFrame = {
+  private def compile(store: Store, query: String,
+                      contextJson: Option[String]): DataFrame = {
     val ast = Jsoniq.parse(query)
-    val root = store.spark.range(1)
+    val base = store.spark.range(1)
       .select(array(lit(0L)).as(ORD))
-    evalSeq(store, ast, root, Map.empty)
+    contextJson match {
+      case None => evalSeq(store, ast, base, Map.empty)
+      case Some(json) =>
+        import store.spark.implicits._
+        val cn = gensym("ctx")
+        val doc = Seq(json).toDF("__j")
+          .select(parse_json(col("__j")).as(cn))
+        evalSeq(store, ast, base.crossJoin(broadcast(doc)),
+          Map("$$" -> ItemVar(cn)))
+    }
   }
 
   private var gensymCounter = 0
@@ -167,7 +190,24 @@ object JsoniqRun {
               s"variant_get($ITEM, '${fieldPath(field).replace("'", "''")}')"))
             .filter(col(ITEM).isNotNull)
         case DescendantDeref(base, field) =>
-          descendantDeref(store, evalSeq(store, base, tuples, env), field)
+          walkJoin(evalSeq(store, base, tuples, env), walkCollect(_, field))
+        // -- XPath-lite steps over the XmlItem encoding --
+        case ChildStep(base, name) =>
+          val kids = explodeChildren(evalSeq(store, base, tuples, env))
+          kids.filter(expr(s"schema_of_variant($ITEM)").startsWith("OBJECT") &&
+            expr(s"cast(variant_get($ITEM, '$$[''~n'']') as string)") === name)
+        case TextStep(base) =>
+          explodeChildren(evalSeq(store, base, tuples, env))
+            .filter(expr(s"schema_of_variant($ITEM)") === "STRING")
+        case AttrStep(base, name) =>
+          val b = evalSeq(store, base, tuples, env)
+          val esc = name.replace("'", "''")
+          b.withColumn(ITEM,
+              expr(s"variant_get($ITEM, '$$[''~a''][''$esc'']')"))
+            .filter(col(ITEM).isNotNull)
+        case DescStep(base, name) =>
+          walkJoin(evalSeq(store, base, tuples, env),
+            XmlItem.walkElements(_, name))
         case Unbox(base) =>
           val b = evalSeq(store, base, tuples, env)
             .withColumn("__arr", expr(s"try_cast($ITEM as array<variant>)"))
@@ -178,6 +218,11 @@ object JsoniqRun {
               posexplode(col("__arr")).as(Seq("__p0", ITEM)): _*)
             .withColumn(POS, concat(col(POS), array(col("__p0").cast("long"))))
             .drop("__p0")
+        case ArrayIndex(base, idxE) if !idxE.isInstanceOf[NumLit] =>
+          // non-literal bracket = XPath-style predicate ([@id = "x"],
+          // [?-less boolean filters); literal integers stay 0-based
+          // array indexing (the corpus' JSON dialect)
+          evalSeq(store, FilterPred(base, idxE), tuples, env)
         case ArrayIndex(base, idxE) =>
           val b = evalSeq(store, base, tuples, env)
           val withI = evalScalar(store, idxE, b, env) // idx may use tuple vars
@@ -620,18 +665,36 @@ object JsoniqRun {
   /** Pre-order walk collecting every value of `field` at ANY depth —
     * matches recurse into matched values too (JsonIntegrationTest
     * testDescendantDerefExprWithDifferentPaths2's pinned behaviour). */
-  private def descendantDeref(store: Store, seq: DataFrame,
-                              field: String): DataFrame = {
+  /** Explode each item's `~c` children (XmlItem encoding) in order;
+    * non-element items contribute nothing. */
+  private def explodeChildren(seq: DataFrame): DataFrame = {
+    val b = seq
+      .withColumn("__cs", expr(
+        s"try_cast(variant_get($ITEM, '$$[''~c'']') as array<variant>)"))
+      .filter(col("__cs").isNotNull)
+    val keep = b.columns
+      .filter(c => c != ITEM && c != "__cs" && c != POS).map(col)
+    b.select(keep :+ col(POS) :+
+        posexplode(col("__cs")).as(Seq("__p0", ITEM)): _*)
+      .withColumn(POS, concat(col(POS), array(col("__p0").cast("long"))))
+      .drop("__p0")
+  }
+
+  /** Map each item through a driver-serializable recursive `walker`
+    * (descendant deref / descendant element step — arbitrary-depth
+    * recursion no Catalyst expression expresses). Variant columns cannot
+    * ride a typed flatMap, so the walk runs on (key, json) pairs only
+    * and joins back on the (ORD, POS) identity, which is unique per item
+    * row and fully deterministic. */
+  private def walkJoin(seq: DataFrame,
+                       walker: String => Seq[String]): DataFrame = {
     val spark = seq.sparkSession
     import spark.implicits._
-    // variant columns cannot ride a typed flatMap: walk (key, json) pairs
-    // only and join back on the (ORD, POS) identity, which is unique per
-    // item row and fully deterministic
     val key = concat(concat_ws(",", col(ORD)), lit("|"), concat_ws(",", col(POS)))
     val pairs = seq.select(key.as("__k"), to_json(col(ITEM)).as("__j"))
       .as[(String, String)]
       .flatMap { case (k, j) =>
-        walkCollect(j, field).zipWithIndex.map { case (m, i) => (k, i.toLong, m) }
+        walker(j).zipWithIndex.map { case (m, i) => (k, i.toLong, m) }
       }
       .toDF("__k", "__p0", "__mj")
     seq.withColumn("__k", key)

@@ -1,0 +1,63 @@
+package graft.query
+
+import graft.SparkSpec
+
+import java.nio.file.{Files, Paths}
+
+/** Differential replay of XMark queries from the reference's corpus
+  * (bundles/sirix-query/src/test/resources/xmark/) against its own
+  * pinned results (results/qNN.out): auction.xml converts to the
+  * [[XmlItem]] encoding once, each query text runs VERBATIM with the
+  * document as the context item. String results surface JSON-quoted
+  * (the front end serializes JSON items); numbers match byte-for-byte. */
+class XmarkSpec extends SparkSpec {
+
+  private val XmarkDir =
+    "/root/reference/bundles/sirix-query/src/test/resources/xmark"
+
+  private lazy val harness: Option[(JsoniqRun.Store, String)] =
+    if (!Files.isDirectory(Paths.get(XmarkDir))) None
+    else {
+      val xml = new String(
+        Files.readAllBytes(Paths.get(s"$XmarkDir/auction.xml")), "UTF-8")
+      val st = new JsoniqRun.Store(spark,
+        Files.createTempDirectory("graft-xmark").toString)
+      Some((st, st.storeXml("xmark", "auction.xml", xml)))
+    }
+
+  private def queryText(name: String): String = new String(
+    Files.readAllBytes(Paths.get(s"$XmarkDir/queries/orig/$name.xq")), "UTF-8")
+  private def pinned(name: String): String = new String(
+    Files.readAllBytes(Paths.get(s"$XmarkDir/results/$name.out")), "UTF-8").trim
+
+  private def check(name: String, adapt: String => String = identity): Unit =
+    harness match {
+      case None => cancel("reference XMark corpus not present")
+      case Some((st, ctx)) =>
+        val got = JsoniqRun.serialize(st, queryText(name), Some(ctx))
+        assert(got == adapt(pinned(name)), s"$name: got $got")
+    }
+
+  test("xmark q01: person lookup by attribute predicate") {
+    check("q01", p => "\"" + p + "\"") // text item -> JSON string
+  }
+  test("xmark q05: count over predicate on text value")(check("q05"))
+  test("xmark q06: descendant step count")(check("q06"))
+  test("xmark q07: summed descendant counts")(check("q07"))
+
+  test("xml item encoding round-trips structure, order, and attributes") {
+    val json = XmlItem.xmlToJson(
+      "<a x=\"1\"><b>t1</b><c><b y=\"z\">t2</b></c>tail</a>")
+    // document wrapper -> root element 'a'
+    assert(json.startsWith("{\"~n\":\"\""))
+    assert(XmlItem.walkElements(json, "b").size == 2)
+    val st = new JsoniqRun.Store(spark,
+      Files.createTempDirectory("graft-xmlitem").toString)
+    assert(JsoniqRun.serialize(st, "count(./a//b)", Some(json)) == "2")
+    assert(JsoniqRun.serialize(st, "./a/c/b/text()", Some(json)) == "\"t2\"")
+    assert(JsoniqRun.serialize(st, "./a/c/b[@y = \"z\"]/text()", Some(json))
+      == "\"t2\"")
+    assert(JsoniqRun.serialize(st, "count(./a/b[@y = \"z\"])", Some(json)) == "0")
+    assert(JsoniqRun.serialize(st, "./a/text()", Some(json)) == "\"tail\"")
+  }
+}
