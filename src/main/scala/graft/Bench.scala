@@ -116,9 +116,21 @@ object Bench {
             org.apache.spark.sql.functions.monotonically_increasing_id())
           .cache()
         li.count()
+        // 1 warmup + min-of-2, like every headline entry (the storage
+        // block used to time its FIRST write cold — ~1.5 s of one-time
+        // JIT/codegen rode in w_write_snapshot; BENCH_NOTES r9 records
+        // the methodology alignment)
+        val scratch = java.nio.file.Files.createTempDirectory("graft-bench")
+          .resolve("warmup").toString
+        graft.sources.TemporalTable.write(li, scratch)
         val t0 = System.nanoTime()
         graft.sources.TemporalTable.write(li, dir)
-        val wSec = (System.nanoTime() - t0) / 1e9
+        val w1 = (System.nanoTime() - t0) / 1e9
+        val scratch2 = java.nio.file.Files.createTempDirectory("graft-bench")
+          .resolve("w2").toString
+        val t0b = System.nanoTime()
+        graft.sources.TemporalTable.write(li, scratch2)
+        val wSec = math.min(w1, (System.nanoTime() - t0b) / 1e9)
         graft.sources.TemporalTable.write(
           li.withColumn("l_quantity",
             org.apache.spark.sql.functions.expr(

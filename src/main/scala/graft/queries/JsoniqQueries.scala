@@ -79,6 +79,17 @@ object JsoniqQueries {
           """jn:store('c','doc.jn','{"v": 2}')"""),
         """for $d in jn:all-times(jn:doc('c','doc.jn')) return $d.v""")
     },
+    // JSON update statements: each applied update commits a revision, so
+    // the final state AND the time-travel reads are both pinned
+    // (JsonIntegrationTest:654-718's update surface + the revision axis)
+    "j_update" -> { (s, _) =>
+      runOne(s,
+        Seq("""jn:store('c','u.jn','["foo",true,false,null]')""",
+          """insert json (1, 2, 3) into jn:doc('c','u.jn') at position 3""",
+          """delete json jn:doc('c','u.jn')[1]""",
+          """replace json value of jn:doc('c','u.jn')[0] with "yes""""),
+        """(jn:doc('c','u.jn'), jn:doc('c','u.jn', 1), count(jn:all-times(jn:doc('c','u.jn'))))""")
+    },
     // XMark q01/q05 verbatim over the reference's auction.xml, pinned to
     // the reference's own results/qNN.out (XmarkSpec replays q06/q07 too)
     "j_xmark_q01" -> { (s, _) => runXmark(s, "q01") },
@@ -120,6 +131,8 @@ object JsoniqQueries {
       pin("[{\"generic\":1,\"location\":{\"city\":\"Los Angeles\",\"state\":\"CA\"}}]"),
     "j_order_agg" -> pin("9 4 2"),
     "j_time_travel" -> pin("1 2"),
+    "j_update" -> pin(
+      "[\"yes\",false,[1,2,3],null] [\"foo\",true,false,null] 4"),
     "j_xmark_q01" -> pin("\"Sinisa Farrel\""),
     "j_xmark_q05" -> pin("75"))
 }

@@ -59,6 +59,11 @@ object Jsoniq {
   final case class Flwor(clauses: Seq[Either[ForClause, LetClause]],
                          where: Option[Expr], orderBy: Seq[OrderKey],
                          ret: Expr) extends Expr
+  /** JSON update statement (XQUF-style): kind is one of `delete`,
+    * `replace` (value-of), `append`, `insert`, `rename`. */
+  final case class UpdateStmt(kind: String, target: Expr,
+                              value: Option[Expr],
+                              position: Option[Expr]) extends Expr
 
   // ------------------------------------------------------------- tokens
   private sealed trait Tok
@@ -164,6 +169,33 @@ object Jsoniq {
     def expr(): Expr = peek match {
       case Some(TName("for")) | Some(TName("let")) => flwor()
       case Some(TName("if")) => ifExpr()
+      case Some(TName("delete")) if toks.lift(pos + 1).contains(TName("json")) =>
+        eat("delete"); eat("json")
+        UpdateStmt("delete", orExpr(), None, None)
+      case Some(TName("replace")) if toks.lift(pos + 1).contains(TName("json")) =>
+        eat("replace"); eat("json"); eat("value"); eat("of")
+        val t = orExpr()
+        eat("with")
+        UpdateStmt("replace", t, Some(orExpr()), None)
+      case Some(TName("append")) if toks.lift(pos + 1).contains(TName("json")) =>
+        eat("append"); eat("json")
+        val v = orExpr()
+        eat("into")
+        UpdateStmt("append", orExpr(), Some(v), None)
+      case Some(TName("insert")) if toks.lift(pos + 1).contains(TName("json")) =>
+        eat("insert"); eat("json")
+        val v = orExpr()
+        eat("into")
+        val t = orExpr()
+        val p = if (atName("at")) {
+          eat("at"); eat("position"); Some(orExpr())
+        } else None
+        UpdateStmt("insert", t, Some(v), p)
+      case Some(TName("rename")) if toks.lift(pos + 1).contains(TName("json")) =>
+        eat("rename"); eat("json")
+        val t = orExpr()
+        eat("as")
+        UpdateStmt("rename", t, Some(orExpr()), None)
       case _ => orExpr()
     }
 

@@ -349,6 +349,12 @@ object JsoniqRun {
           val f = evalSeq(store, elseE,
             c.filter(!coalesce(asBool(col("__v")), lit(false))).drop("__v"), env)
           t.unionByName(f)
+        case u: UpdateStmt =>
+          // applied eagerly (one committed revision per statement, the
+          // reference's auto-commit), empty result sequence
+          JsoniqUpdate.apply(store, u)
+          tuples.withColumn(POS, array(lit(0L))).withColumn(ITEM, vnull)
+            .filter(lit(false))
         case Call(name, args) if SeqFunctions(name) =>
           evalCallSeq(store, name, args, tuples, env)
         case ObjectCtor(_) | ArrayCtor(_) | Binary(_, _, _) | Unary(_, _) |
@@ -579,6 +585,9 @@ object JsoniqRun {
         val s = evalScalar(store, args.head, tuples, env)
         s.withColumn("__v", jsonNumber(expr("try_cast(__v as long)")))
       case "zero-or-one" => evalScalar(store, args.head, tuples, env)
+      case "jn:null" =>
+        require(args.isEmpty, "jn:null()")
+        tuples.withColumn("__v", vnull)
       case "sdb:nodekey" =>
         // node identity is not part of the value model (object scaladoc);
         // the reference's own harness masks these before comparing

@@ -695,6 +695,12 @@ object TemporalTable {
   private def writeManifestFrom(snap: DataFrame, path: String, rev: Int): Unit =
     graft.operators.Diff.bucketManifest(snap, Seq("node_key"),
         snap.columns.toSeq.filterNot(_ == "node_key"))
+      // one 65536-row sidecar file, not one tiny file per shuffle
+      // partition: the partial aggregation stays parallel (coalesce only
+      // merges the final agg), and every manifest READER — adjacent diff
+      // opens two manifests per call, aged histories thousands — pays one
+      // file open instead of spark.sql.shuffle.partitions of them
+      .coalesce(1)
       .write.mode("overwrite").parquet(manifestDir(path, rev))
 
   /** `jn:load` (reference: bundles/sirix-query/src/main/java/io/sirix/query/

@@ -2,14 +2,16 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.operators.{IvfIndex, Pq, Similarity}
+import graft.operators.{HnswGraph, IvfIndex, NswGraph, Pq, Similarity}
 
 /** PQ at scale: 1M synthetic 64-dim vectors — storage footprint of the
-  * code-only layout vs raw floats, single-query latency of brute / IVF /
-  * IVF-PQ, and recall vs the exact answer. The point being measured: the
-  * ADC path reads the (tiny) code+norm columns of the probed cells only,
-  * so its cost tracks the CODE bytes, not the vector bytes — the layout
-  * that still works when the raw embeddings no longer fit anywhere warm. */
+  * code-only layout vs raw floats, single-query latency + recall of
+  * every ANN tier side by side (brute / IVF-flat / NSW / HNSW / IVF-PQ)
+  * at the same nProbe, so the tier-selection guidance in the scaladocs
+  * is measured, not asserted. The PQ point being measured: the ADC path
+  * reads the (tiny) code+norm columns of the probed cells only, so its
+  * cost tracks the CODE bytes, not the vector bytes — the layout that
+  * still works when the raw embeddings no longer fit anywhere warm. */
 object ProfilePq {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(1000000)
@@ -83,6 +85,28 @@ object ProfilePq {
         .select("id").as[Long].collect().toSet)
     println(f"ivf-pq: $pqSec%.2fs nProbe=4 refine=4 recall=${(exact & pqHits).size / 10.0}%.2f " +
       "(probed cells, code column + 40 re-ranked vectors)")
+
+    // graph tiers: same clustered layout + stored adjacency — search
+    // trades the probed cells' full scan for a beam walk
+    val (nswNil, nswBuildSec) = timed(
+      NswGraph.writeGraphIndexed(assigned, ivfModel, "id", "vec",
+        s"$root/nsw", m = 8))
+    NswGraph.searchGraph(spark, s"$root/nsw", "id", "vec", q, k, 4, 48).collect()
+    val (nswHits, nswSec) = timed(
+      NswGraph.searchGraph(spark, s"$root/nsw", "id", "vec", q, k, 4, ef = 48)
+        .select("id").as[Long].collect().toSet)
+    println(f"nsw:    $nswSec%.2fs nProbe=4 ef=48 recall=${(exact & nswHits).size / 10.0}%.2f " +
+      f"(build ${nswBuildSec}%.1fs — insertion, hub-seeded beam)")
+
+    val (hnswNil, hnswBuildSec) = timed(
+      HnswGraph.writeGraphIndexed(assigned, ivfModel, "id", "vec",
+        s"$root/hnsw", m = 8, mL = 16))
+    HnswGraph.searchGraph(spark, s"$root/hnsw", "id", "vec", q, k, 4, 48).collect()
+    val (hnswHits, hnswSec) = timed(
+      HnswGraph.searchGraph(spark, s"$root/hnsw", "id", "vec", q, k, 4, ef = 48)
+        .select("id").as[Long].collect().toSet)
+    println(f"hnsw:   $hnswSec%.2fs nProbe=4 ef=48 recall=${(exact & hnswHits).size / 10.0}%.2f " +
+      f"(build ${hnswBuildSec}%.1fs — layered descent)")
     spark.stop()
   }
 }

@@ -246,6 +246,94 @@ class JsoniqSpec extends SparkSpec {
       """[{"generic":1,"location":{"city":"Los Angeles","state":"CA"}}]""")
   }
 
+  // ---- JSON update statements (JsonIntegrationTest.java:536-840) ----
+
+  test("j: replace json value in an array") {
+    check(Seq("""jn:store('json-path1','mydoc.jn','["foo",true,false,null]')""",
+      """replace json value of jn:doc('json-path1','mydoc.jn')[1] with "yes""""),
+      "jn:doc('json-path1','mydoc.jn')",
+      "[\"foo\",\"yes\",false,null]")
+  }
+
+  test("j: delete json from an array") {
+    check(Seq("""jn:store('json-path1','mydoc.jn','["foo",true,false,null]')""",
+      """delete json jn:doc('json-path1','mydoc.jn')[1]"""),
+      "jn:doc('json-path1','mydoc.jn')",
+      "[\"foo\",false,null]")
+  }
+
+  test("j: append json into an array (a sequence brackets to an array)") {
+    check(Seq("""jn:store('json-path1','mydoc.jn','["foo",true,false,null]')""",
+      """append json (1, 2, 3) into jn:doc('json-path1','mydoc.jn')"""),
+      "jn:doc('json-path1','mydoc.jn')",
+      "[\"foo\",true,false,null,[1,2,3]]")
+  }
+
+  test("j: append json object with jn:null into an empty array") {
+    check(Seq("""jn:store('json-path1','mydoc.jn','[]')""",
+      """append json {"generic": 1, "foo": jn:null()} into jn:doc('json-path1','mydoc.jn')"""),
+      "jn:doc('json-path1','mydoc.jn')",
+      "[{\"generic\":1,\"foo\":null}]")
+  }
+
+  test("j: append json deep literal structure") {
+    check(Seq("""jn:store('json-path1','mydoc.jn','[]')""",
+      """append json {"generic": 1, "location": {"state": "NY", "ddd": {"sssss": []}, "city": "New York", "foobar": [[],{"bar": true()},[],{}]},"foo":jn:null()} into jn:doc('json-path1','mydoc.jn')"""),
+      "jn:doc('json-path1','mydoc.jn')",
+      """[{"generic":1,"location":{"state":"NY","ddd":{"sssss":[]},"city":"New York","foobar":[[],{"bar":true},[],{}]},"foo":null}]""")
+  }
+
+  test("j: insert json into an array at a position") {
+    check(Seq("""jn:store('json-path1','mydoc.jn','["foo",true,false,null]')""",
+      """insert json (1, 2, 3) into jn:doc('json-path1','mydoc.jn') at position 3"""),
+      "jn:doc('json-path1','mydoc.jn')",
+      "[\"foo\",true,false,[1,2,3],null]")
+    check(Seq("""jn:store('json-path1','mydoc.jn','["foo",true,false,null]')""",
+      """insert json { "name": "keyword" } into jn:doc('json-path1','mydoc.jn') at position 3"""),
+      "jn:doc('json-path1','mydoc.jn')",
+      "[\"foo\",true,false,{\"name\":\"keyword\"},null]")
+  }
+
+  test("j: insert json into an object merges fields") {
+    check(Seq("""jn:store('json-path1','mydoc.jn','{"foo": "bar"}')""",
+      """insert json {"baz": true()} into jn:doc('json-path1','mydoc.jn')"""),
+      "jn:doc('json-path1','mydoc.jn')",
+      "{\"foo\":\"bar\",\"baz\":true}")
+  }
+
+  test("j: delete json object field") {
+    check(Seq("""jn:store('json-path1','mydoc.jn','{"foo": "bar", "baz": true}')""",
+      """delete json jn:doc('json-path1','mydoc.jn').foo"""),
+      "jn:doc('json-path1','mydoc.jn')",
+      "{\"baz\":true}")
+  }
+
+  test("j: rename json object field") {
+    check(Seq("""jn:store('json-path1','mydoc.jn','{"foo": "bar", "baz": true}')""",
+      """rename json jn:doc('json-path1','mydoc.jn').foo as "buzz""""),
+      "jn:doc('json-path1','mydoc.jn')",
+      "{\"buzz\":\"bar\",\"baz\":true}")
+  }
+
+  test("j: replace json value of object field") {
+    check(Seq("""jn:store('json-path1','mydoc.jn','{"foo": "bar", "baz": true}')""",
+      """replace json value of jn:doc('json-path1','mydoc.jn').baz with "yes""""),
+      "jn:doc('json-path1','mydoc.jn')",
+      "{\"foo\":\"bar\",\"baz\":\"yes\"}")
+  }
+
+  test("j: every applied update commits a revision (time travel over updates)") {
+    val st = freshStore()
+    JsoniqRun.serialize(st, """jn:store('c','u.jn','["a"]')""")
+    JsoniqRun.serialize(st, """append json "b" into jn:doc('c','u.jn')""")
+    JsoniqRun.serialize(st, """delete json jn:doc('c','u.jn')[0]""")
+    assert(JsoniqRun.serialize(st, "jn:doc('c','u.jn')") == "[\"b\"]")
+    assert(JsoniqRun.serialize(st, "jn:doc('c','u.jn', 1)") == "[\"a\"]")
+    assert(JsoniqRun.serialize(st, "jn:doc('c','u.jn', 2)") == "[\"a\",\"b\"]")
+    assert(JsoniqRun.serialize(st,
+      "count(jn:all-times(jn:doc('c','u.jn')))") == "3")
+  }
+
   // ---- temporal axis (jn:doc revisions, jn:all-times) ----
 
   test("j: re-store is a new revision; jn:doc time-travels") {
