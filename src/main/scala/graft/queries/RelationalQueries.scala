@@ -586,7 +586,7 @@ object RelationalQueries {
         |         FROM lineitem WHERE l_orderkey <= 3000
         |       UNION ALL SELECT l_linenumber, l_returnflag FROM lineitem) u) b""".stripMargin,
     "q_projection_serve" ->
-      """SELECT SUM(l_quantity) AS sum_qty, COUNT(*) AS n_rows,
+      """SELECT CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty, COUNT(*) AS n_rows,
         |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
         |FROM lineitem""".stripMargin,
     "q_select_item" ->
