@@ -93,6 +93,7 @@ object JsoniqQueries {
     // XMark q01/q05 verbatim over the reference's auction.xml, pinned to
     // the reference's own results/qNN.out (XmarkSpec replays q06/q07 too)
     "j_xmark_q01" -> { (s, _) => runXmark(s, "q01") },
+    "j_xmark_q02" -> { (s, _) => runXmark(s, "q02") },
     "j_xmark_q05" -> { (s, _) => runXmark(s, "q05") })
 
   private val XmarkDir =
@@ -134,5 +135,32 @@ object JsoniqQueries {
     "j_update" -> pin(
       "[\"yes\",false,[1,2,3],null] [\"foo\",true,false,null] 4"),
     "j_xmark_q01" -> pin("\"Sinisa Farrel\""),
+    // 120 <increase> elements (incl. self-closed empties) from the
+    // reference's own results/q02.out, re-serialized the way the front
+    // end serializes string items: JSON-quoted, space-joined
+    "j_xmark_q02" -> pin(xmarkElementsPin("q02")),
     "j_xmark_q05" -> pin("75"))
+
+  /** The reference's pinned qNN.out (concatenated sibling elements) in
+    * the front end's sequence serialization. */
+  private def xmarkElementsPin(name: String): String = {
+    val raw = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$XmarkDir/results/$name.out")), "UTF-8").trim
+    val out = Seq.newBuilder[String]
+    var depth = 0
+    var from = 0
+    var i = 0
+    while (i < raw.length) {
+      if (raw(i) == '<') {
+        val close = raw(i + 1) == '/'
+        val gt = raw.indexOf('>', i)
+        val selfClosing = raw(gt - 1) == '/'
+        if (close) depth -= 1 else if (!selfClosing) depth += 1
+        i = gt + 1
+        if (depth == 0) { out += raw.substring(from, i); from = i }
+      } else i += 1
+    }
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    out.result().map(mapper.writeValueAsString).mkString(" ")
+  }
 }

@@ -64,6 +64,12 @@ object Jsoniq {
   final case class UpdateStmt(kind: String, target: Expr,
                               value: Option[Expr],
                               position: Option[Expr]) extends Expr
+  /** Direct XML element constructor `<n a="{e}">{e}</n>`: attr values and
+    * content interleave static text with enclosed expressions; the
+    * constructed item is the serialized XML string. */
+  final case class ElemCtor(name: String,
+                            attrs: Seq[(String, Seq[Either[String, Expr]])],
+                            content: Seq[Either[String, Expr]]) extends Expr
 
   // ------------------------------------------------------------- tokens
   private sealed trait Tok
@@ -74,14 +80,15 @@ object Jsoniq {
   private case object TCtx extends Tok // $$
   private final case class TPunct(s: String) extends Tok
 
-  private def tokenize(q: String): Vector[Tok] = {
-    val out = Vector.newBuilder[Tok]
+  private def tokenize(q: String): Vector[(Tok, Int)] = {
+    val out = Vector.newBuilder[(Tok, Int)]
     var i = 0
     val n = q.length
     def isNameStart(c: Char) = c.isLetter || c == '_'
     def isNamePart(c: Char) = c.isLetterOrDigit || c == '_' || c == '-'
     while (i < n) {
       val c = q(i)
+      val s0 = i
       if (c.isWhitespace) i += 1
       else if (c == '(' && i + 1 < n && q(i + 1) == ':') { // XQuery comment
         var depth = 1; i += 2
@@ -98,11 +105,11 @@ object Jsoniq {
         }
         require(i < n, s"unterminated string at offset $i")
         i += 1
-        out += TStr(sb.toString)
+        out += ((TStr(sb.toString), s0))
       } else if (c.isDigit) {
         val j = i
         while (i < n && (q(i).isDigit || q(i) == '.')) i += 1
-        out += TNum(q.substring(j, i))
+        out += ((TNum(q.substring(j, i)), s0))
       } else if (isNameStart(c)) {
         val j = i
         while (i < n && isNamePart(q(i))) i += 1
@@ -113,22 +120,22 @@ object Jsoniq {
           while (i < n && isNamePart(q(i))) i += 1
           name = name + ":" + q.substring(k, i)
         }
-        out += TName(name)
+        out += ((TName(name), s0))
       } else if (c == '$') {
-        if (i + 1 < n && q(i + 1) == '$') { out += TCtx; i += 2 }
+        if (i + 1 < n && q(i + 1) == '$') { out += ((TCtx, s0)); i += 2 }
         else {
           val j = i + 1; i += 1
           while (i < n && isNamePart(q(i))) i += 1
           require(i > j, s"bare $$ at offset $j")
-          out += TVar(q.substring(j, i))
+          out += ((TVar(q.substring(j, i)), s0))
         }
       } else {
         val three = if (i + 3 <= n) q.substring(i, i + 3) else ""
         val two = if (i + 2 <= n) q.substring(i, i + 2) else ""
-        if (three == "=>>") { out += TPunct("=>>"); i += 3 }
+        if (three == "=>>") { out += ((TPunct("=>>"), s0)); i += 3 }
         else if (Set(":=", "!=", "<=", ">=", "[?", "//").contains(two)) {
-          out += TPunct(two); i += 2
-        } else { out += TPunct(c.toString); i += 1 }
+          out += ((TPunct(two), s0)); i += 2
+        } else { out += ((TPunct(c.toString), s0)); i += 1 }
       }
     }
     out.result()
@@ -141,7 +148,8 @@ object Jsoniq {
 
   // ------------------------------------------------------------- parser
   def parse(query: String): Expr = {
-    val p = new P(tokenize(stripProlog(query)))
+    val raw = stripProlog(query)
+    val p = new P(tokenize(raw), raw)
     val e = p.expr()
     p.expectEnd()
     e
@@ -153,7 +161,107 @@ object Jsoniq {
     if (t.startsWith("xquery")) t.substring(t.indexOf(';') + 1) else t
   }
 
-  private final class P(toks: Vector[Tok]) {
+  /** Parse `<name a="..{e}..">content</name>` (or self-closing) starting
+    * at `start` (must be '<'); returns the constructor and the offset
+    * one past the element. Whitespace-only static content is stripped
+    * (XQuery boundary-space default). */
+  private def parseRawElem(raw: String, start: Int): (ElemCtor, Int) = {
+    var i = start
+    require(raw(i) == '<', s"element ctor must start at '<', offset $i")
+    i += 1
+    def name(): String = {
+      val j = i
+      while (i < raw.length &&
+        (raw(i).isLetterOrDigit || raw(i) == '_' || raw(i) == '-')) i += 1
+      require(i > j, s"element name expected at offset $j")
+      raw.substring(j, i)
+    }
+    def ws(): Unit = while (i < raw.length && raw(i).isWhitespace) i += 1
+    /** `{expr}` with brace/string nesting; returns the parsed fragment. */
+    def braceExpr(): Expr = {
+      require(raw(i) == '{')
+      val j = i + 1
+      var depth = 1
+      i += 1
+      while (i < raw.length && depth > 0) {
+        raw(i) match {
+          case '{' => depth += 1
+          case '}' => depth -= 1
+          case '"' | '\'' =>
+            val q = raw(i); i += 1
+            while (i < raw.length && raw(i) != q) i += 1
+          case _ => ()
+        }
+        i += 1
+      }
+      require(depth == 0, "unbalanced '{' in element constructor")
+      parse(raw.substring(j, i - 1))
+    }
+    val n = name()
+    val attrs = Seq.newBuilder[(String, Seq[Either[String, Expr]])]
+    var selfClosed = false
+    var scanning = true
+    while (scanning) {
+      ws()
+      raw(i) match {
+        case '/' =>
+          require(raw(i + 1) == '>', s"expected '/>' at offset $i")
+          i += 2; selfClosed = true; scanning = false
+        case '>' => i += 1; scanning = false
+        case _ =>
+          val an = name()
+          ws(); require(raw(i) == '=', s"expected '=' after attribute $an"); i += 1
+          ws(); require(raw(i) == '"', "attribute value must be double-quoted")
+          i += 1
+          val parts = Seq.newBuilder[Either[String, Expr]]
+          val sb = new StringBuilder
+          while (raw(i) != '"') {
+            if (raw(i) == '{') {
+              if (sb.nonEmpty) { parts += Left(sb.toString); sb.clear() }
+              parts += Right(braceExpr())
+            } else { sb.append(raw(i)); i += 1 }
+          }
+          if (sb.nonEmpty) parts += Left(sb.toString)
+          i += 1 // closing quote
+          attrs += ((an, parts.result()))
+      }
+    }
+    val content = Seq.newBuilder[Either[String, Expr]]
+    if (!selfClosed) {
+      val sb = new StringBuilder
+      def flush(): Unit = {
+        if (sb.toString.trim.nonEmpty) content += Left(sb.toString)
+        sb.clear()
+      }
+      var open = true
+      while (open) {
+        require(i < raw.length, s"unterminated element <$n>")
+        raw(i) match {
+          case '{' =>
+            flush()
+            content += Right(braceExpr())
+          case '<' if raw.startsWith(s"</", i) =>
+            flush()
+            i += 2
+            val closing = name()
+            require(closing == n, s"mismatched </$closing> for <$n>")
+            ws(); require(raw(i) == '>', "expected '>'"); i += 1
+            open = false
+          case '<' =>
+            flush()
+            val (child, end) = parseRawElem(raw, i)
+            content += Right(child)
+            i = end
+          case ch => sb.append(ch); i += 1
+        }
+      }
+    }
+    (ElemCtor(n, attrs.result(), content.result()), i)
+  }
+
+  private final class P(pairs: Vector[(Tok, Int)], raw: String) {
+    private val toks: Vector[Tok] = pairs.map(_._1)
+    private val offs: Vector[Int] = pairs.map(_._2)
     private var pos = 0
     private def peek: Option[Tok] = if (pos < toks.length) Some(toks(pos)) else None
     private def next(): Tok = { val t = toks(pos); pos += 1; t }
@@ -241,12 +349,10 @@ object Jsoniq {
       Flwor(clauses.result(), where, keys.result(), expr())
     }
 
-    /** let-value position: a nested FLWOR must be parenthesized there, so
-      * `let $a := e for $b in ...` does not swallow the for. */
-    private def exprSingleNoFlwor(): Expr = peek match {
-      case Some(TName("if")) => ifExpr()
-      case _ => orExpr()
-    }
+    /** let-value position: ExprSingle — a nested FLWOR binds greedily
+      * (its `return` belongs to the inner FLWOR; XMark q08's
+      * `let $a := for ... return $t return <item .../>` shape). */
+    private def exprSingleNoFlwor(): Expr = expr()
 
     private def ifExpr(): Expr = {
       eat("if"); eat("(")
@@ -383,6 +489,17 @@ object Jsoniq {
       case other => throw new IllegalArgumentException(s"$what: expected name, got $other")
     }
 
+    /** Direct element constructor: the '<' token was consumed; re-parse
+      * CHARACTERWISE from its raw offset (the tokenizer has no XML mode),
+      * then resume at the first token past the element's end. Enclosed
+      * `{expr}` fragments sub-parse through [[Jsoniq.parse]]. */
+    private def elemCtor(): Expr = {
+      val start = offs(pos - 1)
+      val (e, end) = parseRawElem(raw, start)
+      while (pos < toks.length && offs(pos) < end) pos += 1
+      e
+    }
+
     private def primary(): Expr = next() match {
       case TNum(s) => NumLit(s)
       case TStr(s) => StrLit(s)
@@ -390,6 +507,7 @@ object Jsoniq {
       case TVar(v) => VarRef(v)
       case TPunct(".") => ContextItem // XPath context item ('let $a := .')
       case TPunct("@") => AttrStep(ContextItem, nameTok("attribute ref"))
+      case TPunct("<") => elemCtor()
       case TPunct("(") =>
         if (at(")")) { eat(")"); SeqCtor(Seq.empty) }
         else {

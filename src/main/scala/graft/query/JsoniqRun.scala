@@ -218,6 +218,26 @@ object JsoniqRun {
               posexplode(col("__arr")).as(Seq("__p0", ITEM)): _*)
             .withColumn(POS, concat(col(POS), array(col("__p0").cast("long"))))
             .drop("__p0")
+        case ArrayIndex(base, idxE)
+            if isXmlStep(base) &&
+              (idxE.isInstanceOf[NumLit] || idxE == Call("last", Nil)) =>
+          // XPath positional predicate on a step: 1-BASED rank among the
+          // matched siblings of the SAME parent (every step appends one
+          // POS level, so the parent is the POS prefix); [last()] keeps
+          // the highest rank per parent
+          val b = evalSeq(store, base, tuples, env)
+          val prefix = expr(s"slice($POS, 1, size($POS) - 1)")
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col(ORD), prefix).orderBy(col(POS))
+          val ranked = b.withColumn("__rk", row_number().over(w))
+            .withColumn("__rn", count(lit(1)).over(
+              org.apache.spark.sql.expressions.Window
+                .partitionBy(col(ORD), prefix)))
+          val kept = idxE match {
+            case NumLit(t) => ranked.filter(col("__rk") === t.toInt)
+            case _ => ranked.filter(col("__rk") === col("__rn"))
+          }
+          kept.drop("__rk", "__rn")
         case ArrayIndex(base, idxE) if !idxE.isInstanceOf[NumLit] =>
           // non-literal bracket = XPath-style predicate ([@id = "x"],
           // [?-less boolean filters); literal integers stay 0-based
@@ -359,7 +379,7 @@ object JsoniqRun {
           evalCallSeq(store, name, args, tuples, env)
         case ObjectCtor(_) | ArrayCtor(_) | Binary(_, _, _) | Unary(_, _) |
             InstanceOf(_, _) | NumLit(_) | StrLit(_) | BoolLit(_) | NullLit |
-            ContextItem | Call(_, _) =>
+            ContextItem | Call(_, _) | ElemCtor(_, _, _) =>
           val s = evalScalar(store, e, tuples, env)
           s.withColumn(POS, array(lit(0L)))
             .withColumnRenamed("__v", ITEM)
@@ -508,6 +528,34 @@ object JsoniqRun {
           val out = cur.withColumn("__v",
             parse_json(concat(lit("["), body, lit("]"))))
           out.drop(out.columns.filter(_.startsWith("__ae")): _*)
+        case ElemCtor(name, attrs, content) =>
+          // serialize to an XML string item: attr/content expressions
+          // evaluate as sequences, items joined by spaces (XQuery content
+          // serialization), strings raw, other items canonical JSON;
+          // runtime-empty content self-closes (<n/>) like the reference's
+          // serializer on XMark q02's bidderless auctions
+          var cur = tuples
+          def partsCol(parts: Seq[Either[String, Jsoniq.Expr]],
+                       tag: String): Column = {
+            val cols = parts.zipWithIndex.map {
+              case (Left(s), _) => lit(s)
+              case (Right(e2), i) =>
+                val cn = gensym(s"x$tag$i")
+                cur = seqText(store, e2, cur, env).withColumnRenamed("__t", cn)
+                col(cn)
+            }
+            if (cols.isEmpty) lit("") else concat(cols: _*)
+          }
+          val attrCols = attrs.zipWithIndex.map { case ((an, parts), i) =>
+            concat(lit(s""" $an=""""), partsCol(parts, s"a$i"), lit("\""))
+          }
+          val contentCol = partsCol(content, "c")
+          val head = if (attrCols.isEmpty) lit(s"<$name")
+            else concat(lit(s"<$name") +: attrCols: _*)
+          val xml = when(contentCol === "", concat(head, lit("/>")))
+            .otherwise(concat(head, lit(">"), contentCol, lit(s"</$name>")))
+          val out = cur.withColumn("__v", jsonString(xml))
+          out.drop(out.columns.filter(_.startsWith("__x")): _*)
         case Call(name, args) => evalCallScalar(store, name, args, tuples, env)
         case other =>
           // general route: evaluate the sequence, keep the first item
@@ -518,6 +566,23 @@ object JsoniqRun {
             .drop("__jord")
       }
     }
+  }
+
+  /** Per-tuple serialized text of a sequence expression: items in order
+    * joined by single spaces; string items raw, everything else
+    * canonical JSON. Adds `__t` (empty string for the empty sequence). */
+  private def seqText(store: Store, e: Jsoniq.Expr, tuples: DataFrame,
+                      env: Map[String, Binding]): DataFrame = {
+    val s = evalSeq(store, e, tuples, env)
+    val itemText = when(expr(s"schema_of_variant($ITEM)") === "STRING",
+      expr(s"cast($ITEM as string)")).otherwise(to_json(col(ITEM)))
+    val agg = s.withColumn("__it", itemText)
+      .groupBy(col(ORD).as("__jord"))
+      .agg(expr(s"array_join(transform(sort_array(collect_list(struct(" +
+        s"$POS as p, __it as t))), x -> x.t), ' ')").as("__t"))
+    tuples.join(agg, tuples(ORD) === agg("__jord"), "left")
+      .drop("__jord")
+      .withColumn("__t", coalesce(col("__t"), lit("")))
   }
 
   // ------------------------------------------------------------ functions
@@ -620,6 +685,12 @@ object JsoniqRun {
 
   /** Functions whose result is inherently a sequence / needs the store. */
   private val SeqFunctions = Set("jn:store", "jn:doc", "jn:all-times")
+
+  private def isXmlStep(e: Jsoniq.Expr): Boolean = e match {
+    case Jsoniq.ChildStep(_, _) | Jsoniq.DescStep(_, _) |
+        Jsoniq.TextStep(_) | Jsoniq.AttrStep(_, _) => true
+    case _ => false
+  }
 
   private def evalCallSeq(store: Store, name: String, args: Seq[Jsoniq.Expr],
                           tuples: DataFrame,

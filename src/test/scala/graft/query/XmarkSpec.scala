@@ -45,6 +45,54 @@ class XmarkSpec extends SparkSpec {
   test("xmark q06: descendant step count")(check("q06"))
   test("xmark q07: summed descendant counts")(check("q07"))
 
+  /** Split a concatenation of sibling XML elements (depth-balanced). */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0
+    var from = 0
+    var i = 0
+    while (i < s.length) {
+      if (s(i) == '<') {
+        val close = s(i + 1) == '/'
+        val gt = s.indexOf('>', i)
+        val selfClosing = s(gt - 1) == '/'
+        if (close) depth -= 1 else if (!selfClosing) depth += 1
+        i = gt + 1
+        if (depth == 0) { out += s.substring(from, i); from = i }
+      } else i += 1
+    }
+    out.result()
+  }
+
+  private def checkXml(name: String): Unit = harness match {
+    case None => cancel("reference XMark corpus not present")
+    case Some((st, ctx)) =>
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val got = JsoniqRun.run(st, queryText(name), Some(ctx))
+        .collect().map(r => mapper.readValue(r.getString(1), classOf[String]))
+        .toSeq
+      assert(got == splitTopLevel(pinned(name)),
+        s"$name: ${got.take(2)} vs ${splitTopLevel(pinned(name)).take(2)}")
+  }
+
+  test("xmark q02: element construction over positional bidder[1]") {
+    checkXml("q02") // 120 <increase> elements incl. self-closed empties
+  }
+  test("xmark q03: [1]/[last()] attribute templates with arithmetic") {
+    checkXml("q03")
+  }
+  // q08 (255 person/auction joins, 73 s) and q20 (4 counted predicate
+  // walks, 207 s) also match their pinned .out byte-for-byte but carry
+  // the full document variant through every correlated tuple — too slow
+  // for the default gate until subquery decorrelation lands. Run with
+  // SPARK_GRAFT_SLOW_SPECS=1.
+  test("xmark q08/q20: correlated joins and nested constructors (slow)") {
+    if (!sys.env.contains("SPARK_GRAFT_SLOW_SPECS"))
+      cancel("set SPARK_GRAFT_SLOW_SPECS=1 to run the slow XMark pair")
+    checkXml("q08")
+    checkXml("q20")
+  }
+
   test("xml item encoding round-trips structure, order, and attributes") {
     val json = XmlItem.xmlToJson(
       "<a x=\"1\"><b>t1</b><c><b y=\"z\">t2</b></c>tail</a>")
