@@ -53,7 +53,8 @@ object Jsoniq {
   final case class If(cond: Expr, thenE: Expr, elseE: Expr) extends Expr
   final case class InstanceOf(e: Expr, typeName: String) extends Expr
   final case class Call(name: String, args: Seq[Expr]) extends Expr
-  final case class ForClause(varName: String, in: Expr)
+  final case class ForClause(varName: String, in: Expr,
+                             posVar: Option[String] = None)
   final case class LetClause(varName: String, value: Expr)
   final case class OrderKey(key: Expr, descending: Boolean)
   final case class Flwor(clauses: Seq[Either[ForClause, LetClause]],
@@ -316,8 +317,10 @@ object Jsoniq {
           var again = true
           while (again) {
             val v = varName()
+            val posV =
+              if (atName("at")) { eat("at"); Some(varName()) } else None
             eat("in")
-            clauses += Left(ForClause(v, orExpr()))
+            clauses += Left(ForClause(v, orExpr(), posV))
             if (at(",")) eat(",") else again = false
           }
         case Some(TName("let")) =>

@@ -41,9 +41,22 @@ object JsoniqRun {
   private val POS = "__pos"
   private val ITEM = "__item"
 
-  private sealed trait Binding
-  private final case class ItemVar(colName: String) extends Binding
-  private final case class SeqVar(colName: String) extends Binding
+  private[query] sealed trait Binding
+  /** A `for`-bound item. `pointer` is set when the binding iterates a
+    * STATICALLY pathable document source (jn:doc + literal steps,
+    * possibly via static lets): (collection, doc, steps-to-the-array,
+    * 1-based-position column) — update statements resolve their targets
+    * through it per tuple. */
+  private[query] final case class ItemVar(
+      colName: String,
+      pointer: Option[(String, String, List[Either[String, Int]], String)] =
+        None) extends Binding
+  /** A `let`-bound sequence. `staticTarget` keeps the resolved document
+    * path when the value is one, so `$doc[$i]` update targets resolve
+    * through the let. */
+  private[query] final case class SeqVar(
+      colName: String,
+      staticTarget: Option[JsoniqUpdate.StaticTarget] = None) extends Binding
 
   /** One document store (jn:store / jn:doc target). Documents are
     * temporal tables of a single `doc_json` column — every re-store is a
@@ -152,13 +165,13 @@ object JsoniqRun {
           .filter(col(ITEM).isNotNull)
       case None => e match {
         case VarRef(name) => env.get(name) match {
-          case Some(SeqVar(cn)) =>
+          case Some(SeqVar(cn, _)) =>
             tuples
               .select(tuples.columns.map(col) :+
                 posexplode(col(cn)).as(Seq("__p0", ITEM)): _*)
               .withColumn(POS, array(col("__p0").cast("long")))
               .drop("__p0")
-          case Some(ItemVar(_)) =>
+          case Some(ItemVar(_, _)) =>
             throw new IllegalStateException("item var is pointwise")
           case None =>
             throw new IllegalArgumentException(s"unbound variable $$$name")
@@ -290,7 +303,7 @@ object JsoniqRun {
           var cur = tuples.withColumn(ord0, col(ORD))
           var curEnv = env
           clauses.foreach {
-            case Left(ForClause(v, inE)) =>
+            case Left(ForClause(v, inE, posVar)) =>
               // `for` iterates ARRAY items member-wise (the corpus'
               // dialect: `for $i in jn:doc(...)` over an array document
               // binds each member — JsonIntegrationTest testSimpleQuery's
@@ -307,12 +320,33 @@ object JsoniqRun {
                   posexplode(col("__arr")).as(Seq("__p0", ITEM)): _*)
                 .withColumn(POS, concat(col(POS), array(col("__p0").cast("long"))))
                 .drop("__p0")
-              val s = scalarPart.unionByName(arrayPart)
+              var s = scalarPart.unionByName(arrayPart)
               val cn = gensym(s"v_$v")
+              // document pointer for update targets: the source is a
+              // static path, so each bound member IS the (array, pos-1)
+              // slot of the stored document
+              val docPtr = JsoniqUpdate.staticTargetIn(inE, curEnv)
+              // 1-based position within this iteration (at $pos, and the
+              // pointer's index component)
+              val posCol =
+                if (posVar.isDefined || docPtr.isDefined) {
+                  val pc = gensym(s"p_$v")
+                  s = s.withColumn(pc, row_number().over(
+                    org.apache.spark.sql.expressions.Window
+                      .partitionBy(col(ORD)).orderBy(col(POS))).cast("long"))
+                  Some(pc)
+                } else None
               cur = s.withColumn(ORD, concat(col(ORD), col(POS)))
                 .withColumnRenamed(ITEM, cn)
                 .drop(POS)
-              curEnv = curEnv + (v -> ItemVar(cn))
+              curEnv = curEnv + (v -> ItemVar(cn,
+                docPtr.flatMap(t => posCol.map(pc =>
+                  (t.collection, t.doc, t.steps, pc)))))
+              posVar.foreach { pv =>
+                val pvc = gensym(s"v_$pv")
+                cur = cur.withColumn(pvc, jsonNumber(col(posCol.get)))
+                curEnv = curEnv + (pv -> ItemVar(pvc))
+              }
             case Right(LetClause(v, valueE)) =>
               val s = evalSeq(store, valueE, cur, curEnv)
               val cn = gensym(s"s_$v")
@@ -325,7 +359,8 @@ object JsoniqRun {
               cur = cur.join(agg, cur(ORD) === agg("__jord"), "left")
                 .drop("__jord")
                 .withColumn(cn, coalesce(col(cn), expr("array()")))
-              curEnv = curEnv + (v -> SeqVar(cn))
+              curEnv = curEnv + (v -> SeqVar(cn,
+                JsoniqUpdate.staticTargetIn(valueE, curEnv)))
           }
           whereE.foreach { w =>
             cur = evalScalar(store, w, cur, curEnv)
@@ -333,8 +368,10 @@ object JsoniqRun {
           }
           if (orderKeys.nonEmpty) {
             var keyed = cur
+            val keyCols = Seq.newBuilder[String]
             val sortCols = orderKeys.zipWithIndex.flatMap { case (ok, i) =>
               val kn = gensym(s"ok$i")
+              keyCols += kn
               keyed = evalScalar(store, ok.key, keyed, curEnv)
                 .withColumnRenamed("__v", kn)
               val nCol = expr(s"try_cast($kn as double)")
@@ -349,7 +386,9 @@ object JsoniqRun {
               .orderBy(sortCols :+ col(ORD).asc: _*)
             keyed = keyed.withColumn(ORD,
               concat(col(ord0), array(row_number().over(w).cast("long"))))
-            cur = keyed.drop(keyed.columns.filter(_.startsWith("__ok")): _*)
+            // exact names, not a prefix sweep — a nested FLWOR's order-by
+            // inside a key expression must not lose THIS level's keys
+            cur = keyed.drop(keyCols.result(): _*)
           }
           val ret = evalSeq(store, retE, cur, curEnv)
           // iteration suffix (ORD beyond the caller's prefix) becomes the
@@ -370,9 +409,12 @@ object JsoniqRun {
             c.filter(!coalesce(asBool(col("__v")), lit(false))).drop("__v"), env)
           t.unionByName(f)
         case u: UpdateStmt =>
-          // applied eagerly (one committed revision per statement, the
-          // reference's auto-commit), empty result sequence
-          JsoniqUpdate.apply(store, u)
+          // applied eagerly at compile (one committed revision per
+          // statement that mutates anything — the reference's
+          // auto-commit), empty result sequence. One pointer per
+          // surviving binding tuple, deduped (XQUF pending-list): a
+          // where-false FLWOR applies NOTHING.
+          applyUpdate(store, u, tuples, env)
           tuples.withColumn(POS, array(lit(0L))).withColumn(ITEM, vnull)
             .filter(lit(false))
         case Call(name, args) if SeqFunctions(name) =>
@@ -401,11 +443,11 @@ object JsoniqRun {
       case BoolLit(b) => Some(parse_json(lit(if (b) "true" else "false")))
       case NullLit => Some(vnull)
       case ContextItem => env.get("$$") match {
-        case Some(ItemVar(cn)) => Some(col(cn))
+        case Some(ItemVar(cn, _)) => Some(col(cn))
         case _ => throw new IllegalArgumentException("$$ outside a predicate")
       }
       case VarRef(n) => env.get(n) match {
-        case Some(ItemVar(cn)) => Some(col(cn))
+        case Some(ItemVar(cn, _)) => Some(col(cn))
         case _ => None
       }
       case _ => None
@@ -441,8 +483,10 @@ object JsoniqRun {
           val s2 = evalScalar(store, r, s1, env)
           val ld = expr(s"try_cast($lf as double)")
           val rd = expr("try_cast(__v as double)")
-          val ls = expr(s"cast($lf as string)")
-          val rs = expr("cast(__v as string)")
+          // try_cast: a container variant's string cast must yield null
+          // (→ null comparison → excluded), never a runtime error
+          val ls = expr(s"try_cast($lf as string)")
+          val rs = expr("try_cast(__v as string)")
           def cmp(a: Column, b: Column): Column = op match {
             case "eq" => a === b; case "ne" => a =!= b
             case "lt" => a < b; case "le" => a <= b
@@ -496,15 +540,21 @@ object JsoniqRun {
             when(col("__v").isNull, lit(null)).otherwise(jsonBool(b)))
         case ObjectCtor(entries) =>
           var cur = tuples
+          // drop EXACTLY the columns this ctor minted — prefix-matching
+          // here once destroyed an OUTER ctor's accumulated entries when
+          // a nested ctor cleaned up inside the outer's entry loop
+          val mine = Seq.newBuilder[String]
           val parts = entries.zipWithIndex.map {
             case (Right((k, ve)), i) =>
               val cn = gensym(s"oe$i")
+              mine += cn
               cur = evalScalar(store, ve, cur, env).withColumnRenamed("__v", cn)
               val keyJson = lit("\"" + k.replace("\\", "\\\\")
                 .replace("\"", "\\\"") + "\":")
               concat(keyJson, to_json(coalesce(col(cn), vnull)))
             case (Left(splat), i) =>
               val cn = gensym(s"os$i")
+              mine += cn
               cur = evalScalar(store, splat, cur, env).withColumnRenamed("__v", cn)
               val j = to_json(col(cn))
               when(col(cn).isNull || j === "{}", lit(""))
@@ -512,22 +562,23 @@ object JsoniqRun {
           }
           val body = array_join(
             filter(array(parts: _*), p => p =!= lit("")), ",")
-          val out = cur.withColumn("__v",
-            parse_json(concat(lit("{"), body, lit("}"))))
-          out.drop(out.columns.filter(c =>
-            c.startsWith("__oe") || c.startsWith("__os")): _*)
+          cur.withColumn("__v",
+              parse_json(concat(lit("{"), body, lit("}"))))
+            .drop(mine.result(): _*)
         case ArrayCtor(items) =>
           var cur = tuples
+          val mine = Seq.newBuilder[String]
           val parts = items.zipWithIndex.map { case (ve, i) =>
             val cn = gensym(s"ae$i")
+            mine += cn
             cur = evalScalar(store, ve, cur, env).withColumnRenamed("__v", cn)
             to_json(coalesce(col(cn), vnull))
           }
           val body =
             if (parts.isEmpty) lit("") else array_join(array(parts: _*), ",")
-          val out = cur.withColumn("__v",
-            parse_json(concat(lit("["), body, lit("]"))))
-          out.drop(out.columns.filter(_.startsWith("__ae")): _*)
+          cur.withColumn("__v",
+              parse_json(concat(lit("["), body, lit("]"))))
+            .drop(mine.result(): _*)
         case ElemCtor(name, attrs, content) =>
           // serialize to an XML string item: attr/content expressions
           // evaluate as sequences, items joined by spaces (XQuery content
@@ -535,12 +586,14 @@ object JsoniqRun {
           // runtime-empty content self-closes (<n/>) like the reference's
           // serializer on XMark q02's bidderless auctions
           var cur = tuples
+          val mine = Seq.newBuilder[String]
           def partsCol(parts: Seq[Either[String, Jsoniq.Expr]],
                        tag: String): Column = {
             val cols = parts.zipWithIndex.map {
               case (Left(s), _) => lit(s)
               case (Right(e2), i) =>
                 val cn = gensym(s"x$tag$i")
+                mine += cn
                 cur = seqText(store, e2, cur, env).withColumnRenamed("__t", cn)
                 col(cn)
             }
@@ -554,8 +607,7 @@ object JsoniqRun {
             else concat(lit(s"<$name") +: attrCols: _*)
           val xml = when(contentCol === "", concat(head, lit("/>")))
             .otherwise(concat(head, lit(">"), contentCol, lit(s"</$name>")))
-          val out = cur.withColumn("__v", jsonString(xml))
-          out.drop(out.columns.filter(_.startsWith("__x")): _*)
+          cur.withColumn("__v", jsonString(xml)).drop(mine.result(): _*)
         case Call(name, args) => evalCallScalar(store, name, args, tuples, env)
         case other =>
           // general route: evaluate the sequence, keep the first item
@@ -566,6 +618,91 @@ object JsoniqRun {
             .drop("__jord")
       }
     }
+  }
+
+  /** Collect one target pointer per binding tuple (in tuple order) and
+    * hand the statement to [[JsoniqUpdate.applyAll]]. Target grammar:
+    * `jn:doc` literals, static-let vars, `for`-bound members (their
+    * (array, position) slot), literal field derefs, and array indices
+    * that are literals or per-tuple expressions (`$doc[$pos - 1]`). */
+  private def applyUpdate(store: Store, u: Jsoniq.UpdateStmt,
+                          tuples: DataFrame,
+                          env: Map[String, Binding]): Unit = {
+    import Jsoniq._
+    // plan steps: Left(field) | Right(Left(staticIdx)) | Right(Right(col
+    // name holding the per-tuple 0-BASED index as a long))
+    type PlanStep = Either[String, Either[Int, String]]
+    var cur = tuples
+    def resolve(e: Expr): (String, String, List[PlanStep]) = e match {
+      case Call("jn:doc", Seq(StrLit(c), StrLit(d))) => (c, d, Nil)
+      case VarRef(n) => env.get(n) match {
+        case Some(ItemVar(_, Some((c, d, steps, posCol)))) =>
+          // the bound member's slot: static steps to the array + its
+          // 1-based iteration position, shifted per tuple
+          val zc = gensym("uz")
+          cur = cur.withColumn(zc, col(posCol) - 1)
+          val static = steps.map {
+            case Left(f) => Left(f): PlanStep
+            case Right(i) => Right(Left(i)): PlanStep
+          }
+          (c, d, static :+ (Right(Right(zc)): PlanStep))
+        case Some(SeqVar(_, Some(st))) =>
+          (st.collection, st.doc, st.steps.map {
+            case Left(f) => Left(f): PlanStep
+            case Right(i) => Right(Left(i)): PlanStep
+          })
+        case _ => throw new UnsupportedOperationException(
+          s"update target $$$n is not document-addressable")
+      }
+      case Deref(base, f) =>
+        val (c, d, steps) = resolve(base)
+        (c, d, steps :+ (Left(f): PlanStep))
+      case ArrayIndex(base, NumLit(n)) if !n.contains(".") =>
+        val (c, d, steps) = resolve(base)
+        (c, d, steps :+ (Right(Left(n.toInt)): PlanStep))
+      case ArrayIndex(base, idxE) =>
+        val (c, d, steps) = resolve(base)
+        val cn = gensym("ui")
+        cur = evalScalar(store, idxE, cur, env)
+          .withColumn(cn, expr("try_cast(__v as long)")).drop("__v")
+        (c, d, steps :+ (Right(Right(cn)): PlanStep))
+      case other => throw new UnsupportedOperationException(
+        s"update target must be a document path, got $other")
+    }
+    val (collection, doc, plan) = resolve(u.target)
+    val dynCols = plan.collect { case Right(Right(cn)) => cn }
+    val rows =
+      if (dynCols.isEmpty) {
+        // static pointer: one application per tuple collapses to one;
+        // only the tuple COUNT matters (zero tuples -> no-op)
+        if (cur.limit(1).count() == 0L) Seq.empty
+        else Seq(Map.empty[String, Long])
+      } else cur
+        .select((col(ORD) +: dynCols.map(col)): _*)
+        .orderBy(col(ORD))
+        .collect().toSeq
+        .map(r => dynCols.zipWithIndex.map { case (cn, i) =>
+          require(!r.isNullAt(i + 1),
+            "update target index evaluated to empty/non-integer")
+          cn -> r.getLong(i + 1)
+        }.toMap)
+    val pointers = rows.map { vals =>
+      plan.map {
+        case Left(f) => Left(f): Either[String, Int]
+        case Right(Left(i)) => Right(i): Either[String, Int]
+        case Right(Right(cn)) => Right(vals(cn).toInt): Either[String, Int]
+      }
+    }
+    val valueJson = u.value.map(v => JsoniqUpdate.literalJson(v).getOrElse(
+      throw new UnsupportedOperationException(
+        s"update value must be literal JSON, got $v")))
+    val position = u.position.map {
+      case NumLit(n) if !n.contains(".") => n.toInt
+      case other => throw new UnsupportedOperationException(
+        s"insert position must be a literal integer, got $other")
+    }
+    JsoniqUpdate.applyAll(store, collection, doc, u.kind, pointers,
+      valueJson, position)
   }
 
   /** Per-tuple serialized text of a sequence expression: items in order

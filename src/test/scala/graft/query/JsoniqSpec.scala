@@ -322,6 +322,63 @@ class JsoniqSpec extends SparkSpec {
       "{\"foo\":\"bar\",\"baz\":\"yes\"}")
   }
 
+  test("j: runtime update target — delete a field of a filtered member") {
+    check(Seq(
+      """jn:store('json-path1','mydoc.jn','[{"generic": 1, "location": {"city": "Los Angeles", "state": "CA"}}]')""",
+      """for $i in jn:doc('json-path1','mydoc.jn') where deep-equal($i.generic, 1) return delete json $i.location"""),
+      "jn:doc('json-path1','mydoc.jn')",
+      """[{"generic":1}]""")
+  }
+
+  test("j: runtime update target — replace a filtered member's field") {
+    check(Seq(
+      """jn:store('json-path1','mydoc.jn','[{"generic": 1, "location": {"city": "Los Angeles", "state": "CA"}}, {"generic": 2, "location": {"city": "New York", "state": "NY"}}]')""",
+      """for $i in jn:doc('json-path1','mydoc.jn') where deep-equal($i.generic, 2) return replace json value of $i."generic" with 1"""),
+      "jn:doc('json-path1','mydoc.jn')",
+      """[{"generic":1,"location":{"city":"Los Angeles","state":"CA"}},{"generic":1,"location":{"city":"New York","state":"NY"}}]""")
+  }
+
+  test("j: runtime update target — positional delete via at \\$pos") {
+    check(Seq(
+      """jn:store('json-path1','mydoc.jn','[{"generic": 1}, {"location": {"city": "Los Angeles", "state": "CA"}}]')""",
+      """let $doc := jn:doc('json-path1','mydoc.jn') for $i at $pos in $doc where deep-equal($i.generic, 1) return delete json $doc[$pos - 1]"""),
+      "jn:doc('json-path1','mydoc.jn')",
+      """[{"location":{"city":"Los Angeles","state":"CA"}}]""")
+  }
+
+  test("j: runtime update target — delete all, descending computed indices") {
+    check(Seq(
+      """jn:store('json-path1','mydoc.jn','[{"generic": 1, "location": {"city": "Los Angeles", "state": "CA"}},
+        |{"generic": 2, "location": {"city": "New York", "state": "NY"}},
+        |{"generic": 3, "location": {"city": "Montgomery", "state": "AL"}}]')""".stripMargin,
+      """let $doc := jn:doc('json-path1','mydoc.jn')
+        |let $m := for $i at $pos in $doc
+        |          return $pos - 1
+        |for $i in $m order by $i descending return delete json $doc[$i]""".stripMargin),
+      "jn:doc('json-path1','mydoc.jn')",
+      "[]")
+  }
+
+  test("j: multi-statement update against a let-bound static path") {
+    check(Seq(
+      """jn:store('json-path1','mydoc.jn','[{"bla":true},{"bar":"foobar"},{"bla":null,"foo":false,"baz":null}]')""",
+      """let $array := jn:doc('json-path1','mydoc.jn')
+        |return (insert json {"tr": true, "baba": [true,false,null,"foo",{"foo":"bar"}]} into $array[2], delete json $array[1])""".stripMargin),
+      "jn:doc('json-path1','mydoc.jn')",
+      """[{"bla":true},{"bla":null,"foo":false,"baz":null,"tr":true,"baba":[true,false,null,"foo",{"foo":"bar"}]}]""")
+  }
+
+  test("j: a where-false FLWOR applies no update and commits nothing") {
+    val st = freshStore()
+    JsoniqRun.serialize(st, """jn:store('c','n.jn','[{"a": 1}]')""")
+    JsoniqRun.serialize(st,
+      """for $i in jn:doc('c','n.jn') where deep-equal($i.a, 99) return delete json $i.a""")
+    assert(JsoniqRun.serialize(st, "jn:doc('c','n.jn')") == "[{\"a\":1}]")
+    assert(JsoniqRun.serialize(st,
+      "count(jn:all-times(jn:doc('c','n.jn')))") == "1",
+      "an empty pending update list must not mint a revision")
+  }
+
   test("j: every applied update commits a revision (time travel over updates)") {
     val st = freshStore()
     JsoniqRun.serialize(st, """jn:store('c','u.jn','["a"]')""")
@@ -346,6 +403,18 @@ class JsoniqSpec extends SparkSpec {
       """for $d in jn:all-times(jn:doc('c','doc.jn')) return $d.v""") == "1 2")
     assert(JsoniqRun.serialize(st,
       """count(jn:all-times(jn:doc('c','doc.jn')))""") == "2")
+  }
+
+  test("j: nested constructors keep sibling entries (exact-name cleanup)") {
+    // an inner ctor's temp-column cleanup once swept an OUTER ctor's
+    // accumulated entry columns by prefix — the first entry vanished
+    check(Nil, """{"a": 1, "b": {"c": 2}, "d": [3, {"e": 4}]}""",
+      """{"a":1,"b":{"c":2},"d":[3,{"e":4}]}""")
+    check(Nil, """[{"x": 1}, [2, {"y": 3}], 4]""",
+      """[{"x":1},[2,{"y":3}],4]""")
+    check(Nil,
+      """for $i in 1 to 2 return {"n": $i, "obj": {"sq": $i * $i}}""",
+      """{"n":1,"obj":{"sq":1}} {"n":2,"obj":{"sq":4}}""")
   }
 
   test("j: FLWOR order by descending over computed keys") {
