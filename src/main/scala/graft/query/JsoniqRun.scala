@@ -790,6 +790,21 @@ object JsoniqRun {
       case "jn:null" =>
         require(args.isEmpty, "jn:null()")
         tuples.withColumn("__v", vnull)
+      case "sdb:revision" =>
+        // revision of a document handle: the head revision number (the
+        // reference returns the node's revision; a fresh jn:doc handle is
+        // at head). Only the jn:doc(...) argument form is addressable in
+        // the value model.
+        args.head match {
+          case Jsoniq.Call("jn:doc", Seq(Jsoniq.StrLit(c), Jsoniq.StrLit(d))) =>
+            val rev = graft.sources.TemporalTable
+              .mostRecentRevision(store.docPath(c, d))
+              .getOrElse(throw new IllegalArgumentException(
+                s"no revisions for $c/$d"))
+            tuples.withColumn("__v", jsonNumber(lit(rev.toLong)))
+          case other => throw new UnsupportedOperationException(
+            s"sdb:revision over ${other.getClass.getSimpleName}")
+        }
       case "sdb:nodekey" =>
         // node identity is not part of the value model (object scaladoc);
         // the reference's own harness masks these before comparing

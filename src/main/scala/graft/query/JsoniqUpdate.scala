@@ -51,6 +51,7 @@ private[query] object JsoniqUpdate {
     case BoolLit(b) => Some(b.toString)
     case NullLit => Some("null")
     case Call("jn:null", Seq()) => Some("null")
+    case Call("not", Seq(BoolLit(b))) => Some((!b).toString)
     case Unary("-", NumLit(t)) => Some("-" + t)
     case ArrayCtor(items) => seqOf(items).map(_.mkString("[", ",", "]"))
     case SeqCtor(items) => // a sequence value brackets to an array

@@ -379,6 +379,42 @@ class JsoniqSpec extends SparkSpec {
       "an empty pending update list must not mint a revision")
   }
 
+  test("j: replace and rename through an indexed let path") {
+    check(Seq("""jn:store('json-path1','mydoc.jn','[{"test": "test string"}]')""",
+      """let $array := jn:doc('json-path1','mydoc.jn')
+        |return replace json value of $array[0].test with "bar"""".stripMargin),
+      "jn:doc('json-path1','mydoc.jn')",
+      "[{\"test\":\"bar\"}]")
+    check(Seq("""jn:store('json-path1','mydoc.jn','[{"test": "test string"}]')""",
+      """let $array := jn:doc('json-path1','mydoc.jn')
+        |return rename json $array[0].test as "bar"""".stripMargin),
+      "jn:doc('json-path1','mydoc.jn')",
+      "[{\"bar\":\"test string\"}]")
+  }
+
+  test("j: six-update composition pins final state and head revision") {
+    // JsonIntegrationTest.test() (line 719): the update sequence the
+    // reference uses to pin revision numbering
+    val st = freshStore()
+    Seq(
+      """jn:store('json-path1','mydoc.jn','[{"test": "test string"}]')""",
+      """let $array := jn:doc('json-path1','mydoc.jn')
+        |return rename json $array[0].test as "bar"""".stripMargin,
+      """let $array := jn:doc('json-path1','mydoc.jn')
+        |return replace json value of $array[0].bar with "foobar"""".stripMargin,
+      """let $array := jn:doc('json-path1','mydoc.jn')
+        |return insert json {"bla":true} into $array at position 0""".stripMargin,
+      """let $array := jn:doc('json-path1','mydoc.jn')
+        |return append json {"bla":null} into $array""".stripMargin,
+      """let $array := jn:doc('json-path1','mydoc.jn')
+        |return insert json {"foo": not(true), "baz": null} into $array[2]""".stripMargin
+    ).foreach(JsoniqRun.serialize(st, _))
+    assert(JsoniqRun.serialize(st, "jn:doc('json-path1','mydoc.jn')") ==
+      normalize("""[{"bla":true},{"bar":"foobar"},{"bla":null,"foo":false,"baz":null}]"""))
+    assert(JsoniqRun.serialize(st,
+      "sdb:revision(jn:doc('json-path1','mydoc.jn'))") == "6")
+  }
+
   test("j: every applied update commits a revision (time travel over updates)") {
     val st = freshStore()
     JsoniqRun.serialize(st, """jn:store('c','u.jn','["a"]')""")
