@@ -68,7 +68,7 @@ object JsoniqRun {
         "store names must not escape the store directory")
       s"$baseDir/$collection/$doc"
     }
-    private[query] def store(collection: String, doc: String, json: String): Unit = {
+    def store(collection: String, doc: String, json: String): Unit = {
       import spark.implicits._
       graft.sources.TemporalTable.write(
         Seq(json).toDF("doc_json"), docPath(collection, doc))
@@ -433,7 +433,72 @@ object JsoniqRun {
     }
   }
 
-  /** Column for expressions computable per tuple without reshaping. */
+  // ---- shared scalar combinators (variant Columns in, variant out) ----
+  private val IntSchemas = Seq("BIGINT", "INT", "SMALLINT", "TINYINT")
+
+  private def cmpCol(op: String, l: Column, r: Column): Column = {
+    val ld = l.try_cast("double")
+    val rd = r.try_cast("double")
+    // try_cast: a container variant's string cast must yield null
+    // (→ null comparison → excluded), never a runtime error
+    val ls = l.try_cast("string")
+    val rs = r.try_cast("string")
+    def cmp(a: Column, b: Column): Column = op match {
+      case "eq" => a === b; case "ne" => a =!= b
+      case "lt" => a < b; case "le" => a <= b
+      case "gt" => a > b; case "ge" => a >= b
+    }
+    val b = when(ld.isNotNull && rd.isNotNull, cmp(ld, rd))
+      .otherwise(cmp(ls, rs))
+    // empty operand -> empty result (SQL null propagates)
+    when(l.isNull || r.isNull, lit(null)).otherwise(jsonBool(b))
+  }
+
+  private def arithCol(op: String, l: Column, r: Column): Column = {
+    val bothInt = schema_of_variant(l).isin(IntSchemas: _*) &&
+      schema_of_variant(r).isin(IntSchemas: _*)
+    def arith(a: Column, b: Column): Column = op match {
+      case "+" => a + b; case "-" => a - b; case "*" => a * b
+      case "div" => a / b; case "idiv" => (a / b).cast("long")
+      case "mod" => a % b
+      case other => throw new IllegalArgumentException(s"op $other")
+    }
+    val intResult = Set("+", "-", "*", "idiv", "mod")(op)
+    when(l.isNull || r.isNull, lit(null))
+      .when(bothInt && lit(intResult),
+        jsonNumber(arith(l.try_cast("long"), r.try_cast("long"))))
+      .otherwise(jsonNumber(arith(l.try_cast("double"), r.try_cast("double"))))
+  }
+
+  private def boolCol(op: String, l: Column, r: Column): Column = {
+    val b =
+      if (op == "or") coalesce(asBool(l), lit(false)) || coalesce(asBool(r), lit(false))
+      else coalesce(asBool(l), lit(false)) && coalesce(asBool(r), lit(false))
+    jsonBool(b)
+  }
+
+  private def negCol(c: Column): Column =
+    when(schema_of_variant(c) === "BIGINT", jsonNumber(-c.try_cast("long")))
+      .otherwise(jsonNumber(-c.try_cast("double")))
+
+  private def instanceCol(c: Column, typeName: String): Column = {
+    val schema = schema_of_variant(c)
+    val b = typeName match {
+      case "object" => schema.startsWith("OBJECT") || schema.startsWith("STRUCT")
+      case "array" => schema.startsWith("ARRAY")
+      case "string" => schema === "STRING"
+      case other =>
+        throw new UnsupportedOperationException(s"instance of $other()")
+    }
+    when(c.isNull, lit(null)).otherwise(jsonBool(b))
+  }
+
+  /** Column for expressions computable per tuple without reshaping —
+    * the no-join fast path `where` clauses, `[?pred]` filters, and
+    * scalar positions all route through. Deref/index/attr chains over a
+    * pointwise base compile to `variant_get`/`element_at` (SQL null =
+    * empty sequence, exactly the scalar contract); comparisons,
+    * arithmetic, and/or/not compose in place. */
   private def pointwise(e: Jsoniq.Expr,
                         env: Map[String, Binding]): Option[Column] = {
     import Jsoniq._
@@ -450,6 +515,24 @@ object JsoniqRun {
         case Some(ItemVar(cn, _)) => Some(col(cn))
         case _ => None
       }
+      case Deref(b, f) =>
+        pointwise(b, env).map(c => variant_get(c, fieldPath(f), "variant"))
+      case ArrayIndex(b, NumLit(t)) if !t.contains(".") =>
+        pointwise(b, env).map(c =>
+          element_at(c.try_cast("array<variant>"), t.toInt + 1))
+      case AttrStep(b, n) =>
+        pointwise(b, env).map(c =>
+          variant_get(c, s"$$['~a']['${n.replace("'", "\\'")}']", "variant"))
+      case Binary(op, l, r) =>
+        for (lc <- pointwise(l, env); rc <- pointwise(r, env)) yield op match {
+          case "or" | "and" => boolCol(op, lc, rc)
+          case "eq" | "ne" | "lt" | "le" | "gt" | "ge" => cmpCol(op, lc, rc)
+          case _ => arithCol(op, lc, rc)
+        }
+      case Unary("-", x) => pointwise(x, env).map(negCol)
+      case InstanceOf(x, t) => pointwise(x, env).map(instanceCol(_, t))
+      case Call("not", Seq(a)) =>
+        pointwise(a, env).map(c => jsonBool(!coalesce(asBool(c), lit(false))))
       case _ => None
     }
   }
@@ -465,79 +548,26 @@ object JsoniqRun {
     pointwise(e, env) match {
       case Some(c) => tuples.withColumn("__v", c)
       case None => e match {
-        case Binary(op, l, r) if Set("or", "and")(op) =>
+        case Binary(op, l, r) =>
+          // one operand is non-pointwise (pointwise handled both-sided
+          // operators above); evaluate sides in sequence, combine with
+          // the shared combinators
           val lf = gensym("bl")
           val s1 = evalScalar(store, l, tuples, env).withColumnRenamed("__v", lf)
           val s2 = evalScalar(store, r, s1, env)
-          val b =
-            if (op == "or")
-              coalesce(asBool(col(lf)), lit(false)) ||
-                coalesce(asBool(col("__v")), lit(false))
-            else
-              coalesce(asBool(col(lf)), lit(false)) &&
-                coalesce(asBool(col("__v")), lit(false))
-          s2.withColumn("__v", jsonBool(b)).drop(lf)
-        case Binary(op, l, r) if Set("eq", "ne", "lt", "le", "gt", "ge")(op) =>
-          val lf = gensym("cl")
-          val s1 = evalScalar(store, l, tuples, env).withColumnRenamed("__v", lf)
-          val s2 = evalScalar(store, r, s1, env)
-          val ld = expr(s"try_cast($lf as double)")
-          val rd = expr("try_cast(__v as double)")
-          // try_cast: a container variant's string cast must yield null
-          // (→ null comparison → excluded), never a runtime error
-          val ls = expr(s"try_cast($lf as string)")
-          val rs = expr("try_cast(__v as string)")
-          def cmp(a: Column, b: Column): Column = op match {
-            case "eq" => a === b; case "ne" => a =!= b
-            case "lt" => a < b; case "le" => a <= b
-            case "gt" => a > b; case "ge" => a >= b
+          val combined = op match {
+            case "or" | "and" => boolCol(op, col(lf), col("__v"))
+            case "eq" | "ne" | "lt" | "le" | "gt" | "ge" =>
+              cmpCol(op, col(lf), col("__v"))
+            case _ => arithCol(op, col(lf), col("__v"))
           }
-          val b = when(ld.isNotNull && rd.isNotNull, cmp(ld, rd))
-            .otherwise(cmp(ls, rs))
-          // empty operand -> empty result (SQL null propagates)
-          s2.withColumn("__v",
-            when(col(lf).isNull || col("__v").isNull, lit(null))
-              .otherwise(jsonBool(b))).drop(lf)
-        case Binary(op, l, r) => // arithmetic
-          val lf = gensym("al")
-          val s1 = evalScalar(store, l, tuples, env).withColumnRenamed("__v", lf)
-          val s2 = evalScalar(store, r, s1, env)
-          val ints = Set("BIGINT", "INT", "SMALLINT", "TINYINT")
-          val bothInt = expr(s"schema_of_variant($lf)").isin(ints.toSeq: _*) &&
-            expr("schema_of_variant(__v)").isin(ints.toSeq: _*)
-          val ll = expr(s"try_cast($lf as long)")
-          val rl = expr("try_cast(__v as long)")
-          val ld = expr(s"try_cast($lf as double)")
-          val rd = expr("try_cast(__v as double)")
-          def arith(a: Column, b: Column): Column = op match {
-            case "+" => a + b; case "-" => a - b; case "*" => a * b
-            case "div" => a / b; case "idiv" => (a / b).cast("long")
-            case "mod" => a % b
-            case other => throw new IllegalArgumentException(s"op $other")
-          }
-          val intResult = Set("+", "-", "*", "idiv", "mod")(op)
-          val v = when(col(lf).isNull || col("__v").isNull, lit(null))
-            .when(bothInt && lit(intResult), jsonNumber(arith(ll, rl)))
-            .otherwise(jsonNumber(arith(ld, rd)))
-          s2.withColumn("__v", v).drop(lf)
+          s2.withColumn("__v", combined).drop(lf)
         case Unary("-", x) =>
           val s = evalScalar(store, x, tuples, env)
-          s.withColumn("__v",
-            when(expr("schema_of_variant(__v)") === "BIGINT",
-              jsonNumber(-expr("try_cast(__v as long)")))
-            .otherwise(jsonNumber(-expr("try_cast(__v as double)"))))
+          s.withColumn("__v", negCol(col("__v")))
         case InstanceOf(x, typeName) =>
           val s = evalScalar(store, x, tuples, env)
-          val schema = expr("schema_of_variant(__v)")
-          val b = typeName match {
-            case "object" => schema.startsWith("OBJECT") || schema.startsWith("STRUCT")
-            case "array" => schema.startsWith("ARRAY")
-            case "string" => schema === "STRING"
-            case other =>
-              throw new UnsupportedOperationException(s"instance of $other()")
-          }
-          s.withColumn("__v",
-            when(col("__v").isNull, lit(null)).otherwise(jsonBool(b)))
+          s.withColumn("__v", instanceCol(col("__v"), typeName))
         case ObjectCtor(entries) =>
           var cur = tuples
           // drop EXACTLY the columns this ctor minted — prefix-matching

@@ -1,0 +1,56 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Front-end scale check: the same aggregation over 1M records, (a) as a
+  * JSONiq query over a stored 1M-member array document, (b) as the
+  * direct DataFrame plan over parquet. Measures what the thin-translator
+  * claim is worth: the FLWOR compiles to the same explode/filter/agg
+  * shape, but a single-document store serves the whole array as ONE
+  * variant row, so the member explode runs in one task before
+  * distribution kicks in — the honest posture note for BENCH_NOTES (the
+  * scale path for corpora is the shredded/parquet table, not one giant
+  * document). */
+object ProfileJsoniqScale {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(1000000)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+
+    // one document: [{"v": i, "w": hash-noise}, ...] x n
+    val members = spark.range(n.toLong).select(col("id").as("v"),
+      (pmod(xxhash64(col("id")), lit(1000L)) / lit(1000.0)).as("w"))
+    val pq = java.nio.file.Files.createTempDirectory("jqscale").toString
+    members.write.mode("overwrite").parquet(s"$pq/members")
+
+    val docJson = "[" + members.orderBy("v")
+      .select(to_json(struct(col("v"), col("w"))))
+      .as[String].collect().mkString(",") + "]"
+    println(f"doc bytes: ${docJson.length / 1e6}%.1f MB ($n members)")
+
+    val st = new graft.query.JsoniqRun.Store(spark,
+      java.nio.file.Files.createTempDirectory("jqscale-store").toString)
+    val (_, storeSec) = timed(st.store("c", "big.jn", docJson))
+    println(f"store (1 revision commit): $storeSec%.1fs")
+
+    val q = """count(jn:doc('c','big.jn')[][?$$.w gt 0.9])"""
+    graft.query.JsoniqRun.serialize(st, q) // warmup
+    val (cnt, qSec) = timed(graft.query.JsoniqRun.serialize(st, q))
+    println(f"jsoniq  filter+count: $cnt ($qSec%.1fs)")
+
+    val direct = spark.read.parquet(s"$pq/members")
+    val (cnt2, dSec) = timed(
+      direct.filter(col("w") > 0.9).count().toString)
+    println(f"direct  filter+count: $cnt2 ($dSec%.1fs)")
+    require(cnt == cnt2, s"front end disagrees: $cnt vs $cnt2")
+    spark.stop()
+  }
+}
