@@ -427,6 +427,63 @@ class JsoniqSpec extends SparkSpec {
       "count(jn:all-times(jn:doc('c','u.jn')))") == "3")
   }
 
+  // ---- multi-statement updates (JsonMultipleUpdatesTest.java) ----
+
+  test("j: two replaces in one query (web-GUI pattern)") {
+    check(Seq("""jn:store('json-path1','mydoc.jn','{"first": 1, "second": 2}')""",
+      """let $doc := jn:doc('json-path1','mydoc.jn')
+        |return (
+        |  replace json value of $doc.first with 10,
+        |  replace json value of $doc.second with 20
+        |)""".stripMargin),
+      "jn:doc('json-path1','mydoc.jn')",
+      """{"first":10,"second":20}""")
+  }
+
+  test("j: replace + delete in one query") {
+    check(Seq("""jn:store('json-path1','mydoc.jn','{"first": 1, "second": 2, "third": 3}')""",
+      """let $doc := jn:doc('json-path1','mydoc.jn')
+        |return (
+        |  replace json value of $doc.first with 100,
+        |  delete json $doc.second
+        |)""".stripMargin),
+      "jn:doc('json-path1','mydoc.jn')",
+      """{"first":100,"third":3}""")
+  }
+
+  test("j: two deletes in one query") {
+    check(Seq("""jn:store('json-path1','mydoc.jn','{"first": 1, "second": 2, "third": 3}')""",
+      """let $doc := jn:doc('json-path1','mydoc.jn')
+        |return (
+        |  delete json $doc.first,
+        |  delete json $doc.third
+        |)""".stripMargin),
+      "jn:doc('json-path1','mydoc.jn')",
+      """{"second":2}""")
+  }
+
+  test("j: three updates in one query") {
+    check(Seq("""jn:store('json-path1','mydoc.jn','{"a": 1, "b": 2, "c": 3}')""",
+      """let $doc := jn:doc('json-path1','mydoc.jn')
+        |return (
+        |  replace json value of $doc.a with 10,
+        |  replace json value of $doc.b with 20,
+        |  replace json value of $doc.c with 30
+        |)""".stripMargin),
+      "jn:doc('json-path1','mydoc.jn')",
+      """{"a":10,"b":20,"c":30}""")
+  }
+
+  test("j: sequential updates without a let binding see each other's state") {
+    check(Seq("""jn:store('json-path1','mydoc.jn','{"first": 1, "second": 2}')""",
+      """(
+        |  replace json value of jn:doc('json-path1','mydoc.jn').first with 10,
+        |  replace json value of jn:doc('json-path1','mydoc.jn').second with 20
+        |)""".stripMargin),
+      "jn:doc('json-path1','mydoc.jn')",
+      """{"first":10,"second":20}""")
+  }
+
   // ---- temporal axis (jn:doc revisions, jn:all-times) ----
 
   test("j: re-store is a new revision; jn:doc time-travels") {
