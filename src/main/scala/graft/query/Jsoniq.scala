@@ -53,13 +53,16 @@ object Jsoniq {
   final case class If(cond: Expr, thenE: Expr, elseE: Expr) extends Expr
   final case class InstanceOf(e: Expr, typeName: String) extends Expr
   final case class Call(name: String, args: Seq[Expr]) extends Expr
+  sealed trait Clause
   final case class ForClause(varName: String, in: Expr,
-                             posVar: Option[String] = None)
-  final case class LetClause(varName: String, value: Expr)
+                             posVar: Option[String] = None) extends Clause
+  final case class LetClause(varName: String, value: Expr) extends Clause
+  final case class WhereClause(cond: Expr) extends Clause
+  final case class OrderClause(keys: Seq[OrderKey]) extends Clause
   final case class OrderKey(key: Expr, descending: Boolean)
-  final case class Flwor(clauses: Seq[Either[ForClause, LetClause]],
-                         where: Option[Expr], orderBy: Seq[OrderKey],
-                         ret: Expr) extends Expr
+  /** XQuery-3.0-style FLWOR: for/let/where/order by clauses interleave
+    * freely before the return, applying at their position. */
+  final case class Flwor(clauses: Seq[Clause], ret: Expr) extends Expr
   /** JSON update statement (XQUF-style): kind is one of `delete`,
     * `replace` (value-of), `append`, `insert`, `rename`. */
   final case class UpdateStmt(kind: String, target: Expr,
@@ -309,7 +312,7 @@ object Jsoniq {
     }
 
     private def flwor(): Expr = {
-      val clauses = Seq.newBuilder[Either[ForClause, LetClause]]
+      val clauses = Seq.newBuilder[Clause]
       var more = true
       while (more) peek match {
         case Some(TName("for")) =>
@@ -320,7 +323,7 @@ object Jsoniq {
             val posV =
               if (atName("at")) { eat("at"); Some(varName()) } else None
             eat("in")
-            clauses += Left(ForClause(v, orExpr(), posV))
+            clauses += ForClause(v, orExpr(), posV)
             if (at(",")) eat(",") else again = false
           }
         case Some(TName("let")) =>
@@ -329,27 +332,29 @@ object Jsoniq {
           while (again) {
             val v = varName()
             eat(":=")
-            clauses += Right(LetClause(v, exprSingleNoFlwor()))
+            clauses += LetClause(v, exprSingleNoFlwor())
             if (at(",")) eat(",") else again = false
           }
+        case Some(TName("where")) =>
+          eat("where")
+          clauses += WhereClause(orExpr())
+        case Some(TName("order")) =>
+          eat("order"); eat("by")
+          val keys = Seq.newBuilder[OrderKey]
+          var again = true
+          while (again) {
+            val k = orExpr()
+            val desc =
+              if (atName("descending")) { eat("descending"); true }
+              else { if (atName("ascending")) eat("ascending"); false }
+            keys += OrderKey(k, desc)
+            if (at(",")) eat(",") else again = false
+          }
+          clauses += OrderClause(keys.result())
         case _ => more = false
       }
-      val where = if (atName("where")) { eat("where"); Some(orExpr()) } else None
-      val keys = Seq.newBuilder[OrderKey]
-      if (atName("order")) {
-        eat("order"); eat("by")
-        var again = true
-        while (again) {
-          val k = orExpr()
-          val desc =
-            if (atName("descending")) { eat("descending"); true }
-            else { if (atName("ascending")) eat("ascending"); false }
-          keys += OrderKey(k, desc)
-          if (at(",")) eat(",") else again = false
-        }
-      }
       eat("return")
-      Flwor(clauses.result(), where, keys.result(), expr())
+      Flwor(clauses.result(), expr())
     }
 
     /** let-value position: ExprSingle — a nested FLWOR binds greedily
@@ -388,8 +393,10 @@ object Jsoniq {
         case Some(TName(op)) if cmpOps(op) => eat(op); Binary(op, e, instanceExpr())
         case Some(TPunct(op)) if Set("=", "!=", "<", "<=", ">", ">=")(op) =>
           eat(op)
-          val norm = Map("=" -> "eq", "!=" -> "ne", "<" -> "lt", "<=" -> "le",
-            ">" -> "gt", ">=" -> "ge")(op)
+          // GENERAL comparisons (existential over sequences) keep a
+          // distinct op family from the value comparisons eq/ne/...
+          val norm = Map("=" -> "g_eq", "!=" -> "g_ne", "<" -> "g_lt",
+            "<=" -> "g_le", ">" -> "g_gt", ">=" -> "g_ge")(op)
           Binary(norm, e, instanceExpr())
         case _ => e
       }

@@ -50,7 +50,8 @@ object JsoniqRun {
   private[query] final case class ItemVar(
       colName: String,
       pointer: Option[(String, String, List[Either[String, Int]], String)] =
-        None) extends Binding
+        None,
+      aux: Map[String, String] = Map.empty) extends Binding
   /** A `let`-bound sequence. `staticTarget` keeps the resolved document
     * path when the value is one, so `$doc[$i]` update targets resolve
     * through the let. */
@@ -171,15 +172,20 @@ object JsoniqRun {
                 posexplode(col(cn)).as(Seq("__p0", ITEM)): _*)
               .withColumn(POS, array(col("__p0").cast("long")))
               .drop("__p0")
-          case Some(ItemVar(_, _)) =>
+          case Some(ItemVar(_, _, _)) =>
             throw new IllegalStateException("item var is pointwise")
           case None =>
             throw new IllegalArgumentException(s"unbound variable $$$name")
         }
         case SeqCtor(items) =>
+          // normalize each part to the tuple columns + (POS, ITEM):
+          // parts may carry extra stash columns (scan hits) that would
+          // break the union
+          val shape = (tuples.columns :+ POS :+ ITEM).map(col)
           val parts = items.zipWithIndex.map { case (it, i) =>
             evalSeq(store, it, tuples, env)
               .withColumn(POS, concat(array(lit(i.toLong)), col(POS)))
+              .select(shape: _*)
           }
           if (parts.isEmpty)
             tuples.withColumn(POS, array(lit(0L))).withColumn(ITEM, vnull)
@@ -231,6 +237,11 @@ object JsoniqRun {
               posexplode(col("__arr")).as(Seq("__p0", ITEM)): _*)
             .withColumn(POS, concat(col(POS), array(col("__p0").cast("long"))))
             .drop("__p0")
+        case ArrayIndex(base, Unary("-", NumLit(t))) if !t.contains(".") =>
+          val b = evalSeq(store, base, tuples, env)
+          b.withColumn(ITEM, element_at(
+              expr(s"try_cast($ITEM as array<variant>)"), -t.toInt))
+            .filter(col(ITEM).isNotNull)
         case ArrayIndex(base, idxE)
             if isXmlStep(base) &&
               (idxE.isInstanceOf[NumLit] || idxE == Call("last", Nil)) =>
@@ -294,7 +305,7 @@ object JsoniqRun {
             .withColumn(ORD, col(ord0))
             .withColumnRenamed(ctx, ITEM)
             .drop("__v", ord0)
-        case Flwor(clauses, whereE, orderKeys, retE) =>
+        case Flwor(clauses, retE) =>
           // stash the caller's order vector: the clauses grow ORD with
           // iteration suffixes, and the RESULT must surface those
           // suffixes as sequence positions relative to the ORIGINAL
@@ -303,7 +314,7 @@ object JsoniqRun {
           var cur = tuples.withColumn(ord0, col(ORD))
           var curEnv = env
           clauses.foreach {
-            case Left(ForClause(v, inE, posVar)) =>
+            case ForClause(v, inE, posVar) =>
               // `for` iterates ARRAY items member-wise (the corpus'
               // dialect: `for $i in jn:doc(...)` over an array document
               // binds each member — JsonIntegrationTest testSimpleQuery's
@@ -321,6 +332,17 @@ object JsoniqRun {
                 .withColumn(POS, concat(col(POS), array(col("__p0").cast("long"))))
                 .drop("__p0")
               var s = scalarPart.unionByName(arrayPart)
+              // scan stash: a binding over jn:scan-*-index carries each
+              // node's printed path / parent path / revision
+              var aux = Map.empty[String, String]
+              if (s.columns.contains("__spath")) {
+                val (pc, ppc, rc) =
+                  (gensym(s"sp_$v"), gensym(s"spp_$v"), gensym(s"sr_$v"))
+                s = s.withColumnRenamed("__spath", pc)
+                  .withColumnRenamed("__sppath", ppc)
+                  .withColumnRenamed("__srev", rc)
+                aux = Map("path" -> pc, "ppath" -> ppc, "rev" -> rc)
+              }
               val cn = gensym(s"v_$v")
               // document pointer for update targets: the source is a
               // static path, so each bound member IS the (array, pos-1)
@@ -341,13 +363,13 @@ object JsoniqRun {
                 .drop(POS)
               curEnv = curEnv + (v -> ItemVar(cn,
                 docPtr.flatMap(t => posCol.map(pc =>
-                  (t.collection, t.doc, t.steps, pc)))))
+                  (t.collection, t.doc, t.steps, pc))), aux))
               posVar.foreach { pv =>
                 val pvc = gensym(s"v_$pv")
                 cur = cur.withColumn(pvc, jsonNumber(col(posCol.get)))
                 curEnv = curEnv + (pv -> ItemVar(pvc))
               }
-            case Right(LetClause(v, valueE)) =>
+            case LetClause(v, valueE) =>
               val s = evalSeq(store, valueE, cur, curEnv)
               val cn = gensym(s"s_$v")
               // variant is not orderable: sort on (pos, json text) and
@@ -361,34 +383,33 @@ object JsoniqRun {
                 .withColumn(cn, coalesce(col(cn), expr("array()")))
               curEnv = curEnv + (v -> SeqVar(cn,
                 JsoniqUpdate.staticTargetIn(valueE, curEnv)))
-          }
-          whereE.foreach { w =>
-            cur = evalScalar(store, w, cur, curEnv)
-              .filter(asBool(col("__v"))).drop("__v")
-          }
-          if (orderKeys.nonEmpty) {
-            var keyed = cur
-            val keyCols = Seq.newBuilder[String]
-            val sortCols = orderKeys.zipWithIndex.flatMap { case (ok, i) =>
-              val kn = gensym(s"ok$i")
-              keyCols += kn
-              keyed = evalScalar(store, ok.key, keyed, curEnv)
-                .withColumnRenamed("__v", kn)
-              val nCol = expr(s"try_cast($kn as double)")
-              val sCol = expr(s"try_cast($kn as string)")
-              if (ok.descending) Seq(nCol.desc_nulls_last, sCol.desc_nulls_last)
-              else Seq(nCol.asc_nulls_last, sCol.asc_nulls_last)
-            }
-            // re-number WITHIN each original tuple so ORD stays a
-            // prefix-extension of ord0 (the suffix-recovery below)
-            val w = org.apache.spark.sql.expressions.Window
-              .partitionBy(col(ord0))
-              .orderBy(sortCols :+ col(ORD).asc: _*)
-            keyed = keyed.withColumn(ORD,
-              concat(col(ord0), array(row_number().over(w).cast("long"))))
-            // exact names, not a prefix sweep — a nested FLWOR's order-by
-            // inside a key expression must not lose THIS level's keys
-            cur = keyed.drop(keyCols.result(): _*)
+            case WhereClause(w) =>
+              cur = evalScalar(store, w, cur, curEnv)
+                .filter(asBool(col("__v"))).drop("__v")
+            case OrderClause(orderKeys) =>
+              var keyed = cur
+              val keyCols = Seq.newBuilder[String]
+              val sortCols = orderKeys.zipWithIndex.flatMap { case (ok, i) =>
+                val kn = gensym(s"ok$i")
+                keyCols += kn
+                keyed = evalScalar(store, ok.key, keyed, curEnv)
+                  .withColumnRenamed("__v", kn)
+                val nCol = expr(s"try_cast($kn as double)")
+                val sCol = expr(s"try_cast($kn as string)")
+                if (ok.descending) Seq(nCol.desc_nulls_last, sCol.desc_nulls_last)
+                else Seq(nCol.asc_nulls_last, sCol.asc_nulls_last)
+              }
+              // re-number WITHIN each original tuple so ORD stays a
+              // prefix-extension of ord0 (the suffix-recovery below)
+              val w = org.apache.spark.sql.expressions.Window
+                .partitionBy(col(ord0))
+                .orderBy(sortCols :+ col(ORD).asc: _*)
+              keyed = keyed.withColumn(ORD,
+                concat(col(ord0), array(row_number().over(w).cast("long"))))
+              // exact names, not a prefix sweep — a nested FLWOR's
+              // order-by inside a key expression must not lose THIS
+              // level's keys
+              cur = keyed.drop(keyCols.result(): _*)
           }
           val ret = evalSeq(store, retE, cur, curEnv)
           // iteration suffix (ORD beyond the caller's prefix) becomes the
@@ -403,10 +424,12 @@ object JsoniqRun {
           restored.select(restored.columns.filter(keep).map(col): _*)
         case If(condE, thenE, elseE) =>
           val c = evalScalar(store, condE, tuples, env)
+          val branchShape = (c.columns.filter(_ != "__v") :+ POS :+ ITEM).map(col)
           val t = evalSeq(store, thenE,
-            c.filter(asBool(col("__v"))).drop("__v"), env)
+            c.filter(asBool(col("__v"))).drop("__v"), env).select(branchShape: _*)
           val f = evalSeq(store, elseE,
             c.filter(!coalesce(asBool(col("__v")), lit(false))).drop("__v"), env)
+            .select(branchShape: _*)
           t.unionByName(f)
         case u: UpdateStmt =>
           // applied eagerly at compile (one committed revision per
@@ -508,11 +531,11 @@ object JsoniqRun {
       case BoolLit(b) => Some(parse_json(lit(if (b) "true" else "false")))
       case NullLit => Some(vnull)
       case ContextItem => env.get("$$") match {
-        case Some(ItemVar(cn, _)) => Some(col(cn))
+        case Some(ItemVar(cn, _, _)) => Some(col(cn))
         case _ => throw new IllegalArgumentException("$$ outside a predicate")
       }
       case VarRef(n) => env.get(n) match {
-        case Some(ItemVar(cn, _)) => Some(col(cn))
+        case Some(ItemVar(cn, _, _)) => Some(col(cn))
         case _ => None
       }
       case Deref(b, f) =>
@@ -520,6 +543,11 @@ object JsoniqRun {
       case ArrayIndex(b, NumLit(t)) if !t.contains(".") =>
         pointwise(b, env).map(c =>
           element_at(c.try_cast("array<variant>"), t.toInt + 1))
+      case ArrayIndex(b, Unary("-", NumLit(t))) if !t.contains(".") =>
+        // negative index counts from the END (tada[-1] = last member —
+        // element_at's own negative-index semantics)
+        pointwise(b, env).map(c =>
+          element_at(c.try_cast("array<variant>"), -t.toInt))
       case AttrStep(b, n) =>
         pointwise(b, env).map(c =>
           variant_get(c, s"$$['~a']['${n.replace("'", "\\'")}']", "variant"))
@@ -527,6 +555,11 @@ object JsoniqRun {
         for (lc <- pointwise(l, env); rc <- pointwise(r, env)) yield op match {
           case "or" | "and" => boolCol(op, lc, rc)
           case "eq" | "ne" | "lt" | "le" | "gt" | "ge" => cmpCol(op, lc, rc)
+          case g if g.startsWith("g_") =>
+            // pointwise operands are singletons: general (existential)
+            // comparison degenerates to the value comparison, except the
+            // empty-operand result is FALSE, not empty
+            coalesce(cmpCol(g.stripPrefix("g_"), lc, rc), jsonBool(lit(false)))
           case _ => arithCol(op, lc, rc)
         }
       case Unary("-", x) => pointwise(x, env).map(negCol)
@@ -548,6 +581,24 @@ object JsoniqRun {
     pointwise(e, env) match {
       case Some(c) => tuples.withColumn("__v", c)
       case None => e match {
+        case Binary(op, l, r) if op.startsWith("g_") =>
+          // general comparison over sequences: EXISTENTIAL — true iff
+          // ANY (left item, right item) pair satisfies the value
+          // comparison; empty operands yield false (XQuery semantics —
+          // `$$[][].foo[].baz = 'bar'` probes every leaf)
+          val ls = evalSeq(store, l, tuples, env)
+            .select(col(ORD).as("__gjo"), col(ITEM).as("__gl"))
+          val rs = evalSeq(store, r, tuples, env)
+            .select(col(ORD).as("__gjo"), col(ITEM).as("__gr"))
+          val hit = ls.join(rs, "__gjo")
+            .filter(coalesce(
+              asBool(cmpCol(op.stripPrefix("g_"), col("__gl"), col("__gr"))),
+              lit(false)))
+            .select(col("__gjo")).distinct()
+            .withColumn("__ghit", lit(true))
+          tuples.join(hit, tuples(ORD) === hit("__gjo"), "left")
+            .withColumn("__v", jsonBool(coalesce(col("__ghit"), lit(false))))
+            .drop("__gjo", "__ghit")
         case Binary(op, l, r) =>
           // one operand is non-pointwise (pointwise handled both-sided
           // operators above); evaluate sides in sequence, combine with
@@ -666,7 +717,7 @@ object JsoniqRun {
     def resolve(e: Expr): (String, String, List[PlanStep]) = e match {
       case Call("jn:doc", Seq(StrLit(c), StrLit(d))) => (c, d, Nil)
       case VarRef(n) => env.get(n) match {
-        case Some(ItemVar(_, Some((c, d, steps, posCol)))) =>
+        case Some(ItemVar(_, Some((c, d, steps, posCol)), _)) =>
           // the bound member's slot: static steps to the array + its
           // 1-based iteration position, shifted per tuple
           val zc = gensym("uz")
@@ -817,14 +868,38 @@ object JsoniqRun {
         val s = evalScalar(store, args.head, tuples, env)
         s.withColumn("__v", jsonNumber(expr("try_cast(__v as long)")))
       case "zero-or-one" => evalScalar(store, args.head, tuples, env)
+      case "starts-with" =>
+        require(args.size == 2, "starts-with(s, prefix)")
+        val lf = gensym("sw")
+        val s1 = evalScalar(store, args.head, tuples, env)
+          .withColumnRenamed("__v", lf)
+        val s2 = evalScalar(store, args(1), s1, env)
+        s2.withColumn("__v", jsonBool(
+            col(lf).try_cast("string").startsWith(col("__v").try_cast("string"))))
+          .drop(lf)
       case "jn:null" =>
         require(args.isEmpty, "jn:null()")
         tuples.withColumn("__v", vnull)
+      case "sdb:commit" =>
+        // index DDL is free in this engine (pushdown/metadata); commit
+        // returns the document's head revision, which is what the
+        // corpus' `{"revision": sdb:commit($doc)}` wrappers observe
+        val (c, d) = resolveDocArg(args.head, env)
+        val rev = graft.sources.TemporalTable
+          .mostRecentRevision(store.docPath(c, d))
+          .getOrElse(throw new IllegalArgumentException(s"no revisions for $c/$d"))
+        tuples.withColumn("__v", jsonNumber(lit(rev.toLong)))
+      case "jn:create-cas-index" | "jn:create-path-index" |
+          "jn:create-name-index" | "jn:find-cas-index" |
+          "jn:find-path-index" | "jn:find-name-index" =>
+        // index DDL no-ops: CAS/path/name lookups are pushdown + the
+        // fork/projection sidecars in this engine (SURVEY §2.10); the
+        // corpus' index numbers are opaque handles — 0 suffices
+        tuples.withColumn("__v", jsonNumber(lit(0L)))
       case "sdb:revision" =>
-        // revision of a document handle: the head revision number (the
-        // reference returns the node's revision; a fresh jn:doc handle is
-        // at head). Only the jn:doc(...) argument form is addressable in
-        // the value model.
+        // revision of a document handle (head) or of a scan-bound node
+        // (stashed per hit). Other node forms are not addressable in the
+        // value model.
         args.head match {
           case Jsoniq.Call("jn:doc", Seq(Jsoniq.StrLit(c), Jsoniq.StrLit(d))) =>
             val rev = graft.sources.TemporalTable
@@ -832,8 +907,37 @@ object JsoniqRun {
               .getOrElse(throw new IllegalArgumentException(
                 s"no revisions for $c/$d"))
             tuples.withColumn("__v", jsonNumber(lit(rev.toLong)))
+          case Jsoniq.VarRef(n) => env.get(n) match {
+            case Some(ItemVar(_, _, aux)) if aux.contains("rev") =>
+              tuples.withColumn("__v", jsonNumber(col(aux("rev"))))
+            case _ => throw new UnsupportedOperationException(
+              s"sdb:revision over $$$n (no revision stash)")
+          }
           case other => throw new UnsupportedOperationException(
             s"sdb:revision over ${other.getClass.getSimpleName}")
+        }
+      case "sdb:path" =>
+        // printed path of a scan-bound node; the fused
+        // sdb:path(sdb:select-parent($x)) form reads the stashed PARENT
+        // path (node identity beyond the stash is not in the value model)
+        def pathOf(e2: Jsoniq.Expr, key: String): DataFrame = e2 match {
+          case Jsoniq.VarRef(n) => env.get(n) match {
+            case Some(ItemVar(_, _, aux)) if aux.contains(key) =>
+              // an empty stash = the node has no self path (array-member
+              // CAS hits): empty sequence, so exists() can branch
+              tuples.withColumn("__v",
+                when(length(col(aux(key))) === 0, lit(null))
+                  .otherwise(jsonString(col(aux(key)))))
+            case _ => throw new UnsupportedOperationException(
+              s"sdb:path over $$$n (no path stash)")
+          }
+          case other => throw new UnsupportedOperationException(
+            s"sdb:path over ${other.getClass.getSimpleName}")
+        }
+        args.head match {
+          case Jsoniq.Call("sdb:select-parent", Seq(inner)) =>
+            pathOf(inner, "ppath")
+          case other => pathOf(other, "path")
         }
       case "sdb:nodekey" =>
         // node identity is not part of the value model (object scaladoc);
@@ -866,7 +970,8 @@ object JsoniqRun {
   }
 
   /** Functions whose result is inherently a sequence / needs the store. */
-  private val SeqFunctions = Set("jn:store", "jn:doc", "jn:all-times")
+  private val SeqFunctions = Set("jn:store", "jn:doc", "jn:all-times",
+    "jn:load", "jn:scan-path-index", "jn:scan-cas-index")
 
   private def isXmlStep(e: Jsoniq.Expr): Boolean = e match {
     case Jsoniq.ChildStep(_, _) | Jsoniq.DescStep(_, _) |
@@ -918,10 +1023,100 @@ object JsoniqRun {
             throw new UnsupportedOperationException(
               s"jn:all-times over ${other.getClass.getSimpleName}")
         }
+      case "jn:load" =>
+        // file ingestion (reference function/jn/io/Load.java): read the
+        // document text from the (file:) URI and commit it — reads stay
+        // revision-addressable exactly like jn:store
+        require(args.size == 3, "jn:load(collection, doc, uri)")
+        val uri = litStr(args(2), "uri")
+        val p = if (uri.startsWith("file:"))
+          java.nio.file.Paths.get(java.net.URI.create(uri))
+        else java.nio.file.Paths.get(uri)
+        val json = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        store.store(litStr(args(0), "collection"), litStr(args(1), "doc"), json)
+        tuples.withColumn(POS, array(lit(0L))).withColumn(ITEM, vnull)
+          .filter(lit(false))
+      case "jn:scan-path-index" =>
+        // nodes whose sirix path matches the pattern, in document order
+        // (reference jn:scan-path-index; served here by the path walk —
+        // the engine's path indexes are pushdown, not a separate scan)
+        require(args.size == 3, "jn:scan-path-index(doc, idx, path)")
+        val (c, d) = resolveDocArg(args.head, env)
+        val pattern = litStr(args(2), "path")
+        docWalkSeq(store, tuples, c, d,
+          json => JsonPath.walkMatches(json, Some(pattern)))
+      case "jn:scan-cas-index" =>
+        // typed-value scan: nodes at the path whose SCALAR value
+        // satisfies the comparison (reference jn:scan-cas-index)
+        require(args.size == 5, "jn:scan-cas-index(doc, idx, value, op, path)")
+        val (c, d) = resolveDocArg(args.head, env)
+        val value = litStr(args(2), "value")
+        val op = litStr(args(3), "op")
+        // an empty-sequence path scans every class the index covers
+        val pattern = args(4) match {
+          case SeqCtor(Seq()) => None
+          case other => Some(litStr(other, "path"))
+        }
+        def cmp(s: String): Boolean = op match {
+          case "==" => s == value
+          case "!=" => s != value
+          case "<" => s < value; case "<=" => s <= value
+          case ">" => s > value; case ">=" => s >= value
+          case other => throw new UnsupportedOperationException(
+            s"cas comparison '$other'")
+        }
+        docWalkSeq(store, tuples, c, d,
+          json => JsonPath.walkMatches(json, pattern, Some(cmp)))
       case other =>
         throw new UnsupportedOperationException(s"unsupported function $other()")
     }
   }
+
+  /** Cross-join the tuples with a driver-side walk of one stored
+    * document (results in document order). Each hit carries its printed
+    * path, parent path, and revision in the `__spath`/`__sppath`/
+    * `__srev` columns — `for`-bindings over a scan stash them so
+    * sdb:path / sdb:select-parent / sdb:revision answer per node. */
+  private def docWalkSeq(store: Store, tuples: DataFrame, collection: String,
+                         doc: String,
+                         walk: String => Seq[JsonPath.Hit]): DataFrame = {
+    val spark = store.spark
+    import spark.implicits._
+    val rev = graft.sources.TemporalTable
+      .mostRecentRevision(store.docPath(collection, doc))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no revisions for $collection/$doc")).toLong
+    val json = store.doc(collection, doc, None).collect().head.getString(0)
+    val hits = walk(json)
+    if (hits.isEmpty)
+      return tuples.withColumn(POS, array(lit(0L))).withColumn(ITEM, vnull)
+        .withColumn("__spath", lit("")).withColumn("__sppath", lit(""))
+        .withColumn("__srev", lit(0L))
+        .filter(lit(false))
+    val df = hits.zipWithIndex
+      .map { case (h, i) => (i.toLong, h.json, h.path, h.parentPath) }
+      .toDF("__p0", "__mj", "__spath", "__sppath")
+      .select(array(col("__p0")).as(POS), parse_json(col("__mj")).as(ITEM),
+        col("__spath"), col("__sppath"), lit(rev).as("__srev"))
+    tuples.crossJoin(broadcast(df))
+  }
+
+  /** The document a `$doc`-style argument denotes: a literal `jn:doc`
+    * call or a static-let binding of one. */
+  private def resolveDocArg(e: Jsoniq.Expr,
+                            env: Map[String, Binding]): (String, String) =
+    e match {
+      case Jsoniq.Call("jn:doc", Seq(Jsoniq.StrLit(c), Jsoniq.StrLit(d))) =>
+        (c, d)
+      case Jsoniq.VarRef(n) => env.get(n) match {
+        case Some(SeqVar(_, Some(st))) if st.steps.isEmpty =>
+          (st.collection, st.doc)
+        case _ => throw new UnsupportedOperationException(
+          s"$$$n does not denote a stored document")
+      }
+      case other => throw new UnsupportedOperationException(
+        s"expected a document argument, got $other")
+    }
 
   // ----------------------------------------------- descendant deref (=>>)
   /** Pre-order walk collecting every value of `field` at ANY depth —
