@@ -1032,7 +1032,9 @@ object JsoniqRun {
         val p = if (uri.startsWith("file:"))
           java.nio.file.Paths.get(java.net.URI.create(uri))
         else java.nio.file.Paths.get(uri)
+        // a UTF-8 BOM is not JSON (parse_json rejects it) — strip
         val json = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+          .stripPrefix("\uFEFF")
         store.store(litStr(args(0), "collection"), litStr(args(1), "doc"), json)
         tuples.withColumn(POS, array(lit(0L))).withColumn(ITEM, vnull)
           .filter(lit(false))

@@ -29,23 +29,11 @@ class JsonNestingSpec extends SparkSpec {
       s"jn:load('json-path1','mydoc.jn','$uri')")
     indexQuery.foreach(JsoniqRun.serialize(st, _))
     val got = JsoniqRun.serialize(st, openQuery)
-    val want = normalize(new String(Files.readAllBytes(
+    // node keys mask to 0 on both sides (the reference's own
+    // testIgnoreNodeKeys compare; a no-op for outputs without them)
+    val want = normalizeMasked(new String(Files.readAllBytes(
       Paths.get(s"$Res/$testDir/expectedOutput")), "UTF-8"))
     assert(got == want, s"\n$testDir\ngot:  $got\nwant: $want")
-  }
-
-  /** Canonical (sorted-key) form of a pinned sequence serialization. */
-  private def normalize(pinned: String): String = {
-    import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper, SerializationFeature}
-    val mapper = new ObjectMapper()
-    mapper.configure(SerializationFeature.ORDER_MAP_ENTRIES_BY_KEYS, true)
-    val parser = mapper.createParser(pinned)
-    val out = Seq.newBuilder[String]
-    while (parser.nextToken() != null) {
-      val n = mapper.readTree[JsonNode](parser)
-      out += mapper.writeValueAsString(mapper.treeToValue(n, classOf[Object]))
-    }
-    out.result().mkString(" ")
   }
 
   test("nesting9/10: literal index chains into a loaded document") {
@@ -214,6 +202,48 @@ class JsonNestingSpec extends SparkSpec {
         |let $stats := jn:create-cas-index($doc,'xs:string',('//*','//[]'))
         |return {"revision": sdb:commit($doc)}""".stripMargin,
       "copperfield-book.json")
+  }
+
+  test("nesting4: predicate scan over the twitter fixture") {
+    replay("testNesting4",
+      """for $i in jn:doc('json-path1','mydoc.jn').statuses[].user.entities.url[?$$.urls[].url eq 'https://t.co/TcEE6NS8nD'] order by sdb:nodekey($i) return {"result": $i, "nodekey": sdb:nodekey($i) }""",
+      fixture = "../twitter.json")
+  }
+
+  test("nesting5: quoted-field deref into the trade-apis fixture") {
+    replay("testNesting5",
+      """let $result := jn:doc('json-path1','mydoc.jn').paths."/consolidated_screening_list/search".get.parameters return { "result": $result, "nodekey": sdb:nodekey($result) }""",
+      fixture = "trade-apis.json")
+  }
+
+  test("nesting6/17/18: nested FLWOR with eq filter over parameters") {
+    val q =
+      """for $i in jn:doc('json-path1','mydoc.jn').paths."/consolidated_screening_list/search".get
+        |let $j := $i.parameters[].name
+        |return for $k in $j
+        |       where $k eq 'keyword'
+        |       return { "result": $i, "nodekey": sdb:nodekey($i) }""".stripMargin
+    replay("testNesting6", q, fixture = "trade-apis.json")
+    replay("testNesting17", q, fixture = "trade-apis.json")
+    replay("testNesting18", q, fixture = "trade-apis.json")
+  }
+
+  test("nesting7: existential predicate on quoted-field get") {
+    replay("testNesting7",
+      """let $result := jn:doc('json-path1','mydoc.jn').paths."/consolidated_screening_list/search".get[?$$.parameters[].name = 'keyword'] return { "result": $result, "nodekey": sdb:nodekey($result) }""",
+      fixture = "trade-apis.json")
+  }
+
+  test("nesting19/20: two-level let chains over quoted-field derefs") {
+    val q =
+      """for $i in jn:doc('json-path1','mydoc.jn').paths."/consolidated_screening_list/search"
+        |let $j := $i.get
+        |let $l := $j.parameters[].name
+        |return for $k in $l
+        |       where $k eq 'keyword'
+        |       return { "result": $i, "nodekey": sdb:nodekey($i) }""".stripMargin
+    replay("testNesting19", q, fixture = "trade-apis.json")
+    replay("testNesting20", q, fixture = "trade-apis.json")
   }
 
   test("json path matcher: segments, gaps, wildcards, escapes") {
