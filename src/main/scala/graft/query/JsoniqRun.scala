@@ -332,16 +332,18 @@ object JsoniqRun {
                 .withColumn(POS, concat(col(POS), array(col("__p0").cast("long"))))
                 .drop("__p0")
               var s = scalarPart.unionByName(arrayPart)
-              // scan stash: a binding over jn:scan-*-index carries each
-              // node's printed path / parent path / revision
+              // stash capture: a binding over jn:scan-*-index /
+              // jn:all-times carries per-node metadata (printed path,
+              // parent path, revision, previous-revision content)
               var aux = Map.empty[String, String]
-              if (s.columns.contains("__spath")) {
-                val (pc, ppc, rc) =
-                  (gensym(s"sp_$v"), gensym(s"spp_$v"), gensym(s"sr_$v"))
-                s = s.withColumnRenamed("__spath", pc)
-                  .withColumnRenamed("__sppath", ppc)
-                  .withColumnRenamed("__srev", rc)
-                aux = Map("path" -> pc, "ppath" -> ppc, "rev" -> rc)
+              Seq("path" -> "__spath", "ppath" -> "__sppath",
+                "rev" -> "__srev", "prev" -> "__sprev").foreach {
+                case (k, c) =>
+                  if (s.columns.contains(c)) {
+                    val nc = gensym(s"s${k}_$v")
+                    s = s.withColumnRenamed(c, nc)
+                    aux = aux + (k -> nc)
+                  }
               }
               val cn = gensym(s"v_$v")
               // document pointer for update targets: the source is a
@@ -647,16 +649,21 @@ object JsoniqRun {
               parse_json(concat(lit("{"), body, lit("}"))))
             .drop(mine.result(): _*)
         case ArrayCtor(items) =>
+          // JSONiq array construction FLATTENS sequence-valued members:
+          // `[ for $x in ... return e ]` brackets the whole sequence;
+          // literal members are singleton sequences, so scalars keep
+          // their old shape
           var cur = tuples
           val mine = Seq.newBuilder[String]
           val parts = items.zipWithIndex.map { case (ve, i) =>
             val cn = gensym(s"ae$i")
             mine += cn
-            cur = evalScalar(store, ve, cur, env).withColumnRenamed("__v", cn)
-            to_json(coalesce(col(cn), vnull))
+            cur = seqJsonList(store, ve, cur, env).withColumnRenamed("__l", cn)
+            col(cn)
           }
           val body =
-            if (parts.isEmpty) lit("") else array_join(array(parts: _*), ",")
+            if (parts.isEmpty) lit("")
+            else array_join(flatten(array(parts: _*)), ",")
           cur.withColumn("__v",
               parse_json(concat(lit("["), body, lit("]"))))
             .drop(mine.result(): _*)
@@ -786,6 +793,19 @@ object JsoniqRun {
       valueJson, position)
   }
 
+  /** Per-tuple ordered list of a sequence's item JSONs: adds `__l`
+    * (array<string>, empty array for the empty sequence). */
+  private def seqJsonList(store: Store, e: Jsoniq.Expr, tuples: DataFrame,
+                          env: Map[String, Binding]): DataFrame = {
+    val s = evalSeq(store, e, tuples, env)
+    val agg = s.groupBy(col(ORD).as("__jord"))
+      .agg(expr(s"transform(sort_array(collect_list(struct(" +
+        s"$POS as p, to_json($ITEM) as t))), x -> x.t)").as("__l"))
+    tuples.join(agg, tuples(ORD) === agg("__jord"), "left")
+      .drop("__jord")
+      .withColumn("__l", coalesce(col("__l"), expr("array()")))
+  }
+
   /** Per-tuple serialized text of a sequence expression: items in order
     * joined by single spaces; string items raw, everything else
     * canonical JSON. Adds `__t` (empty string for the empty sequence). */
@@ -880,6 +900,26 @@ object JsoniqRun {
       case "jn:null" =>
         require(args.isEmpty, "jn:null()")
         tuples.withColumn("__v", vnull)
+      case "jn:previous" =>
+        // the node's content at the previous revision (stashed by the
+        // jn:all-times binding); empty sequence at the first revision
+        args.head match {
+          case Jsoniq.VarRef(n) => env.get(n) match {
+            case Some(ItemVar(_, _, aux)) if aux.contains("prev") =>
+              tuples.withColumn("__v", parse_json(col(aux("prev"))))
+            case _ => throw new UnsupportedOperationException(
+              s"jn:previous over $$$n (no time-axis stash)")
+          }
+          case other => throw new UnsupportedOperationException(
+            s"jn:previous over ${other.getClass.getSimpleName}")
+        }
+      case "sdb:hash" =>
+        // content hash (the reference hashes the stored subtree; equal
+        // content ⇔ equal hash is the only property queries rely on)
+        val s = evalScalar(store, args.head, tuples, env)
+        s.withColumn("__v",
+          when(col("__v").isNull, lit(null))
+            .otherwise(jsonString(md5(to_json(col("__v"))))))
       case "sdb:commit" =>
         // index DDL is free in this engine (pushdown/metadata); commit
         // returns the document's head revision, which is what the
@@ -1010,19 +1050,14 @@ object JsoniqRun {
         // every committed revision's root, ordered by revision — the
         // reference's time axis iteration (jn:all-times). The argument
         // must be a jn:doc call (the axis is per document, not per node).
-        args.head match {
-          case Call("jn:doc", dargs) =>
-            val path = store.docPath(litStr(dargs(0), "collection"),
-              litStr(dargs(1), "doc"))
-            val all = graft.sources.TemporalTable
-              .readAllRevisions(store.spark, path)
-              .select(parse_json(col("doc_json")).as(ITEM),
-                array(col("revision").cast("long")).as(POS))
-            tuples.crossJoin(broadcast(all))
-          case other =>
-            throw new UnsupportedOperationException(
-              s"jn:all-times over ${other.getClass.getSimpleName}")
-        }
+        // static document path → the node's content at EVERY committed
+        // revision (ordered), each row stashing its revision and the
+        // PREVIOUS revision's content so jn:previous / sdb:hash
+        // change-detection answers per node
+        val target = JsoniqUpdate.staticTargetIn(args.head, env)
+          .getOrElse(throw new UnsupportedOperationException(
+            s"jn:all-times needs a static document path, got ${args.head}"))
+        allTimesAt(store, tuples, target)
       case "jn:load" =>
         // file ingestion (reference function/jn/io/Load.java): read the
         // document text from the (file:) URI and commit it — reads stay
@@ -1100,6 +1135,53 @@ object JsoniqRun {
       .toDF("__p0", "__mj", "__spath", "__sppath")
       .select(array(col("__p0")).as(POS), parse_json(col("__mj")).as(ITEM),
         col("__spath"), col("__sppath"), lit(rev).as("__srev"))
+    tuples.crossJoin(broadcast(df))
+  }
+
+  /** jn:all-times over a static path: one row per committed revision
+    * whose document defines the path, in revision order, with revision
+    * and previous-revision content stashed alongside. Driver-side
+    * navigation (one bounded collect per revision), items broadcast. */
+  private def allTimesAt(store: Store, tuples: DataFrame,
+                         target: JsoniqUpdate.StaticTarget): DataFrame = {
+    val spark = store.spark
+    import spark.implicits._
+    val path = store.docPath(target.collection, target.doc)
+    val revs = graft.sources.TemporalTable.commits(path).map(_.revision)
+    require(revs.nonEmpty, s"no revisions for ${target.collection}/${target.doc}")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    mapper.configure(com.fasterxml.jackson.databind.SerializationFeature
+      .ORDER_MAP_ENTRIES_BY_KEYS, true)
+    def nodeAt(rev: Int): Option[String] = {
+      val doc = store.doc(target.collection, target.doc, Some(rev))
+        .collect().head.getString(0)
+      var n = mapper.readTree(doc)
+      val it = target.steps.iterator
+      while (n != null && it.hasNext) {
+        n = it.next() match {
+          case Left(f) => if (n.isObject) n.get(f) else null
+          case Right(i) =>
+            if (n.isArray && i >= 0 && i < n.size()) n.get(i) else null
+        }
+      }
+      Option(n).map(v =>
+        mapper.writeValueAsString(mapper.treeToValue(v, classOf[Object])))
+    }
+    val byRev = revs.map(r => r -> nodeAt(r))
+    val rows = byRev.zipWithIndex.collect {
+      case ((r, Some(json)), idx) =>
+        val prev = byRev.take(idx).reverse.collectFirst {
+          case (_, Some(pj)) => pj
+        }
+        (r.toLong, json, prev.orNull)
+    }
+    if (rows.isEmpty)
+      return tuples.withColumn(POS, array(lit(0L))).withColumn(ITEM, vnull)
+        .withColumn("__srev", lit(0L)).withColumn("__sprev", lit(""))
+        .filter(lit(false))
+    val df = rows.toDF("__srev", "__mj", "__sprev")
+      .select(array(col("__srev")).as(POS), parse_json(col("__mj")).as(ITEM),
+        col("__srev"), col("__sprev"))
     tuples.crossJoin(broadcast(df))
   }
 

@@ -413,6 +413,23 @@ class JsoniqSpec extends SparkSpec {
       normalize("""[{"bla":true},{"bar":"foobar"},{"bla":null,"foo":false,"baz":null}]"""))
     assert(JsoniqRun.serialize(st,
       "sdb:revision(jn:doc('json-path1','mydoc.jn'))") == "6")
+    // the reference's change-detection epilogue shape (JsonIntegration
+    // Test.test():746-764): jn:all-times over a node, keeping revisions
+    // whose content differs from the previous one (jn:previous /
+    // sdb:hash), bracketed with revisions. The reference addresses the
+    // node by nodeKey (identity); this value model addresses the SLOT
+    // [0], which every revision populates: first {"test":..}, renamed,
+    // replaced, then the position-0 insert swaps in {"bla":true} — four
+    // distinct contents across six revisions.
+    val got = JsoniqRun.serialize(st,
+      """[
+        |  for $node-in-rev in jn:all-times(jn:doc('json-path1','mydoc.jn')[0])
+        |  where (not(exists(jn:previous($node-in-rev)))) or (sdb:hash($node-in-rev) ne sdb:hash(jn:previous($node-in-rev)))
+        |  return { "node": $node-in-rev, "revision": sdb:revision($node-in-rev) }
+        |]""".stripMargin)
+    assert(got == normalize(
+      """[{"node":{"test":"test string"},"revision":1},{"node":{"bar":"test string"},"revision":2},{"node":{"bar":"foobar"},"revision":3},{"node":{"bla":true},"revision":4}]"""),
+      got)
   }
 
   test("j: every applied update commits a revision (time travel over updates)") {
