@@ -24,17 +24,32 @@ import org.apache.spark.sql.functions._
   * Items are Spark VARIANT values: deref is `variant_get`, unboxing is
   * `posexplode(cast(v AS array<variant>))`, construction round-trips
   * through JSON text — all Catalyst expressions, so a `for` over a
-  * billion-member array distributes like any explode. The driver only
-  * assembles plans; [[serialize]] collects purely for the differential
-  * test harness. Two deliberate deviations, both canonicalisations:
-  * objects serialize with SORTED keys (the variant encoding's canonical
-  * form — the differential specs normalise the reference's pinned
-  * strings the same way), and `sdb:nodekey` returns 0 (node identity is
-  * not part of the value model; the reference's own testIgnoreNodeKeys
-  * compares with node keys masked). Descendant deref (`=>>`) walks
-  * arbitrary-depth subtrees — recursion no Catalyst expression
-  * expresses — so it maps items through a Jackson pre-order walk
-  * (flatMap), the same escape hatch the StAX shredder uses. */
+  * billion-member array distributes like any explode; simple
+  * predicates/arithmetic compile to join-free pointwise Columns. The
+  * driver only assembles plans; [[serialize]] collects purely for the
+  * differential test harness.
+  *
+  * Store surface: `jn:store`/`jn:load` commit revisions of a temporal
+  * table, `jn:doc(c,d[,rev])` and `jn:all-times` time-travel through
+  * them, the XQUF update statements ([[JsoniqUpdate]]) collect
+  * per-binding-tuple pointers and commit; `jn:scan-path-index` /
+  * `jn:scan-cas-index` serve through the calibrated sirix path-class
+  * walk ([[JsonPath]]) with per-hit path/revision stashes behind
+  * `sdb:path`/`sdb:select-parent`/`sdb:revision`/`jn:previous`/
+  * `sdb:hash`. XML rides the same item model ([[XmlItem]]) under the
+  * XPath-lite steps.
+  *
+  * Two deliberate deviations, both canonicalisations: objects serialize
+  * with SORTED keys (the variant encoding's canonical form — the
+  * differential specs normalise the reference's pinned strings the same
+  * way), and `sdb:nodekey` returns 0 (node identity is not part of the
+  * value model; the reference's own testIgnoreNodeKeys compares with
+  * node keys masked). Descendant deref (`=>>`), descendant element
+  * steps, and the index-scan walks traverse arbitrary-depth subtrees —
+  * recursion no Catalyst expression expresses — via Jackson walks (the
+  * StAX-shredder escape hatch); update/scan pointer collection is
+  * driver-side and bounded by the matched tuples, the reference's own
+  * transaction discipline. */
 object JsoniqRun {
 
   private val ORD = "__ord"
