@@ -173,6 +173,28 @@ class HnswGraphSpec extends SparkSpec {
       s"build cost growing superlinearly: $perNode1 -> $perNode4 evals/node")
   }
 
+  test("insertion build survives degenerate inputs") {
+    // all-identical vectors: every candidate ties, the diversity check
+    // rejects everything (sim-to-selected == sim-to-query) and the
+    // keep-pruned backfill must still produce a connected graph
+    val dup = Array.fill(64)(Array(1.0, 2.0, 3.0))
+    val lv = Array.tabulate(64)(i => HnswGraph.levelOf(i.toLong, 16))
+    val (adjDup, _) = HnswGraph.insertBuild(dup, lv, 4, 16)
+    adjDup.zipWithIndex.foreach { case (layers, i) =>
+      assert(layers(0).nonEmpty, s"node $i isolated under duplicate vectors")
+    }
+    // zero vectors (cosine 0 everywhere) and a NaN component: no crash,
+    // no self-loops, caps hold
+    val weird = Array(Array(0.0, 0.0), Array(1.0, 0.0), Array(Double.NaN, 1.0),
+      Array(0.0, 1.0), Array(0.0, 0.0))
+    val (adjW, _) = HnswGraph.insertBuild(weird,
+      Array.fill(weird.length)(0), 2, 8)
+    adjW.zipWithIndex.foreach { case (layers, i) =>
+      assert(!layers(0).contains(i), s"self-loop at $i")
+      assert(layers(0).length <= 4, s"cap exceeded at $i")
+    }
+  }
+
   test("search is deterministic run to run") {
     val p = freshPath()
     val (model, assigned) = IvfIndex.fit(emb, "embedding", nLists = 4)
