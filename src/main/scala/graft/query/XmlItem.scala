@@ -65,6 +65,24 @@ object XmlItem {
     mapper.writeValueAsString(doc)
   }
 
+  /** XQuery string-value of one item (JSON text): an element (XmlItem
+    * encoding) concatenates its descendant TEXT nodes in document
+    * order; scalars are their lexical text. Returned JSON-quoted. */
+  private[query] def stringValueJson(json: String): String = {
+    import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+    val mapper = new ObjectMapper()
+    val sb = new StringBuilder
+    def walk(n: JsonNode): Unit = {
+      if (n.isObject && n.has("~c")) {
+        val it = n.get("~c").elements()
+        while (it.hasNext) walk(it.next())
+      } else if (n.isTextual) sb.append(n.asText())
+      else if (n.isValueNode && !n.isNull) sb.append(n.asText())
+    }
+    walk(mapper.readTree(json))
+    mapper.writeValueAsString(sb.toString)
+  }
+
   /** Pre-order descendant elements named `name` within `json` (an
     * item-model node); matches recurse into matched subtrees, XPath's
     * `//name` over descendant-or-self. Returns encoded JSON per match. */

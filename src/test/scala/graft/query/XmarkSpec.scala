@@ -81,6 +81,26 @@ class XmarkSpec extends SparkSpec {
   test("xmark q03: [1]/[last()] attribute templates with arithmetic") {
     checkXml("q03")
   }
+  test("xmark q14: full-text contains over element string-values") {
+    harness match {
+      case None => cancel("reference XMark corpus not present")
+      case Some((st, ctx)) =>
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val got = JsoniqRun.run(st, queryText("q14"), Some(ctx))
+          .collect().map(r => mapper.readValue(r.getString(1), classOf[String]))
+        // the reference concatenates adjacent text items directly (the
+        // fixture's name texts carry their own trailing spaces)
+        val raw = new String(Files.readAllBytes(
+          Paths.get(s"$XmarkDir/results/q14.out")), "UTF-8")
+        assert(got.mkString("") == raw, got.take(2).toSeq)
+    }
+  }
+  test("xmark q15: deep child-path chain into keyword text")(checkXml("q15"))
+  test("xmark q16: non-empty deep path filter, attr-templated empty element") {
+    checkXml("q16")
+  }
+  test("xmark q17: empty() filter over text steps")(checkXml("q17"))
+
   // q08 (255 person/auction joins, 73 s) and q20 (4 counted predicate
   // walks, 207 s) also match their pinned .out byte-for-byte but carry
   // the full document variant through every correlated tuple — too slow
