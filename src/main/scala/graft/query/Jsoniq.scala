@@ -59,7 +59,8 @@ object Jsoniq {
   final case class LetClause(varName: String, value: Expr) extends Clause
   final case class WhereClause(cond: Expr) extends Clause
   final case class OrderClause(keys: Seq[OrderKey]) extends Clause
-  final case class OrderKey(key: Expr, descending: Boolean)
+  final case class OrderKey(key: Expr, descending: Boolean,
+                            emptyLeast: Boolean = false)
   /** XQuery-3.0-style FLWOR: for/let/where/order by clauses interleave
     * freely before the return, applying at their position. */
   final case class Flwor(clauses: Seq[Clause], ret: Expr) extends Expr
@@ -347,7 +348,17 @@ object Jsoniq {
             val desc =
               if (atName("descending")) { eat("descending"); true }
               else { if (atName("ascending")) eat("ascending"); false }
-            keys += OrderKey(k, desc)
+            val emptyLeast =
+              if (atName("empty")) {
+                eat("empty")
+                next() match {
+                  case TName("least") => true
+                  case TName("greatest") => false
+                  case other => throw new IllegalArgumentException(
+                    s"expected least/greatest, got $other")
+                }
+              } else false
+            keys += OrderKey(k, desc, emptyLeast)
             if (at(",")) eat(",") else again = false
           }
           clauses += OrderClause(keys.result())

@@ -412,9 +412,19 @@ object JsoniqRun {
                 keyed = evalScalar(store, ok.key, keyed, curEnv)
                   .withColumnRenamed("__v", kn)
                 val nCol = expr(s"try_cast($kn as double)")
-                val sCol = expr(s"try_cast($kn as string)")
-                if (ok.descending) Seq(nCol.desc_nulls_last, sCol.desc_nulls_last)
-                else Seq(nCol.asc_nulls_last, sCol.asc_nulls_last)
+                // single-text XmlItem elements sort by their text (XMark
+                // q19 orders by zero-or-one($b/location) — the element)
+                val sCol = coalesce(col(kn).try_cast("string"),
+                  variant_get(col(kn), "$['~c'][0]", "variant")
+                    .try_cast("string"))
+                def dir(c: Column): Column =
+                  (ok.descending, ok.emptyLeast) match {
+                    case (false, false) => c.asc_nulls_last // empty greatest
+                    case (false, true) => c.asc_nulls_first
+                    case (true, false) => c.desc_nulls_first
+                    case (true, true) => c.desc_nulls_last
+                  }
+                Seq(dir(nCol), dir(sCol))
               }
               // re-number WITHIN each original tuple so ORD stays a
               // prefix-extension of ord0 (the suffix-recovery below)

@@ -100,6 +100,9 @@ class XmarkSpec extends SparkSpec {
     checkXml("q16")
   }
   test("xmark q17: empty() filter over text steps")(checkXml("q17"))
+  test("xmark q19: order by element string-value with empty greatest") {
+    checkXml("q19")
+  }
 
   // q08 (255 person/auction joins, 73 s) and q20 (4 counted predicate
   // walks, 207 s) also match their pinned .out byte-for-byte but carry
