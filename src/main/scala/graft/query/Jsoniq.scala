@@ -53,6 +53,9 @@ object Jsoniq {
   final case class If(cond: Expr, thenE: Expr, elseE: Expr) extends Expr
   final case class InstanceOf(e: Expr, typeName: String) extends Expr
   final case class Call(name: String, args: Seq[Expr]) extends Expr
+  /** `some $v in e, ... satisfies pred` — existential quantifier. */
+  final case class Quantified(bindings: Seq[(String, Expr)],
+                              pred: Expr) extends Expr
   sealed trait Clause
   final case class ForClause(varName: String, in: Expr,
                              posVar: Option[String] = None) extends Clause
@@ -138,7 +141,7 @@ object Jsoniq {
         val three = if (i + 3 <= n) q.substring(i, i + 3) else ""
         val two = if (i + 2 <= n) q.substring(i, i + 2) else ""
         if (three == "=>>") { out += ((TPunct("=>>"), s0)); i += 3 }
-        else if (Set(":=", "!=", "<=", ">=", "[?", "//").contains(two)) {
+        else if (Set(":=", "!=", "<=", ">=", "[?", "//", "<<").contains(two)) {
           out += ((TPunct(two), s0)); i += 2
         } else { out += ((TPunct(c.toString), s0)); i += 1 }
       }
@@ -282,6 +285,8 @@ object Jsoniq {
     def expr(): Expr = peek match {
       case Some(TName("for")) | Some(TName("let")) => flwor()
       case Some(TName("if")) => ifExpr()
+      case Some(TName("some")) if toks.lift(pos + 1).exists(_.isInstanceOf[TVar]) =>
+        quantified()
       case Some(TName("delete")) if toks.lift(pos + 1).contains(TName("json")) =>
         eat("delete"); eat("json")
         UpdateStmt("delete", orExpr(), None, None)
@@ -338,7 +343,11 @@ object Jsoniq {
           }
         case Some(TName("where")) =>
           eat("where")
-          clauses += WhereClause(orExpr())
+          val cond =
+            if (atName("some") &&
+                toks.lift(pos + 1).exists(_.isInstanceOf[TVar])) quantified()
+            else orExpr()
+          clauses += WhereClause(cond)
         case Some(TName("order")) =>
           eat("order"); eat("by")
           val keys = Seq.newBuilder[OrderKey]
@@ -373,6 +382,20 @@ object Jsoniq {
       * `let $a := for ... return $t return <item .../>` shape). */
     private def exprSingleNoFlwor(): Expr = expr()
 
+    private def quantified(): Expr = {
+      eat("some")
+      val bindings = Seq.newBuilder[(String, Expr)]
+      var again = true
+      while (again) {
+        val v = varName()
+        eat("in")
+        bindings += ((v, orExpr()))
+        if (at(",")) eat(",") else again = false
+      }
+      eat("satisfies")
+      Quantified(bindings.result(), orExpr())
+    }
+
     private def ifExpr(): Expr = {
       eat("if"); eat("(")
       val c = expr()
@@ -402,6 +425,9 @@ object Jsoniq {
       val e = instanceExpr()
       peek match {
         case Some(TName(op)) if cmpOps(op) => eat(op); Binary(op, e, instanceExpr())
+        case Some(TPunct("<<")) =>
+          eat("<<")
+          Binary("<<", e, instanceExpr())
         case Some(TPunct(op)) if Set("=", "!=", "<", "<=", ">", ">=")(op) =>
           eat(op)
           // GENERAL comparisons (existential over sequences) keep a

@@ -471,7 +471,7 @@ object JsoniqRun {
           evalCallSeq(store, name, args, tuples, env)
         case ObjectCtor(_) | ArrayCtor(_) | Binary(_, _, _) | Unary(_, _) |
             InstanceOf(_, _) | NumLit(_) | StrLit(_) | BoolLit(_) | NullLit |
-            ContextItem | Call(_, _) | ElemCtor(_, _, _) =>
+            ContextItem | Call(_, _) | ElemCtor(_, _, _) | Quantified(_, _) =>
           val s = evalScalar(store, e, tuples, env)
           s.withColumn(POS, array(lit(0L)))
             .withColumnRenamed("__v", ITEM)
@@ -578,6 +578,7 @@ object JsoniqRun {
       case AttrStep(b, n) =>
         pointwise(b, env).map(c =>
           variant_get(c, s"$$['~a']['${n.replace("'", "\\'")}']", "variant"))
+      case Binary("<<", _, _) => None // node order — aux-column route only
       case Binary(op, l, r) =>
         for (lc <- pointwise(l, env); rc <- pointwise(r, env)) yield op match {
           case "or" | "and" => boolCol(op, lc, rc)
@@ -608,6 +609,43 @@ object JsoniqRun {
     pointwise(e, env) match {
       case Some(c) => tuples.withColumn("__v", c)
       case None => e match {
+        case Binary("<<", Jsoniq.VarRef(a), Jsoniq.VarRef(b)) =>
+          // document order: compare the bound items' POSITION VECTORS
+          // (Quantified stashes each binding's POS — lexicographic
+          // array comparison IS document-order-before)
+          def posOf(n: String): String = env.get(n) match {
+            case Some(ItemVar(_, _, aux)) if aux.contains("posvec") =>
+              aux("posvec")
+            case _ => throw new UnsupportedOperationException(
+              s"<< needs quantifier-bound operands, $$$n has no position")
+          }
+          tuples.withColumn("__v",
+            jsonBool(col(posOf(a)) < col(posOf(b))))
+        case Quantified(bindings, pred) =>
+          // existential: bind each sequence like a for (NO array
+          // auto-unbox — XQuery iterates the sequence itself), stash
+          // position vectors for <<, and keep tuples with ANY
+          // satisfying combination
+          val ord0 = gensym("qo")
+          var cur = tuples.withColumn(ord0, col(ORD))
+          var qEnv = env
+          bindings.foreach { case (v, inE) =>
+            val s = evalSeq(store, inE, cur, qEnv)
+            val pv = gensym(s"qp_$v")
+            val cn = gensym(s"qv_$v")
+            cur = s.withColumn(pv, col(POS))
+              .withColumn(ORD, concat(col(ORD), col(POS)))
+              .withColumnRenamed(ITEM, cn)
+              .drop(POS)
+            qEnv = qEnv + (v -> ItemVar(cn, None, Map("posvec" -> pv)))
+          }
+          val checked = evalScalar(store, pred, cur, qEnv)
+          val hit = checked.filter(asBool(col("__v")))
+            .select(col(ord0).as("__qjo")).distinct()
+            .withColumn("__qhit", lit(true))
+          tuples.join(hit, tuples(ORD) === hit("__qjo"), "left")
+            .withColumn("__v", jsonBool(coalesce(col("__qhit"), lit(false))))
+            .drop("__qjo", "__qhit")
         case Binary(op, l, r) if op.startsWith("g_") =>
           // general comparison over sequences: EXISTENTIAL — true iff
           // ANY (left item, right item) pair satisfies the value
