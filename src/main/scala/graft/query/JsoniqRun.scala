@@ -869,9 +869,12 @@ object JsoniqRun {
       .withColumn("__l", coalesce(col("__l"), expr("array()")))
   }
 
-  /** Per-tuple serialized text of a sequence expression: items in order
-    * joined by single spaces; string items raw, everything else
-    * canonical JSON. Adds `__t` (empty string for the empty sequence). */
+  /** Per-tuple serialized text of a sequence expression: string items
+    * raw, everything else canonical JSON; the XQuery content rule
+    * separates only ADJACENT ATOMIC items with a space — serialized
+    * elements (strings starting '<') concatenate directly, the
+    * reference's own element-sequence rendering. Adds `__t` (empty
+    * string for the empty sequence). */
   private def seqText(store: Store, e: Jsoniq.Expr, tuples: DataFrame,
                       env: Map[String, Binding]): DataFrame = {
     val s = evalSeq(store, e, tuples, env)
@@ -879,8 +882,13 @@ object JsoniqRun {
       expr(s"cast($ITEM as string)")).otherwise(to_json(col(ITEM)))
     val agg = s.withColumn("__it", itemText)
       .groupBy(col(ORD).as("__jord"))
-      .agg(expr(s"array_join(transform(sort_array(collect_list(struct(" +
-        s"$POS as p, __it as t))), x -> x.t), ' ')").as("__t"))
+      .agg(expr(s"transform(sort_array(collect_list(struct(" +
+        s"$POS as p, __it as t))), x -> x.t)").as("__ts"))
+      .withColumn("__t", expr(
+        "array_join(transform(__ts, (x, i) -> CASE WHEN i = 0 THEN x " +
+          "WHEN x NOT LIKE '<%' AND element_at(__ts, i) NOT LIKE '<%' " +
+          "THEN concat(' ', x) ELSE x END), '')"))
+      .drop("__ts")
     tuples.join(agg, tuples(ORD) === agg("__jord"), "left")
       .drop("__jord")
       .withColumn("__t", coalesce(col("__t"), lit("")))
@@ -956,6 +964,10 @@ object JsoniqRun {
       case "exactly-one" =>
         // the corpus' occurrences are genuinely single-valued; the
         // scalar contract already takes the first item in order
+        evalScalar(store, args.head, tuples, env)
+      case "fn:data" | "data" =>
+        // atomization: attribute/text values are already atomic in the
+        // item model
         evalScalar(store, args.head, tuples, env)
       case "xs:integer" =>
         val s = evalScalar(store, args.head, tuples, env)
@@ -1084,7 +1096,7 @@ object JsoniqRun {
 
   /** Functions whose result is inherently a sequence / needs the store. */
   private val SeqFunctions = Set("jn:store", "jn:doc", "jn:all-times",
-    "jn:load", "jn:scan-path-index", "jn:scan-cas-index")
+    "jn:load", "jn:scan-path-index", "jn:scan-cas-index", "distinct-values")
 
   private def isXmlStep(e: Jsoniq.Expr): Boolean = e match {
     case Jsoniq.ChildStep(_, _) | Jsoniq.DescStep(_, _) |
@@ -1131,6 +1143,14 @@ object JsoniqRun {
           .getOrElse(throw new UnsupportedOperationException(
             s"jn:all-times needs a static document path, got ${args.head}"))
         allTimesAt(store, tuples, target)
+      case "distinct-values" =>
+        // first occurrence of each distinct value, in sequence order
+        val s = evalSeq(store, args.head, tuples, env)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(ORD), to_json(col(ITEM))).orderBy(col(POS))
+        s.withColumn("__dvr", row_number().over(w))
+          .filter(col("__dvr") === 1)
+          .drop("__dvr")
       case "jn:load" =>
         // file ingestion (reference function/jn/io/Load.java): read the
         // document text from the (file:) URI and commit it — reads stay

@@ -104,15 +104,21 @@ class XmarkSpec extends SparkSpec {
     checkXml("q19")
   }
 
-  // q08 (255 person/auction joins, 73 s) and q20 (4 counted predicate
-  // walks, 207 s) also match their pinned .out byte-for-byte but carry
-  // the full document variant through every correlated tuple — too slow
-  // for the default gate until subquery decorrelation lands. Run with
-  // SPARK_GRAFT_SLOW_SPECS=1.
-  test("xmark q08/q20: correlated joins and nested constructors (slow)") {
+  // q08/q11/q12 (correlated person/auction joins, 40-70 s each) and q20
+  // (4 counted predicate walks) also match their pinned .out
+  // byte-for-byte but carry the full document variant through every
+  // correlated tuple — too slow for the default gate until subquery
+  // decorrelation lands. Run with SPARK_GRAFT_SLOW_SPECS=1. The
+  // remaining XMark holes are structural: q09/q10's triple-correlated
+  // nesting overflows Catalyst's plan-transform stack under this
+  // compile scheme, q13 needs byte-exact re-serialization of stripped
+  // whitespace, q18 declares user functions.
+  test("xmark q08/q11/q12/q20: correlated joins (slow)") {
     if (!sys.env.contains("SPARK_GRAFT_SLOW_SPECS"))
-      cancel("set SPARK_GRAFT_SLOW_SPECS=1 to run the slow XMark pair")
+      cancel("set SPARK_GRAFT_SLOW_SPECS=1 to run the slow XMark set")
     checkXml("q08")
+    checkXml("q11")
+    checkXml("q12")
     checkXml("q20")
   }
 
