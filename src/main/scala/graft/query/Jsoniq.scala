@@ -115,8 +115,17 @@ object Jsoniq {
         i += 1
         out += ((TStr(sb.toString), s0))
       } else if (c.isDigit) {
+        // digits ['.' digits] — at most one dot, and only when followed by
+        // a digit ('1.2.3' is a lex error HERE, not a late cast failure;
+        // '1.' leaves the dot to the deref tokenizer).
         val j = i
-        while (i < n && (q(i).isDigit || q(i) == '.')) i += 1
+        while (i < n && q(i).isDigit) i += 1
+        if (i + 1 < n && q(i) == '.' && q(i + 1).isDigit) {
+          i += 1
+          while (i < n && q(i).isDigit) i += 1
+        }
+        require(!(i + 1 < n && q(i) == '.' && q(i + 1).isDigit),
+          s"unexpected '.' in number at offset $i")
         out += ((TNum(q.substring(j, i)), s0))
       } else if (isNameStart(c)) {
         val j = i

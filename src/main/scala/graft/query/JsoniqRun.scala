@@ -213,7 +213,11 @@ object JsoniqRun {
           val step2 = evalScalar(store, toE, step1, env)
           step2
             .select(step2.columns.map(col) :+ posexplode(
-              expr(s"sequence(try_cast($f as long), try_cast(__v as long))"))
+              // XQuery `a to b` with a > b is the EMPTY sequence, but
+              // Spark's sequence(5, 1) counts DOWN — guard so the explode
+              // yields zero rows instead of a descending run.
+              expr(s"case when try_cast($f as long) <= try_cast(__v as long)" +
+                s" then sequence(try_cast($f as long), try_cast(__v as long)) end"))
               .as(Seq("__p0", "__n")): _*)
             .withColumn(POS, array(col("__p0").cast("long")))
             .withColumn(ITEM, jsonNumber(col("__n")))

@@ -13,8 +13,10 @@ package graft.query
   * surviving FLWOR tuple: a `for`-bound member carries its (array,
   * position) slot, computed indices like `$doc[$pos - 1]` evaluate per
   * tuple). Pointers dedupe (XQUF's pending-update-list discipline — the
-  * same node deleted from three tuples is one delete) and apply in tuple
-  * order on one read of the head revision. Values must be literal JSON
+  * same node deleted from three tuples is one delete) and apply in
+  * descending document order on one read of the head revision, so every
+  * pointer lands on the node it resolved to in the pristine tree no
+  * matter what the FLWOR's tuple order was. Values must be literal JSON
   * (`true()`/`false()`/`jn:null()` included; a `(a, b, c)` sequence
   * brackets to an array — the corpus' pinned `append json (1, 2, 3)`
   * behaviour). */
@@ -100,7 +102,28 @@ private[query] object JsoniqUpdate {
           navigate(node.get(i), rest)
       }
 
-    pointers.distinct.foreach { ptr =>
+    // Pointers were resolved against the PRISTINE tree (XQUF pending-update
+    // list), but Jackson mutates in place: deleting arr[1] shifts arr[2]'s
+    // meaning before its pointer applies. Apply in descending document
+    // order — deeper targets before their ancestors, higher array indices
+    // before lower ones under the same parent — so no mutation can shift a
+    // pointer applied after it (deletes/inserts only disturb indices >= the
+    // mutated slot; replace/append/rename shift nothing, any order is fine).
+    def cmpPtr(x: List[Either[String, Int]],
+               y: List[Either[String, Int]]): Int = (x, y) match {
+      case (Nil, Nil) => 0
+      case (Nil, _) => 1  // ancestor applies after its extensions
+      case (_, Nil) => -1
+      case (hx :: tx, hy :: ty) =>
+        val c = (hx, hy) match {
+          case (Right(i), Right(j)) => -Integer.compare(i, j)
+          case (Left(f), Left(g)) => f.compareTo(g)
+          case (Left(_), Right(_)) => -1
+          case (Right(_), Left(_)) => 1
+        }
+        if (c != 0) c else cmpPtr(tx, ty)
+    }
+    pointers.distinct.sortWith(cmpPtr(_, _) < 0).foreach { ptr =>
       def parent(): (JsonNode, Either[String, Int]) = {
         require(ptr.nonEmpty,
           s"$kind json needs a path INTO the document, not the root")

@@ -109,8 +109,14 @@ object ProjectionIndex {
       spark.read.parquet(RevisionCompaction.effectiveDir(tablePath, rev))
         .select(proj.columns.head, proj.columns.tail: _*)
         .write.mode("overwrite").parquet(s"${dataDir(tablePath, name)}/rev=$rev")
-      scala.util.Try(MetaIO.createNew(
-        s"${dataDir(tablePath, name)}/rev=$rev/$CompleteMarker", "{}"))
+      // Swallow ONLY the idempotent-re-run case; any other failure must
+      // surface, else the revision stays permanently "incomplete" and
+      // maintain() silently re-projects it on every commit.
+      try MetaIO.createNew(
+        s"${dataDir(tablePath, name)}/rev=$rev/$CompleteMarker", "{}")
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => ()
+      }
     }
     missing
   }

@@ -359,6 +359,33 @@ class JsoniqSpec extends SparkSpec {
       "[]")
   }
 
+  test("j: runtime update target — ascending indices resolve against the pristine tree") {
+    // No `order by ... descending` workaround: pointers [0] and [2] arrive
+    // ascending, yet both must land on the members they resolved to BEFORE
+    // any mutation (XQUF pending-update-list discipline) — naive sequential
+    // application would delete member 0, shift, then miss member 2.
+    check(Seq(
+      """jn:store('json-path1','mydoc.jn','[{"del": true, "v": "a"}, {"v": "b"}, {"del": true, "v": "c"}]')""",
+      """let $doc := jn:doc('json-path1','mydoc.jn')
+        |for $i at $pos in $doc where deep-equal($i.del, true())
+        |return delete json $doc[$pos - 1]""".stripMargin),
+      "jn:doc('json-path1','mydoc.jn')",
+      """[{"v":"b"}]""")
+  }
+
+  test("j: reversed range is the empty sequence") {
+    check(Nil, "count(5 to 1)", "0")
+    check(Nil, "count(3 to 3)", "1")
+  }
+
+  test("j: malformed number is a lex error, not a late cast failure") {
+    val st = freshStore()
+    val e = intercept[IllegalArgumentException] {
+      JsoniqRun.serialize(st, "1.2.3")
+    }
+    assert(e.getMessage.contains("unexpected '.'"))
+  }
+
   test("j: multi-statement update against a let-bound static path") {
     check(Seq(
       """jn:store('json-path1','mydoc.jn','[{"bla":true},{"bar":"foobar"},{"bla":null,"foo":false,"baz":null}]')""",
