@@ -80,6 +80,39 @@ object Bench {
     val contended = load1() > loadGate
     val loadStart = loadavg()
     val allRuns = collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+    // r9 forensics: three entries "regressed" in a run whose loadavg rose
+    // from 3.0 to 6.0 MID-RUN — the start-only gate said clean. Loadavg
+    // can't distinguish a contender from the bench's own local[32] burn,
+    // so per entry we record EXTERNAL cpu-cores instead: (system busy
+    // jiffies − this JVM's jiffies) over the entry's wall span. A
+    // contender arriving mid-run marks exactly the entries it poisoned
+    // (`hot` below); our own load contributes zero.
+    val entryLoad = collection.mutable.LinkedHashMap.empty[String, Double]
+    def readBusy(): Long =
+      try {
+        val cpu = scala.io.Source.fromFile("/proc/stat").getLines()
+          .next().trim.split("\\s+").drop(1).map(_.toLong)
+        // user nice system ... skip idle(3) and iowait(4)
+        cpu.zipWithIndex.collect { case (v, i) if i != 3 && i != 4 => v }.sum
+      } catch { case _: Exception => 0L }
+    def readSelf(): Long =
+      try {
+        val f = scala.io.Source.fromFile("/proc/self/stat").mkString
+        // fields 14,15 (utime, stime) — comm may contain spaces, so
+        // parse after the closing paren
+        val rest = f.substring(f.lastIndexOf(')') + 2).split(" ")
+        rest(11).toLong + rest(12).toLong
+      } catch { case _: Exception => 0L }
+    var lastBusy = readBusy()
+    var lastSelf = readSelf()
+    var lastT = System.nanoTime()
+    def stamp(name: String): Unit = {
+      val b = readBusy(); val s = readSelf(); val t = System.nanoTime()
+      val wallSec = math.max((t - lastT) / 1e9, 1e-3)
+      entryLoad(name) =
+        math.max(0.0, (b - lastBusy) - (s - lastSelf)) / wallSec / 100.0
+      lastBusy = b; lastSelf = s; lastT = t
+    }
 
     // the pair generators sit in a wide noise band (candidate-edge
     // shuffles dominate) — min-of-3 instead of min-of-2
@@ -100,6 +133,7 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           -1.0
         }
+      stamp(name)
       dropLeftoverPins()
       name -> t
     }
@@ -131,6 +165,7 @@ object Bench {
         val t0b = System.nanoTime()
         graft.sources.TemporalTable.write(li, scratch2)
         val wSec = math.min(w1, (System.nanoTime() - t0b) / 1e9)
+        stamp("w_write_snapshot")
         graft.sources.TemporalTable.write(
           li.withColumn("l_quantity",
             org.apache.spark.sql.functions.expr(
@@ -139,6 +174,7 @@ object Bench {
         val n = graft.sources.TemporalTable.diff(spark, dir, 1, 2).count()
         val dSec = (System.nanoTime() - t1) / 1e9
         require(n > 0)
+        stamp("w_diff_adjacent")
         // OPTIMIZE analog: commit a deliberately fragmented head (32
         // files — the many-small-commits aftermath), then bin-pack it to
         // ~4. Only the compaction itself is timed; the extra revision
@@ -151,6 +187,7 @@ object Bench {
           spark, dir, targetFileBytes = math.max(1L, headBytes / 4))
         val cSec = (System.nanoTime() - t2) / 1e9
         require(compacted.nonEmpty)
+        stamp("w_compact_head")
         // in-place HISTORICAL compaction: the fragmented revision is now
         // history (compactHead committed past it) — rewrite it to ~4
         // files at the SAME revision number and vacuum the originals,
@@ -161,6 +198,7 @@ object Bench {
         require(gen.nonEmpty)
         require(graft.sources.TemporalTable.read(spark, dir, Some(fragRev)).count() > 0)
         val hSec = (System.nanoTime() - t3) / 1e9
+        stamp("w_compact_history")
         Seq("w_write_snapshot" -> wSec, "w_diff_adjacent" -> dSec,
           "w_compact_head" -> cSec, "w_compact_history" -> hSec)
       } catch { case e: Throwable =>
@@ -222,18 +260,22 @@ object Bench {
         val lookup = timed {
           graft.sources.TemporalTable.recordRevisions(spark, dir, 7L).count()
         }
+        stamp("h_record_lookup")
         // consolidate the 1000 per-revision sidecars, then the same lookup
         // reads ~one key-clustered file instead of 1000 tiny ones
         graft.sources.TemporalTable.compactKeyIndex(spark, dir)
         val lookupCompacted = timed {
           graft.sources.TemporalTable.recordRevisions(spark, dir, 7L).count()
         }
+        stamp("h_record_lookup_compacted")
         val feed = timed {
           graft.streaming.ChangeFeed.revisionFeed(spark, dir).count()
         }
+        stamp("h_revision_feed")
         val diffAged = timed {
           graft.sources.TemporalTable.diff(spark, dir, nRevs - 1, nRevs).count()
         }
+        stamp("h_diff_adjacent_aged")
         Seq("h_record_lookup" -> lookup,
           "h_record_lookup_compacted" -> lookupCompacted,
           "h_revision_feed" -> feed,
@@ -276,6 +318,7 @@ object Bench {
           graft.operators.Pq.fit(e, "embedding", dim = q.length, m = 8, k = 16,
             fitFraction = 0.2, maxIter = 8)
         }
+        stamp("s_pq_fit")
         // codes are write-time artifacts: materialize once, outside the
         // query timing (the serving posture — ADC reads codes only)
         val enc = graft.operators.Pq.encode(e, "embedding", pqModel).cache()
@@ -287,10 +330,12 @@ object Bench {
           graft.operators.Pq.searchCosine(enc, pqModel, "vec_id", q, k = 10)
             .write.format("noop").mode("overwrite").save()
         }
+        stamp("s_pq_query")
         enc.unpersist()
         val (kmFit, kmFitted) = timedFit {
           graft.operators.IvfIndex.fit(e, "embedding", nLists = 6)
         }
+        stamp("s_kmeans_fit")
         val kmModel = kmFitted._1
         val kmAssign = timed2 {
           graft.operators.IvfIndex.assignCellsWithDistance(e, kmModel, "embedding")
@@ -299,6 +344,7 @@ object Bench {
           graft.operators.IvfIndex.assignCellsWithDistance(e, kmModel, "embedding")
             .write.format("noop").mode("overwrite").save()
         }
+        stamp("s_kmeans_assign")
         // HNSW tier: build (insertion build + clustered write) vs query
         // (layered descent over the persisted graph) — split like PQ
         val (model, assigned0) = graft.operators.IvfIndex.fit(
@@ -316,6 +362,7 @@ object Bench {
             "vec_id", "embedding", idxPath, m = 8, mL = 16)
           (System.nanoTime() - t0) / 1e9
         }.min
+        stamp("s_hnsw_build")
         assigned.unpersist()
         val hnswQuery = timed2 {
           graft.operators.HnswGraph.searchGraph(spark, idxPath, "vec_id",
@@ -326,6 +373,7 @@ object Bench {
               "embedding", q, k = 10, nProbe = 2, ef = 48)
             .write.format("noop").mode("overwrite").save()
         }
+        stamp("s_hnsw_query")
         Seq("s_pq_fit" -> pqFit, "s_pq_query" -> pqQuery,
           "s_kmeans_fit" -> kmFit, "s_kmeans_assign" -> kmAssign,
           "s_hnsw_build" -> hnswBuild, "s_hnsw_query" -> hnswQuery)
@@ -340,8 +388,15 @@ object Bench {
     val runsJson = allRuns.map { case (k, rs) =>
       "\"" + k + "\":[" + rs.map(r => f"$r%.3f").mkString(",") + "]"
     }.mkString("{", ",", "}")
+    val loadJson = entryLoad.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
+      .mkString("{", ",", "}")
+    // entries during which >2 cpu-cores of NON-bench work ran: timings
+    // suspect regardless of the (start-only) quiet gate
+    val hot = entryLoad.collect { case (k, v) if v > 2.0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""runs":$runsJson,"loadavg_start":"$loadStart","loadavg_end":"${loadavg()}",""" +
+      s""""runs":$runsJson,"ext_cores":$loadJson,"hot":$hot,""" +
+      s""""loadavg_start":"$loadStart","loadavg_end":"${loadavg()}",""" +
       s""""contended":$contended,"sf":"$sfDir"}""")
     spark.stop()
   }
