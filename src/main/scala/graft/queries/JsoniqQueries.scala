@@ -94,7 +94,13 @@ object JsoniqQueries {
     // the reference's own results/qNN.out (XmarkSpec replays q06/q07 too)
     "j_xmark_q01" -> { (s, _) => runXmark(s, "q01") },
     "j_xmark_q02" -> { (s, _) => runXmark(s, "q02") },
-    "j_xmark_q05" -> { (s, _) => runXmark(s, "q05") })
+    "j_xmark_q05" -> { (s, _) => runXmark(s, "q05") },
+    // the formerly-slow correlated set: person/auction joins through the
+    // static-hoist + in-row HOF compile path (round-10 decorrelation)
+    "j_xmark_q08" -> { (s, _) => runXmark(s, "q08") },
+    "j_xmark_q11" -> { (s, _) => runXmark(s, "q11") },
+    "j_xmark_q12" -> { (s, _) => runXmark(s, "q12") },
+    "j_xmark_q20" -> { (s, _) => runXmark(s, "q20") })
 
   private val XmarkDir =
     "/root/reference/bundles/sirix-query/src/test/resources/xmark"
@@ -139,7 +145,11 @@ object JsoniqQueries {
     // reference's own results/q02.out, re-serialized the way the front
     // end serializes string items: JSON-quoted, space-joined
     "j_xmark_q02" -> pin(xmarkElementsPin("q02")),
-    "j_xmark_q05" -> pin("75"))
+    "j_xmark_q05" -> pin("75"),
+    "j_xmark_q08" -> pin(xmarkElementsPin("q08")),
+    "j_xmark_q11" -> pin(xmarkElementsPin("q11")),
+    "j_xmark_q12" -> pin(xmarkElementsPin("q12")),
+    "j_xmark_q20" -> pin(xmarkElementsPin("q20")))
 
   /** The reference's pinned qNN.out (concatenated sibling elements) in
     * the front end's sequence serialization. */

@@ -79,6 +79,110 @@ object Jsoniq {
                             attrs: Seq[(String, Seq[Either[String, Expr]])],
                             content: Seq[Either[String, Expr]]) extends Expr
 
+  /** Direct child expressions of `e` (scope-blind — use [[freeVars]]
+    * when binding structure matters). */
+  def children(e: Expr): Seq[Expr] = e match {
+    case NumLit(_) | StrLit(_) | BoolLit(_) | NullLit | VarRef(_) |
+        ContextItem => Nil
+    case SeqCtor(xs) => xs
+    case ArrayCtor(xs) => xs
+    case ObjectCtor(es) => es.map {
+      case Left(s) => s
+      case Right((_, v)) => v
+    }
+    case Deref(b, _) => Seq(b)
+    case ChildStep(b, _) => Seq(b)
+    case DescStep(b, _) => Seq(b)
+    case TextStep(b) => Seq(b)
+    case AttrStep(b, _) => Seq(b)
+    case DerefVar(b, _) => Seq(b)
+    case DescendantDeref(b, _) => Seq(b)
+    case Unbox(b) => Seq(b)
+    case ArrayIndex(b, i) => Seq(b, i)
+    case ArraySlice(b, f, u) => Seq(b, f, u)
+    case FilterPred(b, p) => Seq(b, p)
+    case Binary(_, l, r) => Seq(l, r)
+    case Unary(_, x) => Seq(x)
+    case Range(f, t) => Seq(f, t)
+    case If(c, t, e2) => Seq(c, t, e2)
+    case InstanceOf(x, _) => Seq(x)
+    case Call(_, args) => args
+    case Quantified(bs, p) => bs.map(_._2) :+ p
+    case Flwor(cs, ret) => cs.flatMap {
+      case ForClause(_, in, _) => Seq(in)
+      case LetClause(_, v) => Seq(v)
+      case WhereClause(w) => Seq(w)
+      case OrderClause(ks) => ks.map(_.key)
+    } :+ ret
+    case UpdateStmt(_, t, v, p) => t +: (v.toSeq ++ p.toSeq)
+    case ElemCtor(_, attrs, content) =>
+      (attrs.flatMap(_._2) ++ content).collect { case Right(x) => x }
+  }
+
+  /** Does any node of `e` (including `e` itself) satisfy `p`? */
+  def exprAny(e: Expr)(p: Expr => Boolean): Boolean =
+    p(e) || children(e).exists(exprAny(_)(p))
+
+  /** Free variables of `e`; `"$$"` stands for the context item. Binding
+    * constructs (FLWOR for/let/position vars, quantifier bindings, a
+    * filter predicate's context item) remove their names from the scopes
+    * they cover. The compiler's join decorrelation uses this to prove a
+    * `for` source reads only statically-bound values. */
+  def freeVars(e: Expr): Set[String] = e match {
+    case NumLit(_) | StrLit(_) | BoolLit(_) | NullLit => Set.empty
+    case VarRef(n) => Set(n)
+    case ContextItem => Set("$$")
+    case SeqCtor(xs) => xs.flatMap(freeVars).toSet
+    case ArrayCtor(xs) => xs.flatMap(freeVars).toSet
+    case ObjectCtor(es) => es.flatMap {
+      case Left(splat) => freeVars(splat)
+      case Right((_, v)) => freeVars(v)
+    }.toSet
+    case Deref(b, _) => freeVars(b)
+    case ChildStep(b, _) => freeVars(b)
+    case DescStep(b, _) => freeVars(b)
+    case TextStep(b) => freeVars(b)
+    case AttrStep(b, _) => freeVars(b)
+    case DerefVar(b, v) => freeVars(b) + v
+    case DescendantDeref(b, _) => freeVars(b)
+    case Unbox(b) => freeVars(b)
+    case ArrayIndex(b, i) => freeVars(b) ++ freeVars(i)
+    case ArraySlice(b, f, u) => freeVars(b) ++ freeVars(f) ++ freeVars(u)
+    case FilterPred(b, p) => freeVars(b) ++ (freeVars(p) - "$$")
+    case Binary(_, l, r) => freeVars(l) ++ freeVars(r)
+    case Unary(_, x) => freeVars(x)
+    case Range(f, t) => freeVars(f) ++ freeVars(t)
+    case If(c, t, e2) => freeVars(c) ++ freeVars(t) ++ freeVars(e2)
+    case InstanceOf(x, _) => freeVars(x)
+    case Call(_, args) => args.flatMap(freeVars).toSet
+    case Quantified(bindings, pred) =>
+      val (fv, bound) = bindings
+        .foldLeft((Set.empty[String], Set.empty[String])) {
+          case ((f, b), (v, src)) => (f ++ (freeVars(src) -- b), b + v)
+        }
+      fv ++ (freeVars(pred) -- bound)
+    case Flwor(clauses, ret) =>
+      val (fv, bound) = clauses
+        .foldLeft((Set.empty[String], Set.empty[String])) {
+          case ((f, b), c) => c match {
+            case ForClause(v, in, pos) =>
+              (f ++ (freeVars(in) -- b), b + v ++ pos)
+            case LetClause(v, value) => (f ++ (freeVars(value) -- b), b + v)
+            case WhereClause(w) => (f ++ (freeVars(w) -- b), b)
+            case OrderClause(keys) =>
+              (f ++ (keys.flatMap(k => freeVars(k.key)).toSet -- b), b)
+          }
+        }
+      fv ++ (freeVars(ret) -- bound)
+    case UpdateStmt(_, t, v, p) =>
+      freeVars(t) ++ v.toSeq.flatMap(freeVars) ++ p.toSeq.flatMap(freeVars)
+    case ElemCtor(_, attrs, content) =>
+      (attrs.flatMap(_._2) ++ content).flatMap {
+        case Left(_) => Nil
+        case Right(x) => freeVars(x)
+      }.toSet
+  }
+
   // ------------------------------------------------------------- tokens
   private sealed trait Tok
   private final case class TNum(s: String) extends Tok
@@ -172,6 +276,20 @@ object Jsoniq {
     e
   }
 
+  /** An ENCLOSED expression (element-constructor `{...}`): a top-level
+    * comma list is an expression SEQUENCE (XQuery's ExprSequence —
+    * XMark q10's `{<id>{$i}</id>, $p}`). */
+  private def parseEnclosed(fragment: String): Expr = {
+    val raw = stripProlog(fragment)
+    val p = new P(tokenize(raw), raw)
+    val parts = Seq.newBuilder[Expr]
+    parts += p.expr()
+    while (p.atComma()) { p.eatComma(); parts += p.expr() }
+    p.expectEnd()
+    val all = parts.result()
+    if (all.size == 1) all.head else SeqCtor(all)
+  }
+
   /** Drop an `xquery version "...";` prolog (XMark queries carry one). */
   private def stripProlog(q: String): String = {
     val t = q.trim
@@ -212,7 +330,7 @@ object Jsoniq {
         i += 1
       }
       require(depth == 0, "unbalanced '{' in element constructor")
-      parse(raw.substring(j, i - 1))
+      parseEnclosed(raw.substring(j, i - 1))
     }
     val n = name()
     val attrs = Seq.newBuilder[(String, Seq[Either[String, Expr]])]
@@ -290,6 +408,8 @@ object Jsoniq {
     }
     def expectEnd(): Unit =
       require(pos == toks.length, s"trailing tokens from $pos: ${toks.drop(pos).take(5)}")
+    def atComma(): Boolean = at(",")
+    def eatComma(): Unit = eat(",")
 
     def expr(): Expr = peek match {
       case Some(TName("for")) | Some(TName("let")) => flwor()

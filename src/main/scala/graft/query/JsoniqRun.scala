@@ -74,6 +74,151 @@ object JsoniqRun {
       colName: String,
       staticTarget: Option[JsoniqUpdate.StaticTarget] = None) extends Binding
 
+  /** A variable bound inside a Spark higher-order-function lambda (the
+    * [[pointwiseSeq]] compiler): the Column IS the lambda variable, not
+    * a frame column. Item = one variant; Seq = array<variant>. */
+  private final case class LambdaItem(c: Column) extends Binding
+  private final case class LambdaSeq(c: Column) extends Binding
+
+  /** Compile-scope static frame: a ONE-ROW stream holding the context
+    * document plus every let binding derivable from static values alone.
+    * A `for` whose source's free variables all resolve here is
+    * CORRELATION-FREE: the source is itemized once against this frame
+    * and broadcast-joined into the tuple stream, instead of re-walking
+    * the (potentially large) document once per binding tuple — the
+    * XMark person/auction queries drop from O(tuples × doc) to one walk
+    * plus a join, the same shape the reference's join-fusion rewrite
+    * produces (bundles/sirix-query/src/main/java/io/sirix/query/
+    * optimizer/walker/json/JoinFusionWalker.java). Rides the env under a
+    * key no parsed variable name can collide with; bindings that shadow
+    * a static name evict it ([[shadowStatic]]). */
+  private[query] final case class StaticCtx(
+      base: DataFrame, env: Map[String, Binding]) extends Binding
+
+  private val STATIC = "%static"
+
+  private def staticCtxOf(env: Map[String, Binding]): Option[StaticCtx] =
+    env.get(STATIC).collect { case s: StaticCtx => s }
+
+  /** Evict `names` from the static scope — a non-static binding is
+    * shadowing them (and `"$$"` when a filter predicate rebinds the
+    * context item). */
+  private def shadowStatic(env: Map[String, Binding],
+                           names: String*): Map[String, Binding] =
+    staticCtxOf(env) match {
+      case Some(sc) if names.exists(sc.env.contains) =>
+        env + (STATIC -> sc.copy(env = sc.env -- names))
+      case _ => env
+    }
+
+  /** Lift maximal document-walking subexpressions whose free variables
+    * are ALL statically bound out of `e0`: each is evaluated ONCE on the
+    * 1-row static frame, aggregated to an in-row array, broadcast onto
+    * the tuple stream, and replaced by a fresh variable reference. This
+    * is the front end's join decorrelation — the reference reaches the
+    * same shape through ForBind fusion (bundles/sirix-query/src/main/
+    * java/io/sirix/query/optimizer/walker/json/JoinFusionWalker.java);
+    * here the lifted side becomes a broadcast array the pointwise
+    * compilers then filter/transform per tuple in codegen. Scans and
+    * side-effecting calls are never lifted (data-bound size / one-commit
+    * -per-statement); document-addressable paths keep their row form so
+    * update targets stay resolvable. */
+  private def hoistStatic(store: Store, e0: Jsoniq.Expr, tuples0: DataFrame,
+      env0: Map[String, Binding])
+      : (Jsoniq.Expr, DataFrame, Map[String, Binding]) = {
+    import Jsoniq._
+    staticCtxOf(env0) match {
+      case None => (e0, tuples0, env0)
+      case Some(sc0) =>
+        var cur = tuples0
+        var sc = sc0
+        var env = env0
+        val cache = scala.collection.mutable.Map.empty[Expr, String]
+        def eligible(x: Expr, shadow: Set[String]): Boolean =
+          isDocWalk(x) && !containsScanCall(x) && !containsEffect(x) && {
+            val fv = freeVars(x)
+            fv.subsetOf(sc.env.keySet) && fv.intersect(shadow).isEmpty
+          } && JsoniqUpdate.staticTargetIn(x, env).isEmpty
+        def bind(x: Expr): Expr = VarRef(cache.getOrElseUpdate(x, {
+          val s2 = evalSeq(store, x, sc.base, sc.env + (STATIC -> sc))
+          val scn = gensym("h")
+          val agg = s2.groupBy(col(ORD).as("__jord"))
+            .agg(expr(s"transform(sort_array(collect_list(struct(" +
+              s"$POS as p, to_json($ITEM) as i))), s -> parse_json(s.i))")
+              .as(scn))
+          val base2 = sc.base.join(agg, sc.base(ORD) === agg("__jord"), "left")
+            .drop("__jord")
+            .withColumn(scn, coalesce(col(scn), emptyVarr))
+          val hv = gensym("hv")
+          sc = StaticCtx(base2, sc.env + (hv -> SeqVar(scn)))
+          cur = cur.crossJoin(broadcast(base2.select(col(scn))))
+          env = env + (hv -> SeqVar(scn)) + (STATIC -> sc)
+          hv
+        }))
+        def walk(x: Expr, sh: Set[String]): Expr =
+          if (eligible(x, sh)) bind(x)
+          else x match {
+            case Deref(b, f) => Deref(walk(b, sh), f)
+            case ChildStep(b, n) => ChildStep(walk(b, sh), n)
+            case DescStep(b, n) => DescStep(walk(b, sh), n)
+            case TextStep(b) => TextStep(walk(b, sh))
+            case AttrStep(b, n) => AttrStep(walk(b, sh), n)
+            case DerefVar(b, n) => DerefVar(walk(b, sh), n)
+            case DescendantDeref(b, f) => DescendantDeref(walk(b, sh), f)
+            case Unbox(b) => Unbox(walk(b, sh))
+            case ArrayIndex(b, i) => ArrayIndex(walk(b, sh), walk(i, sh))
+            case ArraySlice(b, f, u) =>
+              ArraySlice(walk(b, sh), walk(f, sh), walk(u, sh))
+            case FilterPred(b, pr) =>
+              FilterPred(walk(b, sh), walk(pr, sh + "$$"))
+            case Binary(op, l, r) => Binary(op, walk(l, sh), walk(r, sh))
+            case Unary(op, v) => Unary(op, walk(v, sh))
+            case Range(f, t) => Range(walk(f, sh), walk(t, sh))
+            case If(c, t, e2) => If(walk(c, sh), walk(t, sh), walk(e2, sh))
+            case InstanceOf(v, t) => InstanceOf(walk(v, sh), t)
+            case SeqCtor(xs) => SeqCtor(xs.map(walk(_, sh)))
+            case ArrayCtor(xs) => ArrayCtor(xs.map(walk(_, sh)))
+            case ObjectCtor(es) => ObjectCtor(es.map {
+              case Left(sp) => Left(walk(sp, sh))
+              case Right((k, v)) => Right((k, walk(v, sh)))
+            })
+            case Call(n, as) => Call(n, as.map(walk(_, sh)))
+            case Quantified(bs, pr) =>
+              var s2 = sh
+              val bs2 = bs.map { case (v, in) =>
+                val r = (v, walk(in, s2)); s2 = s2 + v; r
+              }
+              Quantified(bs2, walk(pr, s2))
+            case Flwor(cs, ret) =>
+              var s2 = sh
+              val cs2 = cs.map {
+                case ForClause(v, in, pv) =>
+                  val r = ForClause(v, walk(in, s2), pv)
+                  s2 = s2 + v ++ pv; r
+                case LetClause(v, value) =>
+                  val r = LetClause(v, walk(value, s2)); s2 = s2 + v; r
+                case WhereClause(w) => WhereClause(walk(w, s2))
+                case OrderClause(ks) =>
+                  OrderClause(ks.map(k => k.copy(key = walk(k.key, s2))))
+              }
+              Flwor(cs2, walk(ret, s2))
+            case ElemCtor(n, attrs, content) =>
+              ElemCtor(n,
+                attrs.map { case (an, parts) => (an, parts.map {
+                  case Left(t) => Left(t): Either[String, Expr]
+                  case Right(v) => Right(walk(v, sh)): Either[String, Expr]
+                }) },
+                content.map {
+                  case Left(t) => Left(t): Either[String, Expr]
+                  case Right(v) => Right(walk(v, sh)): Either[String, Expr]
+                })
+            case other => other // literals, VarRef, ContextItem, UpdateStmt
+          }
+        val e1 = walk(e0, Set.empty)
+        (e1, cur, env)
+    }
+  }
+
   /** One document store (jn:store / jn:doc target). Documents are
     * temporal tables of a single `doc_json` column — every re-store is a
     * new revision, so `jn:doc(c, d, rev)` time travel is the library's
@@ -134,14 +279,18 @@ object JsoniqRun {
     val base = store.spark.range(1)
       .select(array(lit(0L)).as(ORD))
     contextJson match {
-      case None => evalSeq(store, ast, base, Map.empty)
+      case None =>
+        evalSeq(store, ast, base,
+          Map(STATIC -> StaticCtx(base, Map.empty)))
       case Some(json) =>
         import store.spark.implicits._
         val cn = gensym("ctx")
         val doc = Seq(json).toDF("__j")
           .select(parse_json(col("__j")).as(cn))
-        evalSeq(store, ast, base.crossJoin(broadcast(doc)),
-          Map("$$" -> ItemVar(cn)))
+        val based = base.crossJoin(broadcast(doc))
+        val sEnv = Map[String, Binding]("$$" -> ItemVar(cn))
+        evalSeq(store, ast, based,
+          sEnv + (STATIC -> StaticCtx(based, sEnv)))
     }
   }
 
@@ -172,14 +321,33 @@ object JsoniqRun {
   /** Evaluate `e` against the tuple stream: returns the stream's columns
     * + (__pos, __item), one row per item. */
   private def evalSeq(store: Store, e: Jsoniq.Expr, tuples: DataFrame,
-                      env: Map[String, Binding]): DataFrame = {
-    import Jsoniq._
+                      env: Map[String, Binding]): DataFrame =
     pointwise(e, env) match {
       case Some(c) =>
         // scalar whose value is computable per tuple with no reshaping
         tuples.withColumn(POS, array(lit(0L))).withColumn(ITEM, c)
           .filter(col(ITEM).isNotNull)
-      case None => e match {
+      case None => pointwiseSeq(e, env) match {
+        case Some(arr) =>
+          // the whole sequence as ONE in-row array: a single explode,
+          // no re-derived subplans, flat single-level positions
+          val keep = tuples.columns
+            .filterNot(c2 => c2 == POS || c2 == ITEM).map(col)
+          tuples.select(keep :+ posexplode(coalesce(arr, emptyVarr))
+              .as(Seq("__p0", ITEM)): _*)
+            .withColumn(POS, array(col("__p0").cast("long")))
+            .drop("__p0")
+        case None => evalSeqRows(store, e, tuples, env)
+      }
+    }
+
+  /** Row-wise structural evaluation — the general machinery; called
+    * directly where hierarchical __pos levels are REQUIRED (positional
+    * predicates group matched siblings by their parent prefix). */
+  private def evalSeqRows(store: Store, e: Jsoniq.Expr, tuples: DataFrame,
+                          env: Map[String, Binding]): DataFrame = {
+    import Jsoniq._
+    e match {
         case VarRef(name) => env.get(name) match {
           case Some(SeqVar(cn, _)) =>
             tuples
@@ -189,7 +357,7 @@ object JsoniqRun {
               .drop("__p0")
           case Some(ItemVar(_, _, _)) =>
             throw new IllegalStateException("item var is pointwise")
-          case None =>
+          case _ =>
             throw new IllegalArgumentException(s"unbound variable $$$name")
         }
         case SeqCtor(items) =>
@@ -267,8 +435,10 @@ object JsoniqRun {
           // XPath positional predicate on a step: 1-BASED rank among the
           // matched siblings of the SAME parent (every step appends one
           // POS level, so the parent is the POS prefix); [last()] keeps
-          // the highest rank per parent
-          val b = evalSeq(store, base, tuples, env)
+          // the highest rank per parent. The step itself must evaluate
+          // ROW-wise — the flat fast path would collapse all parents
+          // into one sibling group.
+          val b = evalSeqRows(store, base, tuples, env)
           val prefix = expr(s"slice($POS, 1, size($POS) - 1)")
           val w = org.apache.spark.sql.expressions.Window
             .partitionBy(col(ORD), prefix).orderBy(col(POS))
@@ -284,8 +454,10 @@ object JsoniqRun {
         case ArrayIndex(base, idxE) if !idxE.isInstanceOf[NumLit] =>
           // non-literal bracket = XPath-style predicate ([@id = "x"],
           // [?-less boolean filters); literal integers stay 0-based
-          // array indexing (the corpus' JSON dialect)
-          evalSeq(store, FilterPred(base, idxE), tuples, env)
+          // array indexing (the corpus' JSON dialect). Stay ROW-wise:
+          // callers that reached this path need hierarchical positions
+          // (the dispatcher's flat path has its own bracket handling)
+          evalSeqRows(store, FilterPred(base, idxE), tuples, env)
         case ArrayIndex(base, idxE) =>
           val b = evalSeq(store, base, tuples, env)
           val withI = evalScalar(store, idxE, b, env) // idx may use tuple vars
@@ -319,7 +491,7 @@ object JsoniqRun {
             .withColumn(ord0, col(ORD))
             .withColumn(ORD, concat(col(ORD), col(POS)))
           val checked = evalScalar(store, pred, promoted,
-            env + ("$$" -> ItemVar(ctx)))
+            shadowStatic(env, "$$") + ("$$" -> ItemVar(ctx)))
           checked.filter(asBool(col("__v")))
             .withColumn(ORD, col(ord0))
             .withColumnRenamed(ctx, ITEM)
@@ -338,19 +510,44 @@ object JsoniqRun {
               // dialect: `for $i in jn:doc(...)` over an array document
               // binds each member — JsonIntegrationTest testSimpleQuery's
               // pinned behaviour); non-array items bind as themselves
-              val s0 = evalSeq(store, inE, cur, curEnv)
-                .withColumn("__arr", expr(s"try_cast($ITEM as array<variant>)"))
-              val scalarPart = s0.filter(col("__arr").isNull)
-                .withColumn(POS, concat(col(POS), array(lit(0L))))
-                .drop("__arr")
-              val keepCols = s0.columns
-                .filter(c => c != ITEM && c != "__arr" && c != POS).map(col)
-              val arrayPart = s0.filter(col("__arr").isNotNull)
-                .select(keepCols :+ col(POS) :+
-                  posexplode(col("__arr")).as(Seq("__p0", ITEM)): _*)
-                .withColumn(POS, concat(col(POS), array(col("__p0").cast("long"))))
-                .drop("__p0")
-              var s = scalarPart.unionByName(arrayPart)
+              def itemize(seqd: DataFrame): DataFrame = {
+                val s0 = seqd.withColumn("__arr",
+                  expr(s"try_cast($ITEM as array<variant>)"))
+                val scalarPart = s0.filter(col("__arr").isNull)
+                  .withColumn(POS, concat(col(POS), array(lit(0L))))
+                  .drop("__arr")
+                val keepCols = s0.columns
+                  .filter(c => c != ITEM && c != "__arr" && c != POS).map(col)
+                val arrayPart = s0.filter(col("__arr").isNotNull)
+                  .select(keepCols :+ col(POS) :+
+                    posexplode(col("__arr")).as(Seq("__p0", ITEM)): _*)
+                  .withColumn(POS,
+                    concat(col(POS), array(col("__p0").cast("long"))))
+                  .drop("__p0")
+                scalarPart.unionByName(arrayPart)
+              }
+              val decorrelated = staticCtxOf(curEnv).filter(sc =>
+                Jsoniq.freeVars(inE).subsetOf(sc.env.keySet))
+              var s = decorrelated match {
+                case Some(sc) =>
+                  // correlation-free source: itemize ONCE against the
+                  // static frame, join the items into every tuple. The
+                  // following where-clause prunes pairs pointwise —
+                  // Catalyst's filter-into-join pushdown turns an
+                  // equality there into the join condition. Document
+                  // walks get the broadcast hint (one document's nodes
+                  // are executor-small); table-scan sources
+                  // (jn:scan-*/jn:all-times) skip it — their size is
+                  // data-bound, the planner/AQE must choose.
+                  val side = itemize(evalSeq(store, inE, sc.base,
+                    sc.env + (STATIC -> sc)))
+                  val baseCols = sc.base.columns.toSet
+                  val sideCols = side.columns.filterNot(baseCols).map(col)
+                  val proj = side.select(sideCols: _*)
+                  cur.crossJoin(
+                    if (containsScanCall(inE)) proj else broadcast(proj))
+                case None => itemize(evalSeq(store, inE, cur, curEnv))
+              }
               // stash capture: a binding over jn:scan-*-index /
               // jn:all-times carries per-node metadata (printed path,
               // parent path, revision, previous-revision content)
@@ -382,31 +579,66 @@ object JsoniqRun {
               cur = s.withColumn(ORD, concat(col(ORD), col(POS)))
                 .withColumnRenamed(ITEM, cn)
                 .drop(POS)
-              curEnv = curEnv + (v -> ItemVar(cn,
-                docPtr.flatMap(t => posCol.map(pc =>
-                  (t.collection, t.doc, t.steps, pc))), aux))
+              curEnv = shadowStatic(curEnv, v +: posVar.toSeq: _*) +
+                (v -> ItemVar(cn,
+                  docPtr.flatMap(t => posCol.map(pc =>
+                    (t.collection, t.doc, t.steps, pc))), aux))
               posVar.foreach { pv =>
                 val pvc = gensym(s"v_$pv")
                 cur = cur.withColumn(pvc, jsonNumber(col(posCol.get)))
                 curEnv = curEnv + (pv -> ItemVar(pvc))
               }
-            case LetClause(v, valueE) =>
-              val s = evalSeq(store, valueE, cur, curEnv)
+            case LetClause(v, valueE0) =>
+              val (valueE, cur1, env1) = hoistStatic(store, valueE0, cur, curEnv)
+              cur = cur1
+              curEnv = env1
               val cn = gensym(s"s_$v")
-              // variant is not orderable: sort on (pos, json text) and
-              // re-parse — canonical text round-trips losslessly
-              val agg = s.groupBy(col(ORD).as("__jord"))
-                .agg(expr(s"transform(sort_array(collect_list(struct(" +
-                  s"$POS as p, to_json($ITEM) as i))), s -> parse_json(s.i))")
-                  .as(cn))
-              cur = cur.join(agg, cur(ORD) === agg("__jord"), "left")
-                .drop("__jord")
-                .withColumn(cn, coalesce(col(cn), expr("array()")))
-              curEnv = curEnv + (v -> SeqVar(cn,
-                JsoniqUpdate.staticTargetIn(valueE, curEnv)))
-            case WhereClause(w) =>
-              cur = evalScalar(store, w, cur, curEnv)
+              pointwiseSeq(valueE, curEnv) match {
+                case Some(arr) =>
+                  // in-row sequence: bind the array column directly —
+                  // no aggregate, no join (the q08-correlated-let path)
+                  cur = cur.withColumn(cn, coalesce(arr, emptyVarr))
+                case None =>
+                  val s = evalSeq(store, valueE, cur, curEnv)
+                  // variant is not orderable: sort on (pos, json text) and
+                  // re-parse — canonical text round-trips losslessly
+                  val agg = s.groupBy(col(ORD).as("__jord"))
+                    .agg(expr(s"transform(sort_array(collect_list(struct(" +
+                      s"$POS as p, to_json($ITEM) as i))), s -> parse_json(s.i))")
+                      .as(cn))
+                  cur = cur.join(agg, cur(ORD) === agg("__jord"), "left")
+                    .drop("__jord")
+                    .withColumn(cn, coalesce(col(cn), expr("array()")))
+              }
+              val letTarget = JsoniqUpdate.staticTargetIn(valueE, curEnv)
+              // static propagation: a let over static values binds on the
+              // static frame too, so downstream `for $x in $letVar`
+              // sources stay correlation-free (q09's $ca/$ei pattern)
+              val newStatic = staticCtxOf(curEnv) match {
+                case Some(sc)
+                    if Jsoniq.freeVars(valueE).subsetOf(sc.env.keySet) =>
+                  val s2 = evalSeq(store, valueE, sc.base,
+                    sc.env + (STATIC -> sc))
+                  val scn = gensym(s"t_$v")
+                  val agg2 = s2.groupBy(col(ORD).as("__jord"))
+                    .agg(expr(s"transform(sort_array(collect_list(struct(" +
+                      s"$POS as p, to_json($ITEM) as i))), " +
+                      "s -> parse_json(s.i))").as(scn))
+                  val base2 = sc.base
+                    .join(agg2, sc.base(ORD) === agg2("__jord"), "left")
+                    .drop("__jord")
+                    .withColumn(scn, coalesce(col(scn), expr("array()")))
+                  Some(StaticCtx(base2, sc.env + (v -> SeqVar(scn, letTarget))))
+                case Some(sc) => Some(sc.copy(env = sc.env - v)) // shadowed
+                case None => None
+              }
+              curEnv = curEnv + (v -> SeqVar(cn, letTarget)) ++
+                newStatic.map(sc2 => STATIC -> (sc2: Binding))
+            case WhereClause(w0) =>
+              val (w, cur1, env1) = hoistStatic(store, w0, cur, curEnv)
+              cur = evalScalar(store, w, cur1, env1)
                 .filter(asBool(col("__v"))).drop("__v")
+              curEnv = env1
             case OrderClause(orderKeys) =>
               var keyed = cur
               val keyCols = Seq.newBuilder[String]
@@ -483,7 +715,6 @@ object JsoniqRun {
         case DerefVar(_, _) =>
           throw new UnsupportedOperationException(
             "dynamic deref (.$var) is outside the compiled subset")
-      }
     }
   }
 
@@ -583,23 +814,358 @@ object JsoniqRun {
         pointwise(b, env).map(c =>
           variant_get(c, s"$$['~a']['${n.replace("'", "\\'")}']", "variant"))
       case Binary("<<", _, _) => None // node order — aux-column route only
+      case Binary(op, l, r) if op.startsWith("g_") =>
+        // general (existential) comparison: true iff ANY (left, right)
+        // pair satisfies the value comparison, false on empty operands.
+        // Both sides as in-row arrays -> nested exists, pure codegen —
+        // no per-pair row expansion, no join
+        for (ls <- pointwiseSeq(l, env); rs <- pointwiseSeq(r, env)) yield
+          jsonBool(coalesce(
+            exists(coalesce(ls, emptyVarr), x => coalesce(
+              exists(coalesce(rs, emptyVarr), y => coalesce(
+                asBool(cmpCol(op.stripPrefix("g_"), x, y)), lit(false))),
+              lit(false))),
+            lit(false)))
       case Binary(op, l, r) =>
-        for (lc <- pointwise(l, env); rc <- pointwise(r, env)) yield op match {
+        for (lc <- scalarOf(l, env); rc <- scalarOf(r, env)) yield op match {
           case "or" | "and" => boolCol(op, lc, rc)
           case "eq" | "ne" | "lt" | "le" | "gt" | "ge" => cmpCol(op, lc, rc)
-          case g if g.startsWith("g_") =>
-            // pointwise operands are singletons: general (existential)
-            // comparison degenerates to the value comparison, except the
-            // empty-operand result is FALSE, not empty
-            coalesce(cmpCol(g.stripPrefix("g_"), lc, rc), jsonBool(lit(false)))
           case _ => arithCol(op, lc, rc)
         }
-      case Unary("-", x) => pointwise(x, env).map(negCol)
-      case InstanceOf(x, t) => pointwise(x, env).map(instanceCol(_, t))
-      case Call("not", Seq(a)) =>
-        pointwise(a, env).map(c => jsonBool(!coalesce(asBool(c), lit(false))))
+      case Unary("-", x) => scalarOf(x, env).map(negCol)
+      case InstanceOf(x, t) => scalarOf(x, env).map(instanceCol(_, t))
+      case Quantified(bindings, pred) =>
+        // existential quantifier over in-row sequences: nested exists.
+        // Predicates needing the position stash (`<<`) fail the scalar
+        // probe and take the row machinery.
+        def qgo(bs: List[(String, Expr)],
+                env2: Map[String, Binding]): Option[Column] = bs match {
+          case Nil =>
+            scalarOf(pred, env2).map(p => coalesce(asBool(p), lit(false)))
+          case (v, src) :: rest =>
+            pointwiseSeq(src, env2).flatMap { arr =>
+              // probe with a dummy binding, then build for real
+              qgo(rest, env2 + (v -> LambdaItem(lit(0)))).map { _ =>
+                coalesce(exists(coalesce(arr, emptyVarr),
+                  x => qgo(rest, env2 + (v -> LambdaItem(x))).get), lit(false))
+              }
+            }
+        }
+        qgo(bindings.toList, env).map(jsonBool)
+      case ObjectCtor(entries) =>
+        val parts = entries.map {
+          case Right((k, ve)) => scalarOf(ve, env).map { v =>
+            val keyJson = lit("\"" + k.replace("\\", "\\\\")
+              .replace("\"", "\\\"") + "\":")
+            concat(keyJson, to_json(coalesce(v, vnull)))
+          }
+          case Left(splat) => scalarOf(splat, env).map { v =>
+            val j = to_json(v)
+            when(v.isNull || j === "{}", lit(""))
+              .otherwise(j.substr(lit(2), length(j) - 2))
+          }
+        }
+        if (parts.forall(_.isDefined)) {
+          val body = array_join(
+            filter(array(parts.map(_.get): _*), p => p =!= lit("")), ",")
+          Some(parse_json(concat(lit("{"), body, lit("}"))))
+        } else None
+      case ArrayCtor(items) =>
+        // sequence-valued members FLATTEN (the evalScalar row rule)
+        val parts = items.map(it => pointwiseSeq(it, env).map(sq =>
+          transform(coalesce(sq, emptyVarr), x => to_json(x))))
+        if (parts.forall(_.isDefined)) {
+          val body = if (parts.isEmpty) lit("")
+            else array_join(flatten(array(parts.map(_.get): _*)), ",")
+          Some(parse_json(concat(lit("["), body, lit("]"))))
+        } else None
+      case ElemCtor(name, attrs, content) =>
+        def partCol(parts: Seq[Either[String, Expr]]): Option[Column] = {
+          val cs = parts.map {
+            case Left(str) => Some(lit(str))
+            case Right(e2) => pointwiseSeq(e2, env).map(textOfSeq)
+          }
+          if (cs.forall(_.isDefined))
+            Some(if (cs.isEmpty) lit("") else concat(cs.map(_.get): _*))
+          else None
+        }
+        val attrOpts = attrs.map { case (an, parts) =>
+          partCol(parts).map(pc =>
+            concat(lit(s""" $an=""""), pc, lit("\"")))
+        }
+        if (attrOpts.forall(_.isDefined))
+          partCol(content).map { contentCol =>
+            val attrCols = attrOpts.map(_.get)
+            val head = if (attrCols.isEmpty) lit(s"<$name")
+              else concat(lit(s"<$name") +: attrCols: _*)
+            val xml = when(contentCol === "", concat(head, lit("/>")))
+              .otherwise(concat(head, lit(">"), contentCol, lit(s"</$name>")))
+            jsonString(xml)
+          }
+        else None
+      case Call(name, args) => pointwiseCall(name, args, env)
       case _ => None
     }
+  }
+
+  // ------------------------------------ in-row sequence compiler (HOFs)
+  private def emptyVarr: Column = expr("cast(array() as array<variant>)")
+
+  /** An XML element's children array (XmlItem encoding), empty for
+    * non-elements/scalars. */
+  private def xmlKids(x: Column): Column =
+    coalesce(variant_get(x, "$['~c']", "variant").try_cast("array<variant>"),
+      emptyVarr)
+
+  private def isElemNamed(name: String)(y: Column): Column =
+    schema_of_variant(y).startsWith("OBJECT") &&
+      variant_get(y, "$['~n']", "variant").try_cast("string") === name
+
+  /** XQuery content-serialization text of an in-row sequence: string
+    * items raw, others canonical JSON; only ADJACENT ATOMIC items get a
+    * separating space (serialized elements concatenate directly) — the
+    * same rule as [[seqText]]'s row aggregation. */
+  private def textOfSeq(s0: Column): Column = {
+    val ts = transform(coalesce(s0, emptyVarr), x =>
+      when(schema_of_variant(x) === "STRING", x.try_cast("string"))
+        .otherwise(to_json(x)))
+    array_join(transform(ts, (x, i) =>
+      when(i === 0, x)
+        .when(!x.like("<%") && !element_at(ts, i).like("<%"),
+          concat(lit(" "), x))
+        .otherwise(x)), "")
+  }
+
+  /** At-most-one-item value of `e` per tuple (first item in sequence
+    * order; SQL null = empty) as a pure Column — pointwise scalars
+    * directly, otherwise the first element of the in-row sequence. */
+  private def scalarOf(e: Jsoniq.Expr,
+                       env: Map[String, Binding]): Option[Column] =
+    pointwise(e, env).orElse(
+      pointwiseSeq(e, env).map(sq => get(coalesce(sq, emptyVarr), lit(0))))
+
+  private def pointwiseCall(name: String, args: Seq[Jsoniq.Expr],
+                            env: Map[String, Binding]): Option[Column] = {
+    def sOf(e: Jsoniq.Expr) = pointwiseSeq(e, env)
+    def nn(sq: Column) = coalesce(sq, emptyVarr)
+    name match {
+      case "not" if args.size == 1 =>
+        scalarOf(args.head, env).map(c =>
+          jsonBool(!coalesce(asBool(c), lit(false))))
+      case "count" if args.size == 1 =>
+        sOf(args.head).map(sq => jsonNumber(size(nn(sq)).cast("long")))
+      case "exists" if args.size == 1 =>
+        sOf(args.head).map(sq => jsonBool(size(nn(sq)) > 0))
+      case "empty" if args.size == 1 =>
+        sOf(args.head).map(sq => jsonBool(size(nn(sq)) === 0))
+      case "exactly-one" | "zero-or-one" | "fn:data" | "data"
+          if args.size == 1 =>
+        // the corpus' occurrences are genuinely single-valued; first
+        // item in order = the evalScalar contract
+        scalarOf(args.head, env)
+      case "xs:integer" if args.size == 1 =>
+        scalarOf(args.head, env).map(c => jsonNumber(c.try_cast("long")))
+      case "jn:null" if args.isEmpty => Some(vnull)
+      case "sum" if args.size == 1 =>
+        sOf(args.head).map { s0 =>
+          val sq = nn(s0)
+          // int result iff EVERY item is integral (the aggOver rule)
+          val allInt = forall(sq, x => schema_of_variant(x) === "BIGINT")
+          val suml = aggregate(sq, lit(0L), (a, x) =>
+            a + coalesce(x.try_cast("long"), lit(0L)))
+          val sumd = aggregate(sq, lit(0.0), (a, x) =>
+            a + coalesce(x.try_cast("double"), lit(0.0)))
+          when(size(sq) === 0, jsonNumber(lit(0L)))
+            .when(allInt, jsonNumber(suml))
+            .otherwise(jsonNumber(sumd))
+        }
+      case "min" | "max" if args.size == 1 =>
+        sOf(args.head).map { s0 =>
+          val sq = nn(s0)
+          val ds = transform(sq, x => x.try_cast("double"))
+          val m = if (name == "min") array_min(ds) else array_max(ds)
+          val allInt = forall(sq, x => schema_of_variant(x) === "BIGINT")
+          when(size(sq) === 0, lit(null))
+            .when(allInt, jsonNumber(m.cast("long")))
+            .otherwise(jsonNumber(m))
+        }
+      case "avg" if args.size == 1 =>
+        sOf(args.head).map { s0 =>
+          val sq = nn(s0)
+          val sumd = aggregate(sq, lit(0.0), (a, x) =>
+            a + coalesce(x.try_cast("double"), lit(0.0)))
+          val cnt = size(filter(sq, x => x.try_cast("double").isNotNull))
+          when(size(sq) === 0 || cnt === 0, lit(null))
+            .otherwise(jsonNumber(sumd / cnt))
+        }
+      case "contains" if args.size == 2 =>
+        for (a <- scalarOf(args.head, env); b <- scalarOf(args(1), env))
+          yield jsonBool(a.try_cast("string").contains(b.try_cast("string")))
+      case "starts-with" if args.size == 2 =>
+        for (a <- scalarOf(args.head, env); b <- scalarOf(args(1), env))
+          yield jsonBool(a.try_cast("string")
+            .startsWith(b.try_cast("string")))
+      case _ => None
+    }
+  }
+
+  /** Compile `e` to ONE per-tuple `array<variant>` holding its whole
+    * result sequence in document order — navigation steps become
+    * `transform`/`filter`/`flatten` higher-order functions, inner FLWORs
+    * become lambda pipelines, and general comparisons over these become
+    * nested `exists`. This is the decorrelation fast path: where the row
+    * machinery re-derives the tuple stream per operand (and joins it
+    * back on the order vector), this emits a single whole-stage-codegen
+    * Column — the q08-style correlated XMark shapes drop from hundreds
+    * of exchanges to a handful. Returns None where hierarchical __pos
+    * levels or driver-side walks are required (descendant axes, order
+    * by, scans, updates) — the row machinery remains the general path. */
+  private def pointwiseSeq(e: Jsoniq.Expr,
+                           env: Map[String, Binding]): Option[Column] = {
+    import Jsoniq._
+    def fl(bs: Column, f: Column => Column): Column =
+      flatten(transform(bs, f))
+    def one(c: Column): Column = filter(array(c), y => y.isNotNull)
+    e match {
+      case VarRef(n) => env.get(n) match {
+        case Some(SeqVar(cn, _)) => Some(col(cn))
+        case Some(ItemVar(cn, _, _)) => Some(array(col(cn)))
+        case Some(LambdaSeq(c)) => Some(c)
+        case Some(LambdaItem(c)) => Some(array(c))
+        case _ => None
+      }
+      case ContextItem => env.get("$$") match {
+        case Some(ItemVar(cn, _, _)) => Some(array(col(cn)))
+        case Some(LambdaItem(c)) => Some(array(c))
+        case _ => None
+      }
+      case SeqCtor(xs) =>
+        val parts = xs.map(pointwiseSeq(_, env))
+        if (parts.forall(_.isDefined))
+          Some(if (parts.isEmpty) emptyVarr
+            else concat(parts.map(p => coalesce(p.get, emptyVarr)): _*))
+        else None
+      case Deref(b, f) =>
+        pointwiseSeq(b, env).map(bs =>
+          fl(bs, x => one(variant_get(x, fieldPath(f), "variant"))))
+      case AttrStep(b, n) =>
+        pointwiseSeq(b, env).map(bs => fl(bs, x => one(
+          variant_get(x, s"$$['~a']['${n.replace("'", "\\'")}']", "variant"))))
+      case ChildStep(b, n) =>
+        pointwiseSeq(b, env).map(bs =>
+          fl(bs, x => filter(xmlKids(x), isElemNamed(n)(_))))
+      case TextStep(b) =>
+        pointwiseSeq(b, env).map(bs => fl(bs, x =>
+          filter(xmlKids(x), y => schema_of_variant(y) === "STRING")))
+      case Unbox(b) =>
+        pointwiseSeq(b, env).map(bs => fl(bs, x =>
+          coalesce(x.try_cast("array<variant>"), emptyVarr)))
+      // XPath positional predicate on a child step: 1-based rank among
+      // the matched siblings of the SAME parent — per-parent here by
+      // construction (one lambda frame per parent item)
+      case ArrayIndex(ChildStep(b2, n), idxE)
+          if idxE.isInstanceOf[NumLit] || idxE == Call("last", Nil) =>
+        pointwiseSeq(b2, env).flatMap { bs =>
+          idxE match {
+            case NumLit(t) if !t.contains(".") => Some(fl(bs, x => {
+              val matched = filter(xmlKids(x), isElemNamed(n)(_))
+              one(when(size(matched) >= t.toInt && lit(t.toInt) >= 1,
+                element_at(matched, t.toInt)))
+            }))
+            case Call("last", Seq()) => Some(fl(bs, x => {
+              val matched = filter(xmlKids(x), isElemNamed(n)(_))
+              one(when(size(matched) >= 1,
+                element_at(matched, size(matched))))
+            }))
+            case _ => None
+          }
+        }
+      case ArrayIndex(b, Unary("-", NumLit(t)))
+          if !t.contains(".") && !isXmlStep(b) =>
+        // negative index counts from the END
+        pointwiseSeq(b, env).map(bs => fl(bs, x => {
+          val arr = x.try_cast("array<variant>")
+          one(when(size(arr) >= t.toInt, element_at(arr, -t.toInt)))
+        }))
+      case ArrayIndex(b, idxE)
+          if !idxE.isInstanceOf[NumLit] && !isXmlStep(b) =>
+        // non-literal bracket = XPath-style predicate (the row rule)
+        pointwiseSeq(FilterPred(b, idxE), env)
+      case ArrayIndex(b, NumLit(t))
+          if !t.contains(".") && !isXmlStep(b) =>
+        // literal integers are 0-BASED array indexing (JSON dialect)
+        pointwiseSeq(b, env).map(bs => fl(bs, x =>
+          one(get(x.try_cast("array<variant>"), lit(t.toInt)))))
+      case FilterPred(b, p) =>
+        pointwiseSeq(b, env).flatMap { bs =>
+          // probe the predicate with a dummy context item, then build
+          scalarOf(p, env + ("$$" -> LambdaItem(lit(0)))).map { _ =>
+            filter(bs, x => coalesce(asBool(
+              scalarOf(p, env + ("$$" -> LambdaItem(x))).get), lit(false)))
+          }
+        }
+      case Range(f, t) =>
+        for (fc <- scalarOf(f, env); tc <- scalarOf(t, env)) yield {
+          val fLong = fc.try_cast("long")
+          val tLong = tc.try_cast("long")
+          // `a to b` with a > b is EMPTY (sequence() would count down)
+          transform(
+            coalesce(when(fLong <= tLong, sequence(fLong, tLong)),
+              expr("cast(array() as array<bigint>)")),
+            nCol => parse_json(nCol.cast("string")))
+        }
+      case If(c, t, e2) =>
+        for (cc <- scalarOf(c, env); ts <- pointwiseSeq(t, env);
+             es <- pointwiseSeq(e2, env))
+          yield when(coalesce(asBool(cc), lit(false)),
+            coalesce(ts, emptyVarr)).otherwise(coalesce(es, emptyVarr))
+      case fw: Flwor => flworSeq(fw, env)
+      case _ =>
+        // anything with a scalar pointwise form is a 0/1-item sequence
+        pointwise(e, env).map(c => filter(array(c), y => y.isNotNull))
+    }
+  }
+
+  /** FLWOR as a lambda pipeline: `for` = flatten∘transform (with the
+    * member-wise array itemization of the row path), `let` = a lambda
+    * sequence binding, `where` = conditional empty. Bails (None) on
+    * order-by, positional vars, and anything the pointwise compilers
+    * can't express — including predicates needing position stashes. */
+  private def flworSeq(fw: Jsoniq.Flwor,
+                       env: Map[String, Binding]): Option[Column] = {
+    import Jsoniq._
+    // `lam` = vars bound by ENCLOSING for clauses of this pipeline. A
+    // for-source must be a plain variable reference (an attribute — one
+    // evaluation per row) or a walk rooted ONLY in lam vars (small
+    // per-item subtrees). Anything else — in particular document walks
+    // over outer lets — would be RE-EVALUATED inside every lambda
+    // iteration (the whole-document-per-binding-tuple trap this
+    // compiler exists to kill), so it bails to the row machinery,
+    // whose hoisting/decorrelation evaluates the walk once.
+    def go(clauses: List[Clause], env2: Map[String, Binding],
+           lam: Set[String]): Option[Column] = clauses match {
+      case Nil => pointwiseSeq(fw.ret, env2).map(sq => coalesce(sq, emptyVarr))
+      case ForClause(v, src, None) :: rest
+          if src.isInstanceOf[VarRef] || freeVars(src).subsetOf(lam) =>
+        pointwiseSeq(src, env2).flatMap { srcArr =>
+          // `for` binds ARRAY items member-wise (the dialect rule)
+          val itemized = flatten(transform(coalesce(srcArr, emptyVarr),
+            x => coalesce(x.try_cast("array<variant>"), array(x))))
+          // probe the rest with a dummy binding, then build for real
+          go(rest, env2 + (v -> LambdaItem(lit(0))), lam + v).map { _ =>
+            flatten(transform(itemized,
+              x => go(rest, env2 + (v -> LambdaItem(x)), lam + v).get))
+          }
+        }
+      case LetClause(v, value) :: rest =>
+        pointwiseSeq(value, env2).flatMap(arr =>
+          go(rest, env2 + (v -> LambdaSeq(coalesce(arr, emptyVarr))), lam))
+      case WhereClause(w) :: rest =>
+        scalarOf(w, env2).flatMap(c => go(rest, env2, lam).map(body =>
+          when(coalesce(asBool(c), lit(false)), body).otherwise(emptyVarr)))
+      case _ => None // order-by / positional / walk sources: row machinery
+    }
+    go(fw.clauses.toList, env, Set.empty)
   }
 
   // --------------------------------------------------------- scalar eval
@@ -629,19 +1195,25 @@ object JsoniqRun {
           // existential: bind each sequence like a for (NO array
           // auto-unbox — XQuery iterates the sequence itself), stash
           // position vectors for <<, and keep tuples with ANY
-          // satisfying combination
+          // satisfying combination. This path is only reached when the
+          // in-row exists² compile bailed (a << predicate needs the
+          // stashes), so bind ROW-wise: hierarchical __pos keeps the
+          // vectors document-order-comparable across bindings — the
+          // flat fast path would number items within each FILTERED
+          // sequence instead.
           val ord0 = gensym("qo")
           var cur = tuples.withColumn(ord0, col(ORD))
           var qEnv = env
           bindings.foreach { case (v, inE) =>
-            val s = evalSeq(store, inE, cur, qEnv)
+            val s = evalSeqRows(store, inE, cur, qEnv)
             val pv = gensym(s"qp_$v")
             val cn = gensym(s"qv_$v")
             cur = s.withColumn(pv, col(POS))
               .withColumn(ORD, concat(col(ORD), col(POS)))
               .withColumnRenamed(ITEM, cn)
               .drop(POS)
-            qEnv = qEnv + (v -> ItemVar(cn, None, Map("posvec" -> pv)))
+            qEnv = shadowStatic(qEnv, v) +
+              (v -> ItemVar(cn, None, Map("posvec" -> pv)))
           }
           val checked = evalScalar(store, pred, cur, qEnv)
           val hit = checked.filter(asBool(col("__v")))
@@ -764,13 +1336,18 @@ object JsoniqRun {
             .otherwise(concat(head, lit(">"), contentCol, lit(s"</$name>")))
           cur.withColumn("__v", jsonString(xml)).drop(mine.result(): _*)
         case Call(name, args) => evalCallScalar(store, name, args, tuples, env)
-        case other =>
-          // general route: evaluate the sequence, keep the first item
-          val s = evalSeq(store, other, tuples, env)
-          val agg = s.groupBy(col(ORD).as("__jord"))
-            .agg(expr(s"min_by($ITEM, $POS)").as("__v"))
-          tuples.join(agg, tuples(ORD) === agg("__jord"), "left")
-            .drop("__jord")
+        case other => pointwiseSeq(other, env) match {
+          case Some(arr) =>
+            // in-row sequence: first item without an aggregate+join
+            tuples.withColumn("__v", get(coalesce(arr, emptyVarr), lit(0)))
+          case None =>
+            // general route: evaluate the sequence, keep the first item
+            val s = evalSeq(store, other, tuples, env)
+            val agg = s.groupBy(col(ORD).as("__jord"))
+              .agg(expr(s"min_by($ITEM, $POS)").as("__v"))
+            tuples.join(agg, tuples(ORD) === agg("__jord"), "left")
+              .drop("__jord")
+        }
       }
     }
   }
@@ -862,15 +1439,22 @@ object JsoniqRun {
 
   /** Per-tuple ordered list of a sequence's item JSONs: adds `__l`
     * (array<string>, empty array for the empty sequence). */
-  private def seqJsonList(store: Store, e: Jsoniq.Expr, tuples: DataFrame,
-                          env: Map[String, Binding]): DataFrame = {
-    val s = evalSeq(store, e, tuples, env)
-    val agg = s.groupBy(col(ORD).as("__jord"))
-      .agg(expr(s"transform(sort_array(collect_list(struct(" +
-        s"$POS as p, to_json($ITEM) as t))), x -> x.t)").as("__l"))
-    tuples.join(agg, tuples(ORD) === agg("__jord"), "left")
-      .drop("__jord")
-      .withColumn("__l", coalesce(col("__l"), expr("array()")))
+  private def seqJsonList(store: Store, e0: Jsoniq.Expr, tuples0: DataFrame,
+                          env0: Map[String, Binding]): DataFrame = {
+    val (e, tuples, env) = hoistStatic(store, e0, tuples0, env0)
+    pointwiseSeq(e, env) match {
+      case Some(arr) =>
+        tuples.withColumn("__l",
+          transform(coalesce(arr, emptyVarr), x => to_json(x)))
+      case None =>
+        val s = evalSeq(store, e, tuples, env)
+        val agg = s.groupBy(col(ORD).as("__jord"))
+          .agg(expr(s"transform(sort_array(collect_list(struct(" +
+            s"$POS as p, to_json($ITEM) as t))), x -> x.t)").as("__l"))
+        tuples.join(agg, tuples(ORD) === agg("__jord"), "left")
+          .drop("__jord")
+          .withColumn("__l", coalesce(col("__l"), expr("array()")))
+    }
   }
 
   /** Per-tuple serialized text of a sequence expression: string items
@@ -879,8 +1463,14 @@ object JsoniqRun {
     * elements (strings starting '<') concatenate directly, the
     * reference's own element-sequence rendering. Adds `__t` (empty
     * string for the empty sequence). */
-  private def seqText(store: Store, e: Jsoniq.Expr, tuples: DataFrame,
-                      env: Map[String, Binding]): DataFrame = {
+  private def seqText(store: Store, e0: Jsoniq.Expr, tuples0: DataFrame,
+                      env0: Map[String, Binding]): DataFrame = {
+    val (e, tuples, env) = hoistStatic(store, e0, tuples0, env0)
+    pointwiseSeq(e, env) match {
+      case Some(arr) =>
+        return tuples.withColumn("__t", textOfSeq(arr))
+      case None => ()
+    }
     val s = evalSeq(store, e, tuples, env)
     val itemText = when(expr(s"schema_of_variant($ITEM)") === "STRING",
       expr(s"cast($ITEM as string)")).otherwise(to_json(col(ITEM)))
@@ -1101,6 +1691,37 @@ object JsoniqRun {
   /** Functions whose result is inherently a sequence / needs the store. */
   private val SeqFunctions = Set("jn:store", "jn:doc", "jn:all-times",
     "jn:load", "jn:scan-path-index", "jn:scan-cas-index", "distinct-values")
+
+  /** Does the expression read a table-scan source (size data-bound, so a
+    * decorrelated side must NOT be broadcast-hinted)? */
+  private def containsScanCall(e: Jsoniq.Expr): Boolean =
+    Jsoniq.exprAny(e) {
+      case Jsoniq.Call(n, _) => n.startsWith("jn:scan") || n == "jn:all-times"
+      case _ => false
+    }
+
+  /** Side-effecting nodes a static hoist must never lift (the update is
+    * applied per statement, jn:store commits a revision). */
+  private def containsEffect(e: Jsoniq.Expr): Boolean =
+    Jsoniq.exprAny(e) {
+      case _: Jsoniq.UpdateStmt => true
+      case Jsoniq.Call("jn:store", _) => true
+      case _ => false
+    }
+
+  /** Does the expression walk documents / produce data-dependent
+    * sequences — i.e. is it WORTH hoisting to the 1-row static frame
+    * (literal-only arithmetic is already free pointwise)? */
+  private def isDocWalk(e: Jsoniq.Expr): Boolean =
+    Jsoniq.exprAny(e) {
+      case _: Jsoniq.Deref | _: Jsoniq.ChildStep | _: Jsoniq.DescStep |
+          _: Jsoniq.TextStep | _: Jsoniq.AttrStep |
+          _: Jsoniq.DescendantDeref | _: Jsoniq.Unbox |
+          _: Jsoniq.ArrayIndex | _: Jsoniq.ArraySlice |
+          _: Jsoniq.FilterPred | _: Jsoniq.Flwor => true
+      case Jsoniq.Call(n, _) => SeqFunctions(n)
+      case _ => false
+    }
 
   private def isXmlStep(e: Jsoniq.Expr): Boolean = e match {
     case Jsoniq.ChildStep(_, _) | Jsoniq.DescStep(_, _) |

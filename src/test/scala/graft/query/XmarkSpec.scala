@@ -104,22 +104,20 @@ class XmarkSpec extends SparkSpec {
     checkXml("q19")
   }
 
-  // q08/q11/q12 (correlated person/auction joins, 40-70 s each) and q20
-  // (4 counted predicate walks) also match their pinned .out
-  // byte-for-byte but carry the full document variant through every
-  // correlated tuple — too slow for the default gate until subquery
-  // decorrelation lands. Run with SPARK_GRAFT_SLOW_SPECS=1. The
-  // remaining XMark holes are structural: q09/q10's triple-correlated
-  // nesting overflows Catalyst's plan-transform stack under this
-  // compile scheme, q13 needs byte-exact re-serialization of stripped
-  // whitespace, q18 declares user functions.
-  test("xmark q08/q11/q12/q20: correlated joins (slow)") {
-    if (!sys.env.contains("SPARK_GRAFT_SLOW_SPECS"))
-      cancel("set SPARK_GRAFT_SLOW_SPECS=1 to run the slow XMark set")
-    checkXml("q08")
-    checkXml("q11")
-    checkXml("q12")
-    checkXml("q20")
+  // The formerly-slow correlated set (q08/q11/q12 person/auction joins,
+  // q20's four counted predicate walks) now compiles through the
+  // static-hoist + in-row sequence (HOF) path — the walks evaluate once
+  // on the 1-row static frame and the correlated lets become codegen'd
+  // array filters, a few seconds each instead of 40-120 s.
+  test("xmark q08: correlated count per person")(checkXml("q08"))
+  test("xmark q11: correlated value-comparison let")(checkXml("q11"))
+  test("xmark q12: correlated let with outer where")(checkXml("q12"))
+  test("xmark q20: counted predicate partitions")(checkXml("q20"))
+  test("xmark q09: triple-correlated person/auction/item join") {
+    checkXml("q09")
+  }
+  test("xmark q10: grouped person profiles per interest category") {
+    checkXml("q10")
   }
 
   test("xmark q04: some..satisfies with document-order <<") {
