@@ -90,6 +90,28 @@ object JsoniqQueries {
           """replace json value of jn:doc('c','u.jn')[0] with "yes""""),
         """(jn:doc('c','u.jn'), jn:doc('c','u.jn', 1), count(jn:all-times(jn:doc('c','u.jn'))))""")
     },
+    // textual revision axes (reference function/jn/JNFun.java:99-105):
+    // jn:past / jn:first / jn:last slices of the revision history, plus
+    // jn:future with includeSelf — four commits, content pinned per axis
+    "j_past" -> { (s, _) =>
+      runOne(s,
+        Seq("""jn:store('c','ax.jn','{"v": 1}')""",
+          """jn:store('c','ax.jn','{"v": 2}')""",
+          """jn:store('c','ax.jn','{"v": 3}')""",
+          """jn:store('c','ax.jn','{"v": 4}')"""),
+        """((for $d in jn:past(jn:doc('c','ax.jn', 3)) return $d.v),
+          |(for $d in jn:future(jn:doc('c','ax.jn', 2), true) return $d.v),
+          |jn:first(jn:doc('c','ax.jn')).v,
+          |jn:last(jn:doc('c','ax.jn')).v)""".stripMargin)
+    },
+    // jn:diff update script between two revisions (reference
+    // function/jn/diff/Diff.java:71): insert/replace/delete ops
+    "j_diff" -> { (s, _) =>
+      runOne(s,
+        Seq("""jn:store('c','df.jn','{"a": 1, "b": {"x": true}, "c": [1, 2]}')""",
+          """jn:store('c','df.jn','{"a": 2, "b": {"y": false}, "c": [1, 5]}')"""),
+        """jn:diff('c','df.jn', 1, 2)""")
+    },
     // XMark q01/q05 verbatim over the reference's auction.xml, pinned to
     // the reference's own results/qNN.out (XmarkSpec replays q06/q07 too)
     "j_xmark_q01" -> { (s, _) => runXmark(s, "q01") },
@@ -140,6 +162,15 @@ object JsoniqQueries {
     "j_time_travel" -> pin("1 2"),
     "j_update" -> pin(
       "[\"yes\",false,[1,2,3],null] [\"foo\",true,false,null] 4"),
+    "j_past" -> pin("1 2 2 3 4 1 4"),
+    "j_diff" -> pin(new com.fasterxml.jackson.databind.ObjectMapper()
+      .writeValueAsString(
+        """{"database":"c","resource":"df.jn","old-revision":1,""" +
+          """"new-revision":2,"diffs":[""" +
+          """{"op":"replace","path":"/a","value":2},""" +
+          """{"op":"delete","path":"/b/x"},""" +
+          """{"op":"insert","path":"/b/y","value":false},""" +
+          """{"op":"replace","path":"/c/1","value":5}]}""")),
     "j_xmark_q01" -> pin("\"Sinisa Farrel\""),
     // 120 <increase> elements (incl. self-closed empties) from the
     // reference's own results/q02.out, re-serialized the way the front

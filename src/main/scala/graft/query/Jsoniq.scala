@@ -269,11 +269,220 @@ object Jsoniq {
 
   // ------------------------------------------------------------- parser
   def parse(query: String): Expr = {
-    val raw = stripProlog(query)
+    val (raw0, defs) = parseProlog(stripComments(query))
+    val raw = raw0.trim
     val p = new P(tokenize(raw), raw)
     val e = p.expr()
     p.expectEnd()
-    e
+    inlineFunctions(e, defs)
+  }
+
+  /** A user-declared function (`declare function`): inlined at call
+    * sites — the corpus' functions are non-recursive one-liners (XMark
+    * q18's local:convert; brackit compiles them natively). */
+  final case class FunDef(params: Seq[String], body: Expr)
+
+  /** Remove XQuery `(: ... :)` comments (nesting per spec, ignored
+    * inside string literals). */
+  private def stripComments(q: String): String = {
+    val sb = new StringBuilder(q.length)
+    var i = 0
+    var depth = 0
+    var inStr = false
+    var strQ = ' '
+    while (i < q.length) {
+      val ch = q.charAt(i)
+      if (depth == 0 && inStr) {
+        sb.append(ch); if (ch == strQ) inStr = false; i += 1
+      } else if (depth == 0 && (ch == '"' || ch == '\'')) {
+        inStr = true; strQ = ch; sb.append(ch); i += 1
+      } else if (ch == '(' && i + 1 < q.length && q.charAt(i + 1) == ':') {
+        depth += 1; i += 2
+      } else if (depth > 0 && ch == ':' && i + 1 < q.length &&
+          q.charAt(i + 1) == ')') {
+        depth -= 1; i += 2
+      } else if (depth == 0) { sb.append(ch); i += 1 }
+      else i += 1
+    }
+    sb.toString
+  }
+
+  /** Consume the prolog: `xquery version`, `declare namespace` (both
+    * dropped), and `declare function` declarations (collected for
+    * inlining). Returns the main-expression text and the functions. */
+  private def parseProlog(q0: String): (String, Map[String, FunDef]) = {
+    var t = q0
+    val defs = Map.newBuilder[String, FunDef]
+    var done = false
+    while (!done) {
+      t = t.dropWhile(_.isWhitespace)
+      if (t.startsWith("xquery ") || t.startsWith("xquery\t") ||
+          t.startsWith("declare namespace")) {
+        val semi = t.indexOf(';')
+        require(semi >= 0, "prolog declaration missing ';'")
+        t = t.substring(semi + 1)
+      } else if (t.startsWith("declare function")) {
+        var i = "declare function".length
+        def ws(): Unit =
+          while (i < t.length && t.charAt(i).isWhitespace) i += 1
+        ws()
+        val nameStart = i
+        while (i < t.length && t.charAt(i) != '(' &&
+          !t.charAt(i).isWhitespace) i += 1
+        val name = t.substring(nameStart, i)
+        ws()
+        require(i < t.length && t.charAt(i) == '(',
+          s"expected '(' after function name $name")
+        val pStart = i + 1
+        var depth = 1
+        i += 1
+        while (depth > 0) {
+          t.charAt(i) match {
+            case '(' => depth += 1
+            case ')' => depth -= 1
+            case _ =>
+          }
+          i += 1
+        }
+        val paramText = t.substring(pStart, i - 1).trim
+        val params =
+          if (paramText.isEmpty) Seq.empty[String]
+          else paramText.split(",").toSeq.map { p =>
+            val s = p.trim
+            require(s.startsWith("$"),
+              s"function parameter must start with '$$': $s")
+            s.substring(1).takeWhile(c =>
+              c.isLetterOrDigit || c == '_' || c == '-')
+          }
+        // skip the optional `as TYPE` return annotation up to the body
+        val bodyStart = t.indexOf('{', i)
+        require(bodyStart >= 0, s"function $name: body expected")
+        var j = bodyStart + 1
+        var d = 1
+        var inStr = false
+        var strQ = ' '
+        while (d > 0) {
+          val ch = t.charAt(j)
+          if (inStr) { if (ch == strQ) inStr = false }
+          else ch match {
+            case '"' | '\'' => inStr = true; strQ = ch
+            case '{' => d += 1
+            case '}' => d -= 1
+            case _ =>
+          }
+          j += 1
+        }
+        defs += name -> FunDef(params,
+          parseEnclosed(t.substring(bodyStart + 1, j - 1)))
+        var k = j
+        while (k < t.length && t.charAt(k).isWhitespace) k += 1
+        if (k < t.length && t.charAt(k) == ';') k += 1
+        t = t.substring(k)
+      } else done = true
+    }
+    (t, defs.result())
+  }
+
+  /** Rebuild `e` with `f` applied to each direct child (scope-blind). */
+  def mapChildren(e: Expr)(f: Expr => Expr): Expr = e match {
+    case NumLit(_) | StrLit(_) | BoolLit(_) | NullLit | VarRef(_) |
+        ContextItem => e
+    case SeqCtor(xs) => SeqCtor(xs.map(f))
+    case ArrayCtor(xs) => ArrayCtor(xs.map(f))
+    case ObjectCtor(es) => ObjectCtor(es.map {
+      case Left(s) => Left(f(s))
+      case Right((k, v)) => Right((k, f(v)))
+    })
+    case Deref(b, fl) => Deref(f(b), fl)
+    case ChildStep(b, n) => ChildStep(f(b), n)
+    case DescStep(b, n) => DescStep(f(b), n)
+    case TextStep(b) => TextStep(f(b))
+    case AttrStep(b, n) => AttrStep(f(b), n)
+    case DerefVar(b, v) => DerefVar(f(b), v)
+    case DescendantDeref(b, fl) => DescendantDeref(f(b), fl)
+    case Unbox(b) => Unbox(f(b))
+    case ArrayIndex(b, i) => ArrayIndex(f(b), f(i))
+    case ArraySlice(b, fr, u) => ArraySlice(f(b), f(fr), f(u))
+    case FilterPred(b, p) => FilterPred(f(b), f(p))
+    case Binary(op, l, r) => Binary(op, f(l), f(r))
+    case Unary(op, x) => Unary(op, f(x))
+    case Range(fr, t) => Range(f(fr), f(t))
+    case If(c, t, el) => If(f(c), f(t), f(el))
+    case InstanceOf(x, t) => InstanceOf(f(x), t)
+    case Call(n, as) => Call(n, as.map(f))
+    case Quantified(bs, p) =>
+      Quantified(bs.map { case (v, src) => (v, f(src)) }, f(p))
+    case Flwor(cs, ret) => Flwor(cs.map {
+      case ForClause(v, in, pv) => ForClause(v, f(in), pv)
+      case LetClause(v, value) => LetClause(v, f(value))
+      case WhereClause(w) => WhereClause(f(w))
+      case OrderClause(ks) => OrderClause(ks.map(k => k.copy(key = f(k.key))))
+    }, f(ret))
+    case UpdateStmt(k, t, v, p) => UpdateStmt(k, f(t), v.map(f), p.map(f))
+    case ElemCtor(n, attrs, content) =>
+      ElemCtor(n,
+        attrs.map { case (an, ps) => (an, ps.map {
+          case Left(s) => Left(s): Either[String, Expr]
+          case Right(v) => Right(f(v)): Either[String, Expr]
+        }) },
+        content.map {
+          case Left(s) => Left(s): Either[String, Expr]
+          case Right(v) => Right(f(v)): Either[String, Expr]
+        })
+  }
+
+  /** Rename free occurrences of variables per `m` (binders shadow). */
+  def renameVars(e: Expr, m: Map[String, String]): Expr =
+    if (m.isEmpty) e
+    else e match {
+      case VarRef(n) => VarRef(m.getOrElse(n, n))
+      case DerefVar(b, v) => DerefVar(renameVars(b, m), m.getOrElse(v, v))
+      case Quantified(bs, p) =>
+        var cur = m
+        val bs2 = bs.map { case (v, src) =>
+          val out = (v, renameVars(src, cur)); cur = cur - v; out
+        }
+        Quantified(bs2, renameVars(p, cur))
+      case Flwor(cs, ret) =>
+        var cur = m
+        val cs2 = cs.map {
+          case ForClause(v, in, pv) =>
+            val out = ForClause(v, renameVars(in, cur), pv)
+            cur = cur - v -- pv; out
+          case LetClause(v, value) =>
+            val out = LetClause(v, renameVars(value, cur)); cur = cur - v; out
+          case WhereClause(w) => WhereClause(renameVars(w, cur))
+          case OrderClause(ks) =>
+            OrderClause(ks.map(k => k.copy(key = renameVars(k.key, cur))))
+        }
+        Flwor(cs2, renameVars(ret, cur))
+      case other => mapChildren(other)(renameVars(_, m))
+    }
+
+  private var inlineCounter = 0
+
+  /** Replace calls to declared functions with their bodies: parameters
+    * become fresh `let` bindings (argument sequences evaluate once, the
+    * XQuery rule) and the body's parameter references are renamed apart
+    * so caller variables cannot be captured. Non-recursive (a function
+    * calling itself is left unresolved and fails as an unknown call —
+    * the corpus declares none). */
+  def inlineFunctions(e: Expr, defs: Map[String, FunDef]): Expr = {
+    if (defs.isEmpty) return e
+    def go(x: Expr, ds: Map[String, FunDef]): Expr = x match {
+      case Call(n, args) if ds.contains(n) =>
+        val fd = ds(n)
+        require(fd.params.size == args.size,
+          s"$n expects ${fd.params.size} arguments, got ${args.size}")
+        val id = synchronized { inlineCounter += 1; inlineCounter }
+        val fresh = fd.params.map(p => p -> s"${p}__u$id")
+        val body = go(renameVars(fd.body, fresh.toMap), ds - n)
+        val lets = fresh.map(_._2).zip(args.map(go(_, ds)))
+          .map { case (fp, a) => LetClause(fp, a) }
+        if (lets.isEmpty) body else Flwor(lets, body)
+      case other => mapChildren(other)(go(_, ds))
+    }
+    go(e, defs)
   }
 
   /** An ENCLOSED expression (element-constructor `{...}`): a top-level

@@ -138,7 +138,8 @@ object JsoniqRun {
           isDocWalk(x) && !containsScanCall(x) && !containsEffect(x) && {
             val fv = freeVars(x)
             fv.subsetOf(sc.env.keySet) && fv.intersect(shadow).isEmpty
-          } && JsoniqUpdate.staticTargetIn(x, env).isEmpty
+          } && JsoniqUpdate.staticTargetIn(x, env).isEmpty &&
+            !containsShreddedDoc(store, x)
         def bind(x: Expr): Expr = VarRef(cache.getOrElseUpdate(x, {
           val s2 = evalSeq(store, x, sc.base, sc.env + (STATIC -> sc))
           val scn = gensym("h")
@@ -231,10 +232,88 @@ object JsoniqRun {
     }
     def store(collection: String, doc: String, json: String): Unit = {
       import spark.implicits._
-      graft.sources.TemporalTable.write(
-        Seq(json).toDF("doc_json"), docPath(collection, doc))
-      ()
+      val path = docPath(collection, doc)
+      val rev = graft.sources.TemporalTable.write(
+        Seq(json).toDF("doc_json"), path)
+      maybeShred(path, rev, json)
     }
+
+    /** Member-table sidecar for large root-array documents: one row per
+      * top-level member (`idx`, `member_json`), range-partitioned on
+      * position, written per revision under `_shred/r<rev>`. Readers of
+      * `jn:doc(...)[]` / `for $x in jn:doc(...)` serve from it so a
+      * 1M-member document distributes across executors instead of
+      * unboxing ONE multi-MB variant row in a single task — the Spark
+      * answer to the reference's node-store pages
+      * (bundles/sirix-core/src/main/java/io/sirix/page/
+      * KeyValueLeafPage.java:75, shredder service/json/shredder/
+      * JsonShredder.java:49). Small documents skip it: the 1-row read
+      * is already cheap and corpus semantics are unchanged (the shred
+      * is a serving layout, not the source of truth). */
+    private def maybeShred(path: String, rev: Int, json: String): Unit = {
+      var i = 0
+      while (i < json.length && json.charAt(i).isWhitespace) i += 1
+      if (i < json.length && json.charAt(i) == '[' &&
+          json.length >= Store.ShredMinBytes) {
+        import spark.implicits._
+        // split member texts on the DRIVER (one O(bytes) scan — a
+        // Spark-side explode would run the whole parse in one task and
+        // re-execute it for range sampling), then parse distributed
+        val members = Store.splitTopLevelArray(json)
+        if (members.nonEmpty) {
+          val base = spark.createDataset(spark.sparkContext.parallelize(
+              members.zipWithIndex.map { case (m, ix) => (ix.toLong, m) },
+              32))
+            .toDF("idx", "member_json")
+          // TYPED columns when the members share an inferrable object
+          // schema (the training-corpus shape): predicates over member
+          // fields then compile to plain parquet columns — pushed
+          // filters, column pruning, no per-row variant decode. The
+          // variant `member` column stays authoritative for everything
+          // the typed projection can't express.
+          import org.apache.spark.sql.Encoders
+          val inferred = scala.util.Try(spark.read.json(
+              base.select("member_json").as(Encoders.STRING)).schema)
+            .toOption.filter(s => s.nonEmpty &&
+              !s.fieldNames.contains("_corrupt_record"))
+          val out = inferred match {
+            case Some(sch) => base.select(col("idx"),
+              parse_json(col("member_json")).as("member"),
+              from_json(col("member_json"), sch).as("t"))
+            case None => base.select(col("idx"),
+              parse_json(col("member_json")).as("member"))
+          }
+          out.write.mode("overwrite").parquet(shredDir(path, rev))
+        }
+      }
+    }
+
+    private[query] def shredDir(path: String, rev: Int): String =
+      s"$path/_shred/r$rev"
+
+    /** Distributed member rows of a shredded revision: (`idx`,
+      * `member_json`), or None when the resolved revision has no shred
+      * (small documents, delta-era or update-committed revisions — the
+      * 1-row `doc_json` read remains the fallback). Existence is
+      * memoized per (path, revision): revisions are immutable. */
+    private val shredCache =
+      scala.collection.concurrent.TrieMap.empty[(String, Int), Boolean]
+    private def resolveRev(path: String, rev: Option[Int]): Option[Int] =
+      rev.orElse(graft.sources.TemporalTable.mostRecentRevision(path))
+    private[query] def shredExists(collection: String, doc: String,
+                                   rev: Option[Int]): Boolean = {
+      val path = docPath(collection, doc)
+      resolveRev(path, rev).exists(r =>
+        shredCache.getOrElseUpdate((path, r),
+          graft.sources.MetaIO.exists(shredDir(path, r))))
+    }
+    private[query] def shredded(collection: String, doc: String,
+                                rev: Option[Int]): Option[DataFrame] =
+      if (!shredExists(collection, doc, rev)) None
+      else {
+        val path = docPath(collection, doc)
+        Some(spark.read.parquet(shredDir(path, resolveRev(path, rev).get)))
+      }
     private[query] def doc(collection: String, doc: String,
                            revision: Option[Int]): DataFrame =
       graft.sources.TemporalTable
@@ -248,6 +327,52 @@ object JsoniqRun {
       val json = XmlItem.xmlToJson(xml)
       store(collection, doc, json)
       json
+    }
+  }
+
+  object Store {
+    /** Root-array documents at/above this size gain the member-table
+      * sidecar (below it, single-row reads win — no extra files). */
+    val ShredMinBytes: Int = 1 << 22
+
+    /** Raw member texts of a top-level JSON array (depth/str-aware
+      * scanner; no tree build). Nil when the input is not an array. */
+    private[query] def splitTopLevelArray(json: String): Seq[String] = {
+      val out = Seq.newBuilder[String]
+      val n = json.length
+      var i = 0
+      while (i < n && json.charAt(i).isWhitespace) i += 1
+      if (i >= n || json.charAt(i) != '[') return Nil
+      i += 1
+      var depth = 0
+      var inStr = false
+      var esc = false
+      var start = -1
+      var done = false
+      while (i < n && !done) {
+        val ch = json.charAt(i)
+        if (inStr) {
+          if (esc) esc = false
+          else if (ch == '\\') esc = true
+          else if (ch == '"') inStr = false
+        } else ch match {
+          case '"' =>
+            inStr = true; if (start < 0) start = i
+          case '[' | '{' =>
+            depth += 1; if (start < 0) start = i
+          case ']' if depth == 0 =>
+            if (start >= 0) out += json.substring(start, i).trim
+            done = true
+          case '}' | ']' => depth -= 1
+          case ',' if depth == 0 =>
+            out += json.substring(start, i).trim; start = -1
+          case c if !c.isWhitespace =>
+            if (start < 0) start = i
+          case _ =>
+        }
+        i += 1
+      }
+      out.result()
     }
   }
 
@@ -275,6 +400,10 @@ object JsoniqRun {
 
   private def compile(store: Store, query: String,
                       contextJson: Option[String]): DataFrame = {
+    // nested HOF lambdas resolve one level per analyzer iteration; the
+    // in-row compiler's element-constructor pipelines (XMark q10) nest
+    // past the default 100
+    store.spark.conf.set("spark.sql.analyzer.maxIterations", 1000)
     val ast = Jsoniq.parse(query)
     val base = store.spark.range(1)
       .select(array(lit(0L)).as(ORD))
@@ -414,6 +543,18 @@ object JsoniqRun {
         case DescStep(base, name) =>
           walkJoin(evalSeq(store, base, tuples, env),
             XmlItem.walkElements(_, name))
+        case FilterPred(Unbox(dc), pred)
+            if shreddedTypedFilter(store, dc, pred).isDefined =>
+          // typed-shred fast path: the predicate runs on plain parquet
+          // columns BEFORE members materialize as variants — pushed
+          // filters + column pruning, the direct-DataFrame plan
+          attachToTuples(shreddedTypedFilter(store, dc, pred).get,
+            tuples, env)
+        case Unbox(base) if shreddedDocMembers(store, base).isDefined =>
+          // shredded root-array document: serve members from the member
+          // table (distributed) instead of exploding one multi-MB
+          // variant row in a single task. Tuples are the small side.
+          attachToTuples(shreddedDocMembers(store, base).get, tuples, env)
         case Unbox(base) =>
           val b = evalSeq(store, base, tuples, env)
             .withColumn("__arr", expr(s"try_cast($ITEM as array<variant>)"))
@@ -484,18 +625,43 @@ object JsoniqRun {
             .drop("__sl", "__v", f)
         case FilterPred(base, pred) =>
           val b = evalSeq(store, base, tuples, env)
-          val ord0 = gensym("fo")
-          val ctx = gensym("fc")
-          val promoted = b
-            .withColumnRenamed(ITEM, ctx)
-            .withColumn(ord0, col(ORD))
-            .withColumn(ORD, concat(col(ORD), col(POS)))
-          val checked = evalScalar(store, pred, promoted,
-            shadowStatic(env, "$$") + ("$$" -> ItemVar(ctx)))
-          checked.filter(asBool(col("__v")))
-            .withColumn(ORD, col(ord0))
-            .withColumnRenamed(ctx, ITEM)
-            .drop("__v", ord0)
+          val lamEnv = shadowStatic(env, "$$")
+          def ctxRefs(x: Expr): Int =
+            (if (x == ContextItem) 1 else 0) +
+              Jsoniq.children(x).map(ctxRefs).sum
+          boolOf(pred, lamEnv + ("$$" -> LambdaItem(lit(0)))) match {
+            case Some(_) if ctxRefs(pred) > 1 &&
+                containsShreddedDoc(store, base) =>
+              // multi-reference predicate over a shredded document: the
+              // ITEM column is an INLINE parse_json(member_json) that
+              // CollapseProject would duplicate into every reference
+              // (the profile showed 5 parses/row for one comparison) —
+              // bind it through a lambda variable so it parses ONCE.
+              // HOFs are CodegenFallback, so this only pays when the
+              // saved parses outweigh interpretation; single-reference
+              // predicates take the codegen'd direct filter below.
+              b.filter(exists(array(col(ITEM)), x => coalesce(
+                boolOf(pred, lamEnv + ("$$" -> LambdaItem(x))).get,
+                lit(false))))
+            case Some(_) =>
+              // pointwise predicate: ONE whole-stage-codegen filter on
+              // the item column, no tuple reshaping (FilterExec drops
+              // null-valued conditions itself — no coalesce needed)
+              b.filter(boolOf(pred, lamEnv + ("$$" -> ItemVar(ITEM))).get)
+            case None =>
+              val ord0 = gensym("fo")
+              val ctx = gensym("fc")
+              val promoted = b
+                .withColumnRenamed(ITEM, ctx)
+                .withColumn(ord0, col(ORD))
+                .withColumn(ORD, concat(col(ORD), col(POS)))
+              val checked = evalScalar(store, pred, promoted,
+                lamEnv + ("$$" -> ItemVar(ctx)))
+              checked.filter(asBool(col("__v")))
+                .withColumn(ORD, col(ord0))
+                .withColumnRenamed(ctx, ITEM)
+                .drop("__v", ord0)
+          }
         case Flwor(clauses, retE) =>
           // stash the caller's order vector: the clauses grow ORD with
           // iteration suffixes, and the RESULT must surface those
@@ -528,7 +694,14 @@ object JsoniqRun {
               }
               val decorrelated = staticCtxOf(curEnv).filter(sc =>
                 Jsoniq.freeVars(inE).subsetOf(sc.env.keySet))
-              var s = decorrelated match {
+              var s = shreddedDocMembers(store, inE) match {
+                case Some(members) =>
+                  // shredded root-array document: the member table IS
+                  // the itemized source, already one row per member and
+                  // partitioned — attach without a broadcast hint (its
+                  // size is data-bound; tuples here are the small side)
+                  cur.crossJoin(members)
+                case None => decorrelated match {
                 case Some(sc) =>
                   // correlation-free source: itemize ONCE against the
                   // static frame, join the items into every tuple. The
@@ -547,7 +720,7 @@ object JsoniqRun {
                   cur.crossJoin(
                     if (containsScanCall(inE)) proj else broadcast(proj))
                 case None => itemize(evalSeq(store, inE, cur, curEnv))
-              }
+              } }
               // stash capture: a binding over jn:scan-*-index /
               // jn:all-times carries per-node metadata (printed path,
               // parent path, revision, previous-revision content)
@@ -616,7 +789,8 @@ object JsoniqRun {
               // sources stay correlation-free (q09's $ca/$ei pattern)
               val newStatic = staticCtxOf(curEnv) match {
                 case Some(sc)
-                    if Jsoniq.freeVars(valueE).subsetOf(sc.env.keySet) =>
+                    if Jsoniq.freeVars(valueE).subsetOf(sc.env.keySet) &&
+                      !containsShreddedDoc(store, valueE) =>
                   val s2 = evalSeq(store, valueE, sc.base,
                     sc.env + (STATIC -> sc))
                   val scn = gensym(s"t_$v")
@@ -721,6 +895,98 @@ object JsoniqRun {
   // ---- shared scalar combinators (variant Columns in, variant out) ----
   private val IntSchemas = Seq("BIGINT", "INT", "SMALLINT", "TINYINT")
 
+  /** Value comparison as a NATIVE nullable boolean (null = empty
+    * operand): numeric when both operands cast to double, else string.
+    * The boolean-direct predicate chain ([[boolOf]]) stays in primitive
+    * types end-to-end — no parse_json("true")/try_cast round-trip per
+    * row. */
+  private def cmpBool(op: String, l: Column, r: Column): Column = {
+    val ld = l.try_cast("double")
+    val rd = r.try_cast("double")
+    val ls = l.try_cast("string")
+    val rs = r.try_cast("string")
+    def cmp(a: Column, b: Column): Column = op match {
+      case "eq" => a === b; case "ne" => a =!= b
+      case "lt" => a < b; case "le" => a <= b
+      case "gt" => a > b; case "ge" => a >= b
+    }
+    when(l.isNull || r.isNull, lit(null).cast("boolean"))
+      .when(ld.isNotNull && rd.isNotNull, cmp(ld, rd))
+      .otherwise(cmp(ls, rs))
+  }
+
+  /** Compile a PREDICATE to a native nullable-boolean Column — the
+    * filter/where/quantifier consumers coalesce null to false
+    * themselves. Falls back to the variant form + EBV cast where no
+    * boolean-direct shape exists. */
+  private def boolOf(e: Jsoniq.Expr,
+                     env: Map[String, Binding]): Option[Column] = {
+    import Jsoniq._
+    e match {
+      case Binary("and", l, r) =>
+        for (a <- boolOf(l, env); b <- boolOf(r, env))
+          yield coalesce(a, lit(false)) && coalesce(b, lit(false))
+      case Binary("or", l, r) =>
+        for (a <- boolOf(l, env); b <- boolOf(r, env))
+          yield coalesce(a, lit(false)) || coalesce(b, lit(false))
+      case Binary(op, l, r)
+          if Set("eq", "ne", "lt", "le", "gt", "ge")(op) =>
+        // a numeric-literal operand pins the comparison NUMERIC (XQuery
+        // number semantics: non-castable values yield empty -> false) —
+        // one variant_get per row instead of the 3 the dual-branch
+        // general form needs
+        val numericLit = l.isInstanceOf[NumLit] || r.isInstanceOf[NumLit] ||
+          (l match { case Unary("-", _: NumLit) => true; case _ => false }) ||
+          (r match { case Unary("-", _: NumLit) => true; case _ => false })
+        for (lc <- scalarOf(l, env); rc <- scalarOf(r, env)) yield
+          if (numericLit) {
+            val (ld, rd) = (lc.try_cast("double"), rc.try_cast("double"))
+            op match {
+              case "eq" => ld === rd; case "ne" => ld =!= rd
+              case "lt" => ld < rd; case "le" => ld <= rd
+              case "gt" => ld > rd; case "ge" => ld >= rd
+            }
+          } else cmpBool(op, lc, rc)
+      case Binary(op, l, r) if op.startsWith("g_") && op != "g_" =>
+        // general (existential) comparison: any pair satisfies; empty
+        // operands -> false
+        for (ls <- pointwiseSeq(l, env); rs <- pointwiseSeq(r, env)) yield
+          coalesce(
+            exists(coalesce(ls, emptyVarr), x => coalesce(
+              exists(coalesce(rs, emptyVarr), y => coalesce(
+                cmpBool(op.stripPrefix("g_"), x, y), lit(false))),
+              lit(false))),
+            lit(false))
+      case Call("not", Seq(a)) =>
+        boolOf(a, env).map(c => !coalesce(c, lit(false)))
+      case Call("exists", Seq(a)) =>
+        pointwiseSeq(a, env).map(s => size(coalesce(s, emptyVarr)) > 0)
+      case Call("empty", Seq(a)) =>
+        pointwiseSeq(a, env).map(s => size(coalesce(s, emptyVarr)) === 0)
+      case Quantified(bindings, pred) =>
+        def qgo(bs: List[(String, Expr)],
+                env2: Map[String, Binding]): Option[Column] = bs match {
+          case Nil =>
+            boolOf(pred, env2).map(p => coalesce(p, lit(false)))
+          case (v, src) :: rest =>
+            pointwiseSeq(src, env2).flatMap { arr =>
+              // probe with a dummy binding, then build for real
+              qgo(rest, env2 + (v -> LambdaItem(lit(0)))).map { _ =>
+                coalesce(exists(coalesce(arr, emptyVarr),
+                  x => qgo(rest, env2 + (v -> LambdaItem(x))).get),
+                  lit(false))
+              }
+            }
+        }
+        qgo(bindings.toList, env)
+      case If(c, t, el) =>
+        for (cc <- boolOf(c, env); ts <- boolOf(t, env);
+             es <- boolOf(el, env))
+          yield when(coalesce(cc, lit(false)), ts).otherwise(es)
+      case _ => scalarOf(e, env).map(asBool)
+    }
+  }
+
   private def cmpCol(op: String, l: Column, r: Column): Column = {
     val ld = l.try_cast("double")
     val rd = r.try_cast("double")
@@ -739,7 +1005,18 @@ object JsoniqRun {
     when(l.isNull || r.isNull, lit(null)).otherwise(jsonBool(b))
   }
 
-  private def arithCol(op: String, l: Column, r: Column): Column = {
+  /** Atomize an XML element item (XmlItem encoding) to its single text
+    * child for arithmetic — `2.20371 * $i/reserve` (XMark q18) computes
+    * on the element's typed value, the XQuery atomization rule. Non-
+    * element items pass through (plain JSON objects have no `~c`). */
+  private def atomizeCol(c: Column): Column =
+    when(schema_of_variant(c).startsWith("OBJECT"),
+      coalesce(variant_get(c, "$['~c'][0]", "variant"), c))
+      .otherwise(c)
+
+  private def arithCol(op: String, l0: Column, r0: Column): Column = {
+    val l = atomizeCol(l0)
+    val r = atomizeCol(r0)
     val bothInt = schema_of_variant(l).isin(IntSchemas: _*) &&
       schema_of_variant(r).isin(IntSchemas: _*)
     def arith(a: Column, b: Column): Column = op match {
@@ -749,10 +1026,28 @@ object JsoniqRun {
       case other => throw new IllegalArgumentException(s"op $other")
     }
     val intResult = Set("+", "-", "*", "idiv", "mod")(op)
+    // xs:decimal discipline: unless an operand is an actual DOUBLE
+    // (exponent literal), compute in decimal — `2.20371 * $reserve`
+    // (XMark q18) must print the exact product, not a binary-float
+    // neighbor. Trailing zeros trim to the canonical form.
+    val anyDouble = schema_of_variant(l) === "DOUBLE" ||
+      schema_of_variant(r) === "DOUBLE"
+    val decResult =
+      arith(l.try_cast("decimal(18,6)"), r.try_cast("decimal(18,6)"))
     when(l.isNull || r.isNull, lit(null))
       .when(bothInt && lit(intResult),
         jsonNumber(arith(l.try_cast("long"), r.try_cast("long"))))
+      .when(!anyDouble && decResult.isNotNull, jsonDecimal(decResult))
       .otherwise(jsonNumber(arith(l.try_cast("double"), r.try_cast("double"))))
+  }
+
+  /** A decimal as a variant number with trailing zeros (and a bare
+    * trailing '.') trimmed — the XQuery canonical decimal lexical form. */
+  private def jsonDecimal(c: Column): Column = {
+    val s0 = c.cast("string")
+    parse_json(when(s0.contains("."),
+      regexp_replace(regexp_replace(s0, "0+$", ""), "\\.$", ""))
+      .otherwise(s0))
   }
 
   private def boolCol(op: String, l: Column, r: Column): Column = {
@@ -794,10 +1089,14 @@ object JsoniqRun {
       case NullLit => Some(vnull)
       case ContextItem => env.get("$$") match {
         case Some(ItemVar(cn, _, _)) => Some(col(cn))
-        case _ => throw new IllegalArgumentException("$$ outside a predicate")
+        case Some(LambdaItem(c)) => Some(c)
+        case Some(_) => None
+        case None =>
+          throw new IllegalArgumentException("$$ outside a predicate")
       }
       case VarRef(n) => env.get(n) match {
         case Some(ItemVar(cn, _, _)) => Some(col(cn))
+        case Some(LambdaItem(c)) => Some(c)
         case _ => None
       }
       case Deref(b, f) =>
@@ -814,18 +1113,12 @@ object JsoniqRun {
         pointwise(b, env).map(c =>
           variant_get(c, s"$$['~a']['${n.replace("'", "\\'")}']", "variant"))
       case Binary("<<", _, _) => None // node order — aux-column route only
-      case Binary(op, l, r) if op.startsWith("g_") =>
+      case Binary(op, _, _) if op.startsWith("g_") =>
         // general (existential) comparison: true iff ANY (left, right)
         // pair satisfies the value comparison, false on empty operands.
         // Both sides as in-row arrays -> nested exists, pure codegen —
-        // no per-pair row expansion, no join
-        for (ls <- pointwiseSeq(l, env); rs <- pointwiseSeq(r, env)) yield
-          jsonBool(coalesce(
-            exists(coalesce(ls, emptyVarr), x => coalesce(
-              exists(coalesce(rs, emptyVarr), y => coalesce(
-                asBool(cmpCol(op.stripPrefix("g_"), x, y)), lit(false))),
-              lit(false))),
-            lit(false)))
+        // no per-pair row expansion, no join (boolOf builds it)
+        boolOf(e, env).map(jsonBool)
       case Binary(op, l, r) =>
         for (lc <- scalarOf(l, env); rc <- scalarOf(r, env)) yield op match {
           case "or" | "and" => boolCol(op, lc, rc)
@@ -834,24 +1127,11 @@ object JsoniqRun {
         }
       case Unary("-", x) => scalarOf(x, env).map(negCol)
       case InstanceOf(x, t) => scalarOf(x, env).map(instanceCol(_, t))
-      case Quantified(bindings, pred) =>
-        // existential quantifier over in-row sequences: nested exists.
-        // Predicates needing the position stash (`<<`) fail the scalar
-        // probe and take the row machinery.
-        def qgo(bs: List[(String, Expr)],
-                env2: Map[String, Binding]): Option[Column] = bs match {
-          case Nil =>
-            scalarOf(pred, env2).map(p => coalesce(asBool(p), lit(false)))
-          case (v, src) :: rest =>
-            pointwiseSeq(src, env2).flatMap { arr =>
-              // probe with a dummy binding, then build for real
-              qgo(rest, env2 + (v -> LambdaItem(lit(0)))).map { _ =>
-                coalesce(exists(coalesce(arr, emptyVarr),
-                  x => qgo(rest, env2 + (v -> LambdaItem(x))).get), lit(false))
-              }
-            }
-        }
-        qgo(bindings.toList, env).map(jsonBool)
+      case Quantified(_, _) =>
+        // existential quantifier over in-row sequences: nested exists
+        // (boolOf). Predicates needing the position stash (`<<`) fail
+        // the probe and take the row machinery.
+        boolOf(e, env).map(jsonBool)
       case ObjectCtor(entries) =>
         val parts = entries.map {
           case Right((k, ve)) => scalarOf(ve, env).map { v =>
@@ -929,11 +1209,22 @@ object JsoniqRun {
     val ts = transform(coalesce(s0, emptyVarr), x =>
       when(schema_of_variant(x) === "STRING", x.try_cast("string"))
         .otherwise(to_json(x)))
-    array_join(transform(ts, (x, i) =>
-      when(i === 0, x)
-        .when(!x.like("<%") && !element_at(ts, i).like("<%"),
-          concat(lit(" "), x))
-        .otherwise(x)), "")
+    // single-pass fold carrying (acc, prev): the input array appears
+    // ONCE in the expression tree. Nested element constructors compose
+    // textOfSeq trees — a second reference (the old element_at(ts, i)
+    // separator probe) doubled the subtree per nesting level, blowing
+    // q10's analyzer budget exponentially. `prev = ""` marks the first
+    // item (serialized items are never empty: strings keep quotes).
+    aggregate(ts,
+      struct(lit("").as("a"), lit("").as("p")),
+      (st, x) => struct(
+        concat(st.getField("a"),
+          when(st.getField("p") =!= "" &&
+            !st.getField("p").like("<%") && !x.like("<%"), lit(" "))
+            .otherwise(lit("")),
+          x).as("a"),
+        x.as("p")),
+      st => st.getField("a"))
   }
 
   /** At-most-one-item value of `e` per tuple (first item in sequence
@@ -950,8 +1241,8 @@ object JsoniqRun {
     def nn(sq: Column) = coalesce(sq, emptyVarr)
     name match {
       case "not" if args.size == 1 =>
-        scalarOf(args.head, env).map(c =>
-          jsonBool(!coalesce(asBool(c), lit(false))))
+        boolOf(args.head, env).map(c =>
+          jsonBool(!coalesce(c, lit(false))))
       case "count" if args.size == 1 =>
         sOf(args.head).map(sq => jsonNumber(size(nn(sq)).cast("long")))
       case "exists" if args.size == 1 =>
@@ -966,37 +1257,58 @@ object JsoniqRun {
       case "xs:integer" if args.size == 1 =>
         scalarOf(args.head, env).map(c => jsonNumber(c.try_cast("long")))
       case "jn:null" if args.isEmpty => Some(vnull)
+      // the numeric folds are ONE aggregate each — a single reference to
+      // the input tree (multiple references double nested subexpressions
+      // per level; see textOfSeq). Int result iff EVERY item is integral
+      // (the aggOver rule).
       case "sum" if args.size == 1 =>
         sOf(args.head).map { s0 =>
-          val sq = nn(s0)
-          // int result iff EVERY item is integral (the aggOver rule)
-          val allInt = forall(sq, x => schema_of_variant(x) === "BIGINT")
-          val suml = aggregate(sq, lit(0L), (a, x) =>
-            a + coalesce(x.try_cast("long"), lit(0L)))
-          val sumd = aggregate(sq, lit(0.0), (a, x) =>
-            a + coalesce(x.try_cast("double"), lit(0.0)))
-          when(size(sq) === 0, jsonNumber(lit(0L)))
-            .when(allInt, jsonNumber(suml))
-            .otherwise(jsonNumber(sumd))
+          aggregate(nn(s0),
+            struct(lit(true).as("i"), lit(0L).as("s"),
+              lit(0.0).as("d"), lit(0).as("n")),
+            (st, x) => struct(
+              (st.getField("i") &&
+                (schema_of_variant(x) === "BIGINT")).as("i"),
+              (st.getField("s") +
+                coalesce(x.try_cast("long"), lit(0L))).as("s"),
+              (st.getField("d") +
+                coalesce(x.try_cast("double"), lit(0.0))).as("d"),
+              (st.getField("n") + lit(1)).as("n")),
+            st => when(st.getField("n") === 0, jsonNumber(lit(0L)))
+              .when(st.getField("i"), jsonNumber(st.getField("s")))
+              .otherwise(jsonNumber(st.getField("d"))))
         }
       case "min" | "max" if args.size == 1 =>
         sOf(args.head).map { s0 =>
-          val sq = nn(s0)
-          val ds = transform(sq, x => x.try_cast("double"))
-          val m = if (name == "min") array_min(ds) else array_max(ds)
-          val allInt = forall(sq, x => schema_of_variant(x) === "BIGINT")
-          when(size(sq) === 0, lit(null))
-            .when(allInt, jsonNumber(m.cast("long")))
-            .otherwise(jsonNumber(m))
+          aggregate(nn(s0),
+            struct(lit(true).as("i"), lit(null).cast("double").as("m")),
+            (st, x) => {
+              val xd = x.try_cast("double")
+              val m0 = st.getField("m")
+              struct(
+                (st.getField("i") &&
+                  (schema_of_variant(x) === "BIGINT")).as("i"),
+                when(xd.isNull, m0).when(m0.isNull, xd)
+                  .otherwise(if (name == "min") least(m0, xd)
+                    else greatest(m0, xd)).as("m"))
+            },
+            st => when(st.getField("m").isNull, lit(null))
+              .when(st.getField("i"),
+                jsonNumber(st.getField("m").cast("long")))
+              .otherwise(jsonNumber(st.getField("m"))))
         }
       case "avg" if args.size == 1 =>
         sOf(args.head).map { s0 =>
-          val sq = nn(s0)
-          val sumd = aggregate(sq, lit(0.0), (a, x) =>
-            a + coalesce(x.try_cast("double"), lit(0.0)))
-          val cnt = size(filter(sq, x => x.try_cast("double").isNotNull))
-          when(size(sq) === 0 || cnt === 0, lit(null))
-            .otherwise(jsonNumber(sumd / cnt))
+          aggregate(nn(s0),
+            struct(lit(0.0).as("d"), lit(0).as("c")),
+            (st, x) => {
+              val xd = x.try_cast("double")
+              struct((st.getField("d") + coalesce(xd, lit(0.0))).as("d"),
+                (st.getField("c") +
+                  when(xd.isNotNull, lit(1)).otherwise(lit(0))).as("c"))
+            },
+            st => when(st.getField("c") === 0, lit(null))
+              .otherwise(jsonNumber(st.getField("d") / st.getField("c"))))
         }
       case "contains" if args.size == 2 =>
         for (a <- scalarOf(args.head, env); b <- scalarOf(args(1), env))
@@ -1099,9 +1411,9 @@ object JsoniqRun {
       case FilterPred(b, p) =>
         pointwiseSeq(b, env).flatMap { bs =>
           // probe the predicate with a dummy context item, then build
-          scalarOf(p, env + ("$$" -> LambdaItem(lit(0)))).map { _ =>
-            filter(bs, x => coalesce(asBool(
-              scalarOf(p, env + ("$$" -> LambdaItem(x))).get), lit(false)))
+          boolOf(p, env + ("$$" -> LambdaItem(lit(0)))).map { _ =>
+            filter(bs, x => coalesce(
+              boolOf(p, env + ("$$" -> LambdaItem(x))).get, lit(false)))
           }
         }
       case Range(f, t) =>
@@ -1115,9 +1427,9 @@ object JsoniqRun {
             nCol => parse_json(nCol.cast("string")))
         }
       case If(c, t, e2) =>
-        for (cc <- scalarOf(c, env); ts <- pointwiseSeq(t, env);
+        for (cc <- boolOf(c, env); ts <- pointwiseSeq(t, env);
              es <- pointwiseSeq(e2, env))
-          yield when(coalesce(asBool(cc), lit(false)),
+          yield when(coalesce(cc, lit(false)),
             coalesce(ts, emptyVarr)).otherwise(coalesce(es, emptyVarr))
       case fw: Flwor => flworSeq(fw, env)
       case _ =>
@@ -1161,8 +1473,8 @@ object JsoniqRun {
         pointwiseSeq(value, env2).flatMap(arr =>
           go(rest, env2 + (v -> LambdaSeq(coalesce(arr, emptyVarr))), lam))
       case WhereClause(w) :: rest =>
-        scalarOf(w, env2).flatMap(c => go(rest, env2, lam).map(body =>
-          when(coalesce(asBool(c), lit(false)), body).otherwise(emptyVarr)))
+        boolOf(w, env2).flatMap(c => go(rest, env2, lam).map(body =>
+          when(coalesce(c, lit(false)), body).otherwise(emptyVarr)))
       case _ => None // order-by / positional / walk sources: row machinery
     }
     go(fw.clauses.toList, env, Set.empty)
@@ -1690,7 +2002,8 @@ object JsoniqRun {
 
   /** Functions whose result is inherently a sequence / needs the store. */
   private val SeqFunctions = Set("jn:store", "jn:doc", "jn:all-times",
-    "jn:load", "jn:scan-path-index", "jn:scan-cas-index", "distinct-values")
+    "jn:load", "jn:scan-path-index", "jn:scan-cas-index", "distinct-values",
+    "jn:past", "jn:future", "jn:first", "jn:last", "jn:open", "jn:diff")
 
   /** Does the expression read a table-scan source (size data-bound, so a
     * decorrelated side must NOT be broadcast-hinted)? */
@@ -1708,6 +2021,114 @@ object JsoniqRun {
       case Jsoniq.Call("jn:store", _) => true
       case _ => false
     }
+
+  /** The (collection, doc, rev) of a literal `jn:doc` call — the shapes
+    * the shredded member table can serve. */
+  private def shreddedDocArgs(
+      e: Jsoniq.Expr): Option[(String, String, Option[Int])] = e match {
+    case Jsoniq.Call("jn:doc",
+        Seq(Jsoniq.StrLit(c), Jsoniq.StrLit(d))) => Some((c, d, None))
+    case Jsoniq.Call("jn:doc",
+        Seq(Jsoniq.StrLit(c), Jsoniq.StrLit(d), Jsoniq.NumLit(t)))
+        if !t.contains(".") => Some((c, d, Some(t.toInt)))
+    case _ => None
+  }
+
+  /** Does `e` read a document served by a shredded member table? Such
+    * expressions must stay ROW-wise and must NOT be hoisted/aggregated
+    * into an in-row array — the member table can be arbitrarily large
+    * (that's why it was shredded). */
+  private def containsShreddedDoc(store: Store, e: Jsoniq.Expr): Boolean =
+    Jsoniq.exprAny(e)(x => shreddedDocArgs(x).exists {
+      case (c, d, r) => store.shredExists(c, d, r) })
+
+  /** Shredded member tuples of a literal `jn:doc` source: one row per
+    * top-level array member, POS = [0, idx] (the document's position
+    * level + one member level — exactly the Unbox/itemize shape), ITEM =
+    * the member. None when the resolved revision has no shred. */
+  private def shreddedDocMembers(store: Store,
+                                 e: Jsoniq.Expr): Option[DataFrame] =
+    shreddedDocArgs(e).flatMap { case (c, d, r) =>
+      store.shredded(c, d, r).map(_.select(
+        array(lit(0L), col("idx")).as(POS), col("member").as(ITEM)))
+    }
+
+  /** Attach a distributed (POS, ITEM) source to the tuple stream. When
+    * the stream IS the compile-time root frame (one row, only the order
+    * column), skip the join entirely and stamp the literal ORD — saves
+    * a broadcast stage per source. Otherwise cross-join with the tuples
+    * broadcast (they are the driver-bounded small side). */
+  private def attachToTuples(source: DataFrame, tuples: DataFrame,
+                             env: Map[String, Binding]): DataFrame =
+    if (tuples.columns.sameElements(Array(ORD)) &&
+        staticCtxOf(env).exists(sc =>
+          tuples.queryExecution.logical eq sc.base.queryExecution.logical))
+      source.withColumn(ORD, array(lit(0L)))
+    else source.crossJoin(broadcast(tuples.drop(POS, ITEM)))
+
+  /** Compile `[?pred]` over a TYPED shredded document onto the shred's
+    * plain parquet columns: derefs of the context item become `t.field`
+    * references, so the filter pushes into the scan (PushedFilters,
+    * column pruning — the direct-DataFrame plan). Returns the filtered
+    * member tuples; None when there is no typed projection or the
+    * predicate uses anything beyond field/literal comparisons+logic. */
+  private def shreddedTypedFilter(store: Store, docE: Jsoniq.Expr,
+                                  pred: Jsoniq.Expr): Option[DataFrame] = {
+    import Jsoniq._
+    shreddedDocArgs(docE).flatMap { case (c, d, r) =>
+      store.shredded(c, d, r).filter(_.columns.contains("t")).flatMap { df =>
+        import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+        val fields = df.schema("t").dataType match {
+          case st: StructType => st.fields.collect {
+            case f if (f.dataType match {
+              case _: StructType | _: ArrayType | _: MapType => false
+              case _ => true
+            }) => f.name
+          }.toSet
+          case _ => Set.empty[String]
+        }
+        def scalarT(x: Expr): Option[Column] = x match {
+          case Deref(ContextItem, f) if fields(f) => Some(col(s"t.`$f`"))
+          case NumLit(t) => Some(lit(BigDecimal(t).toDouble))
+          case Unary("-", NumLit(t)) => Some(lit(-BigDecimal(t).toDouble))
+          case StrLit(s) => Some(lit(s))
+          case BoolLit(b) => Some(lit(b))
+          case _ => None
+        }
+        def go(x: Expr): Option[Column] = x match {
+          case Binary("and", l, rr) =>
+            for (a <- go(l); b <- go(rr))
+              yield coalesce(a, lit(false)) && coalesce(b, lit(false))
+          case Binary("or", l, rr) =>
+            for (a <- go(l); b <- go(rr))
+              yield coalesce(a, lit(false)) || coalesce(b, lit(false))
+          case Call("not", Seq(a)) => go(a).map(v => !coalesce(v, lit(false)))
+          case Binary(op, l, rr)
+              if Set("eq", "ne", "lt", "le", "gt", "ge")(op) =>
+            val numericLit = Seq(l, rr).exists {
+              case _: NumLit | Unary("-", _: NumLit) => true
+              case _ => false
+            }
+            for (lc <- scalarT(l); rc <- scalarT(rr)) yield
+              if (numericLit) {
+                val (ld, rd) = (lc.try_cast("double"), rc.try_cast("double"))
+                op match {
+                  case "eq" => ld === rd; case "ne" => ld =!= rd
+                  case "lt" => ld < rd; case "le" => ld <= rd
+                  case "gt" => ld > rd; case "ge" => ld >= rd
+                }
+              } else cmpBool(op, lc, rc)
+          case _ => None
+        }
+        // no null-coalesce around the condition: FilterExec drops null
+        // rows itself, and a bare comparison reaches the parquet scan
+        // as a pushed filter (coalesce would block pushdown)
+        go(pred).map(cond => df.filter(cond)
+          .select(array(lit(0L), col("idx")).as(POS),
+            col("member").as(ITEM)))
+      }
+    }
+  }
 
   /** Does the expression walk documents / produce data-dependent
     * sequences — i.e. is it WORTH hoisting to the 1-row static frame
@@ -1755,6 +2176,75 @@ object JsoniqRun {
         val doc = store.doc(litStr(args(0), "collection"), litStr(args(1), "doc"), rev)
         tuples.crossJoin(broadcast(
             doc.select(parse_json(col("doc_json")).as(ITEM))))
+          .withColumn(POS, array(lit(0L)))
+      case "jn:past" | "jn:future" | "jn:first" | "jn:last" =>
+        // the reference's revision axes (function/jn/JNFun.java:99-105 —
+        // PastFun/FutureFun/FirstFun/LastFun): the node's content at
+        // revisions before/after its own, or at the first/last revision
+        // defining it. Same per-revision stash discipline as
+        // jn:all-times, sliced on the revision axis.
+        require(args.nonEmpty && args.size <= 2, s"$name(node[, includeSelf])")
+        var argRev: Option[Int] = None
+        def stripRev(x: Expr): Expr = x match {
+          case Call("jn:doc", Seq(c: StrLit, d: StrLit, NumLit(t)))
+              if !t.contains(".") =>
+            argRev = Some(t.toInt); Call("jn:doc", Seq(c, d))
+          case other => Jsoniq.mapChildren(other)(stripRev)
+        }
+        val stripped = stripRev(args.head)
+        val target = JsoniqUpdate.staticTargetIn(stripped, env)
+          .getOrElse(throw new UnsupportedOperationException(
+            s"$name needs a static document path, got ${args.head}"))
+        val includeSelf = args.lift(1).exists {
+          case BoolLit(b) => b
+          case Call("true", Seq()) => true
+          case Call("false", Seq()) => false
+          case other => throw new UnsupportedOperationException(
+            s"$name includeSelf must be a boolean literal, got $other")
+        }
+        val nodeRev = argRev.orElse(graft.sources.TemporalTable
+            .mostRecentRevision(store.docPath(target.collection, target.doc)))
+          .getOrElse(throw new IllegalArgumentException(
+            s"no revisions for ${target.collection}/${target.doc}"))
+        val slice: Seq[Int] => Seq[Int] = name match {
+          case "jn:past" =>
+            _.filter(r => r < nodeRev || (includeSelf && r == nodeRev))
+          case "jn:future" =>
+            _.filter(r => r > nodeRev || (includeSelf && r == nodeRev))
+          case "jn:first" => _.take(1)
+          case _ => _.takeRight(1)
+        }
+        allTimesAt(store, tuples, target, slice)
+      case "jn:open" =>
+        // document as of a timestamp (reference function/jn/JNFun.java's
+        // OpenFun): the commit-log as-of read
+        require(args.size == 3, "jn:open(collection, doc, timestamp)")
+        val ts = java.time.Instant.parse(litStr(args(2), "timestamp"))
+          .toEpochMilli
+        val doc = graft.sources.TemporalTable.read(store.spark,
+            store.docPath(litStr(args(0), "collection"),
+              litStr(args(1), "doc")), None, Some(ts))
+          .select(parse_json(col("doc_json")).as(ITEM))
+        tuples.crossJoin(broadcast(doc)).withColumn(POS, array(lit(0L)))
+      case "jn:diff" =>
+        // update script between two revisions (reference
+        // function/jn/diff/Diff.java:71 emits a JSON script of
+        // insert/replace/delete operations; ours keys operations by
+        // PATH instead of sirix nodekeys — the engine addresses nodes
+        // structurally). One string item.
+        require(args.size == 4, "jn:diff(collection, doc, rev1, rev2)")
+        val (c, d) = (litStr(args(0), "collection"), litStr(args(1), "doc"))
+        def litRev(e2: Expr): Int = e2 match {
+          case NumLit(t) if !t.contains(".") => t.toInt
+          case other => throw new UnsupportedOperationException(
+            s"jn:diff revision literal expected, got $other")
+        }
+        val (r1, r2) = (litRev(args(2)), litRev(args(3)))
+        val oldJ = store.doc(c, d, Some(r1)).collect().head.getString(0)
+        val newJ = store.doc(c, d, Some(r2)).collect().head.getString(0)
+        val script = jsonDiffScript(c, d, r1, r2, oldJ, newJ)
+        tuples.crossJoin(broadcast(store.spark.range(1)
+            .select(jsonString(lit(script)).as(ITEM))))
           .withColumn(POS, array(lit(0L)))
       case "jn:all-times" =>
         // every committed revision's root, ordered by revision — the
@@ -1861,7 +2351,8 @@ object JsoniqRun {
     * and previous-revision content stashed alongside. Driver-side
     * navigation (one bounded collect per revision), items broadcast. */
   private def allTimesAt(store: Store, tuples: DataFrame,
-                         target: JsoniqUpdate.StaticTarget): DataFrame = {
+                         target: JsoniqUpdate.StaticTarget,
+                         slice: Seq[Int] => Seq[Int] = identity): DataFrame = {
     val spark = store.spark
     import spark.implicits._
     val path = store.docPath(target.collection, target.doc)
@@ -1886,8 +2377,9 @@ object JsoniqRun {
         mapper.writeValueAsString(mapper.treeToValue(v, classOf[Object])))
     }
     val byRev = revs.map(r => r -> nodeAt(r))
+    val keep = slice(byRev.collect { case (r, Some(_)) => r }).toSet
     val rows = byRev.zipWithIndex.collect {
-      case ((r, Some(json)), idx) =>
+      case ((r, Some(json)), idx) if keep(r) =>
         val prev = byRev.take(idx).reverse.collectFirst {
           case (_, Some(pj)) => pj
         }
@@ -1901,6 +2393,52 @@ object JsoniqRun {
       .select(array(col("__srev")).as(POS), parse_json(col("__mj")).as(ITEM),
         col("__srev"), col("__sprev"))
     tuples.crossJoin(broadcast(df))
+  }
+
+  /** Deterministic update script between two document trees: recursive
+    * descent, object keys sorted; object-key additions -> `insert`,
+    * removals -> `delete`, value changes -> `replace` (recursing into
+    * matching objects and equal-length arrays). Paths are JSON-pointer
+    * style. The reference's jn:diff emits the same operation kinds keyed
+    * by nodekey (function/jn/diff/Diff.java:71). */
+  private def jsonDiffScript(collection: String, doc: String,
+                             r1: Int, r2: Int,
+                             oldJ: String, newJ: String): String = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    mapper.configure(com.fasterxml.jackson.databind.SerializationFeature
+      .ORDER_MAP_ENTRIES_BY_KEYS, true)
+    type Node = com.fasterxml.jackson.databind.JsonNode
+    val ops = Seq.newBuilder[String]
+    def v(n: Node): String =
+      mapper.writeValueAsString(mapper.treeToValue(n, classOf[Object]))
+    def esc(s: String): String = s.replace("~", "~0").replace("/", "~1")
+    def walk(path: String, o: Node, n: Node): Unit = {
+      if (o.isObject && n.isObject) {
+        val oks = new java.util.TreeSet[String]()
+        val nks = new java.util.TreeSet[String]()
+        o.fieldNames().forEachRemaining(k => { oks.add(k); () })
+        n.fieldNames().forEachRemaining(k => { nks.add(k); () })
+        oks.forEach { k =>
+          if (!nks.contains(k))
+            ops += s"""{"op":"delete","path":"$path/${esc(k)}"}"""
+        }
+        nks.forEach { k =>
+          if (!oks.contains(k))
+            ops += s"""{"op":"insert","path":"$path/${esc(k)}","value":${v(n.get(k))}}"""
+          else walk(s"$path/${esc(k)}", o.get(k), n.get(k))
+        }
+      } else if (o.isArray && n.isArray && o.size() == n.size()) {
+        (0 until o.size()).foreach(i =>
+          walk(s"$path/$i", o.get(i), n.get(i)))
+      } else if (o != n) {
+        ops += s"""{"op":"replace","path":"$path","value":${v(n)}}"""
+      }
+    }
+    walk("", mapper.readTree(oldJ), mapper.readTree(newJ))
+    s"""{"database":${mapper.writeValueAsString(collection)},""" +
+      s""""resource":${mapper.writeValueAsString(doc)},""" +
+      s""""old-revision":$r1,"new-revision":$r2,""" +
+      s""""diffs":[${ops.result().mkString(",")}]}"""
   }
 
   /** The document a `$doc`-style argument denotes: a literal `jn:doc`

@@ -46,6 +46,29 @@ object ProfileJsoniqScale {
     val (cnt, qSec) = timed(graft.query.JsoniqRun.serialize(st, q))
     println(f"jsoniq  filter+count: $cnt ($qSec%.1fs)")
 
+    val (_, fixedSec) = timed(graft.query.JsoniqRun.serialize(st, "1 + 1"))
+    println(f"jsoniq  fixed overhead (1+1): $fixedSec%.1fs")
+
+    // decomposition: hand-built equivalents over the shred table
+    val shredDir = s"${st.baseDir}/c/big.jn/_shred/r1"
+    if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(shredDir))) {
+      val sh = spark.read.parquet(shredDir)
+      val (c0, s0) = timed(sh.count().toString)
+      println(f"shred   raw count:      $c0 ($s0%.1fs)")
+      val (c1, s1) = timed(sh
+        .filter(variant_get(col("member"), "$.w", "double") > 0.9)
+        .count().toString)
+      println(f"shred   variant filter: $c1 ($s1%.1fs)")
+      if (sh.columns.contains("t")) {
+        val (c2, s2) = timed(
+          sh.filter(col("t.w") > 0.9).count().toString)
+        println(f"shred   typed filter:   $c2 ($s2%.1fs)")
+      }
+    }
+    if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) {
+      graft.query.JsoniqRun.run(st, q).explain("formatted")
+    }
+
     val direct = spark.read.parquet(s"$pq/members")
     val (cnt2, dSec) = timed(
       direct.filter(col("w") > 0.9).count().toString)

@@ -116,6 +116,7 @@ class XmarkSpec extends SparkSpec {
   test("xmark q09: triple-correlated person/auction/item join") {
     checkXml("q09")
   }
+  test("xmark q18: declared function inlined at call site")(check("q18"))
   test("xmark q10: grouped person profiles per interest category") {
     checkXml("q10")
   }
