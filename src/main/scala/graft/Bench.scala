@@ -382,7 +382,44 @@ object Bench {
         Seq.empty
       }
 
-    val all = results ++ storage ++ aged ++ vector
+    // front-end scale posture (ProfileJsoniqScale shape): a 1M-member
+    // root-array document through the JSONiq textual surface — store
+    // commit including the member-table shred, then the filter+count
+    // that must execute at the direct-DataFrame plan (typed-column
+    // pushdown through the shred). Tracks the shredded layout per round.
+    val frontend: Seq[(String, Double)] =
+      try {
+        import org.apache.spark.sql.functions._
+        val members = spark.range(1000000L).select(col("id").as("v"),
+          (pmod(xxhash64(col("id")), lit(1000L)) / lit(1000.0)).as("w"))
+        val docJson = "[" + members.orderBy("v")
+          .select(to_json(struct(col("v"), col("w"))))
+          .as(org.apache.spark.sql.Encoders.STRING).collect()
+          .mkString(",") + "]"
+        val st = new graft.query.JsoniqRun.Store(spark,
+          java.nio.file.Files.createTempDirectory("graft-bench-jq").toString)
+        val t0 = System.nanoTime()
+        st.store("c", "big.jn", docJson)
+        val s1 = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        st.store("c", "big.jn", docJson) // second revision = warm re-run
+        val sSec = math.min(s1, (System.nanoTime() - t1) / 1e9)
+        stamp("j_scale_store")
+        val q = "count(jn:doc('c','big.jn')[][?$$.w gt 0.9])"
+        graft.query.JsoniqRun.serialize(st, q) // warmup
+        val qTimes = (1 to 2).map { _ =>
+          val t2 = System.nanoTime()
+          require(graft.query.JsoniqRun.serialize(st, q).nonEmpty)
+          (System.nanoTime() - t2) / 1e9
+        }
+        stamp("j_scale_query")
+        Seq("j_scale_store" -> sSec, "j_scale_query" -> qTimes.min)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] frontend timing failed: ${e.getMessage}")
+        Seq.empty
+      }
+
+    val all = results ++ storage ++ aged ++ vector ++ frontend
     val qs = all.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = all.map(_._2).filter(_ >= 0).sum
     val runsJson = allRuns.map { case (k, rs) =>

@@ -147,9 +147,14 @@ object JsoniqRun {
             .agg(expr(s"transform(sort_array(collect_list(struct(" +
               s"$POS as p, to_json($ITEM) as i))), s -> parse_json(s.i))")
               .as(scn))
+          // ONE materialization of the walk: the static frame is one
+          // row, but its lineage holds the whole document pipeline and
+          // Spark re-executes shared subplans once per referencing join
+          // branch (q10's element parts re-ran the persons walk ~30x)
           val base2 = sc.base.join(agg, sc.base(ORD) === agg("__jord"), "left")
             .drop("__jord")
             .withColumn(scn, coalesce(col(scn), emptyVarr))
+            .localCheckpoint(false)
           val hv = gensym("hv")
           sc = StaticCtx(base2, sc.env + (hv -> SeqVar(scn)))
           cur = cur.crossJoin(broadcast(base2.select(col(scn))))
@@ -716,7 +721,10 @@ object JsoniqRun {
                     sc.env + (STATIC -> sc)))
                   val baseCols = sc.base.columns.toSet
                   val sideCols = side.columns.filterNot(baseCols).map(col)
-                  val proj = side.select(sideCols: _*)
+                  // materialize the walk once — downstream aggregates
+                  // reference the joined stream more than once and would
+                  // re-run the whole document pipeline per branch
+                  val proj = side.select(sideCols: _*).localCheckpoint(false)
                   cur.crossJoin(
                     if (containsScanCall(inE)) proj else broadcast(proj))
                 case None => itemize(evalSeq(store, inE, cur, curEnv))
@@ -766,12 +774,20 @@ object JsoniqRun {
               cur = cur1
               curEnv = env1
               val cn = gensym(s"s_$v")
+              // HOFs evaluate INTERPRETED (CodegenFallback): the in-row
+              // binding wins for cheap per-item work (q08-style key
+              // filters/counts) but loses badly when each item builds an
+              // element constructor (q10's 15-field <personne> per
+              // person per category ran minutes interpreted) — those
+              // take the row machinery's codegen'd concat/aggregate path
+              val ctorHeavy =
+                Jsoniq.exprAny(valueE)(_.isInstanceOf[Jsoniq.ElemCtor])
               pointwiseSeq(valueE, curEnv) match {
-                case Some(arr) =>
+                case Some(arr) if !ctorHeavy =>
                   // in-row sequence: bind the array column directly —
                   // no aggregate, no join (the q08-correlated-let path)
                   cur = cur.withColumn(cn, coalesce(arr, emptyVarr))
-                case None =>
+                case _ =>
                   val s = evalSeq(store, valueE, cur, curEnv)
                   // variant is not orderable: sort on (pos, json text) and
                   // re-parse — canonical text round-trips losslessly
@@ -802,6 +818,7 @@ object JsoniqRun {
                     .join(agg2, sc.base(ORD) === agg2("__jord"), "left")
                     .drop("__jord")
                     .withColumn(scn, coalesce(col(scn), expr("array()")))
+                    .localCheckpoint(false) // 1 row; see hoistStatic
                   Some(StaticCtx(base2, sc.env + (v -> SeqVar(scn, letTarget))))
                 case Some(sc) => Some(sc.copy(env = sc.env - v)) // shadowed
                 case None => None
@@ -1163,7 +1180,8 @@ object JsoniqRun {
         def partCol(parts: Seq[Either[String, Expr]]): Option[Column] = {
           val cs = parts.map {
             case Left(str) => Some(lit(str))
-            case Right(e2) => pointwiseSeq(e2, env).map(textOfSeq)
+            case Right(e2) =>
+              textFast(e2, env).orElse(pointwiseSeq(e2, env).map(textOfSeq))
           }
           if (cs.forall(_.isDefined))
             Some(if (cs.isEmpty) lit("") else concat(cs.map(_.get): _*))
@@ -1225,6 +1243,30 @@ object JsoniqRun {
           x).as("a"),
         x.as("p")),
       st => st.getField("a"))
+  }
+
+  /** `chain/of/child/steps/text()` rooted at a pointwise scalar: the
+    * fused native walk ([[graft.functions.XmlChildTexts]]) — one
+    * expression node instead of ~50 interpreted HOF nodes per step.
+    * Returns the content-serialization TEXT of the path's items. */
+  private def textFast(e: Jsoniq.Expr,
+                       env: Map[String, Binding]): Option[Column] = {
+    import Jsoniq._
+    e match {
+      case TextStep(b) =>
+        def chain(x: Expr, acc: List[String]): Option[(Column, List[String])] =
+          x match {
+            case ChildStep(b2, n) => chain(b2, n :: acc)
+            case root => pointwise(root, env).map(c => (c, acc))
+          }
+        chain(b, Nil).map { case (rootCol, names) =>
+          org.apache.spark.sql.graftbridge.GraftBridge.column(
+            graft.functions.XmlChildTexts(
+              org.apache.spark.sql.graftbridge.GraftBridge
+                .expression(rootCol), names))
+        }
+      case _ => None
+    }
   }
 
   /** At-most-one-item value of `e` per tuple (first item in sequence
@@ -1778,6 +1820,10 @@ object JsoniqRun {
   private def seqText(store: Store, e0: Jsoniq.Expr, tuples0: DataFrame,
                       env0: Map[String, Binding]): DataFrame = {
     val (e, tuples, env) = hoistStatic(store, e0, tuples0, env0)
+    textFast(e, env) match {
+      case Some(t) => return tuples.withColumn("__t", t)
+      case None => ()
+    }
     pointwiseSeq(e, env) match {
       case Some(arr) =>
         return tuples.withColumn("__t", textOfSeq(arr))

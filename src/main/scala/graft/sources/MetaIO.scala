@@ -285,6 +285,24 @@ private[graft] object MetaIO {
     catch { case _: FileNotFoundException => false }
   }
 
+  /** Copy a directory's FILES (non-recursive) to `dst` — sidecar reuse
+    * (a compacted head's manifest is content-identical to the head's:
+    * bucket digests ignore file layout, so a byte copy replaces a full
+    * snapshot scan + shuffle). */
+  def copyDir(src: String, dst: String): Unit = {
+    val sf = fs(src)
+    val df = fs(dst)
+    val dp = new Path(dst)
+    df.mkdirs(dp)
+    sf.listStatus(new Path(src)).foreach { st =>
+      if (st.isFile) {
+        org.apache.hadoop.fs.FileUtil.copy(sf, st.getPath, df,
+          new Path(dp, st.getPath.getName), false, conf)
+        ()
+      }
+    }
+  }
+
   /** Overwrite write with rename visibility: content lands fully in a
     * hidden tmp file, then renames over the destination. Unlike
     * [[createNew]] this is NOT a race-safe primitive — it is for

@@ -431,7 +431,8 @@ object TemporalTable {
             message: String = "", withManifest: Boolean = true,
             withKeyIndex: Boolean = true, dictCols: Seq[String] = Nil,
             withStats: Boolean = false, statsNdvCols: Seq[String] = Nil,
-            statsGroupCols: Seq[Seq[String]] = Nil): Int = {
+            statsGroupCols: Seq[Seq[String]] = Nil,
+            manifestFromRev: Option[Int] = None): Int = {
     val encoded =
       if (dictCols.isEmpty) df
       else {
@@ -442,7 +443,7 @@ object TemporalTable {
         graft.operators.Dict.encode(df, dictCols, base = base)
       }
     writeFrame(encoded, path, author, message, withManifest, withKeyIndex,
-      withStats, statsNdvCols, statsGroupCols)
+      withStats, statsNdvCols, statsGroupCols, manifestFromRev)
   }
 
   /** The stats-policy read: the prior COMMITTED revision's sidecar recipe
@@ -470,10 +471,20 @@ object TemporalTable {
                          withKeyIndex: Boolean,
                          withStats: Boolean = false,
                          statsNdvCols: Seq[String] = Nil,
-                         statsGroupCols: Seq[Seq[String]] = Nil): Int = {
+                         statsGroupCols: Seq[Seq[String]] = Nil,
+                         manifestFromRev: Option[Int] = None): Int = {
     val rev = reserveRevision(path)
     try {
-      val wantManifest = withManifest && manifestEligible(df.schema)
+      // content-identical commit (compactHead): the manifest is bucket
+      // digests over row CONTENT, independent of file layout — a byte
+      // copy of the source revision's sidecar replaces the full snapshot
+      // scan + shuffle the recomputation costs
+      val copyManifest = manifestFromRev.filter(r =>
+        withManifest && MetaIO.exists(manifestDir(path, r)))
+      copyManifest.foreach(r =>
+        MetaIO.copyDir(manifestDir(path, r), manifestDir(path, rev)))
+      val wantManifest = withManifest && copyManifest.isEmpty &&
+        manifestEligible(df.schema)
       val wantKeys = withKeyIndex && df.schema.fieldNames.contains("node_key")
       val fromCache = (wantManifest || wantKeys) && planDeterministic(df)
       // respect a caller-owned pin (persist with a different level throws)
@@ -861,12 +872,15 @@ object TemporalTable {
     if (files.size <= want) return None
     val snap = read(spark, path, Some(head))
       .drop("revision", "commit_ts", "author")
+      // (manifest reused from `head` below: identical content → identical
+      // bucket digests — see writeFrame's manifestFromRev)
       // repartition, not coalesce: coalesce would chain the upstream
       // scan's task count into later stages, and uneven input files
       // would pack unevenly; a round-robin exchange yields want
       // near-equal files
       .repartition(want)
-    Some(write(snap, path, author, s"compact rev $head to $want files"))
+    Some(write(snap, path, author, s"compact rev $head to $want files",
+      manifestFromRev = Some(head)))
   }
 
   /** `jn:open-revisions(t1,t2)`: all snapshots committed in the window as
