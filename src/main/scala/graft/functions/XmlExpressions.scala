@@ -96,3 +96,88 @@ final case class XmlChildTexts(child: Expression, names: Seq[String])
   override protected def withNewChildInternal(
       newChild: Expression): XmlChildTexts = copy(child = newChild)
 }
+
+/** Re-serialize an [[graft.query.XmlItem]]-encoded element back to XML
+  * text: one native recursive walk over the variant binary. Text nodes
+  * escape the markup-significant characters exactly as the StAX parse
+  * decoded them; empty elements self-close (the reference serializer's
+  * form, results/q02.out). Non-element inputs (plain JSON items) yield
+  * null so callers can fall back to JSON serialization. */
+final case class XmlSerialize(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "xml_serialize"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return null
+    val vv = v.asInstanceOf[VariantVal]
+    val root = new Variant(vv.getValue, vv.getMetadata)
+    if (root.getType != VariantUtil.Type.OBJECT ||
+      root.getFieldByKey("~n") == null) return null
+    val sb = new java.lang.StringBuilder()
+    emit(root, sb)
+    UTF8String.fromString(sb.toString)
+  }
+
+  private def escText(s: String, sb: java.lang.StringBuilder): Unit = {
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '&' => sb.append("&amp;")
+        case '<' => sb.append("&lt;")
+        case '>' => sb.append("&gt;")
+        case c => sb.append(c)
+      }
+      i += 1
+    }
+  }
+
+  private def emit(e: Variant, sb: java.lang.StringBuilder): Unit = {
+    val name = e.getFieldByKey("~n").getString
+    sb.append('<').append(name)
+    val attrs = e.getFieldByKey("~a")
+    if (attrs != null && attrs.getType == VariantUtil.Type.OBJECT) {
+      var i = 0
+      val n = attrs.objectSize()
+      while (i < n) {
+        val f = attrs.getFieldAtIndex(i)
+        sb.append(' ').append(f.key).append("=\"")
+        val raw = f.value.getString
+        var j = 0
+        while (j < raw.length) {
+          raw.charAt(j) match {
+            case '&' => sb.append("&amp;")
+            case '<' => sb.append("&lt;")
+            case '"' => sb.append("&quot;")
+            case c => sb.append(c)
+          }
+          j += 1
+        }
+        sb.append('"')
+        i += 1
+      }
+    }
+    val kids = e.getFieldByKey("~c")
+    val size =
+      if (kids != null && kids.getType == VariantUtil.Type.ARRAY)
+        kids.arraySize()
+      else 0
+    if (size == 0) { sb.append("/>"); return }
+    sb.append('>')
+    var i = 0
+    while (i < size) {
+      val k = kids.getElementAtIndex(i)
+      if (k.getType == VariantUtil.Type.STRING) escText(k.getString, sb)
+      else if (k.getType == VariantUtil.Type.OBJECT &&
+        k.getFieldByKey("~n") != null) emit(k, sb)
+      i += 1
+    }
+    sb.append("</").append(name).append('>')
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): XmlSerialize = copy(child = newChild)
+}

@@ -1209,6 +1209,11 @@ object JsoniqRun {
   // ------------------------------------ in-row sequence compiler (HOFs)
   private def emptyVarr: Column = expr("cast(array() as array<variant>)")
 
+  private def xmlSerializeCol(x: Column): Column =
+    org.apache.spark.sql.graftbridge.GraftBridge.column(
+      graft.functions.XmlSerialize(
+        org.apache.spark.sql.graftbridge.GraftBridge.expression(x)))
+
   /** An XML element's children array (XmlItem encoding), empty for
     * non-elements/scalars. */
   private def xmlKids(x: Column): Column =
@@ -1226,7 +1231,10 @@ object JsoniqRun {
   private def textOfSeq(s0: Column): Column = {
     val ts = transform(coalesce(s0, emptyVarr), x =>
       when(schema_of_variant(x) === "STRING", x.try_cast("string"))
-        .otherwise(to_json(x)))
+        // a stored XML element re-serializes to XML text (q13 embeds
+        // whole subtrees); XmlSerialize yields null for plain JSON
+        // items, which keep their canonical JSON form
+        .otherwise(coalesce(xmlSerializeCol(x), to_json(x))))
     // single-pass fold carrying (acc, prev): the input array appears
     // ONCE in the expression tree. Nested element constructors compose
     // textOfSeq trees — a second reference (the old element_at(ts, i)
@@ -1831,7 +1839,8 @@ object JsoniqRun {
     }
     val s = evalSeq(store, e, tuples, env)
     val itemText = when(expr(s"schema_of_variant($ITEM)") === "STRING",
-      expr(s"cast($ITEM as string)")).otherwise(to_json(col(ITEM)))
+      expr(s"cast($ITEM as string)"))
+      .otherwise(coalesce(xmlSerializeCol(col(ITEM)), to_json(col(ITEM))))
     val agg = s.withColumn("__it", itemText)
       .groupBy(col(ORD).as("__jord"))
       .agg(expr(s"transform(sort_array(collect_list(struct(" +

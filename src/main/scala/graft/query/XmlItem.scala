@@ -7,7 +7,8 @@ package graft.query
   * steps ([[Jsoniq.ChildStep]] etc.) are ordinary variant operators:
   *
   *   element   {"~n": name, "~a": {attr: value, ...}, "~c": [children]}
-  *   text      plain JSON string (whitespace-only nodes dropped)
+  *   text      plain JSON string (whitespace-only nodes KEPT — the XML
+  *             data model; stored subtrees re-serialize byte-exactly)
   *   document  {"~n": "", "~a": {}, "~c": [root]} — so `/site` selects
   *             the root element, matching the document-node semantics
   *
@@ -40,7 +41,10 @@ object XmlItem {
     def flushText(): Unit = {
       val t = text.toString
       text.clear()
-      if (t.trim.nonEmpty)
+      // ALL text survives, including whitespace-only nodes — the XML
+      // data model (and the reference's store) keeps them, and q13-style
+      // re-serialization of stored subtrees must be byte-exact
+      if (t.nonEmpty)
         stack.head.withArray[ArrayNode]("~c").add(t)
     }
     try while (reader.hasNext) {

@@ -117,6 +117,9 @@ class XmarkSpec extends SparkSpec {
     checkXml("q09")
   }
   test("xmark q18: declared function inlined at call site")(check("q18"))
+  test("xmark q13: stored subtree re-serialization, byte-exact") {
+    checkXml("q13")
+  }
   test("xmark q10: grouped person profiles per interest category") {
     checkXml("q10")
   }
