@@ -104,6 +104,17 @@ object JsoniqQueries {
           |jn:first(jn:doc('c','ax.jn')).v,
           |jn:last(jn:doc('c','ax.jn')).v)""".stripMargin)
     },
+    // jn:open-revisions over the full time window: one item per
+    // committed revision (reference function/jn/io/OpenRevisions.java)
+    "j_open_revisions" -> { (s, _) =>
+      runOne(s,
+        Seq("""jn:store('c','w.jn','{"v": 1}')""",
+          """jn:store('c','w.jn','{"v": 2}')""",
+          """jn:store('c','w.jn','{"v": 3}')"""),
+        """for $d in jn:open-revisions('c','w.jn',
+          |  "1970-01-01T00:00:00Z", "2100-01-01T00:00:00Z")
+          |return $d.v""".stripMargin)
+    },
     // jn:diff update script between two revisions (reference
     // function/jn/diff/Diff.java:71): insert/replace/delete ops
     "j_diff" -> { (s, _) =>
@@ -163,6 +174,7 @@ object JsoniqQueries {
     "j_update" -> pin(
       "[\"yes\",false,[1,2,3],null] [\"foo\",true,false,null] 4"),
     "j_past" -> pin("1 2 2 3 4 1 4"),
+    "j_open_revisions" -> pin("1 2 3"),
     "j_diff" -> pin(new com.fasterxml.jackson.databind.ObjectMapper()
       .writeValueAsString(
         """{"database":"c","resource":"df.jn","old-revision":1,""" +

@@ -337,8 +337,10 @@ object JsoniqRun {
 
   object Store {
     /** Root-array documents at/above this size gain the member-table
-      * sidecar (below it, single-row reads win — no extra files). */
-    val ShredMinBytes: Int = 1 << 22
+      * sidecar (below it, single-row reads win — no extra files).
+      * Overridable for tests via -Dgraft.shred.min. */
+    def ShredMinBytes: Int =
+      sys.props.get("graft.shred.min").map(_.toInt).getOrElse(1 << 22)
 
     /** Raw member texts of a top-level JSON array (depth/str-aware
       * scanner; no tree build). Nil when the input is not an array. */
@@ -675,7 +677,11 @@ object JsoniqRun {
           val ord0 = gensym("fw")
           var cur = tuples.withColumn(ord0, col(ORD))
           var curEnv = env
-          clauses.foreach {
+          val clauseSeq = clauses.toIndexedSeq
+          var skipNext = false
+          clauseSeq.zipWithIndex.foreach { case (clause, ci) =>
+            if (skipNext) skipNext = false
+            else clause match {
             case ForClause(v, inE, posVar) =>
               // `for` iterates ARRAY items member-wise (the corpus'
               // dialect: `for $i in jn:doc(...)` over an array document
@@ -699,12 +705,32 @@ object JsoniqRun {
               }
               val decorrelated = staticCtxOf(curEnv).filter(sc =>
                 Jsoniq.freeVars(inE).subsetOf(sc.env.keySet))
-              var s = shreddedDocMembers(store, inE) match {
+              // an immediately-following `where $v.f op literal` over a
+              // TYPED shred fuses into the member scan: the predicate
+              // runs on plain parquet columns (pushed filters, column
+              // pruning) before any variant materializes. Positions
+              // (`at $p`, update pointers) come from the shred's idx, so
+              // they stay the ABSOLUTE member ordinal under the filter —
+              // XQuery's `at` counts the binding sequence, not the
+              // where-survivors.
+              val fusedWhere = clauseSeq.lift(ci + 1) match {
+                case Some(WhereClause(w)) =>
+                  shreddedTypedFilter(store, inE, w, ctxName = Some(v))
+                case _ => None
+              }
+              var shredBound = false
+              var s = fusedWhere match {
+                case Some(members) =>
+                  skipNext = true
+                  shredBound = true
+                  cur.crossJoin(members)
+                case None => shreddedDocMembers(store, inE) match {
                 case Some(members) =>
                   // shredded root-array document: the member table IS
                   // the itemized source, already one row per member and
                   // partitioned — attach without a broadcast hint (its
                   // size is data-bound; tuples here are the small side)
+                  shredBound = true
                   cur.crossJoin(members)
                 case None => decorrelated match {
                 case Some(sc) =>
@@ -728,7 +754,7 @@ object JsoniqRun {
                   cur.crossJoin(
                     if (containsScanCall(inE)) proj else broadcast(proj))
                 case None => itemize(evalSeq(store, inE, cur, curEnv))
-              } }
+              } } }
               // stash capture: a binding over jn:scan-*-index /
               // jn:all-times carries per-node metadata (printed path,
               // parent path, revision, previous-revision content)
@@ -752,7 +778,12 @@ object JsoniqRun {
               val posCol =
                 if (posVar.isDefined || docPtr.isDefined) {
                   val pc = gensym(s"p_$v")
-                  s = s.withColumn(pc, row_number().over(
+                  // shred-served bindings read the ordinal from the
+                  // member index (POS = [0, idx]) — no window, and the
+                  // ordinal stays absolute under a fused where-filter
+                  s = if (shredBound)
+                    s.withColumn(pc, element_at(col(POS), 2) + lit(1L))
+                  else s.withColumn(pc, row_number().over(
                     org.apache.spark.sql.expressions.Window
                       .partitionBy(col(ORD)).orderBy(col(POS))).cast("long"))
                   Some(pc)
@@ -864,7 +895,7 @@ object JsoniqRun {
               // order-by inside a key expression must not lose THIS
               // level's keys
               cur = keyed.drop(keyCols.result(): _*)
-          }
+          } }
           val ret = evalSeq(store, retE, cur, curEnv)
           // iteration suffix (ORD beyond the caller's prefix) becomes the
           // leading sequence position; the caller's ORD is restored
@@ -2058,13 +2089,15 @@ object JsoniqRun {
   /** Functions whose result is inherently a sequence / needs the store. */
   private val SeqFunctions = Set("jn:store", "jn:doc", "jn:all-times",
     "jn:load", "jn:scan-path-index", "jn:scan-cas-index", "distinct-values",
-    "jn:past", "jn:future", "jn:first", "jn:last", "jn:open", "jn:diff")
+    "jn:past", "jn:future", "jn:first", "jn:last", "jn:open", "jn:diff",
+    "jn:open-revisions")
 
   /** Does the expression read a table-scan source (size data-bound, so a
     * decorrelated side must NOT be broadcast-hinted)? */
   private def containsScanCall(e: Jsoniq.Expr): Boolean =
     Jsoniq.exprAny(e) {
-      case Jsoniq.Call(n, _) => n.startsWith("jn:scan") || n == "jn:all-times"
+      case Jsoniq.Call(n, _) => n.startsWith("jn:scan") ||
+        n == "jn:all-times" || n == "jn:open-revisions"
       case _ => false
     }
 
@@ -2128,7 +2161,9 @@ object JsoniqRun {
     * member tuples; None when there is no typed projection or the
     * predicate uses anything beyond field/literal comparisons+logic. */
   private def shreddedTypedFilter(store: Store, docE: Jsoniq.Expr,
-                                  pred: Jsoniq.Expr): Option[DataFrame] = {
+                                  pred: Jsoniq.Expr,
+                                  ctxName: Option[String] = None)
+      : Option[DataFrame] = {
     import Jsoniq._
     shreddedDocArgs(docE).flatMap { case (c, d, r) =>
       store.shredded(c, d, r).filter(_.columns.contains("t")).flatMap { df =>
@@ -2144,6 +2179,8 @@ object JsoniqRun {
         }
         def scalarT(x: Expr): Option[Column] = x match {
           case Deref(ContextItem, f) if fields(f) => Some(col(s"t.`$f`"))
+          case Deref(VarRef(n), f)
+              if ctxName.contains(n) && fields(f) => Some(col(s"t.`$f`"))
           case NumLit(t) => Some(lit(BigDecimal(t).toDouble))
           case Unary("-", NumLit(t)) => Some(lit(-BigDecimal(t).toDouble))
           case StrLit(s) => Some(lit(s))
@@ -2281,6 +2318,29 @@ object JsoniqRun {
               litStr(args(1), "doc")), None, Some(ts))
           .select(parse_json(col("doc_json")).as(ITEM))
         tuples.crossJoin(broadcast(doc)).withColumn(POS, array(lit(0L)))
+      case "jn:open-revisions" =>
+        // every revision committed inside [t1, t2], in revision order
+        // (reference function/jn/io/OpenRevisions.java:21) — one item
+        // per revision with the revision stashed (sdb:revision)
+        require(args.size == 4, "jn:open-revisions(collection, doc, t1, t2)")
+        val (t1, t2) = (
+          java.time.Instant.parse(litStr(args(2), "t1")).toEpochMilli,
+          java.time.Instant.parse(litStr(args(3), "t2")).toEpochMilli)
+        val path = store.docPath(litStr(args(0), "collection"),
+          litStr(args(1), "doc"))
+        import store.spark.implicits._
+        val rows = graft.sources.TemporalTable.commits(path)
+          .filter(c => c.commitTsMs >= t1 && c.commitTsMs <= t2)
+          .map { c =>
+            val json = store.doc(litStr(args(0), "collection"),
+              litStr(args(1), "doc"), Some(c.revision))
+              .collect().head.getString(0)
+            (c.revision.toLong, json)
+          }
+        val df = rows.toDF("__srev", "__mj")
+          .select(array(col("__srev")).as(POS),
+            parse_json(col("__mj")).as(ITEM), col("__srev"))
+        tuples.crossJoin(broadcast(df))
       case "jn:diff" =>
         // update script between two revisions (reference
         // function/jn/diff/Diff.java:71 emits a JSON script of

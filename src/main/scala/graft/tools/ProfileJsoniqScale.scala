@@ -49,6 +49,13 @@ object ProfileJsoniqScale {
     val (_, fixedSec) = timed(graft.query.JsoniqRun.serialize(st, "1 + 1"))
     println(f"jsoniq  fixed overhead (1+1): $fixedSec%.1fs")
 
+    // the FLWOR authoring shape: for + where fuses into the typed scan
+    val qf = """count(for $m in jn:doc('c','big.jn') where $m.w gt 0.9 return $m)"""
+    graft.query.JsoniqRun.serialize(st, qf) // warmup
+    val (cntF, fSec) = timed(graft.query.JsoniqRun.serialize(st, qf))
+    println(f"jsoniq  for+where count: $cntF ($fSec%.1fs)")
+    require(cntF == cnt, s"for+where disagrees: $cntF vs $cnt")
+
     // decomposition: hand-built equivalents over the shred table
     val shredDir = s"${st.baseDir}/c/big.jn/_shred/r1"
     if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(shredDir))) {

@@ -1,0 +1,85 @@
+package graft.query
+
+import graft.SparkSpec
+
+/** The shredded member-table serving layout, exercised at a tiny
+  * threshold (-Dgraft.shred.min): member rows must agree with the
+  * single-variant path on every consumer — unbox filters, FLWOR
+  * for+where fusion (typed parquet pushdown), ABSOLUTE `at $p`
+  * ordinals under a fused filter, update commits (which fall back to
+  * the doc row for their new revision), and per-revision time travel. */
+class ShredStoreSpec extends SparkSpec {
+
+  private def withShredded[A](body: JsoniqRun.Store => A): A = {
+    val prev = sys.props.get("graft.shred.min")
+    sys.props("graft.shred.min") = "1"
+    try body(new JsoniqRun.Store(spark,
+      java.nio.file.Files.createTempDirectory("graft-shred-spec").toString))
+    finally prev match {
+      case Some(v) => sys.props("graft.shred.min") = v
+      case None => sys.props.remove("graft.shred.min"); ()
+    }
+  }
+
+  private val doc =
+    (1 to 20).map(i => s"""{"v": $i, "w": ${i % 3}}""")
+      .mkString("[", ",", "]")
+
+  test("shred sidecar written and unbox/filter served from it") {
+    withShredded { st =>
+      st.store("c", "d.jn", doc)
+      assert(graft.sources.MetaIO.exists(
+        s"${st.baseDir}/c/d.jn/_shred/r1"))
+      assert(JsoniqRun.serialize(st,
+        "count(jn:doc('c','d.jn')[][?$$.v gt 15])") === "5")
+    }
+  }
+
+  test("for+where fuses into the typed scan and agrees with [?pred]") {
+    withShredded { st =>
+      st.store("c", "d.jn", doc)
+      val a = JsoniqRun.serialize(st,
+        "for $m in jn:doc('c','d.jn') where $m.v gt 17 return $m.v")
+      assert(a === "18 19 20")
+      // conjunction over two typed fields
+      val b = JsoniqRun.serialize(st,
+        "for $m in jn:doc('c','d.jn') where $m.v gt 10 and $m.w eq 0 " +
+          "return $m.v")
+      assert(b === "12 15 18")
+    }
+  }
+
+  test("at $p ordinals stay ABSOLUTE under the fused where") {
+    withShredded { st =>
+      st.store("c", "d.jn", doc)
+      // member 18 sits at ordinal 18 regardless of the filter
+      assert(JsoniqRun.serialize(st,
+        "for $m at $p in jn:doc('c','d.jn') where $m.v gt 17 return $p")
+        === "18 19 20")
+    }
+  }
+
+  test("where beyond the typed subset falls back and still answers") {
+    withShredded { st =>
+      st.store("c", "d.jn", doc)
+      // arithmetic on the bound var is outside the typed-filter grammar
+      assert(JsoniqRun.serialize(st,
+        "for $m in jn:doc('c','d.jn') where $m.v + 1 gt 19 return $m.v")
+        === "19 20")
+    }
+  }
+
+  test("updates commit past the shredded revision; time travel serves both") {
+    withShredded { st =>
+      st.store("c", "d.jn", doc)
+      JsoniqRun.serialize(st,
+        """replace json value of jn:doc('c','d.jn')[0] with {"v": 100, "w": 0}""")
+      // head (revision 2, no shred) reflects the update
+      assert(JsoniqRun.serialize(st,
+        "count(jn:doc('c','d.jn')[][?$$.v gt 15])") === "6")
+      // revision 1 still serves from its shred
+      assert(JsoniqRun.serialize(st,
+        "count(jn:doc('c','d.jn', 1)[][?$$.v gt 15])") === "5")
+    }
+  }
+}
