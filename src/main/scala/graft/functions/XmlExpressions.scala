@@ -97,6 +97,87 @@ final case class XmlChildTexts(child: Expression, names: Seq[String])
       newChild: Expression): XmlChildTexts = copy(child = newChild)
 }
 
+/** String items of an XML path `input/name1/.../(@attr | text())` as
+  * ONE native walk: the sequence form of [[XmlChildTexts]] — attribute
+  * values (or text children) of the matched elements, in document
+  * order. Feeds general-comparison `exists` chains without the ~50
+  * interpreted HOF nodes the compositional compile pays per step. */
+final case class XmlPathStrings(child: Expression, names: Seq[String],
+                                attr: Option[String])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "xml_path_strings"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    val out = new java.util.ArrayList[UTF8String]()
+    if (v != null) {
+      val vv = v.asInstanceOf[VariantVal]
+      var cur = new java.util.ArrayList[Variant]()
+      cur.add(new Variant(vv.getValue, vv.getMetadata))
+      names.foreach { nm =>
+        val next = new java.util.ArrayList[Variant]()
+        var i = 0
+        while (i < cur.size()) {
+          val e0 = cur.get(i)
+          if (e0.getType == VariantUtil.Type.OBJECT) {
+            val kids = e0.getFieldByKey("~c")
+            if (kids != null && kids.getType == VariantUtil.Type.ARRAY) {
+              var j = 0
+              val n = kids.arraySize()
+              while (j < n) {
+                val e = kids.getElementAtIndex(j)
+                if (e.getType == VariantUtil.Type.OBJECT) {
+                  val en = e.getFieldByKey("~n")
+                  if (en != null && en.getType == VariantUtil.Type.STRING &&
+                      en.getString == nm) next.add(e)
+                }
+                j += 1
+              }
+            }
+          }
+          i += 1
+        }
+        cur = next
+      }
+      var i = 0
+      while (i < cur.size()) {
+        val e0 = cur.get(i)
+        attr match {
+          case Some(a) =>
+            val as = e0.getFieldByKey("~a")
+            if (as != null && as.getType == VariantUtil.Type.OBJECT) {
+              val av = as.getFieldByKey(a)
+              if (av != null && av.getType == VariantUtil.Type.STRING)
+                out.add(UTF8String.fromString(av.getString))
+            }
+          case None =>
+            val kids = e0.getFieldByKey("~c")
+            if (kids != null && kids.getType == VariantUtil.Type.ARRAY) {
+              var j = 0
+              val n = kids.arraySize()
+              while (j < n) {
+                val k = kids.getElementAtIndex(j)
+                if (k.getType == VariantUtil.Type.STRING)
+                  out.add(UTF8String.fromString(k.getString))
+                j += 1
+              }
+            }
+        }
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray.asInstanceOf[Array[Any]])
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): XmlPathStrings = copy(child = newChild)
+}
+
 /** Re-serialize an [[graft.query.XmlItem]]-encoded element back to XML
   * text: one native recursive walk over the variant binary. Text nodes
   * escape the markup-significant characters exactly as the StAX parse

@@ -997,11 +997,17 @@ object JsoniqRun {
           } else cmpBool(op, lc, rc)
       case Binary(op, l, r) if op.startsWith("g_") && op != "g_" =>
         // general (existential) comparison: any pair satisfies; empty
-        // operands -> false
-        for (ls <- pointwiseSeq(l, env); rs <- pointwiseSeq(r, env)) yield
+        // operands -> false. Attr/text path operands take the fused
+        // native walk (array<string> in one expression node) — the
+        // XMark where-clause shape `$t/a/b/@attr = $x`.
+        val emptyStrs = expr("cast(array() as array<string>)")
+        def side(e2: Expr): Option[Column] =
+          seqStringsFast(e2, env).map(coalesce(_, emptyStrs))
+            .orElse(pointwiseSeq(e2, env).map(coalesce(_, emptyVarr)))
+        for (ls <- side(l); rs <- side(r)) yield
           coalesce(
-            exists(coalesce(ls, emptyVarr), x => coalesce(
-              exists(coalesce(rs, emptyVarr), y => coalesce(
+            exists(ls, x => coalesce(
+              exists(rs, y => coalesce(
                 cmpBool(op.stripPrefix("g_"), x, y), lit(false))),
               lit(false))),
             lit(false))
@@ -1282,6 +1288,32 @@ object JsoniqRun {
           x).as("a"),
         x.as("p")),
       st => st.getField("a"))
+  }
+
+  /** `chain/of/child/steps/(@attr | text())` rooted at a pointwise
+    * scalar, as an array<string> of the matched items — the fused
+    * native walk ([[graft.functions.XmlPathStrings]]) for
+    * general-comparison operands. */
+  private def seqStringsFast(e: Jsoniq.Expr,
+                             env: Map[String, Binding]): Option[Column] = {
+    import Jsoniq._
+    def chain(x: Expr, acc: List[String]): Option[(Column, List[String])] =
+      x match {
+        case ChildStep(b2, n) => chain(b2, n :: acc)
+        case root => pointwise(root, env).map(c => (c, acc))
+      }
+    def build(b: Expr, attr: Option[String]): Option[Column] =
+      chain(b, Nil).map { case (rootCol, names) =>
+        org.apache.spark.sql.graftbridge.GraftBridge.column(
+          graft.functions.XmlPathStrings(
+            org.apache.spark.sql.graftbridge.GraftBridge
+              .expression(rootCol), names, attr))
+      }
+    e match {
+      case AttrStep(b, n) => build(b, Some(n))
+      case TextStep(b) => build(b, None)
+      case _ => None
+    }
   }
 
   /** `chain/of/child/steps/text()` rooted at a pointwise scalar: the
