@@ -240,7 +240,20 @@ object JsoniqRun {
       val path = docPath(collection, doc)
       val rev = graft.sources.TemporalTable.write(
         Seq(json).toDF("doc_json"), path)
-      maybeShred(path, rev, json)
+      // the shred is a serving sidecar, not the source of truth: the
+      // revision above is already durable, so a shred failure (e.g.
+      // member text the strict parquet write rejects) must not fail the
+      // store — readers fall back to the doc row. LOUD, not silent
+      // (ProjectionIndex's swallowed-marker lesson).
+      try maybeShred(path, rev, json)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(
+            s"[graft] shred sidecar failed for $path rev $rev " +
+              s"(doc-row fallback serves reads): ${e.getMessage}")
+          graft.sources.MetaIO.delete(shredDir(path, rev), recursive = true)
+          ()
+      }
     }
 
     /** Member-table sidecar for large root-array documents: one row per
@@ -372,7 +385,10 @@ object JsoniqRun {
             done = true
           case '}' | ']' => depth -= 1
           case ',' if depth == 0 =>
-            out += json.substring(start, i).trim; start = -1
+            // malformed input (e.g. `[,`) never crashes the scanner —
+            // the strict parse at write time rejects it downstream
+            if (start >= 0) out += json.substring(start, i).trim
+            start = -1
           case c if !c.isWhitespace =>
             if (start < 0) start = i
           case _ =>
