@@ -172,7 +172,16 @@ object JsoniqRun {
             case DerefVar(b, n) => DerefVar(walk(b, sh), n)
             case DescendantDeref(b, f) => DescendantDeref(walk(b, sh), f)
             case Unbox(b) => Unbox(walk(b, sh))
-            case ArrayIndex(b, i) => ArrayIndex(walk(b, sh), walk(i, sh))
+            case ArrayIndex(b, i)
+                if i.isInstanceOf[NumLit] ||
+                  (i match { case Unary("-", _: NumLit) => true
+                             case _ => false }) =>
+              ArrayIndex(walk(b, sh), i)
+            case ArrayIndex(b, i) =>
+              // a non-literal bracket is an XPath-style PREDICATE: it
+              // rebinds the context item per filtered member, so "$$"
+              // inside it must not hoist against the outer context
+              ArrayIndex(walk(b, sh), walk(i, sh + "$$"))
             case ArraySlice(b, f, u) =>
               ArraySlice(walk(b, sh), walk(f, sh), walk(u, sh))
             case FilterPred(b, pr) =>
@@ -325,12 +334,18 @@ object JsoniqRun {
         shredCache.getOrElseUpdate((path, r),
           graft.sources.MetaIO.exists(shredDir(path, r))))
     }
+    private val shredDfCache =
+      scala.collection.concurrent.TrieMap.empty[(String, Int), DataFrame]
     private[query] def shredded(collection: String, doc: String,
                                 rev: Option[Int]): Option[DataFrame] =
       if (!shredExists(collection, doc, rev)) None
       else {
         val path = docPath(collection, doc)
-        Some(spark.read.parquet(shredDir(path, resolveRev(path, rev).get)))
+        val r = resolveRev(path, rev).get
+        // revisions are immutable — reuse the DataFrame (compile-time
+        // guards probe shreds repeatedly; one footer read each is waste)
+        Some(shredDfCache.getOrElseUpdate((path, r),
+          spark.read.parquet(shredDir(path, r))))
       }
     private[query] def doc(collection: String, doc: String,
                            revision: Option[Int]): DataFrame =
@@ -763,12 +778,19 @@ object JsoniqRun {
                     sc.env + (STATIC -> sc)))
                   val baseCols = sc.base.columns.toSet
                   val sideCols = side.columns.filterNot(baseCols).map(col)
-                  // materialize the walk once — downstream aggregates
-                  // reference the joined stream more than once and would
-                  // re-run the whole document pipeline per branch
-                  val proj = side.select(sideCols: _*).localCheckpoint(false)
-                  cur.crossJoin(
-                    if (containsScanCall(inE)) proj else broadcast(proj))
+                  val proj0 = side.select(sideCols: _*)
+                  // shredded-doc-derived sources (e.g. jn:doc(big)[]
+                  // [?p]) are arbitrarily LARGE and already backed by
+                  // materialized parquet: keep them distributed — no
+                  // broadcast, no local materialization. Document walks
+                  // materialize once (downstream aggregates reference
+                  // the joined stream more than once and would re-run
+                  // the whole pipeline per branch) and broadcast.
+                  val bigSide = containsScanCall(inE) ||
+                    containsShreddedDoc(store, inE)
+                  val proj =
+                    if (bigSide) proj0 else proj0.localCheckpoint(false)
+                  cur.crossJoin(if (bigSide) proj else broadcast(proj))
                 case None => itemize(evalSeq(store, inE, cur, curEnv))
               } } }
               // stash capture: a binding over jn:scan-*-index /
@@ -979,6 +1001,39 @@ object JsoniqRun {
       .otherwise(cmp(ls, rs))
   }
 
+  /** Does either comparison operand read as a numeric literal? Then the
+    * comparison pins NUMERIC (XQuery number semantics: non-castable
+    * values yield empty -> false) — one cast per row instead of the
+    * dual numeric/string branch, and IDENTICAL semantics across every
+    * compiler (pointwise, boolean-direct, row, typed-shred). */
+  private def numericLitOperand(l: Jsoniq.Expr, r: Jsoniq.Expr): Boolean =
+    Seq(l, r).exists {
+      case _: Jsoniq.NumLit => true
+      case Jsoniq.Unary("-", _: Jsoniq.NumLit) => true
+      case _ => false
+    }
+
+  /** Value comparison with the numeric-literal pinning applied from the
+    * AST operands; native nullable boolean. */
+  private def cmpBoolAst(op: String, l: Jsoniq.Expr, r: Jsoniq.Expr,
+                         lc: Column, rc: Column): Column =
+    if (numericLitOperand(l, r)) {
+      val (ld, rd) = (lc.try_cast("double"), rc.try_cast("double"))
+      op match {
+        case "eq" => ld === rd; case "ne" => ld =!= rd
+        case "lt" => ld < rd; case "le" => ld <= rd
+        case "gt" => ld > rd; case "ge" => ld >= rd
+      }
+    } else cmpBool(op, lc, rc)
+
+  /** [[cmpBoolAst]] as a variant item (null = empty, the scalar rule). */
+  private def cmpColAst(op: String, l: Jsoniq.Expr, r: Jsoniq.Expr,
+                        lc: Column, rc: Column): Column = {
+    val b = cmpBoolAst(op, l, r, lc, rc)
+    parse_json(when(b.isNull, lit(null))
+      .when(b, lit("true")).otherwise(lit("false")))
+  }
+
   /** Compile a PREDICATE to a native nullable-boolean Column — the
     * filter/where/quantifier consumers coalesce null to false
     * themselves. Falls back to the variant form + EBV cast where no
@@ -995,22 +1050,8 @@ object JsoniqRun {
           yield coalesce(a, lit(false)) || coalesce(b, lit(false))
       case Binary(op, l, r)
           if Set("eq", "ne", "lt", "le", "gt", "ge")(op) =>
-        // a numeric-literal operand pins the comparison NUMERIC (XQuery
-        // number semantics: non-castable values yield empty -> false) —
-        // one variant_get per row instead of the 3 the dual-branch
-        // general form needs
-        val numericLit = l.isInstanceOf[NumLit] || r.isInstanceOf[NumLit] ||
-          (l match { case Unary("-", _: NumLit) => true; case _ => false }) ||
-          (r match { case Unary("-", _: NumLit) => true; case _ => false })
-        for (lc <- scalarOf(l, env); rc <- scalarOf(r, env)) yield
-          if (numericLit) {
-            val (ld, rd) = (lc.try_cast("double"), rc.try_cast("double"))
-            op match {
-              case "eq" => ld === rd; case "ne" => ld =!= rd
-              case "lt" => ld < rd; case "le" => ld <= rd
-              case "gt" => ld > rd; case "ge" => ld >= rd
-            }
-          } else cmpBool(op, lc, rc)
+        for (lc <- scalarOf(l, env); rc <- scalarOf(r, env))
+          yield cmpBoolAst(op, l, r, lc, rc)
       case Binary(op, l, r) if op.startsWith("g_") && op != "g_" =>
         // general (existential) comparison: any pair satisfies; empty
         // operands -> false. Attr/text path operands take the fused
@@ -1024,7 +1065,7 @@ object JsoniqRun {
           coalesce(
             exists(ls, x => coalesce(
               exists(rs, y => coalesce(
-                cmpBool(op.stripPrefix("g_"), x, y), lit(false))),
+                cmpBoolAst(op.stripPrefix("g_"), l, r, x, y), lit(false))),
               lit(false))),
             lit(false))
       case Call("not", Seq(a)) =>
@@ -1055,24 +1096,6 @@ object JsoniqRun {
           yield when(coalesce(cc, lit(false)), ts).otherwise(es)
       case _ => scalarOf(e, env).map(asBool)
     }
-  }
-
-  private def cmpCol(op: String, l: Column, r: Column): Column = {
-    val ld = l.try_cast("double")
-    val rd = r.try_cast("double")
-    // try_cast: a container variant's string cast must yield null
-    // (→ null comparison → excluded), never a runtime error
-    val ls = l.try_cast("string")
-    val rs = r.try_cast("string")
-    def cmp(a: Column, b: Column): Column = op match {
-      case "eq" => a === b; case "ne" => a =!= b
-      case "lt" => a < b; case "le" => a <= b
-      case "gt" => a > b; case "ge" => a >= b
-    }
-    val b = when(ld.isNotNull && rd.isNotNull, cmp(ld, rd))
-      .otherwise(cmp(ls, rs))
-    // empty operand -> empty result (SQL null propagates)
-    when(l.isNull || r.isNull, lit(null)).otherwise(jsonBool(b))
   }
 
   /** Atomize an XML element item (XmlItem encoding) to its single text
@@ -1189,10 +1212,16 @@ object JsoniqRun {
         // Both sides as in-row arrays -> nested exists, pure codegen —
         // no per-pair row expansion, no join (boolOf builds it)
         boolOf(e, env).map(jsonBool)
+      case Binary(op, _, _)
+          if Set("eq", "ne", "lt", "le", "gt", "ge")(op) =>
+        // route through boolOf so the numeric-literal pinning applies
+        // IDENTICALLY here and in filter contexts (empty stays empty)
+        boolOf(e, env).map(b => parse_json(
+          when(b.isNull, lit(null))
+            .when(b, lit("true")).otherwise(lit("false"))))
       case Binary(op, l, r) =>
         for (lc <- scalarOf(l, env); rc <- scalarOf(r, env)) yield op match {
           case "or" | "and" => boolCol(op, lc, rc)
-          case "eq" | "ne" | "lt" | "le" | "gt" | "ge" => cmpCol(op, lc, rc)
           case _ => arithCol(op, lc, rc)
         }
       case Unary("-", x) => scalarOf(x, env).map(negCol)
@@ -1674,7 +1703,8 @@ object JsoniqRun {
             .select(col(ORD).as("__gjo"), col(ITEM).as("__gr"))
           val hit = ls.join(rs, "__gjo")
             .filter(coalesce(
-              asBool(cmpCol(op.stripPrefix("g_"), col("__gl"), col("__gr"))),
+              cmpBoolAst(op.stripPrefix("g_"), l, r,
+                col("__gl"), col("__gr")),
               lit(false)))
             .select(col("__gjo")).distinct()
             .withColumn("__ghit", lit(true))
@@ -1691,7 +1721,7 @@ object JsoniqRun {
           val combined = op match {
             case "or" | "and" => boolCol(op, col(lf), col("__v"))
             case "eq" | "ne" | "lt" | "le" | "gt" | "ge" =>
-              cmpCol(op, col(lf), col("__v"))
+              cmpColAst(op, l, r, col(lf), col("__v"))
             case _ => arithCol(op, col(lf), col("__v"))
           }
           s2.withColumn("__v", combined).drop(lf)
@@ -2226,7 +2256,11 @@ object JsoniqRun {
           case _ => Set.empty[String]
         }
         def scalarT(x: Expr): Option[Column] = x match {
-          case Deref(ContextItem, f) if fields(f) => Some(col(s"t.`$f`"))
+          // "$$" means the member only in [?pred] form (no ctxName);
+          // under a for+where fusion it denotes the OUTER context item
+          // — never the member's typed column
+          case Deref(ContextItem, f)
+              if ctxName.isEmpty && fields(f) => Some(col(s"t.`$f`"))
           case Deref(VarRef(n), f)
               if ctxName.contains(n) && fields(f) => Some(col(s"t.`$f`"))
           case NumLit(t) => Some(lit(BigDecimal(t).toDouble))
@@ -2245,19 +2279,8 @@ object JsoniqRun {
           case Call("not", Seq(a)) => go(a).map(v => !coalesce(v, lit(false)))
           case Binary(op, l, rr)
               if Set("eq", "ne", "lt", "le", "gt", "ge")(op) =>
-            val numericLit = Seq(l, rr).exists {
-              case _: NumLit | Unary("-", _: NumLit) => true
-              case _ => false
-            }
-            for (lc <- scalarT(l); rc <- scalarT(rr)) yield
-              if (numericLit) {
-                val (ld, rd) = (lc.try_cast("double"), rc.try_cast("double"))
-                op match {
-                  case "eq" => ld === rd; case "ne" => ld =!= rd
-                  case "lt" => ld < rd; case "le" => ld <= rd
-                  case "gt" => ld > rd; case "ge" => ld >= rd
-                }
-              } else cmpBool(op, lc, rc)
+            for (lc <- scalarT(l); rc <- scalarT(rr))
+              yield cmpBoolAst(op, l, rr, lc, rc)
           case _ => None
         }
         // no null-coalesce around the condition: FilterExec drops null
