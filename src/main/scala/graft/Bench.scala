@@ -103,15 +103,44 @@ object Bench {
         val rest = f.substring(f.lastIndexOf(')') + 2).split(" ")
         rest(11).toLong + rest(12).toLong
       } catch { case _: Exception => 0L }
+    // r10 forensics addendum: x_contamination shipped at 3.1× with
+    // ext_cores 0.00 — yet loadavg rose 3.63→5.77 across a run whose
+    // every entry showed ~zero external busy jiffies. Load that moves
+    // loadavg while burning no busy jiffies is D-state (iowait) class —
+    // writeback flushers after the driver's preceding test/verify writes —
+    // and readBusy EXCLUDES iowait by design (it must: our own local[32]
+    // burn would otherwise gate ourselves). So three more per-entry
+    // stamps close the blind spots: iowait-cores (the r10 culprit class),
+    // self-cores (a cycle-starvation detector — the query's own burn rate
+    // collapsing with ext 0.00 means throttling, not a plan change), and
+    // GC ms (the remaining in-JVM suspect class).
+    val entryIo = collection.mutable.LinkedHashMap.empty[String, Double]
+    val entrySelf = collection.mutable.LinkedHashMap.empty[String, Double]
+    val entryGc = collection.mutable.LinkedHashMap.empty[String, Long]
+    def readIowait(): Long =
+      try scala.io.Source.fromFile("/proc/stat").getLines()
+        .next().trim.split("\\s+").drop(1).map(_.toLong).apply(4)
+      catch { case _: Exception => 0L }
+    def gcMs(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+        .map(_.getCollectionTime).sum
+    }
     var lastBusy = readBusy()
     var lastSelf = readSelf()
+    var lastIo = readIowait()
+    var lastGc = gcMs()
     var lastT = System.nanoTime()
     def stamp(name: String): Unit = {
-      val b = readBusy(); val s = readSelf(); val t = System.nanoTime()
+      val b = readBusy(); val s = readSelf(); val io = readIowait()
+      val g = gcMs(); val t = System.nanoTime()
       val wallSec = math.max((t - lastT) / 1e9, 1e-3)
       entryLoad(name) =
         math.max(0.0, (b - lastBusy) - (s - lastSelf)) / wallSec / 100.0
-      lastBusy = b; lastSelf = s; lastT = t
+      entryIo(name) = math.max(0.0, (io - lastIo).toDouble) / wallSec / 100.0
+      entrySelf(name) = math.max(0.0, (s - lastSelf).toDouble) / wallSec / 100.0
+      entryGc(name) = math.max(0L, g - lastGc)
+      lastBusy = b; lastSelf = s; lastIo = io; lastGc = g; lastT = t
     }
 
     // the pair generators sit in a wide noise band (candidate-edge
@@ -427,12 +456,22 @@ object Bench {
     }.mkString("{", ",", "}")
     val loadJson = entryLoad.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
-    // entries during which >2 cpu-cores of NON-bench work ran: timings
-    // suspect regardless of the (start-only) quiet gate
-    val hot = entryLoad.collect { case (k, v) if v > 2.0 => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
+    val ioJson = entryIo.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
+      .mkString("{", ",", "}")
+    val selfJson = entrySelf.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
+      .mkString("{", ",", "}")
+    val gcJson = entryGc.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    // entries during which >2 cpu-cores of NON-bench work ran, or >2
+    // cores-equivalent of iowait (the r10 blind spot — writeback stalls
+    // raise loadavg and starve the scan while burning zero busy jiffies):
+    // timings suspect regardless of the (start-only) quiet gate
+    val hot = (entryLoad.collect { case (k, v) if v > 2.0 => k } ++
+        entryIo.collect { case (k, v) if v > 2.0 => k })
+      .toSeq.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""runs":$runsJson,"ext_cores":$loadJson,"hot":$hot,""" +
+      s""""runs":$runsJson,"ext_cores":$loadJson,"io_cores":$ioJson,""" +
+      s""""self_cores":$selfJson,"gc_ms":$gcJson,"hot":$hot,""" +
       s""""loadavg_start":"$loadStart","loadavg_end":"${loadavg()}",""" +
       s""""contended":$contended,"sf":"$sfDir"}""")
     spark.stop()
