@@ -123,6 +123,19 @@ object JsoniqQueries {
           """jn:store('c','df.jn','{"a": 2, "b": {"y": false}, "c": [1, 5]}')"""),
         """jn:diff('c','df.jn', 1, 2)""")
     },
+    // textual FLWOR group-by compiled onto ONE hash aggregate over the
+    // tuple stream (reference differential family:
+    // scan/TypedGroupByDifferentialTest.java:188-223): typed keys,
+    // missing-vs-null as DISTINCT buckets, numeric provenance merging
+    // (1 and 1.0 are one group), regrouped variables as sequences
+    // (count/sum over $u), plus the XQuery `count` clause ordinal
+    "j_groupby" -> { (s, _) =>
+      runOne(s,
+        Seq("""jn:store('c','g.jn','[{"d":"a","v":1},{"d":"b","v":2},{"d":"a","v":3},{"v":4},{"d":null,"v":5},{"d":"b","v":2}]')"""),
+        """((for $u in jn:doc('c','g.jn')[] let $d := $u.d group by $d
+          |return {"d": $d, "n": count($u), "s": sum($u.v)}),
+          |(for $i in (1, 2, 1.0, 3) group by $i count $c return [$i, $c]))""".stripMargin)
+    },
     // XMark q01/q05 verbatim over the reference's auction.xml, pinned to
     // the reference's own results/qNN.out (XmarkSpec replays q06/q07 too)
     "j_xmark_q01" -> { (s, _) => runXmark(s, "q01") },
@@ -183,6 +196,10 @@ object JsoniqQueries {
           """{"op":"delete","path":"/b/x"},""" +
           """{"op":"insert","path":"/b/y","value":false},""" +
           """{"op":"replace","path":"/c/1","value":5}]}""")),
+    "j_groupby" -> pin(
+      "{\"d\":\"a\",\"n\":2,\"s\":4} {\"d\":\"b\",\"n\":2,\"s\":4} " +
+        "{\"d\":null,\"n\":1,\"s\":4} {\"d\":null,\"n\":1,\"s\":5} " +
+        "[1,1] [2,2] [3,3]"),
     "j_xmark_q01" -> pin("\"Sinisa Farrel\""),
     // 120 <increase> elements (incl. self-closed empties) from the
     // reference's own results/q02.out, re-serialized the way the front

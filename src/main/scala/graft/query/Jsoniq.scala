@@ -64,6 +64,16 @@ object Jsoniq {
   final case class OrderClause(keys: Seq[OrderKey]) extends Clause
   final case class OrderKey(key: Expr, descending: Boolean,
                             emptyLeast: Boolean = false)
+  /** `group by $k1, $k2` — each key names a variable bound earlier in
+    * this FLWOR (the reference corpus' grouping-spec shape:
+    * bundles/sirix-query/src/test/java/io/sirix/query/scan/
+    * TypedGroupByDifferentialTest.java:188). After the clause the key
+    * variables hold the group key and every other variable bound in
+    * this FLWOR holds the concatenated sequence over the group. */
+  final case class GroupClause(keys: Seq[String]) extends Clause
+  /** `count $c` — binds the 1-based position of each tuple in the
+    * stream at this point (XQuery 3.0 count clause). */
+  final case class CountClause(varName: String) extends Clause
   /** XQuery-3.0-style FLWOR: for/let/where/order by clauses interleave
     * freely before the return, applying at their position. */
   final case class Flwor(clauses: Seq[Clause], ret: Expr) extends Expr
@@ -113,6 +123,8 @@ object Jsoniq {
       case LetClause(_, v) => Seq(v)
       case WhereClause(w) => Seq(w)
       case OrderClause(ks) => ks.map(_.key)
+      case GroupClause(_) => Nil
+      case CountClause(_) => Nil
     } :+ ret
     case UpdateStmt(_, t, v, p) => t +: (v.toSeq ++ p.toSeq)
     case ElemCtor(_, attrs, content) =>
@@ -171,6 +183,8 @@ object Jsoniq {
             case WhereClause(w) => (f ++ (freeVars(w) -- b), b)
             case OrderClause(keys) =>
               (f ++ (keys.flatMap(k => freeVars(k.key)).toSet -- b), b)
+            case GroupClause(keys) => (f ++ (keys.toSet -- b), b)
+            case CountClause(v) => (f, b + v)
           }
         }
       fv ++ (freeVars(ret) -- bound)
@@ -417,6 +431,8 @@ object Jsoniq {
       case LetClause(v, value) => LetClause(v, f(value))
       case WhereClause(w) => WhereClause(f(w))
       case OrderClause(ks) => OrderClause(ks.map(k => k.copy(key = f(k.key))))
+      case g: GroupClause => g
+      case c: CountClause => c
     }, f(ret))
     case UpdateStmt(k, t, v, p) => UpdateStmt(k, f(t), v.map(f), p.map(f))
     case ElemCtor(n, attrs, content) =>
@@ -454,6 +470,11 @@ object Jsoniq {
           case WhereClause(w) => WhereClause(renameVars(w, cur))
           case OrderClause(ks) =>
             OrderClause(ks.map(k => k.copy(key = renameVars(k.key, cur))))
+          case GroupClause(ks) =>
+            // key names are variable USES — rename any still-free ones
+            GroupClause(ks.map(n => cur.getOrElse(n, n)))
+          case CountClause(v) =>
+            val out = CountClause(v); cur = cur - v; out
         }
         Flwor(cs2, renameVars(ret, cur))
       case other => mapChildren(other)(renameVars(_, m))
@@ -709,6 +730,19 @@ object Jsoniq {
             if (at(",")) eat(",") else again = false
           }
           clauses += OrderClause(keys.result())
+        case Some(TName("group")) =>
+          eat("group"); eat("by")
+          val keys = Seq.newBuilder[String]
+          var again = true
+          while (again) {
+            keys += varName()
+            if (at(",")) eat(",") else again = false
+          }
+          clauses += GroupClause(keys.result())
+        case Some(TName("count"))
+            if toks.lift(pos + 1).exists(_.isInstanceOf[TVar]) =>
+          eat("count")
+          clauses += CountClause(varName())
         case _ => more = false
       }
       eat("return")

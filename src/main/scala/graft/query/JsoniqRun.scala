@@ -215,6 +215,8 @@ object JsoniqRun {
                 case WhereClause(w) => WhereClause(walk(w, s2))
                 case OrderClause(ks) =>
                   OrderClause(ks.map(k => k.copy(key = walk(k.key, s2))))
+                case g: GroupClause => g // key names, no subexpressions
+                case c: CountClause => s2 = s2 + c.varName; c
               }
               Flwor(cs2, walk(ret, s2))
             case ElemCtor(n, attrs, content) =>
@@ -708,6 +710,9 @@ object JsoniqRun {
           val ord0 = gensym("fw")
           var cur = tuples.withColumn(ord0, col(ORD))
           var curEnv = env
+          // names bound by clauses of THIS FLWOR, in clause order — the
+          // set `group by` regroups (outer-scope variables stay items)
+          var boundHere = Vector.empty[String]
           val clauseSeq = clauses.toIndexedSeq
           var skipNext = false
           clauseSeq.zipWithIndex.foreach { case (clause, ci) =>
@@ -838,6 +843,7 @@ object JsoniqRun {
                 cur = cur.withColumn(pvc, jsonNumber(col(posCol.get)))
                 curEnv = curEnv + (pv -> ItemVar(pvc))
               }
+              boundHere = (boundHere :+ v) ++ posVar
             case LetClause(v, valueE0) =>
               val (valueE, cur1, env1) = hoistStatic(store, valueE0, cur, curEnv)
               cur = cur1
@@ -894,6 +900,7 @@ object JsoniqRun {
               }
               curEnv = curEnv + (v -> SeqVar(cn, letTarget)) ++
                 newStatic.map(sc2 => STATIC -> (sc2: Binding))
+              boundHere = boundHere :+ v
             case WhereClause(w0) =>
               val (w, cur1, env1) = hoistStatic(store, w0, cur, curEnv)
               cur = evalScalar(store, w, cur1, env1)
@@ -933,6 +940,126 @@ object JsoniqRun {
               // order-by inside a key expression must not lose THIS
               // level's keys
               cur = keyed.drop(keyCols.result(): _*)
+            case GroupClause(keys0) =>
+              // XQuery 3.0 group-by over the tuple stream: ONE hash
+              // aggregate keyed on (caller tuple, canonical key string).
+              // Key equality is VALUE equality — 18, 18.0e0 and 18.00
+              // land in one group (the reference's mix/fracmix pins,
+              // TypedGroupByDifferentialTest.java:141-160) — so each key
+              // canonicalises to a type-tagged string: numerics through
+              // one decimal rendering, null ('N') and absent ('E') as
+              // distinct buckets (presentButNullGroupKey). The bound
+              // variable keeps the FIRST value of its group in tuple
+              // order; every other variable bound in this FLWOR becomes
+              // the concatenated sequence over the group's tuples.
+              val keys = keys0.distinct
+              var keyed = cur
+              val keyInfo = keys.map { k =>
+                val item: Column = curEnv.get(k) match {
+                  case Some(ItemVar(cn, _, _)) => col(cn)
+                  // empty sequence = absent bucket, not an index error
+                  case Some(SeqVar(cn, _)) => try_element_at(col(cn), lit(1))
+                  case _ => throw new IllegalArgumentException(
+                    s"group by $$$k: variable not bound")
+                }
+                val kn = gensym("gk")
+                keyed = keyed.withColumn(kn, item)
+                (k, kn)
+              }
+              val gstr = keyInfo.map { case (_, kn) =>
+                val gn = gensym("gs")
+                keyed = keyed.withColumn(gn, expr(
+                  s"case when $kn is null then 'E' " +
+                    s"when schema_of_variant($kn) = 'VOID' then 'N' " +
+                    s"when schema_of_variant($kn) = 'BOOLEAN' then " +
+                    s"concat('B:', cast(try_cast($kn as boolean) as string)) " +
+                    s"when schema_of_variant($kn) = 'STRING' then " +
+                    s"concat('S:', try_cast($kn as string)) " +
+                    s"when try_cast($kn as decimal(38,12)) is not null then " +
+                    s"concat('D:', cast(try_cast($kn as decimal(38,12)) as string)) " +
+                    s"when try_cast($kn as double) is not null then " +
+                    s"concat('F:', cast(try_cast($kn as double) as string)) " +
+                    s"else concat('J:', to_json($kn)) end"))
+                gn
+              }
+              val ordG = gensym("go")
+              val groupVarSet = keys.toSet
+              val bound = boundHere.distinct
+              val aggExprs = Seq.newBuilder[Column]
+              aggExprs += expr(s"min($ORD)").as(ordG)
+              val repCols = keyInfo.map { case (k, kn) =>
+                val rn = gensym("gr")
+                aggExprs += expr(s"parse_json(min_by(to_json($kn), $ORD))")
+                  .as(rn)
+                k -> rn
+              }
+              val seqCols = bound.filterNot(groupVarSet).flatMap { b =>
+                curEnv.get(b).collect {
+                  case ItemVar(cn, _, _) =>
+                    // variant is not orderable: collect (ord, json text),
+                    // sort, re-parse (the let-aggregate discipline); null
+                    // items = empty sequences contribute nothing
+                    val sn = gensym("gq")
+                    aggExprs += expr(
+                      s"transform(sort_array(collect_list(" +
+                        s"case when $cn is not null then " +
+                        s"struct($ORD as p, to_json($cn) as i) end)), " +
+                        "s -> parse_json(s.i))").as(sn)
+                    (b, sn)
+                  case SeqVar(cn, _) =>
+                    val sn = gensym("gq")
+                    aggExprs += expr(
+                      s"flatten(transform(sort_array(collect_list(" +
+                        s"struct($ORD as p, to_json($cn) as i))), " +
+                        "s -> coalesce(try_cast(parse_json(s.i) " +
+                        "as array<variant>), array())))").as(sn)
+                    (b, sn)
+                }
+              }
+              // every remaining column (caller frame, aux/pos stashes) is
+              // constant per caller tuple — carry one value through
+              val handled: Set[String] = Set(ORD, ord0) ++ gstr ++
+                keyInfo.map(_._2) ++
+                bound.flatMap(b => curEnv.get(b).collect {
+                  case ItemVar(cn, _, _) => cn
+                  case SeqVar(cn, _) => cn
+                })
+              keyed.schema.fields.filterNot(f => handled(f.name)).foreach {
+                f =>
+                  if (f.dataType.typeName == "variant")
+                    aggExprs += expr(
+                      s"parse_json(min_by(to_json(`${f.name}`), $ORD))")
+                      .as(f.name)
+                  else aggExprs += first(col(f.name)).as(f.name)
+              }
+              val aggList = aggExprs.result()
+              val grouped = keyed
+                .groupBy((col(ord0) +: gstr.map(col)): _*)
+                .agg(aggList.head, aggList.tail: _*)
+              // groups surface in first-appearance order; dense 0-based
+              // re-numbering keeps ORD a prefix-extension of ord0
+              val gw = org.apache.spark.sql.expressions.Window
+                .partitionBy(col(ord0)).orderBy(col(ordG))
+              cur = grouped
+                .withColumn(ORD, concat(col(ord0),
+                  array((row_number().over(gw) - 1).cast("long"))))
+                .drop(ordG +: gstr: _*)
+              // regrouped names leave the static scope (their pre-group
+              // static copies would serve ungrouped values)
+              curEnv = shadowStatic(curEnv, (bound ++ keys): _*)
+              repCols.foreach { case (k, rn) =>
+                curEnv = curEnv + (k -> ItemVar(rn))
+              }
+              seqCols.foreach { case (b, sn) =>
+                curEnv = curEnv + (b -> SeqVar(sn))
+              }
+            case CountClause(cv) =>
+              val cn = gensym(s"v_$cv")
+              cur = cur.withColumn(cn, jsonNumber(row_number().over(
+                org.apache.spark.sql.expressions.Window
+                  .partitionBy(col(ord0)).orderBy(col(ORD)))))
+              curEnv = shadowStatic(curEnv, cv) + (cv -> ItemVar(cn))
+              boundHere = boundHere :+ cv
           } }
           val ret = evalSeq(store, retE, cur, curEnv)
           // iteration suffix (ORD beyond the caller's prefix) becomes the
