@@ -298,25 +298,84 @@ object Jsoniq {
 
   /** Remove XQuery `(: ... :)` comments (nesting per spec, ignored
     * inside string literals). */
+  /** Strip `(: ... :)` comments (nesting, string-literal aware) — but
+    * ONLY where expressions may appear: inside direct element
+    * constructor text content `(:` is literal character data
+    * (`<a>price (:USD:)</a>` keeps its text), and comment recognition
+    * resumes inside `{...}` enclosed expressions. Constructor state is
+    * tracked with a mode stack: expression frames (brace-counted when
+    * entered from constructor context), tag internals (copied verbatim,
+    * attribute values may re-enter expressions), and element content. */
   private def stripComments(q: String): String = {
     val sb = new StringBuilder(q.length)
+    // modes: 'E' = expression (value: brace depth; pops at 0 when
+    // entered via '{'), 'T' = inside a tag, 'C' = element content
+    final case class Frame(mode: Char, var brace: Int, popAtZero: Boolean)
+    val stack = scala.collection.mutable.Stack(Frame('E', 0, false))
     var i = 0
-    var depth = 0
+    var comment = 0
     var inStr = false
     var strQ = ' '
+    var tagAttrQ = ' '
+    def ctorStart(at: Int): Boolean =
+      at + 1 < q.length &&
+        (q.charAt(at + 1).isLetter || q.charAt(at + 1) == '_')
     while (i < q.length) {
       val ch = q.charAt(i)
-      if (depth == 0 && inStr) {
-        sb.append(ch); if (ch == strQ) inStr = false; i += 1
-      } else if (depth == 0 && (ch == '"' || ch == '\'')) {
-        inStr = true; strQ = ch; sb.append(ch); i += 1
-      } else if (ch == '(' && i + 1 < q.length && q.charAt(i + 1) == ':') {
-        depth += 1; i += 2
-      } else if (depth > 0 && ch == ':' && i + 1 < q.length &&
-          q.charAt(i + 1) == ')') {
-        depth -= 1; i += 2
-      } else if (depth == 0) { sb.append(ch); i += 1 }
-      else i += 1
+      if (comment > 0) {
+        if (ch == '(' && i + 1 < q.length && q.charAt(i + 1) == ':') {
+          comment += 1; i += 2
+        } else if (ch == ':' && i + 1 < q.length && q.charAt(i + 1) == ')') {
+          comment -= 1; i += 2
+        } else i += 1
+      } else stack.top.mode match {
+        case 'E' =>
+          val e = stack.top
+          if (inStr) {
+            sb.append(ch); if (ch == strQ) inStr = false; i += 1
+          } else if (ch == '"' || ch == '\'') {
+            inStr = true; strQ = ch; sb.append(ch); i += 1
+          } else if (ch == '(' && i + 1 < q.length &&
+              q.charAt(i + 1) == ':') {
+            comment = 1; i += 2
+          } else if (ch == '<' && ctorStart(i)) {
+            stack.push(Frame('T', 0, false)); sb.append(ch); i += 1
+          } else if (ch == '{') {
+            e.brace += 1; sb.append(ch); i += 1
+          } else if (ch == '}') {
+            e.brace -= 1; sb.append(ch); i += 1
+            if (e.popAtZero && e.brace == 0) { stack.pop(); () }
+          } else { sb.append(ch); i += 1 }
+        case 'T' =>
+          if (tagAttrQ != ' ') {
+            if (ch == '{') {
+              stack.push(Frame('E', 1, true)); sb.append(ch); i += 1
+            } else {
+              sb.append(ch); if (ch == tagAttrQ) tagAttrQ = ' '; i += 1
+            }
+          } else if (ch == '"' || ch == '\'') {
+            tagAttrQ = ch; sb.append(ch); i += 1
+          } else if (ch == '>') {
+            sb.append(ch); i += 1
+            stack.pop()
+            // self-closing tags have no content frame
+            if (!(i >= 2 && q.charAt(i - 2) == '/'))
+              stack.push(Frame('C', 0, false))
+          } else { sb.append(ch); i += 1 }
+        case 'C' =>
+          if (ch == '{') {
+            stack.push(Frame('E', 1, true)); sb.append(ch); i += 1
+          } else if (ch == '<' && i + 1 < q.length &&
+              q.charAt(i + 1) == '/') {
+            while (i < q.length && q.charAt(i) != '>') {
+              sb.append(q.charAt(i)); i += 1
+            }
+            if (i < q.length) { sb.append('>'); i += 1 }
+            stack.pop(); ()
+          } else if (ch == '<' && ctorStart(i)) {
+            stack.push(Frame('T', 0, false)); sb.append(ch); i += 1
+          } else { sb.append(ch); i += 1 }
+      }
     }
     sb.toString
   }

@@ -80,6 +80,12 @@ object JsoniqRun {
   private final case class LambdaItem(c: Column) extends Binding
   private final case class LambdaSeq(c: Column) extends Binding
 
+  /** Marker binding (under [[BIG]]): the tuple stream has a data-bound
+    * (shred/scan) source bound upstream, so it is NOT driver-bounded —
+    * joins against it must stay distributed (no broadcast hint). */
+  private case object BigMark extends Binding
+  private val BIG = "%bigstream"
+
   /** Compile-scope static frame: a ONE-ROW stream holding the context
     * document plus every let binding derivable from static values alone.
     * A `for` whose source's free variables all resolve here is
@@ -313,9 +319,18 @@ object JsoniqRun {
               parse_json(col("member_json")).as("member"))
           }
           out.write.mode("overwrite").parquet(shredDir(path, rev))
+          // commit point: a crash/kill mid-job (task outputs visible
+          // under a v2 committer) must not leave a PARTIAL member table
+          // that later sessions serve silently — readers gate on this
+          // marker, not on directory existence (the ProjectionIndex
+          // CompleteMarker discipline)
+          graft.sources.MetaIO.writeStringOverwrite(
+            s"${shredDir(path, rev)}/$ShredCompleteMarker", "{}")
         }
       }
     }
+
+    private[query] val ShredCompleteMarker = "_graft_shredded"
 
     private[query] def shredDir(path: String, rev: Int): String =
       s"$path/_shred/r$rev"
@@ -334,7 +349,8 @@ object JsoniqRun {
       val path = docPath(collection, doc)
       resolveRev(path, rev).exists(r =>
         shredCache.getOrElseUpdate((path, r),
-          graft.sources.MetaIO.exists(shredDir(path, r))))
+          graft.sources.MetaIO.exists(
+            s"${shredDir(path, r)}/$ShredCompleteMarker")))
     }
     private val shredDfCache =
       scala.collection.concurrent.TrieMap.empty[(String, Int), DataFrame]
@@ -844,6 +860,10 @@ object JsoniqRun {
                 curEnv = curEnv + (pv -> ItemVar(pvc))
               }
               boundHere = (boundHere :+ v) ++ posVar
+              // a data-bound source joined into the stream makes every
+              // DOWNSTREAM tuple stream non-driver-bounded
+              if (containsScanCall(inE) || containsShreddedDoc(store, inE))
+                curEnv = curEnv + (BIG -> BigMark)
             case LetClause(v, valueE0) =>
               val (valueE, cur1, env1) = hoistStatic(store, valueE0, cur, curEnv)
               cur = cur1
@@ -1252,12 +1272,22 @@ object JsoniqRun {
     // neighbor. Trailing zeros trim to the canonical form.
     val anyDouble = schema_of_variant(l) === "DOUBLE" ||
       schema_of_variant(r) === "DOUBLE"
+    // Spark's decimal cast ROUNDS on scale overflow instead of nulling:
+    // a DECIMAL(p,s) operand with s > 6 would silently lose digits in
+    // the working decimal(18,6) (1 + 0.0000001 computing 1) — detect it
+    // from the variant schema and route to the double branch, the same
+    // graceful fallback precision overflow already takes.
+    def scaleOver(c: Column): Column = coalesce(
+      regexp_extract(schema_of_variant(c), "^DECIMAL\\(\\d+,(\\d+)\\)", 1)
+        .try_cast("int") > 6, lit(false))
+    val lossyScale = scaleOver(l) || scaleOver(r)
     val decResult =
       arith(l.try_cast("decimal(18,6)"), r.try_cast("decimal(18,6)"))
     when(l.isNull || r.isNull, lit(null))
       .when(bothInt && lit(intResult),
         jsonNumber(arith(l.try_cast("long"), r.try_cast("long"))))
-      .when(!anyDouble && decResult.isNotNull, jsonDecimal(decResult))
+      .when(!anyDouble && !lossyScale && decResult.isNotNull,
+        jsonDecimal(decResult))
       .otherwise(jsonNumber(arith(l.try_cast("double"), r.try_cast("double"))))
   }
 
@@ -1541,6 +1571,15 @@ object JsoniqRun {
         scalarOf(args.head, env)
       case "xs:integer" if args.size == 1 =>
         scalarOf(args.head, env).map(c => jsonNumber(c.try_cast("long")))
+      case "round" | "fn:round" if args.size == 1 =>
+        // fn:round: half rounds toward +INF (floor(x + 0.5)); integer
+        // input passes through unchanged
+        scalarOf(args.head, env).map { c =>
+          val a = atomizeCol(c)
+          when(schema_of_variant(a).isin(IntSchemas: _*), a)
+            .otherwise(
+              jsonNumber(floor(a.try_cast("double") + 0.5).cast("long")))
+        }
       case "jn:null" if args.isEmpty => Some(vnull)
       // the numeric folds are ONE aggregate each — a single reference to
       // the input tree (multiple references double nested subexpressions
@@ -2357,6 +2396,11 @@ object JsoniqRun {
         staticCtxOf(env).exists(sc =>
           tuples.queryExecution.logical eq sc.base.queryExecution.logical))
       source.withColumn(ORD, array(lit(0L)))
+    else if (env.contains(BIG))
+      // a shred/scan source is bound upstream: the tuple stream is NOT
+      // driver-bounded — leave join-side selection to the planner/AQE
+      // instead of forcing a driver collect of an arbitrary stream
+      source.crossJoin(tuples.drop(POS, ITEM))
     else source.crossJoin(broadcast(tuples.drop(POS, ITEM)))
 
   /** Compile `[?pred]` over a TYPED shredded document onto the shred's
@@ -2725,6 +2769,10 @@ object JsoniqRun {
     def v(n: Node): String =
       mapper.writeValueAsString(mapper.treeToValue(n, classOf[Object]))
     def esc(s: String): String = s.replace("~", "~0").replace("/", "~1")
+    // the assembled pointer goes through a REAL JSON string serializer —
+    // keys containing quotes/backslashes/control characters must not
+    // produce syntactically invalid script text
+    def p(path: String): String = mapper.writeValueAsString(path)
     def walk(path: String, o: Node, n: Node): Unit = {
       if (o.isObject && n.isObject) {
         val oks = new java.util.TreeSet[String]()
@@ -2733,18 +2781,18 @@ object JsoniqRun {
         n.fieldNames().forEachRemaining(k => { nks.add(k); () })
         oks.forEach { k =>
           if (!nks.contains(k))
-            ops += s"""{"op":"delete","path":"$path/${esc(k)}"}"""
+            ops += s"""{"op":"delete","path":${p(s"$path/${esc(k)}")}}"""
         }
         nks.forEach { k =>
           if (!oks.contains(k))
-            ops += s"""{"op":"insert","path":"$path/${esc(k)}","value":${v(n.get(k))}}"""
+            ops += s"""{"op":"insert","path":${p(s"$path/${esc(k)}")},"value":${v(n.get(k))}}"""
           else walk(s"$path/${esc(k)}", o.get(k), n.get(k))
         }
       } else if (o.isArray && n.isArray && o.size() == n.size()) {
         (0 until o.size()).foreach(i =>
           walk(s"$path/$i", o.get(i), n.get(i)))
       } else if (o != n) {
-        ops += s"""{"op":"replace","path":"$path","value":${v(n)}}"""
+        ops += s"""{"op":"replace","path":${p(path)},"value":${v(n)}}"""
       }
     }
     walk("", mapper.readTree(oldJ), mapper.readTree(newJ))

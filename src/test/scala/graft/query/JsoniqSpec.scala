@@ -564,4 +564,46 @@ class JsoniqSpec extends SparkSpec {
     assert(JsoniqRun.serialize(st,
       """sum((for $i in jn:doc('c','o.jn') return $i).n)""") == "15")
   }
+
+  test("j: comments strip in expressions, stay literal in element content") {
+    // expression position: stripped (incl. nesting, strings untouched)
+    check(Nil, "(: outer (: inner :) :) 1 + 1", "2")
+    check(Nil, """(: drop :) "keep (:this:)" """, "\"keep (:this:)\"")
+    // direct constructor TEXT CONTENT: '(:' is character data (the
+    // reference grammar recognizes comments only where expressions may
+    // appear) — and enclosed expressions re-enter comment stripping
+    val st = freshStore()
+    assert(JsoniqRun.serialize(st, "<a>price (:USD:)</a>")
+      == "\"<a>price (:USD:)</a>\"")
+    assert(JsoniqRun.serialize(st, "<a>n={ (: c :) 1 + 2 }</a>")
+      == "\"<a>n=3</a>\"")
+  }
+
+  test("j: arithmetic falls back to double past the working decimal scale") {
+    // decimal(18,6) try_cast ROUNDS on scale overflow — a scale-7
+    // operand must route to the double branch, not compute 1 + 1e-7 = 1
+    check(Nil, "1 + 0.0000001", "1.0000001")
+    check(Nil, "3 - 0.0000001", "2.9999999")
+    // the exact-decimal discipline is untouched for in-scale operands
+    check(Nil, "2.20371 * 100", "220.371")
+    check(Nil, "round(2.20371 * 100) div 100", "2.2")
+  }
+
+  test("j: jn:diff escapes hostile object keys into valid JSON") {
+    val st = freshStore()
+    // keys holding a quote and a backslash (stored via the API — the
+    // query lexer itself unescapes string literals)
+    st.store("c", "k.jn", """{"a\"b": 1, "c\\d": 2}""")
+    st.store("c", "k.jn", """{"a\"b": 9, "c\\d": 2}""")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val out = JsoniqRun.serialize(st, "jn:diff('c','k.jn', 1, 2)")
+    // the serialized item is a JSON string; its CONTENT (the update
+    // script) must itself PARSE — hostile keys once broke the text
+    val script = mapper.readTree(out).asText()
+    val node = mapper.readTree(script)
+    val diffs = node.get("diffs")
+    assert(diffs.size() == 1, script)
+    assert(diffs.get(0).get("path").asText() == "/a\"b", script)
+    assert(diffs.get(0).get("value").asInt() == 9, script)
+  }
 }

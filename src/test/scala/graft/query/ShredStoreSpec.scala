@@ -30,8 +30,26 @@ class ShredStoreSpec extends SparkSpec {
       st.store("c", "d.jn", doc)
       assert(graft.sources.MetaIO.exists(
         s"${st.baseDir}/c/d.jn/_shred/r1"))
+      // the write's COMMIT POINT is the completion marker, not the dir
+      assert(graft.sources.MetaIO.exists(
+        s"${st.baseDir}/c/d.jn/_shred/r1/${st.ShredCompleteMarker}"))
       assert(JsoniqRun.serialize(st,
         "count(jn:doc('c','d.jn')[][?$$.v gt 15])") === "5")
+    }
+  }
+
+  test("a PARTIAL shred (no completion marker) is never served") {
+    withShredded { st =>
+      st.store("c", "p.jn", doc)
+      // simulate a crash mid-shred-write: task outputs present, marker
+      // absent (v2-committer failure mode) — readers must fall back to
+      // the authoritative doc row, not serve a partial member set
+      graft.sources.MetaIO.delete(
+        s"${st.baseDir}/c/p.jn/_shred/r1/${st.ShredCompleteMarker}",
+        recursive = false)
+      assert(!st.shredExists("c", "p.jn", None))
+      assert(JsoniqRun.serialize(st,
+        "count(jn:doc('c','p.jn')[])") === "20")
     }
   }
 
