@@ -296,6 +296,7 @@ object JsoniqRun {
         // re-execute it for range sampling), then parse distributed
         val members = Store.splitTopLevelArray(json)
         if (members.nonEmpty) {
+          import org.apache.spark.sql.Encoders
           val base = spark.createDataset(spark.sparkContext.parallelize(
               members.zipWithIndex.map { case (m, ix) => (ix.toLong, m) },
               32))
@@ -306,19 +307,74 @@ object JsoniqRun {
           // filters, column pruning, no per-row variant decode. The
           // variant `member` column stays authoritative for everything
           // the typed projection can't express.
-          import org.apache.spark.sql.Encoders
-          val inferred = scala.util.Try(spark.read.json(
-              base.select("member_json").as(Encoders.STRING)).schema)
-            .toOption.filter(s => s.nonEmpty &&
-              !s.fieldNames.contains("_corrupt_record"))
-          val out = inferred match {
-            case Some(sch) => base.select(col("idx"),
+          //
+          // ONE distributed parse for the whole store (the r10 shape
+          // paid two: a spark.read.json inference scan, then the write's
+          // parse): the schema comes from a DRIVER-side spread sample
+          // (schema_of_variant_agg — the same merge the validator uses),
+          // the write parses once (parse_json; the typed column is a
+          // cast of the same subexpression), and an observe() metric
+          // aggregates the TRUE member schema during that very write.
+          // Only a sample miss (observed schema != sampled) pays a
+          // second typed-projection pass — with the exact schema.
+          def aggSchema(df: DataFrame): Option[String] =
+            scala.util.Try(
+              df.select(expr(
+                "schema_of_variant_agg(try_parse_json(member_json))"))
+                .head.getString(0)).toOption.filter(_ != null)
+          // variant schema -> Spark struct DDL, mapped to the JSON-
+          // inference types the typed filter expects: fractional
+          // decimals widen to DOUBLE (double-literal comparisons then
+          // stay cast-free and PUSH DOWN), all-null fields to STRING
+          // (parquet cannot write the null type)
+          def ddlOf(vs: String): Option[String] =
+            if (vs == null || !vs.startsWith("OBJECT<")) None
+            else Some(vs.replace("OBJECT<", "STRUCT<")
+              .replaceAll("DECIMAL\\(\\d+,\\s*\\d+\\)", "DOUBLE")
+              .replaceAll("\\bVOID\\b", "STRING"))
+          def projected(ddl: Option[String]): DataFrame = ddl match {
+            case Some(d) => base.select(col("idx"),
               parse_json(col("member_json")).as("member"),
-              from_json(col("member_json"), sch).as("t"))
+              parse_json(col("member_json")).try_cast(d).as("t"))
             case None => base.select(col("idx"),
               parse_json(col("member_json")).as("member"))
           }
-          out.write.mode("overwrite").parquet(shredDir(path, rev))
+          // spread sample by ITERATION — indexed access into the member
+          // Seq is O(n) per element (measured 6.7 s of a 9 s store)
+          val step = math.max(1, members.size / 2048)
+          val sampleDdl = aggSchema(spark.createDataset(
+              members.iterator.grouped(step).map(_.head).take(4096).toSeq)(
+              Encoders.STRING).toDF("member_json"))
+            .flatMap(ddlOf)
+          val validated: Boolean = sampleDdl match {
+            case None =>
+              // not uniformly object-shaped: no typed projection, so
+              // nothing to validate — variant rows are authoritative
+              projected(None).write.mode("overwrite")
+                .parquet(shredDir(path, rev))
+              true
+            case Some(ddl) => scala.util.Try {
+              val obs = org.apache.spark.sql.Observation()
+              projected(Some(ddl))
+                .observe(obs, expr("schema_of_variant_agg(member)")
+                  .as("vs"))
+                .write.mode("overwrite").parquet(shredDir(path, rev))
+              val fullDdl =
+                ddlOf(obs.get("vs").asInstanceOf[String])
+              if (fullDdl != Some(ddl)) {
+                // sample missed fields/types — one corrective pass with
+                // the exact observed schema (or drop `t` entirely)
+                projected(fullDdl).write.mode("overwrite")
+                  .parquet(shredDir(path, rev))
+              }
+            }.isSuccess
+          }
+          if (!validated) {
+            // observe/typed path unavailable: exact two-job fallback
+            // (full-data schema aggregate, then the projection write)
+            projected(aggSchema(base).flatMap(ddlOf))
+              .write.mode("overwrite").parquet(shredDir(path, rev))
+          }
           // commit point: a crash/kill mid-job (task outputs visible
           // under a v2 committer) must not leave a PARTIAL member table
           // that later sessions serve silently — readers gate on this

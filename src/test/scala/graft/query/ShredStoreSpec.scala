@@ -38,6 +38,27 @@ class ShredStoreSpec extends SparkSpec {
     }
   }
 
+  test("sample-missed fields trigger the corrective typed pass") {
+    withShredded { st =>
+      // 5000 members, spread-sample step 2 hits only EVEN indices; the
+      // `extra` field exists only on ODD members — the write-time
+      // observe() metric must catch the miss and redo the typed
+      // projection with the exact schema
+      val n = 5000
+      val doc = (0 until n).map(i =>
+          if (i % 2 == 1) s"""{"v": $i, "extra": $i}"""
+          else s"""{"v": $i}""")
+        .mkString("[", ",", "]")
+      st.store("c", "x.jn", doc)
+      val t = spark.read.parquet(s"${st.baseDir}/c/x.jn/_shred/r1")
+        .schema("t").dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      assert(t.fieldNames.toSet == Set("v", "extra"), t.treeString)
+      assert(JsoniqRun.serialize(st,
+        "count(jn:doc('c','x.jn')[][?$$.extra gt 4000])") === "500")
+    }
+  }
+
   test("a PARTIAL shred (no completion marker) is never served") {
     withShredded { st =>
       st.store("c", "p.jn", doc)
