@@ -123,6 +123,25 @@ object JsoniqQueries {
           """jn:store('c','df.jn','{"a": 2, "b": {"y": false}, "c": [1, 5]}')"""),
         """jn:diff('c','df.jn', 1, 2)""")
     },
+    // bitemporal valid-axis stab from query text (reference
+    // function/jn/temporal/ValidAt.java:45): closed intervals,
+    // open-ended bounds, and unregistered records
+    "j_valid_at" -> { (s, _) =>
+      runOne(s,
+        Seq("""jn:store('bt','emp.jn','[{"name":"Alice","validFrom":"2020-01-01T00:00:00Z","validTo":"2020-12-31T23:59:59Z"},{"name":"Bob","validFrom":"2020-06-01T00:00:00Z"},{"name":"Charlie","validFrom":"2019-01-01T00:00:00Z","validTo":"2019-12-31T23:59:59Z"},{"name":"Dave"}]')"""),
+        """((for $r in jn:valid-at('bt','emp.jn', xs:dateTime('2020-07-01T12:00:00Z')) return $r.name),
+          |(for $r in jn:valid-at('bt','emp.jn', xs:dateTime('2019-12-31T23:59:59Z')) return $r.name))""".stripMargin)
+    },
+    // both axes (reference function/jn/temporal/OpenBitemporal.java:53):
+    // transaction-time as-of read, then the valid-axis stab
+    "j_bitemporal" -> { (s, _) =>
+      runOne(s,
+        Seq("""jn:store('bt','h.jn','[{"name":"Alice","validFrom":"2020-01-01T00:00:00Z","validTo":"2020-12-31T00:00:00Z"}]')""",
+          """jn:store('bt','h.jn','[{"name":"Alice","validFrom":"2020-01-01T00:00:00Z","validTo":"2020-12-31T00:00:00Z"},{"name":"Eve","validFrom":"2019-01-01T00:00:00Z","validTo":"2021-12-31T00:00:00Z"}]')"""),
+        """((for $r in jn:open-bitemporal('bt','h.jn', xs:dateTime('2100-01-01T00:00:00Z'), xs:dateTime('2020-07-01T00:00:00Z')) return $r.name),
+          |(for $r in jn:open-bitemporal('bt','h.jn', xs:dateTime('2100-01-01T00:00:00Z'), xs:dateTime('2019-06-01T00:00:00Z')) return $r.name),
+          |count(sdb:item-history(jn:doc('bt','h.jn'))))""".stripMargin)
+    },
     // textual FLWOR group-by compiled onto ONE hash aggregate over the
     // tuple stream (reference differential family:
     // scan/TypedGroupByDifferentialTest.java:188-223): typed keys,
@@ -196,6 +215,8 @@ object JsoniqQueries {
           """{"op":"delete","path":"/b/x"},""" +
           """{"op":"insert","path":"/b/y","value":false},""" +
           """{"op":"replace","path":"/c/1","value":5}]}""")),
+    "j_valid_at" -> pin("\"Alice\" \"Bob\" \"Charlie\""),
+    "j_bitemporal" -> pin("\"Alice\" \"Eve\" \"Eve\" 2"),
     "j_groupby" -> pin(
       "{\"d\":\"a\",\"n\":2,\"s\":4} {\"d\":\"b\",\"n\":2,\"s\":4} " +
         "{\"d\":null,\"n\":1,\"s\":4} {\"d\":null,\"n\":1,\"s\":5} " +

@@ -2390,7 +2390,8 @@ object JsoniqRun {
   private val SeqFunctions = Set("jn:store", "jn:doc", "jn:all-times",
     "jn:load", "jn:scan-path-index", "jn:scan-cas-index", "distinct-values",
     "jn:past", "jn:future", "jn:first", "jn:last", "jn:open", "jn:diff",
-    "jn:open-revisions")
+    "jn:open-revisions", "jn:valid-at", "jn:open-bitemporal",
+    "sdb:item-history")
 
   /** Does the expression read a table-scan source (size data-bound, so a
     * decorrelated side must NOT be broadcast-hinted)? */
@@ -2671,6 +2672,70 @@ object JsoniqRun {
           .getOrElse(throw new UnsupportedOperationException(
             s"jn:all-times needs a static document path, got ${args.head}"))
         allTimesAt(store, tuples, target)
+      case "sdb:item-history" =>
+        // the node at every revision where it CHANGED, ascending —
+        // reference function/sdb/trx/ItemHistory.java:40 (its first
+        // existence counts; unchanged revisions are skipped)
+        require(args.size == 1, "sdb:item-history(node)")
+        val target = JsoniqUpdate.staticTargetIn(args.head, env)
+          .getOrElse(throw new UnsupportedOperationException(
+            s"sdb:item-history needs a static document path, got ${args.head}"))
+        allTimesAt(store, tuples, target, changedOnly = true)
+      case "jn:valid-at" | "jn:open-bitemporal" =>
+        // bitemporal valid-axis stab (reference function/jn/temporal/
+        // ValidAt.java:45, OpenBitemporal.java:53): the document — at
+        // head for valid-at, as-of the transaction timestamp for
+        // open-bitemporal — plus its array members, restricted to OBJECT
+        // items whose CLOSED valid interval contains the instant. An
+        // absent/unparseable bound is unbounded on that side; both
+        // absent means the record is not registered on the valid axis
+        // (ValidTimeIndexScan.isValidAtTime — all reference paths agree
+        // on this predicate). The reference reads the interval fields
+        // from resource config (validTimePaths); here they default to
+        // the canonical validFrom/validTo and may be overridden by two
+        // extra literal arguments.
+        val isBi = name == "jn:open-bitemporal"
+        val nFixed = if (isBi) 4 else 3
+        require(args.size >= nFixed && args.size <= nFixed + 2,
+          s"$name(collection, resource, " +
+            (if (isBi) "txTime, " else "") +
+            "validTime[, validFromField, validToField])")
+        def tsLit(e: Expr, what: String): String = e match {
+          case StrLit(s) => s
+          case Call("xs:dateTime", Seq(StrLit(s))) => s
+          case other => throw new UnsupportedOperationException(
+            s"$name $what must be an xs:dateTime literal, got $other")
+        }
+        val validTs = tsLit(args(nFixed - 1), "validTime")
+        val fromF = args.lift(nFixed).map(litStr(_, "validFromField"))
+          .getOrElse("validFrom")
+        val toF = args.lift(nFixed + 1).map(litStr(_, "validToField"))
+          .getOrElse("validTo")
+        val docE: Expr =
+          if (isBi) Call("jn:open",
+            Seq(args(0), args(1), StrLit(tsLit(args(2), "txTime"))))
+          else Call("jn:doc", Seq(args(0), args(1)))
+        val ts = lit(validTs).try_cast("timestamp")
+        def bound(item: Column, f: String): Column =
+          variant_get(item, fieldPath(f), "string").try_cast("timestamp")
+        def valid(item: Column): Column = {
+          val vf = bound(item, fromF)
+          val vt = bound(item, toF)
+          (vf.isNotNull || vt.isNotNull) &&
+            (vf.isNull || !(ts < vf)) && (vt.isNull || !(ts > vt))
+        }
+        def objects(df: DataFrame): DataFrame =
+          df.filter(schema_of_variant(col(ITEM)).startsWith("OBJECT") &&
+            valid(col(ITEM)))
+        val shape = (tuples.columns :+ POS :+ ITEM).map(col)
+        val roots = objects(evalSeq(store, docE, tuples, env))
+          .withColumn(POS, concat(array(lit(0L)), col(POS)))
+          .select(shape: _*)
+        val membersPart = objects(
+            evalSeqRows(store, Unbox(docE), tuples, env))
+          .withColumn(POS, concat(array(lit(1L)), col(POS)))
+          .select(shape: _*)
+        roots.unionByName(membersPart)
       case "distinct-values" =>
         // first occurrence of each distinct value, in sequence order
         val s = evalSeq(store, args.head, tuples, env)
@@ -2765,7 +2830,8 @@ object JsoniqRun {
     * navigation (one bounded collect per revision), items broadcast. */
   private def allTimesAt(store: Store, tuples: DataFrame,
                          target: JsoniqUpdate.StaticTarget,
-                         slice: Seq[Int] => Seq[Int] = identity): DataFrame = {
+                         slice: Seq[Int] => Seq[Int] = identity,
+                         changedOnly: Boolean = false): DataFrame = {
     val spark = store.spark
     import spark.implicits._
     val path = store.docPath(target.collection, target.doc)
@@ -2791,13 +2857,20 @@ object JsoniqRun {
     }
     val byRev = revs.map(r => r -> nodeAt(r))
     val keep = slice(byRev.collect { case (r, Some(_)) => r }).toSet
-    val rows = byRev.zipWithIndex.collect {
+    val rows0 = byRev.zipWithIndex.collect {
       case ((r, Some(json)), idx) if keep(r) =>
         val prev = byRev.take(idx).reverse.collectFirst {
           case (_, Some(pj)) => pj
         }
         (r.toLong, json, prev.orNull)
     }
+    // sdb:item-history: only revisions where the node CHANGED (its
+    // first existence counts), ascending — reference
+    // function/sdb/trx/ItemHistory.java:40
+    val rows =
+      if (changedOnly) rows0.filter { case (_, json, prev) =>
+        prev == null || prev != json }
+      else rows0
     if (rows.isEmpty)
       return tuples.withColumn(POS, array(lit(0L))).withColumn(ITEM, vnull)
         .withColumn("__srev", lit(0L)).withColumn("__sprev", lit(""))

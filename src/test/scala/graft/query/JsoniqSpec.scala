@@ -565,6 +565,59 @@ class JsoniqSpec extends SparkSpec {
       """sum((for $i in jn:doc('c','o.jn') return $i).n)""") == "15")
   }
 
+  test("j: jn:valid-at stabs the valid axis (closed, open-ended, unregistered)") {
+    val st = freshStore()
+    st.store("bt", "emp.jn",
+      """[{"name":"Alice","validFrom":"2020-01-01T00:00:00Z","validTo":"2020-12-31T23:59:59Z"},""" +
+        """{"name":"Bob","validFrom":"2020-06-01T00:00:00Z"},""" +
+        """{"name":"Charlie","validFrom":"2019-01-01T00:00:00Z","validTo":"2019-12-31T23:59:59Z"},""" +
+        """{"name":"Dave"}]""")
+    // mid-2020: Alice (closed interval), Bob (open-ended to); NOT
+    // Charlie (2019 only), NOT Dave (no valid fields = unregistered)
+    assert(JsoniqRun.serialize(st,
+      "for $r in jn:valid-at('bt','emp.jn', xs:dateTime('2020-07-01T12:00:00Z')) return $r.name")
+      == "\"Alice\" \"Bob\"")
+    // boundary instants are INCLUSIVE on both ends
+    assert(JsoniqRun.serialize(st,
+      "for $r in jn:valid-at('bt','emp.jn', xs:dateTime('2019-12-31T23:59:59Z')) return $r.name")
+      == "\"Charlie\"")
+    // custom field names via the optional arguments
+    st.store("bt", "emp2.jn",
+      """[{"name":"Eve","vf":"2021-01-01T00:00:00Z","vt":"2021-12-31T00:00:00Z"}]""")
+    assert(JsoniqRun.serialize(st,
+      "for $r in jn:valid-at('bt','emp2.jn', xs:dateTime('2021-06-01T00:00:00Z'), 'vf', 'vt') return $r.name")
+      == "\"Eve\"")
+  }
+
+  test("j: jn:open-bitemporal stabs both axes") {
+    val st = freshStore()
+    st.store("bt", "h.jn",
+      """[{"name":"Alice","validFrom":"2020-01-01T00:00:00Z","validTo":"2020-12-31T00:00:00Z"}]""")
+    st.store("bt", "h.jn",
+      """[{"name":"Alice","validFrom":"2020-01-01T00:00:00Z","validTo":"2020-12-31T00:00:00Z"},""" +
+        """{"name":"Eve","validFrom":"2019-01-01T00:00:00Z","validTo":"2021-12-31T00:00:00Z"}]""")
+    // transaction axis far future = head revision; valid axis varies
+    assert(JsoniqRun.serialize(st,
+      "for $r in jn:open-bitemporal('bt','h.jn', xs:dateTime('2100-01-01T00:00:00Z'), xs:dateTime('2020-07-01T00:00:00Z')) return $r.name")
+      == "\"Alice\" \"Eve\"")
+    assert(JsoniqRun.serialize(st,
+      "for $r in jn:open-bitemporal('bt','h.jn', xs:dateTime('2100-01-01T00:00:00Z'), xs:dateTime('2019-06-01T00:00:00Z')) return $r.name")
+      == "\"Eve\"")
+  }
+
+  test("j: sdb:item-history yields the node only where it changed") {
+    val st = freshStore()
+    st.store("c", "ih.jn", """{"v": 1, "x": "a"}""")
+    st.store("c", "ih.jn", """{"v": 1, "x": "b"}""") // v unchanged
+    st.store("c", "ih.jn", """{"v": 2, "x": "b"}""")
+    st.store("c", "ih.jn", """{"v": 2, "x": "c"}""") // v unchanged
+    assert(JsoniqRun.serialize(st,
+      "sdb:item-history(jn:doc('c','ih.jn').v)") == "1 2")
+    // whole-document history: every revision is a change here
+    assert(JsoniqRun.serialize(st,
+      "count(sdb:item-history(jn:doc('c','ih.jn')))") == "4")
+  }
+
   test("j: comments strip in expressions, stay literal in element content") {
     // expression position: stripped (incl. nesting, strings untouched)
     check(Nil, "(: outer (: inner :) :) 1 + 1", "2")
