@@ -132,4 +132,36 @@ private[query] object JsonPath {
     walkValue(mapper.readTree(json), Nil, "", "")
     out.result()
   }
+
+  /** Document-order hits for a NAME-index scan: every object field whose
+    * key is in `names` (None = every key — the reference's null filter),
+    * regardless of path class. The hit carries the field's VALUE and the
+    * field's own concrete printed path (reference
+    * function/jn/index/scan/ScanNameIndex.java — the index maps key
+    * names to OBJECT_KEY nodes). */
+  def walkNames(json: String, names: Option[Set[String]]): Seq[Hit] = {
+    import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper, SerializationFeature}
+    val mapper = new ObjectMapper()
+    mapper.configure(SerializationFeature.ORDER_MAP_ENTRIES_BY_KEYS, true)
+    val out = Seq.newBuilder[Hit]
+    def ser(n: JsonNode): String =
+      mapper.writeValueAsString(mapper.treeToValue(n, classOf[Object]))
+    def walk(n: JsonNode, pos: String): Unit =
+      if (n.isObject) {
+        val it = n.fields()
+        while (it.hasNext) {
+          val e = it.next()
+          val p = s"$pos/${e.getKey}"
+          if (names.forall(_.contains(e.getKey)))
+            out += Hit(ser(e.getValue), p, pos)
+          walk(e.getValue, p)
+        }
+      } else if (n.isArray) {
+        val it = n.elements()
+        var i = 0
+        while (it.hasNext) { walk(it.next(), s"$pos/[$i]"); i += 1 }
+      }
+    walk(mapper.readTree(json), "")
+    out.result()
+  }
 }

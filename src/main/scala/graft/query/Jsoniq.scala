@@ -560,6 +560,13 @@ object Jsoniq {
         val lets = fresh.map(_._2).zip(args.map(go(_, ds)))
           .map { case (fp, a) => LetClause(fp, a) }
         if (lets.isEmpty) body else Flwor(lets, body)
+      case Call(n, _) if defs.contains(n) && !ds.contains(n) =>
+        // n was removed from the working set while inlining its own
+        // body — a recursion cycle. Fail loudly AT PARSE, naming the
+        // function, instead of surfacing later as an unknown call.
+        throw new UnsupportedOperationException(
+          s"recursive user-declared function $n (recursion is outside " +
+            "the compiled subset; rewrite iteratively or as FLWOR)")
       case other => mapChildren(other)(go(_, ds))
     }
     go(e, defs)

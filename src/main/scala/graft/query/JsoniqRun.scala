@@ -795,7 +795,18 @@ object JsoniqRun {
               // dialect: `for $i in jn:doc(...)` over an array document
               // binds each member — JsonIntegrationTest testSimpleQuery's
               // pinned behaviour); non-array items bind as themselves
-              def itemize(seqd: DataFrame): DataFrame = {
+              // index-scan hits are NODES: an array-valued hit binds as
+              // itself, never member-wise (the dialect's array
+              // itemization is a jn:doc-iteration rule, not a node-
+              // sequence rule — a scan of key 'foo' whose value is an
+              // array must yield ONE binding)
+              val scanSource = inE match {
+                case Call(n, _) if n.startsWith("jn:scan") => true
+                case _ => false
+              }
+              def itemize(seqd: DataFrame): DataFrame = if (scanSource) {
+                seqd.withColumn(POS, concat(col(POS), array(lit(0L))))
+              } else {
                 val s0 = seqd.withColumn("__arr",
                   expr(s"try_cast($ITEM as array<variant>)"))
                 val scalarPart = s0.filter(col("__arr").isNull)
@@ -2298,10 +2309,15 @@ object JsoniqRun {
           when(col("__v").isNull, lit(null))
             .otherwise(jsonString(md5(to_json(col("__v"))))))
       case "sdb:commit" =>
-        // index DDL is free in this engine (pushdown/metadata); commit
-        // returns the document's head revision, which is what the
-        // corpus' `{"revision": sdb:commit($doc)}` wrappers observe
+        // sdb:commit COMMITS the open transaction and returns the new
+        // revision (reference function/sdb/trx/Commit.java). Index DDL
+        // is free in this engine (pushdown/metadata), so the commit
+        // re-stores the head content as a new revision — the revision
+        // numbering the corpus' `{"revision": sdb:commit($doc)}`
+        // wrappers and the scans' per-hit sdb:revision stashes observe.
         val (c, d) = resolveDocArg(args.head, env)
+        val head = store.doc(c, d, None).collect().head.getString(0)
+        store.store(c, d, head)
         val rev = graft.sources.TemporalTable
           .mostRecentRevision(store.docPath(c, d))
           .getOrElse(throw new IllegalArgumentException(s"no revisions for $c/$d"))
@@ -2391,7 +2407,7 @@ object JsoniqRun {
     "jn:load", "jn:scan-path-index", "jn:scan-cas-index", "distinct-values",
     "jn:past", "jn:future", "jn:first", "jn:last", "jn:open", "jn:diff",
     "jn:open-revisions", "jn:valid-at", "jn:open-bitemporal",
-    "sdb:item-history")
+    "sdb:item-history", "jn:scan-name-index")
 
   /** Does the expression read a table-scan source (size data-bound, so a
     * decorrelated side must NOT be broadcast-hinted)? */
@@ -2768,6 +2784,22 @@ object JsoniqRun {
         val pattern = litStr(args(2), "path")
         docWalkSeq(store, tuples, c, d,
           json => JsonPath.walkMatches(json, Some(pattern)))
+      case "jn:scan-name-index" =>
+        // every object key matching one of the ';'-separated names
+        // (empty sequence = every key), document order — reference
+        // function/jn/index/scan/ScanNameIndex.java:38. One documented
+        // deviation: each hit prints its OWN concrete path; the
+        // reference's pinned output shows same-name key nodes sharing a
+        // path-summary entry (another occurrence's path), an artifact
+        // of its node store with no analog in the value model.
+        require(args.size == 3, "jn:scan-name-index(doc, idx, names)")
+        val (c, d) = resolveDocArg(args.head, env)
+        val names = args(2) match {
+          case SeqCtor(Seq()) => None
+          case other => Some(litStr(other, "names").split(";").toSet)
+        }
+        docWalkSeq(store, tuples, c, d,
+          json => JsonPath.walkNames(json, names))
       case "jn:scan-cas-index" =>
         // typed-value scan: nodes at the path whose SCALAR value
         // satisfies the comparison (reference jn:scan-cas-index)

@@ -274,4 +274,48 @@ class JsonNestingSpec extends SparkSpec {
     assert(cas.map(h => (h.json, h.path, h.parentPath)) ==
       Seq(("2", "", "/a/[]")), cas)
   }
+
+  test("scan-name-index (testCreateAndScanNameIndex — paths own-concrete)") {
+    // The reference's pinned output shows same-name key nodes SHARING a
+    // path-summary entry — e.g. two hits printed
+    // '/sirix/[0]/revision/tada/[0]/foo' while '/sirix/[0]/revision/foo'
+    // never prints at all — a node-store artifact with no value-model
+    // analog. This replay pins the semantic content of the same query
+    // run VERBATIM: the same 7 hits, every hit at revision 2 (the index
+    // creation's sdb:commit), each with its OWN concrete path.
+    val dir = "testCreateAndScanNameIndex"
+    if (!Files.isDirectory(Paths.get(s"$Res/$dir")))
+      cancel(s"reference corpus dir $dir not present")
+    val st = new JsoniqRun.Store(spark,
+      Files.createTempDirectory("graft-jnest").toString)
+    val uri = Paths.get(s"$Res/$dir/multiple-revisions.json").toUri.toString
+    JsoniqRun.serialize(st, s"jn:load('json-path1','mydoc.jn','$uri')")
+    JsoniqRun.serialize(st,
+      """let $doc := jn:doc('json-path1','mydoc.jn') let $stats := jn:create-name-index($doc, ('foo','bar')) return {"revision": sdb:commit($doc)}""")
+    val got = JsoniqRun.serialize(st,
+      """let $doc := jn:doc('json-path1','mydoc.jn')
+        |let $nameIndexNumber := jn:find-name-index($doc, 'foo')
+        |for $node in jn:scan-name-index($doc, $nameIndexNumber, 'foo')
+        |order by sdb:revision($node), sdb:nodekey($node)
+        |return {"nodeKey": sdb:nodekey($node), "path": sdb:path($node), "revision": sdb:revision($node)}""".stripMargin)
+    import com.fasterxml.jackson.databind.ObjectMapper
+    val mapper = new ObjectMapper()
+    val parser = mapper.createParser(got)
+    val rows = Iterator.continually(parser.nextToken())
+      .takeWhile(_ != null)
+      .map(_ => mapper.readTree[com.fasterxml.jackson.databind.JsonNode](parser))
+      .toSeq
+    assert(rows.size == 7, got)
+    assert(rows.forall(_.get("revision").asInt == 2), got)
+    assert(rows.map(_.get("path").asText).sorted == Seq(
+      "/sirix/[0]/revision/foo", "/sirix/[0]/revision/tada/[0]/foo",
+      "/sirix/[1]/revision/foo", "/sirix/[1]/revision/tada/[0]/foo",
+      "/sirix/[2]/revision/foo", "/sirix/[2]/revision/tada/[0]/foo",
+      "/sirix/[2]/revision/tada/[4]/[0]/foo"), got)
+    // a name filter of every key (empty sequence): every object key in
+    // the document (34 in this fixture, independently counted)
+    assert(JsoniqRun.serialize(st,
+      """count(jn:scan-name-index(jn:doc('json-path1','mydoc.jn'), 0, ()))""")
+      == "34")
+  }
 }

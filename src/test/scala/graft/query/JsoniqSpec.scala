@@ -618,6 +618,17 @@ class JsoniqSpec extends SparkSpec {
       "count(sdb:item-history(jn:doc('c','ih.jn')))") == "4")
   }
 
+  test("j: recursive declare function fails loudly at parse, naming it") {
+    val e = intercept[Exception](JsoniqRun.serialize(freshStore(),
+      "declare function local:f($n) { local:f($n) }; local:f(1)"))
+    assert(e.getMessage.contains("recursive") &&
+      e.getMessage.contains("local:f"), e.getMessage)
+    val e2 = intercept[Exception](JsoniqRun.serialize(freshStore(),
+      "declare function local:a($n) { local:b($n) }; " +
+        "declare function local:b($n) { local:a($n) }; local:a(1)"))
+    assert(e2.getMessage.contains("recursive"), e2.getMessage)
+  }
+
   test("j: comments strip in expressions, stay literal in element content") {
     // expression position: stripped (incl. nesting, strings untouched)
     check(Nil, "(: outer (: inner :) :) 1 + 1", "2")
