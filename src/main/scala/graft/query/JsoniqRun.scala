@@ -2489,28 +2489,56 @@ object JsoniqRun {
     import Jsoniq._
     shreddedDocArgs(docE).flatMap { case (c, d, r) =>
       store.shredded(c, d, r).filter(_.columns.contains("t")).flatMap { df =>
-        import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
-        val fields = df.schema("t").dataType match {
+        import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StringType, StructType}
+        val fieldType: Map[String, DataType] = df.schema("t").dataType match {
           case st: StructType => st.fields.collect {
             case f if (f.dataType match {
               case _: StructType | _: ArrayType | _: MapType => false
               case _ => true
-            }) => f.name
-          }.toSet
-          case _ => Set.empty[String]
+            }) => f.name -> f.dataType
+          }.toMap
+          case _ => Map.empty
         }
-        def scalarT(x: Expr): Option[Column] = x match {
+        def fieldCol(x: Expr): Option[Column] = x match {
           // "$$" means the member only in [?pred] form (no ctxName);
           // under a for+where fusion it denotes the OUTER context item
           // — never the member's typed column
           case Deref(ContextItem, f)
-              if ctxName.isEmpty && fields(f) => Some(col(s"t.`$f`"))
+              if ctxName.isEmpty && fieldType.contains(f) =>
+            Some(col(s"t.`$f`"))
           case Deref(VarRef(n), f)
-              if ctxName.contains(n) && fields(f) => Some(col(s"t.`$f`"))
+              if ctxName.contains(n) && fieldType.contains(f) =>
+            Some(col(s"t.`$f`"))
+          case _ => None
+        }
+        def stringFieldCol(x: Expr): Option[Column] = x match {
+          case Deref(ContextItem, f)
+              if ctxName.isEmpty && fieldType.get(f).contains(StringType) =>
+            Some(col(s"t.`$f`"))
+          case Deref(VarRef(n), f)
+              if ctxName.contains(n) &&
+                fieldType.get(f).contains(StringType) =>
+            Some(col(s"t.`$f`"))
+          case _ => None
+        }
+        def scalarT(x: Expr): Option[Column] = x match {
+          case _ if fieldCol(x).isDefined => fieldCol(x)
           case NumLit(t) => Some(lit(BigDecimal(t).toDouble))
           case Unary("-", NumLit(t)) => Some(lit(-BigDecimal(t).toDouble))
           case StrLit(s) => Some(lit(s))
           case BoolLit(b) => Some(lit(b))
+          // numeric arithmetic over compiled scalars, in double — the
+          // SAME working type the comparison below uses on both paths
+          // (cmpBoolAst double-casts literal comparisons), so typed and
+          // variant answers agree. div/idiv/mod stay variant-only:
+          // their zero-divisor semantics differ between double and the
+          // exact arithCol branches.
+          case Binary(op, a, b) if Set("+", "-", "*")(op) =>
+            for (ac <- scalarT(a); bc <- scalarT(b)) yield op match {
+              case "+" => ac.try_cast("double") + bc.try_cast("double")
+              case "-" => ac.try_cast("double") - bc.try_cast("double")
+              case _ => ac.try_cast("double") * bc.try_cast("double")
+            }
           case _ => None
         }
         def go(x: Expr): Option[Column] = x match {
@@ -2521,6 +2549,14 @@ object JsoniqRun {
             for (a <- go(l); b <- go(rr))
               yield coalesce(a, lit(false)) || coalesce(b, lit(false))
           case Call("not", Seq(a)) => go(a).map(v => !coalesce(v, lit(false)))
+          // string predicates on STRING-typed columns — StringContains /
+          // StringStartsWith / StringEndsWith push into the parquet scan
+          case Call("contains" | "fn:contains", Seq(a, StrLit(s))) =>
+            stringFieldCol(a).map(_.contains(lit(s)))
+          case Call("starts-with" | "fn:starts-with", Seq(a, StrLit(s))) =>
+            stringFieldCol(a).map(_.startsWith(lit(s)))
+          case Call("ends-with" | "fn:ends-with", Seq(a, StrLit(s))) =>
+            stringFieldCol(a).map(_.endsWith(lit(s)))
           case Binary(op, l, rr)
               if Set("eq", "ne", "lt", "le", "gt", "ge")(op) =>
             for (lc <- scalarT(l); rc <- scalarT(rr))

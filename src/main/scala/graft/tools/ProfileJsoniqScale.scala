@@ -72,6 +72,14 @@ object ProfileJsoniqScale {
         println(f"shred   typed filter:   $c2 ($s2%.1fs)")
       }
     }
+    // arithmetic-where (round 11): compiles onto the typed column in
+    // double — must match the plain [?pred] time, not the variant path
+    val qa = """count(jn:doc('c','big.jn')[][?$$.w * 2 gt 1.8])"""
+    graft.query.JsoniqRun.serialize(st, qa) // warmup
+    val (cntA, aSec) = timed(graft.query.JsoniqRun.serialize(st, qa))
+    println(f"jsoniq  arith-where count: $cntA ($aSec%.1fs)")
+    require(cntA == cnt, s"arith-where disagrees: $cntA vs $cnt")
+
     if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) {
       graft.query.JsoniqRun.run(st, q).explain("formatted")
     }

@@ -98,12 +98,52 @@ class ShredStoreSpec extends SparkSpec {
     }
   }
 
+  test("arithmetic where compiles onto the typed columns (no variant read)") {
+    withShredded { st =>
+      st.store("c", "d.jn", doc)
+      assert(JsoniqRun.serialize(st,
+        "for $m in jn:doc('c','d.jn') where $m.v + 1 gt 19 return $m.v")
+        === "19 20")
+      assert(JsoniqRun.serialize(st,
+        "count(jn:doc('c','d.jn')[][?$$.v + 1 gt 19])") === "2")
+      // the count's scan reads ONLY the typed field — no variant column
+      val plan = JsoniqRun.run(st,
+        "count(jn:doc('c','d.jn')[][?$$.v + 1 gt 19])")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("struct<v:bigint>") && !plan.contains("member"),
+        plan)
+      // negated / multiplied forms
+      assert(JsoniqRun.serialize(st,
+        "count(jn:doc('c','d.jn')[][?$$.v * 2 ge 38])") === "2")
+    }
+  }
+
+  test("string predicates push into the typed scan") {
+    withShredded { st =>
+      val sdoc = (1 to 20).map(i => s"""{"v": $i, "s": "name-$i"}""")
+        .mkString("[", ",", "]")
+      st.store("c", "s.jn", sdoc)
+      assert(JsoniqRun.serialize(st,
+        "for $m in jn:doc('c','s.jn') where starts-with($m.s, 'name-2') return $m.v")
+        === "2 20")
+      assert(JsoniqRun.serialize(st,
+        "count(jn:doc('c','s.jn')[][?contains($$.s, '-1')])") === "11")
+      assert(JsoniqRun.serialize(st,
+        "count(jn:doc('c','s.jn')[][?ends-with($$.s, '0')])") === "2")
+      // StringStartsWith reaches the parquet scan as a pushed filter
+      val plan = JsoniqRun.run(st,
+        "count(jn:doc('c','s.jn')[][?starts-with($$.s, 'name-2')])")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("StringStartsWith"), plan)
+    }
+  }
+
   test("where beyond the typed subset falls back and still answers") {
     withShredded { st =>
       st.store("c", "d.jn", doc)
-      // arithmetic on the bound var is outside the typed-filter grammar
+      // division stays variant-path (zero-divisor semantics differ)
       assert(JsoniqRun.serialize(st,
-        "for $m in jn:doc('c','d.jn') where $m.v + 1 gt 19 return $m.v")
+        "for $m in jn:doc('c','d.jn') where $m.v div 2 ge 9.5 return $m.v")
         === "19 20")
     }
   }
