@@ -286,103 +286,124 @@ object JsoniqRun {
       * is already cheap and corpus semantics are unchanged (the shred
       * is a serving layout, not the source of truth). */
     private def maybeShred(path: String, rev: Int, json: String): Unit = {
-      var i = 0
-      while (i < json.length && json.charAt(i).isWhitespace) i += 1
-      if (i < json.length && json.charAt(i) == '[' &&
-          json.length >= Store.ShredMinBytes) {
-        import spark.implicits._
+      if (json.length < Store.ShredMinBytes) return
+      // one driver-side O(bytes) streaming scan locates EVERY shreddable
+      // array — the root array, the large arrays of an object-rooted
+      // document (round-11: the r10 shred only fired on root arrays),
+      // and the large child lists of a stored XML document (the XmlItem
+      // encoding's `~c` arrays, addressed by element-name chain)
+      val cands = Store.shredCandidates(json)
+      if (cands.isEmpty) return
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val metaArr = mapper.createArrayNode()
+      cands.zipWithIndex.foreach { case (cand, k) =>
         // split member texts on the DRIVER (one O(bytes) scan — a
         // Spark-side explode would run the whole parse in one task and
         // re-execute it for range sampling), then parse distributed
-        val members = Store.splitTopLevelArray(json)
-        if (members.nonEmpty) {
-          import org.apache.spark.sql.Encoders
-          val base = spark.createDataset(spark.sparkContext.parallelize(
-              members.zipWithIndex.map { case (m, ix) => (ix.toLong, m) },
-              32))
-            .toDF("idx", "member_json")
-          // TYPED columns when the members share an inferrable object
-          // schema (the training-corpus shape): predicates over member
-          // fields then compile to plain parquet columns — pushed
-          // filters, column pruning, no per-row variant decode. The
-          // variant `member` column stays authoritative for everything
-          // the typed projection can't express.
-          //
-          // ONE distributed parse for the whole store (the r10 shape
-          // paid two: a spark.read.json inference scan, then the write's
-          // parse): the schema comes from a DRIVER-side spread sample
-          // (schema_of_variant_agg — the same merge the validator uses),
-          // the write parses once (parse_json; the typed column is a
-          // cast of the same subexpression), and an observe() metric
-          // aggregates the TRUE member schema during that very write.
-          // Only a sample miss (observed schema != sampled) pays a
-          // second typed-projection pass — with the exact schema.
-          def aggSchema(df: DataFrame): Option[String] =
-            scala.util.Try(
-              df.select(expr(
-                "schema_of_variant_agg(try_parse_json(member_json))"))
-                .head.getString(0)).toOption.filter(_ != null)
-          // variant schema -> Spark struct DDL, mapped to the JSON-
-          // inference types the typed filter expects: fractional
-          // decimals widen to DOUBLE (double-literal comparisons then
-          // stay cast-free and PUSH DOWN), all-null fields to STRING
-          // (parquet cannot write the null type)
-          def ddlOf(vs: String): Option[String] =
-            if (vs == null || !vs.startsWith("OBJECT<")) None
-            else Some(vs.replace("OBJECT<", "STRUCT<")
-              .replaceAll("DECIMAL\\(\\d+,\\s*\\d+\\)", "DOUBLE")
-              .replaceAll("\\bVOID\\b", "STRING"))
-          def projected(ddl: Option[String]): DataFrame = ddl match {
-            case Some(d) => base.select(col("idx"),
-              parse_json(col("member_json")).as("member"),
-              parse_json(col("member_json")).try_cast(d).as("t"))
-            case None => base.select(col("idx"),
-              parse_json(col("member_json")).as("member"))
+        val members =
+          Store.splitTopLevelArray(json.substring(cand.start, cand.end))
+        writeMembers(s"${shredDir(path, rev)}/s$k", members,
+          typed = cand.kind == "json")
+        val e = metaArr.addObject()
+        e.put("dir", s"s$k")
+        e.put("kind", cand.kind)
+        val st = e.putArray("steps")
+        cand.steps.foreach(st.add)
+      }
+      graft.sources.MetaIO.writeStringOverwrite(
+        s"${shredDir(path, rev)}/_meta.json",
+        mapper.writeValueAsString(metaArr))
+      // commit point: a crash/kill mid-job (task outputs visible
+      // under a v2 committer) must not leave a PARTIAL member table
+      // that later sessions serve silently — readers gate on this
+      // marker, not on directory existence (the ProjectionIndex
+      // CompleteMarker discipline)
+      graft.sources.MetaIO.writeStringOverwrite(
+        s"${shredDir(path, rev)}/$ShredCompleteMarker", "{}")
+    }
+
+    /** One member table: (`idx`, `member` variant[, `t` typed]). TYPED
+      * columns when the members share an inferrable object schema (the
+      * training-corpus shape): predicates over member fields then
+      * compile to plain parquet columns — pushed filters, column
+      * pruning, no per-row variant decode. The variant `member` column
+      * stays authoritative for everything the typed projection can't
+      * express.
+      *
+      * ONE distributed parse for the whole store (the r10 shape paid
+      * two: a spark.read.json inference scan, then the write's parse):
+      * the schema comes from a DRIVER-side spread sample
+      * (schema_of_variant_agg — the same merge the validator uses), the
+      * write parses once (parse_json; the typed column is a cast of the
+      * same subexpression), and an observe() metric aggregates the TRUE
+      * member schema during that very write. Only a sample miss
+      * (observed schema != sampled) pays a second typed-projection pass
+      * — with the exact schema. XML member tables (`typed = false` —
+      * element nodes, not records) skip inference entirely. */
+    private def writeMembers(dir: String, members: Seq[String],
+                             typed: Boolean): Unit = {
+      if (members.isEmpty) return
+      import spark.implicits._
+      import org.apache.spark.sql.Encoders
+      val base = spark.createDataset(spark.sparkContext.parallelize(
+          members.zipWithIndex.map { case (m, ix) => (ix.toLong, m) }, 32))
+        .toDF("idx", "member_json")
+      def aggSchema(df: DataFrame): Option[String] =
+        scala.util.Try(
+          df.select(expr(
+            "schema_of_variant_agg(try_parse_json(member_json))"))
+            .head.getString(0)).toOption.filter(_ != null)
+      // variant schema -> Spark struct DDL, mapped to the JSON-
+      // inference types the typed filter expects: fractional decimals
+      // widen to DOUBLE (double-literal comparisons then stay cast-free
+      // and PUSH DOWN), all-null fields to STRING (parquet cannot
+      // write the null type)
+      def ddlOf(vs: String): Option[String] =
+        if (vs == null || !vs.startsWith("OBJECT<")) None
+        else Some(vs.replace("OBJECT<", "STRUCT<")
+          .replaceAll("DECIMAL\\(\\d+,\\s*\\d+\\)", "DOUBLE")
+          .replaceAll("\\bVOID\\b", "STRING"))
+      def projected(ddl: Option[String]): DataFrame = ddl match {
+        case Some(d) => base.select(col("idx"),
+          parse_json(col("member_json")).as("member"),
+          parse_json(col("member_json")).try_cast(d).as("t"))
+        case None => base.select(col("idx"),
+          parse_json(col("member_json")).as("member"))
+      }
+      // spread sample by ITERATION — indexed access into the member
+      // Seq is O(n) per element (measured 6.7 s of a 9 s store)
+      val step = math.max(1, members.size / 2048)
+      val sampleDdl =
+        if (!typed) None
+        else aggSchema(spark.createDataset(
+            members.iterator.grouped(step).map(_.head).take(4096).toSeq)(
+            Encoders.STRING).toDF("member_json"))
+          .flatMap(ddlOf)
+      val validated: Boolean = sampleDdl match {
+        case None =>
+          // not uniformly object-shaped (or an XML child list): no
+          // typed projection, nothing to validate — variant rows are
+          // authoritative
+          projected(None).write.mode("overwrite").parquet(dir)
+          true
+        case Some(ddl) => scala.util.Try {
+          val obs = org.apache.spark.sql.Observation()
+          projected(Some(ddl))
+            .observe(obs, expr("schema_of_variant_agg(member)").as("vs"))
+            .write.mode("overwrite").parquet(dir)
+          val fullDdl = ddlOf(obs.get("vs").asInstanceOf[String])
+          if (fullDdl != Some(ddl)) {
+            // sample missed fields/types — one corrective pass with
+            // the exact observed schema (or drop `t` entirely)
+            projected(fullDdl).write.mode("overwrite").parquet(dir)
           }
-          // spread sample by ITERATION — indexed access into the member
-          // Seq is O(n) per element (measured 6.7 s of a 9 s store)
-          val step = math.max(1, members.size / 2048)
-          val sampleDdl = aggSchema(spark.createDataset(
-              members.iterator.grouped(step).map(_.head).take(4096).toSeq)(
-              Encoders.STRING).toDF("member_json"))
-            .flatMap(ddlOf)
-          val validated: Boolean = sampleDdl match {
-            case None =>
-              // not uniformly object-shaped: no typed projection, so
-              // nothing to validate — variant rows are authoritative
-              projected(None).write.mode("overwrite")
-                .parquet(shredDir(path, rev))
-              true
-            case Some(ddl) => scala.util.Try {
-              val obs = org.apache.spark.sql.Observation()
-              projected(Some(ddl))
-                .observe(obs, expr("schema_of_variant_agg(member)")
-                  .as("vs"))
-                .write.mode("overwrite").parquet(shredDir(path, rev))
-              val fullDdl =
-                ddlOf(obs.get("vs").asInstanceOf[String])
-              if (fullDdl != Some(ddl)) {
-                // sample missed fields/types — one corrective pass with
-                // the exact observed schema (or drop `t` entirely)
-                projected(fullDdl).write.mode("overwrite")
-                  .parquet(shredDir(path, rev))
-              }
-            }.isSuccess
-          }
-          if (!validated) {
-            // observe/typed path unavailable: exact two-job fallback
-            // (full-data schema aggregate, then the projection write)
-            projected(aggSchema(base).flatMap(ddlOf))
-              .write.mode("overwrite").parquet(shredDir(path, rev))
-          }
-          // commit point: a crash/kill mid-job (task outputs visible
-          // under a v2 committer) must not leave a PARTIAL member table
-          // that later sessions serve silently — readers gate on this
-          // marker, not on directory existence (the ProjectionIndex
-          // CompleteMarker discipline)
-          graft.sources.MetaIO.writeStringOverwrite(
-            s"${shredDir(path, rev)}/$ShredCompleteMarker", "{}")
-        }
+        }.isSuccess
+      }
+      if (!validated) {
+        // observe/typed path unavailable: exact two-job fallback
+        // (full-data schema aggregate, then the projection write)
+        projected(aggSchema(base).flatMap(ddlOf))
+          .write.mode("overwrite").parquet(dir)
       }
     }
 
@@ -408,19 +429,58 @@ object JsoniqRun {
           graft.sources.MetaIO.exists(
             s"${shredDir(path, r)}/$ShredCompleteMarker")))
     }
-    private val shredDfCache =
-      scala.collection.concurrent.TrieMap.empty[(String, Int), DataFrame]
-    private[query] def shredded(collection: String, doc: String,
-                                rev: Option[Int]): Option[DataFrame] =
-      if (!shredExists(collection, doc, rev)) None
+    /** One shredded member table of a revision: a relative `dir` under
+      * the revision's shred root, its `kind` ("json" field chains /
+      * "xml" element chains), and the step path it serves. */
+    private[query] final case class ShredEntry(dir: String, kind: String,
+                                               steps: List[String])
+    private val shredMetaCache = scala.collection.concurrent.TrieMap
+      .empty[(String, Int), Seq[ShredEntry]]
+    /** The revision's shred manifest (empty when not shredded).
+      * Legacy layout (pre-round-11: parquet directly under the shred
+      * root, no manifest) reads as a single root-array entry. */
+    private[query] def shredEntries(collection: String, doc: String,
+                                    rev: Option[Int]): Seq[ShredEntry] =
+      if (!shredExists(collection, doc, rev)) Nil
       else {
         val path = docPath(collection, doc)
         val r = resolveRev(path, rev).get
-        // revisions are immutable — reuse the DataFrame (compile-time
-        // guards probe shreds repeatedly; one footer read each is waste)
-        Some(shredDfCache.getOrElseUpdate((path, r),
-          spark.read.parquet(shredDir(path, r))))
+        shredMetaCache.getOrElseUpdate((path, r), {
+          val metaPath = s"${shredDir(path, r)}/_meta.json"
+          if (!graft.sources.MetaIO.exists(metaPath))
+            Seq(ShredEntry("", "json", Nil))
+          else {
+            val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+            val arr = mapper.readTree(graft.sources.MetaIO.readString(metaPath))
+            import scala.jdk.CollectionConverters._
+            arr.elements().asScala.map { e =>
+              ShredEntry(e.get("dir").asText(), e.get("kind").asText(),
+                e.get("steps").elements().asScala.map(_.asText()).toList)
+            }.toSeq
+          }
+        })
       }
+    private val shredDfCache =
+      scala.collection.concurrent.TrieMap.empty[(String, Int, String), DataFrame]
+    /** The member DataFrame behind one manifest entry. Revisions are
+      * immutable — the frame is reused (compile-time guards probe shreds
+      * repeatedly; one footer read each is waste). */
+    private[query] def readShredEntry(collection: String, doc: String,
+                                      rev: Option[Int],
+                                      entry: ShredEntry): DataFrame = {
+      val path = docPath(collection, doc)
+      val r = resolveRev(path, rev).get
+      val dir = if (entry.dir.isEmpty) shredDir(path, r)
+        else s"${shredDir(path, r)}/${entry.dir}"
+      shredDfCache.getOrElseUpdate((path, r, entry.dir),
+        spark.read.parquet(dir))
+    }
+    /** The ROOT-ARRAY member table (the original serving surface). */
+    private[query] def shredded(collection: String, doc: String,
+                                rev: Option[Int]): Option[DataFrame] =
+      shredEntries(collection, doc, rev)
+        .find(e => e.kind == "json" && e.steps.isEmpty)
+        .map(readShredEntry(collection, doc, rev, _))
     private[query] def doc(collection: String, doc: String,
                            revision: Option[Int]): DataFrame =
       graft.sources.TemporalTable
@@ -443,6 +503,136 @@ object JsoniqRun {
       * Overridable for tests via -Dgraft.shred.min. */
     def ShredMinBytes: Int =
       sys.props.get("graft.shred.min").map(_.toInt).getOrElse(1 << 22)
+
+    /** One shreddable array found by [[shredCandidates]]: `kind` is
+      * "json" (reachable from the root through object FIELDS only —
+      * `steps` are the field names; empty = the root array) or "xml"
+      * (an element's `~c` child list in the [[XmlItem]] encoding —
+      * `steps` are the element names from the root element down).
+      * `[start, end)` is the array's character span in the source. */
+    private[query] final case class ShredCandidate(
+        kind: String, steps: List[String], start: Int, end: Int,
+        count: Int)
+
+    /** ONE driver-side streaming pass (no tree) over a stored document
+      * locating every shreddable array: the root array, large arrays of
+      * an object-rooted document, and large XML child lists. Selection:
+      * span >= ShredMinBytes and (root, or >= 16 members — a 6-element
+      * XML category list spanning the whole document distributes
+      * nothing); chains must be UNIQUE (two arrays at the same path are
+      * not addressable); top 12 by span. */
+    private[query] def shredCandidates(json: String): Seq[ShredCandidate] = {
+      import com.fasterxml.jackson.core.{JsonFactory, JsonToken}
+      val parser = new JsonFactory().createParser(json)
+      // open-container frames, top of list = innermost. Each knows HOW
+      // it was entered (root / a parent object's field / array member);
+      // object frames track their in-flight field name and id.
+      sealed trait Via
+      case object VRoot extends Via
+      final case class VField(f: String) extends Via
+      case object VMember extends Via
+      sealed trait Fr { def via: Via }
+      final class OFr(val id: Int, val via: Via) extends Fr {
+        var field: String = null
+      }
+      final class AFr(val rec: Rec, val via: Via) extends Fr
+      // ancestry snapshot per candidate: ("O"|"A", via, objId)
+      final case class Rec(anc: List[(String, Via, Int)], via: Via,
+                           start: Int, var end: Int = -1,
+                           var count: Int = 0)
+      var stack = List.empty[Fr]
+      val objName = scala.collection.mutable.Map.empty[Int, String]
+      val recs = scala.collection.mutable.ArrayBuffer.empty[Rec]
+      var nextObj = 0
+      def via(): Via = stack.headOption match {
+        case None => VRoot
+        case Some(o: OFr) => VField(o.field)
+        case Some(_: AFr) => VMember
+      }
+      def countChild(): Unit = stack.headOption match {
+        case Some(a: AFr) => a.rec.count += 1
+        case _ => ()
+      }
+      def ancestry(): List[(String, Via, Int)] = stack.reverse.map {
+        case o: OFr => ("O", o.via, o.id)
+        case a: AFr => ("A", a.via, -1)
+      }
+      var tok = parser.nextToken()
+      while (tok != null) {
+        tok match {
+          case JsonToken.FIELD_NAME =>
+            stack.head.asInstanceOf[OFr].field = parser.currentName()
+          case JsonToken.START_OBJECT =>
+            countChild()
+            stack = new OFr(nextObj, via()) :: stack
+            nextObj += 1
+          case JsonToken.END_OBJECT => stack = stack.tail
+          case JsonToken.START_ARRAY =>
+            countChild()
+            val r = Rec(ancestry(), via(),
+              parser.currentTokenLocation().getCharOffset.toInt)
+            recs += r
+            stack = new AFr(r, r.via) :: stack
+          case JsonToken.END_ARRAY =>
+            stack.head.asInstanceOf[AFr].rec.end =
+              parser.currentTokenLocation().getCharOffset.toInt + 1
+            stack = stack.tail
+          case JsonToken.VALUE_STRING =>
+            stack.headOption match {
+              case Some(o: OFr) if o.field == "~n" =>
+                objName.getOrElseUpdate(o.id, parser.getText)
+              case _ => ()
+            }
+            countChild()
+          case t if t.isScalarValue => countChild()
+          case _ => ()
+        }
+        tok = parser.nextToken()
+      }
+      def classify(r: Rec): Option[ShredCandidate] =
+        if (r.anc.forall(_._1 == "O")) r.via match {
+          // fields-only chain: an object-rooted document's array (the
+          // root array is the empty chain). XmlItem housekeeping fields
+          // never address a JSON chain.
+          case VRoot => Some(ShredCandidate("json", Nil, r.start, r.end,
+            r.count))
+          case VField(f) =>
+            val names = r.anc.collect {
+              case ("O", VField(pf), _) => pf } :+ f
+            if (names.exists(_.startsWith("~"))) None
+            else Some(ShredCandidate("json", names, r.start, r.end,
+              r.count))
+          case VMember => None
+        } else r.via match {
+          // element chain: O(root) [A(~c) O(member)]* then this ~c —
+          // the candidate is the LAST element's child list, steps are
+          // the ~n names of the member elements on the way down
+          case VField("~c") =>
+            val shapeOk = r.anc.zipWithIndex.forall {
+              case (("O", VRoot, _), 0) => true
+              case (("A", VField("~c"), _), i) => i % 2 == 1
+              case (("O", VMember, _), i) => i % 2 == 0 && i > 0
+              case _ => false
+            }
+            if (!shapeOk || r.anc.isEmpty || r.anc.last._1 != "O") None
+            else {
+              val names = r.anc.collect {
+                case ("O", VMember, id) => objName.getOrElse(id, "")
+              }
+              if (names.exists(_.isEmpty)) None
+              else Some(ShredCandidate("xml", names, r.start, r.end,
+                r.count))
+            }
+          case _ => None
+        }
+      val sel = recs.iterator.flatMap(classify)
+        .filter(c => (c.end - c.start) >= ShredMinBytes &&
+          (c.count >= 16 || (c.kind == "json" && c.steps.isEmpty)))
+        .toSeq
+      sel.groupBy(c => (c.kind, c.steps)).collect {
+        case (_, Seq(one)) => one
+      }.toSeq.sortBy(c => c.start - c.end).take(12)
+    }
 
     /** Raw member texts of a top-level JSON array (depth/str-aware
       * scanner; no tree build). Nil when the input is not an array. */
@@ -639,6 +829,13 @@ object JsoniqRun {
         case DescendantDeref(base, field) =>
           walkJoin(evalSeq(store, base, tuples, env), walkCollect(_, field))
         // -- XPath-lite steps over the XmlItem encoding --
+        case ChildStep(_, _) if shreddedDocMembers(store, e).isDefined =>
+          // XML child-step chain over a stored document whose element
+          // child list is shredded ($doc/site/people/person): the
+          // member table IS the step's sequence — distributed, never
+          // one whole-document variant walk
+          attachToTuples(shreddedDocMembers(store, e).get._1,
+            tuples, env)
         case ChildStep(base, name) =>
           val kids = explodeChildren(evalSeq(store, base, tuples, env))
           kids.filter(expr(s"schema_of_variant($ITEM)").startsWith("OBJECT") &&
@@ -663,10 +860,12 @@ object JsoniqRun {
           attachToTuples(shreddedTypedFilter(store, dc, pred).get,
             tuples, env)
         case Unbox(base) if shreddedDocMembers(store, base).isDefined =>
-          // shredded root-array document: serve members from the member
-          // table (distributed) instead of exploding one multi-MB
-          // variant row in a single task. Tuples are the small side.
-          attachToTuples(shreddedDocMembers(store, base).get, tuples, env)
+          // shredded array (root or an object-rooted document's field
+          // chain): serve members from the member table (distributed)
+          // instead of exploding one multi-MB variant row in a single
+          // task. Tuples are the small side.
+          attachToTuples(shreddedDocMembers(store, base).get._1,
+            tuples, env)
         case Unbox(base) =>
           val b = evalSeq(store, base, tuples, env)
             .withColumn("__arr", expr(s"try_cast($ITEM as array<variant>)"))
@@ -837,6 +1036,11 @@ object JsoniqRun {
                   shreddedTypedFilter(store, inE, w, ctxName = Some(v))
                 case _ => None
               }
+              // shredBound: the idx-derived ordinal shortcut is sound
+              // (member rows == binding sequence — root/field-chain
+              // arrays and the fused where). A trailing element-name
+              // filter (XML person steps) serves from the shred but
+              // must window-rank ordinals.
               var shredBound = false
               var s = fusedWhere match {
                 case Some(members) =>
@@ -844,12 +1048,12 @@ object JsoniqRun {
                   shredBound = true
                   cur.crossJoin(members)
                 case None => shreddedDocMembers(store, inE) match {
-                case Some(members) =>
-                  // shredded root-array document: the member table IS
+                case Some((members, pure)) =>
+                  // shredded array / element list: the member table IS
                   // the itemized source, already one row per member and
                   // partitioned — attach without a broadcast hint (its
                   // size is data-bound; tuples here are the small side)
-                  shredBound = true
+                  shredBound = pure
                   cur.crossJoin(members)
                 case None => decorrelated match {
                 case Some(sc) =>
@@ -2447,15 +2651,67 @@ object JsoniqRun {
     Jsoniq.exprAny(e)(x => shreddedDocArgs(x).exists {
       case (c, d, r) => store.shredExists(c, d, r) })
 
-  /** Shredded member tuples of a literal `jn:doc` source: one row per
-    * top-level array member, POS = [0, idx] (the document's position
-    * level + one member level — exactly the Unbox/itemize shape), ITEM =
-    * the member. None when the resolved revision has no shred. */
-  private def shreddedDocMembers(store: Store,
-                                 e: Jsoniq.Expr): Option[DataFrame] =
-    shreddedDocArgs(e).flatMap { case (c, d, r) =>
-      store.shredded(c, d, r).map(_.select(
-        array(lit(0L), col("idx")).as(POS), col("member").as(ITEM)))
+  /** Decompose a deref / child-step chain over a literal `jn:doc`
+    * source: the document plus the steps above it, Left = object field
+    * (JSON), Right = element name (XML child step). */
+  private def docChain(e: Jsoniq.Expr)
+      : Option[((String, String, Option[Int]),
+                List[Either[String, String]])] =
+    shreddedDocArgs(e) match {
+      case Some(dd) => Some((dd, Nil))
+      case None => e match {
+        case Jsoniq.Deref(b, f) =>
+          docChain(b).map { case (dd, st) => (dd, st :+ Left(f)) }
+        case Jsoniq.ChildStep(b, n) =>
+          docChain(b).map { case (dd, st) => (dd, st :+ Right(n)) }
+        case _ => None
+      }
+    }
+
+  /** The member table whose manifest path serves this chain. The
+    * Boolean is PURE: the member rows ARE the expression's sequence
+    * (false = a trailing element-name filter was applied, so member
+    * indexes are not binding ordinals). */
+  private def shreddedChainSource(store: Store, e: Jsoniq.Expr)
+      : Option[(DataFrame, Boolean)] =
+    docChain(e).flatMap { case ((c, d, r), steps) =>
+      val entries = store.shredEntries(c, d, r)
+      if (entries.isEmpty) None
+      else if (steps.forall(_.isLeft)) {
+        val names = steps.collect { case Left(f) => f }
+        entries.find(en => en.kind == "json" && en.steps == names)
+          .map(en => (store.readShredEntry(c, d, r, en), true))
+      } else if (steps.forall(_.isRight)) {
+        // an element chain serves only in TRAILING-NAME form: the
+        // manifest path names a parent whose CHILD LIST is the table,
+        // and the last step filters those children by element name
+        // ($doc/site/people/person over the [site, people] entry). A
+        // chain equal to an entry denotes the parent element ITSELF —
+        // not its children — and stays on the walk path.
+        val names = steps.collect { case Right(n) => n }
+        if (names.isEmpty) None
+        else entries
+          .find(en => en.kind == "xml" && en.steps == names.init)
+          .map { en =>
+            val df = store.readShredEntry(c, d, r, en)
+            (df.filter(
+              schema_of_variant(col("member")).startsWith("OBJECT") &&
+                variant_get(col("member"), "$['~n']", "string")
+                  === names.last), false)
+          }
+      } else None
+    }
+
+  /** Shredded member tuples of a doc chain: one row per member,
+    * POS = [0, idx] (the document's position level + one member level —
+    * exactly the Unbox/itemize shape), ITEM = the member. The Boolean
+    * is [[shreddedChainSource]]'s PURE flag. None when the resolved
+    * revision has no shred serving the chain. */
+  private def shreddedDocMembers(store: Store, e: Jsoniq.Expr)
+      : Option[(DataFrame, Boolean)] =
+    shreddedChainSource(store, e).map { case (df, pure) =>
+      (df.select(array(lit(0L), col("idx")).as(POS),
+        col("member").as(ITEM)), pure)
     }
 
   /** Attach a distributed (POS, ITEM) source to the tuple stream. When
@@ -2487,8 +2743,13 @@ object JsoniqRun {
                                   ctxName: Option[String] = None)
       : Option[DataFrame] = {
     import Jsoniq._
-    shreddedDocArgs(docE).flatMap { case (c, d, r) =>
-      store.shredded(c, d, r).filter(_.columns.contains("t")).flatMap { df =>
+    docChain(docE).flatMap { case ((c, d, r), steps) =>
+      (if (steps.forall(_.isLeft))
+         store.shredEntries(c, d, r).find(en => en.kind == "json" &&
+           en.steps == steps.collect { case Left(f) => f })
+           .map(store.readShredEntry(c, d, r, _))
+       else None)
+        .filter(_.columns.contains("t")).flatMap { df =>
         import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StringType, StructType}
         val fieldType: Map[String, DataType] = df.schema("t").dataType match {
           case st: StructType => st.fields.collect {

@@ -57,7 +57,7 @@ object ProfileJsoniqScale {
     require(cntF == cnt, s"for+where disagrees: $cntF vs $cnt")
 
     // decomposition: hand-built equivalents over the shred table
-    val shredDir = s"${st.baseDir}/c/big.jn/_shred/r1"
+    val shredDir = s"${st.baseDir}/c/big.jn/_shred/r1/s0"
     if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(shredDir))) {
       val sh = spark.read.parquet(shredDir)
       val (c0, s0) = timed(sh.count().toString)

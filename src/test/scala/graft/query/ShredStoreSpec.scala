@@ -38,6 +38,53 @@ class ShredStoreSpec extends SparkSpec {
     }
   }
 
+  test("object-rooted documents shred their large arrays (field chains)") {
+    withShredded { st =>
+      val obj = """{"meta": {"name": "corpus"}, "items": [""" +
+        (1 to 20).map(i => s"""{"v": $i}""").mkString(",") +
+        """], "tags": [""" +
+        (1 to 20).map(i => s""""t$i"""").mkString(",") + "]}"
+      st.store("c", "o.jn", obj)
+      // both arrays are manifest entries with their field chains
+      assert(JsoniqRun.serialize(st,
+        "count(jn:doc('c','o.jn').items[])") === "20")
+      assert(JsoniqRun.serialize(st,
+        "count(jn:doc('c','o.jn').tags[])") === "20")
+      // typed pushdown through the chain ([?pred] and for+where)
+      assert(JsoniqRun.serialize(st,
+        "count(jn:doc('c','o.jn').items[][?$$.v gt 15])") === "5")
+      assert(JsoniqRun.serialize(st,
+        "for $m in jn:doc('c','o.jn').items where $m.v gt 17 return $m.v")
+        === "18 19 20")
+      // non-shredded reads of the same document are unchanged
+      assert(JsoniqRun.serialize(st,
+        "jn:doc('c','o.jn').meta.name") === "\"corpus\"")
+    }
+  }
+
+  test("stored XML documents shred large element lists (child chains)") {
+    withShredded { st =>
+      val xml = "<site><people>" +
+        (1 to 20).map(i =>
+          s"<person><name>p$i</name><age>$i</age></person>").mkString +
+        "</people><other>x</other></site>"
+      st.storeXml("c", "a.xml", xml)
+      // the person step serves from the [site, people] member table
+      assert(JsoniqRun.serialize(st,
+        "count(jn:doc('c','a.xml')/site/people/person)") === "20")
+      // document order and per-member navigation survive
+      assert(JsoniqRun.serialize(st,
+        "for $p in jn:doc('c','a.xml')/site/people/person " +
+          "return $p/name/text()")
+        === (1 to 20).map(i => s""""p$i"""").mkString(" "))
+      // a chain naming the parent element itself stays on the walk path
+      assert(JsoniqRun.serialize(st,
+        "count(jn:doc('c','a.xml')/site/people)") === "1")
+      assert(JsoniqRun.serialize(st,
+        "count(jn:doc('c','a.xml')/site/other)") === "1")
+    }
+  }
+
   test("sample-missed fields trigger the corrective typed pass") {
     withShredded { st =>
       // 5000 members, spread-sample step 2 hits only EVEN indices; the
@@ -50,7 +97,7 @@ class ShredStoreSpec extends SparkSpec {
           else s"""{"v": $i}""")
         .mkString("[", ",", "]")
       st.store("c", "x.jn", doc)
-      val t = spark.read.parquet(s"${st.baseDir}/c/x.jn/_shred/r1")
+      val t = spark.read.parquet(s"${st.baseDir}/c/x.jn/_shred/r1/s0")
         .schema("t").dataType
         .asInstanceOf[org.apache.spark.sql.types.StructType]
       assert(t.fieldNames.toSet == Set("v", "extra"), t.treeString)
