@@ -244,6 +244,20 @@ object Jsoniq {
         }
         require(!(i + 1 < n && q(i) == '.' && q(i + 1).isDigit),
           s"unexpected '.' in number at offset $i")
+        // xs:double literals: [eE][+-]?digits (XQuery DoubleLiteral —
+        // '2.5e0', '2.05e1'); a bare 'e' not followed by an exponent
+        // stays a name token ('2e' never lexes as a number)
+        if (i < n && (q(i) == 'e' || q(i) == 'E')) {
+          val expEnd =
+            if (i + 1 < n && q(i + 1).isDigit) i + 1
+            else if (i + 2 < n && (q(i + 1) == '+' || q(i + 1) == '-') &&
+              q(i + 2).isDigit) i + 2
+            else -1
+          if (expEnd > 0) {
+            i = expEnd
+            while (i < n && q(i).isDigit) i += 1
+          }
+        }
         out += ((TNum(q.substring(j, i)), s0))
       } else if (isNameStart(c)) {
         val j = i

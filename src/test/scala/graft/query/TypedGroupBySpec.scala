@@ -513,6 +513,107 @@ class TypedGroupBySpec extends SparkSpec {
         .flatMap(num(_, "amount")).sum)
   }
 
+  // ============ numeric predicate families (SRC scan path) ============
+
+  private def countWhere(field: String, p: BigDecimal => Boolean): BigDecimal =
+    BigDecimal(mainRecs.count(r => num(r, field).exists(p)))
+
+  test("gb: doublePredicateOnDoubleColumn") {
+    // Historically TRUNCATED in the reference: `score gt 2.5` ran as
+    // `score gt 2`
+    checkNumber(s"count(for $$u in $Src where $$u.score gt 2.5 return $$u)",
+      countWhere("score", _ > 2.5))
+    checkNumber(s"count(for $$u in $Src where $$u.score le 0.5 return $$u)",
+      countWhere("score", _ <= 0.5))
+    checkNumber(s"count(for $$u in $Src where $$u.score eq 2.5 return $$u)",
+      countWhere("score", _ == 2.5))
+    checkNumber(s"count(for $$u in $Src where $$u.score ge 1.5 " +
+      s"and $$u.score lt 3.5 return $$u)",
+      countWhere("score", v => v >= 1.5 && v < 3.5))
+  }
+
+  test("gb: fractionalThresholdOnIntegerColumn") {
+    Seq[(String, BigDecimal => Boolean)](
+      ("gt 20.5", _ > 20.5), ("ge 20.5", _ >= 20.5), ("lt 20.5", _ < 20.5),
+      ("le 20.5", _ <= 20.5), ("eq 20.999", _ == 20.999), ("eq 21.0", _ == 21)
+    ).foreach { case (cond, p) =>
+      checkNumber(s"count(for $$u in $Src where $$u.age $cond return $$u)",
+        countWhere("age", p))
+    }
+  }
+
+  test("gb: doubleLiteralFormPredicates") {
+    checkNumber(s"count(for $$u in $Src where $$u.score gt 2.5e0 return $$u)",
+      countWhere("score", _ > 2.5))
+    checkNumber(s"count(for $$u in $Src where $$u.age ge 2.05e1 return $$u)",
+      countWhere("age", _ >= 20.5))
+  }
+
+  test("gb: mixedIntDoubleColumnPredicates") {
+    // the rating 3-vs-3.7 family: an integer literal over a mixed
+    // column must promote the double rows, never truncate them
+    Seq[(String, BigDecimal => Boolean)](
+      ("gt 3", _ > 3), ("le 3", _ <= 3), ("eq 3", _ == 3),
+      ("gt 3.5", _ > 3.5), ("eq 3.7", _ == 3.7)
+    ).foreach { case (cond, p) =>
+      checkNumber(s"count(for $$u in $Src where $$u.rating $cond return $$u)",
+        countWhere("rating", p))
+    }
+  }
+
+  test("gb: mixedColumnGroupByWithDoublePredicate") {
+    checkGroupBy(
+      s"for $$u in $Src where $$u.rating gt 2.5 let $$d := $$u.dept " +
+        """group by $d return {"dept": $d, "count": count($u)}""",
+      mainRecs, Seq("dept"), Seq("dept"), "count",
+      r => num(r, "rating").exists(_ > 2.5))
+  }
+
+  test("gb: doublePredicateWithAggregate") {
+    checkNumber(s"sum(for $$u in $Src where $$u.score gt 2.5 return $$u.amount)",
+      mainRecs.filter(r => num(r, "score").exists(_ > 2.5))
+        .flatMap(num(_, "amount")).sum)
+    val le15 = mainRecs.filter(r => num(r, "score").exists(_ <= 1.5))
+      .flatMap(num(_, "age"))
+    checkNumber(s"avg(for $$u in $Src where $$u.score le 1.5 return $$u.age)",
+      le15.sum / le15.size)
+  }
+
+  test("gb: sparseFieldWithDoubleThreshold") {
+    checkNumber(s"count(for $$u in $Src where $$u.bonus gt 500.5 return $$u)",
+      countWhere("bonus", _ > 500.5))
+    checkNumber(s"count(for $$u in $Src where $$u.bonus le 499.5 return $$u)",
+      countWhere("bonus", _ <= 499.5))
+  }
+
+  test("gb: negativeZeroGroupKeyMergesWithZero") {
+    // the zero family is ONE group (BigDecimal has no signed zero)
+    val st = store
+    st.store("typed-gb-db", "negzero.jn",
+      """[{"v":0},{"v":-0.0e0},{"v":0.0e0},{"v":1}]""")
+    val got = splitItems(JsoniqRun.serialize(st,
+      s"for $$u in jn:doc('typed-gb-db','negzero.jn')[] let $$v := $$u.v " +
+        """group by $v return {"v": $v, "n": count($u)}"""))
+      .map(canonItem).map(_("n")).sorted
+    assert(got == Seq("1", "3"), got)
+  }
+
+  test("gb: plateau long/double keys group by EXACT value") {
+    // above 2^53 the reference's double-image grouping is order-
+    // dependent and its vectorized path fails loud; this engine's
+    // decimal canonical keys group by exact numeric VALUE, so
+    // 9007199254740993 stays its own group and the double
+    // 9007199254740992.0e0 merges with the equal long
+    val st = store
+    st.store("typed-gb-db", "plateau.jn",
+      """[{"v":9007199254740993},{"v":9007199254740992.0e0},{"v":9007199254740992}]""")
+    val got = splitItems(JsoniqRun.serialize(st,
+      s"for $$u in jn:doc('typed-gb-db','plateau.jn')[] let $$v := $$u.v " +
+        """group by $v return {"v": $v, "n": count($u)}"""))
+      .map(canonItem).map(_("n")).sorted
+    assert(got == Seq("1", "2"), got)
+  }
+
   // ==================== count clause ====================
 
   test("gb: count clause binds 1-based tuple ordinal") {
