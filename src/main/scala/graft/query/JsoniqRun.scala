@@ -86,6 +86,12 @@ object JsoniqRun {
   private case object BigMark extends Binding
   private val BIG = "%bigstream"
 
+  /** Marker binding (under [[STOREK]]): the session's store, so the
+    * pointwise compilers can consult shred manifests without changing
+    * their signatures. */
+  private final case class StoreRef(store: Store) extends Binding
+  private val STOREK = "%storeref"
+
   /** Compile-scope static frame: a ONE-ROW stream holding the context
     * document plus every let binding derivable from static values alone.
     * A `for` whose source's free variables all resolve here is
@@ -145,7 +151,7 @@ object JsoniqRun {
             val fv = freeVars(x)
             fv.subsetOf(sc.env.keySet) && fv.intersect(shadow).isEmpty
           } && JsoniqUpdate.staticTargetIn(x, env).isEmpty &&
-            !containsShreddedDoc(store, x)
+            !containsShreddedDoc(store, x, env0)
         def bind(x: Expr): Expr = VarRef(cache.getOrElseUpdate(x, {
           val s2 = evalSeq(store, x, sc.base, sc.env + (STATIC -> sc))
           val scn = gensym("h")
@@ -712,7 +718,8 @@ object JsoniqRun {
     contextJson match {
       case None =>
         evalSeq(store, ast, base,
-          Map(STATIC -> StaticCtx(base, Map.empty)))
+          Map(STOREK -> StoreRef(store),
+            STATIC -> StaticCtx(base, Map.empty)))
       case Some(json) =>
         import store.spark.implicits._
         val cn = gensym("ctx")
@@ -721,7 +728,8 @@ object JsoniqRun {
         val based = base.crossJoin(broadcast(doc))
         val sEnv = Map[String, Binding]("$$" -> ItemVar(cn))
         evalSeq(store, ast, based,
-          sEnv + (STATIC -> StaticCtx(based, sEnv)))
+          sEnv + (STOREK -> StoreRef(store)) +
+            (STATIC -> StaticCtx(based, sEnv)))
     }
   }
 
@@ -829,12 +837,13 @@ object JsoniqRun {
         case DescendantDeref(base, field) =>
           walkJoin(evalSeq(store, base, tuples, env), walkCollect(_, field))
         // -- XPath-lite steps over the XmlItem encoding --
-        case ChildStep(_, _) if shreddedDocMembers(store, e).isDefined =>
+        case ChildStep(_, _)
+            if shreddedDocMembers(store, e, env).isDefined =>
           // XML child-step chain over a stored document whose element
           // child list is shredded ($doc/site/people/person): the
           // member table IS the step's sequence — distributed, never
           // one whole-document variant walk
-          attachToTuples(shreddedDocMembers(store, e).get._1,
+          attachToTuples(shreddedDocMembers(store, e, env).get._1,
             tuples, env)
         case ChildStep(base, name) =>
           val kids = explodeChildren(evalSeq(store, base, tuples, env))
@@ -853,18 +862,19 @@ object JsoniqRun {
           walkJoin(evalSeq(store, base, tuples, env),
             XmlItem.walkElements(_, name))
         case FilterPred(Unbox(dc), pred)
-            if shreddedTypedFilter(store, dc, pred).isDefined =>
+            if shreddedTypedFilter(store, dc, pred, env).isDefined =>
           // typed-shred fast path: the predicate runs on plain parquet
           // columns BEFORE members materialize as variants — pushed
           // filters + column pruning, the direct-DataFrame plan
-          attachToTuples(shreddedTypedFilter(store, dc, pred).get,
+          attachToTuples(shreddedTypedFilter(store, dc, pred, env).get,
             tuples, env)
-        case Unbox(base) if shreddedDocMembers(store, base).isDefined =>
+        case Unbox(base)
+            if shreddedDocMembers(store, base, env).isDefined =>
           // shredded array (root or an object-rooted document's field
           // chain): serve members from the member table (distributed)
           // instead of exploding one multi-MB variant row in a single
           // task. Tuples are the small side.
-          attachToTuples(shreddedDocMembers(store, base).get._1,
+          attachToTuples(shreddedDocMembers(store, base, env).get._1,
             tuples, env)
         case Unbox(base) =>
           val b = evalSeq(store, base, tuples, env)
@@ -942,7 +952,7 @@ object JsoniqRun {
               Jsoniq.children(x).map(ctxRefs).sum
           boolOf(pred, lamEnv + ("$$" -> LambdaItem(lit(0)))) match {
             case Some(_) if ctxRefs(pred) > 1 &&
-                containsShreddedDoc(store, base) =>
+                containsShreddedDoc(store, base, env) =>
               // multi-reference predicate over a shredded document: the
               // ITEM column is an INLINE parse_json(member_json) that
               // CollapseProject would duplicate into every reference
@@ -1033,7 +1043,8 @@ object JsoniqRun {
               // where-survivors.
               val fusedWhere = clauseSeq.lift(ci + 1) match {
                 case Some(WhereClause(w)) =>
-                  shreddedTypedFilter(store, inE, w, ctxName = Some(v))
+                  shreddedTypedFilter(store, inE, w, curEnv,
+                    ctxName = Some(v))
                 case _ => None
               }
               // shredBound: the idx-derived ordinal shortcut is sound
@@ -1047,7 +1058,7 @@ object JsoniqRun {
                   skipNext = true
                   shredBound = true
                   cur.crossJoin(members)
-                case None => shreddedDocMembers(store, inE) match {
+                case None => shreddedDocMembers(store, inE, curEnv) match {
                 case Some((members, pure)) =>
                   // shredded array / element list: the member table IS
                   // the itemized source, already one row per member and
@@ -1079,7 +1090,7 @@ object JsoniqRun {
                   // the joined stream more than once and would re-run
                   // the whole pipeline per branch) and broadcast.
                   val bigSide = containsScanCall(inE) ||
-                    containsShreddedDoc(store, inE)
+                    containsShreddedDoc(store, inE, curEnv)
                   val proj =
                     if (bigSide) proj0 else proj0.localCheckpoint(false)
                   cur.crossJoin(if (bigSide) proj else broadcast(proj))
@@ -1133,7 +1144,8 @@ object JsoniqRun {
               boundHere = (boundHere :+ v) ++ posVar
               // a data-bound source joined into the stream makes every
               // DOWNSTREAM tuple stream non-driver-bounded
-              if (containsScanCall(inE) || containsShreddedDoc(store, inE))
+              if (containsScanCall(inE) ||
+                  containsShreddedDoc(store, inE, curEnv))
                 curEnv = curEnv + (BIG -> BigMark)
             case LetClause(v, valueE0) =>
               val (valueE, cur1, env1) = hoistStatic(store, valueE0, cur, curEnv)
@@ -1172,7 +1184,7 @@ object JsoniqRun {
               val newStatic = staticCtxOf(curEnv) match {
                 case Some(sc)
                     if Jsoniq.freeVars(valueE).subsetOf(sc.env.keySet) &&
-                      !containsShreddedDoc(store, valueE) =>
+                      !containsShreddedDoc(store, valueE, curEnv) =>
                   val s2 = evalSeq(store, valueE, sc.base,
                     sc.env + (STATIC -> sc))
                   val scn = gensym(s"t_$v")
@@ -1930,6 +1942,16 @@ object JsoniqRun {
   private def pointwiseSeq(e: Jsoniq.Expr,
                            env: Map[String, Binding]): Option[Column] = {
     import Jsoniq._
+    // expressions over SHREDDED documents (directly or through a
+    // let-bound handle) must not compile in-row: the member table is
+    // arbitrarily large — that's why it was shredded — and an in-row
+    // array would funnel it through one task. Declining here routes
+    // them to the row machinery's member-table serving.
+    env.get(STOREK) match {
+      case Some(StoreRef(st)) if containsShreddedDoc(st, e, env) =>
+        return None
+      case _ => ()
+    }
     def fl(bs: Column, f: Column => Column): Column =
       flatten(transform(bs, f))
     def one(c: Column): Column = filter(array(c), y => y.isNotNull)
@@ -2647,23 +2669,43 @@ object JsoniqRun {
     * expressions must stay ROW-wise and must NOT be hoisted/aggregated
     * into an in-row array — the member table can be arbitrarily large
     * (that's why it was shredded). */
-  private def containsShreddedDoc(store: Store, e: Jsoniq.Expr): Boolean =
-    Jsoniq.exprAny(e)(x => shreddedDocArgs(x).exists {
-      case (c, d, r) => store.shredExists(c, d, r) })
+  private def containsShreddedDoc(store: Store, e: Jsoniq.Expr,
+                                  env: Map[String, Binding] = Map.empty)
+      : Boolean =
+    Jsoniq.exprAny(e) {
+      case x if shreddedDocArgs(x).exists {
+            case (c, d, r) => store.shredExists(c, d, r) } => true
+      // a let-bound document handle ($auction := jn:doc(...)) carries
+      // its static target — uses through the variable count too
+      case Jsoniq.VarRef(n) => env.get(n) match {
+        case Some(SeqVar(_, Some(st))) =>
+          store.shredExists(st.collection, st.doc, None)
+        case _ => false
+      }
+      case _ => false
+    }
 
   /** Decompose a deref / child-step chain over a literal `jn:doc`
     * source: the document plus the steps above it, Left = object field
     * (JSON), Right = element name (XML child step). */
-  private def docChain(e: Jsoniq.Expr)
+  private def docChain(e: Jsoniq.Expr, env: Map[String, Binding])
       : Option[((String, String, Option[Int]),
                 List[Either[String, String]])] =
     shreddedDocArgs(e) match {
       case Some(dd) => Some((dd, Nil))
       case None => e match {
+        case Jsoniq.VarRef(n) => env.get(n) match {
+          // a let-bound static document handle: its own field steps
+          // become leading chain steps ($auction := jn:doc(...))
+          case Some(SeqVar(_, Some(st))) if st.steps.forall(_.isLeft) =>
+            Some(((st.collection, st.doc, None),
+              st.steps.collect { case Left(f) => Left(f) }))
+          case _ => None
+        }
         case Jsoniq.Deref(b, f) =>
-          docChain(b).map { case (dd, st) => (dd, st :+ Left(f)) }
+          docChain(b, env).map { case (dd, st) => (dd, st :+ Left(f)) }
         case Jsoniq.ChildStep(b, n) =>
-          docChain(b).map { case (dd, st) => (dd, st :+ Right(n)) }
+          docChain(b, env).map { case (dd, st) => (dd, st :+ Right(n)) }
         case _ => None
       }
     }
@@ -2672,9 +2714,10 @@ object JsoniqRun {
     * Boolean is PURE: the member rows ARE the expression's sequence
     * (false = a trailing element-name filter was applied, so member
     * indexes are not binding ordinals). */
-  private def shreddedChainSource(store: Store, e: Jsoniq.Expr)
+  private def shreddedChainSource(store: Store, e: Jsoniq.Expr,
+                                  env: Map[String, Binding])
       : Option[(DataFrame, Boolean)] =
-    docChain(e).flatMap { case ((c, d, r), steps) =>
+    docChain(e, env).flatMap { case ((c, d, r), steps) =>
       val entries = store.shredEntries(c, d, r)
       if (entries.isEmpty) None
       else if (steps.forall(_.isLeft)) {
@@ -2707,9 +2750,10 @@ object JsoniqRun {
     * exactly the Unbox/itemize shape), ITEM = the member. The Boolean
     * is [[shreddedChainSource]]'s PURE flag. None when the resolved
     * revision has no shred serving the chain. */
-  private def shreddedDocMembers(store: Store, e: Jsoniq.Expr)
+  private def shreddedDocMembers(store: Store, e: Jsoniq.Expr,
+                                 env: Map[String, Binding])
       : Option[(DataFrame, Boolean)] =
-    shreddedChainSource(store, e).map { case (df, pure) =>
+    shreddedChainSource(store, e, env).map { case (df, pure) =>
       (df.select(array(lit(0L), col("idx")).as(POS),
         col("member").as(ITEM)), pure)
     }
@@ -2740,10 +2784,11 @@ object JsoniqRun {
     * predicate uses anything beyond field/literal comparisons+logic. */
   private def shreddedTypedFilter(store: Store, docE: Jsoniq.Expr,
                                   pred: Jsoniq.Expr,
+                                  env: Map[String, Binding],
                                   ctxName: Option[String] = None)
       : Option[DataFrame] = {
     import Jsoniq._
-    docChain(docE).flatMap { case ((c, d, r), steps) =>
+    docChain(docE, env).flatMap { case ((c, d, r), steps) =>
       (if (steps.forall(_.isLeft))
          store.shredEntries(c, d, r).find(en => en.kind == "json" &&
            en.steps == steps.collect { case Left(f) => f })

@@ -85,6 +85,36 @@ class ShredStoreSpec extends SparkSpec {
     }
   }
 
+  test("let-bound document handles serve chains from the shred") {
+    withShredded { st =>
+      val obj = """{"items": [""" +
+        (1 to 20).map(i => s"""{"v": $i}""").mkString(",") + "]}"
+      st.store("c", "lh.jn", obj)
+      // the chain resolves THROUGH the let's static target; the
+      // pointwise compiler declines (in-row would funnel the member
+      // table through one task) and the row machinery serves members
+      assert(JsoniqRun.serialize(st,
+        "let $d := jn:doc('c','lh.jn') " +
+          "return count($d.items[][?$$.v gt 15])") === "5")
+      assert(JsoniqRun.serialize(st,
+        "let $d := jn:doc('c','lh.jn') " +
+          "for $m in $d.items where $m.v gt 17 return $m.v") === "18 19 20")
+      val plan = JsoniqRun.run(st,
+        "let $d := jn:doc('c','lh.jn') " +
+          "return count($d.items[][?$$.v gt 15])")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("struct<v:bigint>"), plan)
+      // XML via a let-bound handle
+      val xml = "<site><people>" +
+        (1 to 20).map(i => s"<person><n>p$i</n></person>").mkString +
+        "</people></site>"
+      st.storeXml("c", "lh.xml", xml)
+      assert(JsoniqRun.serialize(st,
+        "let $a := jn:doc('c','lh.xml') " +
+          "return count($a/site/people/person)") === "20")
+    }
+  }
+
   test("sample-missed fields trigger the corrective typed pass") {
     withShredded { st =>
       // 5000 members, spread-sample step 2 hits only EVEN indices; the
