@@ -297,8 +297,22 @@ object JsoniqRun {
       // array — the root array, the large arrays of an object-rooted
       // document (round-11: the r10 shred only fired on root arrays),
       // and the large child lists of a stored XML document (the XmlItem
-      // encoding's `~c` arrays, addressed by element-name chain)
-      val cands = Store.shredCandidates(json)
+      // encoding's `~c` arrays, addressed by element-name chain).
+      // Fast path: a root ARRAY whose members are all below the shred
+      // threshold cannot contain a nested candidate — the split (which
+      // the write needs anyway) doubles as the scan.
+      var w = 0
+      while (w < json.length && json.charAt(w).isWhitespace) w += 1
+      val preSplit: Option[Seq[String]] =
+        if (w < json.length && json.charAt(w) == '[')
+          Some(Store.splitTopLevelArray(json))
+        else None
+      val cands: Seq[Store.ShredCandidate] =
+        if (preSplit.exists(ms => ms.nonEmpty &&
+            ms.forall(_.length < Store.ShredMinBytes)))
+          Seq(Store.ShredCandidate("json", Nil, 0, json.length,
+            preSplit.get.size))
+        else Store.shredCandidates(json)
       if (cands.isEmpty) return
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       val metaArr = mapper.createArrayNode()
@@ -307,7 +321,9 @@ object JsoniqRun {
         // Spark-side explode would run the whole parse in one task and
         // re-execute it for range sampling), then parse distributed
         val members =
-          Store.splitTopLevelArray(json.substring(cand.start, cand.end))
+          if (cand.kind == "json" && cand.steps.isEmpty &&
+              preSplit.isDefined) preSplit.get
+          else Store.splitTopLevelArray(json.substring(cand.start, cand.end))
         writeMembers(s"${shredDir(path, rev)}/s$k", members,
           typed = cand.kind == "json")
         val e = metaArr.addObject()

@@ -95,7 +95,8 @@ object ProfileShredStore {
         import org.apache.spark.sql.Encoders
         val step = math.max(1, split.size / 2048)
         spark.createDataset(
-            split.indices.by(step).map(split).take(4096))(Encoders.STRING)
+            split.iterator.grouped(step).map(_.head).take(4096).toSeq)(
+            Encoders.STRING)
           .toDF("member_json")
           .select(expr("schema_of_variant_agg(try_parse_json(member_json))"))
           .head.getString(0)
