@@ -320,20 +320,48 @@ object Jsoniq {
     * tracked with a mode stack: expression frames (brace-counted when
     * entered from constructor context), tag internals (copied verbatim,
     * attribute values may re-enter expressions), and element content. */
+  private val CtorPrecedingKeywords = Set(
+    "return", "then", "else", "in", "satisfies", "where", "and", "or",
+    "to", "div", "idiv", "mod", "eq", "ne", "lt", "le", "gt", "ge",
+    "union", "intersect", "except", "by", "at", "if", "case", "default")
+
   private def stripComments(q: String): String = {
     val sb = new StringBuilder(q.length)
     // modes: 'E' = expression (value: brace depth; pops at 0 when
-    // entered via '{'), 'T' = inside a tag, 'C' = element content
-    final case class Frame(mode: Char, var brace: Int, popAtZero: Boolean)
+    // entered via '{'), 'T' = inside a tag, 'C' = element content.
+    // attrQ is the open attribute-value quote of a 'T' frame (per
+    // frame: a nested constructor inside an attribute's enclosed
+    // expression must not clobber the outer tag's state).
+    final case class Frame(mode: Char, var brace: Int, popAtZero: Boolean,
+                           var attrQ: Char = ' ')
     val stack = scala.collection.mutable.Stack(Frame('E', 0, false))
     var i = 0
     var comment = 0
     var inStr = false
     var strQ = ' '
-    var tagAttrQ = ' '
     def ctorStart(at: Int): Boolean =
       at + 1 < q.length &&
         (q.charAt(at + 1).isLetter || q.charAt(at + 1) == '_')
+    // `<` in expression position is a CONSTRUCTOR only where an
+    // expression may BEGIN — after an operator/keyword/opening
+    // delimiter. After an operand (variable, literal, ')', ']') it is
+    // the general-comparison operator ('$i <count($s)' compares).
+    def ctorPosition(): Boolean = {
+      var j = sb.length - 1
+      while (j >= 0 && sb.charAt(j).isWhitespace) j -= 1
+      if (j < 0) true
+      else {
+        val c2 = sb.charAt(j)
+        if ("({[;,=<>+-*|!".indexOf(c2.toInt) >= 0) true
+        else if (c2.isLetter) {
+          var s2 = j
+          while (s2 >= 0 && (sb.charAt(s2).isLetterOrDigit ||
+            sb.charAt(s2) == '_' || sb.charAt(s2) == ':')) s2 -= 1
+          if (s2 >= 0 && sb.charAt(s2) == '$') false // variable operand
+          else CtorPrecedingKeywords(sb.substring(s2 + 1, j + 1))
+        } else false
+      }
+    }
     while (i < q.length) {
       val ch = q.charAt(i)
       if (comment > 0) {
@@ -352,7 +380,7 @@ object Jsoniq {
           } else if (ch == '(' && i + 1 < q.length &&
               q.charAt(i + 1) == ':') {
             comment = 1; i += 2
-          } else if (ch == '<' && ctorStart(i)) {
+          } else if (ch == '<' && ctorStart(i) && ctorPosition()) {
             stack.push(Frame('T', 0, false)); sb.append(ch); i += 1
           } else if (ch == '{') {
             e.brace += 1; sb.append(ch); i += 1
@@ -361,14 +389,15 @@ object Jsoniq {
             if (e.popAtZero && e.brace == 0) { stack.pop(); () }
           } else { sb.append(ch); i += 1 }
         case 'T' =>
-          if (tagAttrQ != ' ') {
+          val tf = stack.top
+          if (tf.attrQ != ' ') {
             if (ch == '{') {
               stack.push(Frame('E', 1, true)); sb.append(ch); i += 1
             } else {
-              sb.append(ch); if (ch == tagAttrQ) tagAttrQ = ' '; i += 1
+              sb.append(ch); if (ch == tf.attrQ) tf.attrQ = ' '; i += 1
             }
           } else if (ch == '"' || ch == '\'') {
-            tagAttrQ = ch; sb.append(ch); i += 1
+            tf.attrQ = ch; sb.append(ch); i += 1
           } else if (ch == '>') {
             sb.append(ch); i += 1
             stack.pop()

@@ -458,9 +458,9 @@ object JsoniqRun {
                                                steps: List[String])
     private val shredMetaCache = scala.collection.concurrent.TrieMap
       .empty[(String, Int), Seq[ShredEntry]]
-    /** The revision's shred manifest (empty when not shredded).
-      * Legacy layout (pre-round-11: parquet directly under the shred
-      * root, no manifest) reads as a single root-array entry. */
+    /** The revision's shred manifest (empty when not shredded, or when
+      * the manifest is missing despite the marker — a corrupt state
+      * that falls back to the authoritative doc row). */
     private[query] def shredEntries(collection: String, doc: String,
                                     rev: Option[Int]): Seq[ShredEntry] =
       if (!shredExists(collection, doc, rev)) Nil
@@ -470,7 +470,7 @@ object JsoniqRun {
         shredMetaCache.getOrElseUpdate((path, r), {
           val metaPath = s"${shredDir(path, r)}/_meta.json"
           if (!graft.sources.MetaIO.exists(metaPath))
-            Seq(ShredEntry("", "json", Nil))
+            Nil
           else {
             val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
             val arr = mapper.readTree(graft.sources.MetaIO.readString(metaPath))
@@ -1276,8 +1276,14 @@ object JsoniqRun {
               val keyInfo = keys.map { k =>
                 val item: Column = curEnv.get(k) match {
                   case Some(ItemVar(cn, _, _)) => col(cn)
-                  // empty sequence = absent bucket, not an index error
-                  case Some(SeqVar(cn, _)) => try_element_at(col(cn), lit(1))
+                  // empty sequence = absent bucket, not an index error;
+                  // a MULTI-item key is an XQuery type error (XPTY0004)
+                  // — fail loudly, never group by the head silently
+                  case Some(SeqVar(cn, _)) =>
+                    when(size(col(cn)) > 1, expr(
+                      s"raise_error('group by $$$k: grouping key is a " +
+                        "sequence of more than one item [XPTY0004]')"))
+                      .otherwise(try_element_at(col(cn), lit(1)))
                   case _ => throw new IllegalArgumentException(
                     s"group by $$$k: variable not bound")
                 }
@@ -1294,10 +1300,22 @@ object JsoniqRun {
                     s"concat('B:', cast(try_cast($kn as boolean) as string)) " +
                     s"when schema_of_variant($kn) = 'STRING' then " +
                     s"concat('S:', try_cast($kn as string)) " +
-                    s"when try_cast($kn as decimal(38,12)) is not null then " +
-                    s"concat('D:', cast(try_cast($kn as decimal(38,12)) as string)) " +
+                    // numeric canon: BOTH the double image and an exact
+                    // decimal(38,6) rendering. The pair discriminates
+                    // what either alone cannot — the double separates
+                    // fine fractions (a fixed decimal scale would round
+                    // 1e-13 and 2e-13 together), the decimal separates
+                    // >2^53 integers the double collapses (every BIGINT
+                    // fits its 32 integer digits exactly) — while equal
+                    // VALUES across int/double/decimal provenance still
+                    // canonicalise identically.
+                    // (+ 0.0 folds IEEE -0.0 into +0.0 — the zero
+                    // family is ONE group)
                     s"when try_cast($kn as double) is not null then " +
-                    s"concat('F:', cast(try_cast($kn as double) as string)) " +
+                    s"concat('D:', cast(try_cast($kn as double) + 0.0d " +
+                    s"as string), " +
+                    s"'|', coalesce(cast(try_cast($kn as decimal(38,6)) " +
+                    s"as string), '')) " +
                     s"else concat('J:', to_json($kn)) end"))
                 gn
               }
@@ -1872,12 +1890,16 @@ object JsoniqRun {
         scalarOf(args.head, env).map(c => jsonNumber(c.try_cast("long")))
       case "round" | "fn:round" if args.size == 1 =>
         // fn:round: half rounds toward +INF (floor(x + 0.5)); integer
-        // input passes through unchanged
+        // input passes through unchanged. Values beyond long range keep
+        // the (already-integral) double — a long cast would clamp to
+        // Long.Max/Min.
         scalarOf(args.head, env).map { c =>
           val a = atomizeCol(c)
+          val d = a.try_cast("double")
+          val r = floor(d + 0.5)
           when(schema_of_variant(a).isin(IntSchemas: _*), a)
-            .otherwise(
-              jsonNumber(floor(a.try_cast("double") + 0.5).cast("long")))
+            .when(abs(r) < lit(9.0e18), jsonNumber(r.cast("long")))
+            .otherwise(jsonNumber(r))
         }
       case "jn:null" if args.isEmpty => Some(vnull)
       // the numeric folds are ONE aggregate each — a single reference to
@@ -3060,11 +3082,14 @@ object JsoniqRun {
         // ValidAt.java:45, OpenBitemporal.java:53): the document — at
         // head for valid-at, as-of the transaction timestamp for
         // open-bitemporal — plus its array members, restricted to OBJECT
-        // items whose CLOSED valid interval contains the instant. An
-        // absent/unparseable bound is unbounded on that side; both
-        // absent means the record is not registered on the valid axis
-        // (ValidTimeIndexScan.isValidAtTime — all reference paths agree
-        // on this predicate). The reference reads the interval fields
+        // items whose CLOSED valid interval contains the instant. A
+        // null bound (absent OR unparseable) is unbounded on that side,
+        // and a record whose bounds are BOTH null is not registered on
+        // the valid axis — exactly the reference predicate's arms
+        // (ValidTimeIndexScan.isValidAtTime: parseInstant returns null
+        // for unparseable values before the both-null registration
+        // check, so {"validFrom":"junk"} alone is unregistered there
+        // too). The reference reads the interval fields
         // from resource config (validTimePaths); here they default to
         // the canonical validFrom/validTo and may be overridden by two
         // extra literal arguments.

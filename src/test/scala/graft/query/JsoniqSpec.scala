@@ -633,6 +633,11 @@ class JsoniqSpec extends SparkSpec {
     // expression position: stripped (incl. nesting, strings untouched)
     check(Nil, "(: outer (: inner :) :) 1 + 1", "2")
     check(Nil, """(: drop :) "keep (:this:)" """, "\"keep (:this:)\"")
+    // a '<' COMPARISON followed by a letter is not a constructor start
+    // — comment stripping stays live after it
+    check(Nil,
+      "for $i in (1, 2, 3) where $i <count((1, 2)) (: keep small :) return $i",
+      "1")
     // direct constructor TEXT CONTENT: '(:' is character data (the
     // reference grammar recognizes comments only where expressions may
     // appear) — and enclosed expressions re-enter comment stripping

@@ -598,6 +598,25 @@ class TypedGroupBySpec extends SparkSpec {
     assert(got == Seq("1", "3"), got)
   }
 
+  test("gb: fine-fraction keys stay distinct (no fixed-scale rounding)") {
+    // keys differing only at the 13th fractional digit must NOT merge
+    val st = store
+    st.store("typed-gb-db", "fine.jn",
+      """[{"v":1.0e-13},{"v":2.0e-13},{"v":0}]""")
+    val got = splitItems(JsoniqRun.serialize(st,
+      s"for $$u in jn:doc('typed-gb-db','fine.jn')[] let $$v := $$u.v " +
+        """group by $v return {"v": $v, "n": count($u)}"""))
+    assert(got.size == 3, got)
+  }
+
+  test("gb: a multi-item grouping key fails loudly (XPTY0004)") {
+    val e = intercept[Exception](JsoniqRun.serialize(store,
+      "for $u in (1, 2) let $k := (1, 2) group by $k return $k"))
+    assert(e.getMessage.contains("XPTY0004") ||
+      Option(e.getCause).exists(_.getMessage.contains("XPTY0004")),
+      e.getMessage)
+  }
+
   test("gb: plateau long/double keys group by EXACT value") {
     // above 2^53 the reference's double-image grouping is order-
     // dependent and its vectorized path fails loud; this engine's
