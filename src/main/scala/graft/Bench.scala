@@ -442,7 +442,51 @@ object Bench {
           (System.nanoTime() - t2) / 1e9
         }
         stamp("j_scale_query")
-        Seq("j_scale_store" -> sSec, "j_scale_query" -> qTimes.min)
+        // round-11 generalized shred: the same members inside an
+        // OBJECT-rooted document (field-chain serving), and an
+        // XMark-shaped XML document (element-chain serving) — one
+        // store + one filtered count each, pinning both layouts
+        val objDoc = "{\"meta\": {\"rev\": 1}, \"items\": " + docJson + "}"
+        st.store("c", "obj.jn", objDoc) // warmup
+        val t3 = System.nanoTime()
+        st.store("c", "obj.jn", objDoc)
+        val objStore = (System.nanoTime() - t3) / 1e9
+        stamp("j_scale_obj_store")
+        val qo = "count(jn:doc('c','obj.jn').items[][?$$.w gt 0.9])"
+        graft.query.JsoniqRun.serialize(st, qo) // warmup
+        val objQ = (1 to 2).map { _ =>
+          val t4 = System.nanoTime()
+          require(graft.query.JsoniqRun.serialize(st, qo).nonEmpty)
+          (System.nanoTime() - t4) / 1e9
+        }.min
+        stamp("j_scale_obj_query")
+        val xb = new StringBuilder(400000 * 70)
+        xb.append("<site><people>")
+        var xi = 0
+        while (xi < 400000) {
+          xb.append("<person><name>p").append(xi).append("</name><age>")
+            .append(18 + xi % 60).append("</age></person>")
+          xi += 1
+        }
+        xb.append("</people></site>")
+        val xml = xb.toString
+        st.storeXml("c", "a.xml", xml) // warmup
+        val t5 = System.nanoTime()
+        st.storeXml("c", "a.xml", xml)
+        val xmlStore = (System.nanoTime() - t5) / 1e9
+        stamp("j_scale_xml_store")
+        val qx = "count(jn:doc('c','a.xml')/site/people/person" +
+          "[?xs:integer($$/age/text()) ge 60])"
+        graft.query.JsoniqRun.serialize(st, qx) // warmup
+        val xmlQ = (1 to 2).map { _ =>
+          val t6 = System.nanoTime()
+          require(graft.query.JsoniqRun.serialize(st, qx).nonEmpty)
+          (System.nanoTime() - t6) / 1e9
+        }.min
+        stamp("j_scale_xml_query")
+        Seq("j_scale_store" -> sSec, "j_scale_query" -> qTimes.min,
+          "j_scale_obj_store" -> objStore, "j_scale_obj_query" -> objQ,
+          "j_scale_xml_store" -> xmlStore, "j_scale_xml_query" -> xmlQ)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] frontend timing failed: ${e.getMessage}")
         Seq.empty
