@@ -391,7 +391,12 @@ object Jsoniq {
         case 'T' =>
           val tf = stack.top
           if (tf.attrQ != ' ') {
-            if (ch == '{') {
+            if ((ch == '{' || ch == '}') && i + 1 < q.length &&
+                q.charAt(i + 1) == ch) {
+              // doubled-brace ESCAPE in an attribute value: literal
+              // character data, not an expression frame
+              sb.append(ch); sb.append(ch); i += 2
+            } else if (ch == '{') {
               stack.push(Frame('E', 1, true)); sb.append(ch); i += 1
             } else {
               sb.append(ch); if (ch == tf.attrQ) tf.attrQ = ' '; i += 1
@@ -406,7 +411,18 @@ object Jsoniq {
               stack.push(Frame('C', 0, false))
           } else { sb.append(ch); i += 1 }
         case 'C' =>
-          if (ch == '{') {
+          if (ch == '<' && q.startsWith("<![CDATA[", i)) {
+            // CDATA is verbatim character data: `{` inside it is not an
+            // expression frame and `(:` is not a comment
+            val end = q.indexOf("]]>", i + 9)
+            val stop = if (end < 0) q.length else end + 3
+            sb.append(q.substring(i, stop)); i = stop
+          } else if ((ch == '{' || ch == '}') && i + 1 < q.length &&
+              q.charAt(i + 1) == ch) {
+            // doubled-brace escape: literal character data — comments
+            // are NOT recognized inside it, so no frame transition
+            sb.append(ch); sb.append(ch); i += 2
+          } else if (ch == '{') {
             stack.push(Frame('E', 1, true)); sb.append(ch); i += 1
           } else if (ch == '<' && i + 1 < q.length &&
               q.charAt(i + 1) == '/') {
@@ -690,7 +706,11 @@ object Jsoniq {
           val parts = Seq.newBuilder[Either[String, Expr]]
           val sb = new StringBuilder
           while (raw(i) != '"') {
-            if (raw(i) == '{') {
+            if ((raw(i) == '{' || raw(i) == '}') && i + 1 < raw.length &&
+                raw(i + 1) == raw(i)) {
+              // {{ / }} escape: one literal brace of character data
+              sb.append(raw(i)); i += 2
+            } else if (raw(i) == '{') {
               if (sb.nonEmpty) { parts += Left(sb.toString); sb.clear() }
               parts += Right(braceExpr())
             } else { sb.append(raw(i)); i += 1 }
@@ -711,9 +731,18 @@ object Jsoniq {
       while (open) {
         require(i < raw.length, s"unterminated element <$n>")
         raw(i) match {
+          case '{' | '}' if i + 1 < raw.length && raw(i + 1) == raw(i) =>
+            // {{ / }} escape: one literal brace of character data
+            sb.append(raw(i)); i += 2
           case '{' =>
             flush()
             content += Right(braceExpr())
+          case '<' if raw.startsWith("<![CDATA[", i) =>
+            // CDATA: verbatim character data (braces and `<` inert)
+            val end = raw.indexOf("]]>", i + 9)
+            require(end >= 0, s"unterminated CDATA in <$n>")
+            sb.append(raw.substring(i + 9, end))
+            i = end + 3
           case '<' if raw.startsWith(s"</", i) =>
             flush()
             i += 2

@@ -429,6 +429,33 @@ object JsoniqRun {
       }
     }
 
+    /** Copy the shred sidecar of one revision to another (content-
+      * identical commits — sdb:commit). File copies only: each member
+      * table dir, then the manifest, then the completion marker LAST —
+      * the same crash-safe ordering readers gate on. Non-fatal like
+      * [[maybeShred]]: the new revision's doc row is already durable. */
+    private[query] def copyShred(collection: String, doc: String,
+                                 fromRev: Int, toRev: Int): Unit = {
+      if (!shredExists(collection, doc, Some(fromRev))) return
+      val path = docPath(collection, doc)
+      val src = shredDir(path, fromRev)
+      val dst = shredDir(path, toRev)
+      try {
+        graft.sources.MetaIO.listDirs(src).foreach(sub =>
+          graft.sources.MetaIO.copyDir(s"$src/$sub", s"$dst/$sub"))
+        graft.sources.MetaIO.copyFile(s"$src/_meta.json", s"$dst/_meta.json")
+        graft.sources.MetaIO.writeStringOverwrite(
+          s"$dst/$ShredCompleteMarker", "{}")
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(
+            s"[graft] shred sidecar copy failed for $path rev $toRev " +
+              s"(doc-row fallback serves reads): ${e.getMessage}")
+          graft.sources.MetaIO.delete(dst, recursive = true)
+          ()
+      }
+    }
+
     private[query] val ShredCompleteMarker = "_graft_shredded"
 
     private[query] def shredDir(path: String, rev: Int): String =
@@ -885,11 +912,14 @@ object JsoniqRun {
           attachToTuples(shreddedTypedFilter(store, dc, pred, env).get,
             tuples, env)
         case Unbox(base)
-            if shreddedDocMembers(store, base, env).isDefined =>
-          // shredded array (root or an object-rooted document's field
-          // chain): serve members from the member table (distributed)
-          // instead of exploding one multi-MB variant row in a single
-          // task. Tuples are the small side.
+            if shreddedDocMembers(store, base, env).exists(_._2) =>
+          // shredded JSON array (root or an object-rooted document's
+          // field chain; pure=true ⟺ kind=json): serve members from the
+          // member table (distributed) instead of exploding one
+          // multi-MB variant row in a single task. XML element chains
+          // (pure=false) fall through — unboxing an element sequence is
+          // empty under the unshredded walk (elements are objects, not
+          // arrays), and the shred must not change that answer.
           attachToTuples(shreddedDocMembers(store, base, env).get._1,
             tuples, env)
         case Unbox(base) =>
@@ -1316,6 +1346,16 @@ object JsoniqRun {
                     s"as string), " +
                     s"'|', coalesce(cast(try_cast($kn as decimal(38,6)) " +
                     s"as string), '')) " +
+                    // objects/arrays cannot atomize to a grouping key —
+                    // the same loud XPTY0004 as a multi-item key, never a
+                    // silent group-by-JSON-text (value-equal objects with
+                    // different key order would split groups)
+                    s"when startswith(schema_of_variant($kn), 'OBJECT') " +
+                    s"or startswith(schema_of_variant($kn), 'ARRAY') then " +
+                    s"raise_error(concat('group by: grouping key is a ', " +
+                    s"case when startswith(schema_of_variant($kn), " +
+                    s"'OBJECT') then 'object' else 'array' end, " +
+                    s"' — non-atomizable [XPTY0004]')) " +
                     s"else concat('J:', to_json($kn)) end"))
                 gn
               }
@@ -2575,16 +2615,19 @@ object JsoniqRun {
       case "sdb:commit" =>
         // sdb:commit COMMITS the open transaction and returns the new
         // revision (reference function/sdb/trx/Commit.java). Index DDL
-        // is free in this engine (pushdown/metadata), so the commit
-        // re-stores the head content as a new revision — the revision
-        // numbering the corpus' `{"revision": sdb:commit($doc)}`
-        // wrappers and the scans' per-hit sdb:revision stashes observe.
+        // is free in this engine (pushdown/metadata), so the commit is
+        // content-identical: a BYTE COPY of the head revision's files
+        // and shred sidecar — never a collect + reparse + reshred of a
+        // multi-MB document on the driver. The revision numbering the
+        // corpus' `{"revision": sdb:commit($doc)}` wrappers and the
+        // scans' per-hit sdb:revision stashes observe is preserved.
         val (c, d) = resolveDocArg(args.head, env)
-        val head = store.doc(c, d, None).collect().head.getString(0)
-        store.store(c, d, head)
-        val rev = graft.sources.TemporalTable
-          .mostRecentRevision(store.docPath(c, d))
+        val path = store.docPath(c, d)
+        val head = graft.sources.TemporalTable.mostRecentRevision(path)
           .getOrElse(throw new IllegalArgumentException(s"no revisions for $c/$d"))
+        val rev = graft.sources.TemporalTable
+          .commitCopyOf(path, head, message = "sdb:commit")
+        store.copyShred(c, d, head, rev)
         tuples.withColumn("__v", jsonNumber(lit(rev.toLong)))
       case "jn:create-cas-index" | "jn:create-path-index" |
           "jn:create-name-index" | "jn:find-cas-index" |

@@ -289,6 +289,12 @@ private[graft] object MetaIO {
     * (a compacted head's manifest is content-identical to the head's:
     * bucket digests ignore file layout, so a byte copy replaces a full
     * snapshot scan + shuffle). */
+  def copyFile(src: String, dst: String): Unit = {
+    org.apache.hadoop.fs.FileUtil.copy(fs(src), new Path(src), fs(dst),
+      new Path(dst), false, conf)
+    ()
+  }
+
   def copyDir(src: String, dst: String): Unit = {
     val sf = fs(src)
     val df = fs(dst)

@@ -836,6 +836,47 @@ object TemporalTable {
     write(snap, path, author, msg)
   }
 
+  /** Commit a new revision whose content is a BYTE COPY of an existing
+    * revision — no scan, no parse, no shuffle. This is the cheap arm of
+    * the reference's "commit with no pending changes" (its trx reuses
+    * the page tree and bumps the revision number:
+    * bundles/sirix-core/src/main/java/io/sirix/access/trx/node/
+    * AbstractNodeTrxImpl.java commit path); here the data files, the
+    * manifest sidecar, and the key-index sidecar are file-copied and the
+    * commit-log entry re-records the source's schema. Goes through the
+    * full reserve/log protocol, so it is crash-safe like any write. */
+  def commitCopyOf(path: String, srcRev: Int, author: String = "graft",
+                   message: String = ""): Int = {
+    require(!DeltaTemporalTable.isDeltaLayout(path),
+      s"$path is a delta-encoded chain — commitCopyOf needs snapshot dirs")
+    require(commits(path).exists(_.revision == srcRev),
+      s"commitCopyOf: unknown revision $srcRev at $path")
+    val rev = reserveRevision(path)
+    try {
+      // resolve through any in-place compaction overlay: a vacuumed
+      // source revision's rev=N dir no longer holds its data files
+      RevisionCompaction.overlays(path).get(srcRev) match {
+        case Some(o) =>
+          val dir = RevisionCompaction.genDir(path, srcRev, o.gen)
+          MetaIO.mkdirs(s"$path/rev=$rev")
+          o.files.foreach { case (n, _) =>
+            MetaIO.copyFile(s"$dir/$n", s"$path/rev=$rev/$n") }
+        case None =>
+          MetaIO.copyDir(s"$path/rev=$srcRev", s"$path/rev=$rev")
+      }
+      if (MetaIO.exists(manifestDir(path, srcRev)))
+        MetaIO.copyDir(manifestDir(path, srcRev), manifestDir(path, rev))
+      if (MetaIO.exists(s"${keyIndexDir(path)}/rev=$srcRev"))
+        MetaIO.copyDir(s"${keyIndexDir(path)}/rev=$srcRev",
+          s"${keyIndexDir(path)}/rev=$rev")
+      val msg = if (message.nonEmpty) message else s"copy of r$srcRev"
+      logCommit(path, rev, author, msg, commitSchemas(path).get(srcRev))
+    } catch {
+      case e: Throwable => abortReservation(path, rev); throw e
+    }
+    rev
+  }
+
   /** OPTIMIZE-analog: commit a bin-packed, content-identical copy of the
     * head snapshot — the cure for the small-files problem a stream of
     * small commits leaves behind (the reference ingests per-document

@@ -648,6 +648,20 @@ class JsoniqSpec extends SparkSpec {
       == "\"<a>n=3</a>\"")
   }
 
+  test("j: CDATA and doubled-brace escapes are literal character data") {
+    val st = freshStore()
+    // CDATA: `{` is not an expression frame, `(:` is not a comment
+    assert(JsoniqRun.serialize(st, "<a><![CDATA[f{x} (:keep:)]]></a>")
+      == "\"<a>f{x} (:keep:)</a>\"")
+    // doubled braces escape to ONE literal brace; comments are not
+    // recognized inside the escaped character data
+    assert(JsoniqRun.serialize(st, "<a>{{ (:keep:) }}</a>")
+      == "\"<a>{ (:keep:) }</a>\"")
+    // attribute values take the same escapes
+    assert(JsoniqRun.serialize(st, """<a b="x{{y}}z"/>""")
+      == "\"<a b=\\\"x{y}z\\\"/>\"")
+  }
+
   test("j: arithmetic falls back to double past the working decimal scale") {
     // decimal(18,6) try_cast ROUNDS on scale overflow — a scale-7
     // operand must route to the double branch, not compute 1 + 1e-7 = 1

@@ -85,6 +85,38 @@ class ShredStoreSpec extends SparkSpec {
     }
   }
 
+  test("unboxing a shredded XML element sequence matches the walk (empty)") {
+    withShredded { st =>
+      val xml = "<site><people>" +
+        (1 to 20).map(i => s"<person><n>p$i</n></person>").mkString +
+        "</people></site>"
+      st.storeXml("c", "u.xml", xml)
+      // elements are OBJECTS in the XmlItem encoding: `[]` over them is
+      // the empty sequence under the walk path — the shred must not
+      // change that answer (the member fast path is JSON-chains only)
+      assert(JsoniqRun.serialize(st,
+        "count(jn:doc('c','u.xml')/site/people/person[])") === "0")
+      // the element step itself still serves from the member table
+      assert(JsoniqRun.serialize(st,
+        "count(jn:doc('c','u.xml')/site/people/person)") === "20")
+    }
+  }
+
+  test("sdb:commit copies the head revision and its shred sidecar") {
+    withShredded { st =>
+      st.store("c", "d.jn", doc)
+      assert(JsoniqRun.serialize(st,
+        "sdb:commit(jn:doc('c','d.jn'))") === "2")
+      // the copy carries the shred (file copy, marker-gated) and serves
+      // identically to the source revision
+      assert(st.shredExists("c", "d.jn", Some(2)))
+      assert(JsoniqRun.serialize(st,
+        "count(jn:doc('c','d.jn', 2)[][?$$.v gt 15])") === "5")
+      assert(JsoniqRun.serialize(st, "jn:doc('c','d.jn', 2)")
+        === JsoniqRun.serialize(st, "jn:doc('c','d.jn', 1)"))
+    }
+  }
+
   test("let-bound document handles serve chains from the shred") {
     withShredded { st =>
       val obj = """{"items": [""" +

@@ -617,6 +617,21 @@ class TypedGroupBySpec extends SparkSpec {
       e.getMessage)
   }
 
+  test("gb: object/array grouping keys fail loudly (XPTY0004)") {
+    // non-atomizable keys must not group by raw JSON text (value-equal
+    // objects with different key order would split groups)
+    val eo = intercept[Exception](JsoniqRun.serialize(store,
+      """for $u in (1, 2) let $k := {"a": $u mod 1} group by $k return $k"""))
+    assert(eo.getMessage.contains("XPTY0004") ||
+      Option(eo.getCause).exists(_.getMessage.contains("XPTY0004")),
+      eo.getMessage)
+    val ea = intercept[Exception](JsoniqRun.serialize(store,
+      "for $u in (1, 2) let $k := [1] group by $k return $k"))
+    assert(ea.getMessage.contains("XPTY0004") ||
+      Option(ea.getCause).exists(_.getMessage.contains("XPTY0004")),
+      ea.getMessage)
+  }
+
   test("gb: plateau long/double keys group by EXACT value") {
     // above 2^53 the reference's double-image grouping is order-
     // dependent and its vectorized path fails loud; this engine's
