@@ -155,6 +155,45 @@ object JsoniqQueries {
           |return {"d": $d, "n": count($u), "s": sum($u.v)}),
           |(for $i in (1, 2, 1.0, 3) group by $i count $c return [$i, $c]))""".stripMargin)
     },
+    // remaining revision axes (reference jn/temporal/Next.java,
+    // FirstExisting.java, LastExisting.java): next-revision content via
+    // the all-times stash, first/last existing revision of a node
+    "j_first_existing" -> { (s, _) =>
+      runOne(s,
+        Seq("""jn:store('c','nx.jn','{"v": 1}')""",
+          """jn:store('c','nx.jn','{"v": 2, "w": 9}')""",
+          """jn:store('c','nx.jn','{"v": 3, "w": 9}')"""),
+        """((for $n in jn:all-times(jn:doc('c','nx.jn'))
+          |  where exists(jn:next($n)) return jn:next($n).v),
+          |jn:first-existing(jn:doc('c','nx.jn')).v,
+          |jn:last-existing(jn:doc('c','nx.jn')).v,
+          |(for $n in jn:first-existing(jn:doc('c','nx.jn').w)
+          |  return sdb:revision($n)))""".stripMargin)
+    },
+    // CAS range scan (reference jn/index/scan/ScanCASIndexRange.java):
+    // $paths = () resolves the registered index DEFINITION's paths;
+    // 2.33 excluded (include-low false), non-decimal values not indexed
+    "j_scan_range" -> { (s, _) =>
+      runOne(s,
+        Seq("""jn:store('c','r.jn','{"foo": ["bar", null, 2.33, 23.76, 100, 100.5], "baz": 7}')""",
+          """let $doc := jn:doc('c','r.jn')
+            |let $stats := jn:create-cas-index($doc,'xs:decimal','/foo/[]')
+            |return {"revision": sdb:commit($doc)}""".stripMargin),
+        """let $doc := jn:doc('c','r.jn')
+          |let $idx := jn:find-cas-index($doc, 'xs:decimal', '/foo/[]')
+          |return ($idx, jn:scan-cas-index-range($doc, $idx, 2.33, 100, false(), true(), ()))""".stripMargin)
+    },
+    // resource-level valid-time configuration (reference
+    // ResourceConfiguration.java:689 persists validFromPath/validToPath;
+    // StoreValidTimeAutoIndexTest.java:96's jn:store options form):
+    // jn:valid-at defaults to the configured fields and
+    // jn:scan-valid-time-index requires them
+    "j_valid_config" -> { (s, _) =>
+      runOne(s,
+        Seq("""jn:store('c','vt.jn','[{"id": 1, "from": "2024-01-01T00:00:00Z", "to": "2024-06-30T00:00:00Z"},{"id": 2, "from": "2024-07-01T00:00:00Z"},{"id": 3}]', true(), {"validFromPath": "from", "validToPath": "to"})"""),
+        """((for $r in jn:valid-at('c','vt.jn', xs:dateTime('2024-03-01T00:00:00Z')) return $r.id),
+          |(for $r in jn:scan-valid-time-index(jn:doc('c','vt.jn'), xs:dateTime('2024-08-01T00:00:00Z')) return $r.id))""".stripMargin)
+    },
     // XMark q01/q05 verbatim over the reference's auction.xml, pinned to
     // the reference's own results/qNN.out (XmarkSpec replays q06/q07 too)
     "j_xmark_q01" -> { (s, _) => runXmark(s, "q01") },
@@ -221,6 +260,9 @@ object JsoniqQueries {
       "{\"d\":\"a\",\"n\":2,\"s\":4} {\"d\":\"b\",\"n\":2,\"s\":4} " +
         "{\"d\":null,\"n\":1,\"s\":4} {\"d\":null,\"n\":1,\"s\":5} " +
         "[1,1] [2,2] [3,3]"),
+    "j_first_existing" -> pin("2 3 1 3 2"),
+    "j_scan_range" -> pin("0 23.76 100"),
+    "j_valid_config" -> pin("1 2"),
     "j_xmark_q01" -> pin("\"Sinisa Farrel\""),
     // 120 <increase> elements (incl. self-closed empties) from the
     // reference's own results/q02.out, re-serialized the way the front

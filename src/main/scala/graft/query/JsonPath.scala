@@ -82,19 +82,26 @@ private[query] object JsonPath {
   final case class Hit(json: String, path: String, parentPath: String)
 
   def walkMatches(json: String, pattern: Option[String],
-                  valueFilter: Option[String => Boolean] = None): Seq[Hit] = {
+                  valueFilter: Option[String => Boolean] = None): Seq[Hit] =
+    walkMatchesAny(json, pattern.map(Seq(_)), valueFilter)
+
+  /** [[walkMatches]] over a SET of path patterns (a node matches when any
+    * pattern does) — the `;`-separated `$paths` form the reference's
+    * index scans take (jn/index/scan/ScanCASIndexRange.java:88). */
+  def walkMatchesAny(json: String, patterns: Option[Seq[String]],
+                     valueFilter: Option[String => Boolean] = None): Seq[Hit] = {
     import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper, SerializationFeature}
     val mapper = new ObjectMapper()
     mapper.configure(SerializationFeature.ORDER_MAP_ENTRIES_BY_KEYS, true)
     // None = every class (a CAS index declared over ('//*','//[]'))
-    val pat = pattern.map(parsePattern)
+    val pats = patterns.map(_.map(parsePattern))
     val isCas = valueFilter.isDefined
     val out = Seq.newBuilder[Hit]
     def ser(n: JsonNode): String =
       mapper.writeValueAsString(mapper.treeToValue(n, classOf[Object]))
     def emitIf(cls: List[String], n: JsonNode, pos: String,
                parent: String): Unit =
-      if (pat.forall(p => matches(cls.reverse, p))) valueFilter match {
+      if (pats.forall(_.exists(p => matches(cls.reverse, p)))) valueFilter match {
         case Some(f) =>
           if (n.isValueNode && f(n.asText())) out += Hit(ser(n), pos, parent)
         case None => out += Hit(ser(n), pos, parent)

@@ -456,6 +456,103 @@ object JsoniqRun {
       }
     }
 
+    // ---- per-resource configuration + index registry ----
+    // The analog of the reference's persisted ResourceConfiguration
+    // (access/ResourceConfiguration.java:689 writes validFromPath/
+    // validToPath; its index controller persists index definitions).
+    // Both are tiny JSON sidecars under the resource directory.
+
+    /** Record the resource's valid-time interval field names (set by the
+      * 5-arg `jn:store` options object). `$.`-prefixed paths normalize
+      * to bare field names, like the reference's
+      * ValidTimeConfig.getNormalizedValidFromPath. */
+    private[query] def setValidTimeConfig(collection: String, doc: String,
+                                          fromPath: String,
+                                          toPath: String): Unit = {
+      def norm(p: String) = p.stripPrefix("$.").stripPrefix("/")
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val o = mapper.createObjectNode()
+      o.put("validFromPath", norm(fromPath))
+      o.put("validToPath", norm(toPath))
+      graft.sources.MetaIO.writeStringOverwrite(
+        s"${docPath(collection, doc)}/_config.json",
+        mapper.writeValueAsString(o))
+      validTimeCache.remove((collection, doc))
+      ()
+    }
+    private val validTimeCache = scala.collection.concurrent.TrieMap
+      .empty[(String, String), Option[(String, String)]]
+    /** The resource's configured (validFromField, validToField), if any —
+      * the default interval fields for jn:valid-at / jn:open-bitemporal
+      * and the REQUIRED config for jn:scan-valid-time-index. */
+    private[query] def validTimeConfig(collection: String, doc: String)
+        : Option[(String, String)] =
+      validTimeCache.getOrElseUpdate((collection, doc), {
+        val p = s"${docPath(collection, doc)}/_config.json"
+        if (!graft.sources.MetaIO.exists(p)) None
+        else scala.util.Try {
+          val n = new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(graft.sources.MetaIO.readString(p))
+          (n.get("validFromPath").asText(), n.get("validToPath").asText())
+        }.toOption
+      })
+
+    /** One registered index definition: `no` is the handle
+      * jn:find-*-index returns and the scans accept; `kind` is
+      * cas/path/name; `typ` the CAS content type (empty otherwise);
+      * `paths` the declared path patterns (names for a name index). */
+    private[query] final case class IndexDef(no: Int, kind: String,
+                                             typ: String,
+                                             paths: List[String])
+    private def indexesPath(c: String, d: String): String =
+      s"${docPath(c, d)}/_indexes.json"
+    private[query] def indexDefs(c: String, d: String): Seq[IndexDef] = {
+      val p = indexesPath(c, d)
+      if (!graft.sources.MetaIO.exists(p)) Nil
+      else scala.util.Try {
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val arr = mapper.readTree(graft.sources.MetaIO.readString(p))
+        import scala.jdk.CollectionConverters._
+        arr.elements().asScala.map { e =>
+          IndexDef(e.get("no").asInt(), e.get("kind").asText(),
+            e.get("typ").asText(),
+            e.get("paths").elements().asScala.map(_.asText()).toList)
+        }.toSeq
+      }.getOrElse(Nil)
+    }
+    /** Register (or re-find) an index definition; returns its number —
+      * numbering is per-resource creation order, like the reference's
+      * index controller. The definition is what gives `$paths = ()`
+      * scans their coverage (the reference scans the index, whose
+      * definition owns the paths). */
+    private[query] def registerIndex(c: String, d: String, kind: String,
+                                     typ: String,
+                                     paths: List[String]): Int = {
+      val defs = indexDefs(c, d)
+      defs.find(x => x.kind == kind && x.typ == typ && x.paths == paths)
+        .map(_.no).getOrElse {
+          val no = defs.size
+          val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+          val arr = mapper.createArrayNode()
+          (defs :+ IndexDef(no, kind, typ, paths)).foreach { x =>
+            val e = arr.addObject()
+            e.put("no", x.no); e.put("kind", x.kind); e.put("typ", x.typ)
+            val ps = e.putArray("paths"); x.paths.foreach(ps.add)
+          }
+          graft.sources.MetaIO.writeStringOverwrite(indexesPath(c, d),
+            mapper.writeValueAsString(arr))
+          no
+        }
+    }
+    /** The registered index covering the request — same kind/type, and
+      * every requested path among the definition's (the corpus finds a
+      * two-path descendant-wildcard index by its first path alone). */
+    private[query] def findIndex(c: String, d: String, kind: String,
+                                 typ: String,
+                                 paths: List[String]): Option[Int] =
+      indexDefs(c, d).find(x => x.kind == kind && x.typ == typ &&
+        paths.forall(x.paths.contains)).map(_.no)
+
     private[query] val ShredCompleteMarker = "_graft_shredded"
 
     private[query] def shredDir(path: String, rev: Int): String =
@@ -1144,10 +1241,11 @@ object JsoniqRun {
               } } }
               // stash capture: a binding over jn:scan-*-index /
               // jn:all-times carries per-node metadata (printed path,
-              // parent path, revision, previous-revision content)
+              // parent path, revision, previous/next-revision content)
               var aux = Map.empty[String, String]
               Seq("path" -> "__spath", "ppath" -> "__sppath",
-                "rev" -> "__srev", "prev" -> "__sprev").foreach {
+                "rev" -> "__srev", "prev" -> "__sprev",
+                "next" -> "__snext").foreach {
                 case (k, c) =>
                   if (s.columns.contains(c)) {
                     val nc = gensym(s"s${k}_$v")
@@ -2592,18 +2690,21 @@ object JsoniqRun {
       case "jn:null" =>
         require(args.isEmpty, "jn:null()")
         tuples.withColumn("__v", vnull)
-      case "jn:previous" =>
-        // the node's content at the previous revision (stashed by the
-        // jn:all-times binding); empty sequence at the first revision
+      case "jn:previous" | "jn:next" =>
+        // the node's content at the previous/next revision (stashed by
+        // the jn:all-times binding; reference function/jn/temporal/
+        // Previous.java, Next.java — TemporalJsonDBItem.getPrevious/
+        // getNext); empty sequence at the first/last revision
+        val key = if (name == "jn:previous") "prev" else "next"
         args.head match {
           case Jsoniq.VarRef(n) => env.get(n) match {
-            case Some(ItemVar(_, _, aux)) if aux.contains("prev") =>
-              tuples.withColumn("__v", parse_json(col(aux("prev"))))
+            case Some(ItemVar(_, _, aux)) if aux.contains(key) =>
+              tuples.withColumn("__v", parse_json(col(aux(key))))
             case _ => throw new UnsupportedOperationException(
-              s"jn:previous over $$$n (no time-axis stash)")
+              s"$name over $$$n (no time-axis stash)")
           }
           case other => throw new UnsupportedOperationException(
-            s"jn:previous over ${other.getClass.getSimpleName}")
+            s"$name over ${other.getClass.getSimpleName}")
         }
       case "sdb:hash" =>
         // content hash (the reference hashes the stored subtree; equal
@@ -2632,10 +2733,28 @@ object JsoniqRun {
       case "jn:create-cas-index" | "jn:create-path-index" |
           "jn:create-name-index" | "jn:find-cas-index" |
           "jn:find-path-index" | "jn:find-name-index" =>
-        // index DDL no-ops: CAS/path/name lookups are pushdown + the
-        // fork/projection sidecars in this engine (SURVEY §2.10); the
-        // corpus' index numbers are opaque handles — 0 suffices
-        tuples.withColumn("__v", jsonNumber(lit(0L)))
+        // index DDL records the DEFINITION (kind, CAS content type,
+        // paths) in the resource's registry sidecar and returns its
+        // number; lookups stay pushdown + the fork/projection sidecars
+        // (SURVEY §2.10). The definition is what gives `$paths = ()`
+        // scans their coverage — the reference scans the index, whose
+        // IndexDef owns the paths (index/IndexDef.java).
+        val (c, d) = resolveDocArg(args.head, env)
+        val kind = name.split("-")(1) // cas | path | name
+        val isCas = kind == "cas"
+        val typ = if (isCas) litStr(args(1), "type") else ""
+        def pathsOf(e2: Jsoniq.Expr): List[String] = e2 match {
+          case Jsoniq.SeqCtor(items) => items.toList.flatMap(pathsOf)
+          case other => List(litStr(other, "path"))
+        }
+        val paths = args.lift(if (isCas) 2 else 1).map(pathsOf)
+          .getOrElse(Nil)
+        val no =
+          if (name.startsWith("jn:create-"))
+            store.registerIndex(c, d, kind, typ, paths)
+          else store.findIndex(c, d, kind, typ, paths).getOrElse(-1)
+        // not-found = -1, the reference's contract (FindCASIndex.java:27)
+        tuples.withColumn("__v", jsonNumber(lit(no.toLong)))
       case "sdb:revision" =>
         // revision of a document handle (head) or of a scan-bound node
         // (stashed per hit). Other node forms are not addressable in the
@@ -2714,7 +2833,9 @@ object JsoniqRun {
     "jn:load", "jn:scan-path-index", "jn:scan-cas-index", "distinct-values",
     "jn:past", "jn:future", "jn:first", "jn:last", "jn:open", "jn:diff",
     "jn:open-revisions", "jn:valid-at", "jn:open-bitemporal",
-    "sdb:item-history", "jn:scan-name-index")
+    "sdb:item-history", "jn:scan-name-index", "jn:first-existing",
+    "jn:last-existing", "jn:scan-cas-index-range",
+    "jn:scan-valid-time-index")
 
   /** Does the expression read a table-scan source (size data-bound, so a
     * decorrelated side must NOT be broadcast-hinted)? */
@@ -2980,20 +3101,53 @@ object JsoniqRun {
     case _ => false
   }
 
+  private def litStr(e: Jsoniq.Expr, what: String): String = e match {
+    case Jsoniq.StrLit(s) => s
+    case other =>
+      throw new UnsupportedOperationException(s"$what must be a literal, got $other")
+  }
+
+  private def litBool(e: Jsoniq.Expr, what: String): Boolean = e match {
+    case Jsoniq.BoolLit(b) => b
+    case Jsoniq.Call("true", Seq()) => true
+    case Jsoniq.Call("false", Seq()) => false
+    case other => throw new UnsupportedOperationException(
+      s"$what must be a boolean literal, got $other")
+  }
+
   private def evalCallSeq(store: Store, name: String, args: Seq[Jsoniq.Expr],
                           tuples: DataFrame,
                           env: Map[String, Binding]): DataFrame = {
     import Jsoniq._
-    def litStr(e: Expr, what: String): String = e match {
-      case StrLit(s) => s
-      case other =>
-        throw new UnsupportedOperationException(s"$what must be a literal, got $other")
-    }
     name match {
       case "jn:store" =>
-        require(args.size == 3, "jn:store(collection, doc, json)")
-        store.store(litStr(args(0), "collection"), litStr(args(1), "doc"),
-          litStr(args(2), "json"))
+        // 3-arg form stores; the reference's extended forms
+        // (function/jn/io/Store.java:99) add $createNew (accepted — this
+        // engine's store always commits a revision) and an $options
+        // object whose validFromPath/validToPath pair persists the
+        // resource's valid-time configuration
+        // (StoreValidTimeAutoIndexTest.java:96).
+        require(args.size >= 3 && args.size <= 5,
+          "jn:store(collection, doc, json[, createNew[, options]])")
+        val (c0, d0) =
+          (litStr(args(0), "collection"), litStr(args(1), "doc"))
+        args.lift(3).foreach(litBool(_, "createNew")) // validated, unused
+        args.lift(4).foreach {
+          case ObjectCtor(entries) =>
+            val opts = entries.collect {
+              case Right((k, StrLit(v))) => k -> v
+            }.toMap
+            (opts.get("validFromPath"), opts.get("validToPath")) match {
+              case (Some(f), Some(t)) => store.setValidTimeConfig(c0, d0, f, t)
+              case (None, None) => ()
+              case _ => throw new IllegalArgumentException(
+                "jn:store options: validFromPath and validToPath must be " +
+                  "provided together")
+            }
+          case other => throw new UnsupportedOperationException(
+            s"jn:store options must be an object literal, got $other")
+        }
+        store.store(c0, d0, litStr(args(2), "json"))
         tuples.withColumn(POS, array(lit(0L))).withColumn(ITEM, vnull)
           .filter(lit(false)) // empty result sequence
       case "jn:doc" =>
@@ -3007,12 +3161,16 @@ object JsoniqRun {
         tuples.crossJoin(broadcast(
             doc.select(parse_json(col("doc_json")).as(ITEM))))
           .withColumn(POS, array(lit(0L)))
-      case "jn:past" | "jn:future" | "jn:first" | "jn:last" =>
-        // the reference's revision axes (function/jn/JNFun.java:99-105 —
-        // PastFun/FutureFun/FirstFun/LastFun): the node's content at
-        // revisions before/after its own, or at the first/last revision
-        // defining it. Same per-revision stash discipline as
-        // jn:all-times, sliced on the revision axis.
+      case "jn:past" | "jn:future" | "jn:first" | "jn:last" |
+          "jn:first-existing" | "jn:last-existing" =>
+        // the reference's revision axes (function/jn/JNFun.java:95-105 —
+        // PastFun/FutureFun/FirstFun/LastFun and FirstExisting.java /
+        // LastExisting.java): the node's content at revisions
+        // before/after its own, or at the first/last revision where it
+        // EXISTS. Same per-revision stash discipline as jn:all-times,
+        // sliced on the revision axis (the slice runs over the node's
+        // EXISTING revisions, so first/first-existing coincide — the
+        // reference's First also serves the node where it lives).
         require(args.nonEmpty && args.size <= 2, s"$name(node[, includeSelf])")
         var argRev: Option[Int] = None
         def stripRev(x: Expr): Expr = x match {
@@ -3025,13 +3183,7 @@ object JsoniqRun {
         val target = JsoniqUpdate.staticTargetIn(stripped, env)
           .getOrElse(throw new UnsupportedOperationException(
             s"$name needs a static document path, got ${args.head}"))
-        val includeSelf = args.lift(1).exists {
-          case BoolLit(b) => b
-          case Call("true", Seq()) => true
-          case Call("false", Seq()) => false
-          case other => throw new UnsupportedOperationException(
-            s"$name includeSelf must be a boolean literal, got $other")
-        }
+        val includeSelf = args.lift(1).exists(litBool(_, s"$name includeSelf"))
         val nodeRev = argRev.orElse(graft.sources.TemporalTable
             .mostRecentRevision(store.docPath(target.collection, target.doc)))
           .getOrElse(throw new IllegalArgumentException(
@@ -3041,7 +3193,7 @@ object JsoniqRun {
             _.filter(r => r < nodeRev || (includeSelf && r == nodeRev))
           case "jn:future" =>
             _.filter(r => r > nodeRev || (includeSelf && r == nodeRev))
-          case "jn:first" => _.take(1)
+          case "jn:first" | "jn:first-existing" => _.take(1)
           case _ => _.takeRight(1)
         }
         allTimesAt(store, tuples, target, slice)
@@ -3132,10 +3284,11 @@ object JsoniqRun {
         // (ValidTimeIndexScan.isValidAtTime: parseInstant returns null
         // for unparseable values before the both-null registration
         // check, so {"validFrom":"junk"} alone is unregistered there
-        // too). The reference reads the interval fields
-        // from resource config (validTimePaths); here they default to
-        // the canonical validFrom/validTo and may be overridden by two
-        // extra literal arguments.
+        // too). The interval fields come from the RESOURCE's persisted
+        // valid-time configuration when one exists (the reference's
+        // validTimePaths — ValidAt.java:45 reads resource config), else
+        // default to validFrom/validTo; two extra literal arguments
+        // override per call.
         val isBi = name == "jn:open-bitemporal"
         val nFixed = if (isBi) 4 else 3
         require(args.size >= nFixed && args.size <= nFixed + 2,
@@ -3149,35 +3302,41 @@ object JsoniqRun {
             s"$name $what must be an xs:dateTime literal, got $other")
         }
         val validTs = tsLit(args(nFixed - 1), "validTime")
+        val cfg = store.validTimeConfig(litStr(args(0), "collection"),
+          litStr(args(1), "resource"))
         val fromF = args.lift(nFixed).map(litStr(_, "validFromField"))
-          .getOrElse("validFrom")
+          .orElse(cfg.map(_._1)).getOrElse("validFrom")
         val toF = args.lift(nFixed + 1).map(litStr(_, "validToField"))
-          .getOrElse("validTo")
+          .orElse(cfg.map(_._2)).getOrElse("validTo")
         val docE: Expr =
           if (isBi) Call("jn:open",
             Seq(args(0), args(1), StrLit(tsLit(args(2), "txTime"))))
           else Call("jn:doc", Seq(args(0), args(1)))
-        val ts = lit(validTs).try_cast("timestamp")
-        def bound(item: Column, f: String): Column =
-          variant_get(item, fieldPath(f), "string").try_cast("timestamp")
-        def valid(item: Column): Column = {
-          val vf = bound(item, fromF)
-          val vt = bound(item, toF)
-          (vf.isNotNull || vt.isNotNull) &&
-            (vf.isNull || !(ts < vf)) && (vt.isNull || !(ts > vt))
+        validStab(store, tuples, env, docE, validTs, fromF, toF)
+      case "jn:scan-valid-time-index" =>
+        // valid-time interval-index stab (reference function/jn/index/
+        // scan/ScanValidTimeIndex.java:49): every record OBJECT whose
+        // closed [validFrom, validTo] interval contains the instant —
+        // the identical set to jn:valid-at (the reference's
+        // ValidTimeFilter fallback runs the same predicate, and "all
+        // three paths return the identical set"); the interval fields
+        // MUST come from the resource's valid-time configuration (the
+        // reference throws without one).
+        require(args.size == 2, "jn:scan-valid-time-index(doc, validTime)")
+        val (c, d) = resolveDocArg(args.head, env)
+        val (fromF, toF) = store.validTimeConfig(c, d).getOrElse(
+          throw new IllegalArgumentException(
+            "jn:scan-valid-time-index: resource has no valid time " +
+              "configuration — store with {\"validFromPath\": ..., " +
+              "\"validToPath\": ...} options"))
+        val validTs = args(1) match {
+          case StrLit(s) => s
+          case Call("xs:dateTime", Seq(StrLit(s))) => s
+          case other => throw new UnsupportedOperationException(
+            s"$name validTime must be an xs:dateTime literal, got $other")
         }
-        def objects(df: DataFrame): DataFrame =
-          df.filter(schema_of_variant(col(ITEM)).startsWith("OBJECT") &&
-            valid(col(ITEM)))
-        val shape = (tuples.columns :+ POS :+ ITEM).map(col)
-        val roots = objects(evalSeq(store, docE, tuples, env))
-          .withColumn(POS, concat(array(lit(0L)), col(POS)))
-          .select(shape: _*)
-        val membersPart = objects(
-            evalSeqRows(store, Unbox(docE), tuples, env))
-          .withColumn(POS, concat(array(lit(1L)), col(POS)))
-          .select(shape: _*)
-        roots.unionByName(membersPart)
+        validStab(store, tuples, env,
+          Call("jn:doc", Seq(StrLit(c), StrLit(d))), validTs, fromF, toF)
       case "distinct-values" =>
         // first occurrence of each distinct value, in sequence order
         val s = evalSeq(store, args.head, tuples, env)
@@ -3248,9 +3407,84 @@ object JsoniqRun {
         }
         docWalkSeq(store, tuples, c, d,
           json => JsonPath.walkMatches(json, pattern, Some(cmp)))
+      case "jn:scan-cas-index-range" =>
+        // typed-value RANGE scan (reference function/jn/index/scan/
+        // ScanCASIndexRange.java:39): scalar values inside
+        // (low, high) with per-bound inclusivity. Bounds cast to the
+        // index's content type in the reference (Cast.cast at :84) —
+        // here NUMERIC bounds compare numerically (values that do not
+        // parse are not in a numeric index: xs:decimal indexing skips
+        // uncastable values), string bounds lexicographically. An
+        // empty-sequence $paths scans the index's own declared paths
+        // (the registry definition), falling back to every class.
+        require(args.size == 7, "jn:scan-cas-index-range(doc, idx, " +
+          "low, high, includeLow, includeHigh, paths)")
+        val (c, d) = resolveDocArg(args.head, env)
+        def rawLit(e2: Expr, what: String): String = e2 match {
+          case StrLit(s) => s
+          case NumLit(t) => t
+          case other => throw new UnsupportedOperationException(
+            s"$what must be a literal, got $other")
+        }
+        val low = rawLit(args(2), "low")
+        val high = rawLit(args(3), "high")
+        val incLow = litBool(args(4), "includeLow")
+        val incHigh = litBool(args(5), "includeHigh")
+        val patterns: Option[Seq[String]] = args(6) match {
+          case SeqCtor(Seq()) =>
+            val declared = store.indexDefs(c, d)
+              .filter(_.kind == "cas").flatMap(_.paths)
+            if (declared.nonEmpty) Some(declared.distinct) else None
+          case other => Some(litStr(other, "paths").split(";").toSeq)
+        }
+        val lowN = scala.util.Try(BigDecimal(low)).toOption
+        val highN = scala.util.Try(BigDecimal(high)).toOption
+        def inRange(s: String): Boolean = (lowN, highN) match {
+          case (Some(lo), Some(hi)) =>
+            scala.util.Try(BigDecimal(s)).toOption.exists(v =>
+              (if (incLow) v >= lo else v > lo) &&
+                (if (incHigh) v <= hi else v < hi))
+          case _ =>
+            (if (incLow) s >= low else s > low) &&
+              (if (incHigh) s <= high else s < high)
+        }
+        docWalkSeq(store, tuples, c, d,
+          json => JsonPath.walkMatchesAny(json, patterns, Some(inRange)))
       case other =>
         throw new UnsupportedOperationException(s"unsupported function $other()")
     }
+  }
+
+  /** The valid-axis stab shared by jn:valid-at / jn:open-bitemporal /
+    * jn:scan-valid-time-index: the document (if a valid OBJECT) plus its
+    * array members that are valid OBJECTs at `validTs` — the exact arms
+    * of the reference's ValidTimeIndexScan.isValidAtTime over
+    * ValidTimeFilter.linearScanSequence's candidate set. */
+  private def validStab(store: Store, tuples: DataFrame,
+                        env: Map[String, Binding], docE: Jsoniq.Expr,
+                        validTs: String, fromF: String,
+                        toF: String): DataFrame = {
+    val ts = lit(validTs).try_cast("timestamp")
+    def bound(item: Column, f: String): Column =
+      variant_get(item, fieldPath(f), "string").try_cast("timestamp")
+    def valid(item: Column): Column = {
+      val vf = bound(item, fromF)
+      val vt = bound(item, toF)
+      (vf.isNotNull || vt.isNotNull) &&
+        (vf.isNull || !(ts < vf)) && (vt.isNull || !(ts > vt))
+    }
+    def objects(df: DataFrame): DataFrame =
+      df.filter(schema_of_variant(col(ITEM)).startsWith("OBJECT") &&
+        valid(col(ITEM)))
+    val shape = (tuples.columns :+ POS :+ ITEM).map(col)
+    val roots = objects(evalSeq(store, docE, tuples, env))
+      .withColumn(POS, concat(array(lit(0L)), col(POS)))
+      .select(shape: _*)
+    val membersPart = objects(
+        evalSeqRows(store, Jsoniq.Unbox(docE), tuples, env))
+      .withColumn(POS, concat(array(lit(1L)), col(POS)))
+      .select(shape: _*)
+    roots.unionByName(membersPart)
   }
 
   /** Cross-join the tuples with a driver-side walk of one stored
@@ -3320,22 +3554,26 @@ object JsoniqRun {
         val prev = byRev.take(idx).reverse.collectFirst {
           case (_, Some(pj)) => pj
         }
-        (r.toLong, json, prev.orNull)
+        val next = byRev.drop(idx + 1).collectFirst {
+          case (_, Some(nj)) => nj
+        }
+        (r.toLong, json, prev.orNull, next.orNull)
     }
     // sdb:item-history: only revisions where the node CHANGED (its
     // first existence counts), ascending — reference
     // function/sdb/trx/ItemHistory.java:40
     val rows =
-      if (changedOnly) rows0.filter { case (_, json, prev) =>
+      if (changedOnly) rows0.filter { case (_, json, prev, _) =>
         prev == null || prev != json }
       else rows0
     if (rows.isEmpty)
       return tuples.withColumn(POS, array(lit(0L))).withColumn(ITEM, vnull)
         .withColumn("__srev", lit(0L)).withColumn("__sprev", lit(""))
+        .withColumn("__snext", lit(""))
         .filter(lit(false))
-    val df = rows.toDF("__srev", "__mj", "__sprev")
+    val df = rows.toDF("__srev", "__mj", "__sprev", "__snext")
       .select(array(col("__srev")).as(POS), parse_json(col("__mj")).as(ITEM),
-        col("__srev"), col("__sprev"))
+        col("__srev"), col("__sprev"), col("__snext"))
     tuples.crossJoin(broadcast(df))
   }
 

@@ -176,6 +176,23 @@ class JsonNestingSpec extends SparkSpec {
       "multiple-revisions.json")
   }
 
+  test("scan-cas-index-range over the decimal index (testCreateAndScanCASIndex)") {
+    // the range scan's $paths is () — coverage comes from the CAS
+    // index DEFINITION registered by the DDL (the reference scans the
+    // index itself); 2.33 is excluded (include-low false), strings and
+    // booleans are not in a decimal index
+    replayMasked("testCreateAndScanCASIndex",
+      """let $doc := jn:doc('json-path1','mydoc.jn')
+        |let $casIndexNumber := jn:find-cas-index($doc, 'xs:decimal', '/sirix/[]/revision/foo/[]')
+        |for $node in jn:scan-cas-index-range($doc, $casIndexNumber, 2.33, 100, false(), true(), ())
+        |order by sdb:revision($node), sdb:nodekey($node)
+        |return {"nodeKey": sdb:nodekey($node), "node": $node}""".stripMargin,
+      """let $doc := jn:doc('json-path1','mydoc.jn')
+        |let $stats := jn:create-cas-index($doc,'xs:decimal','/sirix/[]/revision/foo/[]')
+        |return {"revision": sdb:commit($doc)}""".stripMargin,
+      "multiple-revisions.json")
+  }
+
   test("scan-cas-index with self-or-parent path (testCreateAndScanCASIndex2/3)") {
     val conditional =
       """let $doc := jn:doc('json-path1','mydoc.jn')

@@ -605,6 +605,53 @@ class JsoniqSpec extends SparkSpec {
       == "\"Eve\"")
   }
 
+  test("j: jn:next / jn:first-existing / jn:last-existing revision axes") {
+    val st = freshStore()
+    st.store("c", "nx.jn", """{"v": 1}""")
+    st.store("c", "nx.jn", """{"v": 2, "w": 9}""")
+    st.store("c", "nx.jn", """{"v": 3, "w": 9}""")
+    // jn:next over the all-times binding: the node at the FOLLOWING
+    // revision; empty at the last (reference jn/temporal/Next.java)
+    assert(JsoniqRun.serialize(st,
+      "for $n in jn:all-times(jn:doc('c','nx.jn')) " +
+        "where exists(jn:next($n)) return jn:next($n).v") == "2 3")
+    // first-/last-existing select the revision the node first/last
+    // exists in (FirstExisting.java / LastExisting.java); the `w` field
+    // first exists at revision 2
+    assert(JsoniqRun.serialize(st,
+      "jn:first-existing(jn:doc('c','nx.jn')).v") == "1")
+    assert(JsoniqRun.serialize(st,
+      "jn:last-existing(jn:doc('c','nx.jn')).v") == "3")
+    assert(JsoniqRun.serialize(st,
+      "for $n in jn:first-existing(jn:doc('c','nx.jn').w) " +
+        "return sdb:revision($n)") == "2")
+  }
+
+  test("j: resource valid-time configuration via jn:store options") {
+    val st = freshStore()
+    // the reference's 5-arg store form persists validFromPath/
+    // validToPath in the resource config
+    // (StoreValidTimeAutoIndexTest.java:96)
+    JsoniqRun.serialize(st,
+      """jn:store('c','vt.jn','[{"id": 1, "from": "2024-01-01T00:00:00Z", "to": "2024-06-30T00:00:00Z"},{"id": 2, "from": "2024-07-01T00:00:00Z"},{"id": 3}]', true(), {"validFromPath": "from", "validToPath": "to"})""")
+    // jn:valid-at reads the configured fields — no per-call override
+    assert(JsoniqRun.serialize(st,
+      "for $r in jn:valid-at('c','vt.jn', xs:dateTime('2024-03-01T00:00:00Z')) return $r.id")
+      == "1")
+    // jn:scan-valid-time-index: same predicate through the config
+    assert(JsoniqRun.serialize(st,
+      "for $r in jn:scan-valid-time-index(jn:doc('c','vt.jn'), xs:dateTime('2024-08-01T00:00:00Z')) return $r.id")
+      == "2")
+    // unpaired options fail loudly (validTimePathOptionsMustBePaired)
+    intercept[Exception](JsoniqRun.serialize(st,
+      """jn:store('c','bad.jn','[]', true(), {"validFromPath": "from"})"""))
+    // without a config the scan refuses, like the reference
+    JsoniqRun.serialize(st, """jn:store('c','nocfg.jn','[{"a": 1}]')""")
+    val e = intercept[Exception](JsoniqRun.serialize(st,
+      "jn:scan-valid-time-index(jn:doc('c','nocfg.jn'), xs:dateTime('2024-08-01T00:00:00Z'))"))
+    assert(e.getMessage.contains("valid time"), e.getMessage)
+  }
+
   test("j: sdb:item-history yields the node only where it changed") {
     val st = freshStore()
     st.store("c", "ih.jn", """{"v": 1, "x": "a"}""")
