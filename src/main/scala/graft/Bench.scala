@@ -142,13 +142,49 @@ object Bench {
       entryGc(name) = math.max(0L, g - lastGc)
       lastBusy = b; lastSelf = s; lastIo = io; lastGc = g; lastT = t
     }
+    // io-hot requeue (r11: the stamp DETECTED iowait poisoning — kworker
+    // writeback after the driver's preceding writes — but the poisoned
+    // number still shipped with a flag, leaving h_record_lookup a chronic
+    // false positive). Measure; if the entry's span saw > 2 cores of
+    // iowait, re-measure ONCE and keep the cleaner attempt: the re-run
+    // when its span is clean or faster, else the original (both spans
+    // dirty = genuinely contended box — the flag stays, honest). Only
+    // READ-ONLY entries requeue (re-running a commit-path entry would
+    // mutate the fixture under later entries).
+    // threshold overridable for harness dry-runs (-Dgraft.bench.iohot=0
+    // forces every entry through the requeue path)
+    val IoHotCores = sys.props.get("graft.bench.iohot")
+      .map(_.toDouble).getOrElse(2.0)
+    val requeued = collection.mutable.LinkedHashSet.empty[String]
+    def measureStamped(name: String)(measure: => Double): Double = {
+      val t1 = measure
+      stamp(name)
+      if (t1 < 0 || entryIo(name) <= IoHotCores) t1
+      else {
+        System.err.println(
+          f"[bench] $name io-hot (${entryIo(name)}%.2f io-cores) — requeueing once")
+        requeued += name
+        val s1 = (entryLoad(name), entryIo(name), entrySelf(name), entryGc(name))
+        val runs1 = allRuns.get(name)
+        val t2 = measure
+        stamp(name)
+        if (t2 >= 0 && (entryIo(name) <= IoHotCores || t2 < t1)) t2
+        else {
+          // the re-run was no better: restore the first attempt's stamps
+          entryLoad(name) = s1._1; entryIo(name) = s1._2
+          entrySelf(name) = s1._3; entryGc(name) = s1._4
+          runs1.foreach(allRuns(name) = _)
+          t1
+        }
+      }
+    }
 
     // the pair generators sit in a wide noise band (candidate-edge
     // shuffles dominate) — min-of-3 instead of min-of-2
     val tripleRun = Set("d_minhash_pairs", "d_dedup_groups", "d_span_dedup")
 
     val results = headline.filter(SparkEntry.queries.contains).map { name =>
-      val t =
+      def once(): Double =
         try {
           execute(name) // warmup: JIT + codegen + file-listing caches
           val runs = (1 to (if (tripleRun(name)) 3 else 2)).map { _ =>
@@ -162,7 +198,7 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           -1.0
         }
-      stamp(name)
+      val t = measureStamped(name)(once())
       dropLeftoverPins()
       name -> t
     }
@@ -286,25 +322,24 @@ object Bench {
           require(n > 0)
           (System.nanoTime() - t0) / 1e9
         }
-        val lookup = timed {
+        // all four aged-history entries are read-only — requeue-safe
+        // (h_record_lookup is the chronic io-hot false positive: its
+        // span coincides with writeback of the 1000 just-written revs)
+        val lookup = measureStamped("h_record_lookup")(timed {
           graft.sources.TemporalTable.recordRevisions(spark, dir, 7L).count()
-        }
-        stamp("h_record_lookup")
+        })
         // consolidate the 1000 per-revision sidecars, then the same lookup
         // reads ~one key-clustered file instead of 1000 tiny ones
         graft.sources.TemporalTable.compactKeyIndex(spark, dir)
-        val lookupCompacted = timed {
+        val lookupCompacted = measureStamped("h_record_lookup_compacted")(timed {
           graft.sources.TemporalTable.recordRevisions(spark, dir, 7L).count()
-        }
-        stamp("h_record_lookup_compacted")
-        val feed = timed {
+        })
+        val feed = measureStamped("h_revision_feed")(timed {
           graft.streaming.ChangeFeed.revisionFeed(spark, dir).count()
-        }
-        stamp("h_revision_feed")
-        val diffAged = timed {
+        })
+        val diffAged = measureStamped("h_diff_adjacent_aged")(timed {
           graft.sources.TemporalTable.diff(spark, dir, nRevs - 1, nRevs).count()
-        }
-        stamp("h_diff_adjacent_aged")
+        })
         Seq("h_record_lookup" -> lookup,
           "h_record_lookup_compacted" -> lookupCompacted,
           "h_revision_feed" -> feed,
@@ -513,9 +548,12 @@ object Bench {
     val hot = (entryLoad.collect { case (k, v) if v > 2.0 => k } ++
         entryIo.collect { case (k, v) if v > 2.0 => k })
       .toSeq.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val requeuedJson = requeued.toSeq.map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""runs":$runsJson,"ext_cores":$loadJson,"io_cores":$ioJson,""" +
       s""""self_cores":$selfJson,"gc_ms":$gcJson,"hot":$hot,""" +
+      s""""requeued":$requeuedJson,""" +
       s""""loadavg_start":"$loadStart","loadavg_end":"${loadavg()}",""" +
       s""""contended":$contended,"sf":"$sfDir"}""")
     spark.stop()
