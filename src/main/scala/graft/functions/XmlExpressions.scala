@@ -262,3 +262,147 @@ final case class XmlSerialize(child: Expression)
   override protected def withNewChildInternal(
       newChild: Expression): XmlSerialize = copy(child = newChild)
 }
+
+/** The typed write-time projection of one XML member's ENCODED JSON
+  * text: `struct(n, t)` where `n` is the element name and `t` holds
+  * the requested attribute values (`@name` fields) and child elements'
+  * name-addressed text (the [[XmlChildTexts]] concat rule: the
+  * element's STRING children joined by one space, across same-named
+  * children in document order), each converted to its sampled type
+  * (`bigint` / `double` / `string`; unparseable or absent → null —
+  * the try_cast discipline the query-side predicates assume).
+  *
+  * ONE Jackson streaming scan per row. A compositional compile
+  * (parse_json per field under CollapseProject + a variant walk per
+  * child name, each evaluated twice through its null-wrapper) measured
+  * 2× the whole member write; this is the write-side analog of the
+  * reference's PAX region builders (page/pax/StringRegion.java:76). */
+final case class XmlMemberShape(child: Expression,
+                                attrs: Seq[(String, String)],
+                                childs: Seq[(String, String)])
+    extends UnaryExpression with CodegenFallback {
+  import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+
+  private def dt(t: String): DataType = t match {
+    case "bigint" => LongType
+    case "double" => DoubleType
+    case _ => StringType
+  }
+  private val tType = StructType(
+    attrs.map { case (n, t) => StructField("@" + n, dt(t)) } ++
+      childs.map { case (n, t) => StructField(n, dt(t)) })
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", StringType), StructField("t", tType)))
+  override def nullable: Boolean = false
+  override def prettyName: String = "xml_member_shape"
+
+  // field slot by name, computed once
+  private val attrSlot: Map[String, Int] =
+    attrs.map(_._1).zipWithIndex.toMap
+  private val childSlot: Map[String, Int] =
+    childs.map(_._1).zipWithIndex.map { case (n, i) =>
+      n -> (i + attrs.size) }.toMap
+  private val slotType: Array[String] =
+    (attrs.map(_._2) ++ childs.map(_._2)).toArray
+
+  override def eval(input: InternalRow): Any = {
+    import com.fasterxml.jackson.core.{JsonFactory, JsonToken}
+    val v = child.eval(input)
+    val out = new org.apache.spark.sql.catalyst.expressions
+      .GenericInternalRow(2)
+    val t = new org.apache.spark.sql.catalyst.expressions
+      .GenericInternalRow(slotType.length)
+    out.update(1, t)
+    if (v == null) return out
+    val texts = new Array[java.lang.StringBuilder](slotType.length)
+    try {
+      val p = new JsonFactory()
+        .createParser(v.asInstanceOf[UTF8String].toString)
+      if (p.nextToken() == JsonToken.START_OBJECT) {
+        while (p.nextToken() == JsonToken.FIELD_NAME) {
+          p.currentName() match {
+            case "~n" =>
+              if (p.nextToken() == JsonToken.VALUE_STRING)
+                out.update(0, UTF8String.fromString(p.getText))
+            case "~a" =>
+              if (p.nextToken() == JsonToken.START_OBJECT) {
+                while (p.nextToken() == JsonToken.FIELD_NAME) {
+                  val slot = attrSlot.getOrElse(p.currentName(), -1)
+                  p.nextToken()
+                  if (slot >= 0 && p.currentToken().isScalarValue)
+                    setTyped(t, slot, p.getText)
+                  else p.skipChildren()
+                }
+              }
+            case "~c" =>
+              if (p.nextToken() == JsonToken.START_ARRAY) {
+                var tok = p.nextToken()
+                while (tok != JsonToken.END_ARRAY && tok != null) {
+                  if (tok == JsonToken.START_OBJECT) {
+                    // one child element: find its ~n and its direct
+                    // STRING children; skip everything nested
+                    var slot = -1
+                    val buf = new java.lang.StringBuilder()
+                    while (p.nextToken() == JsonToken.FIELD_NAME) {
+                      p.currentName() match {
+                        case "~n" =>
+                          if (p.nextToken() == JsonToken.VALUE_STRING)
+                            slot = childSlot.getOrElse(p.getText, -1)
+                        case "~c" =>
+                          if (p.nextToken() == JsonToken.START_ARRAY) {
+                            var k = p.nextToken()
+                            while (k != JsonToken.END_ARRAY && k != null) {
+                              if (k == JsonToken.VALUE_STRING) {
+                                if (buf.length > 0) buf.append(' ')
+                                buf.append(p.getText)
+                              } else if (k == JsonToken.START_OBJECT ||
+                                  k == JsonToken.START_ARRAY)
+                                p.skipChildren()
+                              k = p.nextToken()
+                            }
+                          } else p.skipChildren()
+                        case _ =>
+                          p.nextToken(); p.skipChildren()
+                      }
+                    }
+                    if (slot >= 0 && buf.length > 0) {
+                      if (texts(slot) == null) texts(slot) = buf
+                      else {
+                        texts(slot).append(' ').append(buf); ()
+                      }
+                    }
+                  } else if (tok == JsonToken.START_ARRAY) p.skipChildren()
+                  tok = p.nextToken()
+                }
+              }
+            case _ =>
+              p.nextToken(); p.skipChildren()
+          }
+        }
+      }
+      p.close()
+    } catch { case _: Exception => () }
+    var i = 0
+    while (i < texts.length) {
+      if (texts(i) != null) setTyped(t, i, texts(i).toString)
+      i += 1
+    }
+    out
+  }
+
+  /** Convert + store one field value; unparseable → null (try_cast). */
+  private def setTyped(row: org.apache.spark.sql.catalyst.expressions
+      .GenericInternalRow, slot: Int, s: String): Unit =
+    slotType(slot) match {
+      case "bigint" =>
+        try row.update(slot, java.lang.Long.parseLong(s.trim))
+        catch { case _: NumberFormatException => () }
+      case "double" =>
+        try row.update(slot, java.lang.Double.parseDouble(s.trim))
+        catch { case _: NumberFormatException => () }
+      case _ => row.update(slot, UTF8String.fromString(s))
+    }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): XmlMemberShape = copy(child = newChild)
+}

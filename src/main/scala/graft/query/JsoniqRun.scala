@@ -324,8 +324,7 @@ object JsoniqRun {
           if (cand.kind == "json" && cand.steps.isEmpty &&
               preSplit.isDefined) preSplit.get
           else Store.splitTopLevelArray(json.substring(cand.start, cand.end))
-        writeMembers(s"${shredDir(path, rev)}/s$k", members,
-          typed = cand.kind == "json")
+        writeMembers(s"${shredDir(path, rev)}/s$k", members, cand.kind)
         val e = metaArr.addObject()
         e.put("dir", s"s$k")
         e.put("kind", cand.kind)
@@ -360,16 +359,20 @@ object JsoniqRun {
       * same subexpression), and an observe() metric aggregates the TRUE
       * member schema during that very write. Only a sample miss
       * (observed schema != sampled) pays a second typed-projection pass
-      * — with the exact schema. XML member tables (`typed = false` —
-      * element nodes, not records) skip inference entirely. */
+      * — with the exact schema.
+      *
+      * XML member tables (`kind = "xml"` — element nodes, not records)
+      * take a DIFFERENT typed projection — [[writeXmlMembers]]. */
     private def writeMembers(dir: String, members: Seq[String],
-                             typed: Boolean): Unit = {
+                             kind: String): Unit = {
       if (members.isEmpty) return
+      if (kind == "xml") { writeXmlMembers(dir, members); return }
       import spark.implicits._
       import org.apache.spark.sql.Encoders
       val base = spark.createDataset(spark.sparkContext.parallelize(
           members.zipWithIndex.map { case (m, ix) => (ix.toLong, m) }, 32))
         .toDF("idx", "member_json")
+      val typed = kind == "json"
       def aggSchema(df: DataFrame): Option[String] =
         scala.util.Try(
           df.select(expr(
@@ -427,6 +430,120 @@ object JsoniqRun {
         projected(aggSchema(base).flatMap(ddlOf))
           .write.mode("overwrite").parquet(dir)
       }
+    }
+
+    /** XML member table: (`idx`, `member` variant, `n` element name,
+      * `t` struct) — the analog of the reference's PAX typed regions
+      * (page/pax/StringRegion.java:76, NumberRegionSimd.java:70). `n`
+      * lets the trailing-name chain filter run on a plain column
+      * (never a per-row variant decode); `t` holds each ATTRIBUTE
+      * value as an `@name` field and each child element's
+      * name-addressed TEXT (the native [[graft.functions.XmlChildTexts]]
+      * walk — one expression node, not ~50 interpreted HOF nodes),
+      * sample-typed to BIGINT/DOUBLE/STRING by a driver spread sample.
+      *
+      * No corrective/validation pass: a value the sampled type cannot
+      * hold try_casts to null at write, which answers numeric
+      * predicates exactly like the variant path's try_cast — and a
+      * name the sample never saw has no column at all, so the typed
+      * predicate compiler declines and the variant walk serves. */
+    private[query] def writeXmlMembers(dir: String,
+                                       members: Seq[String]): Unit = {
+      import org.apache.spark.sql.graftbridge.GraftBridge
+      val base = spark.createDataset(spark.sparkContext.parallelize(
+          members.zipWithIndex.map { case (m, ix) => (ix.toLong, m) }, 32))(
+          org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.scalaLong,
+            org.apache.spark.sql.Encoders.STRING))
+        .toDF("idx", "member_json")
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      final class Vote {
+        var long = true; var dbl = true; var any = false
+        def on(s: String): Unit = if (s.nonEmpty) {
+          any = true
+          val t = s.trim
+          if (long && scala.util.Try(java.lang.Long.parseLong(t)).isFailure)
+            long = false
+          if (dbl && (t.isEmpty ||
+              scala.util.Try(java.lang.Double.parseDouble(t)).isFailure))
+            dbl = false
+        }
+        def dt: String =
+          if (!any) "string" else if (long) "bigint"
+          else if (dbl) "double" else "string"
+      }
+      val attrVotes =
+        scala.collection.mutable.LinkedHashMap.empty[String, Vote]
+      val childVotes =
+        scala.collection.mutable.LinkedHashMap.empty[String, Vote]
+      val step = math.max(1, members.size / 2048)
+      members.iterator.grouped(step).map(_.head).take(4096).foreach { mj =>
+        scala.util.Try(mapper.readTree(mj)).toOption.foreach { nd =>
+          if (nd.isObject && nd.has("~n")) {
+            val as = nd.get("~a")
+            if (as != null && as.isObject) {
+              val it = as.fields()
+              while (it.hasNext) {
+                val e = it.next()
+                attrVotes.getOrElseUpdate(e.getKey, new Vote)
+                  .on(e.getValue.asText(""))
+              }
+            }
+            val cs = nd.get("~c")
+            if (cs != null && cs.isArray) {
+              // name-addressed child text: the element's STRING children
+              // joined by one space (the XmlChildTexts concat rule)
+              val texts = scala.collection.mutable
+                .LinkedHashMap.empty[String, StringBuilder]
+              val it = cs.elements()
+              while (it.hasNext) {
+                val c = it.next()
+                if (c.isObject && c.has("~n")) {
+                  val sb = texts.getOrElseUpdate(
+                    c.get("~n").asText(), new StringBuilder)
+                  val kids = c.get("~c")
+                  if (kids != null && kids.isArray) {
+                    val kit = kids.elements()
+                    while (kit.hasNext) {
+                      val k = kit.next()
+                      if (k.isTextual) {
+                        if (sb.nonEmpty) sb.append(' ')
+                        sb.append(k.asText()); ()
+                      }
+                    }
+                  }
+                }
+              }
+              texts.foreach { case (cn, sb) =>
+                childVotes.getOrElseUpdate(cn, new Vote).on(sb.toString) }
+            }
+          }
+        }
+      }
+      // quoted struct-field access and variant paths constrain names
+      def nameOk(s: String): Boolean = s.nonEmpty &&
+        !s.exists(ch => ch == '\'' || ch == '`' || ch == '\\' || ch == '.')
+      val attrFields = attrVotes.toSeq.filter(x => nameOk(x._1)).take(16)
+        .map { case (a, v) => (a, v.dt) }
+      val childFields = childVotes.toSeq.filter(x => nameOk(x._1)).take(16)
+        .map { case (c2, v) => (c2, v.dt) }
+      // ONE Jackson scan per member for the whole typed projection
+      // (XmlMemberShape) + one parse_json for the authoritative
+      // variant — a per-field compositional compile re-expands under
+      // CollapseProject into 5+ parses and doubled walks per row
+      // (measured 2x the member-write time)
+      val shape = GraftBridge.column(graft.functions.XmlMemberShape(
+        GraftBridge.expression(col("member_json")), attrFields, childFields))
+      val out =
+        if (attrFields.isEmpty && childFields.isEmpty)
+          base.select(col("idx"),
+            parse_json(col("member_json")).as("member"),
+            shape.getField("n").as("n"))
+        else
+          base.select(col("idx"),
+            parse_json(col("member_json")).as("member"),
+            shape.getField("n").as("n"), shape.getField("t").as("t"))
+      out.write.mode("overwrite").parquet(dir)
     }
 
     /** Copy the shred sidecar of one revision to another (content-
@@ -634,11 +751,74 @@ object JsoniqRun {
         .select(col("doc_json"))
 
     /** Store an XML document (converted to the [[XmlItem]] encoding) —
-      * the XQuery/XMark ingestion path. Returns the encoded JSON so the
-      * caller can bind it as the query's context item. */
+      * the XQuery/XMark ingestion path. ONE StAX pass both encodes and
+      * locates the shreddable child lists ([[XmlItem.xmlToJsonSpans]]),
+      * so the store skips the candidate re-scan and the member split
+      * the JSON path pays (the encoder already knows every member's
+      * span). Returns the encoded JSON so the caller can bind it as
+      * the query's context item. */
     def storeXml(collection: String, doc: String, xml: String): String = {
-      val json = XmlItem.xmlToJson(xml)
-      store(collection, doc, json)
+      import spark.implicits._
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val (json, spans) = XmlItem.xmlToJsonSpans(xml, Store.ShredMinBytes)
+      val path = docPath(collection, doc)
+      // same selection as shredCandidates: unique chains, top 12 by
+      // span (size + >=16-member rules were applied by the encoder)
+      val sel = spans.groupBy(_.steps).collect { case (_, Seq(one)) => one }
+        .toSeq.sortBy(s => s.start - s.end).take(12)
+      // the member tables don't depend on the revision NUMBER — only
+      // their final directory name does. Write them into a hidden temp
+      // dir CONCURRENTLY with the (single-task) doc-row commit, then
+      // rename into place; the completion marker still lands last, so
+      // the crash contract is unchanged (an orphaned .tmp dir is inert
+      // garbage, never served).
+      val tmp = s"$path/_shred/.tmp-${java.util.UUID.randomUUID().toString}"
+      val memberJob: Option[Future[String]] =
+        if (sel.isEmpty) None
+        else Some(Future {
+          val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+          val metaArr = mapper.createArrayNode()
+          sel.zipWithIndex.foreach { case (span, k) =>
+            val members = span.members.map { p =>
+              json.substring((p >>> 32).toInt, (p & 0xFFFFFFFFL).toInt)
+            }
+            writeXmlMembers(s"$tmp/s$k", members.toSeq)
+            val e = metaArr.addObject()
+            e.put("dir", s"s$k")
+            e.put("kind", "xml")
+            val st = e.putArray("steps")
+            span.steps.foreach(st.add)
+          }
+          mapper.writeValueAsString(metaArr)
+        })
+      val rev =
+        try graft.sources.TemporalTable.write(Seq(json).toDF("doc_json"), path)
+        catch {
+          case e: Throwable =>
+            memberJob.foreach(f =>
+              scala.util.Try(Await.result(f, Duration.Inf)))
+            graft.sources.MetaIO.delete(tmp, recursive = true)
+            throw e
+        }
+      try memberJob.foreach { f =>
+        val meta = Await.result(f, Duration.Inf)
+        val dst = shredDir(path, rev)
+        if (!graft.sources.MetaIO.rename(tmp, dst))
+          throw new java.io.IOException(s"rename $tmp -> $dst failed")
+        graft.sources.MetaIO.writeStringOverwrite(s"$dst/_meta.json", meta)
+        graft.sources.MetaIO.writeStringOverwrite(
+          s"$dst/$ShredCompleteMarker", "{}")
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(
+            s"[graft] shred sidecar failed for $path rev $rev " +
+              s"(doc-row fallback serves reads): ${e.getMessage}")
+          graft.sources.MetaIO.delete(tmp, recursive = true)
+          graft.sources.MetaIO.delete(shredDir(path, rev), recursive = true)
+          ()
+      }
       json
     }
   }
@@ -1007,6 +1187,15 @@ object JsoniqRun {
           // columns BEFORE members materialize as variants — pushed
           // filters + column pruning, the direct-DataFrame plan
           attachToTuples(shreddedTypedFilter(store, dc, pred, env).get,
+            tuples, env)
+        case FilterPred(chain, pred)
+            if shreddedXmlTypedFilter(store, chain, pred, env).isDefined =>
+          // typed XML fast path: trailing-name element chain + [?pred]
+          // over attribute/child-text columns — the name filter and the
+          // predicate both run on plain parquet columns, no per-member
+          // variant decode
+          attachToTuples(
+            shreddedXmlTypedFilter(store, chain, pred, env).get,
             tuples, env)
         case Unbox(base)
             if shreddedDocMembers(store, base, env).exists(_._2) =>
@@ -2939,10 +3128,16 @@ object JsoniqRun {
           .find(en => en.kind == "xml" && en.steps == names.init)
           .map { en =>
             val df = store.readShredEntry(c, d, r, en)
-            (df.filter(
-              schema_of_variant(col("member")).startsWith("OBJECT") &&
-                variant_get(col("member"), "$['~n']", "string")
-                  === names.last), false)
+            // typed tables carry the element name as a plain column —
+            // the name filter then never decodes the variant (and
+            // prunes to one parquet column for counts)
+            val named =
+              if (df.columns.contains("n")) df.filter(col("n") === names.last)
+              else df.filter(
+                schema_of_variant(col("member")).startsWith("OBJECT") &&
+                  variant_get(col("member"), "$['~n']", "string")
+                    === names.last)
+            (named, false)
           }
       } else None
     }
@@ -3077,6 +3272,110 @@ object JsoniqRun {
         go(pred).map(cond => df.filter(cond)
           .select(array(lit(0L), col("idx")).as(POS),
             col("member").as(ITEM)))
+      }
+    }
+  }
+
+  /** Compile `[?pred]` over a TYPED XML member table (trailing-name
+    * element chain, e.g. `$doc/site/people/person[?xs:integer(
+    * $$/age/text()) ge 60]`) onto the shred's plain parquet columns:
+    * the name filter runs on `n`, context-item child-text and
+    * attribute steps become `t.field` / `t.@field` references — no
+    * per-member variant decode. The xs numeric casts compile ONLY when
+    * the column's sampled type already holds the cast's value space
+    * (then the typed value IS the cast value: unparseable texts are
+    * write-time nulls, matching the variant path's try_cast-null).
+    * Returns the filtered member tuples; None when the table has no
+    * typed projection or the predicate reaches beyond path/literal
+    * comparisons + logic. */
+  private def shreddedXmlTypedFilter(store: Store, chainE: Jsoniq.Expr,
+                                     pred: Jsoniq.Expr,
+                                     env: Map[String, Binding])
+      : Option[DataFrame] = {
+    import Jsoniq._
+    import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType, StructType}
+    docChain(chainE, env).flatMap { case ((c, d, r), steps) =>
+      if (steps.isEmpty || !steps.forall(_.isRight)) None
+      else {
+        val names = steps.collect { case Right(n) => n }
+        store.shredEntries(c, d, r)
+          .find(en => en.kind == "xml" && en.steps == names.init)
+          .map(store.readShredEntry(c, d, r, _))
+          .filter(df => df.columns.contains("n") && df.columns.contains("t"))
+          .flatMap { df =>
+            val tTypes: Map[String, DataType] =
+              df.schema("t").dataType match {
+                case st: StructType =>
+                  st.fields.map(f => f.name -> f.dataType).toMap
+                case _ => Map.empty
+              }
+            def field(nm: String): Option[(Column, DataType)] =
+              tTypes.get(nm).map(t => (col(s"t.`$nm`"), t))
+            def pathCol(x: Expr): Option[(Column, DataType)] = x match {
+              case TextStep(ChildStep(ContextItem, nm)) => field(nm)
+              case AttrStep(ContextItem, nm) => field("@" + nm)
+              case _ => None
+            }
+            def numCol(x: Expr): Option[Column] = x match {
+              case Call("xs:integer" | "xs:int" | "xs:long", Seq(p)) =>
+                pathCol(p).collect { case (cc, LongType) => cc }
+              case Call("xs:decimal" | "xs:double" | "xs:float" | "number"
+                  | "fn:number", Seq(p)) =>
+                pathCol(p).collect {
+                  case (cc, LongType) => cc
+                  case (cc, DoubleType) => cc
+                }
+              case p => pathCol(p).collect {
+                case (cc, LongType) => cc
+                case (cc, DoubleType) => cc
+              }
+            }
+            def strCol(x: Expr): Option[Column] =
+              pathCol(x).collect { case (cc, StringType) => cc }
+            // numeric operand: a typed numeric column or a numeric
+            // literal — a string literal in a numeric comparison (or
+            // vice versa) DECLINES to the variant path, never a
+            // cross-type Spark coercion the walk would answer
+            // differently
+            def numT(x: Expr): Option[Column] = x match {
+              case NumLit(t) => Some(lit(BigDecimal(t).toDouble))
+              case Unary("-", NumLit(t)) => Some(lit(-BigDecimal(t).toDouble))
+              case other => numCol(other)
+            }
+            def go(x: Expr): Option[Column] = x match {
+              case Binary("and", l, rr) =>
+                for (a <- go(l); b <- go(rr))
+                  yield coalesce(a, lit(false)) && coalesce(b, lit(false))
+              case Binary("or", l, rr) =>
+                for (a <- go(l); b <- go(rr))
+                  yield coalesce(a, lit(false)) || coalesce(b, lit(false))
+              case Call("not", Seq(a)) =>
+                go(a).map(v => !coalesce(v, lit(false)))
+              case Call("contains" | "fn:contains", Seq(a, StrLit(s))) =>
+                strCol(a).map(_.contains(lit(s)))
+              case Call("starts-with" | "fn:starts-with", Seq(a, StrLit(s))) =>
+                strCol(a).map(_.startsWith(lit(s)))
+              case Call("ends-with" | "fn:ends-with", Seq(a, StrLit(s))) =>
+                strCol(a).map(_.endsWith(lit(s)))
+              case Binary(op, l, rr)
+                  if Set("eq", "ne", "lt", "le", "gt", "ge")(op) =>
+                (l, rr) match {
+                  case (_, StrLit(s)) =>
+                    strCol(l).map(lc => cmpBool(op, lc, lit(s)))
+                  case (StrLit(s), _) =>
+                    strCol(rr).map(rc => cmpBool(op, lit(s), rc))
+                  case _ =>
+                    for (lc <- numT(l); rc <- numT(rr))
+                      yield cmpBoolAst(op, l, rr, lc, rc)
+                }
+              case _ => None
+            }
+            go(pred).map { cond =>
+              df.filter(col("n") === names.last && cond)
+                .select(array(lit(0L), col("idx")).as(POS),
+                  col("member").as(ITEM))
+            }
+          }
       }
     }
   }

@@ -17,26 +17,110 @@ package graft.query
   * discipline) into Jackson trees, so escaping is never hand-rolled. */
 object XmlItem {
 
+  /** One shreddable child list found DURING the encode: `steps` are the
+    * element names from the root element down to (and including) the
+    * list's owner, `[start, end)` the `[...]` span in the encoded JSON,
+    * `members` the exact member-value spans (elements AND text nodes) —
+    * packed (start << 32 | end). Matches what
+    * [[JsoniqRun.Store.shredCandidates]] + splitTopLevelArray compute
+    * from the finished JSON, without re-scanning it. */
+  private[query] final case class ListSpan(
+      steps: List[String], start: Int, end: Int,
+      members: scala.collection.IndexedSeq[Long]) {
+    def count: Int = members.size
+  }
+
   /** Convert one XML document to its item-model JSON encoding. */
-  def xmlToJson(xml: String): String = {
-    import com.fasterxml.jackson.databind.ObjectMapper
-    import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
-    import javax.xml.stream.{XMLInputFactory, XMLStreamConstants}
-    val mapper = new ObjectMapper()
-    def newElem(name: String): ObjectNode = {
-      val o = mapper.createObjectNode()
-      o.put("~n", name)
-      o.set[ObjectNode]("~a", mapper.createObjectNode())
-      o.set[ObjectNode]("~c", mapper.createArrayNode())
-      o
+  def xmlToJson(xml: String): String =
+    xmlToJsonSpans(xml, Int.MaxValue)._1
+
+  /** A Writer over a plain StringBuilder (StringWriter's StringBuffer
+    * synchronizes every append). */
+  private final class SbWriter(val sb: java.lang.StringBuilder)
+      extends java.io.Writer {
+    override def write(c: Array[Char], off: Int, len: Int): Unit = {
+      sb.append(c, off, len); ()
     }
+    override def write(s: String): Unit = { sb.append(s); () }
+    override def flush(): Unit = ()
+    override def close(): Unit = ()
+  }
+
+  /** Encode AND locate the shreddable child lists in ONE StAX pass —
+    * the store's former shape paid three O(bytes) driver scans (tree
+    * encode + serialize, candidate scan, member split); this streams
+    * through a Jackson generator (escaping still never hand-rolled)
+    * and captures list/member spans from the writer position as the
+    * elements close. A child list qualifies when its span reaches
+    * `minBytes` with >= 16 members (the [[JsoniqRun.Store]] selection
+    * rule); chain uniqueness and the top-12 cut stay with the caller,
+    * which sees every qualifying list. */
+  private[query] def xmlToJsonSpans(xml: String, minBytes: Int)
+      : (String, Seq[ListSpan]) = {
+    import javax.xml.stream.{XMLInputFactory, XMLStreamConstants}
     val factory = XMLInputFactory.newInstance()
     // hostile-input discipline: no DTDs, no external entities
     factory.setProperty(XMLInputFactory.SUPPORT_DTD, false)
     factory.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
     val reader = factory.createXMLStreamReader(new java.io.StringReader(xml))
-    val doc = newElem("")
-    var stack = List[ObjectNode](doc)
+    val sb = new java.lang.StringBuilder(xml.length + (xml.length >> 1))
+    val gen = new com.fasterxml.jackson.core.JsonFactory()
+      .createGenerator(new SbWriter(sb))
+    val track = minBytes != Int.MaxValue
+    def pos(): Int = { gen.flush(); sb.length }
+    // one frame per OPEN element (plus the document wrapper): the
+    // pending member-start of the element within ITS parent's list,
+    // the offset of its own `[` (child list), and its member spans
+    final class Frame(val name: String, val memberStart: Int,
+                      val listStart: Int) {
+      val members = new scala.collection.mutable.ArrayBuffer[Long]()
+    }
+    var stack = List.empty[Frame]
+    val found = Seq.newBuilder[ListSpan]
+    def openFrame(name: String, memberStart: Int): Unit = {
+      gen.writeStartObject()
+      gen.writeStringField("~n", name)
+      gen.writeFieldName("~a")
+      gen.writeStartObject()
+      if (name.nonEmpty) {
+        var i = 0
+        while (i < reader.getAttributeCount) {
+          gen.writeStringField(reader.getAttributeLocalName(i),
+            reader.getAttributeValue(i))
+          i += 1
+        }
+      }
+      gen.writeEndObject()
+      gen.writeFieldName("~c")
+      gen.writeStartArray()
+      // `[` is the character just written
+      stack = new Frame(name, memberStart, if (track) pos() - 1 else -1) ::
+        stack
+    }
+    // a member value's start: the writer position, plus one for the
+    // `,` the generator emits with the NEXT value (never the first)
+    def memberStartPos(): Int =
+      if (!track) -1
+      else pos() + (if (stack.head.members.nonEmpty) 1 else 0)
+    def closeFrame(): Unit = {
+      val f = stack.head
+      stack = stack.tail
+      gen.writeEndArray()
+      if (track) {
+        val listEnd = pos() // exclusive of nothing: `]` just written
+        if (listEnd - f.listStart >= minBytes && f.members.size >= 16)
+          found += ListSpan(
+            // steps = element names root-element..this (doc "" excluded)
+            (f.name :: stack.collect {
+              case fr if fr.name.nonEmpty => fr.name
+            }).reverse,
+            f.listStart, listEnd, f.members)
+      }
+      gen.writeEndObject()
+      if (stack.nonEmpty && track)
+        stack.head.members += ((f.memberStart.toLong << 32) | pos().toLong)
+      ()
+    }
     val text = new StringBuilder
     def flushText(): Unit = {
       val t = text.toString
@@ -44,29 +128,33 @@ object XmlItem {
       // ALL text survives, including whitespace-only nodes — the XML
       // data model (and the reference's store) keeps them, and q13-style
       // re-serialization of stored subtrees must be byte-exact
-      if (t.nonEmpty)
-        stack.head.withArray[ArrayNode]("~c").add(t)
-    }
-    try while (reader.hasNext) {
-      reader.next() match {
-        case XMLStreamConstants.START_ELEMENT =>
-          flushText()
-          val e = newElem(reader.getLocalName)
-          val attrs = e.get("~a").asInstanceOf[ObjectNode]
-          (0 until reader.getAttributeCount).foreach { i =>
-            attrs.put(reader.getAttributeLocalName(i), reader.getAttributeValue(i))
-          }
-          stack.head.withArray[ArrayNode]("~c").add(e)
-          stack = e :: stack
-        case XMLStreamConstants.END_ELEMENT =>
-          flushText()
-          stack = stack.tail
-        case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA =>
-          text.append(reader.getText)
-        case _ => ()
+      if (t.nonEmpty) {
+        val s0 = memberStartPos()
+        gen.writeString(t)
+        if (track)
+          stack.head.members += ((s0.toLong << 32) | pos().toLong)
+        ()
       }
+    }
+    try {
+      openFrame("", -1) // the document wrapper
+      while (reader.hasNext) {
+        reader.next() match {
+          case XMLStreamConstants.START_ELEMENT =>
+            flushText()
+            openFrame(reader.getLocalName, memberStartPos())
+          case XMLStreamConstants.END_ELEMENT =>
+            flushText()
+            closeFrame()
+          case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA =>
+            text.append(reader.getText); ()
+          case _ => ()
+        }
+      }
+      closeFrame() // the document wrapper
+      gen.close()
     } finally reader.close()
-    mapper.writeValueAsString(doc)
+    (sb.toString, found.result())
   }
 
   /** XQuery string-value of one item (JSON text): an element (XmlItem

@@ -289,6 +289,17 @@ private[graft] object MetaIO {
     * (a compacted head's manifest is content-identical to the head's:
     * bucket digests ignore file layout, so a byte copy replaces a full
     * snapshot scan + shuffle). */
+  /** Directory move (HDFS/local: O(1) metadata rename; object stores
+    * degrade to copy semantics in their connector). False on failure —
+    * callers fall back rather than trusting a half-move. */
+  def rename(src: String, dst: String): Boolean = {
+    val f = fs(src)
+    val dp = new Path(dst)
+    val parent = dp.getParent
+    if (parent != null) { f.mkdirs(parent); () }
+    f.rename(new Path(src), dp)
+  }
+
   def copyFile(src: String, dst: String): Unit = {
     org.apache.hadoop.fs.FileUtil.copy(fs(src), new Path(src), fs(dst),
       new Path(dst), false, conf)

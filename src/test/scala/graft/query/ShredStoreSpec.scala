@@ -102,6 +102,43 @@ class ShredStoreSpec extends SparkSpec {
     }
   }
 
+  test("XML member predicates compile onto the typed columns") {
+    withShredded { st =>
+      val xml = "<site><people>" +
+        (1 to 20).map(i =>
+          s"""<person id="p$i"><name>n$i</name><age>${18 + i}</age></person>""")
+          .mkString + "</people></site>"
+      st.storeXml("c", "t.xml", xml)
+      // the table carries the element name and the typed projection:
+      // sampled child texts type to BIGINT, attributes to @-fields
+      val df = spark.read.parquet(s"${st.baseDir}/c/t.xml/_shred/r1/s0")
+      assert(df.columns.contains("n") && df.columns.contains("t"),
+        df.columns.mkString(","))
+      val t = df.schema("t").dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      assert(t("age").dataType.typeName == "long", t.treeString)
+      assert(t.fieldNames.contains("@id"), t.treeString)
+      // numeric child-text predicate (ages 19..38 — 9 at >= 30)
+      assert(JsoniqRun.serialize(st,
+        "count(jn:doc('c','t.xml')/site/people/person" +
+          "[?xs:integer($$/age/text()) ge 30])") === "9")
+      // string predicates over attribute and child text
+      assert(JsoniqRun.serialize(st,
+        "count(jn:doc('c','t.xml')/site/people/person" +
+          "[?starts-with($$/name/text(), 'n1')])") === "11")
+      assert(JsoniqRun.serialize(st,
+        "count(jn:doc('c','t.xml')/site/people/person" +
+          "[?$$/name/text() eq 'n7'])") === "1")
+      // the count's plan reads ONLY typed parquet columns — the member
+      // variant never decodes
+      val plan = JsoniqRun.run(st,
+        "count(jn:doc('c','t.xml')/site/people/person" +
+          "[?xs:integer($$/age/text()) ge 30])")
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("member"), plan)
+    }
+  }
+
   test("sdb:commit copies the head revision and its shred sidecar") {
     withShredded { st =>
       st.store("c", "d.jn", doc)

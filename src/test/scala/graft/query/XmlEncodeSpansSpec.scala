@@ -1,0 +1,63 @@
+package graft.query
+
+import graft.SparkSpec
+
+/** The fused StAX encode+span pass ([[XmlItem.xmlToJsonSpans]]) against
+  * the generic scanners it replaced: encodings must stay byte-identical
+  * and the tracked spans must equal what [[JsoniqRun.Store.shredCandidates]]
+  * + splitTopLevelArray compute from the finished JSON. */
+class XmlEncodeSpansSpec extends SparkSpec {
+
+  test("spans agree with the candidate scan + split (mixed content)") {
+    val prev = sys.props.get("graft.shred.min")
+    sys.props("graft.shred.min") = "1" // shredCandidates reads the prop
+    try testBody()
+    finally prev match {
+      case Some(v) => sys.props("graft.shred.min") = v
+      case None => sys.props.remove("graft.shred.min"); ()
+    }
+  }
+
+  private def testBody(): Unit = {
+    val xml = "<site><regions><a/><b/></regions><people>" +
+      (1 to 20).map(i =>
+        s"""<person id="p$i">t$i<name>n$i</name> tail</person>""").mkString +
+      "</people>mixed text<extra>" +
+      (1 to 17).map(i => s"<e>x$i</e>").mkString + "</extra></site>"
+    val (json, spans) = XmlItem.xmlToJsonSpans(xml, 1)
+    // tracked and untracked encodes are byte-identical
+    assert(json == XmlItem.xmlToJson(xml))
+    val cands = JsoniqRun.Store.shredCandidates(json)
+      .filter(c => c.kind == "xml" && c.count >= 16)
+    assert(cands.nonEmpty)
+    val bySteps = spans.map(s => s.steps -> s).toMap
+    cands.foreach { c =>
+      val sp = bySteps(c.steps)
+      assert((sp.start, sp.end, sp.count) == (c.start, c.end, c.count),
+        s"${c.steps}: (${sp.start},${sp.end},${sp.count}) vs " +
+          s"(${c.start},${c.end},${c.count})")
+      val oldMembers = JsoniqRun.Store
+        .splitTopLevelArray(json.substring(c.start, c.end))
+      val newMembers = sp.members.map(p =>
+        json.substring((p >>> 32).toInt, (p & 0xFFFFFFFFL).toInt))
+      assert(newMembers.toSeq == oldMembers.toSeq,
+        s"members differ:\n${newMembers.take(3)}\n${oldMembers.take(3)}")
+    }
+  }
+
+  test("escapes, CDATA, attributes and whitespace survive the stream encode") {
+    val xml = "<r a=\"x&amp;y&quot;z\">  <c>a&lt;b</c><![CDATA[raw<>&]]>" +
+      "<empty/> trailing </r>"
+    val (json, _) = XmlItem.xmlToJsonSpans(xml, 1)
+    assert(json == XmlItem.xmlToJson(xml))
+    val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    val r = n.get("~c").get(0)
+    assert(r.get("~a").get("a").asText() == "x&y\"z")
+    val kids = r.get("~c")
+    assert(kids.get(0).asText() == "  ") // whitespace text node kept
+    assert(kids.get(1).get("~c").get(0).asText() == "a<b")
+    assert(kids.get(2).asText() == "raw<>&")
+    assert(kids.get(3).get("~n").asText() == "empty")
+    assert(kids.get(4).asText() == " trailing ")
+  }
+}
