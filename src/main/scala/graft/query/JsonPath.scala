@@ -61,19 +61,55 @@ private[query] object JsonPath {
       case _ => false
     }
 
-  /** Document-order nodes whose PATH CLASS matches `pattern`; each match
-    * serialized compact with sorted keys (the canonical variant form).
-    *
-    * Class model (calibrated against the reference's own pinned scans —
-    * testCreateAndScanPathIndex's concrete paths and testNesting31):
-    * every ARRAY contributes ONE `[]` class level covering the array
-    * and its member positions; nested arrays add another level; object
-    * fields add name levels; object members add nothing of their own.
-    * A PATH scan (no `valueFilter`) emits array nodes at `[]`-ending
-    * classes and field VALUES (any kind) at name-ending classes — never
-    * bare members. A CAS scan (`valueFilter` set) emits SCALAR values
-    * satisfying the comparison, wherever their class matches (array
-    * members sit at the array's `[]` level). */
+  /** Serializable scalar comparator for CAS scans — shipped inside the
+    * distributed member-scan expression, so it must be a value, not a
+    * closure over query state. */
+  sealed trait ValueCmp extends (String => Boolean) with Serializable
+
+  /** `jn:scan-cas-index`'s single comparison: the reference casts to
+    * the index's content type; here values compare as strings (the
+    * corpus' CAS point scans are string-typed). */
+  final case class CmpOp(op: String, value: String) extends ValueCmp {
+    override def apply(s: String): Boolean = op match {
+      case "==" => s == value
+      case "!=" => s != value
+      case "<" => s < value; case "<=" => s <= value
+      case ">" => s > value; case ">=" => s >= value
+      case other => throw new UnsupportedOperationException(
+        s"cas comparison '$other'")
+    }
+  }
+
+  /** `jn:scan-cas-index-range`: numeric bounds compare numerically
+    * (values a decimal index cannot hold are not indexed — unparseable
+    * texts never match), string bounds lexicographically. */
+  final case class CmpRange(low: String, high: String,
+                            incLow: Boolean, incHigh: Boolean)
+      extends ValueCmp {
+    private val lowN = scala.util.Try(BigDecimal(low)).toOption
+    private val highN = scala.util.Try(BigDecimal(high)).toOption
+    override def apply(s: String): Boolean = (lowN, highN) match {
+      case (Some(lo), Some(hi)) =>
+        scala.util.Try(BigDecimal(s)).toOption.exists(v =>
+          (if (incLow) v >= lo else v > lo) &&
+            (if (incHigh) v <= hi else v < hi))
+      case _ =>
+        (if (incLow) s >= low else s > low) &&
+          (if (incHigh) s <= high else s < high)
+    }
+  }
+
+  /** What a scan looks for — the three textual index-scan families.
+    * Serializable: the distributed member scan ships one per entry. */
+  sealed trait ScanKind extends Serializable
+  /** Path-index scan: nodes whose path CLASS matches (None = every). */
+  final case class PathScan(patterns: Option[Seq[String]]) extends ScanKind
+  /** CAS scan: SCALAR values at matching classes passing `cmp`. */
+  final case class CasScan(patterns: Option[Seq[String]], cmp: ValueCmp)
+      extends ScanKind
+  /** Name-index scan: object fields whose KEY is in `names`. */
+  final case class NameScan(names: Option[Set[String]]) extends ScanKind
+
   /** One scan hit: the node's canonical JSON, its CONCRETE printed path
     * (member steps as `[i]`, an array node's own path ends `/[]` — the
     * reference's sdb:path rendering, calibrated against
@@ -81,30 +117,56 @@ private[query] object JsonPath {
     * pins), and the parent node's printed path. */
   final case class Hit(json: String, path: String, parentPath: String)
 
-  def walkMatches(json: String, pattern: Option[String],
-                  valueFilter: Option[String => Boolean] = None): Seq[Hit] =
-    walkMatchesAny(json, pattern.map(Seq(_)), valueFilter)
+  /** Thrown when a skeleton scan cannot answer without the elided
+    * member subtrees (the pattern matches a shredded array NODE itself,
+    * or a name scan hits the shredded array's own field) — callers fall
+    * back to the full-document walk. */
+  final class NeedFullWalk(why: String) extends RuntimeException(why)
 
-  /** [[walkMatches]] over a SET of path patterns (a node matches when any
-    * pattern does) — the `;`-separated `$paths` form the reference's
-    * index scans take (jn/index/scan/ScanCASIndexRange.java:88). */
-  def walkMatchesAny(json: String, patterns: Option[Seq[String]],
-                     valueFilter: Option[String => Boolean] = None): Seq[Hit] = {
-    import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper, SerializationFeature}
-    val mapper = new ObjectMapper()
-    mapper.configure(SerializationFeature.ORDER_MAP_ENTRIES_BY_KEYS, true)
-    // None = every class (a CAS index declared over ('//*','//[]'))
-    val pats = patterns.map(_.map(parsePattern))
-    val isCas = valueFilter.isDefined
-    val out = Seq.newBuilder[Hit]
-    def ser(n: JsonNode): String =
+  // ------------------------------------------------------------ walkers
+
+  import com.fasterxml.jackson.databind.JsonNode
+
+  // ObjectMapper is thread-safe once configured; per-call construction
+  // dominated the distributed member scan (one mapper per ROW)
+  private lazy val SharedMapper = {
+    import com.fasterxml.jackson.databind.{ObjectMapper, SerializationFeature}
+    val m = new ObjectMapper()
+    m.configure(SerializationFeature.ORDER_MAP_ENTRIES_BY_KEYS, true)
+    m
+  }
+  private def newMapper() = SharedMapper
+
+  /** Class-model walker (path/CAS scans) over a tree. `slots` marks
+    * placeholder nodes standing in for ELIDED shredded arrays (identity
+    * comparison — a placeholder is a specific node instance): reaching
+    * one records the document-order slot for that chain's member table
+    * instead of walking members. Hits carry their document-order
+    * ordinal; slots consume one ordinal so member hits interleave
+    * correctly ([slotOrd, memberIdx, k] sorts between neighbors). */
+  private final class ClassWalker(
+      pats: Option[Seq[List[Pat]]], valueFilter: Option[String => Boolean],
+      slots: java.util.IdentityHashMap[JsonNode, List[String]]) {
+    private val mapper = newMapper()
+    private val isCas = valueFilter.isDefined
+    val out = Seq.newBuilder[(Hit, Long)]
+    val slotOrds = scala.collection.mutable.Map.empty[List[String], Long]
+    private var ord = 0L
+    private def ser(n: JsonNode): String =
       mapper.writeValueAsString(mapper.treeToValue(n, classOf[Object]))
-    def emitIf(cls: List[String], n: JsonNode, pos: String,
-               parent: String): Unit =
-      if (pats.forall(_.exists(p => matches(cls.reverse, p)))) valueFilter match {
+    private def clsMatches(cls: List[String]): Boolean =
+      pats.forall(_.exists(p => matches(cls.reverse, p)))
+    private def emitIf(cls: List[String], n: JsonNode, pos: String,
+                       parent: String): Unit =
+      if (clsMatches(cls)) valueFilter match {
         case Some(f) =>
-          if (n.isValueNode && f(n.asText())) out += Hit(ser(n), pos, parent)
-        case None => out += Hit(ser(n), pos, parent)
+          // JSON nulls are not typed atomic values — the reference's
+          // CAS index never holds them (Cast.cast of a null fails
+          // before indexing), so CAS scans skip them
+          if (n.isValueNode && !n.isNull && f(n.asText())) {
+            out += ((Hit(ser(n), pos, parent), ord)); ord += 1
+          }
+        case None => out += ((Hit(ser(n), pos, parent), ord)); ord += 1
       }
     def walkFields(o: JsonNode, cls: List[String], pos: String): Unit = {
       val it = o.fields()
@@ -117,6 +179,17 @@ private[query] object JsonPath {
       * `cls`, printed position `pos`, under a parent printed `parent`. */
     def walkValue(n: JsonNode, cls: List[String], pos: String,
                   parent: String): Unit = {
+      val slotChain = slots.get(n)
+      if (slotChain != null) {
+        // an elided shredded array: a PATH scan matching the array
+        // node itself needs the members' content — unserveable here
+        if (!isCas && clsMatches("[]" :: cls))
+          throw new NeedFullWalk(
+            s"pattern matches the shredded array node at /$pos")
+        slotOrds(slotChain) = ord
+        ord += 1
+        return
+      }
       if (n.isArray) {
         val acls = "[]" :: cls
         val apath = s"$pos/[]" // the array node's own printed path
@@ -136,8 +209,94 @@ private[query] object JsonPath {
         walkFields(n, cls, pos)
       } else emitIf(cls, n, pos, parent)
     }
-    walkValue(mapper.readTree(json), Nil, "", "")
-    out.result()
+    /** ONE member of the array at (reversed) class `cls`, member
+      * position `mpos`, array path `apath` — exactly the per-member arm
+      * of the array case above. */
+    def walkMember(m: JsonNode, cls: List[String], mpos: String,
+                   apath: String): Unit = {
+      if (m.isArray) walkValue(m, cls, mpos, apath)
+      else if (m.isObject) walkFields(m, cls, mpos)
+      else if (isCas) emitIf(cls, m, "", apath)
+    }
+  }
+
+  /** Name-index walker; same slot discipline. */
+  private final class NameWalker(
+      names: Option[Set[String]],
+      slots: java.util.IdentityHashMap[JsonNode, List[String]]) {
+    private val mapper = newMapper()
+    val out = Seq.newBuilder[(Hit, Long)]
+    val slotOrds = scala.collection.mutable.Map.empty[List[String], Long]
+    private var ord = 0L
+    private def ser(n: JsonNode): String =
+      mapper.writeValueAsString(mapper.treeToValue(n, classOf[Object]))
+    def walk(n: JsonNode, pos: String): Unit = {
+      // a placeholder reached directly (shredded ROOT array)
+      val rootSlot = slots.get(n)
+      if (rootSlot != null) { slotOrds(rootSlot) = ord; ord += 1; return }
+      if (n.isObject) {
+        val it = n.fields()
+        while (it.hasNext) {
+          val e = it.next()
+          val p = s"$pos/${e.getKey}"
+          val slotChain = slots.get(e.getValue)
+          if (slotChain != null) {
+            // the field's VALUE is elided: a name hit on the field
+            // itself would need the members' content
+            if (names.forall(_.contains(e.getKey)))
+              throw new NeedFullWalk(
+                s"name scan hits the shredded array field at $p")
+            slotOrds(slotChain) = ord
+            ord += 1
+          } else {
+            if (names.forall(_.contains(e.getKey))) {
+              out += ((Hit(ser(e.getValue), p, pos), ord)); ord += 1
+            }
+            walk(e.getValue, p)
+          }
+        }
+      } else if (n.isArray) {
+        val it = n.elements()
+        var i = 0
+        while (it.hasNext) { walk(it.next(), s"$pos/[$i]"); i += 1 }
+      }
+    }
+  }
+
+  private val NoSlots =
+    new java.util.IdentityHashMap[JsonNode, List[String]]()
+
+  /** Full-document scan (the driver-walk form). */
+  def scanDoc(json: String, kind: ScanKind): Seq[Hit] = kind match {
+    case PathScan(pats) =>
+      val w = new ClassWalker(pats.map(_.map(parsePattern)), None, NoSlots)
+      w.walkValue(newMapper().readTree(json), Nil, "", "")
+      w.out.result().map(_._1)
+    case CasScan(pats, cmp) =>
+      val w = new ClassWalker(pats.map(_.map(parsePattern)), Some(cmp),
+        NoSlots)
+      w.walkValue(newMapper().readTree(json), Nil, "", "")
+      w.out.result().map(_._1)
+    case NameScan(names) =>
+      val w = new NameWalker(names, NoSlots)
+      w.walk(newMapper().readTree(json), "")
+      w.out.result().map(_._1)
+  }
+
+  def walkMatches(json: String, pattern: Option[String],
+                  valueFilter: Option[String => Boolean] = None): Seq[Hit] =
+    walkMatchesAny(json, pattern.map(Seq(_)), valueFilter)
+
+  /** [[walkMatches]] over a SET of path patterns (a node matches when any
+    * pattern does) — the `;`-separated `$paths` form the reference's
+    * index scans take (jn/index/scan/ScanCASIndexRange.java:88). */
+  def walkMatchesAny(json: String, patterns: Option[Seq[String]],
+                     valueFilter: Option[String => Boolean] = None)
+      : Seq[Hit] = {
+    val w = new ClassWalker(patterns.map(_.map(parsePattern)), valueFilter,
+      NoSlots)
+    w.walkValue(newMapper().readTree(json), Nil, "", "")
+    w.out.result().map(_._1)
   }
 
   /** Document-order hits for a NAME-index scan: every object field whose
@@ -146,29 +305,173 @@ private[query] object JsonPath {
     * field's own concrete printed path (reference
     * function/jn/index/scan/ScanNameIndex.java — the index maps key
     * names to OBJECT_KEY nodes). */
-  def walkNames(json: String, names: Option[Set[String]]): Seq[Hit] = {
-    import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper, SerializationFeature}
-    val mapper = new ObjectMapper()
-    mapper.configure(SerializationFeature.ORDER_MAP_ENTRIES_BY_KEYS, true)
-    val out = Seq.newBuilder[Hit]
-    def ser(n: JsonNode): String =
-      mapper.writeValueAsString(mapper.treeToValue(n, classOf[Object]))
-    def walk(n: JsonNode, pos: String): Unit =
-      if (n.isObject) {
-        val it = n.fields()
-        while (it.hasNext) {
-          val e = it.next()
-          val p = s"$pos/${e.getKey}"
-          if (names.forall(_.contains(e.getKey)))
-            out += Hit(ser(e.getValue), p, pos)
-          walk(e.getValue, p)
-        }
-      } else if (n.isArray) {
-        val it = n.elements()
-        var i = 0
-        while (it.hasNext) { walk(it.next(), s"$pos/[$i]"); i += 1 }
+  def walkNames(json: String, names: Option[Set[String]]): Seq[Hit] =
+    scanDoc(json, NameScan(names))
+
+  // ------------------------------------------------ distributed pieces
+
+  /** Skeleton of a shredded document: the full tree MINUS the member
+    * lists of the given fields-only chains, each replaced by a
+    * placeholder node (identity-keyed in the returned map). One Jackson
+    * streaming pass; elided subtrees are `skipChildren()`-scanned, never
+    * built — driver memory is O(skeleton), not O(document). */
+  def skeletonTree(json: String, chains: Seq[List[String]])
+      : (JsonNode, java.util.IdentityHashMap[JsonNode, List[String]]) = {
+    import com.fasterxml.jackson.core.{JsonFactory, JsonToken}
+    import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+    val mapper = newMapper()
+    val chainSet = chains.toSet
+    val slots = new java.util.IdentityHashMap[JsonNode, List[String]]()
+    val p = new JsonFactory().createParser(json)
+    // fieldChain: fields-only path from the root, REVERSED (innermost
+    // first); null once inside any array (chains are fields-only)
+    def buildValue(tok: JsonToken, fieldChain: List[String]): JsonNode =
+      tok match {
+        case JsonToken.START_OBJECT =>
+          val o = mapper.createObjectNode()
+          while (p.nextToken() == JsonToken.FIELD_NAME) {
+            val f = p.currentName()
+            val vTok = p.nextToken()
+            val sub = if (fieldChain == null) null else f :: fieldChain
+            if (vTok == JsonToken.START_ARRAY && sub != null &&
+                chainSet.contains(sub.reverse)) {
+              p.skipChildren()
+              val ph = mapper.createObjectNode()
+              slots.put(ph, sub.reverse)
+              o.set[ObjectNode](f, ph)
+              ()
+            } else o.set[ObjectNode](f, buildValue(vTok, sub))
+          }
+          o
+        case JsonToken.START_ARRAY =>
+          val a = mapper.createArrayNode()
+          var t = p.nextToken()
+          while (t != JsonToken.END_ARRAY && t != null) {
+            a.add(buildValue(t, null))
+            t = p.nextToken()
+          }
+          a
+        case JsonToken.VALUE_STRING => mapper.getNodeFactory.textNode(p.getText)
+        case JsonToken.VALUE_NUMBER_INT =>
+          mapper.getNodeFactory.numberNode(p.getBigIntegerValue)
+        case JsonToken.VALUE_NUMBER_FLOAT =>
+          mapper.getNodeFactory.numberNode(p.getDecimalValue)
+        case JsonToken.VALUE_TRUE => mapper.getNodeFactory.booleanNode(true)
+        case JsonToken.VALUE_FALSE => mapper.getNodeFactory.booleanNode(false)
+        case _ => mapper.getNodeFactory.nullNode()
       }
-    walk(mapper.readTree(json), "")
-    out.result()
+    val first = p.nextToken()
+    // the ROOT ARRAY itself (chain = Nil): a shredded root array's
+    // skeleton is just its placeholder
+    val root =
+      if (first == JsonToken.START_ARRAY && chainSet.contains(Nil)) {
+        p.skipChildren()
+        val ph = mapper.createObjectNode()
+        slots.put(ph, Nil)
+        ph
+      } else buildValue(first, Nil)
+    p.close()
+    (root, slots)
+  }
+
+  /** Scan a skeleton: hits with their document-order ordinals, plus the
+    * ordinal reserved for each elided chain's member block. Throws
+    * [[NeedFullWalk]] when the answer requires elided content. */
+  def scanSkeleton(root: JsonNode,
+                   slots: java.util.IdentityHashMap[JsonNode, List[String]],
+                   kind: ScanKind)
+      : (Seq[(Hit, Long)], Map[List[String], Long]) = kind match {
+    case PathScan(pats) =>
+      val w = new ClassWalker(pats.map(_.map(parsePattern)), None, slots)
+      w.walkValue(root, Nil, "", "")
+      (w.out.result(), w.slotOrds.toMap)
+    case CasScan(pats, cmp) =>
+      val w = new ClassWalker(pats.map(_.map(parsePattern)), Some(cmp), slots)
+      w.walkValue(root, Nil, "", "")
+      (w.out.result(), w.slotOrds.toMap)
+    case NameScan(names) =>
+      val w = new NameWalker(names, slots)
+      w.walk(root, "")
+      (w.out.result(), w.slotOrds.toMap)
+  }
+
+  /** Per-member scanner for a shredded array (distributed, one `scan`
+    * call per member row): `chain` is the array's fields-only path from
+    * the root, `idx` the member ordinal. Matches exactly what the full
+    * walk computes for this member's subtree. Construct ONCE per task
+    * (pattern parsing and position prefixes are per-scan, not per-row). */
+  final class MemberScanner(kind: ScanKind, chain: List[String]) {
+    private val arrayPos = chain.map("/" + _).mkString
+    private val apath = s"$arrayPos/[]"
+    private val seedCls = "[]" :: chain.reverse
+    private val parsed: Option[Seq[List[Pat]]] = kind match {
+      case PathScan(p) => p.map(_.map(parsePattern))
+      case CasScan(p, _) => p.map(_.map(parsePattern))
+      case NameScan(_) => None
+    }
+    def scan(memberJson: String, idx: Long): Seq[Hit] = {
+      val mpos = s"$arrayPos/[$idx]"
+      kind match {
+        case PathScan(_) =>
+          val w = new ClassWalker(parsed, None, NoSlots)
+          w.walkMember(SharedMapper.readTree(memberJson), seedCls, mpos,
+            apath)
+          w.out.result().map(_._1)
+        case CasScan(_, cmp) =>
+          val w = new ClassWalker(parsed, Some(cmp), NoSlots)
+          w.walkMember(SharedMapper.readTree(memberJson), seedCls, mpos,
+            apath)
+          w.out.result().map(_._1)
+        case NameScan(names) =>
+          val w = new NameWalker(names, NoSlots)
+          w.walk(SharedMapper.readTree(memberJson), mpos)
+          w.out.result().map(_._1)
+      }
+    }
+  }
+
+  /** One-off member scan (tests / small callers). */
+  def scanMember(memberJson: String, kind: ScanKind,
+                 chain: List[String], idx: Long): Seq[Hit] =
+    new MemberScanner(kind, chain).scan(memberJson, idx)
+
+  /** How a CAS scan's patterns bear on ONE member-table chain. */
+  sealed trait EntryPlan
+  /** Some pattern may match inside members in a shape the typed
+    * columns can't express — run the generic member walk. */
+  case object GenericWalk extends EntryPlan
+  /** No pattern can match inside this chain's members at all. */
+  case object NoMemberHits extends EntryPlan
+  /** The patterns reduce to exactly ONE concrete member field
+    * (`chain + [] + name`) — the scan compiles onto the typed column,
+    * the reference's actual CAS-index model (typed keys, never a
+    * document re-walk: index/cas/CASFilter semantics). */
+  final case class TypedField(name: String) extends EntryPlan
+
+  def casEntryPlan(patterns: Option[Seq[String]],
+                   chain: List[String]): EntryPlan = patterns match {
+    case None => GenericWalk // every class — must walk
+    case Some(ps) =>
+      val cl = chain.length
+      var fields = Set.empty[String]
+      var generic = false
+      ps.map(parsePattern).foreach { p =>
+        if (p.contains(Desc)) generic = true // gaps reach anywhere
+        else if (p.length <= cl + 1 ||
+            p(cl) != AnyMember ||
+            !chain.zip(p).forall {
+              case (n, Name(pn)) => pn == n
+              case (_, AnyName) => true
+              case _ => false
+            }) () // provably outside this chain's member subtrees
+        else if (p.length == cl + 2) p.last match {
+          case Name(f) => fields += f
+          case _ => generic = true
+        } else generic = true // deeper than one member field
+      }
+      if (generic) GenericWalk
+      else if (fields.isEmpty) NoMemberHits
+      else if (fields.size == 1) TypedField(fields.head)
+      else GenericWalk // multi-field: document order needs the walk
   }
 }

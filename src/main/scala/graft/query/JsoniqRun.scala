@@ -670,6 +670,45 @@ object JsoniqRun {
       indexDefs(c, d).find(x => x.kind == kind && x.typ == typ &&
         paths.forall(x.paths.contains)).map(_.no)
 
+    /** Per-revision skeleton cache for the distributed index scans
+      * (revisions are immutable; the skeleton is small by construction
+      * — the shredded member lists are elided). Bounded: the last few
+      * documents scanned in a session. */
+    private val skeletonCache = new java.util.LinkedHashMap[(String, Int),
+        (com.fasterxml.jackson.databind.JsonNode,
+          java.util.IdentityHashMap[com.fasterxml.jackson.databind.JsonNode,
+            List[String]])](16, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[(String, Int),
+          (com.fasterxml.jackson.databind.JsonNode,
+            java.util.IdentityHashMap[
+              com.fasterxml.jackson.databind.JsonNode, List[String]])])
+          : Boolean = size() > 8
+    }
+    private[query] def skeletonOf(collection: String, doc: String, rev: Int,
+                                  chains: Seq[List[String]],
+                                  json: () => String)
+        : (com.fasterxml.jackson.databind.JsonNode,
+           java.util.IdentityHashMap[
+             com.fasterxml.jackson.databind.JsonNode, List[String]]) =
+      skeletonCache.synchronized {
+        val key = (docPath(collection, doc), rev)
+        val cached = skeletonCache.get(key)
+        if (cached != null) cached
+        else {
+          val built = JsonPath.skeletonTree(json(), chains)
+          skeletonCache.put(key, built)
+          built
+        }
+      }
+
+    private val docLenCache =
+      scala.collection.concurrent.TrieMap.empty[(String, Int), Long]
+    private[query] def docLenOf(collection: String, doc: String,
+                                rev: Int): Long =
+      docLenCache.getOrElseUpdate((docPath(collection, doc), rev),
+        this.doc(collection, doc, Some(rev))
+          .select(length(col("doc_json"))).head.getInt(0).toLong)
+
     private[query] val ShredCompleteMarker = "_graft_shredded"
 
     private[query] def shredDir(path: String, rev: Int): String =
@@ -3661,13 +3700,13 @@ object JsoniqRun {
           .filter(lit(false))
       case "jn:scan-path-index" =>
         // nodes whose sirix path matches the pattern, in document order
-        // (reference jn:scan-path-index; served here by the path walk —
-        // the engine's path indexes are pushdown, not a separate scan)
+        // (reference jn:scan-path-index; shredded documents serve the
+        // member-table part DISTRIBUTED — docScanSeq)
         require(args.size == 3, "jn:scan-path-index(doc, idx, path)")
         val (c, d) = resolveDocArg(args.head, env)
         val pattern = litStr(args(2), "path")
-        docWalkSeq(store, tuples, c, d,
-          json => JsonPath.walkMatches(json, Some(pattern)))
+        docScanSeq(store, tuples, c, d,
+          JsonPath.PathScan(Some(Seq(pattern))))
       case "jn:scan-name-index" =>
         // every object key matching one of the ';'-separated names
         // (empty sequence = every key), document order — reference
@@ -3682,8 +3721,7 @@ object JsoniqRun {
           case SeqCtor(Seq()) => None
           case other => Some(litStr(other, "names").split(";").toSet)
         }
-        docWalkSeq(store, tuples, c, d,
-          json => JsonPath.walkNames(json, names))
+        docScanSeq(store, tuples, c, d, JsonPath.NameScan(names))
       case "jn:scan-cas-index" =>
         // typed-value scan: nodes at the path whose SCALAR value
         // satisfies the comparison (reference jn:scan-cas-index)
@@ -3692,20 +3730,12 @@ object JsoniqRun {
         val value = litStr(args(2), "value")
         val op = litStr(args(3), "op")
         // an empty-sequence path scans every class the index covers
-        val pattern = args(4) match {
+        val patterns = args(4) match {
           case SeqCtor(Seq()) => None
-          case other => Some(litStr(other, "path"))
+          case other => Some(litStr(other, "path").split(";").toSeq)
         }
-        def cmp(s: String): Boolean = op match {
-          case "==" => s == value
-          case "!=" => s != value
-          case "<" => s < value; case "<=" => s <= value
-          case ">" => s > value; case ">=" => s >= value
-          case other => throw new UnsupportedOperationException(
-            s"cas comparison '$other'")
-        }
-        docWalkSeq(store, tuples, c, d,
-          json => JsonPath.walkMatches(json, pattern, Some(cmp)))
+        docScanSeq(store, tuples, c, d,
+          JsonPath.CasScan(patterns, JsonPath.CmpOp(op, value)))
       case "jn:scan-cas-index-range" =>
         // typed-value RANGE scan (reference function/jn/index/scan/
         // ScanCASIndexRange.java:39): scalar values inside
@@ -3736,19 +3766,8 @@ object JsoniqRun {
             if (declared.nonEmpty) Some(declared.distinct) else None
           case other => Some(litStr(other, "paths").split(";").toSeq)
         }
-        val lowN = scala.util.Try(BigDecimal(low)).toOption
-        val highN = scala.util.Try(BigDecimal(high)).toOption
-        def inRange(s: String): Boolean = (lowN, highN) match {
-          case (Some(lo), Some(hi)) =>
-            scala.util.Try(BigDecimal(s)).toOption.exists(v =>
-              (if (incLow) v >= lo else v > lo) &&
-                (if (incHigh) v <= hi else v < hi))
-          case _ =>
-            (if (incLow) s >= low else s > low) &&
-              (if (incHigh) s <= high else s < high)
-        }
-        docWalkSeq(store, tuples, c, d,
-          json => JsonPath.walkMatchesAny(json, patterns, Some(inRange)))
+        docScanSeq(store, tuples, c, d, JsonPath.CasScan(patterns,
+          JsonPath.CmpRange(low, high, incLow, incHigh)))
       case other =>
         throw new UnsupportedOperationException(s"unsupported function $other()")
     }
@@ -3786,33 +3805,201 @@ object JsoniqRun {
     roots.unionByName(membersPart)
   }
 
-  /** Cross-join the tuples with a driver-side walk of one stored
-    * document (results in document order). Each hit carries its printed
-    * path, parent path, and revision in the `__spath`/`__sppath`/
-    * `__srev` columns — `for`-bindings over a scan stash them so
-    * sdb:path / sdb:select-parent / sdb:revision answer per node. */
-  private def docWalkSeq(store: Store, tuples: DataFrame, collection: String,
-                         doc: String,
-                         walk: String => Seq[JsonPath.Hit]): DataFrame = {
+  /** Serve one textual index scan (`jn:scan-path-index` /
+    * `jn:scan-cas-index[-range]` / `jn:scan-name-index`) over a stored
+    * document. Shredded documents distribute: the driver walks only the
+    * SKELETON (the document with each shredded array's members elided —
+    * one streaming parse, memory O(skeleton)), while each member table
+    * scans across executors ([[JsonMemberScan]]) — hits never
+    * materialize on the driver. The skeleton's elided slots reserve a
+    * document-order ordinal, so member hits `[slot, idx, k]` interleave
+    * exactly where the full walk would emit them. Unshredded documents
+    * keep the driver walk under a LOUD size cap
+    * (-Dgraft.scan.maxDriverBytes, default 256 MB); a shredded pattern
+    * that needs elided content (the array node itself is a hit) falls
+    * back the same way. The reference streams these scans from its
+    * indexes (function/jn/index/scan/ScanPathIndex.java:35,
+    * ScanNameIndex.java:38). */
+  private def docScanSeq(store: Store, tuples: DataFrame, collection: String,
+                         doc: String, kind: JsonPath.ScanKind): DataFrame = {
     val spark = store.spark
     import spark.implicits._
     val rev = graft.sources.TemporalTable
       .mostRecentRevision(store.docPath(collection, doc))
       .getOrElse(throw new IllegalArgumentException(
         s"no revisions for $collection/$doc")).toLong
-    val json = store.doc(collection, doc, None).collect().head.getString(0)
-    val hits = walk(json)
-    if (hits.isEmpty)
-      return tuples.withColumn(POS, array(lit(0L))).withColumn(ITEM, vnull)
-        .withColumn("__spath", lit("")).withColumn("__sppath", lit(""))
-        .withColumn("__srev", lit(0L))
-        .filter(lit(false))
-    val df = hits.zipWithIndex
-      .map { case (h, i) => (i.toLong, h.json, h.path, h.parentPath) }
-      .toDF("__p0", "__mj", "__spath", "__sppath")
-      .select(array(col("__p0")).as(POS), parse_json(col("__mj")).as(ITEM),
-        col("__spath"), col("__sppath"), lit(rev).as("__srev"))
-    tuples.crossJoin(broadcast(df))
+    val cap = sys.props.get("graft.scan.maxDriverBytes").map(_.toLong)
+      .getOrElse(256L << 20)
+    // length probe first: an over-cap document must fail loudly BEFORE
+    // a multi-GB collect, not OOM the driver (cached — immutable per
+    // revision; the int travels, never the string)
+    val docLen = store.docLenOf(collection, doc, rev.toInt)
+    if (docLen > cap)
+      throw new IllegalStateException(
+        s"index scan over $collection/$doc: document is $docLen bytes — " +
+          s"over the $cap-byte driver-walk cap " +
+          "(-Dgraft.scan.maxDriverBytes) and its skeleton cannot be " +
+          "built; store the document through the shredding ingest " +
+          "path with a smaller -Dgraft.shred.min")
+    def hitsDf(hits: Seq[(JsonPath.Hit, Seq[Long])]): DataFrame =
+      hits.map { case (h, p) => (p, h.json, h.path, h.parentPath) }
+        .toDF("__p0", "__mj", "__spath", "__sppath")
+        .select(col("__p0").as(POS), parse_json(col("__mj")).as(ITEM),
+          col("__spath"), col("__sppath"), lit(rev).as("__srev"))
+    def docJson(): String =
+      store.doc(collection, doc, None).collect().head.getString(0)
+    def fullWalk(): DataFrame = {
+      val hits = JsonPath.scanDoc(docJson(), kind)
+      if (hits.isEmpty) emptyScan(tuples)
+      else tuples.crossJoin(broadcast(hitsDf(
+        hits.zipWithIndex.map { case (h, i) => (h, Seq(i.toLong)) })))
+    }
+    val entries = store.shredEntries(collection, doc, None)
+      .filter(_.kind == "json")
+    if (entries.isEmpty) return fullWalk()
+    try {
+      // skeletons are immutable per revision — cache them so repeat
+      // scans skip the doc collect + streaming parse
+      val (skRoot, slots) = store.skeletonOf(collection, doc, rev.toInt,
+        entries.map(_.steps), docJson _)
+      val (skHits, slotOrds) = JsonPath.scanSkeleton(skRoot, slots, kind)
+      val parts = entries.flatMap { en =>
+        slotOrds.get(en.steps).flatMap { base =>
+          memberScanPart(store.readShredEntry(collection, doc, None, en),
+            kind, en.steps, base, rev)
+        }
+      }
+      val skDf =
+        if (skHits.isEmpty) None
+        else Some(hitsDf(skHits.map { case (h, o) => (h, Seq(o)) }))
+      val all = (skDf.map(broadcast).toSeq ++ parts)
+        .reduceOption(_.unionByName(_))
+      all match {
+        case None => emptyScan(tuples)
+        case Some(src) => attachToTuples(src, tuples,
+          // scan hits are data-bound: never broadcast-collect them
+          Map(BIG -> StoreRef(store)))
+      }
+    } catch {
+      case _: JsonPath.NeedFullWalk => fullWalk()
+    }
+  }
+
+  private def emptyScan(tuples: DataFrame): DataFrame =
+    tuples.withColumn(POS, array(lit(0L)))
+      .withColumn(ITEM, vnull)
+      .withColumn("__spath", lit("")).withColumn("__sppath", lit(""))
+      .withColumn("__srev", lit(0L))
+      .filter(lit(false))
+
+  /** The distributed member part of one shredded entry's scan: None
+    * when no pattern can match inside the members (part skipped), a
+    * typed-column plan when the CAS patterns reduce to one concrete
+    * member field (the reference's CAS-index model — typed keys, no
+    * re-walk), else the generic per-member walk. */
+  private def memberScanPart(df: DataFrame, kind: JsonPath.ScanKind,
+                             chain: List[String], base: Long,
+                             rev: Long): Option[DataFrame] = kind match {
+    case JsonPath.CasScan(pats, cmp) =>
+      JsonPath.casEntryPlan(pats, chain) match {
+        case JsonPath.NoMemberHits => None
+        case JsonPath.TypedField(f) =>
+          typedCasPart(df, f, cmp, chain, base, rev)
+            .orElse(Some(genericScanPart(df, kind, chain, base, rev)))
+        case JsonPath.GenericWalk =>
+          Some(genericScanPart(df, kind, chain, base, rev))
+      }
+    case _ => Some(genericScanPart(df, kind, chain, base, rev))
+  }
+
+  /** Generic member walk: to_json the member variant, re-walk with the
+    * seeded class-model walker, explode the hits. */
+  private def genericScanPart(df: DataFrame, kind: JsonPath.ScanKind,
+                              chain: List[String], base: Long,
+                              rev: Long): DataFrame = {
+    val scanCol = org.apache.spark.sql.graftbridge.GraftBridge.column(
+      JsonMemberScan(
+        org.apache.spark.sql.graftbridge.GraftBridge.expression(
+          to_json(col("member"))),
+        org.apache.spark.sql.graftbridge.GraftBridge.expression(col("idx")),
+        kind, chain))
+    df.select(col("idx"), posexplode(scanCol).as(Seq("__k", "__h")))
+      .select(
+        array(lit(base), col("idx"), col("__k").cast("long")).as(POS),
+        parse_json(col("__h.j")).as(ITEM),
+        col("__h.p").as("__spath"), col("__h.pp").as("__sppath"),
+        lit(rev).as("__srev"))
+  }
+
+  /** CAS scan over ONE concrete member field, compiled onto the typed
+    * parquet column: the whole plan reads `idx` and `t.field` — never
+    * the member variant. Value TEXT semantics match the Jackson walk:
+    * string columns are the raw text; long/double columns came through
+    * the same numeric image the walk's asText renders (JSON-inference
+    * widens decimals to DOUBLE; Jackson parses floats as doubles), so
+    * cast-to-string agrees. None when the column's type cannot carry
+    * the comparison faithfully — the generic walk serves instead. */
+  private def typedCasPart(df: DataFrame, field: String,
+                           cmp: JsonPath.ValueCmp, chain: List[String],
+                           base: Long, rev: Long): Option[DataFrame] = {
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructType}
+    if (!df.columns.contains("t")) return None
+    val fld = df.schema("t").dataType match {
+      case st: StructType => st.fields.find(_.name == field)
+      case _ => None
+    }
+    fld.flatMap { f =>
+      val vcol = col(s"t.`$field`")
+      val textCol: Option[Column] = f.dataType match {
+        case StringType => Some(vcol)
+        case LongType | DoubleType => Some(vcol.cast("string"))
+        case _ => None
+      }
+      val cond: Option[Column] = cmp match {
+        case JsonPath.CmpOp(op, v) => textCol.map { t =>
+          op match {
+            case "==" => t === v
+            case "!=" => t =!= v
+            case "<" => t < v; case "<=" => t <= v
+            case ">" => t > v; case ">=" => t >= v
+          }
+        }
+        case JsonPath.CmpRange(lo, hi, il, ih) =>
+          val loN = scala.util.Try(BigDecimal(lo)).toOption
+          val hiN = scala.util.Try(BigDecimal(hi)).toOption
+          (loN, hiN, f.dataType) match {
+            case (Some(l), Some(h), LongType) =>
+              // decimal literals: exact for >2^53 longs
+              Some((if (il) vcol >= lit(l) else vcol > lit(l)) &&
+                (if (ih) vcol <= lit(h) else vcol < lit(h)))
+            case (Some(l), Some(h), DoubleType) =>
+              Some((if (il) vcol >= lit(l.toDouble)
+                    else vcol > lit(l.toDouble)) &&
+                (if (ih) vcol <= lit(h.toDouble)
+                 else vcol < lit(h.toDouble)))
+            case (l, h, StringType) if l.isEmpty || h.isEmpty =>
+              // the walker's string arm: lexicographic
+              Some((if (il) vcol >= lit(lo) else vcol > lit(lo)) &&
+                (if (ih) vcol <= lit(hi) else vcol < lit(hi)))
+            case _ => None // e.g. numeric bounds over a string column
+          }
+      }
+      cond.map { c =>
+        // the hit is a member FIELD value: concrete printed path
+        // `/chain/[idx]/field` with the member object as parent (the
+        // walker's field discipline, not the bare-member one)
+        val arrayPos = chain.map("/" + _).mkString
+        df.filter(vcol.isNotNull && c)
+          .select(array(lit(base), col("idx"), lit(0L)).as(POS),
+            expr("variant_get(to_variant_object(struct(t.`" + field +
+              "` as v)), '$.v')").as(ITEM),
+            concat(lit(s"$arrayPos/["), col("idx"),
+              lit(s"]/$field")).as("__spath"),
+            concat(lit(s"$arrayPos/["), col("idx"), lit("]"))
+              .as("__sppath"),
+            lit(rev).as("__srev"))
+      }
+    }
   }
 
   /** jn:all-times over a static path: one row per committed revision

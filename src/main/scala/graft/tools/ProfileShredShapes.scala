@@ -49,6 +49,29 @@ object ProfileShredShapes {
     }
     require(cnt1 == cnt1d, s"object-rooted disagrees: $cnt1 vs $cnt1d")
 
+    // ---------- distributed index scan over the shredded doc ----------
+    // (round-12: jn:scan-* used to collect the WHOLE document to the
+    // driver and walk it there; the shredded plan scans member tables
+    // across executors with only the skeleton on the driver)
+    graft.query.JsoniqRun.serialize(st,
+      """let $d := jn:doc('c','obj.jn')
+        |let $s := jn:create-cas-index($d, 'xs:double', '/items/[]/w')
+        |return {"revision": sdb:commit($d)}""".stripMargin)
+    val qScan = "count(jn:scan-cas-index(jn:doc('c','obj.jn'), 0, '0.9', " +
+      "'>', '/items/[]/w'))"
+    graft.query.JsoniqRun.serialize(st, qScan) // warmup
+    val cntS = timed("jsoniq  scan-cas-index w > '0.9'") {
+      graft.query.JsoniqRun.serialize(st, qScan)
+    }
+    // equivalent direct plan: the same lexicographic comparison over
+    // the member parquet (the scan compares index STRINGS)
+    val cntSd = timed("direct  parquet string-cmp count") {
+      spark.read.parquet(s"$pq/members")
+        .filter(col("w").cast("string") > "0.9").count().toString
+    }
+    require(cntS == cntSd, s"scan disagrees: $cntS vs $cntSd")
+    println(s"scan-cas-index hits: $cntS")
+
     // ---------- scaled XMark-shaped XML ----------
     val m = math.max(1, n / 3)
     val sb = new StringBuilder(m * 90)

@@ -139,6 +139,49 @@ class ShredStoreSpec extends SparkSpec {
     }
   }
 
+  test("index scans over a shredded document match the unshredded walk") {
+    // the same document stored shredded (min=1) and unshredded must
+    // answer every scan family identically — the shredded plan serves
+    // member hits DISTRIBUTED (JsonMemberScan) with skeleton hits
+    // interleaved at their document-order slots
+    val doc2 = """{"meta": {"v": 99, "name": "corpus"}, "items": [""" +
+      (1 to 20).map(i => s"""{"v": $i, "name": "n$i"}""").mkString(",") +
+      """], "tail": {"v": 100}}"""
+    val queries = Seq(
+      // path scan: hits inside members AND in the skeleton (meta/tail)
+      """for $n in jn:scan-path-index(jn:doc('c','s.jn'), 0, '//v')
+        |return $n""".stripMargin,
+      // cas scan over the member class
+      """for $n in jn:scan-cas-index(jn:doc('c','s.jn'), 0, 'n2', '==', '/items/[]/name')
+        |return {"n": $n, "p": sdb:path(sdb:select-parent($n))}""".stripMargin,
+      // cas range scan
+      """for $n in jn:scan-cas-index-range(jn:doc('c','s.jn'), 0, 5, 8, true(), false(), '/items/[]/v')
+        |return $n""".stripMargin,
+      // name scan: member keys + skeleton keys, document order
+      """for $n in jn:scan-name-index(jn:doc('c','s.jn'), 0, 'v')
+        |return $n""".stripMargin,
+      // name scan with path stash
+      """for $n in jn:scan-name-index(jn:doc('c','s.jn'), 0, 'name')
+        |return sdb:path($n)""".stripMargin,
+      // a pattern matching the shredded array NODE itself needs the
+      // elided members — the NeedFullWalk fallback answers identically
+      """jn:scan-path-index(jn:doc('c','s.jn'), 0, '/items/[]')""")
+    val plain = {
+      val st = new JsoniqRun.Store(spark,
+        java.nio.file.Files.createTempDirectory("scan-plain").toString)
+      st.store("c", "s.jn", doc2)
+      assert(!st.shredExists("c", "s.jn", None))
+      queries.map(JsoniqRun.serialize(st, _))
+    }
+    withShredded { st =>
+      st.store("c", "s.jn", doc2)
+      assert(st.shredExists("c", "s.jn", None))
+      queries.zip(plain).foreach { case (q, want) =>
+        assert(JsoniqRun.serialize(st, q) === want, q)
+      }
+    }
+  }
+
   test("sdb:commit copies the head revision and its shred sidecar") {
     withShredded { st =>
       st.store("c", "d.jn", doc)
