@@ -608,27 +608,46 @@ object Jsoniq {
     * the corpus declares none). */
   def inlineFunctions(e: Expr, defs: Map[String, FunDef]): Expr = {
     if (defs.isEmpty) return e
-    def go(x: Expr, ds: Map[String, FunDef]): Expr = x match {
-      case Call(n, args) if ds.contains(n) =>
-        val fd = ds(n)
-        require(fd.params.size == args.size,
-          s"$n expects ${fd.params.size} arguments, got ${args.size}")
-        val id = synchronized { inlineCounter += 1; inlineCounter }
-        val fresh = fd.params.map(p => p -> s"${p}__u$id")
-        val body = go(renameVars(fd.body, fresh.toMap), ds - n)
-        val lets = fresh.map(_._2).zip(args.map(go(_, ds)))
-          .map { case (fp, a) => LetClause(fp, a) }
-        if (lets.isEmpty) body else Flwor(lets, body)
-      case Call(n, _) if defs.contains(n) && !ds.contains(n) =>
-        // n was removed from the working set while inlining its own
-        // body — a recursion cycle. Fail loudly AT PARSE, naming the
-        // function, instead of surfacing later as an unknown call.
-        throw new UnsupportedOperationException(
-          s"recursive user-declared function $n (recursion is outside " +
-            "the compiled subset; rewrite iteratively or as FLWOR)")
-      case other => mapChildren(other)(go(_, ds))
+    // recursion (direct or mutual) expands DEPTH-CAPPED: each function
+    // may appear at most `maxDepth` times on one inlining path; past
+    // the cap the call site compiles to a LOUD runtime error
+    // (graft:recursion-overflow). A terminating recursion guards the
+    // recursive arm behind if-then-else, which compiles to a CASE WHEN
+    // evaluated lazily per row — data that bottoms out before the cap
+    // never reaches the error arm. brackit compiles recursion natively
+    // (the reference's XQuery engine); the cap is this compiler's
+    // static-expansion analog.
+    val maxDepth = sys.props.get("graft.recursion.depth")
+      .map(_.toInt).getOrElse(16)
+    // a body with several self-calls (fib-style) expands exponentially
+    // in the depth — bound total work, loudly
+    val maxExpansions = 100000
+    var expansions = 0
+    def go(x: Expr, depth: Map[String, Int]): Expr = x match {
+      case Call(n, args) if defs.contains(n) =>
+        val d = depth.getOrElse(n, 0)
+        if (d >= maxDepth) Call("graft:recursion-overflow", Seq(StrLit(n)))
+        else {
+          val fd = defs(n)
+          require(fd.params.size == args.size,
+            s"$n expects ${fd.params.size} arguments, got ${args.size}")
+          expansions += 1
+          if (expansions > maxExpansions)
+            throw new UnsupportedOperationException(
+              s"recursive user-declared function $n: static expansion " +
+                s"exceeds $maxExpansions call sites — lower " +
+                "-Dgraft.recursion.depth or rewrite iteratively")
+          val id = synchronized { inlineCounter += 1; inlineCounter }
+          val fresh = fd.params.map(p => p -> s"${p}__u$id")
+          val body = go(renameVars(fd.body, fresh.toMap),
+            depth + (n -> (d + 1)))
+          val lets = fresh.map(_._2).zip(args.map(go(_, depth)))
+            .map { case (fp, a) => LetClause(fp, a) }
+          if (lets.isEmpty) body else Flwor(lets, body)
+        }
+      case other => mapChildren(other)(go(_, depth))
     }
-    go(e, defs)
+    go(e, Map.empty)
   }
 
   /** An ENCLOSED expression (element-constructor `{...}`): a top-level

@@ -2060,10 +2060,28 @@ object JsoniqRun {
           when(b.isNull, lit(null))
             .when(b, lit("true")).otherwise(lit("false"))))
       case Binary(op, l, r) =>
-        for (lc <- scalarOf(l, env); rc <- scalarOf(r, env)) yield op match {
-          case "or" | "and" => boolCol(op, lc, rc)
-          case _ => arithCol(op, lc, rc)
+        // arithCol/boolCol reference each operand MANY times (schema
+        // probes, decimal/double arms) — a HEAVY operand (a nested
+        // FLWOR/if, i.e. an inlined recursive call) must bind through a
+        // lambda variable first, or the column tree goes exponential in
+        // the recursion depth (8 copies x 16 levels OOM'd normalize).
+        // Leaf operands keep the direct form — zero cost on hot paths.
+        def heavy(x: Expr): Boolean = Jsoniq.exprAny(x) {
+          case _: Flwor | _: If => true
+          case _ => false
         }
+        def bindOnce(c: Column, wrap: Boolean)(f: Column => Column): Column =
+          if (!wrap) f(c)
+          else element_at(transform(array(c), y => f(y)), 1)
+        for (lc <- scalarOf(l, env); rc <- scalarOf(r, env)) yield
+          bindOnce(lc, heavy(l)) { lb =>
+            bindOnce(rc, heavy(r)) { rb =>
+              op match {
+                case "or" | "and" => boolCol(op, lb, rb)
+                case _ => arithCol(op, lb, rb)
+              }
+            }
+          }
       case Unary("-", x) => scalarOf(x, env).map(negCol)
       case InstanceOf(x, t) => scalarOf(x, env).map(instanceCol(_, t))
       case Quantified(_, _) =>
@@ -2238,6 +2256,15 @@ object JsoniqRun {
     def sOf(e: Jsoniq.Expr) = pointwiseSeq(e, env)
     def nn(sq: Column) = coalesce(sq, emptyVarr)
     name match {
+      case "graft:recursion-overflow" =>
+        // the depth-capped inliner's sentinel: data recursed past
+        // -Dgraft.recursion.depth — raise, never answer silently
+        val fn = args.headOption.collect {
+          case Jsoniq.StrLit(s) => s }.getOrElse("?")
+        Some(parse_json(expr(
+          s"raise_error('recursive function $fn exceeded the compiled " +
+            "recursion depth (-Dgraft.recursion.depth) " +
+            "[graft:recursion-overflow]')").cast("string")))
       case "not" if args.size == 1 =>
         boolOf(args.head, env).map(c =>
           jsonBool(!coalesce(c, lit(false))))
@@ -2464,6 +2491,11 @@ object JsoniqRun {
     * sequence binding, `where` = conditional empty. Bails (None) on
     * order-by, positional vars, and anything the pointwise compilers
     * can't express — including predicates needing position stashes. */
+  /** Control-flow bail used to unwind a single-compile pointwise
+    * attempt out of an eagerly-applied lambda builder. */
+  private object PointwiseBail
+      extends scala.util.control.ControlThrowable
+
   private def flworSeq(fw: Jsoniq.Flwor,
                        env: Map[String, Binding]): Option[Column] = {
     import Jsoniq._
@@ -2491,8 +2523,39 @@ object JsoniqRun {
           }
         }
       case LetClause(v, value) :: rest =>
-        pointwiseSeq(value, env2).flatMap(arr =>
-          go(rest, env2 + (v -> LambdaSeq(coalesce(arr, emptyVarr))), lam))
+        pointwiseSeq(value, env2).flatMap { arr0 =>
+          val arr = coalesce(arr0, emptyVarr)
+          // a let referenced MORE THAN ONCE binds through a real lambda
+          // variable: direct substitution copies the value's column
+          // tree per reference, which goes EXPONENTIAL under the
+          // depth-capped recursion inliner (3 references x 16 levels
+          // OOM'd Column.normalize). Single-reference lets keep the
+          // direct form — no interpreted HOF dispatch on hot paths.
+          var refs = 0
+          def cnt(x: Expr): Expr = {
+            x match { case VarRef(`v`) => refs += 1; case _ => () }
+            Jsoniq.mapChildren(x)(cnt)
+          }
+          def cntClause(cl: Clause): Unit = cl match {
+            case ForClause(_, in, _) => cnt(in); ()
+            case LetClause(_, x) => cnt(x); ()
+            case WhereClause(x) => cnt(x); ()
+            case OrderClause(ks) => ks.foreach(k => cnt(k.key))
+            case _ => ()
+          }
+          rest.foreach(cntClause)
+          cnt(fw.ret)
+          if (refs <= 1)
+            go(rest, env2 + (v -> LambdaSeq(arr)), lam)
+          else
+            // compile the rest ONCE (a probe-then-build double compile
+            // doubles per nesting level — exponential under recursion);
+            // a bail inside the lambda unwinds to None
+            try Some(flatten(transform(array(arr),
+              x => go(rest, env2 + (v -> LambdaSeq(x)), lam)
+                .getOrElse(throw PointwiseBail))))
+            catch { case PointwiseBail => None }
+        }
       case WhereClause(w) :: rest =>
         boolOf(w, env2).flatMap(c => go(rest, env2, lam).map(body =>
           when(coalesce(c, lit(false)), body).otherwise(emptyVarr)))
@@ -2918,6 +2981,13 @@ object JsoniqRun {
       case "jn:null" =>
         require(args.isEmpty, "jn:null()")
         tuples.withColumn("__v", vnull)
+      case "graft:recursion-overflow" =>
+        val fn = args.headOption.collect {
+          case Jsoniq.StrLit(s) => s }.getOrElse("?")
+        tuples.withColumn("__v", parse_json(expr(
+          s"raise_error('recursive function $fn exceeded the compiled " +
+            "recursion depth (-Dgraft.recursion.depth) " +
+            "[graft:recursion-overflow]')").cast("string")))
       case "jn:previous" | "jn:next" =>
         // the node's content at the previous/next revision (stashed by
         // the jn:all-times binding; reference function/jn/temporal/

@@ -665,15 +665,42 @@ class JsoniqSpec extends SparkSpec {
       "count(sdb:item-history(jn:doc('c','ih.jn')))") == "4")
   }
 
-  test("j: recursive declare function fails loudly at parse, naming it") {
+  test("j: recursive declare function runs depth-capped") {
+    val st = freshStore()
+    // direct recursion: arithmetic fold (brackit compiles recursion
+    // natively; here the inliner expands it depth-capped and the base
+    // case's CASE WHEN arm stops evaluation before the cap)
+    assert(JsoniqRun.serialize(st,
+      "declare function local:sum($n) { if ($n le 0) then 0 " +
+        "else $n + local:sum($n - 1) }; local:sum(10)") == "55")
+    // recursion over stored data: depth-bounded tree fold
+    st.store("c", "tree.jn",
+      """{"v": 1, "kid": {"v": 2, "kid": {"v": 3, "kid": null}}}""")
+    assert(JsoniqRun.serialize(st,
+      "declare function local:fold($t) { if (empty($t.v)) then 0 " +
+        "else $t.v + local:fold($t.kid) }; " +
+        "local:fold(jn:doc('c','tree.jn'))") == "6")
+    // mutual recursion
+    assert(JsoniqRun.serialize(st,
+      "declare function local:even($n) { if ($n eq 0) then true() " +
+        "else local:odd($n - 1) }; " +
+        "declare function local:odd($n) { if ($n eq 0) then false() " +
+        "else local:even($n - 1) }; local:even(10)") == "true")
+  }
+
+  test("j: unbounded recursion fails loudly at the depth cap") {
+    // no base case: every path reaches the overflow sentinel
     val e = intercept[Exception](JsoniqRun.serialize(freshStore(),
       "declare function local:f($n) { local:f($n) }; local:f(1)"))
-    assert(e.getMessage.contains("recursive") &&
-      e.getMessage.contains("local:f"), e.getMessage)
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(m => m.contains("recursi") &&
+      m.contains("local:f")), msgs(e).mkString(" | "))
+    // data recursing PAST the cap trips the same loud error
     val e2 = intercept[Exception](JsoniqRun.serialize(freshStore(),
-      "declare function local:a($n) { local:b($n) }; " +
-        "declare function local:b($n) { local:a($n) }; local:a(1)"))
-    assert(e2.getMessage.contains("recursive"), e2.getMessage)
+      "declare function local:sum($n) { if ($n le 0) then 0 " +
+        "else $n + local:sum($n - 1) }; local:sum(100)"))
+    assert(msgs(e2).exists(_.contains("recursi")), msgs(e2).mkString(" | "))
   }
 
   test("j: comments strip in expressions, stay literal in element content") {
