@@ -495,6 +495,22 @@ object Bench {
           (System.nanoTime() - t4) / 1e9
         }.min
         stamp("j_scale_obj_query")
+        // round-12 distributed index scan: CAS scan over the shredded
+        // 1M-member chain — the path that used to collect the whole
+        // document to the driver; pins the typed-column scan plan
+        graft.query.JsoniqRun.serialize(st,
+          """let $d := jn:doc('c','obj.jn')
+            |let $s := jn:create-cas-index($d, 'xs:double', '/items/[]/w')
+            |return {"revision": sdb:commit($d)}""".stripMargin)
+        val qs = "count(jn:scan-cas-index(jn:doc('c','obj.jn'), 0, " +
+          "'0.9', '>', '/items/[]/w'))"
+        graft.query.JsoniqRun.serialize(st, qs) // warmup
+        val scanQ = (1 to 2).map { _ =>
+          val t4b = System.nanoTime()
+          require(graft.query.JsoniqRun.serialize(st, qs) != "0")
+          (System.nanoTime() - t4b) / 1e9
+        }.min
+        stamp("j_scale_scan")
         val xb = new StringBuilder(400000 * 70)
         xb.append("<site><people>")
         var xi = 0
@@ -521,6 +537,7 @@ object Bench {
         stamp("j_scale_xml_query")
         Seq("j_scale_store" -> sSec, "j_scale_query" -> qTimes.min,
           "j_scale_obj_store" -> objStore, "j_scale_obj_query" -> objQ,
+          "j_scale_scan" -> scanQ,
           "j_scale_xml_store" -> xmlStore, "j_scale_xml_query" -> xmlQ)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] frontend timing failed: ${e.getMessage}")

@@ -146,7 +146,8 @@ private[query] object JsonPath {
     * correctly ([slotOrd, memberIdx, k] sorts between neighbors). */
   private final class ClassWalker(
       pats: Option[Seq[List[Pat]]], valueFilter: Option[String => Boolean],
-      slots: java.util.IdentityHashMap[JsonNode, List[String]]) {
+      slots: java.util.IdentityHashMap[JsonNode, List[String]],
+      tainted: java.util.Set[JsonNode] = java.util.Collections.emptySet()) {
     private val mapper = newMapper()
     private val isCas = valueFilter.isDefined
     val out = Seq.newBuilder[(Hit, Long)]
@@ -166,7 +167,12 @@ private[query] object JsonPath {
           if (n.isValueNode && !n.isNull && f(n.asText())) {
             out += ((Hit(ser(n), pos, parent), ord)); ord += 1
           }
-        case None => out += ((Hit(ser(n), pos, parent), ord)); ord += 1
+        case None =>
+          // a hit whose subtree contains an elided member list cannot
+          // serialize faithfully from the skeleton
+          if (tainted.contains(n))
+            throw new NeedFullWalk(s"hit at $pos contains elided members")
+          out += ((Hit(ser(n), pos, parent), ord)); ord += 1
       }
     def walkFields(o: JsonNode, cls: List[String], pos: String): Unit = {
       val it = o.fields()
@@ -223,7 +229,8 @@ private[query] object JsonPath {
   /** Name-index walker; same slot discipline. */
   private final class NameWalker(
       names: Option[Set[String]],
-      slots: java.util.IdentityHashMap[JsonNode, List[String]]) {
+      slots: java.util.IdentityHashMap[JsonNode, List[String]],
+      tainted: java.util.Set[JsonNode] = java.util.Collections.emptySet()) {
     private val mapper = newMapper()
     val out = Seq.newBuilder[(Hit, Long)]
     val slotOrds = scala.collection.mutable.Map.empty[List[String], Long]
@@ -250,6 +257,9 @@ private[query] object JsonPath {
             ord += 1
           } else {
             if (names.forall(_.contains(e.getKey))) {
+              if (tainted.contains(e.getValue))
+                throw new NeedFullWalk(
+                  s"name hit at $p contains elided members")
               out += ((Hit(ser(e.getValue), p, pos), ord)); ord += 1
             }
             walk(e.getValue, p)
@@ -310,25 +320,38 @@ private[query] object JsonPath {
 
   // ------------------------------------------------ distributed pieces
 
+  /** Skeleton of a shredded document. */
+  final case class Skeleton(
+      root: JsonNode,
+      slots: java.util.IdentityHashMap[JsonNode, List[String]],
+      /** nodes with a placeholder somewhere BENEATH them: their serialized
+        * content would show `{}` where the members belong, so a scan hit
+        * on one must fall back to the full walk */
+      tainted: java.util.Set[JsonNode])
+
   /** Skeleton of a shredded document: the full tree MINUS the member
     * lists of the given fields-only chains, each replaced by a
     * placeholder node (identity-keyed in the returned map). One Jackson
     * streaming pass; elided subtrees are `skipChildren()`-scanned, never
     * built — driver memory is O(skeleton), not O(document). */
-  def skeletonTree(json: String, chains: Seq[List[String]])
-      : (JsonNode, java.util.IdentityHashMap[JsonNode, List[String]]) = {
+  def skeletonTree(json: String, chains: Seq[List[String]]): Skeleton = {
     import com.fasterxml.jackson.core.{JsonFactory, JsonToken}
     import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
     val mapper = newMapper()
     val chainSet = chains.toSet
     val slots = new java.util.IdentityHashMap[JsonNode, List[String]]()
+    val tainted = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[JsonNode, java.lang.Boolean]())
     val p = new JsonFactory().createParser(json)
     // fieldChain: fields-only path from the root, REVERSED (innermost
-    // first); null once inside any array (chains are fields-only)
-    def buildValue(tok: JsonToken, fieldChain: List[String]): JsonNode =
+    // first); null once inside any array (chains are fields-only).
+    // Returns (node, containsPlaceholder).
+    def buildValue(tok: JsonToken,
+                   fieldChain: List[String]): (JsonNode, Boolean) =
       tok match {
         case JsonToken.START_OBJECT =>
           val o = mapper.createObjectNode()
+          var taint = false
           while (p.nextToken() == JsonToken.FIELD_NAME) {
             val f = p.currentName()
             val vTok = p.nextToken()
@@ -339,26 +362,41 @@ private[query] object JsonPath {
               val ph = mapper.createObjectNode()
               slots.put(ph, sub.reverse)
               o.set[ObjectNode](f, ph)
-              ()
-            } else o.set[ObjectNode](f, buildValue(vTok, sub))
+              taint = true
+            } else {
+              val (sn, st) = buildValue(vTok, sub)
+              o.set[ObjectNode](f, sn)
+              taint ||= st
+            }
           }
-          o
+          if (taint) { tainted.add(o); () }
+          (o, taint)
         case JsonToken.START_ARRAY =>
           val a = mapper.createArrayNode()
+          var taint = false
           var t = p.nextToken()
           while (t != JsonToken.END_ARRAY && t != null) {
-            a.add(buildValue(t, null))
+            val (sn, st) = buildValue(t, null)
+            a.add(sn)
+            taint ||= st
             t = p.nextToken()
           }
-          a
-        case JsonToken.VALUE_STRING => mapper.getNodeFactory.textNode(p.getText)
+          if (taint) { tainted.add(a); () }
+          (a, taint)
+        case JsonToken.VALUE_STRING =>
+          (mapper.getNodeFactory.textNode(p.getText), false)
         case JsonToken.VALUE_NUMBER_INT =>
-          mapper.getNodeFactory.numberNode(p.getBigIntegerValue)
+          (mapper.getNodeFactory.numberNode(p.getBigIntegerValue), false)
         case JsonToken.VALUE_NUMBER_FLOAT =>
-          mapper.getNodeFactory.numberNode(p.getDecimalValue)
-        case JsonToken.VALUE_TRUE => mapper.getNodeFactory.booleanNode(true)
-        case JsonToken.VALUE_FALSE => mapper.getNodeFactory.booleanNode(false)
-        case _ => mapper.getNodeFactory.nullNode()
+          // DOUBLE, not decimal: readTree's default — the full-walk and
+          // skeleton scans must render the same asText ("0.9", never
+          // the source's "0.90")
+          (mapper.getNodeFactory.numberNode(p.getDoubleValue), false)
+        case JsonToken.VALUE_TRUE =>
+          (mapper.getNodeFactory.booleanNode(true), false)
+        case JsonToken.VALUE_FALSE =>
+          (mapper.getNodeFactory.booleanNode(false), false)
+        case _ => (mapper.getNodeFactory.nullNode(), false)
       }
     val first = p.nextToken()
     // the ROOT ARRAY itself (chain = Nil): a shredded root array's
@@ -369,29 +407,29 @@ private[query] object JsonPath {
         val ph = mapper.createObjectNode()
         slots.put(ph, Nil)
         ph
-      } else buildValue(first, Nil)
+      } else buildValue(first, Nil)._1
     p.close()
-    (root, slots)
+    Skeleton(root, slots, tainted)
   }
 
   /** Scan a skeleton: hits with their document-order ordinals, plus the
     * ordinal reserved for each elided chain's member block. Throws
     * [[NeedFullWalk]] when the answer requires elided content. */
-  def scanSkeleton(root: JsonNode,
-                   slots: java.util.IdentityHashMap[JsonNode, List[String]],
-                   kind: ScanKind)
+  def scanSkeleton(sk: Skeleton, kind: ScanKind)
       : (Seq[(Hit, Long)], Map[List[String], Long]) = kind match {
     case PathScan(pats) =>
-      val w = new ClassWalker(pats.map(_.map(parsePattern)), None, slots)
-      w.walkValue(root, Nil, "", "")
+      val w = new ClassWalker(pats.map(_.map(parsePattern)), None,
+        sk.slots, sk.tainted)
+      w.walkValue(sk.root, Nil, "", "")
       (w.out.result(), w.slotOrds.toMap)
     case CasScan(pats, cmp) =>
-      val w = new ClassWalker(pats.map(_.map(parsePattern)), Some(cmp), slots)
-      w.walkValue(root, Nil, "", "")
+      val w = new ClassWalker(pats.map(_.map(parsePattern)), Some(cmp),
+        sk.slots, sk.tainted)
+      w.walkValue(sk.root, Nil, "", "")
       (w.out.result(), w.slotOrds.toMap)
     case NameScan(names) =>
-      val w = new NameWalker(names, slots)
-      w.walk(root, "")
+      val w = new NameWalker(names, sk.slots, sk.tainted)
+      w.walk(sk.root, "")
       (w.out.result(), w.slotOrds.toMap)
   }
 

@@ -363,8 +363,8 @@ object JsoniqRun {
       *
       * XML member tables (`kind = "xml"` — element nodes, not records)
       * take a DIFFERENT typed projection — [[writeXmlMembers]]. */
-    private def writeMembers(dir: String, members: Seq[String],
-                             kind: String): Unit = {
+    private[query] def writeMembers(dir: String, members: Seq[String],
+                                    kind: String): Unit = {
       if (members.isEmpty) return
       if (kind == "xml") { writeXmlMembers(dir, members); return }
       import spark.implicits._
@@ -674,22 +674,16 @@ object JsoniqRun {
       * (revisions are immutable; the skeleton is small by construction
       * — the shredded member lists are elided). Bounded: the last few
       * documents scanned in a session. */
-    private val skeletonCache = new java.util.LinkedHashMap[(String, Int),
-        (com.fasterxml.jackson.databind.JsonNode,
-          java.util.IdentityHashMap[com.fasterxml.jackson.databind.JsonNode,
-            List[String]])](16, 0.75f, true) {
-      override def removeEldestEntry(e: java.util.Map.Entry[(String, Int),
-          (com.fasterxml.jackson.databind.JsonNode,
-            java.util.IdentityHashMap[
-              com.fasterxml.jackson.databind.JsonNode, List[String]])])
-          : Boolean = size() > 8
-    }
+    private val skeletonCache =
+      new java.util.LinkedHashMap[(String, Int), JsonPath.Skeleton](
+          16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, Int), JsonPath.Skeleton])
+            : Boolean = size() > 8
+      }
     private[query] def skeletonOf(collection: String, doc: String, rev: Int,
                                   chains: Seq[List[String]],
-                                  json: () => String)
-        : (com.fasterxml.jackson.databind.JsonNode,
-           java.util.IdentityHashMap[
-             com.fasterxml.jackson.databind.JsonNode, List[String]]) =
+                                  json: () => String): JsonPath.Skeleton =
       skeletonCache.synchronized {
         val key = (docPath(collection, doc), rev)
         val cached = skeletonCache.get(key)
@@ -3930,9 +3924,9 @@ object JsoniqRun {
     try {
       // skeletons are immutable per revision — cache them so repeat
       // scans skip the doc collect + streaming parse
-      val (skRoot, slots) = store.skeletonOf(collection, doc, rev.toInt,
+      val sk = store.skeletonOf(collection, doc, rev.toInt,
         entries.map(_.steps), docJson _)
-      val (skHits, slotOrds) = JsonPath.scanSkeleton(skRoot, slots, kind)
+      val (skHits, slotOrds) = JsonPath.scanSkeleton(sk, kind)
       val parts = entries.flatMap { en =>
         slotOrds.get(en.steps).flatMap { base =>
           memberScanPart(store.readShredEntry(collection, doc, None, en),

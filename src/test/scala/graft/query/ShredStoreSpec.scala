@@ -182,6 +182,33 @@ class ShredStoreSpec extends SparkSpec {
     }
   }
 
+  test("scan hits on ANCESTORS of a shredded array fall back faithfully") {
+    // a hit whose content contains the elided members cannot serialize
+    // from the skeleton — path and name scans must take the full-walk
+    // fallback and still print the members
+    val doc2 = """{"wrap": {"items": [""" +
+      (1 to 20).map(i => s"""{"v": $i}""").mkString(",") +
+      """], "tag": "x"}, "z": 1}"""
+    val queries = Seq(
+      "jn:scan-path-index(jn:doc('c','w.jn'), 0, '/wrap')",
+      "for $n in jn:scan-name-index(jn:doc('c','w.jn'), 0, 'wrap') return $n",
+      // the shredded array NODE itself as a cas-free path hit
+      "count(jn:scan-path-index(jn:doc('c','w.jn'), 0, '/wrap/items/[]'))")
+    val plain = {
+      val st = new JsoniqRun.Store(spark,
+        java.nio.file.Files.createTempDirectory("scan-anc").toString)
+      st.store("c", "w.jn", doc2)
+      queries.map(JsoniqRun.serialize(st, _))
+    }
+    withShredded { st =>
+      st.store("c", "w.jn", doc2)
+      assert(st.shredExists("c", "w.jn", None))
+      queries.zip(plain).foreach { case (q, want) =>
+        assert(JsoniqRun.serialize(st, q) === want, q)
+      }
+    }
+  }
+
   test("sdb:commit copies the head revision and its shred sidecar") {
     withShredded { st =>
       st.store("c", "d.jn", doc)
