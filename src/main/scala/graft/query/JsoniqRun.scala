@@ -1412,16 +1412,31 @@ object JsoniqRun {
                     ctxName = Some(v))
                 case _ => None
               }
+              // XML element chains fuse too (name filter + typed
+              // predicate on plain columns) — but ONLY without a
+              // position var or update pointer: an XML member's idx is
+              // its CHILD-LIST slot (text nodes count), not the binding
+              // ordinal, so the idx shortcut that makes the JSON fusion
+              // `at`-safe does not hold here
+              val fusedXmlWhere =
+                if (fusedWhere.isDefined || posVar.isDefined ||
+                    JsoniqUpdate.staticTargetIn(inE, curEnv).isDefined) None
+                else clauseSeq.lift(ci + 1) match {
+                  case Some(WhereClause(w)) =>
+                    shreddedXmlTypedFilter(store, inE, w, curEnv,
+                      ctxName = Some(v))
+                  case _ => None
+                }
               // shredBound: the idx-derived ordinal shortcut is sound
               // (member rows == binding sequence — root/field-chain
               // arrays and the fused where). A trailing element-name
               // filter (XML person steps) serves from the shred but
               // must window-rank ordinals.
               var shredBound = false
-              var s = fusedWhere match {
+              var s = fusedWhere.orElse(fusedXmlWhere) match {
                 case Some(members) =>
                   skipNext = true
-                  shredBound = true
+                  shredBound = fusedWhere.isDefined
                   cur.crossJoin(members)
                 case None => shreddedDocMembers(store, inE, curEnv) match {
                 case Some((members, pure)) =>
@@ -3393,7 +3408,8 @@ object JsoniqRun {
     * comparisons + logic. */
   private def shreddedXmlTypedFilter(store: Store, chainE: Jsoniq.Expr,
                                      pred: Jsoniq.Expr,
-                                     env: Map[String, Binding])
+                                     env: Map[String, Binding],
+                                     ctxName: Option[String] = None)
       : Option[DataFrame] = {
     import Jsoniq._
     import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType, StructType}
@@ -3414,9 +3430,17 @@ object JsoniqRun {
               }
             def field(nm: String): Option[(Column, DataType)] =
               tTypes.get(nm).map(t => (col(s"t.`$nm`"), t))
+            // the member reference: `$$` in [?pred] form, the bound
+            // variable under a for+where fusion ($$ there denotes the
+            // OUTER context item — same discipline as the JSON filter)
+            def isCtx(x: Expr): Boolean = x match {
+              case ContextItem => ctxName.isEmpty
+              case VarRef(n) => ctxName.contains(n)
+              case _ => false
+            }
             def pathCol(x: Expr): Option[(Column, DataType)] = x match {
-              case TextStep(ChildStep(ContextItem, nm)) => field(nm)
-              case AttrStep(ContextItem, nm) => field("@" + nm)
+              case TextStep(ChildStep(root, nm)) if isCtx(root) => field(nm)
+              case AttrStep(root, nm) if isCtx(root) => field("@" + nm)
               case _ => None
             }
             def numCol(x: Expr): Option[Column] = x match {

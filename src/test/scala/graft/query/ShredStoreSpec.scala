@@ -136,6 +136,17 @@ class ShredStoreSpec extends SparkSpec {
           "[?xs:integer($$/age/text()) ge 30])")
         .queryExecution.executedPlan.toString
       assert(!plan.contains("member"), plan)
+      // the for+where form fuses onto the same typed columns
+      assert(JsoniqRun.serialize(st,
+        "for $p in jn:doc('c','t.xml')/site/people/person " +
+          "where xs:integer($p/age/text()) ge 36 " +
+          "return $p/name/text()") === "\"n18\" \"n19\" \"n20\"")
+      // `at $p` keeps the BINDING ordinal (the fusion declines; the
+      // window-ranked path serves)
+      assert(JsoniqRun.serialize(st,
+        "for $p at $i in jn:doc('c','t.xml')/site/people/person " +
+          "where xs:integer($p/age/text()) ge 36 return $i")
+        === "18 19 20")
     }
   }
 
