@@ -662,13 +662,29 @@ object JsoniqRun {
         }
     }
     /** The registered index covering the request — same kind/type, and
-      * every requested path among the definition's (the corpus finds a
-      * two-path descendant-wildcard index by its first path alone). */
+      * every requested path COVERED by one of the definition's: equal
+      * strings, or a concrete requested path matched by a definition
+      * PATTERN (the corpus finds a '//[]' CAS index by the concrete
+      * '/[]/test/[]' it wants to scan —
+      * testCreateAndRetrieveValueFromCASIndex). */
     private[query] def findIndex(c: String, d: String, kind: String,
                                  typ: String,
-                                 paths: List[String]): Option[Int] =
+                                 paths: List[String]): Option[Int] = {
+      def covers(defPath: String, req: String): Boolean =
+        defPath == req || {
+          val reqSteps = JsonPath.parsePattern(req)
+          val concrete = reqSteps.forall {
+            case JsonPath.Name(_) | JsonPath.AnyMember => true
+            case _ => false
+          }
+          concrete && JsonPath.matches(reqSteps.map {
+            case JsonPath.Name(n2) => n2
+            case _ => "[]"
+          }, JsonPath.parsePattern(defPath))
+        }
       indexDefs(c, d).find(x => x.kind == kind && x.typ == typ &&
-        paths.forall(x.paths.contains)).map(_.no)
+        paths.forall(r => x.paths.exists(covers(_, r)))).map(_.no)
+    }
 
     /** Per-revision skeleton cache for the distributed index scans
       * (revisions are immutable; the skeleton is small by construction

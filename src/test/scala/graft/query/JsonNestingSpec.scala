@@ -36,6 +36,14 @@ class JsonNestingSpec extends SparkSpec {
     assert(got == want, s"\n$testDir\ngot:  $got\nwant: $want")
   }
 
+  test("nesting8: quoted deref + escaped-slash index path") {
+    replay("testNesting8",
+      """let $result := jn:doc('json-path1','mydoc.jn').paths."/consolidated_screening_list/search".get.parameters[3].name return { "result": $result }""",
+      indexQuery = Some(
+        """let $doc := jn:doc('json-path1','mydoc.jn') let $stats := jn:create-path-index($doc, '/paths/\/consolidated_screening_list\/search/get/parameters/[]/name') return {"revision": sdb:commit($doc)}"""),
+      fixture = "trade-apis.json")
+  }
+
   test("nesting9/10: literal index chains into a loaded document") {
     replay("testNesting9",
       """let $result := jn:doc('json-path1','mydoc.jn').sirix[1].revision.tada[0].foo return { "result": $result }""")

@@ -722,6 +722,54 @@ class JsoniqSpec extends SparkSpec {
       == "\"<a>n=3</a>\"")
   }
 
+  test("j: instance-of and EBV predicates over unboxed values (testNesting1/2)") {
+    // JsonIntegrationTest.testNesting1: instance of + value comparison
+    check(Seq("""jn:store('json-path1','mydoc.jn','[{"key":0},{"value":{"key":true}},{"key":"hey","value":false}]')"""),
+      """for $i in jn:doc('json-path1','mydoc.jn')[].value where $i instance of object() and $i.key eq true() return { $i, "nodekey": sdb:nodekey($i) }""",
+      """{"key":true,"nodekey":0}""")
+    // testNesting2: bare-field EBV filter after index DDL
+    check(Seq(
+      """jn:store('json-path1','mydoc.jn','[{"key":0},{"value":[{"key":{"boolean":true}},{"newkey":"yes"}]},{"key":"hey","value":false}]')""",
+      """let $doc := jn:doc('json-path1','mydoc.jn') let $stats := jn:create-path-index($doc, ('//*', '//[]')) return {"revision": sdb:commit($doc)}"""),
+      """for $i in jn:doc('json-path1','mydoc.jn')[].value[].key[?$$.boolean] return { $i, "nodekey": sdb:nodekey($i) }""",
+      """{"boolean":true,"nodekey":0}""")
+  }
+
+  test("j: non-existent paths yield the empty sequence (testNonExistentPath1/2)") {
+    val setup = Seq(
+      """jn:store('json-path1','mydoc.jn','[{"key":0},{"value":[{"key":{"boolean":true}},{"newkey":"yes"}]},{"key":"hey","value":false}]')""",
+      """let $doc := jn:doc('json-path1','mydoc.jn') let $stats := jn:create-path-index($doc, ('//*', '//[]')) return {"revision": sdb:commit($doc)}""")
+    check(setup,
+      """jn:doc('json-path1','mydoc.jn')[].value[].key[?$$.boolean].nonExistent""",
+      "")
+    check(setup,
+      """jn:doc('json-path1','mydoc.jn')[].value[].key.nonExistent""",
+      "")
+  }
+
+  test("j: deep-equal where over array iteration (testArrayIteration)") {
+    check(Seq("""jn:store('json-path1','mydoc.jn','[{"key":0,"value":true},{"key":"hey","value":false}]')"""),
+      """for $i in jn:doc('json-path1','mydoc.jn') where deep-equal($i.key, 0) return { $i, "nodekey": sdb:nodekey($i) }""",
+      """{"key":0,"value":true,"nodekey":0}""")
+  }
+
+  test("j: find-cas-index resolves a covering pattern (testCreateAndRetrieveValueFromCASIndex)") {
+    // the index is declared over '//[]'; the scan finds it by the
+    // CONCRETE '/[]/test/[]' it wants — handle resolution must match
+    // patterns, not strings
+    check(Seq(
+      """jn:store('json-path1','mydoc.jn','[{"test": "test string"}, "b", {"test": ["a", {"blabla": "test blabla string"}, null, "b", "c"]}]')""",
+      """let $doc := jn:doc('json-path1','mydoc.jn')
+        |let $stats := jn:create-cas-index($doc, 'xs:string', '//[]')
+        |return {"revision": sdb:commit($doc)}""".stripMargin),
+      """let $doc := jn:doc('json-path1','mydoc.jn')
+        |let $casIndexNumber := jn:find-cas-index($doc, 'xs:string', '/[]/test/[]')
+        |for $node in jn:scan-cas-index($doc, $casIndexNumber, 'b', '==', '/[]/test/[]')
+        |order by sdb:revision($node), sdb:nodekey($node)
+        |return {"nodeKey": sdb:nodekey($node), "node": $node, "path": sdb:path(sdb:select-parent($node))}""".stripMargin,
+      """{"nodeKey":0,"node":"b","path":"/[2]/test/[]"}""")
+  }
+
   test("j: CDATA and doubled-brace escapes are literal character data") {
     val st = freshStore()
     // CDATA: `{` is not an expression frame, `(:` is not a comment
