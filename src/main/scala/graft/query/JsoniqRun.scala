@@ -3938,13 +3938,6 @@ object JsoniqRun {
     // a multi-GB collect, not OOM the driver (cached — immutable per
     // revision; the int travels, never the string)
     val docLen = store.docLenOf(collection, doc, rev.toInt)
-    if (docLen > cap)
-      throw new IllegalStateException(
-        s"index scan over $collection/$doc: document is $docLen bytes — " +
-          s"over the $cap-byte driver-walk cap " +
-          "(-Dgraft.scan.maxDriverBytes) and its skeleton cannot be " +
-          "built; store the document through the shredding ingest " +
-          "path with a smaller -Dgraft.shred.min")
     def hitsDf(hits: Seq[(JsonPath.Hit, Seq[Long])]): DataFrame =
       hits.map { case (h, p) => (p, h.json, h.path, h.parentPath) }
         .toDF("__p0", "__mj", "__spath", "__sppath")
@@ -3960,6 +3953,42 @@ object JsoniqRun {
     }
     val entries = store.shredEntries(collection, doc, None)
       .filter(_.kind == "json")
+    if (docLen > cap) {
+      // past the cap the document never touches the driver. A CAS scan
+      // whose every pattern is a CONCRETE root-anchored member path
+      // (prefix = an entry's chain + []) provably has no skeleton hits
+      // — all matches live inside elided member lists — so it serves
+      // purely distributed at ANY document size (hits order per entry,
+      // then member). Anything else (wildcards, descendant gaps,
+      // path/name scans) would need the skeleton: fail loudly.
+      val memberOnly = kind match {
+        case JsonPath.CasScan(Some(ps), _) if entries.nonEmpty =>
+          ps.map(JsonPath.parsePattern).forall { p =>
+            !p.contains(JsonPath.Desc) &&
+              entries.exists(en => p.length > en.steps.length + 1 &&
+                en.steps.zip(p).forall {
+                  case (n2, pat) => pat == JsonPath.Name(n2)
+                } &&
+                p(en.steps.length) == JsonPath.AnyMember)
+          }
+        case _ => false
+      }
+      if (!memberOnly)
+        throw new IllegalStateException(
+          s"index scan over $collection/$doc: document is $docLen bytes " +
+            s"— over the $cap-byte driver-walk cap " +
+            "(-Dgraft.scan.maxDriverBytes); only CAS scans with concrete " +
+            "member-path patterns serve without the document skeleton")
+      val parts = entries.zipWithIndex.flatMap { case (en, k) =>
+        memberScanPart(store.readShredEntry(collection, doc, None, en),
+          kind, en.steps, k.toLong, rev)
+      }
+      return parts.reduceOption(_.unionByName(_)) match {
+        case None => emptyScan(tuples)
+        case Some(src) =>
+          attachToTuples(src, tuples, Map(BIG -> StoreRef(store)))
+      }
+    }
     if (entries.isEmpty) return fullWalk()
     try {
       // skeletons are immutable per revision — cache them so repeat

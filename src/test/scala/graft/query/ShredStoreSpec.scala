@@ -220,6 +220,37 @@ class ShredStoreSpec extends SparkSpec {
     }
   }
 
+  test("over-cap documents: member-concrete CAS scans serve, others fail loudly") {
+    val prevCap = sys.props.get("graft.scan.maxDriverBytes")
+    sys.props("graft.scan.maxDriverBytes") = "1" // every doc is over-cap
+    try withShredded { st =>
+      val doc2 = """{"items": [""" +
+        (1 to 20).map(i => s"""{"v": $i}""").mkString(",") + "]}"
+      st.store("c", "cap.jn", doc2)
+      // concrete member path: distributed, no skeleton, no driver doc
+      assert(JsoniqRun.serialize(st,
+        "count(jn:scan-cas-index(jn:doc('c','cap.jn'), 0, '15', '==', " +
+          "'/items/[]/v'))") === "1")
+      assert(JsoniqRun.serialize(st,
+        "count(jn:scan-cas-index-range(jn:doc('c','cap.jn'), 0, " +
+          "5, 9, true(), true(), '/items/[]/v'))") === "5")
+      // a pattern needing the skeleton fails loudly at the cap
+      val e = intercept[Exception](JsoniqRun.serialize(st,
+        "count(jn:scan-path-index(jn:doc('c','cap.jn'), 0, '//v'))"))
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("driver-walk cap")),
+        msgs(e).mkString(" | "))
+    } finally {
+      prevCap match {
+        case Some(v2) => sys.props("graft.scan.maxDriverBytes") = v2
+        case None => sys.props.remove("graft.scan.maxDriverBytes"); ()
+      }
+      ()
+    }
+  }
+
   test("sdb:commit copies the head revision and its shred sidecar") {
     withShredded { st =>
       st.store("c", "d.jn", doc)
