@@ -183,6 +183,26 @@ object JsoniqQueries {
           |let $idx := jn:find-cas-index($doc, 'xs:decimal', '/foo/[]')
           |return ($idx, jn:scan-cas-index-range($doc, $idx, 2.33, 100, false(), true(), ()))""".stripMargin)
     },
+    // the DISTRIBUTED scan path under the gate: a >4MB root-array doc
+    // (default shred threshold fires — required loudly), then all
+    // three scan families serve from skeleton + member tables
+    // (jn/index/scan/ScanPathIndex.java:35 streams from indexes; here
+    // hits never materialize on the driver)
+    "j_scan_shredded" -> { (s, _) =>
+      val st = new JsoniqRun.Store(s,
+        java.nio.file.Files.createTempDirectory("graft-jq-oracle").toString)
+      val doc = (1 to 120000).map(i =>
+          s"""{"v": $i, "pad": "xxxxxxxxxxxxxxxxxxxxxxxxxxxxxx"}""")
+        .mkString("[", ",", "]")
+      st.store("c", "sc.jn", doc)
+      require(st.isShredded("c", "sc.jn"),
+        "j_scan_shredded: the document must shred (threshold regression?)")
+      val out = JsoniqRun.serialize(st,
+        """(count(jn:scan-cas-index-range(jn:doc('c','sc.jn'), 0, 119990, 120000, true(), true(), '/[]/v')),
+          |count(jn:scan-path-index(jn:doc('c','sc.jn'), 0, '/[]/v')),
+          |count(jn:scan-name-index(jn:doc('c','sc.jn'), 0, 'pad')))""".stripMargin)
+      s.range(1).select(lit(out).as("result"))
+    },
     // resource-level valid-time configuration (reference
     // ResourceConfiguration.java:689 persists validFromPath/validToPath;
     // StoreValidTimeAutoIndexTest.java:96's jn:store options form):
@@ -262,6 +282,7 @@ object JsoniqQueries {
         "[1,1] [2,2] [3,3]"),
     "j_first_existing" -> pin("2 3 1 3 2"),
     "j_scan_range" -> pin("0 23.76 100"),
+    "j_scan_shredded" -> pin("11 120000 120000"),
     "j_valid_config" -> pin("1 2"),
     "j_xmark_q01" -> pin("\"Sinisa Farrel\""),
     // 120 <increase> elements (incl. self-closed empties) from the

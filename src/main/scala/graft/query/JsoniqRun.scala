@@ -733,6 +733,9 @@ object JsoniqRun {
       scala.collection.concurrent.TrieMap.empty[(String, Int), Boolean]
     private def resolveRev(path: String, rev: Option[Int]): Option[Int] =
       rev.orElse(graft.sources.TemporalTable.mostRecentRevision(path))
+    /** Public probe: does the HEAD revision serve from a shred? */
+    def isShredded(collection: String, doc: String): Boolean =
+      shredExists(collection, doc, None)
     private[query] def shredExists(collection: String, doc: String,
                                    rev: Option[Int]): Boolean = {
       val path = docPath(collection, doc)
