@@ -157,18 +157,20 @@ object Bench {
       .map(_.toDouble).getOrElse(2.0)
     val requeued = collection.mutable.LinkedHashSet.empty[String]
     def measureStamped(name: String)(measure: => Double): Double = {
+      def dirty() = entryIo(name) > IoHotCores || entryLoad(name) > IoHotCores
       val t1 = measure
       stamp(name)
-      if (t1 < 0 || entryIo(name) <= IoHotCores) t1
+      if (t1 < 0 || !dirty()) t1
       else {
         System.err.println(
-          f"[bench] $name io-hot (${entryIo(name)}%.2f io-cores) — requeueing once")
+          f"[bench] $name hot (ext ${entryLoad(name)}%.2f / io " +
+            f"${entryIo(name)}%.2f cores) — requeueing once")
         requeued += name
         val s1 = (entryLoad(name), entryIo(name), entrySelf(name), entryGc(name))
         val runs1 = allRuns.get(name)
         val t2 = measure
         stamp(name)
-        if (t2 >= 0 && (entryIo(name) <= IoHotCores || t2 < t1)) t2
+        if (t2 >= 0 && (!dirty() || t2 < t1)) t2
         else {
           // the re-run was no better: restore the first attempt's stamps
           entryLoad(name) = s1._1; entryIo(name) = s1._2
