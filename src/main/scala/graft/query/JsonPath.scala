@@ -495,13 +495,17 @@ private[query] object JsonPath {
       var generic = false
       ps.map(parsePattern).foreach { p =>
         if (p.contains(Desc)) generic = true // gaps reach anywhere
-        else if (p.length <= cl + 1 ||
+        else if (p.length <= cl ||
             p(cl) != AnyMember ||
             !chain.zip(p).forall {
               case (n, Name(pn)) => pn == n
               case (_, AnyName) => true
               case _ => false
             }) () // provably outside this chain's member subtrees
+        else if (p.length == cl + 1)
+          // the array's own class: SCALAR members sit exactly there
+          // (the walker's bare-member CAS arm) — needs the walk
+          generic = true
         else if (p.length == cl + 2) p.last match {
           case Name(f) => fields += f
           case _ => generic = true

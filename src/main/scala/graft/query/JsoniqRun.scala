@@ -607,11 +607,25 @@ object JsoniqRun {
       validTimeCache.getOrElseUpdate((collection, doc), {
         val p = s"${docPath(collection, doc)}/_config.json"
         if (!graft.sources.MetaIO.exists(p)) None
-        else scala.util.Try {
-          val n = new com.fasterxml.jackson.databind.ObjectMapper()
-            .readTree(graft.sources.MetaIO.readString(p))
-          (n.get("validFromPath").asText(), n.get("validToPath").asText())
-        }.toOption
+        else {
+          // a PRESENT but unreadable config is corruption, not absence
+          // — falling back to default field names would silently answer
+          // valid-time stabs against the wrong columns (the
+          // Try-toOption vacuous-success class)
+          val n = try new com.fasterxml.jackson.databind.ObjectMapper()
+              .readTree(graft.sources.MetaIO.readString(p))
+            catch {
+              case scala.util.control.NonFatal(e) =>
+                throw new IllegalStateException(
+                  s"corrupt resource config at $p: ${e.getMessage}", e)
+            }
+          if (n.hasNonNull("validFromPath") && n.hasNonNull("validToPath"))
+            Some((n.get("validFromPath").asText(),
+              n.get("validToPath").asText()))
+          else throw new IllegalStateException(
+            s"corrupt resource config at $p: validFromPath/validToPath " +
+              "missing")
+        }
       })
 
     /** One registered index definition: `no` is the handle
@@ -3836,9 +3850,10 @@ object JsoniqRun {
         val (c, d) = resolveDocArg(args.head, env)
         val value = litStr(args(2), "value")
         val op = litStr(args(3), "op")
-        // an empty-sequence path scans every class the index covers
+        // an empty-sequence path scans the classes the NAMED index
+        // covers (its registered definition), never every class
         val patterns = args(4) match {
-          case SeqCtor(Seq()) => None
+          case SeqCtor(Seq()) => casIndexPaths(store, c, d, args(1))
           case other => Some(litStr(other, "path").split(";").toSeq)
         }
         docScanSeq(store, tuples, c, d,
@@ -3867,10 +3882,7 @@ object JsoniqRun {
         val incLow = litBool(args(4), "includeLow")
         val incHigh = litBool(args(5), "includeHigh")
         val patterns: Option[Seq[String]] = args(6) match {
-          case SeqCtor(Seq()) =>
-            val declared = store.indexDefs(c, d)
-              .filter(_.kind == "cas").flatMap(_.paths)
-            if (declared.nonEmpty) Some(declared.distinct) else None
+          case SeqCtor(Seq()) => casIndexPaths(store, c, d, args(1))
           case other => Some(litStr(other, "paths").split(";").toSeq)
         }
         docScanSeq(store, tuples, c, d, JsonPath.CasScan(patterns,
@@ -3926,7 +3938,14 @@ object JsoniqRun {
     * that needs elided content (the array node itself is a hit) falls
     * back the same way. The reference streams these scans from its
     * indexes (function/jn/index/scan/ScanPathIndex.java:35,
-    * ScanNameIndex.java:38). */
+    * ScanNameIndex.java:38).
+    *
+    * One documented normalization: member tables hold VARIANTS, whose
+    * encoding sorts object keys, so hits WITHIN one member emit in
+    * sorted-key order on the distributed path (the engine-wide
+    * canonical form — every pinned expectation normalizes the same
+    * way); a source document with unsorted keys walks in source order
+    * on the driver paths. Hit CONTENT is canonical on both. */
   private def docScanSeq(store: Store, tuples: DataFrame, collection: String,
                          doc: String, kind: JsonPath.ScanKind): DataFrame = {
     val spark = store.spark
@@ -3968,7 +3987,7 @@ object JsoniqRun {
         case JsonPath.CasScan(Some(ps), _) if entries.nonEmpty =>
           ps.map(JsonPath.parsePattern).forall { p =>
             !p.contains(JsonPath.Desc) &&
-              entries.exists(en => p.length > en.steps.length + 1 &&
+              entries.exists(en => p.length > en.steps.length &&
                 en.steps.zip(p).forall {
                   case (n2, pat) => pat == JsonPath.Name(n2)
                 } &&
@@ -4019,6 +4038,27 @@ object JsoniqRun {
     } catch {
       case _: JsonPath.NeedFullWalk => fullWalk()
     }
+  }
+
+  /** The paths an empty `$paths` CAS scan covers: the NAMED index's
+    * registered definition (a literal handle looks it up directly; a
+    * variable-bound handle resolves when ONE CAS index exists — the
+    * corpus' shape; several would be ambiguous and the reference scans
+    * exactly the index the handle names, so fail loudly rather than
+    * union). None = no registered CAS index — scan every class (the
+    * pre-registry behavior for handle-less corpora). */
+  private def casIndexPaths(store: Store, c: String, d: String,
+                            idxE: Jsoniq.Expr): Option[Seq[String]] = {
+    val defs = store.indexDefs(c, d).filter(_.kind == "cas")
+    val chosen = idxE match {
+      case Jsoniq.NumLit(t) if !t.contains(".") => defs.find(_.no == t.toInt)
+      case _ if defs.size <= 1 => defs.headOption
+      case _ => throw new UnsupportedOperationException(
+        "CAS scan with empty $paths over several registered CAS indexes " +
+          "needs a literal index number (the handle variable's value is " +
+          "not statically known)")
+    }
+    chosen.map(_.paths.toSeq).filter(_.nonEmpty)
   }
 
   private def emptyScan(tuples: DataFrame): DataFrame =

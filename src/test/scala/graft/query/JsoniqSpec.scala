@@ -770,6 +770,39 @@ class JsoniqSpec extends SparkSpec {
       """{"nodeKey":0,"node":"b","path":"/[2]/test/[]"}""")
   }
 
+  test("j: empty $paths resolves the NAMED index's declared paths") {
+    val st = freshStore()
+    JsoniqRun.serialize(st,
+      """jn:store('c','two.jn','{"foo": [1, 5, 9], "names": ["5", "x"]}')""")
+    JsoniqRun.serialize(st,
+      """let $d := jn:doc('c','two.jn')
+        |let $s := jn:create-cas-index($d, 'xs:decimal', '/foo/[]')
+        |return {"revision": sdb:commit($d)}""".stripMargin)
+    JsoniqRun.serialize(st,
+      """let $d := jn:doc('c','two.jn')
+        |let $s := jn:create-cas-index($d, 'xs:string', '/names/[]')
+        |return {"revision": sdb:commit($d)}""".stripMargin)
+    // literal handle 0 = the decimal index over /foo/[] — the string
+    // "5" under /names/[] must NOT leak into the range (the reference
+    // scans exactly the index the handle names)
+    assert(JsoniqRun.serialize(st,
+      "count(jn:scan-cas-index-range(jn:doc('c','two.jn'), 0, 2, 10, " +
+        "true(), true(), ()))") == "2")
+    // literal handle 1 = the string index over /names/[]
+    assert(JsoniqRun.serialize(st,
+      "count(jn:scan-cas-index(jn:doc('c','two.jn'), 1, '5', '==', ()))")
+      == "1")
+    // a variable-bound handle over SEVERAL indexes is ambiguous — loud
+    val e = intercept[Exception](JsoniqRun.serialize(st,
+      """let $d := jn:doc('c','two.jn')
+        |let $i := jn:find-cas-index($d, 'xs:decimal', '/foo/[]')
+        |return count(jn:scan-cas-index-range($d, $i, 2, 10, true(), true(), ()))""".stripMargin))
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("literal index number")),
+      msgs(e).mkString(" | "))
+  }
+
   test("j: CDATA and doubled-brace escapes are literal character data") {
     val st = freshStore()
     // CDATA: `{` is not an expression frame, `(:` is not a comment

@@ -220,6 +220,33 @@ class ShredStoreSpec extends SparkSpec {
     }
   }
 
+  test("CAS scans hit SCALAR members of a shredded array") {
+    // a pattern naming the array's own class (chain + []) matches the
+    // bare scalar members — the member part must run the walk, never
+    // classify them as unreachable (review finding: NoMemberHits ate
+    // every scalar-member hit)
+    val doc2 = """{"nums": [""" + (1 to 20).mkString(",") + """]}"""
+    val queries = Seq(
+      "count(jn:scan-cas-index-range(jn:doc('c','n.jn'), 0, 5, 9, " +
+        "true(), true(), '/nums/[]'))",
+      "count(jn:scan-cas-index(jn:doc('c','n.jn'), 0, '7', '==', " +
+        "'/nums/[]'))")
+    val plain = {
+      val st = new JsoniqRun.Store(spark,
+        java.nio.file.Files.createTempDirectory("scan-scal").toString)
+      st.store("c", "n.jn", doc2)
+      queries.map(JsoniqRun.serialize(st, _))
+    }
+    assert(plain === Seq("5", "1"))
+    withShredded { st =>
+      st.store("c", "n.jn", doc2)
+      assert(st.isShredded("c", "n.jn"))
+      queries.zip(plain).foreach { case (q, want) =>
+        assert(JsoniqRun.serialize(st, q) === want, q)
+      }
+    }
+  }
+
   test("over-cap documents: member-concrete CAS scans serve, others fail loudly") {
     val prevCap = sys.props.get("graft.scan.maxDriverBytes")
     sys.props("graft.scan.maxDriverBytes") = "1" // every doc is over-cap
