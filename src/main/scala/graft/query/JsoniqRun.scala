@@ -3825,9 +3825,25 @@ object JsoniqRun {
         // member-table part DISTRIBUTED — docScanSeq)
         require(args.size == 3, "jn:scan-path-index(doc, idx, path)")
         val (c, d) = resolveDocArg(args.head, env)
-        val pattern = litStr(args(2), "path")
-        docScanSeq(store, tuples, c, d,
-          JsonPath.PathScan(Some(Seq(pattern))))
+        // an empty path scans the NAMED index's declared classes, like
+        // the CAS forms (the reference's $paths is zero-or-one)
+        val patterns = args(2) match {
+          case SeqCtor(Seq()) =>
+            store.indexDefs(c, d).filter(_.kind == "path") match {
+              case Seq(one) => Some(one.paths.toSeq).filter(_.nonEmpty)
+              case Seq() => None
+              case many => args(1) match {
+                case NumLit(t) if !t.contains(".") =>
+                  many.find(_.no == t.toInt).map(_.paths.toSeq)
+                    .filter(_.nonEmpty)
+                case _ => throw new UnsupportedOperationException(
+                  "path scan with empty $paths over several registered " +
+                    "path indexes needs a literal index number")
+              }
+            }
+          case other => Some(litStr(other, "path").split(";").toSeq)
+        }
+        docScanSeq(store, tuples, c, d, JsonPath.PathScan(patterns))
       case "jn:scan-name-index" =>
         // every object key matching one of the ';'-separated names
         // (empty sequence = every key), document order — reference
