@@ -183,6 +183,22 @@ object JsoniqQueries {
           |let $idx := jn:find-cas-index($doc, 'xs:decimal', '/foo/[]')
           |return ($idx, jn:scan-cas-index-range($doc, $idx, 2.33, 100, false(), true(), ()))""".stripMargin)
     },
+    // CAS POINT scan with a numeric key (reference
+    // index/cas/CASFilter.java:24-47 compares typed Atomics): 9 < 10
+    // NUMERICALLY where "9" > "10" lexicographically — the pin is empty
+    // under string comparison, so it discriminates the two semantics;
+    // $paths = () resolves the registered definition like j_scan_range
+    "j_scan_cas_typed" -> { (s, _) =>
+      runOne(s,
+        Seq("""jn:store('c','pt.jn','{"m": [{"w": 10}, {"w": 9}, {"w": 2}, {"w": 100}]}')""",
+          """let $doc := jn:doc('c','pt.jn')
+            |let $stats := jn:create-cas-index($doc,'xs:decimal','/m/[]/w')
+            |return {"revision": sdb:commit($doc)}""".stripMargin),
+        """let $doc := jn:doc('c','pt.jn')
+          |let $idx := jn:find-cas-index($doc, 'xs:decimal', '/m/[]/w')
+          |return (jn:scan-cas-index($doc, $idx, 9, '>', ()),
+          |        jn:scan-cas-index($doc, $idx, 9.0, '<=', '/m/[]/w'))""".stripMargin)
+    },
     // the DISTRIBUTED scan path under the gate: a >4MB root-array doc
     // (default shred threshold fires — required loudly), then all
     // three scan families serve from skeleton + member tables
@@ -282,6 +298,7 @@ object JsoniqQueries {
         "[1,1] [2,2] [3,3]"),
     "j_first_existing" -> pin("2 3 1 3 2"),
     "j_scan_range" -> pin("0 23.76 100"),
+    "j_scan_cas_typed" -> pin("10 100 9 2"),
     "j_scan_shredded" -> pin("11 120000 120000"),
     "j_valid_config" -> pin("1 2"),
     "j_xmark_q01" -> pin("\"Sinisa Farrel\""),

@@ -66,17 +66,27 @@ private[query] object JsonPath {
     * closure over query state. */
   sealed trait ValueCmp extends (String => Boolean) with Serializable
 
-  /** `jn:scan-cas-index`'s single comparison: the reference casts to
-    * the index's content type; here values compare as strings (the
-    * corpus' CAS point scans are string-typed). */
+  /** `jn:scan-cas-index`'s single comparison. The reference casts the
+    * search key to the index's content type and compares typed Atomics
+    * (index/cas/CASFilter.java:24-47), so a key that parses as a number
+    * makes the scan NUMERIC — the [[CmpRange]] discipline: candidate
+    * values a decimal index cannot hold (unparseable texts) are never
+    * indexed there and never match here. Non-numeric keys compare
+    * lexicographically (xs:string indexes). */
   final case class CmpOp(op: String, value: String) extends ValueCmp {
-    override def apply(s: String): Boolean = op match {
-      case "==" => s == value
-      case "!=" => s != value
-      case "<" => s < value; case "<=" => s <= value
-      case ">" => s > value; case ">=" => s >= value
+    private val valueN = scala.util.Try(BigDecimal(value)).toOption
+    private def cmpTo(c: Int): Boolean = op match {
+      case "==" => c == 0
+      case "!=" => c != 0
+      case "<" => c < 0; case "<=" => c <= 0
+      case ">" => c > 0; case ">=" => c >= 0
       case other => throw new UnsupportedOperationException(
         s"cas comparison '$other'")
+    }
+    override def apply(s: String): Boolean = valueN match {
+      case Some(v) =>
+        scala.util.Try(BigDecimal(s)).toOption.exists(c => cmpTo(c.compare(v)))
+      case None => cmpTo(s.compareTo(value))
     }
   }
 

@@ -3566,6 +3566,15 @@ object JsoniqRun {
       throw new UnsupportedOperationException(s"$what must be a literal, got $other")
   }
 
+  /** String or numeric literal, as raw text — CAS scan keys keep their
+    * source image (a numeric image selects the typed comparison). */
+  private def litRaw(e: Jsoniq.Expr, what: String): String = e match {
+    case Jsoniq.StrLit(s) => s
+    case Jsoniq.NumLit(t) => t
+    case other => throw new UnsupportedOperationException(
+      s"$what must be a literal, got $other")
+  }
+
   private def litBool(e: Jsoniq.Expr, what: String): Boolean = e match {
     case Jsoniq.BoolLit(b) => b
     case Jsoniq.Call("true", Seq()) => true
@@ -3864,7 +3873,7 @@ object JsoniqRun {
         // satisfies the comparison (reference jn:scan-cas-index)
         require(args.size == 5, "jn:scan-cas-index(doc, idx, value, op, path)")
         val (c, d) = resolveDocArg(args.head, env)
-        val value = litStr(args(2), "value")
+        val value = litRaw(args(2), "value")
         val op = litStr(args(3), "op")
         // an empty-sequence path scans the classes the NAMED index
         // covers (its registered definition), never every class
@@ -3887,14 +3896,8 @@ object JsoniqRun {
         require(args.size == 7, "jn:scan-cas-index-range(doc, idx, " +
           "low, high, includeLow, includeHigh, paths)")
         val (c, d) = resolveDocArg(args.head, env)
-        def rawLit(e2: Expr, what: String): String = e2 match {
-          case StrLit(s) => s
-          case NumLit(t) => t
-          case other => throw new UnsupportedOperationException(
-            s"$what must be a literal, got $other")
-        }
-        val low = rawLit(args(2), "low")
-        val high = rawLit(args(3), "high")
+        val low = litRaw(args(2), "low")
+        val high = litRaw(args(3), "high")
         val incLow = litBool(args(4), "includeLow")
         val incHigh = litBool(args(5), "includeHigh")
         val patterns: Option[Seq[String]] = args(6) match {
@@ -4147,15 +4150,28 @@ object JsoniqRun {
         case LongType | DoubleType => Some(vcol.cast("string"))
         case _ => None
       }
+      def opCol(op: String, t: Column, v: Column): Column = op match {
+        case "==" => t === v
+        case "!=" => t =!= v
+        case "<" => t < v; case "<=" => t <= v
+        case ">" => t > v; case ">=" => t >= v
+      }
       val cond: Option[Column] = cmp match {
-        case JsonPath.CmpOp(op, v) => textCol.map { t =>
-          op match {
-            case "==" => t === v
-            case "!=" => t =!= v
-            case "<" => t < v; case "<=" => t <= v
-            case ">" => t > v; case ">=" => t >= v
+        case JsonPath.CmpOp(op, v) =>
+          // a numeric key makes the point scan NUMERIC (the walker's
+          // CmpOp discipline, mirroring the reference's typed Atomic
+          // keys — index/cas/CASFilter.java:24-47): compare the typed
+          // column natively. A numeric key over a STRING column cannot
+          // compile (the walker parses each candidate, skipping
+          // unparseable ones) — the generic walk serves instead.
+          scala.util.Try(BigDecimal(v)).toOption match {
+            case Some(n) => f.dataType match {
+              case LongType => Some(opCol(op, vcol, lit(n)))
+              case DoubleType => Some(opCol(op, vcol, lit(n.toDouble)))
+              case _ => None
+            }
+            case None => textCol.map(opCol(op, _, lit(v)))
           }
-        }
         case JsonPath.CmpRange(lo, hi, il, ih) =>
           val loN = scala.util.Try(BigDecimal(lo)).toOption
           val hiN = scala.util.Try(BigDecimal(hi)).toOption

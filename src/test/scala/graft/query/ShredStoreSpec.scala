@@ -247,6 +247,60 @@ class ShredStoreSpec extends SparkSpec {
     }
   }
 
+  test("CAS point scans compare NUMERICALLY when the key is numeric") {
+    // the reference casts the search key to the index content type and
+    // compares typed Atomics (index/cas/CASFilter.java:24-47): with key
+    // 9, value 10 matches '>' (numeric) even though "10" < "9"
+    // lexicographically — on BOTH the typed-column arm (/items/[]/v)
+    // and the distributed walker arm (scalar /nums/[] members, where
+    // "bar" is never in a numeric index). String keys stay
+    // lexicographic.
+    val doc2 = """{"items": [""" +
+      (1 to 20).map(i => s"""{"v": $i, "name": "n$i"}""").mkString(",") +
+      """], "nums": [10, 9, 2, "bar", 100]}"""
+    val queries = Seq(
+      "for $n in jn:scan-cas-index(jn:doc('c','tc.jn'), 0, 9, '>', " +
+        "'/items/[]/v') return $n",
+      "count(jn:scan-cas-index(jn:doc('c','tc.jn'), 0, 15, '<=', " +
+        "'/items/[]/v'))",
+      // scale-insensitive numeric equality (2.0 == 2)
+      "for $n in jn:scan-cas-index(jn:doc('c','tc.jn'), 0, 2.0, '==', " +
+        "'/items/[]/v') return $n",
+      // scalar members: generic walk, unparseable candidate never matches
+      "for $n in jn:scan-cas-index(jn:doc('c','tc.jn'), 0, 9, '>=', " +
+        "'/nums/[]') return $n",
+      // string key: lexicographic (n20 and n3..n9 follow 'n2')
+      "for $n in jn:scan-cas-index(jn:doc('c','tc.jn'), 0, 'n2', '>', " +
+        "'/items/[]/name') return $n")
+    val want = Seq(
+      (10 to 20).mkString(" "),
+      "15",
+      "2",
+      "10 9 100",
+      ((3 to 9).map(i => s""""n$i"""") :+ "\"n20\"").mkString(" "))
+    val plain = {
+      val st = new JsoniqRun.Store(spark,
+        java.nio.file.Files.createTempDirectory("scan-num").toString)
+      st.store("c", "tc.jn", doc2)
+      queries.map(JsoniqRun.serialize(st, _))
+    }
+    assert(plain === want)
+    withShredded { st =>
+      st.store("c", "tc.jn", doc2)
+      assert(st.isShredded("c", "tc.jn"))
+      queries.zip(want).foreach { case (q, w) =>
+        assert(JsoniqRun.serialize(st, q) === w, q)
+      }
+      // the numeric typed arm really is the typed-column plan: it reads
+      // idx + t.v, never the member variant
+      val plan = JsoniqRun.run(st,
+        "count(jn:scan-cas-index(jn:doc('c','tc.jn'), 0, 9, '>', " +
+          "'/items/[]/v'))").queryExecution.executedPlan.toString
+      assert(plan.contains("struct<v:bigint>") && !plan.contains("member"),
+        plan)
+    }
+  }
+
   test("over-cap documents: member-concrete CAS scans serve, others fail loudly") {
     val prevCap = sys.props.get("graft.scan.maxDriverBytes")
     sys.props("graft.scan.maxDriverBytes") = "1" // every doc is over-cap
