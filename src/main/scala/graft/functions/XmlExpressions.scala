@@ -381,7 +381,16 @@ final case class XmlMemberShape(child: Expression,
         }
       }
       p.close()
-    } catch { case _: Exception => () }
+    } catch {
+      case e: Exception =>
+        // the member encoding is the engine's own StAX output — a parse
+        // failure (truncation, corruption) is a real bug signal, and a
+        // half-filled typed row would make pushed typed filters silently
+        // DROP members the variant walk matches. Fail loudly, like every
+        // other corrupt-sidecar path (config, shred marker).
+        throw new IllegalStateException(
+          s"xml_member_shape: corrupt member encoding: ${e.getMessage}", e)
+    }
     var i = 0
     while (i < texts.length) {
       if (texts(i) != null) setTyped(t, i, texts(i).toString)

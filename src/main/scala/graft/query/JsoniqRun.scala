@@ -3834,6 +3834,7 @@ object JsoniqRun {
         // member-table part DISTRIBUTED — docScanSeq)
         require(args.size == 3, "jn:scan-path-index(doc, idx, path)")
         val (c, d) = resolveDocArg(args.head, env)
+        requireScanHandle(store, c, d, args(1), "path")
         // an empty path scans the NAMED index's declared classes, like
         // the CAS forms (the reference's $paths is zero-or-one)
         val patterns = args(2) match {
@@ -3863,6 +3864,7 @@ object JsoniqRun {
         // of its node store with no analog in the value model.
         require(args.size == 3, "jn:scan-name-index(doc, idx, names)")
         val (c, d) = resolveDocArg(args.head, env)
+        requireScanHandle(store, c, d, args(1), "name")
         val names = args(2) match {
           case SeqCtor(Seq()) => None
           case other => Some(litStr(other, "names").split(";").toSet)
@@ -3873,6 +3875,7 @@ object JsoniqRun {
         // satisfies the comparison (reference jn:scan-cas-index)
         require(args.size == 5, "jn:scan-cas-index(doc, idx, value, op, path)")
         val (c, d) = resolveDocArg(args.head, env)
+        requireScanHandle(store, c, d, args(1), "cas")
         val value = litRaw(args(2), "value")
         val op = litStr(args(3), "op")
         // an empty-sequence path scans the classes the NAMED index
@@ -3896,6 +3899,7 @@ object JsoniqRun {
         require(args.size == 7, "jn:scan-cas-index-range(doc, idx, " +
           "low, high, includeLow, includeHigh, paths)")
         val (c, d) = resolveDocArg(args.head, env)
+        requireScanHandle(store, c, d, args(1), "cas")
         val low = litRaw(args(2), "low")
         val high = litRaw(args(3), "high")
         val incLow = litBool(args(4), "includeLow")
@@ -4056,6 +4060,33 @@ object JsoniqRun {
       }
     } catch {
       case _: JsonPath.NeedFullWalk => fullWalk()
+    }
+  }
+
+  /** A scan's LITERAL index handle validated against the registry: an
+    * integer literal (or its negation — jn:find-*-index returns -1 when
+    * nothing matches) that does not name a registered index of the
+    * scan's kind is the reference's ERR_INDEX_NOT_FOUND (SIRIXDBF0002,
+    * jn/index/scan/ScanPathIndex.java:64) — a failed find must FAIL the
+    * scan, never widen it. Registry-less resources (no _indexes.json —
+    * pre-registry corpora) skip the check: their handles are positional
+    * fictions the walk path never reads. */
+  private def requireScanHandle(store: Store, c: String, d: String,
+                                idxE: Jsoniq.Expr, kind: String): Unit = {
+    val literal: Option[Int] = idxE match {
+      case Jsoniq.NumLit(t) if !t.contains(".") => Some(t.toInt)
+      case Jsoniq.Unary("-", Jsoniq.NumLit(t)) if !t.contains(".") =>
+        Some(-t.toInt)
+      case _ => None
+    }
+    literal.foreach { no =>
+      val defs = store.indexDefs(c, d)
+      if (defs.nonEmpty && !defs.exists(x => x.no == no && x.kind == kind))
+        throw new IllegalArgumentException(
+          s"SIRIXDBF0002 (index-not-found): no $kind index no $no for " +
+            s"collection $c and document $d" +
+            (if (no < 0) " — jn:find-" + kind + "-index found nothing"
+             else ""))
     }
   }
 
@@ -4245,21 +4276,27 @@ object JsoniqRun {
     val keep = slice(byRev.collect { case (r, Some(_)) => r }).toSet
     val rows0 = byRev.zipWithIndex.collect {
       case ((r, Some(json)), idx) if keep(r) =>
-        val prev = byRev.take(idx).reverse.collectFirst {
+        // jn:previous/jn:next stash STRICTLY the adjacent revision
+        // (reference PreviousAxis/NextAxis open revision±1 and moveTo
+        // the node — absent there = empty sequence, even if the node
+        // exists farther away); change detection below keeps the
+        // nearest-EXISTING compare (ItemHistory follows the node's own
+        // modification chain — calibrated content-compare equivalent)
+        val prevAdj = byRev.lift(idx - 1).flatMap(_._2)
+        val nextAdj = byRev.lift(idx + 1).flatMap(_._2)
+        val prevExisting = byRev.take(idx).reverse.collectFirst {
           case (_, Some(pj)) => pj
         }
-        val next = byRev.drop(idx + 1).collectFirst {
-          case (_, Some(nj)) => nj
-        }
-        (r.toLong, json, prev.orNull, next.orNull)
+        (r.toLong, json, prevAdj.orNull, nextAdj.orNull,
+          prevExisting.orNull)
     }
     // sdb:item-history: only revisions where the node CHANGED (its
     // first existence counts), ascending — reference
     // function/sdb/trx/ItemHistory.java:40
     val rows =
-      if (changedOnly) rows0.filter { case (_, json, prev, _) =>
-        prev == null || prev != json }
-      else rows0
+      (if (changedOnly) rows0.filter { case (_, json, _, _, prevEx) =>
+        prevEx == null || prevEx != json }
+       else rows0).map { case (r, json, pa, na, _) => (r, json, pa, na) }
     if (rows.isEmpty)
       return tuples.withColumn(POS, array(lit(0L))).withColumn(ITEM, vnull)
         .withColumn("__srev", lit(0L)).withColumn("__sprev", lit(""))

@@ -83,11 +83,27 @@ object XmlItem {
       gen.writeFieldName("~a")
       gen.writeStartObject()
       if (name.nonEmpty) {
-        var i = 0
-        while (i < reader.getAttributeCount) {
-          gen.writeStringField(reader.getAttributeLocalName(i),
-            reader.getAttributeValue(i))
-          i += 1
+        val n = reader.getAttributeCount
+        if (n == 1)
+          gen.writeStringField(reader.getAttributeLocalName(0),
+            reader.getAttributeValue(0))
+        else if (n > 1) {
+          // namespaced attributes sharing a local name (a:x, b:x) must
+          // not emit duplicate JSON keys — parse_json rejects them.
+          // LinkedHashMap.put = first occurrence's position, last value,
+          // exactly the former tree encode's ObjectNode.put semantics.
+          val attrs = new java.util.LinkedHashMap[String, String]()
+          var i = 0
+          while (i < n) {
+            attrs.put(reader.getAttributeLocalName(i),
+              reader.getAttributeValue(i))
+            i += 1
+          }
+          val it = attrs.entrySet().iterator()
+          while (it.hasNext) {
+            val e = it.next()
+            gen.writeStringField(e.getKey, e.getValue)
+          }
         }
       }
       gen.writeEndObject()

@@ -844,4 +844,60 @@ class JsoniqSpec extends SparkSpec {
     assert(diffs.get(0).get("path").asText() == "/a\"b", script)
     assert(diffs.get(0).get("value").asInt() == 9, script)
   }
+
+  test("j: a literal handle naming no registered index fails loudly") {
+    val st = freshStore()
+    JsoniqRun.serialize(st, """jn:store('c','inf.jn','{"foo": [1, 5]}')""")
+    JsoniqRun.serialize(st,
+      """let $d := jn:doc('c','inf.jn')
+        |let $s := jn:create-cas-index($d, 'xs:decimal', '/foo/[]')
+        |return {"revision": sdb:commit($d)}""".stripMargin)
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    // the registry exists: a wrong literal handle — including the -1 a
+    // failed jn:find-*-index returns — is the reference's
+    // ERR_INDEX_NOT_FOUND (ScanPathIndex.java:64), never a wider scan
+    for (q <- Seq(
+      "count(jn:scan-cas-index(jn:doc('c','inf.jn'), 7, '5', '==', ()))",
+      "count(jn:scan-cas-index-range(jn:doc('c','inf.jn'), -1, 2, 10, " +
+        "true(), true(), ()))",
+      "count(jn:scan-path-index(jn:doc('c','inf.jn'), 0, '/foo/[]'))",
+      "count(jn:scan-name-index(jn:doc('c','inf.jn'), 3, 'foo'))")) {
+      val e = intercept[Exception](JsoniqRun.serialize(st, q))
+      assert(msgs(e).exists(_.contains("SIRIXDBF0002")),
+        q + " -> " + msgs(e).mkString(" | "))
+    }
+    // the right-kind literal still serves
+    assert(JsoniqRun.serialize(st,
+      "count(jn:scan-cas-index(jn:doc('c','inf.jn'), 0, 5, '==', ()))")
+      == "1")
+    // registry-less resources keep the positional-fiction handles
+    JsoniqRun.serialize(st, """jn:store('c','free.jn','{"foo": [1, 5]}')""")
+    assert(JsoniqRun.serialize(st,
+      "count(jn:scan-cas-index(jn:doc('c','free.jn'), 0, 5, '==', " +
+        "'/foo/[]'))") == "1")
+  }
+
+  test("j: jn:previous/jn:next are strictly the adjacent revision") {
+    val st = freshStore()
+    // 'w' exists at revisions 1 and 3 but NOT 2: the reference's
+    // Previous/NextAxis open revision±1 and moveTo the node, so a gap
+    // yields the empty sequence — never the nearest existing revision
+    JsoniqRun.serialize(st, """jn:store('c','adj.jn','{"v": 1, "w": 10}')""")
+    JsoniqRun.serialize(st, """jn:store('c','adj.jn','{"v": 2}')""")
+    JsoniqRun.serialize(st, """jn:store('c','adj.jn','{"v": 3, "w": 30}')""")
+    assert(JsoniqRun.serialize(st,
+      "for $n in jn:all-times(jn:doc('c','adj.jn').w) " +
+        "return (exists(jn:previous($n)), exists(jn:next($n)))")
+      == "false false false false")
+    // gap-less neighbours still serve content
+    assert(JsoniqRun.serialize(st,
+      "for $n in jn:all-times(jn:doc('c','adj.jn').v) " +
+        "return (jn:previous($n), jn:next($n))")
+      == "2 1 3 2")
+    // item-history keeps the nearest-existing change compare: both
+    // existences of 'w' count (10 then 30)
+    assert(JsoniqRun.serialize(st,
+      "count(sdb:item-history(jn:doc('c','adj.jn').w))") == "2")
+  }
 }

@@ -45,6 +45,28 @@ class XmlEncodeSpansSpec extends SparkSpec {
     }
   }
 
+  test("namespaced attributes sharing a local name dedup (last wins)") {
+    // a:x and b:x share local name 'x': duplicate JSON keys would make
+    // the stored document unreadable (parse_json rejects them) — the
+    // stream encode must keep the tree encode's ObjectNode.put
+    // semantics: first occurrence's position, last value
+    val xml = """<r xmlns:a="urn:a" xmlns:b="urn:b">""" +
+      """<e a:x="1" y="mid" b:x="2"/></r>"""
+    val (json, _) = XmlItem.xmlToJsonSpans(xml, Int.MaxValue)
+    assert(json == XmlItem.xmlToJson(xml))
+    val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    val attrs = n.get("~c").get(0).get("~c").get(0).get("~a")
+    assert(attrs.size() == 2, attrs.toString)
+    assert(attrs.get("x").asText() == "2")
+    assert(attrs.get("y").asText() == "mid")
+    // the stored form round-trips through the variant reader
+    val st = new JsoniqRun.Store(spark,
+      java.nio.file.Files.createTempDirectory("xml-attr-dedup").toString)
+    st.storeXml("c", "d.xml", xml)
+    assert(JsoniqRun.serialize(st,
+      "jn:doc('c','d.xml')/r/e/@y") == "\"mid\"")
+  }
+
   test("escapes, CDATA, attributes and whitespace survive the stream encode") {
     val xml = "<r a=\"x&amp;y&quot;z\">  <c>a&lt;b</c><![CDATA[raw<>&]]>" +
       "<empty/> trailing </r>"

@@ -57,4 +57,33 @@ class XmlExpressionsSpec extends SparkSpec {
     assert(textsOf(xml, Seq("a", "b")) === "x & y")
     assert(textsOf(xml, Seq("zzz")) === "")
   }
+
+  test("XmlMemberShape fails loudly on a truncated member encoding") {
+    // the member encoding is the engine's own StAX output: a mid-stream
+    // parse failure is storage corruption, and swallowing it would
+    // leave a half-filled typed row that pushed typed filters use to
+    // silently DROP members the variant walk matches
+    import org.apache.spark.sql.graftbridge.GraftBridge
+    val enc = """{"~n":"person","~a":{"id":"p1"},""" +
+      """"~c":[{"~n":"age","~a":{},"~c":["31"]}]}"""
+    def shapeOf(memberJson: String) = {
+      import spark.implicits._
+      Seq(memberJson).toDF("member_json").select(
+        GraftBridge.column(graft.functions.XmlMemberShape(
+          GraftBridge.expression(col("member_json")),
+          Seq("id" -> "string"), Seq("age" -> "bigint"))).as("s"))
+        .collect().head.getStruct(0)
+    }
+    // the intact encoding types both fields
+    val ok = shapeOf(enc)
+    assert(ok.getString(0) == "person")
+    assert(ok.getStruct(1).getString(0) == "p1")
+    assert(ok.getStruct(1).getLong(1) == 31L)
+    // the truncated one throws — never a half-typed row
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val e = intercept[Exception](shapeOf(enc.substring(0, enc.length - 12)))
+    assert(msgs(e).exists(_.contains("corrupt member encoding")),
+      msgs(e).mkString(" | "))
+  }
 }
