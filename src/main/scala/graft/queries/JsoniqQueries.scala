@@ -230,6 +230,42 @@ object JsoniqQueries {
         """((for $r in jn:valid-at('c','vt.jn', xs:dateTime('2024-03-01T00:00:00Z')) return $r.id),
           |(for $r in jn:scan-valid-time-index(jn:doc('c','vt.jn'), xs:dateTime('2024-08-01T00:00:00Z')) return $r.id))""".stripMargin)
     },
+    // textual catalog ops + revision metadata (reference jn/io/
+    // DropResource.java, ExistsDatabase.java — JNFun.java:258-264;
+    // sdb/trx/GetRevisionTimestamp.java, GetAuthorName.java,
+    // GetMostRecentRevision.java, IsDeleted.java): exists→drop→exists,
+    // commit author/timestamp/head through query text
+    "j_catalog" -> { (s, _) =>
+      runOne(s,
+        Seq("""jn:store('cat','m.jn','{"a": 1, "w": 5}')""",
+          """jn:store('cat','m.jn','{"a": 2}')""",
+          """jn:store('cat','tmp.jn','{"x": 1}')""",
+          """jn:drop-resource('cat','tmp.jn')"""),
+        """(jn:exists-database('cat'), jn:exists-database('nope'),
+          |jn:exists-resource('cat','m.jn'),
+          |jn:exists-resource('cat','tmp.jn'),
+          |sdb:most-recent-revision(jn:doc('cat','m.jn')),
+          |sdb:author-name(jn:doc('cat','m.jn')),
+          |sdb:timestamp(jn:doc('cat','m.jn')) gt "2020",
+          |sdb:is-deleted(jn:doc('cat','m.jn').w),
+          |sdb:is-deleted(jn:doc('cat','m.jn').a))""".stripMargin)
+    },
+    // valid-time index DDL variant of j_valid_config (reference
+    // jn/index/create/CreateValidTimeIndex.java — requires the
+    // resource's valid-time config, idempotent on type; sdb:valid-from/
+    // sdb:valid-to read the configured interval fields per item)
+    "j_vt_ddl" -> { (s, _) =>
+      runOne(s,
+        Seq("""jn:store('c','vd.jn','[{"id": 1, "from": "2024-01-01T00:00:00Z", "to": "2024-06-30T00:00:00Z"},{"id": 2, "from": "2024-07-01T00:00:00Z"}]', true(), {"validFromPath": "from", "validToPath": "to"})""",
+          """let $d := jn:doc('c','vd.jn')
+            |let $i := jn:create-valid-time-index($d)
+            |return {"idx": $i}""".stripMargin),
+        """((for $r in jn:scan-valid-time-index(jn:doc('c','vd.jn'),
+          |    xs:dateTime('2024-08-01T00:00:00Z')) return $r.id),
+          |jn:create-valid-time-index(jn:doc('c','vd.jn')),
+          |(for $r in jn:doc('c','vd.jn')
+          | return (sdb:valid-from($r), sdb:valid-to($r))))""".stripMargin)
+    },
     // XMark q01/q05 verbatim over the reference's auction.xml, pinned to
     // the reference's own results/qNN.out (XmarkSpec replays q06/q07 too)
     "j_xmark_q01" -> { (s, _) => runXmark(s, "q01") },
@@ -301,6 +337,9 @@ object JsoniqQueries {
     "j_scan_cas_typed" -> pin("10 100 9 2"),
     "j_scan_shredded" -> pin("11 120000 120000"),
     "j_valid_config" -> pin("1 2"),
+    "j_catalog" -> pin("true false true false 2 \"graft\" true true false"),
+    "j_vt_ddl" -> pin("2 0 \"2024-01-01T00:00:00Z\" " +
+      "\"2024-06-30T00:00:00Z\" \"2024-07-01T00:00:00Z\""),
     "j_xmark_q01" -> pin("\"Sinisa Farrel\""),
     // 120 <increase> elements (incl. self-closed empties) from the
     // reference's own results/q02.out, re-serialized the way the front

@@ -628,6 +628,51 @@ object JsoniqRun {
         }
       })
 
+    // ------------------------------------------------------ catalog ops
+    // (reference function/jn/io/DropDatabase.java, DropResource.java,
+    // ExistsDatabase.java, ExistsResource.java — registered at
+    // JNFun.java:258-264)
+
+    def existsDatabase(collection: String): Boolean =
+      graft.sources.MetaIO.exists(s"$baseDir/$collection")
+    def existsResource(collection: String, doc: String): Boolean =
+      graft.sources.MetaIO.exists(docPath(collection, doc)) &&
+        graft.sources.TemporalTable
+          .mostRecentRevision(docPath(collection, doc)).nonEmpty
+    /** Recursive delete + eviction of every per-revision cache keyed by
+      * the resource path — a re-created resource of the same name must
+      * never serve a dropped revision's cached skeleton/shred/config. */
+    def dropResource(collection: String, doc: String): Unit = {
+      val path = docPath(collection, doc)
+      if (!graft.sources.MetaIO.exists(path))
+        throw new IllegalArgumentException(
+          s"jn:drop-resource: no such resource $collection/$doc")
+      graft.sources.MetaIO.delete(path, recursive = true)
+      evictResource(collection, doc)
+    }
+    def dropDatabase(collection: String): Unit = {
+      val p = s"$baseDir/$collection"
+      if (!graft.sources.MetaIO.exists(p))
+        throw new IllegalArgumentException(
+          s"jn:drop-database: no such database $collection")
+      val docs = graft.sources.MetaIO.listDirs(p)
+        .map(_.split('/').last)
+      graft.sources.MetaIO.delete(p, recursive = true)
+      docs.foreach(evictResource(collection, _))
+    }
+    private def evictResource(collection: String, doc: String): Unit = {
+      val path = docPath(collection, doc)
+      validTimeCache.remove((collection, doc))
+      skeletonCache.synchronized {
+        skeletonCache.keySet().removeIf(_._1 == path); ()
+      }
+      docLenCache.keys.filter(_._1 == path).foreach(docLenCache.remove)
+      shredCache.keys.filter(_._1 == path).foreach(shredCache.remove)
+      shredMetaCache.keys.filter(_._1 == path).foreach(shredMetaCache.remove)
+      shredDfCache.keys.filter(_._1 == path).foreach(shredDfCache.remove)
+      ()
+    }
+
     /** One registered index definition: `no` is the handle
       * jn:find-*-index returns and the scans accept; `kind` is
       * cas/path/name; `typ` the CAS content type (empty otherwise);
@@ -656,24 +701,40 @@ object JsoniqRun {
       * index controller. The definition is what gives `$paths = ()`
       * scans their coverage (the reference scans the index, whose
       * definition owns the paths). */
+    private def writeIndexDefs(c: String, d: String,
+                               defs: Seq[IndexDef]): Unit = {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val arr = mapper.createArrayNode()
+      defs.foreach { x =>
+        val e = arr.addObject()
+        e.put("no", x.no); e.put("kind", x.kind); e.put("typ", x.typ)
+        val ps = e.putArray("paths"); x.paths.foreach(ps.add)
+      }
+      graft.sources.MetaIO.writeStringOverwrite(indexesPath(c, d),
+        mapper.writeValueAsString(arr))
+    }
     private[query] def registerIndex(c: String, d: String, kind: String,
                                      typ: String,
                                      paths: List[String]): Int = {
       val defs = indexDefs(c, d)
       defs.find(x => x.kind == kind && x.typ == typ && x.paths == paths)
         .map(_.no).getOrElse {
-          val no = defs.size
-          val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-          val arr = mapper.createArrayNode()
-          (defs :+ IndexDef(no, kind, typ, paths)).foreach { x =>
-            val e = arr.addObject()
-            e.put("no", x.no); e.put("kind", x.kind); e.put("typ", x.typ)
-            val ps = e.putArray("paths"); x.paths.foreach(ps.add)
-          }
-          graft.sources.MetaIO.writeStringOverwrite(indexesPath(c, d),
-            mapper.writeValueAsString(arr))
+          // max+1, never size: a drop must not make an old handle
+          // resolve to a DIFFERENT index
+          val no = defs.map(_.no).maxOption.getOrElse(-1) + 1
+          writeIndexDefs(c, d, defs :+ IndexDef(no, kind, typ, paths))
           no
         }
+    }
+    /** Drop index definitions by kind (and number, when given). Returns
+      * how many were dropped; surviving numbers are preserved. */
+    private[query] def unregisterIndex(c: String, d: String, kind: String,
+                                       no: Option[Int]): Int = {
+      val defs = indexDefs(c, d)
+      val (gone, kept) =
+        defs.partition(x => x.kind == kind && no.forall(_ == x.no))
+      if (gone.nonEmpty) writeIndexDefs(c, d, kept)
+      gone.size
     }
     /** The registered index covering the request — same kind/type, and
       * every requested path COVERED by one of the definition's: equal
@@ -3095,6 +3156,97 @@ object JsoniqRun {
           else store.findIndex(c, d, kind, typ, paths).getOrElse(-1)
         // not-found = -1, the reference's contract (FindCASIndex.java:27)
         tuples.withColumn("__v", jsonNumber(lit(no.toLong)))
+      case "jn:create-valid-time-index" =>
+        // valid-time interval index DDL (reference jn/index/create/
+        // CreateValidTimeIndex.java): REQUIRES the resource's valid-time
+        // configuration (set at store time via the options form) —
+        // the index always covers those two fields; $paths defaults to
+        // /[]/<from> and /[]/<to> and is identification-only. Idempotent
+        // on TYPE: a second definition would be a full duplicate.
+        require(args.size == 1 || args.size == 2,
+          "jn:create-valid-time-index(doc[, paths])")
+        val (c, d) = resolveDocArg(args.head, env)
+        val (fromF, toF) = store.validTimeConfig(c, d).getOrElse(
+          throw new IllegalArgumentException(
+            "jn:create-valid-time-index: resource does not have valid " +
+              "time configuration — store with {\"validFromPath\": ..., " +
+              "\"validToPath\": ...} options"))
+        def pathsOf2(e2: Jsoniq.Expr): List[String] = e2 match {
+          case Jsoniq.SeqCtor(items) => items.toList.flatMap(pathsOf2)
+          case other => List(litStr(other, "path"))
+        }
+        val vtPaths = args.lift(1).map(pathsOf2).filter(_.nonEmpty)
+          .getOrElse(List(s"/[]/$fromF", s"/[]/$toF"))
+        val no = store.indexDefs(c, d).find(_.kind == "validtime")
+          .map(_.no)
+          .getOrElse(store.registerIndex(c, d, "validtime", "", vtPaths))
+        tuples.withColumn("__v", jsonNumber(lit(no.toLong)))
+      case "jn:create-projection-index" | "jn:find-projection-index" =>
+        // columnar projection DDL (reference jn/index/create/
+        // CreateProjectionIndex.java, find/FindProjectionIndex.java):
+        // shape = rootPath + fields (types are NOT part of the lookup
+        // key); -1 when no catalogued shape matches. The serving fast
+        // path is the shred's typed member columns — the definition is
+        // the catalogued shape handles resolve against.
+        require(args.size >= 3,
+          s"$name(doc, rootPath, fields[, types])")
+        val (c, d) = resolveDocArg(args.head, env)
+        val rootPath = litStr(args(1), "rootPath")
+        def strsOf(e2: Jsoniq.Expr): List[String] = e2 match {
+          case Jsoniq.SeqCtor(items) => items.toList.flatMap(strsOf)
+          case other => List(litStr(other, "field"))
+        }
+        val fields = strsOf(args(2))
+        val paths = rootPath :: fields
+        val no =
+          if (name.startsWith("jn:create-")) {
+            // declared types: long/integer/int, boolean/bool, string/str
+            // — the reference REJECTS double (its columns store 64-bit
+            // longs; silent degradation is worse than an error)
+            args.lift(3).map(strsOf).getOrElse(Nil).foreach { t =>
+              if (!Set("long", "integer", "int", "boolean", "bool",
+                  "string", "str").contains(t))
+                throw new IllegalArgumentException(
+                  s"jn:create-projection-index: unsupported column " +
+                    s"type '$t'")
+            }
+            store.indexDefs(c, d)
+              .find(x => x.kind == "projection" && x.paths == paths)
+              .map(_.no)
+              .getOrElse(store.registerIndex(c, d, "projection", "", paths))
+          } else store.indexDefs(c, d)
+            .find(x => x.kind == "projection" && x.paths == paths)
+            .map(_.no).getOrElse(-1)
+        tuples.withColumn("__v", jsonNumber(lit(no.toLong)))
+      case "jn:drop-projection-index" | "jn:drop-valid-time-index" =>
+        // index drops (reference jn/index/drop/DropProjectionIndex.java
+        // — no number drops EVERY projection — and
+        // DropValidTimeIndex.java); find-after-drop returns -1
+        val (c, d) = resolveDocArg(args.head, env)
+        val kind =
+          if (name == "jn:drop-valid-time-index") "validtime"
+          else "projection"
+        val no = args.lift(1).map {
+          case Jsoniq.NumLit(t) if !t.contains(".") => t.toInt
+          case other => throw new UnsupportedOperationException(
+            s"$name index number must be a literal, got $other")
+        }
+        val dropped = store.unregisterIndex(c, d, kind, no)
+        if (dropped == 0 && no.isDefined)
+          throw new IllegalArgumentException(
+            s"SIRIXDBF0002 (index-not-found): no $kind index no " +
+              s"${no.get} for collection $c and document $d")
+        tuples.withColumn("__v", jsonNumber(lit(dropped.toLong)))
+      case "jn:exists-database" =>
+        // catalog existence probes (reference jn/io/ExistsDatabase.java,
+        // ExistsResource.java — JNFun.java:258-264)
+        require(args.size == 1, "jn:exists-database(name)")
+        tuples.withColumn("__v",
+          jsonBool(lit(store.existsDatabase(litStr(args(0), "name")))))
+      case "jn:exists-resource" =>
+        require(args.size == 2, "jn:exists-resource(collection, resource)")
+        tuples.withColumn("__v", jsonBool(lit(store.existsResource(
+          litStr(args(0), "collection"), litStr(args(1), "resource")))))
       case "sdb:revision" =>
         // revision of a document handle (head) or of a scan-bound node
         // (stashed per hit). Other node forms are not addressable in the
@@ -3114,6 +3266,85 @@ object JsoniqRun {
           }
           case other => throw new UnsupportedOperationException(
             s"sdb:revision over ${other.getClass.getSimpleName}")
+        }
+      case "sdb:timestamp" | "sdb:author-name" | "sdb:most-recent-revision" =>
+        // commit metadata of the document's bound revision (reference
+        // sdb/trx/GetRevisionTimestamp.java — ISO_INSTANT text —
+        // GetAuthorName.java, GetMostRecentRevision.java): the commit
+        // log stores both fields per revision
+        require(args.size == 1, s"$name(doc)")
+        val (c, d, revOpt) = args.head match {
+          case Jsoniq.Call("jn:doc", Seq(Jsoniq.StrLit(c0),
+              Jsoniq.StrLit(d0), Jsoniq.NumLit(t))) if !t.contains(".") =>
+            (c0, d0, Some(t.toInt))
+          case other =>
+            val (c0, d0) = resolveDocArg(other, env)
+            (c0, d0, None)
+        }
+        val cms = graft.sources.TemporalTable.commits(store.docPath(c, d))
+        require(cms.nonEmpty, s"no revisions for $c/$d")
+        if (name == "sdb:most-recent-revision")
+          tuples.withColumn("__v",
+            jsonNumber(lit(cms.last.revision.toLong)))
+        else {
+          val cm = revOpt.map(r => cms.find(_.revision == r).getOrElse(
+            throw new IllegalArgumentException(
+              s"no revision $r for $c/$d"))).getOrElse(cms.last)
+          val out =
+            if (name == "sdb:timestamp")
+              java.time.format.DateTimeFormatter.ISO_INSTANT
+                .format(java.time.Instant.ofEpochMilli(cm.commitTsMs))
+            else cm.author
+          tuples.withColumn("__v", jsonString(lit(out)))
+        }
+      case "sdb:is-deleted" =>
+        // does the node still exist at the HEAD revision (reference
+        // sdb/trx/IsDeleted.java — moveTo in the most recent revision;
+        // here the static path resolves against the head document)
+        require(args.size == 1, s"$name(node)")
+        val target = JsoniqUpdate.staticTargetIn(args.head, env).getOrElse(
+          throw new UnsupportedOperationException(
+            s"sdb:is-deleted needs a static document path, got ${args.head}"))
+        val path = store.docPath(target.collection, target.doc)
+        val head = graft.sources.TemporalTable.mostRecentRevision(path)
+          .getOrElse(throw new IllegalArgumentException(
+            s"no revisions for ${target.collection}/${target.doc}"))
+        val docJ = store.doc(target.collection, target.doc, Some(head))
+          .collect().head.getString(0)
+        var nd = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(docJ)
+        val stepIt = target.steps.iterator
+        while (nd != null && stepIt.hasNext) {
+          nd = stepIt.next() match {
+            case Left(f) => if (nd.isObject) nd.get(f) else null
+            case Right(i) =>
+              if (nd.isArray && i >= 0 && i < nd.size()) nd.get(i) else null
+          }
+        }
+        tuples.withColumn("__v", jsonBool(lit(nd == null)))
+      case "sdb:valid-from" | "sdb:valid-to" =>
+        // the configured interval field of an OBJECT item (reference
+        // sdb/trx/GetValidFrom.java, GetValidTo.java): empty sequence
+        // when the resource has no valid-time config, the item is not
+        // an object, or the field is absent
+        require(args.size == 1, s"$name(node)")
+        args.head match {
+          case Jsoniq.VarRef(n) => env.get(n) match {
+            case Some(ItemVar(colName, Some((c2, d2, _, _)), _)) =>
+              store.validTimeConfig(c2, d2) match {
+                case None =>
+                  tuples.withColumn("__v", lit(null).cast("variant"))
+                case Some((fromF, toF)) =>
+                  val f = if (name == "sdb:valid-from") fromF else toF
+                  val v = variant_get(col(colName), fieldPath(f), "string")
+                  tuples.withColumn("__v",
+                    when(v.isNull, lit(null)).otherwise(jsonString(v)))
+              }
+            case _ => throw new UnsupportedOperationException(
+              s"$name over $$$n (no static document binding)")
+          }
+          case other => throw new UnsupportedOperationException(
+            s"$name over ${other.getClass.getSimpleName}")
         }
       case "sdb:path" =>
         // printed path of a scan-bound node; the fused
@@ -3175,7 +3406,7 @@ object JsoniqRun {
     "jn:open-revisions", "jn:valid-at", "jn:open-bitemporal",
     "sdb:item-history", "jn:scan-name-index", "jn:first-existing",
     "jn:last-existing", "jn:scan-cas-index-range",
-    "jn:scan-valid-time-index")
+    "jn:scan-valid-time-index", "jn:drop-database", "jn:drop-resource")
 
   /** Does the expression read a table-scan source (size data-bound, so a
     * decorrelated side must NOT be broadcast-hinted)? */
@@ -3191,7 +3422,8 @@ object JsoniqRun {
   private def containsEffect(e: Jsoniq.Expr): Boolean =
     Jsoniq.exprAny(e) {
       case _: Jsoniq.UpdateStmt => true
-      case Jsoniq.Call("jn:store", _) => true
+      case Jsoniq.Call("jn:store" | "jn:load" | "jn:drop-database" |
+        "jn:drop-resource" | "sdb:commit", _) => true
       case _ => false
     }
 
@@ -3826,6 +4058,20 @@ object JsoniqRun {
         val json = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
           .stripPrefix("\uFEFF")
         store.store(litStr(args(0), "collection"), litStr(args(1), "doc"), json)
+        tuples.withColumn(POS, array(lit(0L))).withColumn(ITEM, vnull)
+          .filter(lit(false))
+      case "jn:drop-database" | "jn:drop-resource" =>
+        // catalog drops (reference jn/io/DropDatabase.java,
+        // DropResource.java): recursive delete, empty sequence result;
+        // a missing target fails loudly like the reference's null lookup
+        if (name == "jn:drop-database") {
+          require(args.size == 1, "jn:drop-database(name)")
+          store.dropDatabase(litStr(args(0), "name"))
+        } else {
+          require(args.size == 2, "jn:drop-resource(collection, resource)")
+          store.dropResource(litStr(args(0), "collection"),
+            litStr(args(1), "resource"))
+        }
         tuples.withColumn(POS, array(lit(0L))).withColumn(ITEM, vnull)
           .filter(lit(false))
       case "jn:scan-path-index" =>

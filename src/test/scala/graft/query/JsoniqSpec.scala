@@ -900,4 +900,94 @@ class JsoniqSpec extends SparkSpec {
     assert(JsoniqRun.serialize(st,
       "count(sdb:item-history(jn:doc('c','adj.jn').w))") == "2")
   }
+
+  test("j: catalog ops — exists/drop for databases and resources") {
+    val st = freshStore()
+    def ser(q: String) = JsoniqRun.serialize(st, q)
+    ser("""jn:store('db1','a.jn','{"x": 1}')""")
+    ser("""jn:store('db1','b.jn','{"x": 2}')""")
+    assert(ser("jn:exists-database('db1')") == "true")
+    assert(ser("jn:exists-resource('db1','a.jn')") == "true")
+    // drop one resource: the database and its sibling survive
+    ser("jn:drop-resource('db1','a.jn')")
+    assert(ser("jn:exists-resource('db1','a.jn')") == "false")
+    assert(ser("jn:exists-resource('db1','b.jn')") == "true")
+    assert(ser("jn:exists-database('db1')") == "true")
+    // a re-created resource starts at revision 1 with fresh content
+    ser("""jn:store('db1','a.jn','{"x": 9}')""")
+    assert(ser("jn:doc('db1','a.jn')") == "{\"x\":9}")
+    assert(ser("sdb:most-recent-revision(jn:doc('db1','a.jn'))") == "1")
+    // drop the whole database
+    ser("jn:drop-database('db1')")
+    assert(ser("jn:exists-database('db1')") == "false")
+    assert(ser("jn:exists-resource('db1','b.jn')") == "false")
+    // dropping a missing target is the reference's loud null lookup
+    intercept[Exception](ser("jn:drop-database('db1')"))
+    intercept[Exception](ser("jn:drop-resource('nope','x.jn')"))
+  }
+
+  test("j: dropping a SHREDDED resource evicts every per-revision cache") {
+    val prev = sys.props.get("graft.shred.min")
+    sys.props("graft.shred.min") = "1"
+    try {
+      val st = freshStore()
+      val doc = (1 to 20).map(i => s"""{"v": $i}""").mkString("[", ",", "]")
+      st.store("c", "ev.jn", doc)
+      assert(st.isShredded("c", "ev.jn"))
+      // prime skeleton + member caches through a scan
+      assert(JsoniqRun.serialize(st,
+        "count(jn:scan-path-index(jn:doc('c','ev.jn'), 0, '/[]/v'))") == "20")
+      JsoniqRun.serialize(st, "jn:drop-resource('c','ev.jn')")
+      // a smaller re-created resource must serve ITS content, never a
+      // stale skeleton/shred/member frame
+      st.store("c", "ev.jn", """[{"v": 100}]""")
+      assert(JsoniqRun.serialize(st,
+        "count(jn:scan-path-index(jn:doc('c','ev.jn'), 0, '/[]/v'))") == "1")
+      assert(JsoniqRun.serialize(st,
+        "jn:doc('c','ev.jn')[0].v") == "100")
+    } finally prev match {
+      case Some(v) => sys.props("graft.shred.min") = v
+      case None => sys.props.remove("graft.shred.min"); ()
+    }
+  }
+
+  test("j: projection index DDL — create/find/drop/find-after-drop") {
+    val st = freshStore()
+    def ser(q: String) = JsoniqRun.serialize(st, q)
+    ser("""jn:store('c','pr.jn','[{"a": 1, "b": "x"},{"a": 2, "b": "y"}]')""")
+    // create returns a handle; an identical shape is idempotent
+    assert(ser("""jn:create-projection-index(jn:doc('c','pr.jn'), '/[]', ('a','b'), ('long','string'))""") == "0")
+    assert(ser("""jn:create-projection-index(jn:doc('c','pr.jn'), '/[]', ('a','b'))""") == "0")
+    // a different shape is a SECOND projection
+    assert(ser("""jn:create-projection-index(jn:doc('c','pr.jn'), '/[]', 'a')""") == "1")
+    // find by shape; unknown shape = -1 (reference FindProjectionIndex)
+    assert(ser("""jn:find-projection-index(jn:doc('c','pr.jn'), '/[]', ('a','b'))""") == "0")
+    assert(ser("""jn:find-projection-index(jn:doc('c','pr.jn'), '/[]', 'zz')""") == "-1")
+    // the reference REJECTS double columns (silent degradation)
+    intercept[Exception](ser(
+      """jn:create-projection-index(jn:doc('c','pr.jn'), '/[]', 'a', 'double')"""))
+    // drop by number; find-after-drop = -1; other projections survive
+    ser("""jn:drop-projection-index(jn:doc('c','pr.jn'), 0)""")
+    assert(ser("""jn:find-projection-index(jn:doc('c','pr.jn'), '/[]', ('a','b'))""") == "-1")
+    assert(ser("""jn:find-projection-index(jn:doc('c','pr.jn'), '/[]', 'a')""") == "1")
+    // numbering never reuses a dropped handle
+    assert(ser("""jn:create-projection-index(jn:doc('c','pr.jn'), '/[]', 'b')""") == "2")
+    // dropping a missing number is index-not-found
+    intercept[Exception](ser(
+      """jn:drop-projection-index(jn:doc('c','pr.jn'), 9)"""))
+    // no-number drop removes EVERY projection
+    ser("""jn:drop-projection-index(jn:doc('c','pr.jn'))""")
+    assert(ser("""jn:find-projection-index(jn:doc('c','pr.jn'), '/[]', 'a')""") == "-1")
+  }
+
+  test("j: create-valid-time-index without config fails loudly") {
+    val st = freshStore()
+    JsoniqRun.serialize(st, """jn:store('c','nc.jn','[{"id": 1}]')""")
+    val e = intercept[Exception](JsoniqRun.serialize(st,
+      "jn:create-valid-time-index(jn:doc('c','nc.jn'))"))
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("valid time configuration")),
+      msgs(e).mkString(" | "))
+  }
 }
