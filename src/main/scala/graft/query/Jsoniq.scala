@@ -1038,8 +1038,12 @@ object Jsoniq {
             e = AttrStep(e, nameTok("attribute step"))
           } else {
             val n = nameTok("child step")
-            if (n == "text" && at("(")) { eat("("); eat(")"); e = TextStep(e) }
-            else e = ChildStep(e, n)
+            if (at(":") && toks.lift(pos + 1).contains(TPunct(":"))) {
+              eat(":"); eat(":")
+              e = axisStep(e, n)
+            } else if (n == "text" && at("(")) {
+              eat("("); eat(")"); e = TextStep(e)
+            } else e = ChildStep(e, n)
           }
         case Some(TPunct("//")) =>
           eat("//")
@@ -1058,6 +1062,46 @@ object Jsoniq {
         case _ => more = false
       }
       e
+    }
+
+    /** `axis::test` steps. The temporal axes (reference
+      * SirixTranslator.java:208-216 maps XQ.PAST/FUTURE/... onto the
+      * temporal axis classes) share their implementation with the jn:*
+      * temporal functions in the reference (Past.java calls getPast —
+      * the same PastAxis the step uses), so the step forms desugar to
+      * the function routes. The structural axes cover the child/
+      * descendant/attribute forms the path shorthands already parse. */
+    private def axisStep(base: Expr, axis: String): Expr = {
+      val test: String = next() match {
+        case TPunct("*") => "*"
+        case TName(n2) => n2
+        case other => throw new IllegalArgumentException(
+          s"$axis:: expected a node test, got $other")
+      }
+      def temporal(call: Expr): Expr = {
+        if (test != "*") throw new IllegalArgumentException(
+          s"temporal axis $axis:: supports only the * node test, " +
+            s"got $test")
+        call
+      }
+      axis match {
+        case "past" => temporal(Call("jn:past", Seq(base)))
+        case "past-or-self" =>
+          temporal(Call("jn:past", Seq(base, BoolLit(true))))
+        case "future" => temporal(Call("jn:future", Seq(base)))
+        case "future-or-self" =>
+          temporal(Call("jn:future", Seq(base, BoolLit(true))))
+        case "previous" => temporal(Call("jn:previous", Seq(base)))
+        case "next" => temporal(Call("jn:next", Seq(base)))
+        case "all-times" => temporal(Call("jn:all-times", Seq(base)))
+        case "first" => temporal(Call("jn:first", Seq(base)))
+        case "last" => temporal(Call("jn:last", Seq(base)))
+        case "child" => ChildStep(base, test)
+        case "descendant" => DescStep(base, test)
+        case "attribute" => AttrStep(base, test)
+        case other => throw new IllegalArgumentException(
+          s"unsupported axis $other::")
+      }
     }
 
     private def nameTok(what: String): String = next() match {

@@ -990,4 +990,45 @@ class JsoniqSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("valid time configuration")),
       msgs(e).mkString(" | "))
   }
+
+  test("j: temporal axis-step syntax desugars onto the function routes") {
+    val st = freshStore()
+    def ser(q: String) = JsoniqRun.serialize(st, q)
+    ser("""jn:store('c','ax2.jn','{"v": 1}')""")
+    ser("""jn:store('c','ax2.jn','{"v": 2}')""")
+    ser("""jn:store('c','ax2.jn','{"v": 3}')""")
+    // each axis form must answer identically to its function form
+    // (reference SirixTranslator.java:208-216 — the axes share the
+    // temporal-function implementations)
+    val pairs = Seq(
+      "for $d in jn:doc('c','ax2.jn', 2)/past::* return $d.v" ->
+        "for $d in jn:past(jn:doc('c','ax2.jn', 2)) return $d.v",
+      "for $d in jn:doc('c','ax2.jn', 2)/past-or-self::* return $d.v" ->
+        "for $d in jn:past(jn:doc('c','ax2.jn', 2), true) return $d.v",
+      "for $d in jn:doc('c','ax2.jn', 2)/future::* return $d.v" ->
+        "for $d in jn:future(jn:doc('c','ax2.jn', 2)) return $d.v",
+      "for $d in jn:doc('c','ax2.jn', 2)/future-or-self::* return $d.v" ->
+        "for $d in jn:future(jn:doc('c','ax2.jn', 2), true) return $d.v",
+      "for $d in jn:doc('c','ax2.jn')/all-times::* return $d.v" ->
+        "for $d in jn:all-times(jn:doc('c','ax2.jn')) return $d.v",
+      "(jn:doc('c','ax2.jn')/first::*).v" ->
+        "jn:first(jn:doc('c','ax2.jn')).v",
+      "(jn:doc('c','ax2.jn')/last::*).v" ->
+        "jn:last(jn:doc('c','ax2.jn')).v",
+      ("for $n in jn:all-times(jn:doc('c','ax2.jn')) " +
+        "return (($n/previous::*).v, ($n/next::*).v)") ->
+        ("for $n in jn:all-times(jn:doc('c','ax2.jn')) " +
+          "return (jn:previous($n).v, jn:next($n).v)"))
+    pairs.foreach { case (axisQ, fnQ) =>
+      assert(ser(axisQ) == ser(fnQ), axisQ)
+    }
+    // pinned values for the first/composite forms (not just equality)
+    assert(ser("for $d in jn:doc('c','ax2.jn', 2)/past::* return $d.v")
+      == "1")
+    assert(ser("(jn:doc('c','ax2.jn')/last::*).v") == "3")
+    // structural axes through the same grammar
+    assert(ser("""count(jn:doc('c','ax2.jn')/child::v)""") == "0")
+    // a temporal axis with a non-* node test is loud
+    intercept[Exception](ser("jn:doc('c','ax2.jn')/past::foo"))
+  }
 }
