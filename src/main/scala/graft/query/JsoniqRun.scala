@@ -4245,31 +4245,40 @@ object JsoniqRun {
     val entries = store.shredEntries(collection, doc, None)
       .filter(_.kind == "json")
     if (docLen > cap) {
-      // past the cap the document never touches the driver. A CAS scan
-      // whose every pattern is a CONCRETE root-anchored member path
-      // (prefix = an entry's chain + []) provably has no skeleton hits
-      // — all matches live inside elided member lists — so it serves
-      // purely distributed at ANY document size (hits order per entry,
-      // then member). Anything else (wildcards, descendant gaps,
-      // path/name scans) would need the skeleton: fail loudly.
-      val memberOnly = kind match {
-        case JsonPath.CasScan(Some(ps), _) if entries.nonEmpty =>
-          ps.map(JsonPath.parsePattern).forall { p =>
-            !p.contains(JsonPath.Desc) &&
-              entries.exists(en => p.length > en.steps.length &&
-                en.steps.zip(p).forall {
-                  case (n2, pat) => pat == JsonPath.Name(n2)
-                } &&
-                p(en.steps.length) == JsonPath.AnyMember)
-          }
+      // past the cap the document never touches the driver. A CAS or
+      // PATH scan whose every pattern is a CONCRETE root-anchored
+      // member path (prefix = an entry's chain + []) provably has no
+      // skeleton hits — all matches live inside elided member lists —
+      // so it serves purely distributed at ANY document size (hits
+      // order per entry, then member). For a PATH scan the pattern must
+      // be STRICTLY longer than chain + [] — that class also matches
+      // the shredded array NODE itself (printed `/chain/[]`), which
+      // lives in the skeleton; a CAS scan never emits the array node.
+      // Anything else (wildcards/gaps in the prefix, name scans — a
+      // name's absence from the skeleton is unprovable without reading
+      // it) needs the skeleton: fail loudly.
+      def memberLocal(p: List[JsonPath.Pat], strictlyInside: Int): Boolean =
+        !p.contains(JsonPath.Desc) &&
+          entries.exists(en =>
+            p.length > en.steps.length + strictlyInside &&
+              en.steps.zip(p).forall {
+                case (n2, pat) => pat == JsonPath.Name(n2)
+              } &&
+              p(en.steps.length) == JsonPath.AnyMember)
+      val memberOnly = entries.nonEmpty && (kind match {
+        case JsonPath.CasScan(Some(ps), _) =>
+          ps.map(JsonPath.parsePattern).forall(memberLocal(_, 0))
+        case JsonPath.PathScan(Some(ps)) =>
+          ps.map(JsonPath.parsePattern).forall(memberLocal(_, 1))
         case _ => false
-      }
+      })
       if (!memberOnly)
         throw new IllegalStateException(
           s"index scan over $collection/$doc: document is $docLen bytes " +
             s"— over the $cap-byte driver-walk cap " +
-            "(-Dgraft.scan.maxDriverBytes); only CAS scans with concrete " +
-            "member-path patterns serve without the document skeleton")
+            "(-Dgraft.scan.maxDriverBytes); only CAS/path scans with " +
+            "concrete member-path patterns serve without the document " +
+            "skeleton")
       val parts = entries.zipWithIndex.flatMap { case (en, k) =>
         memberScanPart(store.readShredEntry(collection, doc, None, en),
           kind, en.steps, k.toLong, rev)

@@ -315,6 +315,22 @@ class ShredStoreSpec extends SparkSpec {
       assert(JsoniqRun.serialize(st,
         "count(jn:scan-cas-index-range(jn:doc('c','cap.jn'), 0, " +
           "5, 9, true(), true(), '/items/[]/v'))") === "5")
+      // PATH scans strictly inside the members serve distributed too
+      assert(JsoniqRun.serialize(st,
+        "count(jn:scan-path-index(jn:doc('c','cap.jn'), 0, " +
+          "'/items/[]/v'))") === "20")
+      assert(JsoniqRun.serialize(st,
+        "for $n in jn:scan-path-index(jn:doc('c','cap.jn'), 0, " +
+          "'/items/[]/v') return $n") === (1 to 20).mkString(" "))
+      // chain + [] matches the shredded array NODE itself — that hit
+      // lives in the skeleton, so it must stay loud at the cap
+      val e0 = intercept[Exception](JsoniqRun.serialize(st,
+        "count(jn:scan-path-index(jn:doc('c','cap.jn'), 0, " +
+          "'/items/[]'))"))
+      assert(Option(e0.getMessage).exists(_.contains("driver-walk cap")) ||
+        (e0.getCause != null &&
+          Option(e0.getCause.getMessage).exists(_.contains("driver-walk cap"))),
+        e0.toString)
       // a pattern needing the skeleton fails loudly at the cap
       val e = intercept[Exception](JsoniqRun.serialize(st,
         "count(jn:scan-path-index(jn:doc('c','cap.jn'), 0, '//v'))"))
