@@ -303,27 +303,31 @@ object JsoniqRun {
       // the write needs anyway) doubles as the scan.
       var w = 0
       while (w < json.length && json.charAt(w).isWhitespace) w += 1
-      val preSplit: Option[Seq[String]] =
+      val preSplit: Option[Array[Long]] =
         if (w < json.length && json.charAt(w) == '[')
-          Some(Store.splitTopLevelArray(json))
+          Some(Store.splitTopLevelArraySpans(json))
         else None
       val cands: Seq[Store.ShredCandidate] =
-        if (preSplit.exists(ms => ms.nonEmpty &&
-            ms.forall(_.length < Store.ShredMinBytes)))
+        if (preSplit.exists(sp => sp.nonEmpty && sp.forall(p =>
+            (p & 0xFFFFFFFFL) - (p >>> 32) < Store.ShredMinBytes)))
           Seq(Store.ShredCandidate("json", Nil, 0, json.length,
-            preSplit.get.size))
+            preSplit.get.length))
         else Store.shredCandidates(json)
       if (cands.isEmpty) return
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       val metaArr = mapper.createArrayNode()
       cands.zipWithIndex.foreach { case (cand, k) =>
-        // split member texts on the DRIVER (one O(bytes) scan — a
+        // locate member SPANS on the DRIVER (one O(bytes) scan — a
         // Spark-side explode would run the whole parse in one task and
-        // re-execute it for range sampling), then parse distributed
+        // re-execute it for range sampling); members materialize
+        // batched on executors, never one String each on the driver
         val members =
           if (cand.kind == "json" && cand.steps.isEmpty &&
-              preSplit.isDefined) preSplit.get
-          else Store.splitTopLevelArray(json.substring(cand.start, cand.end))
+              preSplit.isDefined) Store.MemberSpans(json, preSplit.get)
+          else {
+            val sub = json.substring(cand.start, cand.end)
+            Store.MemberSpans(sub, Store.splitTopLevelArraySpans(sub))
+          }
         writeMembers(s"${shredDir(path, rev)}/s$k", members, cand.kind)
         val e = metaArr.addObject()
         e.put("dir", s"s$k")
@@ -363,15 +367,13 @@ object JsoniqRun {
       *
       * XML member tables (`kind = "xml"` — element nodes, not records)
       * take a DIFFERENT typed projection — [[writeXmlMembers]]. */
-    private[query] def writeMembers(dir: String, members: Seq[String],
+    private[query] def writeMembers(dir: String,
+                                    members: Store.MemberSpans,
                                     kind: String): Unit = {
-      if (members.isEmpty) return
+      if (members.size == 0) return
       if (kind == "xml") { writeXmlMembers(dir, members); return }
-      import spark.implicits._
       import org.apache.spark.sql.Encoders
-      val base = spark.createDataset(spark.sparkContext.parallelize(
-          members.zipWithIndex.map { case (m, ix) => (ix.toLong, m) }, 32))
-        .toDF("idx", "member_json")
+      val base = members.toDF(spark)
       val typed = kind == "json"
       def aggSchema(df: DataFrame): Option[String] =
         scala.util.Try(
@@ -395,13 +397,14 @@ object JsoniqRun {
         case None => base.select(col("idx"),
           parse_json(col("member_json")).as("member"))
       }
-      // spread sample by ITERATION — indexed access into the member
-      // Seq is O(n) per element (measured 6.7 s of a 9 s store)
+      // spread sample by span index — O(1) per element on the packed
+      // array (the Seq-iteration shape this replaces existed because
+      // indexed List access was O(n): 6.7 s of a 9 s store)
       val step = math.max(1, members.size / 2048)
       val sampleDdl =
         if (!typed) None
         else aggSchema(spark.createDataset(
-            members.iterator.grouped(step).map(_.head).take(4096).toSeq)(
+            (0 until members.size by step).take(4096).map(members.apply))(
             Encoders.STRING).toDF("member_json"))
           .flatMap(ddlOf)
       val validated: Boolean = sampleDdl match {
@@ -448,14 +451,9 @@ object JsoniqRun {
       * name the sample never saw has no column at all, so the typed
       * predicate compiler declines and the variant walk serves. */
     private[query] def writeXmlMembers(dir: String,
-                                       members: Seq[String]): Unit = {
+                                       members: Store.MemberSpans): Unit = {
       import org.apache.spark.sql.graftbridge.GraftBridge
-      val base = spark.createDataset(spark.sparkContext.parallelize(
-          members.zipWithIndex.map { case (m, ix) => (ix.toLong, m) }, 32))(
-          org.apache.spark.sql.Encoders.tuple(
-            org.apache.spark.sql.Encoders.scalaLong,
-            org.apache.spark.sql.Encoders.STRING))
-        .toDF("idx", "member_json")
+      val base = members.toDF(spark)
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       final class Vote {
         var long = true; var dbl = true; var any = false
@@ -477,7 +475,8 @@ object JsoniqRun {
       val childVotes =
         scala.collection.mutable.LinkedHashMap.empty[String, Vote]
       val step = math.max(1, members.size / 2048)
-      members.iterator.grouped(step).map(_.head).take(4096).foreach { mj =>
+      (0 until members.size by step).take(4096)
+          .iterator.map(members.apply).foreach { mj =>
         scala.util.Try(mapper.readTree(mj)).toOption.foreach { nd =>
           if (nd.isObject && nd.has("~n")) {
             val as = nd.get("~a")
@@ -908,10 +907,8 @@ object JsoniqRun {
           val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
           val metaArr = mapper.createArrayNode()
           sel.zipWithIndex.foreach { case (span, k) =>
-            val members = span.members.map { p =>
-              json.substring((p >>> 32).toInt, (p & 0xFFFFFFFFL).toInt)
-            }
-            writeXmlMembers(s"$tmp/s$k", members.toSeq)
+            writeXmlMembers(s"$tmp/s$k",
+              Store.MemberSpans(json, span.members.toArray))
             val e = metaArr.addObject()
             e.put("dir", s"s$k")
             e.put("kind", "xml")
@@ -1089,18 +1086,33 @@ object JsoniqRun {
 
     /** Raw member texts of a top-level JSON array (depth/str-aware
       * scanner; no tree build). Nil when the input is not an array. */
-    private[query] def splitTopLevelArray(json: String): Seq[String] = {
-      val out = Seq.newBuilder[String]
+    private[query] def splitTopLevelArray(json: String): Seq[String] =
+      splitTopLevelArraySpans(json).toSeq.map(p =>
+        json.substring((p >>> 32).toInt, (p & 0xFFFFFFFFL).toInt))
+
+    /** Top-level member SPANS of a JSON array: packed
+      * `start << 32 | end` offsets into `json`, whitespace-trimmed.
+      * The big-store write path keeps members as spans end-to-end — one
+      * String per member (1M+ allocations) measured a multi-second G1
+      * young-gen spike on the 1M-item object store. */
+    private[query] def splitTopLevelArraySpans(json: String): Array[Long] = {
+      val out = scala.collection.mutable.ArrayBuilder.make[Long]
       val n = json.length
       var i = 0
       while (i < n && json.charAt(i).isWhitespace) i += 1
-      if (i >= n || json.charAt(i) != '[') return Nil
+      if (i >= n || json.charAt(i) != '[') return Array.empty
       i += 1
       var depth = 0
       var inStr = false
       var esc = false
       var start = -1
       var done = false
+      def emit(endRaw: Int): Unit = {
+        var e = endRaw
+        while (e > start && json.charAt(e - 1).isWhitespace) e -= 1
+        out += ((start.toLong << 32) | e.toLong)
+        ()
+      }
       while (i < n && !done) {
         val ch = json.charAt(i)
         if (inStr) {
@@ -1113,13 +1125,13 @@ object JsoniqRun {
           case '[' | '{' =>
             depth += 1; if (start < 0) start = i
           case ']' if depth == 0 =>
-            if (start >= 0) out += json.substring(start, i).trim
+            if (start >= 0) emit(i)
             done = true
           case '}' | ']' => depth -= 1
           case ',' if depth == 0 =>
             // malformed input (e.g. `[,`) never crashes the scanner —
             // the strict parse at write time rejects it downstream
-            if (start >= 0) out += json.substring(start, i).trim
+            if (start >= 0) emit(i)
             start = -1
           case c if !c.isWhitespace =>
             if (start < 0) start = i
@@ -1128,6 +1140,43 @@ object JsoniqRun {
         i += 1
       }
       out.result()
+    }
+
+    /** Span-addressed member list: O(1) random access for the driver's
+      * spread samples, and a BATCHED distributed materialization —
+      * each task row carries one contiguous document slice plus its
+      * members' relative spans, so the driver allocates ~128 slice
+      * Strings instead of one String (plus one tuple) per member. */
+    private[query] final case class MemberSpans(json: String,
+                                                spans: Array[Long]) {
+      def size: Int = spans.length
+      def apply(i: Int): String = {
+        val p = spans(i)
+        json.substring((p >>> 32).toInt, (p & 0xFFFFFFFFL).toInt)
+      }
+      /** (`idx`, `member_json`) rows, members exploded on executors. */
+      def toDF(spark: SparkSession): DataFrame = {
+        import spark.implicits._
+        val per = math.max(1, (size + 127) / 128)
+        val batches: Seq[(Long, String, Array[Long])] =
+          spans.grouped(per).zipWithIndex.map { case (g, bi) =>
+            val s0 = g.head >>> 32
+            val slice = json.substring(s0.toInt,
+              (g.last & 0xFFFFFFFFL).toInt)
+            val rel = g.map(p =>
+              (((p >>> 32) - s0) << 32) | ((p & 0xFFFFFFFFL) - s0))
+            (bi.toLong * per, slice, rel)
+          }.toSeq
+        spark.createDataset(spark.sparkContext.parallelize(batches,
+            math.min(32, math.max(1, batches.size))))
+          .flatMap { case (first, slice, rel) =>
+            rel.iterator.zipWithIndex.map { case (p, k) =>
+              (first + k,
+                slice.substring((p >>> 32).toInt, (p & 0xFFFFFFFFL).toInt))
+            }
+          }
+          .toDF("idx", "member_json")
+      }
     }
   }
 
