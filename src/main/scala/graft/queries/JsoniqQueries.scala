@@ -306,10 +306,13 @@ object JsoniqQueries {
     "j_descendant_recurse" -> pin(
       "\"test string\" [{\"test\":\"test string\"},{\"test\":{\"test\":{\"test\":\"test string\"}}}] " +
         "\"test string\" {\"test\":{\"test\":\"test string\"}} {\"test\":\"test string\"} \"test string\""),
+    // real fused-preorder node keys since round 13 ([[graft.query
+    // .NodeKeys]]; the reference's own fused-mode pins —
+    // IndexVersioningIntegrationTest.java:92 pins 7 for this shape)
     "j_flwor_filter" -> pin(
-      "{\"generic\":1,\"location\":{\"city\":\"Los Angeles\",\"state\":\"CA\"},\"nodeKey\":0} " +
-        "{\"generic\":1,\"location\":{\"city\":\"New York\",\"state\":\"NY\"},\"nodeKey\":0}"),
-    "j_nesting_pred" -> pin("{\"boolean\":5,\"nodekey\":0}"),
+      "{\"generic\":1,\"location\":{\"city\":\"Los Angeles\",\"state\":\"CA\"},\"nodeKey\":2} " +
+        "{\"generic\":1,\"location\":{\"city\":\"New York\",\"state\":\"NY\"},\"nodeKey\":7}"),
+    "j_nesting_pred" -> pin("{\"boolean\":5,\"nodekey\":7}"),
     "j_array_slice" ->
       pin("[{\"generic\":1,\"location\":{\"city\":\"Los Angeles\",\"state\":\"CA\"}}]"),
     "j_order_agg" -> pin("9 4 2"),

@@ -124,8 +124,15 @@ private[query] object JsonPath {
     * (member steps as `[i]`, an array node's own path ends `/[]` — the
     * reference's sdb:path rendering, calibrated against
     * testCreateAndScanPathIndex / testCreateAndRetrieveValueFromCASIndex
-    * pins), and the parent node's printed path. */
-  final case class Hit(json: String, path: String, parentPath: String)
+    * pins), and the parent node's printed path. `ipath` is the hit's
+    * IDENTITY path — array-member CAS hits print no self path (the
+    * reference's sdb:path semantics) but still denote one concrete
+    * node, whose position node-identity functions (`sdb:nodekey`)
+    * resolve through; empty = same as `path` ([[Hit.idPath]]). */
+  final case class Hit(json: String, path: String, parentPath: String,
+                       ipath: String = "") {
+    def idPath: String = if (ipath.nonEmpty) ipath else path
+  }
 
   /** Thrown when a skeleton scan cannot answer without the elided
     * member subtrees (the pattern matches a shredded array NODE itself,
@@ -168,21 +175,21 @@ private[query] object JsonPath {
     private def clsMatches(cls: List[String]): Boolean =
       pats.forall(_.exists(p => matches(cls.reverse, p)))
     private def emitIf(cls: List[String], n: JsonNode, pos: String,
-                       parent: String): Unit =
+                       parent: String, ipos: String = ""): Unit =
       if (clsMatches(cls)) valueFilter match {
         case Some(f) =>
           // JSON nulls are not typed atomic values — the reference's
           // CAS index never holds them (Cast.cast of a null fails
           // before indexing), so CAS scans skip them
           if (n.isValueNode && !n.isNull && f(n.asText())) {
-            out += ((Hit(ser(n), pos, parent), ord)); ord += 1
+            out += ((Hit(ser(n), pos, parent, ipos), ord)); ord += 1
           }
         case None =>
           // a hit whose subtree contains an elided member list cannot
           // serialize faithfully from the skeleton
           if (tainted.contains(n))
             throw new NeedFullWalk(s"hit at $pos contains elided members")
-          out += ((Hit(ser(n), pos, parent), ord)); ord += 1
+          out += ((Hit(ser(n), pos, parent, ipos), ord)); ord += 1
       }
     def walkFields(o: JsonNode, cls: List[String], pos: String): Unit = {
       val it = o.fields()
@@ -217,7 +224,8 @@ private[query] object JsonPath {
           val mpos = s"$pos/[$i]"
           if (m.isArray) walkValue(m, acls, mpos, apath)
           else if (m.isObject) walkFields(m, acls, mpos)
-          else if (isCas) emitIf(acls, m, "", apath) // members: parent-only path
+          // members print parent-only paths; identity stays concrete
+          else if (isCas) emitIf(acls, m, "", apath, mpos)
           i += 1
         }
       } else if (n.isObject) {
@@ -232,7 +240,7 @@ private[query] object JsonPath {
                    apath: String): Unit = {
       if (m.isArray) walkValue(m, cls, mpos, apath)
       else if (m.isObject) walkFields(m, cls, mpos)
-      else if (isCas) emitIf(cls, m, "", apath)
+      else if (isCas) emitIf(cls, m, "", apath, mpos)
     }
   }
 

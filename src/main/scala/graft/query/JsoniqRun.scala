@@ -39,12 +39,13 @@ import org.apache.spark.sql.functions._
   * `sdb:hash`. XML rides the same item model ([[XmlItem]]) under the
   * XPath-lite steps.
   *
-  * Two deliberate deviations, both canonicalisations: objects serialize
+  * One deliberate deviation, a canonicalisation: objects serialize
   * with SORTED keys (the variant encoding's canonical form — the
   * differential specs normalise the reference's pinned strings the same
-  * way), and `sdb:nodekey` returns 0 (node identity is not part of the
-  * value model; the reference's own testIgnoreNodeKeys compares with
-  * node keys masked). Descendant deref (`=>>`), descendant element
+  * way). `sdb:nodekey` returns REAL sirix-compatible node keys for
+  * stored JSON ([[NodeKeys]] — fused preorder at store time, stable
+  * across update-derived revisions); XML node identity stays outside
+  * the value model. Descendant deref (`=>>`), descendant element
   * steps, and the index-scan walks traverse arbitrary-depth subtrees —
   * recursion no Catalyst expression expresses — via Jackson walks (the
   * StAX-shredder escape hatch); update/scan pointer collection is
@@ -258,11 +259,17 @@ object JsoniqRun {
         "store names must not escape the store directory")
       s"$baseDir/$collection/$doc"
     }
-    def store(collection: String, doc: String, json: String): Unit = {
+    def store(collection: String, doc: String, json: String,
+              edits: Option[Seq[NodeKeys.Edit]] = None): Unit = {
       import spark.implicits._
       val path = docPath(collection, doc)
       val rev = graft.sources.TemporalTable.write(
         Seq(json).toDF("doc_json"), path)
+      // update-derived revisions record their edit log so node keys
+      // stay stable across the chain ([[keyTreeOf]]); a fresh store
+      // has no log — its keys number from 1 like the reference's
+      // shredder on a new resource
+      edits.foreach(es => logEdits(collection, doc, rev, es))
       // the shred is a serving sidecar, not the source of truth: the
       // revision above is already durable, so a shred failure (e.g.
       // member text the strict parquet write rejects) must not fail the
@@ -669,6 +676,7 @@ object JsoniqRun {
       shredCache.keys.filter(_._1 == path).foreach(shredCache.remove)
       shredMetaCache.keys.filter(_._1 == path).foreach(shredMetaCache.remove)
       shredDfCache.keys.filter(_._1 == path).foreach(shredDfCache.remove)
+      keyTreeCache.keys.filter(_._1 == path).foreach(keyTreeCache.remove)
       ()
     }
 
@@ -792,6 +800,49 @@ object JsoniqRun {
       docLenCache.getOrElseUpdate((docPath(collection, doc), rev),
         this.doc(collection, doc, Some(rev))
           .select(length(col("doc_json"))).head.getInt(0).toLong)
+
+    // ---- node identity (sirix-compatible node keys, [[NodeKeys]]) ----
+
+    private val keyTreeCache = scala.collection.concurrent.TrieMap
+      .empty[(String, Int), NodeKeys.KTree]
+    private def editsPath(path: String, rev: Int): String =
+      s"$path/_edits/r$rev.json"
+    /** Record the update operations that produced revision `rev` —
+      * the replay log [[keyTreeOf]] derives stable node keys from. */
+    private[query] def logEdits(collection: String, doc: String, rev: Int,
+                                edits: Seq[NodeKeys.Edit]): Unit =
+      graft.sources.MetaIO.createNew(
+        editsPath(docPath(collection, doc), rev),
+        NodeKeys.editsToJson(edits))
+    /** The revision's key tree. A revision with a recorded edit log
+      * inherits the previous revision's keys and mints fresh ones for
+      * inserted nodes (the reference's insertion-time key discipline);
+      * a fresh store (no log) numbers the content fused-preorder from
+      * 1. Driver-bounded: node identity materializes the revision's
+      * tree, so over-cap documents fail LOUDLY instead of OOMing. */
+    private[query] def keyTreeOf(collection: String, doc: String,
+                                 rev: Int): NodeKeys.KTree = {
+      val path = docPath(collection, doc)
+      keyTreeCache.getOrElseUpdate((path, rev), {
+        val ep = editsPath(path, rev)
+        if (rev > 1 && graft.sources.MetaIO.exists(ep)) {
+          val t = keyTreeOf(collection, doc, rev - 1).deepCopy()
+          NodeKeys.editsFromJson(graft.sources.MetaIO.readString(ep))
+            .foreach(NodeKeys.applyEdit(t, _))
+          t
+        } else {
+          val cap = sys.props.get("graft.nodekeys.maxDriverBytes")
+            .map(_.toLong).getOrElse(64L << 20)
+          val len = docLenOf(collection, doc, rev)
+          if (len > cap) throw new UnsupportedOperationException(
+            s"sdb:nodekey over $collection/$doc rev $rev: document " +
+              s"($len bytes) exceeds the node-identity driver cap " +
+              s"($cap; -Dgraft.nodekeys.maxDriverBytes)")
+          NodeKeys.build(this.doc(collection, doc, Some(rev))
+            .collect().head.getString(0))
+        }
+      })
+    }
 
     private[query] val ShredCompleteMarker = "_graft_shredded"
 
@@ -1211,10 +1262,19 @@ object JsoniqRun {
     val ast = Jsoniq.parse(query)
     val base = store.spark.range(1)
       .select(array(lit(0L)).as(ORD))
+    // node-identity functions need per-item printed paths, which only
+    // the row-wise POS layout preserves — flag once per query so
+    // identity-free queries keep the flat fast paths
+    val idEnv: Map[String, Binding] =
+      if (Jsoniq.exprAny(ast) {
+        case Jsoniq.Call("sdb:nodekey", _) => true
+        case _ => false
+      }) Map(NEEDID -> NeedIdMark)
+      else Map.empty
     contextJson match {
       case None =>
         evalSeq(store, ast, base,
-          Map(STOREK -> StoreRef(store),
+          idEnv ++ Map(STOREK -> StoreRef(store),
             STATIC -> StaticCtx(base, Map.empty)))
       case Some(json) =>
         import store.spark.implicits._
@@ -1224,7 +1284,7 @@ object JsoniqRun {
         val based = base.crossJoin(broadcast(doc))
         val sEnv = Map[String, Binding]("$$" -> ItemVar(cn))
         evalSeq(store, ast, based,
-          sEnv + (STOREK -> StoreRef(store)) +
+          sEnv ++ idEnv + (STOREK -> StoreRef(store)) +
             (STATIC -> StaticCtx(based, sEnv)))
     }
   }
@@ -1251,6 +1311,260 @@ object JsoniqRun {
   private def fieldPath(f: String): String =
     if (f.matches("[A-Za-z_][A-Za-z0-9_]*")) "$." + f
     else "$['" + f.replace("'", "\\'") + "']"
+
+  // ---------------------------------------------- node-identity tracking
+
+  /** Marker binding (under [[NEEDID]]): the query calls a node-identity
+    * function (`sdb:nodekey`), so doc-rooted `for` sources must
+    * evaluate ROW-WISE (each member unbox appends exactly one POS
+    * level — the layout [[pathSpecOf]] renders printed paths from) and
+    * stash a per-row dynamic path. Identity-free queries never pay
+    * for this: the flat pointwise fast paths stay on. */
+  private case object NeedIdMark extends Binding
+  private val NEEDID = "%needid"
+  private def needsIdentity(env: Map[String, Binding]): Boolean =
+    env.contains(NEEDID)
+
+  /** Defining expression of a `let` binding, recorded (identity mode
+    * only) under `%def:<name>` so [[serveNodeKey]] can resolve a
+    * let-bound node's pointer statically — the bound COLUMN holds the
+    * value but not its position in the document. */
+  private final case class DefExpr(e: Jsoniq.Expr) extends Binding
+  private def defKey(v: String) = s"%def:$v"
+
+  /** Replace let-bound VarRefs with their recorded definitions (depth-
+    * capped — definitions can chain through several lets). */
+  private def substituteDefs(e: Jsoniq.Expr,
+                             env: Map[String, Binding]): Jsoniq.Expr = {
+    def go(x: Jsoniq.Expr, depth: Int): Jsoniq.Expr =
+      if (depth > 8) x
+      else x match {
+        case Jsoniq.VarRef(n) => env.get(defKey(n)) match {
+          case Some(DefExpr(d)) => go(d, depth + 1)
+          case _ => x
+        }
+        case other => Jsoniq.mapChildren(other)(go(_, depth))
+      }
+    go(e, 0)
+  }
+
+  /** Strip `[?pred]` filters off a chain: filters gate a static item's
+    * EXISTENCE, never its position, so the pointer resolves on the
+    * stripped chain and the row's own (possibly empty) value gates the
+    * result. */
+  private def stripFilterPreds(e: Jsoniq.Expr): Jsoniq.Expr = e match {
+    case Jsoniq.FilterPred(b, _) => stripFilterPreds(b)
+    case other => Jsoniq.mapChildren(other)(stripFilterPreds)
+  }
+
+  /** Resource tag an identity-carrying binding stashes under
+    * `aux("dres")` — a VALUE (reserved \\u0000 prefix), never a column
+    * name. `rev < 0` means the binding's revision is per-row (the
+    * `aux("rev")` column — jn:all-times / scan stashes). */
+  private def encodeDres(c: String, d: String, rev: Int): String =
+    s"\u0000$c\u0000$d\u0000$rev"
+  private def decodeDres(s: String): (String, String, Int) = {
+    val p = s.split('\u0000')
+    (p(1), p(2), p(3).toInt)
+  }
+
+  private sealed trait PathSeg
+  private final case class SegLit(s: String) extends PathSeg
+  private final case class SegCol(colName: String) extends PathSeg
+  private case object SegIdx extends PathSeg
+
+  /** Symbolic CONCRETE-path plan of a document-rooted chain: how each
+    * item's printed path ([[JsonPath.Hit]] dialect) renders per row —
+    * literal segments for static steps, the base variable's stashed
+    * dynamic path column, one POS slot per member unbox. None when a
+    * component is runtime-dependent beyond those. Sound only under
+    * row-wise evaluation ([[NeedIdMark]]): the POS vector is then
+    * [base, unbox₁, unbox₂, …] and [[renderPathSpec]] reads slot
+    * `1 + k` for the k-th unbox. */
+  private def pathSpecOf(store: Store, e: Jsoniq.Expr,
+                         env: Map[String, Binding])
+      : Option[(String, List[PathSeg])] = e match {
+    case Jsoniq.Call("jn:doc", Seq(Jsoniq.StrLit(c), Jsoniq.StrLit(d))) =>
+      graft.sources.TemporalTable.mostRecentRevision(store.docPath(c, d))
+        .map(rev => (encodeDres(c, d, rev), Nil))
+    case Jsoniq.VarRef(n) => env.get(n) match {
+      case Some(ItemVar(_, _, aux)) if aux.contains("dres") &&
+          (aux.contains("dpath") || aux.contains("path")) =>
+        Some((aux("dres"),
+          List(SegCol(aux.getOrElse("dpath", aux("path"))))))
+      case Some(SeqVar(_, Some(st))) =>
+        graft.sources.TemporalTable
+          .mostRecentRevision(store.docPath(st.collection, st.doc))
+          .map(rev => (encodeDres(st.collection, st.doc, rev),
+            List(SegLit(NodeKeys.renderPath(st.steps)))))
+      case _ => None
+    }
+    case Jsoniq.Deref(b, f) =>
+      pathSpecOf(store, b, env).map { case (r, segs) =>
+        (r, segs :+ SegLit(s"/$f"))
+      }
+    case Jsoniq.ArrayIndex(b, Jsoniq.NumLit(t)) if !t.contains(".") &&
+        !t.startsWith("-") =>
+      pathSpecOf(store, b, env).map { case (r, segs) =>
+        (r, segs :+ SegLit(s"/[${t.toInt}]"))
+      }
+    case Jsoniq.Unbox(b) =>
+      pathSpecOf(store, b, env).map { case (r, segs) => (r, segs :+ SegIdx) }
+    case Jsoniq.FilterPred(b, _) => pathSpecOf(store, b, env)
+    case _ => None
+  }
+
+  /** Resource of a node-sequence source whose hits carry a per-row
+    * `path`/`rev` stash (index scans, temporal axes, item history) —
+    * the key trees those rows resolve against. `rev = -1`: per-row. */
+  private def resourceOfNodeSource(store: Store, e: Jsoniq.Expr,
+                                   env: Map[String, Binding])
+      : Option[String] = e match {
+    case Jsoniq.Call(n, args) if n.startsWith("jn:scan") ||
+        Set("jn:all-times", "jn:past", "jn:future", "jn:first", "jn:last",
+          "jn:first-existing", "jn:last-existing", "jn:open-revisions",
+          "jn:valid-at", "jn:open-bitemporal",
+          "sdb:item-history")(n) =>
+      args.headOption.flatMap(a =>
+        scala.util.Try(resolveDocArg(a, env)).toOption).map {
+        case (c, d) => encodeDres(c, d, -1)
+      }
+    case Jsoniq.FilterPred(b, _) => resourceOfNodeSource(store, b, env)
+    case _ => None
+  }
+
+  /** Render a path spec against a ROW-WISE frame's POS vector (the
+    * spec's k-th SegIdx = member index at POS slot 1+k). */
+  private def renderPathSpec(segs: List[PathSeg]): Column = {
+    var idxSlot = 1
+    val parts = segs.map {
+      case SegLit(s) => lit(s)
+      case SegCol(c) =>
+        // an array node's own trailing /[] marker is identity-neutral
+        regexp_replace(col(c), "/\\[\\]$", "")
+      case SegIdx =>
+        idxSlot += 1
+        concat(lit("/["),
+          element_at(col(POS), idxSlot).cast("string"), lit("]"))
+    }
+    if (parts.isEmpty) lit("") else concat(parts: _*)
+  }
+
+  /** `sdb:nodekey` — real node identity (reference sdb/trx/
+    * GetNodeKey.java over [[NodeKeys]]' fused preorder assignment).
+    * Resolution order: a fully static target computes on the driver; a
+    * variable carrying an identity stash (dynamic path + resource tag)
+    * joins the revision's broadcast (path → key) table per row; an
+    * inline node-sequence call (scan / temporal axis / item history)
+    * evaluates row-wise and resolves through its own path/rev stash.
+    * Anything else fails LOUDLY — a silent 0 would impersonate the
+    * document node. */
+  private def serveNodeKey(store: Store, argE: Jsoniq.Expr,
+                           tuples: DataFrame,
+                           env: Map[String, Binding]): DataFrame = {
+    def headRev(c: String, d: String): Int =
+      graft.sources.TemporalTable.mostRecentRevision(store.docPath(c, d))
+        .getOrElse(throw new IllegalArgumentException(
+          s"sdb:nodekey: no revisions for $c/$d"))
+    JsoniqUpdate.staticTargetIn(argE, env) match {
+      case Some(t) =>
+        val tree = store.keyTreeOf(t.collection, t.doc,
+          headRev(t.collection, t.doc))
+        val key = tree.lookup(t.steps).map(_.key).getOrElse(
+          throw new IllegalArgumentException("sdb:nodekey: no node at " +
+            s"${NodeKeys.renderPath(t.steps)} in ${t.collection}/${t.doc}"))
+        return tuples.withColumn("__v", jsonNumber(lit(key)))
+      case None => ()
+    }
+    // let-bound / filter-gated static chains: expand let definitions
+    // and strip `[?pred]` filters — the pointer is static (filters gate
+    // EXISTENCE, not position), so the key computes on the driver and
+    // the row's own value (null = filtered out / absent) gates it
+    val expanded = stripFilterPreds(substituteDefs(argE, env))
+    if (expanded != argE)
+      JsoniqUpdate.staticTargetIn(expanded, env) match {
+        case Some(t) =>
+          val tree = store.keyTreeOf(t.collection, t.doc,
+            headRev(t.collection, t.doc))
+          val keyOpt = tree.lookup(t.steps).map(_.key)
+          val gate = evalScalar(store, argE, tuples, env)
+          return gate.withColumn("__v", keyOpt match {
+            case Some(k) => when(col("__v").isNull, lit(null))
+              .otherwise(jsonNumber(lit(k)))
+            // path absent at head: empty sequence
+            case None => expr("cast(null as variant)")
+          })
+        case None => ()
+      }
+    /** Join `frame`'s per-row printed path against the resource's
+      * (rev, path → key) broadcast table. */
+    def lookupJoin(frame: DataFrame, pathCol: Column, dres: String,
+                   revCol: Option[Column]): DataFrame = {
+      import store.spark.implicits._
+      val (c, d, rev0) = decodeDres(dres)
+      val revs: Seq[Int] =
+        if (rev0 >= 0) Seq(rev0) else 1 to headRev(c, d)
+      val pk = revs.flatMap(r => store.keyTreeOf(c, d, r).pathKeys
+          .map { case (p, k) => (r, p, k) })
+        .toDF("__nkr", "__nkp", "__nkk")
+      val cond =
+        if (rev0 >= 0) pathCol === col("__nkp")
+        else pathCol === col("__nkp") &&
+          revCol.getOrElse(throw new IllegalStateException(
+            "per-row revision stash missing")).cast("int") === col("__nkr")
+      frame.join(broadcast(pk), cond, "left")
+        .withColumn("__v", when(col("__nkk").isNull, lit(null))
+          .otherwise(jsonNumber(col("__nkk"))))
+        .drop("__nkr", "__nkp", "__nkk")
+    }
+    def norm(c: Column): Column = regexp_replace(c, "/\\[\\]$", "")
+    def peel(e: Jsoniq.Expr, suf: List[Either[String, Int]])
+        : (Jsoniq.Expr, List[Either[String, Int]]) = e match {
+      case Jsoniq.Deref(b, f) => peel(b, Left(f) :: suf)
+      case Jsoniq.ArrayIndex(b, Jsoniq.NumLit(t))
+          if !t.contains(".") && !t.startsWith("-") =>
+        peel(b, Right(t.toInt) :: suf)
+      case other => (other, suf)
+    }
+    val (core, suffix) = peel(argE, Nil)
+    core match {
+      case Jsoniq.VarRef(n) => env.get(n) match {
+        case Some(ItemVar(_, _, aux)) if aux.contains("dres") &&
+            (aux.contains("ipath") || aux.contains("dpath") ||
+              aux.contains("path")) =>
+          // identity path first: scan hits print no self path for
+          // array-member CAS hits but stash their concrete position
+          val base = norm(col(aux.getOrElse("ipath",
+            aux.getOrElse("dpath", aux("path")))))
+          val pathCol =
+            if (suffix.isEmpty) base
+            else concat(base, lit(NodeKeys.renderPath(suffix)))
+          lookupJoin(tuples, pathCol, aux("dres"),
+            aux.get("rev").map(col))
+        case _ => throw new UnsupportedOperationException(
+          s"sdb:nodekey over $$$n: the binding carries no node identity" +
+            " (JSON document chains and index/temporal node sequences do)")
+      }
+      case call @ Jsoniq.Call(_, _) =>
+        resourceOfNodeSource(store, call, env) match {
+          case Some(dres) =>
+            val s = evalSeqRows(store, argE, tuples, env)
+            require(s.columns.contains("__spath"),
+              "sdb:nodekey: node source emitted no path stash")
+            val pc = if (s.columns.contains("__sipath")) col("__sipath")
+              else col("__spath")
+            lookupJoin(s, norm(pc), dres,
+              if (s.columns.contains("__srev")) Some(col("__srev"))
+              else None)
+              .drop("__spath", "__sppath", "__sipath", "__srev",
+                "__sprev", "__snext")
+          case None => throw new UnsupportedOperationException(
+            s"sdb:nodekey over ${call.name}(...): not a node source")
+        }
+      case other => throw new UnsupportedOperationException(
+        s"sdb:nodekey over ${other.getClass.getSimpleName}: no identity")
+    }
+  }
 
   // ------------------------------------------------------- sequence eval
   /** Evaluate `e` against the tuple stream: returns the stream's columns
@@ -1521,19 +1835,35 @@ object JsoniqRun {
                 case Call(n, _) if n.startsWith("jn:scan") => true
                 case _ => false
               }
+              // node-identity mode: a doc-rooted chain's items carry
+              // their printed path per row (rendered from the row-wise
+              // POS layout) so sdb:nodekey can resolve them
+              val idSpec: Option[(String, List[PathSeg])] =
+                if (needsIdentity(curEnv) && !scanSource)
+                  pathSpecOf(store, inE, curEnv)
+                else None
               def itemize(seqd: DataFrame): DataFrame = if (scanSource) {
                 seqd.withColumn(POS, concat(col(POS), array(lit(0L))))
               } else {
                 val s0 = seqd.withColumn("__arr",
                   expr(s"try_cast($ITEM as array<variant>)"))
-                val scalarPart = s0.filter(col("__arr").isNull)
+                val pre = idSpec.map { case (_, segs) =>
+                  renderPathSpec(segs) }
+                val scalarPart0 = s0.filter(col("__arr").isNull)
+                // a non-array item binds as ITSELF — its path is the
+                // chain's own (no member suffix)
+                val scalarPart = pre.foldLeft(scalarPart0)(
+                    (f, p) => f.withColumn("__dpath", p))
                   .withColumn(POS, concat(col(POS), array(lit(0L))))
                   .drop("__arr")
                 val keepCols = s0.columns
                   .filter(c => c != ITEM && c != "__arr" && c != POS).map(col)
-                val arrayPart = s0.filter(col("__arr").isNotNull)
+                val arrayPart0 = s0.filter(col("__arr").isNotNull)
                   .select(keepCols :+ col(POS) :+
                     posexplode(col("__arr")).as(Seq("__p0", ITEM)): _*)
+                val arrayPart = pre.foldLeft(arrayPart0)((f, p) =>
+                    f.withColumn("__dpath", concat(p, lit("/["),
+                      col("__p0").cast("string"), lit("]"))))
                   .withColumn(POS,
                     concat(col(POS), array(col("__p0").cast("long"))))
                   .drop("__p0")
@@ -1575,12 +1905,33 @@ object JsoniqRun {
               // arrays and the fused where). A trailing element-name
               // filter (XML person steps) serves from the shred but
               // must window-rank ordinals.
+              // identity mode disables the FLAT sequence fast path for
+              // this binding only — pathSpec rendering needs the
+              // row-wise POS layout
+              def seqOf(frame: DataFrame,
+                        env2: Map[String, Binding]): DataFrame =
+                if (idSpec.isDefined) evalSeqRows(store, inE, frame, env2)
+                else evalSeq(store, inE, frame, env2)
+              /** Shred-served members ride POS = [0, idx]: render the
+                * chain's static path + the member index. A doc-source
+                * chain without an explicit trailing `[]` still binds
+                * member-wise (the itemize rule), so the member slot
+                * applies either way. */
+              def shredDpath(frame: DataFrame): DataFrame =
+                idSpec.fold(frame) { case (_, segs) =>
+                  val body = segs.reverse.dropWhile(_ == SegIdx).reverse
+                  frame.withColumn("__dpath",
+                    concat(renderPathSpec(body), lit("/["),
+                      element_at(col(POS), 2).cast("string"), lit("]")))
+                }
               var shredBound = false
               var s = fusedWhere.orElse(fusedXmlWhere) match {
                 case Some(members) =>
                   skipNext = true
                   shredBound = fusedWhere.isDefined
-                  cur.crossJoin(members)
+                  cur.crossJoin(
+                    if (fusedWhere.isDefined) shredDpath(members)
+                    else members)
                 case None => shreddedDocMembers(store, inE, curEnv) match {
                 case Some((members, pure)) =>
                   // shredded array / element list: the member table IS
@@ -1588,7 +1939,7 @@ object JsoniqRun {
                   // partitioned — attach without a broadcast hint (its
                   // size is data-bound; tuples here are the small side)
                   shredBound = pure
-                  cur.crossJoin(members)
+                  cur.crossJoin(if (pure) shredDpath(members) else members)
                 case None => decorrelated match {
                 case Some(sc) =>
                   // correlation-free source: itemize ONCE against the
@@ -1600,7 +1951,7 @@ object JsoniqRun {
                   // are executor-small); table-scan sources
                   // (jn:scan-*/jn:all-times) skip it — their size is
                   // data-bound, the planner/AQE must choose.
-                  val side = itemize(evalSeq(store, inE, sc.base,
+                  val side = itemize(seqOf(sc.base,
                     sc.env + (STATIC -> sc)))
                   val baseCols = sc.base.columns.toSet
                   val sideCols = side.columns.filterNot(baseCols).map(col)
@@ -1617,15 +1968,17 @@ object JsoniqRun {
                   val proj =
                     if (bigSide) proj0 else proj0.localCheckpoint(false)
                   cur.crossJoin(if (bigSide) proj else broadcast(proj))
-                case None => itemize(evalSeq(store, inE, cur, curEnv))
+                case None => itemize(seqOf(cur, curEnv))
               } } }
               // stash capture: a binding over jn:scan-*-index /
               // jn:all-times carries per-node metadata (printed path,
-              // parent path, revision, previous/next-revision content)
+              // parent path, revision, previous/next-revision content);
+              // identity mode adds the rendered dynamic path
               var aux = Map.empty[String, String]
               Seq("path" -> "__spath", "ppath" -> "__sppath",
-                "rev" -> "__srev", "prev" -> "__sprev",
-                "next" -> "__snext").foreach {
+                "ipath" -> "__sipath", "rev" -> "__srev",
+                "prev" -> "__sprev", "next" -> "__snext",
+                "dpath" -> "__dpath").foreach {
                 case (k, c) =>
                   if (s.columns.contains(c)) {
                     val nc = gensym(s"s${k}_$v")
@@ -1633,6 +1986,15 @@ object JsoniqRun {
                     aux = aux + (k -> nc)
                   }
               }
+              // resource tag: which stored document's key tree resolves
+              // this binding's paths (a VALUE, not a column name)
+              idSpec.foreach { case (dres, _) =>
+                if (aux.contains("dpath")) aux = aux + ("dres" -> dres)
+              }
+              if (!aux.contains("dres") && aux.contains("path") &&
+                  needsIdentity(curEnv))
+                resourceOfNodeSource(store, inE, curEnv).foreach(r =>
+                  aux = aux + ("dres" -> r))
               val cn = gensym(s"v_$v")
               // document pointer for update targets: the source is a
               // static path, so each bound member IS the (array, pos-1)
@@ -1727,6 +2089,12 @@ object JsoniqRun {
               }
               curEnv = curEnv + (v -> SeqVar(cn, letTarget)) ++
                 newStatic.map(sc2 => STATIC -> (sc2: Binding))
+              // identity mode: keep the defining expression so
+              // sdb:nodekey($v) can resolve the let's static pointer
+              // (the PRE-hoist form — hoistStatic's rewritten vars
+              // carry no document pointer)
+              if (needsIdentity(curEnv))
+                curEnv = curEnv + (defKey(v) -> DefExpr(valueE0))
               boundHere = boundHere :+ v
             case WhereClause(w0) =>
               val (w, cur1, env1) = hoistStatic(store, w0, cur, curEnv)
@@ -3156,6 +3524,18 @@ object JsoniqRun {
           case other => throw new UnsupportedOperationException(
             s"$name over ${other.getClass.getSimpleName}")
         }
+      case "sdb:child-count" | "sdb:descendant-count" =>
+        // counts under the fused record model (reference sdb/trx/
+        // GetChildCount.java, GetDescendantCount.java; the tests pin
+        // {"a":{"b":1}} at child 1 / descendants 2 — a fused field is
+        // one node). Executor-side streaming walk per item.
+        val s = evalScalar(store, args.head, tuples, env)
+        val counts = org.apache.spark.sql.graftbridge.GraftBridge.column(
+          JsonTreeCounts(org.apache.spark.sql.graftbridge.GraftBridge
+            .expression(to_json(col("__v")))))
+        val field = if (name == "sdb:child-count") "child" else "desc"
+        s.withColumn("__v", when(col("__v").isNull, lit(null))
+          .otherwise(jsonNumber(counts.getField(field))))
       case "sdb:hash" =>
         // content hash (the reference hashes the stored subtree; equal
         // content ⇔ equal hash is the only property queries rely on)
@@ -3419,10 +3799,7 @@ object JsoniqRun {
           case other => pathOf(other, "path")
         }
       case "sdb:nodekey" =>
-        // node identity is not part of the value model (object scaladoc);
-        // the reference's own harness masks these before comparing
-        val s = evalScalar(store, args.head, tuples, env)
-        s.withColumn("__v", jsonNumber(lit(0L)))
+        serveNodeKey(store, args.head, tuples, env)
       case "min" | "max" =>
         val fn = if (name == "min") "min" else "max"
         aggOver(args.head, Seq(
@@ -3455,7 +3832,8 @@ object JsoniqRun {
     "jn:open-revisions", "jn:valid-at", "jn:open-bitemporal",
     "sdb:item-history", "jn:scan-name-index", "jn:first-existing",
     "jn:last-existing", "jn:scan-cas-index-range",
-    "jn:scan-valid-time-index", "jn:drop-database", "jn:drop-resource")
+    "jn:scan-valid-time-index", "jn:drop-database", "jn:drop-resource",
+    "jn:select-json-item", "sdb:select-item", "sdb:level-order")
 
   /** Does the expression read a table-scan source (size data-bound, so a
     * decorrelated side must NOT be broadcast-hinted)? */
@@ -3910,6 +4288,64 @@ object JsoniqRun {
         tuples.crossJoin(broadcast(
             doc.select(parse_json(col("doc_json")).as(ITEM))))
           .withColumn(POS, array(lit(0L)))
+      case "jn:select-json-item" | "sdb:select-item" =>
+        // node selection by node key (reference function/jn/trx/
+        // SelectJsonItem.java:49 — moveTo(nodeKey) then the item
+        // factory's VALUE view, so a fused object-field key serves the
+        // field's value; sdb/trx/SelectItem.java is the sdb alias).
+        // Resolution: the revision's key tree maps the key to its
+        // concrete pointer, then the value serves through the normal
+        // deref/index chain (shred fast paths included) — the document
+        // never collects for the selection itself.
+        require(args.size == 2, s"$name(doc, nodeKey)")
+        val (c, d, rev) = args.head match {
+          case Call("jn:doc", Seq(StrLit(c0), StrLit(d0))) => (c0, d0, None)
+          case Call("jn:doc", Seq(StrLit(c0), StrLit(d0), NumLit(t)))
+              if !t.contains(".") => (c0, d0, Some(t.toInt))
+          case other => throw new UnsupportedOperationException(
+            s"$name needs a jn:doc(collection, doc[, rev]) target, got $other")
+        }
+        val key = args(1) match {
+          case NumLit(t) if !t.contains(".") => t.toLong
+          case other => throw new UnsupportedOperationException(
+            s"$name node-key literal, got $other")
+        }
+        val headRev = rev.getOrElse(graft.sources.TemporalTable
+          .mostRecentRevision(store.docPath(c, d))
+          .getOrElse(throw new IllegalArgumentException(
+            s"$name: no revisions for $c/$d")))
+        val ptr = store.keyTreeOf(c, d, headRev).pathOfKey(key)
+          .getOrElse(throw new IllegalArgumentException(
+            s"$name: no node with key $key in $c/$d rev $headRev"))
+        val docE: Expr = Call("jn:doc",
+          Seq(StrLit(c), StrLit(d)) ++ rev.map(r => NumLit(r.toString)))
+        evalSeq(store, ptr.foldLeft(docE) {
+          case (e2, Left(f)) => Deref(e2, f)
+          case (e2, Right(i)) => ArrayIndex(e2, NumLit(i.toString))
+        }, tuples, env)
+      case "sdb:level-order" =>
+        // breadth-first subtree traversal (reference sdb/trx/
+        // LevelOrder.java over axis/LevelOrderAxis.java — excludes
+        // self, optional max depth; each visited node serves its
+        // VALUE view under the fused model). The walk evaluates where
+        // the item row lives ([[JsonLevelOrder]]), never on the driver.
+        require(args.nonEmpty && args.size <= 2,
+          "sdb:level-order(node[, depth])")
+        val depth = args.lift(1).map {
+          case NumLit(t) if !t.contains(".") => t.toInt
+          case other => throw new UnsupportedOperationException(
+            s"sdb:level-order depth literal, got $other")
+        }.getOrElse(Int.MaxValue)
+        val s = evalSeq(store, args.head, tuples, env)
+        val lo = org.apache.spark.sql.graftbridge.GraftBridge.column(
+          JsonLevelOrder(org.apache.spark.sql.graftbridge.GraftBridge
+            .expression(to_json(col(ITEM))), depth))
+        val keep = s.columns.filter(c => c != ITEM && c != POS).map(col)
+        s.select(keep :+ col(POS) :+
+            posexplode(lo).as(Seq("__p0", "__lo")): _*)
+          .withColumn(ITEM, parse_json(col("__lo"))).drop("__lo")
+          .withColumn(POS, concat(col(POS), array(col("__p0").cast("long"))))
+          .drop("__p0")
       case "jn:past" | "jn:future" | "jn:first" | "jn:last" |
           "jn:first-existing" | "jn:last-existing" =>
         // the reference's revision axes (function/jn/JNFun.java:95-105 —
@@ -4279,10 +4715,12 @@ object JsoniqRun {
     // revision; the int travels, never the string)
     val docLen = store.docLenOf(collection, doc, rev.toInt)
     def hitsDf(hits: Seq[(JsonPath.Hit, Seq[Long])]): DataFrame =
-      hits.map { case (h, p) => (p, h.json, h.path, h.parentPath) }
-        .toDF("__p0", "__mj", "__spath", "__sppath")
+      hits.map { case (h, p) =>
+        (p, h.json, h.path, h.parentPath, h.idPath) }
+        .toDF("__p0", "__mj", "__spath", "__sppath", "__sipath")
         .select(col("__p0").as(POS), parse_json(col("__mj")).as(ITEM),
-          col("__spath"), col("__sppath"), lit(rev).as("__srev"))
+          col("__spath"), col("__sppath"), col("__sipath"),
+          lit(rev).as("__srev"))
     def docJson(): String =
       store.doc(collection, doc, None).collect().head.getString(0)
     def fullWalk(): DataFrame = {
@@ -4419,6 +4857,7 @@ object JsoniqRun {
     tuples.withColumn(POS, array(lit(0L)))
       .withColumn(ITEM, vnull)
       .withColumn("__spath", lit("")).withColumn("__sppath", lit(""))
+      .withColumn("__sipath", lit(""))
       .withColumn("__srev", lit(0L))
       .filter(lit(false))
 
@@ -4458,7 +4897,7 @@ object JsoniqRun {
         array(lit(base), col("idx"), col("__k").cast("long")).as(POS),
         parse_json(col("__h.j")).as(ITEM),
         col("__h.p").as("__spath"), col("__h.pp").as("__sppath"),
-        lit(rev).as("__srev"))
+        col("__h.ip").as("__sipath"), lit(rev).as("__srev"))
   }
 
   /** CAS scan over ONE concrete member field, compiled onto the typed
@@ -4540,6 +4979,8 @@ object JsoniqRun {
               lit(s"]/$field")).as("__spath"),
             concat(lit(s"$arrayPos/["), col("idx"), lit("]"))
               .as("__sppath"),
+            concat(lit(s"$arrayPos/["), col("idx"),
+              lit(s"]/$field")).as("__sipath"),
             lit(rev).as("__srev"))
       }
     }

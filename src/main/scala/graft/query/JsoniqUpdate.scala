@@ -123,7 +123,9 @@ private[query] object JsoniqUpdate {
         }
         if (c != 0) c else cmpPtr(tx, ty)
     }
+    val edits = scala.collection.mutable.ArrayBuffer.empty[NodeKeys.Edit]
     pointers.distinct.sortWith(cmpPtr(_, _) < 0).foreach { ptr =>
+      edits += NodeKeys.Edit(kind, ptr, valueJson, position)
       def parent(): (JsonNode, Either[String, Int]) = {
         require(ptr.nonEmpty,
           s"$kind json needs a path INTO the document, not the root")
@@ -189,6 +191,7 @@ private[query] object JsoniqUpdate {
         case other => throw new IllegalStateException(s"unknown update kind $other")
       }
     }
-    store.store(collection, doc, mapper.writeValueAsString(root))
+    store.store(collection, doc, mapper.writeValueAsString(root),
+      edits = Some(edits.toSeq))
   }
 }

@@ -1,7 +1,7 @@
 package graft.query
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
@@ -24,7 +24,7 @@ final case class JsonMemberScan(left: Expression, right: Expression,
 
   private val hitType = StructType(Seq(
     StructField("j", StringType), StructField("p", StringType),
-    StructField("pp", StringType)))
+    StructField("pp", StringType), StructField("ip", StringType)))
   override def dataType: DataType = ArrayType(hitType, containsNull = false)
   override def nullable: Boolean = false
   override def prettyName: String = "json_member_scan"
@@ -41,11 +41,81 @@ final case class JsonMemberScan(left: Expression, right: Expression,
     new GenericArrayData(hits.map { h =>
       org.apache.spark.sql.catalyst.InternalRow(
         UTF8String.fromString(h.json), UTF8String.fromString(h.path),
-        UTF8String.fromString(h.parentPath))
+        UTF8String.fromString(h.parentPath),
+        UTF8String.fromString(h.idPath))
     }.toArray[Any])
   }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): JsonMemberScan =
     copy(left = newLeft, right = newRight)
+}
+
+/** Child/descendant counts of one item under the fused record model
+  * (reference sdb/trx/GetChildCount.java, GetDescendantCount.java —
+  * a fused object field is ONE node; GetDescendantCountTest pins
+  * `{"a":{"b":1}}` at 2 descendants). Executor-side Jackson streaming
+  * walk ([[NodeKeys.treeCounts]]) — O(bytes) per item, no driver
+  * materialization. Returns `struct(child, desc)`. */
+final case class JsonTreeCounts(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("child", LongType), StructField("desc", LongType)))
+  override def prettyName: String = "json_tree_counts"
+
+  override protected def nullSafeEval(json: Any): Any = {
+    val (c, d) = NodeKeys.treeCounts(json.asInstanceOf[UTF8String].toString)
+    InternalRow(c, d)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): JsonTreeCounts = copy(child = newChild)
+}
+
+/** Breadth-first traversal of one item's subtree, the VALUE of each
+  * visited node in visit order (reference sdb/trx/LevelOrder.java over
+  * axis/LevelOrderAxis.java — includeSelf NO, `filterLevel` = max
+  * level; under the fused model each object field is one node whose
+  * item-factory view is its value, each array member is its own node).
+  * Evaluated where the item row lives, so a stored document's
+  * traversal never collects to the driver. */
+final case class JsonLevelOrder(child: Expression, maxLevel: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "json_level_order"
+
+  override protected def nullSafeEval(json: Any): Any = {
+    val mapper = JsonLevelOrder.mapper
+    val root = mapper.readTree(json.asInstanceOf[UTF8String].toString)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    // queue holds VALUE nodes (fused field -> its value; array member
+    // -> itself) with their level; root's children are level 1
+    val q = new java.util.ArrayDeque[(com.fasterxml.jackson.databind.JsonNode, Int)]()
+    def enqueueChildren(n: com.fasterxml.jackson.databind.JsonNode,
+                        level: Int): Unit =
+      if (level <= maxLevel) {
+        if (n.isObject) {
+          val it = n.elements(); while (it.hasNext) q.add((it.next(), level))
+        } else if (n.isArray) {
+          val it = n.elements(); while (it.hasNext) q.add((it.next(), level))
+        }
+      }
+    enqueueChildren(root, 1)
+    while (!q.isEmpty) {
+      val (n, level) = q.poll()
+      out += UTF8String.fromString(mapper.writeValueAsString(n))
+      enqueueChildren(n, level + 1)
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): JsonLevelOrder = copy(child = newChild)
+}
+
+private object JsonLevelOrder {
+  val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 }

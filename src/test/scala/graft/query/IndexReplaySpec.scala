@@ -9,9 +9,10 @@ import java.nio.file.Files
   * IndexVersioningIntegrationTest.java and
   * PredicateOverUnwrappedArrayTest.java): store + index DDL + updates +
   * query text run unchanged, compared against the reference's pinned
-  * assertions (`sdb:nodekey` masked to 0 — the testIgnoreNodeKeys
-  * discipline; the reference's own expectations shift nodekeys with its
-  * fuseNamedPrimitives flag, which has no analog in the value model). */
+  * assertions. `sdb:nodekey` values compare VERBATIM against the
+  * reference's FUSED-mode pins (IndexVersioningIntegrationTest.java:45
+  * selects them under sirix.json.fuseNamedPrimitives — the record
+  * model this engine's [[NodeKeys]] implements). */
 class IndexReplaySpec extends SparkSpec {
 
   private def check(setup: Seq[String], query: String,
@@ -30,7 +31,7 @@ class IndexReplaySpec extends SparkSpec {
       """jn:store('json-path1','mydoc.jn','[{"key":0},{"value":[{"key":{"boolean":true}},{"newkey":"yes"}]},{"key":"hey","value":false}]')""",
       """let $doc := jn:doc('json-path1','mydoc.jn') let $stats := jn:create-path-index($doc, ('//*', '//[]')) return {"revision": sdb:commit($doc)}"""),
       """for $i in jn:doc('json-path1','mydoc.jn')[].value[].key[?$$.boolean] return { $i, "nodekey": sdb:nodekey($i) }""",
-      """{"boolean":true,"nodekey":0}""")
+      """{"boolean":true,"nodekey":7}""")
   }
 
   test("idx: path index works after data modification") {
@@ -57,7 +58,7 @@ class IndexReplaySpec extends SparkSpec {
       """jn:store('json-path1','mydoc.jn','[{"key":0},{"value":[{"key":{"boolean":5}},{"newkey":"yes"}]},{"key":"hey","value":false}]')""",
       """let $doc := jn:doc('json-path1','mydoc.jn') let $stats := jn:create-cas-index($doc, 'xs:integer', '/[]/value/[]/key/boolean') return {"revision": sdb:commit($doc)}"""),
       """for $i in jn:doc('json-path1','mydoc.jn')[1].value[].key[?$$.boolean gt 3] return { $i, "nodekey": sdb:nodekey($i) }""",
-      """{"boolean":5,"nodekey":0}""")
+      """{"boolean":5,"nodekey":7}""")
   }
 
   test("idx: CAS index works with string values after updates") {

@@ -10,20 +10,24 @@ import java.nio.file.Files
   * test stores the reference's document, runs the reference's query
   * text VERBATIM, and compares against the reference's pinned assertion.
   *
-  * Normalisation (applied to the PINNED string, never the computed one):
-  * object keys sort (the variant encoding serializes canonically; the
-  * corpus' fixtures are key-sorted already except where noted) and
-  * `nodekey`/`nodeKey` values mask to 0 — the reference's own
-  * testIgnoreNodeKeys does exactly this masking before comparing. */
+  * Normalisation: object keys sort (the variant encoding serializes
+  * canonically; the corpus' fixtures are key-sorted already except
+  * where noted) on the pinned string. `sdb:nodekey` values compare
+  * VERBATIM against exact-mode reference pins; replays of the
+  * reference's own `testIgnoreNodeKeys` cases mask `nodekey`/`nodeKey`
+  * to 0 on BOTH sides ([[checkIgnoreNodeKeys]]) — the reference masks
+  * there because its pinned integers predate record fusion
+  * (JsonIntegrationTest.java:32's own comment). */
 class JsoniqSpec extends SparkSpec {
 
   private def freshStore(): JsoniqRun.Store =
     new JsoniqRun.Store(spark,
       Files.createTempDirectory("graft-jq").toString)
 
-  /** Sorted-key, nodekey-masked canonical form of a reference-pinned
-    * sequence serialization (whitespace-separated JSON items). */
-  private def normalize(pinned: String): String = {
+  /** Canonical form of a reference-pinned sequence serialization
+    * (whitespace-separated JSON items): sorted keys, optional
+    * nodekey masking. */
+  private def normalize(pinned: String, maskKeys: Boolean): String = {
     import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper, SerializationFeature}
     import com.fasterxml.jackson.databind.node.ObjectNode
     val mapper = new ObjectMapper()
@@ -45,7 +49,7 @@ class JsoniqSpec extends SparkSpec {
     val out = Seq.newBuilder[String]
     while (parser.nextToken() != null) {
       val n = mapper.readTree[JsonNode](parser)
-      mask(n)
+      if (maskKeys) mask(n)
       out += mapper.writeValueAsString(mapper.treeToValue(n, classOf[Object]))
     }
     out.result().mkString(" ")
@@ -55,7 +59,20 @@ class JsoniqSpec extends SparkSpec {
     val st = freshStore()
     setup.foreach(JsoniqRun.serialize(st, _))
     val got = JsoniqRun.serialize(st, query)
-    assert(got == normalize(pinned), s"\nquery: $query\ngot:   $got\nwant:  ${normalize(pinned)}")
+    val want = normalize(pinned, maskKeys = false)
+    assert(got == want, s"\nquery: $query\ngot:   $got\nwant:  $want")
+  }
+
+  /** Replay of a reference `testIgnoreNodeKeys` case: nodekeys mask to
+    * 0 on BOTH sides (the reference's pins are stale pre-fusion
+    * integers there; this engine's are fused-preorder). */
+  private def checkIgnoreNodeKeys(setup: Seq[String], query: String,
+                                  pinned: String): Unit = {
+    val st = freshStore()
+    setup.foreach(JsoniqRun.serialize(st, _))
+    val got = normalize(JsoniqRun.serialize(st, query), maskKeys = true)
+    val want = normalize(pinned, maskKeys = true)
+    assert(got == want, s"\nquery: $query\ngot:   $got\nwant:  $want")
   }
 
   // ---- dereference over pipelines (JsonIntegrationTest.java:42-73) ----
@@ -202,7 +219,7 @@ class JsoniqSpec extends SparkSpec {
   }
 
   test("j: deep-equal filter with object-merge construction") {
-    check(Seq(
+    checkIgnoreNodeKeys(Seq(
       """jn:store('json-path1','mydoc.jn','[{"generic": 1, "location": {"city": "Los Angeles", "state": "CA"}}, {"generic": 1, "location": {"city": "New York", "state": "NY"}}]')"""),
       """for $i in jn:doc('json-path1','mydoc.jn') where deep-equal($i.generic, 1) return {$i,'nodeKey': sdb:nodekey($i)}""",
       """{"generic":1,"location":{"city":"Los Angeles","state":"CA"},"nodeKey":2} {"generic":1,"location":{"city":"New York","state":"NY"},"nodeKey":11}""")
@@ -216,21 +233,21 @@ class JsoniqSpec extends SparkSpec {
   }
 
   test("j: instance-of filter over unboxed values") {
-    check(Seq(
+    checkIgnoreNodeKeys(Seq(
       """jn:store('json-path1','mydoc.jn','[{"key":0},{"value":{"key":true}},{"key":"hey","value":false}]')"""),
       """for $i in jn:doc('json-path1','mydoc.jn')[].value where $i instance of object() and $i.key eq true() return { $i, "nodekey": sdb:nodekey($i) }""",
       """{"key":true,"nodekey":7}""")
   }
 
   test("j: context-item predicate over nested unboxing") {
-    check(Seq(
+    checkIgnoreNodeKeys(Seq(
       """jn:store('json-path1','mydoc.jn','[{"key":0},{"value":[{"key":{"boolean":true}},{"newkey":"yes"}]},{"key":"hey","value":false}]')"""),
       """for $i in jn:doc('json-path1','mydoc.jn')[].value[].key[?$$.boolean] return { $i, "nodekey": sdb:nodekey($i) }""",
       """{"boolean":true,"nodekey":10}""")
   }
 
   test("j: array index and context predicate with comparison") {
-    check(Seq(
+    checkIgnoreNodeKeys(Seq(
       """jn:store('json-path1','mydoc.jn','[{"key":0},{"value":[{"key":{"boolean":5}},{"newkey":"yes"}]},{"key":"hey","value":false}]')"""),
       """for $i in jn:doc('json-path1','mydoc.jn')[1].value[].key[?$$.boolean gt 3] return { $i, "nodekey": sdb:nodekey($i) }""",
       """{"boolean":5,"nodekey":10}""")
@@ -437,7 +454,7 @@ class JsoniqSpec extends SparkSpec {
         |return insert json {"foo": not(true), "baz": null} into $array[2]""".stripMargin
     ).foreach(JsoniqRun.serialize(st, _))
     assert(JsoniqRun.serialize(st, "jn:doc('json-path1','mydoc.jn')") ==
-      normalize("""[{"bla":true},{"bar":"foobar"},{"bla":null,"foo":false,"baz":null}]"""))
+      normalize("""[{"bla":true},{"bar":"foobar"},{"bla":null,"foo":false,"baz":null}]""", maskKeys = false))
     assert(JsoniqRun.serialize(st,
       "sdb:revision(jn:doc('json-path1','mydoc.jn'))") == "6")
     // the reference's change-detection epilogue shape (JsonIntegration
@@ -455,8 +472,8 @@ class JsoniqSpec extends SparkSpec {
         |  return { "node": $node-in-rev, "revision": sdb:revision($node-in-rev) }
         |]""".stripMargin)
     assert(got == normalize(
-      """[{"node":{"test":"test string"},"revision":1},{"node":{"bar":"test string"},"revision":2},{"node":{"bar":"foobar"},"revision":3},{"node":{"bla":true},"revision":4}]"""),
-      got)
+      """[{"node":{"test":"test string"},"revision":1},{"node":{"bar":"test string"},"revision":2},{"node":{"bar":"foobar"},"revision":3},{"node":{"bla":true},"revision":4}]""",
+      maskKeys = false), got)
   }
 
   test("j: every applied update commits a revision (time travel over updates)") {
@@ -724,15 +741,15 @@ class JsoniqSpec extends SparkSpec {
 
   test("j: instance-of and EBV predicates over unboxed values (testNesting1/2)") {
     // JsonIntegrationTest.testNesting1: instance of + value comparison
-    check(Seq("""jn:store('json-path1','mydoc.jn','[{"key":0},{"value":{"key":true}},{"key":"hey","value":false}]')"""),
+    checkIgnoreNodeKeys(Seq("""jn:store('json-path1','mydoc.jn','[{"key":0},{"value":{"key":true}},{"key":"hey","value":false}]')"""),
       """for $i in jn:doc('json-path1','mydoc.jn')[].value where $i instance of object() and $i.key eq true() return { $i, "nodekey": sdb:nodekey($i) }""",
-      """{"key":true,"nodekey":0}""")
+      """{"key":true,"nodekey":7}""")
     // testNesting2: bare-field EBV filter after index DDL
-    check(Seq(
+    checkIgnoreNodeKeys(Seq(
       """jn:store('json-path1','mydoc.jn','[{"key":0},{"value":[{"key":{"boolean":true}},{"newkey":"yes"}]},{"key":"hey","value":false}]')""",
       """let $doc := jn:doc('json-path1','mydoc.jn') let $stats := jn:create-path-index($doc, ('//*', '//[]')) return {"revision": sdb:commit($doc)}"""),
       """for $i in jn:doc('json-path1','mydoc.jn')[].value[].key[?$$.boolean] return { $i, "nodekey": sdb:nodekey($i) }""",
-      """{"boolean":true,"nodekey":0}""")
+      """{"boolean":true,"nodekey":10}""")
   }
 
   test("j: non-existent paths yield the empty sequence (testNonExistentPath1/2)") {
@@ -750,14 +767,14 @@ class JsoniqSpec extends SparkSpec {
   test("j: deep-equal where over array iteration (testArrayIteration)") {
     check(Seq("""jn:store('json-path1','mydoc.jn','[{"key":0,"value":true},{"key":"hey","value":false}]')"""),
       """for $i in jn:doc('json-path1','mydoc.jn') where deep-equal($i.key, 0) return { $i, "nodekey": sdb:nodekey($i) }""",
-      """{"key":0,"value":true,"nodekey":0}""")
+      """{"key":0,"value":true,"nodekey":2}""")
   }
 
   test("j: find-cas-index resolves a covering pattern (testCreateAndRetrieveValueFromCASIndex)") {
     // the index is declared over '//[]'; the scan finds it by the
     // CONCRETE '/[]/test/[]' it wants — handle resolution must match
     // patterns, not strings
-    check(Seq(
+    checkIgnoreNodeKeys(Seq(
       """jn:store('json-path1','mydoc.jn','[{"test": "test string"}, "b", {"test": ["a", {"blabla": "test blabla string"}, null, "b", "c"]}]')""",
       """let $doc := jn:doc('json-path1','mydoc.jn')
         |let $stats := jn:create-cas-index($doc, 'xs:string', '//[]')
@@ -767,7 +784,7 @@ class JsoniqSpec extends SparkSpec {
         |for $node in jn:scan-cas-index($doc, $casIndexNumber, 'b', '==', '/[]/test/[]')
         |order by sdb:revision($node), sdb:nodekey($node)
         |return {"nodeKey": sdb:nodekey($node), "node": $node, "path": sdb:path(sdb:select-parent($node))}""".stripMargin,
-      """{"nodeKey":0,"node":"b","path":"/[2]/test/[]"}""")
+      """{"nodeKey":14,"node":"b","path":"/[2]/test/[]"}""")
   }
 
   test("j: empty $paths resolves the NAMED index's declared paths") {
