@@ -199,7 +199,21 @@ final case class XmlSerialize(child: Expression)
     if (root.getType != VariantUtil.Type.OBJECT ||
       root.getFieldByKey("~n") == null) return null
     val sb = new java.lang.StringBuilder()
-    emit(root, sb)
+    // the DOCUMENT node ({"~n":""}) serializes its children unwrapped
+    // (the reference serializes a document as its root element)
+    if (root.getFieldByKey("~n").getString.isEmpty) {
+      val kids = root.getFieldByKey("~c")
+      if (kids != null && kids.getType == VariantUtil.Type.ARRAY) {
+        var i = 0
+        while (i < kids.arraySize()) {
+          val k = kids.getElementAtIndex(i)
+          if (k.getType == VariantUtil.Type.STRING) escText(k.getString, sb)
+          else if (k.getType == VariantUtil.Type.OBJECT &&
+            k.getFieldByKey("~n") != null) emit(k, sb)
+          i += 1
+        }
+      }
+    } else emit(root, sb)
     UTF8String.fromString(sb.toString)
   }
 

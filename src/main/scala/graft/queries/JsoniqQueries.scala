@@ -12,8 +12,9 @@ import org.apache.spark.sql.functions._
   * serialization as one row. The DuckDB oracle is the reference's PINNED
   * assertion as a literal — the row is green only when the engine
   * computes the reference's answer from the input (pinned strings carry
-  * the two documented canonicalisations: sorted object keys and
-  * `sdb:nodekey` masked to 0, exactly `testIgnoreNodeKeys`'s compare).
+  * one documented canonicalisation: sorted object keys; `sdb:nodekey`
+  * values are REAL fused-preorder keys since round 13 — pins follow
+  * the reference's own fused-mode expectations).
   * JsoniqSpec replays the wider corpus (26 queries); these rows put a
   * representative of each operator class under the driver's oracle gate. */
 object JsoniqQueries {
@@ -52,6 +53,38 @@ object JsoniqQueries {
       runOne(s,
         Seq("""jn:store('json-path1','mydoc.jn','[{"generic": 1, "location": {"city": "Los Angeles", "state": "CA"}}, {"generic": 1, "location": {"city": "New York", "state": "NY"}}]')"""),
         """for $i in jn:doc('json-path1','mydoc.jn') where deep-equal($i.generic, 1) return {$i,'nodeKey': sdb:nodekey($i)}""")
+    },
+    // node identity end-to-end: real fused-preorder node keys
+    // (sdb/trx/GetNodeKey.java over [[graft.query.NodeKeys]]), by-key
+    // selection (jn/trx/SelectJsonItem.java), the structural counts
+    // (GetChildCount/GetDescendantCount), BFS level-order (LevelOrder
+    // .java), and key STABILITY across an update-derived revision (the
+    // edit-log replay: same-kind replace keeps keys, appends mint fresh)
+    "j_node_identity" -> { (s, _) =>
+      runOne(s,
+        Seq("""jn:store('json-path1','mydoc.jn','[{"name":"Laptop","price":999},{"name":"Mouse","price":19}]')""",
+          """replace json value of jn:doc('json-path1','mydoc.jn')[0].price with 899""",
+          """append json {"name":"Dock","price":129} into jn:doc('json-path1','mydoc.jn')"""),
+        """[
+          |  (for $i in jn:doc('json-path1','mydoc.jn')[] return sdb:nodekey($i)),
+          |  sdb:nodekey(jn:doc('json-path1','mydoc.jn')[0].price),
+          |  jn:select-json-item(jn:doc('json-path1','mydoc.jn'), 5),
+          |  sdb:child-count(jn:doc('json-path1','mydoc.jn')),
+          |  sdb:descendant-count(jn:doc('json-path1','mydoc.jn')),
+          |  count(sdb:level-order(jn:doc('json-path1','mydoc.jn'), 1))
+          |]""".stripMargin)
+    },
+    // textual xml: family (function/xml/XMLFun.java): store → doc →
+    // serialize roundtrip, XPath-lite navigation, attribute count
+    "j_xml_textual" -> { (s, _) =>
+      runOne(s,
+        Seq("""xml:store('col','doc.xml','<a b="1" e="2"><c>x</c><d/></a>')"""),
+        """[
+          |  xml:serialize(xml:doc('col','doc.xml')),
+          |  xml:doc('col','doc.xml')/a/c/text(),
+          |  xml:attribute-count(xml:doc('col','doc.xml')/a),
+          |  sdb:descendant-count(xml:doc('col','doc.xml')/a)
+          |]""".stripMargin)
     },
     // nested unboxing + context-item predicate + value comparison (ibid:872)
     "j_nesting_pred" -> { (s, _) =>
@@ -313,6 +346,13 @@ object JsoniqQueries {
       "{\"generic\":1,\"location\":{\"city\":\"Los Angeles\",\"state\":\"CA\"},\"nodeKey\":2} " +
         "{\"generic\":1,\"location\":{\"city\":\"New York\",\"state\":\"NY\"},\"nodeKey\":7}"),
     "j_nesting_pred" -> pin("{\"boolean\":5,\"nodekey\":7}"),
+    // members 2/5/8 (8 minted by the append), price key 4 STABLE across
+    // the same-kind replace, key 5 = the second object, counts 3/9,
+    // 3 nodes at BFS depth 1
+    "j_node_identity" -> pin(
+      "[2,5,8,4,{\"name\":\"Mouse\",\"price\":19},3,9,3]"),
+    "j_xml_textual" -> pin(
+      "[\"<a b=\\\"1\\\" e=\\\"2\\\"><c>x</c><d/></a>\",\"x\",2,3]"),
     "j_array_slice" ->
       pin("[{\"generic\":1,\"location\":{\"city\":\"Los Angeles\",\"state\":\"CA\"}}]"),
     "j_order_agg" -> pin("9 4 2"),

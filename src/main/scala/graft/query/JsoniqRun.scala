@@ -1273,18 +1273,21 @@ object JsoniqRun {
       else Map.empty
     contextJson match {
       case None =>
+        // NEEDID seeds the STATIC frame's env too: hoisted/static
+        // sub-evaluations re-enter through StaticCtx.env and must keep
+        // identity mode on (an array-ctor'd FLWOR evaluates there)
         evalSeq(store, ast, base,
           idEnv ++ Map(STOREK -> StoreRef(store),
-            STATIC -> StaticCtx(base, Map.empty)))
+            STATIC -> StaticCtx(base, idEnv)))
       case Some(json) =>
         import store.spark.implicits._
         val cn = gensym("ctx")
         val doc = Seq(json).toDF("__j")
           .select(parse_json(col("__j")).as(cn))
         val based = base.crossJoin(broadcast(doc))
-        val sEnv = Map[String, Binding]("$$" -> ItemVar(cn))
+        val sEnv = Map[String, Binding]("$$" -> ItemVar(cn)) ++ idEnv
         evalSeq(store, ast, based,
-          sEnv ++ idEnv + (STOREK -> StoreRef(store)) +
+          sEnv + (STOREK -> StoreRef(store)) +
             (STATIC -> StaticCtx(based, sEnv)))
     }
   }
@@ -3524,6 +3527,28 @@ object JsoniqRun {
           case other => throw new UnsupportedOperationException(
             s"$name over ${other.getClass.getSimpleName}")
         }
+      case "xml:serialize" =>
+        // XML text of an item-model node (reference function/xml/
+        // Serialize.java); scalars serialize as their text
+        val s = evalScalar(store, args.head, tuples, env)
+        s.withColumn("__v", when(col("__v").isNull, lit(null))
+          .otherwise(jsonString(xmlSerializeCol(col("__v")))))
+      case "xml:attribute-count" | "xml:namespace-count" =>
+        // reference function/xml/trx/GetAttributeCount.java /
+        // GetNamespaceCount.java. The item encoding keeps attributes
+        // under '~a' (local names — namespace declarations are not part
+        // of the model, the encoder's documented simplification, so
+        // namespace-count is always 0); non-elements count 0 like the
+        // reference's non-element cursor.
+        val s = evalScalar(store, args.head, tuples, env)
+        val cnt =
+          if (name == "xml:namespace-count") lit(0)
+          else coalesce(size(from_json(
+            to_json(expr(s"variant_get(__v, '$$[''~a'']')")),
+            "map<string,string>", Map.empty[String, String])),
+            lit(0))
+        s.withColumn("__v", when(col("__v").isNull, lit(null))
+          .otherwise(jsonNumber(greatest(cnt, lit(0)))))
       case "sdb:child-count" | "sdb:descendant-count" =>
         // counts under the fused record model (reference sdb/trx/
         // GetChildCount.java, GetDescendantCount.java; the tests pin
@@ -3543,6 +3568,16 @@ object JsoniqRun {
         s.withColumn("__v",
           when(col("__v").isNull, lit(null))
             .otherwise(jsonString(md5(to_json(col("__v"))))))
+      case "sdb:rollback" =>
+        // the reference rolls back an OPEN WRITE transaction (sdb/trx/
+        // Rollback.java:52); a document handle opens a read transaction,
+        // on which the reference throws — this engine's textual updates
+        // auto-commit per statement, so no write transaction is ever
+        // open here and the same error is ALWAYS the right answer
+        throw new UnsupportedOperationException(
+          "sdb:rollback: the transaction is not a write transaction " +
+            "(updates auto-commit per statement; nothing is open to " +
+            "roll back)")
       case "sdb:commit" =>
         // sdb:commit COMMITS the open transaction and returns the new
         // revision (reference function/sdb/trx/Commit.java). Index DDL
@@ -3696,11 +3731,15 @@ object JsoniqRun {
           case other => throw new UnsupportedOperationException(
             s"sdb:revision over ${other.getClass.getSimpleName}")
         }
-      case "sdb:timestamp" | "sdb:author-name" | "sdb:most-recent-revision" =>
+      case "sdb:timestamp" | "sdb:author-name" | "sdb:author-id" |
+          "sdb:most-recent-revision" =>
         // commit metadata of the document's bound revision (reference
         // sdb/trx/GetRevisionTimestamp.java — ISO_INSTANT text —
-        // GetAuthorName.java, GetMostRecentRevision.java): the commit
-        // log stores both fields per revision
+        // GetAuthorName.java, GetAuthorID.java, GetMostRecentRevision
+        // .java): the commit log stores the fields per revision. This
+        // engine identifies users by NAME; sdb:author-id is the name's
+        // deterministic UUID (the reference mints a random UUID per
+        // User — an identifier, not a value queries compute over).
         require(args.size == 1, s"$name(doc)")
         val (c, d, revOpt) = args.head match {
           case Jsoniq.Call("jn:doc", Seq(Jsoniq.StrLit(c0),
@@ -3719,11 +3758,15 @@ object JsoniqRun {
           val cm = revOpt.map(r => cms.find(_.revision == r).getOrElse(
             throw new IllegalArgumentException(
               s"no revision $r for $c/$d"))).getOrElse(cms.last)
-          val out =
-            if (name == "sdb:timestamp")
+          val out = name match {
+            case "sdb:timestamp" =>
               java.time.format.DateTimeFormatter.ISO_INSTANT
                 .format(java.time.Instant.ofEpochMilli(cm.commitTsMs))
-            else cm.author
+            case "sdb:author-id" => java.util.UUID.nameUUIDFromBytes(
+              ("graft-user:" + cm.author)
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString
+            case _ => cm.author
+          }
           tuples.withColumn("__v", jsonString(lit(out)))
         }
       case "sdb:is-deleted" =>
@@ -3833,7 +3876,8 @@ object JsoniqRun {
     "sdb:item-history", "jn:scan-name-index", "jn:first-existing",
     "jn:last-existing", "jn:scan-cas-index-range",
     "jn:scan-valid-time-index", "jn:drop-database", "jn:drop-resource",
-    "jn:select-json-item", "sdb:select-item", "sdb:level-order")
+    "jn:select-json-item", "sdb:select-item", "sdb:level-order",
+    "xml:store", "xml:doc")
 
   /** Does the expression read a table-scan source (size data-bound, so a
     * decorrelated side must NOT be broadcast-hinted)? */
@@ -4277,6 +4321,22 @@ object JsoniqRun {
         store.store(c0, d0, litStr(args(2), "json"))
         tuples.withColumn(POS, array(lit(0L))).withColumn(ITEM, vnull)
           .filter(lit(false)) // empty result sequence
+      case "xml:store" =>
+        // textual XML store (reference function/xml/io/Store.java): the
+        // document lands in the [[XmlItem]] encoding with member-span
+        // shredding, exactly the library storeXml path
+        require(args.size >= 3 && args.size <= 4,
+          "xml:store(collection, doc, xml[, createNew])")
+        args.lift(3).foreach(litBool(_, "createNew")) // validated, unused
+        store.storeXml(litStr(args(0), "collection"), litStr(args(1), "doc"),
+          litStr(args(2), "xml"))
+        tuples.withColumn(POS, array(lit(0L))).withColumn(ITEM, vnull)
+          .filter(lit(false))
+      case "xml:doc" =>
+        // stored XML resources hold their item-model encoding as the
+        // document text — the read IS jn:doc (reference function/xml/
+        // io/Doc.java over the shared resource layer)
+        evalCallSeq(store, "jn:doc", args, tuples, env)
       case "jn:doc" =>
         require(args.size == 2 || args.size == 3, "jn:doc(collection, doc[, rev])")
         val rev = args.lift(2).map {

@@ -190,8 +190,30 @@ private[graft] object NodeKeys {
   /** Child / descendant counts of one item's content — pure functions
     * of the subtree under the fused model (a fused field is one node;
     * reference sdb/trx/GetChildCount.java, GetDescendantCount.java;
-    * GetDescendantCountTest pins {"a":{"b":1}} = 2, excluding self). */
+    * GetDescendantCountTest pins {"a":{"b":1}} = 2, excluding self).
+    * XML items (the `~n`/`~a`/`~c` [[XmlItem]] encoding) count their
+    * STRUCTURAL children/descendants (elements + text nodes — the
+    * reference's axis model; attributes are not children). */
   def treeCounts(json: String): (Long, Long) = {
+    if (json.startsWith("{\"~n\"") || json.startsWith("{\"~a\"")) {
+      val root = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(json)
+      if (root.isObject && root.has("~n")) {
+        def desc(n: com.fasterxml.jackson.databind.JsonNode): Long =
+          if (n.isObject && n.has("~c")) {
+            var d = 0L
+            val it = n.get("~c").elements()
+            while (it.hasNext) d += 1 + desc(it.next())
+            d
+          } else 0L
+        return (Option(root.get("~c")).map(_.size.toLong).getOrElse(0L),
+          desc(root))
+      }
+    }
+    treeCountsJson(json)
+  }
+
+  private def treeCountsJson(json: String): (Long, Long) = {
     val p = factory.createParser(json)
     try {
       val t = p.nextToken()
