@@ -513,6 +513,20 @@ object Bench {
           (System.nanoTime() - t4b) / 1e9
         }.min
         stamp("j_scale_scan")
+        // round-13 distributed node identity: sdb:nodekey over the
+        // same scan's hits — skeleton keys broadcast, member keys
+        // through the bucketed offsets layout + executor-side relative
+        // walks; the 1M members never collect to the driver
+        val qk = "count(distinct-values(for $n in " +
+          "jn:scan-cas-index(jn:doc('c','obj.jn'), 0, '0.99', '>', " +
+          "'/items/[]/w') return sdb:nodekey($n)))"
+        graft.query.JsoniqRun.serialize(st, qk) // warmup
+        val keyQ = (1 to 2).map { _ =>
+          val t4c = System.nanoTime()
+          require(graft.query.JsoniqRun.serialize(st, qk) != "0")
+          (System.nanoTime() - t4c) / 1e9
+        }.min
+        stamp("j_scale_nodekey")
         val xb = new StringBuilder(400000 * 70)
         xb.append("<site><people>")
         var xi = 0
@@ -539,7 +553,7 @@ object Bench {
         stamp("j_scale_xml_query")
         Seq("j_scale_store" -> sSec, "j_scale_query" -> qTimes.min,
           "j_scale_obj_store" -> objStore, "j_scale_obj_query" -> objQ,
-          "j_scale_scan" -> scanQ,
+          "j_scale_scan" -> scanQ, "j_scale_nodekey" -> keyQ,
           "j_scale_xml_store" -> xmlStore, "j_scale_xml_query" -> xmlQ)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] frontend timing failed: ${e.getMessage}")

@@ -844,6 +844,81 @@ object JsoniqRun {
       })
     }
 
+    /** Did ANY revision up to `rev` commit through the update path?
+      * Edit-log revisions inherit keys — only fresh preorder numbering
+      * serves distributed. */
+    private[query] def hasEditChain(collection: String, doc: String,
+                                    rev: Int): Boolean = {
+      val path = docPath(collection, doc)
+      (2 to rev).exists(r =>
+        graft.sources.MetaIO.exists(editsPath(path, r)))
+    }
+
+    /** Member table of one shredded entry with running node-count
+      * offsets: `(idx, member, __nk_n, __nk_off)` plus the entry's
+      * TOTAL node count. `__nk_off` = keys consumed by members
+      * `0..idx-1`, so a member's absolute key is `memberBase +
+      * __nk_off` and a node at preorder offset r inside it adds r.
+      * The offsets PERSIST as a parquet sidecar per immutable revision
+      * (`_nodekeys/<entry>`): the bucketed prefix sum — per-bucket
+      * running windows distribute, the driver holds only the
+      * O(members/64k) bucket totals — runs ONCE; every later query
+      * reads three columns. Node identity over a million-member
+      * document never funnels the members through one process. */
+    private val memberLayoutCache = scala.collection.concurrent.TrieMap
+      .empty[(String, Int, String), (DataFrame, Long)]
+    private[query] def memberKeyLayout(collection: String, doc: String,
+                                       rev: Int, entry: ShredEntry)
+        : (DataFrame, Long) = {
+      val path = docPath(collection, doc)
+      memberLayoutCache.getOrElseUpdate((path, rev, entry.dir), {
+        import spark.implicits._
+        val gb = org.apache.spark.sql.graftbridge.GraftBridge
+        val dirName = if (entry.dir.isEmpty) "root" else entry.dir
+        val offDir = s"$path/_nodekeys/r$rev/$dirName"
+        val metaPath = s"$offDir/_nk_meta.json"
+        val members = readShredEntry(collection, doc, Some(rev), entry)
+          .select(col("idx"), col("member"))
+        if (!graft.sources.MetaIO.exists(metaPath)) {
+          val counts = members
+            .withColumn("__nk_n", gb.column(JsonTreeCounts(
+              gb.expression(to_json(col("member"))))).getField("desc") +
+              lit(1L))
+            .withColumn("__nk_b", (col("idx") / lit(65536L)).cast("long"))
+          val bt = counts.groupBy(col("__nk_b"))
+            .agg(sum("__nk_n").as("__bs"))
+            .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+          var acc = 0L
+          val bases = bt.map { case (b, s) => val r = (b, acc); acc += s; r }
+          val baseDf = bases.toSeq.toDF("__nk_b", "__nk_bb")
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("__nk_b")).orderBy(col("idx"))
+          counts.join(broadcast(baseDf), "__nk_b")
+            .withColumn("__nk_off",
+              col("__nk_bb") + sum(col("__nk_n")).over(w) - col("__nk_n"))
+            .select(col("idx"), col("__nk_n"), col("__nk_off"))
+            .write.mode("overwrite").parquet(offDir)
+          // the meta marker is the COMMIT POINT (same discipline as the
+          // shred's completion marker): a crashed write leaves no marker
+          // and the next reader recomputes. A concurrent writer losing
+          // the create-new race is benign — both computed the same
+          // immutable layout
+          try graft.sources.MetaIO.createNew(metaPath,
+            s"""{"total": $acc}""")
+          catch {
+            case _: org.apache.hadoop.fs.FileAlreadyExistsException => ()
+          }
+        }
+        val total = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(graft.sources.MetaIO.readString(metaPath))
+          .get("total").asLong()
+        // __nk_n stays: the by-key inverse (select-item) range-filters
+        // on [off, off + n)
+        val layout = members.join(spark.read.parquet(offDir), "idx")
+        (layout, total)
+      })
+    }
+
     private[query] val ShredCompleteMarker = "_graft_shredded"
 
     private[query] def shredDir(path: String, rev: Int): String =
@@ -1471,11 +1546,18 @@ object JsoniqRun {
           s"sdb:nodekey: no revisions for $c/$d"))
     JsoniqUpdate.staticTargetIn(argE, env) match {
       case Some(t) =>
-        val tree = store.keyTreeOf(t.collection, t.doc,
-          headRev(t.collection, t.doc))
-        val key = tree.lookup(t.steps).map(_.key).getOrElse(
+        val rev = headRev(t.collection, t.doc)
+        def noNode: Nothing =
           throw new IllegalArgumentException("sdb:nodekey: no node at " +
-            s"${NodeKeys.renderPath(t.steps)} in ${t.collection}/${t.doc}"))
+            s"${NodeKeys.renderPath(t.steps)} in ${t.collection}/${t.doc}")
+        // shredded fresh revisions resolve without the driver tree
+        val key = shreddedKeyCtx(store, t.collection, t.doc, rev)
+          .flatMap(staticShreddedKey(store, _, t.steps)) match {
+          case Some(resolved) => resolved.getOrElse(noNode)
+          case None =>
+            store.keyTreeOf(t.collection, t.doc, rev).lookup(t.steps)
+              .map(_.key).getOrElse(noNode)
+        }
         return tuples.withColumn("__v", jsonNumber(lit(key)))
       case None => ()
     }
@@ -1506,7 +1588,23 @@ object JsoniqRun {
       import store.spark.implicits._
       val (c, d, rev0) = decodeDres(dres)
       val revs: Seq[Int] =
-        if (rev0 >= 0) Seq(rev0) else 1 to headRev(c, d)
+        if (rev0 >= 0) Seq(rev0)
+        else revCol match {
+          // per-row stash: resolve the DISTINCT revisions the rows
+          // actually reference (a scan stashes exactly one — the head)
+          // instead of paying a key tree per historical revision
+          case Some(rc) => frame.select(rc.cast("int").as("__r"))
+            .distinct().collect().map(_.getInt(0)).toSeq.sorted
+          case None => 1 to headRev(c, d)
+        }
+      // shredded fresh revisions serve DISTRIBUTED: skeleton keys by
+      // broadcast, member keys through the offsets table + an
+      // executor-side relative walk — the members never collect
+      if (revs.size == 1)
+        distributedKeyLookup(store, frame, pathCol, c, d, revs.head) match {
+          case Some(df) => return df
+          case None => ()
+        }
       val pk = revs.flatMap(r => store.keyTreeOf(c, d, r).pathKeys
           .map { case (p, k) => (r, p, k) })
         .toDF("__nkr", "__nkp", "__nkk")
@@ -1567,6 +1665,157 @@ object JsoniqRun {
       case other => throw new UnsupportedOperationException(
         s"sdb:nodekey over ${other.getClass.getSimpleName}: no identity")
     }
+  }
+
+  /** Distributed node-key resolution over ONE shredded fresh revision:
+    * the skeleton's (path, key) pairs broadcast (O(elided-document) on
+    * the driver — [[NodeKeys.assignSkeleton]]), member-table keys join
+    * through the bucketed offsets layout
+    * ([[Store.memberKeyLayout]]) with an executor-side relative
+    * preorder walk ([[JsonRelativeKey]]) — the members themselves
+    * never funnel through the driver, matching the reference's
+    * node-page access pattern (a moveTo never materializes the
+    * document). None = not eligible (unshredded, edit-log revision —
+    * keys there inherit through the replay — or an over-cap skeleton):
+    * the caller's driver-tree path takes over with its own cap. */
+  /** Shared prelude of shredded-revision key resolution: the entries,
+    * their offset layouts, the skeleton's (path, key) pairs and each
+    * elided chain's member base. None = the revision is not eligible
+    * (unshredded, edit-log chain, or an over-cap skeleton). */
+  private final case class ShredKeyCtx(
+      entries: Seq[Store#ShredEntry],
+      layouts: Map[List[String], (DataFrame, Long)],
+      skKeys: Seq[(String, Long)],
+      bases: Map[List[String], Long])
+  private def shreddedKeyCtx(store: Store, c: String, d: String,
+                             rev: Int): Option[ShredKeyCtx] = {
+    val entries = store.shredEntries(c, d, Some(rev))
+      .filter(_.kind == "json")
+    if (entries.isEmpty) return None
+    if (store.hasEditChain(c, d, rev)) return None
+    val scanCap = sys.props.get("graft.scan.maxDriverBytes").map(_.toLong)
+      .getOrElse(256L << 20)
+    if (store.docLenOf(c, d, rev) > scanCap) return None
+    val layouts = entries.map(en =>
+      en.steps -> store.memberKeyLayout(c, d, rev, en)).toMap
+    val sk = store.skeletonOf(c, d, rev, entries.map(_.steps),
+      () => store.doc(c, d, Some(rev)).collect().head.getString(0))
+    val (skKeys, bases) = NodeKeys.assignSkeleton(sk.root, sk.slots,
+      layouts.map { case (steps, (_, total)) => steps -> total })
+    Some(ShredKeyCtx(entries, layouts, skKeys, bases))
+  }
+
+  /** A STATIC pointer's key over a shredded fresh revision: skeleton
+    * pointers read the assignment directly; pointers into an elided
+    * member list read ONE offsets row (a filtered distributed read —
+    * the document never collects). Outer None = pointer form not
+    * eligible here (the caller's tree path takes over); inner None =
+    * resolved, NO NODE at the pointer (the caller's no-node error). */
+  private def staticShreddedKey(store: Store, ctx: ShredKeyCtx,
+                                steps: List[Either[String, Int]])
+      : Option[Option[Long]] = {
+    // member-list pointer: entry chain + [idx] + rest
+    ctx.entries.foreach { en =>
+      val n = en.steps.length
+      if (steps.length > n &&
+          steps.take(n) == en.steps.map(Left(_): Either[String, Int])) {
+        steps(n) match {
+          case Right(idx) =>
+            val (layout, _) = ctx.layouts(en.steps)
+            val row = layout.filter(col("idx") === idx)
+              .select(col("__nk_off"), to_json(col("member"))).collect()
+            if (row.isEmpty) return Some(None) // absent member
+            val rest = steps.drop(n + 1)
+            return Some(NodeKeys.relativeOffset(row.head.getString(1), rest)
+              .map(ctx.bases(en.steps) + row.head.getLong(0) + _))
+          case _ => return None // field named like the chain: tree path
+        }
+      }
+    }
+    Some(ctx.skKeys.find(_._1 == NodeKeys.renderPath(steps)).map(_._2))
+  }
+
+  /** Inverse key lookup over a shredded fresh revision (select-item):
+    * skeleton keys answer from the assignment; a key inside an elided
+    * member range reads exactly ONE member row by its offset interval
+    * and inverts the relative preorder walk inside that member. */
+  private def shreddedPathOfKey(store: Store, ctx: ShredKeyCtx, key: Long)
+      : Option[List[Either[String, Int]]] = {
+    ctx.skKeys.find(_._2 == key) match {
+      case Some((p, _)) => return Some(NodeKeys.parsePath(p))
+      case None => ()
+    }
+    ctx.entries.foreach { en =>
+      val base = ctx.bases(en.steps)
+      val (layout, total) = ctx.layouts(en.steps)
+      if (key >= base && key < base + total) {
+        val k = key - base
+        val row = layout
+          .filter(col("__nk_off") <= k &&
+            lit(k) < col("__nk_off") + col("__nk_n"))
+          .select(col("idx"), to_json(col("member")), col("__nk_off"))
+          .collect().head
+        val rel = k - row.getLong(2)
+        val sub = NodeKeys.build(row.getString(1)).pathOfKey(rel + 1)
+          .getOrElse(throw new IllegalStateException(
+            s"member offsets inconsistent at key $key"))
+        return Some(en.steps.map(Left(_): Either[String, Int]) ++
+          (Right(row.getAs[Number](0).intValue) :: sub))
+      }
+    }
+    None
+  }
+
+  private def distributedKeyLookup(store: Store, frame: DataFrame,
+                                   pathCol: Column, c: String, d: String,
+                                   rev: Int): Option[DataFrame] = {
+    val ctx = shreddedKeyCtx(store, c, d, rev) match {
+      case Some(x) => x
+      case None => return None
+    }
+    import store.spark.implicits._
+    val gb = org.apache.spark.sql.graftbridge.GraftBridge
+    val entries = ctx.entries
+    val layouts = ctx.layouts
+    val skKeys = ctx.skKeys
+    val bases = ctx.bases
+    var out = frame.join(broadcast(skKeys.toDF("__nkp", "__nkk")),
+      pathCol === col("__nkp"), "left")
+    var keyCol: Column = col("__nkk")
+    val dropCols = Seq.newBuilder[String]
+    dropCols ++= Seq("__nkp", "__nkk")
+    entries.zipWithIndex.foreach { case (en, i) =>
+      val chainPath = en.steps.map("/" + _).mkString
+      val base = bases(en.steps)
+      val (layout, _) = layouts(en.steps)
+      val esc = java.util.regex.Pattern.quote(chainPath)
+      val pat = s"^$esc/\\[(\\d+)\\](.*)$$"
+      // the join key MATERIALIZES as a column first — an equi-join
+      // Catalyst plans as a hash join; a computed-key condition risks
+      // a nested-loop plan (measured: 54 s vs sub-second on the
+      // 1M-member bench fixture)
+      val idxS = regexp_extract(pathCol, pat, 1)
+      out = out
+        .withColumn(s"__ji$i",
+          when(idxS =!= "", idxS.cast("long")).otherwise(lit(null)))
+        .withColumn(s"__jr$i", regexp_extract(pathCol, pat, 2))
+      val l = layout.select(col("idx").as(s"__mi$i"),
+        col("member").as(s"__mm$i"), col("__nk_off").as(s"__mo$i"))
+      out = out.join(l, col(s"__ji$i") === col(s"__mi$i"), "left")
+      // member-self hits (empty rest — CAS member hits, member
+      // bindings) skip the relative walk entirely
+      val rel = when(col(s"__jr$i") === "", lit(0L))
+        .otherwise(gb.column(JsonRelativeKey(
+          gb.expression(to_json(col(s"__mm$i"))),
+          gb.expression(col(s"__jr$i")))))
+      keyCol = coalesce(keyCol,
+        when(col(s"__mi$i").isNotNull, lit(base) + col(s"__mo$i") + rel))
+      dropCols ++= Seq(s"__ji$i", s"__jr$i", s"__mi$i", s"__mm$i",
+        s"__mo$i")
+    }
+    Some(out.withColumn("__v", when(keyCol.isNull, lit(null))
+        .otherwise(jsonNumber(keyCol)))
+      .drop(dropCols.result(): _*))
   }
 
   // ------------------------------------------------------- sequence eval
@@ -4374,9 +4623,13 @@ object JsoniqRun {
           .mostRecentRevision(store.docPath(c, d))
           .getOrElse(throw new IllegalArgumentException(
             s"$name: no revisions for $c/$d")))
-        val ptr = store.keyTreeOf(c, d, headRev).pathOfKey(key)
-          .getOrElse(throw new IllegalArgumentException(
-            s"$name: no node with key $key in $c/$d rev $headRev"))
+        // shredded fresh revisions invert the key without the driver
+        // tree ([[shreddedPathOfKey]] — one member row read)
+        val ptr = (shreddedKeyCtx(store, c, d, headRev) match {
+          case Some(ctx) => shreddedPathOfKey(store, ctx, key)
+          case None => store.keyTreeOf(c, d, headRev).pathOfKey(key)
+        }).getOrElse(throw new IllegalArgumentException(
+          s"$name: no node with key $key in $c/$d rev $headRev"))
         val docE: Expr = Call("jn:doc",
           Seq(StrLit(c), StrLit(d)) ++ rev.map(r => NumLit(r.toString)))
         evalSeq(store, ptr.foldLeft(docE) {

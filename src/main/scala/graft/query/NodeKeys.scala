@@ -251,6 +251,60 @@ private[graft] object NodeKeys {
     } finally p.close()
   }
 
+  /** Preorder offset of `ptr` inside ONE member's subtree under the
+    * fused model (0 = the member itself) — the executor-side arm of
+    * distributed node-key resolution: a shredded member's absolute key
+    * is `memberBase + prefixOffset(idx) + relativeOffset(ptr)`. */
+  def relativeOffset(memberJson: String,
+                     ptr: List[Either[String, Int]]): Option[Long] =
+    build(memberJson).lookup(ptr).map(_.key - 1)
+
+  /** Fused-preorder key assignment over a SKELETON (a shredded
+    * revision's tree with member lists elided — [[JsonPath.Skeleton]]):
+    * every skeleton node gets its key exactly as the full walk would
+    * assign it, each elided array's members consume `entryTotals(chain)`
+    * keys in place. Returns the skeleton's (printed path, key) pairs
+    * (the [[KTree.pathKeys]] dialect) and each elided chain's
+    * `memberBase` (the key of member 0). Driver cost is O(skeleton):
+    * the members never materialize. */
+  def assignSkeleton(root: com.fasterxml.jackson.databind.JsonNode,
+                     slots: java.util.IdentityHashMap[
+                       com.fasterxml.jackson.databind.JsonNode, List[String]],
+                     entryTotals: Map[List[String], Long])
+      : (Seq[(String, Long)], Map[List[String], Long]) = {
+    val out = mutable.ArrayBuffer.empty[(String, Long)]
+    val bases = mutable.Map.empty[List[String], Long]
+    var next = 1L
+    def walk(n: com.fasterxml.jackson.databind.JsonNode,
+             path: String): Unit = {
+      val slotChain = slots.get(n)
+      if (slotChain != null) {
+        // the elided array node itself: one key, then its members'
+        // whole key range
+        out += ((path, next)); next += 1
+        bases(slotChain) = next
+        next += entryTotals.getOrElse(slotChain,
+          throw new IllegalStateException(
+            s"no member total for elided chain $slotChain"))
+        return
+      }
+      out += ((path, next)); next += 1
+      if (n.isObject) {
+        val it = n.fields()
+        while (it.hasNext) {
+          val e = it.next()
+          walk(e.getValue, s"$path/${e.getKey}")
+        }
+      } else if (n.isArray) {
+        val it = n.elements()
+        var i = 0
+        while (it.hasNext) { walk(it.next(), s"$path/[$i]"); i += 1 }
+      }
+    }
+    walk(root, "")
+    (out.toSeq, bases.toMap)
+  }
+
   /** One recorded update operation, exactly what
     * [[JsoniqUpdate.applyAll]] committed (applied order). */
   final case class Edit(kind: String, ptr: List[Either[String, Int]],

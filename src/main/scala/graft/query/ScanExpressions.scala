@@ -119,3 +119,28 @@ final case class JsonLevelOrder(child: Expression, maxLevel: Int)
 private object JsonLevelOrder {
   val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 }
+
+/** Preorder offset of a printed path inside ONE shredded member's
+  * subtree (fused model; 0 = the member itself, null when the path
+  * does not exist) — the executor-side arm of distributed node-key
+  * resolution over member tables ([[NodeKeys.relativeOffset]]).
+  * `left` = the member's JSON text, `right` = the path WITHIN the
+  * member (the scan hit's identity path minus the `/chain/[idx]`
+  * prefix; "" = the member itself). */
+final case class JsonRelativeKey(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "json_relative_key"
+
+  override protected def nullSafeEval(json: Any, path: Any): Any =
+    NodeKeys.relativeOffset(
+      json.asInstanceOf[UTF8String].toString,
+      NodeKeys.parsePath(path.asInstanceOf[UTF8String].toString))
+      .map(Long.box).orNull
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JsonRelativeKey =
+    copy(left = newLeft, right = newRight)
+}

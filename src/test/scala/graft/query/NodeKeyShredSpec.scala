@@ -1,0 +1,115 @@
+package graft.query
+
+import graft.SparkSpec
+
+/** Distributed node-key resolution over shredded revisions
+  * ([[JsoniqRun]]'s distributedKeyLookup: skeleton keys broadcast,
+  * member keys through the bucketed offsets layout + executor-side
+  * relative walks) must agree EXACTLY with the driver tree path
+  * (NodeKeys.build over the full document) — same queries run against
+  * a shredded store (threshold 1 byte) and an unshredded one. */
+class NodeKeyShredSpec extends SparkSpec {
+
+  private def withShredded[A](body: JsoniqRun.Store => A): A = {
+    val prev = sys.props.get("graft.shred.min")
+    sys.props("graft.shred.min") = "1"
+    try body(new JsoniqRun.Store(spark,
+      java.nio.file.Files.createTempDirectory("graft-nkshred").toString))
+    finally prev match {
+      case Some(v) => sys.props("graft.shred.min") = v
+      case None => sys.props.remove("graft.shred.min"); ()
+    }
+  }
+  private def plainStore(): JsoniqRun.Store =
+    new JsoniqRun.Store(spark,
+      java.nio.file.Files.createTempDirectory("graft-nkplain").toString)
+
+  // object-rooted with TWO shreddable arrays and fields BEFORE, BETWEEN
+  // and AFTER them — the skeleton assignment must continue numbering
+  // across each elided member range
+  private val doc = """{"meta": {"name": "corpus"}, "items": [""" +
+    (1 to 20).map(i => s"""{"v": $i, "w": {"x": ${i % 3}}}""")
+      .mkString(",") +
+    """], "mid": true, "tags": [""" +
+    (1 to 20).map(i => s""""t$i"""").mkString(",") + """], "tail": 9}"""
+
+  private val queries = Seq(
+    "sdb:nodekey(jn:doc('c','d'))",
+    "sdb:nodekey(jn:doc('c','d').meta)",
+    "sdb:nodekey(jn:doc('c','d').meta.name)",
+    "sdb:nodekey(jn:doc('c','d').items)",
+    "sdb:nodekey(jn:doc('c','d').mid)",
+    "sdb:nodekey(jn:doc('c','d').tags)",
+    "sdb:nodekey(jn:doc('c','d').tail)",
+    "for $i in jn:doc('c','d').items[] return sdb:nodekey($i)",
+    "for $i in jn:doc('c','d').items[] return sdb:nodekey($i.v)",
+    "for $i in jn:doc('c','d').items[] return sdb:nodekey($i.w.x)",
+    "for $t in jn:doc('c','d').tags[] return sdb:nodekey($t)")
+
+  test("shredded and unshredded stores assign identical node keys") {
+    val plain = plainStore()
+    plain.store("c", "d", doc)
+    val want = queries.map(q => JsoniqRun.serialize(plain, q))
+    withShredded { st =>
+      st.store("c", "d", doc)
+      // the distributed arm must actually be eligible
+      assert(st.shredEntries("c", "d", None).count(_.kind == "json") == 2)
+      queries.zip(want).foreach { case (q, w) =>
+        assert(JsoniqRun.serialize(st, q) === w, s"\nquery: $q")
+      }
+    }
+  }
+
+  test("static pointers agree with NodeKeys.build ground truth") {
+    val truth = NodeKeys.build(doc)
+    withShredded { st =>
+      st.store("c", "d", doc)
+      def key(p: Either[String, Int]*): Long =
+        truth.lookup(p.toList).map(_.key).get
+      assert(JsoniqRun.serialize(st,
+        "for $i in jn:doc('c','d').items[] return sdb:nodekey($i)")
+        .split(" ").head.toLong === key(Left("items"), Right(0)))
+      assert(JsoniqRun.serialize(st, "sdb:nodekey(jn:doc('c','d').tail)")
+        .toLong === key(Left("tail")))
+    }
+  }
+
+  test("select-item inverts keys without the driver tree") {
+    val truth = NodeKeys.build(doc)
+    withShredded { st =>
+      st.store("c", "d", doc)
+      // a key deep inside the first member list
+      val k1 = truth.lookup(List(Left("items"), Right(7), Left("w"),
+        Left("x"))).map(_.key).get
+      assert(JsoniqRun.serialize(st,
+        s"jn:select-json-item(jn:doc('c','d'), $k1)") === "2")
+      // a skeleton key (field after both member lists)
+      val k2 = truth.lookup(List(Left("tail"))).map(_.key).get
+      assert(JsoniqRun.serialize(st,
+        s"jn:select-json-item(jn:doc('c','d'), $k2)") === "9")
+      // a member's own key
+      val k3 = truth.lookup(List(Left("tags"), Right(4))).map(_.key).get
+      assert(JsoniqRun.serialize(st,
+        s"jn:select-json-item(jn:doc('c','d'), $k3)") === "\"t5\"")
+      // absent key still throws
+      intercept[IllegalArgumentException](JsoniqRun.serialize(st,
+        s"jn:select-json-item(jn:doc('c','d'), ${truth.maxKey + 10})"))
+    }
+  }
+
+  test("scan-hit node keys resolve distributed (member CAS identity)") {
+    withShredded { st =>
+      st.store("c", "d", doc)
+      JsoniqRun.serialize(st,
+        """let $doc := jn:doc('c','d')
+          |let $s := jn:create-cas-index($doc, 'xs:string', '/tags/[]')
+          |return {"revision": sdb:commit($doc)}""".stripMargin)
+      val got = JsoniqRun.serialize(st,
+        """for $n in jn:scan-cas-index(jn:doc('c','d'), 0, 't3', '==', '/tags/[]')
+          |return sdb:nodekey($n)""".stripMargin)
+      val truth = NodeKeys.build(doc)
+      assert(got === truth.lookup(List(Left("tags"), Right(2)))
+        .map(_.key).get.toString)
+    }
+  }
+}
