@@ -1686,7 +1686,8 @@ object JsoniqRun {
       entries: Seq[Store#ShredEntry],
       layouts: Map[List[String], (DataFrame, Long)],
       skKeys: Seq[(String, Long)],
-      bases: Map[List[String], Long])
+      bases: Map[List[String], Long],
+      skeleton: JsonPath.Skeleton)
   private def shreddedKeyCtx(store: Store, c: String, d: String,
                              rev: Int): Option[ShredKeyCtx] = {
     val entries = store.shredEntries(c, d, Some(rev))
@@ -1702,7 +1703,7 @@ object JsoniqRun {
       () => store.doc(c, d, Some(rev)).collect().head.getString(0))
     val (skKeys, bases) = NodeKeys.assignSkeleton(sk.root, sk.slots,
       layouts.map { case (steps, (_, total)) => steps -> total })
-    Some(ShredKeyCtx(entries, layouts, skKeys, bases))
+    Some(ShredKeyCtx(entries, layouts, skKeys, bases, sk))
   }
 
   /** A STATIC pointer's key over a shredded fresh revision: skeleton
@@ -1738,11 +1739,22 @@ object JsoniqRun {
   /** Inverse key lookup over a shredded fresh revision (select-item):
     * skeleton keys answer from the assignment; a key inside an elided
     * member range reads exactly ONE member row by its offset interval
-    * and inverts the relative preorder walk inside that member. */
+    * and inverts the relative preorder walk inside that member. Also
+    * reports whether the node is an ARRAY (sdb:path's trailing `/[]`
+    * rendering). */
   private def shreddedPathOfKey(store: Store, ctx: ShredKeyCtx, key: Long)
-      : Option[List[Either[String, Int]]] = {
+      : Option[(List[Either[String, Int]], Boolean)] = {
     ctx.skKeys.find(_._2 == key) match {
-      case Some((p, _)) => return Some(NodeKeys.parsePath(p))
+      case Some((p, _)) =>
+        val ptr = NodeKeys.parsePath(p)
+        // arrayness from the skeleton: a placeholder IS an elided array
+        var n = ctx.skeleton.root
+        ptr.foreach {
+          case Left(f) => n = if (n == null) null else n.get(f)
+          case Right(i) => n = if (n == null) null else n.get(i)
+        }
+        return Some((ptr,
+          n != null && (n.isArray || ctx.skeleton.slots.containsKey(n))))
       case None => ()
     }
     ctx.entries.foreach { en =>
@@ -1756,14 +1768,54 @@ object JsoniqRun {
           .select(col("idx"), to_json(col("member")), col("__nk_off"))
           .collect().head
         val rel = k - row.getLong(2)
-        val sub = NodeKeys.build(row.getString(1)).pathOfKey(rel + 1)
+        val sub = NodeKeys.build(row.getString(1))
+        val subPtr = sub.pathOfKey(rel + 1)
           .getOrElse(throw new IllegalStateException(
             s"member offsets inconsistent at key $key"))
-        return Some(en.steps.map(Left(_): Either[String, Int]) ++
-          (Right(row.getAs[Number](0).intValue) :: sub))
+        val isArr = sub.lookup(subPtr).exists(_.kind == NodeKeys.KArr)
+        return Some((en.steps.map(Left(_): Either[String, Int]) ++
+          (Right(row.getAs[Number](0).intValue) :: subPtr), isArr))
       }
     }
     None
+  }
+
+  /** Shared resolution of a `select-item`-shaped call: the document,
+    * its optional literal revision, the head revision actually used,
+    * the key's concrete pointer and the node's arrayness. */
+  private def selectItemResolve(store: Store, name: String,
+                                args: Seq[Jsoniq.Expr])
+      : (String, String, Option[Int], Int,
+         List[Either[String, Int]], Boolean) = {
+    import Jsoniq._
+    require(args.size == 2, s"$name(doc, nodeKey)")
+    val (c, d, rev) = args.head match {
+      case Call("jn:doc", Seq(StrLit(c0), StrLit(d0))) => (c0, d0, None)
+      case Call("jn:doc", Seq(StrLit(c0), StrLit(d0), NumLit(t)))
+          if !t.contains(".") => (c0, d0, Some(t.toInt))
+      case other => throw new UnsupportedOperationException(
+        s"$name needs a jn:doc(collection, doc[, rev]) target, got $other")
+    }
+    val key = args(1) match {
+      case NumLit(t) if !t.contains(".") => t.toLong
+      case other => throw new UnsupportedOperationException(
+        s"$name node-key literal, got $other")
+    }
+    val headRev = rev.getOrElse(graft.sources.TemporalTable
+      .mostRecentRevision(store.docPath(c, d))
+      .getOrElse(throw new IllegalArgumentException(
+        s"$name: no revisions for $c/$d")))
+    // shredded fresh revisions invert the key without the driver tree
+    // ([[shreddedPathOfKey]] — one member row read)
+    val (ptr, isArr) = (shreddedKeyCtx(store, c, d, headRev) match {
+      case Some(ctx) => shreddedPathOfKey(store, ctx, key)
+      case None =>
+        val t = store.keyTreeOf(c, d, headRev)
+        t.pathOfKey(key).map(p =>
+          (p, t.lookup(p).exists(_.kind == NodeKeys.KArr)))
+    }).getOrElse(throw new IllegalArgumentException(
+      s"$name: no node with key $key in $c/$d rev $headRev"))
+    (c, d, rev, headRev, ptr, isArr)
   }
 
   private def distributedKeyLookup(store: Store, frame: DataFrame,
@@ -4088,6 +4140,16 @@ object JsoniqRun {
         args.head match {
           case Jsoniq.Call("sdb:select-parent", Seq(inner)) =>
             pathOf(inner, "ppath")
+          case Jsoniq.Call(sn, sargs)
+              if sn == "sdb:select-item" || sn == "jn:select-json-item" =>
+            // printed path of a by-key selection (GetPathTest's
+            // composition): the pointer resolves statically; ARRAY
+            // nodes render their own trailing `/[]` (the engine-wide
+            // Hit.path convention)
+            val (_, _, _, _, ptr, isArr) =
+              selectItemResolve(store, sn, sargs)
+            tuples.withColumn("__v", jsonString(lit(
+              NodeKeys.renderPath(ptr) + (if (isArr) "/[]" else ""))))
           case other => pathOf(other, "path")
         }
       case "sdb:nodekey" =>
@@ -4606,30 +4668,7 @@ object JsoniqRun {
         // concrete pointer, then the value serves through the normal
         // deref/index chain (shred fast paths included) — the document
         // never collects for the selection itself.
-        require(args.size == 2, s"$name(doc, nodeKey)")
-        val (c, d, rev) = args.head match {
-          case Call("jn:doc", Seq(StrLit(c0), StrLit(d0))) => (c0, d0, None)
-          case Call("jn:doc", Seq(StrLit(c0), StrLit(d0), NumLit(t)))
-              if !t.contains(".") => (c0, d0, Some(t.toInt))
-          case other => throw new UnsupportedOperationException(
-            s"$name needs a jn:doc(collection, doc[, rev]) target, got $other")
-        }
-        val key = args(1) match {
-          case NumLit(t) if !t.contains(".") => t.toLong
-          case other => throw new UnsupportedOperationException(
-            s"$name node-key literal, got $other")
-        }
-        val headRev = rev.getOrElse(graft.sources.TemporalTable
-          .mostRecentRevision(store.docPath(c, d))
-          .getOrElse(throw new IllegalArgumentException(
-            s"$name: no revisions for $c/$d")))
-        // shredded fresh revisions invert the key without the driver
-        // tree ([[shreddedPathOfKey]] — one member row read)
-        val ptr = (shreddedKeyCtx(store, c, d, headRev) match {
-          case Some(ctx) => shreddedPathOfKey(store, ctx, key)
-          case None => store.keyTreeOf(c, d, headRev).pathOfKey(key)
-        }).getOrElse(throw new IllegalArgumentException(
-          s"$name: no node with key $key in $c/$d rev $headRev"))
+        val (c, d, rev, _, ptr, _) = selectItemResolve(store, name, args)
         val docE: Expr = Call("jn:doc",
           Seq(StrLit(c), StrLit(d)) ++ rev.map(r => NumLit(r.toString)))
         evalSeq(store, ptr.foldLeft(docE) {
