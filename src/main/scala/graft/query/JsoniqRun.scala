@@ -844,14 +844,22 @@ object JsoniqRun {
       })
     }
 
-    /** Did ANY revision up to `rev` commit through the update path?
+    /** Did ANY revision up to `rev` commit a NON-EMPTY edit log?
       * Edit-log revisions inherit keys — only fresh preorder numbering
-      * serves distributed. */
+      * serves distributed. Empty logs (content-identical commits —
+      * sdb:commit's byte copy) keep fresh numbering valid. Cached per
+      * revision: logs are immutable. */
+    private val editChainCache = scala.collection.concurrent.TrieMap
+      .empty[(String, Int), Boolean]
     private[query] def hasEditChain(collection: String, doc: String,
                                     rev: Int): Boolean = {
       val path = docPath(collection, doc)
-      (2 to rev).exists(r =>
-        graft.sources.MetaIO.exists(editsPath(path, r)))
+      (2 to rev).exists(r => editChainCache.getOrElseUpdate((path, r), {
+        val ep = editsPath(path, r)
+        graft.sources.MetaIO.exists(ep) &&
+          NodeKeys.editsFromJson(
+            graft.sources.MetaIO.readString(ep)).nonEmpty
+      }))
     }
 
     /** Member table of one shredded entry with running node-count
@@ -3895,6 +3903,12 @@ object JsoniqRun {
         val rev = graft.sources.TemporalTable
           .commitCopyOf(path, head, message = "sdb:commit")
         store.copyShred(c, d, head, rev)
+        // content-identical commit = NODE KEYS IDENTICAL to the copied
+        // revision (the reference's empty commit keeps its page trees):
+        // an EMPTY edit log makes keyTreeOf inherit instead of
+        // renumbering fresh — without it, committing after an update
+        // would silently re-mint every key the update preserved
+        store.logEdits(c, d, rev, Seq.empty)
         tuples.withColumn("__v", jsonNumber(lit(rev.toLong)))
       case "jn:create-cas-index" | "jn:create-path-index" |
           "jn:create-name-index" | "jn:find-cas-index" |

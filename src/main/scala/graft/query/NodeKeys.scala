@@ -36,11 +36,16 @@ import scala.collection.mutable
   * node (JsonNodeTrxImpl.replaceObjectRecordValue: remove + re-insert).
   * [[graft.query.JsoniqUpdate.applyAll]] records each committed edit in
   * a per-revision sidecar; [[JsoniqRun.Store]] replays the chain
-  * lazily. One documented divergence: when a single statement applies
-  * SEVERAL inserts, the reference numbers fresh nodes in pending-update-
-  * list order while this engine numbers them in its application order
-  * (descending document order); keys differ only between those sibling
-  * inserts, never for pre-existing nodes. */
+  * lazily. Two documented divergences: (1) when a single statement
+  * applies SEVERAL inserts, the reference numbers fresh nodes in
+  * pending-update-list order while this engine numbers them in its
+  * application order (descending document order); keys differ only
+  * between those sibling inserts, never for pre-existing nodes.
+  * (2) `revertTo` commits a fresh revision whose keys number
+  * fused-preorder from 1 — identical to the reverted-to revision when
+  * that revision was itself a fresh store, but an update-derived
+  * revision's gapped keys are not reproduced (the reference restores
+  * the old page trees, keys included). */
 private[graft] object NodeKeys {
 
   final val KStr = 0; final val KNum = 1; final val KBool = 2

@@ -193,6 +193,18 @@ class NodeIdentitySpec extends SparkSpec {
     assert(run(st, "sdb:nodekey(jn:doc('json-path1','mydoc.jn')[2].d)") === "9")
   }
 
+  test("sdb:commit keeps node keys (content-identical empty commit)") {
+    val st = freshStore()
+    run(st, """jn:store('json-path1','mydoc.jn','[{"a":1},{"b":2},{"c":3}]')""")
+    run(st, "delete json jn:doc('json-path1','mydoc.jn')[1]")
+    // survivor {"c":3} keeps key 6 across the update...
+    assert(run(st, "sdb:nodekey(jn:doc('json-path1','mydoc.jn')[1])") === "6")
+    // ...and across a byte-copy commit (an empty commit keeps the
+    // page trees in the reference — keys must not re-mint)
+    run(st, "sdb:commit(jn:doc('json-path1','mydoc.jn'))")
+    assert(run(st, "sdb:nodekey(jn:doc('json-path1','mydoc.jn')[1])") === "6")
+  }
+
   test("select-item resolves against the queried revision's own tree") {
     val st = freshStore()
     run(st, """jn:store('json-path1','mydoc.jn','["original"]')""")
