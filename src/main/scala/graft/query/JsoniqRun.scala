@@ -263,13 +263,31 @@ object JsoniqRun {
               edits: Option[Seq[NodeKeys.Edit]] = None): Unit = {
       import spark.implicits._
       val path = docPath(collection, doc)
-      val rev = graft.sources.TemporalTable.write(
-        Seq(json).toDF("doc_json"), path)
       // update-derived revisions record their edit log so node keys
       // stay stable across the chain ([[keyTreeOf]]); a fresh store
       // has no log — its keys number from 1 like the reference's
-      // shredder on a new resource
-      edits.foreach(es => logEdits(collection, doc, rev, es))
+      // shredder on a new resource. The log writes BEFORE the revision
+      // commit (predicted number): the log is identity SOURCE OF TRUTH,
+      // so a crash between revision and log must not leave a durable
+      // update-derived revision that silently renumbers fresh — the
+      // safe crash residue is an orphan log for a revision that never
+      // committed, which the next store attempt clears here.
+      val predicted = graft.sources.TemporalTable
+        .mostRecentRevision(path).getOrElse(0) + 1
+      graft.sources.MetaIO.delete(editsPath(path, predicted))
+      evictEditState(path, predicted)
+      edits.foreach(es => logEdits(collection, doc, predicted, es))
+      val rev = graft.sources.TemporalTable.write(
+        Seq(json).toDF("doc_json"), path)
+      if (rev != predicted) {
+        // lost a commit race: our pre-written log (if any) belongs to
+        // a revision someone else committed — re-log at the real number
+        graft.sources.MetaIO.delete(editsPath(path, predicted))
+        evictEditState(path, predicted)
+        graft.sources.MetaIO.delete(editsPath(path, rev))
+        evictEditState(path, rev)
+        edits.foreach(es => logEdits(collection, doc, rev, es))
+      }
       // the shred is a serving sidecar, not the source of truth: the
       // revision above is already durable, so a shred failure (e.g.
       // member text the strict parquet write rejects) must not fail the
@@ -677,6 +695,10 @@ object JsoniqRun {
       shredMetaCache.keys.filter(_._1 == path).foreach(shredMetaCache.remove)
       shredDfCache.keys.filter(_._1 == path).foreach(shredDfCache.remove)
       keyTreeCache.keys.filter(_._1 == path).foreach(keyTreeCache.remove)
+      memberLayoutCache.keys.filter(_._1 == path)
+        .foreach(memberLayoutCache.remove)
+      editChainCache.keys.filter(_._1 == path)
+        .foreach(editChainCache.remove)
       ()
     }
 
@@ -807,6 +829,13 @@ object JsoniqRun {
       .empty[(String, Int), NodeKeys.KTree]
     private def editsPath(path: String, rev: Int): String =
       s"$path/_edits/r$rev.json"
+    /** Evict per-revision identity caches after clearing an edit log
+      * (crashed-attempt residue or a lost commit race). */
+    private def evictEditState(path: String, rev: Int): Unit = {
+      editChainCache.remove((path, rev))
+      keyTreeCache.remove((path, rev))
+      ()
+    }
     /** Record the update operations that produced revision `rev` —
       * the replay log [[keyTreeOf]] derives stable node keys from. */
     private[query] def logEdits(collection: String, doc: String, rev: Int,
@@ -890,7 +919,8 @@ object JsoniqRun {
         if (!graft.sources.MetaIO.exists(metaPath)) {
           val counts = members
             .withColumn("__nk_n", gb.column(JsonTreeCounts(
-              gb.expression(to_json(col("member"))))).getField("desc") +
+              gb.expression(to_json(col("member"))),
+              jsonOnly = true)).getField("desc") +
               lit(1L))
             .withColumn("__nk_b", (col("idx") / lit(65536L)).cast("long"))
           val bt = counts.groupBy(col("__nk_b"))
@@ -1513,7 +1543,17 @@ object JsoniqRun {
           "sdb:item-history")(n) =>
       args.headOption.flatMap(a =>
         scala.util.Try(resolveDocArg(a, env)).toOption).map {
-        case (c, d) => encodeDres(c, d, -1)
+        case (c, d) =>
+          // index scans serve exactly the HEAD revision — encoding it
+          // here lets lookupJoin skip the distinct-revisions probe (a
+          // full extra execution of the scan subtree); the temporal
+          // axes stash genuinely per-row revisions (-1)
+          val rev =
+            if (n.startsWith("jn:scan"))
+              graft.sources.TemporalTable
+                .mostRecentRevision(store.docPath(c, d)).getOrElse(-1)
+            else -1
+          encodeDres(c, d, rev)
       }
     case Jsoniq.FilterPred(b, _) => resourceOfNodeSource(store, b, env)
     case _ => None
@@ -1555,17 +1595,10 @@ object JsoniqRun {
     JsoniqUpdate.staticTargetIn(argE, env) match {
       case Some(t) =>
         val rev = headRev(t.collection, t.doc)
-        def noNode: Nothing =
-          throw new IllegalArgumentException("sdb:nodekey: no node at " +
-            s"${NodeKeys.renderPath(t.steps)} in ${t.collection}/${t.doc}")
-        // shredded fresh revisions resolve without the driver tree
-        val key = shreddedKeyCtx(store, t.collection, t.doc, rev)
-          .flatMap(staticShreddedKey(store, _, t.steps)) match {
-          case Some(resolved) => resolved.getOrElse(noNode)
-          case None =>
-            store.keyTreeOf(t.collection, t.doc, rev).lookup(t.steps)
-              .map(_.key).getOrElse(noNode)
-        }
+        val key = staticKeyOf(store, t.collection, t.doc, rev, t.steps)
+          .getOrElse(throw new IllegalArgumentException(
+            "sdb:nodekey: no node at " +
+              s"${NodeKeys.renderPath(t.steps)} in ${t.collection}/${t.doc}"))
         return tuples.withColumn("__v", jsonNumber(lit(key)))
       case None => ()
     }
@@ -1577,9 +1610,8 @@ object JsoniqRun {
     if (expanded != argE)
       JsoniqUpdate.staticTargetIn(expanded, env) match {
         case Some(t) =>
-          val tree = store.keyTreeOf(t.collection, t.doc,
-            headRev(t.collection, t.doc))
-          val keyOpt = tree.lookup(t.steps).map(_.key)
+          val keyOpt = staticKeyOf(store, t.collection, t.doc,
+            headRev(t.collection, t.doc), t.steps)
           val gate = evalScalar(store, argE, tuples, env)
           return gate.withColumn("__v", keyOpt match {
             case Some(k) => when(col("__v").isNull, lit(null))
@@ -1662,11 +1694,20 @@ object JsoniqRun {
               "sdb:nodekey: node source emitted no path stash")
             val pc = if (s.columns.contains("__sipath")) col("__sipath")
               else col("__spath")
-            lookupJoin(s, norm(pc), dres,
+            // the peeled deref/index suffix addresses a node INSIDE
+            // the hit — its path appends to the hit's own (same rule
+            // as the VarRef arm)
+            val pathC =
+              if (suffix.isEmpty) norm(pc)
+              else concat(norm(pc), lit(NodeKeys.renderPath(suffix)))
+            lookupJoin(s, pathC, dres,
               if (s.columns.contains("__srev")) Some(col("__srev"))
               else None)
               .drop("__spath", "__sppath", "__sipath", "__srev",
                 "__sprev", "__snext")
+              // scalar contract: the caller's columns + __v only (the
+              // eval frame's own item/pos would collide downstream)
+              .drop(ITEM, POS)
           case None => throw new UnsupportedOperationException(
             s"sdb:nodekey over ${call.name}(...): not a node source")
         }
@@ -1675,17 +1716,6 @@ object JsoniqRun {
     }
   }
 
-  /** Distributed node-key resolution over ONE shredded fresh revision:
-    * the skeleton's (path, key) pairs broadcast (O(elided-document) on
-    * the driver — [[NodeKeys.assignSkeleton]]), member-table keys join
-    * through the bucketed offsets layout
-    * ([[Store.memberKeyLayout]]) with an executor-side relative
-    * preorder walk ([[JsonRelativeKey]]) — the members themselves
-    * never funnel through the driver, matching the reference's
-    * node-page access pattern (a moveTo never materializes the
-    * document). None = not eligible (unshredded, edit-log revision —
-    * keys there inherit through the replay — or an over-cap skeleton):
-    * the caller's driver-tree path takes over with its own cap. */
   /** Shared prelude of shredded-revision key resolution: the entries,
     * their offset layouts, the skeleton's (path, key) pairs and each
     * elided chain's member base. None = the revision is not eligible
@@ -1826,6 +1856,28 @@ object JsoniqRun {
     (c, d, rev, headRev, ptr, isArr)
   }
 
+  /** A STATIC pointer's key at one revision: shredded fresh revisions
+    * resolve without the driver tree ([[staticShreddedKey]]); anything
+    * else builds the (capped) key tree. None = no node there. */
+  private def staticKeyOf(store: Store, c: String, d: String, rev: Int,
+                          steps: List[Either[String, Int]]): Option[Long] =
+    shreddedKeyCtx(store, c, d, rev)
+      .flatMap(staticShreddedKey(store, _, steps)) match {
+      case Some(resolved) => resolved
+      case None => store.keyTreeOf(c, d, rev).lookup(steps).map(_.key)
+    }
+
+  /** Distributed node-key resolution over ONE shredded fresh revision:
+    * the skeleton's (path, key) pairs broadcast (O(elided-document) on
+    * the driver — [[NodeKeys.assignSkeleton]]), member-table keys join
+    * through the bucketed offsets layout
+    * ([[Store.memberKeyLayout]]) with an executor-side relative
+    * preorder walk ([[JsonRelativeKey]]) — the members themselves
+    * never funnel through the driver, matching the reference's
+    * node-page access pattern (a moveTo never materializes the
+    * document). None = not eligible (unshredded, edit-log revision —
+    * keys there inherit through the replay — or an over-cap skeleton):
+    * the caller's driver-tree path takes over with its own cap. */
   private def distributedKeyLookup(store: Store, frame: DataFrame,
                                    pathCol: Column, c: String, d: String,
                                    rev: Int): Option[DataFrame] = {

@@ -198,9 +198,15 @@ private[graft] object NodeKeys {
     * GetDescendantCountTest pins {"a":{"b":1}} = 2, excluding self).
     * XML items (the `~n`/`~a`/`~c` [[XmlItem]] encoding) count their
     * STRUCTURAL children/descendants (elements + text nodes — the
-    * reference's axis model; attributes are not children). */
-  def treeCounts(json: String): (Long, Long) = {
-    if (json.startsWith("{\"~n\"") || json.startsWith("{\"~a\"")) {
+    * reference's axis model; attributes are not children). The XML
+    * sniff is CONTENT-based and can false-positive on a JSON object
+    * whose own fields are named `~n`/`~a`/`~c` — callers that KNOW the
+    * data is JSON (member-table key layouts) must pass
+    * `jsonOnly = true`; the ambiguous sniff serves only the scalar
+    * count functions, where genuine XML items flow. */
+  def treeCounts(json: String, jsonOnly: Boolean = false): (Long, Long) = {
+    if (!jsonOnly &&
+        (json.startsWith("{\"~n\"") || json.startsWith("{\"~a\""))) {
       val root = new com.fasterxml.jackson.databind.ObjectMapper()
         .readTree(json)
       if (root.isObject && root.has("~n")) {

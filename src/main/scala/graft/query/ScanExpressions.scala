@@ -57,7 +57,8 @@ final case class JsonMemberScan(left: Expression, right: Expression,
   * `{"a":{"b":1}}` at 2 descendants). Executor-side Jackson streaming
   * walk ([[NodeKeys.treeCounts]]) — O(bytes) per item, no driver
   * materialization. Returns `struct(child, desc)`. */
-final case class JsonTreeCounts(child: Expression)
+final case class JsonTreeCounts(child: Expression,
+                                jsonOnly: Boolean = false)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = StructType(Seq(
@@ -65,7 +66,8 @@ final case class JsonTreeCounts(child: Expression)
   override def prettyName: String = "json_tree_counts"
 
   override protected def nullSafeEval(json: Any): Any = {
-    val (c, d) = NodeKeys.treeCounts(json.asInstanceOf[UTF8String].toString)
+    val (c, d) = NodeKeys.treeCounts(
+      json.asInstanceOf[UTF8String].toString, jsonOnly)
     InternalRow(c, d)
   }
 

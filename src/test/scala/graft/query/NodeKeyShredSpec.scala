@@ -74,6 +74,54 @@ class NodeKeyShredSpec extends SparkSpec {
     }
   }
 
+  test("members whose FIELDS are named like the XML encoding still count as JSON") {
+    // '~n'/'~a'/'~c' are legal JSON field names; the member-key layout
+    // must never take the XML structural-count arm for them (it feeds
+    // every subsequent member's offset)
+    val tricky = """{"pad": 1, "items": [""" +
+      (1 to 20).map(i =>
+        s"""{"~n": "x$i", "~c": [1, 2], "v": $i}""").mkString(",") +
+      """], "tail": 2}"""
+    val truth = NodeKeys.build(tricky)
+    withShredded { st =>
+      st.store("c", "t", tricky)
+      assert(st.shredEntries("c", "t", None).nonEmpty)
+      // a late member's key is offset by every earlier member's FUSED
+      // node count — wrong by (20 - i) x delta under the XML sniff
+      assert(JsoniqRun.serialize(st,
+        "sdb:nodekey(jn:doc('c','t').items[19])").toLong ===
+        truth.lookup(List(Left("items"), Right(19))).map(_.key).get)
+      assert(JsoniqRun.serialize(st,
+        "sdb:nodekey(jn:doc('c','t').tail)").toLong ===
+        truth.lookup(List(Left("tail"))).map(_.key).get)
+    }
+  }
+
+  test("deref suffixes over scan hits address the INNER node's key") {
+    withShredded { st =>
+      st.store("c", "d", doc)
+      JsoniqRun.serialize(st,
+        """let $doc := jn:doc('c','d')
+          |let $s := jn:create-path-index($doc, ('/items/[]/w', '/meta'))
+          |return {"revision": sdb:commit($doc)}""".stripMargin)
+      val truth = NodeKeys.build(doc)
+      def key(p: Either[String, Int]*): Long =
+        truth.lookup(p.toList).map(_.key).get
+      // VarRef arm: suffix over MEMBER hits' identity paths — every
+      // hit's INNER x field, in hit order
+      assert(JsoniqRun.serialize(st,
+        """for $n in jn:scan-path-index(jn:doc('c','d'), 0, '/items/[]/w')
+          |return sdb:nodekey($n.x)""".stripMargin)
+        === (0 to 19).map(i =>
+          key(Left("items"), Right(i), Left("w"), Left("x")))
+          .mkString(" "))
+      // inline Call arm: suffix over a single skeleton hit
+      assert(JsoniqRun.serialize(st,
+        "sdb:nodekey(jn:scan-path-index(jn:doc('c','d'), 0, '/meta').name)")
+        === key(Left("meta"), Left("name")).toString)
+    }
+  }
+
   test("select-item inverts keys without the driver tree") {
     val truth = NodeKeys.build(doc)
     withShredded { st =>
