@@ -415,12 +415,19 @@ object JsoniqRun {
         else Some(vs.replace("OBJECT<", "STRUCT<")
           .replaceAll("DECIMAL\\(\\d+,\\s*\\d+\\)", "DOUBLE")
           .replaceAll("\\bVOID\\b", "STRING"))
+      // member_raw keeps the SOURCE-ORDER text: the variant encoding
+      // canonicalizes (sorts) object keys, which is fine for values and
+      // paths but changes PREORDER NUMBERING — node identity over the
+      // member tables walks the raw text (the reference numbers nodes
+      // in insertion order)
       def projected(ddl: Option[String]): DataFrame = ddl match {
         case Some(d) => base.select(col("idx"),
           parse_json(col("member_json")).as("member"),
+          col("member_json").as("member_raw"),
           parse_json(col("member_json")).try_cast(d).as("t"))
         case None => base.select(col("idx"),
-          parse_json(col("member_json")).as("member"))
+          parse_json(col("member_json")).as("member"),
+          col("member_json").as("member_raw"))
       }
       // spread sample by span index — O(1) per element on the packed
       // array (the Seq-iteration shape this replaces existed because
@@ -915,11 +922,11 @@ object JsoniqRun {
         val offDir = s"$path/_nodekeys/r$rev/$dirName"
         val metaPath = s"$offDir/_nk_meta.json"
         val members = readShredEntry(collection, doc, Some(rev), entry)
-          .select(col("idx"), col("member"))
+          .select(col("idx"), col("member"), col("member_raw"))
         if (!graft.sources.MetaIO.exists(metaPath)) {
           val counts = members
             .withColumn("__nk_n", gb.column(JsonTreeCounts(
-              gb.expression(to_json(col("member"))),
+              gb.expression(col("member_raw")),
               jsonOnly = true)).getField("desc") +
               lit(1L))
             .withColumn("__nk_b", (col("idx") / lit(65536L)).cast("long"))
@@ -1735,6 +1742,10 @@ object JsoniqRun {
     val scanCap = sys.props.get("graft.scan.maxDriverBytes").map(_.toLong)
       .getOrElse(256L << 20)
     if (store.docLenOf(c, d, rev) > scanCap) return None
+    // identity needs the SOURCE-ORDER member text; tables written
+    // before round 13 lack it — the driver-tree path takes over
+    if (!entries.forall(en => store.readShredEntry(c, d, Some(rev), en)
+        .columns.contains("member_raw"))) return None
     val layouts = entries.map(en =>
       en.steps -> store.memberKeyLayout(c, d, rev, en)).toMap
     val sk = store.skeletonOf(c, d, rev, entries.map(_.steps),
@@ -1762,7 +1773,7 @@ object JsoniqRun {
           case Right(idx) =>
             val (layout, _) = ctx.layouts(en.steps)
             val row = layout.filter(col("idx") === idx)
-              .select(col("__nk_off"), to_json(col("member"))).collect()
+              .select(col("__nk_off"), col("member_raw")).collect()
             if (row.isEmpty) return Some(None) // absent member
             val rest = steps.drop(n + 1)
             return Some(NodeKeys.relativeOffset(row.head.getString(1), rest)
@@ -1803,7 +1814,7 @@ object JsoniqRun {
         val row = layout
           .filter(col("__nk_off") <= k &&
             lit(k) < col("__nk_off") + col("__nk_n"))
-          .select(col("idx"), to_json(col("member")), col("__nk_off"))
+          .select(col("idx"), col("member_raw"), col("__nk_off"))
           .collect().head
         val rel = k - row.getLong(2)
         val sub = NodeKeys.build(row.getString(1))
@@ -1912,13 +1923,13 @@ object JsoniqRun {
           when(idxS =!= "", idxS.cast("long")).otherwise(lit(null)))
         .withColumn(s"__jr$i", regexp_extract(pathCol, pat, 2))
       val l = layout.select(col("idx").as(s"__mi$i"),
-        col("member").as(s"__mm$i"), col("__nk_off").as(s"__mo$i"))
+        col("member_raw").as(s"__mm$i"), col("__nk_off").as(s"__mo$i"))
       out = out.join(l, col(s"__ji$i") === col(s"__mi$i"), "left")
       // member-self hits (empty rest — CAS member hits, member
       // bindings) skip the relative walk entirely
       val rel = when(col(s"__jr$i") === "", lit(0L))
         .otherwise(gb.column(JsonRelativeKey(
-          gb.expression(to_json(col(s"__mm$i"))),
+          gb.expression(col(s"__mm$i")),
           gb.expression(col(s"__jr$i")))))
       keyCol = coalesce(keyCol,
         when(col(s"__mi$i").isNotNull, lit(base) + col(s"__mo$i") + rel))

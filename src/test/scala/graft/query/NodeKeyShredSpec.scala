@@ -74,6 +74,36 @@ class NodeKeyShredSpec extends SparkSpec {
     }
   }
 
+  test("root-array documents and nested-array members resolve distributed") {
+    // chain = Nil (the root array IS the member table); members carry
+    // nested ARRAYS whose inner nodes need relative-walk identity
+    val rootDoc = (1 to 20).map(i =>
+      s"""{"v": $i, "sub": [[$i], {"k": $i}]}""").mkString("[", ",", "]")
+    val truth = NodeKeys.build(rootDoc)
+    def key(p: Either[String, Int]*): Long =
+      truth.lookup(p.toList).map(_.key).get
+    val plain = plainStore()
+    plain.store("c", "r", rootDoc)
+    withShredded { st =>
+      st.store("c", "r", rootDoc)
+      assert(st.shredEntries("c", "r", None)
+        .exists(e => e.kind == "json" && e.steps.isEmpty))
+      val queries = Seq(
+        "sdb:nodekey(jn:doc('c','r'))",
+        "for $i in jn:doc('c','r')[] return sdb:nodekey($i)",
+        "for $i in jn:doc('c','r')[] return sdb:nodekey($i.sub)",
+        "sdb:nodekey(jn:doc('c','r')[7].sub[1].k)")
+      queries.foreach { q =>
+        assert(JsoniqRun.serialize(st, q) ===
+          JsoniqRun.serialize(plain, q), s"\nquery: $q")
+      }
+      // and both agree with ground truth on the deep pointer
+      assert(JsoniqRun.serialize(st,
+        "sdb:nodekey(jn:doc('c','r')[7].sub[1].k)").toLong ===
+        key(Right(7), Left("sub"), Right(1), Left("k")))
+    }
+  }
+
   test("members whose FIELDS are named like the XML encoding still count as JSON") {
     // '~n'/'~a'/'~c' are legal JSON field names; the member-key layout
     // must never take the XML structural-count arm for them (it feeds
