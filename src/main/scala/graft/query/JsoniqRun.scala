@@ -4265,7 +4265,7 @@ object JsoniqRun {
     "jn:last-existing", "jn:scan-cas-index-range",
     "jn:scan-valid-time-index", "jn:drop-database", "jn:drop-resource",
     "jn:select-json-item", "sdb:select-item", "sdb:level-order",
-    "xml:store", "xml:doc")
+    "xml:store", "xml:doc", "xml:open", "xml:open-revisions", "xml:load")
 
   /** Does the expression read a table-scan source (size data-bound, so a
     * decorrelated side must NOT be broadcast-hinted)? */
@@ -4725,6 +4725,26 @@ object JsoniqRun {
         // document text — the read IS jn:doc (reference function/xml/
         // io/Doc.java over the shared resource layer)
         evalCallSeq(store, "jn:doc", args, tuples, env)
+      case "xml:open" | "xml:open-revisions" =>
+        // point-in-time / interval reads over XML resources share the
+        // commit-log machinery (reference function/xml/io/
+        // DocByPointInTime.java, OpenRevisions.java)
+        evalCallSeq(store, "jn:" + name.stripPrefix("xml:"), args,
+          tuples, env)
+      case "xml:load" =>
+        // file ingestion of an XML document (reference function/xml/io/
+        // Load.java): the jn:load read discipline, the storeXml commit
+        require(args.size == 3, "xml:load(collection, doc, uri)")
+        val uri = litStr(args(2), "uri")
+        val p = if (uri.startsWith("file:"))
+          java.nio.file.Paths.get(java.net.URI.create(uri))
+        else java.nio.file.Paths.get(uri)
+        val xml = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+          .stripPrefix("\uFEFF")
+        store.storeXml(litStr(args(0), "collection"),
+          litStr(args(1), "doc"), xml)
+        tuples.withColumn(POS, array(lit(0L))).withColumn(ITEM, vnull)
+          .filter(lit(false))
       case "jn:doc" =>
         require(args.size == 2 || args.size == 3, "jn:doc(collection, doc[, rev])")
         val rev = args.lift(2).map {
@@ -5537,7 +5557,8 @@ object JsoniqRun {
   private def resolveDocArg(e: Jsoniq.Expr,
                             env: Map[String, Binding]): (String, String) =
     e match {
-      case Jsoniq.Call("jn:doc", Seq(Jsoniq.StrLit(c), Jsoniq.StrLit(d))) =>
+      case Jsoniq.Call("jn:doc" | "xml:doc",
+          Seq(Jsoniq.StrLit(c), Jsoniq.StrLit(d))) =>
         (c, d)
       case Jsoniq.VarRef(n) => env.get(n) match {
         case Some(SeqVar(_, Some(st))) if st.steps.isEmpty =>

@@ -58,6 +58,21 @@ class FunctionRoutesSpec extends SparkSpec {
       "sdb:descendant-count(xml:doc('col','doc.xml')/a)") === "3")
   }
 
+  test("xml:load ingests from a file URI; xml:open reads as-of") {
+    val st = freshStore()
+    val f = Files.createTempFile("graft-xml-load", ".xml")
+    Files.write(f, "<r><a>1</a></r>".getBytes("UTF-8"))
+    run(st, s"xml:load('col','loaded.xml','${f.toUri}')")
+    assert(run(st, "xml:doc('col','loaded.xml')/r/a/text()") === "\"1\"")
+    // as-of read through the shared commit-log machinery
+    val ts = run(st, "sdb:timestamp(xml:doc('col','loaded.xml'))")
+      .stripPrefix("\"").stripSuffix("\"")
+    run(st, """xml:store('col','loaded.xml','<r><a>2</a></r>')""")
+    assert(run(st, s"xml:open('col','loaded.xml','$ts')/r/a/text()")
+      === "\"1\"")
+    assert(run(st, "xml:doc('col','loaded.xml')/r/a/text()") === "\"2\"")
+  }
+
   test("sdb:author-id is the commit author's deterministic UUID") {
     val st = freshStore()
     run(st, """jn:store('c','d','["x"]')""")
