@@ -527,6 +527,28 @@ object Bench {
           (System.nanoTime() - t4c) / 1e9
         }.min
         stamp("j_scale_nodekey")
+        // round-14: node identity AFTER an update — one `replace json`
+        // commits an edit-log revision; sdb:nodekey / select-item must
+        // keep serving through the edit-replayed skeleton+offsets
+        // layout (never the 64MB-capped driver tree). The update
+        // itself (driver reparse + full re-store + re-shred) times as
+        // its own entry.
+        val tU0 = System.nanoTime()
+        graft.query.JsoniqRun.serialize(st,
+          "replace json value of jn:doc('c','obj.jn').items[0].v with -1")
+        val updSec = (System.nanoTime() - tU0) / 1e9
+        stamp("j_scale_update")
+        graft.query.JsoniqRun.serialize(st, qk) // warmup (replay ctx)
+        val keyU = (1 to 2).map { _ =>
+          val t4d = System.nanoTime()
+          require(graft.query.JsoniqRun.serialize(st, qk) != "0")
+          val k0 = graft.query.JsoniqRun.serialize(st,
+            "sdb:nodekey(jn:doc('c','obj.jn').items[500000].v)")
+          require(graft.query.JsoniqRun.serialize(st,
+            s"jn:select-json-item(jn:doc('c','obj.jn'), $k0)").nonEmpty)
+          (System.nanoTime() - t4d) / 1e9
+        }.min
+        stamp("j_scale_nodekey_updated")
         val xb = new StringBuilder(400000 * 70)
         xb.append("<site><people>")
         var xi = 0
@@ -554,13 +576,67 @@ object Bench {
         Seq("j_scale_store" -> sSec, "j_scale_query" -> qTimes.min,
           "j_scale_obj_store" -> objStore, "j_scale_obj_query" -> objQ,
           "j_scale_scan" -> scanQ, "j_scale_nodekey" -> keyQ,
+          "j_scale_update" -> updSec,
+          "j_scale_nodekey_updated" -> keyU,
           "j_scale_xml_store" -> xmlStore, "j_scale_xml_query" -> xmlQ)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] frontend timing failed: ${e.getMessage}")
         Seq.empty
       }
 
-    val all = results ++ storage ++ aged ++ vector ++ frontend
+    // fresh-JVM store probes (the position-sensitivity discipline —
+    // BENCH_NOTES: in-bench store entries spike under residual load
+    // from earlier entries but never standalone): the same three store
+    // shapes re-time in a CHILD JVM with nothing preceding them, and
+    // ship as *_probe entries so a spiked in-bench store reading
+    // adjudicates against its clean twin in the SAME file.
+    val storeProbes: Seq[(String, Double)] =
+      try {
+        import scala.jdk.CollectionConverters._
+        val raw = java.lang.management.ManagementFactory.getRuntimeMXBean
+          .getInputArguments.asScala.toList
+        val jvmArgs = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < raw.length) {
+          val a = raw(i)
+          if (a == "--add-opens" || a == "--add-exports") {
+            jvmArgs += a
+            if (i + 1 < raw.length) { jvmArgs += raw(i + 1); i += 1 }
+          } else if (a.startsWith("--add-opens") ||
+              a.startsWith("--add-exports") || a.startsWith("-Xmx"))
+            jvmArgs += a
+          i += 1
+        }
+        val cmd = Seq(s"${System.getProperty("java.home")}/bin/java") ++
+          jvmArgs ++ Seq("-Dspark.ui.enabled=false", "-cp",
+          System.getProperty("java.class.path"),
+          "graft.tools.ProbeStoreJson")
+        val pb = new ProcessBuilder(cmd.asJava)
+        pb.redirectErrorStream(true)
+        val p = pb.start()
+        val out = scala.io.Source.fromInputStream(p.getInputStream)
+          .getLines().toList
+        p.waitFor()
+        out.find(_.startsWith("PROBE_STORES ")) match {
+          case Some(line) =>
+            val node = new com.fasterxml.jackson.databind.ObjectMapper()
+              .readTree(line.stripPrefix("PROBE_STORES "))
+            Seq("j_scale_store_probe" -> node.get("store").asDouble(),
+              "j_scale_obj_store_probe" -> node.get("obj_store").asDouble(),
+              "j_scale_xml_store_probe" -> node.get("xml_store").asDouble())
+          case None =>
+            System.err.println(
+              "[bench] store probe emitted no PROBE_STORES line: " +
+                out.takeRight(3).mkString(" | "))
+            Seq.empty
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] store probe failed: ${e.getMessage}")
+        Seq.empty
+      }
+    stamp("store_probes")
+
+    val all = results ++ storage ++ aged ++ vector ++ frontend ++ storeProbes
     val qs = all.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = all.map(_._2).filter(_ >= 0).sum
     val runsJson = allRuns.map { case (k, rs) =>

@@ -86,6 +86,81 @@ object JsoniqQueries {
           |  sdb:descendant-count(xml:doc('col','doc.xml')/a)
           |]""".stripMargin)
     },
+    // textual xml: INDEX family (function/xml/XMLFun.java:148-181):
+    // CAS create + TYPED numeric point scan (the j_scan_cas_typed
+    // discipline — "9" > "10" lexicographically, so the first entry is
+    // EMPTY under string comparison), attribute CAS, range scan, path
+    // scan, name scan + per-hit serialization
+    "j_xml_index" -> { (s, _) =>
+      runOne(s,
+        Seq("""xml:store('col','d.xml','<site><people><person id="p0"><name>n0</name><age>30</age></person><person id="p1"><name>n1</name><age>9</age></person><person id="p2"><name>n2</name><age>2</age></person><person id="p3"><name>n3</name><age>100</age></person></people></site>')""",
+          """let $doc := xml:doc('col','d.xml')
+            |let $a := xml:create-cas-index($doc, 'xs:integer', '/site/people/person/age')
+            |let $b := xml:create-cas-index($doc, 'xs:string', '//@*')
+            |let $p := xml:create-path-index($doc, '/site/people/person')
+            |let $n := xml:create-name-index($doc, fn:QName((), 'name'))
+            |return xml:commit($doc)""".stripMargin),
+        """[
+          |  xml:scan-cas-index(xml:doc('col','d.xml'), 0, 9, '>', ()),
+          |  xml:scan-cas-index(xml:doc('col','d.xml'), 1, 'p2', '==', '//@*'),
+          |  xml:scan-cas-index-range(xml:doc('col','d.xml'), 0, 9, 100, true(), false(), ()),
+          |  count(xml:scan-path-index(xml:doc('col','d.xml'), 2, '/site/people/person')),
+          |  (for $h in xml:scan-name-index(xml:doc('col','d.xml'), 3, fn:QName((), 'name'))
+          |   return xml:serialize($h)),
+          |  sdb:find-cas-index(xml:doc('col','d.xml'), 'xs:integer', '/site/people/person/age')
+          |]""".stripMargin)
+    },
+    // xml:diff (function/xml/diff/Diff.java — the FMSE-matched update
+    // script) and xml:import (function/xml/io/Import.java — commit an
+    // imported document as the next revision)
+    "j_xml_import_diff" -> { (s, _) =>
+      val st = new JsoniqRun.Store(s,
+        java.nio.file.Files.createTempDirectory("graft-jq-oracle").toString)
+      JsoniqRun.serialize(st,
+        """xml:store('col','v.xml','<log><m id="1">hi</m><m id="2">yo</m></log>')""")
+      JsoniqRun.serialize(st,
+        """xml:store('col','v.xml','<log><m id="1">hi there</m><m id="2">yo</m></log>')""")
+      val f = java.nio.file.Files.createTempFile("graft-import", ".xml")
+      java.nio.file.Files.write(f,
+        """<log><m id="1">hi there</m><m id="2">yo</m><m id="3">new</m></log>"""
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val out = JsoniqRun.serialize(st,
+        s"""[
+           |  xml:diff('col','v.xml', 1, 2),
+           |  xml:serialize(xml:import('col','v.xml','${f.toString}')),
+           |  sdb:most-recent-revision(xml:doc('col','v.xml'))
+           |]""".stripMargin)
+      s.range(1).select(org.apache.spark.sql.functions.lit(out)
+        .as("result"))
+    },
+    // sdb:explain (function/sdb/explain/Explain.java): compiles the
+    // argument query and returns the plan WITHOUT executing. Pinned
+    // STRUCTURALLY: the typed shred filter must reach the parquet scan
+    // (PushedFilters + a pruned typed-struct ReadSchema) — a pushdown
+    // regression flips the booleans, independent of timing
+    "j_explain" -> { (s, _) =>
+      val prev = sys.props.get("graft.shred.min")
+      sys.props("graft.shred.min") = "1"
+      try {
+        val st = new JsoniqRun.Store(s,
+          java.nio.file.Files.createTempDirectory("graft-jq-oracle").toString)
+        st.store("c", "x.jn", (1 to 40).map(i =>
+          s"""{"v": $i, "w": ${i % 10}}""").mkString("[", ",", "]"))
+        require(st.isShredded("c", "x.jn"), "j_explain: doc must shred")
+        val out = JsoniqRun.serialize(st,
+          """[
+            |  contains(sdb:explain('count(jn:doc("c","x.jn")[][?$$.w gt 5])'),
+            |           "PushedFilters: [IsNotNull(t.w)]"),
+            |  contains(sdb:explain('count(jn:doc("c","x.jn")[][?$$.w gt 5])'),
+            |           "ReadSchema: struct<t:struct<w:bigint>>")
+            |]""".stripMargin)
+        s.range(1).select(org.apache.spark.sql.functions.lit(out)
+          .as("result"))
+      } finally prev match {
+        case Some(v) => sys.props("graft.shred.min") = v
+        case None => sys.props.remove("graft.shred.min"); ()
+      }
+    },
     // nested unboxing + context-item predicate + value comparison (ibid:872)
     "j_nesting_pred" -> { (s, _) =>
       runOne(s,
@@ -353,6 +428,21 @@ object JsoniqQueries {
       "[2,5,8,4,{\"name\":\"Mouse\",\"price\":19},3,9,3]"),
     "j_xml_textual" -> pin(
       "[\"<a b=\\\"1\\\" e=\\\"2\\\"><c>x</c><d/></a>\",\"x\",2,3]"),
+    // scan > 9 numerically = 30,100 (EMPTY under string comparison);
+    // range [9,100) excludes 2 and 100; path count 4; name hits
+    // serialize per element; find resolves handle 0
+    "j_explain" -> pin("[true,true]"),
+    "j_xml_index" -> pin(
+      "[\"30\",\"100\",\"p2\",\"30\",\"9\",4,\"<name>n0</name>\"," +
+        "\"<name>n1</name>\",\"<name>n2</name>\",\"<name>n3</name>\",0]"),
+    // ONE replace-value op between the revisions (FMSE matches the
+    // rest); the import commits revision 3 with the new entry
+    "j_xml_import_diff" -> pin(
+      "[\"let $doc := xml:doc('col','v.xml',1)\\nreturn (\\n  " +
+        "replace value of node sdb:select-item($doc, 1048580) with " +
+        "\\\"hi there\\\"\\n)\"," +
+        "\"<log><m id=\\\"1\\\">hi there</m><m id=\\\"2\\\">yo</m>" +
+        "<m id=\\\"3\\\">new</m></log>\",3]"),
     "j_array_slice" ->
       pin("[{\"generic\":1,\"location\":{\"city\":\"Los Angeles\",\"state\":\"CA\"}}]"),
     "j_order_agg" -> pin("9 4 2"),

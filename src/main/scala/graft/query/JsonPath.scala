@@ -195,7 +195,8 @@ private[query] object JsonPath {
       val it = o.fields()
       while (it.hasNext) {
         val e = it.next()
-        walkValue(e.getValue, e.getKey :: cls, s"$pos/${e.getKey}", pos)
+        walkValue(e.getValue, e.getKey :: cls,
+          s"$pos/${NodeKeys.escSeg(e.getKey)}", pos)
       }
     }
     /** `n` occupies a field-value / member / root position of class
@@ -263,7 +264,7 @@ private[query] object JsonPath {
         val it = n.fields()
         while (it.hasNext) {
           val e = it.next()
-          val p = s"$pos/${e.getKey}"
+          val p = s"$pos/${NodeKeys.escSeg(e.getKey)}"
           val slotChain = slots.get(e.getValue)
           if (slotChain != null) {
             // the field's VALUE is elided: a name hit on the field
@@ -457,7 +458,7 @@ private[query] object JsonPath {
     * walk computes for this member's subtree. Construct ONCE per task
     * (pattern parsing and position prefixes are per-scan, not per-row). */
   final class MemberScanner(kind: ScanKind, chain: List[String]) {
-    private val arrayPos = chain.map("/" + _).mkString
+    private val arrayPos = chain.map("/" + NodeKeys.escSeg(_)).mkString
     private val apath = s"$arrayPos/[]"
     private val seedCls = "[]" :: chain.reverse
     private val parsed: Option[Seq[List[Pat]]] = kind match {

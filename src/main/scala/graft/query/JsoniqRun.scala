@@ -266,28 +266,24 @@ object JsoniqRun {
       // update-derived revisions record their edit log so node keys
       // stay stable across the chain ([[keyTreeOf]]); a fresh store
       // has no log — its keys number from 1 like the reference's
-      // shredder on a new resource. The log writes BEFORE the revision
-      // commit (predicted number): the log is identity SOURCE OF TRUTH,
-      // so a crash between revision and log must not leave a durable
-      // update-derived revision that silently renumbers fresh — the
-      // safe crash residue is an orphan log for a revision that never
-      // committed, which the next store attempt clears here.
-      val predicted = graft.sources.TemporalTable
-        .mostRecentRevision(path).getOrElse(0) + 1
-      graft.sources.MetaIO.delete(editsPath(path, predicted))
-      evictEditState(path, predicted)
-      edits.foreach(es => logEdits(collection, doc, predicted, es))
+      // shredder on a new resource. The log writes INSIDE the commit
+      // protocol's reservation hook: the writer learns the REAL
+      // reserved number (no predicted-number race), clears any
+      // crash-orphaned log parked at it, and embeds its reservation
+      // token — [[readEditLog]] verifies the token against the commit
+      // entry's writerId before ever replaying, so residue from a
+      // writer that never committed this revision can never attach.
+      // The log still lands BEFORE the revision commit (identity is
+      // source of truth): a crash between log and commit leaves only an
+      // orphan log at a number the reservation marker keeps skipped.
       val rev = graft.sources.TemporalTable.write(
-        Seq(json).toDF("doc_json"), path)
-      if (rev != predicted) {
-        // lost a commit race: our pre-written log (if any) belongs to
-        // a revision someone else committed — re-log at the real number
-        graft.sources.MetaIO.delete(editsPath(path, predicted))
-        evictEditState(path, predicted)
-        graft.sources.MetaIO.delete(editsPath(path, rev))
-        evictEditState(path, rev)
-        edits.foreach(es => logEdits(collection, doc, rev, es))
-      }
+        Seq(json).toDF("doc_json"), path,
+        onReserve = (r, token) => {
+          graft.sources.MetaIO.delete(editsPath(path, r))
+          evictEditState(path, r)
+          edits.foreach(es =>
+            logEdits(collection, doc, r, es, Some(token).filter(_.nonEmpty)))
+        })
       // the shred is a serving sidecar, not the source of truth: the
       // revision above is already durable, so a shred failure (e.g.
       // member text the strict parquet write rejects) must not fail the
@@ -834,22 +830,55 @@ object JsoniqRun {
 
     private val keyTreeCache = scala.collection.concurrent.TrieMap
       .empty[(String, Int), NodeKeys.KTree]
-    private def editsPath(path: String, rev: Int): String =
+    private[query] def editsPath(path: String, rev: Int): String =
       s"$path/_edits/r$rev.json"
     /** Evict per-revision identity caches after clearing an edit log
       * (crashed-attempt residue or a lost commit race). */
-    private def evictEditState(path: String, rev: Int): Unit = {
+    /** Replayed key-layout ctxs of update-derived revisions, keyed per
+      * immutable (path, revision) — the replay's log reads, member-count
+      * jobs and patch materializations run once per session. */
+    private[query] val shredCtxCache = scala.collection.concurrent.TrieMap
+      .empty[(String, Int), Option[ShredKeyCtx]]
+    private[query] def evictEditState(path: String, rev: Int): Unit = {
       editChainCache.remove((path, rev))
       keyTreeCache.remove((path, rev))
+      shredCtxCache.remove((path, rev))
       ()
     }
     /** Record the update operations that produced revision `rev` —
-      * the replay log [[keyTreeOf]] derives stable node keys from. */
+      * the replay log [[keyTreeOf]] derives stable node keys from.
+      * `writer` binds the log to this writer's reservation token. */
     private[query] def logEdits(collection: String, doc: String, rev: Int,
-                                edits: Seq[NodeKeys.Edit]): Unit =
+                                edits: Seq[NodeKeys.Edit],
+                                writer: Option[String] = None): Unit =
       graft.sources.MetaIO.createNew(
         editsPath(docPath(collection, doc), rev),
-        NodeKeys.editsToJson(edits))
+        NodeKeys.editsToJson(edits, writer))
+
+    /** The edit log that BELONGS to committed revision `rev`, or None.
+      * A log whose embedded writer token contradicts the revision's
+      * commit-entry writerId is crash residue from a writer that never
+      * committed this revision (it predates the reservation hook or
+      * aborted after logging) — replaying it against someone else's
+      * content would silently corrupt node keys, so it reads as ABSENT
+      * with a loud warning. Tokenless logs (pre-token layout) and
+      * tokenless commit entries verify vacuously. */
+    private[query] def readEditLog(collection: String, doc: String,
+                                   rev: Int): Option[Seq[NodeKeys.Edit]] = {
+      val path = docPath(collection, doc)
+      val ep = editsPath(path, rev)
+      if (!graft.sources.MetaIO.exists(ep)) return None
+      val (writer, edits) = NodeKeys.editsEnvelopeFromJson(
+        graft.sources.MetaIO.readString(ep))
+      (writer, graft.sources.TemporalTable.commitWriterId(path, rev)) match {
+        case (Some(w), Some(id)) if w != id =>
+          System.err.println(
+            s"[graft] stale edit log at $ep (writer $w, committed " +
+              s"writer $id) — ignoring; keys number fresh")
+          None
+        case _ => Some(edits)
+      }
+    }
     /** The revision's key tree. A revision with a recorded edit log
       * inherits the previous revision's keys and mints fresh ones for
       * inserted nodes (the reference's insertion-time key discipline);
@@ -859,25 +888,39 @@ object JsoniqRun {
     private[query] def keyTreeOf(collection: String, doc: String,
                                  rev: Int): NodeKeys.KTree = {
       val path = docPath(collection, doc)
-      keyTreeCache.getOrElseUpdate((path, rev), {
-        val ep = editsPath(path, rev)
-        if (rev > 1 && graft.sources.MetaIO.exists(ep)) {
-          val t = keyTreeOf(collection, doc, rev - 1).deepCopy()
-          NodeKeys.editsFromJson(graft.sources.MetaIO.readString(ep))
-            .foreach(NodeKeys.applyEdit(t, _))
-          t
-        } else {
+      keyTreeCache.get((path, rev)).getOrElse {
+        // iterate from the earliest uncached revision FORWARD (a long
+        // update history must not deepen the stack one frame per
+        // revision); every intermediate tree caches — replay cost is
+        // paid once per chain, then once per appended revision
+        var base = rev
+        while (base > 1 && !keyTreeCache.contains((path, base)) &&
+            readEditLog(collection, doc, base).isDefined)
+          base -= 1
+        var t = keyTreeCache.get((path, base)).getOrElse {
           val cap = sys.props.get("graft.nodekeys.maxDriverBytes")
             .map(_.toLong).getOrElse(64L << 20)
-          val len = docLenOf(collection, doc, rev)
+          val len = docLenOf(collection, doc, base)
           if (len > cap) throw new UnsupportedOperationException(
-            s"sdb:nodekey over $collection/$doc rev $rev: document " +
+            s"sdb:nodekey over $collection/$doc rev $base: document " +
               s"($len bytes) exceeds the node-identity driver cap " +
               s"($cap; -Dgraft.nodekeys.maxDriverBytes)")
-          NodeKeys.build(this.doc(collection, doc, Some(rev))
+          val built = NodeKeys.build(this.doc(collection, doc, Some(base))
             .collect().head.getString(0))
+          keyTreeCache.putIfAbsent((path, base), built)
+          built
         }
-      })
+        ((base + 1) to rev).foreach { r =>
+          val next = t.deepCopy()
+          readEditLog(collection, doc, r)
+            .getOrElse(throw new IllegalStateException(
+              s"edit log at $collection/$doc rev $r vanished mid-replay"))
+            .foreach(NodeKeys.applyEdit(next, _))
+          keyTreeCache.putIfAbsent((path, r), next)
+          t = next
+        }
+        t
+      }
     }
 
     /** Did ANY revision up to `rev` commit a NON-EMPTY edit log?
@@ -890,12 +933,8 @@ object JsoniqRun {
     private[query] def hasEditChain(collection: String, doc: String,
                                     rev: Int): Boolean = {
       val path = docPath(collection, doc)
-      (2 to rev).exists(r => editChainCache.getOrElseUpdate((path, r), {
-        val ep = editsPath(path, r)
-        graft.sources.MetaIO.exists(ep) &&
-          NodeKeys.editsFromJson(
-            graft.sources.MetaIO.readString(ep)).nonEmpty
-      }))
+      (2 to rev).exists(r => editChainCache.getOrElseUpdate((path, r),
+        readEditLog(collection, doc, r).exists(_.nonEmpty)))
     }
 
     /** Member table of one shredded entry with running node-count
@@ -1512,9 +1551,15 @@ object JsoniqRun {
         .map(rev => (encodeDres(c, d, rev), Nil))
     case Jsoniq.VarRef(n) => env.get(n) match {
       case Some(ItemVar(_, _, aux)) if aux.contains("dres") &&
-          (aux.contains("dpath") || aux.contains("path")) =>
+          (aux.contains("dpath") || aux.contains("ipath") ||
+            aux.contains("path")) =>
+        // identity path before the printed path, mirroring
+        // [[serveNodeKey]]: array-member CAS hits print an empty self
+        // path but stash their concrete position under ipath — without
+        // it a re-bound hit would render path "" (the document ROOT)
         Some((aux("dres"),
-          List(SegCol(aux.getOrElse("dpath", aux("path"))))))
+          List(SegCol(aux.getOrElse("ipath",
+            aux.getOrElse("dpath", aux("path")))))))
       case Some(SeqVar(_, Some(st))) =>
         graft.sources.TemporalTable
           .mostRecentRevision(store.docPath(st.collection, st.doc))
@@ -1524,7 +1569,7 @@ object JsoniqRun {
     }
     case Jsoniq.Deref(b, f) =>
       pathSpecOf(store, b, env).map { case (r, segs) =>
-        (r, segs :+ SegLit(s"/$f"))
+        (r, segs :+ SegLit(s"/${NodeKeys.escSeg(f)}"))
       }
     case Jsoniq.ArrayIndex(b, Jsoniq.NumLit(t)) if !t.contains(".") &&
         !t.startsWith("-") =>
@@ -1641,8 +1686,14 @@ object JsoniqRun {
           // actually reference (a scan stashes exactly one — the head)
           // instead of paying a key tree per historical revision
           case Some(rc) => frame.select(rc.cast("int").as("__r"))
-            .distinct().collect().map(_.getInt(0)).toSeq.sorted
-          case None => 1 to headRev(c, d)
+            .na.drop().distinct().collect().map(_.getInt(0)).toSeq.sorted
+          // every per-row binding stashes its revision; a frame with
+          // neither a static nor a per-row revision has no defined key
+          // space — sweeping 1..head here would hide the bug behind
+          // O(history x doc) driver work
+          case None => throw new IllegalStateException(
+            s"sdb:nodekey over $c/$d: per-row binding carries no " +
+              "revision stash")
         }
       // shredded fresh revisions serve DISTRIBUTED: skeleton keys by
       // broadcast, member keys through the offsets table + an
@@ -1652,18 +1703,39 @@ object JsoniqRun {
           case Some(df) => return df
           case None => ()
         }
-      val pk = revs.flatMap(r => store.keyTreeOf(c, d, r).pathKeys
-          .map { case (p, k) => (r, p, k) })
-        .toDF("__nkr", "__nkp", "__nkk")
-      val cond =
-        if (rev0 >= 0) pathCol === col("__nkp")
-        else pathCol === col("__nkp") &&
-          revCol.getOrElse(throw new IllegalStateException(
-            "per-row revision stash missing")).cast("int") === col("__nkr")
-      frame.join(broadcast(pk), cond, "left")
-        .withColumn("__v", when(col("__nkk").isNull, lit(null))
-          .otherwise(jsonNumber(col("__nkk"))))
-        .drop("__nkr", "__nkp", "__nkk")
+      // several revisions: serve each through the distributed arm where
+      // eligible (one filtered branch per revision, unioned — layouts
+      // stay on executors), fall back to broadcast (path -> key) pairs
+      // ONLY for the rest, with the driver bytes of the whole sweep
+      // charged against the node-identity cap — a near-cap document
+      // with a long history must fail loudly, never OOM the driver
+      // (pathKeys is several times the document size, PER revision)
+      if (revs.size > 1 && revCol.isDefined) {
+        val rc = revCol.get
+        val (shredded, treed) = revs.partition(r =>
+          shreddedKeyCtx(store, c, d, r).isDefined)
+        if (shredded.nonEmpty) {
+          // a row with no stashed revision resolves to the empty
+          // sequence (it referenced no stored node) — it must survive
+          // the branch split with a null key, not vanish
+          val nullPart = frame.filter(rc.isNull)
+            .withColumn("__v", expr("cast(null as variant)"))
+          val parts = shredded.map(r =>
+            distributedKeyLookup(store, frame.filter(rc.cast("int") === r),
+              pathCol, c, d, r).getOrElse(
+              throw new IllegalStateException(
+                s"shredded ctx vanished for $c/$d rev $r"))) ++
+            (if (treed.isEmpty) Nil
+             else Seq(treeLookupJoin(store, c, d, treed,
+               frame.filter(rc.cast("int").isInCollection(treed)),
+               pathCol, Some(rc)))) :+ nullPart
+          return parts.reduce(_ unionByName _)
+        }
+      }
+      treeLookupJoin(store, c, d, revs, frame, pathCol,
+        if (rev0 >= 0) None
+        else Some(revCol.getOrElse(throw new IllegalStateException(
+          "per-row revision stash missing"))))
     }
     def norm(c: Column): Column = regexp_replace(c, "/\\[\\]$", "")
     def peel(e: Jsoniq.Expr, suf: List[Either[String, Int]])
@@ -1723,22 +1795,99 @@ object JsoniqRun {
     }
   }
 
-  /** Shared prelude of shredded-revision key resolution: the entries,
-    * their offset layouts, the skeleton's (path, key) pairs and each
-    * elided chain's member base. None = the revision is not eligible
-    * (unshredded, edit-log chain, or an over-cap skeleton). */
-  private final case class ShredKeyCtx(
-      entries: Seq[Store#ShredEntry],
-      layouts: Map[List[String], (DataFrame, Long)],
+  /** Driver-tree arm of per-row node-key resolution: broadcast every
+    * revision's (rev, path, key) pairs and left-join the frame's
+    * printed path (+ revision) against them. The DRIVER cost of the
+    * whole sweep — each revision's tree plus its rendered pathKeys,
+    * several times the document's bytes PER revision — is charged
+    * against the node-identity cap UP FRONT: a near-cap document with
+    * a long history fails loudly instead of OOMing the driver after
+    * the per-revision checks each passed individually. */
+  private def treeLookupJoin(store: Store, c: String, d: String,
+                             revs: Seq[Int], frame: DataFrame,
+                             pathCol: Column,
+                             revCol: Option[Column]): DataFrame = {
+    import store.spark.implicits._
+    val cap = sys.props.get("graft.nodekeys.maxDriverBytes")
+      .map(_.toLong).getOrElse(64L << 20)
+    val sweep = revs.map(r => store.docLenOf(c, d, r)).sum
+    if (sweep > cap) throw new UnsupportedOperationException(
+      s"sdb:nodekey over $c/$d: resolving ${revs.size} revisions " +
+        s"(${revs.min}..${revs.max}) materializes ~$sweep bytes of key " +
+        s"trees on the driver, over the node-identity cap ($cap; " +
+        "-Dgraft.nodekeys.maxDriverBytes)")
+    val pk = revs.flatMap(r => store.keyTreeOf(c, d, r).pathKeys
+        .map { case (p, k) => (r, p, k) })
+      .toDF("__nkr", "__nkp", "__nkk")
+    val cond = revCol match {
+      case None => pathCol === col("__nkp")
+      case Some(rc) => pathCol === col("__nkp") &&
+        rc.cast("int") === col("__nkr")
+    }
+    frame.join(broadcast(pk), cond, "left")
+      .withColumn("__v", when(col("__nkk").isNull, lit(null))
+        .otherwise(jsonNumber(col("__nkk"))))
+      .drop("__nkr", "__nkp", "__nkk")
+  }
+
+  /** One elided entry's key state inside a [[ShredKeyCtx]]. A FRESH
+    * revision has `runs = None` (current position == base position) and
+    * no patches; an update-derived revision composes runs of UNTOUCHED
+    * base members (keys from the base revision's offsets sidecar —
+    * still fully distributed) with a FEW driver-held patched/inserted
+    * member trees carrying absolute keys. */
+  private[query] final case class EntryKeyCtx(
+      chain: List[String],
+      base: Long,
+      total0: Long,
+      layout: DataFrame,
+      runs: Option[Seq[(Int, Int, Int)]], // (curStart, baseStart, len)
+      patched: Map[Int, NodeKeys.KTree])
+
+  /** Shared prelude of shredded-revision key resolution: the base
+    * revision `rev0` whose offsets sidecar serves untouched members,
+    * the per-entry key states, and the hybrid skeleton tree (skeleton
+    * nodes with keys and kinds; elided arrays as empty KArr nodes whose
+    * member ranges live in the entries). An update-derived revision's
+    * ctx REPLAYS the recorded edit logs against the base ctx
+    * ([[replayShredKeys]]) — `sdb:nodekey`/`sdb:select-item` keep
+    * serving distributed after `replace json`, like the reference's
+    * persisted page-tree keys (JsonNodeTrxImpl insert paths). None =
+    * not eligible (unshredded base, over-cap skeleton, or an edit the
+    * replay cannot express — the driver-tree path takes over with its
+    * own loud cap). */
+  private[query] final case class ShredKeyCtx(
+      rev0: Int,
+      entries: Seq[EntryKeyCtx],
+      skTree: NodeKeys.KTree,
       skKeys: Seq[(String, Long)],
-      bases: Map[List[String], Long],
-      skeleton: JsonPath.Skeleton)
+      maxKey: Long)
+
   private def shreddedKeyCtx(store: Store, c: String, d: String,
                              rev: Int): Option[ShredKeyCtx] = {
+    // walk the edit chain down to its fresh-numbered base revision
+    var r0 = rev
+    var logs = List.empty[Seq[NodeKeys.Edit]]
+    var cont = true
+    while (cont && r0 > 1) store.readEditLog(c, d, r0) match {
+      case Some(es) => logs = es :: logs; r0 -= 1
+      case None => cont = false
+    }
+    val edits = logs.flatten
+    if (edits.isEmpty) freshShredKeyCtx(store, c, d, r0)
+    else {
+      val path = store.docPath(c, d)
+      store.shredCtxCache.getOrElseUpdate((path, rev),
+        freshShredKeyCtx(store, c, d, r0)
+          .flatMap(replayShredKeys(store, _, edits)))
+    }
+  }
+
+  private def freshShredKeyCtx(store: Store, c: String, d: String,
+                               rev: Int): Option[ShredKeyCtx] = {
     val entries = store.shredEntries(c, d, Some(rev))
       .filter(_.kind == "json")
     if (entries.isEmpty) return None
-    if (store.hasEditChain(c, d, rev)) return None
     val scanCap = sys.props.get("graft.scan.maxDriverBytes").map(_.toLong)
       .getOrElse(256L << 20)
     if (store.docLenOf(c, d, rev) > scanCap) return None
@@ -1750,80 +1899,358 @@ object JsoniqRun {
       en.steps -> store.memberKeyLayout(c, d, rev, en)).toMap
     val sk = store.skeletonOf(c, d, rev, entries.map(_.steps),
       () => store.doc(c, d, Some(rev)).collect().head.getString(0))
-    val (skKeys, bases) = NodeKeys.assignSkeleton(sk.root, sk.slots,
-      layouts.map { case (steps, (_, total)) => steps -> total })
-    Some(ShredKeyCtx(entries, layouts, skKeys, bases, sk))
+    val (skTree, bases, maxKey) = NodeKeys.buildSkeletonTree(sk.root,
+      sk.slots, layouts.map { case (steps, (_, total)) => steps -> total })
+    val ectxs = entries.map { en =>
+      val (layout, total) = layouts(en.steps)
+      EntryKeyCtx(en.steps, bases(en.steps), total, layout, None, Map.empty)
+    }
+    Some(ShredKeyCtx(rev, ectxs, skTree, skTree.pathKeys, maxKey))
   }
 
-  /** A STATIC pointer's key over a shredded fresh revision: skeleton
-    * pointers read the assignment directly; pointers into an elided
-    * member list read ONE offsets row (a filtered distributed read —
-    * the document never collects). Outer None = pointer form not
-    * eligible here (the caller's tree path takes over); inner None =
-    * resolved, NO NODE at the pointer (the caller's no-node error). */
+  /** An edit shape the layout replay cannot express — falls back to
+    * the driver-tree path (which caps loudly). */
+  private final class ReplayUnsupported(val why: String)
+    extends RuntimeException(why)
+
+  /** Replay recorded edit logs against a fresh base ctx, producing the
+    * update-derived revision's key layout WITHOUT materializing the
+    * document: untouched members keep serving from the base offsets
+    * sidecar through a position translation (a handful of contiguous
+    * runs — edits are few), touched members materialize ONE base row
+    * each into a driver-held tree (bytes charged against the
+    * node-identity cap), and skeleton-level edits replay on the hybrid
+    * tree with the same [[NodeKeys.applyEdit]] key discipline the
+    * driver-tree path uses — fresh keys mint from the SAME global
+    * counter in the SAME order, so every key equals the full-tree
+    * replay's verbatim. None = an edit the layout model cannot express
+    * (e.g. replacing an elided array wholesale invalidates nothing —
+    * that IS expressible; a field literally named like a chain is not). */
+  private def replayShredKeys(store: Store, base: ShredKeyCtx,
+                              edits: Seq[NodeKeys.Edit])
+      : Option[ShredKeyCtx] = {
+    import scala.collection.mutable
+    // nested chains are not replayable: a member-level edit of the
+    // outer entry would invalidate the inner entry's whole layout
+    val chains0 = base.entries.map(_.chain)
+    if (chains0.exists(a => chains0.exists(b =>
+        a != b && b.startsWith(a)))) return None
+    val cap = sys.props.get("graft.nodekeys.maxDriverBytes")
+      .map(_.toLong).getOrElse(64L << 20)
+    var patchedBytes = 0L
+    var globalMax = base.maxKey
+    val skTree = base.skTree.deepCopy()
+
+    final class EState(val en: EntryKeyCtx) {
+      var chain: List[String] = en.chain
+      var alive: Boolean = true
+      // None until the first member-level structural/materializing op;
+      // then alternating untouched runs (baseStart, len) and one-member
+      // driver trees, in CURRENT order
+      var segs: mutable.ArrayBuffer[Either[(Int, Int), NodeKeys.KTree]] = _
+      def ensureSegs(): Unit = if (segs == null) {
+        val count0 = en.layout.agg(max(col("idx"))).head.getAs[Number](0)
+          .intValue + 1
+        segs = mutable.ArrayBuffer(Left((0, count0)))
+      }
+      def totalLen: Int =
+        segs.map { case Left((_, l)) => l; case Right(_) => 1 }.sum
+      /** (segment index, offset inside it) of the current position. */
+      def locate(cur: Int): (Int, Int) = {
+        var at = 0
+        segs.zipWithIndex.foreach { case (s, i) =>
+          val l = s match { case Left((_, sl)) => sl; case Right(_) => 1 }
+          if (cur < at + l) return (i, cur - at)
+          at += l
+        }
+        throw new ReplayUnsupported(
+          s"member position $cur out of bounds during replay")
+      }
+      def deleteAt(cur: Int): Unit = locate(cur) match {
+        case (i, _) if segs(i).isRight => segs.remove(i); ()
+        case (i, o) =>
+          val Left((bs, l)) = segs(i): @unchecked
+          val repl = Seq(Left((bs, o)), Left((bs + o + 1, l - o - 1)))
+            .filter { case Left((_, sl)) => sl > 0; case _ => true }
+          segs.remove(i)
+          segs.insertAll(i, repl.map(x =>
+            x: Either[(Int, Int), NodeKeys.KTree]))
+      }
+      def insertAt(cur: Int, t: NodeKeys.KTree): Unit = {
+        if (cur == totalLen) { segs += Right(t); return }
+        locate(cur) match {
+          case (i, 0) => segs.insert(i, Right(t))
+          case (i, o) =>
+            val Left((bs, l)) = segs(i): @unchecked
+            segs.remove(i)
+            segs.insertAll(i, Seq(
+              Left((bs, o)): Either[(Int, Int), NodeKeys.KTree],
+              Right(t), Left((bs + o, l - o))))
+        }
+      }
+      /** Turn the member at `cur` into a driver tree holding its
+        * absolute keys (reads ONE base offsets row). */
+      def materialize(cur: Int): NodeKeys.KTree = locate(cur) match {
+        case (i, _) if segs(i).isRight =>
+          segs(i).toOption.get
+        case (i, o) =>
+          val Left((bs, l)) = segs(i): @unchecked
+          val baseIdx = bs + o
+          val row = en.layout.filter(col("idx") === baseIdx)
+            .select(col("__nk_off"), col("member_raw")).collect()
+          if (row.isEmpty) throw new ReplayUnsupported(
+            s"base member $baseIdx missing during replay")
+          val raw = row.head.getString(1)
+          patchedBytes += raw.length
+          if (patchedBytes > cap) throw new ReplayUnsupported(
+            s"patched-member bytes exceed the node-identity cap ($cap)")
+          val t = NodeKeys.build(raw)
+          NodeKeys.rebase(t.root, en.base + row.head.getLong(0) - 1)
+          t.maxKey = globalMax
+          val repl = Seq(
+            Left((bs, o)): Either[(Int, Int), NodeKeys.KTree],
+            Right(t), Left((bs + o + 1, l - o - 1)))
+            .filter { case Left((_, sl)) => sl > 0; case _ => true }
+          segs.remove(i)
+          segs.insertAll(i, repl)
+          t
+      }
+      def replaceAt(cur: Int, t: NodeKeys.KTree): Unit = locate(cur) match {
+        case (i, _) if segs(i).isRight => segs(i) = Right(t)
+        case _ => throw new IllegalStateException(
+          "replaceAt on an unmaterialized member")
+      }
+    }
+    val states = base.entries.map(new EState(_))
+    def asLefts(steps: List[String]): List[Either[String, Int]] =
+      steps.map(Left(_): Either[String, Int])
+    def freshTree(v: String): NodeKeys.KTree = {
+      val t = NodeKeys.build(v)
+      val m = t.maxKey
+      NodeKeys.rebase(t.root, globalMax)
+      globalMax += m
+      new NodeKeys.KTree(t.root, globalMax)
+    }
+    def applySkeleton(e: NodeKeys.Edit): Unit = {
+      skTree.maxKey = globalMax
+      NodeKeys.applyEdit(skTree, e)
+      globalMax = skTree.maxKey
+    }
+    def renamedTo(e: NodeKeys.Edit): String =
+      com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+        .readValue(e.valueJson.get, classOf[String])
+    def topFieldsOf(v: String): Set[String] = {
+      val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(v)
+      if (!n.isObject) Set.empty
+      else {
+        import scala.jdk.CollectionConverters._
+        n.fieldNames().asScala.toSet
+      }
+    }
+    try {
+      edits.foreach { e =>
+        states.filter(_.alive).find(st =>
+            e.ptr.take(st.chain.length) == asLefts(st.chain)) match {
+          case Some(st) if e.ptr.length == st.chain.length =>
+            // the elided array node itself
+            e.kind match {
+              case "append" =>
+                st.ensureSegs()
+                st.segs += Right(freshTree(e.valueJson.get))
+                ()
+              case "insert" => e.pos match {
+                case Some(i) =>
+                  st.ensureSegs()
+                  st.insertAt(i, freshTree(e.valueJson.get))
+                case None => throw new ReplayUnsupported(
+                  "object insert targeting an elided array")
+              }
+              case "replace" | "delete" =>
+                // the whole member range dies; the literal replacement
+                // (if any) grafts into the skeleton with fresh keys —
+                // exactly what the full-tree replay mints
+                st.alive = false
+                applySkeleton(e)
+              case "rename" =>
+                applySkeleton(e)
+                st.chain = st.chain.updated(st.chain.length - 1, renamedTo(e))
+              case other => throw new ReplayUnsupported(
+                s"edit $other at an elided array")
+            }
+          case Some(st) => e.ptr(st.chain.length) match {
+            case Right(cur) =>
+              val rest = e.ptr.drop(st.chain.length + 1)
+              st.ensureSegs()
+              if (rest.isEmpty && e.kind == "delete") st.deleteAt(cur)
+              else if (rest.isEmpty && e.kind == "replace") {
+                val v = e.valueJson.get
+                val t = st.materialize(cur)
+                val nk = NodeKeys.kindOfJson(v)
+                val sameKindPrim = t.root.kind == nk &&
+                  nk != NodeKeys.KObj && nk != NodeKeys.KArr
+                // same-kind primitive replace keeps the node (and its
+                // key); anything else re-mints the member subtree
+                if (!sameKindPrim) st.replaceAt(cur, freshTree(v))
+              } else {
+                val t = st.materialize(cur)
+                t.maxKey = globalMax
+                NodeKeys.applyEdit(t,
+                  NodeKeys.Edit(e.kind, rest, e.valueJson, e.pos))
+                globalMax = t.maxKey
+              }
+            case Left(_) => throw new ReplayUnsupported(
+              "field named like an elided chain")
+          }
+          case None =>
+            // ancestor-of-chain pointers: delete/replace kill the
+            // chain's member range, a colliding object-insert does too,
+            // rename shifts the chain's path; everything replays on the
+            // skeleton (the elided node lives in the hybrid tree)
+            states.filter(_.alive).foreach { st =>
+              val k = e.ptr.length
+              if (k < st.chain.length && k > 0 &&
+                  e.ptr == asLefts(st.chain.take(k))) {
+                e.kind match {
+                  case "delete" | "replace" => st.alive = false
+                  case "rename" =>
+                    st.chain = st.chain.updated(k - 1, renamedTo(e))
+                  case "insert" if e.pos.isEmpty =>
+                    if (topFieldsOf(e.valueJson.get).contains(st.chain(k)))
+                      st.alive = false
+                  case _ => ()
+                }
+              }
+            }
+            applySkeleton(e)
+        }
+      }
+    } catch {
+      case _: ReplayUnsupported => return None
+      case _: IllegalStateException => return None // applyEdit mismatch
+    }
+    val entries2 = states.filter(_.alive).map { st =>
+      if (st.segs == null)
+        EntryKeyCtx(st.chain, st.en.base, st.en.total0, st.en.layout,
+          None, Map.empty)
+      else {
+        var cur = 0
+        val runs = Seq.newBuilder[(Int, Int, Int)]
+        val patched = Map.newBuilder[Int, NodeKeys.KTree]
+        st.segs.foreach {
+          case Left((bs, l)) => runs += ((cur, bs, l)); cur += l
+          case Right(t) => patched += (cur -> t); cur += 1
+        }
+        EntryKeyCtx(st.chain, st.en.base, st.en.total0, st.en.layout,
+          Some(runs.result()), patched.result())
+      }
+    }
+    Some(ShredKeyCtx(base.rev0, entries2, skTree, skTree.pathKeys,
+      globalMax))
+  }
+
+  /** Current member position -> base position (None = the member is
+    * not an untouched base member: inserted, patched, or absent). */
+  private def baseIdxOf(en: EntryKeyCtx, cur: Int): Option[Int] =
+    en.runs match {
+      case None => Some(cur)
+      case Some(rs) => rs.collectFirst {
+        case (cs, bs, l) if cur >= cs && cur < cs + l => bs + (cur - cs) }
+    }
+  /** Base member position -> current position (None = deleted or
+    * patched out of the untouched runs). */
+  private def curIdxOf(en: EntryKeyCtx, base: Int): Option[Int] =
+    en.runs match {
+      case None => Some(base)
+      case Some(rs) => rs.collectFirst {
+        case (cs, bs, l) if base >= bs && base < bs + l => cs + (base - bs) }
+    }
+
+  /** A STATIC pointer's key over a shredded revision: skeleton
+    * pointers read the hybrid tree; pointers into an elided member
+    * list read ONE offsets row (a filtered distributed read — the
+    * document never collects) or a driver-held patch. Outer None =
+    * pointer form not eligible here (the caller's tree path takes
+    * over); inner None = resolved, NO NODE at the pointer. */
   private def staticShreddedKey(store: Store, ctx: ShredKeyCtx,
                                 steps: List[Either[String, Int]])
       : Option[Option[Long]] = {
     // member-list pointer: entry chain + [idx] + rest
     ctx.entries.foreach { en =>
-      val n = en.steps.length
+      val n = en.chain.length
       if (steps.length > n &&
-          steps.take(n) == en.steps.map(Left(_): Either[String, Int])) {
+          steps.take(n) == en.chain.map(Left(_): Either[String, Int])) {
         steps(n) match {
           case Right(idx) =>
-            val (layout, _) = ctx.layouts(en.steps)
-            val row = layout.filter(col("idx") === idx)
+            val rest = steps.drop(n + 1)
+            en.patched.get(idx) match {
+              case Some(t) => return Some(t.lookup(rest).map(_.key))
+              case None => ()
+            }
+            val baseIdx = baseIdxOf(en, idx) match {
+              case Some(b) => b
+              case None => return Some(None) // deleted/absent member
+            }
+            val row = en.layout.filter(col("idx") === baseIdx)
               .select(col("__nk_off"), col("member_raw")).collect()
             if (row.isEmpty) return Some(None) // absent member
-            val rest = steps.drop(n + 1)
             return Some(NodeKeys.relativeOffset(row.head.getString(1), rest)
-              .map(ctx.bases(en.steps) + row.head.getLong(0) + _))
+              .map(en.base + row.head.getLong(0) + _))
           case _ => return None // field named like the chain: tree path
         }
       }
     }
-    Some(ctx.skKeys.find(_._1 == NodeKeys.renderPath(steps)).map(_._2))
+    Some(ctx.skTree.lookup(steps).map(_.key))
   }
 
-  /** Inverse key lookup over a shredded fresh revision (select-item):
-    * skeleton keys answer from the assignment; a key inside an elided
-    * member range reads exactly ONE member row by its offset interval
-    * and inverts the relative preorder walk inside that member. Also
+  /** Inverse key lookup over a shredded revision (select-item):
+    * skeleton keys answer from the hybrid tree; patched member keys
+    * (retained AND freshly minted) from their driver trees; a key
+    * inside an UNTOUCHED member reads exactly ONE base row by its
+    * offset interval and inverts the relative preorder walk. Also
     * reports whether the node is an ARRAY (sdb:path's trailing `/[]`
     * rendering). */
   private def shreddedPathOfKey(store: Store, ctx: ShredKeyCtx, key: Long)
       : Option[(List[Either[String, Int]], Boolean)] = {
-    ctx.skKeys.find(_._2 == key) match {
-      case Some((p, _)) =>
-        val ptr = NodeKeys.parsePath(p)
-        // arrayness from the skeleton: a placeholder IS an elided array
-        var n = ctx.skeleton.root
-        ptr.foreach {
-          case Left(f) => n = if (n == null) null else n.get(f)
-          case Right(i) => n = if (n == null) null else n.get(i)
-        }
+    ctx.skTree.pathOfKey(key) match {
+      case Some(ptr) =>
         return Some((ptr,
-          n != null && (n.isArray || ctx.skeleton.slots.containsKey(n))))
+          ctx.skTree.lookup(ptr).exists(_.kind == NodeKeys.KArr)))
       case None => ()
     }
+    // patched members BEFORE base ranges: a patched member's retained
+    // keys also sit in the base offsets range, but the patch tree is
+    // authoritative for its current shape
     ctx.entries.foreach { en =>
-      val base = ctx.bases(en.steps)
-      val (layout, total) = ctx.layouts(en.steps)
-      if (key >= base && key < base + total) {
-        val k = key - base
-        val row = layout
+      en.patched.foreach { case (ci, t) =>
+        t.pathOfKey(key).foreach { sub =>
+          return Some((en.chain.map(Left(_): Either[String, Int]) ++
+            (Right(ci) :: sub),
+            t.lookup(sub).exists(_.kind == NodeKeys.KArr)))
+        }
+      }
+    }
+    ctx.entries.foreach { en =>
+      if (key >= en.base && key < en.base + en.total0) {
+        val k = key - en.base
+        val rows = en.layout
           .filter(col("__nk_off") <= k &&
             lit(k) < col("__nk_off") + col("__nk_n"))
           .select(col("idx"), col("member_raw"), col("__nk_off"))
-          .collect().head
-        val rel = k - row.getLong(2)
-        val sub = NodeKeys.build(row.getString(1))
-        val subPtr = sub.pathOfKey(rel + 1)
-          .getOrElse(throw new IllegalStateException(
-            s"member offsets inconsistent at key $key"))
-        val isArr = sub.lookup(subPtr).exists(_.kind == NodeKeys.KArr)
-        return Some((en.steps.map(Left(_): Either[String, Int]) ++
-          (Right(row.getAs[Number](0).intValue) :: subPtr), isArr))
+          .collect()
+        if (rows.isEmpty) return None
+        val row = rows.head
+        curIdxOf(en, row.getAs[Number](0).intValue) match {
+          case Some(ci) =>
+            val rel = k - row.getLong(2)
+            val sub = NodeKeys.build(row.getString(1))
+            val subPtr = sub.pathOfKey(rel + 1)
+              .getOrElse(throw new IllegalStateException(
+                s"member offsets inconsistent at key $key"))
+            val isArr = sub.lookup(subPtr).exists(_.kind == NodeKeys.KArr)
+            return Some((en.chain.map(Left(_): Either[String, Int]) ++
+              (Right(ci) :: subPtr), isArr))
+          case None => return None // deleted member: the key is dead
+        }
       }
     }
     None
@@ -1898,19 +2325,13 @@ object JsoniqRun {
     }
     import store.spark.implicits._
     val gb = org.apache.spark.sql.graftbridge.GraftBridge
-    val entries = ctx.entries
-    val layouts = ctx.layouts
-    val skKeys = ctx.skKeys
-    val bases = ctx.bases
-    var out = frame.join(broadcast(skKeys.toDF("__nkp", "__nkk")),
+    var out = frame.join(broadcast(ctx.skKeys.toDF("__nkp", "__nkk")),
       pathCol === col("__nkp"), "left")
     var keyCol: Column = col("__nkk")
     val dropCols = Seq.newBuilder[String]
     dropCols ++= Seq("__nkp", "__nkk")
-    entries.zipWithIndex.foreach { case (en, i) =>
-      val chainPath = en.steps.map("/" + _).mkString
-      val base = bases(en.steps)
-      val (layout, _) = layouts(en.steps)
+    ctx.entries.zipWithIndex.foreach { case (en, i) =>
+      val chainPath = en.chain.map("/" + NodeKeys.escSeg(_)).mkString
       val esc = java.util.regex.Pattern.quote(chainPath)
       val pat = s"^$esc/\\[(\\d+)\\](.*)$$"
       // the join key MATERIALIZES as a column first — an equi-join
@@ -1922,19 +2343,45 @@ object JsoniqRun {
         .withColumn(s"__ji$i",
           when(idxS =!= "", idxS.cast("long")).otherwise(lit(null)))
         .withColumn(s"__jr$i", regexp_extract(pathCol, pat, 2))
-      val l = layout.select(col("idx").as(s"__mi$i"),
+      // patched/inserted members (update-derived revisions): a small
+      // driver map, broadcast and equi-joined on (position, rel path)
+      if (en.patched.nonEmpty) {
+        val pdf = en.patched.toSeq.flatMap { case (ci, t) =>
+          t.pathKeys.map { case (p, k) => (ci.toLong, p, k) } }
+          .toDF(s"__pi$i", s"__pp$i", s"__pk$i")
+        out = out.join(broadcast(pdf),
+          col(s"__ji$i") === col(s"__pi$i") &&
+            col(s"__jr$i") === col(s"__pp$i"), "left")
+        dropCols ++= Seq(s"__pi$i", s"__pp$i", s"__pk$i")
+      }
+      // untouched members: translate the current position to its base
+      // position (identity for fresh revisions; a handful of run
+      // shifts for update-derived ones), then the base offsets join
+      val cur = col(s"__ji$i")
+      val baseIdxC: Column = en.runs match {
+        case None => cur
+        case Some(rs) =>
+          rs.foldLeft(lit(null).cast("long")) { case (acc, (cs, bs, l)) =>
+            coalesce(acc,
+              when(cur >= cs && cur < cs + l, cur - cs + bs)) }
+      }
+      out = out.withColumn(s"__jo$i", baseIdxC)
+      val l = en.layout.select(col("idx").as(s"__mi$i"),
         col("member_raw").as(s"__mm$i"), col("__nk_off").as(s"__mo$i"))
-      out = out.join(l, col(s"__ji$i") === col(s"__mi$i"), "left")
+      out = out.join(l, col(s"__jo$i") === col(s"__mi$i"), "left")
       // member-self hits (empty rest — CAS member hits, member
       // bindings) skip the relative walk entirely
       val rel = when(col(s"__jr$i") === "", lit(0L))
         .otherwise(gb.column(JsonRelativeKey(
           gb.expression(col(s"__mm$i")),
           gb.expression(col(s"__jr$i")))))
+      val runKey = when(col(s"__mi$i").isNotNull,
+        lit(en.base) + col(s"__mo$i") + rel)
       keyCol = coalesce(keyCol,
-        when(col(s"__mi$i").isNotNull, lit(base) + col(s"__mo$i") + rel))
-      dropCols ++= Seq(s"__ji$i", s"__jr$i", s"__mi$i", s"__mm$i",
-        s"__mo$i")
+        if (en.patched.nonEmpty) coalesce(col(s"__pk$i"), runKey)
+        else runKey)
+      dropCols ++= Seq(s"__ji$i", s"__jr$i", s"__jo$i", s"__mi$i",
+        s"__mm$i", s"__mo$i")
     }
     Some(out.withColumn("__v", when(keyCol.isNull, lit(null))
         .otherwise(jsonNumber(keyCol)))
@@ -1979,8 +2426,12 @@ object JsoniqRun {
                 posexplode(col(cn)).as(Seq("__p0", ITEM)): _*)
               .withColumn(POS, array(col("__p0").cast("long")))
               .drop("__p0")
-          case Some(ItemVar(_, _, _)) =>
-            throw new IllegalStateException("item var is pointwise")
+          case Some(ItemVar(cn, _, _)) =>
+            // re-binding an item (`for $x in $n`) under identity mode:
+            // one row per tuple, the item's own singleton sequence
+            tuples.withColumn(POS, array(lit(0L)))
+              .withColumn(ITEM, col(cn))
+              .filter(col(ITEM).isNotNull)
           case _ =>
             throw new IllegalArgumentException(s"unbound variable $$$name")
         }
@@ -3950,7 +4401,32 @@ object JsoniqRun {
           "sdb:rollback: the transaction is not a write transaction " +
             "(updates auto-commit per statement; nothing is open to " +
             "roll back)")
-      case "sdb:commit" =>
+      case "sdb:explain" =>
+        // compile the argument query through the FULL planning pipeline
+        // and return the plan text WITHOUT executing it (reference
+        // function/sdb/explain/Explain.java + QueryPlanSerializer.java:
+        // its optimizer pipeline's plan; here Catalyst's). Default =
+        // the formatted physical plan (PushedFilters / ReadSchema show
+        // whether an index/typed-column actually serves — the
+        // structural pushdown check); $verbose = true adds the
+        // analyzed/optimized logical plans (the reference's
+        // parsed-vs-optimized AST pair).
+        require(args.nonEmpty && args.size <= 2,
+          "sdb:explain(query[, verbose])")
+        val q = litStr(args.head, "query")
+        val verbose = args.lift(1).exists {
+          case Jsoniq.BoolLit(b) => b
+          case Jsoniq.Call("true" | "fn:true", Seq()) => true
+          case Jsoniq.Call("false" | "fn:false", Seq()) => false
+          case other => throw new UnsupportedOperationException(
+            s"sdb:explain verbose literal expected, got $other")
+        }
+        val qe = compile(store, q, None).queryExecution
+        val text = qe.explainString(
+          if (verbose) org.apache.spark.sql.execution.ExtendedMode
+          else org.apache.spark.sql.execution.FormattedMode)
+        tuples.withColumn("__v", jsonString(lit(text)))
+      case "sdb:commit" | "xml:commit" =>
         // sdb:commit COMMITS the open transaction and returns the new
         // revision (reference function/sdb/trx/Commit.java). Index DDL
         // is free in this engine (pushdown/metadata), so the commit is
@@ -3963,37 +4439,57 @@ object JsoniqRun {
         val path = store.docPath(c, d)
         val head = graft.sources.TemporalTable.mostRecentRevision(path)
           .getOrElse(throw new IllegalArgumentException(s"no revisions for $c/$d"))
-        val rev = graft.sources.TemporalTable
-          .commitCopyOf(path, head, message = "sdb:commit")
-        store.copyShred(c, d, head, rev)
         // content-identical commit = NODE KEYS IDENTICAL to the copied
         // revision (the reference's empty commit keeps its page trees):
         // an EMPTY edit log makes keyTreeOf inherit instead of
         // renumbering fresh — without it, committing after an update
-        // would silently re-mint every key the update preserved
-        store.logEdits(c, d, rev, Seq.empty)
+        // would silently re-mint every key the update preserved. The
+        // log writes in the reservation hook like any update commit:
+        // clears crash-orphaned logs at the reserved number and binds
+        // to this writer's token ([[Store.readEditLog]] verifies)
+        val rev = graft.sources.TemporalTable
+          .commitCopyOf(path, head, message = "sdb:commit",
+            onReserve = (r, token) => {
+              graft.sources.MetaIO.delete(store.editsPath(path, r))
+              store.evictEditState(path, r)
+              store.logEdits(c, d, r, Seq.empty,
+                Some(token).filter(_.nonEmpty))
+            })
+        store.copyShred(c, d, head, rev)
         tuples.withColumn("__v", jsonNumber(lit(rev.toLong)))
       case "jn:create-cas-index" | "jn:create-path-index" |
           "jn:create-name-index" | "jn:find-cas-index" |
-          "jn:find-path-index" | "jn:find-name-index" =>
+          "jn:find-path-index" | "jn:find-name-index" |
+          "xml:create-cas-index" | "xml:create-path-index" |
+          "xml:create-name-index" | "xml:find-cas-index" |
+          "xml:find-path-index" | "xml:find-name-index" |
+          "sdb:find-cas-index" | "sdb:find-path-index" |
+          "sdb:find-name-index" =>
         // index DDL records the DEFINITION (kind, CAS content type,
         // paths) in the resource's registry sidecar and returns its
         // number; lookups stay pushdown + the fork/projection sidecars
         // (SURVEY §2.10). The definition is what gives `$paths = ()`
         // scans their coverage — the reference scans the index, whose
-        // IndexDef owns the paths (index/IndexDef.java).
+        // IndexDef owns the paths (index/IndexDef.java). The `xml:`
+        // family (function/xml/XMLFun.java:148-181) shares the
+        // registry — paths carry the XML pattern dialect and QName
+        // literals register as element names; `sdb:find-*` are the
+        // reference's namespace-agnostic finders (QueryUsage.java:376
+        // calls sdb:find-cas-index over an XML resource).
         val (c, d) = resolveDocArg(args.head, env)
         val kind = name.split("-")(1) // cas | path | name
         val isCas = kind == "cas"
         val typ = if (isCas) litStr(args(1), "type") else ""
         def pathsOf(e2: Jsoniq.Expr): List[String] = e2 match {
           case Jsoniq.SeqCtor(items) => items.toList.flatMap(pathsOf)
+          case Jsoniq.Call("fn:QName" | "QName", as) =>
+            List(litStr(as.last, "name"))
           case other => List(litStr(other, "path"))
         }
         val paths = args.lift(if (isCas) 2 else 1).map(pathsOf)
           .getOrElse(Nil)
         val no =
-          if (name.startsWith("jn:create-"))
+          if (name.contains(":create-"))
             store.registerIndex(c, d, kind, typ, paths)
           else store.findIndex(c, d, kind, typ, paths).getOrElse(-1)
         // not-found = -1, the reference's contract (FindCASIndex.java:27)
@@ -4265,7 +4761,10 @@ object JsoniqRun {
     "jn:last-existing", "jn:scan-cas-index-range",
     "jn:scan-valid-time-index", "jn:drop-database", "jn:drop-resource",
     "jn:select-json-item", "sdb:select-item", "sdb:level-order",
-    "xml:store", "xml:doc", "xml:open", "xml:open-revisions", "xml:load")
+    "xml:store", "xml:doc", "xml:open", "xml:open-revisions", "xml:load",
+    "xml:scan-path-index", "xml:scan-cas-index", "xml:scan-cas-index-range",
+    "xml:scan-name-index", "xml:sort-by-doc-order", "xml:sort",
+    "xml:import", "xml:diff")
 
   /** Does the expression read a table-scan source (size data-bound, so a
     * decorrelated side must NOT be broadcast-hinted)? */
@@ -4282,7 +4781,8 @@ object JsoniqRun {
     Jsoniq.exprAny(e) {
       case _: Jsoniq.UpdateStmt => true
       case Jsoniq.Call("jn:store" | "jn:load" | "jn:drop-database" |
-        "jn:drop-resource" | "sdb:commit", _) => true
+        "jn:drop-resource" | "sdb:commit" | "xml:commit" | "xml:store" |
+        "xml:load" | "xml:import", _) => true
       case _ => false
     }
 
@@ -4786,9 +5286,12 @@ object JsoniqRun {
             s"sdb:level-order depth literal, got $other")
         }.getOrElse(Int.MaxValue)
         val s = evalSeq(store, args.head, tuples, env)
+        val loCap = store.spark.conf
+          .getOption("spark.graft.levelOrder.maxBytes").map(_.toLong)
+          .getOrElse(JsonLevelOrder.DefaultMaxBytes)
         val lo = org.apache.spark.sql.graftbridge.GraftBridge.column(
           JsonLevelOrder(org.apache.spark.sql.graftbridge.GraftBridge
-            .expression(to_json(col(ITEM))), depth))
+            .expression(to_json(col(ITEM))), depth, loCap))
         val keep = s.columns.filter(c => c != ITEM && c != POS).map(col)
         s.select(keep :+ col(POS) :+
             posexplode(lo).as(Seq("__p0", "__lo")): _*)
@@ -4884,6 +5387,50 @@ object JsoniqRun {
         val script = jsonDiffScript(c, d, r1, r2, oldJ, newJ)
         tuples.crossJoin(broadcast(store.spark.range(1)
             .select(jsonString(lit(script)).as(ITEM))))
+          .withColumn(POS, array(lit(0L)))
+      case "xml:diff" =>
+        // update script between two XML revisions (reference
+        // function/xml/diff/Diff.java builds an XQuery Update script
+        // keyed by sirix node keys; here the FMSE engine
+        // ([[graft.operators.TreeMatch]]) matches the two revisions
+        // keylessly and the script keys operations by the engine's
+        // document-order node keys — same select-item addressing
+        // shape, documented key-space divergence). One string item.
+        require(args.size == 4, "xml:diff(collection, resource, rev1, rev2)")
+        val (c, d) = (litStr(args(0), "collection"), litStr(args(1), "resource"))
+        def litRevX(e2: Expr): Int = e2 match {
+          case NumLit(t) if !t.contains(".") => t.toInt
+          case other => throw new UnsupportedOperationException(
+            s"xml:diff revision literal expected, got $other")
+        }
+        val (r1, r2) = (litRevX(args(2)), litRevX(args(3)))
+        val script = xmlDiffScript(store, c, d, r1, r2)
+        tuples.crossJoin(broadcast(store.spark.range(1)
+            .select(jsonString(lit(script)).as(ITEM))))
+          .withColumn(POS, array(lit(0L)))
+      case "xml:import" =>
+        // import a NEW VERSION of a stored XML resource (reference
+        // function/xml/io/Import.java: FMSE-diff the head against the
+        // imported document, commit the matched changes as a new
+        // revision). The engine commits the imported content as the
+        // new revision after validating the FMSE match (roots pair,
+        // mapping is 1-1) — node addressing stays structural. Returns
+        // the imported document node.
+        require(args.size == 3, "xml:import(collection, resource, uri)")
+        val (c, d) = (litStr(args(0), "collection"), litStr(args(1), "resource"))
+        val uri = litStr(args(2), "uri")
+        val newXml = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(uri)),
+          java.nio.charset.StandardCharsets.UTF_8)
+        require(graft.sources.TemporalTable
+            .mostRecentRevision(store.docPath(c, d)).isDefined,
+          s"xml:import: no stored revisions for $c/$d to import against")
+        // FMSE validation: the head and the import must match as trees
+        // (a degenerate match means the import is a different document)
+        xmlFmseMatch(store, c, d, newXml)
+        val enc = store.storeXml(c, d, newXml)
+        tuples.crossJoin(broadcast(store.spark.range(1)
+            .select(parse_json(lit(enc)).as(ITEM))))
           .withColumn(POS, array(lit(0L)))
       case "jn:all-times" =>
         // every committed revision's root, ordered by revision — the
@@ -5090,6 +5637,90 @@ object JsoniqRun {
         }
         docScanSeq(store, tuples, c, d, JsonPath.CasScan(patterns,
           JsonPath.CmpRange(low, high, incLow, incHigh)))
+      case "xml:scan-cas-index" =>
+        // typed-value scan over a stored XML resource (reference
+        // function/xml/index/scan/ScanCASIndex.java): hits are the
+        // matching TEXT/attribute VALUES in document order. Accepts
+        // the jn-style 5-arg form and the reference signature's 6-arg
+        // form with $include-self — a boolean third argument shifts
+        // mode/paths right by one (the reference's execute() ignores
+        // include-self; so does this engine)
+        require(args.size == 5 || args.size == 6,
+          "xml:scan-cas-index(doc, idx, key[, includeSelf], mode, paths)")
+        val (c, d) = resolveDocArg(args.head, env)
+        requireScanHandle(store, c, d, args(1), "cas")
+        val refStyle = args.size == 6
+        val value = litRaw(args(2), "key")
+        val op = litStr(args(if (refStyle) 4 else 3), "mode")
+        val patterns = args(if (refStyle) 5 else 4) match {
+          case SeqCtor(Seq()) => casIndexPaths(store, c, d, args(1))
+          case other2 => Some(litStr(other2, "paths").split(";").toSeq)
+        }
+        xmlScanSeq(store, tuples, c, d, patterns.map(_.map(XmlScan.parse)),
+          XmlScan.XCas(JsonPath.CmpOp(op, value)))
+      case "xml:scan-cas-index-range" =>
+        require(args.size == 7, "xml:scan-cas-index-range(doc, idx, " +
+          "low, high, includeLow, includeHigh, paths)")
+        val (c, d) = resolveDocArg(args.head, env)
+        requireScanHandle(store, c, d, args(1), "cas")
+        val low = litRaw(args(2), "low")
+        val high = litRaw(args(3), "high")
+        val incLow = litBool(args(4), "includeLow")
+        val incHigh = litBool(args(5), "includeHigh")
+        val patterns = args(6) match {
+          case SeqCtor(Seq()) => casIndexPaths(store, c, d, args(1))
+          case other2 => Some(litStr(other2, "paths").split(";").toSeq)
+        }
+        xmlScanSeq(store, tuples, c, d, patterns.map(_.map(XmlScan.parse)),
+          XmlScan.XCas(JsonPath.CmpRange(low, high, incLow, incHigh)))
+      case "xml:scan-path-index" =>
+        // matching ELEMENT nodes in document order (reference
+        // function/xml/index/scan/ScanPathIndex.java)
+        require(args.size == 3, "xml:scan-path-index(doc, idx, paths)")
+        val (c, d) = resolveDocArg(args.head, env)
+        requireScanHandle(store, c, d, args(1), "path")
+        val patterns = args(2) match {
+          case SeqCtor(Seq()) =>
+            store.indexDefs(c, d).filter(_.kind == "path") match {
+              case Seq(one) => Some(one.paths.toSeq).filter(_.nonEmpty)
+              case Seq() => None
+              case many => args(1) match {
+                case NumLit(t) if !t.contains(".") =>
+                  many.find(_.no == t.toInt).map(_.paths.toSeq)
+                    .filter(_.nonEmpty)
+                case _ => throw new UnsupportedOperationException(
+                  "path scan with empty $paths over several registered " +
+                    "path indexes needs a literal index number")
+              }
+            }
+          case other2 => Some(litStr(other2, "paths").split(";").toSeq)
+        }
+        val pats = patterns.map(_.map(XmlScan.parse))
+        pats.foreach(_.foreach(p => require(p.attrLast.isEmpty,
+          "xml:scan-path-index over attribute paths is not supported " +
+            "(the path index serves elements; use a CAS scan for " +
+            "attribute values)")))
+        xmlScanSeq(store, tuples, c, d, pats, XmlScan.XPath)
+      case "xml:scan-name-index" =>
+        // elements with the given QName (reference
+        // function/xml/index/scan/ScanNameIndex.java)
+        require(args.size == 3, "xml:scan-name-index(doc, idx, name)")
+        val (c, d) = resolveDocArg(args.head, env)
+        requireScanHandle(store, c, d, args(1), "name")
+        val names = args(2) match {
+          case SeqCtor(Seq()) => None
+          case Call("fn:QName" | "QName", as) => Some(Set(litStr(
+            as.last, "name")))
+          case other2 => Some(litStr(other2, "name").split(";").toSet)
+        }
+        xmlScanSeq(store, tuples, c, d, None, XmlScan.XName(names))
+      case "xml:sort-by-doc-order" | "xml:sort" =>
+        // the engine's node sequences already carry their document
+        // position (the POS discipline orders serialization), so the
+        // reference's SortedNodeSequence (function/xml/index/
+        // SortByDocOrder.java) is the identity here
+        require(args.size == 1, s"$name(sequence)")
+        evalSeq(store, args.head, tuples, env)
       case other =>
         throw new UnsupportedOperationException(s"unsupported function $other()")
     }
@@ -5252,6 +5883,73 @@ object JsoniqRun {
     } catch {
       case _: JsonPath.NeedFullWalk => fullWalk()
     }
+  }
+
+  /** Serve one textual XML index scan over a stored XML resource.
+    * Shredded element chains distribute when EVERY pattern is provably
+    * member-local ([[XmlScan.memberLocal]] — anchored, concrete, and
+    * strictly inside the chain's members): each member walks where its
+    * row lives ([[XmlMemberXScan]]), hits never materialize on the
+    * driver. Everything else (wildcards, unanchored `//` patterns,
+    * name scans — a name's absence from the rest of the document is
+    * unprovable without reading it) walks the document on the driver
+    * under the LOUD scan cap, exactly the JSON scans' discipline. */
+  private def xmlScanSeq(store: Store, tuples: DataFrame, c: String,
+                         d: String, pats: Option[Seq[XmlScan.Pattern]],
+                         mode: XmlScan.Mode): DataFrame = {
+    val spark = store.spark
+    import spark.implicits._
+    val gb = org.apache.spark.sql.graftbridge.GraftBridge
+    val rev = graft.sources.TemporalTable
+      .mostRecentRevision(store.docPath(c, d))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no revisions for $c/$d")).toLong
+    val entries = store.shredEntries(c, d, None).filter(_.kind == "xml")
+    val memberOnly = pats.exists(ps => ps.nonEmpty && entries.nonEmpty &&
+      ps.forall(p => entries.exists(en => XmlScan.memberLocal(p, en.steps))))
+    if (memberOnly) {
+      val ps = pats.get
+      val parts = entries.zipWithIndex.flatMap { case (en, slot) =>
+        val mine = ps.filter(XmlScan.memberLocal(_, en.steps))
+        if (mine.isEmpty) None
+        else {
+          val df = store.readShredEntry(c, d, None, en)
+          val sc = gb.column(XmlMemberXScan(
+            gb.expression(to_json(col("member"))), en.steps, mine, mode))
+          Some(df.select(col("idx"),
+              posexplode(sc).as(Seq("__k", "__mj")))
+            .select(
+              array(lit(slot.toLong), col("idx").cast("long"),
+                col("__k").cast("long")).as(POS),
+              parse_json(col("__mj")).as(ITEM),
+              lit(rev).as("__srev")))
+        }
+      }
+      return parts.reduceOption(_.unionByName(_)) match {
+        case None => emptyScan(tuples)
+        case Some(src) =>
+          attachToTuples(src, tuples, Map(BIG -> StoreRef(store)))
+      }
+    }
+    val cap = sys.props.get("graft.scan.maxDriverBytes").map(_.toLong)
+      .getOrElse(256L << 20)
+    val docLen = store.docLenOf(c, d, rev.toInt)
+    if (docLen > cap) throw new IllegalStateException(
+      s"xml index scan over $c/$d: document is $docLen bytes — over " +
+        s"the $cap-byte driver-walk cap (-Dgraft.scan.maxDriverBytes); " +
+        "only scans whose every pattern is a concrete anchored " +
+        "member-local path serve without the document")
+    val json = store.doc(c, d, None).collect().head.getString(0)
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(json)
+    val hits = XmlScan.walkDoc(root, pats, mode)
+    if (hits.isEmpty) return emptyScan(tuples)
+    val src = hits.zipWithIndex
+      .map { case (h, i) => (Seq(i.toLong), h) }
+      .toDF("__p0", "__mj")
+      .select(col("__p0").as(POS), parse_json(col("__mj")).as(ITEM),
+        lit(rev).as("__srev"))
+    tuples.crossJoin(broadcast(src))
   }
 
   /** A scan's LITERAL index handle validated against the registry: an
@@ -5419,17 +6117,18 @@ object JsoniqRun {
         // the hit is a member FIELD value: concrete printed path
         // `/chain/[idx]/field` with the member object as parent (the
         // walker's field discipline, not the bare-member one)
-        val arrayPos = chain.map("/" + _).mkString
+        val arrayPos = chain.map("/" + NodeKeys.escSeg(_)).mkString
+        val fieldSeg = NodeKeys.escSeg(field)
         df.filter(vcol.isNotNull && c)
           .select(array(lit(base), col("idx"), lit(0L)).as(POS),
             expr("variant_get(to_variant_object(struct(t.`" + field +
               "` as v)), '$.v')").as(ITEM),
             concat(lit(s"$arrayPos/["), col("idx"),
-              lit(s"]/$field")).as("__spath"),
+              lit(s"]/$fieldSeg")).as("__spath"),
             concat(lit(s"$arrayPos/["), col("idx"), lit("]"))
               .as("__sppath"),
             concat(lit(s"$arrayPos/["), col("idx"),
-              lit(s"]/$field")).as("__sipath"),
+              lit(s"]/$fieldSeg")).as("__sipath"),
             lit(rev).as("__srev"))
       }
     }
@@ -5439,6 +6138,139 @@ object JsoniqRun {
     * whose document defines the path, in revision order, with revision
     * and previous-revision content stashed alongside. Driver-side
     * navigation (one bounded collect per revision), items broadcast. */
+  /** FMSE-matched state of a stored XML resource's head against a new
+    * document: (aNodes, bNodes, matches a_key->b_key) as driver maps,
+    * with the match validated 1-1 and roots paired. Shared by xml:diff
+    * (two stored revisions) and xml:import (head vs imported text). */
+  private final case class XNode(key: Long, parent: Option[Long],
+                                 kind: String, name: Option[String],
+                                 value: Option[String], ord: Seq[Int])
+  private def xmlMatchOf(store: Store, xmlA: String, xmlB: String)
+      : (Map[Long, XNode], Map[Long, XNode], Map[Long, Long]) = {
+    val spark = store.spark
+    import spark.implicits._
+    def shred(x: String) = graft.sources.XmlShredder.shred(
+      Seq((1L, x)).toDF("doc_id", "xml"), "doc_id", "xml")
+    val a = shred(xmlA).cache()
+    val b = shred(xmlB).cache()
+    def nodesOf(df: DataFrame): Map[Long, XNode] =
+      df.select(col("node_key"), col("parent_key"), col("kind"),
+          col("name"), col("value"), col("ordpath"))
+        .as[(Long, Option[Long], String, Option[String], Option[String],
+          Seq[Int])]
+        .collect()
+        .map { case (k, p, kd, n, v, o) => k -> XNode(k, p, kd, n, v, o) }
+        .toMap
+    val aN = nodesOf(a)
+    val bN = nodesOf(b)
+    val matches = graft.operators.TreeMatch.matchTrees(a, b)
+      .select("a_key", "b_key").as[(Long, Long)].collect()
+    a.unpersist(); b.unpersist()
+    val m = matches.toMap
+    require(m.size == matches.length &&
+      matches.map(_._2).distinct.length == matches.length,
+      "xml diff/import: FMSE match is not 1-1")
+    val aRoot = aN.values.find(_.parent.isEmpty).get.key
+    val bRoot = bN.values.find(_.parent.isEmpty).get.key
+    require(m.get(aRoot).contains(bRoot),
+      "xml diff/import: document roots did not match")
+    (aN, bN, m)
+  }
+
+  private def xmlFmseMatch(store: Store, c: String, d: String,
+                           newXml: String): Unit = {
+    val headJson = store.doc(c, d, None).collect().head.getString(0)
+    xmlMatchOf(store, XmlItem.jsonToXml(headJson), newXml)
+    ()
+  }
+
+  /** The xml:diff update script (reference function/xml/diff/
+    * Diff.java's XQuery Update dialect): ops address nodes via
+    * `sdb:select-item($doc, key)` — keys are THIS engine's
+    * document-order shred keys (the reference uses its page-store
+    * keys; documented divergence). Deterministic: delete/replace/
+    * rename/move/insert lines sort within class by key. Updates split
+    * into `replace value of node` (value change) and `rename node`
+    * (name change) — the FMSE update op's two faces. */
+  private def xmlDiffScript(store: Store, c: String, d: String,
+                            r1: Int, r2: Int): String = {
+    val cap = sys.props.get("graft.scan.maxDriverBytes").map(_.toLong)
+      .getOrElse(256L << 20)
+    Seq(r1, r2).foreach { r =>
+      val len = store.docLenOf(c, d, r)
+      if (len > cap) throw new UnsupportedOperationException(
+        s"xml:diff over $c/$d rev $r: document ($len bytes) exceeds " +
+          s"the driver-walk cap ($cap; -Dgraft.scan.maxDriverBytes)")
+    }
+    def xmlOf(r: Int): String = XmlItem.jsonToXml(
+      store.doc(c, d, Some(r)).collect().head.getString(0))
+    val (aN, bN, m) = xmlMatchOf(store, xmlOf(r1), xmlOf(r2))
+    val inv = m.map(_.swap)
+    val matchedA = m.keySet
+    val matchedB = inv.keySet
+    val bChildren = bN.values.toSeq.flatMap(n => n.parent.map(_ -> n))
+      .groupBy(_._1).map { case (p, xs) =>
+        p -> xs.map(_._2).sortBy(_.ord.mkString(".")) }
+    def serializeB(key: Long): String = {
+      val n = bN(key)
+      n.kind match {
+        case "text" => n.value.getOrElse("")
+        case "comment" => s"<!--${n.value.getOrElse("")}-->"
+        case "pi" => s"<?${n.name.getOrElse("")} ${n.value.getOrElse("")}?>"
+        case "attribute" => "" // rendered on the owning element
+        case _ =>
+          val kids = bChildren.getOrElse(key, Seq.empty)
+          val attrs = kids.filter(_.kind == "attribute")
+            .map(a => s""" ${a.name.getOrElse("")}="${a.value.getOrElse("")}"""")
+            .mkString
+          val body = kids.filterNot(_.kind == "attribute")
+            .map(k => serializeB(k.key)).mkString
+          val nm = n.name.getOrElse("")
+          if (body.isEmpty) s"<$nm$attrs/>" else s"<$nm$attrs>$body</$nm>"
+      }
+    }
+    val ops = scala.collection.mutable.ArrayBuffer.empty[String]
+    // top-most deletes (a-side, unmatched, parent matched or root)
+    aN.values.toSeq.sortBy(_.ord.mkString("."))
+      .filter(n => !matchedA(n.key) &&
+        n.parent.forall(p => matchedA(p)))
+      .foreach(n => ops += s"  delete node sdb:select-item($$doc, ${n.key})")
+    // top-most inserts (b-side, unmatched, parent matched): the
+    // serialized subtree inserts into the parent's A-SIDE node
+    bN.values.toSeq.sortBy(_.ord.mkString("."))
+      .filter(n => !matchedB(n.key) && n.parent.exists(matchedB))
+      .foreach { n =>
+        val pa = inv(n.parent.get)
+        val rendered = n.kind match {
+          case "attribute" =>
+            s"attribute ${n.name.getOrElse("")} {\"${n.value.getOrElse("")}\"}"
+          case _ => serializeB(n.key)
+        }
+        ops += s"  insert nodes $rendered into sdb:select-item($$doc, $pa)"
+      }
+    // matched pairs: value / name changes, then moves
+    m.toSeq.sortBy(_._1).foreach { case (ak, bk) =>
+      val an = aN(ak); val bn = bN(bk)
+      if (an.value != bn.value && bn.kind != "element")
+        ops += "  replace value of node " +
+          s"sdb:select-item($$doc, $ak) with \"${bn.value.getOrElse("")}\""
+      if (an.name != bn.name && bn.name.isDefined)
+        ops += s"  rename node sdb:select-item($$doc, $ak) as ${bn.name.get}"
+      val movedAway = (an.parent, bn.parent) match {
+        case (Some(ap), Some(bp)) => !m.get(ap).contains(bp)
+        case _ => false
+      }
+      // a move into an INSERTED subtree has no a-side target; the
+      // inserted parent's own `insert nodes` line carries the content
+      if (movedAway && bn.parent.exists(inv.contains))
+        ops += s"  move node sdb:select-item($$doc, $ak) into " +
+          s"sdb:select-item($$doc, ${inv(bn.parent.get)})"
+    }
+    if (ops.isEmpty) ""
+    else s"let $$doc := xml:doc('$c','$d',$r1)\nreturn (\n" +
+      ops.mkString(",\n") + "\n)"
+  }
+
   private def allTimesAt(store: Store, tuples: DataFrame,
                          target: JsoniqUpdate.StaticTarget,
                          slice: Seq[Int] => Seq[Int] = identity,
@@ -5491,14 +6323,21 @@ object JsoniqRun {
       (if (changedOnly) rows0.filter { case (_, json, _, _, prevEx) =>
         prevEx == null || prevEx != json }
        else rows0).map { case (r, json, pa, na, _) => (r, json, pa, na) }
+    // the axis' target is STATIC, so each hit's printed path is the
+    // target's own — stashing it (plus the per-row revision) gives
+    // temporal-axis hits real node identity: sdb:nodekey over
+    // jn:all-times / jn:past / sdb:item-history resolves per revision
+    val spath = NodeKeys.renderPath(target.steps)
     if (rows.isEmpty)
       return tuples.withColumn(POS, array(lit(0L))).withColumn(ITEM, vnull)
         .withColumn("__srev", lit(0L)).withColumn("__sprev", lit(""))
         .withColumn("__snext", lit(""))
+        .withColumn("__spath", lit(spath))
         .filter(lit(false))
     val df = rows.toDF("__srev", "__mj", "__sprev", "__snext")
       .select(array(col("__srev")).as(POS), parse_json(col("__mj")).as(ITEM),
         col("__srev"), col("__sprev"), col("__snext"))
+      .withColumn("__spath", lit(spath))
     tuples.crossJoin(broadcast(df))
   }
 

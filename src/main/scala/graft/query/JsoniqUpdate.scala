@@ -32,7 +32,7 @@ private[query] object JsoniqUpdate {
   def staticTargetIn(e: Expr,
                      env: Map[String, JsoniqRun.Binding]): Option[StaticTarget] =
     e match {
-      case Call("jn:doc", Seq(StrLit(c), StrLit(d))) =>
+      case Call("jn:doc" | "xml:doc", Seq(StrLit(c), StrLit(d))) =>
         Some(StaticTarget(c, d, Nil))
       case VarRef(n) => env.get(n) match {
         case Some(JsoniqRun.SeqVar(_, st)) => st

@@ -60,13 +60,18 @@ private[graft] object NodeKeys {
     def childCount: Long =
       if (kind == KObj) fields.size.toLong
       else if (kind == KArr) members.size.toLong else 0L
-    def deepCopy(): KNode = {
+    def deepCopy(): KNode = deepCopyAt(0)
+    private def deepCopyAt(depth: Int): KNode = {
+      if (depth > NodeKeys.MaxDepth)
+        throw new UnsupportedOperationException(
+          s"node identity: tree nesting exceeds ${NodeKeys.MaxDepth} " +
+            "levels (accumulated update-inserted subtrees)")
       val n = new KNode(key, kind)
       if (kind == KObj) {
         n.fields = mutable.LinkedHashMap.empty
-        fields.foreach { case (k, v) => n.fields.put(k, v.deepCopy()) }
+        fields.foreach { case (k, v) => n.fields.put(k, v.deepCopyAt(depth + 1)) }
       } else if (kind == KArr)
-        n.members = members.map(_.deepCopy())
+        n.members = members.map(_.deepCopyAt(depth + 1))
       n
     }
   }
@@ -101,6 +106,9 @@ private[graft] object NodeKeys {
     def pathOfKey(key: Long): Option[List[Either[String, Int]]] = {
       val acc = mutable.ArrayBuffer.empty[Either[String, Int]]
       def go(n: KNode): Boolean = {
+        if (acc.size > MaxDepth)
+          throw new UnsupportedOperationException(
+            s"node identity: tree nesting exceeds $MaxDepth levels")
         if (n.key == key) return true
         if (n.kind == KObj) {
           for ((f, c) <- n.fields) {
@@ -127,18 +135,21 @@ private[graft] object NodeKeys {
       * [[JsonPath.Hit]] (`/field`, `/[i]`). */
     def pathKeys: Seq[(String, Long)] = {
       val out = mutable.ArrayBuffer.empty[(String, Long)]
-      def go(n: KNode, path: String): Unit = {
+      def go(n: KNode, path: String, depth: Int): Unit = {
+        if (depth > MaxDepth)
+          throw new UnsupportedOperationException(
+            s"node identity: tree nesting exceeds $MaxDepth levels")
         out += ((path, n.key))
         if (n.kind == KObj) n.fields.foreach { case (f, c) =>
-          go(c, s"$path/$f")
+          go(c, s"$path/${escSeg(f)}", depth + 1)
         } else if (n.kind == KArr) {
           var i = 0
           while (i < n.members.size) {
-            go(n.members(i), s"$path/[$i]"); i += 1
+            go(n.members(i), s"$path/[$i]", depth + 1); i += 1
           }
         }
       }
-      go(root, "")
+      go(root, "", 0)
       out.toSeq
     }
   }
@@ -155,6 +166,19 @@ private[graft] object NodeKeys {
 
   private val factory = new JsonFactory()
 
+  /** Nesting cap for the driver-side tree walks: a pathologically deep
+    * document well under the byte cap (~1 MB of nested brackets is
+    * ~500k levels) must fail with a loud descriptive error, not a
+    * driver StackOverflowError. [[build]] is double-fenced — Jackson
+    * 2.15+ StreamReadConstraints already rejects nesting past 1000 at
+    * parse time — but repeated update-inserted subtrees can STACK
+    * depth across [[applyEdit]] replays (each graft adds up to the
+    * parser limit), so the copy/search walks
+    * ([[KNode.deepCopy]]/[[KTree.pathOfKey]]/[[KTree.pathKeys]]) carry
+    * their own guard. 4k levels keeps every recursive walk comfortably
+    * inside a default 1 MB JVM stack. */
+  final val MaxDepth = 4000
+
   /** Fused preorder assignment over a revision's full content. */
   def build(json: String): KTree = {
     val p = factory.createParser(json)
@@ -168,26 +192,29 @@ private[graft] object NodeKeys {
         n
       }
       // parser is ON the container's START token; fills n's children
-      def fillChildren(n: KNode): Unit =
+      def fillChildren(n: KNode, depth: Int): Unit = {
+        if (depth > MaxDepth) throw new UnsupportedOperationException(
+          s"node identity: document nesting exceeds $MaxDepth levels")
         if (n.kind == KObj) {
           while (p.nextToken() != JsonToken.END_OBJECT) {
             val name = p.currentName()
             val vt = p.nextToken()
             val c = fresh(kindOfToken(vt))
             n.fields.put(name, c)
-            if (c.isStructural) fillChildren(c)
+            if (c.isStructural) fillChildren(c, depth + 1)
           }
         } else {
           var vt = p.nextToken()
           while (vt != JsonToken.END_ARRAY) {
             val c = fresh(kindOfToken(vt))
             n.members += c
-            if (c.isStructural) fillChildren(c)
+            if (c.isStructural) fillChildren(c, depth + 1)
             vt = p.nextToken()
           }
         }
+      }
       val root = fresh(kindOfToken(t))
-      if (root.isStructural) fillChildren(root)
+      if (root.isStructural) fillChildren(root, 1)
       new KTree(root, next - 1)
     } finally p.close()
   }
@@ -283,37 +310,72 @@ private[graft] object NodeKeys {
                        com.fasterxml.jackson.databind.JsonNode, List[String]],
                      entryTotals: Map[List[String], Long])
       : (Seq[(String, Long)], Map[List[String], Long]) = {
-    val out = mutable.ArrayBuffer.empty[(String, Long)]
+    val (t, bases, _) = buildSkeletonTree(root, slots, entryTotals)
+    (t.pathKeys, bases)
+  }
+
+  /** [[assignSkeleton]]'s assignment as a mutable [[KTree]] — the
+    * replay substrate for distributed node identity over UPDATE-DERIVED
+    * shredded revisions ([[JsoniqRun]]'s edit-log replay): skeleton
+    * nodes carry their keys and KINDS, each elided array is a KArr
+    * node with an EMPTY member buffer whose members' key range
+    * (`bases(chain) .. bases(chain) + total`) lives in the offsets
+    * sidecar instead. Skeleton-level edits then replay with the same
+    * [[applyEdit]] the driver-tree path uses. Returns
+    * (tree, memberBases, maxKey). */
+  def buildSkeletonTree(root: com.fasterxml.jackson.databind.JsonNode,
+                        slots: java.util.IdentityHashMap[
+                          com.fasterxml.jackson.databind.JsonNode, List[String]],
+                        entryTotals: Map[List[String], Long])
+      : (KTree, Map[List[String], Long], Long) = {
     val bases = mutable.Map.empty[List[String], Long]
     var next = 1L
-    def walk(n: com.fasterxml.jackson.databind.JsonNode,
-             path: String): Unit = {
+    def kindOf(n: com.fasterxml.jackson.databind.JsonNode): Int =
+      if (n.isObject) KObj else if (n.isArray) KArr
+      else if (n.isTextual) KStr else if (n.isNumber) KNum
+      else if (n.isBoolean) KBool else KNull
+    def walk(n: com.fasterxml.jackson.databind.JsonNode): KNode = {
       val slotChain = slots.get(n)
       if (slotChain != null) {
         // the elided array node itself: one key, then its members'
-        // whole key range
-        out += ((path, next)); next += 1
+        // whole key range (tracked off-tree)
+        val kn = new KNode(next, KArr)
+        kn.members = mutable.ArrayBuffer.empty
+        next += 1
         bases(slotChain) = next
         next += entryTotals.getOrElse(slotChain,
           throw new IllegalStateException(
             s"no member total for elided chain $slotChain"))
-        return
+        return kn
       }
-      out += ((path, next)); next += 1
+      val kn = new KNode(next, kindOf(n))
+      next += 1
       if (n.isObject) {
+        kn.fields = mutable.LinkedHashMap.empty
         val it = n.fields()
         while (it.hasNext) {
           val e = it.next()
-          walk(e.getValue, s"$path/${e.getKey}")
+          kn.fields.put(e.getKey, walk(e.getValue))
         }
       } else if (n.isArray) {
+        kn.members = mutable.ArrayBuffer.empty
         val it = n.elements()
-        var i = 0
-        while (it.hasNext) { walk(it.next(), s"$path/[$i]"); i += 1 }
+        while (it.hasNext) { kn.members += walk(it.next()); () }
       }
+      kn
     }
-    walk(root, "")
-    (out.toSeq, bases.toMap)
+    val t = new KTree(walk(root), next - 1)
+    (t, bases.toMap, next - 1)
+  }
+
+  /** Shift every key in a built subtree by `delta` — minting a freshly
+    * parsed subtree into the key space above an existing tree's maxKey
+    * (the [[applyEdit]] freshSubtree discipline, exposed for the
+    * distributed replay's member-level inserts). */
+  def rebase(n: KNode, delta: Long): Unit = {
+    n.key += delta
+    if (n.kind == KObj) n.fields.valuesIterator.foreach(rebase(_, delta))
+    else if (n.kind == KArr) n.members.foreach(rebase(_, delta))
   }
 
   /** One recorded update operation, exactly what
@@ -404,30 +466,93 @@ private[graft] object NodeKeys {
     }
   }
 
-  private def kindOfJson(v: String): Int = {
+  private[query] def kindOfJson(v: String): Int = {
     val p = factory.createParser(v)
     try kindOfToken(p.nextToken()) finally p.close()
   }
 
   // ---- printed-path bridge (the Hit.path / sdb:path rendering) ----
 
+  /** Escape ONE field name for the printed-path dialect: `~`→`~0`,
+    * `/`→`~1`, `[`→`~2`, `]`→`~3`. A field literally named `a/b` or
+    * `[3]` must round-trip to the same pointer — the reference's path
+    * classes store name keys, never rendered strings, so collisions
+    * there are impossible by construction; here the rendered dialect
+    * is collision-free instead. The common case (no special chars)
+    * returns the name itself, zero allocation. */
+  def escSeg(f: String): String = {
+    var i = 0
+    var clean = true
+    while (clean && i < f.length) {
+      val c = f.charAt(i)
+      if (c == '~' || c == '/' || c == '[' || c == ']') clean = false
+      i += 1
+    }
+    if (clean) f
+    else {
+      val sb = new java.lang.StringBuilder(f.length + 4)
+      f.foreach {
+        case '~' => sb.append("~0"); ()
+        case '/' => sb.append("~1"); ()
+        case '[' => sb.append("~2"); ()
+        case ']' => sb.append("~3"); ()
+        case c => sb.append(c); ()
+      }
+      sb.toString
+    }
+  }
+
+  def unescSeg(s: String): String =
+    if (s.indexOf('~') < 0) s
+    else {
+      val sb = new java.lang.StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '~' && i + 1 < s.length) {
+          s.charAt(i + 1) match {
+            case '0' => sb.append('~'); ()
+            case '1' => sb.append('/'); ()
+            case '2' => sb.append('['); ()
+            case '3' => sb.append(']'); ()
+            case other => sb.append('~').append(other); ()
+          }
+          i += 2
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
+
   def renderPath(ptr: List[Either[String, Int]]): String =
-    ptr.map { case Left(f) => s"/$f"; case Right(i) => s"/[$i]" }.mkString
+    ptr.map {
+      case Left(f) => s"/${escSeg(f)}"
+      case Right(i) => s"/[$i]"
+    }.mkString
 
   /** Parse a printed path back to a pointer; an array node's own
-    * trailing `/[]` marker is identity-neutral and drops. */
+    * trailing `/[]` marker is identity-neutral and drops. Bracketed
+    * segments are always INDICES — a literal bracket in a field name
+    * rendered as `~2`/`~3`. */
   def parsePath(s: String): List[Either[String, Int]] =
     s.split('/').toList.filter(_.nonEmpty).filter(_ != "[]").map { seg =>
       if (seg.startsWith("[") && seg.endsWith("]"))
         Right(seg.substring(1, seg.length - 1).toInt)
-      else Left(seg)
+      else Left(unescSeg(seg))
     }
 
   // ---- edits sidecar (de)serialization ----
 
-  def editsToJson(edits: Seq[Edit]): String = {
+  /** Serialize a log. `writer` is the committing writer's reservation
+    * token (TemporalTable's commit-log `writerId`): a reader verifies
+    * the log belongs to the revision it sits next to before replaying
+    * — a stale log from a crashed writer that never committed its
+    * revision must never replay against someone else's content. */
+  def editsToJson(edits: Seq[Edit], writer: Option[String] = None)
+      : String = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val arr = mapper.createArrayNode()
+    val env = mapper.createObjectNode()
+    writer.foreach(env.put("writer", _))
+    val arr = env.putArray("edits")
     edits.foreach { e =>
       val o = arr.addObject()
       o.put("kind", e.kind)
@@ -440,14 +565,23 @@ private[graft] object NodeKeys {
         .JsonNode]("value", mapper.readTree(v)))
       e.pos.foreach(o.put("pos", _))
     }
-    mapper.writeValueAsString(arr)
+    mapper.writeValueAsString(env)
   }
 
-  def editsFromJson(json: String): Seq[Edit] = {
+  def editsFromJson(json: String): Seq[Edit] =
+    editsEnvelopeFromJson(json)._2
+
+  /** (writer token, edits). Accepts the pre-token bare-array layout
+    * (writer = None). */
+  def editsEnvelopeFromJson(json: String): (Option[String], Seq[Edit]) = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val arr = mapper.readTree(json)
+    val root = mapper.readTree(json)
+    val (writer, arr) =
+      if (root.isObject)
+        (Option(root.get("writer")).map(_.asText()), root.get("edits"))
+      else (None, root)
     import scala.jdk.CollectionConverters._
-    arr.elements().asScala.map { o =>
+    (writer, arr.elements().asScala.map { o =>
       val ptr = o.get("ptr").elements().asScala.map { s =>
         if (s.has("f")) Left(s.get("f").asText())
         else Right(s.get("i").asInt())
@@ -455,6 +589,6 @@ private[graft] object NodeKeys {
       Edit(o.get("kind").asText(), ptr,
         Option(o.get("value")).map(_.toString),
         Option(o.get("pos")).map(_.asInt()))
-    }.toSeq
+    }.toSeq)
   }
 }

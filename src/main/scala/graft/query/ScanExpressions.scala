@@ -81,8 +81,16 @@ final case class JsonTreeCounts(child: Expression,
   * level; under the fused model each object field is one node whose
   * item-factory view is its value, each array member is its own node).
   * Evaluated where the item row lives, so a stored document's
-  * traversal never collects to the driver. */
-final case class JsonLevelOrder(child: Expression, maxLevel: Int)
+  * traversal never collects to the driver.
+  *
+  * The output is BUDGETED: every visited node re-serializes its whole
+  * subtree, so total bytes are O(doc bytes x average depth) — an
+  * unbounded traversal of a near-cap stored document would build a
+  * multi-GB single array value and die on executor OOM or the 2 GB
+  * buffer limit instead of an explainable error. Past `maxBytes`
+  * (default 256 MB) the traversal fails LOUDLY with the knob named. */
+final case class JsonLevelOrder(child: Expression, maxLevel: Int,
+                                maxBytes: Long = JsonLevelOrder.DefaultMaxBytes)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType =
@@ -93,6 +101,7 @@ final case class JsonLevelOrder(child: Expression, maxLevel: Int)
     val mapper = JsonLevelOrder.mapper
     val root = mapper.readTree(json.asInstanceOf[UTF8String].toString)
     val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var bytes = 0L
     // queue holds VALUE nodes (fused field -> its value; array member
     // -> itself) with their level; root's children are level 1
     val q = new java.util.ArrayDeque[(com.fasterxml.jackson.databind.JsonNode, Int)]()
@@ -108,7 +117,14 @@ final case class JsonLevelOrder(child: Expression, maxLevel: Int)
     enqueueChildren(root, 1)
     while (!q.isEmpty) {
       val (n, level) = q.poll()
-      out += UTF8String.fromString(mapper.writeValueAsString(n))
+      val s = UTF8String.fromString(mapper.writeValueAsString(n))
+      bytes += s.numBytes()
+      if (bytes > maxBytes) throw new UnsupportedOperationException(
+        s"sdb:level-order: serialized traversal exceeds $maxBytes " +
+          "bytes (every visited node re-serializes its subtree — " +
+          "pass a depth limit, or raise " +
+          "spark.graft.levelOrder.maxBytes)")
+      out += s
       enqueueChildren(n, level + 1)
     }
     new GenericArrayData(out.toArray)
@@ -120,6 +136,45 @@ final case class JsonLevelOrder(child: Expression, maxLevel: Int)
 
 private object JsonLevelOrder {
   val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  val DefaultMaxBytes: Long = 256L << 20
+}
+
+/** Distributed arm of the textual XML index scans ([[XmlScan]]): one
+  * shredded element-chain member in (its [[XmlItem]] JSON), that
+  * member's scan hits out — evaluated per member row across executors,
+  * so a multi-GB stored XML document's CAS/path scan never
+  * materializes on the driver (reference function/xml/index/scan/
+  * ScanCASIndex.java streams its red-black-tree index the same way).
+  * Only called for patterns PROVABLY local to the entry's members
+  * ([[XmlScan.memberLocal]]); text-node members scan to nothing. */
+final case class XmlMemberXScan(child: Expression,
+                                basePath: List[String],
+                                patterns: Seq[XmlScan.Pattern],
+                                mode: XmlScan.Mode)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "xml_member_scan"
+
+  @transient private lazy val mapper =
+    new com.fasterxml.jackson.databind.ObjectMapper()
+
+  override def eval(input: InternalRow): Any = {
+    val j = child.eval(input)
+    if (j == null) return new GenericArrayData(Array.empty[Any])
+    val node = mapper.readTree(j.asInstanceOf[UTF8String].toString)
+    if (!node.isObject || !node.has("~n"))
+      return new GenericArrayData(Array.empty[Any])
+    val hits = XmlScan.walk(node,
+      basePath :+ node.get("~n").asText(), Some(patterns), mode)
+    new GenericArrayData(
+      hits.map(UTF8String.fromString(_): Any).toArray)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): XmlMemberXScan = copy(child = newChild)
 }
 
 /** Preorder offset of a printed path inside ONE shredded member's

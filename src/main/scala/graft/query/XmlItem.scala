@@ -191,6 +191,79 @@ object XmlItem {
     mapper.writeValueAsString(sb.toString)
   }
 
+  /** Driver-side inverse of [[xmlToJson]]: serialize an item-model
+    * node back to XML text — same rendering as the executor-side
+    * [[graft.functions.XmlSerialize]] (document nodes unwrap, empty
+    * elements self-close, text/attribute escaping). Used by the
+    * driver-bounded XML routes (xml:diff shreds two revisions' XML). */
+  private[query] def jsonToXml(json: String): String = {
+    import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+    val root = new ObjectMapper().readTree(json)
+    val sb = new java.lang.StringBuilder()
+    def escText(s: String): Unit = {
+      var i = 0
+      while (i < s.length) {
+        s.charAt(i) match {
+          case '&' => sb.append("&amp;"); ()
+          case '<' => sb.append("&lt;"); ()
+          case '>' => sb.append("&gt;"); ()
+          case c => sb.append(c); ()
+        }
+        i += 1
+      }
+    }
+    def emit(e: JsonNode): Unit = {
+      val name = e.get("~n").asText()
+      sb.append('<').append(name)
+      val attrs = e.get("~a")
+      if (attrs != null && attrs.isObject) {
+        val it = attrs.fields()
+        while (it.hasNext) {
+          val f = it.next()
+          sb.append(' ').append(f.getKey).append("=\"")
+          val raw = f.getValue.asText("")
+          var j = 0
+          while (j < raw.length) {
+            raw.charAt(j) match {
+              case '&' => sb.append("&amp;"); ()
+              case '<' => sb.append("&lt;"); ()
+              case '"' => sb.append("&quot;"); ()
+              case c => sb.append(c); ()
+            }
+            j += 1
+          }
+          sb.append('"')
+        }
+      }
+      val kids = e.get("~c")
+      val size = if (kids != null && kids.isArray) kids.size() else 0
+      if (size == 0) { sb.append("/>"); return }
+      sb.append('>')
+      var i = 0
+      while (i < size) {
+        val k = kids.get(i)
+        if (k.isTextual) escText(k.asText())
+        else if (k.isObject && k.has("~n")) emit(k)
+        i += 1
+      }
+      sb.append("</").append(name).append('>')
+    }
+    if (root.isObject && root.has("~n")) {
+      if (root.get("~n").asText().isEmpty) {
+        val kids = root.get("~c")
+        if (kids != null && kids.isArray) {
+          val it = kids.elements()
+          while (it.hasNext) {
+            val k = it.next()
+            if (k.isTextual) escText(k.asText())
+            else if (k.isObject && k.has("~n")) emit(k)
+          }
+        }
+      } else emit(root)
+    }
+    sb.toString
+  }
+
   /** Pre-order descendant elements named `name` within `json` (an
     * item-model node); matches recurse into matched subtrees, XPath's
     * `//name` over descendant-or-self. Returns encoded JSON per match. */

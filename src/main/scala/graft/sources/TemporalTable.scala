@@ -144,6 +144,17 @@ object TemporalTable {
 
   def mostRecentRevision(path: String): Option[Int] = commits(path).lastOption.map(_.revision)
 
+  /** The committed revision's writer token (`writerId` in its commit
+    * entry) — the binding sidecar writers verify against
+    * ([[graft.query.JsoniqRun.Store]]'s edit logs). None when the
+    * revision doesn't exist or predates token recording. */
+  private[graft] def commitWriterId(path: String, rev: Int)
+      : Option[String] =
+    commitEntryJsons(path)
+      .find(s => scala.util.Try(parseField(s, "revision").toInt)
+        .toOption.contains(rev))
+      .map(s => parseField(s, "writerId")).filter(_.nonEmpty)
+
   /** Catalog ops (`jn:exists-resource` / `jn:drop-resource`). Existence is
     * a directory LISTING check only — it must not read commit contents
     * (SHOW TABLES over a large warehouse would otherwise cost one GET per
@@ -432,7 +443,8 @@ object TemporalTable {
             withKeyIndex: Boolean = true, dictCols: Seq[String] = Nil,
             withStats: Boolean = false, statsNdvCols: Seq[String] = Nil,
             statsGroupCols: Seq[Seq[String]] = Nil,
-            manifestFromRev: Option[Int] = None): Int = {
+            manifestFromRev: Option[Int] = None,
+            onReserve: (Int, String) => Unit = (_, _) => ()): Int = {
     val encoded =
       if (dictCols.isEmpty) df
       else {
@@ -443,7 +455,7 @@ object TemporalTable {
         graft.operators.Dict.encode(df, dictCols, base = base)
       }
     writeFrame(encoded, path, author, message, withManifest, withKeyIndex,
-      withStats, statsNdvCols, statsGroupCols, manifestFromRev)
+      withStats, statsNdvCols, statsGroupCols, manifestFromRev, onReserve)
   }
 
   /** The stats-policy read: the prior COMMITTED revision's sidecar recipe
@@ -472,9 +484,16 @@ object TemporalTable {
                          withStats: Boolean = false,
                          statsNdvCols: Seq[String] = Nil,
                          statsGroupCols: Seq[Seq[String]] = Nil,
-                         manifestFromRev: Option[Int] = None): Int = {
+                         manifestFromRev: Option[Int] = None,
+                         onReserve: (Int, String) => Unit
+                           = (_, _) => ()): Int = {
     val rev = reserveRevision(path)
     try {
+      // reservation hook: callers that write binding sidecars keyed by
+      // the revision number (edit logs) run here, INSIDE the protocol —
+      // they learn the real reserved number and its writer token, and a
+      // failure aborts the reservation like any pre-commit failure
+      onReserve(rev, writerToken(path, rev).getOrElse(""))
       // content-identical commit (compactHead): the manifest is bucket
       // digests over row CONTENT, independent of file layout — a byte
       // copy of the source revision's sidecar replaces the full snapshot
@@ -846,13 +865,15 @@ object TemporalTable {
     * commit-log entry re-records the source's schema. Goes through the
     * full reserve/log protocol, so it is crash-safe like any write. */
   def commitCopyOf(path: String, srcRev: Int, author: String = "graft",
-                   message: String = ""): Int = {
+                   message: String = "",
+                   onReserve: (Int, String) => Unit = (_, _) => ()): Int = {
     require(!DeltaTemporalTable.isDeltaLayout(path),
       s"$path is a delta-encoded chain — commitCopyOf needs snapshot dirs")
     require(commits(path).exists(_.revision == srcRev),
       s"commitCopyOf: unknown revision $srcRev at $path")
     val rev = reserveRevision(path)
     try {
+      onReserve(rev, writerToken(path, rev).getOrElse(""))
       // resolve through any in-place compaction overlay: a vacuumed
       // source revision's rev=N dir no longer holds its data files
       RevisionCompaction.overlays(path).get(srcRev) match {

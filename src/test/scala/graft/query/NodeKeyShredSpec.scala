@@ -188,6 +188,16 @@ class NodeKeyShredSpec extends SparkSpec {
       val truth = NodeKeys.build(doc)
       assert(got === truth.lookup(List(Left("tags"), Right(2)))
         .map(_.key).get.toString)
+      // RE-BINDING a CAS member hit keeps its identity: the hit prints
+      // an empty self path (identity lives in ipath), so the re-bound
+      // variable's path spec must read ipath — with path alone it
+      // rendered "" and silently resolved to the document root (key 1)
+      val rebound = JsoniqRun.serialize(st,
+        """for $n in jn:scan-cas-index(jn:doc('c','d'), 0, 't3', '==', '/tags/[]')
+          |for $x in $n
+          |return sdb:nodekey($x)""".stripMargin)
+      assert(rebound === truth.lookup(List(Left("tags"), Right(2)))
+        .map(_.key).get.toString)
     }
   }
 }

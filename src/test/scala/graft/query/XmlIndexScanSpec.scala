@@ -1,0 +1,188 @@
+package graft.query
+
+import graft.SparkSpec
+
+/** The textual `xml:` index family over stored XML resources
+  * (reference function/xml/XMLFun.java:148-181): create/find/scan for
+  * name/path/CAS indexes, xml:sort-by-doc-order, xml:diff and
+  * xml:import. CAS scans compare TYPED (numeric keys numerically —
+  * the j_scan_cas_typed discipline); shredded element chains serve
+  * member-local anchored patterns DISTRIBUTED and must agree with the
+  * driver walk verbatim. */
+class XmlIndexScanSpec extends SparkSpec {
+
+  private def mkStore(): JsoniqRun.Store =
+    new JsoniqRun.Store(spark,
+      java.nio.file.Files.createTempDirectory("graft-xidx").toString)
+
+  private def run(st: JsoniqRun.Store, q: String): String =
+    JsoniqRun.serialize(st, q)
+
+  private val ages = Seq(30, 9, 2, 100, 10, 47)
+  private val doc = "<site><people>" +
+    ages.zipWithIndex.map { case (a, i) =>
+      s"""<person id="p$i"><name>n$i</name><age>$a</age></person>"""
+    }.mkString + "</people></site>"
+
+  private def stored(): JsoniqRun.Store = {
+    val st = mkStore()
+    run(st, s"xml:store('col','d.xml','${doc.replace("'", "''")}')")
+    st
+  }
+
+  test("CAS create + numeric point scan (typed comparison)") {
+    val st = stored()
+    run(st,
+      """let $doc := xml:doc('col','d.xml')
+        |let $s := xml:create-cas-index($doc, 'xs:integer', '/site/people/person/age')
+        |return xml:commit($doc)""".stripMargin)
+    // "9" > "10" lexicographically — numeric typing discriminates
+    assert(run(st,
+      """xml:scan-cas-index(xml:doc('col','d.xml'), 0, 9, '>', ())""")
+      === "\"30\" \"100\" \"10\" \"47\"")
+    // the reference signature's include-self form parses too
+    assert(run(st,
+      """xml:scan-cas-index(xml:doc('col','d.xml'), 0, 9, true(), '>', ())""")
+      === "\"30\" \"100\" \"10\" \"47\"")
+    // sdb:find-cas-index resolves the handle (QueryUsage.java:376)
+    assert(run(st,
+      "sdb:find-cas-index(xml:doc('col','d.xml'), 'xs:integer', " +
+        "'/site/people/person/age')") === "0")
+  }
+
+  test("unanchored // patterns and attribute CAS scans") {
+    val st = stored()
+    run(st,
+      """let $doc := xml:doc('col','d.xml')
+        |let $a := xml:create-cas-index($doc, 'xs:integer', '//person/age')
+        |let $b := xml:create-cas-index($doc, 'xs:string', '//@*')
+        |return xml:commit($doc)""".stripMargin)
+    assert(run(st,
+      """xml:scan-cas-index(xml:doc('col','d.xml'), 0, 10, '<=', '//person/age')""")
+      === "\"9\" \"2\" \"10\"")
+    assert(run(st,
+      """xml:scan-cas-index(xml:doc('col','d.xml'), 1, 'p2', '==', '//@*')""")
+      === "\"p2\"")
+  }
+
+  test("CAS range scan") {
+    val st = stored()
+    run(st,
+      """let $doc := xml:doc('col','d.xml')
+        |let $s := xml:create-cas-index($doc, 'xs:integer', '/site/people/person/age')
+        |return xml:commit($doc)""".stripMargin)
+    assert(run(st,
+      """xml:scan-cas-index-range(xml:doc('col','d.xml'), 0, 9, 47, true(), false(), ())""")
+      === "\"30\" \"9\" \"10\"")
+  }
+
+  test("path scan returns elements, name scan returns named elements") {
+    val st = stored()
+    run(st,
+      """let $doc := xml:doc('col','d.xml')
+        |let $p := xml:create-path-index($doc, '/site/people/person')
+        |let $n := xml:create-name-index($doc, fn:QName((), 'name'))
+        |return xml:commit($doc)""".stripMargin)
+    assert(run(st,
+      "count(xml:scan-path-index(xml:doc('col','d.xml'), 0, " +
+        "'/site/people/person'))") === "6")
+    // hits are ELEMENT nodes (engine-canonical item JSON at top level;
+    // xml:serialize renders them as XML text)
+    assert(run(st,
+      "xml:scan-path-index(xml:doc('col','d.xml'), 0, " +
+        "'/site/people/person/name')")
+      .startsWith("""{"~a":{},"~c":["n0"],"~n":"name"}"""))
+    assert(run(st,
+      "for $n in xml:scan-path-index(xml:doc('col','d.xml'), 0, " +
+        "'/site/people/person/name') return xml:serialize($n)")
+      .startsWith("\"<name>n0</name>\""))
+    assert(run(st,
+      "count(xml:scan-name-index(xml:doc('col','d.xml'), 1, " +
+        "fn:QName((), 'name')))") === "6")
+    // sort-by-doc-order is the identity over the engine's ordered hits
+    assert(run(st,
+      "count(xml:sort-by-doc-order(xml:scan-path-index(" +
+        "xml:doc('col','d.xml'), 0, '/site/people/person')))") === "6")
+  }
+
+  test("a stale handle raises SIRIXDBF0002") {
+    val st = stored()
+    run(st,
+      """let $doc := xml:doc('col','d.xml')
+        |let $s := xml:create-cas-index($doc, 'xs:integer', '//person/age')
+        |return xml:commit($doc)""".stripMargin)
+    val e = intercept[IllegalArgumentException](run(st,
+      """xml:scan-cas-index(xml:doc('col','d.xml'), 7, 9, '>', ())"""))
+    assert(e.getMessage.contains("SIRIXDBF0002"))
+  }
+
+  test("shredded element chains serve member-local scans distributed") {
+    val prev = sys.props.get("graft.shred.min")
+    sys.props("graft.shred.min") = "1"
+    try {
+      val many = "<site><people>" +
+        (0 until 40).map(i =>
+          s"""<person id="p$i"><name>n$i</name><age>${i % 60}</age></person>"""
+        ).mkString + "</people></site>"
+      val st = mkStore()
+      st.storeXml("col", "big.xml", many)
+      assert(st.shredEntries("col", "big.xml", None).exists(_.kind == "xml"))
+      run(st,
+        """let $doc := xml:doc('col','big.xml')
+          |let $s := xml:create-cas-index($doc, 'xs:integer', '/site/people/person/age')
+          |return xml:commit($doc)""".stripMargin)
+      val distributed = run(st,
+        """xml:scan-cas-index(xml:doc('col','big.xml'), 0, 37, '>', ())""")
+      assert(distributed === (38 until 40).map(i => s""""${i % 60}"""")
+        .mkString(" "))
+      // the driver walk (an unshredded store of the SAME document)
+      // must agree verbatim
+      prev match {
+        case Some(v) => sys.props("graft.shred.min") = v
+        case None => sys.props.remove("graft.shred.min"); ()
+      }
+      val plain = mkStore()
+      plain.storeXml("col", "big.xml", many)
+      assert(plain.shredEntries("col", "big.xml", None).isEmpty)
+      run(plain,
+        """let $doc := xml:doc('col','big.xml')
+          |let $s := xml:create-cas-index($doc, 'xs:integer', '/site/people/person/age')
+          |return xml:commit($doc)""".stripMargin)
+      assert(distributed === run(plain,
+        """xml:scan-cas-index(xml:doc('col','big.xml'), 0, 37, '>', ())"""))
+    } finally prev match {
+      case Some(v) => sys.props("graft.shred.min") = v
+      case None => sys.props.remove("graft.shred.min"); ()
+    }
+  }
+
+  test("xml:diff emits the update script between two revisions") {
+    val st = mkStore()
+    run(st, "xml:store('col','v.xml','<log><m id=\"1\">hi</m><m id=\"2\">yo</m></log>')")
+    run(st, "xml:store('col','v.xml','<log><m id=\"1\">hi there</m><m id=\"3\">new</m><m id=\"2\">yo</m></log>')")
+    val script = run(st, "xml:diff('col','v.xml', 1, 2)")
+    assert(script.contains("let $doc := xml:doc('col','v.xml',1)"))
+    assert(script.contains("insert nodes"))
+    assert(script.contains("replace value of node") ||
+      script.contains("rename node") || script.contains("delete node"))
+    // identical revisions diff to the empty script
+    run(st, "sdb:commit(xml:doc('col','v.xml'))")
+    assert(run(st, "xml:diff('col','v.xml', 2, 3)") === "\"\"")
+  }
+
+  test("xml:import commits the imported document as a new revision") {
+    val st = mkStore()
+    run(st, "xml:store('col','i.xml','<log><m id=\"1\">hi</m></log>')")
+    val f = java.nio.file.Files.createTempFile("graft-import", ".xml")
+    java.nio.file.Files.write(f,
+      "<log><m id=\"1\">hi</m><m id=\"2\">new entry</m></log>"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val imported = run(st,
+      s"xml:import('col','i.xml','${f.toString}')")
+    assert(imported.contains("new entry"))
+    assert(graft.sources.TemporalTable.mostRecentRevision(
+      st.docPath("col", "i.xml")).contains(2))
+    assert(run(st, "xml:serialize(xml:doc('col','i.xml'))") ===
+      "\"<log><m id=\\\"1\\\">hi</m><m id=\\\"2\\\">new entry</m></log>\"")
+  }
+}
