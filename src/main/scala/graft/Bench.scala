@@ -185,6 +185,60 @@ object Bench {
     // shuffles dominate) — min-of-3 instead of min-of-2
     val tripleRun = Set("d_minhash_pairs", "d_dedup_groups", "d_span_dedup")
 
+    // fresh-JVM store probes, run FIRST (the position-sensitivity
+    // discipline — BENCH_NOTES: in-bench store entries spike under
+    // residual writeback from earlier entries but never standalone; a
+    // probe launched AFTER the suite inherits that same backlog, so it
+    // must run before anything writes): the same three store shapes
+    // time in a CHILD JVM on the still-quiet box and ship as *_probe
+    // entries, so a spiked in-bench store reading adjudicates against
+    // its clean twin in the SAME file.
+    val storeProbes: Seq[(String, Double)] =
+      try {
+        import scala.jdk.CollectionConverters._
+        val raw = java.lang.management.ManagementFactory.getRuntimeMXBean
+          .getInputArguments.asScala.toList
+        val jvmArgs = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < raw.length) {
+          val a = raw(i)
+          if (a == "--add-opens" || a == "--add-exports") {
+            jvmArgs += a
+            if (i + 1 < raw.length) { jvmArgs += raw(i + 1); i += 1 }
+          } else if (a.startsWith("--add-opens") ||
+              a.startsWith("--add-exports") || a.startsWith("-Xmx"))
+            jvmArgs += a
+          i += 1
+        }
+        val cmd = Seq(s"${System.getProperty("java.home")}/bin/java") ++
+          jvmArgs ++ Seq("-Dspark.ui.enabled=false", "-cp",
+          System.getProperty("java.class.path"),
+          "graft.tools.ProbeStoreJson")
+        val pb = new ProcessBuilder(cmd.asJava)
+        pb.redirectErrorStream(true)
+        val p = pb.start()
+        val out = scala.io.Source.fromInputStream(p.getInputStream)
+          .getLines().toList
+        p.waitFor()
+        out.find(_.startsWith("PROBE_STORES ")) match {
+          case Some(line) =>
+            val node = new com.fasterxml.jackson.databind.ObjectMapper()
+              .readTree(line.stripPrefix("PROBE_STORES "))
+            Seq("j_scale_store_probe" -> node.get("store").asDouble(),
+              "j_scale_obj_store_probe" -> node.get("obj_store").asDouble(),
+              "j_scale_xml_store_probe" -> node.get("xml_store").asDouble())
+          case None =>
+            System.err.println(
+              "[bench] store probe emitted no PROBE_STORES line: " +
+                out.takeRight(3).mkString(" | "))
+            Seq.empty
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] store probe failed: ${e.getMessage}")
+        Seq.empty
+      }
+    stamp("store_probes")
+
     val results = headline.filter(SparkEntry.queries.contains).map { name =>
       def once(): Double =
         try {
@@ -583,58 +637,6 @@ object Bench {
         System.err.println(s"[bench] frontend timing failed: ${e.getMessage}")
         Seq.empty
       }
-
-    // fresh-JVM store probes (the position-sensitivity discipline —
-    // BENCH_NOTES: in-bench store entries spike under residual load
-    // from earlier entries but never standalone): the same three store
-    // shapes re-time in a CHILD JVM with nothing preceding them, and
-    // ship as *_probe entries so a spiked in-bench store reading
-    // adjudicates against its clean twin in the SAME file.
-    val storeProbes: Seq[(String, Double)] =
-      try {
-        import scala.jdk.CollectionConverters._
-        val raw = java.lang.management.ManagementFactory.getRuntimeMXBean
-          .getInputArguments.asScala.toList
-        val jvmArgs = scala.collection.mutable.ArrayBuffer.empty[String]
-        var i = 0
-        while (i < raw.length) {
-          val a = raw(i)
-          if (a == "--add-opens" || a == "--add-exports") {
-            jvmArgs += a
-            if (i + 1 < raw.length) { jvmArgs += raw(i + 1); i += 1 }
-          } else if (a.startsWith("--add-opens") ||
-              a.startsWith("--add-exports") || a.startsWith("-Xmx"))
-            jvmArgs += a
-          i += 1
-        }
-        val cmd = Seq(s"${System.getProperty("java.home")}/bin/java") ++
-          jvmArgs ++ Seq("-Dspark.ui.enabled=false", "-cp",
-          System.getProperty("java.class.path"),
-          "graft.tools.ProbeStoreJson")
-        val pb = new ProcessBuilder(cmd.asJava)
-        pb.redirectErrorStream(true)
-        val p = pb.start()
-        val out = scala.io.Source.fromInputStream(p.getInputStream)
-          .getLines().toList
-        p.waitFor()
-        out.find(_.startsWith("PROBE_STORES ")) match {
-          case Some(line) =>
-            val node = new com.fasterxml.jackson.databind.ObjectMapper()
-              .readTree(line.stripPrefix("PROBE_STORES "))
-            Seq("j_scale_store_probe" -> node.get("store").asDouble(),
-              "j_scale_obj_store_probe" -> node.get("obj_store").asDouble(),
-              "j_scale_xml_store_probe" -> node.get("xml_store").asDouble())
-          case None =>
-            System.err.println(
-              "[bench] store probe emitted no PROBE_STORES line: " +
-                out.takeRight(3).mkString(" | "))
-            Seq.empty
-        }
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] store probe failed: ${e.getMessage}")
-        Seq.empty
-      }
-    stamp("store_probes")
 
     val all = results ++ storage ++ aged ++ vector ++ frontend ++ storeProbes
     val qs = all.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

@@ -2393,6 +2393,9 @@ object JsoniqRun {
     * + (__pos, __item), one row per item. */
   private def evalSeq(store: Store, e: Jsoniq.Expr, tuples: DataFrame,
                       env: Map[String, Binding]): DataFrame =
+    shreddedMemberAccess(store, e, tuples, env) match {
+      case Some(df) => df
+      case None =>
     pointwise(e, env) match {
       case Some(c) =>
         // scalar whose value is computable per tuple with no reshaping
@@ -2411,6 +2414,77 @@ object JsoniqRun {
         case None => evalSeqRows(store, e, tuples, env)
       }
     }
+    }
+
+  /** A doc-rooted STATIC pointer chain that passes a shredded entry at
+    * a literal member index serves from ONE member-table row (the idx
+    * filter pushes to parquet) instead of walking the whole document
+    * variant in one task: `jn:doc(c,d).items[500000].v` is a row read
+    * plus an O(member) evaluation, at ANY document size — the
+    * reference's moveTo(nodeKey) access pattern. The steps INSIDE the
+    * member re-evaluate through the standard machinery (a gensym
+    * binding over the member variant), so deref/index semantics are
+    * identical by construction. Identity mode skips the path: its
+    * bindings need the row-wise POS layout. */
+  private def shreddedMemberAccess(store: Store, e: Jsoniq.Expr,
+                                   tuples: DataFrame,
+                                   env: Map[String, Binding])
+      : Option[DataFrame] = {
+    import Jsoniq._
+    // cheap shape gate before the target resolution
+    def spineHasIdx(x: Expr): Boolean = x match {
+      case ArrayIndex(b, NumLit(t)) if !t.contains(".") => true
+      case ArrayIndex(b, _) => spineHasIdx(b)
+      case Deref(b, _) => spineHasIdx(b)
+      case _ => false
+    }
+    e match {
+      case Deref(_, _) | ArrayIndex(_, _) if spineHasIdx(e) => ()
+      case _ => return None
+    }
+    if (needsIdentity(env)) return None
+    val t = JsoniqUpdate.staticTargetIn(e, env) match {
+      case Some(x) => x
+      case None => return None
+    }
+    shreddedMemberRead(store, t.collection, t.doc, None, t.steps).map {
+      case (row, mcol, rest) =>
+        val v = gensym("shm")
+        val frame = tuples.drop(POS, ITEM).crossJoin(broadcast(row))
+        val rebuilt = rest.foldLeft(VarRef(v): Expr) {
+          case (acc, Left(f)) => Deref(acc, f)
+          case (acc, Right(i)) => ArrayIndex(acc, NumLit(i.toString))
+        }
+        evalSeq(store, rebuilt, frame, env + (v -> ItemVar(mcol)))
+    }
+  }
+
+  /** The single member row a pointer passes through: (1-row frame with
+    * the member variant under a gensym column, that column's name, the
+    * pointer steps remaining INSIDE the member). None when the pointer
+    * does not cross a shredded entry at a literal index. */
+  private def shreddedMemberRead(store: Store, c: String, d: String,
+                                 rev: Option[Int],
+                                 steps: List[Either[String, Int]])
+      : Option[(DataFrame, String, List[Either[String, Int]])] = {
+    val entries = store.shredEntries(c, d, rev).filter(_.kind == "json")
+    entries.foreach { en =>
+      val n = en.steps.length
+      if (steps.length > n &&
+          steps.take(n) == en.steps.map(Left(_): Either[String, Int])) {
+        steps(n) match {
+          case Right(i) if i >= 0 =>
+            val mcol = gensym("member")
+            return Some((store.readShredEntry(c, d, rev, en)
+              .filter(col("idx") === i.toLong)
+              .select(col("member").as(mcol)),
+              mcol, steps.drop(n + 1)))
+          case _ => return None // field named like the chain
+        }
+      }
+    }
+    None
+  }
 
   /** Row-wise structural evaluation — the general machinery; called
     * directly where hierarchical __pos levels are REQUIRED (positional
@@ -5266,12 +5340,28 @@ object JsoniqRun {
         // deref/index chain (shred fast paths included) — the document
         // never collects for the selection itself.
         val (c, d, rev, _, ptr, _) = selectItemResolve(store, name, args)
-        val docE: Expr = Call("jn:doc",
-          Seq(StrLit(c), StrLit(d)) ++ rev.map(r => NumLit(r.toString)))
-        evalSeq(store, ptr.foldLeft(docE) {
-          case (e2, Left(f)) => Deref(e2, f)
-          case (e2, Right(i)) => ArrayIndex(e2, NumLit(i.toString))
-        }, tuples, env)
+        // the pointer is CONCRETE (no deref-over-array mapping), so a
+        // pointer crossing a shredded entry serves from ONE member row
+        // regardless of identity mode — the reference's moveTo never
+        // materializes the document
+        shreddedMemberRead(store, c, d, rev, ptr) match {
+          case Some((row, mcol, rest)) =>
+            val v = gensym("si")
+            val rebuilt = rest.foldLeft(VarRef(v): Expr) {
+              case (e2, Left(f)) => Deref(e2, f)
+              case (e2, Right(i)) => ArrayIndex(e2, NumLit(i.toString))
+            }
+            evalSeq(store, rebuilt,
+              tuples.drop(POS, ITEM).crossJoin(broadcast(row)),
+              env + (v -> ItemVar(mcol)))
+          case None =>
+            val docE: Expr = Call("jn:doc",
+              Seq(StrLit(c), StrLit(d)) ++ rev.map(r => NumLit(r.toString)))
+            evalSeq(store, ptr.foldLeft(docE) {
+              case (e2, Left(f)) => Deref(e2, f)
+              case (e2, Right(i)) => ArrayIndex(e2, NumLit(i.toString))
+            }, tuples, env)
+        }
       case "sdb:level-order" =>
         // breadth-first subtree traversal (reference sdb/trx/
         // LevelOrder.java over axis/LevelOrderAxis.java — excludes
