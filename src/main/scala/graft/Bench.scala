@@ -627,12 +627,30 @@ object Bench {
           (System.nanoTime() - t6) / 1e9
         }.min
         stamp("j_scale_xml_query")
+        // round-14 distributed XML index scan: CAS over the 400k-person
+        // element chain — anchored member-local pattern serves from the
+        // member tables with the typed-column prefilter; the document
+        // never touches the driver
+        graft.query.JsoniqRun.serialize(st,
+          """let $d := xml:doc('c','a.xml')
+            |let $s := xml:create-cas-index($d, 'xs:integer', '/site/people/person/age')
+            |return xml:commit($d)""".stripMargin)
+        val qxs = "count(xml:scan-cas-index(jn:doc('c','a.xml'), 0, " +
+          "76, '>', ()))"
+        graft.query.JsoniqRun.serialize(st, qxs) // warmup
+        val xmlScanQ = (1 to 2).map { _ =>
+          val t6b = System.nanoTime()
+          require(graft.query.JsoniqRun.serialize(st, qxs) != "0")
+          (System.nanoTime() - t6b) / 1e9
+        }.min
+        stamp("j_scale_xml_scan")
         Seq("j_scale_store" -> sSec, "j_scale_query" -> qTimes.min,
           "j_scale_obj_store" -> objStore, "j_scale_obj_query" -> objQ,
           "j_scale_scan" -> scanQ, "j_scale_nodekey" -> keyQ,
           "j_scale_update" -> updSec,
           "j_scale_nodekey_updated" -> keyU,
-          "j_scale_xml_store" -> xmlStore, "j_scale_xml_query" -> xmlQ)
+          "j_scale_xml_store" -> xmlStore, "j_scale_xml_query" -> xmlQ,
+          "j_scale_xml_scan" -> xmlScanQ)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] frontend timing failed: ${e.getMessage}")
         Seq.empty

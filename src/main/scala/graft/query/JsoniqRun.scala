@@ -6003,7 +6003,18 @@ object JsoniqRun {
         val mine = ps.filter(XmlScan.memberLocal(_, en.steps))
         if (mine.isEmpty) None
         else {
-          val df = store.readShredEntry(c, d, None, en)
+          val df0 = store.readShredEntry(c, d, None, en)
+          // sound typed PREFILTER (numeric CAS only): members whose
+          // single-valued typed column DEFINITIVELY fails the widened
+          // comparison skip the Jackson walk entirely — nulls (multi-
+          // text concats, unparseable values, unsampled fields) always
+          // walk, and the walk re-verifies exactly, so false keeps
+          // cost one member parse and false drops cannot happen
+          val df = (mode match {
+            case XmlScan.XCas(cmp) =>
+              xmlCasPrefilter(df0, en.steps, mine, cmp)
+            case _ => None
+          }).fold(df0)(df0.filter)
           val sc = gb.column(XmlMemberXScan(
             gb.expression(to_json(col("member"))), en.steps, mine, mode))
           Some(df.select(col("idx"),
@@ -6040,6 +6051,75 @@ object JsoniqRun {
       .select(col("__p0").as(POS), parse_json(col("__mj")).as(ITEM),
         lit(rev).as("__srev"))
     tuples.crossJoin(broadcast(src))
+  }
+
+  /** Pushdown prefilter for a distributed XML CAS scan over a TYPED
+    * member table: each member-local pattern's trailing child/attribute
+    * maps to its `t.<name>` column; a member is skipped only when
+    * EVERY pattern's typed value is non-null and fails a 2-ulp-WIDENED
+    * numeric comparison (the walk compares exact BigDecimals, so
+    * boundary rounding must never drop a true hit; null typed values —
+    * multi-text concats, unparseable texts, fields the write-time
+    * sample missed — always walk). None = no sound prefilter (string
+    * comparisons, deep patterns, untyped tables): the walk filters
+    * alone. */
+  private def xmlCasPrefilter(df: DataFrame, chain: List[String],
+                              pats: Seq[XmlScan.Pattern],
+                              cmp: JsonPath.ValueCmp): Option[Column] = {
+    import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StructType}
+    if (!df.columns.contains("t")) return None
+    val tTypes: Map[String, DataType] = df.schema("t").dataType match {
+      case st: StructType => st.fields.map(f => f.name -> f.dataType).toMap
+      case _ => return None
+    }
+    def widen(v: String): Option[(Double, Double)] =
+      scala.util.Try(BigDecimal(v)).toOption.map { _ =>
+        val d = v.toDouble
+        (Math.nextDown(Math.nextDown(d)), Math.nextUp(Math.nextUp(d)))
+      }
+    // bounds as an inclusive [lo, hi] band (NaN = unbounded side)
+    val band: (Option[Double], Option[Double]) = cmp match {
+      case JsonPath.CmpOp(op, v) => widen(v) match {
+        case None => return None
+        case Some((lo, hi)) => op match {
+          case "==" => (Some(lo), Some(hi))
+          case ">" | ">=" => (Some(lo), None)
+          case "<" | "<=" => (None, Some(hi))
+          case _ => return None // != : the complement cannot widen soundly
+        }
+      }
+      case JsonPath.CmpRange(l, h, _, _) =>
+        (widen(l), widen(h)) match {
+          case (Some((lo, _)), Some((_, hi))) => (Some(lo), Some(hi))
+          case _ => return None
+        }
+      case _ => return None
+    }
+    def fieldOf(p: XmlScan.Pattern): Option[String] = p.attrLast match {
+      case Some(a) if a != "*" && p.elemNames.length == chain.length + 1 =>
+        Some("@" + a)
+      case None if p.elemNames.length == chain.length + 2 =>
+        Some(p.elemNames.last)
+      case _ => None
+    }
+    def condOf(f: String): Option[Column] = tTypes.get(f).flatMap {
+      case LongType =>
+        // integral bounds keep the comparison cast-free (pushable)
+        val cc = col(s"t.`$f`")
+        val c1 = band._1.map(lo => cc >= math.ceil(lo).toLong)
+        val c2 = band._2.map(hi => cc <= math.floor(hi).toLong)
+        Some((c1 ++ c2).reduceOption(_ && _).getOrElse(lit(true)))
+      case DoubleType =>
+        val cc = col(s"t.`$f`")
+        val c1 = band._1.map(lo => cc >= lo)
+        val c2 = band._2.map(hi => cc <= hi)
+        Some((c1 ++ c2).reduceOption(_ && _).getOrElse(lit(true)))
+      case _ => None // string-typed columns: CmpOp's dual dialect — walk
+    }
+    val conds = pats.map(p => fieldOf(p).flatMap(f =>
+      condOf(f).map(cond => col(s"t.`$f`").isNull || cond)))
+    if (conds.forall(_.isDefined)) conds.flatten.reduceOption(_ || _)
+    else None
   }
 
   /** A scan's LITERAL index handle validated against the registry: an
@@ -6269,6 +6349,19 @@ object JsoniqRun {
 
   private def xmlFmseMatch(store: Store, c: String, d: String,
                            newXml: String): Unit = {
+    // both sides materialize on the driver for the match-state maps —
+    // the same LOUD cap as every other driver walk (an over-cap import
+    // must fail explainably, not OOM building node maps)
+    val cap = sys.props.get("graft.scan.maxDriverBytes").map(_.toLong)
+      .getOrElse(256L << 20)
+    val head = graft.sources.TemporalTable
+      .mostRecentRevision(store.docPath(c, d)).get
+    val headLen = store.docLenOf(c, d, head)
+    if (headLen.max(newXml.length.toLong) > cap)
+      throw new UnsupportedOperationException(
+        s"xml:import over $c/$d: document (${headLen.max(newXml.length)} " +
+          s"bytes) exceeds the driver-walk cap ($cap; " +
+          "-Dgraft.scan.maxDriverBytes)")
     val headJson = store.doc(c, d, None).collect().head.getString(0)
     xmlMatchOf(store, XmlItem.jsonToXml(headJson), newXml)
     ()

@@ -137,6 +137,68 @@ class UpdateShredKeySpec extends SparkSpec {
     }
   }
 
+  test("entry-dropping and chain-renaming edits replay correctly") {
+    // nested chain (wrap -> items) so ancestor edits can kill it, plus
+    // a top-level chain the rename moves
+    val doc2 = """{"wrap": {"items": [""" +
+      (1 to 20).map(i => s"""{"v": $i}""").mkString(",") +
+      """], "pad": 1}, "tags": [""" +
+      (1 to 20).map(i => s""""t$i"""").mkString(",") + """], "tail": 9}"""
+    val plain = mkStore("plain3")
+    plain.store("c", "d", doc2)
+    val prev = sys.props.get("graft.shred.min")
+    sys.props("graft.shred.min") = "1"
+    try {
+      val st = mkStore("shred3")
+      st.store("c", "d", doc2)
+      assert(st.shredEntries("c", "d", None).count(_.kind == "json") == 2)
+      val updates2 = Seq(
+        // rename the CHAIN array itself: later paths address .labels
+        """rename json jn:doc('c','d').tags as "labels"""",
+        // replace the whole elided array with a literal: entry drop,
+        // fresh skeleton mint
+        """replace json value of jn:doc('c','d').labels with [1, 2]""",
+        // ancestor replace kills the nested chain wholesale
+        """replace json value of jn:doc('c','d').wrap with {"n": 3}""",
+        // and fresh skeleton content keeps minting consistently
+        """insert json {"meta2": {"q": [7, 8]}} into jn:doc('c','d')""")
+      val probes2 = Seq(
+        "sdb:nodekey(jn:doc('c','d'))",
+        "sdb:nodekey(jn:doc('c','d').tail)",
+        "sdb:nodekey(jn:doc('c','d').labels)",
+        "sdb:nodekey(jn:doc('c','d').labels[1])",
+        "sdb:nodekey(jn:doc('c','d').wrap)",
+        "sdb:nodekey(jn:doc('c','d').wrap.n)",
+        "sdb:nodekey(jn:doc('c','d').wrap.items[3])",
+        "sdb:nodekey(jn:doc('c','d').meta2.q[0])")
+      updates2.foreach { u =>
+        JsoniqRun.serialize(plain, u)
+        JsoniqRun.serialize(st, u)
+        probes2.foreach { q =>
+          val want = scala.util.Try(JsoniqRun.serialize(plain, q))
+          val got = scala.util.Try(JsoniqRun.serialize(st, q))
+          (want, got) match {
+            case (scala.util.Success(w), scala.util.Success(g)) =>
+              assert(g === w, s"\nafter: $u\nquery: $q")
+            case (scala.util.Failure(_), scala.util.Failure(_)) => ()
+            case (w, g) => fail(
+              s"\nafter: $u\nquery: $q\nplain: $w\nshredded: $g")
+          }
+        }
+      }
+      // the dead chains' keys are gone on both stores
+      val k = NodeKeys.build(doc2)
+        .lookup(List(Left("wrap"), Left("items"), Right(5))).map(_.key).get
+      intercept[IllegalArgumentException](JsoniqRun.serialize(st,
+        s"jn:select-json-item(jn:doc('c','d'), $k)"))
+      intercept[IllegalArgumentException](JsoniqRun.serialize(plain,
+        s"jn:select-json-item(jn:doc('c','d'), $k)"))
+    } finally prev match {
+      case Some(v) => sys.props("graft.shred.min") = v
+      case None => sys.props.remove("graft.shred.min"); ()
+    }
+  }
+
   test("the replayed layout serves with the driver-tree path fenced off") {
     // cap small enough that ANY driver-tree build of the document
     // fails loudly, but big enough for the replay's patch bytes: a

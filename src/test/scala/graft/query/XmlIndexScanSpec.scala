@@ -156,6 +156,55 @@ class XmlIndexScanSpec extends SparkSpec {
     }
   }
 
+  test("the typed CAS prefilter never drops multi-text or unparseable members") {
+    val prev = sys.props.get("graft.shred.min")
+    sys.props("graft.shred.min") = "1"
+    try {
+      // member 17: TWO age elements (concat "41 43" types null — both
+      // text nodes must still hit); member 18: unparseable age; the
+      // rest numeric singles the prefilter CAN skip
+      val tricky = "<site><people>" +
+        (0 until 17).map(i =>
+          s"<person><age>${i % 60}</age></person>").mkString +
+        "<person><age>41</age><age>43</age></person>" +
+        "<person><age>n/a</age></person>" +
+        (19 until 24).map(i =>
+          s"<person><age>${i + 20}</age></person>").mkString +
+        "</people></site>"
+      val st = mkStore()
+      st.storeXml("col", "tr.xml", tricky)
+      assert(st.shredEntries("col", "tr.xml", None).exists(_.kind == "xml"))
+      run(st,
+        """let $doc := xml:doc('col','tr.xml')
+          |let $s := xml:create-cas-index($doc, 'xs:integer', '/site/people/person/age')
+          |return xml:commit($doc)""".stripMargin)
+      val got = run(st,
+        """xml:scan-cas-index(xml:doc('col','tr.xml'), 0, 40, '>', ())""")
+      // hits: the two multi-text ages 41 and 43 (their member's typed
+      // concat "41 43" is null — the prefilter must keep it), then the
+      // tail members' 41,42,43 (39 and 40 are not > 40)
+      assert(got === Seq("41", "43", "41", "42", "43")
+        .map(s => s""""$s"""").mkString(" "))
+      // and the driver walk agrees verbatim
+      val plain = {
+        val p = sys.props.remove("graft.shred.min")
+        val s2 = mkStore()
+        s2.storeXml("col", "tr.xml", tricky)
+        sys.props("graft.shred.min") = "1"
+        s2
+      }
+      run(plain,
+        """let $doc := xml:doc('col','tr.xml')
+          |let $s := xml:create-cas-index($doc, 'xs:integer', '/site/people/person/age')
+          |return xml:commit($doc)""".stripMargin)
+      assert(got === run(plain,
+        """xml:scan-cas-index(xml:doc('col','tr.xml'), 0, 40, '>', ())"""))
+    } finally prev match {
+      case Some(v) => sys.props("graft.shred.min") = v
+      case None => sys.props.remove("graft.shred.min"); ()
+    }
+  }
+
   test("xml:diff emits the update script between two revisions") {
     val st = mkStore()
     run(st, "xml:store('col','v.xml','<log><m id=\"1\">hi</m><m id=\"2\">yo</m></log>')")
