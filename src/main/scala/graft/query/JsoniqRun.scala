@@ -2049,6 +2049,19 @@ object JsoniqRun {
     }
     try {
       edits.foreach { e =>
+        // a rename whose NEW name lands on another alive entry's chain
+        // OVERWRITES that chain's field (applyAll's rename semantics);
+        // the layout bookkeeping cannot express two entries fused into
+        // one — fall back to the driver-tree replay (ground truth)
+        if (e.kind == "rename" && e.ptr.nonEmpty) {
+          val newPtr = e.ptr.init :+
+            (Left(renamedTo(e)): Either[String, Int])
+          if (newPtr != e.ptr && states.exists(st => st.alive &&
+              st.chain.length >= newPtr.length &&
+              asLefts(st.chain.take(newPtr.length)) == newPtr))
+            throw new ReplayUnsupported(
+              "rename overwrites a shredded chain field")
+        }
         states.filter(_.alive).find(st =>
             e.ptr.take(st.chain.length) == asLefts(st.chain)) match {
           case Some(st) if e.ptr.length == st.chain.length =>
@@ -2108,11 +2121,15 @@ object JsoniqRun {
             // skeleton (the elided node lives in the hybrid tree)
             states.filter(_.alive).foreach { st =>
               val k = e.ptr.length
-              if (k < st.chain.length && k > 0 &&
+              // k == 0 (root-level edits, ptr = Nil) participates:
+              // a root replace/delete kills every chain, and a root
+              // object-insert whose value overwrites a top-level chain
+              // field kills that chain (applyAll's insert overwrites)
+              if (k < st.chain.length &&
                   e.ptr == asLefts(st.chain.take(k))) {
                 e.kind match {
                   case "delete" | "replace" => st.alive = false
-                  case "rename" =>
+                  case "rename" if k > 0 =>
                     st.chain = st.chain.updated(k - 1, renamedTo(e))
                   case "insert" if e.pos.isEmpty =>
                     if (topFieldsOf(e.valueJson.get).contains(st.chain(k)))
@@ -4495,6 +4512,14 @@ object JsoniqRun {
           case other => throw new UnsupportedOperationException(
             s"sdb:explain verbose literal expected, got $other")
         }
+        // side-effectful routes (jn:store/xml:import/update statements)
+        // run EAGERLY on the driver during compile — explaining one
+        // would perform the write. Refuse loudly instead.
+        if (containsEffect(Jsoniq.parse(q)))
+          throw new UnsupportedOperationException(
+            "sdb:explain: the argument query contains a side-effecting " +
+              "call or update statement — compiling it would perform " +
+              "the write; explain read-only queries only")
         val qe = compile(store, q, None).queryExecution
         val text = qe.explainString(
           if (verbose) org.apache.spark.sql.execution.ExtendedMode
@@ -4856,7 +4881,11 @@ object JsoniqRun {
       case _: Jsoniq.UpdateStmt => true
       case Jsoniq.Call("jn:store" | "jn:load" | "jn:drop-database" |
         "jn:drop-resource" | "sdb:commit" | "xml:commit" | "xml:store" |
-        "xml:load" | "xml:import", _) => true
+        "xml:load" | "xml:import" | "jn:create-cas-index" |
+        "jn:create-path-index" | "jn:create-name-index" |
+        "xml:create-cas-index" | "xml:create-path-index" |
+        "xml:create-name-index" | "jn:create-valid-time-index" |
+        "jn:create-projection-index", _) => true
       case _ => false
     }
 
@@ -5999,8 +6028,16 @@ object JsoniqRun {
       ps.forall(p => entries.exists(en => XmlScan.memberLocal(p, en.steps))))
     if (memberOnly) {
       val ps = pats.get
+      // nested chains (e.g. [site] and [site,people]) both member-match
+      // a deep pattern, and the OUTER entry's member_raw contains the
+      // inner entry's subtrees — serving from both would emit every hit
+      // twice. Each pattern serves from its DEEPEST matching entry only.
+      def deepestFor(p: XmlScan.Pattern): List[String] =
+        entries.filter(en => XmlScan.memberLocal(p, en.steps))
+          .map(_.steps).maxBy(_.length)
       val parts = entries.zipWithIndex.flatMap { case (en, slot) =>
-        val mine = ps.filter(XmlScan.memberLocal(_, en.steps))
+        val mine = ps.filter(p => XmlScan.memberLocal(p, en.steps) &&
+          deepestFor(p) == en.steps)
         if (mine.isEmpty) None
         else {
           val df0 = store.readShredEntry(c, d, None, en)
@@ -6096,6 +6133,10 @@ object JsoniqRun {
       case _ => return None
     }
     def fieldOf(p: XmlScan.Pattern): Option[String] = p.attrLast match {
+      // gap patterns (`/a/b//c`) can hit at depths the typed member
+      // columns never sampled — only single-group (pure child-step)
+      // patterns map soundly onto a `t.<name>` column
+      case _ if p.groups.length != 1 => None
       case Some(a) if a != "*" && p.elemNames.length == chain.length + 1 =>
         Some("@" + a)
       case None if p.elemNames.length == chain.length + 2 =>
@@ -6394,17 +6435,40 @@ object JsoniqRun {
     val bChildren = bN.values.toSeq.flatMap(n => n.parent.map(_ -> n))
       .groupBy(_._1).map { case (p, xs) =>
         p -> xs.map(_._2).sortBy(_.ord.mkString(".")) }
+    // XML character-data / attribute escaping (same rendering rules as
+    // [[XmlItem.jsonToXml]]) and XQuery string-literal escaping (quote
+    // doubling; `&` is an entity-reference lead-in inside XQuery string
+    // literals, so it must render as &amp;) — raw <, & or " in values
+    // would otherwise emit a malformed or semantically wrong script
+    def escXText(s: String): String = s.flatMap {
+      case '&' => "&amp;"
+      case '<' => "&lt;"
+      case '>' => "&gt;"
+      case c => c.toString
+    }
+    def escXAttr(s: String): String = s.flatMap {
+      case '&' => "&amp;"
+      case '<' => "&lt;"
+      case '"' => "&quot;"
+      case c => c.toString
+    }
+    def escStrLit(s: String): String = s.flatMap {
+      case '"' => "\"\""
+      case '&' => "&amp;"
+      case c => c.toString
+    }
     def serializeB(key: Long): String = {
       val n = bN(key)
       n.kind match {
-        case "text" => n.value.getOrElse("")
+        case "text" => escXText(n.value.getOrElse(""))
         case "comment" => s"<!--${n.value.getOrElse("")}-->"
         case "pi" => s"<?${n.name.getOrElse("")} ${n.value.getOrElse("")}?>"
         case "attribute" => "" // rendered on the owning element
         case _ =>
           val kids = bChildren.getOrElse(key, Seq.empty)
           val attrs = kids.filter(_.kind == "attribute")
-            .map(a => s""" ${a.name.getOrElse("")}="${a.value.getOrElse("")}"""")
+            .map(a =>
+              s""" ${a.name.getOrElse("")}="${escXAttr(a.value.getOrElse(""))}"""")
             .mkString
           val body = kids.filterNot(_.kind == "attribute")
             .map(k => serializeB(k.key)).mkString
@@ -6426,7 +6490,8 @@ object JsoniqRun {
         val pa = inv(n.parent.get)
         val rendered = n.kind match {
           case "attribute" =>
-            s"attribute ${n.name.getOrElse("")} {\"${n.value.getOrElse("")}\"}"
+            s"attribute ${n.name.getOrElse("")} " +
+              s"{\"${escStrLit(n.value.getOrElse(""))}\"}"
           case _ => serializeB(n.key)
         }
         ops += s"  insert nodes $rendered into sdb:select-item($$doc, $pa)"
@@ -6436,7 +6501,8 @@ object JsoniqRun {
       val an = aN(ak); val bn = bN(bk)
       if (an.value != bn.value && bn.kind != "element")
         ops += "  replace value of node " +
-          s"sdb:select-item($$doc, $ak) with \"${bn.value.getOrElse("")}\""
+          s"sdb:select-item($$doc, $ak) with " +
+          s"\"${escStrLit(bn.value.getOrElse(""))}\""
       if (an.name != bn.name && bn.name.isDefined)
         ops += s"  rename node sdb:select-item($$doc, $ak) as ${bn.name.get}"
       val movedAway = (an.parent, bn.parent) match {

@@ -14,20 +14,34 @@ import com.fasterxml.jackson.databind.JsonNode
   *
   * Pattern dialect (reference io.brackit.query.util.path.Path):
   * `/a/b/c` anchored element path, `//b/c` match-anywhere (suffix),
-  * `*` any element, trailing `@name` / `@*` an attribute. Inner `//`
-  * is not supported (loud error). */
+  * `*` any element, trailing `@name` / `@*` an attribute, and
+  * descendant gaps ANYWHERE (`/a//b/c` — b/c at any depth under a;
+  * brackit's Path accepts interior descendant steps the same way). */
 private[query] object XmlScan {
 
   sealed trait Seg extends Serializable
   final case class SegElem(name: String) extends Seg
   final case class SegAttr(name: String) extends Seg
 
-  final case class Pattern(anchored: Boolean, segs: List[Seg])
+  /** `groups` are the `//`-separated child-step runs: `/a/b//c/d`
+    * parses to groups [[a,b],[c,d]], anchored; a leading `//` makes
+    * the head group float too. Matching anchors the head (when
+    * `anchored`) and the TAIL (the last group ends at the matched
+    * node); interior groups match as an ordered subsequence with
+    * arbitrary (>= 0) element gaps at each `//`. */
+  final case class Pattern(anchored: Boolean, groups: List[List[Seg]])
       extends Serializable {
+    def segs: List[Seg] = groups.flatten
     def attrLast: Option[String] = segs.lastOption.collect {
       case SegAttr(n) => n
     }
     def elemNames: List[String] = segs.collect { case SegElem(n) => n }
+    /** The pattern with a trailing attribute step removed (the owning
+      * element's path pattern). */
+    def dropAttr: Pattern =
+      if (groups.nonEmpty && groups.last.lastOption.exists(_.isInstanceOf[SegAttr]))
+        copy(groups = groups.init :+ groups.last.init)
+      else this
     require(segs.zipWithIndex.forall {
       case (SegAttr(_), i) => i == segs.length - 1
       case _ => true
@@ -37,26 +51,37 @@ private[query] object XmlScan {
   def parse(p: String): Pattern = {
     val anchored = !p.startsWith("//")
     val body = if (anchored) p.stripPrefix("/") else p.stripPrefix("//")
-    if (body.contains("//")) throw new UnsupportedOperationException(
-      s"xml index path '$p': inner descendant axis is not supported")
-    val segs = body.split("/").toList.filter(_.nonEmpty).map { s =>
-      if (s.startsWith("@")) SegAttr(s.drop(1)): Seg
-      else SegElem(s): Seg
-    }
-    Pattern(anchored, segs)
+    val groups = body.split("//", -1).toList.map(
+      _.split("/").toList.filter(_.nonEmpty).map { s =>
+        if (s.startsWith("@")) SegAttr(s.drop(1)): Seg
+        else SegElem(s): Seg
+      })
+    Pattern(anchored, groups)
   }
 
   /** Does the ELEMENT part of the pattern match the element path
-    * (names from the root, inclusive)? Anchored = exact, unanchored =
-    * any suffix (the reference Path's descendant-prefix semantics for
-    * `//a/b` chains). */
+    * (names from the root, inclusive)? The head group anchors at the
+    * root when `anchored` (else floats — the reference Path's
+    * descendant-prefix semantics for `//a/b`), the LAST group must end
+    * exactly at the path's end, and each `//` gap admits any number of
+    * intermediate elements. */
   def elemMatches(pat: Pattern, path: List[String]): Boolean = {
-    val elems = pat.elemNames
-    def exact(p: List[String]): Boolean =
-      p.length == elems.length &&
-        p.zip(elems).forall { case (a, b) => b == "*" || a == b }
-    if (pat.anchored) exact(path)
-    else path.tails.exists(exact)
+    val egroups = pat.groups.map(_.collect { case SegElem(n) => n })
+    def fits(g: List[String], p: List[String]): Boolean =
+      p.length >= g.length &&
+        p.zip(g).forall { case (a, b) => b == "*" || a == b }
+    def gapped(gs: List[List[String]], p: List[String]): Boolean =
+      gs match {
+        case Nil => p.isEmpty
+        case g :: tail =>
+          p.tails.exists(t => fits(g, t) && gapped(tail, t.drop(g.length)))
+      }
+    egroups match {
+      case Nil => path.isEmpty
+      case g :: tail if pat.anchored =>
+        fits(g, path) && gapped(tail, path.drop(g.length))
+      case _ => gapped(egroups, path)
+    }
   }
 
   /** What a scan collects at matching positions. Serializable — the
@@ -95,7 +120,7 @@ private[query] object XmlScan {
               val a = it.next()
               val hit = pats.exists(p => p.attrLast.exists(an =>
                 (an == "*" || an == a.getKey) &&
-                  elemMatches(p.copy(segs = p.segs.init), path)))
+                  elemMatches(p.dropAttr, path)))
               if (hit && cmp(a.getValue.asText("")))
                 out += quote(a.getValue.asText(""))
             }
@@ -151,9 +176,12 @@ private[query] object XmlScan {
 
   /** Is every pattern provably local to members of the given element
     * chain (so the member tables alone serve the scan COMPLETELY)?
-    * Requires: anchored, fully concrete (no wildcards), and the
-    * element part strictly longer than the chain — anchored exactness
-    * means no node outside `chain/<member>/...` can ever match. */
+    * Requires: anchored, fully concrete (no wildcards), the element
+    * part strictly longer than the chain, AND the HEAD group covering
+    * the whole chain — so every `//` gap sits strictly inside the
+    * member suffix. (A gap inside the chain prefix — `/site//age`
+    * with chain [site, people] — could match along sibling branches
+    * the member tables don't cover, so it stays on the driver walk.) */
   def memberLocal(pat: Pattern, chain: List[String]): Boolean =
     pat.anchored &&
       pat.segs.forall {
@@ -161,5 +189,6 @@ private[query] object XmlScan {
         case SegAttr(n) => n != "*"
       } &&
       pat.elemNames.length > chain.length &&
-      pat.elemNames.take(chain.length) == chain
+      pat.groups.headOption.exists(g =>
+        g.collect { case SegElem(n) => n }.take(chain.length) == chain)
 }

@@ -48,4 +48,21 @@ class ExplainRouteSpec extends SparkSpec {
     assert(plan.contains("== Optimized Logical Plan =="))
     assert(plan.contains("== Physical Plan =="))
   }
+
+  test("explain refuses side-effecting queries instead of running them") {
+    // r15: side-effectful routes run eagerly during compile — explaining
+    // a jn:store or an update statement would perform the write
+    val st = mkStore()
+    st.store("c", "f.jn", """{"a": 1}""")
+    val rev0 = graft.sources.TemporalTable
+      .mostRecentRevision(st.docPath("c", "f.jn")).get
+    intercept[UnsupportedOperationException](JsoniqRun.serialize(st,
+      """sdb:explain('jn:store("c","f.jn","[1]")')"""))
+    intercept[UnsupportedOperationException](JsoniqRun.serialize(st,
+      """sdb:explain('replace json value of jn:doc("c","f.jn").a with 2')"""))
+    // and NOTHING was written
+    assert(graft.sources.TemporalTable
+      .mostRecentRevision(st.docPath("c", "f.jn")).get === rev0)
+    assert(JsoniqRun.serialize(st, "jn:doc('c','f.jn').a") === "1")
+  }
 }

@@ -239,4 +239,53 @@ class UpdateShredKeySpec extends SparkSpec {
       }
     }
   }
+
+  test("chain-overwriting root insert and rename keep key parity") {
+    // r15: a ROOT-LEVEL object insert whose value carries a field named
+    // like a shredded chain OVERWRITES that chain (applyAll's
+    // object-insert semantics), and a rename whose NEW name lands on
+    // another chain overwrites that one — both must invalidate the
+    // stale layout instead of serving base-revision keys
+    val plain = mkStore("plain5")
+    plain.store("c", "d", doc)
+    val prev = sys.props.get("graft.shred.min")
+    sys.props("graft.shred.min") = "1"
+    try {
+      val st = mkStore("shred5")
+      st.store("c", "d", doc)
+      assert(st.shredEntries("c", "d", None).count(_.kind == "json") == 2)
+      val collisions = Seq(
+        """insert json {"items": [{"v": -7}, {"v": -8}]} into jn:doc('c','d')""",
+        """rename json jn:doc('c','d').items as "tags"""")
+      val probes5 = Seq(
+        "jn:doc('c','d')",
+        "sdb:nodekey(jn:doc('c','d'))",
+        "sdb:nodekey(jn:doc('c','d').items)",
+        "sdb:nodekey(jn:doc('c','d').items[0])",
+        "sdb:nodekey(jn:doc('c','d').items[0].v)",
+        "sdb:nodekey(jn:doc('c','d').items[1])",
+        "sdb:nodekey(jn:doc('c','d').tags)",
+        "sdb:nodekey(jn:doc('c','d').tags[0])",
+        "sdb:nodekey(jn:doc('c','d').tags[1].v)",
+        "sdb:nodekey(jn:doc('c','d').tail)")
+      collisions.foreach { u =>
+        JsoniqRun.serialize(plain, u)
+        JsoniqRun.serialize(st, u)
+        probes5.foreach { q =>
+          val want = scala.util.Try(JsoniqRun.serialize(plain, q))
+          val got = scala.util.Try(JsoniqRun.serialize(st, q))
+          (want, got) match {
+            case (scala.util.Success(w), scala.util.Success(g)) =>
+              assert(g === w, s"\nafter: $u\nquery: $q")
+            case (scala.util.Failure(_), scala.util.Failure(_)) => ()
+            case (w, g) => fail(
+              s"\nafter: $u\nquery: $q\nplain: $w\nshredded: $g")
+          }
+        }
+      }
+    } finally prev match {
+      case Some(v) => sys.props("graft.shred.min") = v
+      case None => sys.props.remove("graft.shred.min"); ()
+    }
+  }
 }

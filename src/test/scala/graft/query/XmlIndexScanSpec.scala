@@ -234,4 +234,103 @@ class XmlIndexScanSpec extends SparkSpec {
     assert(run(st, "xml:serialize(xml:doc('col','i.xml'))") ===
       "\"<log><m id=\\\"1\\\">hi</m><m id=\\\"2\\\">new entry</m></log>\"")
   }
+
+  test("nested shredded chains emit each hit exactly once") {
+    // r15: [site] and [site,people] BOTH shred; the outer entry's
+    // member_raw contains the inner entry's subtrees — a pattern
+    // member-local to both must serve from the DEEPEST entry only
+    val prev = sys.props.get("graft.shred.min")
+    sys.props("graft.shred.min") = "1"
+    try {
+      val nested = "<site>" +
+        (0 until 16).map(i => s"<meta>m$i</meta>").mkString +
+        "<people>" +
+        (0 until 20).map(i =>
+          s"<person><name>n$i</name><age>${i * 3}</age></person>")
+          .mkString + "</people></site>"
+      val st = mkStore()
+      st.storeXml("col", "nest.xml", nested)
+      val chains = st.shredEntries("col", "nest.xml", None)
+        .filter(_.kind == "xml").map(_.steps)
+      assert(chains.contains(List("site")) &&
+        chains.contains(List("site", "people")),
+        s"need nested xml entries, got $chains")
+      run(st,
+        """let $doc := xml:doc('col','nest.xml')
+          |let $s := xml:create-cas-index($doc, 'xs:integer', '/site/people/person/age')
+          |return xml:commit($doc)""".stripMargin)
+      // 18 hits (ages 3*i > 3 → i in 2..19), each ONCE
+      val got = run(st,
+        """xml:scan-cas-index(xml:doc('col','nest.xml'), 0, 3, '>', ())""")
+      assert(got === (2 until 20).map(i => s""""${i * 3}"""").mkString(" "))
+    } finally prev match {
+      case Some(v) => sys.props("graft.shred.min") = v
+      case None => sys.props.remove("graft.shred.min"); ()
+    }
+  }
+
+  test("inner descendant gaps in index patterns (driver + distributed)") {
+    // r15 (VERDICT Missing #4): brackit's Path dialect accepts interior
+    // descendant steps — `/site//age` must match at any depth
+    val deep = "<site><people>" +
+      (0 until 6).map(i =>
+        s"<person><info><age>${i * 10}</age></info></person>").mkString +
+      "</people><stats><age>999</age></stats></site>"
+    val st = mkStore()
+    run(st, s"xml:store('col','g.xml','$deep')")
+    run(st,
+      """let $doc := xml:doc('col','g.xml')
+        |let $s := xml:create-cas-index($doc, 'xs:integer', '/site//age')
+        |return xml:commit($doc)""".stripMargin)
+    assert(run(st,
+      """xml:scan-cas-index(xml:doc('col','g.xml'), 0, 15, '>', ())""")
+      === "\"20\" \"30\" \"40\" \"50\" \"999\"")
+    // gap strictly inside the member suffix serves DISTRIBUTED
+    val prev = sys.props.get("graft.shred.min")
+    sys.props("graft.shred.min") = "1"
+    try {
+      val many = "<site><people>" +
+        (0 until 40).map(i =>
+          s"<person><info><age>${i % 60}</age></info></person>").mkString +
+        "</people></site>"
+      val st2 = mkStore()
+      st2.storeXml("col", "g2.xml", many)
+      assert(st2.shredEntries("col", "g2.xml", None).exists(_.kind == "xml"))
+      run(st2,
+        """let $doc := xml:doc('col','g2.xml')
+          |let $s := xml:create-cas-index($doc, 'xs:integer', '/site/people/person//age')
+          |return xml:commit($doc)""".stripMargin)
+      assert(XmlScan.memberLocal(
+        XmlScan.parse("/site/people/person//age"), List("site", "people")))
+      assert(run(st2,
+        """xml:scan-cas-index(xml:doc('col','g2.xml'), 0, 37, '>', ())""")
+        === (38 until 40).map(i => s""""${i % 60}"""").mkString(" "))
+    } finally prev match {
+      case Some(v) => sys.props("graft.shred.min") = v
+      case None => sys.props.remove("graft.shred.min"); ()
+    }
+  }
+
+  test("xml:diff escapes markup in values and quotes in string literals") {
+    val st = mkStore()
+    run(st, "xml:store('col','esc.xml','<log><m>plain</m></log>')")
+    // new revision: text with <, &, and a double quote; an attribute
+    // carrying a quote — the emitted script must stay well-formed
+    val v2 = """<log><m>a &lt;b&gt; &amp; "q"</m><n t="x&quot;y">t2</n></log>"""
+    run(st, s"xml:store('col','esc.xml','${v2.replace("'", "''")}')")
+    // the diff result is ONE string item; decode the JSON serialization
+    // to assert on the actual script text
+    val script = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readValue(run(st, "xml:diff('col','esc.xml', 1, 2)"), classOf[String])
+    // string literals: quotes DOUBLE and & renders as &amp; (an entity
+    // lead-in inside XQuery string literals); raw < is legal there.
+    // XML content (insert nodes): text escapes <>&, attributes escape "
+    assert(script.contains("\"\"q\"\""),
+      s"quote doubling missing in: $script")
+    assert(script.contains("&amp;"), s"raw & in script: $script")
+    assert(!script.contains("& \"q\""),
+      s"unescaped & before quote in: $script")
+    assert(script.contains("&quot;") || script.contains("\"\""),
+      s"attribute quote escaping missing in: $script")
+  }
 }
