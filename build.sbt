@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // the container has no LANG/LC_ALL, so the JVM default charset is
+  // US-ASCII — Spark's variant builder then mangles non-ASCII strings
+  // (parse_json("\"Zoë\"") round-trips as "Zo??"). Pin UTF-8.
+  "-Dfile.encoding=UTF-8",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -212,6 +212,42 @@ object JsoniqQueries {
           |jn:first(jn:doc('c','ax.jn')).v,
           |jn:last(jn:doc('c','ax.jn')).v)""".stripMargin)
     },
+    // XQuery F&O stdlib mix (reference gets these from brackit; the
+    // semantics are pinned by its JsonQueryCorrectnessSweepTest —
+    // substring clamping, codepoint lengths, tokenize trailing empties,
+    // 1-based index-of, subsequence∘reverse, insert-before clamping,
+    // round-half-to-even ties, distinct-values first-occurrence order)
+    "j_fn_stdlib" -> { (s, _) =>
+      runOne(s, Nil,
+        """(substring("metadata", 0, 3),
+          |string-length("metadata"),
+          |count(tokenize("a/b//c/", "/")),
+          |index-of(("a","b","c","b","a"), "b"),
+          |reverse(subsequence(("a","b","c","d","e"), 2, 3)),
+          |insert-before((9, 8, 7), 0, 99),
+          |round(2.5), round-half-to-even(2.5), round-half-to-even(3.5),
+          |floor(-2.5), ceiling(-2.5), round(-2.5),
+          |distinct-values(("x","y","x","z","y","x")),
+          |string-join(("a","b","c"), "-"),
+          |matches("abc123", "[0-9]+$"),
+          |concat("A", 2),
+          |abs(-3.5),
+          |substring-before("a=b", "="), substring-after("a=b", "="),
+          |upper-case("ab"), contains("hello", ""),
+          |starts-with("", "x"))""".stripMargin)
+    },
+    // JSONiq object/array builtins (brackit JSONFun; the reference's
+    // ArrayCountToSizeStage rewrites count(E[]) to jn:size(E) — both
+    // forms answer identically here)
+    "j_jn_builtins" -> { (s, _) =>
+      runOne(s,
+        Seq("""jn:store('c','b.jn','{"a":[1,2,3,4],"o":{"x":1,"b":{"y":2},"c":"s"}}')"""),
+        """(jn:size(jn:doc('c','b.jn').a),
+          |count(jn:doc('c','b.jn').a[]),
+          |jn:members(jn:doc('c','b.jn').a),
+          |jn:keys(jn:doc('c','b.jn').o),
+          |jn:values(jn:doc('c','b.jn').o))""".stripMargin)
+    },
     // jn:open-revisions over the full time window: one item per
     // committed revision (reference function/jn/io/OpenRevisions.java)
     "j_open_revisions" -> { (s, _) =>
@@ -449,7 +485,16 @@ object JsoniqQueries {
     "j_time_travel" -> pin("1 2"),
     "j_update" -> pin(
       "[\"yes\",false,[1,2,3],null] [\"foo\",true,false,null] 4"),
-    "j_past" -> pin("1 2 2 3 4 1 4"),
+    // jn:past iterates NEWEST-first (reference PastAxis.java:55-63
+    // counts revision DOWN; r15 fixed the direction)
+    "j_past" -> pin("2 1 2 3 4 1 4"),
+    "j_fn_stdlib" -> pin("\"me\" 8 5 2 4 \"d\" \"c\" \"b\" 99 9 8 7 " +
+      "3 2 4 -3 -2 -2 \"x\" \"y\" \"z\" \"a-b-c\" true \"A2\" 3.5 " +
+      "\"a\" \"b\" \"AB\" true false"),
+    // keys/values surface in the engine's canonical (key-sorted) object
+    // order — the variant encoding canonicalizes member order at parse
+    // (the same documented divergence every object serialization has)
+    "j_jn_builtins" -> pin("4 4 1 2 3 4 \"b\" \"c\" \"x\" {\"y\":2} \"s\" 1"),
     "j_open_revisions" -> pin("1 2 3"),
     "j_diff" -> pin(new com.fasterxml.jackson.databind.ObjectMapper()
       .writeValueAsString(

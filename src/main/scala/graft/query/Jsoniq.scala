@@ -1109,6 +1109,14 @@ object Jsoniq {
       case other => throw new IllegalArgumentException(s"$what: expected name, got $other")
     }
 
+    /** A variable-reference primary for a computed object key (`$k` in
+      * `{$k: v}`) — the only computed-key form the dialect needs. */
+    private def expr0Primary(): Expr = next() match {
+      case TVar(v) => VarRef(v)
+      case other => throw new IllegalArgumentException(
+        s"computed object key: expected a variable, got $other")
+    }
+
     /** Direct element constructor: the '<' token was consumed; re-parse
       * CHARACTERWISE from its raw offset (the tokenizer has no XML mode),
       * then resume at the first token past the element's end. Enclosed
@@ -1148,22 +1156,45 @@ object Jsoniq {
           ArrayCtor(items.result())
         }
       case TPunct("{") =>
+        // entries: Left(splat) | Right((static key, value)); a COMPUTED
+        // key (`{$k: v}` after group-by — JSONiq's dynamic object key)
+        // desugars the whole constructor to the internal graft:object
+        // call (key/value pairs flattened), which evaluates keys per
+        // tuple. Splats and computed keys don't mix (corpus never does).
         val entries = Seq.newBuilder[Either[Expr, (String, Expr)]]
+        val dynPairs = Seq.newBuilder[(Expr, Expr)]
+        var anyDyn = false
         if (!at("}")) {
           var again = true
           while (again) {
             peek match {
               case Some(TStr(k)) =>
-                pos += 1; eat(":"); entries += Right((k, expr()))
+                pos += 1; eat(":")
+                val v = expr()
+                entries += Right((k, v)); dynPairs += ((StrLit(k), v))
               case Some(TName(k)) if toks.lift(pos + 1).contains(TPunct(":")) =>
-                pos += 1; eat(":"); entries += Right((k, expr()))
+                pos += 1; eat(":")
+                val v = expr()
+                entries += Right((k, v)); dynPairs += ((StrLit(k), v))
+              case Some(TVar(_)) if toks.lift(pos + 1).contains(TPunct(":")) =>
+                val k = expr0Primary()
+                eat(":")
+                anyDyn = true
+                dynPairs += ((k, expr()))
               case _ => entries += Left(expr()) // splat: {$i, "k": v}
             }
             if (at(",")) eat(",") else again = false
           }
         }
         eat("}")
-        ObjectCtor(entries.result())
+        if (anyDyn) {
+          val pairs = dynPairs.result()
+          val es = entries.result()
+          require(es.forall(_.isRight) && es.count(_.isRight) ==
+            pairs.count(_._1.isInstanceOf[StrLit]),
+            "computed object keys cannot mix with splat entries")
+          Call("graft:object", pairs.flatMap { case (k, v) => Seq(k, v) })
+        } else ObjectCtor(entries.result())
       case TName("true") =>
         if (at("(")) { eat("("); eat(")") }
         BoolLit(true)

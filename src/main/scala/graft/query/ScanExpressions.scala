@@ -139,6 +139,46 @@ private object JsonLevelOrder {
   val DefaultMaxBytes: Long = 256L << 20
 }
 
+/** Shallow object entries in SERIALIZED order: the member KEYS
+  * (`values = false`) or member value JSONs (`values = true`) of one
+  * JSON object text — jn:keys / jn:values. The reference's brackit
+  * JSONFun iterates insertion order; here the variant encoding already
+  * canonicalizes (key-sorts) object members at parse, so entries
+  * surface in canonical order — the engine-wide documented divergence.
+  * The expression still guarantees key↔value pairing and streams one
+  * object per call. Non-objects yield the empty array. */
+final case class JsonObjectShallow(child: Expression, values: Boolean)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String =
+    if (values) "json_object_values" else "json_object_keys_ordered"
+
+  @transient private lazy val mapper =
+    new com.fasterxml.jackson.databind.ObjectMapper()
+
+  override def eval(input: InternalRow): Any = {
+    val j = child.eval(input)
+    if (j == null) return new GenericArrayData(Array.empty[Any])
+    val node = mapper.readTree(j.asInstanceOf[UTF8String].toString)
+    if (node == null || !node.isObject)
+      return new GenericArrayData(Array.empty[Any])
+    val out = Array.newBuilder[Any]
+    val it = node.fields()
+    while (it.hasNext) {
+      val e = it.next()
+      out += UTF8String.fromString(
+        if (values) e.getValue.toString else e.getKey)
+    }
+    new GenericArrayData(out.result())
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): JsonObjectShallow = copy(child = newChild)
+}
+
 /** Distributed arm of the textual XML index scans ([[XmlScan]]): one
   * shredded element-chain member in (its [[XmlItem]] JSON), that
   * member's scan hits out — evaluated per member row across executors,

@@ -1048,4 +1048,42 @@ class JsoniqSpec extends SparkSpec {
     // a temporal axis with a non-* node test is loud
     intercept[Exception](ser("jn:doc('c','ax2.jn')/past::foo"))
   }
+
+  test("j: jn:size/members/keys/values (brackit JSONFun surface)") {
+    val st = freshStore()
+    def ser(q: String) = JsoniqRun.serialize(st, q)
+    ser("""jn:store('c','bi.jn','{"a":[1,2,3,4],"o":{"x":1,"b":{"y":2},"c":"s"}}')""")
+    // count(E[]) ≡ jn:size(E) — the reference's ArrayCountToSizeStage
+    // rewrite's soundness contract, checked as a VALUE equivalence
+    assert(ser("jn:size(jn:doc('c','bi.jn').a)") === "4")
+    assert(ser("count(jn:doc('c','bi.jn').a[])") ===
+      ser("jn:size(jn:doc('c','bi.jn').a)"))
+    assert(ser("jn:members(jn:doc('c','bi.jn').a)") === "1 2 3 4")
+    assert(ser("count(jn:members(jn:doc('c','bi.jn').a))") === "4")
+    // canonical (key-sorted) member order — the engine's documented
+    // variant canonicalization; pairing keys↔values is what matters
+    assert(ser("jn:keys(jn:doc('c','bi.jn').o)") === "\"b\" \"c\" \"x\"")
+    assert(ser("jn:values(jn:doc('c','bi.jn').o)") ===
+      "{\"y\":2} \"s\" 1")
+    // jn:keys dedupes across a sequence of objects (first occurrence)
+    ser("""jn:store('c','bi2.jn','[{"k":1,"m":2},{"k":3,"z":4}]')""")
+    assert(ser("jn:keys(jn:doc('c','bi2.jn')[])") === "\"k\" \"m\" \"z\"")
+    assert(ser("jn:values(jn:doc('c','bi2.jn')[])") === "1 2 3 4")
+  }
+
+  test("j: number fidelity — overflow strings, INF sums, exact decimals") {
+    val st = freshStore()
+    def ser(q: String) = JsoniqRun.serialize(st, q)
+    // |x| beyond xs:double: the store keeps exact plain digits (the
+    // reference's BigDecimal path; its sweep pins 2e308 round-tripping)
+    ser("""jn:store('c','num.jn','{"x":2e308,"y":1.5}')""")
+    assert(ser("jn:doc('c','num.jn').x") ===
+      "\"2" + "0" * 308 + "\"")
+    // double overflow in arithmetic serializes as INF (XQuery lexical)
+    ser("""jn:store('c','inf.jn','[1e308,1e308]')""")
+    assert(ser("sum(jn:doc('c','inf.jn')[])") === "\"INF\"")
+    // decimal arithmetic stays exact (0.1 + 0.2 = 0.3, not 0.30000...4)
+    ser("""jn:store('c','dec.jn','{"a":0.1,"b":0.2}')""")
+    assert(ser("jn:doc('c','dec.jn').a + jn:doc('c','dec.jn').b") === "0.3")
+  }
 }
