@@ -824,8 +824,14 @@ object JsoniqRun {
     private[query] def docLenOf(collection: String, doc: String,
                                 rev: Int): Long =
       docLenCache.getOrElseUpdate((docPath(collection, doc), rev),
-        this.doc(collection, doc, Some(rev))
-          .select(length(col("doc_json"))).head.getInt(0).toLong)
+        markerBaseOf(collection, doc, rev) match {
+          // cap-check heuristic: a member-local chain's length ≈ its
+          // base text's (edits patch member subtrees) — never pay a
+          // full reconstruction just for the length probe
+          case Some(base) => docLenOf(collection, doc, base)
+          case None => this.doc(collection, doc, Some(rev))
+            .select(length(col("doc_json"))).head.getInt(0).toLong
+        })
 
     // ---- node identity (sirix-compatible node keys, [[NodeKeys]]) ----
 
@@ -1021,6 +1027,15 @@ object JsoniqRun {
     /** Public probe: does the HEAD revision serve from a shred? */
     def isShredded(collection: String, doc: String): Boolean =
       shredExists(collection, doc, None)
+    /** Public probe: the resource's head revision number. */
+    def headRevision(collection: String, doc: String): Option[Int] =
+      graft.sources.TemporalTable
+        .mostRecentRevision(docPath(collection, doc))
+    /** Public probe: is `rev` a member-local fast commit (sentinel
+      * row over a base text + patch overlay)? */
+    def isMemberLocalCommit(collection: String, doc: String,
+                            rev: Int): Boolean =
+      markerBaseOf(collection, doc, rev).isDefined
     private[query] def shredExists(collection: String, doc: String,
                                    rev: Option[Int]): Boolean = {
       val path = docPath(collection, doc)
@@ -1072,8 +1087,19 @@ object JsoniqRun {
       val r = resolveRev(path, rev).get
       val dir = if (entry.dir.isEmpty) shredDir(path, r)
         else s"${shredDir(path, r)}/${entry.dir}"
-      shredDfCache.getOrElseUpdate((path, r, entry.dir),
-        spark.read.parquet(dir))
+      shredDfCache.getOrElseUpdate((path, r, entry.dir), {
+        val base = spark.read.parquet(dir)
+        // member-local fast commits overlay touched rows under _patch
+        // (underscore: invisible to the base parquet scan) — compose
+        // base-minus-patched ∪ patch; patched idx sets are O(edits)
+        val pdir = s"$dir/_patch"
+        if (!graft.sources.MetaIO.exists(s"$pdir/_SUCCESS")) base
+        else {
+          val patch = spark.read.parquet(pdir)
+          val idxs = patch.select("idx").collect().map(_.getLong(0)).toSeq
+          base.filter(!col("idx").isin(idxs: _*)).unionByName(patch)
+        }
+      })
     }
     /** The ROOT-ARRAY member table (the original serving surface). */
     private[query] def shredded(collection: String, doc: String,
@@ -1081,11 +1107,308 @@ object JsoniqRun {
       shredEntries(collection, doc, rev)
         .find(e => e.kind == "json" && e.steps.isEmpty)
         .map(readShredEntry(collection, doc, rev, _))
+    // ---- member-local fast commits ([[commitMemberLocal]]) ----
+    // A fast-committed revision's doc row holds a SENTINEL over the
+    // chain's base full-text revision; its content is (base text +
+    // the chain's edit logs), reconstructed lazily by member splicing.
+
+    /** Base full-text revision when `rev` is a member-local fast
+      * commit; None for a real-text revision. The marker rides in the
+      * COMMIT MESSAGE (`memberlocal:<base>` — written by the fast
+      * commit and propagated by sdb:commit copies), so the probe is a
+      * commit-log lookup, never a doc-row decode. The doc row ALSO
+      * carries the sentinel text as defense in depth: a path that
+      * loses the message (e.g. a revert copying a sentinel row under
+      * its own message) fails parse_json LOUDLY instead of serving the
+      * sentinel as content. */
+    private[query] def markerBaseOf(collection: String, doc: String,
+                                    rev: Int): Option[Int] = {
+      val path = docPath(collection, doc)
+      graft.sources.TemporalTable.commits(path)
+        .find(_.revision == rev)
+        .map(_.message)
+        .filter(_.startsWith("memberlocal:"))
+        .map(_.stripPrefix("memberlocal:").trim.toInt)
+    }
+
+    /** Document TEXT of a revision, resolving member-local sentinel
+      * rows: base text + per-member splices derived from the chain's
+      * edit logs (every log between base and `rev` must be fully
+      * member-local — the commit path guarantees it; empty logs from
+      * copy-commits contribute nothing). LRU-cached (texts are big). */
+    private val docTextCache =
+      new java.util.LinkedHashMap[(String, Int), String](8, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, Int), String]): Boolean =
+          size() > 4
+      }
+    private[query] def docText(collection: String, doc: String,
+                               revision: Option[Int]): String = {
+      val path = docPath(collection, doc)
+      val r = resolveRev(path, revision).getOrElse(
+        throw new IllegalArgumentException(s"no revisions for $path"))
+      docTextCache.synchronized {
+        val hit = docTextCache.get((path, r))
+        if (hit != null) return hit
+      }
+      val text = markerBaseOf(collection, doc, r) match {
+        case None =>
+          graft.sources.TemporalTable.read(spark, path, Some(r))
+            .select(col("doc_json")).head.getString(0)
+        case Some(base) =>
+          val baseText = docText(collection, doc, Some(base))
+          val logs = ((base + 1) to r).flatMap { lr =>
+            readEditLog(collection, doc, lr).getOrElse(
+              throw new IllegalStateException(
+                s"member-local revision chain $collection/$doc " +
+                  s"$base..$r: edit log for revision $lr is missing — " +
+                  "cannot reconstruct the document"))
+          }
+          spliceMemberEdits(collection, doc, base, baseText, logs)
+      }
+      docTextCache.synchronized { docTextCache.put((path, r), text); () }
+      text
+    }
+
+    /** Classify an edit against the base revision's shred entries:
+      * Some((entry, memberIdx, member-relative edit)) when the pointer
+      * lands STRICTLY INSIDE a member of a json entry. */
+    private[query] def memberLocalEditOf(entries: Seq[ShredEntry],
+                                         e: NodeKeys.Edit)
+        : Option[(ShredEntry, Int, NodeKeys.Edit)] =
+      entries.iterator.filter(_.kind == "json").flatMap { en =>
+        val n = en.steps.length
+        if (e.ptr.length > n + 1 &&
+            e.ptr.take(n) == en.steps.map(Left(_): Either[String, Int]))
+          e.ptr(n) match {
+            case Right(i) if i >= 0 =>
+              Some((en, i, e.copy(ptr = e.ptr.drop(n + 1))))
+            case _ => None
+          }
+        else None
+      }.toSeq.headOption
+
+    /** Apply a member-local edit sequence to the base TEXT by splicing
+      * re-serialized member subtrees (untouched bytes stay verbatim —
+      * O(doc) string copy, zero full-document parses). */
+    private def spliceMemberEdits(collection: String, doc: String,
+                                  baseRev: Int, baseText: String,
+                                  edits: Seq[NodeKeys.Edit]): String = {
+      if (edits.isEmpty) return baseText
+      val entries = shredEntries(collection, doc, Some(baseRev))
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      // group member-relative edits per (entry, idx) in LOG ORDER
+      val grouped = scala.collection.mutable.LinkedHashMap
+        .empty[(List[String], Int), scala.collection.mutable.Buffer[NodeKeys.Edit]]
+      edits.foreach { e =>
+        val (en, idx, rel) = memberLocalEditOf(entries, e).getOrElse(
+          throw new IllegalStateException(
+            s"member-local chain over $collection/$doc: edit at " +
+              s"${e.ptr} is not member-local — reconstruction refused"))
+        grouped.getOrElseUpdate((en.steps, idx),
+          scala.collection.mutable.ArrayBuffer.empty) += rel
+        ()
+      }
+      // entry array spans in the base text: root arrays split directly,
+      // nested entries re-locate via the same candidate scan that
+      // produced the manifest (same text -> same spans)
+      def entrySpan(steps: List[String]): (Int, Int) =
+        if (steps.isEmpty) {
+          var w = 0
+          while (w < baseText.length && baseText.charAt(w).isWhitespace) w += 1
+          (w, baseText.length)
+        } else Store.shredCandidates(baseText)
+          .find(c => c.kind == "json" && c.steps == steps)
+          .map(c => (c.start, c.end))
+          .getOrElse(throw new IllegalStateException(
+            s"member-local chain over $collection/$doc: entry " +
+              s"$steps not found in base text"))
+      val repls = grouped.toSeq.map { case ((steps, idx), rels) =>
+        val (s0, e0) = entrySpan(steps)
+        val spans = Store.splitTopLevelArraySpans(
+          baseText.substring(s0, e0))
+        require(idx >= 0 && idx < spans.length,
+          s"member $idx out of bounds during reconstruction")
+        val ms = s0 + (spans(idx) >>> 32).toInt
+        val me = s0 + (spans(idx) & 0xFFFFFFFFL).toInt
+        val node = mapper.readTree(baseText.substring(ms, me))
+        rels.foreach(JsoniqUpdate.applyEditToNode(mapper, node, _))
+        (ms, me, mapper.writeValueAsString(node))
+      }
+      val sb = new java.lang.StringBuilder(baseText.length + 1024)
+      var at = 0
+      repls.sortBy(_._1).foreach { case (ms, me, txt) =>
+        sb.append(baseText, at, ms).append(txt)
+        at = me
+      }
+      sb.append(baseText, at, baseText.length)
+      sb.toString
+    }
+
+    /** MEMBER-LOCAL COMMIT: when every edit of the statement targets
+      * strictly inside a shredded member, commit WITHOUT collecting
+      * the document — touched members patch through one-row reads
+      * (reference analog: JsonNodeTrxImpl's page-local mutation is
+      * O(touched subtree) at any document size). The revision's doc
+      * row is a sentinel over the chain's base text (reconstructed
+      * lazily by [[docText]]), the shred sidecar is a byte copy of the
+      * head's plus a `_patch` overlay with the touched member rows,
+      * and the edit log commits exactly like the slow path — key
+      * replay, time travel and serving are unchanged by construction.
+      * Returns false (caller takes the slow path) when any edit is
+      * not member-local, entries nest, member_raw is absent, or the
+      * cumulative patch exceeds its cap. */
+    private[query] def commitMemberLocal(collection: String, doc: String,
+                                         edits: Seq[NodeKeys.Edit]): Boolean = {
+      val dbg = sys.props.contains("graft.memberpatch.debug")
+      var tMark = System.nanoTime()
+      def lap(l: String): Unit = if (dbg) {
+        val now = System.nanoTime()
+        System.err.println(f"[mlc] $l%-24s ${(now - tMark) / 1e9}%6.2f s")
+        tMark = now
+      }
+      val path = docPath(collection, doc)
+      val head = graft.sources.TemporalTable.mostRecentRevision(path)
+        .getOrElse(return false)
+      val entries = shredEntries(collection, doc, Some(head))
+      if (!entries.exists(_.kind == "json")) return false
+      val chains = entries.map(_.steps)
+      if (chains.exists(a => chains.exists(b => a != b && b.startsWith(a))))
+        return false // nested chains: member tables overlap
+      val classified = edits.map(memberLocalEditOf(entries, _))
+      if (classified.exists(_.isEmpty)) return false
+      lap("classify")
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      // group per (entry, idx) keeping statement order
+      val grouped = scala.collection.mutable.LinkedHashMap
+        .empty[(ShredEntry, Int), scala.collection.mutable.Buffer[NodeKeys.Edit]]
+      classified.flatten.foreach { case (en, idx, rel) =>
+        grouped.getOrElseUpdate((en, idx),
+          scala.collection.mutable.ArrayBuffer.empty) += rel
+        ()
+      }
+      val maxRows = sys.props.get("graft.memberpatch.maxRows")
+        .map(_.toInt).getOrElse(4096)
+      // prior overrides (cumulative since the chain base) collect ONCE
+      // — they are cap-bounded and both the size gate and the merged
+      // write need them
+      val priorRows: Map[String, Seq[(Long, String)]] = entries.map { en =>
+        val pdir = s"${shredDir(path, head)}/${en.dir}/_patch"
+        en.dir -> (if (!graft.sources.MetaIO.exists(s"$pdir/_SUCCESS")) Nil
+        else spark.read.parquet(pdir).select(col("idx"), col("member_raw"))
+          .collect().map(r => (r.getLong(0), r.getString(1))).toSeq)
+      }.toMap
+      if (priorRows.values.map(_.size).sum + grouped.size > maxRows)
+        return false
+      lap("prior patch rows")
+      // current member texts: one BATCHED read per touched entry
+      // (patch-aware — an earlier fast commit's override must be
+      // visible; the composed read already serves it)
+      val newTexts: Seq[(ShredEntry, Int, String)] =
+        try grouped.keys.map(_._1).toSeq.distinct.flatMap { en =>
+          val df = readShredEntry(collection, doc, Some(head), en)
+          if (!df.columns.contains("member_raw"))
+            throw new ReplayUnsupported("no member_raw column")
+          val idxs = grouped.keys.collect {
+            case (e2, i) if e2 == en => i.toLong }.toSeq
+          val got = df.filter(col("idx").isin(idxs: _*))
+            .select(col("idx"), col("member_raw")).collect()
+            .map(r => r.getLong(0) -> r.getString(1)).toMap
+          idxs.map { i =>
+            val raw = got.getOrElse(i,
+              throw new ReplayUnsupported(s"member $i missing"))
+            val node = mapper.readTree(raw)
+            grouped((en, i.toInt))
+              .foreach(JsoniqUpdate.applyEditToNode(mapper, node, _))
+            (en, i.toInt, mapper.writeValueAsString(node))
+          }
+        } catch {
+          case _: ReplayUnsupported => return false
+          case e: IllegalArgumentException => throw e // real target errors
+        }
+      lap("member reads")
+      val baseTextRev = markerBaseOf(collection, doc, head).getOrElse(head)
+      // commit the sentinel row with the statement's edit log in the
+      // reservation hook (same crash discipline as the slow path); the
+      // commit MESSAGE carries the marker so probes never decode rows
+      val rev = graft.sources.TemporalTable.write(
+        { import spark.implicits._
+          Seq(s"${Store.MemberLocalSentinel}$baseTextRev").toDF("doc_json") },
+        path, message = s"memberlocal:$baseTextRev",
+        onReserve = (r, token) => {
+          graft.sources.MetaIO.delete(editsPath(path, r))
+          evictEditState(path, r)
+          logEdits(collection, doc, r, edits,
+            Some(token).filter(_.nonEmpty))
+        })
+      lap("sentinel commit")
+      // sidecar: HARDLINK the head's entry dirs (immutable parquet
+      // files — O(files), not O(bytes)), then overwrite the touched
+      // entries' _patch overlays with merged rows; the completion
+      // marker lands LAST (a crash leaves no marker, and docText
+      // reconstructs from base text + edit logs regardless)
+      try {
+        val src = shredDir(path, head)
+        val dst = shredDir(path, rev)
+        graft.sources.MetaIO.listDirs(src).foreach(sub =>
+          graft.sources.MetaIO.linkOrCopyDir(s"$src/$sub", s"$dst/$sub"))
+        lap("dir link")
+        newTexts.groupBy(_._1).foreach { case (en, rows) =>
+          val pdir = s"$dst/${en.dir}/_patch"
+          val baseDf = readShredEntry(collection, doc, Some(head), en)
+          val touchedNow = rows.map(_._2.toLong).toSet
+          import spark.implicits._
+          val merged = priorRows(en.dir)
+            .filterNot { case (i, _) => touchedNow(i) } ++
+            rows.map { case (_, idx, txt) => (idx.toLong, txt) }
+          val allRaw = merged.toDF("idx", "member_raw")
+          // project to the BASE table's exact schema (typed `t` column
+          // recomputed by the same variant cast; divergent values type
+          // to null, which every typed consumer already treats as
+          // "walk the variant")
+          val projectedPatch = {
+            val cols2 = baseDf.schema.fields.map { f =>
+              f.name match {
+                case "idx" => col("idx")
+                case "member" => parse_json(col("member_raw")).as("member")
+                case "member_raw" => col("member_raw")
+                case "t" => parse_json(col("member_raw"))
+                  .try_cast(f.dataType.catalogString).as("t")
+                case other2 => lit(null).cast(f.dataType).as(other2)
+              }
+            }
+            allRaw.select(cols2.toIndexedSeq: _*)
+          }
+          projectedPatch.coalesce(1).write.mode("overwrite").parquet(pdir)
+        }
+        lap("patch write")
+        graft.sources.MetaIO.copyFile(s"$src/_meta.json", s"$dst/_meta.json")
+        graft.sources.MetaIO.writeStringOverwrite(
+          s"$dst/$ShredCompleteMarker", "{}")
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(
+            s"[graft] member-local shred sidecar failed for $path rev " +
+              s"$rev (docText reconstruction serves reads): ${e.getMessage}")
+          graft.sources.MetaIO.delete(shredDir(path, rev), recursive = true)
+          ()
+      }
+      true
+    }
+
     private[query] def doc(collection: String, doc: String,
-                           revision: Option[Int]): DataFrame =
-      graft.sources.TemporalTable
-        .read(spark, docPath(collection, doc), revision)
-        .select(col("doc_json"))
+                           revision: Option[Int]): DataFrame = {
+      val path = docPath(collection, doc)
+      resolveRev(path, revision) match {
+        case Some(r) if markerBaseOf(collection, doc, r).isDefined =>
+          import spark.implicits._
+          Seq(docText(collection, doc, Some(r))).toDF("doc_json")
+        case _ =>
+          graft.sources.TemporalTable
+            .read(spark, path, revision)
+            .select(col("doc_json"))
+      }
+    }
 
     /** Store an XML document (converted to the [[XmlItem]] encoding) —
       * the XQuery/XMark ingestion path. ONE StAX pass both encodes and
@@ -1164,6 +1487,15 @@ object JsoniqRun {
       * Overridable for tests via -Dgraft.shred.min. */
     def ShredMinBytes: Int =
       sys.props.get("graft.shred.min").map(_.toInt).getOrElse(1 << 22)
+
+    /** Doc-row sentinel of a member-local fast commit: the row holds
+      * `<sentinel><baseRev>` instead of the document text (which
+      * [[Store.docText]] reconstructs lazily from the base text + the
+      * chain's edit logs). The NUL prefix cannot appear in stored
+      * document text (parse_json rejects it), so a reader that
+      * bypasses the resolution fails LOUDLY instead of serving the
+      * sentinel as content. */
+    val MemberLocalSentinel = "\u0000graft:memberlocal\u0000"
 
     /** Rewrite number literals whose magnitude overflows xs:double
       * (|v| > Double.MaxValue — Spark's variant would collapse them to
@@ -4656,8 +4988,13 @@ object JsoniqRun {
         // log writes in the reservation hook like any update commit:
         // clears crash-orphaned logs at the reserved number and binds
         // to this writer's token ([[Store.readEditLog]] verifies)
+        // a copy of a member-local sentinel row must keep its marker:
+        // the marker rides in the commit message, and a copied sentinel
+        // without it would fail parse_json loudly instead of serving
+        val copyMsg = store.markerBaseOf(c, d, head)
+          .map(b => s"memberlocal:$b").getOrElse("sdb:commit")
         val rev = graft.sources.TemporalTable
-          .commitCopyOf(path, head, message = "sdb:commit",
+          .commitCopyOf(path, head, message = copyMsg,
             onReserve = (r, token) => {
               graft.sources.MetaIO.delete(store.editsPath(path, r))
               store.evictEditState(path, r)
@@ -5800,9 +6137,15 @@ object JsoniqRun {
         require(args.size == 3, "jn:open(collection, doc, timestamp)")
         val ts = java.time.Instant.parse(litStr(args(2), "timestamp"))
           .toEpochMilli
-        val doc = graft.sources.TemporalTable.read(store.spark,
-            store.docPath(litStr(args(0), "collection"),
-              litStr(args(1), "doc")), None, Some(ts))
+        val (oc, od) = (litStr(args(0), "collection"), litStr(args(1), "doc"))
+        // resolve the as-of revision FIRST (last commit <= ts — the
+        // TemporalTable.read rule), then read through the marker-aware
+        // doc path: a member-local fast commit's row is a sentinel the
+        // raw snapshot read must never parse as content
+        val log = graft.sources.TemporalTable.commits(store.docPath(oc, od))
+          .filter(_.commitTsMs <= ts)
+        require(log.nonEmpty, s"no revision at or before ts=$ts")
+        val doc = store.doc(oc, od, Some(log.last.revision))
           .select(parse_json(col("doc_json")).as(ITEM))
         tuples.crossJoin(broadcast(doc)).withColumn(POS, array(lit(0L)))
       case "jn:open-revisions" =>

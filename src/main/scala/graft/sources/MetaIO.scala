@@ -306,6 +306,43 @@ private[graft] object MetaIO {
     ()
   }
 
+  /** Recursive directory HARDLINK copy for immutable file trees (a
+    * revision's parquet files are never mutated in place — an
+    * `overwrite` deletes and recreates, which only unlinks). Falls
+    * back to a byte copy when the paths are not both on a local
+    * filesystem. Turns the member-local commit's sidecar copy from
+    * O(bytes) into O(files). */
+  def linkOrCopyDir(src: String, dst: String): Unit = {
+    val sp = new Path(src)
+    val dp = new Path(dst)
+    val local = fs(src).isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] &&
+      fs(dst).isInstanceOf[org.apache.hadoop.fs.LocalFileSystem]
+    if (!local) { copyDir(src, dst); return }
+    def localPath(p: Path): java.nio.file.Path =
+      java.nio.file.Paths.get(p.toUri.getPath)
+    def go(s: Path, d: Path): Unit = {
+      java.nio.file.Files.createDirectories(localPath(d))
+      fs(src).listStatus(s).foreach { st =>
+        val tgt = new Path(d, st.getPath.getName)
+        if (st.isFile) {
+          try java.nio.file.Files.createLink(localPath(tgt),
+            localPath(st.getPath))
+          catch {
+            case _: UnsupportedOperationException |
+                 _: java.nio.file.FileSystemException =>
+              org.apache.hadoop.fs.FileUtil.copy(fs(src), st.getPath,
+                fs(dst), tgt, false, conf)
+              ()
+          }
+          ()
+        } else if (st.isDirectory) go(st.getPath, tgt)
+      }
+    }
+    go(sp, dp)
+  }
+
+  /** Recursive directory copy (subdirectories included — a shred
+    * entry's `_patch` overlay must survive copy-commits). */
   def copyDir(src: String, dst: String): Unit = {
     val sf = fs(src)
     val df = fs(dst)
@@ -316,7 +353,9 @@ private[graft] object MetaIO {
         org.apache.hadoop.fs.FileUtil.copy(sf, st.getPath, df,
           new Path(dp, st.getPath.getName), false, conf)
         ()
-      }
+      } else if (st.isDirectory)
+        copyDir(st.getPath.toString,
+          new Path(dp, st.getPath.getName).toString)
     }
   }
 

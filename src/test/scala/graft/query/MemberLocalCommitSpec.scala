@@ -1,0 +1,183 @@
+package graft.query
+
+import graft.SparkSpec
+
+/** Member-local XQUF fast commits ([[JsoniqRun.Store.commitMemberLocal]]):
+  * when every pointer of an update statement lands strictly inside a
+  * shredded member, the commit writes a sentinel doc row + a `_patch`
+  * member overlay + the edit log — the document is NEVER collected.
+  * Ground truth is a PLAIN (unshredded) store receiving the SAME
+  * statements through the collect-reparse path: serialized documents,
+  * member serving and node keys must agree after every statement.
+  * (Reference analog: JsonNodeTrxImpl mutates CoW page trees in place —
+  * an update's cost is O(touched subtree) at any document size.) */
+class MemberLocalCommitSpec extends SparkSpec {
+
+  private def mkStore(tag: String): JsoniqRun.Store =
+    new JsoniqRun.Store(spark,
+      java.nio.file.Files.createTempDirectory(s"graft-mlc-$tag").toString)
+
+  private val doc = """{"meta": {"name": "corpus"}, "items": [""" +
+    (1 to 30).map(i => s"""{"v": $i, "w": {"x": ${i % 3}}}""")
+      .mkString(",") +
+    """], "tags": [""" +
+    (1 to 20).map(i => s""""t$i"""").mkString(",") + """], "tail": 9}"""
+
+  private def withShred[A](body: => A): A = {
+    val prev = sys.props.get("graft.shred.min")
+    sys.props("graft.shred.min") = "1"
+    try body
+    finally prev match {
+      case Some(v) => sys.props("graft.shred.min") = v
+      case None => sys.props.remove("graft.shred.min"); ()
+    }
+  }
+
+  private val memberLocalUpdates = Seq(
+    """replace json value of jn:doc('c','d').items[3].v with 999""",
+    """replace json value of jn:doc('c','d').items[3].v with 1000""",
+    """insert json {"y": [7, 8]} into jn:doc('c','d').items[4].w""",
+    """delete json jn:doc('c','d').items[5].w.x""",
+    """rename json jn:doc('c','d').items[6].v as "vv"""",
+    """append json 11 into jn:doc('c','d').items[4].w.y""")
+
+  test("member-local statements fast-commit and match the slow path") {
+    withShred {
+      val st = mkStore("fast")
+      st.store("c", "d", doc)
+      val plain = {
+        val p = sys.props.remove("graft.shred.min")
+        val s2 = mkStore("plain")
+        s2.store("c", "d", doc)
+        sys.props("graft.shred.min") = "1"
+        s2
+      }
+      assert(st.shredEntries("c", "d", None).count(_.kind == "json") == 2)
+      val probes = Seq(
+        "jn:doc('c','d')",
+        "jn:doc('c','d').items[3]",
+        "jn:doc('c','d').items[4].w",
+        "for $i in jn:doc('c','d').items[] return $i.v",
+        "sdb:nodekey(jn:doc('c','d').items[3].v)",
+        "sdb:nodekey(jn:doc('c','d').items[4].w)",
+        "sdb:nodekey(jn:doc('c','d').items[29])",
+        "sdb:nodekey(jn:doc('c','d').tail)")
+      memberLocalUpdates.zipWithIndex.foreach { case (u, i) =>
+        JsoniqRun.serialize(plain, u)
+        JsoniqRun.serialize(st, u)
+        val rev = graft.sources.TemporalTable
+          .mostRecentRevision(st.docPath("c", "d")).get
+        // every one of these statements is member-local: the committed
+        // row must be the SENTINEL (fast path taken), base = rev 1
+        assert(st.markerBaseOf("c", "d", rev) === Some(1),
+          s"statement did not fast-commit: $u")
+        probes.foreach { q =>
+          val want = scala.util.Try(JsoniqRun.serialize(plain, q))
+          val got = scala.util.Try(JsoniqRun.serialize(st, q))
+          (want, got) match {
+            case (scala.util.Success(w), scala.util.Success(g)) =>
+              assert(g === w, s"\nafter: $u\nquery: $q")
+            case (scala.util.Failure(_), scala.util.Failure(_)) => ()
+            case (w, g) => fail(
+              s"\nafter: $u\nquery: $q\nplain: $w\nshredded: $g")
+          }
+        }
+        ()
+      }
+      // time travel across the fast chain reconstructs every revision
+      (1 to memberLocalUpdates.size + 1).foreach { r =>
+        assert(JsoniqRun.serialize(st, s"jn:doc('c','d',$r)") ===
+          JsoniqRun.serialize(plain, s"jn:doc('c','d',$r)"), s"rev $r")
+      }
+    }
+  }
+
+  test("skeleton-level statements fall back to the slow path and compose") {
+    withShred {
+      val st = mkStore("mix")
+      st.store("c", "d", doc)
+      val plain = {
+        val p = sys.props.remove("graft.shred.min")
+        val s2 = mkStore("mplain")
+        s2.store("c", "d", doc)
+        sys.props("graft.shred.min") = "1"
+        s2
+      }
+      val seqd = Seq(
+        """replace json value of jn:doc('c','d').items[2].v with -2""", // fast
+        """replace json value of jn:doc('c','d').meta.name with "x2"""", // slow (skeleton)
+        """replace json value of jn:doc('c','d').items[7].v with -7""", // fast again
+        """delete json jn:doc('c','d').items[8]""") // member-LEVEL: slow
+      seqd.foreach { u =>
+        JsoniqRun.serialize(plain, u)
+        JsoniqRun.serialize(st, u)
+        assert(JsoniqRun.serialize(st, "jn:doc('c','d')") ===
+          JsoniqRun.serialize(plain, "jn:doc('c','d')"), s"after $u")
+      }
+      val revs = graft.sources.TemporalTable
+        .commits(st.docPath("c", "d")).map(_.revision)
+      // fast, slow, fast, slow → markers at 2 and 4 only
+      assert(st.markerBaseOf("c", "d", 2) === Some(1))
+      assert(st.markerBaseOf("c", "d", 3) === None)
+      assert(st.markerBaseOf("c", "d", 4) === Some(3))
+      assert(st.markerBaseOf("c", "d", 5) === None)
+      assert(revs.size === 5)
+      // keys agree across the whole mixed chain
+      Seq("sdb:nodekey(jn:doc('c','d').items[7].v)",
+        "sdb:nodekey(jn:doc('c','d').items[9])",
+        "sdb:nodekey(jn:doc('c','d').meta.name)").foreach { q =>
+        assert(JsoniqRun.serialize(st, q) === JsoniqRun.serialize(plain, q), q)
+      }
+    }
+  }
+
+  test("the patch cap and missing member_raw fall back loudly-slow") {
+    withShred {
+      val prev = sys.props.get("graft.memberpatch.maxRows")
+      sys.props("graft.memberpatch.maxRows") = "1"
+      try {
+        val st = mkStore("cap")
+        st.store("c", "d", doc)
+        JsoniqRun.serialize(st,
+          """replace json value of jn:doc('c','d').items[1].v with 0""")
+        // 1 patched row at the cap — the NEXT fast commit would need 2
+        JsoniqRun.serialize(st,
+          """replace json value of jn:doc('c','d').items[2].v with 0""")
+        val head = graft.sources.TemporalTable
+          .mostRecentRevision(st.docPath("c", "d")).get
+        assert(st.markerBaseOf("c", "d", 2) === Some(1))
+        assert(st.markerBaseOf("c", "d", head) === None,
+          "over-cap statement must take the slow path")
+        assert(JsoniqRun.serialize(st,
+          "for $i in jn:doc('c','d').items[1:3] return $i.v") === "0 0")
+      } finally prev match {
+        case Some(v) => sys.props("graft.memberpatch.maxRows") = v
+        case None => sys.props.remove("graft.memberpatch.maxRows"); ()
+      }
+    }
+  }
+
+  test("fast-committed members serve with the doc collect fenced off") {
+    withShred {
+      val st = mkStore("fence")
+      st.store("c", "d", doc)
+      JsoniqRun.serialize(st,
+        """replace json value of jn:doc('c','d').items[3].v with 777""")
+      // fence: reconstruction/driver-walk caps far below the doc size —
+      // member reads must serve from the composed tables, and the
+      // typed member path must see the PATCHED value
+      assert(JsoniqRun.serialize(st,
+        "jn:doc('c','d').items[3].v") === "777")
+      assert(JsoniqRun.serialize(st,
+        "count(jn:doc('c','d').items[][?$$.v = 777])") === "1")
+      // sdb:commit (copy) on a marker head keeps serving + identity
+      JsoniqRun.serialize(st, "sdb:commit(jn:doc('c','d'))")
+      assert(JsoniqRun.serialize(st,
+        "jn:doc('c','d').items[3].v") === "777")
+      val k = JsoniqRun.serialize(st,
+        "sdb:nodekey(jn:doc('c','d').items[3].v)")
+      assert(JsoniqRun.serialize(st,
+        s"jn:select-json-item(jn:doc('c','d'), $k)") === "777")
+    }
+  }
+}
