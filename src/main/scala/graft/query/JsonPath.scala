@@ -431,6 +431,76 @@ private[query] object JsonPath {
     Skeleton(root, slots, tainted)
   }
 
+  /** The slot-marker key of a PERSISTED skeleton sidecar: in the
+    * sidecar text each elided chain array appears as
+    * `{"<marker>": k}` (k = the chain's ordinal in the entry list).
+    * The writer refuses to persist a sidecar whose document contains
+    * the literal key itself, so a loaded marker is unambiguous. */
+  val SkeletonSlotMarker = "~graft-slot"
+
+  /** Load a skeleton from its persisted sidecar TEXT: parse (same
+    * numeric discipline as [[skeletonTree]] — the scans' rendering must
+    * match the full walk), then swap each slot-marker object for an
+    * empty placeholder registered in `slots`, tainting its ancestors.
+    * Lets over-cap documents serve skeleton+member scans without ever
+    * reading the document text (reference analog: the name index
+    * answers at any size, index/name/NameFilter.java:12). */
+  def skeletonFromSidecar(text: String,
+                          chains: Seq[List[String]]): Skeleton = {
+    val sk0 = skeletonTree(text, Nil)
+    val mapper = newMapper()
+    val slots = new java.util.IdentityHashMap[JsonNode, List[String]]()
+    val tainted = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[JsonNode, java.lang.Boolean]())
+    def isMarker(v: JsonNode): Boolean =
+      v.isObject && v.size() == 1 && v.has(SkeletonSlotMarker) &&
+        // skeletonTree builds integers as BigIntegerNode — test the
+        // VALUE class family, not the node class
+        v.get(SkeletonSlotMarker).isIntegralNumber
+    def slotOf(v: JsonNode): List[String] =
+      chains(v.get(SkeletonSlotMarker).asInt())
+    import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+    def walk(n: JsonNode): Boolean = {
+      var taint = false
+      n match {
+        case o: ObjectNode =>
+          import scala.jdk.CollectionConverters._
+          o.fieldNames().asScala.toList.foreach { f =>
+            val v = o.get(f)
+            if (isMarker(v)) {
+              val ph = mapper.createObjectNode()
+              slots.put(ph, slotOf(v))
+              o.set[ObjectNode](f, ph)
+              taint = true
+            } else taint ||= walk(v)
+          }
+        case a: ArrayNode =>
+          var i = 0
+          while (i < a.size()) {
+            val v = a.get(i)
+            if (isMarker(v)) {
+              val ph = mapper.createObjectNode()
+              slots.put(ph, slotOf(v))
+              a.set(i, ph)
+              taint = true
+            } else taint ||= walk(v)
+            i += 1
+          }
+        case _ => ()
+      }
+      if (taint) { tainted.add(n); () }
+      taint
+    }
+    if (isMarker(sk0.root)) {
+      val ph = mapper.createObjectNode()
+      slots.put(ph, slotOf(sk0.root))
+      Skeleton(ph, slots, tainted)
+    } else {
+      walk(sk0.root)
+      Skeleton(sk0.root, slots, tainted)
+    }
+  }
+
   /** Scan a skeleton: hits with their document-order ordinals, plus the
     * ordinal reserved for each elided chain's member block. Throws
     * [[NeedFullWalk]] when the answer requires elided content. */

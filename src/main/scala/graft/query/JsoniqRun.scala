@@ -360,6 +360,7 @@ object JsoniqRun {
       graft.sources.MetaIO.writeStringOverwrite(
         s"${shredDir(path, rev)}/_meta.json",
         mapper.writeValueAsString(metaArr))
+      writeSkeletonSidecar(path, rev, json, cands)
       // commit point: a crash/kill mid-job (task outputs visible
       // under a v2 committer) must not leave a PARTIAL member table
       // that later sessions serve silently — readers gate on this
@@ -367,6 +368,56 @@ object JsoniqRun {
       // CompleteMarker discipline)
       graft.sources.MetaIO.writeStringOverwrite(
         s"${shredDir(path, rev)}/$ShredCompleteMarker", "{}")
+    }
+
+    /** Persist the document's ELIDED SKELETON next to the member
+      * tables: the text with each json-chain array spliced out for a
+      * `{"~graft-slot": k}` marker (k = the chain's ordinal among the
+      * json entries). With it, index scans over an OVER-CAP document —
+      * including NAME scans, whose skeleton hits are otherwise
+      * unprovable without reading the text — serve skeleton+members
+      * without ever collecting the document (reference analog: the
+      * name index answers at any size, index/name/NameFilter.java:12).
+      * Written only for documents at/above `graft.skeleton.sidecarMin`
+      * (small docs walk on the driver anyway) and only when the
+      * skeleton itself fits the scan cap (an over-cap skeleton could
+      * never load). Best-effort: ambiguity with a literal marker key
+      * in the data skips the write — serving falls back to the
+      * doc-row walk, never to a wrong answer. */
+    private def writeSkeletonSidecar(path: String, rev: Int, json: String,
+                                     cands: Seq[Store.ShredCandidate]): Unit = {
+      val minLen = sys.props.get("graft.skeleton.sidecarMin")
+        .map(_.toLong).getOrElse(128L << 20)
+      if (json.length < minLen) return
+      // marker ordinal = the chain's position among the JSON entries in
+      // MANIFEST order (the loader resolves chains from shredEntries);
+      // splicing itself runs in start order
+      val jsonCands = cands.filter(_.kind == "json")
+      if (jsonCands.isEmpty) return
+      val cap = sys.props.get("graft.scan.maxDriverBytes").map(_.toLong)
+        .getOrElse(256L << 20)
+      val sb = new java.lang.StringBuilder(1024)
+      var at = 0
+      jsonCands.zipWithIndex.sortBy(_._1.start).foreach { case (c, k) =>
+        sb.append(json, at, c.start)
+          .append("{\"").append(JsonPath.SkeletonSlotMarker)
+          .append("\":").append(k).append("}")
+        at = c.end
+      }
+      sb.append(json, at, json.length)
+      val text = sb.toString
+      if (text.length > cap) return
+      // ambiguity guard: the data itself must not contain the marker
+      // key — exactly one occurrence per spliced slot
+      var occ = 0
+      var i = text.indexOf("\"" + JsonPath.SkeletonSlotMarker + "\"")
+      while (i >= 0) {
+        occ += 1
+        i = text.indexOf("\"" + JsonPath.SkeletonSlotMarker + "\"", i + 1)
+      }
+      if (occ != jsonCands.length) return
+      graft.sources.MetaIO.writeStringOverwrite(
+        s"${shredDir(path, rev)}/_skeleton.json", text)
     }
 
     /** One member table: (`idx`, `member` variant[, `t` typed]). TYPED
@@ -589,6 +640,9 @@ object JsoniqRun {
         graft.sources.MetaIO.listDirs(src).foreach(sub =>
           graft.sources.MetaIO.copyDir(s"$src/$sub", s"$dst/$sub"))
         graft.sources.MetaIO.copyFile(s"$src/_meta.json", s"$dst/_meta.json")
+        if (graft.sources.MetaIO.exists(s"$src/_skeleton.json"))
+          graft.sources.MetaIO.copyFile(s"$src/_skeleton.json",
+            s"$dst/_skeleton.json")
         graft.sources.MetaIO.writeStringOverwrite(
           s"$dst/$ShredCompleteMarker", "{}")
       } catch {
@@ -813,11 +867,29 @@ object JsoniqRun {
         val cached = skeletonCache.get(key)
         if (cached != null) cached
         else {
-          val built = JsonPath.skeletonTree(json(), chains)
+          // persisted sidecar first: over-cap documents never read
+          // their text; marker ordinals resolve against the manifest's
+          // json-entry order (the writer's contract)
+          val sp = s"${shredDir(docPath(collection, doc), rev)}/_skeleton.json"
+          val built =
+            if (graft.sources.MetaIO.exists(sp))
+              JsonPath.skeletonFromSidecar(
+                graft.sources.MetaIO.readString(sp),
+                shredEntries(collection, doc, Some(rev))
+                  .filter(_.kind == "json").map(_.steps))
+            else JsonPath.skeletonTree(json(), chains)
           skeletonCache.put(key, built)
           built
         }
       }
+
+    /** Does the revision carry a persisted skeleton sidecar (so scans
+      * can serve without the document text at any size)? Public probe. */
+    def hasSkeletonSidecar(collection: String, doc: String,
+                           rev: Int): Boolean =
+      shredExists(collection, doc, Some(rev)) &&
+        graft.sources.MetaIO.exists(
+          s"${shredDir(docPath(collection, doc), rev)}/_skeleton.json")
 
     private val docLenCache =
       scala.collection.concurrent.TrieMap.empty[(String, Int), Long]
@@ -1383,6 +1455,11 @@ object JsoniqRun {
         }
         lap("patch write")
         graft.sources.MetaIO.copyFile(s"$src/_meta.json", s"$dst/_meta.json")
+        // the skeleton is UNCHANGED by strictly-inside-member edits —
+        // the base's sidecar serves the new revision verbatim
+        if (graft.sources.MetaIO.exists(s"$src/_skeleton.json"))
+          graft.sources.MetaIO.copyFile(s"$src/_skeleton.json",
+            s"$dst/_skeleton.json")
         graft.sources.MetaIO.writeStringOverwrite(
           s"$dst/$ShredCompleteMarker", "{}")
       } catch {
@@ -6746,7 +6823,11 @@ object JsoniqRun {
     }
     val entries = store.shredEntries(collection, doc, None)
       .filter(_.kind == "json")
-    if (docLen > cap) {
+    // a persisted skeleton sidecar serves the whole skeleton+member
+    // path WITHOUT the document text — over-cap scans (name scans
+    // included) run the normal route below at any size
+    val sidecar = store.hasSkeletonSidecar(collection, doc, rev.toInt)
+    if (docLen > cap && !sidecar) {
       // past the cap the document never touches the driver. A CAS or
       // PATH scan whose every pattern is a CONCRETE root-anchored
       // member path (prefix = an entry's chain + []) provably has no
@@ -6816,7 +6897,12 @@ object JsoniqRun {
           Map(BIG -> StoreRef(store)))
       }
     } catch {
-      case _: JsonPath.NeedFullWalk => fullWalk()
+      case _: JsonPath.NeedFullWalk =>
+        if (docLen > cap) throw new IllegalStateException(
+          s"index scan over $collection/$doc: a hit needs elided member " +
+            s"content and the document is $docLen bytes — over the " +
+            s"$cap-byte driver-walk cap (-Dgraft.scan.maxDriverBytes)")
+        fullWalk()
     }
   }
 

@@ -55,7 +55,7 @@ object ProfileOverCapScan {
         val (out, sec) = timed(q(s))
         println(f"overcap $name%-14s -> $out%-10s $sec%6.2fs")
       }
-      // the skeleton-needing families stay loud
+      // the skeleton-needing families stay loud WITHOUT a sidecar
       Seq(
         "count(jn:scan-path-index(jn:doc('c','big.jn'), 0, '/items/[]'))",
         "count(jn:scan-path-index(jn:doc('c','big.jn'), 0, '//v'))",
@@ -66,9 +66,36 @@ object ProfileOverCapScan {
             catch { case _: Exception => true }
           require(loud, s"expected loud cap failure: $s")
         }
-      println("skeleton-needing families fail loudly: OK")
+      println("skeleton-needing families fail loudly (no sidecar): OK")
+      // r15: WITH a persisted skeleton sidecar the same families serve
+      // at cap=1 — name scans included, the r14 VERDICT's Missing #5
+      sys.props.remove("graft.scan.maxDriverBytes")
+      sys.props("graft.skeleton.sidecarMin") = "1"
+      val (_, storeSec2) = timed(st.store("c", "sk.jn", docJson))
+      require(st.hasSkeletonSidecar("c", "sk.jn",
+        st.headRevision("c", "sk.jn").get), "sidecar must persist")
+      println(f"store with skeleton sidecar: $storeSec2%.1fs")
+      sys.props("graft.scan.maxDriverBytes") = "1"
+      Seq(
+        "name_scan" ->
+          "count(jn:scan-name-index(jn:doc('c','sk.jn'), 0, 'v'))",
+        "path_desc" ->
+          "count(jn:scan-path-index(jn:doc('c','sk.jn'), 0, '//v'))")
+        .foreach { case (name, s) =>
+          q(s) // warmup
+          val (out, sec) = timed(q(s))
+          println(f"overcap+sidecar $name%-14s -> $out%-10s $sec%6.2fs")
+        }
+      // a name scan whose hit content IS the elided members (the
+      // all-names form reaches the chain-field key) stays loud
+      val loudAll =
+        try { q("count(jn:scan-name-index(jn:doc('c','sk.jn'), 0, ()))"); false }
+        catch { case _: Exception => true }
+      require(loudAll, "all-names scan over a chain key must stay loud")
+      println("chain-key name hits stay loud with sidecar: OK")
     } finally {
       sys.props.remove("graft.scan.maxDriverBytes")
+      sys.props.remove("graft.skeleton.sidecarMin")
       spark.stop()
     }
   }
