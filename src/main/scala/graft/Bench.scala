@@ -193,7 +193,9 @@ object Bench {
     // time in a CHILD JVM on the still-quiet box and ship as *_probe
     // entries, so a spiked in-bench store reading adjudicates against
     // its clean twin in the SAME file.
-    val storeProbes: Seq[(String, Double)] =
+    def childProbe(mainClass: String, marker: String,
+                   args: Seq[String]): Option[
+        com.fasterxml.jackson.databind.JsonNode] =
       try {
         import scala.jdk.CollectionConverters._
         val raw = java.lang.management.ManagementFactory.getRuntimeMXBean
@@ -212,32 +214,44 @@ object Bench {
         }
         val cmd = Seq(s"${System.getProperty("java.home")}/bin/java") ++
           jvmArgs ++ Seq("-Dspark.ui.enabled=false", "-cp",
-          System.getProperty("java.class.path"),
-          "graft.tools.ProbeStoreJson")
+          System.getProperty("java.class.path"), mainClass) ++ args
         val pb = new ProcessBuilder(cmd.asJava)
         pb.redirectErrorStream(true)
         val p = pb.start()
         val out = scala.io.Source.fromInputStream(p.getInputStream)
           .getLines().toList
         p.waitFor()
-        out.find(_.startsWith("PROBE_STORES ")) match {
-          case Some(line) =>
-            val node = new com.fasterxml.jackson.databind.ObjectMapper()
-              .readTree(line.stripPrefix("PROBE_STORES "))
-            Seq("j_scale_store_probe" -> node.get("store").asDouble(),
-              "j_scale_obj_store_probe" -> node.get("obj_store").asDouble(),
-              "j_scale_xml_store_probe" -> node.get("xml_store").asDouble())
+        out.find(_.startsWith(marker + " ")) match {
+          case Some(line) => Some(new com.fasterxml.jackson.databind
+            .ObjectMapper().readTree(line.stripPrefix(marker + " ")))
           case None =>
             System.err.println(
-              "[bench] store probe emitted no PROBE_STORES line: " +
+              s"[bench] $mainClass emitted no $marker line: " +
                 out.takeRight(3).mkString(" | "))
-            Seq.empty
+            None
         }
       } catch { case e: Throwable =>
-        System.err.println(s"[bench] store probe failed: ${e.getMessage}")
-        Seq.empty
+        System.err.println(s"[bench] $mainClass probe failed: ${e.getMessage}")
+        None
       }
+    val storeProbes: Seq[(String, Double)] =
+      childProbe("graft.tools.ProbeStoreJson", "PROBE_STORES", Nil)
+        .map(node => Seq(
+          "j_scale_store_probe" -> node.get("store").asDouble(),
+          "j_scale_obj_store_probe" -> node.get("obj_store").asDouble(),
+          "j_scale_xml_store_probe" -> node.get("xml_store").asDouble()))
+        .getOrElse(Seq.empty)
     stamp("store_probes")
+    // fresh-JVM PQ-fit twin (r14 Wrong #3: two elevated in-bench
+    // readings adjudicated as positional — the clean twin ships in the
+    // same JSON so the next elevation self-adjudicates)
+    val pqFitProbe: Seq[(String, Double)] =
+      childProbe("graft.tools.ProbePqFit", "PROBE_PQ_FIT", Seq(sfDir))
+        .map(node => Seq(
+          "s_pq_fit_probe" -> node.get("fit").asDouble(),
+          "s_pq_fit_probe_gc" -> node.get("gc").asDouble()))
+        .getOrElse(Seq.empty)
+    stamp("pq_fit_probe")
 
     val results = headline.filter(SparkEntry.queries.contains).map { name =>
       def once(): Double =
@@ -656,7 +670,8 @@ object Bench {
         Seq.empty
       }
 
-    val all = results ++ storage ++ aged ++ vector ++ frontend ++ storeProbes
+    val all = results ++ storage ++ aged ++ vector ++ frontend ++
+      storeProbes ++ pqFitProbe
     val qs = all.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = all.map(_._2).filter(_ >= 0).sum
     val runsJson = allRuns.map { case (k, rs) =>

@@ -107,7 +107,8 @@ object JsoniqQueries {
           |  count(xml:scan-path-index(xml:doc('col','d.xml'), 2, '/site/people/person')),
           |  (for $h in xml:scan-name-index(xml:doc('col','d.xml'), 3, fn:QName((), 'name'))
           |   return xml:serialize($h)),
-          |  sdb:find-cas-index(xml:doc('col','d.xml'), 'xs:integer', '/site/people/person/age')
+          |  sdb:find-cas-index(xml:doc('col','d.xml'), 'xs:integer', '/site/people/person/age'),
+          |  xml:scan-cas-index(xml:doc('col','d.xml'), 0, 9, '>', '/site//age')
           |]""".stripMargin)
     },
     // xml:diff (function/xml/diff/Diff.java — the FMSE-matched update
@@ -468,9 +469,13 @@ object JsoniqQueries {
     // range [9,100) excludes 2 and 100; path count 4; name hits
     // serialize per element; find resolves handle 0
     "j_explain" -> pin("[true,true]"),
+    // trailing entry: an interior-descendant-gap pattern (/site//age —
+    // brackit's Path dialect, r15) answering identically to the
+    // anchored form over this corpus
     "j_xml_index" -> pin(
       "[\"30\",\"100\",\"p2\",\"30\",\"9\",4,\"<name>n0</name>\"," +
-        "\"<name>n1</name>\",\"<name>n2</name>\",\"<name>n3</name>\",0]"),
+        "\"<name>n1</name>\",\"<name>n2</name>\",\"<name>n3</name>\",0," +
+        "\"30\",\"100\"]"),
     // ONE replace-value op between the revisions (FMSE matches the
     // rest); the import commits revision 3 with the new entry
     "j_xml_import_diff" -> pin(
