@@ -1163,13 +1163,31 @@ object JsoniqRun {
         val base = spark.read.parquet(dir)
         // member-local fast commits overlay touched rows under _patch
         // (underscore: invisible to the base parquet scan) — compose
-        // base-minus-patched ∪ patch; patched idx sets are O(edits)
+        // base-minus-patched ∪ patch. With a run translation
+        // (member-LEVEL deletes/inserts shift positions), surviving
+        // base rows remap cur = base - baseStart + curStart through an
+        // O(edits) CASE; without one, patch rows REPLACE same-idx rows.
         val pdir = s"$dir/_patch"
         if (!graft.sources.MetaIO.exists(s"$pdir/_SUCCESS")) base
         else {
           val patch = spark.read.parquet(pdir)
-          val idxs = patch.select("idx").collect().map(_.getLong(0)).toSeq
-          base.filter(!col("idx").isin(idxs: _*)).unionByName(patch)
+          readPatchRuns(pdir) match {
+            case None =>
+              val idxs = patch.select("idx").collect()
+                .map(_.getLong(0)).toSeq
+              base.filter(!col("idx").isin(idxs: _*)).unionByName(patch)
+            case Some((_, runs)) =>
+              val curExpr = runs.foldLeft(lit(null).cast("long")) {
+                case (acc, (cs, bs, l)) =>
+                  when(col("idx") >= bs.toLong &&
+                    col("idx") < (bs + l).toLong,
+                    col("idx") - bs.toLong + cs.toLong).otherwise(acc)
+              }
+              base.withColumn("__mlcur", curExpr)
+                .filter(col("__mlcur").isNotNull)
+                .withColumn("idx", col("__mlcur")).drop("__mlcur")
+                .unionByName(patch)
+          }
         }
       })
     }
@@ -1229,14 +1247,23 @@ object JsoniqRun {
             .select(col("doc_json")).head.getString(0)
         case Some(base) =>
           val baseText = docText(collection, doc, Some(base))
-          val logs = ((base + 1) to r).flatMap { lr =>
-            readEditLog(collection, doc, lr).getOrElse(
-              throw new IllegalStateException(
-                s"member-local revision chain $collection/$doc " +
-                  s"$base..$r: edit log for revision $lr is missing — " +
-                  "cannot reconstruct the document"))
+          if (shredExists(collection, doc, Some(r)))
+            // primary: the revision's own overlay (runs + patch rows)
+            // rebuilds each entry array from base spans + patch texts —
+            // O(doc) string ops, handles member-level shifts
+            rebuildFromOverlay(collection, doc, r, baseText)
+          else {
+            // crash residue (sidecar incomplete): strictly-inside logs
+            // still replay textually; member-level chains refuse loudly
+            val logs = ((base + 1) to r).flatMap { lr =>
+              readEditLog(collection, doc, lr).getOrElse(
+                throw new IllegalStateException(
+                  s"member-local revision chain $collection/$doc " +
+                    s"$base..$r: edit log for revision $lr is missing — " +
+                    "cannot reconstruct the document"))
+            }
+            spliceMemberEdits(collection, doc, base, baseText, logs)
           }
-          spliceMemberEdits(collection, doc, base, baseText, logs)
       }
       docTextCache.synchronized { docTextCache.put((path, r), text); () }
       text
@@ -1260,6 +1287,186 @@ object JsoniqRun {
         else None
       }.toSeq.headOption
 
+    /** Full fast-commit classification (r15b): an edit is MEMBER-LOCAL
+      * when it lands strictly inside a member ([[memberLocalEditOf]]),
+      * OR it operates at the MEMBER level itself — delete/replace of
+      * one member (`ptr = chain + [idx]`) or append/positioned-insert
+      * into the chain array (`ptr = chain`). Member-level ops shift
+      * positions; the overlay records the resulting run translation. */
+    private sealed trait MlEdit { def en: ShredEntry }
+    private final case class MlInner(en: ShredEntry, idx: Int,
+                                     rel: NodeKeys.Edit) extends MlEdit
+    private final case class MlMember(en: ShredEntry,
+                                      op: NodeKeys.Edit) extends MlEdit
+    private def classifyMl(entries: Seq[ShredEntry],
+                           e: NodeKeys.Edit): Option[MlEdit] = {
+      memberLocalEditOf(entries, e) match {
+        case Some((en, idx, rel)) => return Some(MlInner(en, idx, rel))
+        case None => ()
+      }
+      entries.iterator.filter(_.kind == "json").flatMap { en =>
+        val n = en.steps.length
+        val chainL = en.steps.map(Left(_): Either[String, Int])
+        if (e.ptr.length == n + 1 && e.ptr.take(n) == chainL)
+          e.ptr(n) match {
+            case Right(i) if i >= 0 &&
+                (e.kind == "delete" || e.kind == "replace") =>
+              Some(MlMember(en, e))
+            case _ => None
+          }
+        else if (e.ptr == chainL &&
+            (e.kind == "append" || (e.kind == "insert" && e.pos.isDefined)))
+          Some(MlMember(en, e))
+        else None
+      }.toSeq.headOption
+    }
+
+    /** The member-list state of one entry during a fast commit, in
+      * CURRENT order: untouched BASE runs interleaved with raw member
+      * texts — the write-side twin of replayShredKeys' segment algebra
+      * (same locate/delete/insert discipline, texts instead of key
+      * trees). Flattens to the `_patch` overlay's runs + rows. */
+    private final class TextSegs(
+        val segs: scala.collection.mutable.ArrayBuffer[Either[(Int, Int), String]]) {
+      def totalLen: Int =
+        segs.map { case Left((_, l)) => l; case Right(_) => 1 }.sum
+      def locate(cur: Int): (Int, Int) = {
+        var at = 0
+        segs.zipWithIndex.foreach { case (s, i) =>
+          val l = s match { case Left((_, sl)) => sl; case Right(_) => 1 }
+          if (cur < at + l) return (i, cur - at)
+          at += l
+        }
+        throw new ReplayUnsupported(
+          s"member position $cur out of bounds during fast commit")
+      }
+      /** base idx at current position, None when patched. */
+      def baseIdxAt(cur: Int): Option[Int] = locate(cur) match {
+        case (i, o) => segs(i) match {
+          case Left((bs, _)) => Some(bs + o)
+          case Right(_) => None
+        }
+      }
+      def textAt(cur: Int): Option[String] = locate(cur) match {
+        case (i, _) => segs(i).toOption
+      }
+      def setText(cur: Int, raw: String): Unit = locate(cur) match {
+        case (i, _) if segs(i).isRight => segs(i) = Right(raw)
+        case (i, o) =>
+          val Left((bs, l)) = segs(i): @unchecked
+          val repl = Seq(
+            Left((bs, o)): Either[(Int, Int), String],
+            Right(raw), Left((bs + o + 1, l - o - 1)))
+            .filter { case Left((_, sl)) => sl > 0; case _ => true }
+          segs.remove(i)
+          segs.insertAll(i, repl)
+      }
+      def deleteAt(cur: Int): Unit = locate(cur) match {
+        case (i, _) if segs(i).isRight => segs.remove(i); ()
+        case (i, o) =>
+          val Left((bs, l)) = segs(i): @unchecked
+          val repl = Seq(Left((bs, o)), Left((bs + o + 1, l - o - 1)))
+            .filter { case Left((_, sl)) => sl > 0; case _ => true }
+          segs.remove(i)
+          segs.insertAll(i, repl.map(x => x: Either[(Int, Int), String]))
+      }
+      def insertAt(cur: Int, raw: String): Unit = {
+        if (cur == totalLen) { segs += Right(raw); return }
+        locate(cur) match {
+          case (i, 0) => segs.insert(i, Right(raw))
+          case (i, o) =>
+            val Left((bs, l)) = segs(i): @unchecked
+            segs.remove(i)
+            segs.insertAll(i, Seq(
+              Left((bs, o)): Either[(Int, Int), String],
+              Right(raw), Left((bs + o, l - o))))
+        }
+      }
+      /** (runs [(curStart, baseStart, len)], patch rows [(curIdx, raw)]). */
+      def flatten: (Seq[(Int, Int, Int)], Seq[(Int, String)]) = {
+        var cur = 0
+        val runs = Seq.newBuilder[(Int, Int, Int)]
+        val rows = Seq.newBuilder[(Int, String)]
+        segs.foreach {
+          case Left((bs, l)) => runs += ((cur, bs, l)); cur += l
+          case Right(raw) => rows += ((cur, raw)); cur += 1
+        }
+        (runs.result(), rows.result())
+      }
+    }
+
+    /** The entry's overlay state at `rev` as TextSegs over the CHAIN
+      * BASE's member table: identity runs when no overlay, else the
+      * persisted runs + patch rows. */
+    private def textSegsOf(path: String, rev: Int, en: ShredEntry,
+                           baseCount: Int): TextSegs = {
+      val pdir = s"${shredDir(path, rev)}/${en.dir}/_patch"
+      if (!graft.sources.MetaIO.exists(s"$pdir/_SUCCESS"))
+        return new TextSegs(scala.collection.mutable.ArrayBuffer(
+          Left((0, baseCount)): Either[(Int, Int), String]))
+      val patch = spark.read.parquet(pdir)
+        .select(col("idx"), col("member_raw")).collect()
+        .map(r => r.getLong(0).toInt -> r.getString(1)).toMap
+      val runsOpt = readPatchRuns(pdir)
+      val segs = scala.collection.mutable.ArrayBuffer
+        .empty[Either[(Int, Int), String]]
+      runsOpt match {
+        case Some((total, runs)) =>
+          val byStart = runs.sortBy(_._1)
+          var cur = 0
+          var ri = 0
+          while (cur < total) {
+            if (ri < byStart.length && byStart(ri)._1 == cur) {
+              val (_, bs, l) = byStart(ri)
+              segs += Left((bs, l)); cur += l; ri += 1
+            } else {
+              segs += Right(patch.getOrElse(cur,
+                throw new IllegalStateException(
+                  s"patch overlay at $pdir: position $cur neither in " +
+                    "runs nor patched")))
+              cur += 1
+            }
+          }
+        case None =>
+          // legacy r15 overlay: identity mapping, patched replacements
+          var i = 0
+          var runStart = 0
+          while (i <= baseCount) {
+            if (i == baseCount || patch.contains(i)) {
+              if (i > runStart) segs += Left((runStart, i - runStart))
+              if (i < baseCount) segs += Right(patch(i))
+              runStart = i + 1
+            }
+            i += 1
+          }
+      }
+      new TextSegs(segs)
+    }
+
+    /** A literal value's canonical Jackson-compact text — byte-for-byte
+      * what the collect-reparse path serializes for the same value. */
+    private def canonicalJson(
+        mapper: com.fasterxml.jackson.databind.ObjectMapper,
+        raw: String): String =
+      mapper.writeValueAsString(mapper.readTree(raw))
+
+    /** Chain-base member counts (invariant along a fast-commit chain —
+      * the entry dirs hardlink the base's parquet files). */
+    private val baseCountCache = scala.collection.concurrent.TrieMap
+      .empty[(String, Int, String), Int]
+
+    private def readPatchRuns(pdir: String)
+        : Option[(Int, Seq[(Int, Int, Int)])] = {
+      val rp = s"$pdir/_runs.json"
+      if (!graft.sources.MetaIO.exists(rp)) return None
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(graft.sources.MetaIO.readString(rp))
+      import scala.jdk.CollectionConverters._
+      Some((node.get("total").asInt(),
+        node.get("runs").elements().asScala.map(a =>
+          (a.get(0).asInt(), a.get(1).asInt(), a.get(2).asInt())).toSeq))
+    }
+
     /** Apply a member-local edit sequence to the base TEXT by splicing
       * re-serialized member subtrees (untouched bytes stay verbatim —
       * O(doc) string copy, zero full-document parses). */
@@ -1281,22 +1488,8 @@ object JsoniqRun {
           scala.collection.mutable.ArrayBuffer.empty) += rel
         ()
       }
-      // entry array spans in the base text: root arrays split directly,
-      // nested entries re-locate via the same candidate scan that
-      // produced the manifest (same text -> same spans)
-      def entrySpan(steps: List[String]): (Int, Int) =
-        if (steps.isEmpty) {
-          var w = 0
-          while (w < baseText.length && baseText.charAt(w).isWhitespace) w += 1
-          (w, baseText.length)
-        } else Store.shredCandidates(baseText)
-          .find(c => c.kind == "json" && c.steps == steps)
-          .map(c => (c.start, c.end))
-          .getOrElse(throw new IllegalStateException(
-            s"member-local chain over $collection/$doc: entry " +
-              s"$steps not found in base text"))
       val repls = grouped.toSeq.map { case ((steps, idx), rels) =>
-        val (s0, e0) = entrySpan(steps)
+        val (s0, e0) = entrySpanIn(baseText, steps)
         val spans = Store.splitTopLevelArraySpans(
           baseText.substring(s0, e0))
         require(idx >= 0 && idx < spans.length,
@@ -1317,19 +1510,74 @@ object JsoniqRun {
       sb.toString
     }
 
-    /** MEMBER-LOCAL COMMIT: when every edit of the statement targets
-      * strictly inside a shredded member, commit WITHOUT collecting
-      * the document — touched members patch through one-row reads
-      * (reference analog: JsonNodeTrxImpl's page-local mutation is
+    /** Entry array span in a document text: root arrays split directly,
+      * nested entries re-locate via the same candidate scan that
+      * produced the manifest (same text -> same spans). */
+    private def entrySpanIn(baseText: String,
+                            steps: List[String]): (Int, Int) =
+      if (steps.isEmpty) {
+        var w = 0
+        while (w < baseText.length && baseText.charAt(w).isWhitespace) w += 1
+        (w, baseText.length)
+      } else Store.shredCandidates(baseText)
+        .find(c => c.kind == "json" && c.steps == steps)
+        .map(c => (c.start, c.end))
+        .getOrElse(throw new IllegalStateException(
+          s"member-local chain: entry $steps not found in base text"))
+
+    /** Rebuild a fast-committed revision's text from its OVERLAY:
+      * each entry array re-assembles as untouched base member spans
+      * (run translation) interleaved with patch texts in current
+      * order; everything outside the entry arrays keeps the base
+      * bytes verbatim. O(doc) string ops, zero full-document parses,
+      * handles member-LEVEL deletes/inserts. */
+    private def rebuildFromOverlay(collection: String, doc: String,
+                                   rev: Int, baseText: String): String = {
+      val path = docPath(collection, doc)
+      val repls = shredEntries(collection, doc, Some(rev))
+        .filter(_.kind == "json").flatMap { en =>
+          val pdir = s"${shredDir(path, rev)}/${en.dir}/_patch"
+          if (!graft.sources.MetaIO.exists(s"$pdir/_SUCCESS")) None
+          else {
+            val (s0, e0) = entrySpanIn(baseText, en.steps)
+            val sub = baseText.substring(s0, e0)
+            val spans = Store.splitTopLevelArraySpans(sub)
+            val segs = textSegsOf(path, rev, en, spans.length)
+            val parts = segs.segs.iterator.flatMap {
+              case Left((bs, l)) => (bs until bs + l).iterator.map(i =>
+                sub.substring((spans(i) >>> 32).toInt,
+                  (spans(i) & 0xFFFFFFFFL).toInt))
+              case Right(raw) => Iterator(raw)
+            }
+            Some((s0, e0, parts.mkString("[", ",", "]")))
+          }
+        }
+      if (repls.isEmpty) return baseText
+      val sb = new java.lang.StringBuilder(baseText.length + 1024)
+      var at = 0
+      repls.sortBy(_._1).foreach { case (ms, me, txt) =>
+        sb.append(baseText, at, ms).append(txt)
+        at = me
+      }
+      sb.append(baseText, at, baseText.length)
+      sb.toString
+    }
+
+    /** MEMBER-LOCAL COMMIT: when every edit of the statement targets a
+      * shredded member — strictly inside one, OR the member level
+      * itself (delete/replace of a member, append/positioned insert
+      * into the chain array) — commit WITHOUT collecting the document
+      * (reference analog: JsonNodeTrxImpl's page-local CoW mutation is
       * O(touched subtree) at any document size). The revision's doc
       * row is a sentinel over the chain's base text (reconstructed
-      * lazily by [[docText]]), the shred sidecar is a byte copy of the
-      * head's plus a `_patch` overlay with the touched member rows,
+      * lazily by [[docText]] from the overlay), the shred sidecar
+      * HARDLINKS the head's files plus a `_patch` overlay (touched
+      * member rows + the run translation for position-shifting ops),
       * and the edit log commits exactly like the slow path — key
       * replay, time travel and serving are unchanged by construction.
       * Returns false (caller takes the slow path) when any edit is
       * not member-local, entries nest, member_raw is absent, or the
-      * cumulative patch exceeds its cap. */
+      * cumulative overlay exceeds its caps. */
     private[query] def commitMemberLocal(collection: String, doc: String,
                                          edits: Seq[NodeKeys.Edit]): Boolean = {
       val dbg = sys.props.contains("graft.memberpatch.debug")
@@ -1347,59 +1595,90 @@ object JsoniqRun {
       val chains = entries.map(_.steps)
       if (chains.exists(a => chains.exists(b => a != b && b.startsWith(a))))
         return false // nested chains: member tables overlap
-      val classified = edits.map(memberLocalEditOf(entries, _))
+      val classified = edits.map(classifyMl(entries, _))
       if (classified.exists(_.isEmpty)) return false
+      val mlEdits = classified.flatten
       lap("classify")
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-      // group per (entry, idx) keeping statement order
-      val grouped = scala.collection.mutable.LinkedHashMap
-        .empty[(ShredEntry, Int), scala.collection.mutable.Buffer[NodeKeys.Edit]]
-      classified.flatten.foreach { case (en, idx, rel) =>
-        grouped.getOrElseUpdate((en, idx),
-          scala.collection.mutable.ArrayBuffer.empty) += rel
-        ()
-      }
       val maxRows = sys.props.get("graft.memberpatch.maxRows")
         .map(_.toInt).getOrElse(4096)
-      // prior overrides (cumulative since the chain base) collect ONCE
-      // — they are cap-bounded and both the size gate and the merged
-      // write need them
-      val priorRows: Map[String, Seq[(Long, String)]] = entries.map { en =>
-        val pdir = s"${shredDir(path, head)}/${en.dir}/_patch"
-        en.dir -> (if (!graft.sources.MetaIO.exists(s"$pdir/_SUCCESS")) Nil
-        else spark.read.parquet(pdir).select(col("idx"), col("member_raw"))
-          .collect().map(r => (r.getLong(0), r.getString(1))).toSeq)
-      }.toMap
-      if (priorRows.values.map(_.size).sum + grouped.size > maxRows)
-        return false
-      lap("prior patch rows")
-      // current member texts: one BATCHED read per touched entry
-      // (patch-aware — an earlier fast commit's override must be
-      // visible; the composed read already serves it)
-      val newTexts: Seq[(ShredEntry, Int, String)] =
-        try grouped.keys.map(_._1).toSeq.distinct.flatMap { en =>
-          val df = readShredEntry(collection, doc, Some(head), en)
-          if (!df.columns.contains("member_raw"))
-            throw new ReplayUnsupported("no member_raw column")
-          val idxs = grouped.keys.collect {
-            case (e2, i) if e2 == en => i.toLong }.toSeq
-          val got = df.filter(col("idx").isin(idxs: _*))
-            .select(col("idx"), col("member_raw")).collect()
-            .map(r => r.getLong(0) -> r.getString(1)).toMap
-          idxs.map { i =>
-            val raw = got.getOrElse(i,
-              throw new ReplayUnsupported(s"member $i missing"))
-            val node = mapper.readTree(raw)
-            grouped((en, i.toInt))
-              .foreach(JsoniqUpdate.applyEditToNode(mapper, node, _))
-            (en, i.toInt, mapper.writeValueAsString(node))
-          }
-        } catch {
-          case _: ReplayUnsupported => return false
-          case e: IllegalArgumentException => throw e // real target errors
-        }
-      lap("member reads")
+      // base member counts along the chain are INVARIANT (the entry
+      // dirs hardlink the chain base's parquet files)
+      def rawBaseDf(en: ShredEntry): DataFrame = {
+        val dir = if (en.dir.isEmpty) shredDir(path, head)
+          else s"${shredDir(path, head)}/${en.dir}"
+        spark.read.parquet(dir)
+      }
       val baseTextRev = markerBaseOf(collection, doc, head).getOrElse(head)
+      def baseCountOf(en: ShredEntry): Int =
+        baseCountCache.getOrElseUpdate((path, baseTextRev, en.dir),
+          rawBaseDf(en).count().toInt)
+      // overlay state per touched entry (prior runs + patch folded in),
+      // then the statement's edits in their deduped DESC order — the
+      // SAME order and mutation semantics as the collect-reparse path
+      val touchedEntries = mlEdits.map(_.en).distinct
+      val states = scala.collection.mutable.LinkedHashMap
+        .empty[ShredEntry, TextSegs]
+      val baseRawCache = scala.collection.mutable.Map
+        .empty[(String, Int), String]
+      def baseRaw(en: ShredEntry, baseIdx: Int): String =
+        baseRawCache.getOrElseUpdate((en.dir, baseIdx), {
+          val rows = rawBaseDf(en).filter(col("idx") === baseIdx.toLong)
+            .select(col("member_raw")).collect()
+          if (rows.isEmpty)
+            throw new ReplayUnsupported(s"base member $baseIdx missing")
+          rows.head.getString(0)
+        })
+      var innerReads = 0
+      try {
+        touchedEntries.foreach { en =>
+          if (!rawBaseDf(en).columns.contains("member_raw"))
+            throw new ReplayUnsupported("no member_raw column")
+          states(en) = textSegsOf(path, head, en, baseCountOf(en))
+        }
+        mlEdits.foreach {
+          case MlInner(en, idx, rel) =>
+            val st = states(en)
+            val raw = st.textAt(idx).getOrElse {
+              innerReads += 1
+              if (innerReads > 64) throw new ReplayUnsupported(
+                "too many cold member reads for one statement")
+              baseRaw(en, st.baseIdxAt(idx).getOrElse(
+                throw new ReplayUnsupported("unlocatable member")))
+            }
+            val node = mapper.readTree(raw)
+            JsoniqUpdate.applyEditToNode(mapper, node, rel)
+            st.setText(idx, mapper.writeValueAsString(node))
+          case MlMember(en, op) =>
+            val st = states(en)
+            op.kind match {
+              case "delete" =>
+                val Right(i) = op.ptr.last: @unchecked
+                st.deleteAt(i)
+              case "replace" =>
+                val Right(i) = op.ptr.last: @unchecked
+                st.setText(i, canonicalJson(mapper, op.valueJson.get))
+              case "append" =>
+                st.insertAt(st.totalLen, canonicalJson(mapper, op.valueJson.get))
+              case "insert" =>
+                val p = op.pos.get
+                if (p < 0 || p > st.totalLen)
+                  throw new IllegalArgumentException(
+                    s"insert position $p out of bounds")
+                st.insertAt(p, canonicalJson(mapper, op.valueJson.get))
+              case other2 => throw new ReplayUnsupported(
+                s"member-level $other2")
+            }
+        }
+      } catch {
+        case _: ReplayUnsupported => return false
+      }
+      // cumulative overlay-size gate (patched rows + run fragments)
+      val flat = states.toSeq.map { case (en, st) => en -> st.flatten }
+      if (flat.map(_._2._2.size).sum > maxRows ||
+          flat.map(_._2._1.size).sum > 1024)
+        return false
+      lap("member edits")
       // commit the sentinel row with the statement's edit log in the
       // reservation hook (same crash discipline as the slow path); the
       // commit MESSAGE carries the marker so probes never decode rows
@@ -1425,15 +1704,12 @@ object JsoniqRun {
         graft.sources.MetaIO.listDirs(src).foreach(sub =>
           graft.sources.MetaIO.linkOrCopyDir(s"$src/$sub", s"$dst/$sub"))
         lap("dir link")
-        newTexts.groupBy(_._1).foreach { case (en, rows) =>
+        flat.foreach { case (en, (runs, rows)) =>
           val pdir = s"$dst/${en.dir}/_patch"
-          val baseDf = readShredEntry(collection, doc, Some(head), en)
-          val touchedNow = rows.map(_._2.toLong).toSet
+          val baseDf = rawBaseDf(en)
           import spark.implicits._
-          val merged = priorRows(en.dir)
-            .filterNot { case (i, _) => touchedNow(i) } ++
-            rows.map { case (_, idx, txt) => (idx.toLong, txt) }
-          val allRaw = merged.toDF("idx", "member_raw")
+          val allRaw = rows.map { case (i, txt) => (i.toLong, txt) }
+            .toDF("idx", "member_raw")
           // project to the BASE table's exact schema (typed `t` column
           // recomputed by the same variant cast; divergent values type
           // to null, which every typed consumer already treats as
@@ -1452,11 +1728,23 @@ object JsoniqRun {
             allRaw.select(cols2.toIndexedSeq: _*)
           }
           projectedPatch.coalesce(1).write.mode("overwrite").parquet(pdir)
+          // the run translation rides NEXT TO the rows (underscore file
+          // — invisible to the parquet scan); total = current member
+          // count, runs = [curStart, baseStart, len] of untouched base
+          // segments. Written AFTER the parquet (readers gate on
+          // _SUCCESS, and a runs file without rows cannot be seen).
+          val total = runs.map(_._3).sum + rows.size
+          val runsJson = "{\"total\":" + total + ",\"runs\":[" +
+            runs.map { case (cs, bs, l) => s"[$cs,$bs,$l]" }
+              .mkString(",") + "]}"
+          graft.sources.MetaIO.writeStringOverwrite(
+            s"$pdir/_runs.json", runsJson)
         }
         lap("patch write")
         graft.sources.MetaIO.copyFile(s"$src/_meta.json", s"$dst/_meta.json")
-        // the skeleton is UNCHANGED by strictly-inside-member edits —
-        // the base's sidecar serves the new revision verbatim
+        // the skeleton is UNCHANGED by member edits (the arrays stay
+        // elided slots; member content/count never shows in it) — the
+        // base's sidecar serves the new revision verbatim
         if (graft.sources.MetaIO.exists(s"$src/_skeleton.json"))
           graft.sources.MetaIO.copyFile(s"$src/_skeleton.json",
             s"$dst/_skeleton.json")

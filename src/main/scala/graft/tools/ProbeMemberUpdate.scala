@@ -65,7 +65,21 @@ object ProbeMemberUpdate {
       graft.query.JsoniqRun.serialize(st,
         "replace json value of jn:doc('c','obj.jn').items[17].v with -2")
     }
-    println(f"""PROBE_MEMBER_UPDATE {"update":$upd%.3f,"update2":$upd2%.3f,"nodekey_updated":$keyU%.3f}""")
+    // member-LEVEL ops (r15b): append and delete shift positions —
+    // committed via the overlay's run translation, still no collect
+    val updApp = t("append member (runs)") {
+      graft.query.JsoniqRun.serialize(st,
+        """append json {"v": -5, "w": 0.5} into jn:doc('c','obj.jn').items""")
+    }
+    val updDel = t("delete member (runs)") {
+      graft.query.JsoniqRun.serialize(st,
+        "delete json jn:doc('c','obj.jn').items[12]")
+    }
+    require(st.isMemberLocalCommit("c", "obj.jn",
+      st.headRevision("c", "obj.jn").get), "member-level op must fast-commit")
+    require(graft.query.JsoniqRun.serialize(st,
+      "count(jn:doc('c','obj.jn').items[])") == "1000000")
+    println(f"""PROBE_MEMBER_UPDATE {"update":$upd%.3f,"update2":$upd2%.3f,"append":$updApp%.3f,"delete":$updDel%.3f,"nodekey_updated":$keyU%.3f}""")
     spark.stop()
   }
 }

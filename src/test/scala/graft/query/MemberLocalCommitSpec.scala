@@ -107,7 +107,8 @@ class MemberLocalCommitSpec extends SparkSpec {
         """replace json value of jn:doc('c','d').items[2].v with -2""", // fast
         """replace json value of jn:doc('c','d').meta.name with "x2"""", // slow (skeleton)
         """replace json value of jn:doc('c','d').items[7].v with -7""", // fast again
-        """delete json jn:doc('c','d').items[8]""") // member-LEVEL: slow
+        """delete json jn:doc('c','d').items[8]""", // member-LEVEL: fast (r15b)
+        """rename json jn:doc('c','d').tail as "tail2"""") // skeleton: slow
       seqd.foreach { u =>
         JsoniqRun.serialize(plain, u)
         JsoniqRun.serialize(st, u)
@@ -116,18 +117,89 @@ class MemberLocalCommitSpec extends SparkSpec {
       }
       val revs = graft.sources.TemporalTable
         .commits(st.docPath("c", "d")).map(_.revision)
-      // fast, slow, fast, slow → markers at 2 and 4 only
+      // fast, slow, fast, fast, slow → markers at 2, 4 and 5
       assert(st.markerBaseOf("c", "d", 2) === Some(1))
       assert(st.markerBaseOf("c", "d", 3) === None)
       assert(st.markerBaseOf("c", "d", 4) === Some(3))
-      assert(st.markerBaseOf("c", "d", 5) === None)
-      assert(revs.size === 5)
+      assert(st.markerBaseOf("c", "d", 5) === Some(3))
+      assert(st.markerBaseOf("c", "d", 6) === None)
+      assert(revs.size === 6)
       // keys agree across the whole mixed chain
       Seq("sdb:nodekey(jn:doc('c','d').items[7].v)",
         "sdb:nodekey(jn:doc('c','d').items[9])",
         "sdb:nodekey(jn:doc('c','d').meta.name)").foreach { q =>
         assert(JsoniqRun.serialize(st, q) === JsoniqRun.serialize(plain, q), q)
       }
+    }
+  }
+
+  test("member-LEVEL deletes/inserts/appends fast-commit via run translation") {
+    // r15b: position-shifting ops commit without collecting the
+    // document — surviving base rows remap through the overlay's runs
+    withShred {
+      val st = mkStore("mlvl")
+      st.store("c", "d", doc)
+      val plain = {
+        val p = sys.props.remove("graft.shred.min")
+        val s2 = mkStore("mlvlp")
+        s2.store("c", "d", doc)
+        sys.props("graft.shred.min") = "1"
+        s2
+      }
+      val ops = Seq(
+        """delete json jn:doc('c','d').items[5]""",
+        """append json {"v": 1000, "w": {"x": 7}} into jn:doc('c','d').items""",
+        """insert json {"v": -1, "w": {"x": 0}} into jn:doc('c','d').items at position 2""",
+        """replace json value of jn:doc('c','d').items[3] with {"v": -3}""",
+        // strictly-inside edit stacked ON TOP of the shifted layout
+        """replace json value of jn:doc('c','d').items[10].v with 555""",
+        """delete json jn:doc('c','d').items[0]""",
+        """delete json jn:doc('c','d').tags[4]""")
+      val probes = Seq(
+        "jn:doc('c','d')",
+        "count(jn:doc('c','d').items[])",
+        "for $i in jn:doc('c','d').items[] return $i.v",
+        "jn:doc('c','d').items[1]",
+        "jn:doc('c','d').items[29]",
+        "for $t in jn:doc('c','d').tags[] return $t",
+        "sdb:nodekey(jn:doc('c','d').items[2])",
+        "sdb:nodekey(jn:doc('c','d').items[10])",
+        "sdb:nodekey(jn:doc('c','d').items[10].v)",
+        "sdb:nodekey(jn:doc('c','d').tail)")
+      ops.foreach { u =>
+        JsoniqRun.serialize(plain, u)
+        JsoniqRun.serialize(st, u)
+        val rev = graft.sources.TemporalTable
+          .mostRecentRevision(st.docPath("c", "d")).get
+        assert(st.markerBaseOf("c", "d", rev) === Some(1),
+          s"statement did not fast-commit: $u")
+        probes.foreach { q =>
+          val want = scala.util.Try(JsoniqRun.serialize(plain, q))
+          val got = scala.util.Try(JsoniqRun.serialize(st, q))
+          (want, got) match {
+            case (scala.util.Success(w), scala.util.Success(g)) =>
+              assert(g === w, s"\nafter: $u\nquery: $q")
+            case (scala.util.Failure(_), scala.util.Failure(_)) => ()
+            case (w, g) => fail(
+              s"\nafter: $u\nquery: $q\nplain: $w\nshredded: $g")
+          }
+        }
+        ()
+      }
+      // time travel reconstructs every shifted revision
+      (1 to ops.size + 1).foreach { r =>
+        assert(JsoniqRun.serialize(st, s"jn:doc('c','d',$r)") ===
+          JsoniqRun.serialize(plain, s"jn:doc('c','d',$r)"), s"rev $r")
+      }
+      // keys invert identically across the shifted layout
+      val k = JsoniqRun.serialize(st,
+        "sdb:nodekey(jn:doc('c','d').items[10].v)")
+      assert(k === JsoniqRun.serialize(plain,
+        "sdb:nodekey(jn:doc('c','d').items[10].v)"))
+      assert(JsoniqRun.serialize(st,
+        s"jn:select-json-item(jn:doc('c','d'), $k)") ===
+        JsoniqRun.serialize(plain,
+          s"jn:select-json-item(jn:doc('c','d'), $k)"))
     }
   }
 
