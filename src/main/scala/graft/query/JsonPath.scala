@@ -472,7 +472,11 @@ private[query] object JsonPath {
               slots.put(ph, slotOf(v))
               o.set[ObjectNode](f, ph)
               taint = true
-            } else taint ||= walk(v)
+            } else {
+              // force evaluation: `taint ||= walk(v)` would short-circuit
+              // once taint is true and skip later sibling subtrees
+              val st = walk(v); taint = taint || st
+            }
           }
         case a: ArrayNode =>
           var i = 0
@@ -483,7 +487,9 @@ private[query] object JsonPath {
               slots.put(ph, slotOf(v))
               a.set(i, ph)
               taint = true
-            } else taint ||= walk(v)
+            } else {
+              val st = walk(v); taint = taint || st
+            }
             i += 1
           }
         case _ => ()

@@ -63,6 +63,42 @@ class SkeletonSidecarSpec extends SparkSpec {
     }
   }
 
+  test("a chain nested after an earlier marker sibling still registers (taint short-circuit)") {
+    // Regression (r16 ADVICE #1): walk used `taint ||= walk(v)`, which
+    // short-circuits once taint is true — a slot marker nested at depth
+    // >= 2 AFTER an earlier marker sibling was never registered, so its
+    // chain's member hits were silently dropped (or the literal marker
+    // object served as content).
+    withProps("graft.shred.min" -> "1", "graft.skeleton.sidecarMin" -> "1") {
+      val dir = java.nio.file.Files.createTempDirectory("graft-sksc3").toString
+      val nested = """{"a": [""" +
+        (1 to 25).map(i => s"""{"v": $i}""").mkString(",") +
+        """], "b": {"c": [""" +
+        (101 to 125).map(i => s"""{"v": $i}""").mkString(",") +
+        """]}, "tail": 7}"""
+      val st0 = new JsoniqRun.Store(spark, dir)
+      st0.store("c", "d", nested)
+      assert(st0.hasSkeletonSidecar("c", "d", 1), "sidecar must persist")
+      val queries = Seq(
+        // hits from BOTH chains, the second one nested under b
+        "count(jn:scan-name-index(jn:doc('c','d'), 0, 'v'))",
+        "count(jn:scan-cas-index(jn:doc('c','d'), 0, 100, '>', '//v'))",
+        "count(jn:scan-path-index(jn:doc('c','d'), 0, '/b/c/[]/v'))")
+      val want = queries.map(q => JsoniqRun.serialize(st0, q))
+      assert(want.head === "50", "baseline must count both chains")
+      val st = new JsoniqRun.Store(spark, dir)
+      withProps("graft.scan.maxDriverBytes" -> "1") {
+        queries.zip(want).foreach { case (q, w) =>
+          assert(JsoniqRun.serialize(st, q) === w, q)
+        }
+        // the marker key must never surface as content
+        val allV = JsoniqRun.serialize(st,
+          "for $n in jn:scan-name-index(jn:doc('c','d'), 0, 'v') return $n")
+        assert(!allV.contains("~graft-slot"), "marker served as content")
+      }
+    }
+  }
+
   test("the sidecar survives member-local fast commits and copy-commits") {
     withProps("graft.shred.min" -> "1", "graft.skeleton.sidecarMin" -> "1") {
       val dir = java.nio.file.Files.createTempDirectory("graft-sksc2").toString
