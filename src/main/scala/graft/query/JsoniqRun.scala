@@ -1253,8 +1253,9 @@ object JsoniqRun {
             // O(doc) string ops, handles member-level shifts
             rebuildFromOverlay(collection, doc, r, baseText)
           else {
-            // crash residue (sidecar incomplete): strictly-inside logs
-            // still replay textually; member-level chains refuse loudly
+            // crash residue (sidecar incomplete): the full member-local
+            // shape — strictly-inside AND member-level ops — replays
+            // textually from base text + edit logs
             val logs = ((base + 1) to r).flatMap { lr =>
               readEditLog(collection, doc, lr).getOrElse(
                 throw new IllegalStateException(
@@ -1467,38 +1468,87 @@ object JsoniqRun {
           (a.get(0).asInt(), a.get(1).asInt(), a.get(2).asInt())).toSeq))
     }
 
-    /** Apply a member-local edit sequence to the base TEXT by splicing
-      * re-serialized member subtrees (untouched bytes stay verbatim —
-      * O(doc) string copy, zero full-document parses). */
+    /** Apply a member-local edit sequence — strictly-inside AND
+      * member-LEVEL ops — to the base TEXT: per-entry [[TextSegs]]
+      * over the base member spans replay the logs in order (the same
+      * segment algebra the fast commit ran against the parquet rows,
+      * sourcing member text from the base spans instead), then each
+      * touched entry array re-assembles as untouched base spans +
+      * re-serialized texts. O(doc) string copy, zero full-document
+      * parses. This is the crash-residue fallback when a fast commit's
+      * sidecar is missing — it must accept EVERYTHING
+      * [[commitMemberLocal]] accepts, including the position-shifting
+      * member-level delete/insert/append/replace shapes. */
     private def spliceMemberEdits(collection: String, doc: String,
                                   baseRev: Int, baseText: String,
                                   edits: Seq[NodeKeys.Edit]): String = {
       if (edits.isEmpty) return baseText
       val entries = shredEntries(collection, doc, Some(baseRev))
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-      // group member-relative edits per (entry, idx) in LOG ORDER
-      val grouped = scala.collection.mutable.LinkedHashMap
-        .empty[(List[String], Int), scala.collection.mutable.Buffer[NodeKeys.Edit]]
-      edits.foreach { e =>
-        val (en, idx, rel) = memberLocalEditOf(entries, e).getOrElse(
-          throw new IllegalStateException(
-            s"member-local chain over $collection/$doc: edit at " +
-              s"${e.ptr} is not member-local — reconstruction refused"))
-        grouped.getOrElseUpdate((en.steps, idx),
-          scala.collection.mutable.ArrayBuffer.empty) += rel
-        ()
+      val spanCache = scala.collection.mutable.Map
+        .empty[List[String], (Int, Int, Array[Long])]
+      def spansOf(steps: List[String]): (Int, Int, Array[Long]) =
+        spanCache.getOrElseUpdate(steps, {
+          val (s0, e0) = entrySpanIn(baseText, steps)
+          (s0, e0,
+            Store.splitTopLevelArraySpans(baseText.substring(s0, e0)))
+        })
+      def baseMemberText(steps: List[String], i: Int): String = {
+        val (s0, _, spans) = spansOf(steps)
+        require(i >= 0 && i < spans.length,
+          s"member $i out of bounds during reconstruction")
+        baseText.substring(s0 + (spans(i) >>> 32).toInt,
+          s0 + (spans(i) & 0xFFFFFFFFL).toInt)
       }
-      val repls = grouped.toSeq.map { case ((steps, idx), rels) =>
-        val (s0, e0) = entrySpanIn(baseText, steps)
-        val spans = Store.splitTopLevelArraySpans(
-          baseText.substring(s0, e0))
-        require(idx >= 0 && idx < spans.length,
-          s"member $idx out of bounds during reconstruction")
-        val ms = s0 + (spans(idx) >>> 32).toInt
-        val me = s0 + (spans(idx) & 0xFFFFFFFFL).toInt
-        val node = mapper.readTree(baseText.substring(ms, me))
-        rels.foreach(JsoniqUpdate.applyEditToNode(mapper, node, _))
-        (ms, me, mapper.writeValueAsString(node))
+      val states = scala.collection.mutable.LinkedHashMap
+        .empty[ShredEntry, TextSegs]
+      def stateOf(en: ShredEntry): TextSegs =
+        states.getOrElseUpdate(en, new TextSegs(
+          scala.collection.mutable.ArrayBuffer(
+            Left((0, spansOf(en.steps)._3.length))
+              : Either[(Int, Int), String])))
+      edits.foreach { e =>
+        classifyMl(entries, e) match {
+          case Some(MlInner(en, idx, rel)) =>
+            val st = stateOf(en)
+            val raw = st.textAt(idx).getOrElse(
+              baseMemberText(en.steps, st.baseIdxAt(idx).getOrElse(
+                throw new IllegalStateException(
+                  "unlocatable member during reconstruction"))))
+            val node = mapper.readTree(raw)
+            JsoniqUpdate.applyEditToNode(mapper, node, rel)
+            st.setText(idx, mapper.writeValueAsString(node))
+          case Some(MlMember(en, op)) =>
+            val st = stateOf(en)
+            op.kind match {
+              case "delete" =>
+                val Right(i) = op.ptr.last: @unchecked
+                st.deleteAt(i)
+              case "replace" =>
+                val Right(i) = op.ptr.last: @unchecked
+                st.setText(i, canonicalJson(mapper, op.valueJson.get))
+              case "append" =>
+                st.insertAt(st.totalLen,
+                  canonicalJson(mapper, op.valueJson.get))
+              case "insert" =>
+                st.insertAt(op.pos.get,
+                  canonicalJson(mapper, op.valueJson.get))
+              case other2 => throw new IllegalStateException(
+                s"member-level $other2 during reconstruction")
+            }
+          case None => throw new IllegalStateException(
+            s"member-local chain over $collection/$doc: edit at " +
+              s"${e.ptr} is not member-local — reconstruction refused")
+        }
+      }
+      val repls = states.toSeq.map { case (en, st) =>
+        val (s0, e0, _) = spansOf(en.steps)
+        val parts = st.segs.iterator.flatMap {
+          case Left((bs, l)) => (bs until bs + l).iterator
+            .map(baseMemberText(en.steps, _))
+          case Right(raw) => Iterator(raw)
+        }
+        (s0, e0, parts.mkString("[", ",", "]"))
       }
       val sb = new java.lang.StringBuilder(baseText.length + 1024)
       var at = 0
@@ -1682,16 +1732,18 @@ object JsoniqRun {
       // commit the sentinel row with the statement's edit log in the
       // reservation hook (same crash discipline as the slow path); the
       // commit MESSAGE carries the marker so probes never decode rows
-      val rev = graft.sources.TemporalTable.write(
-        { import spark.implicits._
-          Seq(s"${Store.MemberLocalSentinel}$baseTextRev").toDF("doc_json") },
-        path, message = s"memberlocal:$baseTextRev",
-        onReserve = (r, token) => {
-          graft.sources.MetaIO.delete(editsPath(path, r))
-          evictEditState(path, r)
-          logEdits(collection, doc, r, edits,
-            Some(token).filter(_.nonEmpty))
-        })
+      val rev = graft.sources.TemporalTable.withSentinelPermit {
+        graft.sources.TemporalTable.write(
+          { import spark.implicits._
+            Seq(s"${Store.MemberLocalSentinel}$baseTextRev").toDF("doc_json") },
+          path, message = s"memberlocal:$baseTextRev",
+          onReserve = (r, token) => {
+            graft.sources.MetaIO.delete(editsPath(path, r))
+            evictEditState(path, r)
+            logEdits(collection, doc, r, edits,
+              Some(token).filter(_.nonEmpty))
+          })
+      }
       lap("sentinel commit")
       // sidecar: HARDLINK the head's entry dirs (immutable parquet
       // files — O(files), not O(bytes)), then overwrite the touched
@@ -5358,14 +5410,16 @@ object JsoniqRun {
         // without it would fail parse_json loudly instead of serving
         val copyMsg = store.markerBaseOf(c, d, head)
           .map(b => s"memberlocal:$b").getOrElse("sdb:commit")
-        val rev = graft.sources.TemporalTable
-          .commitCopyOf(path, head, message = copyMsg,
-            onReserve = (r, token) => {
-              graft.sources.MetaIO.delete(store.editsPath(path, r))
-              store.evictEditState(path, r)
-              store.logEdits(c, d, r, Seq.empty,
-                Some(token).filter(_.nonEmpty))
-            })
+        val rev = graft.sources.TemporalTable.withSentinelPermit {
+          graft.sources.TemporalTable
+            .commitCopyOf(path, head, message = copyMsg,
+              onReserve = (r, token) => {
+                graft.sources.MetaIO.delete(store.editsPath(path, r))
+                store.evictEditState(path, r)
+                store.logEdits(c, d, r, Seq.empty,
+                  Some(token).filter(_.nonEmpty))
+              })
+        }
         store.copyShred(c, d, head, rev)
         tuples.withColumn("__v", jsonNumber(lit(rev.toLong)))
       case "jn:create-cas-index" | "jn:create-path-index" |
@@ -5721,11 +5775,17 @@ object JsoniqRun {
           .withColumnRenamed("__v", pv)
         val src = atomizeCol(col(sv)).try_cast("string")
         val rs = floor(col(pv).try_cast("double") + 0.5)
+        // drop only THIS invocation's gensyms — a pattern drop over a
+        // "__sub" prefix would also strip an enclosing substring's
+        // still-referenced columns when calls nest
+        val mine = Seq.newBuilder[String]
+        mine += sv; mine += pv
         val res = if (args.size == 2) {
           val lo = greatest(rs, lit(1.0))
           src.substr(lo.cast("int"), lit(Int.MaxValue))
         } else {
           val lv = gensym("subl")
+          mine += lv
           cur = evalScalar(store, args(2), cur, env)
             .withColumnRenamed("__v", lv)
           val e = rs + floor(col(lv).try_cast("double") + 0.5)
@@ -5735,7 +5795,7 @@ object JsoniqRun {
         }
         cur.withColumn("__v",
             when(src.isNull, lit(null)).otherwise(jsonString(res)))
-          .drop(cur.columns.filter(_.startsWith("__sub")): _*)
+          .drop(mine.result(): _*)
       case "string-length" | "fn:string-length" =>
         // counts CODEPOINTS (Spark's length over UTF8String counts
         // characters, non-BMP included — the emoji pin)

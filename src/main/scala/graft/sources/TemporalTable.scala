@@ -438,6 +438,25 @@ object TemporalTable {
     * revision's recipe (its NDV columns and group tuples), so history
     * frames never mix sidecar'd and bare revisions and the fold keeps
     * firing without every writer restating the options. */
+  /** Commit-message prefix reserved for member-local fast-commit
+    * sentinels. A library caller stamping it on a REAL-text revision
+    * would make readers silently serve the base revision's
+    * reconstruction instead of the written content — so [[write]] and
+    * [[commitCopyOf]] refuse it unless the fast-commit machinery holds
+    * the permit ([[withSentinelPermit]]). */
+  private[graft] val SentinelMessagePrefix = "memberlocal:"
+  private val sentinelPermit =
+    new scala.util.DynamicVariable[Boolean](false)
+  private[graft] def withSentinelPermit[A](body: => A): A =
+    sentinelPermit.withValue(true)(body)
+  private def checkReservedMessage(message: String): Unit =
+    require(!message.startsWith(SentinelMessagePrefix) ||
+        sentinelPermit.value,
+      s"commit message prefix '$SentinelMessagePrefix' is reserved " +
+        "for member-local fast-commit sentinels; a real-text revision " +
+        "carrying it would serve the base revision's reconstruction " +
+        "instead of the written content")
+
   def write(df: DataFrame, path: String, author: String = "graft",
             message: String = "", withManifest: Boolean = true,
             withKeyIndex: Boolean = true, dictCols: Seq[String] = Nil,
@@ -445,6 +464,7 @@ object TemporalTable {
             statsGroupCols: Seq[Seq[String]] = Nil,
             manifestFromRev: Option[Int] = None,
             onReserve: (Int, String) => Unit = (_, _) => ()): Int = {
+    checkReservedMessage(message)
     val encoded =
       if (dictCols.isEmpty) df
       else {
@@ -867,6 +887,7 @@ object TemporalTable {
   def commitCopyOf(path: String, srcRev: Int, author: String = "graft",
                    message: String = "",
                    onReserve: (Int, String) => Unit = (_, _) => ()): Int = {
+    checkReservedMessage(message)
     require(!DeltaTemporalTable.isDeltaLayout(path),
       s"$path is a delta-encoded chain — commitCopyOf needs snapshot dirs")
     require(commits(path).exists(_.revision == srcRev),

@@ -84,6 +84,24 @@ class FunctionRoutesSpec extends SparkSpec {
     assert(run(st, "sdb:author-name(jn:doc('c','d'))") === "\"graft\"")
   }
 
+  test("nested fn:substring keeps the outer call's columns (r16 ADVICE)") {
+    // Regression: the substring cleanup dropped EVERY `__sub*` column,
+    // so an inner substring nested in another substring's argument
+    // stripped the outer call's still-referenced gensyms — a valid
+    // query failed with an unresolved-column error.
+    val st = freshStore()
+    run(st, """jn:store('c','d','{"t":"abcdefgh"}')""")
+    assert(run(st,
+      "substring(substring(jn:doc('c','d').t, 2), 2, 3)") === "\"cde\"")
+    assert(run(st,
+      "substring(jn:doc('c','d').t, string-length(substring(jn:doc('c','d').t, 6)), 2)")
+      === "\"cd\"")
+    // substring in BOTH the source and position arguments
+    assert(run(st,
+      "substring(substring(jn:doc('c','d').t, 2, 6), string-length(substring(jn:doc('c','d').t, 7)), 3)")
+      === "\"cde\"")
+  }
+
   test("sdb:rollback refuses: no open write transaction (Rollback.java)") {
     val st = freshStore()
     run(st, """jn:store('c','d','["original"]')""")

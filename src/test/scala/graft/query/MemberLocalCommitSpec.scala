@@ -203,6 +203,55 @@ class MemberLocalCommitSpec extends SparkSpec {
     }
   }
 
+  test("sidecar crash residue reconstructs member-LEVEL chains from edit logs") {
+    // Regression (r16 ADVICE #2): a fast commit whose sidecar write
+    // FAILS after the sentinel commit leaves only the edit logs — the
+    // textual fallback must replay the full member-local shape
+    // (including position-shifting member-level ops), or the committed
+    // head revision is permanently unreadable.
+    withShred {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-mlc-crash").toString
+      val st = new JsoniqRun.Store(spark, root)
+      st.store("c", "d", doc)
+      val plain = {
+        val p = sys.props.remove("graft.shred.min")
+        val s2 = mkStore("crashp")
+        s2.store("c", "d", doc)
+        sys.props("graft.shred.min") = "1"
+        s2
+      }
+      val ops = Seq(
+        """delete json jn:doc('c','d').items[5]""",
+        """append json {"v": 1000, "w": {"x": 7}} into jn:doc('c','d').items""",
+        """insert json {"v": -1, "w": {"x": 0}} into jn:doc('c','d').items at position 2""",
+        """replace json value of jn:doc('c','d').items[3] with {"v": -3}""",
+        """replace json value of jn:doc('c','d').items[10].v with 555""",
+        """delete json jn:doc('c','d').tags[4]""")
+      ops.foreach { u =>
+        JsoniqRun.serialize(plain, u); JsoniqRun.serialize(st, u); ()
+      }
+      val path = st.docPath("c", "d")
+      val head = graft.sources.TemporalTable.mostRecentRevision(path).get
+      // simulate the sidecar failure for EVERY fast-committed revision:
+      // delete the shred dirs, keeping only sentinel rows + edit logs
+      (2 to head).foreach { r =>
+        assert(st.markerBaseOf("c", "d", r) === Some(1))
+        graft.sources.MetaIO.delete(st.shredDir(path, r), recursive = true)
+      }
+      // a FRESH store (cold caches) must serve head and every
+      // intermediate revision identically to the slow-path ground truth
+      val st2 = new JsoniqRun.Store(spark, root)
+      (2 to head).foreach(r => assert(!st2.shredExists("c", "d", Some(r))))
+      (2 to head).foreach { r =>
+        assert(JsoniqRun.serialize(st2, s"jn:doc('c','d',$r)") ===
+          JsoniqRun.serialize(plain, s"jn:doc('c','d',$r)"), s"rev $r")
+      }
+      assert(JsoniqRun.serialize(st2, "count(jn:doc('c','d').items[])") ===
+        JsoniqRun.serialize(plain, "count(jn:doc('c','d').items[])"))
+    }
+  }
+
   test("the patch cap and missing member_raw fall back loudly-slow") {
     withShred {
       val prev = sys.props.get("graft.memberpatch.maxRows")

@@ -365,6 +365,23 @@ class TemporalTableSpec extends SparkSpec {
       "stale cached entry served after drop-and-recreate")
   }
 
+  test("the memberlocal: message prefix is reserved (r16 VERDICT Wrong #5)") {
+    // a library caller stamping the fast-commit marker on a REAL-text
+    // revision would make readers silently serve the base revision's
+    // reconstruction instead of the written content — refuse loudly
+    val p = freshPath()
+    TemporalTable.write(rev1, p)
+    val e = intercept[IllegalArgumentException](
+      TemporalTable.write(rev2, p, message = "memberlocal:1"))
+    assert(e.getMessage.contains("reserved"))
+    val e2 = intercept[IllegalArgumentException](
+      TemporalTable.commitCopyOf(p, 1, message = "memberlocal:1"))
+    assert(e2.getMessage.contains("reserved"))
+    // nothing committed by the refusals; ordinary messages still work
+    assert(TemporalTable.commits(p).map(_.revision) == Seq(1))
+    assert(TemporalTable.write(rev2, p, message = "ok") == 2)
+  }
+
   test("aborted write leaves no revision and frees nothing visible") {
     val p = freshPath()
     TemporalTable.write(rev1, p)
