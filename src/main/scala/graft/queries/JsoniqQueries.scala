@@ -496,10 +496,10 @@ object JsoniqQueries {
     "j_fn_stdlib" -> pin("\"me\" 8 5 2 4 \"d\" \"c\" \"b\" 99 9 8 7 " +
       "3 2 4 -3 -2 -2 \"x\" \"y\" \"z\" \"a-b-c\" true \"A2\" 3.5 " +
       "\"a\" \"b\" \"AB\" true false"),
-    // keys/values surface in the engine's canonical (key-sorted) object
-    // order — the variant encoding canonicalizes member order at parse
-    // (the same documented divergence every object serialization has)
-    "j_jn_builtins" -> pin("4 4 1 2 3 4 \"b\" \"c\" \"x\" {\"y\":2} \"s\" 1"),
+    // keys/values surface in INSERTION order (r16: sourced from the
+    // items' original text — brackit JSONFun iterates members as
+    // written; the fixture's keys are deliberately unsorted)
+    "j_jn_builtins" -> pin("4 4 1 2 3 4 \"x\" \"b\" \"c\" 1 {\"y\":2} \"s\""),
     "j_open_revisions" -> pin("1 2 3"),
     "j_diff" -> pin(new com.fasterxml.jackson.databind.ObjectMapper()
       .writeValueAsString(

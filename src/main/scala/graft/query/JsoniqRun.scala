@@ -6863,28 +6863,60 @@ object JsoniqRun {
         require(args.size == 1, "jn:members(array)")
         evalSeq(store, Jsoniq.Unbox(args.head), tuples, env)
       case "jn:keys" | "jn:values" =>
-        // object member keys / values in DOCUMENT order; jn:keys
-        // dedupes across the input sequence (first occurrence)
+        // object member keys / values in INSERTION order (reference
+        // brackit JSONFun via JNFun.java iterates members as written);
+        // jn:keys dedupes across the input sequence (first occurrence).
+        // The variant encoding key-sorts at parse, so order comes from
+        // the items' ORIGINAL text when the argument is a doc-rooted
+        // chain ([[rawEntrySeq]]); items with no source text
+        // (constructed objects, function results) keep the documented
+        // canonical-order fallback.
         require(args.size == 1, s"$name(objects)")
         val wantValues = name == "jn:values"
-        val s = evalSeq(store, args.head, tuples, env)
-        val entries = org.apache.spark.sql.graftbridge.GraftBridge.column(
-          JsonObjectShallow(org.apache.spark.sql.graftbridge.GraftBridge
-            .expression(to_json(col(ITEM))), wantValues))
-        val exploded = s
-          .select(s.columns.map(col) :+
-            posexplode(entries).as(Seq("__p0", "__ent")): _*)
-          .withColumn(POS, concat(col(POS), array(col("__p0").cast("long"))))
-          .withColumn(ITEM,
-            if (wantValues) parse_json(col("__ent")) else jsonString(col("__ent")))
-          .drop("__p0", "__ent")
-        if (wantValues) exploded
-        else {
-          val w = org.apache.spark.sql.expressions.Window
-            .partitionBy(col(ORD), to_json(col(ITEM))).orderBy(col(POS))
-          exploded.withColumn("__dkr", row_number().over(w))
-            .filter(col("__dkr") === 1)
-            .drop("__dkr")
+        val gb = org.apache.spark.sql.graftbridge.GraftBridge
+        rawEntrySeq(store, args.head, env, wantValues) match {
+          case Some(rawDf) =>
+            val frame = tuples.drop(POS, ITEM).crossJoin(rawDf)
+            val entries = gb.column(JsonObjectShallow(
+              gb.expression(col("__rawitem")), wantValues))
+            val exploded = frame
+              .select(frame.columns.map(col) :+
+                posexplode(entries).as(Seq("__pent", "__ent")): _*)
+              .withColumn(POS,
+                array(col("__p0"), col("__pent").cast("long")))
+              .withColumn(ITEM,
+                if (wantValues) parse_json(col("__ent"))
+                else jsonString(col("__ent")))
+              .drop("__p0", "__pent", "__ent", "__rawitem")
+            if (wantValues) exploded
+            else {
+              val w = org.apache.spark.sql.expressions.Window
+                .partitionBy(col(ORD), to_json(col(ITEM))).orderBy(col(POS))
+              exploded.withColumn("__dkr", row_number().over(w))
+                .filter(col("__dkr") === 1)
+                .drop("__dkr")
+            }
+          case None =>
+            val s = evalSeq(store, args.head, tuples, env)
+            val entries = gb.column(JsonObjectShallow(
+              gb.expression(to_json(col(ITEM))), wantValues))
+            val exploded = s
+              .select(s.columns.map(col) :+
+                posexplode(entries).as(Seq("__p0", "__ent")): _*)
+              .withColumn(POS,
+                concat(col(POS), array(col("__p0").cast("long"))))
+              .withColumn(ITEM,
+                if (wantValues) parse_json(col("__ent"))
+                else jsonString(col("__ent")))
+              .drop("__p0", "__ent")
+            if (wantValues) exploded
+            else {
+              val w = org.apache.spark.sql.expressions.Window
+                .partitionBy(col(ORD), to_json(col(ITEM))).orderBy(col(POS))
+              exploded.withColumn("__dkr", row_number().over(w))
+                .filter(col("__dkr") === 1)
+                .drop("__dkr")
+            }
         }
       case "jn:load" =>
         // file ingestion (reference function/jn/io/Load.java): read the
@@ -7140,6 +7172,140 @@ object JsoniqRun {
     * canonical form — every pinned expectation normalizes the same
     * way); a source document with unsorted keys walks in source order
     * on the driver paths. Hit CONTENT is canonical on both. */
+  /** Source-order item texts of a jn:keys/jn:values argument: a frame
+    * with `__p0` (long ordinal) + `__rawitem` (string) when the
+    * argument is a STATIC doc-rooted chain (optionally `[]`-unboxed)
+    * whose items' ORIGINAL text is recoverable — member_raw rows
+    * (DISTRIBUTED, any document size) when the unboxed chain IS a
+    * shredded entry, one member row + Jackson navigation when the
+    * chain crosses an entry at a literal index, the stored text under
+    * the driver cap, the skeleton sidecar over it (keys are complete
+    * in the skeleton: only chain ARRAYS elide). None → canonical
+    * fallback. Reference: brackit JSONFun iterates INSERTION order
+    * (sirix-query function/jn/JNFun.java imports); the variant
+    * encoding key-sorts at parse, so order must come from the text. */
+  private def rawEntrySeq(store: Store, arg: Jsoniq.Expr,
+                          env: Map[String, Binding],
+                          wantValues: Boolean): Option[DataFrame] = {
+    import Jsoniq._
+    val spark = store.spark
+    import spark.implicits._
+    val (base, unboxed) = arg match {
+      case Unbox(b) => (b, true)
+      case other => (other, false)
+    }
+    // 0) literal object constructor: keys in WRITTEN order (values
+    // only when every value is a literal — dynamic values fall back)
+    base match {
+      case ObjectCtor(ctorEntries) if !unboxed &&
+          ctorEntries.forall(_.isRight) =>
+        val m0 = new com.fasterxml.jackson.databind.ObjectMapper()
+        val o = m0.createObjectNode()
+        var ok = true
+        ctorEntries.foreach {
+          case Right((k, v)) =>
+            if (wantValues)
+              JsoniqUpdate.literalJson(v) match {
+                case Some(j) => o.set[com.fasterxml.jackson.databind
+                  .node.ObjectNode](k, m0.readTree(j)); ()
+                case None => ok = false
+              }
+            else { o.putNull(k); () }
+          case Left(_) => ok = false
+        }
+        if (ok)
+          return Some(broadcast(Seq((0L, o.toString))
+            .toDF("__p0", "__rawitem")))
+      case _ => ()
+    }
+    val t = JsoniqUpdate.staticTargetIn(base, env).getOrElse(return None)
+    val (c, d) = (t.collection, t.doc)
+    val rev = graft.sources.TemporalTable
+      .mostRecentRevision(store.docPath(c, d)).getOrElse(return None)
+    val entries = store.shredEntries(c, d, None).filter(_.kind == "json")
+    val chainSteps = t.steps.collect { case Left(f) => f }
+    // 1) `chain[]` where the chain IS an entry: distributed member_raw
+    if (unboxed && chainSteps.length == t.steps.length)
+      entries.find(_.steps == chainSteps).foreach { en =>
+        val df = store.readShredEntry(c, d, None, en)
+        if (df.columns.contains("member_raw"))
+          return Some(df.select(col("idx").as("__p0"),
+            col("member_raw").as("__rawitem")))
+      }
+    // exact values survive the text round-trip (order is the point;
+    // value RENDERING re-canonicalizes through the variant regardless)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      .configure(com.fasterxml.jackson.databind.DeserializationFeature
+        .USE_BIG_DECIMAL_FOR_FLOATS, true)
+      .configure(com.fasterxml.jackson.databind.DeserializationFeature
+        .USE_BIG_INTEGER_FOR_INTS, true)
+    def navigate(n0: com.fasterxml.jackson.databind.JsonNode,
+                 steps: List[Either[String, Int]])
+        : Option[com.fasterxml.jackson.databind.JsonNode] = {
+      var n = n0
+      steps.foreach {
+        case Left(f) =>
+          if (n == null || !n.isObject) return None
+          n = n.get(f)
+        case Right(i) =>
+          if (n == null || !n.isArray) return None
+          n = n.get(i)
+      }
+      Option(n)
+    }
+    // 2) chain crossing an entry at a literal index: ONE member row
+    val crossed = entries.iterator.flatMap { en =>
+      val nsteps = en.steps.length
+      if (t.steps.length > nsteps &&
+          t.steps.take(nsteps) ==
+            en.steps.map(Left(_): Either[String, Int]))
+        t.steps(nsteps) match {
+          case Right(i) if i >= 0 =>
+            Some((en, i, t.steps.drop(nsteps + 1)))
+          case _ => None
+        }
+      else None
+    }.toSeq.headOption
+    val nodeOpt: Option[com.fasterxml.jackson.databind.JsonNode] =
+      crossed match {
+        case Some((en, i, rest)) =>
+          val df = store.readShredEntry(c, d, None, en)
+          if (!df.columns.contains("member_raw")) return None
+          val rows = df.filter(col("idx") === i.toLong)
+            .select(col("member_raw")).collect()
+          if (rows.isEmpty) None
+          else navigate(mapper.readTree(rows.head.getString(0)), rest)
+        case None =>
+          val cap = sys.props.get("graft.scan.maxDriverBytes")
+            .map(_.toLong).getOrElse(256L << 20)
+          if (store.docLenOf(c, d, rev) <= cap)
+            navigate(mapper.readTree(store.docText(c, d, None)), t.steps)
+          else if (store.hasSkeletonSidecar(c, d, rev)) {
+            val sk = store.skeletonOf(c, d, rev, entries.map(_.steps),
+              () => store.docText(c, d, None))
+            navigate(sk.root, t.steps) match {
+              // keys of a tainted node stay complete (only chain
+              // ARRAYS elide — field lists survive); values or unbox
+              // touching elided content fall back to canonical
+              case Some(n) if (wantValues || unboxed) &&
+                  (sk.slots.containsKey(n) || sk.tainted.contains(n)) =>
+                return None
+              case resolved => resolved
+            }
+          } else return None
+      }
+    val texts: Seq[(Long, String)] = nodeOpt match {
+      case None => Seq.empty // missing path = empty sequence
+      case Some(n) if unboxed =>
+        if (!n.isArray) Seq.empty
+        else (0 until n.size()).map(i => (i.toLong, n.get(i).toString))
+      case Some(n) => Seq((0L, n.toString))
+    }
+    Some(broadcast(
+      texts.toDF("__p0", "__rawitem").select(col("__p0"),
+        col("__rawitem"))))
+  }
+
   private def docScanSeq(store: Store, tuples: DataFrame, collection: String,
                          doc: String, kind: JsonPath.ScanKind): DataFrame = {
     val spark = store.spark

