@@ -57,6 +57,13 @@ object JsoniqRun {
   private val POS = "__pos"
   private val ITEM = "__item"
 
+  /** Run-translation CASE depth past which the remap flattens into a
+    * broadcast range join: a deeper CASE blows the 64KB codegen method
+    * limit and falls back to interpreted eval on the hot serving path.
+    * Overridable for specs via -Dgraft.runcase.max. */
+  private[query] def RunCaseMax: Int =
+    sys.props.get("graft.runcase.max").map(_.toInt).getOrElse(64)
+
   private[query] sealed trait Binding
   /** A `for`-bound item. `pointer` is set when the binding iterates a
     * STATICALLY pathable document source (jn:doc + literal steps,
@@ -1176,7 +1183,8 @@ object JsoniqRun {
               val idxs = patch.select("idx").collect()
                 .map(_.getLong(0)).toSeq
               base.filter(!col("idx").isin(idxs: _*)).unionByName(patch)
-            case Some((_, runs)) =>
+            case Some((_, runs)) if runs.size <= RunCaseMax =>
+              // few runs: a shallow codegen'd CASE, no join
               val curExpr = runs.foldLeft(lit(null).cast("long")) {
                 case (acc, (cs, bs, l)) =>
                   when(col("idx") >= bs.toLong &&
@@ -1186,6 +1194,24 @@ object JsoniqRun {
               base.withColumn("__mlcur", curExpr)
                 .filter(col("__mlcur").isNotNull)
                 .withColumn("idx", col("__mlcur")).drop("__mlcur")
+                .unionByName(patch)
+            case Some((_, runs)) =>
+              // many runs: a CASE this deep falls out of whole-stage
+              // codegen (interpreted eval past the 64KB method limit)
+              // — a broadcast RANGE JOIN against the runs stays flat.
+              // Runs are disjoint in base-index space, so the inner
+              // join keeps exactly the surviving rows (the CASE's
+              // notNull filter)
+              import spark.implicits._
+              val rdf = runs.map { case (cs, bs, l) =>
+                (cs.toLong, bs.toLong, l.toLong) }
+                .toDF("__rcs", "__rbs", "__rl")
+              base.join(broadcast(rdf),
+                  col("idx") >= col("__rbs") &&
+                    col("idx") < col("__rbs") + col("__rl"))
+                .withColumn("idx",
+                  col("idx") - col("__rbs") + col("__rcs"))
+                .drop("__rcs", "__rbs", "__rl")
                 .unionByName(patch)
           }
         }
@@ -3197,14 +3223,29 @@ object JsoniqRun {
       // position (identity for fresh revisions; a handful of run
       // shifts for update-derived ones), then the base offsets join
       val cur = col(s"__ji$i")
-      val baseIdxC: Column = en.runs match {
-        case None => cur
+      en.runs match {
+        case Some(rs) if rs.size > RunCaseMax =>
+          // deep run translations join flat instead of a CASE that
+          // falls out of codegen (same discipline as readShredEntry);
+          // runs are disjoint in CURRENT-index space, left join keeps
+          // unmatched (patched/deleted) positions as null base
+          val rdf = rs.map { case (cs, bs, l) =>
+            (cs.toLong, bs.toLong, l.toLong) }
+            .toDF(s"__rc$i", s"__rb$i", s"__rl$i")
+          out = out.join(broadcast(rdf),
+            cur >= col(s"__rc$i") &&
+              cur < col(s"__rc$i") + col(s"__rl$i"), "left")
+            .withColumn(s"__jo$i",
+              cur - col(s"__rc$i") + col(s"__rb$i"))
+          dropCols ++= Seq(s"__rc$i", s"__rb$i", s"__rl$i")
         case Some(rs) =>
-          rs.foldLeft(lit(null).cast("long")) { case (acc, (cs, bs, l)) =>
-            coalesce(acc,
-              when(cur >= cs && cur < cs + l, cur - cs + bs)) }
+          out = out.withColumn(s"__jo$i",
+            rs.foldLeft(lit(null).cast("long")) {
+              case (acc, (cs, bs, l)) =>
+                coalesce(acc,
+                  when(cur >= cs && cur < cs + l, cur - cs + bs)) })
+        case None => out = out.withColumn(s"__jo$i", cur)
       }
-      out = out.withColumn(s"__jo$i", baseIdxC)
       val l = en.layout.select(col("idx").as(s"__mi$i"),
         col("member_raw").as(s"__mm$i"), col("__nk_off").as(s"__mo$i"))
       out = out.join(l, col(s"__jo$i") === col(s"__mi$i"), "left")

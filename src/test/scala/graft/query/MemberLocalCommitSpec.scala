@@ -252,6 +252,81 @@ class MemberLocalCommitSpec extends SparkSpec {
     }
   }
 
+  test("a 1,000-run translation serves as a flat broadcast range join") {
+    // r16 (VERDICT Wrong #6): past RunCaseMax the remap must not be an
+    // O(runs)-deep CASE (interpreted eval past the 64KB codegen method
+    // limit) — it joins against the runs table instead
+    withShred {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-mlc-runs").toString
+      val st = new JsoniqRun.Store(spark, root)
+      val big = "[" + (0 until 2000).map(i => s"""{"v":$i}""")
+        .mkString(",") + "]"
+      st.store("c", "d", big)
+      val en = st.shredEntries("c", "d", None)
+        .find(e => e.kind == "json" && e.steps.isEmpty).get
+      // synthesize the overlay: keep every EVEN base member -> 1000
+      // runs of length 1 (cur i <- base 2i), no patched rows
+      val pdir = s"${st.shredDir(st.docPath("c", "d"), 1)}/${en.dir}/_patch"
+      val baseDf = spark.read.parquet(
+        s"${st.shredDir(st.docPath("c", "d"), 1)}/${en.dir}")
+      baseDf.limit(0).coalesce(1).write.mode("overwrite").parquet(pdir)
+      val runsJson = "{\"total\":1000,\"runs\":[" +
+        (0 until 1000).map(i => s"[$i,${2 * i},1]").mkString(",") + "]}"
+      graft.sources.MetaIO.writeStringOverwrite(s"$pdir/_runs.json", runsJson)
+      val st2 = new JsoniqRun.Store(spark, root)
+      val en2 = st2.shredEntries("c", "d", None)
+        .find(e => e.kind == "json" && e.steps.isEmpty).get
+      val df = st2.readShredEntry("c", "d", None, en2)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CASE WHEN"),
+        "run translation must not expand to a CASE chain")
+      assert(plan.toLowerCase.contains("broadcast"),
+        "run translation must broadcast the runs table")
+      val got = df.select("idx", "member_raw").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got.size === 1000)
+      (0 until 1000).foreach { i =>
+        assert(got(i.toLong) === s"""{"v":${2 * i}}""", s"cur $i")
+      }
+    }
+  }
+
+  test("forced-join run translation matches the CASE path end-to-end") {
+    withShred {
+      val prevMax = sys.props.get("graft.runcase.max")
+      sys.props("graft.runcase.max") = "0"
+      try {
+        val st = mkStore("rjoin")
+        st.store("c", "d", doc)
+        val plain = {
+          val p = sys.props.remove("graft.shred.min")
+          val s2 = mkStore("rjoinp")
+          s2.store("c", "d", doc)
+          sys.props("graft.shred.min") = "1"
+          s2
+        }
+        val ops = Seq(
+          """delete json jn:doc('c','d').items[5]""",
+          """insert json {"v": -1, "w": {"x": 0}} into jn:doc('c','d').items at position 2""",
+          """replace json value of jn:doc('c','d').items[10].v with 555""")
+        ops.foreach { u =>
+          JsoniqRun.serialize(plain, u); JsoniqRun.serialize(st, u); ()
+        }
+        Seq("jn:doc('c','d')",
+          "for $i in jn:doc('c','d').items[] return $i.v",
+          "sdb:nodekey(jn:doc('c','d').items[10].v)",
+          "sdb:nodekey(jn:doc('c','d').items[2])").foreach { q =>
+          assert(JsoniqRun.serialize(st, q) ===
+            JsoniqRun.serialize(plain, q), q)
+        }
+      } finally prevMax match {
+        case Some(v) => sys.props("graft.runcase.max") = v
+        case None => sys.props.remove("graft.runcase.max"); ()
+      }
+    }
+  }
+
   test("the patch cap and missing member_raw fall back loudly-slow") {
     withShred {
       val prev = sys.props.get("graft.memberpatch.maxRows")
