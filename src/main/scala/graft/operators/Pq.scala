@@ -81,19 +81,37 @@ object Pq {
             s"x -> CAST(x AS DOUBLE) / __norm)")
           .as(s"__sub$mi")): _*).na.drop().cache()
     try {
-      val codebooks = (0 until m).map { mi =>
-        // maxIter bounds the fit's JOB COUNT (m fits × iterations, each an
-        // aggregate job): codebook quality plateaus early, and a capped,
-        // seeded iteration count keeps the model deterministic
-        val km = new KMeans().setK(k).setSeed(seed + mi).setMaxIter(maxIter)
-          .setFeaturesCol("__fv").setPredictionCol("__cell")
-        val fitted = km.fit(pinned.select(array_to_vector(col(s"__sub$mi")).as("__fv")))
-        // stable codebook order: centroid ids are positional, so impose a
-        // deterministic total order on the centers — the model is then
-        // independent of k-means' internal center ordering
-        fitted.clusterCenters.map(_.toArray.toSeq).toSeq
-          .sortBy(_.mkString(","))
-      }
+      // materialize the shared sample ONCE before the concurrent fits —
+      // racing first-jobs would each recompute the cache fill
+      pinned.count()
+      // the M sub-space fits are independent (each its own seed, each its
+      // own column) and each is a chain of TINY jobs (k-means|| init +
+      // maxIter aggregates over the bounded sample) whose cost is ~all
+      // scheduling floor — run them CONCURRENTLY from a driver pool so
+      // the jobs interleave instead of queueing (spark_optimization_guide
+      // §2.6 "overlap independent jobs"; job descriptions/actions are
+      // thread-safe). The model is bit-identical to the sequential fit:
+      // per-fit seeds and the sorted-center order never depended on
+      // inter-fit ordering.
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(m)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+      val codebooks =
+        try Await.result(Future.sequence((0 until m).map { mi => Future {
+          // maxIter bounds the fit's JOB COUNT (m fits × iterations, each an
+          // aggregate job): codebook quality plateaus early, and a capped,
+          // seeded iteration count keeps the model deterministic
+          val km = new KMeans().setK(k).setSeed(seed + mi).setMaxIter(maxIter)
+            .setFeaturesCol("__fv").setPredictionCol("__cell")
+          val fitted = km.fit(pinned.select(array_to_vector(col(s"__sub$mi")).as("__fv")))
+          // stable codebook order: centroid ids are positional, so impose a
+          // deterministic total order on the centers — the model is then
+          // independent of k-means' internal center ordering
+          fitted.clusterCenters.map(_.toArray.toSeq).toSeq
+            .sortBy(_.mkString(","))
+        }}), Duration.Inf)
+        finally pool.shutdown()
       Model(codebooks)
     } finally { pinned.unpersist(); () }
   }
