@@ -284,25 +284,60 @@ object JsoniqRun {
       // The log still lands BEFORE the revision commit (identity is
       // source of truth): a crash between log and commit leaves only an
       // orphan log at a number the reservation marker keeps skipped.
-      val rev = graft.sources.TemporalTable.write(
-        Seq(json).toDF("doc_json"), path,
-        onReserve = (r, token) => {
-          graft.sources.MetaIO.delete(editsPath(path, r))
-          evictEditState(path, r)
-          edits.foreach(es =>
-            logEdits(collection, doc, r, es, Some(token).filter(_.nonEmpty)))
-        })
+      // the member tables don't depend on the revision NUMBER — only
+      // their final directory name does (the storeXml discipline). Write
+      // them into a hidden temp dir CONCURRENTLY with the (single-task)
+      // doc-row commit and rename into place after; the completion
+      // marker still lands last, so the crash contract is unchanged (an
+      // orphaned .tmp dir is inert garbage, never served).
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val plan = shredPlan(json)
+      val tmp = s"$path/_shred/.tmp-${java.util.UUID.randomUUID().toString}"
+      val memberJob: Option[Future[String]] =
+        plan.map { p => Future { writeShredTables(tmp, json, p) } }
+      val rev =
+        try graft.sources.TemporalTable.write(
+          Seq(json).toDF("doc_json"), path,
+          onReserve = (r, token) => {
+            graft.sources.MetaIO.delete(editsPath(path, r))
+            evictEditState(path, r)
+            edits.foreach(es =>
+              logEdits(collection, doc, r, es, Some(token).filter(_.nonEmpty)))
+          })
+        catch {
+          case e: Throwable =>
+            memberJob.foreach(f =>
+              scala.util.Try(Await.result(f, Duration.Inf)))
+            graft.sources.MetaIO.delete(tmp, recursive = true)
+            throw e
+        }
       // the shred is a serving sidecar, not the source of truth: the
       // revision above is already durable, so a shred failure (e.g.
       // member text the strict parquet write rejects) must not fail the
       // store — readers fall back to the doc row. LOUD, not silent
       // (ProjectionIndex's swallowed-marker lesson).
-      try maybeShred(path, rev, json)
-      catch {
+      try memberJob.foreach { f =>
+        val meta = Await.result(f, Duration.Inf)
+        val dst = shredDir(path, rev)
+        if (!graft.sources.MetaIO.rename(tmp, dst))
+          throw new java.io.IOException(s"rename $tmp -> $dst failed")
+        graft.sources.MetaIO.writeStringOverwrite(s"$dst/_meta.json", meta)
+        writeSkeletonSidecar(path, rev, json, plan.get.cands)
+        // commit point: a crash/kill mid-job (task outputs visible
+        // under a v2 committer) must not leave a PARTIAL member table
+        // that later sessions serve silently — readers gate on this
+        // marker, not on directory existence (the ProjectionIndex
+        // CompleteMarker discipline)
+        graft.sources.MetaIO.writeStringOverwrite(
+          s"$dst/$ShredCompleteMarker", "{}")
+      } catch {
         case scala.util.control.NonFatal(e) =>
           System.err.println(
             s"[graft] shred sidecar failed for $path rev $rev " +
               s"(doc-row fallback serves reads): ${e.getMessage}")
+          graft.sources.MetaIO.delete(tmp, recursive = true)
           graft.sources.MetaIO.delete(shredDir(path, rev), recursive = true)
           ()
       }
@@ -320,16 +355,22 @@ object JsoniqRun {
       * JsonShredder.java:49). Small documents skip it: the 1-row read
       * is already cheap and corpus semantics are unchanged (the shred
       * is a serving layout, not the source of truth). */
-    private def maybeShred(path: String, rev: Int, json: String): Unit = {
-      if (json.length < Store.ShredMinBytes) return
-      // one driver-side O(bytes) streaming scan locates EVERY shreddable
-      // array — the root array, the large arrays of an object-rooted
-      // document (round-11: the r10 shred only fired on root arrays),
-      // and the large child lists of a stored XML document (the XmlItem
-      // encoding's `~c` arrays, addressed by element-name chain).
-      // Fast path: a root ARRAY whose members are all below the shred
-      // threshold cannot contain a nested candidate — the split (which
-      // the write needs anyway) doubles as the scan.
+    private[query] final case class ShredPlan(
+        cands: Seq[Store.ShredCandidate], preSplit: Option[Array[Long]])
+
+    /** The driver half of the shred: one O(bytes) streaming scan locates
+      * EVERY shreddable array — the root array, the large arrays of an
+      * object-rooted document (round-11: the r10 shred only fired on
+      * root arrays), and the large child lists of a stored XML document
+      * (the XmlItem encoding's `~c` arrays, addressed by element-name
+      * chain). Fast path: a root ARRAY whose members are all below the
+      * shred threshold cannot contain a nested candidate — the split
+      * (which the write needs anyway) doubles as the scan. None = no
+      * shred (small or candidate-free document). Independent of the
+      * revision number, so [[store]] overlaps the table writes with the
+      * doc-row commit. */
+    private def shredPlan(json: String): Option[ShredPlan] = {
+      if (json.length < Store.ShredMinBytes) return None
       var w = 0
       while (w < json.length && json.charAt(w).isWhitespace) w += 1
       val preSplit: Option[Array[Long]] =
@@ -342,39 +383,36 @@ object JsoniqRun {
           Seq(Store.ShredCandidate("json", Nil, 0, json.length,
             preSplit.get.length))
         else Store.shredCandidates(json)
-      if (cands.isEmpty) return
+      if (cands.isEmpty) None else Some(ShredPlan(cands, preSplit))
+    }
+
+    /** The distributed half: write one member table per candidate under
+      * `dir`, returning the manifest JSON (written by the caller at the
+      * commit point, after the rename into the revision's shred dir). */
+    private def writeShredTables(dir: String, json: String,
+                                 plan: ShredPlan): String = {
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       val metaArr = mapper.createArrayNode()
-      cands.zipWithIndex.foreach { case (cand, k) =>
+      plan.cands.zipWithIndex.foreach { case (cand, k) =>
         // locate member SPANS on the DRIVER (one O(bytes) scan — a
         // Spark-side explode would run the whole parse in one task and
         // re-execute it for range sampling); members materialize
         // batched on executors, never one String each on the driver
         val members =
           if (cand.kind == "json" && cand.steps.isEmpty &&
-              preSplit.isDefined) Store.MemberSpans(json, preSplit.get)
+              plan.preSplit.isDefined) Store.MemberSpans(json, plan.preSplit.get)
           else {
             val sub = json.substring(cand.start, cand.end)
             Store.MemberSpans(sub, Store.splitTopLevelArraySpans(sub))
           }
-        writeMembers(s"${shredDir(path, rev)}/s$k", members, cand.kind)
+        writeMembers(s"$dir/s$k", members, cand.kind)
         val e = metaArr.addObject()
         e.put("dir", s"s$k")
         e.put("kind", cand.kind)
         val st = e.putArray("steps")
         cand.steps.foreach(st.add)
       }
-      graft.sources.MetaIO.writeStringOverwrite(
-        s"${shredDir(path, rev)}/_meta.json",
-        mapper.writeValueAsString(metaArr))
-      writeSkeletonSidecar(path, rev, json, cands)
-      // commit point: a crash/kill mid-job (task outputs visible
-      // under a v2 committer) must not leave a PARTIAL member table
-      // that later sessions serve silently — readers gate on this
-      // marker, not on directory existence (the ProjectionIndex
-      // CompleteMarker discipline)
-      graft.sources.MetaIO.writeStringOverwrite(
-        s"${shredDir(path, rev)}/$ShredCompleteMarker", "{}")
+      mapper.writeValueAsString(metaArr)
     }
 
     /** Persist the document's ELIDED SKELETON next to the member
@@ -1950,10 +1988,40 @@ object JsoniqRun {
       * objects/arrays the value re-serializes quoted. The rewrite runs
       * only when a cheap precheck finds a candidate token (a >=3-digit
       * exponent or a >=300-digit run), so normal stores never scan. */
-    private val overflowPrecheck =
-      java.util.regex.Pattern.compile("(?i)[0-9](e[+-]?[0-9]{3,})|[0-9]{300,}")
+    /** Same acceptance as the regex `(?i)[0-9](e[+-]?[0-9]{3,})|[0-9]{300,}`
+      * it replaces, in ONE linear pass: the regex engine re-scanned up to
+      * 300 chars ahead at EVERY digit position (digit-dense documents —
+      * the 1M-member store shape is ~50% digits — paid ~0.8 s/21 MB on
+      * the driver; this scan is ~25 ms). */
+    private[query] def overflowCandidate(json: String): Boolean = {
+      val n = json.length
+      var i = 0
+      var run = 0
+      while (i < n) {
+        val c = json.charAt(i)
+        if (c >= '0' && c <= '9') {
+          run += 1
+          if (run >= 300) return true
+          i += 1
+        } else {
+          if (run > 0 && (c == 'e' || c == 'E')) {
+            var j = i + 1
+            if (j < n && (json.charAt(j) == '+' || json.charAt(j) == '-')) j += 1
+            var d = 0
+            while (j < n && d < 3 &&
+                { val k = json.charAt(j); k >= '0' && k <= '9' }) {
+              d += 1; j += 1
+            }
+            if (d >= 3) return true
+          }
+          run = 0
+          i += 1
+        }
+      }
+      false
+    }
     private[query] def normalizeOverflowNumbers(json: String): String = {
-      if (!overflowPrecheck.matcher(json).find()) return json
+      if (!overflowCandidate(json)) return json
       val sb = new java.lang.StringBuilder(json.length + 64)
       val n = json.length
       var i = 0

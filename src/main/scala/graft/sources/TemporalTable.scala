@@ -533,16 +533,67 @@ object TemporalTable {
         if (pinHere) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         else df
       try {
-        frame.write.mode("overwrite").parquet(s"$path/rev=$rev")
-        writeRevisionSidecars(df.sparkSession, path, rev,
-          src = if (fromCache) frame
-                else df.sparkSession.read.parquet(s"$path/rev=$rev"),
-          wantManifest = wantManifest, wantKeys = wantKeys,
-          // cached frames are already pinned; pin the re-read once
-          // instead of scanning the fresh revision twice
-          pinSrc = !fromCache && wantManifest && wantKeys,
-          explicitStats =
-            if (withStats) Some((statsNdvCols, statsGroupCols)) else None)
+        if (fromCache && (wantManifest || wantKeys)) {
+          // digest source is the pinned frame: run the revision write and
+          // the sidecar digests as CONCURRENT jobs over the shared cache
+          // blocks (spark_optimization_guide §2.6 — the commit's wall
+          // clock becomes ~max(write, manifest, keyindex) instead of
+          // their sum). The manifest computes into a temp dir and renames
+          // into the revision dir AFTER the data write (overwrite mode
+          // would wipe a concurrent subdir); a failure anywhere aborts
+          // the reservation, which already deletes the revision dir
+          // (manifest included) and the key-index sidecar.
+          if (pinHere) { frame.count(); () } // one cache fill, not a race
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.duration.Duration
+          import scala.concurrent.ExecutionContext.Implicits.global
+          val manifestTmp = s"$path/.manifest-tmp-$rev"
+          val fKeys =
+            if (wantKeys) Some(Future {
+              frame.select(col("node_key"))
+                .write.mode("overwrite").parquet(s"${keyIndexDir(path)}/rev=$rev")
+            }) else None
+          val fMan =
+            if (wantManifest) Some(Future {
+              graft.operators.Diff.bucketManifest(frame, Seq("node_key"),
+                  frame.columns.toSeq.filterNot(_ == "node_key"))
+                .coalesce(1)
+                .write.mode("overwrite").parquet(manifestTmp)
+            }) else None
+          try {
+            frame.write.mode("overwrite").parquet(s"$path/rev=$rev")
+            fMan.foreach { f =>
+              Await.result(f, Duration.Inf)
+              if (!MetaIO.rename(manifestTmp, manifestDir(path, rev)))
+                throw new java.io.IOException(
+                  s"manifest rename $manifestTmp -> ${manifestDir(path, rev)} failed")
+            }
+            fKeys.foreach(Await.result(_, Duration.Inf))
+          } catch {
+            case e: Throwable =>
+              (fMan.toSeq ++ fKeys.toSeq).foreach(f =>
+                scala.util.Try(Await.result(f, Duration.Inf)))
+              MetaIO.delete(manifestTmp, recursive = true)
+              throw e
+          }
+          // stats + valid-time policies read the just-written revision —
+          // they stay after the data write (digests handled above)
+          writeRevisionSidecars(df.sparkSession, path, rev, src = frame,
+            wantManifest = false, wantKeys = false, pinSrc = false,
+            explicitStats =
+              if (withStats) Some((statsNdvCols, statsGroupCols)) else None)
+        } else {
+          frame.write.mode("overwrite").parquet(s"$path/rev=$rev")
+          writeRevisionSidecars(df.sparkSession, path, rev,
+            src = if (fromCache) frame
+                  else df.sparkSession.read.parquet(s"$path/rev=$rev"),
+            wantManifest = wantManifest, wantKeys = wantKeys,
+            // cached frames are already pinned; pin the re-read once
+            // instead of scanning the fresh revision twice
+            pinSrc = !fromCache && wantManifest && wantKeys,
+            explicitStats =
+              if (withStats) Some((statsNdvCols, statsGroupCols)) else None)
+        }
       } finally if (pinHere) { frame.unpersist(); () }
       logCommit(path, rev, author, message, Some(df.schema))
     } catch {
