@@ -1073,10 +1073,10 @@ object JsoniqRun {
       * reads three columns. Node identity over a million-member
       * document never funnels the members through one process. */
     private val memberLayoutCache = scala.collection.concurrent.TrieMap
-      .empty[(String, Int, String), (DataFrame, Long)]
+      .empty[(String, Int, String), (DataFrame, DataFrame, Long)]
     private[query] def memberKeyLayout(collection: String, doc: String,
                                        rev: Int, entry: ShredEntry)
-        : (DataFrame, Long) = {
+        : (DataFrame, DataFrame, Long) = {
       val path = docPath(collection, doc)
       memberLayoutCache.getOrElseUpdate((path, rev, entry.dir), {
         import spark.implicits._
@@ -1122,8 +1122,13 @@ object JsoniqRun {
           .get("total").asLong()
         // __nk_n stays: the by-key inverse (select-item) range-filters
         // on [off, off + n)
-        val layout = members.join(spark.read.parquet(offDir), "idx")
-        (layout, total)
+        val offsets = spark.read.parquet(offDir)
+        val layout = members.join(offsets, "idx")
+        // the narrow offsets frame rides along: consumers whose hits
+        // already CARRY the member text (index scans in identity mode)
+        // join these 3 long columns instead of shuffling the member
+        // table — document bytes stay in the scan
+        (layout, offsets, total)
       })
     }
 
@@ -2592,7 +2597,8 @@ object JsoniqRun {
     /** Join `frame`'s per-row printed path against the resource's
       * (rev, path → key) broadcast table. */
     def lookupJoin(frame: DataFrame, pathCol: Column, dres: String,
-                   revCol: Option[Column]): DataFrame = {
+                   revCol: Option[Column],
+                   rawCol: Option[Column] = None): DataFrame = {
       import store.spark.implicits._
       val (c, d, rev0) = decodeDres(dres)
       val revs: Seq[Int] =
@@ -2615,7 +2621,8 @@ object JsoniqRun {
       // broadcast, member keys through the offsets table + an
       // executor-side relative walk — the members never collect
       if (revs.size == 1)
-        distributedKeyLookup(store, frame, pathCol, c, d, revs.head) match {
+        distributedKeyLookup(store, frame, pathCol, c, d, revs.head,
+            rawCol) match {
           case Some(df) => return df
           case None => ()
         }
@@ -2638,7 +2645,7 @@ object JsoniqRun {
             .withColumn("__v", expr("cast(null as variant)"))
           val parts = shredded.map(r =>
             distributedKeyLookup(store, frame.filter(rc.cast("int") === r),
-              pathCol, c, d, r).getOrElse(
+              pathCol, c, d, r, rawCol).getOrElse(
               throw new IllegalStateException(
                 s"shredded ctx vanished for $c/$d rev $r"))) ++
             (if (treed.isEmpty) Nil
@@ -2676,7 +2683,7 @@ object JsoniqRun {
             if (suffix.isEmpty) base
             else concat(base, lit(NodeKeys.renderPath(suffix)))
           lookupJoin(tuples, pathCol, aux("dres"),
-            aux.get("rev").map(col))
+            aux.get("rev").map(col), aux.get("sraw").map(col))
         case _ => throw new UnsupportedOperationException(
           s"sdb:nodekey over $$$n: the binding carries no node identity" +
             " (JSON document chains and index/temporal node sequences do)")
@@ -2697,9 +2704,11 @@ object JsoniqRun {
               else concat(norm(pc), lit(NodeKeys.renderPath(suffix)))
             lookupJoin(s, pathC, dres,
               if (s.columns.contains("__srev")) Some(col("__srev"))
+              else None,
+              if (s.columns.contains("__sraw")) Some(col("__sraw"))
               else None)
               .drop("__spath", "__sppath", "__sipath", "__srev",
-                "__sprev", "__snext")
+                "__sprev", "__snext", "__sraw")
               // scalar contract: the caller's columns + __v only (the
               // eval frame's own item/pos would collide downstream)
               .drop(ITEM, POS)
@@ -2757,6 +2766,7 @@ object JsoniqRun {
       base: Long,
       total0: Long,
       layout: DataFrame,
+      offsets: DataFrame, // narrow (idx, __nk_n, __nk_off) — no member text
       runs: Option[Seq[(Int, Int, Int)]], // (curStart, baseStart, len)
       patched: Map[Int, NodeKeys.KTree])
 
@@ -2816,10 +2826,11 @@ object JsoniqRun {
     val sk = store.skeletonOf(c, d, rev, entries.map(_.steps),
       () => store.doc(c, d, Some(rev)).collect().head.getString(0))
     val (skTree, bases, maxKey) = NodeKeys.buildSkeletonTree(sk.root,
-      sk.slots, layouts.map { case (steps, (_, total)) => steps -> total })
+      sk.slots, layouts.map { case (steps, (_, _, total)) => steps -> total })
     val ectxs = entries.map { en =>
-      val (layout, total) = layouts(en.steps)
-      EntryKeyCtx(en.steps, bases(en.steps), total, layout, None, Map.empty)
+      val (layout, offsets, total) = layouts(en.steps)
+      EntryKeyCtx(en.steps, bases(en.steps), total, layout, offsets,
+        None, Map.empty)
     }
     Some(ShredKeyCtx(rev, ectxs, skTree, skTree.pathKeys, maxKey))
   }
@@ -3064,7 +3075,7 @@ object JsoniqRun {
     val entries2 = states.filter(_.alive).map { st =>
       if (st.segs == null)
         EntryKeyCtx(st.chain, st.en.base, st.en.total0, st.en.layout,
-          None, Map.empty)
+          st.en.offsets, None, Map.empty)
       else {
         var cur = 0
         val runs = Seq.newBuilder[(Int, Int, Int)]
@@ -3074,7 +3085,7 @@ object JsoniqRun {
           case Right(t) => patched += (cur -> t); cur += 1
         }
         EntryKeyCtx(st.chain, st.en.base, st.en.total0, st.en.layout,
-          Some(runs.result()), patched.result())
+          st.en.offsets, Some(runs.result()), patched.result())
       }
     }
     Some(ShredKeyCtx(base.rev0, entries2, skTree, skTree.pathKeys,
@@ -3251,7 +3262,9 @@ object JsoniqRun {
     * the caller's driver-tree path takes over with its own cap. */
   private def distributedKeyLookup(store: Store, frame: DataFrame,
                                    pathCol: Column, c: String, d: String,
-                                   rev: Int): Option[DataFrame] = {
+                                   rev: Int,
+                                   rawCol: Option[Column] = None)
+      : Option[DataFrame] = {
     val ctx = shreddedKeyCtx(store, c, d, rev) match {
       case Some(x) => x
       case None => return None
@@ -3314,14 +3327,30 @@ object JsoniqRun {
                   when(cur >= cs && cur < cs + l, cur - cs + bs)) })
         case None => out = out.withColumn(s"__jo$i", cur)
       }
-      val l = en.layout.select(col("idx").as(s"__mi$i"),
-        col("member_raw").as(s"__mm$i"), col("__nk_off").as(s"__mo$i"))
-      out = out.join(l, col(s"__jo$i") === col(s"__mi$i"), "left")
+      val rawSrc: Column = rawCol match {
+        case Some(raw) =>
+          // the hit CARRIES its member's source text (scan stash):
+          // join only the narrow offsets table — the member table
+          // (document bytes) never re-joins, never shuffles. For
+          // untouched members the carried text equals the base text
+          // the layout would have served; patched members resolve
+          // through the __pk broadcast before runKey applies.
+          val l = en.offsets.select(col("idx").as(s"__mi$i"),
+            col("__nk_off").as(s"__mo$i"))
+          out = out.join(l, col(s"__jo$i") === col(s"__mi$i"), "left")
+          raw
+        case None =>
+          val l = en.layout.select(col("idx").as(s"__mi$i"),
+            col("member_raw").as(s"__mm$i"), col("__nk_off").as(s"__mo$i"))
+          out = out.join(l, col(s"__jo$i") === col(s"__mi$i"), "left")
+          dropCols += s"__mm$i"
+          col(s"__mm$i")
+      }
       // member-self hits (empty rest — CAS member hits, member
       // bindings) skip the relative walk entirely
       val rel = when(col(s"__jr$i") === "", lit(0L))
         .otherwise(gb.column(JsonRelativeKey(
-          gb.expression(col(s"__mm$i")),
+          gb.expression(rawSrc),
           gb.expression(col(s"__jr$i")))))
       val runKey = when(col(s"__mi$i").isNotNull,
         lit(en.base) + col(s"__mo$i") + rel)
@@ -3329,7 +3358,7 @@ object JsoniqRun {
         if (en.patched.nonEmpty) coalesce(col(s"__pk$i"), runKey)
         else runKey)
       dropCols ++= Seq(s"__ji$i", s"__jr$i", s"__jo$i", s"__mi$i",
-        s"__mm$i", s"__mo$i")
+        s"__mo$i")
     }
     Some(out.withColumn("__v", when(keyCol.isNull, lit(null))
         .otherwise(jsonNumber(keyCol)))
@@ -3826,6 +3855,7 @@ object JsoniqRun {
               Seq("path" -> "__spath", "ppath" -> "__sppath",
                 "ipath" -> "__sipath", "rev" -> "__srev",
                 "prev" -> "__sprev", "next" -> "__snext",
+                "sraw" -> "__sraw",
                 "dpath" -> "__dpath").foreach {
                 case (k, c) =>
                   if (s.columns.contains(c)) {
@@ -7081,7 +7111,8 @@ object JsoniqRun {
             }
           case other => Some(litStr(other, "path").split(";").toSeq)
         }
-        docScanSeq(store, tuples, c, d, JsonPath.PathScan(patterns))
+        docScanSeq(store, tuples, c, d, JsonPath.PathScan(patterns),
+          needsIdentity(env))
       case "jn:scan-name-index" =>
         // every object key matching one of the ';'-separated names
         // (empty sequence = every key), document order — reference
@@ -7097,7 +7128,8 @@ object JsoniqRun {
           case SeqCtor(Seq()) => None
           case other => Some(litStr(other, "names").split(";").toSet)
         }
-        docScanSeq(store, tuples, c, d, JsonPath.NameScan(names))
+        docScanSeq(store, tuples, c, d, JsonPath.NameScan(names),
+          needsIdentity(env))
       case "jn:scan-cas-index" =>
         // typed-value scan: nodes at the path whose SCALAR value
         // satisfies the comparison (reference jn:scan-cas-index)
@@ -7113,7 +7145,8 @@ object JsoniqRun {
           case other => Some(litStr(other, "path").split(";").toSeq)
         }
         docScanSeq(store, tuples, c, d,
-          JsonPath.CasScan(patterns, JsonPath.CmpOp(op, value)))
+          JsonPath.CasScan(patterns, JsonPath.CmpOp(op, value)),
+          needsIdentity(env))
       case "jn:scan-cas-index-range" =>
         // typed-value RANGE scan (reference function/jn/index/scan/
         // ScanCASIndexRange.java:39): scalar values inside
@@ -7137,7 +7170,8 @@ object JsoniqRun {
           case other => Some(litStr(other, "paths").split(";").toSeq)
         }
         docScanSeq(store, tuples, c, d, JsonPath.CasScan(patterns,
-          JsonPath.CmpRange(low, high, incLow, incHigh)))
+          JsonPath.CmpRange(low, high, incLow, incHigh)),
+          needsIdentity(env))
       case "xml:scan-cas-index" =>
         // typed-value scan over a stored XML resource (reference
         // function/xml/index/scan/ScanCASIndex.java): hits are the
@@ -7416,7 +7450,8 @@ object JsoniqRun {
   }
 
   private def docScanSeq(store: Store, tuples: DataFrame, collection: String,
-                         doc: String, kind: JsonPath.ScanKind): DataFrame = {
+                         doc: String, kind: JsonPath.ScanKind,
+                         needId: Boolean = false): DataFrame = {
     val spark = store.spark
     import spark.implicits._
     val rev = graft.sources.TemporalTable
@@ -7429,13 +7464,22 @@ object JsoniqRun {
     // a multi-GB collect, not OOM the driver (cached — immutable per
     // revision; the int travels, never the string)
     val docLen = store.docLenOf(collection, doc, rev.toInt)
-    def hitsDf(hits: Seq[(JsonPath.Hit, Seq[Long])]): DataFrame =
-      hits.map { case (h, p) =>
+    def hitsDf(hits: Seq[(JsonPath.Hit, Seq[Long])],
+               withNullRaw: Boolean = false): DataFrame = {
+      val base = hits.map { case (h, p) =>
         (p, h.json, h.path, h.parentPath, h.idPath) }
         .toDF("__p0", "__mj", "__spath", "__sppath", "__sipath")
         .select(col("__p0").as(POS), parse_json(col("__mj")).as(ITEM),
           col("__spath"), col("__sppath"), col("__sipath"),
           lit(rev).as("__srev"))
+      // SKELETON hits carry no member text (their keys resolve through
+      // the broadcast skeleton pairs; their paths never address an
+      // elided member) — null aligns the union with member parts in
+      // identity mode. Full-walk hits NEVER set this: their
+      // member-interior paths need the layout join's raw text.
+      if (withNullRaw) base.withColumn("__sraw", lit(null).cast("string"))
+      else base
+    }
     def docJson(): String =
       store.doc(collection, doc, None).collect().head.getString(0)
     def fullWalk(): DataFrame = {
@@ -7487,7 +7531,7 @@ object JsoniqRun {
             "skeleton")
       val parts = entries.zipWithIndex.flatMap { case (en, k) =>
         memberScanPart(store.readShredEntry(collection, doc, None, en),
-          kind, en.steps, k.toLong, rev)
+          kind, en.steps, k.toLong, rev, needId)
       }
       return parts.reduceOption(_.unionByName(_)) match {
         case None => emptyScan(tuples)
@@ -7505,12 +7549,13 @@ object JsoniqRun {
       val parts = entries.flatMap { en =>
         slotOrds.get(en.steps).flatMap { base =>
           memberScanPart(store.readShredEntry(collection, doc, None, en),
-            kind, en.steps, base, rev)
+            kind, en.steps, base, rev, needId)
         }
       }
       val skDf =
         if (skHits.isEmpty) None
-        else Some(hitsDf(skHits.map { case (h, o) => (h, Seq(o)) }))
+        else Some(hitsDf(skHits.map { case (h, o) => (h, Seq(o)) },
+          withNullRaw = needId))
       val all = (skDf.map(broadcast).toSeq ++ parts)
         .reduceOption(_.unionByName(_))
       all match {
@@ -7751,36 +7796,55 @@ object JsoniqRun {
     * re-walk), else the generic per-member walk. */
   private def memberScanPart(df: DataFrame, kind: JsonPath.ScanKind,
                              chain: List[String], base: Long,
-                             rev: Long): Option[DataFrame] = kind match {
-    case JsonPath.CasScan(pats, cmp) =>
-      JsonPath.casEntryPlan(pats, chain) match {
-        case JsonPath.NoMemberHits => None
-        case JsonPath.TypedField(f) =>
-          typedCasPart(df, f, cmp, chain, base, rev)
-            .orElse(Some(genericScanPart(df, kind, chain, base, rev)))
-        case JsonPath.GenericWalk =>
-          Some(genericScanPart(df, kind, chain, base, rev))
-      }
-    case _ => Some(genericScanPart(df, kind, chain, base, rev))
-  }
+                             rev: Long,
+                             needId: Boolean = false): Option[DataFrame] =
+    kind match {
+      case JsonPath.CasScan(pats, cmp) =>
+        JsonPath.casEntryPlan(pats, chain) match {
+          case JsonPath.NoMemberHits => None
+          case JsonPath.TypedField(f) =>
+            typedCasPart(df, f, cmp, chain, base, rev, needId)
+              .orElse(Some(genericScanPart(df, kind, chain, base, rev, needId)))
+          case JsonPath.GenericWalk =>
+            Some(genericScanPart(df, kind, chain, base, rev, needId))
+        }
+      case _ => Some(genericScanPart(df, kind, chain, base, rev, needId))
+    }
+
+  /** Identity mode stashes the hit's MEMBER source text on the row
+    * (`__sraw`): node-key resolution then joins only the narrow offsets
+    * sidecar — the member table (the document's bytes) never re-joins
+    * into the key lookup. Tables from before the raw column exist serve
+    * through the layout join as before. */
+  private def rawStash(df: DataFrame, needId: Boolean): Option[Column] =
+    if (!needId) None
+    // a pre-raw-column table stashes null — harmless: node-key
+    // resolution over such tables never takes the distributed arm
+    // (shreddedKeyCtx requires member_raw on every entry)
+    else if (df.columns.contains("member_raw"))
+      Some(col("member_raw").as("__sraw"))
+    else Some(lit(null).cast("string").as("__sraw"))
 
   /** Generic member walk: to_json the member variant, re-walk with the
     * seeded class-model walker, explode the hits. */
   private def genericScanPart(df: DataFrame, kind: JsonPath.ScanKind,
                               chain: List[String], base: Long,
-                              rev: Long): DataFrame = {
+                              rev: Long, needId: Boolean = false): DataFrame = {
     val scanCol = org.apache.spark.sql.graftbridge.GraftBridge.column(
       JsonMemberScan(
         org.apache.spark.sql.graftbridge.GraftBridge.expression(
           to_json(col("member"))),
         org.apache.spark.sql.graftbridge.GraftBridge.expression(col("idx")),
         kind, chain))
-    df.select(col("idx"), posexplode(scanCol).as(Seq("__k", "__h")))
-      .select(
+    val raw = rawStash(df, needId)
+    df.select(Seq(col("idx"),
+        posexplode(scanCol).as(Seq("__k", "__h"))) ++ raw: _*)
+      .select(Seq(
         array(lit(base), col("idx"), col("__k").cast("long")).as(POS),
         parse_json(col("__h.j")).as(ITEM),
         col("__h.p").as("__spath"), col("__h.pp").as("__sppath"),
-        col("__h.ip").as("__sipath"), lit(rev).as("__srev"))
+        col("__h.ip").as("__sipath"), lit(rev).as("__srev")) ++
+        raw.map(_ => col("__sraw")): _*)
   }
 
   /** CAS scan over ONE concrete member field, compiled onto the typed
@@ -7793,7 +7857,8 @@ object JsoniqRun {
     * the comparison faithfully — the generic walk serves instead. */
   private def typedCasPart(df: DataFrame, field: String,
                            cmp: JsonPath.ValueCmp, chain: List[String],
-                           base: Long, rev: Long): Option[DataFrame] = {
+                           base: Long, rev: Long,
+                           needId: Boolean = false): Option[DataFrame] = {
     import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructType}
     if (!df.columns.contains("t")) return None
     val fld = df.schema("t").dataType match {
@@ -7856,7 +7921,7 @@ object JsoniqRun {
         val arrayPos = chain.map("/" + NodeKeys.escSeg(_)).mkString
         val fieldSeg = NodeKeys.escSeg(field)
         df.filter(vcol.isNotNull && c)
-          .select(array(lit(base), col("idx"), lit(0L)).as(POS),
+          .select(Seq(array(lit(base), col("idx"), lit(0L)).as(POS),
             expr("variant_get(to_variant_object(struct(t.`" + field +
               "` as v)), '$.v')").as(ITEM),
             concat(lit(s"$arrayPos/["), col("idx"),
@@ -7865,7 +7930,7 @@ object JsoniqRun {
               .as("__sppath"),
             concat(lit(s"$arrayPos/["), col("idx"),
               lit(s"]/$fieldSeg")).as("__sipath"),
-            lit(rev).as("__srev"))
+            lit(rev).as("__srev")) ++ rawStash(df, needId): _*)
       }
     }
   }
