@@ -543,11 +543,15 @@ object TemporalTable {
           // would wipe a concurrent subdir); a failure anywhere aborts
           // the reservation, which already deletes the revision dir
           // (manifest included) and the key-index sidecar.
-          if (pinHere) { frame.count(); () } // one cache fill, not a race
           import scala.concurrent.{Await, Future}
           import scala.concurrent.duration.Duration
           import scala.concurrent.ExecutionContext.Implicits.global
           val manifestTmp = s"$path/.manifest-tmp-$rev"
+          // a frame pinned HERE has unmaterialized blocks: the data
+          // write fills them while writing (one pipelined pass), and
+          // only the two sidecar digests overlap each other after. A
+          // caller-cached frame overlaps all three jobs.
+          if (pinHere) frame.write.mode("overwrite").parquet(s"$path/rev=$rev")
           val fKeys =
             if (wantKeys) Some(Future {
               frame.select(col("node_key"))
@@ -561,7 +565,8 @@ object TemporalTable {
                 .write.mode("overwrite").parquet(manifestTmp)
             }) else None
           try {
-            frame.write.mode("overwrite").parquet(s"$path/rev=$rev")
+            if (!pinHere)
+              frame.write.mode("overwrite").parquet(s"$path/rev=$rev")
             fMan.foreach { f =>
               Await.result(f, Duration.Inf)
               if (!MetaIO.rename(manifestTmp, manifestDir(path, rev)))
