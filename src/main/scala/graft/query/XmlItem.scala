@@ -67,7 +67,16 @@ object XmlItem {
     val gen = new com.fasterxml.jackson.core.JsonFactory()
       .createGenerator(new SbWriter(sb))
     val track = minBytes != Int.MaxValue
-    def pos(): Int = { gen.flush(); sb.length }
+    // writer position WITHOUT a generator flush: span tracking queries
+    // the position at every member boundary (~3 per element), and a
+    // flush per query made the encoder copy its buffer out millions of
+    // times. getOutputBuffered is exact for writer-backed generators
+    // (guarded once — a generator that cannot report it flushes as
+    // before).
+    val buffered = gen.getOutputBuffered >= 0
+    def pos(): Int =
+      if (buffered) sb.length + gen.getOutputBuffered
+      else { gen.flush(); sb.length }
     // one frame per OPEN element (plus the document wrapper): the
     // pending member-start of the element within ITS parent's list,
     // the offset of its own `[` (child list), and its member spans
