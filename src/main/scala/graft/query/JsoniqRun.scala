@@ -3176,17 +3176,27 @@ object JsoniqRun {
     ctx.entries.foreach { en =>
       if (key >= en.base && key < en.base + en.total0) {
         val k = key - en.base
-        val rows = en.layout
+        // two pushed point reads, never a members x offsets join: the
+        // range probe scans only the narrow offsets sidecar (__nk_off
+        // ascends with idx, so row-group stats prune to ~one group),
+        // and the member text reads by idx EQUALITY — pushed into the
+        // member scan instead of streaming every member through a
+        // 1-row broadcast probe
+        val offRows = en.offsets
           .filter(col("__nk_off") <= k &&
             lit(k) < col("__nk_off") + col("__nk_n"))
-          .select(col("idx"), col("member_raw"), col("__nk_off"))
+          .select(col("idx"), col("__nk_off"))
           .collect()
-        if (rows.isEmpty) return None
-        val row = rows.head
-        curIdxOf(en, row.getAs[Number](0).intValue) match {
+        if (offRows.isEmpty) return None
+        val baseIdx = offRows.head.getAs[Number](0).longValue
+        val off = offRows.head.getLong(1)
+        curIdxOf(en, baseIdx.toInt) match {
           case Some(ci) =>
-            val rel = k - row.getLong(2)
-            val sub = NodeKeys.build(row.getString(1))
+            val rawRows = en.layout.filter(col("idx") === baseIdx)
+              .select(col("member_raw")).collect()
+            if (rawRows.isEmpty) return None
+            val rel = k - off
+            val sub = NodeKeys.build(rawRows.head.getString(0))
             val subPtr = sub.pathOfKey(rel + 1)
               .getOrElse(throw new IllegalStateException(
                 s"member offsets inconsistent at key $key"))
