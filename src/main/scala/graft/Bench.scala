@@ -672,7 +672,14 @@ object Bench {
 
     val all = results ++ storage ++ aged ++ vector ++ frontend ++
       storeProbes ++ pqFitProbe
-    val qs = all.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // STDOUT contract line: timings ONLY, values rounded to 2 decimals —
+    // the driver keeps a bounded tail of the run's output, and the r12-r16
+    // lines (timings + per-entry forensics) overran it, so `parsed` came
+    // back null and four rounds of PERF per-query tables were lost
+    // (VERDICT r16 "What's wrong #1"). 58 entries at ~25 chars each keeps
+    // this line ~1.5k chars; every forensic rides on STDERR below.
+    val qs = all.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
+      .mkString("{", ",", "}")
     val total = all.map(_._2).filter(_ >= 0).sum
     val runsJson = allRuns.map { case (k, rs) =>
       "\"" + k + "\":[" + rs.map(r => f"$r%.3f").mkString(",") + "]"
@@ -689,17 +696,37 @@ object Bench {
     // cores-equivalent of iowait (the r10 blind spot — writeback stalls
     // raise loadavg and starve the scan while burning zero busy jiffies):
     // timings suspect regardless of the (start-only) quiet gate
-    val hot = (entryLoad.collect { case (k, v) if v > 2.0 => k } ++
-        entryIo.collect { case (k, v) if v > 2.0 => k })
-      .toSeq.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val hotEntries = (entryLoad.collect { case (k, v) if v > 2.0 => k } ++
+        entryIo.collect { case (k, v) if v > 2.0 => k }).toSeq.distinct
+    val hot = hotEntries.map("\"" + _ + "\"").mkString("[", ",", "]")
     val requeuedJson = requeued.toSeq.map("\"" + _ + "\"")
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""runs":$runsJson,"ext_cores":$loadJson,"io_cores":$ioJson,""" +
+    // contended is no longer entry-gate-only (r15 ended at loadavg 15.7
+    // and r16 at 8.0, both stamped false — VERDICT r16 "What's wrong #4"):
+    // a run is also contended when the END 1-min loadavg far exceeds what
+    // the bench's own local[$cpus] burn explains (1.5× committed cores,
+    // floored at 12 so a small-master run's own GC/netty threads cannot
+    // trip it). A hot-entry COUNT condition was tried and rejected: the
+    // child-JVM probes and the aged fixture's own writeback stamp 3+
+    // entries hot on a provably quiet box — per-entry hot/requeued
+    // forensics stay on stderr for adjudication instead.
+    val loadEnd = loadavg()
+    val load1End =
+      try loadEnd.split(" ").head.toDouble catch { case _: Exception => 0.0 }
+    val contendedFinal = contended ||
+      load1End > math.max(1.5 * cpus.toDouble, 12.0)
+    // forensics FIRST (stderr), contract line LAST (stdout): if the
+    // driver captures a merged stream, the parseable line still sits at
+    // the very end of the tail
+    System.err.println(s"""[bench-forensics] {"runs":$runsJson,""" +
+      s""""ext_cores":$loadJson,"io_cores":$ioJson,""" +
       s""""self_cores":$selfJson,"gc_ms":$gcJson,"hot":$hot,""" +
       s""""requeued":$requeuedJson,""" +
-      s""""loadavg_start":"$loadStart","loadavg_end":"${loadavg()}",""" +
-      s""""contended":$contended,"sf":"$sfDir"}""")
+      s""""loadavg_start":"$loadStart","loadavg_end":"$loadEnd",""" +
+      s""""contended":$contendedFinal,"sf":"$sfDir"}""")
+    System.err.flush()
+    println(s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec",""" +
+      s""""queries":$qs,"contended":$contendedFinal,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
