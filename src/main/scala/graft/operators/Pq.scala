@@ -98,6 +98,13 @@ object Pq {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(m)
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
       val codebooks =
+        // failure path: shutdownNow, not shutdown — a failed fit must not
+        // leave the other m-1 fits recomputing the sampling lineage as
+        // background jobs after `pinned` unpersists, and the non-daemon
+        // pool threads would delay JVM exit until they drained
+        // (ADVICE r16). Interrupting a running fit kills its Spark job
+        // via the thread interrupt; the success path still uses the
+        // orderly shutdown().
         try Await.result(Future.sequence((0 until m).map { mi => Future {
           // maxIter bounds the fit's JOB COUNT (m fits × iterations, each an
           // aggregate job): codebook quality plateaus early, and a capped,
@@ -111,6 +118,7 @@ object Pq {
           fitted.clusterCenters.map(_.toArray.toSeq).toSeq
             .sortBy(_.mkString(","))
         }}), Duration.Inf)
+        catch { case e: Throwable => pool.shutdownNow(); throw e }
         finally pool.shutdown()
       Model(codebooks)
     } finally { pinned.unpersist(); () }

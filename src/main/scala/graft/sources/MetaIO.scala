@@ -97,6 +97,16 @@ private[graft] object MetaIO {
       .map(s => s.getPath.getName -> s.getLen)
   }
 
+  /** (name, mtimeMs) of child directories — the stale-temp sweep needs
+    * ages so it never deletes a CONCURRENT writer's live temp dir. */
+  def listDirsAged(dir: String): Seq[(String, Long)] = {
+    val p = new Path(dir)
+    val f = fs(dir)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq.filter(_.isDirectory)
+      .map(s => s.getPath.getName -> s.getModificationTime)
+  }
+
   /** Child DIRECTORY names only (stray files are not namespaces). */
   def listDirs(dir: String): Seq[String] = {
     val p = new Path(dir)

@@ -559,10 +559,7 @@ object TemporalTable {
             }) else None
           val fMan =
             if (wantManifest) Some(Future {
-              graft.operators.Diff.bucketManifest(frame, Seq("node_key"),
-                  frame.columns.toSeq.filterNot(_ == "node_key"))
-                .coalesce(1)
-                .write.mode("overwrite").parquet(manifestTmp)
+              writeManifestFrom(frame, path, rev, target = Some(manifestTmp))
             }) else None
           try {
             if (!pinHere)
@@ -576,8 +573,15 @@ object TemporalTable {
             fKeys.foreach(Await.result(_, Duration.Inf))
           } catch {
             case e: Throwable =>
+              // drain the in-flight sidecar jobs BOUNDED before the abort:
+              // a hung sidecar (stuck FS/task) must not delay
+              // abortReservation and the original error forever, and a
+              // fast data-write failure must not wait out two full digests
+              // (ADVICE r16). A job still running past the bound races the
+              // abort's delete only on sidecar paths the abort re-deletes.
               (fMan.toSeq ++ fKeys.toSeq).foreach(f =>
-                scala.util.Try(Await.result(f, Duration.Inf)))
+                scala.util.Try(Await.result(
+                  f, scala.concurrent.duration.Duration(60, "s"))))
               MetaIO.delete(manifestTmp, recursive = true)
               throw e
           }
@@ -836,7 +840,14 @@ object TemporalTable {
   private def planDeterministic(df: DataFrame): Boolean =
     !df.queryExecution.optimizedPlan.exists(_.expressions.exists(_.exists(!_.deterministic)))
 
-  private def writeManifestFrom(snap: DataFrame, path: String, rev: Int): Unit =
+  /** `target` defaults to the revision's manifest dir; the concurrent
+    * commit path passes its temp dir instead (rename at the commit
+    * point). ONE definition for both — the sequential and concurrent
+    * paths had drifted into duplicate manifest-write code once
+    * (ADVICE r16), and a future manifest-shape change must land in
+    * exactly one place. */
+  private def writeManifestFrom(snap: DataFrame, path: String, rev: Int,
+                                target: Option[String] = None): Unit =
     graft.operators.Diff.bucketManifest(snap, Seq("node_key"),
         snap.columns.toSeq.filterNot(_ == "node_key"))
       // one 65536-row sidecar file, not one tiny file per shuffle
@@ -845,7 +856,7 @@ object TemporalTable {
       // opens two manifests per call, aged histories thousands — pays one
       // file open instead of spark.sql.shuffle.partitions of them
       .coalesce(1)
-      .write.mode("overwrite").parquet(manifestDir(path, rev))
+      .write.mode("overwrite").parquet(target.getOrElse(manifestDir(path, rev)))
 
   /** `jn:load` (reference: bundles/sirix-query/src/main/java/io/sirix/query/
     * function/jn/io/Load.java): ingest JSON document file(s) into a
