@@ -67,6 +67,82 @@ class XmlEncodeSpansSpec extends SparkSpec {
       "jn:doc('c','d.xml')/r/e/@y") == "\"mid\"")
   }
 
+  test("parallel encode is byte-identical with identical spans") {
+    // force the parallel path onto a small doc (threshold prop), then
+    // diff json + every qualifying span against the serial encode
+    val prevMin = sys.props.get("graft.xml.parallelMin")
+    sys.props("graft.xml.parallelMin") = "1"
+    try {
+      // dominant child list + attrs + mixed text + self-closing +
+      // entities + whitespace members + a nested qualifying list
+      val xml = "<site><meta k=\"v&amp;w\">head</meta><people>" +
+        (1 to 300).map(i =>
+          s"""<person id="p$i">lead$i<name>n&lt;$i</name>""" +
+            s"<sub>${(1 to 18).map(j => s"<t>$j</t>").mkString}</sub>" +
+            " tail </person>").mkString(" ") +
+        "</people><after>x</after></site>"
+      for (minBytes <- Seq(1, 64, 100000)) {
+        val par = XmlItem.parallelXmlToJsonSpans(xml, minBytes)
+        assert(par.nonEmpty, s"parallel path declined at minBytes=$minBytes")
+        val (pj, ps) = par.get
+        val (sj, ss, _) = XmlItem.xmlToJsonSpansSerial(xml, minBytes)
+        assert(pj == sj, "json bytes differ")
+        val norm = (s: Seq[XmlItem.ListSpan]) =>
+          s.map(x => (x.steps, x.start, x.end, x.members.toList))
+            .sortBy(t => (t._2, t._3))
+        assert(norm(ps) == norm(ss), s"spans differ at minBytes=$minBytes")
+      }
+      // constructs the textual split cannot carry decline to serial
+      assert(XmlItem.parallelXmlToJsonSpans(
+        "<r><!-- c -->" + "<e>1</e>" * 300 + "</r>", 1).isEmpty)
+      assert(XmlItem.parallelXmlToJsonSpans(
+        "<r xmlns:a=\"urn:a\">" + "<a:e>1</a:e>" * 300 + "</r>", 1).isEmpty)
+      assert(XmlItem.parallelXmlToJsonSpans(
+        "<r>" + "<e>1</e>" * 300 + "<![CDATA[x]]></r>", 1).isEmpty)
+      // prolog is fine
+      assert(XmlItem.parallelXmlToJsonSpans(
+        "<?xml version=\"1.0\"?><r>" + "<e>1</e>" * 300 + "</r>", 1).nonEmpty)
+    } finally prevMin match {
+      case Some(v) => sys.props("graft.xml.parallelMin") = v
+      case None => sys.props.remove("graft.xml.parallelMin"); ()
+    }
+  }
+
+  test("parallel-encoded store answers like a serial-encoded one") {
+    val prevMin = sys.props.get("graft.xml.parallelMin")
+    val prevShred = sys.props.get("graft.shred.min")
+    sys.props("graft.shred.min") = "1"
+    val xml = "<site><people>" +
+      (1 to 400).map(i =>
+        s"<person><name>p$i</name><age>${18 + i % 60}</age></person>")
+        .mkString + "</people></site>"
+    def restore(): Unit = {
+      prevMin match {
+        case Some(v) => sys.props("graft.xml.parallelMin") = v
+        case None => sys.props.remove("graft.xml.parallelMin"); ()
+      }
+      prevShred match {
+        case Some(v) => sys.props("graft.shred.min") = v
+        case None => sys.props.remove("graft.shred.min"); ()
+      }
+    }
+    try {
+      val q = "count(jn:doc('c','a.xml')/site/people/person" +
+        "[?xs:integer($$/age/text()) ge 60])"
+      sys.props("graft.xml.parallelMin") = s"${Int.MaxValue}"
+      val serial = new JsoniqRun.Store(spark,
+        java.nio.file.Files.createTempDirectory("xml-par-s").toString)
+      serial.storeXml("c", "a.xml", xml)
+      val want = JsoniqRun.serialize(serial, q)
+      sys.props("graft.xml.parallelMin") = "1"
+      val par = new JsoniqRun.Store(spark,
+        java.nio.file.Files.createTempDirectory("xml-par-p").toString)
+      par.storeXml("c", "a.xml", xml)
+      assert(par.shredEntries("c", "a.xml", None).exists(_.kind == "xml"))
+      assert(JsoniqRun.serialize(par, q) === want)
+    } finally restore()
+  }
+
   test("escapes, CDATA, attributes and whitespace survive the stream encode") {
     val xml = "<r a=\"x&amp;y&quot;z\">  <c>a&lt;b</c><![CDATA[raw<>&]]>" +
       "<empty/> trailing </r>"
