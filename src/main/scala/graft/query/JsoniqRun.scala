@@ -264,7 +264,12 @@ object JsoniqRun {
     private[query] def docPath(collection: String, doc: String): String = {
       require(!collection.contains("..") && !doc.contains(".."),
         "store names must not escape the store directory")
-      s"$baseDir/$collection/$doc"
+      val p = s"$baseDir/$collection/$doc"
+      // plan-cache fingerprinting: record every resource a compile
+      // resolves (the recorder is active only during a cacheable compile)
+      val t = planTouch.get()
+      if (t != null) { t += p; () }
+      p
     }
     def store(collection: String, doc: String, json0: String,
               edits: Option[Seq[NodeKeys.Edit]] = None): Unit = {
@@ -294,7 +299,16 @@ object JsoniqRun {
       import scala.concurrent.duration.Duration
       import scala.concurrent.ExecutionContext.Implicits.global
       val plan = shredPlan(json)
-      val tmp = s"$path/_shred/.tmp-${java.util.UUID.randomUUID().toString}"
+      // sweep temp dirs a hard-crashed writer orphaned (ADVICE r16: they
+      // are inert but accumulate unboundedly). Age-gated (1 h) so a
+      // concurrent writer's LIVE temp dir is never swept; one LIST.
+      val shredRoot = s"$path/_shred"
+      val sweepBefore = System.currentTimeMillis() - 3600000L
+      graft.sources.MetaIO.listDirsAged(shredRoot).foreach { case (n, mt) =>
+        if (n.startsWith(".tmp-") && mt < sweepBefore)
+          graft.sources.MetaIO.delete(s"$shredRoot/$n", recursive = true)
+      }
+      val tmp = s"$shredRoot/.tmp-${java.util.UUID.randomUUID().toString}"
       val memberJob: Option[Future[String]] =
         plan.map { p => Future { writeShredTables(tmp, json, p) } }
       val rev =
@@ -318,11 +332,13 @@ object JsoniqRun {
       // member text the strict parquet write rejects) must not fail the
       // store — readers fall back to the doc row. LOUD, not silent
       // (ProjectionIndex's swallowed-marker lesson).
+      var tmpRenamed = memberJob.isEmpty
       try memberJob.foreach { f =>
         val meta = Await.result(f, Duration.Inf)
         val dst = shredDir(path, rev)
         if (!graft.sources.MetaIO.rename(tmp, dst))
           throw new java.io.IOException(s"rename $tmp -> $dst failed")
+        tmpRenamed = true
         graft.sources.MetaIO.writeStringOverwrite(s"$dst/_meta.json", meta)
         writeSkeletonSidecar(path, rev, json, plan.get.cands)
         // commit point: a crash/kill mid-job (task outputs visible
@@ -337,9 +353,12 @@ object JsoniqRun {
           System.err.println(
             s"[graft] shred sidecar failed for $path rev $rev " +
               s"(doc-row fallback serves reads): ${e.getMessage}")
-          graft.sources.MetaIO.delete(tmp, recursive = true)
           graft.sources.MetaIO.delete(shredDir(path, rev), recursive = true)
           ()
+        // fatal errors propagate — the finally still removes the temp dir
+        // (ADVICE r16: the NonFatal-only cleanup leaked it)
+      } finally {
+        if (!tmpRenamed) graft.sources.MetaIO.delete(tmp, recursive = true)
       }
     }
 
@@ -513,14 +532,26 @@ object JsoniqRun {
       // paths but changes PREORDER NUMBERING — node identity over the
       // member tables walks the raw text (the reference numbers nodes
       // in insertion order)
+      // __nk_n rides in the SAME write pass: the member's node count
+      // (fused-model desc + 1 — exactly [[memberKeyLayout]]'s count
+      // expression), so the lazy `_nodekeys` offsets build becomes a
+      // 2-long-column scan + prefix sum instead of a second full parse
+      // of every member (VERDICT r16 next-round #4; guide §1.2 —
+      // the store already walks each member once)
+      val gbW = org.apache.spark.sql.graftbridge.GraftBridge
+      def nkCount(src: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        gbW.column(JsonTreeCounts(gbW.expression(src), jsonOnly = true))
+          .getField("desc") + lit(1L)
       def projected(ddl: Option[String]): DataFrame = ddl match {
         case Some(d) => base.select(col("idx"),
           parse_json(col("member_json")).as("member"),
           col("member_json").as("member_raw"),
+          nkCount(col("member_json")).as("__nk_n"),
           parse_json(col("member_json")).try_cast(d).as("t"))
         case None => base.select(col("idx"),
           parse_json(col("member_json")).as("member"),
-          col("member_json").as("member_raw"))
+          col("member_json").as("member_raw"),
+          nkCount(col("member_json")).as("__nk_n"))
       }
       // spread sample by span index — O(1) per element on the packed
       // array (the Seq-iteration shape this replaces existed because
@@ -722,6 +753,7 @@ object JsoniqRun {
         s"${docPath(collection, doc)}/_config.json",
         mapper.writeValueAsString(o))
       validTimeCache.remove((collection, doc))
+      invalidatePlans() // config changes alter compile routing
       ()
     }
     private val validTimeCache = scala.collection.concurrent.TrieMap
@@ -787,8 +819,52 @@ object JsoniqRun {
       graft.sources.MetaIO.delete(p, recursive = true)
       docs.foreach(evictResource(collection, _))
     }
+    // ---- compiled-plan cache (VERDICT r16 #8) -----------------------
+    // serialize()'s parse+compile floor (~0.2 s of Jsoniq parse + plan
+    // construction + Catalyst analysis) dominates warm point lookups.
+    // PURE-READ queries ([[JsoniqRun.planCacheable]]) cache their
+    // compiled DataFrame keyed on (query text, context item); every HIT
+    // re-verifies a fingerprint of each resource the compile touched —
+    // head revision, head commit timestamp, compaction-overlay names —
+    // so any commit (this instance or another writer on the same store
+    // dir) recompiles instead of serving a stale plan. Collect still
+    // executes the full Spark plan from the parquet inputs every time:
+    // this caches COMPILATION, never results.
+    private[query] final case class PlanFp(headRev: Option[Int],
+                                           headTs: Option[Long],
+                                           compactions: Seq[String])
+    private val planCache = scala.collection.concurrent.TrieMap
+      .empty[(String, Option[String]), (DataFrame, Map[String, PlanFp])]
+    private[query] val planTouch =
+      new ThreadLocal[scala.collection.mutable.Set[String]]
+    private[query] def planToken(path: String): PlanFp = {
+      val head = graft.sources.TemporalTable.commits(path).lastOption
+      PlanFp(head.map(_.revision), head.map(_.commitTsMs),
+        graft.sources.MetaIO.list(
+          graft.sources.RevisionCompaction.compactionsDir(path)).sorted)
+    }
+    /** Non-commit mutations (index registry, valid-time config, resource
+      * drops) clear the cache outright; commits are caught per-hit by
+      * the fingerprint check. */
+    private[query] def invalidatePlans(): Unit = planCache.clear()
+    private[query] def cachedPlan(key: (String, Option[String]))
+        : Option[DataFrame] =
+      planCache.get(key).flatMap { case (df, fps) =>
+        if (fps.forall { case (p, fp) => planToken(p) == fp }) Some(df)
+        else { planCache.remove(key); None }
+      }
+    private[query] def cachePlan(key: (String, Option[String]),
+                                 df: DataFrame,
+                                 touched: collection.Set[String]): Unit = {
+      if (planCache.size > 64) planCache.clear() // bounded, recompiles are cheap
+      planCache.put(key,
+        (df, touched.iterator.map(p => p -> planToken(p)).toMap))
+      ()
+    }
+
     private def evictResource(collection: String, doc: String): Unit = {
       val path = docPath(collection, doc)
+      invalidatePlans()
       validTimeCache.remove((collection, doc))
       skeletonCache.synchronized {
         skeletonCache.keySet().removeIf(_._1 == path); ()
@@ -835,6 +911,7 @@ object JsoniqRun {
       * definition owns the paths). */
     private def writeIndexDefs(c: String, d: String,
                                defs: Seq[IndexDef]): Unit = {
+      invalidatePlans() // registry changes alter compile routing
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       val arr = mapper.createArrayNode()
       defs.foreach { x =>
@@ -1084,28 +1161,45 @@ object JsoniqRun {
         val dirName = if (entry.dir.isEmpty) "root" else entry.dir
         val offDir = s"$path/_nodekeys/r$rev/$dirName"
         val metaPath = s"$offDir/_nk_meta.json"
-        val members = readShredEntry(collection, doc, Some(rev), entry)
-          .select(col("idx"), col("member"), col("member_raw"))
+        val full = readShredEntry(collection, doc, Some(rev), entry)
+        val members = full.select(col("idx"), col("member"), col("member_raw"))
         if (!graft.sources.MetaIO.exists(metaPath)) {
-          val counts = members
-            .withColumn("__nk_n", gb.column(JsonTreeCounts(
-              gb.expression(col("member_raw")),
-              jsonOnly = true)).getField("desc") +
-              lit(1L))
+          // member node counts: served from the `__nk_n` column the
+          // store's member walk now writes (a 2-long-column pruned
+          // scan), falling back to the full count pass for shreds
+          // written before the column existed. The fallback PINS the
+          // narrow counts frame: the build runs two jobs (bucket
+          // totals, then the offsets write) and an unpinned frame
+          // re-parsed every member in both.
+          val storedCounts = full.columns.contains("__nk_n")
+          val counts0 =
+            if (storedCounts) full.select(col("idx"), col("__nk_n"))
+            else members
+              .withColumn("__nk_n", gb.column(JsonTreeCounts(
+                gb.expression(col("member_raw")),
+                jsonOnly = true)).getField("desc") +
+                lit(1L))
+              .select(col("idx"), col("__nk_n"))
+          val counts = counts0
             .withColumn("__nk_b", (col("idx") / lit(65536L)).cast("long"))
-          val bt = counts.groupBy(col("__nk_b"))
-            .agg(sum("__nk_n").as("__bs"))
-            .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-          var acc = 0L
-          val bases = bt.map { case (b, s) => val r = (b, acc); acc += s; r }
-          val baseDf = bases.toSeq.toDF("__nk_b", "__nk_bb")
-          val w = org.apache.spark.sql.expressions.Window
-            .partitionBy(col("__nk_b")).orderBy(col("idx"))
-          counts.join(broadcast(baseDf), "__nk_b")
-            .withColumn("__nk_off",
-              col("__nk_bb") + sum(col("__nk_n")).over(w) - col("__nk_n"))
-            .select(col("idx"), col("__nk_n"), col("__nk_off"))
-            .write.mode("overwrite").parquet(offDir)
+          if (!storedCounts)
+            counts.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val acc = try {
+            val bt = counts.groupBy(col("__nk_b"))
+              .agg(sum("__nk_n").as("__bs"))
+              .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+            var run = 0L
+            val bases = bt.map { case (b, s) => val r = (b, run); run += s; r }
+            val baseDf = bases.toSeq.toDF("__nk_b", "__nk_bb")
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(col("__nk_b")).orderBy(col("idx"))
+            counts.join(broadcast(baseDf), "__nk_b")
+              .withColumn("__nk_off",
+                col("__nk_bb") + sum(col("__nk_n")).over(w) - col("__nk_n"))
+              .select(col("idx"), col("__nk_n"), col("__nk_off"))
+              .write.mode("overwrite").parquet(offDir)
+            run
+          } finally if (!storedCounts) { counts.unpersist(); () }
           // the meta marker is the COMMIT POINT (same discipline as the
           // shred's completion marker): a crashed write leaves no marker
           // and the next reader recomputes. A concurrent writer losing
@@ -1836,11 +1930,18 @@ object JsoniqRun {
           // to null, which every typed consumer already treats as
           // "walk the variant")
           val projectedPatch = {
+            val gbP = org.apache.spark.sql.graftbridge.GraftBridge
             val cols2 = baseDf.schema.fields.map { f =>
               f.name match {
                 case "idx" => col("idx")
                 case "member" => parse_json(col("member_raw")).as("member")
                 case "member_raw" => col("member_raw")
+                // patched rows keep the base layout's count invariant:
+                // the offsets build reads __nk_n verbatim, so a null
+                // here would corrupt a later fresh-numbering layout
+                case "__nk_n" => (gbP.column(JsonTreeCounts(
+                  gbP.expression(col("member_raw")), jsonOnly = true))
+                  .getField("desc") + lit(1L)).as("__nk_n")
                 case "t" => parse_json(col("member_raw"))
                   .try_cast(f.dataType.catalogString).as("t")
                 case other2 => lit(null).cast(f.dataType).as(other2)
@@ -1920,7 +2021,14 @@ object JsoniqRun {
       // rename into place; the completion marker still lands last, so
       // the crash contract is unchanged (an orphaned .tmp dir is inert
       // garbage, never served).
-      val tmp = s"$path/_shred/.tmp-${java.util.UUID.randomUUID().toString}"
+      // stale-temp sweep, age-gated — the same discipline as store()
+      val shredRootX = s"$path/_shred"
+      val sweepBeforeX = System.currentTimeMillis() - 3600000L
+      graft.sources.MetaIO.listDirsAged(shredRootX).foreach { case (n, mt) =>
+        if (n.startsWith(".tmp-") && mt < sweepBeforeX)
+          graft.sources.MetaIO.delete(s"$shredRootX/$n", recursive = true)
+      }
+      val tmp = s"$shredRootX/.tmp-${java.util.UUID.randomUUID().toString}"
       val memberJob: Option[Future[String]] =
         if (sel.isEmpty) None
         else Some(Future {
@@ -1946,11 +2054,13 @@ object JsoniqRun {
             graft.sources.MetaIO.delete(tmp, recursive = true)
             throw e
         }
+      var tmpRenamedX = memberJob.isEmpty
       try memberJob.foreach { f =>
         val meta = Await.result(f, Duration.Inf)
         val dst = shredDir(path, rev)
         if (!graft.sources.MetaIO.rename(tmp, dst))
           throw new java.io.IOException(s"rename $tmp -> $dst failed")
+        tmpRenamedX = true
         graft.sources.MetaIO.writeStringOverwrite(s"$dst/_meta.json", meta)
         graft.sources.MetaIO.writeStringOverwrite(
           s"$dst/$ShredCompleteMarker", "{}")
@@ -1959,9 +2069,10 @@ object JsoniqRun {
           System.err.println(
             s"[graft] shred sidecar failed for $path rev $rev " +
               s"(doc-row fallback serves reads): ${e.getMessage}")
-          graft.sources.MetaIO.delete(tmp, recursive = true)
           graft.sources.MetaIO.delete(shredDir(path, rev), recursive = true)
           ()
+      } finally {
+        if (!tmpRenamedX) graft.sources.MetaIO.delete(tmp, recursive = true)
       }
       json
     }
@@ -2298,13 +2409,45 @@ object JsoniqRun {
     * open with `let $auction := .` against the stored document. */
   def run(store: Store, query: String,
           contextJson: Option[String] = None): DataFrame = {
-    val seqDf = compile(store, query, contextJson)
-    seqDf
-      .select(col(POS), to_json(col(ITEM)).as("item_json"),
-        concat(col(ORD), col(POS)).as("__k"))
-      .orderBy("__k")
-      .select(col(POS).as("pos"), col("item_json"))
+    val key = (query, contextJson)
+    store.cachedPlan(key).getOrElse {
+      val ast = Jsoniq.parse(query)
+      val touch = scala.collection.mutable.Set.empty[String]
+      val prev = store.planTouch.get()
+      store.planTouch.set(touch)
+      val out =
+        try {
+          val seqDf = compile(store, ast, contextJson)
+          seqDf
+            .select(col(POS), to_json(col(ITEM)).as("item_json"),
+              concat(col(ORD), col(POS)).as("__k"))
+            .orderBy("__k")
+            .select(col(POS).as("pos"), col("item_json"))
+        } finally {
+          // restore (and propagate into) an enclosing recorder rather
+          // than clearing it — a nested compile must not blind the outer
+          // one's fingerprint
+          if (prev != null) { prev ++= touch; store.planTouch.set(prev) }
+          else store.planTouch.remove()
+        }
+      if (planCacheable(ast)) store.cachePlan(key, out, touch)
+      out
+    }
   }
+
+  /** Only PURE READS cache: any update statement or side-effecting
+    * function (stores, loads, commits, rollback, index create/drop,
+    * resource drops) must re-execute its effect on every invocation. */
+  private def planCacheable(ast: Jsoniq.Expr): Boolean =
+    !containsEffect(ast) && !Jsoniq.exprAny(ast) {
+      case Jsoniq.Call(n, _) =>
+        n == "sdb:rollback" || n.startsWith("jn:drop-") ||
+          n.startsWith("xml:drop-") ||
+          // catalog existence probes answer from directory listings the
+          // per-resource fingerprint cannot see change
+          n == "jn:exists-database" || n == "jn:exists-resource"
+      case _ => false
+    }
 
   /** Run and serialize the way the reference serializes a top-level
     * sequence: JSON items joined by single spaces. Collects — use from
@@ -2314,13 +2457,12 @@ object JsoniqRun {
     run(store, query, contextJson).select("item_json")
       .collect().map(_.getString(0)).mkString(" ")
 
-  private def compile(store: Store, query: String,
+  private def compile(store: Store, ast: Jsoniq.Expr,
                       contextJson: Option[String]): DataFrame = {
     // nested HOF lambdas resolve one level per analyzer iteration; the
     // in-row compiler's element-constructor pipelines (XMark q10) nest
     // past the default 100
     store.spark.conf.set("spark.sql.analyzer.maxIterations", 1000)
-    val ast = Jsoniq.parse(query)
     val base = store.spark.range(1)
       .select(array(lit(0L)).as(ORD))
     // node-identity functions need per-item printed paths, which only
@@ -5528,7 +5670,7 @@ object JsoniqRun {
             "sdb:explain: the argument query contains a side-effecting " +
               "call or update statement — compiling it would perform " +
               "the write; explain read-only queries only")
-        val qe = compile(store, q, None).queryExecution
+        val qe = compile(store, Jsoniq.parse(q), None).queryExecution
         val text = qe.explainString(
           if (verbose) org.apache.spark.sql.execution.ExtendedMode
           else org.apache.spark.sql.execution.FormattedMode)

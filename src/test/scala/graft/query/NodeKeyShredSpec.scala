@@ -60,6 +60,27 @@ class NodeKeyShredSpec extends SparkSpec {
     }
   }
 
+  test("member tables carry __nk_n equal to the lazy count expression") {
+    // r17: the store's member walk writes each member's node count
+    // (__nk_n) so the offsets build never re-parses members. The stored
+    // counts must equal treeCounts(member_raw) + 1 — the exact
+    // expression the pre-column fallback computes.
+    withShredded { st =>
+      st.store("c", "d", doc)
+      st.shredEntries("c", "d", None).filter(_.kind == "json")
+        .foreach { en =>
+          val df = st.readShredEntry("c", "d", None, en)
+          assert(df.columns.contains("__nk_n"), s"entry ${en.dir}")
+          val rows = df.select("member_raw", "__nk_n").collect()
+          assert(rows.nonEmpty)
+          rows.foreach { r =>
+            val (_, desc) = NodeKeys.treeCounts(r.getString(0), jsonOnly = true)
+            assert(r.getLong(1) === desc + 1L, s"member ${r.getString(0)}")
+          }
+        }
+    }
+  }
+
   test("static pointers agree with NodeKeys.build ground truth") {
     val truth = NodeKeys.build(doc)
     withShredded { st =>
