@@ -17,6 +17,11 @@ import org.apache.spark.sql.functions._
   */
 object Diff {
 
+  /** The bucket-id expression — ONE definition so [[bucketManifest]] and
+    * [[prunedDiffFromManifests]]'s slice provably agree. */
+  def bucketExpr(keys: Seq[String], numBuckets: Int): org.apache.spark.sql.Column =
+    pmod(xxhash64(keys.map(col): _*), lit(numBuckets))
+
   /** Null-aware row digest. Spark's hash functions SKIP null children, so
     * xxhash64(X, null) == xxhash64(null, X) — a null "shifting" between
     * columns would read as unchanged. Interleaving each column with its
@@ -126,7 +131,7 @@ object Diff {
   def bucketManifest(df: DataFrame, keys: Seq[String],
                      compare: Seq[String],
                      numBuckets: Int = 65536): DataFrame = {
-    df.withColumn("__bucket", pmod(xxhash64(keys.map(col): _*), lit(numBuckets)))
+    df.withColumn("__bucket", bucketExpr(keys, numBuckets))
       .withColumn("__rowhash", rowDigest(keys ++ compare))
       .groupBy("__bucket")
       .agg(expr("bit_xor(__rowhash)").as("digest"),
@@ -152,11 +157,23 @@ object Diff {
       .select("__bucket")
 
   /** [[prunedDiff]] driven by STORED manifests: each snapshot is scanned
-    * ONCE (the semi-join against the changed-bucket set), and the
-    * manifests themselves are `numBuckets`-row sidecars — for the
-    * mostly-unchanged adjacent-revision case this reads two tiny files
-    * plus the changed slice, instead of scanning both snapshots twice to
-    * recompute what the writer already knew. */
+    * ONCE, and the manifests themselves are `numBuckets`-row sidecars —
+    * for the mostly-unchanged adjacent-revision case this reads two tiny
+    * files plus the changed slice, instead of scanning both snapshots
+    * twice to recompute what the writer already knew.
+    *
+    * The broadcast semi-join slice is KEPT deliberately — two
+    * alternatives were measured same-JVM (r17) and both lost:
+    * (a) a write-time materialized, cluster-sorted bucket COLUMN, which
+    * would have made the slice a pushed scan predicate, costs ~45% on
+    * every snapshot write and bloats files 9-20% (random hash ids do not
+    * compress, and sorting by them destroys every other column's natural
+    * run-length); (b) collecting the changed set and slicing with a
+    * literal IN — with or without an adaptive size cutoff — pays an
+    * extra eager probe-collect job (~0.2 s) that exceeds the saved
+    * broadcast exchanges at every change-set size, and past ~1000
+    * literals adds ~0.4 s of planning/codegen per call besides.
+    * OPTIMIZATION_r17.md has the numbers. */
   def prunedDiffFromManifests(left: DataFrame, right: DataFrame,
                               leftManifest: DataFrame, rightManifest: DataFrame,
                               keys: Seq[String], compare: Seq[String] = Seq.empty,
@@ -166,7 +183,7 @@ object Diff {
       else left.columns.toSeq.intersect(right.columns.toSeq).filterNot(keys.contains)
     val changed = changedBuckets(leftManifest, rightManifest)
     def slice(df: DataFrame) = df
-      .withColumn("__bucket", pmod(xxhash64(keys.map(col): _*), lit(numBuckets)))
+      .withColumn("__bucket", bucketExpr(keys, numBuckets))
       .join(broadcast(changed), Seq("__bucket"), "left_semi")
       .drop("__bucket")
     diff(slice(left), slice(right), keys, cmp)

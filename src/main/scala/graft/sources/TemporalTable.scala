@@ -524,7 +524,18 @@ object TemporalTable {
         MetaIO.copyDir(manifestDir(path, r), manifestDir(path, rev)))
       val wantManifest = withManifest && copyManifest.isEmpty &&
         manifestEligible(df.schema)
-      val wantKeys = withKeyIndex && df.schema.fieldNames.contains("node_key")
+      // same contract for the key-index sidecar: rows are the snapshot's
+      // node_key column, independent of file layout, so a content-
+      // identical commit byte-copies the source revision's sidecar
+      // instead of re-digesting the snapshot (and with both sidecars
+      // copied the commit is ONE un-pinned write pass — no cache fill)
+      val copyKeys = manifestFromRev.filter(r =>
+        withKeyIndex && df.schema.fieldNames.contains("node_key") &&
+          MetaIO.exists(s"${keyIndexDir(path)}/rev=$r"))
+      copyKeys.foreach(r => MetaIO.copyDir(
+        s"${keyIndexDir(path)}/rev=$r", s"${keyIndexDir(path)}/rev=$rev"))
+      val wantKeys = withKeyIndex && copyKeys.isEmpty &&
+        df.schema.fieldNames.contains("node_key")
       val fromCache = (wantManifest || wantKeys) && planDeterministic(df)
       // respect a caller-owned pin (persist with a different level throws)
       val pinHere = fromCache &&
@@ -532,6 +543,15 @@ object TemporalTable {
       val frame =
         if (pinHere) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         else df
+      // A bucket-clustered file layout (materialize the manifest's bucket
+      // id as a physical, locally-sorted column so diff's changed-bucket
+      // slice prunes row groups) was measured and REJECTED this round:
+      // the local sort costs ~45% on every snapshot write and the
+      // hash-ordered rows inflate the files ~9-20% (random bucket ids
+      // do not compress; sorting by them shuffles away every other
+      // column's natural run-length) — OPTIMIZATION_r17.md has the
+      // numbers. Diff keeps its broadcast semi-join slice over the
+      // manifests instead (see Diff.prunedDiffFromManifests).
       try {
         if (fromCache && (wantManifest || wantKeys)) {
           // digest source is the pinned frame: run the revision write and
@@ -947,22 +967,26 @@ object TemporalTable {
     }).getOrElse(log.last.revision)
     val meta = log.find(_.revision == rev)
       .getOrElse(throw new IllegalArgumentException(s"unknown revision $rev"))
-    // resolve through any in-place compaction overlay: a vacuumed
-    // revision's rev=N/ directory no longer holds its data files. The
-    // overlay case reads its explicit file list (the generation dir's
-    // underscore name would otherwise trip DataSource's hidden-path
-    // warning on every open).
-    val snap = RevisionCompaction.overlays(path).get(rev) match {
+    rawSnapshot(spark, path, rev)
+      .withColumn("revision", lit(rev))
+      .withColumn("commit_ts", timestamp_millis(lit(meta.commitTsMs)))
+      .withColumn("author", lit(meta.author))
+  }
+
+  /** The revision's data files as stored — write-layout columns included
+    * ([[diff]] prunes on them). Resolves through any in-place compaction
+    * overlay: a vacuumed revision's rev=N/ directory no longer holds its
+    * data files. The overlay case reads its explicit file list (the
+    * generation dir's underscore name would otherwise trip DataSource's
+    * hidden-path warning on every open). Callers validate the revision
+    * against the commit log first. */
+  private def rawSnapshot(spark: SparkSession, path: String, rev: Int): DataFrame =
+    RevisionCompaction.overlays(path).get(rev) match {
       case Some(o) =>
         val dir = RevisionCompaction.genDir(path, rev, o.gen)
         spark.read.parquet(o.files.map { case (n, _) => s"$dir/$n" }: _*)
       case None => spark.read.parquet(s"$path/rev=$rev")
     }
-    snap
-      .withColumn("revision", lit(rev))
-      .withColumn("commit_ts", timestamp_millis(lit(meta.commitTsMs)))
-      .withColumn("author", lit(meta.author))
-  }
 
   /** `revertTo(revision)` analog (reference: api/NodeTrx.java:50,
     * api/xml/XmlNodeTrx.java:578): commit a NEW revision whose content is
@@ -1238,8 +1262,17 @@ object TemporalTable {
   def diff(spark: SparkSession, path: String, rev1: Int, rev2: Int,
            keys: Seq[String] = Seq("node_key"),
            hashPruned: Boolean = true): DataFrame = {
-    val a = read(spark, path, Some(rev1)).drop("revision", "commit_ts", "author")
-    val b = read(spark, path, Some(rev2)).drop("revision", "commit_ts", "author")
+    require(!DeltaTemporalTable.isDeltaLayout(path),
+      s"$path is a delta-encoded chain — diff revisions via " +
+        "DeltaTemporalTable reads, not the snapshot differ")
+    val log = commits(path)
+    Seq(rev1, rev2).foreach(r => require(log.exists(_.revision == r),
+      s"unknown revision $r at $path"))
+    // RAW frames: diff never needs the revision/commit_ts/author
+    // decoration the public read attaches (the old shape added the three
+    // literal columns only to drop them)
+    val a = rawSnapshot(spark, path, rev1)
+    val b = rawSnapshot(spark, path, rev2)
     if (!hashPruned) return graft.operators.Diff.diff(a, b, keys)
     val cmp = a.columns.toSeq.intersect(b.columns.toSeq).filterNot(keys.contains)
     val expected = graft.operators.Diff.manifestSignature(keys, cmp, 65536)
