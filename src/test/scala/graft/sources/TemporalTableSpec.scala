@@ -302,6 +302,12 @@ class TemporalTableSpec extends SparkSpec {
     assert(head.except(df).isEmpty && df.except(head).isEmpty)
     // history immutable: as-of before the compaction serves the original
     assert(TemporalTable.read(spark, p, Some(1)).inputFiles.length >= 32)
+    // the key-index sidecar is BYTE-COPIED from the source revision
+    // (content-identical commit — r17): it must exist and serve the
+    // record-to-revisions lookup with the compacted revision included
+    assert(MetaIO.exists(s"$p/_keyindex/rev=2"), "copied key index missing")
+    assert(TemporalTable.recordRevisions(spark, p, 7L)
+      .select("revision").as[Int].collect().toSeq == Seq(1, 2))
     // already compact → no-op, no new commit
     assert(TemporalTable.compactHead(spark, p, 1L << 30).isEmpty)
     assert(TemporalTable.mostRecentRevision(p).contains(2))
