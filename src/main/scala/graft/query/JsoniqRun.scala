@@ -322,8 +322,12 @@ object JsoniqRun {
           })
         catch {
           case e: Throwable =>
+            // BOUNDED drain (the TemporalTable.writeFrame discipline): a
+            // hung shred job must not delay the cleanup and the original
+            // error forever; past the bound the tmp delete races only a
+            // doomed writer's own temp dir
             memberJob.foreach(f =>
-              scala.util.Try(Await.result(f, Duration.Inf)))
+              scala.util.Try(Await.result(f, Duration(60, "s"))))
             graft.sources.MetaIO.delete(tmp, recursive = true)
             throw e
         }
@@ -2049,8 +2053,9 @@ object JsoniqRun {
         try graft.sources.TemporalTable.write(Seq(json).toDF("doc_json"), path)
         catch {
           case e: Throwable =>
+            // bounded drain — same rationale as the JSON store path above
             memberJob.foreach(f =>
-              scala.util.Try(Await.result(f, Duration.Inf)))
+              scala.util.Try(Await.result(f, Duration(60, "s"))))
             graft.sources.MetaIO.delete(tmp, recursive = true)
             throw e
         }
